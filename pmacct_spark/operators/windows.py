@@ -1,0 +1,172 @@
+"""Time-bucket (history) semantics: tumbling windows, calendar months,
+round-off, multi-window explosion, pro-rating.
+
+Reference semantics:
+  - ``sql_history/print_history/kafka_history = N [s|m|h|d|w|M]`` buckets
+    records into tumbling windows (parse_time, reference
+    src/cfg_handlers.c:6733-6791; bucket assign src/plugin_common.c:251-254).
+  - round-off aligns the bucket origin to a min/hour/day/week/month
+    boundary (roundoff_time, reference src/sql_common.c:242-308).
+  - a flow spanning several buckets can be *pro-rated*: its counters are
+    split across the buckets proportional to overlap (reference
+    src/plugin_common.c:256-271 and the bucket loop :460-463).
+
+Everything here is exact integer arithmetic on epoch microseconds so a
+SQL oracle reproduces it bit-for-bit; all expressions are built-in
+(JVM-side, codegen-friendly) — no Python UDFs.
+
+The bucket column is named ``stamp_inserted`` after the reference's SQL
+schema (sql/pmacct-create-db_v9.mysql).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from pmacct_spark.config import History
+
+_CAL_TRUNC = {"M": "month", "w": "week", "d": "day", "h": "hour", "m": "minute"}
+
+
+def _us(ts_expr: str) -> str:
+    """Epoch microseconds of a TIMESTAMP_NTZ column (UTC session)."""
+    return f"unix_micros(CAST({ts_expr} AS TIMESTAMP))"
+
+
+def bucket_expr(ts_col: str, hist: History, roundoff: str | None = None) -> Column:
+    """Tumbling-bucket start for ``ts_col`` as TIMESTAMP_NTZ.
+
+    Calendar histories (months) truncate; linear histories floor epoch
+    time, optionally re-anchored at a calendar boundary (round-off).
+    """
+    if hist.calendar:
+        if hist.n != 1:
+            raise ValueError("calendar buckets support N=1 (e.g. '1M') only")
+        return F.expr(f"CAST(date_trunc('month', {ts_col}) AS TIMESTAMP_NTZ)")
+    n_us = hist.seconds * 1_000_000
+    if roundoff:
+        trunc = _CAL_TRUNC[roundoff]
+        origin = f"unix_micros(CAST(date_trunc('{trunc}', {ts_col}) AS TIMESTAMP))"
+        e = (
+            f"CAST(timestamp_micros({origin} + "
+            f"((({_us(ts_col)}) - ({origin})) DIV {n_us}) * {n_us}) AS TIMESTAMP_NTZ)"
+        )
+    else:
+        e = (
+            f"CAST(timestamp_micros((({_us(ts_col)}) DIV {n_us}) * {n_us}) "
+            f"AS TIMESTAMP_NTZ)"
+        )
+    return F.expr(e)
+
+
+def assign_bucket(
+    df: DataFrame,
+    hist: History,
+    ts_col: str = "ts",
+    roundoff: str | None = None,
+    out: str = "stamp_inserted",
+) -> DataFrame:
+    """Add the tumbling-bucket column (flow accounted to its start bucket)."""
+    return df.withColumn(out, bucket_expr(ts_col, hist, roundoff))
+
+
+def explode_prorate(
+    df: DataFrame,
+    hist: History,
+    counters: list[str],
+    ts_col: str = "ts",
+    end_col: str = "end_ts",
+    roundoff: str | None = None,
+    out: str = "stamp_inserted",
+) -> DataFrame:
+    """Pro-rating: explode each flow into one row per spanned bucket and
+    split its counters proportional to overlap.
+
+    The split is exact integer math: ``counter * overlap_us DIV
+    duration_us`` (floor), zero-duration flows land whole in their start
+    bucket — deterministic and oracle-reproducible. Spark shape:
+    ``sequence()`` + ``explode()`` (no shuffle; the later groupBy
+    re-shuffles on (bucket, keys) anyway).
+    """
+    if hist.calendar:
+        raise NotImplementedError("pro-rating over calendar months: use linear buckets")
+    n_us = hist.seconds * 1_000_000
+
+    start_bucket = bucket_expr(ts_col, hist, roundoff)
+    end_bucket = bucket_expr(end_col, hist, roundoff)
+    step = F.expr(f"INTERVAL {hist.seconds} SECOND")
+    df = df.withColumn(
+        out,
+        F.explode(
+            F.sequence(
+                start_bucket.cast("timestamp"), end_bucket.cast("timestamp"), step
+            )
+        ),
+    ).withColumn(out, F.col(out).cast("timestamp_ntz"))
+
+    w_us = _us(out)
+    ts_us, end_us = _us(ts_col), _us(end_col)
+    overlap = (
+        f"(LEAST({end_us}, {w_us} + {n_us}) - GREATEST({ts_us}, {w_us}))"
+    )
+    duration = f"({end_us} - {ts_us})"
+    for c in counters:
+        df = df.withColumn(
+            c,
+            F.expr(
+                f"CASE WHEN {duration} = 0 THEN {c} "
+                f"ELSE ({c} * {overlap}) DIV {duration} END"
+            ),
+        )
+    return df
+
+
+# ---------------------------------------------------------------------------
+# DuckDB oracle renderers (kept adjacent so drift is caught by tests)
+# ---------------------------------------------------------------------------
+
+def duck_bucket_sql(ts_expr: str, hist: History, roundoff: str | None = None) -> str:
+    """DuckDB expression matching :func:`bucket_expr`."""
+    if hist.calendar:
+        return f"date_trunc('month', {ts_expr})"
+    n_us = hist.seconds * 1_000_000
+    if roundoff:
+        trunc = _CAL_TRUNC[roundoff]
+        origin = f"epoch_us(date_trunc('{trunc}', {ts_expr}))"
+        return (
+            f"make_timestamp({origin} + "
+            f"(((epoch_us({ts_expr})) - ({origin})) // {n_us}) * {n_us})"
+        )
+    return f"make_timestamp(((epoch_us({ts_expr})) // {n_us}) * {n_us})"
+
+
+def duck_prorate_cte(
+    hist: History,
+    counters: list[str],
+    key_exprs: str,
+    source: str = "flows",
+    ts_expr: str = "ts",
+    end_expr: str = "end_ts",
+) -> str:
+    """DuckDB subquery matching :func:`explode_prorate`: per spanned
+    bucket, pro-rated counters. ``key_exprs`` is the passthrough select
+    list."""
+    n_us = hist.seconds * 1_000_000
+    b0 = duck_bucket_sql(ts_expr, hist)
+    b1 = duck_bucket_sql(end_expr, hist)
+    overlap = (
+        f"(LEAST(epoch_us({end_expr}), epoch_us(stamp_inserted) + {n_us}) "
+        f"- GREATEST(epoch_us({ts_expr}), epoch_us(stamp_inserted)))"
+    )
+    duration = f"(epoch_us({end_expr}) - epoch_us({ts_expr}))"
+    ctr_sql = ", ".join(
+        f"CASE WHEN {duration} = 0 THEN {c} "
+        f"ELSE ({c} * {overlap}) // {duration} END AS {c}"
+        for c in counters
+    )
+    return (
+        f"SELECT {key_exprs}, stamp_inserted, {ctr_sql} FROM ("
+        f"SELECT *, unnest(generate_series({b0}, {b1}, "
+        f"INTERVAL {hist.seconds} SECOND)) AS stamp_inserted FROM {source})"
+    )

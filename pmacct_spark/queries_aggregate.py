@@ -1,0 +1,287 @@
+"""Gated queries: pmacct aggregation semantics (SURVEY.md §2.5-2.8).
+
+Each query = one PluginConfig compiled by the pipeline, with a DuckDB
+oracle reproducing the semantics in ANSI SQL over the same derived flow
+view (pmacct_spark.views.flows keeps both dialects in lockstep).
+"""
+
+from __future__ import annotations
+
+from pmacct_spark.config import History, PluginConfig, Preprocess
+from pmacct_spark.driver_queries import FLOWS_DUCK_CTE, build_aggregation, flows, register
+from pmacct_spark.operators.windows import duck_bucket_sql, duck_prorate_cte
+
+_H5M = History.parse("5m")
+_SUM = "CAST(SUM({c}) AS BIGINT) AS {c}"
+
+
+def _sums(*cs: str) -> str:
+    return ", ".join(_SUM.format(c=c) for c in cs)
+
+
+# --- canonical "who talks to whom": aggregate: src_host,dst_host
+#     (reference QUICKSTART:878; IMT hash agg src/acct.c:29-120)
+@register(
+    "agg_host_pairs",
+    f"""{FLOWS_DUCK_CTE}
+SELECT ip_src AS src_host, ip_dst AS dst_host,
+       {_sums('bytes', 'packets', 'flows')}
+FROM flows GROUP BY 1, 2""",
+)
+def agg_host_pairs(spark, sf_dir):
+    cfg = PluginConfig(aggregate=["src_host", "dst_host"])
+    return build_aggregation(flows(spark, sf_dir), cfg)
+
+
+# --- the tests/100-IPFIXv10-CISCO aggregate set (nfacctd-00.conf:14)
+@register(
+    "agg_test100_set",
+    f"""{FLOWS_DUCK_CTE}
+SELECT peer_ip_src AS peer_src_ip, ip_src AS src_host, ip_dst AS dst_host,
+       port_src AS src_port, port_dst AS dst_port, iface_in AS in_iface,
+       iface_out AS out_iface, ip_proto AS proto, tos,
+       {_sums('bytes', 'packets', 'flows')}
+FROM flows GROUP BY 1, 2, 3, 4, 5, 6, 7, 8, 9""",
+)
+def agg_test100_set(spark, sf_dir):
+    cfg = PluginConfig(
+        aggregate=[
+            "peer_src_ip", "src_host", "dst_host", "src_port", "dst_port",
+            "in_iface", "out_iface", "proto", "tos",
+        ]
+    )
+    return build_aggregation(flows(spark, sf_dir), cfg)
+
+
+# --- grand total: `aggregate: none` (CONFIG-KEYS:90-91, FAQS:353)
+@register(
+    "agg_none_total",
+    f"""{FLOWS_DUCK_CTE}
+SELECT {_sums('bytes', 'packets', 'flows')} FROM flows""",
+)
+def agg_none_total(spark, sf_dir):
+    return build_aggregation(flows(spark, sf_dir), PluginConfig(aggregate=[]))
+
+
+# --- sum_host fold: src+dst accounted to one entity
+#     (P_sum_host_insert, reference src/plugin_common.c:710-760)
+@register(
+    "agg_sum_host",
+    f"""{FLOWS_DUCK_CTE}
+SELECT host, {_sums('bytes', 'packets', 'flows')} FROM (
+  SELECT ip_src AS host, bytes, packets, flows FROM flows
+  UNION ALL
+  SELECT ip_dst AS host, bytes, packets, flows FROM flows
+) GROUP BY 1""",
+)
+def agg_sum_host(spark, sf_dir):
+    return build_aggregation(flows(spark, sf_dir), PluginConfig(aggregate=["sum_host"]))
+
+
+# --- sum_port fold
+@register(
+    "agg_sum_port",
+    f"""{FLOWS_DUCK_CTE}
+SELECT port, {_sums('bytes', 'packets', 'flows')} FROM (
+  SELECT port_src AS port, bytes, packets, flows FROM flows
+  UNION ALL
+  SELECT port_dst AS port, bytes, packets, flows FROM flows
+) GROUP BY 1""",
+)
+def agg_sum_port(spark, sf_dir):
+    return build_aggregation(flows(spark, sf_dir), PluginConfig(aggregate=["sum_port"]))
+
+
+# --- tcp_flags bitwise-OR accumulation (src/plugin_common.c:428-429)
+@register(
+    "agg_tcpflags_bitor",
+    f"""{FLOWS_DUCK_CTE}
+SELECT ip_src AS src_host, ip_dst AS dst_host,
+       CAST(bit_or(tcp_flags) AS INT) AS tcp_flags,
+       {_sums('bytes', 'packets', 'flows')}
+FROM flows GROUP BY 1, 2""",
+)
+def agg_tcpflags_bitor(spark, sf_dir):
+    cfg = PluginConfig(
+        aggregate=["src_host", "dst_host"],
+        counters=["tcp_flags", "bytes", "packets", "flows"],
+    )
+    return build_aggregation(flows(spark, sf_dir), cfg)
+
+
+# --- 5-minute history buckets (src/plugin_common.c:251-254), flow
+#     accounted to its start bucket
+@register(
+    "hist_5m_proto",
+    f"""{FLOWS_DUCK_CTE}
+SELECT ip_proto AS proto, {duck_bucket_sql('ts', _H5M)} AS stamp_inserted,
+       {_sums('bytes', 'packets', 'flows')}
+FROM flows GROUP BY 1, 2""",
+)
+def hist_5m_proto(spark, sf_dir):
+    cfg = PluginConfig(aggregate=["proto"], history="5m")
+    return build_aggregation(flows(spark, sf_dir), cfg)
+
+
+# --- daily buckets with weekly round-off (roundoff_time,
+#     src/sql_common.c:242-308)
+@register(
+    "hist_1d_roundoff_w",
+    f"""{FLOWS_DUCK_CTE}
+SELECT peer_ip_src AS peer_src_ip,
+       {duck_bucket_sql('ts', History.parse('1d'), 'w')} AS stamp_inserted,
+       {_sums('bytes', 'packets', 'flows')}
+FROM flows GROUP BY 1, 2""",
+)
+def hist_1d_roundoff_w(spark, sf_dir):
+    cfg = PluginConfig(aggregate=["peer_src_ip"], history="1d", history_roundoff="w")
+    return build_aggregation(flows(spark, sf_dir), cfg)
+
+
+# --- calendar-month buckets (COUNT_MONTHLY, src/pmacct-defines.h:424-429)
+@register(
+    "hist_month",
+    f"""{FLOWS_DUCK_CTE}
+SELECT ip_proto AS proto,
+       {duck_bucket_sql('ts', History.parse('1M'))} AS stamp_inserted,
+       {_sums('bytes', 'packets', 'flows')}
+FROM flows GROUP BY 1, 2""",
+)
+def hist_month(spark, sf_dir):
+    cfg = PluginConfig(aggregate=["proto"], history="1M")
+    return build_aggregation(flows(spark, sf_dir), cfg)
+
+
+# --- pro-rating: counters split across spanned buckets proportional to
+#     overlap (src/plugin_common.c:256-271,460-463)
+_PRORATE_INNER = duck_prorate_cte(
+    _H5M,
+    ["bytes", "packets", "flows"],
+    key_exprs="ip_proto",
+)
+@register(
+    "hist_5m_prorate",
+    f"""{FLOWS_DUCK_CTE}
+SELECT ip_proto AS proto, stamp_inserted,
+       {_sums('bytes', 'packets', 'flows')}
+FROM ({_PRORATE_INNER}) GROUP BY 1, 2""",
+)
+def hist_5m_prorate(spark, sf_dir):
+    cfg = PluginConfig(aggregate=["proto"], history="5m", pro_rating=True)
+    return build_aggregation(flows(spark, sf_dir), cfg)
+
+
+# --- stitching: timestamp_min/timestamp_max per group
+#     (pkt_stitching, src/network.h:543-546)
+@register(
+    "agg_stitching",
+    f"""{FLOWS_DUCK_CTE}
+SELECT peer_ip_src AS peer_src_ip, ip_proto AS proto,
+       {_sums('bytes', 'packets', 'flows')},
+       MIN(ts) AS timestamp_min, MAX(end_ts) AS timestamp_max
+FROM flows GROUP BY 1, 2""",
+)
+def agg_stitching(spark, sf_dir):
+    cfg = PluginConfig(aggregate=["peer_src_ip", "proto"], stitching=True)
+    return build_aggregation(flows(spark, sf_dir), cfg)
+
+
+# --- renormalization: counters *= sampling_rate pre-agg
+#     (src/pkt_handlers.c:1175-1213)
+@register(
+    "agg_renormalize",
+    f"""{FLOWS_DUCK_CTE}
+SELECT peer_ip_src AS peer_src_ip,
+       CAST(SUM(CASE WHEN sampling_rate > 1 THEN bytes * sampling_rate ELSE bytes END) AS BIGINT) AS bytes,
+       CAST(SUM(CASE WHEN sampling_rate > 1 THEN packets * sampling_rate ELSE packets END) AS BIGINT) AS packets,
+       CAST(SUM(flows) AS BIGINT) AS flows
+FROM flows GROUP BY 1""",
+)
+def agg_renormalize(spark, sf_dir):
+    cfg = PluginConfig(aggregate=["peer_src_ip"], renormalize=True)
+    return build_aggregation(flows(spark, sf_dir), cfg)
+
+
+# --- preprocess checks == HAVING (src/preprocess.c:92-131)
+@register(
+    "preprocess_having",
+    f"""{FLOWS_DUCK_CTE}
+SELECT port_dst AS dst_port, {_sums('bytes', 'packets', 'flows')}
+FROM flows GROUP BY 1
+HAVING CAST(SUM(bytes) AS BIGINT) >= 1000
+   AND (CAST(SUM(bytes) AS BIGINT) // CAST(SUM(packets) AS BIGINT)) >= 99""",
+)
+def preprocess_having(spark, sf_dir):
+    # minbpp=99 sits at the group median, so the check discriminates at
+    # every scale factor (bpp is scale-invariant; raw byte floors are not)
+    cfg = PluginConfig(
+        aggregate=["dst_port"],
+        preprocess=Preprocess(minb=1000, minbpp=99),
+    )
+    return build_aggregation(flows(spark, sf_dir), cfg)
+
+
+# --- preprocess actions: usrf renormalize + adjb (src/preprocess.h:47-49)
+@register(
+    "preprocess_actions",
+    f"""{FLOWS_DUCK_CTE}
+SELECT proto, CAST(bytes * 2 + 28 AS BIGINT) AS bytes,
+       CAST(packets * 2 AS BIGINT) AS packets, flows
+FROM (
+  SELECT ip_proto AS proto, {_sums('bytes', 'packets', 'flows')}
+  FROM flows GROUP BY 1
+)""",
+)
+def preprocess_actions(spark, sf_dir):
+    cfg = PluginConfig(
+        aggregate=["proto"], preprocess=Preprocess(usrf=2, adjb=28)
+    )
+    return build_aggregation(flows(spark, sf_dir), cfg)
+
+
+# --- client top-N: -T bytes,10 (client_counters_merge_sort,
+#     src/pmacct.c:3152); deterministic tie-break on the key
+@register(
+    "topn_bytes",
+    f"""{FLOWS_DUCK_CTE}
+SELECT ip_src AS src_host, ip_dst AS dst_host,
+       {_sums('bytes', 'packets', 'flows')}
+FROM flows GROUP BY 1, 2
+ORDER BY bytes DESC, src_host ASC, dst_host ASC LIMIT 10""",
+)
+def topn_bytes(spark, sf_dir):
+    cfg = PluginConfig(aggregate=["src_host", "dst_host"], topn=("bytes", 10))
+    return build_aggregation(flows(spark, sf_dir), cfg)
+
+
+# --- union of exporters then per-exporter accounting ("-S" accumulate
+#     across matches, src/server.c:386-432): filter OR-list + global agg
+@register(
+    "client_sum_matches",
+    f"""{FLOWS_DUCK_CTE}
+SELECT {_sums('bytes', 'packets', 'flows')}
+FROM flows WHERE peer_ip_src IN ('192.0.2.0', '192.0.2.3')""",
+)
+def client_sum_matches(spark, sf_dir):
+    cfg = PluginConfig(
+        aggregate=[],
+        aggregate_filter="peer_ip_src IN ('192.0.2.0', '192.0.2.3')",
+    )
+    return build_aggregation(flows(spark, sf_dir), cfg)
+
+
+# --- aggregate_filter: per-plugin BPF-style predicate
+#     (src/plugin_hooks.c:449,800-807)
+@register(
+    "aggregate_filter_tcp443",
+    f"""{FLOWS_DUCK_CTE}
+SELECT ip_src AS src_host, {_sums('bytes', 'packets', 'flows')}
+FROM flows WHERE ip_proto = 6 AND (port_src = 443 OR port_dst = 443)
+GROUP BY 1""",
+)
+def aggregate_filter_tcp443(spark, sf_dir):
+    cfg = PluginConfig(
+        aggregate=["src_host"],
+        aggregate_filter="ip_proto = 6 AND (port_src = 443 OR port_dst = 443)",
+    )
+    return build_aggregation(flows(spark, sf_dir), cfg)

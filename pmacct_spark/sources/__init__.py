@@ -1,0 +1,5 @@
+"""Sources: batch table loaders and binary telemetry decoders."""
+
+from pmacct_spark.sources.tables import TABLES, load_table, register_views
+
+__all__ = ["TABLES", "load_table", "register_views"]
