@@ -1,5 +1,216 @@
 """Gated queries: enrichment joins (SURVEY.md §2.4) — LPM networks_file,
-GeoIP range join, pretag rules engine, dictionaries, seqno monitoring.
+GeoIP range join, pretag rules engine, sampling_map renormalization,
+allowlist dictionaries, per-exporter seqno monitoring.
 
-Populated by M3; modules register into driver_queries at import.
+Oracles reproduce each join in ANSI SQL over the same dual-rendered
+dimension views (views.dims)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from pmacct_spark.config import PluginConfig
+from pmacct_spark.driver_queries import FLOWS_DUCK_CTE, build_aggregation, flows, register
+from pmacct_spark.operators.dicts import apply_allowlist, seqno_monitor
+from pmacct_spark.operators.lpm import lpm_join, lpm_join_range, range_join
+from pmacct_spark.operators.pretag import Rule, apply_pretag, duck_case_sql
+from pmacct_spark.views.flows import flows_sql
+from pmacct_spark.views.dims import (
+    GEOIP_DUCK,
+    NETWORKS_DUCK,
+    SAMPLING_MAP_DUCK,
+    geoip_dim,
+    networks_dim,
+    sampling_map_dim,
+)
+
+_SUM = ", ".join(
+    f"CAST(SUM({c}) AS BIGINT) AS {c}" for c in ("bytes", "packets", "flows")
+)
+
+# DuckDB LPM: candidates = prefix matches per masklen; winner = arg_max
+# by masklen; NULL-safe via LEFT JOIN.
+_DUCK_LPM = f"""
+WITH flows AS ({flows_sql('duck')}),
+networks AS ({NETWORKS_DUCK}),
+matched AS (
+  SELECT f.event_id, f.ip_src_i, f.bytes, f.packets, f.flows,
+         arg_max(n.asn, n.masklen) AS src_as_lpm,
+         arg_max(n.masklen, n.masklen) AS src_mask
+  FROM flows f LEFT JOIN networks n
+    ON (f.ip_src_i // (CAST(1 AS BIGINT) << (32 - n.masklen)))
+     = (n.net_int // (CAST(1 AS BIGINT) << (32 - n.masklen)))
+  GROUP BY 1, 2, 3, 4, 5
+)
+SELECT src_as_lpm, src_mask, {_SUM}
+FROM matched GROUP BY 1, 2
 """
+
+
+@register("lpm_networks_src_as", _DUCK_LPM)
+def lpm_networks_src_as(spark, sf_dir):
+    """networks_file LPM fill of src_as/src_mask then aggregate
+    (reference src/net_aggr.c:455-490) — chained-broadcast strategy."""
+    f = flows(spark, sf_dir)
+    nets = networks_dim(spark, sf_dir)
+    enriched = lpm_join(
+        f, nets, "ip_src_i", {"asn": "src_as_lpm", "masklen": "src_mask"}
+    )
+    return (
+        enriched.groupBy("src_as_lpm", "src_mask")
+        .agg(
+            F.sum("bytes").alias("bytes"),
+            F.sum("packets").alias("packets"),
+            F.sum("flows").alias("flows"),
+        )
+    )
+
+
+@register("lpm_range_strategy", _DUCK_LPM)
+def lpm_range_strategy(spark, sf_dir):
+    """Same LPM semantics via the range-join + max_by physical strategy —
+    both plans must agree with the one oracle."""
+    f = flows(spark, sf_dir).select(
+        "event_id", "ip_src_i", "bytes", "packets", "flows"
+    )
+    nets = networks_dim(spark, sf_dir)
+    enriched = lpm_join_range(
+        f, nets, "ip_src_i", {"asn": "src_as_lpm", "masklen": "src_mask"}, "event_id"
+    )
+    return enriched.groupBy("src_as_lpm", "src_mask").agg(
+        F.sum("bytes").alias("bytes"),
+        F.sum("packets").alias("packets"),
+        F.sum("flows").alias("flows"),
+    )
+
+
+@register(
+    "geoip_country",
+    f"""{FLOWS_DUCK_CTE},
+geoip AS ({GEOIP_DUCK})
+SELECT g.country AS country_ip_src, {_SUM}
+FROM flows f LEFT JOIN geoip g
+  ON f.ip_src_i BETWEEN g.range_start AND g.range_end
+GROUP BY 1""",
+)
+def geoip_country(spark, sf_dir):
+    """GeoIP enrichment: broadcast range join on [start, end]
+    (reference src/pkt_handlers.c:749-772)."""
+    f = flows(spark, sf_dir)
+    geo = geoip_dim(spark, sf_dir)
+    enriched = range_join(f, geo, "ip_src_i", {"country": "country_ip_src"})
+    return enriched.groupBy("country_ip_src").agg(
+        F.sum("bytes").alias("bytes"),
+        F.sum("packets").alias("packets"),
+        F.sum("flows").alias("flows"),
+    )
+
+
+# --- pretag rules engine: ordered first-match + jeq/stack composition
+_RULES = [
+    Rule(match={"peer_ip_src": "192.0.2.0"}, set_tag=100, jeq="eval_ifaces"),
+    Rule(match={"peer_ip_src": "192.0.2.1"}, set_tag=200),
+    Rule(match={"as_src": ("in", [64500, 64501, 64502])}, set_tag=300),
+    Rule(label="eval_ifaces", match={"iface_in": 0}, set_tag=1, stack="sum"),
+    Rule(match={"iface_in": ("in", [1, 2])}, set_tag=2, stack="sum"),
+]
+
+_TAG_CASE = duck_case_sql(_RULES, "set_tag")
+
+
+@register(
+    "pretag_rules",
+    f"""{FLOWS_DUCK_CTE}
+SELECT tag, {_SUM} FROM (
+  SELECT {_TAG_CASE} AS tag, bytes, packets, flows FROM flows
+) GROUP BY 1""",
+)
+def pretag_rules(spark, sf_dir):
+    """pre_tag_map with a jeq chain and sum-stack composition
+    (reference src/pretag.c:1117, src/pretag.h:224-243)."""
+    f = apply_pretag(flows(spark, sf_dir), _RULES)
+    return f.groupBy("tag").agg(
+        F.sum("bytes").alias("bytes"),
+        F.sum("packets").alias("packets"),
+        F.sum("flows").alias("flows"),
+    )
+
+
+@register(
+    "pretag_filter_routing",
+    f"""{FLOWS_DUCK_CTE}
+SELECT tag, peer_ip_src AS peer_src_ip, {_SUM} FROM (
+  SELECT {_TAG_CASE} AS tag, peer_ip_src, bytes, packets, flows FROM flows
+) WHERE tag IN (100, 101, 102, 200)
+GROUP BY 1, 2""",
+)
+def pretag_filter_routing(spark, sf_dir):
+    """pre_tag_filter: route tagged records into a channel
+    (reference src/plugin_hooks.c:440-460)."""
+    f = apply_pretag(flows(spark, sf_dir), _RULES)
+    cfg = PluginConfig(
+        aggregate=["tag", "peer_src_ip"],
+        pre_tag_filter=[100, 101, 102, 200],
+    )
+    return build_aggregation(f, cfg)
+
+
+@register(
+    "ports_dictionary",
+    f"""{FLOWS_DUCK_CTE}
+SELECT CASE WHEN port_src IN (53, 80, 443) THEN port_src ELSE 0 END AS src_port,
+       CASE WHEN port_dst IN (53, 80, 443) THEN port_dst ELSE 0 END AS dst_port,
+       {_SUM}
+FROM flows GROUP BY 1, 2""",
+)
+def ports_dictionary(spark, sf_dir):
+    """ports_file allowlist: ports outside the list are zeroed, records
+    kept (reference src/plugin_common.c:1419)."""
+    f = flows(spark, sf_dir)
+    f = apply_allowlist(f, "port_src", [53, 80, 443])
+    f = apply_allowlist(f, "port_dst", [53, 80, 443])
+    return build_aggregation(f, PluginConfig(aggregate=["src_port", "dst_port"]))
+
+
+@register(
+    "sampling_map_renorm",
+    f"""{FLOWS_DUCK_CTE},
+smap AS ({SAMPLING_MAP_DUCK})
+SELECT f.peer_ip_src AS peer_src_ip,
+       CAST(SUM(f.bytes * COALESCE(s.map_rate, 1)) AS BIGINT) AS bytes,
+       CAST(SUM(f.packets * COALESCE(s.map_rate, 1)) AS BIGINT) AS packets,
+       CAST(SUM(f.flows) AS BIGINT) AS flows
+FROM flows f LEFT JOIN smap s ON f.peer_ip_src = s.peer_ip
+GROUP BY 1""",
+)
+def sampling_map_renorm(spark, sf_dir):
+    """sampling_map: per-exporter rate overrides protocol-reported rate,
+    counters renormalized (reference src/pretag.c:43-47,284-290)."""
+    f = flows(spark, sf_dir)
+    smap = sampling_map_dim(spark, sf_dir)
+    enriched = f.join(F.broadcast(smap), f.peer_ip_src == smap.peer_ip, "left")
+    return (
+        enriched.withColumn("rate", F.coalesce(F.col("map_rate"), F.lit(1)))
+        .groupBy(F.col("peer_ip_src").alias("peer_src_ip"))
+        .agg(
+            F.sum(F.col("bytes") * F.col("rate")).alias("bytes"),
+            F.sum(F.col("packets") * F.col("rate")).alias("packets"),
+            F.sum("flows").alias("flows"),
+        )
+    )
+
+
+@register(
+    "seqno_monitoring",
+    f"""{FLOWS_DUCK_CTE}
+SELECT peer_ip_src AS exporter,
+       CAST(MIN(export_proto_seqno) AS BIGINT) AS seqno_min,
+       CAST(MAX(export_proto_seqno) AS BIGINT) AS seqno_max,
+       COUNT(*) AS received,
+       CAST(MAX(export_proto_seqno) - MIN(export_proto_seqno) + 1 - COUNT(*) AS BIGINT) AS lost
+FROM flows GROUP BY 1""",
+)
+def seqno_monitoring(spark, sf_dir):
+    """Per-exporter seqno gap detection (reference
+    src/xflow_status.c:90-130)."""
+    return seqno_monitor(flows(spark, sf_dir))

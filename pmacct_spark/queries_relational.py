@@ -1,5 +1,248 @@
-"""Gated queries: general relational surface over the TPC-H-ish tables
-(joins, unions, set ops) proving the engine composes with plain Spark.
+"""Gated queries: the general relational surface over the TPC-H-ish
+tables — equi joins with broadcast dims, semi/anti joins, unions,
+analytic windows — plus presentation-function rendering.
 
-Populated alongside M3; modules register into driver_queries at import.
+pmacct itself has no user-facing relational joins (SURVEY.md §2.4), so
+these prove the Spark-first engine supersedes the reference: the same
+DataFrame layer that runs pmacct channels composes with arbitrary
+relational analytics.
+
+Money columns are doubles generated at 2 decimal places; oracles and
+Spark both aggregate them as exact integer cents (ROUND(x*100) ->
+BIGINT) so sums are order-independent and hash-stable.
 """
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from pmacct_spark.driver_queries import FLOWS_DUCK_CTE, flows, register
+from pmacct_spark.functions.presentation import (
+    proto_name,
+    proto_name_sql,
+    tcp_flags_str,
+    tcp_flags_str_sql,
+)
+from pmacct_spark.sources.tables import load_table
+
+_CENTS = "CAST(SUM(CAST(ROUND({c} * 100) AS BIGINT)) AS BIGINT)"
+
+
+def _cents(col: str) -> F.Column:
+    return F.sum(F.round(F.col(col) * 100).cast("bigint")).alias(f"{col}_cents")
+
+
+# --- TPC-H Q1-shaped pricing summary over lineitem
+@register(
+    "tpch_q1_pricing",
+    f"""
+SELECT l_returnflag, l_linestatus,
+       CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+       {_CENTS.format(c='l_extendedprice')} AS l_extendedprice_cents,
+       {_CENTS.format(c='l_extendedprice * (1 - l_discount)')} AS disc_price_cents,
+       COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '2024-11-01 00:00:00'
+GROUP BY 1, 2""",
+)
+def tpch_q1_pricing(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("2024-11-01 00:00:00").cast("timestamp_ntz"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(F.col("l_quantity").cast("bigint")).alias("sum_qty"),
+            F.sum(F.round(F.col("l_extendedprice") * 100).cast("bigint")).alias(
+                "l_extendedprice_cents"
+            ),
+            F.sum(
+                F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100).cast(
+                    "bigint"
+                )
+            ).alias("disc_price_cents"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+# --- star join: orders x customer (broadcast) x nation (broadcast)
+@register(
+    "join_revenue_by_nation",
+    f"""
+SELECT n.n_name AS nation, o.o_orderpriority,
+       {_CENTS.format(c='o.o_totalprice')} AS revenue_cents,
+       COUNT(*) AS n_orders
+FROM orders o
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+GROUP BY 1, 2""",
+)
+def join_revenue_by_nation(spark, sf_dir):
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    return (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy(F.col("n_name").alias("nation"), "o_orderpriority")
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint")).alias(
+                "revenue_cents"
+            ),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+    )
+
+
+# --- 3-way fact join with dim filters (Q3-shaped)
+@register(
+    "join_lineitem_orders_filtered",
+    f"""
+SELECT o.o_orderkey, o.o_orderdate,
+       {_CENTS.format(c='l.l_extendedprice * (1 - l.l_discount)')} AS revenue_cents
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+WHERE c.c_mktsegment = 'BUILDING'
+GROUP BY 1, 2
+ORDER BY revenue_cents DESC, o_orderkey ASC LIMIT 20""",
+)
+def join_lineitem_orders_filtered(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .groupBy("o_orderkey", "o_orderdate")
+        .agg(
+            F.sum(
+                F.round(
+                    F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+                ).cast("bigint")
+            ).alias("revenue_cents")
+        )
+        .orderBy(F.desc("revenue_cents"), F.asc("o_orderkey"))
+        .limit(20)
+    )
+
+
+# --- semi join: suppliers that ship any part > size 40
+@register(
+    "semi_join_suppliers",
+    """
+SELECT s.s_suppkey, s.s_name FROM supplier s
+WHERE EXISTS (
+  SELECT 1 FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+  WHERE l.l_suppkey = s.s_suppkey AND p.p_size > 40
+)""",
+)
+def semi_join_suppliers(spark, sf_dir):
+    s = load_table(spark, sf_dir, "supplier")
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_size") > 40)
+    shippers = li.join(F.broadcast(p), li.l_partkey == p.p_partkey).select("l_suppkey")
+    return s.join(
+        shippers, s.s_suppkey == shippers.l_suppkey, "left_semi"
+    ).select("s_suppkey", "s_name")
+
+
+# --- anti join: parts never shipped
+@register(
+    "anti_join_parts_never_shipped",
+    """
+SELECT p.p_partkey, p.p_brand FROM part p
+WHERE NOT EXISTS (SELECT 1 FROM lineitem l WHERE l.l_partkey = p.p_partkey)""",
+)
+def anti_join_parts_never_shipped(spark, sf_dir):
+    p = load_table(spark, sf_dir, "part")
+    li = load_table(spark, sf_dir, "lineitem")
+    return p.join(li, p.p_partkey == li.l_partkey, "left_anti").select(
+        "p_partkey", "p_brand"
+    )
+
+
+# --- union of sources (nfacctd mixes v5+v9+IPFIX exporters into one
+#     stream, reference src/nfacctd.c:1649-1654): two event slices union
+@register(
+    "union_event_sources",
+    """
+SELECT event_type, COUNT(*) AS n, CAST(SUM(CAST(FLOOR(value * 100) AS BIGINT)) AS BIGINT) AS value_c
+FROM (
+  SELECT event_type, value FROM events WHERE user_id % 2 = 0
+  UNION ALL
+  SELECT event_type, value FROM events WHERE user_id % 2 = 1
+) GROUP BY 1""",
+)
+def union_event_sources(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    a = ev.filter("user_id % 2 = 0").select("event_type", "value")
+    b = ev.filter("user_id % 2 = 1").select("event_type", "value")
+    return (
+        a.unionByName(b)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.floor(F.col("value") * 100).cast("bigint")).alias("value_c"),
+        )
+    )
+
+
+# --- analytic window functions (absent in the reference, §2.7 — free
+#     on Spark): rank users by value within event_type
+@register(
+    "window_rank_users",
+    """
+SELECT event_type, user_id, value_c, rnk FROM (
+  SELECT event_type, user_id, value_c,
+         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY value_c DESC, user_id ASC) AS rnk
+  FROM (
+    SELECT event_type, user_id,
+           CAST(SUM(CAST(FLOOR(value * 100) AS BIGINT)) AS BIGINT) AS value_c
+    FROM events GROUP BY 1, 2
+  )
+) WHERE rnk <= 5""",
+)
+def window_rank_users(spark, sf_dir):
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    per_user = ev.groupBy("event_type", "user_id").agg(
+        F.sum(F.floor(F.col("value") * 100).cast("bigint")).alias("value_c")
+    )
+    w = Window.partitionBy("event_type").orderBy(
+        F.desc("value_c"), F.asc("user_id")
+    )
+    return (
+        per_user.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 5)
+        .select("event_type", "user_id", "value_c", "rnk")
+    )
+
+
+# --- presentation rendering: proto names + tcp-flag strings
+@register(
+    "presentation_render",
+    f"""{FLOWS_DUCK_CTE}
+SELECT {proto_name_sql('ip_proto')} AS proto,
+       {tcp_flags_str_sql('flags_or')} AS tcp_flags,
+       bytes
+FROM (
+  SELECT ip_proto, bit_or(tcp_flags) AS flags_or,
+         CAST(SUM(bytes) AS BIGINT) AS bytes
+  FROM flows GROUP BY ip_proto
+)""",
+)
+def presentation_render(spark, sf_dir):
+    f = flows(spark, sf_dir)
+    agg = f.groupBy("ip_proto").agg(
+        F.bit_or("tcp_flags").alias("flags_or"),
+        F.sum("bytes").alias("bytes"),
+    )
+    return agg.select(
+        proto_name("ip_proto").alias("proto"),
+        tcp_flags_str("flags_or").alias("tcp_flags"),
+        "bytes",
+    )

@@ -1,0 +1,76 @@
+"""Deterministic dimension tables derived from nation/region — the
+engine's "maps" (networks_file, GeoIP ranges, sampling_map), dual-
+rendered for Spark and the DuckDB oracle like views.flows.
+
+networks (FIXTURES.md §3, reference src/net_aggr.h:54-62): overlapping
+prefixes inside the flow IP space 10.0.0.0/12 (167772160..168820735):
+  - a default route 0.0.0.0/0          (from region key 0)
+  - /16s  10.{k}.0.0/16 per nation key (keys 0..15 inside flow space)
+  - /20 more-specifics per nation key
+  - /24s  10.0.{k}.0/24 per region key
+GeoIP ranges (FIXTURES.md §7): the /12 space split into 5 country
+chunks keyed by region.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from pmacct_spark.sources.tables import load_table
+
+_BASE = 167772160  # 10.0.0.0
+
+_NETWORKS_SQL = f"""
+SELECT CAST(0 AS BIGINT) AS net_int, 0 AS masklen,
+       CAST(64512 AS BIGINT) AS asn, CAST(64512 AS BIGINT) AS peer_asn
+FROM region WHERE r_regionkey = 0
+UNION ALL
+SELECT CAST({_BASE} + n_nationkey * 65536 AS BIGINT), 16,
+       CAST(65000 + n_nationkey AS BIGINT), CAST(65500 + n_nationkey AS BIGINT)
+FROM nation
+UNION ALL
+SELECT CAST({_BASE} + n_nationkey * 65536 + ((n_nationkey * 7) % 16) * 4096 AS BIGINT), 20,
+       CAST(66000 + n_nationkey AS BIGINT), CAST(66500 + n_nationkey AS BIGINT)
+FROM nation WHERE n_nationkey < 16
+UNION ALL
+SELECT CAST({_BASE} + r_regionkey * 256 AS BIGINT), 24,
+       CAST(64600 + r_regionkey AS BIGINT), CAST(64700 + r_regionkey AS BIGINT)
+FROM region
+"""
+
+_GEOIP_SQL = f"""
+SELECT CAST({_BASE} + r_regionkey * 209715 AS BIGINT) AS range_start,
+       CAST({_BASE} + r_regionkey * 209715 + 209714 AS BIGINT) AS range_end,
+       r_name AS country
+FROM region
+"""
+
+_SAMPLING_MAP_SQL = """
+SELECT '192.0.2.' || CAST(r_regionkey AS {STR}) AS peer_ip,
+       CAST(CASE r_regionkey % 3 WHEN 0 THEN 1000 WHEN 1 THEN 512 ELSE 64 END AS BIGINT)
+         AS map_rate
+FROM region
+"""
+
+NETWORKS_DUCK = _NETWORKS_SQL
+GEOIP_DUCK = _GEOIP_SQL
+SAMPLING_MAP_DUCK = _SAMPLING_MAP_SQL.replace("{STR}", "VARCHAR")
+
+
+def _run(spark: SparkSession, sf_dir: str, sql: str, tables: list[str]) -> DataFrame:
+    for t in tables:
+        load_table(spark, sf_dir, t).createOrReplaceTempView(f"__dim_{t}")
+        sql = sql.replace(f"FROM {t}", f"FROM __dim_{t}")
+    return spark.sql(sql)
+
+
+def networks_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _run(spark, sf_dir, _NETWORKS_SQL, ["region", "nation"])
+
+
+def geoip_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _run(spark, sf_dir, _GEOIP_SQL, ["region"])
+
+
+def sampling_map_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _run(spark, sf_dir, _SAMPLING_MAP_SQL.replace("{STR}", "STRING"), ["region"])
