@@ -1,0 +1,290 @@
+"""Similarity search over embedding columns (array<float>).
+
+Strategies:
+  - :func:`brute_force_topk` — exact top-k by cosine: broadcast the
+    query set, score every (query, item) pair map-side, keep k per
+    query with a window. The O(n·q) baseline; right answer whenever
+    q is small. No shuffle of the item table except the final top-k.
+  - :func:`lsh_bucketed_topk` — random-hyperplane (sign-bit) bucketing:
+    items and queries hash to a bucket; each query scans only its
+    bucket. The scale path: bucket count grows 2^bits, the per-query
+    candidate set shrinks proportionally.
+  - :func:`cosine_near_dup_pairs` — embedding near-dup join within
+    coarse blocks (label = IVF-style cell): exact integer-quantized
+    cosine test.
+
+Determinism & oracle parity: floats never enter comparisons directly.
+Embeddings are quantized to integer ``floor(x * 10^4)``; dot products
+and norms are exact int64 sums (order-independent); the cosine test
+``dot²/(nx·ny) >= t²`` is evaluated on exactly-derived doubles, which
+are bit-identical across engines. Ranking ties break on item id.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+QUANT = 10_000
+
+_QUANT_SPARK = (
+    "transform({col}, x -> CAST(FLOOR(CAST(x AS DOUBLE) * {q}) AS BIGINT))"
+)
+_QUANT_DUCK = (
+    "list_transform({col}, x -> CAST(FLOOR(CAST(x AS DOUBLE) * {q}) AS BIGINT))"
+)
+
+
+def quantize(df: DataFrame, col: str = "embedding", out: str = "q") -> DataFrame:
+    return df.withColumn(out, F.expr(_QUANT_SPARK.format(col=col, q=QUANT)))
+
+
+def _norm_sq(col: str) -> str:
+    return f"aggregate({col}, 0L, (a, x) -> a + x * x)"
+
+
+def _dot(a: str, b: str) -> str:
+    return f"aggregate(zip_with({a}, {b}, (x, y) -> x * y), 0L, (acc, v) -> acc + v)"
+
+
+def brute_force_topk(
+    items: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+) -> DataFrame:
+    """Exact cosine top-k: returns (query_id, neighbor_id, rank).
+
+    ``queries`` is broadcast; scoring is a map-side cross join; the only
+    shuffle is the per-query window for rank. Self-matches excluded.
+    """
+    it = quantize(items.select(F.col(id_col).alias("item_id"), emb_col), emb_col, "qi")
+    it = it.withColumn("ni", F.expr(_norm_sq("qi"))).drop(emb_col)
+    qs = quantize(
+        queries.select(F.col(id_col).alias("query_id"), emb_col), emb_col, "qq"
+    )
+    qs = qs.withColumn("nq", F.expr(_norm_sq("qq"))).drop(emb_col)
+
+    scored = (
+        it.join(F.broadcast(qs), F.col("item_id") != F.col("query_id"))
+        .withColumn("dot", F.expr(_dot("qi", "qq")))
+        # signed squared cosine: monotonic in cosine, exact-int derived
+        .withColumn(
+            "sim_m",
+            F.expr(
+                "CASE WHEN dot >= 0 THEN CAST(dot * dot AS DOUBLE) ELSE -CAST(dot * dot AS DOUBLE) END"
+                " / (CAST(ni AS DOUBLE) * CAST(nq AS DOUBLE))"
+            ),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim_m"), F.asc("item_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", F.col("item_id").alias("neighbor_id"), "rank")
+    )
+
+
+def brute_force_topk_duck(
+    source: str = "embeddings",
+    k: int = 5,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    query_pred: str = "vec_id < 10",
+) -> str:
+    q = _QUANT_DUCK.format(col=emb_col, q=QUANT)
+    return f"""
+WITH base AS (
+  SELECT {id_col}, {q} AS qv,
+         CAST(list_sum(list_transform({q}, x -> x * x)) AS BIGINT) AS nrm
+  FROM {source}
+),
+qs AS (SELECT {id_col} AS query_id, qv AS qq, nrm AS nq FROM base WHERE {query_pred}),
+scored AS (
+  SELECT qs.query_id, b.{id_col} AS item_id,
+         CAST(list_sum(list_transform(b.qv, (x, i) -> x * qs.qq[i])) AS BIGINT) AS dot,
+         b.nrm AS ni, qs.nq AS nq
+  FROM base b, qs WHERE b.{id_col} <> qs.query_id
+),
+ranked AS (
+  SELECT query_id, item_id,
+         ROW_NUMBER() OVER (
+           PARTITION BY query_id
+           ORDER BY (CASE WHEN dot >= 0 THEN CAST(dot * dot AS DOUBLE)
+                          ELSE -CAST(dot * dot AS DOUBLE) END
+                     / (CAST(ni AS DOUBLE) * CAST(nq AS DOUBLE))) DESC,
+                    item_id ASC
+         ) AS rank
+  FROM scored
+)
+SELECT query_id, item_id AS neighbor_id, CAST(rank AS BIGINT) AS rank
+FROM ranked WHERE rank <= {k}
+"""
+
+
+# --- random-hyperplane bucketing: bucket = sign bits of fixed dims.
+BUCKET_DIMS = [0, 9, 18, 27, 36, 45, 54, 63]
+
+
+def _bucket_spark(emb_col: str) -> str:
+    parts = " + ".join(
+        f"CASE WHEN element_at({emb_col}, {d + 1}) > 0 THEN {1 << i} ELSE 0 END"
+        for i, d in enumerate(BUCKET_DIMS)
+    )
+    return f"CAST({parts} AS INT)"
+
+
+def _bucket_duck(emb_col: str) -> str:
+    parts = " + ".join(
+        f"CASE WHEN ({emb_col})[{d + 1}] > 0 THEN {1 << i} ELSE 0 END"
+        for i, d in enumerate(BUCKET_DIMS)
+    )
+    return f"CAST({parts} AS INT)"
+
+
+def lsh_bucketed_topk(
+    items: DataFrame,
+    queries: DataFrame,
+    k: int = 3,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k: candidates limited to the query's sign-bit
+    bucket (equi-join on bucket instead of cross join) — the candidate
+    scan shrinks ~2^bits; recall is whatever the hyperplanes give."""
+    it = quantize(items.select(F.col(id_col).alias("item_id"), emb_col), emb_col, "qi")
+    it = (
+        it.withColumn("ni", F.expr(_norm_sq("qi")))
+        .withColumn("bkt", F.expr(_bucket_spark(emb_col)))
+        .drop(emb_col)
+    )
+    qs = quantize(
+        queries.select(F.col(id_col).alias("query_id"), emb_col), emb_col, "qq"
+    )
+    qs = (
+        qs.withColumn("nq", F.expr(_norm_sq("qq")))
+        .withColumn("bkt", F.expr(_bucket_spark(emb_col)))
+        .drop(emb_col)
+    )
+    scored = (
+        it.join(F.broadcast(qs), "bkt")
+        .filter(F.col("item_id") != F.col("query_id"))
+        .withColumn("dot", F.expr(_dot("qi", "qq")))
+        .withColumn(
+            "sim_m",
+            F.expr(
+                "CASE WHEN dot >= 0 THEN CAST(dot * dot AS DOUBLE) ELSE -CAST(dot * dot AS DOUBLE) END"
+                " / (CAST(ni AS DOUBLE) * CAST(nq AS DOUBLE))"
+            ),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim_m"), F.asc("item_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", F.col("item_id").alias("neighbor_id"), "rank")
+    )
+
+
+def lsh_bucketed_topk_duck(
+    source: str = "embeddings",
+    k: int = 3,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    query_pred: str = "vec_id < 10",
+) -> str:
+    q = _QUANT_DUCK.format(col=emb_col, q=QUANT)
+    return f"""
+WITH base AS (
+  SELECT {id_col}, {q} AS qv,
+         CAST(list_sum(list_transform({q}, x -> x * x)) AS BIGINT) AS nrm,
+         {_bucket_duck(emb_col)} AS bkt
+  FROM {source}
+),
+qs AS (SELECT {id_col} AS query_id, qv AS qq, nrm AS nq, bkt FROM base WHERE {query_pred}),
+scored AS (
+  SELECT qs.query_id, b.{id_col} AS item_id,
+         CAST(list_sum(list_transform(b.qv, (x, i) -> x * qs.qq[i])) AS BIGINT) AS dot,
+         b.nrm AS ni, qs.nq AS nq
+  FROM base b JOIN qs ON b.bkt = qs.bkt AND b.{id_col} <> qs.query_id
+),
+ranked AS (
+  SELECT query_id, item_id,
+         ROW_NUMBER() OVER (
+           PARTITION BY query_id
+           ORDER BY (CASE WHEN dot >= 0 THEN CAST(dot * dot AS DOUBLE)
+                          ELSE -CAST(dot * dot AS DOUBLE) END
+                     / (CAST(ni AS DOUBLE) * CAST(nq AS DOUBLE))) DESC,
+                    item_id ASC
+         ) AS rank
+  FROM scored
+)
+SELECT query_id, item_id AS neighbor_id, CAST(rank AS BIGINT) AS rank
+FROM ranked WHERE rank <= {k}
+"""
+
+
+def cosine_near_dup_pairs(
+    items: DataFrame,
+    threshold_milli: int = 400,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    block_col: str = "label",
+) -> DataFrame:
+    """Embedding near-dup pairs within coarse blocks: exact test
+    ``cos(a,b) >= t`` via ``sign(dot)·dot² · 10^6 >= t_milli² · ni·nq``
+    on quantized integers (compared as exactly-derived doubles)."""
+    base = quantize(items.select(id_col, emb_col, block_col), emb_col, "qv")
+    base = base.withColumn("nrm", F.expr(_norm_sq("qv"))).drop(emb_col)
+    a = base.select(
+        F.col(id_col).alias("id_a"), F.col("qv").alias("qa"),
+        F.col("nrm").alias("na"), F.col(block_col).alias("blk"),
+    )
+    b = base.select(
+        F.col(id_col).alias("id_b"), F.col("qv").alias("qb"),
+        F.col("nrm").alias("nb"), F.col(block_col).alias("blk"),
+    )
+    t2 = threshold_milli * threshold_milli
+    return (
+        a.join(b, "blk")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("dot", F.expr(_dot("qa", "qb")))
+        .filter(
+            F.expr(
+                f"dot >= 0 AND CAST(dot * dot AS DOUBLE) * 1000000.0 "
+                f">= {t2}.0 * CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)"
+            )
+        )
+        .select(F.col("blk").alias(block_col), "id_a", "id_b")
+    )
+
+
+def cosine_near_dup_duck(
+    source: str = "embeddings",
+    threshold_milli: int = 400,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    block_col: str = "label",
+) -> str:
+    q = _QUANT_DUCK.format(col=emb_col, q=QUANT)
+    t2 = threshold_milli * threshold_milli
+    return f"""
+WITH base AS (
+  SELECT {id_col}, {block_col},
+         {q} AS qv,
+         CAST(list_sum(list_transform({q}, x -> x * x)) AS BIGINT) AS nrm
+  FROM {source}
+),
+pairs AS (
+  SELECT a.{block_col} AS {block_col}, a.{id_col} AS id_a, b.{id_col} AS id_b,
+         CAST(list_sum(list_transform(a.qv, (x, i) -> x * b.qv[i])) AS BIGINT) AS dot,
+         a.nrm AS na, b.nrm AS nb
+  FROM base a JOIN base b
+    ON a.{block_col} = b.{block_col} AND a.{id_col} < b.{id_col}
+)
+SELECT {block_col}, id_a, id_b FROM pairs
+WHERE dot >= 0 AND CAST(dot * dot AS DOUBLE) * 1000000.0
+      >= {t2}.0 * CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)
+"""

@@ -1,5 +1,197 @@
-"""Gated queries: large-scale training-data pipeline operators — dedup
-(exact/minhash/simhash/jaccard), similarity search, text analysis.
+"""Gated queries: large-scale training-data pipeline operators over the
+``documents`` and ``embeddings`` tables — dedup (exact, MinHash-LSH,
+SimHash, n-gram Jaccard), similarity search (brute-force + LSH-bucketed
+ANN), text analysis (language ID, quality features, token counts,
+fingerprints).
 
-Populated by M8; modules register into driver_queries at import.
+Every pipeline here is replayed exactly by its DuckDB oracle (shared
+deterministic hash family + integer-quantized embeddings), so the
+probabilistic stages (LSH banding, hyperplane bucketing) are gated too,
+not just the exact ones.
 """
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from pmacct_spark.driver_queries import register
+from pmacct_spark.operators import dedup, similarity, text
+from pmacct_spark.sources.tables import load_table
+
+
+# --- exact dedup. The corpus has no exact dups, so duplicate the
+#     corpus under shifted ids first (semantics: survivor = min id).
+@register(
+    "dedup_exact",
+    """
+WITH corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id, text FROM documents
+)
+SELECT md5(text) AS digest, CAST(MIN(doc_id) AS BIGINT) AS survivor_id,
+       COUNT(*) AS n_copies
+FROM corpus GROUP BY 1""",
+)
+def dedup_exact(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    corpus = docs.unionByName(
+        docs.select((F.col("doc_id") + 1000000).alias("doc_id"), "text")
+    )
+    return dedup.exact_dedup(corpus, "doc_id", "text")
+
+
+# --- MinHash-LSH near-dup pairs (shingle n=3, 16 perms, 8x2 bands,
+#     verified at jaccard >= 0.5)
+@register("dedup_minhash_lsh", dedup.minhash_dedup_duck())
+def dedup_minhash_lsh(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.minhash_dedup_pairs(docs, "doc_id", "text")
+
+
+# --- SimHash fingerprints (16-bit)
+@register("dedup_simhash", dedup.simhash_duck())
+def dedup_simhash(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.simhash(docs, "doc_id", "text")
+
+
+# --- n-gram Jaccard dedup without LSH: block on (lang, source) then
+#     verify — the exact-but-blocked strategy for modest corpora
+@register(
+    "dedup_ngram_jaccard",
+    f"""
+WITH sh AS (
+  SELECT doc_id, lang, source, {dedup.shingles_duck('text')} AS shingles
+  FROM documents
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(len(list_intersect(a.shingles, b.shingles)) * 1000
+         // len(list_distinct(list_concat(a.shingles, b.shingles))) AS BIGINT)
+         AS jaccard_pm
+FROM sh a JOIN sh b
+  ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
+WHERE len(list_intersect(a.shingles, b.shingles)) * 1000
+      // len(list_distinct(list_concat(a.shingles, b.shingles))) >= 300""",
+)
+def dedup_ngram_jaccard(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    sh = dedup.with_shingles(
+        docs.select("doc_id", "lang", "source", "text"), "text"
+    ).drop("text")
+    a = sh.select(
+        F.col("doc_id").alias("doc_a"), F.col("lang"), F.col("source"),
+        F.col("shingles").alias("sh_a"),
+    )
+    b = sh.select(
+        F.col("doc_id").alias("doc_b"), F.col("lang"), F.col("source"),
+        F.col("shingles").alias("sh_b"),
+    )
+    return (
+        a.join(b, ["lang", "source"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .withColumn(
+            "jaccard_pm",
+            F.expr(
+                "size(array_intersect(sh_a, sh_b)) * 1000 "
+                "DIV size(array_union(sh_a, sh_b))"
+            ),
+        )
+        .filter(F.col("jaccard_pm") >= 300)
+        .select("doc_a", "doc_b", "jaccard_pm")
+    )
+
+
+# --- embedding-cosine near-dup pairs within label blocks
+@register("dedup_embedding_cosine", similarity.cosine_near_dup_duck())
+def dedup_embedding_cosine(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.cosine_near_dup_pairs(emb)
+
+
+# --- ANN: brute-force exact cosine top-5 for the first 10 vectors
+@register("ann_brute_force_topk", similarity.brute_force_topk_duck())
+def ann_brute_force_topk(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    return similarity.brute_force_topk(emb, queries, k=5)
+
+
+# --- ANN: sign-bit LSH-bucketed top-3 (the scale path)
+@register("ann_lsh_bucketed_topk", similarity.lsh_bucketed_topk_duck())
+def ann_lsh_bucketed_topk(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    return similarity.lsh_bucketed_topk(emb, queries, k=3)
+
+
+# --- text quality features + quality gate
+@register(
+    "text_quality_features",
+    f"""
+SELECT doc_id, n_tokens, n_distinct, stop_pm, mean_tok_len_pm, uniq_pm
+FROM ({text.quality_features_duck()})
+WHERE n_tokens >= 50 AND stop_pm <= 600""",
+)
+def text_quality_features(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    feats = text.quality_features(docs, "text")
+    return feats.filter("n_tokens >= 50 AND stop_pm <= 600").select(
+        "doc_id", "n_tokens", "n_distinct", "stop_pm", "mean_tok_len_pm", "uniq_pm"
+    )
+
+
+# --- heuristic language ID vs the labeled lang column
+@register(
+    "text_lang_id",
+    f"""
+WITH feats AS (
+  SELECT lang,
+         CASE WHEN len(list_filter(string_split_regex(lower(text), '\\s+'),
+                                   t -> t IN ({', '.join("'" + w + "'" for w in text.STOPWORDS)})))
+                   * 1000 // len(string_split_regex(lower(text), '\\s+')) >= 30
+              THEN 'en' ELSE 'unk' END AS lang_pred
+  FROM documents
+)
+SELECT lang, lang_pred, COUNT(*) AS n FROM feats GROUP BY 1, 2""",
+)
+def text_lang_id(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    pred = text.lang_id(docs, "text")
+    return pred.groupBy("lang", "lang_pred").agg(F.count(F.lit(1)).alias("n"))
+
+
+# --- token counting (whitespace + BPE-ish) per source
+@register(
+    "text_token_counts",
+    """
+SELECT source,
+       CAST(SUM(len(string_split_regex(lower(text), '\\s+'))) AS BIGINT) AS total_tokens,
+       CAST(SUM(len(list_distinct(string_split_regex(lower(text), '\\s+')))) AS BIGINT) AS total_distinct,
+       COUNT(*) AS n_docs
+FROM documents GROUP BY 1""",
+)
+def text_token_counts(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.groupBy("source").agg(
+        F.sum(text.token_count("text")).alias("total_tokens"),
+        F.sum(text.distinct_token_count("text")).alias("total_distinct"),
+        F.count(F.lit(1)).alias("n_docs"),
+    )
+
+
+# --- document fingerprinting (rolling hash), grouped to catch collisions
+@register(
+    "text_fingerprint",
+    f"""
+SELECT {text.fingerprint_duck('text')} AS fp, CAST(MIN(doc_id) AS BIGINT) AS first_doc,
+       COUNT(*) AS n
+FROM documents GROUP BY 1""",
+)
+def text_fingerprint(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        text.fingerprint(docs, "text")
+        .groupBy("fp")
+        .agg(F.min("doc_id").alias("first_doc"), F.count(F.lit(1)).alias("n"))
+    )

@@ -59,6 +59,14 @@ def assert_matches_oracle(spark_df, duck_con, sql: str, float_cols: set[str] = f
     )
     assert len(got) == len(want), f"row count {len(got)} != {len(want)}"
     for c in got.columns:
+        gk = got[c].dtype.kind
+        wk = want[c].dtype.kind
+        norm = lambda k: "i" if k in "iu" else k
+        assert norm(gk) == norm(wk) or "O" in (gk, wk), (
+            f"column {c!r} dtype kind mismatch: spark={got[c].dtype} "
+            f"duck={want[c].dtype} (HUGEINT->float64 leak? cast the oracle)"
+        )
+    for c in got.columns:
         g, w = got[c], want[c]
         if c in float_cols or str(g.dtype).startswith("float"):
             pd.testing.assert_series_equal(
