@@ -1,0 +1,89 @@
+#!/usr/bin/env python
+"""Benchmark harness: run the engine's headline queries at
+``$SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1) on
+``local[$SPARK_GRAFT_CPUS]`` and print ONE JSON line:
+
+    {"metric": "...", "value": <total sec>, "unit": "sec",
+     "queries": {"q": sec, ...}, "sf": 0.1}
+
+Execution is forced with a ``noop``-format write (full computation, no
+driver-side collect), mirroring how a sink would drain the query on a
+cluster. Every other line of output goes to stderr so the driver can
+parse stdout as JSON.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+
+def log(msg: str) -> None:
+    print(msg, file=sys.stderr, flush=True)
+
+
+def main() -> int:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else -1.0
+
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+    from pyspark.sql import SparkSession
+
+    spark = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName("pmacct-spark-bench")
+        .config("spark.sql.shuffle.partitions", str(cpus))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    import __spark_entry__ as entry_mod
+
+    qmap = entry_mod.queries()
+    only = os.environ.get("SPARK_GRAFT_BENCH_ONLY")
+    if only:
+        keep = set(only.split(","))
+        qmap = {k: v for k, v in qmap.items() if k in keep}
+
+    # JVM/codegen warm-up outside the timed region.
+    t0 = time.time()
+    entry_mod.entry(spark).write.format("noop").mode("overwrite").save()
+    log(f"warmup entry(): {time.time() - t0:.2f}s")
+
+    timings: dict[str, float] = {}
+    failures: dict[str, str] = {}
+    for name in sorted(qmap):
+        t0 = time.time()
+        try:
+            qmap[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+            timings[name] = round(time.time() - t0, 3)
+            log(f"  {name}: {timings[name]:.3f}s")
+        except Exception as exc:  # keep benching the rest
+            failures[name] = f"{type(exc).__name__}: {exc}"
+            log(f"  {name}: FAILED {failures[name]}")
+
+    result = {
+        "metric": "total_query_wall_sec",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }
+    if failures:
+        result["failures"] = failures
+    print(json.dumps(result), flush=True)
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

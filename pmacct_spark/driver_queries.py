@@ -42,6 +42,7 @@ def register(name: str, oracle: str | None = None):
 def queries() -> dict[str, QueryFn]:
     # import for side effects: each module registers its queries
     from pmacct_spark import queries_aggregate  # noqa: F401
+    from pmacct_spark import queries_client  # noqa: F401
     from pmacct_spark import queries_enrich  # noqa: F401
     from pmacct_spark import queries_pipeline  # noqa: F401
     from pmacct_spark import queries_relational  # noqa: F401

@@ -41,19 +41,21 @@ def poly_hash(col: str) -> Column:
     return F.expr(poly_hash_spark_sql(col))
 
 
-def poly_hash_spark_sql(col: str) -> str:
+def poly_hash_spark_sql(col: str, idx: str = "i") -> str:
+    """``idx`` names the lambda variable — pick a fresh one when nesting
+    inside another higher-order function."""
     return (
         f"aggregate(transform(sequence(1, length({col})), "
-        f"i -> ascii(substr({col}, i, 1))), 0L, "
+        f"{idx} -> ascii(substr({col}, {idx}, 1))), 0L, "
         f"(acc, ch) -> (acc * {MUL} + ch) % {P})"
     )
 
 
-def poly_hash_duck_sql(col: str) -> str:
+def poly_hash_duck_sql(col: str, idx: str = "i") -> str:
     return (
         f"list_reduce(list_prepend(CAST(0 AS BIGINT), "
         f"list_transform(range(1, length({col}) + 1), "
-        f"i -> CAST(ascii(substr({col}, CAST(i AS INT), 1)) AS BIGINT))), "
+        f"{idx} -> CAST(ascii(substr({col}, CAST({idx} AS INT), 1)) AS BIGINT))), "
         f"(acc, ch) -> (acc * {MUL} + ch) % {P})"
     )
 

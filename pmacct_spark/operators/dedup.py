@@ -82,6 +82,80 @@ def with_shingles(df: DataFrame, text_col: str, n: int = 3, out: str = "shingles
     return df.withColumn(out, F.expr(_shingles_spark(text_col, n)))
 
 
+def _token_states_spark(text_col: str) -> str:
+    """Per-token fold state (h = polyhash(token), p = 131^len(token) mod P)
+    in one pass over each token's characters."""
+    from pmacct_spark.functions.hashing import MUL
+
+    return (
+        f"transform(split(lower({text_col}), '\\\\s+'), t -> "
+        f"aggregate(transform(sequence(1, length(t)), j -> ascii(substr(t, j, 1))), "
+        f"named_struct('h', 0L, 'p', 1L), "
+        f"(acc, ch) -> named_struct("
+        f"'h', (acc.h * {MUL} + ch) % {P}, 'p', (acc.p * {MUL}) % {P})))"
+    )
+
+
+def _shingle_hash_from_states(st: str, n: int) -> str:
+    """Shingle hash by combining n token states: identical value to
+    polyhash('t1 t2 ... tn') — h(a⊔b) = ((h_a*131+32) mod P)*p_b + h_b.
+    All intermediates < 2^60, exact in int64."""
+    from pmacct_spark.functions.hashing import MUL
+
+    h = f"element_at({st}, CAST(i AS INT)).h"
+    for j in range(1, n):
+        e = f"element_at({st}, CAST(i + {j} AS INT))"
+        h = f"((({h} * {MUL} + 32) % {P}) * {e}.p + {e}.h) % {P}"
+    return (
+        f"array_distinct(transform("
+        f"sequence(1, greatest(size({st}) - {n - 1}, 0)), i -> {h}))"
+    )
+
+
+def shingle_hashes_duck(text_col: str, n: int = 3) -> str:
+    return (
+        f"list_distinct(list_transform({shingles_duck(text_col, n)}, "
+        f"s -> {poly_hash_duck_sql('s', idx='j')}))"
+    )
+
+
+def shingle_hash_sets(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    fast: bool = False,
+    extra_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """(id, hvs: array<bigint>) — each doc's distinct shingle hashes.
+
+    Hashing shingles to int64 once — instead of carrying shingle strings
+    through joins — keeps every downstream compare/intersect on fixed
+    8-byte values; at 100 TB this is the difference between shuffling
+    strings and shuffling longs. The slow path (character folds) runs
+    once per TOKEN, not once per shingle: shingle hashes are O(1)
+    combinations of token fold states, bit-identical to hashing the
+    shingle string."""
+    if fast:
+        body = f"pmod(xxhash64(s), {P})"
+        return df.select(
+            id_col,
+            *extra_cols,
+            F.expr(
+                f"array_distinct(transform({_shingles_spark(text_col, n)}, "
+                f"s -> {body}))"
+            ).alias("hvs"),
+        )
+    return (
+        df.withColumn("_tok_states", F.expr(_token_states_spark(text_col)))
+        .select(
+            id_col,
+            *extra_cols,
+            F.expr(_shingle_hash_from_states("_tok_states", n)).alias("hvs"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # minhash + LSH
 # ---------------------------------------------------------------------------
@@ -91,17 +165,15 @@ def minhash_signature(
 ) -> DataFrame:
     """K-permutation MinHash over distinct n-word shingles.
 
-    Plan: explode shingles (narrow) -> hash (narrow) -> groupBy(id) with
-    K min() aggregates (one shuffle, map-side combined).
+    Plan: hash shingles per row (narrow) -> explode (narrow) ->
+    groupBy(id) with K min() aggregates (one shuffle, map-side combined).
     """
-    sh = with_shingles(df.select(id_col, text_col), text_col, n)
-    tok = sh.select(id_col, F.explode("shingles").alias("sh"))
-    if fast:
-        # reduce into the prime field first so a_i * hv stays in int64
-        hv = f"pmod(xxhash64(sh), {P})"
-    else:
-        hv = poly_hash_spark_sql("sh")
-    tok = tok.withColumn("hv", F.expr(hv))
+    sets = shingle_hash_sets(df, id_col, text_col, n, fast=fast)
+    return _signature_from_sets(sets, id_col)
+
+
+def _signature_from_sets(sets: DataFrame, id_col: str) -> DataFrame:
+    tok = sets.select(id_col, F.explode("hvs").alias("hv"))
     aggs = [
         F.min(F.expr(f"({MINHASH_A[i]} * hv + {MINHASH_B[i]}) % {P}")).alias(f"mh{i}")
         for i in range(K)
@@ -109,36 +181,36 @@ def minhash_signature(
     return tok.groupBy(id_col).agg(*aggs)
 
 
-def band_keys(sig: DataFrame, id_col: str, bands: int = DEFAULT_BANDS) -> DataFrame:
-    """Concatenate signature rows into per-band bucket keys."""
+def band_keys_long(
+    sig: DataFrame, id_col: str, bands: int = DEFAULT_BANDS
+) -> DataFrame:
+    """Signature -> long format (id, band_idx, bucket_key): one row per
+    band, so candidate generation is ONE self-join on (band_idx, key)
+    instead of ``bands`` separate joins — one shuffle, and the upstream
+    signature plan is computed once, not 2x per band."""
     rows = K // bands
-    cols = [F.col(id_col)]
+    band_exprs = []
     for b in range(bands):
-        parts = []
-        for r in range(rows):
-            parts.append(F.col(f"mh{b * rows + r}").cast("string"))
-            parts.append(F.lit("-"))
-        cols.append(F.concat(*parts[:-1]).alias(f"band{b}"))
-    return sig.select(*cols)
+        parts = ", '-', ".join(f"CAST(mh{b * rows + r} AS STRING)" for r in range(rows))
+        band_exprs.append(f"concat({parts})")
+    return sig.select(
+        F.col(id_col),
+        F.posexplode(F.expr(f"array({', '.join(band_exprs)})")).alias("bidx", "bk"),
+    )
 
 
 def lsh_candidate_pairs(
-    bandsdf: DataFrame, id_col: str, bands: int = DEFAULT_BANDS
+    bands_long: DataFrame, id_col: str
 ) -> DataFrame:
     """Distinct id pairs (a < b) sharing at least one band bucket."""
-    pairs = None
-    for b in range(bands):
-        left = bandsdf.select(
-            F.col(id_col).alias("doc_a"), F.col(f"band{b}").alias("bk")
-        )
-        right = bandsdf.select(
-            F.col(id_col).alias("doc_b"), F.col(f"band{b}").alias("bk")
-        )
-        p = left.join(right, "bk").filter(F.col("doc_a") < F.col("doc_b")).select(
-            "doc_a", "doc_b"
-        )
-        pairs = p if pairs is None else pairs.unionByName(p)
-    return pairs.distinct()
+    left = bands_long.select(F.col(id_col).alias("doc_a"), "bidx", "bk")
+    right = bands_long.select(F.col(id_col).alias("doc_b"), "bidx", "bk")
+    return (
+        left.join(right, ["bidx", "bk"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
 
 
 def minhash_dedup_pairs(
@@ -150,30 +222,32 @@ def minhash_dedup_pairs(
     threshold_pm: int = 500,
     fast: bool = False,
 ) -> DataFrame:
-    """Full MinHash-LSH near-dup pipeline: signatures -> band buckets ->
-    candidate pairs -> exact shingle-Jaccard verification (integer
-    per-mille)."""
-    sig = minhash_signature(df, id_col, text_col, n, fast=fast)
-    cands = lsh_candidate_pairs(band_keys(sig, id_col, bands), id_col, bands)
-    sh = with_shingles(df.select(id_col, text_col), text_col, n).select(
-        F.col(id_col), F.col("shingles")
-    )
-    a = sh.select(F.col(id_col).alias("doc_a"), F.col("shingles").alias("sh_a"))
-    b = sh.select(F.col(id_col).alias("doc_b"), F.col("shingles").alias("sh_b"))
-    verified = (
+    """Full MinHash-LSH near-dup pipeline: shingle-hash sets ->
+    signatures -> banded buckets -> candidate pairs -> exact
+    hashed-shingle Jaccard verification (integer per-mille).
+
+    The per-doc hash set is computed ONCE and persisted (it feeds both
+    the signature and the verification join); all pairwise work happens
+    on int64 arrays, never on shingle strings.
+    """
+    sets = shingle_hash_sets(df, id_col, text_col, n, fast=fast).persist()
+    sig = _signature_from_sets(sets, id_col)
+    cands = lsh_candidate_pairs(band_keys_long(sig, id_col, bands), id_col)
+    a = sets.select(F.col(id_col).alias("doc_a"), F.col("hvs").alias("hv_a"))
+    b = sets.select(F.col(id_col).alias("doc_b"), F.col("hvs").alias("hv_b"))
+    return (
         cands.join(a, "doc_a")
         .join(b, "doc_b")
         .withColumn(
             "jaccard_pm",
             F.expr(
-                "size(array_intersect(sh_a, sh_b)) * 1000 "
-                "DIV size(array_union(sh_a, sh_b))"
+                "size(array_intersect(hv_a, hv_b)) * 1000 "
+                "DIV size(array_union(hv_a, hv_b))"
             ),
         )
         .filter(F.col("jaccard_pm") >= threshold_pm)
         .select("doc_a", "doc_b", "jaccard_pm")
     )
-    return verified
 
 
 def minhash_dedup_duck(
@@ -184,7 +258,8 @@ def minhash_dedup_duck(
     bands: int = DEFAULT_BANDS,
     threshold_pm: int = 500,
 ) -> str:
-    """DuckDB oracle replaying the exact MinHash-LSH pipeline."""
+    """DuckDB oracle replaying the exact MinHash-LSH pipeline (same hash
+    family, same hashed-shingle Jaccard)."""
     rows = K // bands
     mins = ", ".join(
         f"MIN(({MINHASH_A[i]} * hv + {MINHASH_B[i]}) % {P}) AS mh{i}"
@@ -205,17 +280,16 @@ def minhash_dedup_duck(
     )
     return f"""
 WITH sh AS (
-  SELECT {id_col}, {shingles_duck(text_col, n)} AS shingles FROM {source}
+  SELECT {id_col}, {shingle_hashes_duck(text_col, n)} AS hvs FROM {source}
 ),
-tok AS (SELECT {id_col}, unnest(shingles) AS s FROM sh),
-h AS (SELECT {id_col}, {poly_hash_duck_sql('s')} AS hv FROM tok),
-sig AS (SELECT {id_col}, {mins} FROM h GROUP BY {id_col}),
+tok AS (SELECT {id_col}, unnest(hvs) AS hv FROM sh),
+sig AS (SELECT {id_col}, {mins} FROM tok GROUP BY {id_col}),
 bands AS (SELECT {id_col}, {band_cols} FROM sig),
 cand AS ({band_joins}),
 ver AS (
   SELECT c.doc_a, c.doc_b,
-         len(list_intersect(sa.shingles, sb.shingles)) * 1000
-           // len(list_distinct(list_concat(sa.shingles, sb.shingles))) AS jaccard_pm
+         len(list_intersect(sa.hvs, sb.hvs)) * 1000
+           // len(list_distinct(list_concat(sa.hvs, sb.hvs))) AS jaccard_pm
   FROM cand c
   JOIN sh sa ON sa.{id_col} = c.doc_a
   JOIN sh sb ON sb.{id_col} = c.doc_b

@@ -56,46 +56,59 @@ def dedup_simhash(spark, sf_dir):
     return dedup.simhash(docs, "doc_id", "text")
 
 
-# --- n-gram Jaccard dedup without LSH: block on (lang, source) then
-#     verify — the exact-but-blocked strategy for modest corpora
+# --- n-gram Jaccard dedup without LSH: inverted-index join on shingle
+#     hash within (lang, source) blocks, |A∩B| counted per pair, sizes
+#     joined back — the scalable exact strategy (no array cross-product;
+#     pairs with zero common shingles never materialize)
 @register(
     "dedup_ngram_jaccard",
     f"""
 WITH sh AS (
-  SELECT doc_id, lang, source, {dedup.shingles_duck('text')} AS shingles
+  SELECT doc_id, lang, source, {dedup.shingle_hashes_duck('text')} AS hvs
   FROM documents
+),
+tok AS (SELECT doc_id, lang, source, unnest(hvs) AS hv FROM sh),
+common AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+  FROM tok a JOIN tok b
+    ON a.lang = b.lang AND a.source = b.source AND a.hv = b.hv
+   AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
 )
-SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-       CAST(len(list_intersect(a.shingles, b.shingles)) * 1000
-         // len(list_distinct(list_concat(a.shingles, b.shingles))) AS BIGINT)
-         AS jaccard_pm
-FROM sh a JOIN sh b
-  ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
-WHERE len(list_intersect(a.shingles, b.shingles)) * 1000
-      // len(list_distinct(list_concat(a.shingles, b.shingles))) >= 300""",
+SELECT c.doc_a, c.doc_b,
+       CAST(c.n_common * 1000
+         // (len(sa.hvs) + len(sb.hvs) - c.n_common) AS BIGINT) AS jaccard_pm
+FROM common c
+JOIN sh sa ON sa.doc_id = c.doc_a
+JOIN sh sb ON sb.doc_id = c.doc_b
+WHERE c.n_common * 1000 // (len(sa.hvs) + len(sb.hvs) - c.n_common) >= 300""",
 )
 def dedup_ngram_jaccard(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
-    sh = dedup.with_shingles(
-        docs.select("doc_id", "lang", "source", "text"), "text"
-    ).drop("text")
-    a = sh.select(
-        F.col("doc_id").alias("doc_a"), F.col("lang"), F.col("source"),
-        F.col("shingles").alias("sh_a"),
+    sets = dedup.shingle_hash_sets(
+        docs, "doc_id", "text", extra_cols=("lang", "source")
+    ).persist()
+    tok = sets.select("doc_id", "lang", "source", F.explode("hvs").alias("hv"))
+    a = tok.select(
+        F.col("doc_id").alias("doc_a"), "lang", "source", "hv"
     )
-    b = sh.select(
-        F.col("doc_id").alias("doc_b"), F.col("lang"), F.col("source"),
-        F.col("shingles").alias("sh_b"),
+    b = tok.select(
+        F.col("doc_id").alias("doc_b"), "lang", "source", "hv"
     )
-    return (
-        a.join(b, ["lang", "source"])
+    common = (
+        a.join(b, ["lang", "source", "hv"])
         .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sz_a = sets.select(F.col("doc_id").alias("doc_a"), F.size("hvs").alias("sz_a"))
+    sz_b = sets.select(F.col("doc_id").alias("doc_b"), F.size("hvs").alias("sz_b"))
+    return (
+        common.join(sz_a, "doc_a")
+        .join(sz_b, "doc_b")
         .withColumn(
             "jaccard_pm",
-            F.expr(
-                "size(array_intersect(sh_a, sh_b)) * 1000 "
-                "DIV size(array_union(sh_a, sh_b))"
-            ),
+            F.expr("n_common * 1000 DIV (sz_a + sz_b - n_common)"),
         )
         .filter(F.col("jaccard_pm") >= 300)
         .select("doc_a", "doc_b", "jaccard_pm")
