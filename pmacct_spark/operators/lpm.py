@@ -42,6 +42,7 @@ def lpm_join(
     ip_col: str,
     attrs: dict[str, str],
     default: dict[str, object] | None = None,
+    extra_keys: dict[str, str] | None = None,
 ) -> DataFrame:
     """Chained-broadcast LPM: enrich ``flows`` with ``attrs`` (dim column
     -> output column) from the longest matching prefix in ``networks``.
@@ -49,23 +50,30 @@ def lpm_join(
     ``networks`` must have ``net_int`` + ``masklen`` + attr columns; it
     is collected once (driver-side) only to learn the distinct mask
     lengths — the data itself moves as broadcast hash joins.
+
+    ``extra_keys`` (flow column -> dim column) adds equi conditions to
+    every per-masklen join — the BGP two-stage lookup (pick the RIB by
+    exporter, then LPM within it; reference src/bgp/bgp_lookup.c:89).
     """
     masklens = sorted(
         (r[0] for r in networks.select("masklen").distinct().collect()),
         reverse=True,
     )
+    extra = extra_keys or {}
     out = flows
     for m in masklens:
         div = _mask_div(m)
         dim = networks.filter(F.col("masklen") == m).select(
             F.expr(f"net_int DIV {div}").alias(f"__net_{m}"),
+            *[F.col(d).alias(f"__ek_{d}_{m}") for d in extra.values()],
             *[F.col(src).alias(f"__{dst}_{m}") for src, dst in attrs.items()],
         )
-        out = out.join(
-            F.broadcast(dim),
-            F.expr(f"{ip_col} DIV {div}") == F.col(f"__net_{m}"),
-            "left",
-        ).drop(f"__net_{m}")
+        cond = F.expr(f"{ip_col} DIV {div}") == F.col(f"__net_{m}")
+        for fcol, dcol in extra.items():
+            cond = cond & (F.col(fcol) == F.col(f"__ek_{dcol}_{m}"))
+        out = out.join(F.broadcast(dim), cond, "left").drop(
+            f"__net_{m}", *[f"__ek_{d}_{m}" for d in extra.values()]
+        )
     for src, dst in attrs.items():
         cols = [F.col(f"__{dst}_{m}") for m in masklens]
         expr = F.coalesce(*cols, F.lit(default.get(dst)) if default and dst in default else F.lit(None))

@@ -1,0 +1,138 @@
+"""Gated queries: sessionization (packets->flows, reference
+src/ip_flow.c:81-230) and the BGP two-stage lookup join (reference
+src/bgp/bgp_lookup.c:33-210)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from pmacct_spark.driver_queries import flows, register
+from pmacct_spark.operators.lpm import lpm_join
+from pmacct_spark.operators.sessionize import (
+    session_stats,
+    sessionize,
+    sessionize_duck,
+)
+from pmacct_spark.sources.tables import load_table
+from pmacct_spark.views.dims import BGP_RIB_DUCK, bgp_rib_dim
+from pmacct_spark.views.flows import FLOWS_DUCK_CTE, flows_sql
+
+
+# --- gap sessionization of the events stream per user (the pmacctd
+#     flow-construction semantic applied to the events table)
+_SESS_GAP = 4 * 3600
+
+@register(
+    "sessionize_user_events",
+    sessionize_duck(
+        "SELECT event_id, ts, user_id FROM events",
+        ["user_id"],
+        "ts",
+        _SESS_GAP,
+        order_tiebreak=["event_id"],
+    )
+    + """
+SELECT user_id, session_id,
+       MIN(ts) AS session_start, MAX(ts) AS session_end,
+       COUNT(*) AS n_records
+FROM __sess GROUP BY 1, 2""",
+)
+def sessionize_user_events(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events").select("event_id", "ts", "user_id")
+    s = sessionize(ev, ["user_id"], "ts", _SESS_GAP, order_tiebreak=["event_id"])
+    return session_stats(s, ["user_id"], "ts", counters=[])
+
+
+# --- flow sessionization with TCP FIN/RST early close
+#     (evaluate_tcp_flags, src/ip_flow.c:95): keys are the aggregated
+#     entity pair + proto; a FIN/RST record closes the session so the
+#     next record opens a new one regardless of gap
+_FLOW_GAP = 1800
+
+@register(
+    "sessionize_tcp_close",
+    sessionize_duck(
+        flows_sql("duck"),
+        ["as_src", "as_dst", "ip_proto"],
+        "ts",
+        _FLOW_GAP,
+        end_ts_col="end_ts",
+        tcp_flags_col="tcp_flags",
+        order_tiebreak=["event_id"],
+    )
+    + """
+SELECT as_src AS src_as, as_dst AS dst_as, ip_proto, session_id,
+       MIN(ts) AS session_start, MAX(end_ts) AS session_end,
+       COUNT(*) AS n_records,
+       CAST(SUM(bytes) AS BIGINT) AS bytes,
+       CAST(SUM(packets) AS BIGINT) AS packets
+FROM __sess GROUP BY 1, 2, 3, 4""",
+)
+def sessionize_tcp_close(spark, sf_dir):
+    fl = flows(spark, sf_dir).select(
+        "event_id", "ts", "end_ts", "as_src", "as_dst", "ip_proto",
+        "tcp_flags", "bytes", "packets",
+    )
+    s = sessionize(
+        fl,
+        ["as_src", "as_dst", "ip_proto"],
+        "ts",
+        _FLOW_GAP,
+        end_ts_col="end_ts",
+        tcp_flags_col="tcp_flags",
+        order_tiebreak=["event_id"],
+    )
+    s = s.withColumnRenamed("as_src", "src_as").withColumnRenamed("as_dst", "dst_as")
+    return session_stats(
+        s, ["src_as", "dst_as", "ip_proto"], "ts", end_ts_col="end_ts"
+    )
+
+
+# --- BGP lookup: peer (RIB) chosen by exporter IP, then LPM of the dst
+#     IP within that peer's table; yields as_path/local_pref/med/
+#     peer_dst_as (bgp_srcdst_lookup, src/bgp/bgp_lookup.c:33-210;
+#     peer selection :89). Spark shape: chained broadcast joins keyed on
+#     (peer_ip, masked prefix), longest mask first.
+@register(
+    "bgp_lookup_attrs",
+    f"""{FLOWS_DUCK_CTE},
+rib AS ({BGP_RIB_DUCK}),
+cand AS (
+  SELECT f.event_id, f.bytes, r.as_path, r.peer_dst_as, r.local_pref, r.med,
+         ROW_NUMBER() OVER (
+           PARTITION BY f.event_id ORDER BY r.masklen DESC) AS rn
+  FROM flows f JOIN rib r
+    ON f.peer_ip_src = r.peer_ip
+   AND (f.ip_dst_i // (CAST(1 AS BIGINT) << (32 - r.masklen)))
+     = (r.net_int // (CAST(1 AS BIGINT) << (32 - r.masklen)))
+)
+SELECT as_path, peer_dst_as,
+       CAST(SUM(bytes) AS BIGINT) AS bytes,
+       COUNT(*) AS flows,
+       CAST(MIN(local_pref) AS BIGINT) AS min_local_pref,
+       CAST(MAX(med) AS BIGINT) AS max_med
+FROM cand WHERE rn = 1 GROUP BY 1, 2""",
+)
+def bgp_lookup_attrs(spark, sf_dir):
+    fl = flows(spark, sf_dir).select(
+        "event_id", "peer_ip_src", "ip_dst_i", "bytes"
+    )
+    rib = bgp_rib_dim(spark, sf_dir)
+    enriched = lpm_join(
+        fl,
+        rib,
+        "ip_dst_i",
+        {
+            "as_path": "as_path",
+            "peer_dst_as": "peer_dst_as",
+            "local_pref": "local_pref",
+            "med": "med",
+        },
+        extra_keys={"peer_ip_src": "peer_ip"},
+    )
+    return enriched.groupBy("as_path", "peer_dst_as").agg(
+        F.sum("bytes").cast("bigint").alias("bytes"),
+        F.count(F.lit(1)).alias("flows"),
+        F.min("local_pref").cast("bigint").alias("min_local_pref"),
+        F.max("med").cast("bigint").alias("max_med"),
+    )

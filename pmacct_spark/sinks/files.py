@@ -1,0 +1,75 @@
+"""Print-plugin sink: formatted/CSV/JSON/Avro files with dynamic
+names (reference src/print_plugin.c:383 P_cache_purge; formats
+src/pmacct-defines.h:465-471; dynamic-name tokens
+src/util.c:874-1240 handle_dynname_internal_strings).
+
+The reference renders one file per purge with strftime tokens and
+record variables ($peer_src_ip, $tag, ...) in the path. Spark-first:
+those tokens become partition columns — `partitionBy` writes one
+directory per token value, which is the cluster-scalable form of
+"dynamic filenames" (no driver-side loop over files).
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# pmacct dynamic-name tokens -> (partition column name, column expr builder)
+# strftime tokens derive from the window start (stamp_inserted).
+_TIME_TOKENS = {
+    "%Y": ("y", "date_format(stamp_inserted, 'yyyy')"),
+    "%m": ("m", "date_format(stamp_inserted, 'MM')"),
+    "%d": ("d", "date_format(stamp_inserted, 'dd')"),
+    "%H": ("H", "date_format(stamp_inserted, 'HH')"),
+    "%M": ("Mi", "date_format(stamp_inserted, 'mm')"),
+}
+_VAR_RE = re.compile(r"\$(\w+)")
+
+
+def dynamic_partitions(df: DataFrame, name_spec: str) -> tuple[DataFrame, list[str]]:
+    """Translate a pmacct dynamic-name spec (e.g.
+    ``'flows-%Y%m%d-$peer_src_ip'``) into partition columns on ``df``.
+    Returns (df with partition cols, partition col names)."""
+    cols: list[str] = []
+    for tok, (name, expr) in _TIME_TOKENS.items():
+        if tok in name_spec:
+            df = df.withColumn(name, F.expr(expr))
+            cols.append(name)
+    for var in _VAR_RE.findall(name_spec):
+        if var not in df.columns:
+            raise ValueError(f"dynamic-name variable ${var} not in schema")
+        cols.append(var)
+    return df, cols
+
+
+def write_print(
+    df: DataFrame,
+    path: str,
+    fmt: str = "csv",
+    name_spec: str | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Write aggregates the way the print plugin purges its cache.
+
+    fmt: 'csv' (with header, like print_output: csv + print_header),
+    'json' (JSON lines, like print_output: json), 'avro' when the
+    spark-avro package is on the classpath.
+    """
+    out = df
+    partition_cols: list[str] = []
+    if name_spec:
+        out, partition_cols = dynamic_partitions(df, name_spec)
+    writer = out.write.mode(mode)
+    if partition_cols:
+        writer = writer.partitionBy(*partition_cols)
+    if fmt == "csv":
+        writer.option("header", "true").csv(path)
+    elif fmt == "json":
+        writer.json(path)
+    elif fmt == "avro":
+        writer.format("avro").save(path)  # needs spark-avro on classpath
+    else:
+        raise ValueError(f"unknown print format {fmt!r}")

@@ -1,0 +1,76 @@
+"""Kafka sink shaping: JSON/Avro payload composition, dynamic topic and
+partition key columns (reference src/kafka_plugin.c:384,455-466;
+kafka_topic tokens; kafka_partition_key).
+
+The actual broker write is ``df.write(Stream).format("kafka")`` — not
+runnable in this container — so this module builds the exact (key,
+value, topic) frame Spark's Kafka writer consumes, and that frame IS
+the testable surface: payload composition, key choice, topic routing,
+round-robin topic balancing.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def compose_json_value(df: DataFrame, exclude: tuple[str, ...] = ()) -> Column:
+    """Record -> JSON object, like compose_json (reference
+    src/plugin_cmn_json.c:41): every output column, null fields
+    dropped."""
+    cols = [c for c in df.columns if c not in exclude]
+    return F.to_json(F.struct(*[F.col(c) for c in cols]))
+
+
+def kafka_frame(
+    df: DataFrame,
+    topic: str,
+    key_cols: list[str] | None = None,
+    topic_col: str | None = None,
+    rr_topics: int | None = None,
+) -> DataFrame:
+    """Shape aggregates into the Kafka writer contract:
+
+    - ``value``: JSON payload of the full record;
+    - ``key``: concat of ``key_cols`` (kafka_partition_key) — keyed
+      partitioning for per-key ordering downstream;
+    - ``topic``: literal, a routing column (dynamic topics), or
+      round-robin over ``rr_topics`` suffixes (kafka_topic_rr,
+      reference src/kafka_common.c) via a deterministic row hash.
+    """
+    value = compose_json_value(df)
+    key = (
+        F.concat_ws("-", *[F.col(c).cast("string") for c in key_cols])
+        if key_cols
+        else F.lit(None).cast("string")
+    )
+    if topic_col is not None:
+        topic_expr = F.col(topic_col)
+    elif rr_topics:
+        topic_expr = F.concat(
+            F.lit(topic + "_"),
+            (F.abs(F.xxhash64(*[F.col(c) for c in df.columns])) % rr_topics).cast(
+                "string"
+            ),
+        )
+    else:
+        topic_expr = F.lit(topic)
+    return df.select(
+        key.alias("key"), value.alias("value"), topic_expr.alias("topic")
+    )
+
+
+def write_kafka(frame: DataFrame, bootstrap_servers: str, streaming: bool = False):
+    """Hand the shaped frame to Spark's Kafka writer (requires the
+    spark-sql-kafka package + a broker; not available in this test
+    container)."""
+    if streaming:
+        return (
+            frame.writeStream.format("kafka")
+            .option("kafka.bootstrap.servers", bootstrap_servers)
+            .start()
+        )
+    frame.write.format("kafka").option(
+        "kafka.bootstrap.servers", bootstrap_servers
+    ).save()

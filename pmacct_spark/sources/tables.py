@@ -37,7 +37,7 @@ TABLES = (
 
 
 @functools.lru_cache(maxsize=256)
-def _nano_ts_fields(path: str) -> tuple[str, ...]:
+def nano_ts_fields(path: str) -> tuple[str, ...]:
     """Names of TIMESTAMP(NANOS) columns, from the parquet footer."""
     schema = pq.read_schema(path)
     out = []
@@ -46,6 +46,9 @@ def _nano_ts_fields(path: str) -> tuple[str, ...]:
         if str(t).startswith("timestamp[ns"):
             out.append(field.name)
     return tuple(out)
+
+
+_nano_ts_fields = nano_ts_fields  # back-compat alias
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:

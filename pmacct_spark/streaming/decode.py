@@ -1,0 +1,213 @@
+"""Binary NetFlow decoders: v5 fixed-record and v9 template-driven,
+as Arrow-batched ``mapInPandas`` transforms over a DataFrame of raw
+datagrams ``(exporter_ip: string, payload: binary)``.
+
+Reference: version dispatch (src/nfacctd.c:1649-1654), v5
+``process_v5_packet`` (src/nfacctd.c:1705), v9/IPFIX
+``process_v9_packet`` (src/nfacctd.c:1806) with the per-(exporter,
+source-id, template-id) template cache (src/nfv9_template.c:1179;
+struct template_cache_entry src/nfv9_template.h:311-325). Records that
+arrive before their template are dropped, as the reference drops them.
+
+Spark-first shape: datagrams are repartitioned by exporter and sorted
+by sequence number within partitions, so the template cache is plain
+per-partition Python state inside the mapInPandas generator — the
+decoder never shuffles decoded rows, and decode parallelism scales with
+the number of exporters (the same sharding a multi-process nfacctd
+deployment uses).
+"""
+
+from __future__ import annotations
+
+import struct
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+# ---------------------------------------------------------------------------
+# NetFlow v5
+# ---------------------------------------------------------------------------
+
+V5_HEADER = struct.Struct("!HHIIIIBBH")  # 24 bytes
+V5_RECORD = struct.Struct("!IIIHHIIIIHHBBBBHHBBH")  # 48 bytes
+
+FLOW_SCHEMA = T.StructType(
+    [
+        T.StructField("exporter_ip", T.StringType()),
+        T.StructField("seqno", T.LongType()),
+        T.StructField("ip_src_i", T.LongType()),
+        T.StructField("ip_dst_i", T.LongType()),
+        T.StructField("iface_in", T.LongType()),
+        T.StructField("iface_out", T.LongType()),
+        T.StructField("packets", T.LongType()),
+        T.StructField("bytes", T.LongType()),
+        T.StructField("ts_ms", T.LongType()),
+        T.StructField("end_ts_ms", T.LongType()),
+        T.StructField("port_src", T.IntegerType()),
+        T.StructField("port_dst", T.IntegerType()),
+        T.StructField("tcp_flags", T.IntegerType()),
+        T.StructField("ip_proto", T.IntegerType()),
+        T.StructField("tos", T.IntegerType()),
+        T.StructField("as_src", T.LongType()),
+        T.StructField("as_dst", T.LongType()),
+    ]
+)
+
+
+def _v5_rows(exporter: str, payload: bytes) -> list[tuple]:
+    if len(payload) < V5_HEADER.size:
+        return []
+    (ver, count, sysuptime, unix_secs, unix_nsecs, seqno, _et, _eid, _smp) = (
+        V5_HEADER.unpack_from(payload, 0)
+    )
+    if ver != 5:
+        return []
+    out = []
+    off = V5_HEADER.size
+    base_ms = unix_secs * 1000 + unix_nsecs // 1_000_000 - sysuptime
+    for _ in range(count):
+        if off + V5_RECORD.size > len(payload):
+            break  # truncated datagram: keep what parsed (reference logs+skips)
+        (
+            src, dst, _nh, inp, outp, pkts, octets, first, last,
+            sport, dport, _pad, flags, proto, tos, sas, das,
+            _smask, _dmask, _pad2,
+        ) = V5_RECORD.unpack_from(payload, off)
+        off += V5_RECORD.size
+        out.append(
+            (
+                exporter, seqno, src, dst, inp, outp, pkts, octets,
+                base_ms + first, base_ms + last, sport, dport,
+                flags, proto, tos, sas, das,
+            )
+        )
+    return out
+
+
+def decode_v5(datagrams: DataFrame) -> DataFrame:
+    """Decode NetFlow v5 datagrams into flow rows."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = [f.name for f in FLOW_SCHEMA.fields]
+        for pdf in batches:
+            rows: list[tuple] = []
+            for exporter, payload in zip(pdf["exporter_ip"], pdf["payload"]):
+                rows.extend(_v5_rows(exporter, bytes(payload)))
+            yield pd.DataFrame(rows, columns=cols)
+
+    return datagrams.mapInPandas(gen, FLOW_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# NetFlow v9 (template-driven)
+# ---------------------------------------------------------------------------
+
+# IE id -> (flow column, width handling). Unknown IEs are skipped by
+# their template-declared length (the reference keeps them for custom
+# primitives; we decode the core set).
+V9_IE_COLUMNS = {
+    1: "bytes",
+    2: "packets",
+    4: "ip_proto",
+    5: "tos",
+    6: "tcp_flags",
+    7: "port_src",
+    8: "ip_src_i",
+    10: "iface_in",
+    11: "port_dst",
+    12: "ip_dst_i",
+    14: "iface_out",
+    16: "as_src",
+    17: "as_dst",
+    21: "end_ts_ms",
+    22: "ts_ms",
+}
+
+V9_HEADER = struct.Struct("!HHIIII")  # 20 bytes
+SET_HEADER = struct.Struct("!HH")
+
+
+def _uint(b: bytes) -> int:
+    return int.from_bytes(b, "big")
+
+
+def _v9_packet(
+    exporter: str,
+    payload: bytes,
+    templates: dict[tuple[str, int, int], list[tuple[int, int]]],
+) -> list[dict]:
+    if len(payload) < V9_HEADER.size:
+        return []
+    ver, _count, _uptime, _secs, seqno, source_id = V9_HEADER.unpack_from(payload, 0)
+    if ver != 9:
+        return []
+    out: list[dict] = []
+    off = V9_HEADER.size
+    while off + SET_HEADER.size <= len(payload):
+        set_id, set_len = SET_HEADER.unpack_from(payload, off)
+        if set_len < SET_HEADER.size:
+            break
+        body = payload[off + SET_HEADER.size : off + set_len]
+        off += set_len
+        if set_id == 0:  # template flowset
+            p = 0
+            while p + 4 <= len(body):
+                tid, nfields = struct.unpack_from("!HH", body, p)
+                p += 4
+                fields = []
+                for _ in range(nfields):
+                    if p + 4 > len(body):
+                        break
+                    ie, ln = struct.unpack_from("!HH", body, p)
+                    p += 4
+                    fields.append((ie, ln))
+                templates[(exporter, source_id, tid)] = fields
+        elif set_id >= 256:  # data flowset
+            tmpl = templates.get((exporter, source_id, set_id))
+            if tmpl is None:
+                continue  # template not yet seen: drop (reference behavior)
+            rec_len = sum(ln for _, ln in tmpl)
+            if rec_len == 0:
+                continue
+            p = 0
+            while p + rec_len <= len(body):
+                rec = {"exporter_ip": exporter, "seqno": seqno}
+                for ie, ln in tmpl:
+                    col = V9_IE_COLUMNS.get(ie)
+                    if col is not None:
+                        rec[col] = _uint(body[p : p + ln])
+                    p += ln
+                out.append(rec)
+    return out
+
+
+def decode_v9(datagrams: DataFrame) -> DataFrame:
+    """Decode NetFlow v9 with per-(exporter, source-id, template-id)
+    template state held inside each partition's decoder generator.
+
+    Callers must co-locate an exporter's datagrams in one partition in
+    arrival order — ``repartition("exporter_ip")`` +
+    ``sortWithinPartitions("arrival_seq")`` — mirroring the per-socket
+    ordering the reference relies on.
+    """
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        templates: dict[tuple[str, int, int], list[tuple[int, int]]] = {}
+        cols = [f.name for f in FLOW_SCHEMA.fields]
+        for pdf in batches:
+            rows: list[dict] = []
+            for exporter, payload in zip(pdf["exporter_ip"], pdf["payload"]):
+                rows.extend(_v9_packet(exporter, bytes(payload), templates))
+            yield pd.DataFrame(
+                [[r.get(c) for c in cols] for r in rows], columns=cols
+            )
+
+    return datagrams.mapInPandas(gen, FLOW_SCHEMA)
+
+
+def prepare_datagrams(df: DataFrame, order_col: str = "arrival_seq") -> DataFrame:
+    """Shard by exporter and order within shard — the decode contract."""
+    return df.repartition(F.col("exporter_ip")).sortWithinPartitions(order_col)

@@ -1,0 +1,135 @@
+"""Streaming jobs: the plugin-channel aggregation as a Structured
+Streaming query.
+
+Reference mapping (SURVEY.md §2.6/§2.10):
+  - ``*_history`` tumbling bucket  -> ``window(ts, ...)``
+  - ``*_refresh_time`` purge cadence -> trigger interval
+  - ``sql_startup_delay`` pending window -> ``withWatermark``
+  - multi-plugin fan-out -> N streaming queries over one source DF
+
+The streaming plan is the same logical plan as the batch channel
+(pipeline.build_aggregation) with the bucket expressed as ``window()``
+so Spark tracks state per (window x keys); batch/stream parity is
+asserted in tests (same input -> same aggregates).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from pmacct_spark.config import PluginConfig
+from pmacct_spark.sources.tables import nano_ts_fields
+from pmacct_spark.views.flows import flows_select_exprs
+
+
+def flows_stream(spark, sf_dir: str, path: str | None = None) -> DataFrame:
+    """The flows view as a STREAMING DataFrame (file source over the
+    events parquet — the stand-in for the UDP/Kafka live feed)."""
+    import os
+    import tempfile
+
+    from pmacct_spark.session import apply_runtime_confs
+
+    apply_runtime_confs(spark)
+    p = path or f"{sf_dir}/events.parquet"
+    src_file = p
+    schema = spark.read.parquet(p).schema
+    if os.path.isfile(p):
+        # the file streaming source wants a directory: expose the file
+        # through a scratch dir (symlink, no copy)
+        d = tempfile.mkdtemp(prefix="flows_stream_")
+        os.symlink(os.path.abspath(p), os.path.join(d, os.path.basename(p)))
+        p = d
+    raw = spark.readStream.schema(schema).parquet(p)
+    for col in nano_ts_fields(src_file):
+        raw = raw.withColumn(
+            col, F.expr(f"CAST(timestamp_micros(`{col}` DIV 1000) AS TIMESTAMP_NTZ)")
+        )
+    for col, dtype in raw.dtypes:
+        if dtype == "timestamp":
+            raw = raw.withColumn(col, F.col(col).cast("timestamp_ntz"))
+    return raw.selectExpr(*flows_select_exprs())
+
+
+def stream_aggregation(
+    flows: DataFrame,
+    cfg: PluginConfig,
+    watermark_delay: str | None = None,
+) -> DataFrame:
+    """One plugin channel as a streaming aggregation.
+
+    ``watermark_delay`` is the reference's sql_startup_delay (allowed
+    lateness); None = complete/update-mode serving without eviction.
+    """
+    df = flows
+    if cfg.aggregate_filter:
+        df = df.filter(cfg.aggregate_filter)
+    hist = cfg.history_spec()
+    if hist is None:
+        raise ValueError("streaming channel needs a history (window) spec")
+    if hist.calendar:
+        raise ValueError("calendar windows: use batch date_trunc path")
+    # event time must be TIMESTAMP (ltz) for watermarks; session tz is UTC
+    df = df.withColumn("__evt", F.col("ts").cast("timestamp"))
+    if watermark_delay:
+        df = df.withWatermark("__evt", watermark_delay)
+    from pmacct_spark.registry import resolve
+
+    keys = []
+    for prim in resolve(cfg.aggregate):
+        if prim.column != prim.name:
+            df = df.withColumn(prim.name, F.col(prim.column))
+        keys.append(prim.name)
+    win = F.window("__evt", f"{hist.seconds} seconds")
+    out = df.groupBy(win.alias("__w"), *[F.col(k) for k in keys]).agg(
+        F.sum("bytes").alias("bytes"),
+        F.sum("packets").alias("packets"),
+        F.sum("flows").alias("flows"),
+    )
+    return out.select(
+        F.col("__w.start").cast("timestamp_ntz").alias("stamp_inserted"),
+        *[F.col(k) for k in keys],
+        "bytes",
+        "packets",
+        "flows",
+    )
+
+
+def session_flows_stream(flows: DataFrame, keys: list[str], gap_s: int) -> DataFrame:
+    """pmacctd packets->flows as a streaming session window (reference
+    src/ip_flow.c:81; session_window merges records within the gap)."""
+    df = flows.withColumn("__evt", F.col("ts").cast("timestamp"))
+    return (
+        df.withWatermark("__evt", f"{gap_s * 2} seconds")
+        .groupBy(F.session_window("__evt", f"{gap_s} seconds").alias("__s"), *keys)
+        .agg(
+            F.count(F.lit(1)).alias("n_records"),
+            F.sum("bytes").alias("bytes"),
+            F.sum("packets").alias("packets"),
+        )
+        .select(
+            F.col("__s.start").cast("timestamp_ntz").alias("session_start"),
+            *keys,
+            "n_records",
+            "bytes",
+            "packets",
+        )
+    )
+
+
+def run_to_memory(
+    stream_df: DataFrame, name: str, mode: str = "complete"
+) -> DataFrame:
+    """Drain a streaming aggregate into an in-memory table with
+    availableNow (process-everything-then-stop) and return the result —
+    the IMT plugin shape, and the test harness for batch/stream parity."""
+    q = (
+        stream_df.writeStream.outputMode(mode)
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return stream_df.sparkSession.table(name)

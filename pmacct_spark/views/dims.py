@@ -52,15 +52,50 @@ SELECT '192.0.2.' || CAST(r_regionkey AS {STR}) AS peer_ip,
 FROM region
 """
 
+# BGP RIB snapshot (reference src/bgp/bgp_table.h:47-62): one routing
+# table per peer (exporter), selected per record by exporter IP then
+# searched longest-prefix-first (src/bgp/bgp_lookup.c:33-210). Derived
+# deterministically from region (peers) x nation (prefixes):
+#   - per peer, a default route 0/0 (follow-default recursion target)
+#   - per (peer, nation) a /16 with full BGP attrs; peers disagree on
+#     local_pref/med so peer selection is observable
+#   - per (peer, nation<16) a /20 more-specific with a longer as_path
+_BGP_RIB_SQL = f"""
+SELECT '192.0.2.' || CAST(r_regionkey AS {{STR}}) AS peer_ip,
+       CAST(0 AS BIGINT) AS net_int, 0 AS masklen,
+       '64512' AS as_path, CAST(64512 AS BIGINT) AS peer_dst_as,
+       CAST(50 AS BIGINT) AS local_pref, CAST(0 AS BIGINT) AS med
+FROM region
+UNION ALL
+SELECT '192.0.2.' || CAST(r_regionkey AS {{STR}}),
+       CAST({_BASE} + n_nationkey * 65536 AS BIGINT), 16,
+       '64496 ' || CAST(65000 + n_nationkey AS {{STR}}),
+       CAST(65000 + n_nationkey AS BIGINT),
+       CAST(100 + ((n_nationkey * 7 + r_regionkey) % 50) AS BIGINT),
+       CAST((n_nationkey * 13 + r_regionkey * 3) % 100 AS BIGINT)
+FROM region CROSS JOIN nation
+UNION ALL
+SELECT '192.0.2.' || CAST(r_regionkey AS {{STR}}),
+       CAST({_BASE} + n_nationkey * 65536
+            + ((n_nationkey * 7) % 16) * 4096 AS BIGINT), 20,
+       '64496 64499 ' || CAST(66000 + n_nationkey AS {{STR}}),
+       CAST(66000 + n_nationkey AS BIGINT),
+       CAST(200 + ((n_nationkey * 11 + r_regionkey) % 50) AS BIGINT),
+       CAST((n_nationkey * 17 + r_regionkey * 5) % 100 AS BIGINT)
+FROM region CROSS JOIN nation WHERE n_nationkey < 16
+"""
+
 NETWORKS_DUCK = _NETWORKS_SQL
 GEOIP_DUCK = _GEOIP_SQL
 SAMPLING_MAP_DUCK = _SAMPLING_MAP_SQL.replace("{STR}", "VARCHAR")
+BGP_RIB_DUCK = _BGP_RIB_SQL.replace("{STR}", "VARCHAR")
 
 
 def _run(spark: SparkSession, sf_dir: str, sql: str, tables: list[str]) -> DataFrame:
     for t in tables:
         load_table(spark, sf_dir, t).createOrReplaceTempView(f"__dim_{t}")
         sql = sql.replace(f"FROM {t}", f"FROM __dim_{t}")
+        sql = sql.replace(f"CROSS JOIN {t}", f"CROSS JOIN __dim_{t}")
     return spark.sql(sql)
 
 
@@ -74,3 +109,9 @@ def geoip_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def sampling_map_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _run(spark, sf_dir, _SAMPLING_MAP_SQL.replace("{STR}", "STRING"), ["region"])
+
+
+def bgp_rib_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _run(
+        spark, sf_dir, _BGP_RIB_SQL.replace("{STR}", "STRING"), ["region", "nation"]
+    )

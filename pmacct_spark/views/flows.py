@@ -108,10 +108,16 @@ def flows_sql(dialect: str, source: str = "events") -> str:
 FLOWS_DUCK_CTE = f"WITH flows AS (\n{flows_sql('duck')}\n)"
 
 
+def flows_select_exprs() -> list[str]:
+    """The Spark-dialect select list (shared by the batch view and the
+    streaming source)."""
+    exprs = [f"{_render(e, 'spark')} AS {n}" for n, e in _DERIVATIONS]
+    exprs.append(f"{_END_TS['spark']} AS end_ts")
+    return exprs
+
+
 def flows_view(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The flow table as a DataFrame (lazily planned; Catalyst prunes
     unused derivations per query)."""
     events = load_table(spark, sf_dir, "events")
-    exprs = [f"{_render(e, 'spark')} AS {n}" for n, e in _DERIVATIONS]
-    exprs.append(f"{_END_TS['spark']} AS end_ts")
-    return events.selectExpr(*exprs)
+    return events.selectExpr(*flows_select_exprs())

@@ -1,0 +1,108 @@
+"""Sink semantics: dynamic-name partitioning, upsert purge cycles with
+stamp bookkeeping, Kafka frame shaping, tee routing."""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import functions as F
+
+from pmacct_spark.config import PluginConfig
+from pmacct_spark.driver_queries import flows
+from pmacct_spark.pipeline import build_aggregation
+from pmacct_spark.sinks.files import write_print
+from pmacct_spark.sinks.kafka import kafka_frame
+from pmacct_spark.sinks.tee import TeeReceiver, route
+from pmacct_spark.sinks.upsert import ParquetUpsertTable
+from tests.conftest import SF_DIR
+
+
+def _agg(spark, history=None):
+    cfg = PluginConfig(aggregate=["src_as", "dst_as"], history=history)
+    return build_aggregation(flows(spark, SF_DIR), cfg)
+
+
+def test_write_print_csv_dynamic_names(spark, tmp_path):
+    agg = _agg(spark, history="1d")
+    out = str(tmp_path / "csv")
+    write_print(agg, out, fmt="csv", name_spec="flows-%Y%m%d")
+    # one directory level per strftime token (y, m, d)
+    assert any(p.startswith("y=") for p in os.listdir(out))
+    back = spark.read.option("header", "true").csv(out)
+    assert int(back.count()) == agg.count()
+
+
+def test_write_print_json_roundtrip(spark, tmp_path):
+    agg = _agg(spark)
+    out = str(tmp_path / "json")
+    write_print(agg, out, fmt="json")
+    back = spark.read.json(out)
+    assert back.count() == agg.count()
+    assert back.agg(F.sum("bytes")).first()[0] == agg.agg(F.sum("bytes")).first()[0]
+
+
+def test_upsert_purge_cycles(spark, tmp_path):
+    """Two purges of the same aggregates must double counters (SQL sink
+    adds on match: SET bytes=bytes+N) and refresh stamp_updated."""
+    agg = _agg(spark).localCheckpoint(eager=True)
+    n = agg.count()
+    assert n > 0
+    t = ParquetUpsertTable(
+        spark, str(tmp_path / "t"), ["src_as", "dst_as"], ["bytes", "packets", "flows"]
+    )
+    t.purge(agg, "2024-02-01 00:00:00")
+    first = t.read().localCheckpoint(eager=True)
+    assert first.count() == n
+    t.purge(agg, "2024-02-01 00:05:00")
+    second = t.read()
+    assert second.count() == n
+    j = first.select("src_as", "dst_as", F.col("bytes").alias("b1")).join(
+        second.select("src_as", "dst_as", "bytes", "stamp_updated"),
+        ["src_as", "dst_as"],
+    )
+    assert j.filter(F.col("bytes") != 2 * F.col("b1")).count() == 0
+    assert (
+        j.filter(F.col("stamp_updated") != F.lit("2024-02-01 00:05:00").cast("timestamp_ntz")).count()
+        == 0
+    )
+
+
+def test_upsert_append_only(spark, tmp_path):
+    agg = _agg(spark).localCheckpoint(eager=True)
+    n = agg.count()
+    t = ParquetUpsertTable(
+        spark, str(tmp_path / "t2"), ["src_as", "dst_as"], ["bytes", "packets", "flows"]
+    )
+    t.purge(agg, "2024-02-01 00:00:00", append_only=True)
+    t.purge(agg, "2024-02-01 00:05:00", append_only=True)
+    assert t.read().count() == 2 * n  # sql_dont_try_update: blind INSERT
+
+
+def test_kafka_frame_shape(spark):
+    agg = _agg(spark).limit(10)
+    fr = kafka_frame(agg, "daisy.flow", key_cols=["src_as"], rr_topics=3)
+    rows = fr.collect()
+    assert set(fr.columns) == {"key", "value", "topic"}
+    payload = json.loads(rows[0]["value"])
+    assert {"src_as", "dst_as", "bytes", "packets", "flows"} <= set(payload)
+    assert all(r["topic"].startswith("daisy.flow_") for r in rows)
+    assert {r["topic"] for r in rows} <= {f"daisy.flow_{i}" for i in range(3)}
+
+
+def test_tee_routing(spark):
+    fl = flows(spark, SF_DIR).withColumn(
+        "tag", (F.col("as_src") % 3).cast("int")
+    )
+    recv = [
+        TeeReceiver("all"),
+        TeeReceiver("tagged", tags=[1, 2]),
+        TeeReceiver("pooled", tags=[1], pool=["h1:2055", "h2:2055"], balance="rr"),
+    ]
+    parts = route(fl, recv)
+    total = fl.count()
+    assert parts["all"].count() == total
+    assert parts["tagged"].count() == fl.filter("tag IN (1,2)").count() < total
+    pooled = parts["pooled"]
+    per_ep = {r["endpoint"]: r["n"] for r in pooled.groupBy("endpoint").agg(F.count("*").alias("n")).collect()}
+    assert set(per_ep) == {"h1:2055", "h2:2055"}

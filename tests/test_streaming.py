@@ -1,0 +1,169 @@
+"""Streaming semantics: batch/stream parity for the windowed channel
+aggregation, watermark (sql_startup_delay) eviction, session windows,
+and the NetFlow v5/v9 binary decoders (template learning + pre-template
+drop)."""
+
+from __future__ import annotations
+
+import struct
+
+from pyspark.sql import functions as F
+
+from pmacct_spark.config import PluginConfig
+from pmacct_spark.driver_queries import flows
+from pmacct_spark.pipeline import build_aggregation
+from pmacct_spark.streaming.decode import (
+    V5_HEADER,
+    V5_RECORD,
+    decode_v5,
+    decode_v9,
+    prepare_datagrams,
+)
+from pmacct_spark.streaming.jobs import (
+    flows_stream,
+    run_to_memory,
+    session_flows_stream,
+    stream_aggregation,
+)
+from tests.conftest import SF_DIR
+
+
+def test_stream_batch_parity(spark):
+    """Same input, same channel config -> identical aggregates whether
+    run as a batch plan or a streaming query."""
+    cfg = PluginConfig(aggregate=["proto"], history="5m")
+    stream = stream_aggregation(flows_stream(spark, SF_DIR), cfg)
+    got = run_to_memory(stream, "t_parity").orderBy("stamp_inserted", "proto")
+    want = (
+        build_aggregation(flows(spark, SF_DIR), cfg)
+        .select("stamp_inserted", "proto", "bytes", "packets", "flows")
+        .orderBy("stamp_inserted", "proto")
+    )
+    assert [tuple(r) for r in got.collect()] == [tuple(r) for r in want.collect()]
+
+
+def test_watermark_appends_only_closed_windows(spark):
+    """Append mode + watermark: only windows the watermark has passed
+    are emitted (sql_startup_delay pending semantics)."""
+    cfg = PluginConfig(aggregate=["proto"], history="1h")
+    delay_s = 7200
+    stream = stream_aggregation(
+        flows_stream(spark, SF_DIR), cfg, watermark_delay=f"{delay_s} seconds"
+    )
+    got = run_to_memory(stream, "t_wm", mode="append")
+    batch = build_aggregation(flows(spark, SF_DIR), cfg)
+    max_ts = flows(spark, SF_DIR).agg(F.max("ts")).first()[0]
+    import datetime
+
+    horizon = max_ts - datetime.timedelta(seconds=delay_s)
+    # emitted set == batch windows whose END <= watermark horizon
+    want = batch.filter(
+        F.col("stamp_inserted") + F.expr("INTERVAL 1 HOUR") <= F.lit(horizon)
+    )
+    assert got.count() == want.count() > 0
+    assert got.count() < batch.count()  # the pending tail was withheld
+
+
+def test_session_window_stream(spark):
+    """Streaming session_window matches the batch sessionizer's session
+    count for gap-based (no tcp-close) sessions."""
+    from pmacct_spark.operators.sessionize import sessionize
+
+    gap = 4 * 3600
+    stream = session_flows_stream(
+        flows_stream(spark, SF_DIR).withColumn(
+            "user_key", F.col("as_src")
+        ),
+        ["user_key"],
+        gap,
+    )
+    got = run_to_memory(stream, "t_sess")
+    fl = flows(spark, SF_DIR).withColumn("user_key", F.col("as_src"))
+    batch = sessionize(fl, ["user_key"], "ts", gap, order_tiebreak=["event_id"])
+    n_batch = batch.select("user_key", "session_id").distinct().count()
+    assert got.count() == n_batch
+
+
+def _v5_datagram(seqno: int, recs: list[dict]) -> bytes:
+    sysuptime = 1_000_000
+    unix_secs = 1_700_000_000
+    hdr = V5_HEADER.pack(5, len(recs), sysuptime, unix_secs, 0, seqno, 0, 0, 1)
+    body = b""
+    for r in recs:
+        body += V5_RECORD.pack(
+            r["src"], r["dst"], 0, 1, 2, r["pkts"], r["bytes"],
+            sysuptime - 5000, sysuptime - 1000,
+            r["sport"], r["dport"], 0, r.get("flags", 16), r.get("proto", 6),
+            0, 64500, 64501, 24, 24, 0,
+        )
+    return hdr + body
+
+
+def test_decode_v5_roundtrip(spark):
+    recs = [
+        {"src": 0x0A000001, "dst": 0x0A000002, "pkts": 10, "bytes": 1400,
+         "sport": 1234, "dport": 443},
+        {"src": 0x0A000003, "dst": 0x0A000004, "pkts": 5, "bytes": 300,
+         "sport": 53, "dport": 53, "proto": 17},
+    ]
+    dg = spark.createDataFrame(
+        [("198.51.100.1", bytearray(_v5_datagram(7, recs)))],
+        "exporter_ip string, payload binary",
+    )
+    out = decode_v5(dg).orderBy("ip_src_i").collect()
+    assert len(out) == 2
+    assert out[0]["ip_src_i"] == 0x0A000001 and out[0]["bytes"] == 1400
+    assert out[0]["seqno"] == 7 and out[0]["ip_proto"] == 6
+    assert out[1]["ip_proto"] == 17
+    # timestamps: base_ms + first where base = secs*1000 - uptime
+    assert out[0]["ts_ms"] == 1_700_000_000 * 1000 - 1_000_000 + 995_000
+
+
+def _v9_template(tid: int) -> bytes:
+    # fields: srcaddr(8,4) dstaddr(12,4) bytes(1,4) pkts(2,4) proto(4,1)
+    fields = [(8, 4), (12, 4), (1, 4), (2, 4), (4, 1)]
+    body = struct.pack("!HH", tid, len(fields))
+    for ie, ln in fields:
+        body += struct.pack("!HH", ie, ln)
+    return struct.pack("!HH", 0, 4 + len(body)) + body
+
+
+def _v9_data(tid: int, recs: list[tuple]) -> bytes:
+    body = b""
+    for src, dst, byt, pk, proto in recs:
+        body += struct.pack("!IIIIB", src, dst, byt, pk, proto)
+    return struct.pack("!HH", tid, 4 + len(body)) + body
+
+
+def _v9_packet(seqno: int, source_id: int, sets: list[bytes]) -> bytes:
+    hdr = struct.pack("!HHIIII", 9, len(sets), 0, 1_700_000_000, seqno, source_id)
+    return hdr + b"".join(sets)
+
+
+def test_decode_v9_template_state(spark):
+    """Data before its template is dropped; after the template arrives
+    (even in an earlier datagram of the same partition) records decode.
+    Templates are scoped per (exporter, source_id, template_id)."""
+    tid = 260
+    early = _v9_packet(1, 1, [_v9_data(tid, [(1, 2, 100, 1, 6)])])  # pre-template
+    tmpl = _v9_packet(2, 1, [_v9_template(tid)])
+    data = _v9_packet(
+        3, 1, [_v9_data(tid, [(0x0A000001, 0x0A000002, 1500, 3, 6),
+                              (0x0A000005, 0x0A000006, 900, 2, 17)])]
+    )
+    other_scope = _v9_packet(4, 2, [_v9_data(tid, [(9, 9, 9, 9, 9)])])  # source_id 2: no tmpl
+    rows = [
+        ("198.51.100.9", 1, bytearray(early)),
+        ("198.51.100.9", 2, bytearray(tmpl)),
+        ("198.51.100.9", 3, bytearray(data)),
+        ("198.51.100.9", 4, bytearray(other_scope)),
+    ]
+    dg = prepare_datagrams(
+        spark.createDataFrame(
+            rows, "exporter_ip string, arrival_seq int, payload binary"
+        )
+    )
+    out = decode_v9(dg).orderBy("ip_src_i").collect()
+    assert len(out) == 2  # early + wrong-scope dropped
+    assert out[0]["ip_src_i"] == 0x0A000001 and out[0]["bytes"] == 1500
+    assert out[1]["ip_proto"] == 17 and out[1]["packets"] == 2
