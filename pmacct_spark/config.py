@@ -107,6 +107,7 @@ class PluginConfig:
     history: str | None = None  # e.g. '5m' -> tumbling buckets
     history_roundoff: str | None = None  # m|h|d|w|M align first bucket
     pro_rating: bool = False  # split counters across spanned buckets
+    multi_window: bool = False  # insert whole counters into EVERY spanned bucket
     stitching: bool = False  # add timestamp_min/timestamp_max
     renormalize: bool = False  # counters *= sampling_rate pre-agg
     aggregate_filter: str | None = None  # SQL predicate on the flow schema

@@ -165,8 +165,11 @@ def duck_prorate_cte(
         f"ELSE ({c} * {overlap}) // {duration} END AS {c}"
         for c in counters
     )
+    select = f"{key_exprs}, stamp_inserted"
+    if ctr_sql:
+        select += f", {ctr_sql}"
     return (
-        f"SELECT {key_exprs}, stamp_inserted, {ctr_sql} FROM ("
+        f"SELECT {select} FROM ("
         f"SELECT *, unnest(generate_series({b0}, {b1}, "
         f"INTERVAL {hist.seconds} SECOND)) AS stamp_inserted FROM {source})"
     )

@@ -96,6 +96,10 @@ def build_aggregation(flows: DataFrame, cfg: PluginConfig) -> DataFrame:
                 [PRIMITIVES[c].column for c in counters if PRIMITIVES[c].agg == "sum"],
                 roundoff=cfg.history_roundoff,
             )
+        elif cfg.multi_window:
+            # reference src/plugin_common.c:460-463 without pro-rating:
+            # the flow lands WHOLE in every bucket it spans
+            df = explode_prorate(df, hist, [], roundoff=cfg.history_roundoff)
         else:
             df = assign_bucket(df, hist, roundoff=cfg.history_roundoff)
         group_cols.append("stamp_inserted")

@@ -285,3 +285,21 @@ def aggregate_filter_tcp443(spark, sf_dir):
         aggregate_filter="ip_proto = 6 AND (port_src = 443 OR port_dst = 443)",
     )
     return build_aggregation(flows(spark, sf_dir), cfg)
+
+
+# --- multi-window insertion WITHOUT pro-rating: the flow lands whole in
+#     every bucket it spans (reference src/plugin_common.c:460-463)
+_MULTIWIN_INNER = duck_prorate_cte(
+    History.parse("5m"), [], "ip_proto", ts_expr="ts", end_expr="end_ts"
+)
+
+@register(
+    "hist_5m_multiwindow",
+    f"""{FLOWS_DUCK_CTE}
+SELECT ip_proto AS proto, stamp_inserted,
+       {_sums('bytes', 'packets', 'flows')}
+FROM ({_MULTIWIN_INNER.replace("SELECT ip_proto", "SELECT ip_proto, bytes, packets, flows")}) GROUP BY 1, 2""",
+)
+def hist_5m_multiwindow(spark, sf_dir):
+    cfg = PluginConfig(aggregate=["proto"], history="5m", multi_window=True)
+    return build_aggregation(flows(spark, sf_dir), cfg)

@@ -16,6 +16,7 @@ from pmacct_spark.operators.lpm import lpm_join, lpm_join_range, range_join
 from pmacct_spark.operators.pretag import Rule, apply_pretag, duck_case_sql
 from pmacct_spark.views.flows import flows_sql
 from pmacct_spark.views.dims import (
+    FLOW_TO_RD_DUCK,
     GEOIP_DUCK,
     NETWORKS_DUCK,
     SAMPLING_MAP_DUCK,
@@ -214,3 +215,34 @@ def seqno_monitoring(spark, sf_dir):
     """Per-exporter seqno gap detection (reference
     src/xflow_status.c:90-130)."""
     return seqno_monitor(flows(spark, sf_dir))
+
+
+# --- flow_to_rd map: (exporter, input ifindex) -> MPLS VPN RD
+#     (CONFIG-KEYS flow_to_rd_map; handlers src/pretag_handlers.c) —
+#     a broadcast equi join on two keys
+@register(
+    "flow_to_rd_map",
+    f"""{FLOWS_DUCK_CTE},
+rd AS ({FLOW_TO_RD_DUCK})
+SELECT rd.mpls_vpn_rd, {_SUM}
+FROM flows f JOIN rd
+  ON f.peer_ip_src = rd.peer_ip AND f.iface_in = rd.iface
+GROUP BY 1""",
+)
+def flow_to_rd_map(spark, sf_dir):
+    from pmacct_spark.views.dims import flow_to_rd_dim
+
+    fl = flows(spark, sf_dir)
+    rd = flow_to_rd_dim(spark, sf_dir)
+    return (
+        fl.join(
+            F.broadcast(rd),
+            (fl.peer_ip_src == rd.peer_ip) & (fl.iface_in == rd.iface),
+        )
+        .groupBy("mpls_vpn_rd")
+        .agg(
+            F.sum("bytes").cast("bigint").alias("bytes"),
+            F.sum("packets").cast("bigint").alias("packets"),
+            F.sum("flows").cast("bigint").alias("flows"),
+        )
+    )

@@ -149,16 +149,19 @@ def semi_join_suppliers(spark, sf_dir):
     ).select("s_suppkey", "s_name")
 
 
-# --- anti join: parts never shipped
+# --- anti join: parts never shipped in bulk (quantity >= 45) — the
+#     predicate keeps the result non-empty at every scale factor so the
+#     value-hash check is meaningful
 @register(
     "anti_join_parts_never_shipped",
     """
 SELECT p.p_partkey, p.p_brand FROM part p
-WHERE NOT EXISTS (SELECT 1 FROM lineitem l WHERE l.l_partkey = p.p_partkey)""",
+WHERE NOT EXISTS (SELECT 1 FROM lineitem l
+                  WHERE l.l_partkey = p.p_partkey AND l.l_quantity >= 45)""",
 )
 def anti_join_parts_never_shipped(spark, sf_dir):
     p = load_table(spark, sf_dir, "part")
-    li = load_table(spark, sf_dir, "lineitem")
+    li = load_table(spark, sf_dir, "lineitem").filter("l_quantity >= 45")
     return p.join(li, p.p_partkey == li.l_partkey, "left_anti").select(
         "p_partkey", "p_brand"
     )

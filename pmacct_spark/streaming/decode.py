@@ -31,8 +31,10 @@ from pyspark.sql import types as T
 # NetFlow v5
 # ---------------------------------------------------------------------------
 
-V5_HEADER = struct.Struct("!HHIIIIBBH")  # 24 bytes
-V5_RECORD = struct.Struct("!IIIHHIIIIHHBBBBHHBBH")  # 48 bytes
+V5_HEADER_FMT = "!HHIIIIBBH"  # 24 bytes
+V5_RECORD_FMT = "!IIIHHIIIIHHBBBBHHBBH"  # 48 bytes
+V5_HEADER = struct.Struct(V5_HEADER_FMT)
+V5_RECORD = struct.Struct(V5_RECORD_FMT)
 
 FLOW_SCHEMA = T.StructType(
     [
@@ -58,25 +60,27 @@ FLOW_SCHEMA = T.StructType(
 
 
 def _v5_rows(exporter: str, payload: bytes) -> list[tuple]:
-    if len(payload) < V5_HEADER.size:
+    hdr = struct.Struct(V5_HEADER_FMT)
+    rec = struct.Struct(V5_RECORD_FMT)
+    if len(payload) < hdr.size:
         return []
     (ver, count, sysuptime, unix_secs, unix_nsecs, seqno, _et, _eid, _smp) = (
-        V5_HEADER.unpack_from(payload, 0)
+        hdr.unpack_from(payload, 0)
     )
     if ver != 5:
         return []
     out = []
-    off = V5_HEADER.size
+    off = hdr.size
     base_ms = unix_secs * 1000 + unix_nsecs // 1_000_000 - sysuptime
     for _ in range(count):
-        if off + V5_RECORD.size > len(payload):
+        if off + rec.size > len(payload):
             break  # truncated datagram: keep what parsed (reference logs+skips)
         (
             src, dst, _nh, inp, outp, pkts, octets, first, last,
             sport, dport, _pad, flags, proto, tos, sas, das,
             _smask, _dmask, _pad2,
-        ) = V5_RECORD.unpack_from(payload, off)
-        off += V5_RECORD.size
+        ) = rec.unpack_from(payload, off)
+        off += rec.size
         out.append(
             (
                 exporter, seqno, src, dst, inp, outp, pkts, octets,
@@ -126,8 +130,8 @@ V9_IE_COLUMNS = {
     22: "ts_ms",
 }
 
-V9_HEADER = struct.Struct("!HHIIII")  # 20 bytes
-SET_HEADER = struct.Struct("!HH")
+V9_HEADER_FMT = "!HHIIII"  # 20 bytes
+V9_HEADER = struct.Struct(V9_HEADER_FMT)
 
 
 def _uint(b: bytes) -> int:
@@ -139,18 +143,20 @@ def _v9_packet(
     payload: bytes,
     templates: dict[tuple[str, int, int], list[tuple[int, int]]],
 ) -> list[dict]:
-    if len(payload) < V9_HEADER.size:
+    if len(payload) < 20:
         return []
-    ver, _count, _uptime, _secs, seqno, source_id = V9_HEADER.unpack_from(payload, 0)
+    ver, _count, _uptime, _secs, seqno, source_id = struct.unpack_from(
+        V9_HEADER_FMT, payload, 0
+    )
     if ver != 9:
         return []
     out: list[dict] = []
-    off = V9_HEADER.size
-    while off + SET_HEADER.size <= len(payload):
-        set_id, set_len = SET_HEADER.unpack_from(payload, off)
-        if set_len < SET_HEADER.size:
+    off = 20
+    while off + 4 <= len(payload):
+        set_id, set_len = struct.unpack_from("!HH", payload, off)
+        if set_len < 4:
             break
-        body = payload[off + SET_HEADER.size : off + set_len]
+        body = payload[off + 4 : off + set_len]
         off += set_len
         if set_id == 0:  # template flowset
             p = 0

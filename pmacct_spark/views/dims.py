@@ -85,10 +85,21 @@ SELECT '192.0.2.' || CAST(r_regionkey AS {{STR}}),
 FROM region CROSS JOIN nation WHERE n_nationkey < 16
 """
 
+# flow_to_rd map (CONFIG-KEYS flow_to_rd_map; handlers in
+# src/pretag_handlers.c): (exporter, input ifindex) -> MPLS VPN RD.
+_FLOW_TO_RD_SQL = """
+SELECT '192.0.2.' || CAST(r_regionkey AS {STR}) AS peer_ip,
+       CAST(n_nationkey % 8 AS BIGINT) AS iface,
+       '0:64512:' || CAST(r_regionkey * 8 + (n_nationkey % 8) AS {STR}) AS mpls_vpn_rd
+FROM region CROSS JOIN nation
+WHERE n_nationkey < 8
+"""
+
 NETWORKS_DUCK = _NETWORKS_SQL
 GEOIP_DUCK = _GEOIP_SQL
 SAMPLING_MAP_DUCK = _SAMPLING_MAP_SQL.replace("{STR}", "VARCHAR")
 BGP_RIB_DUCK = _BGP_RIB_SQL.replace("{STR}", "VARCHAR")
+FLOW_TO_RD_DUCK = _FLOW_TO_RD_SQL.replace("{STR}", "VARCHAR")
 
 
 def _run(spark: SparkSession, sf_dir: str, sql: str, tables: list[str]) -> DataFrame:
@@ -114,4 +125,10 @@ def sampling_map_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
 def bgp_rib_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _run(
         spark, sf_dir, _BGP_RIB_SQL.replace("{STR}", "STRING"), ["region", "nation"]
+    )
+
+
+def flow_to_rd_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _run(
+        spark, sf_dir, _FLOW_TO_RD_SQL.replace("{STR}", "STRING"), ["region", "nation"]
     )

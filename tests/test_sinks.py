@@ -106,3 +106,37 @@ def test_tee_routing(spark):
     pooled = parts["pooled"]
     per_ep = {r["endpoint"]: r["n"] for r in pooled.groupBy("endpoint").agg(F.count("*").alias("n")).collect()}
     assert set(per_ep) == {"h1:2055", "h2:2055"}
+
+
+def test_nfprobe_v5_roundtrip(spark):
+    """encode_v5 -> decode_v5 is lossless for the v5 field set."""
+    from pmacct_spark.sinks.nfprobe import encode_v5
+    from pmacct_spark.streaming.decode import decode_v5
+
+    fl = (
+        flows(spark, SF_DIR)
+        .selectExpr(
+            "ip_src_i", "ip_dst_i", "iface_in", "iface_out", "packets",
+            "bytes", "unix_micros(CAST(ts AS TIMESTAMP)) DIV 1000 AS ts_ms",
+            "unix_micros(CAST(end_ts AS TIMESTAMP)) DIV 1000 AS end_ts_ms",
+            "port_src", "port_dst", "tcp_flags", "ip_proto", "tos",
+            "as_src", "as_dst",
+        )
+        .limit(100)
+        .coalesce(1)
+        .localCheckpoint(eager=True)
+    )
+    dgrams = encode_v5(fl).localCheckpoint(eager=True)
+    n_dg = dgrams.count()
+    assert n_dg == 4  # 100 rows / 30 per datagram
+    back = decode_v5(dgrams.select("exporter_ip", "payload"))
+    a = fl.agg(
+        F.sum("bytes"), F.sum("packets"), F.sum("ts_ms"), F.sum("end_ts_ms"),
+        F.sum("ip_src_i"), F.sum("port_src"),
+    ).first()
+    b = back.agg(
+        F.sum("bytes"), F.sum("packets"), F.sum("ts_ms"), F.sum("end_ts_ms"),
+        F.sum("ip_src_i"), F.sum("port_src"),
+    ).first()
+    assert tuple(a) == tuple(b)
+    assert back.count() == 100
