@@ -1,0 +1,127 @@
+"""Gated queries: streaming-telemetry JSON decode (reference
+src/telemetry/telemetry.c:72 — TCP/UDP/gRPC JSON lines -> rows via
+from_json), custom primitives (aggregate_primitives map, reference
+src/cfg.h:45-63, CONFIG-KEYS:174-181), label rendering (key%value
+pairs, pkt_vlen_hdr_primitives src/network.h:520-523), and the
+bgp_peer_src_as override map (reference src/pretag.c:43-47)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from pmacct_spark.config import PluginConfig
+from pmacct_spark.driver_queries import flows, register
+from pmacct_spark.pipeline import build_aggregation
+from pmacct_spark.registry import register_custom
+from pmacct_spark.sources.tables import load_table
+from pmacct_spark.views.flows import FLOWS_DUCK_CTE
+
+
+# --- telemetry JSON payload decode: parse the props JSON, extract a
+#     metric, aggregate per device (event_type stands in for the YANG
+#     path). from_json keeps the parse JVM-side and vectorized.
+@register(
+    "telemetry_json_metrics",
+    """
+SELECT event_type AS sensor_path,
+       CAST(SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS k_sum,
+       CAST(MAX(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS k_max,
+       COUNT(*) AS n
+FROM events GROUP BY 1""",
+)
+def telemetry_json_metrics(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    parsed = ev.withColumn(
+        "k", F.from_json("props", "k BIGINT").getField("k")
+    )
+    return parsed.groupBy(F.col("event_type").alias("sensor_path")).agg(
+        F.sum("k").alias("k_sum"),
+        F.max("k").alias("k_max"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+# --- custom primitive: a user-declared column (decoded at source in
+#     the reference, e.g. from an IPFIX enterprise IE) participating in
+#     `aggregate` like any built-in. Here: app_class derived from the
+#     telemetry payload.
+@register(
+    "custom_primitive_agg",
+    f"""{FLOWS_DUCK_CTE}
+SELECT CAST(json_extract(e.props, '$.k') AS BIGINT) % 10 AS app_class,
+       CAST(SUM(f.bytes) AS BIGINT) AS bytes,
+       CAST(SUM(f.packets) AS BIGINT) AS packets,
+       CAST(SUM(f.flows) AS BIGINT) AS flows
+FROM flows f JOIN events e ON f.event_id = e.event_id
+GROUP BY 1""",
+)
+def custom_primitive_agg(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events").select("event_id", "props")
+    fl = flows(spark, sf_dir).join(ev, "event_id")
+    fl = fl.withColumn(
+        "app_class",
+        F.from_json("props", "k BIGINT").getField("k") % 10,
+    )
+    register_custom("app_class", "app_class", "bigint")
+    cfg = PluginConfig(aggregate=["app_class"])
+    return build_aggregation(fl, cfg)
+
+
+# --- label primitive: key%value pair list rendered the way pmacct
+#     prints labels (vlen primitive, src/network.h:520-523)
+@register(
+    "label_render",
+    f"""{FLOWS_DUCK_CTE}
+SELECT 'exporter%' || peer_ip_src || ',proto%' || CAST(ip_proto AS VARCHAR)
+         AS label,
+       CAST(SUM(bytes) AS BIGINT) AS bytes, COUNT(*) AS flows
+FROM flows GROUP BY 1""",
+)
+def label_render(spark, sf_dir):
+    fl = flows(spark, sf_dir)
+    label = F.concat(
+        F.lit("exporter%"), F.col("peer_ip_src"),
+        F.lit(",proto%"), F.col("ip_proto").cast("string"),
+    )
+    return (
+        fl.withColumn("label", label)
+        .groupBy("label")
+        .agg(
+            F.sum("bytes").cast("bigint").alias("bytes"),
+            F.count(F.lit(1)).alias("flows"),
+        )
+    )
+
+
+# --- bgp_peer_src_as override map: exporter -> fixed peer AS
+#     (reference src/pretag.c:43-47,284-290) — broadcast equi join
+@register(
+    "bgp_peer_src_as_map",
+    f"""{FLOWS_DUCK_CTE},
+m AS (
+  SELECT '192.0.2.' || CAST(r_regionkey AS VARCHAR) AS peer_ip,
+         CAST(64512 + r_regionkey AS BIGINT) AS peer_src_as
+  FROM region
+)
+SELECT m.peer_src_as, CAST(SUM(f.bytes) AS BIGINT) AS bytes,
+       COUNT(*) AS flows
+FROM flows f JOIN m ON f.peer_ip_src = m.peer_ip
+GROUP BY 1""",
+)
+def bgp_peer_src_as_map(spark, sf_dir):
+    region = load_table(spark, sf_dir, "region")
+    m = region.select(
+        F.concat(F.lit("192.0.2."), F.col("r_regionkey").cast("string")).alias(
+            "peer_ip"
+        ),
+        (F.lit(64512) + F.col("r_regionkey")).cast("bigint").alias("peer_src_as"),
+    )
+    fl = flows(spark, sf_dir)
+    return (
+        fl.join(F.broadcast(m), fl.peer_ip_src == m.peer_ip)
+        .groupBy("peer_src_as")
+        .agg(
+            F.sum("bytes").cast("bigint").alias("bytes"),
+            F.count(F.lit(1)).alias("flows"),
+        )
+    )

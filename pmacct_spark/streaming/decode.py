@@ -217,3 +217,207 @@ def decode_v9(datagrams: DataFrame) -> DataFrame:
 def prepare_datagrams(df: DataFrame, order_col: str = "arrival_seq") -> DataFrame:
     """Shard by exporter and order within shard — the decode contract."""
     return df.repartition(F.col("exporter_ip")).sortWithinPartitions(order_col)
+
+
+# ---------------------------------------------------------------------------
+# IPFIX (NetFlow v10)
+# ---------------------------------------------------------------------------
+
+V10_HEADER_FMT = "!HHIII"  # 16 bytes: ver, length, export_time, seqno, domain
+
+
+def _v10_packet(
+    exporter: str,
+    payload: bytes,
+    templates: dict[tuple[str, int, int], list[tuple[int, int]]],
+) -> list[dict]:
+    """IPFIX decode (process_v9_packet handles v10 too, reference
+    src/nfacctd.c:1806): 16-byte header, template set id 2, enterprise
+    IEs (high bit) carry a 4-byte PEN after the length."""
+    if len(payload) < 16:
+        return []
+    ver, _length, _etime, seqno, domain = struct.unpack_from(
+        V10_HEADER_FMT, payload, 0
+    )
+    if ver != 10:
+        return []
+    out: list[dict] = []
+    off = 16
+    while off + 4 <= len(payload):
+        set_id, set_len = struct.unpack_from("!HH", payload, off)
+        if set_len < 4:
+            break
+        body = payload[off + 4 : off + set_len]
+        off += set_len
+        if set_id == 2:  # template set
+            p = 0
+            while p + 4 <= len(body):
+                tid, nfields = struct.unpack_from("!HH", body, p)
+                p += 4
+                fields = []
+                for _ in range(nfields):
+                    if p + 4 > len(body):
+                        break
+                    ie, ln = struct.unpack_from("!HH", body, p)
+                    p += 4
+                    if ie & 0x8000:  # enterprise IE: PEN follows
+                        p += 4
+                        ie = ie & 0x7FFF
+                    fields.append((ie, ln))
+                templates[(exporter, domain, tid)] = fields
+        elif set_id >= 256:
+            tmpl = templates.get((exporter, domain, set_id))
+            if tmpl is None:
+                continue
+            rec_len = sum(ln for _, ln in tmpl)
+            if rec_len == 0:
+                continue
+            p = 0
+            while p + rec_len <= len(body):
+                rec = {"exporter_ip": exporter, "seqno": seqno}
+                for ie, ln in tmpl:
+                    col = V9_IE_COLUMNS.get(ie)
+                    if col is not None:
+                        rec[col] = _uint(body[p : p + ln])
+                    p += ln
+                out.append(rec)
+    return out
+
+
+def decode_any(datagrams: DataFrame) -> DataFrame:
+    """Version-dispatch decoder: v5 / v9 / IPFIX datagrams mixed on one
+    socket (reference src/nfacctd.c:1649-1654). Same partition contract
+    as decode_v9."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        templates: dict[tuple[str, int, int], list[tuple[int, int]]] = {}
+        cols = [f.name for f in FLOW_SCHEMA.fields]
+        for pdf in batches:
+            rows: list = []
+            for exporter, payload in zip(pdf["exporter_ip"], pdf["payload"]):
+                b = bytes(payload)
+                ver = int.from_bytes(b[:2], "big") if len(b) >= 2 else 0
+                if ver == 5:
+                    rows.extend(
+                        dict(zip(cols, r)) for r in _v5_rows(exporter, b)
+                    )
+                elif ver == 9:
+                    rows.extend(_v9_packet(exporter, b, templates))
+                elif ver == 10:
+                    rows.extend(_v10_packet(exporter, b, templates))
+            yield pd.DataFrame(
+                [[r.get(c) for c in cols] for r in rows], columns=cols
+            )
+
+    return datagrams.mapInPandas(gen, FLOW_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# sFlow v5 (flow samples with raw packet headers)
+# ---------------------------------------------------------------------------
+
+def _sflow_parse_raw_header(hdr: bytes) -> dict | None:
+    """Ethernet -> IPv4 -> TCP/UDP dissection of a sampled header
+    (reference sfacctd feeds the same L2 parse as pmacctd:
+    eth_handler src/ll.c:29, ip_handler src/nl.c)."""
+    if len(hdr) < 14:
+        return None
+    ethertype = int.from_bytes(hdr[12:14], "big")
+    if ethertype != 0x0800:
+        return None  # non-IPv4: out of scope
+    ip = hdr[14:]
+    if len(ip) < 20:
+        return None
+    ihl = (ip[0] & 0x0F) * 4
+    proto = ip[9]
+    rec = {
+        "tos": ip[1],
+        "ip_proto": proto,
+        "ip_src_i": int.from_bytes(ip[12:16], "big"),
+        "ip_dst_i": int.from_bytes(ip[16:20], "big"),
+        "port_src": 0,
+        "port_dst": 0,
+        "tcp_flags": 0,
+    }
+    l4 = ip[ihl:]
+    if proto in (6, 17) and len(l4) >= 4:
+        rec["port_src"] = int.from_bytes(l4[0:2], "big")
+        rec["port_dst"] = int.from_bytes(l4[2:4], "big")
+        if proto == 6 and len(l4) >= 14:
+            rec["tcp_flags"] = l4[13]
+    return rec
+
+
+def _sflow_datagram(exporter: str, payload: bytes) -> list[dict]:
+    if len(payload) < 28:
+        return []
+    ver, ipver = struct.unpack_from("!II", payload, 0)
+    if ver != 5 or ipver != 1:
+        return []
+    agent = struct.unpack_from("!I", payload, 8)[0]
+    _sub, seqno, _uptime, nsamples = struct.unpack_from("!IIII", payload, 12)
+    out: list[dict] = []
+    off = 28
+    for _ in range(nsamples):
+        if off + 8 > len(payload):
+            break
+        stype, slen = struct.unpack_from("!II", payload, off)
+        body = payload[off + 8 : off + 8 + slen]
+        off += 8 + slen
+        if stype != 1 or len(body) < 32:  # flow sample only
+            continue
+        (_sseq, _src_id, rate, _pool, _drops, s_in, s_out, nrec) = struct.unpack_from(
+            "!IIIIIIII", body, 0
+        )
+        p = 32
+        for _ in range(nrec):
+            if p + 8 > len(body):
+                break
+            rtype, rlen = struct.unpack_from("!II", body, p)
+            rbody = body[p + 8 : p + 8 + rlen]
+            p += 8 + rlen
+            if rtype != 1 or len(rbody) < 16:  # raw packet header record
+                continue
+            _hproto, frame_len, _stripped, hlen = struct.unpack_from("!IIII", rbody, 0)
+            parsed = _sflow_parse_raw_header(rbody[16 : 16 + hlen])
+            if parsed is None:
+                continue
+            parsed.update(
+                exporter_ip=exporter,
+                seqno=seqno,
+                bytes=frame_len,
+                packets=1,
+                iface_in=s_in,
+                iface_out=s_out,
+                as_src=0,
+                as_dst=0,
+                ts_ms=None,
+                end_ts_ms=None,
+                sampling_rate=rate,
+            )
+            out.append(parsed)
+    _ = agent
+    return out
+
+
+# note: StructType.add mutates in place — build a fresh copy
+SFLOW_SCHEMA = T.StructType(
+    list(FLOW_SCHEMA.fields) + [T.StructField("sampling_rate", T.LongType())]
+)
+
+
+def decode_sflow5(datagrams: DataFrame) -> DataFrame:
+    """Decode sFlow v5 flow samples (raw-header records) into flow rows
+    carrying the sample's sampling_rate for renormalization."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = [f.name for f in SFLOW_SCHEMA.fields]
+        for pdf in batches:
+            rows: list[dict] = []
+            for exporter, payload in zip(pdf["exporter_ip"], pdf["payload"]):
+                rows.extend(_sflow_datagram(exporter, bytes(payload)))
+            yield pd.DataFrame(
+                [[r.get(c) for c in cols] for r in rows], columns=cols
+            )
+
+    return datagrams.mapInPandas(gen, SFLOW_SCHEMA)

@@ -167,3 +167,86 @@ def test_decode_v9_template_state(spark):
     assert len(out) == 2  # early + wrong-scope dropped
     assert out[0]["ip_src_i"] == 0x0A000001 and out[0]["bytes"] == 1500
     assert out[1]["ip_proto"] == 17 and out[1]["packets"] == 2
+
+
+def _v10_template(tid: int) -> bytes:
+    # srcaddr(8,4) dstaddr(12,4) bytes(1,4) pkts(2,4) proto(4,1) + one
+    # enterprise IE (0x8000|99, len 2, PEN 4242) that must be skipped
+    body = struct.pack("!HH", tid, 6)
+    for ie, ln in [(8, 4), (12, 4), (1, 4), (2, 4), (4, 1)]:
+        body += struct.pack("!HH", ie, ln)
+    body += struct.pack("!HHI", 0x8000 | 99, 2, 4242)
+    return struct.pack("!HH", 2, 4 + len(body)) + body
+
+
+def _v10_data(tid: int, recs: list[tuple]) -> bytes:
+    body = b""
+    for src, dst, byt, pk, proto, ent in recs:
+        body += struct.pack("!IIIIBH", src, dst, byt, pk, proto, ent)
+    return struct.pack("!HH", tid, 4 + len(body)) + body
+
+
+def _v10_packet_bytes(seqno: int, domain: int, sets: list[bytes]) -> bytes:
+    length = 16 + sum(len(s) for s in sets)
+    return struct.pack("!HHIII", 10, length, 1_700_000_000, seqno, domain) + b"".join(sets)
+
+
+def test_decode_ipfix_and_mixed_dispatch(spark):
+    """IPFIX templates (set id 2, enterprise IEs skipped) decode; a v5
+    datagram on the same 'socket' dispatches by version."""
+    from pmacct_spark.streaming.decode import decode_any
+
+    tid = 300
+    pkts = [
+        ("203.0.113.1", 1, _v10_packet_bytes(1, 7, [_v10_template(tid)])),
+        ("203.0.113.1", 2, _v10_packet_bytes(2, 7, [_v10_data(tid, [
+            (0x0A000001, 0x0A000002, 777, 3, 6, 1),
+        ])])),
+        ("203.0.113.1", 3, _v5_datagram(9, [
+            {"src": 0x0A000003, "dst": 0x0A000004, "pkts": 2, "bytes": 99,
+             "sport": 80, "dport": 8080},
+        ])),
+    ]
+    dg = prepare_datagrams(
+        spark.createDataFrame(
+            [(e, s, bytearray(p)) for e, s, p in pkts],
+            "exporter_ip string, arrival_seq int, payload binary",
+        )
+    )
+    out = {r["bytes"]: r for r in decode_any(dg).collect()}
+    assert set(out) == {777, 99}
+    assert out[777]["ip_src_i"] == 0x0A000001 and out[777]["packets"] == 3
+    assert out[99]["port_dst"] == 8080
+
+
+def _eth_ipv4_tcp(src: int, dst: int, sport: int, dport: int, flags: int = 0x18) -> bytes:
+    eth = b"\x02" * 6 + b"\x04" * 6 + b"\x08\x00"
+    ip = bytes([0x45, 0]) + (40).to_bytes(2, "big") + b"\x00" * 4 + bytes(
+        [64, 6]
+    ) + b"\x00\x00" + src.to_bytes(4, "big") + dst.to_bytes(4, "big")
+    tcp = sport.to_bytes(2, "big") + dport.to_bytes(2, "big") + b"\x00" * 9 + bytes(
+        [flags]
+    ) + b"\x00" * 6
+    return eth + ip + tcp
+
+
+def test_decode_sflow5(spark):
+    from pmacct_spark.streaming.decode import decode_sflow5
+
+    hdr = _eth_ipv4_tcp(0x0A000001, 0x0A000002, 443, 55555)
+    raw_rec = struct.pack("!IIII", 1, 1400, 4, len(hdr)) + hdr
+    flow_sample = struct.pack(
+        "!IIIIIIII", 10, 1, 2048, 99999, 0, 3, 4, 1
+    ) + struct.pack("!II", 1, len(raw_rec)) + raw_rec
+    dgram = struct.pack(
+        "!IIIIIII", 5, 1, 0xC0000201, 0, 77, 123456, 1
+    ) + struct.pack("!II", 1, len(flow_sample)) + flow_sample
+    dg = spark.createDataFrame(
+        [("192.0.2.10", bytearray(dgram))], "exporter_ip string, payload binary"
+    )
+    out = decode_sflow5(dg).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["ip_src_i"] == 0x0A000001 and r["port_src"] == 443
+    assert r["bytes"] == 1400 and r["sampling_rate"] == 2048
+    assert r["tcp_flags"] == 0x18 and r["iface_in"] == 3
