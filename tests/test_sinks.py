@@ -140,3 +140,30 @@ def test_nfprobe_v5_roundtrip(spark):
     ).first()
     assert tuple(a) == tuple(b)
     assert back.count() == 100
+
+
+def test_sfprobe_roundtrip(spark):
+    """encode_sflow5 -> decode_sflow5 round-trips the 5-tuple and
+    counters (bytes become the sampled frame length)."""
+    from pmacct_spark.sinks.sfprobe import encode_sflow5
+    from pmacct_spark.streaming.decode import decode_sflow5
+
+    fl = (
+        flows(spark, SF_DIR)
+        .filter("ip_proto IN (6, 17)")
+        .select(
+            "ip_src_i", "ip_dst_i", "port_src", "port_dst", "ip_proto",
+            "tos", "tcp_flags", "bytes", "iface_in", "iface_out",
+        )
+        .limit(25)
+        .coalesce(1)
+        .localCheckpoint(eager=True)
+    )
+    dg = encode_sflow5(fl, sampling_rate=64).localCheckpoint(eager=True)
+    assert dg.count() == 3  # 25 samples / 10 per datagram
+    back = decode_sflow5(dg.select("exporter_ip", "payload"))
+    assert back.count() == 25
+    a = fl.agg(F.sum("bytes"), F.sum("ip_src_i"), F.sum("port_dst"), F.sum("tcp_flags")).first()
+    b = back.agg(F.sum("bytes"), F.sum("ip_src_i"), F.sum("port_dst"), F.sum("tcp_flags")).first()
+    assert tuple(a) == tuple(b)
+    assert back.filter("sampling_rate <> 64").count() == 0

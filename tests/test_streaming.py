@@ -250,3 +250,86 @@ def test_decode_sflow5(spark):
     assert r["ip_src_i"] == 0x0A000001 and r["port_src"] == 443
     assert r["bytes"] == 1400 and r["sampling_rate"] == 2048
     assert r["tcp_flags"] == 0x18 and r["iface_in"] == 3
+
+
+def test_flow_cache_stateful(spark, tmp_path):
+    """applyInPandasWithState flow cache: every session CLOSED by a
+    later record (gap > idle) is emitted; the final open session per key
+    stays in state — matching the batch sessionizer minus open tails."""
+    from pmacct_spark.operators.sessionize import sessionize
+    from pmacct_spark.sources.tables import load_table
+    from pmacct_spark.streaming.stateful import flow_cache
+
+    idle = 4 * 3600
+    ev = load_table(spark, SF_DIR, "events").selectExpr(
+        "user_id % 5 AS grp", "ts", "CAST(1 AS BIGINT) AS bytes",
+        "CAST(1 AS BIGINT) AS packets", "event_id",
+    )
+    # two time-ordered files -> two microbatches (cross-batch state)
+    mid = ev.selectExpr("percentile_approx(ts, 0.5) AS m").first()["m"]
+    src = str(tmp_path / "stream_src")
+    # deterministic file order: the file source lists by path, so name
+    # the two batches explicitly
+    import glob
+    import os
+    import shutil
+
+    os.makedirs(src)
+    for i, part in enumerate(
+        (ev.filter(F.col("ts") <= mid), ev.filter(F.col("ts") > mid))
+    ):
+        d = str(tmp_path / f"half{i}")
+        part.coalesce(1).write.parquet(d)
+        shutil.move(glob.glob(f"{d}/part-*.parquet")[0], f"{src}/{i:02d}.parquet")
+
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+        .withColumn("__evt", F.col("ts").cast("timestamp"))
+        .withWatermark("__evt", "1 hour")
+    )
+    q = (
+        flow_cache(stream, ["grp"], idle)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("t_cache")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = spark.table("t_cache")
+
+    batch = sessionize(ev, ["grp"], "ts", idle, order_tiebreak=["event_id"])
+    sessions = batch.groupBy("grp", "session_id").agg(
+        F.count(F.lit(1)).alias("n_records"), F.max("ts").alias("s_end")
+    )
+    total = sessions.count()
+    # expected emissions: every gap-closed session, PLUS tail sessions
+    # whose idle timeout precedes the final watermark (max ts - delay)
+    max_ts = ev.agg(F.max("ts")).first()[0]
+    import datetime
+
+    wm_final = max_ts - datetime.timedelta(hours=1)
+    tails = sessions.withColumn(
+        "is_tail",
+        F.col("session_id")
+        == F.max("session_id").over(
+            __import__("pyspark").sql.Window.partitionBy("grp")
+        ),
+    )
+    surviving_tails = tails.filter(
+        F.col("is_tail")
+        & (
+            F.col("s_end") + F.expr(f"INTERVAL {idle} SECOND")
+            >= F.lit(wm_final)
+        )
+    ).count()
+    assert got.count() == total - surviving_tails > 0
+    # closed sessions carry correct record counts
+    j = got.join(
+        sessions.withColumnRenamed("n_records", "want_n"),
+        (got.grp == sessions.grp)
+        & (F.expr("session_end_ms") == F.expr("unix_micros(CAST(s_end AS TIMESTAMP)) DIV 1000")),
+    )
+    assert j.filter("n_records <> want_n").count() == 0
