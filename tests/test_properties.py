@@ -1,0 +1,183 @@
+"""Property-based tests (hypothesis): randomized inputs against
+independent Python reference implementations. The reference repo has no
+property tests (SURVEY.md §5); these cover the algebraically subtle
+operators where a worked example can miss edge cases.
+"""
+
+from __future__ import annotations
+
+from hypothesis import given, settings, strategies as st
+
+from pmacct_spark.functions.hashing import MUL, P
+from pmacct_spark.operators.fss import fss_sample
+from pmacct_spark.operators.lpm import lpm_join
+from pmacct_spark.operators.sessionize import sessionize
+
+SET = settings(max_examples=8, deadline=None)
+
+
+# ---------------------------------------------------------------------------
+# LPM vs brute-force longest-prefix match
+# ---------------------------------------------------------------------------
+
+prefix_st = st.tuples(
+    st.integers(min_value=0, max_value=(1 << 32) - 1),  # base ip
+    st.integers(min_value=0, max_value=32),  # masklen
+    st.integers(min_value=1, max_value=99),  # attr
+)
+
+
+def _ref_lpm(ip: int, prefixes: list[tuple[int, int, int]]):
+    """Python reference: longest matching prefix wins (first by attr on
+    exact (net, mask) duplicates is irrelevant — we dedupe)."""
+    best = None
+    for net, mask, attr in prefixes:
+        shift = 32 - mask
+        if (ip >> shift) == (net >> shift):
+            if best is None or mask > best[0]:
+                best = (mask, attr)
+    return best[1] if best else None
+
+
+@SET
+@given(
+    st.lists(prefix_st, min_size=1, max_size=12, unique_by=lambda p: (p[0] >> (32 - p[1]) if p[1] else 0, p[1])),
+    st.lists(st.integers(min_value=0, max_value=(1 << 32) - 1), min_size=1, max_size=20),
+)
+def test_lpm_join_matches_reference(spark, prefixes, ips):
+    nets = spark.createDataFrame(
+        [
+            ((net >> (32 - m)) << (32 - m) if m else 0, m, a)
+            for net, m, a in prefixes
+        ],
+        "net_int long, masklen int, attr long",
+    )
+    fl = spark.createDataFrame([(i, ip) for i, ip in enumerate(ips)], "rid long, ip long")
+    got = {
+        r["rid"]: r["out_attr"]
+        for r in lpm_join(fl, nets, "ip", {"attr": "out_attr"}).collect()
+    }
+    canon = [
+        (((net >> (32 - m)) << (32 - m)) if m else 0, m, a) for net, m, a in prefixes
+    ]
+    for i, ip in enumerate(ips):
+        assert got[i] == _ref_lpm(ip, canon), f"ip={ip}"
+
+
+# ---------------------------------------------------------------------------
+# fss invariants
+# ---------------------------------------------------------------------------
+
+@SET
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=1, max_value=2_000_000),  # bytes
+            st.integers(min_value=1, max_value=1000),  # packets
+        ),
+        min_size=1,
+        max_size=30,
+    ),
+    st.integers(min_value=10, max_value=1_000_000),
+)
+def test_fss_invariants(spark, rows, t):
+    rows = [(i, b, max(1, min(p, b))) for i, (b, p) in enumerate(rows)]
+    df = spark.createDataFrame(rows, "k long, bytes long, packets long")
+    out = fss_sample(df, t, ["k"]).collect()
+    by_k = {r["k"]: r for r in out}
+    total_small = 0
+    for k, b, p in rows:
+        if b >= t:
+            # big flows always survive, unchanged
+            assert by_k[k]["bytes"] == b and by_k[k]["packets"] == p
+        else:
+            total_small += b
+            if k in by_k:  # surviving small flows renormalize to t
+                assert by_k[k]["bytes"] == t
+                assert by_k[k]["packets"] == t // (b // p)
+    # exactly floor(sum_small/t) small flows survive (each small flow
+    # advances the accumulator by < t, so every crossing keeps one):
+    # the estimator's total-byte preservation property
+    n_small_kept = sum(1 for k, b, p in rows if b < t and k in by_k)
+    assert n_small_kept == total_small // t
+
+
+# ---------------------------------------------------------------------------
+# sessionize invariants
+# ---------------------------------------------------------------------------
+
+@SET
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=3),  # key
+            st.integers(min_value=0, max_value=100_000),  # ts offset seconds
+        ),
+        min_size=1,
+        max_size=40,
+    ),
+    st.integers(min_value=1, max_value=5000),
+)
+def test_sessionize_invariants(spark, rows, gap):
+    data = [
+        (i, k, f"2024-01-01 00:00:00", s) for i, (k, s) in enumerate(rows)
+    ]
+    df = spark.createDataFrame(
+        data, "rid long, k long, base string, off long"
+    ).selectExpr(
+        "rid", "k",
+        "CAST(CAST(base AS TIMESTAMP_NTZ) + make_interval(0,0,0,0,0,0,off) AS TIMESTAMP_NTZ) AS ts",
+    )
+    out = sessionize(df, ["k"], "ts", gap, order_tiebreak=["rid"]).collect()
+    assert len(out) == len(rows)  # no records lost
+    # within a key: same session <=> consecutive gaps all <= gap
+    per_key: dict = {}
+    for r in out:
+        per_key.setdefault(r["k"], []).append((r["ts"], r["rid"], r["session_id"]))
+    for k, lst in per_key.items():
+        lst.sort()
+        for (t1, _, s1), (t2, _, s2) in zip(lst, lst[1:]):
+            d = (t2 - t1).total_seconds()
+            if d > gap:
+                assert s2 == s1 + 1
+            else:
+                assert s2 == s1
+        assert lst[0][2] == 0  # first session is 0
+
+
+# ---------------------------------------------------------------------------
+# token-state shingle hash == direct polynomial hash of the string
+# ---------------------------------------------------------------------------
+
+def _poly(s: str) -> int:
+    acc = 0
+    for ch in s:
+        acc = (acc * MUL + ord(ch)) % P
+    return acc
+
+
+@SET
+@given(
+    st.lists(
+        st.text(alphabet=st.characters(min_codepoint=33, max_codepoint=126), min_size=1, max_size=8),
+        min_size=3,
+        max_size=12,
+    )
+)
+def test_shingle_hash_equals_string_hash(spark, tokens):
+    from pmacct_spark.operators.dedup import shingle_hash_sets
+
+    text = " ".join(tokens)
+    got = shingle_hash_sets(
+        spark.createDataFrame([(1, text)], "doc_id long, text string"),
+        "doc_id",
+        "text",
+    ).collect()[0]["hvs"]
+    toks = [t.lower() for t in tokens]
+    want = sorted(
+        {
+            _poly(" ".join(toks[i : i + 3]))
+            for i in range(len(toks) - 2)
+        }
+    )
+    assert sorted(got) == want
