@@ -89,10 +89,10 @@ def _token_states_spark(text_col: str) -> str:
 
     return (
         f"transform(split(lower({text_col}), '\\\\s+'), t -> "
-        f"aggregate(transform(sequence(1, length(t)), j -> ascii(substr(t, j, 1))), "
+        f"aggregate(split(t, ''), "
         f"named_struct('h', 0L, 'p', 1L), "
-        f"(acc, ch) -> named_struct("
-        f"'h', (acc.h * {MUL} + ch) % {P}, 'p', (acc.p * {MUL}) % {P})))"
+        f"(acc, c) -> named_struct("
+        f"'h', (acc.h * {MUL} + ascii(c)) % {P}, 'p', (acc.p * {MUL}) % {P})))"
     )
 
 

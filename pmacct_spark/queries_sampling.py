@@ -157,3 +157,32 @@ SELECT COALESCE(CAST(as_src AS STRING), '') AS src_as,
 FROM __gs_flows
 GROUP BY GROUPING SETS ((as_src), (ip_proto), (peer_ip_src))"""
     )
+
+
+# --- salted aggregation: the skew-mitigation physical shape must equal
+#     the plain groupBy bit-for-bit (sums are associative) — same
+#     oracle as a straight aggregation over a deliberately skewed key
+@register(
+    "salted_skew_agg",
+    f"""{FLOWS_DUCK_CTE}
+SELECT ip_proto AS proto,
+       CAST(SUM(bytes) AS BIGINT) AS bytes,
+       CAST(SUM(packets) AS BIGINT) AS packets,
+       CAST(MAX(bytes) AS BIGINT) AS max_bytes
+FROM flows GROUP BY 1""",
+)
+def salted_skew_agg(spark, sf_dir):
+    from pmacct_spark.operators.salt import salted_agg
+
+    fl = flows(spark, sf_dir).withColumn("proto", F.col("ip_proto"))
+    return salted_agg(
+        fl,
+        ["proto"],
+        {
+            "bytes": ("sum", "bytes"),
+            "packets": ("sum", "packets"),
+            "max_bytes": ("max", "bytes"),
+        },
+        salt_buckets=16,
+        salt_on="event_id",
+    )

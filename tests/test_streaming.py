@@ -333,3 +333,36 @@ def test_flow_cache_stateful(spark, tmp_path):
         & (F.expr("session_end_ms") == F.expr("unix_micros(CAST(s_end AS TIMESTAMP)) DIV 1000")),
     )
     assert j.filter("n_records <> want_n").count() == 0
+
+
+def test_multi_plugin_fanout(spark):
+    """The reference fans one stream out to N plugin channels
+    (exec_plugins, src/plugin_hooks.c:376); here: N concurrent
+    streaming queries over ONE source DataFrame, each with its own
+    aggregate set and filter, each matching its batch twin."""
+    src = flows_stream(spark, SF_DIR)
+    cfgs = {
+        "chan_proto": PluginConfig(aggregate=["proto"], history="1h"),
+        "chan_tcp_port": PluginConfig(
+            aggregate=["dst_port"], history="1h", aggregate_filter="ip_proto = 6"
+        ),
+    }
+    queries = {
+        name: stream_aggregation(src, cfg)
+        .writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+        for name, cfg in cfgs.items()
+    }
+    for q in queries.values():
+        q.awaitTermination()
+    for name, cfg in cfgs.items():
+        got = spark.table(name)
+        want = build_aggregation(flows(spark, SF_DIR), cfg)
+        assert got.count() == want.count()
+        assert (
+            got.agg(F.sum("bytes")).first()[0]
+            == want.agg(F.sum("bytes")).first()[0]
+        ), name
