@@ -1,0 +1,91 @@
+"""pmacct-client flag adapter: the reference client's command surface
+(reference src/pmacct.c usage :89-121) mapped onto :class:`ImtTable`.
+
+    pmacct -s                          -> query(table, show_all=True)
+    pmacct -c src_as,dst_as -M <spec>  -> query(table, match=spec)
+    pmacct -c ... -N <spec>            -> counters_only=True
+    pmacct ... -S                      -> sum_matches=True
+    pmacct -T bytes,10                 -> topn=("bytes", 10)
+    pmacct ... -r                      -> reset_after=True
+    pmacct -e                          -> erase=True
+    pmacct -O csv|json|formatted       -> output format
+    pmacct -u                          -> print proto NUMBERS (disable
+                                          presentation rename)
+
+A user of the reference client can express the same request here with
+the same vocabulary; output renders via the presentation functions
+(proto names, tcp-flag strings) unless ``-u``.
+"""
+
+from __future__ import annotations
+
+import json as _json
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from pmacct_spark.client.imt import ImtTable
+from pmacct_spark.functions.presentation import proto_name
+
+
+@dataclass
+class ClientRequest:
+    """One client invocation (flags already parsed)."""
+
+    show_all: bool = False  # -s
+    match: str | None = None  # -M / -N spec
+    counters_only: bool = False  # -N
+    sum_matches: bool = False  # -S
+    topn: tuple[str, int] | None = None  # -T counter,N
+    reset_after: bool = False  # -r
+    erase: bool = False  # -e
+    output: str = "formatted"  # -O
+    numeric_protos: bool = False  # -u
+
+
+def run_client(table: ImtTable, req: ClientRequest) -> DataFrame | None:
+    """Execute one client request against the served table."""
+    if req.erase:
+        table.erase()
+        return None
+    if req.topn:
+        df = table.topn(*req.topn)
+    elif req.match is not None:
+        df = table.match(
+            req.match,
+            counters_only=req.counters_only,
+            sum_matches=req.sum_matches,
+            reset_after=req.reset_after,
+        )
+    elif req.show_all:
+        df = table.stats()
+    else:
+        raise ValueError("one of -s / -M / -N / -T / -e required")
+    if not req.numeric_protos and "proto" in df.columns:
+        df = df.withColumn("proto", proto_name("proto"))
+    return df
+
+
+def render(df: DataFrame, output: str = "formatted") -> str:
+    """Render a client result the way -O does (driver-side, for the
+    interactive path — NOT a data-plane operation)."""
+    rows = df.collect()
+    cols = df.columns
+    if output == "csv":
+        lines = [",".join(cols)]
+        lines += [",".join("" if r[c] is None else str(r[c]) for c in cols) for r in rows]
+        return "\n".join(lines)
+    if output == "json":
+        return "\n".join(_json.dumps({c: r[c] for c in cols}, default=str) for r in rows)
+    if output == "formatted":
+        widths = {
+            c: max(len(c), *(len(str(r[c])) for r in rows)) if rows else len(c)
+            for c in cols
+        }
+        head = "  ".join(c.upper().ljust(widths[c]) for c in cols)
+        body = [
+            "  ".join(str(r[c]).ljust(widths[c]) for c in cols) for r in rows
+        ]
+        return "\n".join([head] + body)
+    raise ValueError(f"unknown output {output!r}")

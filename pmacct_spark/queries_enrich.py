@@ -246,3 +246,67 @@ def flow_to_rd_map(spark, sf_dir):
             F.sum("flows").cast("bigint").alias("flows"),
         )
     )
+
+
+# --- as-of join: a time-versioned sampling map (the map reloads
+#     mid-month with new rates; each flow renormalizes by the rate
+#     valid at its OWN event time — reference live map reload,
+#     src/plugin_common.c:56; time-versioned RIB semantics SURVEY §2.4)
+_ASOF_DIM_DUCK = """
+SELECT '192.0.2.' || CAST(r_regionkey AS VARCHAR) AS peer_ip,
+       TIMESTAMP '2024-01-01 00:00:00' AS valid_from,
+       CAST(CASE r_regionkey % 3 WHEN 0 THEN 1000 WHEN 1 THEN 512 ELSE 64 END AS BIGINT) AS rate
+FROM region
+UNION ALL
+SELECT '192.0.2.' || CAST(r_regionkey AS VARCHAR),
+       TIMESTAMP '2024-01-15 00:00:00',
+       CAST(CASE r_regionkey % 3 WHEN 0 THEN 2000 WHEN 1 THEN 256 ELSE 32 END AS BIGINT)
+FROM region
+"""
+
+
+@register(
+    "as_of_sampling_rate",
+    f"""{FLOWS_DUCK_CTE},
+dim AS ({_ASOF_DIM_DUCK}),
+picked AS (
+  SELECT f.event_id, f.peer_ip_src, f.bytes,
+         arg_max(d.rate, d.valid_from) AS rate
+  FROM flows f JOIN dim d
+    ON f.peer_ip_src = d.peer_ip AND d.valid_from <= f.ts
+  GROUP BY 1, 2, 3
+)
+SELECT peer_ip_src AS exporter, CAST(rate AS BIGINT) AS rate,
+       CAST(SUM(bytes * rate) AS BIGINT) AS bytes_renorm,
+       COUNT(*) AS flows
+FROM picked GROUP BY 1, 2""",
+)
+def as_of_sampling_rate(spark, sf_dir):
+    from pmacct_spark.operators.asof import as_of_join
+    from pmacct_spark.sources.tables import load_table
+
+    region = load_table(spark, sf_dir, "region")
+    dim = region.selectExpr(
+        "'192.0.2.' || CAST(r_regionkey AS STRING) AS peer_ip",
+        "CAST('2024-01-01 00:00:00' AS TIMESTAMP_NTZ) AS valid_from",
+        "CAST(CASE r_regionkey % 3 WHEN 0 THEN 1000 WHEN 1 THEN 512 ELSE 64 END AS BIGINT) AS rate",
+    ).unionByName(
+        region.selectExpr(
+            "'192.0.2.' || CAST(r_regionkey AS STRING) AS peer_ip",
+            "CAST('2024-01-15 00:00:00' AS TIMESTAMP_NTZ) AS valid_from",
+            "CAST(CASE r_regionkey % 3 WHEN 0 THEN 2000 WHEN 1 THEN 256 ELSE 32 END AS BIGINT) AS rate",
+        )
+    )
+    fl = flows(spark, sf_dir).select("event_id", "peer_ip_src", "ts", "bytes")
+    enriched = as_of_join(
+        fl, dim, {"peer_ip_src": "peer_ip"}, "ts", "valid_from", {"rate": "rate"}
+    )
+    return (
+        enriched.groupBy(
+            F.col("peer_ip_src").alias("exporter"), F.col("rate")
+        )
+        .agg(
+            F.sum(F.col("bytes") * F.col("rate")).cast("bigint").alias("bytes_renorm"),
+            F.count(F.lit(1)).alias("flows"),
+        )
+    )

@@ -60,3 +60,59 @@ def test_compile_match_field_count_mismatch(spark):
         assert "3 fields" in str(e)
     else:
         raise AssertionError("expected ValueError")
+
+
+def test_cli_adapter(spark):
+    """Client flags map to the served-table API; outputs render in the
+    reference's three formats."""
+    from pmacct_spark.client.cli import ClientRequest, render, run_client
+    from pmacct_spark.config import PluginConfig
+    from pmacct_spark.pipeline import build_aggregation
+
+    cfg = PluginConfig(aggregate=["proto", "dst_port"])
+    agg = build_aggregation(flows(spark, SF_DIR), cfg)
+    t = ImtTable(agg, ["proto", "dst_port"], ["bytes", "packets", "flows"])
+
+    topn = run_client(t, ClientRequest(topn=("bytes", 3)))
+    assert topn.count() == 3
+    out = render(topn, "csv")
+    assert out.splitlines()[0] == "proto,dst_port,bytes,packets,flows"
+    # -u off: proto rendered by name
+    assert any(p in out for p in ("tcp", "udp", "icmp"))
+    numeric = run_client(t, ClientRequest(topn=("bytes", 3), numeric_protos=True))
+    assert not any(p in render(numeric, "csv") for p in ("tcp", "udp", "icmp"))
+
+    m = run_client(t, ClientRequest(match="6,443", counters_only=True))
+    assert set(m.columns) == {"bytes", "packets", "flows"}
+    import json
+    j = render(run_client(t, ClientRequest(match="6,*")), "json")
+    assert all(json.loads(ln)["proto"] == "tcp" for ln in j.splitlines())
+    fmt = render(run_client(t, ClientRequest(show_all=True)), "formatted")
+    assert fmt.splitlines()[0].startswith("PROTO")
+    run_client(t, ClientRequest(erase=True))
+    assert t.stats().count() == 0
+
+
+def test_addr_functions(spark):
+    from pmacct_spark.functions.addr import (
+        ipv4_aton,
+        ipv4_mask_apply,
+        ipv4_ntoa,
+        ipv6_canonical,
+    )
+
+    df = spark.createDataFrame(
+        [("10.1.2.3",), ("192.168.255.1",), ("0.0.0.0",)], "ip string"
+    ).withColumn("i", ipv4_aton("ip"))
+    back = df.withColumn("rt", ipv4_ntoa("i")).collect()
+    for r in back:
+        assert r["rt"] == r["ip"]
+    assert back[0]["i"] == 10 * 16777216 + 1 * 65536 + 2 * 256 + 3
+    masked = df.withColumn("net", ipv4_ntoa(ipv4_mask_apply("i", 24))).collect()
+    assert masked[0]["net"] == "10.1.2.0"
+    assert masked[1]["net"] == "192.168.255.0"
+    v6 = spark.createDataFrame(
+        [("2001:0DB8:0000:0001::0001",), ("FE80::1",)], "a string"
+    ).select(ipv6_canonical("a").alias("c")).collect()
+    assert v6[0]["c"] == "2001:db8:0:1::1"
+    assert v6[1]["c"] == "fe80::1"
