@@ -60,15 +60,29 @@ WHERE EXISTS (
 GROUP BY 1""",
 )
 def conntrack_correlate(spark, sf_dir):
+    """Scale shape: a raw range join is a nested-loop over every
+    (data, ctrl) pair of an AS. Bucketing time into window-sized cells
+    turns it into an EQUI join on (as, bucket) — each ctrl row lands in
+    its own bucket and the next (a data row within 600s is in one of
+    the two) — then the exact range predicate prunes inside the hash
+    match. Identical semantics, hash-join physical plan."""
     fl = flows(spark, sf_dir)
-    ctrl = fl.filter("port_dst = 443").select(
-        F.col("as_dst").alias("c_dst"),
-        F.col("ts").alias("c_ts"),
+    bucket = "unix_micros(CAST(ts AS TIMESTAMP)) DIV 600000000"
+    ctrl = (
+        fl.filter("port_dst = 443")
+        .selectExpr(
+            "as_dst AS c_dst",
+            "ts AS c_ts",
+            f"explode(array({bucket}, {bucket} + 1)) AS cb",
+        )
     )
-    data_f = fl.filter("port_dst <> 443 AND port_src >= 1024")
+    data_f = fl.filter("port_dst <> 443 AND port_src >= 1024").withColumn(
+        "db", F.expr(bucket)
+    )
     related = data_f.join(
         ctrl,
         (data_f.as_src == ctrl.c_dst)
+        & (data_f.db == ctrl.cb)
         & (ctrl.c_ts <= data_f.ts)
         & (
             F.expr(

@@ -94,3 +94,47 @@ def test_pipeline_ops_also_jvm_side(spark):
         assert "EvalPython" not in plan and "MapInPandas" not in plan, (
             f"{name}: unexpected Python stage"
         )
+
+
+def test_bucketed_join_has_no_exchange(spark, tmp_path):
+    """Pre-bucketing both sides of a recurring join on the join key
+    makes it exchange-free — the co-location strategy for repeated
+    big-big joins at scale (bucketed tables replace the per-query
+    shuffle with a one-time layout cost)."""
+    from pmacct_spark.sources.tables import load_table
+    from tests.conftest import SF_DIR
+
+    li = load_table(spark, SF_DIR, "lineitem").select(
+        "l_orderkey", "l_quantity", "l_extendedprice"
+    )
+    orders = load_table(spark, SF_DIR, "orders").select(
+        "o_orderkey", "o_orderdate", "o_custkey"
+    )
+    spark.sql("DROP TABLE IF EXISTS b_li")
+    spark.sql("DROP TABLE IF EXISTS b_orders")
+    warehouse = str(tmp_path / "wh")
+    (
+        li.write.bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+        .option("path", f"{warehouse}/b_li").saveAsTable("b_li")
+    )
+    (
+        orders.write.bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+        .option("path", f"{warehouse}/b_orders").saveAsTable("b_orders")
+    )
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        # at sf0.001 everything broadcasts; force the big-big shape the
+        # bucketing strategy exists for
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        joined = spark.table("b_li").join(
+            spark.table("b_orders"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        plan = _plan(joined)
+        assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+        assert "Exchange" not in plan, "bucketed join still shuffles"
+        assert joined.count() == li.count()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS b_li")
+        spark.sql("DROP TABLE IF EXISTS b_orders")
