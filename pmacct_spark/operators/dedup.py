@@ -173,12 +173,16 @@ def minhash_signature(
 
 
 def _signature_from_sets(sets: DataFrame, id_col: str) -> DataFrame:
-    tok = sets.select(id_col, F.explode("hvs").alias("hv"))
-    aggs = [
-        F.min(F.expr(f"({MINHASH_A[i]} * hv + {MINHASH_B[i]}) % {P}")).alias(f"mh{i}")
+    """Signature as a pure per-row expression: mh_i = min over the hash
+    set of the i-th permutation — NO shuffle (the explode+groupBy
+    formulation pays a full exchange for what is row-local math)."""
+    cols = [F.col(id_col)] + [
+        F.expr(
+            f"array_min(transform(hvs, h -> ({MINHASH_A[i]} * h + {MINHASH_B[i]}) % {P}))"
+        ).alias(f"mh{i}")
         for i in range(K)
     ]
-    return tok.groupBy(id_col).agg(*aggs)
+    return sets.select(*cols)
 
 
 def band_keys_long(

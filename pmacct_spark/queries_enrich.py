@@ -310,3 +310,30 @@ def as_of_sampling_rate(spark, sf_dir):
             F.count(F.lit(1)).alias("flows"),
         )
     )
+
+
+# --- blackhole community membership (reference src/filters/bloom.c
+#     used by src/bgp/bgp_blackhole.c:117,242): a membership test
+#     against a small set — Spark-first this is isin on a broadcast
+#     set (Catalyst compiles to an in-set predicate; a real bloom
+#     filter only pays off when the set can't broadcast)
+@register(
+    "blackhole_membership",
+    f"""{FLOWS_DUCK_CTE}
+SELECT as_dst AS dst_as, CAST(SUM(bytes) AS BIGINT) AS dropped_bytes,
+       COUNT(*) AS dropped_flows
+FROM flows
+WHERE as_dst IN (64505, 64511, 64517)
+GROUP BY 1""",
+)
+def blackhole_membership(spark, sf_dir):
+    blackholed = {64505, 64511, 64517}
+    fl = flows(spark, sf_dir)
+    return (
+        fl.filter(F.col("as_dst").isin(list(blackholed)))
+        .groupBy(F.col("as_dst").alias("dst_as"))
+        .agg(
+            F.sum("bytes").cast("bigint").alias("dropped_bytes"),
+            F.count(F.lit(1)).alias("dropped_flows"),
+        )
+    )
