@@ -1,0 +1,190 @@
+"""BMP (BGP Monitoring Protocol, RFC 7854) decode + RIB compaction
+(reference src/bmp/bmp.c:67, msg dissection src/bmp/bmp_msg.c; SURVEY
+§2.1: "BMP msgs -> monitoring events + RIB").
+
+Covered subset: common header v3; per-peer header; Route Monitoring
+(type 0) with the embedded BGP UPDATE — withdrawals, IPv4 NLRI, and
+the path attributes the engine's BGP columns need (ORIGIN, AS_PATH,
+NEXT_HOP, MED, LOCAL_PREF); Peer Up (3) / Peer Down (2) as events.
+
+Spark shape mirrors streaming.decode: Arrow-batched ``mapInPandas``
+over (exporter_ip, payload) rows, exporter-sharded. The decoded update
+stream compacts into RIB state (latest announcement per (peer, prefix)
+with withdrawals tombstoning) via one window — the Delta-table-of-RIB
+pattern, and the feed for operators.lpm/bgp lookups.
+"""
+
+from __future__ import annotations
+
+import struct
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+BMP_EVENT_SCHEMA = T.StructType(
+    [
+        T.StructField("exporter_ip", T.StringType()),
+        T.StructField("msg_type", T.IntegerType()),  # 0 RM, 2 down, 3 up
+        T.StructField("peer_ip", T.StringType()),
+        T.StructField("peer_as", T.LongType()),
+        T.StructField("ts_s", T.LongType()),
+        T.StructField("prefix", T.LongType()),  # v4-as-int; null for events
+        T.StructField("masklen", T.IntegerType()),
+        T.StructField("is_withdrawal", T.BooleanType()),
+        T.StructField("as_path", T.StringType()),
+        T.StructField("next_hop", T.LongType()),
+        T.StructField("local_pref", T.LongType()),
+        T.StructField("med", T.LongType()),
+        T.StructField("seq", T.LongType()),  # intra-datagram order
+    ]
+)
+
+
+def _v4_str(b: bytes) -> str:
+    return ".".join(str(x) for x in b)
+
+
+def _parse_update(pdu: bytes) -> tuple[list[tuple[int, int]], list[tuple[int, int]], dict]:
+    """BGP UPDATE -> (withdrawn [(prefix,masklen)], nlri, attrs)."""
+    if len(pdu) < 23 or pdu[18] != 2:  # BGP header: 16 marker + len + type
+        return [], [], {}
+    off = 19
+    wlen = int.from_bytes(pdu[off : off + 2], "big")
+    off += 2
+    withdrawn = _parse_prefixes(pdu[off : off + wlen])
+    off += wlen
+    alen = int.from_bytes(pdu[off : off + 2], "big")
+    off += 2
+    attrs = _parse_attrs(pdu[off : off + alen])
+    off += alen
+    nlri = _parse_prefixes(pdu[off:])
+    return withdrawn, nlri, attrs
+
+
+def _parse_prefixes(b: bytes) -> list[tuple[int, int]]:
+    out = []
+    p = 0
+    while p < len(b):
+        ml = b[p]
+        p += 1
+        nbytes = (ml + 7) // 8
+        raw = b[p : p + nbytes] + b"\x00" * (4 - nbytes)
+        p += nbytes
+        out.append((int.from_bytes(raw[:4], "big"), ml))
+    return out
+
+
+def _parse_attrs(b: bytes) -> dict:
+    attrs: dict = {}
+    p = 0
+    while p + 3 <= len(b):
+        flags, code = b[p], b[p + 1]
+        if flags & 0x10:  # extended length
+            ln = int.from_bytes(b[p + 2 : p + 4], "big")
+            p += 4
+        else:
+            ln = b[p + 2]
+            p += 3
+        val = b[p : p + ln]
+        p += ln
+        if code == 2 and len(val) >= 2:  # AS_PATH (assume AS4 segments)
+            segs = []
+            q = 0
+            while q + 2 <= len(val):
+                _stype, n = val[q], val[q + 1]
+                q += 2
+                for _ in range(n):
+                    if q + 4 > len(val):
+                        break
+                    segs.append(str(int.from_bytes(val[q : q + 4], "big")))
+                    q += 4
+            attrs["as_path"] = " ".join(segs)
+        elif code == 3 and len(val) == 4:
+            attrs["next_hop"] = int.from_bytes(val, "big")
+        elif code == 4 and len(val) == 4:
+            attrs["med"] = int.from_bytes(val, "big")
+        elif code == 5 and len(val) == 4:
+            attrs["local_pref"] = int.from_bytes(val, "big")
+    return attrs
+
+
+def _bmp_rows(exporter: str, payload: bytes, seq0: int) -> list[dict]:
+    out: list[dict] = []
+    off = 0
+    seq = seq0
+    while off + 6 <= len(payload):
+        ver, mlen, mtype = payload[off], int.from_bytes(payload[off + 1 : off + 5], "big"), payload[off + 5]
+        if ver != 3 or mlen < 6:
+            break
+        body = payload[off + 6 : off + mlen]
+        off += mlen
+        if mtype in (0, 2, 3) and len(body) >= 42:
+            # per-peer header
+            peer_ip = _v4_str(body[14:18] if body[0] == 0 and not body[1] & 0x80 else body[22:26])
+            # v4 peers: address right-aligned in the 16-byte field
+            peer_ip = _v4_str(body[22:26])
+            peer_as = int.from_bytes(body[26:30], "big")
+            ts_s = int.from_bytes(body[34:38], "big")
+            base = {
+                "exporter_ip": exporter, "peer_ip": peer_ip,
+                "peer_as": peer_as, "ts_s": ts_s, "msg_type": mtype,
+            }
+            if mtype == 0:
+                withdrawn, nlri, attrs = _parse_update(body[42:])
+                for pfx, ml in withdrawn:
+                    out.append(
+                        base | {"prefix": pfx, "masklen": ml,
+                                "is_withdrawal": True, "seq": seq}
+                    )
+                    seq += 1
+                for pfx, ml in nlri:
+                    out.append(
+                        base | {
+                            "prefix": pfx, "masklen": ml,
+                            "is_withdrawal": False, "seq": seq,
+                            "as_path": attrs.get("as_path"),
+                            "next_hop": attrs.get("next_hop"),
+                            "local_pref": attrs.get("local_pref"),
+                            "med": attrs.get("med"),
+                        }
+                    )
+                    seq += 1
+            else:
+                out.append(base | {"seq": seq})
+                seq += 1
+    return out
+
+
+def decode_bmp(datagrams: DataFrame) -> DataFrame:
+    """Decode BMP streams (exporter-sharded like decode_v9)."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = [f.name for f in BMP_EVENT_SCHEMA.fields]
+        seq = 0
+        for pdf in batches:
+            rows: list[dict] = []
+            for exporter, payload in zip(pdf["exporter_ip"], pdf["payload"]):
+                rows.extend(_bmp_rows(exporter, bytes(payload), seq))
+                seq += 1000  # datagram-order spacing
+            yield pd.DataFrame([[r.get(c) for c in cols] for r in rows], columns=cols)
+
+    return datagrams.mapInPandas(gen, BMP_EVENT_SCHEMA)
+
+
+def rib_state(updates: DataFrame) -> DataFrame:
+    """Compact a decoded update stream into current RIB state: the
+    latest message per (exporter, peer, prefix) wins; withdrawals
+    tombstone. One window shuffle — the streaming form is the same
+    plan per microbatch merged into a keyed store."""
+    w = Window.partitionBy("exporter_ip", "peer_ip", "prefix", "masklen").orderBy(
+        F.desc("seq")
+    )
+    return (
+        updates.filter("msg_type = 0")
+        .withColumn("__rn", F.row_number().over(w))
+        .filter("__rn = 1 AND NOT is_withdrawal")
+        .drop("__rn", "msg_type", "is_withdrawal")
+    )

@@ -366,3 +366,68 @@ def test_multi_plugin_fanout(spark):
             got.agg(F.sum("bytes")).first()[0]
             == want.agg(F.sum("bytes")).first()[0]
         ), name
+
+
+def _bgp_update(withdrawn, nlri, as_path=(64496, 65001), nh=0x0A0000FE,
+                lp=150, med=20):
+    def prefixes(lst):
+        b = b""
+        for pfx, ml in lst:
+            nb = (ml + 7) // 8
+            b += bytes([ml]) + pfx.to_bytes(4, "big")[:nb]
+        return b
+    attrs = b""
+    if nlri:
+        path = bytes([2, len(as_path)]) + b"".join(a.to_bytes(4, "big") for a in as_path)
+        attrs += bytes([0x40, 2, len(path)]) + path
+        attrs += bytes([0x40, 3, 4]) + nh.to_bytes(4, "big")
+        attrs += bytes([0x80, 4, 4]) + med.to_bytes(4, "big")
+        attrs += bytes([0x40, 5, 4]) + lp.to_bytes(4, "big")
+    w = prefixes(withdrawn)
+    n = prefixes(nlri)
+    body = len(w).to_bytes(2, "big") + w + len(attrs).to_bytes(2, "big") + attrs + n
+    pdu = b"\xff" * 16 + (19 + len(body)).to_bytes(2, "big") + bytes([2]) + body
+    return pdu
+
+
+def _bmp_msg(mtype, peer_ip, peer_as, pdu=b""):
+    peer_hdr = (
+        bytes([0, 0]) + b"\x00" * 8 + b"\x00" * 12 + peer_ip.to_bytes(4, "big")
+        + peer_as.to_bytes(4, "big") + b"\x00" * 4
+        + (1_700_000_000).to_bytes(4, "big") + b"\x00" * 4
+    )
+    body = peer_hdr + pdu
+    return bytes([3]) + (6 + len(body)).to_bytes(4, "big") + bytes([mtype]) + body
+
+
+def test_bmp_decode_and_rib_compaction(spark):
+    """BMP route monitoring decodes announcements/withdrawals with BGP
+    attributes; rib_state keeps the latest per (peer, prefix) and
+    tombstones withdrawn routes (reference src/bmp/bmp_msg.c)."""
+    from pmacct_spark.streaming.bmp import decode_bmp, rib_state
+
+    peer = 0xC0000205  # 192.0.2.5
+    msgs = (
+        _bmp_msg(3, peer, 64500)  # peer up
+        + _bmp_msg(0, peer, 64500, _bgp_update([], [(0x0A010000, 16)], lp=100))
+        + _bmp_msg(0, peer, 64500, _bgp_update([], [(0x0A020000, 16)], lp=200))
+        # re-announce first prefix with new local_pref (must win) ...
+        + _bmp_msg(0, peer, 64500, _bgp_update([], [(0x0A010000, 16)], lp=300))
+        # ... then withdraw the second (must vanish)
+        + _bmp_msg(0, peer, 64500, _bgp_update([(0x0A020000, 16)], []))
+    )
+    dg = spark.createDataFrame(
+        [("203.0.113.9", bytearray(msgs))], "exporter_ip string, payload binary"
+    )
+    events = decode_bmp(dg).localCheckpoint(eager=True)
+    assert events.filter("msg_type = 3").count() == 1  # peer up event
+    rm = events.filter("msg_type = 0")
+    assert rm.count() == 4
+    assert rm.filter("is_withdrawal").count() == 1
+    assert rm.filter("as_path = '64496 65001'").count() == 3
+    rib = rib_state(events).collect()
+    assert len(rib) == 1
+    r = rib[0]
+    assert r["prefix"] == 0x0A010000 and r["masklen"] == 16
+    assert r["local_pref"] == 300 and r["peer_ip"] == "192.0.2.5"
+    assert r["next_hop"] == 0x0A0000FE and r["med"] == 20
