@@ -167,3 +167,38 @@ def test_sfprobe_roundtrip(spark):
     b = back.agg(F.sum("bytes"), F.sum("ip_src_i"), F.sum("port_dst"), F.sum("tcp_flags")).first()
     assert tuple(a) == tuple(b)
     assert back.filter("sampling_rate <> 64").count() == 0
+
+
+def test_foreachbatch_hooks(spark, tmp_path):
+    """custom_writer + trigger_exec fire per micro-batch purge with the
+    batch's environment (sql_trigger_exec semantics)."""
+    from pmacct_spark.sinks.hooks import custom_writer, trigger_exec
+    from pmacct_spark.streaming.jobs import flows_stream, stream_aggregation
+
+    out_dir = tmp_path / "purged"
+    out_dir.mkdir()
+    marker = tmp_path / "trigger.log"
+
+    def write_fn(batch, batch_id):
+        batch.write.mode("overwrite").json(str(out_dir / f"b{batch_id}"))
+
+    hook = custom_writer(
+        write_fn,
+        then=trigger_exec(
+            ["sh", "-c", f'echo "purge $BATCH_ID rows=$N_ROWS" >> {marker}'],
+            env_from_batch=lambda b, i: {"N_ROWS": str(b.count())},
+        ),
+    )
+    cfg = PluginConfig(aggregate=["src_as"], history="1d")
+    stream = stream_aggregation(flows_stream(spark, str(SF_DIR)), cfg)
+    q = (
+        stream.writeStream.outputMode("complete")
+        .foreachBatch(hook)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    written = spark.read.json(str(out_dir / "b0"))
+    assert written.count() > 0
+    log = marker.read_text()
+    assert "purge 0 rows=" in log
