@@ -9,6 +9,13 @@ Strategies:
     items and queries hash to a bucket; each query scans only its
     bucket. The scale path: bucket count grows 2^bits, the per-query
     candidate set shrinks proportionally.
+  - :func:`ivf_topk` — inverted-file (IVF) index: a small deterministic
+    centroid set plays the coarse quantizer; every item is assigned to
+    its nearest centroid **map-side** (centroids travel to executors as
+    a literal array folded with higher-order functions — the item table
+    is never shuffled), queries probe their ``nprobe`` nearest cells,
+    and candidates are ranked in-cell. On a cluster the cell column
+    doubles as the partition/bucket key for the index layout.
   - :func:`cosine_near_dup_pairs` — embedding near-dup join within
     coarse blocks (label = IVF-style cell): exact integer-quantized
     cosine test.
@@ -220,6 +227,180 @@ ranked AS (
                     item_id ASC
          ) AS rank
   FROM scored
+)
+SELECT query_id, item_id AS neighbor_id, CAST(rank AS BIGINT) AS rank
+FROM ranked WHERE rank <= {k}
+"""
+
+
+# --- IVF: deterministic medoid centroids (a stand-in for the k-means
+#     training step, which is offline in any real IVF build).
+IVF_CENTROID_PRED = "{id} % 31 = 0 AND {id} < 1000"
+
+_SIGNED_SQ = (
+    "CASE WHEN {d} >= 0 THEN CAST({d} * {d} AS DOUBLE)"
+    " ELSE -CAST({d} * {d} AS DOUBLE) END"
+)
+
+
+def _ivf_assign_expr(cents: list[tuple[int, list[int], int]], qv: str, nrm: str) -> str:
+    """SQL expression assigning a row's quantized vector ``qv`` to its
+    nearest centroid id, evaluated entirely map-side: the centroid set
+    is a literal ``array<struct>``; one ``transform`` computes every
+    dot product, one ``aggregate`` folds the argmax (strict ``>`` over
+    cid-ascending order == lowest-cid tie-break, matching the oracle's
+    ``ORDER BY sim DESC, cid ASC``)."""
+    structs = ", ".join(
+        "named_struct('cid', {c}L, 'qc', array({arr}), 'nc', {n}L)".format(
+            c=cid, arr=", ".join(f"{v}L" for v in qc), n=nc
+        )
+        for cid, qc, nc in sorted(cents)
+    )
+    dot = f"aggregate(zip_with({qv}, c.qc, (x, y) -> x * y), 0L, (a, v) -> a + v)"
+    sim = (
+        f"({_SIGNED_SQ.format(d='e.d')}"
+        f" / (CAST({nrm} AS DOUBLE) * CAST(e.nc AS DOUBLE)))"
+    )
+    return f"""
+aggregate(
+  transform(array({structs}),
+            c -> named_struct('cid', c.cid, 'nc', c.nc, 'd', {dot})),
+  named_struct('bc', CAST(-1 AS BIGINT), 'bs', CAST('-Infinity' AS DOUBLE)),
+  (acc, e) -> CASE WHEN {sim} > acc.bs
+                   THEN named_struct('bc', e.cid, 'bs', {sim})
+                   ELSE acc END,
+  acc -> acc.bc)"""
+
+
+def ivf_topk(
+    items: DataFrame,
+    k: int = 3,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    query_pred: str = "vec_id < 10",
+) -> DataFrame:
+    """IVF approximate top-k: returns (query_id, neighbor_id, rank).
+
+    Plan shape (the part that matters at 100 TB): the only full-table
+    work is two map-side projections — quantize+norm and the literal
+    centroid-fold assignment — plus a broadcast hash join against the
+    tiny probe set. The item table is never shuffled; the final
+    ``row_number`` shuffles candidate rows only (|queries| × cell size).
+    Centroid "training" is a separate tiny job collected once and
+    shipped as a literal, exactly how a real IVF index broadcasts its
+    codebook.
+    """
+    base = quantize(items.select(id_col, emb_col), emb_col, "qv")
+    base = base.withColumn("nrm", F.expr(_norm_sq("qv"))).drop(emb_col)
+    cents_df = base.filter(F.expr(IVF_CENTROID_PRED.format(id=id_col))).select(
+        F.col(id_col).alias("cid"), F.col("qv").alias("qc"), F.col("nrm").alias("nc")
+    )
+    cents = [(r["cid"], list(r["qc"]), r["nc"]) for r in cents_df.collect()]
+
+    items_cells = base.withColumn(
+        "cell", F.expr(_ivf_assign_expr(cents, "qv", "nrm"))
+    )
+
+    qs = base.filter(F.expr(query_pred)).select(
+        F.col(id_col).alias("query_id"),
+        F.col("qv").alias("qq"),
+        F.col("nrm").alias("nq"),
+    )
+    wp = Window.partitionBy("query_id").orderBy(F.desc("ps"), F.asc("cid"))
+    probes = (
+        qs.crossJoin(F.broadcast(cents_df))
+        .withColumn("d", F.expr(_dot("qq", "qc")))
+        .withColumn(
+            "ps",
+            F.expr(
+                f"{_SIGNED_SQ.format(d='d')}"
+                " / (CAST(nq AS DOUBLE) * CAST(nc AS DOUBLE))"
+            ),
+        )
+        .withColumn("rn", F.row_number().over(wp))
+        .filter(F.col("rn") <= nprobe)
+        .select("query_id", "qq", "nq", F.col("cid").alias("cell"))
+    )
+
+    scored = (
+        items_cells.join(F.broadcast(probes), "cell")
+        .filter(F.col(id_col) != F.col("query_id"))
+        .withColumn("dot", F.expr(_dot("qv", "qq")))
+        .withColumn(
+            "sim_m",
+            F.expr(
+                f"{_SIGNED_SQ.format(d='dot')}"
+                " / (CAST(nrm AS DOUBLE) * CAST(nq AS DOUBLE))"
+            ),
+        )
+    )
+    wr = Window.partitionBy("query_id").orderBy(F.desc("sim_m"), F.asc(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(wr))
+        .filter(F.col("rank") <= k)
+        .select("query_id", F.col(id_col).alias("neighbor_id"), "rank")
+    )
+
+
+def ivf_topk_duck(
+    source: str = "embeddings",
+    k: int = 3,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    query_pred: str = "vec_id < 10",
+) -> str:
+    q = _QUANT_DUCK.format(col=emb_col, q=QUANT)
+    pred = IVF_CENTROID_PRED.format(id=id_col)
+    dot_bc = "CAST(list_sum(list_transform(b.qv, (x, i) -> x * c.qc[i])) AS BIGINT)"
+    dot_qc = "CAST(list_sum(list_transform(q.qq, (x, i) -> x * c.qc[i])) AS BIGINT)"
+    dot_bq = "CAST(list_sum(list_transform(b.qv, (x, i) -> x * q.qq[i])) AS BIGINT)"
+    sgn = _SIGNED_SQ
+    return f"""
+WITH base AS (
+  SELECT {id_col}, {q} AS qv,
+         CAST(list_sum(list_transform({q}, x -> x * x)) AS BIGINT) AS nrm
+  FROM {source}
+),
+cents AS (
+  SELECT {id_col} AS cid, qv AS qc, nrm AS nc FROM base WHERE {pred}
+),
+assign AS (
+  SELECT {id_col}, cid AS cell FROM (
+    SELECT b.{id_col}, c.cid,
+           ROW_NUMBER() OVER (
+             PARTITION BY b.{id_col}
+             ORDER BY ({sgn.format(d=dot_bc)}
+                       / (CAST(b.nrm AS DOUBLE) * CAST(c.nc AS DOUBLE))) DESC,
+                      c.cid ASC) AS rn
+    FROM base b, cents c) WHERE rn = 1
+),
+qs AS (
+  SELECT {id_col} AS query_id, qv AS qq, nrm AS nq FROM base WHERE {query_pred}
+),
+probes AS (
+  SELECT query_id, cid AS cell FROM (
+    SELECT q.query_id, c.cid,
+           ROW_NUMBER() OVER (
+             PARTITION BY q.query_id
+             ORDER BY ({sgn.format(d=dot_qc)}
+                       / (CAST(q.nq AS DOUBLE) * CAST(c.nc AS DOUBLE))) DESC,
+                      c.cid ASC) AS rn
+    FROM qs q, cents c) WHERE rn <= {nprobe}
+),
+ranked AS (
+  SELECT p.query_id, b.{id_col} AS item_id,
+         ROW_NUMBER() OVER (
+           PARTITION BY p.query_id
+           ORDER BY ({sgn.format(d=dot_bq)}
+                     / (CAST(b.nrm AS DOUBLE) * CAST(q.nq AS DOUBLE))) DESC,
+                    b.{id_col} ASC) AS rank
+  FROM probes p
+  JOIN assign a ON a.cell = p.cell
+  JOIN base b ON b.{id_col} = a.{id_col}
+  JOIN qs q ON q.query_id = p.query_id
+  WHERE b.{id_col} <> p.query_id
 )
 SELECT query_id, item_id AS neighbor_id, CAST(rank AS BIGINT) AS rank
 FROM ranked WHERE rank <= {k}

@@ -138,6 +138,14 @@ def ann_lsh_bucketed_topk(spark, sf_dir):
     return similarity.lsh_bucketed_topk(emb, queries, k=3)
 
 
+# --- ANN: IVF (inverted-file) top-3 — map-side centroid assignment,
+#     nprobe=2 probing. The index-backed scale path beside LSH.
+@register("ann_ivf_topk", similarity.ivf_topk_duck())
+def ann_ivf_topk(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.ivf_topk(emb, k=3, nprobe=2)
+
+
 # --- text quality features + quality gate
 @register(
     "text_quality_features",
