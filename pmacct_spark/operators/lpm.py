@@ -137,3 +137,47 @@ def range_join(
         (F.col(ip_col) >= F.col("__r_start")) & (F.col(ip_col) <= F.col("__r_end")),
         "left",
     ).drop("__r_start", "__r_end")
+
+
+def lpm6_join(
+    flows: DataFrame,
+    networks6: DataFrame,
+    ip6_col: str,
+    attrs: dict[str, str],
+    default: dict[str, object] | None = None,
+) -> DataFrame:
+    """Chained-broadcast LPM for IPv6 (reference handles both families
+    in the same binsearch, src/net_aggr.c:455-490).
+
+    Addresses are uncompressed 8-group lowercase strings, so a prefix
+    on a 16-bit group boundary is a fixed-width substring: the dim
+    stores ``prefix6`` (INCLUDING trailing colon) + ``masklen``; the
+    per-masklen join condition is
+    ``substr(ip6, 1, length(prefix6)) = prefix6``. Same plan shape as
+    :func:`lpm_join`: one broadcast hash join per distinct masklen,
+    longest first, coalesced — the fact table never shuffles. (A
+    128-bit integer mask doesn't fit Spark's BIGINT; the string form
+    keeps the key exact and pushdown-friendly.)
+    """
+    masklens = sorted(
+        (r[0] for r in networks6.select("masklen").distinct().collect()),
+        reverse=True,
+    )
+    out = flows
+    for m in masklens:
+        # groups of 16 bits, each rendered as 4 hex chars + ':'
+        plen = (m // 16) * 5
+        dim = networks6.filter(F.col("masklen") == m).select(
+            F.col("prefix6").alias(f"__pfx_{m}"),
+            *[F.col(src).alias(f"__{dst}_{m}") for src, dst in attrs.items()],
+        )
+        cond = F.expr(f"substr({ip6_col}, 1, {plen})") == F.col(f"__pfx_{m}")
+        out = out.join(F.broadcast(dim), cond, "left").drop(f"__pfx_{m}")
+    for src, dst in attrs.items():
+        cols = [F.col(f"__{dst}_{m}") for m in masklens]
+        fallback = (
+            F.lit(default.get(dst)) if default and dst in default else F.lit(None)
+        )
+        out = out.withColumn(dst, F.coalesce(*cols, fallback))
+        out = out.drop(*[f"__{dst}_{m}" for m in masklens])
+    return out

@@ -303,3 +303,120 @@ FROM ({_MULTIWIN_INNER.replace("SELECT ip_proto", "SELECT ip_proto, bytes, packe
 def hist_5m_multiwindow(spark, sf_dir):
     cfg = PluginConfig(aggregate=["proto"], history="5m", multi_window=True)
     return build_aggregation(flows(spark, sf_dir), cfg)
+
+
+# --- the extended primitive vocabulary end-to-end: L2 (vlan/cos/etype),
+#     sampling_direction, VRF + iface names (CONFIG-KEYS:56-74 tokens
+#     beyond the classic 5-tuple; columns derived in views/flows.py)
+@register(
+    "agg_extended_primitives",
+    f"""{FLOWS_DUCK_CTE}
+SELECT vlan, cos, etype, sampling_direction, vrf_name, in_iface_name,
+       {_sums('bytes', 'packets', 'flows')}
+FROM flows GROUP BY 1, 2, 3, 4, 5, 6""",
+)
+def agg_extended_primitives(spark, sf_dir):
+    cfg = PluginConfig(
+        aggregate=[
+            "vlan", "cos", "etype", "sampling_direction",
+            "vrf_name", "in_iface_name",
+        ]
+    )
+    return build_aggregation(flows(spark, sf_dir), cfg)
+
+
+# --- tunnel / outer-header primitives (struct pkt_tunnel_primitives,
+#     reference src/network.h:642-660): VXLAN & NVGRE encapsulated
+#     traffic keyed by outer endpoints + VNI/TNI
+@register(
+    "agg_tunnel_outer",
+    f"""{FLOWS_DUCK_CTE}
+SELECT tunnel_src_host, tunnel_dst_host, tunnel_proto, vxlan, nvgre,
+       {_sums('bytes', 'packets', 'flows')}
+FROM flows WHERE tunnel_proto <> 0
+GROUP BY 1, 2, 3, 4, 5""",
+)
+def agg_tunnel_outer(spark, sf_dir):
+    cfg = PluginConfig(
+        aggregate=[
+            "tunnel_src_host", "tunnel_dst_host", "tunnel_proto",
+            "vxlan", "nvgre",
+        ],
+        aggregate_filter="tunnel_proto <> 0",
+    )
+    return build_aggregation(flows(spark, sf_dir), cfg)
+
+
+# --- NAT / firewall event primitives (struct pkt_nat_primitives,
+#     src/network.h:620-632): NEL-style accounting of translated flows
+@register(
+    "agg_nat_events",
+    f"""{FLOWS_DUCK_CTE}
+SELECT nat_event, fw_event, post_nat_ip_src AS post_nat_src_host,
+       post_nat_port_src AS post_nat_src_port,
+       {_sums('bytes', 'packets', 'flows')}
+FROM flows WHERE nat_event <> 0
+GROUP BY 1, 2, 3, 4""",
+)
+def agg_nat_events(spark, sf_dir):
+    cfg = PluginConfig(
+        aggregate=[
+            "nat_event", "fw_event", "post_nat_src_host", "post_nat_src_port",
+        ],
+        aggregate_filter="nat_event <> 0",
+    )
+    return build_aggregation(flows(spark, sf_dir), cfg)
+
+
+# --- MPLS + timestamp keys: label stack, PW id, path-delay stats and
+#     the four timestamp primitives as grouping keys (timestamp_start /
+#     arrival rounded off to the minute bucket for a bounded key space)
+@register(
+    "agg_mpls_path_delay",
+    f"""{FLOWS_DUCK_CTE}
+SELECT mpls_label_stack, mpls_pw_id,
+       CAST(MIN(path_delay_min_usec) AS BIGINT) AS path_delay_min_usec,
+       CAST(MAX(path_delay_max_usec) AS BIGINT) AS path_delay_max_usec,
+       {_sums('bytes', 'packets', 'flows')}
+FROM flows WHERE mpls_label_top % 100 = 16
+GROUP BY 1, 2""",
+)
+def agg_mpls_path_delay(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    f = flows(spark, sf_dir).filter("mpls_label_top % 100 = 16")
+    return f.groupBy("mpls_label_stack", "mpls_pw_id").agg(
+        F.min("path_delay_min_usec").cast("bigint").alias("path_delay_min_usec"),
+        F.max("path_delay_max_usec").cast("bigint").alias("path_delay_max_usec"),
+        F.sum("bytes").cast("bigint").alias("bytes"),
+        F.sum("packets").cast("bigint").alias("packets"),
+        F.sum("flows").cast("bigint").alias("flows"),
+    )
+
+
+# --- arrival-time accounting (nfacctd_time_new: bucket by the
+#     collector clock instead of the flow's own timestamps;
+#     tests/100-IPFIXv10-CISCO/nfacctd-00.conf:26)
+@register(
+    "hist_arrival_time",
+    f"""{FLOWS_DUCK_CTE}
+SELECT ip_proto AS proto,
+       {duck_bucket_sql('timestamp_arrival', _H5M)} AS stamp_inserted,
+       {_sums('bytes', 'packets', 'flows')}
+FROM flows GROUP BY 1, 2""",
+)
+def hist_arrival_time(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from pmacct_spark.operators.windows import bucket_expr
+
+    f = flows(spark, sf_dir)
+    return (
+        f.withColumn("stamp_inserted", bucket_expr("timestamp_arrival", _H5M))
+        .groupBy(F.col("ip_proto").alias("proto"), "stamp_inserted")
+        .agg(
+            F.sum("bytes").cast("bigint").alias("bytes"),
+            F.sum("packets").cast("bigint").alias("packets"),
+            F.sum("flows").cast("bigint").alias("flows"),
+        )
+    )

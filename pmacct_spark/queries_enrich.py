@@ -18,9 +18,11 @@ from pmacct_spark.views.flows import flows_sql
 from pmacct_spark.views.dims import (
     FLOW_TO_RD_DUCK,
     GEOIP_DUCK,
+    NETWORKS6_DUCK,
     NETWORKS_DUCK,
     SAMPLING_MAP_DUCK,
     geoip_dim,
+    networks6_dim,
     networks_dim,
     sampling_map_dim,
 )
@@ -336,4 +338,66 @@ def blackhole_membership(spark, sf_dir):
             F.sum("bytes").cast("bigint").alias("dropped_bytes"),
             F.count(F.lit(1)).alias("dropped_flows"),
         )
+    )
+
+
+# --- GeoIP pocode + coords enrichment (src_host_pocode /
+#     src_host_coords primitives; handlers src/pkt_handlers.c:749-772)
+@register(
+    "geoip_pocode_coords",
+    f"""{FLOWS_DUCK_CTE},
+geoip AS ({GEOIP_DUCK})
+SELECT g.pocode AS pocode_ip_src, g.coords AS coords_ip_src, {_SUM}
+FROM flows f LEFT JOIN geoip g
+  ON f.ip_src_i BETWEEN g.range_start AND g.range_end
+GROUP BY 1, 2""",
+)
+def geoip_pocode_coords(spark, sf_dir):
+    f = flows(spark, sf_dir)
+    geo = geoip_dim(spark, sf_dir)
+    enriched = range_join(
+        f, geo, "ip_src_i",
+        {"pocode": "pocode_ip_src", "coords": "coords_ip_src"},
+    )
+    return enriched.groupBy("pocode_ip_src", "coords_ip_src").agg(
+        F.sum("bytes").cast("bigint").alias("bytes"),
+        F.sum("packets").cast("bigint").alias("packets"),
+        F.sum("flows").cast("bigint").alias("flows"),
+    )
+
+
+# --- IPv6 networks_file LPM: the same longest-prefix semantics on the
+#     v6 family (reference src/net_aggr.c:455-490 binsearch handles
+#     both; host_addr union src/addr.c). Prefixes live as fixed-width
+#     substring keys of the uncompressed form -> chained broadcast
+#     joins, fact table unshuffled.
+@register(
+    "lpm6_networks_src_as",
+    f"""{FLOWS_DUCK_CTE},
+networks6 AS ({NETWORKS6_DUCK}),
+cand AS (
+  SELECT f.event_id, f.bytes, f.packets, f.flows, n.asn, n.masklen,
+         ROW_NUMBER() OVER (
+           PARTITION BY f.event_id ORDER BY n.masklen DESC) AS rn
+  FROM flows f JOIN networks6 n
+    ON substr(f.ip6_src, 1, length(n.prefix6)) = n.prefix6
+  WHERE f.ip6_src <> ''
+)
+SELECT COALESCE(asn, 64512) AS src_as6, {_SUM}
+FROM cand WHERE rn = 1 GROUP BY 1""",
+)
+def lpm6_networks_src_as(spark, sf_dir):
+    from pmacct_spark.operators.lpm import lpm6_join
+
+    f = flows(spark, sf_dir).filter("ip6_src <> ''").select(
+        "ip6_src", "bytes", "packets", "flows"
+    )
+    nets6 = networks6_dim(spark, sf_dir)
+    enriched = lpm6_join(
+        f, nets6, "ip6_src", {"asn": "src_as6"}, default={"src_as6": 64512}
+    )
+    return enriched.groupBy("src_as6").agg(
+        F.sum("bytes").cast("bigint").alias("bytes"),
+        F.sum("packets").cast("bigint").alias("packets"),
+        F.sum("flows").cast("bigint").alias("flows"),
     )

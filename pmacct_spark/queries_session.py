@@ -136,3 +136,79 @@ def bgp_lookup_attrs(spark, sf_dir):
         F.min("local_pref").cast("bigint").alias("min_local_pref"),
         F.max("med").cast("bigint").alias("max_med"),
     )
+
+
+# --- BGP communities + ROA validation state through the same
+#     peer-then-LPM lookup (std_comm/lrg_comm/dst_roa primitives;
+#     blackhole/community handling src/bgp/bgp_blackhole.c, ROA
+#     src/network.h:606 dst_roa)
+@register(
+    "bgp_comm_roa",
+    f"""{FLOWS_DUCK_CTE},
+rib AS ({BGP_RIB_DUCK}),
+cand AS (
+  SELECT f.event_id, f.bytes, r.std_comm, r.lrg_comm, r.roa,
+         ROW_NUMBER() OVER (
+           PARTITION BY f.event_id ORDER BY r.masklen DESC) AS rn
+  FROM flows f JOIN rib r
+    ON f.peer_ip_src = r.peer_ip
+   AND (f.ip_dst_i // (CAST(1 AS BIGINT) << (32 - r.masklen)))
+     = (r.net_int // (CAST(1 AS BIGINT) << (32 - r.masklen)))
+)
+SELECT std_comm, lrg_comm, roa AS dst_roa,
+       CAST(SUM(bytes) AS BIGINT) AS bytes, COUNT(*) AS flows
+FROM cand WHERE rn = 1 GROUP BY 1, 2, 3""",
+)
+def bgp_comm_roa(spark, sf_dir):
+    fl = flows(spark, sf_dir).select("event_id", "peer_ip_src", "ip_dst_i", "bytes")
+    rib = bgp_rib_dim(spark, sf_dir)
+    enriched = lpm_join(
+        fl,
+        rib,
+        "ip_dst_i",
+        {"std_comm": "std_comm", "lrg_comm": "lrg_comm", "roa": "dst_roa"},
+        extra_keys={"peer_ip_src": "peer_ip"},
+    )
+    return enriched.groupBy("std_comm", "lrg_comm", "dst_roa").agg(
+        F.sum("bytes").cast("bigint").alias("bytes"),
+        F.count(F.lit(1)).alias("flows"),
+    )
+
+
+# --- src-side BGP reverse lookup: the same peer-then-LPM probe keyed
+#     on the SOURCE address (src_as_path/src_local_pref/src_med/
+#     src_roa primitives; pkt_legacy_bgp_primitives src_* fields,
+#     src/network.h:609-618)
+@register(
+    "bgp_src_lookup",
+    f"""{FLOWS_DUCK_CTE},
+rib AS ({BGP_RIB_DUCK}),
+cand AS (
+  SELECT f.event_id, f.bytes, r.as_path, r.local_pref, r.roa,
+         ROW_NUMBER() OVER (
+           PARTITION BY f.event_id ORDER BY r.masklen DESC) AS rn
+  FROM flows f JOIN rib r
+    ON f.peer_ip_src = r.peer_ip
+   AND (f.ip_src_i // (CAST(1 AS BIGINT) << (32 - r.masklen)))
+     = (r.net_int // (CAST(1 AS BIGINT) << (32 - r.masklen)))
+)
+SELECT as_path AS src_as_path, roa AS src_roa,
+       CAST(SUM(bytes) AS BIGINT) AS bytes, COUNT(*) AS flows,
+       CAST(MIN(local_pref) AS BIGINT) AS min_src_local_pref
+FROM cand WHERE rn = 1 GROUP BY 1, 2""",
+)
+def bgp_src_lookup(spark, sf_dir):
+    fl = flows(spark, sf_dir).select("event_id", "peer_ip_src", "ip_src_i", "bytes")
+    rib = bgp_rib_dim(spark, sf_dir)
+    enriched = lpm_join(
+        fl,
+        rib,
+        "ip_src_i",
+        {"as_path": "src_as_path", "local_pref": "src_local_pref", "roa": "src_roa"},
+        extra_keys={"peer_ip_src": "peer_ip"},
+    )
+    return enriched.groupBy("src_as_path", "src_roa").agg(
+        F.sum("bytes").cast("bigint").alias("bytes"),
+        F.count(F.lit(1)).alias("flows"),
+        F.min("src_local_pref").cast("bigint").alias("min_src_local_pref"),
+    )

@@ -91,6 +91,83 @@ PRIMITIVES: dict[str, Primitive] = {
     "country_ip_dst": _p("country_ip_dst", "country_ip_dst", "string"),
     "mpls_vpn_rd": _p("mpls_vpn_rd", "mpls_vpn_rd", "string"),
     "fwd_status": _p("fwd_status", "fwd_status", "int"),
+    # --- L2 / VLAN / CoS / EtherType (src/network.h:436-481)
+    "in_vlan": _p("in_vlan", "in_vlan", "int"),
+    "out_vlan": _p("out_vlan", "out_vlan", "int"),
+    "in_cvlan": _p("in_cvlan", "in_cvlan", "int"),
+    "out_cvlan": _p("out_cvlan", "out_cvlan", "int"),
+    "cos": _p("cos", "cos", "int"),
+    "etype": _p("etype", "etype", "int"),
+    "flow_label": _p("flow_label", "flow_label", "bigint"),
+    # --- MPLS (struct pkt_mpls_primitives, src/network.h:634-640)
+    "mpls_label_top": _p("mpls_label_top", "mpls_label_top", "bigint"),
+    "mpls_label_bottom": _p("mpls_label_bottom", "mpls_label_bottom", "bigint"),
+    "mpls_label_stack": _p("mpls_label_stack", "mpls_label_stack", "string"),
+    "mpls_pw_id": _p("mpls_pw_id", "mpls_pw_id", "bigint"),
+    "path_delay_avg_usec": _p("path_delay_avg_usec", "path_delay_avg_usec", "bigint"),
+    "path_delay_min_usec": _p("path_delay_min_usec", "path_delay_min_usec", "bigint"),
+    "path_delay_max_usec": _p("path_delay_max_usec", "path_delay_max_usec", "bigint"),
+    "sampling_direction": _p("sampling_direction", "sampling_direction", "string"),
+    # --- NAT / firewall (struct pkt_nat_primitives, src/network.h:620-632)
+    "nat_event": _p("nat_event", "nat_event", "int"),
+    "fw_event": _p("fw_event", "fw_event", "int"),
+    "post_nat_src_host": _p("post_nat_src_host", "post_nat_ip_src", "string"),
+    "post_nat_dst_host": _p("post_nat_dst_host", "post_nat_ip_dst", "string"),
+    "post_nat_src_port": _p("post_nat_src_port", "post_nat_port_src", "int"),
+    "post_nat_dst_port": _p("post_nat_dst_port", "post_nat_port_dst", "int"),
+    # --- tunnel / outer header (struct pkt_tunnel_primitives,
+    #     src/network.h:642-660)
+    "tunnel_src_mac": _p("tunnel_src_mac", "tunnel_src_mac", "string"),
+    "tunnel_dst_mac": _p("tunnel_dst_mac", "tunnel_dst_mac", "string"),
+    "tunnel_src_host": _p("tunnel_src_host", "tunnel_src_host", "string"),
+    "tunnel_dst_host": _p("tunnel_dst_host", "tunnel_dst_host", "string"),
+    "tunnel_proto": _p("tunnel_proto", "tunnel_proto", "int"),
+    "tunnel_tos": _p("tunnel_tos", "tunnel_tos", "int"),
+    "tunnel_src_port": _p("tunnel_src_port", "tunnel_src_port", "int"),
+    "tunnel_dst_port": _p("tunnel_dst_port", "tunnel_dst_port", "int"),
+    "tunnel_tcpflags": _p("tunnel_tcpflags", "tunnel_tcp_flags", "int"),
+    "tunnel_flow_label": _p("tunnel_flow_label", "tunnel_flow_label", "bigint"),
+    "vxlan": _p("vxlan", "vxlan", "bigint"),
+    "nvgre": _p("nvgre", "nvgre", "bigint"),
+    # --- timestamps as keys (src/network.h:626-631); timestamp_start/end
+    #     are the flow's own clocks, arrival/export the collector's
+    "timestamp_start": _p("timestamp_start", "ts", "timestamp_ntz"),
+    "timestamp_end": _p("timestamp_end", "end_ts", "timestamp_ntz"),
+    "timestamp_arrival": _p("timestamp_arrival", "timestamp_arrival", "timestamp_ntz"),
+    "timestamp_export": _p("timestamp_export", "timestamp_export", "timestamp_ntz"),
+    "export_proto_sysid": _p("export_proto_sysid", "export_proto_sysid", "bigint"),
+    # --- VRF / interface names (vlen primitives, src/network.h:520-523)
+    "vrf_name": _p("vrf_name", "vrf_name", "string"),
+    "ingress_vrf_name": _p("ingress_vrf_name", "ingress_vrf_name", "string"),
+    "egress_vrf_name": _p("egress_vrf_name", "egress_vrf_name", "string"),
+    "in_iface_name": _p("in_iface_name", "in_iface_name", "string"),
+    "out_iface_name": _p("out_iface_name", "out_iface_name", "string"),
+    "srv6_seg_ipv6_list": _p("srv6_seg_ipv6_list", "srv6_seg_ipv6_list", "string"),
+    # --- BGP-enrichment-provided keys (populated by the RIB lookup join,
+    #     operators/lpm.py; reference src/bgp/bgp_lookup.c:33-210)
+    "as_path": _p("as_path", "as_path", "string"),
+    "local_pref": _p("local_pref", "local_pref", "bigint"),
+    "med": _p("med", "med", "bigint"),
+    "std_comm": _p("std_comm", "std_comm", "string"),
+    "ext_comm": _p("ext_comm", "ext_comm", "string"),
+    "lrg_comm": _p("lrg_comm", "lrg_comm", "string"),
+    "dst_roa": _p("dst_roa", "dst_roa", "string"),
+    # src_* reverse-lookup variants: same RIB lookup probed with ip_src
+    # (struct pkt_legacy_bgp_primitives src_* fields, src/network.h:609-618)
+    "src_as_path": _p("src_as_path", "src_as_path", "string"),
+    "src_local_pref": _p("src_local_pref", "src_local_pref", "bigint"),
+    "src_med": _p("src_med", "src_med", "bigint"),
+    "src_std_comm": _p("src_std_comm", "src_std_comm", "string"),
+    "src_ext_comm": _p("src_ext_comm", "src_ext_comm", "string"),
+    "src_lrg_comm": _p("src_lrg_comm", "src_lrg_comm", "string"),
+    "src_roa": _p("src_roa", "src_roa", "string"),
+    # --- GeoIP-enrichment-provided keys (views/dims.py geoip_dim)
+    "src_host_country": _p("src_host_country", "country_ip_src", "string"),
+    "dst_host_country": _p("dst_host_country", "country_ip_dst", "string"),
+    "src_host_pocode": _p("src_host_pocode", "pocode_ip_src", "string"),
+    "dst_host_pocode": _p("dst_host_pocode", "pocode_ip_dst", "string"),
+    "src_host_coords": _p("src_host_coords", "coords_ip_src", "string"),
+    "dst_host_coords": _p("dst_host_coords", "coords_ip_dst", "string"),
     # --- counters (struct pkt_data, src/network.h:483-493)
     "bytes": _p("bytes", "bytes", "bigint", "counter", "sum"),
     "packets": _p("packets", "packets", "bigint", "counter", "sum"),

@@ -41,7 +41,10 @@ FROM region
 _GEOIP_SQL = f"""
 SELECT CAST({_BASE} + r_regionkey * 209715 AS BIGINT) AS range_start,
        CAST({_BASE} + r_regionkey * 209715 + 209714 AS BIGINT) AS range_end,
-       r_name AS country
+       r_name AS country,
+       'PO' || CAST(10 + r_regionkey AS {{STR}}) AS pocode,
+       CAST(-60 + r_regionkey * 30 AS {{STR}}) || ':'
+         || CAST(-150 + r_regionkey * 60 AS {{STR}}) AS coords
 FROM region
 """
 
@@ -64,7 +67,8 @@ _BGP_RIB_SQL = f"""
 SELECT '192.0.2.' || CAST(r_regionkey AS {{STR}}) AS peer_ip,
        CAST(0 AS BIGINT) AS net_int, 0 AS masklen,
        '64512' AS as_path, CAST(64512 AS BIGINT) AS peer_dst_as,
-       CAST(50 AS BIGINT) AS local_pref, CAST(0 AS BIGINT) AS med
+       CAST(50 AS BIGINT) AS local_pref, CAST(0 AS BIGINT) AS med,
+       '' AS std_comm, '' AS ext_comm, '' AS lrg_comm, 'u' AS roa
 FROM region
 UNION ALL
 SELECT '192.0.2.' || CAST(r_regionkey AS {{STR}}),
@@ -72,7 +76,11 @@ SELECT '192.0.2.' || CAST(r_regionkey AS {{STR}}),
        '64496 ' || CAST(65000 + n_nationkey AS {{STR}}),
        CAST(65000 + n_nationkey AS BIGINT),
        CAST(100 + ((n_nationkey * 7 + r_regionkey) % 50) AS BIGINT),
-       CAST((n_nationkey * 13 + r_regionkey * 3) % 100 AS BIGINT)
+       CAST((n_nationkey * 13 + r_regionkey * 3) % 100 AS BIGINT),
+       '64496:' || CAST(n_nationkey % 10 AS {{STR}}),
+       'RT:64496:' || CAST(n_nationkey % 5 AS {{STR}}),
+       '64496:1:' || CAST(n_nationkey AS {{STR}}),
+       CASE n_nationkey % 3 WHEN 0 THEN 'v' WHEN 1 THEN 'i' ELSE 'n' END
 FROM region CROSS JOIN nation
 UNION ALL
 SELECT '192.0.2.' || CAST(r_regionkey AS {{STR}}),
@@ -81,8 +89,32 @@ SELECT '192.0.2.' || CAST(r_regionkey AS {{STR}}),
        '64496 64499 ' || CAST(66000 + n_nationkey AS {{STR}}),
        CAST(66000 + n_nationkey AS BIGINT),
        CAST(200 + ((n_nationkey * 11 + r_regionkey) % 50) AS BIGINT),
-       CAST((n_nationkey * 17 + r_regionkey * 5) % 100 AS BIGINT)
+       CAST((n_nationkey * 17 + r_regionkey * 5) % 100 AS BIGINT),
+       '64499:' || CAST(n_nationkey % 10 AS {{STR}}) || ' 64496:' || CAST(n_nationkey % 10 AS {{STR}}),
+       'RT:64499:' || CAST(n_nationkey % 5 AS {{STR}}),
+       '64499:1:' || CAST(n_nationkey AS {{STR}}),
+       CASE n_nationkey % 3 WHEN 0 THEN 'v' WHEN 1 THEN 'i' ELSE 'n' END
 FROM region CROSS JOIN nation WHERE n_nationkey < 16
+"""
+
+# IPv6 networks table (networks_file with v6 prefixes; the reference's
+# binsearch handles both families, src/net_aggr.c:455-490). Prefixes are
+# stored as uncompressed-form string prefixes INCLUDING the trailing
+# colon, so LPM = fixed-width substring equality; masklen ranks matches.
+#   - /64  per region   (group 4 = region key)
+#   - /112 per nation<16 (groups 4+7 nation-derived; only flows whose
+#     user_id%16 agrees with user_id%5 hit these -> real LPM fallback)
+_G = "lpad(lower({HEX}(%s)), 4, '0')"
+
+_NETWORKS6_SQL = f"""
+SELECT 'fd00:0000:0000:' || {_G % 'r_regionkey'} || ':' AS prefix6,
+       64 AS masklen, CAST(65100 + r_regionkey AS BIGINT) AS asn
+FROM region
+UNION ALL
+SELECT 'fd00:0000:0000:' || {_G % '(n_nationkey % 5)'} || ':0000:0000:'
+         || {_G % 'n_nationkey'} || ':' AS prefix6,
+       112 AS masklen, CAST(66100 + n_nationkey AS BIGINT) AS asn
+FROM nation WHERE n_nationkey < 16
 """
 
 # flow_to_rd map (CONFIG-KEYS flow_to_rd_map; handlers in
@@ -96,8 +128,9 @@ WHERE n_nationkey < 8
 """
 
 NETWORKS_DUCK = _NETWORKS_SQL
-GEOIP_DUCK = _GEOIP_SQL
+GEOIP_DUCK = _GEOIP_SQL.replace("{STR}", "VARCHAR")
 SAMPLING_MAP_DUCK = _SAMPLING_MAP_SQL.replace("{STR}", "VARCHAR")
+NETWORKS6_DUCK = _NETWORKS6_SQL.replace("{HEX}", "to_hex")
 BGP_RIB_DUCK = _BGP_RIB_SQL.replace("{STR}", "VARCHAR")
 FLOW_TO_RD_DUCK = _FLOW_TO_RD_SQL.replace("{STR}", "VARCHAR")
 
@@ -114,8 +147,14 @@ def networks_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _run(spark, sf_dir, _NETWORKS_SQL, ["region", "nation"])
 
 
+def networks6_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _run(
+        spark, sf_dir, _NETWORKS6_SQL.replace("{HEX}", "hex"), ["region", "nation"]
+    )
+
+
 def geoip_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return _run(spark, sf_dir, _GEOIP_SQL, ["region"])
+    return _run(spark, sf_dir, _GEOIP_SQL.replace("{STR}", "STRING"), ["region"])
 
 
 def sampling_map_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
