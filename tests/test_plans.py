@@ -138,3 +138,40 @@ def test_bucketed_join_has_no_exchange(spark, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
         spark.sql("DROP TABLE IF EXISTS b_li")
         spark.sql("DROP TABLE IF EXISTS b_orders")
+
+
+def test_lpm6_and_ivf_keep_fact_side_broadcast(spark):
+    """The v6 LPM and the IVF candidate join must enrich via broadcast
+    joins only — at 100 TB the item/fact table never shuffles for a
+    lookup; the sole hash exchanges allowed are the tiny per-query
+    ranking windows (IVF) or the final aggregation (LPM)."""
+    q = entrymod.queries()
+    for name in ("lpm6_networks_src_as", "ann_ivf_topk"):
+        plan = _plan(q[name](spark, SF_DIR))
+        assert "BroadcastHashJoin" in plan, f"{name}: no broadcast join"
+        assert "SortMergeJoin" not in plan, f"{name}: fact-side shuffle join"
+        assert "ShuffledHashJoin" not in plan, f"{name}: fact-side shuffle join"
+
+
+def test_ivf_assignment_is_map_side(spark):
+    """Centroid assignment happens in a Project over the scan (the
+    literal fold) — no join, no exchange, before the probe join."""
+    from pmacct_spark.operators import similarity
+    from pmacct_spark.sources.tables import load_table
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    base = similarity.quantize(emb.select("vec_id", "embedding"), "embedding", "qv")
+    base = base.withColumn("nrm", F.expr(similarity._norm_sq("qv"))).drop("embedding")
+    cents_df = base.filter(
+        F.expr(similarity.IVF_CENTROID_PRED.format(id="vec_id"))
+    ).select(
+        F.col("vec_id").alias("cid"), F.col("qv").alias("qc"),
+        F.col("nrm").alias("nc"),
+    )
+    cents = [(r["cid"], list(r["qc"]), r["nc"]) for r in cents_df.collect()]
+    assigned = base.withColumn(
+        "cell", F.expr(similarity._ivf_assign_expr(cents, "qv", "nrm"))
+    )
+    plan = _plan(assigned)
+    assert "Exchange" not in plan
+    assert "Join" not in plan
