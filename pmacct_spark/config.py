@@ -112,6 +112,9 @@ class PluginConfig:
     renormalize: bool = False  # counters *= sampling_rate pre-agg
     aggregate_filter: str | None = None  # SQL predicate on the flow schema
     pre_tag_filter: list[int] | None = None  # keep only these tag values
+    post_tag: int | None = None  # constant tag, overrides pre_tag_map
+    post_tag2: int | None = None  # constant tag2, overrides pre_tag_map
+    timestamps_secs: bool = False  # truncate timestamp primitives to seconds
     preprocess: Preprocess | None = None
     topn: tuple[str, int] | None = None  # (counter, N) — client -T semantics
 

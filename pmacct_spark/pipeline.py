@@ -41,6 +41,22 @@ def build_aggregation(flows: DataFrame, cfg: PluginConfig) -> DataFrame:
     if cfg.pre_tag_filter is not None:
         df = df.filter(F.col("tag").isin(list(cfg.pre_tag_filter)))
 
+    # --- post-tagging: constant tag/tag2 evaluated in the plugin,
+    #     overriding any pre_tag_map value (CONFIG-KEYS:2350-2356)
+    if cfg.post_tag is not None:
+        df = df.withColumn("tag", F.lit(cfg.post_tag).cast("bigint"))
+    if cfg.post_tag2 is not None:
+        df = df.withColumn("tag2", F.lit(cfg.post_tag2).cast("bigint"))
+
+    # --- second-resolution timestamps (timestamps_secs,
+    #     CONFIG-KEYS:1690): truncate before windowing/stitching
+    if cfg.timestamps_secs:
+        for c in ("ts", "end_ts", "timestamp_arrival", "timestamp_export"):
+            if c in df.columns:
+                df = df.withColumn(
+                    c, F.expr(f"CAST(date_trunc('second', {c}) AS TIMESTAMP_NTZ)")
+                )
+
     # --- counter renormalization by sampling rate, pre-aggregation
     #     (reference src/pkt_handlers.c:1175-1213; rate 0 = unknown)
     if cfg.renormalize:

@@ -420,3 +420,35 @@ def hist_arrival_time(spark, sf_dir):
             F.sum("flows").cast("bigint").alias("flows"),
         )
     )
+
+
+# --- timestamps_secs + timestamps_since_epoch: stitching min/max
+#     truncated to second resolution and rendered as epoch integers
+#     (CONFIG-KEYS:1690 timestamps_secs; -I/timestamps_since_epoch
+#     presentation, reference src/pmacct.c usage)
+@register(
+    "agg_stitching_secs",
+    f"""{FLOWS_DUCK_CTE}
+SELECT ip_proto AS proto,
+       CAST(MIN(epoch_us(date_trunc('second', ts)) // 1000000) AS BIGINT)
+         AS timestamp_min_epoch,
+       CAST(MAX(epoch_us(date_trunc('second', end_ts)) // 1000000) AS BIGINT)
+         AS timestamp_max_epoch,
+       {_sums('bytes', 'packets', 'flows')}
+FROM flows GROUP BY 1""",
+)
+def agg_stitching_secs(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    cfg = PluginConfig(aggregate=["proto"], stitching=True, timestamps_secs=True)
+    out = build_aggregation(flows(spark, sf_dir), cfg)
+    return out.select(
+        "proto",
+        F.expr(
+            "unix_micros(CAST(timestamp_min AS TIMESTAMP)) DIV 1000000"
+        ).alias("timestamp_min_epoch"),
+        F.expr(
+            "unix_micros(CAST(timestamp_max AS TIMESTAMP)) DIV 1000000"
+        ).alias("timestamp_max_epoch"),
+        "bytes", "packets", "flows",
+    )

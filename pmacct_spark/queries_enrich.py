@@ -401,3 +401,48 @@ def lpm6_networks_src_as(spark, sf_dir):
         F.sum("packets").cast("bigint").alias("packets"),
         F.sum("flows").cast("bigint").alias("flows"),
     )
+
+
+# --- post_tag override: constant per-plugin tag replacing whatever
+#     pre_tag_map computed (CONFIG-KEYS:2350-2356: "post_tag does
+#     override any value computed by pre_tag_map")
+@register(
+    "post_tag_override",
+    f"""{FLOWS_DUCK_CTE}
+SELECT CAST(777 AS BIGINT) AS tag, ip_proto AS proto, {_SUM}
+FROM flows GROUP BY 1, 2""",
+)
+def post_tag_override(spark, sf_dir):
+    f = apply_pretag(flows(spark, sf_dir), _RULES)
+    cfg = PluginConfig(aggregate=["tag", "proto"], post_tag=777)
+    return build_aggregation(f, cfg)
+
+
+# --- networks_file_filter: LPM used as a filter — records not covered
+#     by any defined (non-default) prefix have their AS zeroed out
+#     (CONFIG-KEYS:1054-1060)
+@register(
+    "networks_filter_zero",
+    f"""{FLOWS_DUCK_CTE},
+networks AS ({NETWORKS_DUCK}),
+cand AS (
+  SELECT f.event_id, f.bytes, f.packets, f.flows, n.asn,
+         ROW_NUMBER() OVER (
+           PARTITION BY f.event_id ORDER BY n.masklen DESC) AS rn
+  FROM flows f LEFT JOIN networks n
+    ON n.masklen > 0
+   AND (f.ip_src_i // (CAST(1 AS BIGINT) << (32 - n.masklen)))
+     = (n.net_int // (CAST(1 AS BIGINT) << (32 - n.masklen)))
+)
+SELECT COALESCE(asn, 0) AS src_as, {_SUM}
+FROM cand WHERE rn = 1 GROUP BY 1""",
+)
+def networks_filter_zero(spark, sf_dir):
+    f = flows(spark, sf_dir).select("ip_src_i", "bytes", "packets", "flows")
+    nets = networks_dim(spark, sf_dir).filter("masklen > 0")
+    enriched = lpm_join(f, nets, "ip_src_i", {"asn": "src_as"}, default={"src_as": 0})
+    return enriched.groupBy("src_as").agg(
+        F.sum("bytes").cast("bigint").alias("bytes"),
+        F.sum("packets").cast("bigint").alias("packets"),
+        F.sum("flows").cast("bigint").alias("flows"),
+    )
