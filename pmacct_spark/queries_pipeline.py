@@ -118,6 +118,16 @@ def dedup_ngram_jaccard(spark, sf_dir):
 # --- embedding-cosine near-dup pairs within label blocks
 @register("dedup_embedding_cosine", similarity.cosine_near_dup_duck())
 def dedup_embedding_cosine(spark, sf_dir):
+    """Vectorized strategy: per-block int64 numpy Gram matrix
+    (Arrow-batched applyInPandas) — the scale path."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.cosine_near_dup_pairs_np(emb)
+
+
+# same oracle, pure-JVM strategy: HOF folds, no Python worker — both
+# physical plans must agree with the one SQL oracle
+@register("dedup_embedding_cosine_hof", similarity.cosine_near_dup_duck())
+def dedup_embedding_cosine_hof(spark, sf_dir):
     emb = load_table(spark, sf_dir, "embeddings")
     return similarity.cosine_near_dup_pairs(emb)
 

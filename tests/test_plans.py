@@ -86,12 +86,22 @@ def test_no_python_udf_in_relational_paths(spark):
 
 
 def test_pipeline_ops_also_jvm_side(spark):
-    """Even the dedup/similarity/text pipelines are pure column
-    expressions in this engine — no Python in ANY gated query."""
+    """The dedup/similarity/text pipelines are pure column expressions —
+    no Python in gated queries, EXCEPT the ops explicitly declared as
+    Arrow-vectorized (per-block numpy kernels where N² folds can't
+    compete; each is paired with a pure-JVM strategy sharing its
+    oracle)."""
+    arrow_vectorized = {"dedup_embedding_cosine"}
     q = entrymod.queries()
     for name, fn in q.items():
         plan = _plan(fn(spark, SF_DIR))
+        if name in arrow_vectorized:
+            assert "InPandas" in plan, f"{name}: expected Arrow kernel"
+            continue
         assert "EvalPython" not in plan and "MapInPandas" not in plan, (
+            f"{name}: unexpected Python stage"
+        )
+        assert "FlatMapGroupsInPandas" not in plan, (
             f"{name}: unexpected Python stage"
         )
 
