@@ -40,15 +40,33 @@ class ClientRequest:
     topn: tuple[str, int] | None = None  # -T counter,N
     reset_after: bool = False  # -r
     erase: bool = False  # -e
+    status: bool = False  # -t
+    list_primitives: bool = False  # -a
     output: str = "formatted"  # -O
     numeric_protos: bool = False  # -u
 
 
+def list_primitives() -> list[str]:
+    """-a: the available aggregation primitives (the reference prints
+    the per-daemon list, src/pmacct.c usage; ours is the registry
+    vocabulary plus the special forms)."""
+    from pmacct_spark.registry import PRIMITIVES, SUM_FOLDS
+
+    return sorted(set(PRIMITIVES) | set(SUM_FOLDS) | {"none"})
+
+
 def run_client(table: ImtTable, req: ClientRequest) -> DataFrame | None:
     """Execute one client request against the served table."""
+    if req.list_primitives:
+        spark = table.df.sparkSession
+        return spark.createDataFrame(
+            [(p,) for p in list_primitives()], "primitive string"
+        )
     if req.erase:
         table.erase()
         return None
+    if req.status:
+        return table.status()
     if req.topn:
         df = table.topn(*req.topn)
     elif req.match is not None:

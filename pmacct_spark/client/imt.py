@@ -132,6 +132,16 @@ class ImtTable:
             )
         return out
 
+    # -- -t -----------------------------------------------------------
+    def status(self) -> DataFrame:
+        """WANT_STATUS (-t): table health summary (the reference prints
+        hash-bucket/chain stats, src/server.c:216-235; the columnar
+        analogue is entry count + counter totals)."""
+        return self._df.agg(
+            F.count(F.lit(1)).alias("entries"),
+            *[F.sum(c).alias(f"total_{c}") for c in self.counters],
+        )
+
     # -- -T -----------------------------------------------------------
     def topn(self, counter: str, n: int) -> DataFrame:
         order = [F.desc(counter)] + [F.asc(k) for k in self.keys]

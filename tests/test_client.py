@@ -116,3 +116,22 @@ def test_addr_functions(spark):
     ).select(ipv6_canonical("a").alias("c")).collect()
     assert v6[0]["c"] == "2001:db8:0:1::1"
     assert v6[1]["c"] == "fe80::1"
+def test_cli_status_and_primitive_listing(spark):
+    """-t: table status summary; -a: registry primitive listing."""
+    from pmacct_spark.client.cli import ClientRequest, list_primitives, run_client
+    from pmacct_spark.config import PluginConfig
+    from pmacct_spark.pipeline import build_aggregation
+
+    cfg = PluginConfig(aggregate=["proto"])
+    agg = build_aggregation(flows(spark, SF_DIR), cfg)
+    t = ImtTable(agg, ["proto"], ["bytes", "packets", "flows"])
+
+    st = run_client(t, ClientRequest(status=True)).first()
+    assert st["entries"] == agg.count()
+    assert st["total_bytes"] == agg.agg({"bytes": "sum"}).first()[0]
+
+    prims = list_primitives()
+    assert "src_host" in prims and "sum_host" in prims and "none" in prims
+    assert "vxlan" in prims and "srv6_seg_ipv6_list" in prims  # full vocab
+    pa = run_client(t, ClientRequest(list_primitives=True))
+    assert pa.count() == len(prims)
