@@ -133,15 +133,77 @@ V9_IE_COLUMNS = {
 V9_HEADER_FMT = "!HHIIII"  # 20 bytes
 V9_HEADER = struct.Struct(V9_HEADER_FMT)
 
+# Options-data IEs (sampling exposition, the reference's tests/104-*
+# sampling-options path; template structs src/nfv9_template.h): NetFlow
+# FLOW_SAMPLER_* (48-50), SAMPLING_* (34-35), IPFIX selectorId /
+# samplingPacketInterval (302, 305).
+OPT_IE_COLUMNS = {
+    48: "sampler_id",
+    49: "sampler_mode",
+    50: "sampling_rate",
+    34: "sampling_interval",
+    35: "sampling_algorithm",
+    302: "sampler_id",
+    305: "sampling_interval",
+}
+
+OPTIONS_SCHEMA = T.StructType(
+    [
+        T.StructField("exporter_ip", T.StringType()),
+        T.StructField("seqno", T.LongType()),
+        T.StructField("scope_type", T.IntegerType()),
+        T.StructField("scope_value", T.LongType()),
+        T.StructField("sampler_id", T.LongType()),
+        T.StructField("sampler_mode", T.IntegerType()),
+        T.StructField("sampling_rate", T.LongType()),
+        T.StructField("sampling_interval", T.LongType()),
+        T.StructField("sampling_algorithm", T.IntegerType()),
+    ]
+)
+
 
 def _uint(b: bytes) -> int:
     return int.from_bytes(b, "big")
 
 
+def _decode_option_records(
+    body: bytes,
+    scope_fields: list[tuple[int, int]],
+    option_fields: list[tuple[int, int]],
+    exporter: str,
+    seqno: int,
+) -> list[dict]:
+    """Options-data records: scope (who the options describe) + values
+    (sampling exposition). Reference handles these in the same
+    process_v9_packet loop (src/nfacctd.c:1806)."""
+    rec_len = sum(ln for _, ln in scope_fields) + sum(ln for _, ln in option_fields)
+    if rec_len == 0:
+        return []
+    out: list[dict] = []
+    p = 0
+    while p + rec_len <= len(body):
+        rec = {"exporter_ip": exporter, "seqno": seqno}
+        for st, ln in scope_fields:
+            # keep the first scope (System/Interface/...) as the row's
+            # scope; multi-scope templates are rare
+            if "scope_type" not in rec or rec["scope_type"] is None:
+                rec["scope_type"] = st
+                rec["scope_value"] = _uint(body[p : p + ln])
+            p += ln
+        for ie, ln in option_fields:
+            col = OPT_IE_COLUMNS.get(ie)
+            if col is not None:
+                rec[col] = _uint(body[p : p + ln])
+            p += ln
+        out.append(rec)
+    return out
+
+
 def _v9_packet(
     exporter: str,
     payload: bytes,
-    templates: dict[tuple[str, int, int], list[tuple[int, int]]],
+    templates: dict[tuple[str, int, int], tuple],
+    want: str = "flows",
 ) -> list[dict]:
     if len(payload) < 20:
         return []
@@ -163,6 +225,8 @@ def _v9_packet(
             while p + 4 <= len(body):
                 tid, nfields = struct.unpack_from("!HH", body, p)
                 p += 4
+                if tid < 256:  # padding / malformed
+                    break
                 fields = []
                 for _ in range(nfields):
                     if p + 4 > len(body):
@@ -170,11 +234,48 @@ def _v9_packet(
                     ie, ln = struct.unpack_from("!HH", body, p)
                     p += 4
                     fields.append((ie, ln))
-                templates[(exporter, source_id, tid)] = fields
+                templates[(exporter, source_id, tid)] = ("data", fields)
+        elif set_id == 1:  # options template flowset (v9 layout:
+            # tid, scope bytes, option bytes, then (type,len) pairs)
+            p = 0
+            while p + 6 <= len(body):
+                tid, scope_bytes, option_bytes = struct.unpack_from(
+                    "!HHH", body, p
+                )
+                p += 6
+                if tid < 256:
+                    break
+                scope_fields, option_fields = [], []
+                taken = 0
+                while taken < scope_bytes and p + 4 <= len(body):
+                    st, ln = struct.unpack_from("!HH", body, p)
+                    p += 4
+                    taken += 4
+                    scope_fields.append((st, ln))
+                taken = 0
+                while taken < option_bytes and p + 4 <= len(body):
+                    ie, ln = struct.unpack_from("!HH", body, p)
+                    p += 4
+                    taken += 4
+                    option_fields.append((ie, ln))
+                templates[(exporter, source_id, tid)] = (
+                    "options", scope_fields, option_fields,
+                )
         elif set_id >= 256:  # data flowset
-            tmpl = templates.get((exporter, source_id, set_id))
-            if tmpl is None:
+            entry = templates.get((exporter, source_id, set_id))
+            if entry is None:
                 continue  # template not yet seen: drop (reference behavior)
+            if entry[0] == "options":
+                if want == "options":
+                    out.extend(
+                        _decode_option_records(
+                            body, entry[1], entry[2], exporter, seqno
+                        )
+                    )
+                continue
+            if want != "flows":
+                continue
+            tmpl = entry[1]
             rec_len = sum(ln for _, ln in tmpl)
             if rec_len == 0:
                 continue
