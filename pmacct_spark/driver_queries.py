@@ -43,6 +43,7 @@ def queries() -> dict[str, QueryFn]:
     # import for side effects: each module registers its queries
     from pmacct_spark import queries_aggregate  # noqa: F401
     from pmacct_spark import queries_client  # noqa: F401
+    from pmacct_spark import queries_curation  # noqa: F401
     from pmacct_spark import queries_enrich  # noqa: F401
     from pmacct_spark import queries_pipeline  # noqa: F401
     from pmacct_spark import queries_relational  # noqa: F401

@@ -249,3 +249,89 @@ def presentation_render(spark, sf_dir):
         tcp_flags_str("flags_or").alias("tcp_flags"),
         "bytes",
     )
+
+
+# --- TPC-H Q5-shaped: six-way join with the s_nationkey = c_nationkey
+#     "local supplier" equality, region-filtered. Dims (supplier,
+#     customer, nation, region) broadcast; the lineitem x orders fact
+#     join is the only shuffle.
+@register(
+    "tpch_q5_local_supplier",
+    f"""
+SELECT n.n_name AS nation,
+       {_CENTS.format(c='l.l_extendedprice * (1 - l.l_discount)')} AS revenue_cents
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+             AND c.c_nationkey = s.s_nationkey
+JOIN nation n ON s.s_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+WHERE r.r_name = 'ASIA'
+  AND o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o.o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+GROUP BY 1""",
+)
+def tpch_q5_local_supplier(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp_ntz"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01 00:00:00").cast("timestamp_ntz"))
+    )
+    c = load_table(spark, sf_dir, "customer")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(
+            F.broadcast(s),
+            (li.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey),
+        )
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            F.sum(
+                F.round(
+                    F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+                ).cast("bigint")
+            ).alias("revenue_cents")
+        )
+    )
+
+
+# --- TPC-H Q6-shaped: pure scan-filter-aggregate — the pushdown
+#     showcase (every predicate reaches the parquet scan; grand total =
+#     one partial+final agg, no wide shuffle).
+@register(
+    "tpch_q6_forecast_revenue",
+    f"""
+SELECT {_CENTS.format(c='l_extendedprice * l_discount')} AS revenue_cents,
+       COUNT(*) AS n_items
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+  AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+  AND l_discount BETWEEN 0.05 AND 0.07
+  AND l_quantity < 24""",
+)
+def tpch_q6_forecast_revenue(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp_ntz"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01 00:00:00").cast("timestamp_ntz"))
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.sum(
+                F.round(F.col("l_extendedprice") * F.col("l_discount") * 100).cast(
+                    "bigint"
+                )
+            ).alias("revenue_cents"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
