@@ -49,9 +49,14 @@ def decontaminate_benchmark_overlap(spark, sf_dir):
     the corpus side never shuffles (explode -> broadcast join ->
     re-collapse with partial aggregation)."""
     docs = load_table(spark, sf_dir, "documents")
+    # Materialize the hash sets before the explode/join stages: without
+    # the persist barrier, InferFiltersFromGenerate pushes a
+    # size(hvs)>0 predicate whose inlined expression re-evaluates the
+    # whole token-state fold per element_at reference (measured 240s ->
+    # 1s at sf0.1). Same pattern as dedup.minhash_dedup_pairs.
     sets = dedup.shingle_hash_sets(
         docs, "doc_id", "text", n=_DECON_N, extra_cols=("source",)
-    )
+    ).persist()
     bench = sets.filter(F.col("source").isin(*_BENCH_SOURCES))
     corpus = sets.filter(~F.col("source").isin(*_BENCH_SOURCES))
     return curation.decontaminate(corpus, bench)
