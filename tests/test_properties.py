@@ -181,3 +181,82 @@ def test_shingle_hash_equals_string_hash(spark, tokens):
         }
     )
     assert sorted(got) == want
+
+
+# ---------------------------------------------------------------------------
+# connected components vs union-find reference
+# ---------------------------------------------------------------------------
+
+edge_st = st.tuples(
+    st.integers(min_value=0, max_value=15),
+    st.integers(min_value=0, max_value=15),
+)
+
+
+def _ref_components(edges: list[tuple[int, int]]) -> dict[int, int]:
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        parent.setdefault(a, a)
+        parent.setdefault(b, b)
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    # min node of each component as the label
+    out: dict[int, int] = {}
+    roots: dict[int, int] = {}
+    for n in parent:
+        r = find(n)
+        roots[r] = min(roots.get(r, n), n)
+    for n in parent:
+        out[n] = roots[find(n)]
+    return out
+
+
+@SET
+@given(st.lists(edge_st, min_size=1, max_size=24))
+def test_connected_components_matches_union_find(spark, edges):
+    from pmacct_spark.operators.curation import connected_components
+
+    # drop self-loops the same way the operator's input contract does
+    edges = [(a, b) for a, b in edges if a != b]
+    if not edges:
+        return
+    df = spark.createDataFrame(edges, "doc_a long, doc_b long")
+    got = {
+        r.node: r.cluster_id for r in connected_components(df).collect()
+    }
+    assert got == _ref_components(edges)
+
+
+# ---------------------------------------------------------------------------
+# quota sampling vs Python replay of the LCG rank
+# ---------------------------------------------------------------------------
+
+@SET
+@given(
+    st.lists(st.integers(min_value=0, max_value=10**6), min_size=1, max_size=40, unique=True),
+    st.integers(min_value=1, max_value=6),
+)
+def test_quota_sample_matches_reference(spark, ids, k):
+    from pmacct_spark.operators.curation import quota_sample
+
+    rows = [(i, f"g{i % 3}") for i in ids]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    got = sorted((r.source, r.doc_id) for r in quota_sample(df, "source", "doc_id", k).collect())
+
+    by_group: dict[str, list[int]] = {}
+    for i, g in rows:
+        by_group.setdefault(g, []).append(i)
+    want = sorted(
+        (g, i)
+        for g, members in by_group.items()
+        for i in sorted(members, key=lambda x: ((x * 1103515245 + 12345) % 2147483647, x))[:k]
+    )
+    assert got == want
