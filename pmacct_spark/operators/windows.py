@@ -173,3 +173,54 @@ def duck_prorate_cte(
         f"SELECT *, unnest(generate_series({b0}, {b1}, "
         f"INTERVAL {hist.seconds} SECOND)) AS stamp_inserted FROM {source})"
     )
+
+
+def sliding_buckets(
+    df: DataFrame,
+    duration_s: int,
+    slide_s: int,
+    ts_col: str = "ts",
+    out: str = "window_start",
+) -> DataFrame:
+    """Sliding (hopping) windows: each record lands in
+    ``duration_s/slide_s`` overlapping buckets (beyond the reference —
+    pmacct has tumbling history buckets only, SURVEY.md §2.6).
+
+    Implemented as an explicit explode over the k window offsets so the
+    same code runs batch and streaming and the oracle can replay it;
+    equivalent to ``F.window(ts, duration, slide)``. Map-side only — no
+    shuffle until the caller aggregates on (window_start, keys).
+    """
+    if duration_s % slide_s:
+        raise ValueError("duration must be a multiple of slide")
+    m = duration_s // slide_s
+    slide_us = slide_s * 1_000_000
+    return df.withColumn(
+        "_k", F.explode(F.sequence(F.lit(0), F.lit(m - 1)))
+    ).withColumn(
+        out,
+        F.expr(
+            f"CAST(timestamp_micros((({_us(ts_col)}) DIV {slide_us}) "
+            f"* {slide_us} - _k * {slide_us}L) AS TIMESTAMP_NTZ)"
+        ),
+    ).drop("_k")
+
+
+def duck_sliding_cte(
+    duration_s: int,
+    slide_s: int,
+    source: str = "events",
+    ts_expr: str = "ts",
+    out: str = "window_start",
+) -> str:
+    """DuckDB subquery matching :func:`sliding_buckets`."""
+    m = duration_s // slide_s
+    slide_us = slide_s * 1_000_000
+    ws = (
+        f"make_timestamp(((epoch_us({ts_expr})) // {slide_us}) * {slide_us} "
+        f"- k * {slide_us})"
+    )
+    return (
+        f"SELECT *, {ws} AS {out} FROM {source}, "
+        f"unnest(generate_series(0, {m - 1})) AS _t(k)"
+    )

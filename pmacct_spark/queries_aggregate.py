@@ -9,7 +9,11 @@ from __future__ import annotations
 
 from pmacct_spark.config import History, PluginConfig, Preprocess
 from pmacct_spark.driver_queries import FLOWS_DUCK_CTE, build_aggregation, flows, register
-from pmacct_spark.operators.windows import duck_bucket_sql, duck_prorate_cte
+from pmacct_spark.operators.windows import (
+    duck_bucket_sql,
+    duck_prorate_cte,
+    duck_sliding_cte,
+)
 
 _H5M = History.parse("5m")
 _SUM = "CAST(SUM({c}) AS BIGINT) AS {c}"
@@ -451,4 +455,57 @@ def agg_stitching_secs(spark, sf_dir):
             "unix_micros(CAST(timestamp_max AS TIMESTAMP)) DIV 1000000"
         ).alias("timestamp_max_epoch"),
         "bytes", "packets", "flows",
+    )
+
+
+# --- sliding (hopping) windows — beyond the reference (§2.6 lists
+#     "sliding windows: none"): 10-minute windows every 5 minutes over
+#     the events stream; explicit k-offset explode so batch, streaming,
+#     and the oracle share one definition
+@register(
+    "hist_sliding_10m_5m",
+    f"""
+SELECT window_start, event_type, COUNT(*) AS n_events,
+       CAST(SUM(CAST(FLOOR(value * 100) AS BIGINT)) AS BIGINT) AS value_c
+FROM ({duck_sliding_cte(600, 300, source='events')})
+GROUP BY 1, 2""",
+)
+def hist_sliding_10m_5m(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from pmacct_spark.operators.windows import sliding_buckets
+    from pmacct_spark.sources.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events").select("ts", "event_type", "value")
+    return (
+        sliding_buckets(ev, 600, 300)
+        .groupBy("window_start", "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.floor(F.col("value") * 100).cast("bigint")).alias("value_c"),
+        )
+    )
+
+
+# --- median / exact percentile aggregate — beyond the reference (no
+#     percentiles anywhere in pmacct). Doubled-median trick keeps the
+#     result integer-exact across engines (interpolated halves become
+#     whole numbers).
+@register(
+    "median_bytes_by_proto",
+    f"""{FLOWS_DUCK_CTE}
+SELECT ip_proto AS proto,
+       CAST(2 * median(bytes) AS BIGINT) AS bytes_med2x,
+       CAST(2 * median(packets) AS BIGINT) AS packets_med2x,
+       COUNT(*) AS n
+FROM flows GROUP BY 1""",
+)
+def median_bytes_by_proto(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    f = flows(spark, sf_dir)
+    return f.groupBy(F.col("ip_proto").alias("proto")).agg(
+        F.expr("CAST(2 * percentile(bytes, 0.5) AS BIGINT)").alias("bytes_med2x"),
+        F.expr("CAST(2 * percentile(packets, 0.5) AS BIGINT)").alias("packets_med2x"),
+        F.count(F.lit(1)).alias("n"),
     )
