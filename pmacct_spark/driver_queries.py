@@ -49,6 +49,7 @@ def queries() -> dict[str, QueryFn]:
     from pmacct_spark import queries_relational  # noqa: F401
     from pmacct_spark import queries_sampling  # noqa: F401
     from pmacct_spark import queries_session  # noqa: F401
+    from pmacct_spark import queries_streaming  # noqa: F401
     from pmacct_spark import queries_telemetry  # noqa: F401
 
     return dict(_QUERIES)

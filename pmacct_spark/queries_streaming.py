@@ -1,0 +1,64 @@
+"""Gated queries: Structured Streaming execution surfaced to the
+driver's oracle gate. Each query here runs a REAL streaming job
+(availableNow trigger over the parquet-backed stream source, memory
+sink — the IMT plugin shape) and must hash-match the same DuckDB
+oracle as the equivalent batch plan: stream == batch == oracle.
+
+Reference mapping: the continuous nfacctd pipeline (SURVEY.md §3.1);
+availableNow is the bounded-replay harness (pcap savefile replay,
+src/nfacctd.c:1466) — identical code serves the live feed.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from pmacct_spark.config import PluginConfig
+from pmacct_spark.driver_queries import FLOWS_DUCK_CTE, register
+from pmacct_spark.operators.windows import duck_bucket_sql
+from pmacct_spark.config import History
+from pmacct_spark.streaming.jobs import (
+    flows_stream,
+    run_to_memory,
+    stream_aggregation,
+)
+
+_H5M = History.parse("5m")
+_SUMS = ", ".join(f"CAST(SUM({c}) AS BIGINT) AS {c}" for c in ("bytes", "packets", "flows"))
+
+
+@register(
+    "stream_hist_5m_proto",
+    f"""{FLOWS_DUCK_CTE}
+SELECT {duck_bucket_sql('ts', _H5M)} AS stamp_inserted, ip_proto AS proto,
+       {_SUMS}
+FROM flows GROUP BY 1, 2""",
+)
+def stream_hist_5m_proto(spark, sf_dir):
+    """The flagship channel executed as a streaming query: parquet
+    stream source -> window() state -> memory sink; result must equal
+    the batch plan's oracle bit-for-bit. Complete-mode memory sink is
+    the test harness — a deploy uses update mode + MERGE sink
+    (sinks/upsert.py) with the same upstream plan."""
+    cfg = PluginConfig(aggregate=["proto"], history="5m")
+    stream = stream_aggregation(flows_stream(spark, sf_dir), cfg)
+    return run_to_memory(stream, "q_stream_hist_5m_proto").select(
+        "stamp_inserted", "proto", "bytes", "packets", "flows"
+    )
+
+
+@register(
+    "stream_hist_5m_peer",
+    f"""{FLOWS_DUCK_CTE}
+SELECT {duck_bucket_sql('ts', _H5M)} AS stamp_inserted,
+       peer_ip_src AS peer_src_ip, {_SUMS}
+FROM flows GROUP BY 1, 2""",
+)
+def stream_hist_5m_peer(spark, sf_dir):
+    """Second channel over the same source stream (multi-plugin
+    fan-out, src/plugin_hooks.c:376): per-exporter accounting."""
+    cfg = PluginConfig(aggregate=["peer_src_ip"], history="5m")
+    stream = stream_aggregation(flows_stream(spark, sf_dir), cfg)
+    return run_to_memory(stream, "q_stream_hist_5m_peer").select(
+        "stamp_inserted", "peer_src_ip", "bytes", "packets", "flows"
+    )
