@@ -226,3 +226,44 @@ def text_fingerprint(spark, sf_dir):
         .groupBy("fp")
         .agg(F.min("doc_id").alias("first_doc"), F.count(F.lit(1)).alias("n"))
     )
+
+
+# --- multimodal decode plumbing, oracle-gated end-to-end: documents
+#     bytes as opaque payloads -> Arrow mapInPandas fake-codec feature
+#     extraction (operators/multimodal.py) -> quantized features. The
+#     oracle replays the rolling byte-fold in SQL, so the Python kernel,
+#     the Arrow batch plumbing, and the schema are all value-checked.
+def _mm_acc_duck(j: int) -> str:
+    # rolling (acc*31 + byte) % 1000003 over 1-indexed chars j+1, j+9, ...
+    return (
+        f"list_reduce(list_prepend(CAST(0 AS BIGINT), "
+        f"list_transform(range({j + 1}, length(text) + 1, 8), "
+        f"i -> CAST(ascii(text[i]) AS BIGINT))), "
+        f"(a, b) -> (a * 31 + b) % 1000003)"
+    )
+
+
+@register(
+    "multimodal_decode_features",
+    "SELECT doc_id AS content_id, "
+    + ", ".join(f"{_mm_acc_duck(j)} AS f{j}" for j in range(8))
+    + " FROM documents",
+)
+def multimodal_decode_features(spark, sf_dir):
+    from pmacct_spark.operators.multimodal import (
+        decode_features,
+        media_table_from_documents,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    media = media_table_from_documents(docs)
+    feats = decode_features(media, fake=True)
+    return feats.select(
+        "content_id",
+        *[
+            F.expr(
+                f"CAST(round(element_at(features, {j + 1}) * 1000003) AS BIGINT)"
+            ).alias(f"f{j}")
+            for j in range(8)
+        ],
+    )
