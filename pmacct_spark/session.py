@@ -30,6 +30,35 @@ RUNTIME_CONFS: dict[str, str] = {
 }
 
 
+def ship_package(spark: SparkSession) -> None:
+    """Ship pmacct_spark to executor Python workers via ``addPyFile``.
+
+    Any kernel that references module-level code (decoders, multimodal
+    codecs) needs the package importable on the worker. On a cluster
+    that's ``spark-submit --py-files``; when the session was built by an
+    external driver from an arbitrary cwd, we add the packaged zip at
+    runtime — once per SparkContext."""
+    sc = spark.sparkContext
+    if getattr(sc, "_pmacct_spark_shipped", False):
+        return
+    import tempfile
+    import zipfile
+
+    pkg_dir = os.path.dirname(os.path.abspath(__file__))
+    zpath = os.path.join(
+        tempfile.mkdtemp(prefix="pmacct_spark_pyfiles_"), "pmacct_spark.zip"
+    )
+    with zipfile.ZipFile(zpath, "w") as zf:
+        for root, _dirs, files in os.walk(pkg_dir):
+            for fn in files:
+                if fn.endswith(".py"):
+                    full = os.path.join(root, fn)
+                    rel = os.path.relpath(full, os.path.dirname(pkg_dir))
+                    zf.write(full, rel)
+    sc.addPyFile(zpath)
+    sc._pmacct_spark_shipped = True
+
+
 def apply_runtime_confs(spark: SparkSession) -> SparkSession:
     """Set runtime-settable confs on an externally provided session."""
     for k, v in RUNTIME_CONFS.items():
@@ -39,6 +68,12 @@ def apply_runtime_confs(spark: SparkSession) -> SparkSession:
             # Static conf on a live session (e.g. timeZone is fine, some
             # are not) — keep going; the loader has per-read fallbacks.
             pass
+    try:
+        ship_package(spark)
+    except Exception:
+        # addPyFile can fail on exotic deployments; kernels that don't
+        # touch module-level code still work.
+        pass
     return spark
 
 
