@@ -75,7 +75,7 @@ def test_no_python_udf_in_relational_paths(spark):
     JVM-side (no BatchEvalPython / ArrowEvalPython / mapInPandas)."""
     q = entrymod.queries()
     for name, fn in q.items():
-        if name.startswith(("dedup", "ann_", "text_")):
+        if name.startswith(("dedup", "ann_", "text_", "multimodal")):
             continue  # pipeline ops may use pandas UDFs by design
         plan = _plan(fn(spark, SF_DIR))
         for marker in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
@@ -91,7 +91,7 @@ def test_pipeline_ops_also_jvm_side(spark):
     Arrow-vectorized (per-block numpy kernels where N² folds can't
     compete; each is paired with a pure-JVM strategy sharing its
     oracle)."""
-    arrow_vectorized = {"dedup_embedding_cosine"}
+    arrow_vectorized = {"dedup_embedding_cosine", "multimodal_decode_features"}
     q = entrymod.queries()
     for name, fn in q.items():
         plan = _plan(fn(spark, SF_DIR))
