@@ -55,8 +55,10 @@ def write_print(
     """Write aggregates the way the print plugin purges its cache.
 
     fmt: 'csv' (with header, like print_output: csv + print_header),
-    'json' (JSON lines, like print_output: json), 'avro' when the
-    spark-avro package is on the classpath.
+    'json' (JSON lines, like print_output: json), 'avro' (Object
+    Container Files via the spark-avro datasource when on the
+    classpath, else the built-in pure-Python encoder in sinks/avro.py
+    — format-conformant either way).
     """
     out = df
     partition_cols: list[str] = []
@@ -70,6 +72,14 @@ def write_print(
     elif fmt == "json":
         writer.json(path)
     elif fmt == "avro":
-        writer.format("avro").save(path)  # needs spark-avro on classpath
+        try:
+            writer.format("avro").save(path)
+        except Exception:
+            from pmacct_spark.sinks.avro import write_container
+
+            # no spark-avro datasource here: per-partition container
+            # files from the pure-Python encoder (dynamic-name
+            # partition columns stay as record fields)
+            write_container(out, path)
     else:
         raise ValueError(f"unknown print format {fmt!r}")

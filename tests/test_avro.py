@@ -101,3 +101,15 @@ def test_schema_shape(spark):
     ts_field = s["fields"][-1]
     assert ts_field["type"][0] == "null"
     assert ts_field["type"][1]["logicalType"] == "timestamp-micros"
+
+
+def test_write_print_avro_fallback(spark, tmp_path):
+    """print plugin with print_output: avro — falls back to the
+    pure-Python container writer when spark-avro is absent."""
+    from pmacct_spark.sinks.files import write_print
+
+    df = _sample_df(spark).coalesce(1)
+    path = str(tmp_path / "avro_out")
+    write_print(df, path, fmt="avro")
+    rows = A.read_container(path)
+    assert {r["id"] for r in rows} == {1, 2, 3}
