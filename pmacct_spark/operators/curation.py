@@ -117,12 +117,13 @@ def connected_components(
     (diameter ~2). The convergence check is an aggregate (sum of
     labels — monotonically non-increasing), not a collect of rows.
     """
+    from pyspark.sql import Observation
+
     sym = edges.select(
         F.col(a).alias("u"), F.col(b).alias("v")
     ).unionByName(
         edges.select(F.col(b).alias("u"), F.col(a).alias("v"))
-    )
-    sym = sym.distinct().persist()
+    ).persist()
     labels = (
         sym.select(F.col("u").alias("node"))
         .distinct()
@@ -130,12 +131,15 @@ def connected_components(
         .localCheckpoint()
     )
     prev_sum = labels.agg(F.sum("label")).first()[0]
-    for _ in range(max_iter):
+    for i in range(max_iter):
         neigh = (
             sym.join(labels, sym["v"] == labels["node"])
             .groupBy("u")
             .agg(F.min("label").alias("nlabel"))
         )
+        # convergence metric rides along with the checkpoint
+        # materialization (Observation) — ONE job per round, not two
+        obs = Observation(f"cc_round_{i}")
         labels = (
             labels.join(neigh, labels["node"] == neigh["u"], "left")
             .select(
@@ -144,9 +148,10 @@ def connected_components(
                     F.col("label"), F.coalesce("nlabel", F.col("label"))
                 ).alias("label"),
             )
+            .observe(obs, F.sum("label").alias("s"))
             .localCheckpoint()
         )
-        cur_sum = labels.agg(F.sum("label")).first()[0]
+        cur_sum = obs.get["s"]
         if cur_sum == prev_sum:
             break
         prev_sum = cur_sum
