@@ -107,3 +107,96 @@ def render(df: DataFrame, output: str = "formatted") -> str:
         ]
         return "\n".join([head] + body)
     raise ValueError(f"unknown output {output!r}")
+
+
+# ---------------------------------------------------------------------------
+# argv adapter: `python -m pmacct_spark.client <pmacct flags>`
+# ---------------------------------------------------------------------------
+
+def parse_argv(argv: list[str]) -> tuple[ClientRequest, list[str], str]:
+    """Parse the reference client's flag vocabulary (src/pmacct.c:89-121).
+
+    Returns (request, aggregate keys from -c, sf_dir from -D).
+    """
+    req = ClientRequest()
+    keys: list[str] = []
+    sf_dir = ""
+    it = iter(range(len(argv)))
+    i = 0
+    def take() -> str:
+        nonlocal i
+        i += 1
+        if i >= len(argv):
+            raise ValueError(f"flag {argv[i-1]} needs an argument")
+        return argv[i]
+    while i < len(argv):
+        a = argv[i]
+        if a == "-s":
+            req.show_all = True
+        elif a == "-c":
+            keys = [k.strip() for k in take().split(",") if k.strip()]
+        elif a == "-M":
+            req.match = take()
+        elif a == "-N":
+            req.match = take()
+            req.counters_only = True
+        elif a == "-S":
+            req.sum_matches = True
+        elif a == "-T":
+            spec = take().split(",")
+            req.topn = (spec[0], int(spec[1]) if len(spec) > 1 else 10)
+        elif a == "-r":
+            req.reset_after = True
+        elif a == "-e":
+            req.erase = True
+        elif a == "-t":
+            req.status = True
+        elif a == "-a":
+            req.list_primitives = True
+        elif a == "-O":
+            req.output = take()
+        elif a == "-u":
+            req.numeric_protos = True
+        elif a == "-D":
+            sf_dir = take()
+        else:
+            raise ValueError(f"unknown flag {a!r}")
+        i += 1
+    return req, keys, sf_dir
+
+
+def main(argv: list[str] | None = None, spark=None) -> str:
+    """The pmacct client binary: build the channel aggregation for the
+    requested -c key set over the flow table and serve the query.
+
+    The reference client asks a running daemon's in-memory table; here
+    the "daemon table" is the aggregate DataFrame the same -c set
+    defines (computed over $SPARK_GRAFT_SF_DIR unless -D overrides)."""
+    import os
+    import sys
+
+    from pmacct_spark.config import PluginConfig
+    from pmacct_spark.driver_queries import build_aggregation, flows
+
+    argv = list(sys.argv[1:] if argv is None else argv)
+    req, keys, sf_dir = parse_argv(argv)
+    sf_dir = sf_dir or os.environ.get(
+        "SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001"
+    )
+    if spark is None:
+        from pmacct_spark.session import get_spark
+
+        spark = get_spark("pmacct-client")
+    if req.list_primitives:
+        return "\n".join(list_primitives())
+    cfg = PluginConfig(aggregate=keys or ["src_host", "dst_host"])
+    agg = build_aggregation(flows(spark, sf_dir), cfg)
+    table = ImtTable(
+        agg,
+        keys=[c for c in agg.columns if c not in ("bytes", "packets", "flows")],
+        counters=[c for c in ("bytes", "packets", "flows") if c in agg.columns],
+    )
+    df = run_client(table, req)
+    if df is None:
+        return ""
+    return render(df, req.output)

@@ -135,3 +135,22 @@ def test_cli_status_and_primitive_listing(spark):
     assert "vxlan" in prims and "srv6_seg_ipv6_list" in prims  # full vocab
     pa = run_client(t, ClientRequest(list_primitives=True))
     assert pa.count() == len(prims)
+
+
+def test_argv_main_end_to_end(spark):
+    """`python -m pmacct_spark.client` flag surface: -c/-s/-T/-O/-N."""
+    from pmacct_spark.client.cli import main, parse_argv
+
+    out = main(["-c", "proto", "-s", "-O", "csv", "-u"], spark=spark)
+    lines = out.splitlines()
+    assert lines[0].startswith("proto")
+    assert len(lines) > 1
+
+    out = main(["-c", "proto", "-T", "bytes,2", "-O", "json", "-u"], spark=spark)
+    assert len(out.splitlines()) == 2
+
+    req, keys, _ = parse_argv(["-c", "src_host,dst_host", "-N", "*,10.0.0.1", "-S"])
+    assert keys == ["src_host", "dst_host"]
+    assert req.counters_only and req.sum_matches and req.match == "*,10.0.0.1"
+
+    assert "src_host" in main(["-a"], spark=spark).splitlines()
