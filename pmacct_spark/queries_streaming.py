@@ -62,3 +62,37 @@ def stream_hist_5m_peer(spark, sf_dir):
     return run_to_memory(stream, "q_stream_hist_5m_peer").select(
         "stamp_inserted", "peer_src_ip", "bytes", "packets", "flows"
     )
+
+
+@register(
+    "v5_wire_loop_agg",
+    f"""{FLOWS_DUCK_CTE}
+SELECT ip_proto AS proto, {_SUMS.replace(', CAST(SUM(flows) AS BIGINT) AS flows', '')},
+       COUNT(*) AS n_records
+FROM flows GROUP BY 1""",
+)
+def v5_wire_loop_agg(spark, sf_dir):
+    """The binary wire-format loop, oracle-gated: flows -> nfprobe
+    encode_v5 (real NetFlow v5 datagrams, 30 records/packet) ->
+    decode_v5 (the streaming decoder) -> aggregation. The oracle
+    aggregates the same flows directly, so any encoder/decoder bit
+    error surfaces as a value-hash mismatch (reference
+    process_v5_packet src/nfacctd.c:1705 + nfprobe export)."""
+    from pmacct_spark.driver_queries import flows as flows_view_fn
+    from pmacct_spark.sinks.nfprobe import encode_v5
+    from pmacct_spark.streaming.decode import decode_v5
+
+    fl = flows_view_fn(spark, sf_dir).selectExpr(
+        "ip_src_i", "ip_dst_i", "iface_in", "iface_out", "packets",
+        "bytes", "unix_micros(CAST(ts AS TIMESTAMP)) DIV 1000 AS ts_ms",
+        "unix_micros(CAST(end_ts AS TIMESTAMP)) DIV 1000 AS end_ts_ms",
+        "port_src", "port_dst", "tcp_flags", "ip_proto", "tos",
+        "as_src", "as_dst",
+    )
+    dgrams = encode_v5(fl)
+    back = decode_v5(dgrams.select("exporter_ip", "payload"))
+    return back.groupBy(F.col("ip_proto").cast("int").alias("proto")).agg(
+        F.sum("bytes").alias("bytes"),
+        F.sum("packets").alias("packets"),
+        F.count(F.lit(1)).alias("n_records"),
+    )

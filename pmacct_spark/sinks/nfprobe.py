@@ -45,32 +45,48 @@ def encode_v5(flows: DataFrame, exporter_ip: str = "127.0.0.1") -> DataFrame:
     decoder's column set (streaming.decode.FLOW_SCHEMA names)."""
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        from pmacct_spark.streaming.decode import _v5_rec_dtype
+
         hdr_st = struct.Struct(V5_HEADER_FMT)
-        rec_st = struct.Struct(V5_RECORD_FMT)
+        dt = _v5_rec_dtype()
         seqno = 0  # v5 seqno counts total flows exported (per stream)
         for pdf in batches:
+            # vectorized pack: fill one structured array for the whole
+            # batch, then slice 30-record datagrams out of it (first/
+            # last are chunk-base-relative, patched per slice)
+            n = len(pdf)
+            rec = np.zeros(n, dtype=dt)
+            col = {c: pdf[c].to_numpy() for c in _COLS}
+            rec["src"] = col["ip_src_i"]
+            rec["dst"] = col["ip_dst_i"]
+            rec["inp"] = col["iface_in"]
+            rec["outp"] = col["iface_out"]
+            rec["pkts"] = col["packets"]
+            rec["octets"] = col["bytes"]
+            rec["sport"] = col["port_src"]
+            rec["dport"] = col["port_dst"]
+            rec["flags"] = col["tcp_flags"]
+            rec["proto"] = col["ip_proto"]
+            rec["tos"] = col["tos"]
+            rec["sas"] = col["as_src"].astype(np.int64) & 0xFFFF
+            rec["das"] = col["as_dst"].astype(np.int64) & 0xFFFF
+            ts = col["ts_ms"].astype(np.int64)
+            end = col["end_ts_ms"].astype(np.int64)
             out = []
-            for lo in range(0, len(pdf), V5_MAX_RECORDS):
-                chunk = pdf.iloc[lo : lo + V5_MAX_RECORDS]
-                base_ms = int(chunk["ts_ms"].min())
+            for lo in range(0, n, V5_MAX_RECORDS):
+                hi = min(lo + V5_MAX_RECORDS, n)
+                base_ms = int(ts[lo:hi].min())
+                chunk = rec[lo:hi].copy()
+                chunk["first"] = ts[lo:hi] - base_ms
+                chunk["last"] = end[lo:hi] - base_ms
                 hdr = hdr_st.pack(
-                    5, len(chunk), 0, base_ms // 1000,
+                    5, hi - lo, 0, base_ms // 1000,
                     (base_ms % 1000) * 1_000_000, seqno, 0, 0, 1,
                 )
-                body = b""
-                for r in chunk[list(_COLS)].itertuples(index=False):
-                    body += rec_st.pack(
-                        int(r.ip_src_i), int(r.ip_dst_i), 0,
-                        int(r.iface_in), int(r.iface_out),
-                        int(r.packets), int(r.bytes),
-                        int(r.ts_ms) - base_ms, int(r.end_ts_ms) - base_ms,
-                        int(r.port_src), int(r.port_dst), 0,
-                        int(r.tcp_flags), int(r.ip_proto), int(r.tos),
-                        int(r.as_src) & 0xFFFF, int(r.as_dst) & 0xFFFF,
-                        0, 0, 0,
-                    )
-                out.append((exporter_ip, seqno, hdr + body))
-                seqno += len(chunk)
+                out.append((exporter_ip, seqno, hdr + chunk.tobytes()))
+                seqno += hi - lo
             yield pd.DataFrame(out, columns=["exporter_ip", "seqno", "payload"])
 
     return flows.mapInPandas(gen, DATAGRAM_SCHEMA)

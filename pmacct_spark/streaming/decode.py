@@ -59,6 +59,29 @@ FLOW_SCHEMA = T.StructType(
 )
 
 
+# numpy structured dtype mirroring V5_RECORD_FMT — 48 bytes, no padding
+# (vectorized decode: one frombuffer per datagram instead of 30
+# struct.unpack calls; ~20x on the wire-loop path)
+def _v5_rec_dtype():
+    import numpy as np
+
+    dt = np.dtype(
+        [
+            ("src", ">u4"), ("dst", ">u4"), ("nh", ">u4"),
+            ("inp", ">u2"), ("outp", ">u2"),
+            ("pkts", ">u4"), ("octets", ">u4"),
+            ("first", ">u4"), ("last", ">u4"),
+            ("sport", ">u2"), ("dport", ">u2"),
+            ("pad1", "u1"), ("flags", "u1"),
+            ("proto", "u1"), ("tos", "u1"),
+            ("sas", ">u2"), ("das", ">u2"),
+            ("smask", "u1"), ("dmask", "u1"), ("pad2", ">u2"),
+        ]
+    )
+    assert dt.itemsize == 48
+    return dt
+
+
 def _v5_rows(exporter: str, payload: bytes) -> list[tuple]:
     hdr = struct.Struct(V5_HEADER_FMT)
     rec = struct.Struct(V5_RECORD_FMT)
@@ -92,15 +115,67 @@ def _v5_rows(exporter: str, payload: bytes) -> list[tuple]:
 
 
 def decode_v5(datagrams: DataFrame) -> DataFrame:
-    """Decode NetFlow v5 datagrams into flow rows."""
+    """Decode NetFlow v5 datagrams into flow rows (vectorized: one
+    ``np.frombuffer`` per datagram, column assembly in numpy)."""
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        dt = _v5_rec_dtype()
+        hdr = struct.Struct(V5_HEADER_FMT)
         cols = [f.name for f in FLOW_SCHEMA.fields]
         for pdf in batches:
-            rows: list[tuple] = []
+            parts = []
+            exps: list[str] = []
+            seqs: list[int] = []
+            bases: list[int] = []
             for exporter, payload in zip(pdf["exporter_ip"], pdf["payload"]):
-                rows.extend(_v5_rows(exporter, bytes(payload)))
-            yield pd.DataFrame(rows, columns=cols)
+                payload = bytes(payload)
+                if len(payload) < hdr.size:
+                    continue
+                ver, count, sysup, secs, nsecs, seqno, _t, _i, _s = (
+                    hdr.unpack_from(payload, 0)
+                )
+                if ver != 5:
+                    continue
+                n = min(count, (len(payload) - hdr.size) // dt.itemsize)
+                if n <= 0:
+                    continue
+                arr = np.frombuffer(
+                    payload, dtype=dt, count=n, offset=hdr.size
+                )
+                parts.append(arr)
+                exps.append(exporter)
+                seqs.append(seqno)
+                bases.append(secs * 1000 + nsecs // 1_000_000 - sysup)
+            if not parts:
+                yield pd.DataFrame({c: [] for c in cols})
+                continue
+            lens = [len(a) for a in parts]
+            rec = np.concatenate(parts)
+            base = np.repeat(np.asarray(bases, dtype=np.int64), lens)
+            yield pd.DataFrame(
+                {
+                    "exporter_ip": np.repeat(np.asarray(exps, dtype=object), lens),
+                    "seqno": np.repeat(np.asarray(seqs, dtype=np.int64), lens),
+                    "ip_src_i": rec["src"].astype(np.int64),
+                    "ip_dst_i": rec["dst"].astype(np.int64),
+                    "iface_in": rec["inp"].astype(np.int64),
+                    "iface_out": rec["outp"].astype(np.int64),
+                    "packets": rec["pkts"].astype(np.int64),
+                    "bytes": rec["octets"].astype(np.int64),
+                    "ts_ms": base + rec["first"].astype(np.int64),
+                    "end_ts_ms": base + rec["last"].astype(np.int64),
+                    "port_src": rec["sport"].astype(np.int32),
+                    "port_dst": rec["dport"].astype(np.int32),
+                    "tcp_flags": rec["flags"].astype(np.int32),
+                    "ip_proto": rec["proto"].astype(np.int32),
+                    "tos": rec["tos"].astype(np.int32),
+                    "as_src": rec["sas"].astype(np.int64),
+                    "as_dst": rec["das"].astype(np.int64),
+                },
+                columns=cols,
+            )
 
     return datagrams.mapInPandas(gen, FLOW_SCHEMA)
 
