@@ -96,3 +96,43 @@ def v5_wire_loop_agg(spark, sf_dir):
         F.sum("packets").alias("packets"),
         F.count(F.lit(1)).alias("n_records"),
     )
+
+
+@register(
+    "sflow_wire_loop_renorm",
+    f"""{FLOWS_DUCK_CTE}
+SELECT ip_proto AS proto,
+       CAST(SUM(bytes) * 64 AS BIGINT) AS bytes,
+       CAST(COUNT(*) * 64 AS BIGINT) AS packets,
+       COUNT(*) AS n_samples
+FROM flows GROUP BY 1""",
+)
+def sflow_wire_loop_renorm(spark, sf_dir):
+    """The sFlow wire loop with sampling renormalization, oracle-gated:
+    flows -> encode_sflow5 (real v5 datagrams, raw eth/IP/L4 headers,
+    sampling_rate=64) -> decode_sflow5 (header dissection) -> counters
+    multiplied back by the protocol-reported rate (reference
+    src/pkt_handlers.c:1175-1213) -> aggregation. The oracle multiplies
+    the pristine flows directly, so header pack/parse errors and
+    renormalization drift both break the value hash."""
+    from pmacct_spark.driver_queries import flows as flows_view_fn
+    from pmacct_spark.sinks.sfprobe import encode_sflow5
+    from pmacct_spark.streaming.decode import decode_sflow5
+
+    fl = flows_view_fn(spark, sf_dir).select(
+        "ip_src_i", "ip_dst_i", "port_src", "port_dst", "ip_proto",
+        "tos", "tcp_flags", "bytes", "iface_in", "iface_out",
+    )
+    back = decode_sflow5(
+        encode_sflow5(fl, sampling_rate=64).select("exporter_ip", "payload")
+    )
+    return (
+        back.withColumn("bytes", F.expr("bytes * sampling_rate"))
+        .withColumn("packets", F.expr("1 * sampling_rate"))
+        .groupBy(F.col("ip_proto").cast("int").alias("proto"))
+        .agg(
+            F.sum("bytes").alias("bytes"),
+            F.sum("packets").alias("packets"),
+            F.count(F.lit(1)).alias("n_samples"),
+        )
+    )
