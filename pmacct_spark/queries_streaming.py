@@ -136,3 +136,40 @@ def sflow_wire_loop_renorm(spark, sf_dir):
             F.count(F.lit(1)).alias("n_samples"),
         )
     )
+
+
+@register(
+    "v9_wire_loop_agg",
+    f"""{FLOWS_DUCK_CTE}
+SELECT ip_proto AS proto,
+       CAST(SUM(bytes) AS BIGINT) AS bytes,
+       CAST(SUM(packets) AS BIGINT) AS packets,
+       CAST(SUM(port_src) AS BIGINT) AS sport_sum,
+       COUNT(*) AS n_records
+FROM flows GROUP BY 1""",
+)
+def v9_wire_loop_agg(spark, sf_dir):
+    """The template-stateful wire loop, oracle-gated: flows ->
+    encode_v9 (template flowset first, then 30-record data flowsets) ->
+    decode_v9 (per-(exporter, source-id, template) runtime template
+    cache; reference handle_template_v2 src/nfv9_template.c:1179) ->
+    aggregation vs the pristine flows. Gates template learning, flowset
+    framing, multi-width IE decode (1/2/4/8-byte), and padding."""
+    from pmacct_spark.driver_queries import flows as flows_view_fn
+    from pmacct_spark.sinks.nfprobe import encode_v9
+    from pmacct_spark.streaming.decode import decode_v9
+
+    fl = flows_view_fn(spark, sf_dir).selectExpr(
+        "ip_src_i", "ip_dst_i", "iface_in", "iface_out", "packets",
+        "bytes", "unix_micros(CAST(ts AS TIMESTAMP)) DIV 1000 AS ts_ms",
+        "unix_micros(CAST(end_ts AS TIMESTAMP)) DIV 1000 AS end_ts_ms",
+        "port_src", "port_dst", "tcp_flags", "ip_proto", "tos",
+        "as_src", "as_dst",
+    )
+    back = decode_v9(encode_v9(fl).select("exporter_ip", "payload"))
+    return back.groupBy(F.col("ip_proto").cast("int").alias("proto")).agg(
+        F.sum("bytes").alias("bytes"),
+        F.sum("packets").alias("packets"),
+        F.sum("port_src").alias("sport_sum"),
+        F.count(F.lit(1)).alias("n_records"),
+    )
