@@ -173,3 +173,43 @@ def v9_wire_loop_agg(spark, sf_dir):
         F.sum("port_src").alias("sport_sum"),
         F.count(F.lit(1)).alias("n_records"),
     )
+
+
+@register(
+    "mixed_wire_loop_agg",
+    f"""{FLOWS_DUCK_CTE}
+SELECT ip_proto AS proto,
+       CAST(SUM(bytes) AS BIGINT) AS bytes,
+       CAST(SUM(packets) AS BIGINT) AS packets,
+       COUNT(*) AS n_records
+FROM flows GROUP BY 1""",
+)
+def mixed_wire_loop_agg(spark, sf_dir):
+    """Mixed-version collection on one socket, oracle-gated (the
+    reference's tests/110-111 multi-source mix and the version dispatch
+    at src/nfacctd.c:1649-1654): half the flows export as NetFlow v5,
+    half as IPFIX (template-stateful), the datagram streams union, and
+    decode_any dispatches per datagram. The aggregate must equal the
+    pristine flows regardless of which wire format carried each row."""
+    from pmacct_spark.driver_queries import flows as flows_view_fn
+    from pmacct_spark.sinks.nfprobe import encode_ipfix, encode_v5
+    from pmacct_spark.streaming.decode import decode_any
+
+    fl = flows_view_fn(spark, sf_dir).selectExpr(
+        "ip_src_i", "ip_dst_i", "iface_in", "iface_out", "packets",
+        "bytes", "unix_micros(CAST(ts AS TIMESTAMP)) DIV 1000 AS ts_ms",
+        "unix_micros(CAST(end_ts AS TIMESTAMP)) DIV 1000 AS end_ts_ms",
+        "port_src", "port_dst", "tcp_flags", "ip_proto", "tos",
+        "as_src", "as_dst",
+    )
+    half_a = fl.filter("ip_src_i % 2 = 0")
+    half_b = fl.filter("ip_src_i % 2 = 1")
+    dgrams = encode_v5(half_a, exporter_ip="198.51.100.1").unionByName(
+        encode_ipfix(half_b, exporter_ip="198.51.100.2")
+    )
+    back = decode_any(dgrams.select("exporter_ip", "payload"))
+    return back.groupBy(F.col("ip_proto").cast("int").alias("proto")).agg(
+        F.sum("bytes").alias("bytes"),
+        F.sum("packets").alias("packets"),
+        F.count(F.lit(1)).alias("n_records"),
+    )

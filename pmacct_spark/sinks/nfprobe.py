@@ -196,3 +196,66 @@ def encode_v9(
             yield pd.DataFrame(out, columns=["exporter_ip", "seqno", "payload"])
 
     return flows.mapInPandas(gen, DATAGRAM_SCHEMA)
+
+
+def encode_ipfix(
+    flows: DataFrame, exporter_ip: str = "127.0.0.1", domain: int = 1
+) -> DataFrame:
+    """Pack flow rows into IPFIX (v10) messages: 16-byte header,
+    template set (id 2) first, then data sets — same vectorized record
+    blob as v9 (RFC 7011 framing)."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        dt = _v9_rec_dtype()
+        tmpl_body = struct.pack(
+            "!HH", V9_TEMPLATE_ID, len(V9_EXPORT_FIELDS)
+        ) + b"".join(struct.pack("!HH", ie, ln) for ie, ln in V9_EXPORT_FIELDS)
+        tmpl_set = struct.pack("!HH", 2, 4 + len(tmpl_body)) + tmpl_body
+        seqno = 0
+        sent_template = False
+
+        def msg(sets: bytes, seq: int) -> bytes:
+            return struct.pack("!HHIII", 10, 16 + len(sets), 0, seq, domain) + sets
+
+        for pdf in batches:
+            n = len(pdf)
+            out = []
+            if not sent_template and n:
+                out.append((exporter_ip, seqno, msg(tmpl_set, seqno)))
+                sent_template = True
+                seqno += 1
+            if n:
+                rec = np.zeros(n, dtype=dt)
+                rec["src"] = pdf["ip_src_i"].to_numpy()
+                rec["dst"] = pdf["ip_dst_i"].to_numpy()
+                rec["inp"] = pdf["iface_in"].to_numpy()
+                rec["outp"] = pdf["iface_out"].to_numpy()
+                rec["pkts"] = pdf["packets"].to_numpy()
+                rec["octets"] = pdf["bytes"].to_numpy()
+                rec["first"] = pdf["ts_ms"].to_numpy().astype(np.uint64)
+                rec["last"] = pdf["end_ts_ms"].to_numpy().astype(np.uint64)
+                rec["sport"] = pdf["port_src"].to_numpy()
+                rec["dport"] = pdf["port_dst"].to_numpy()
+                rec["flags"] = pdf["tcp_flags"].to_numpy().astype(np.int64) & 0xFF
+                rec["proto"] = pdf["ip_proto"].to_numpy()
+                rec["tos"] = pdf["tos"].to_numpy()
+                rec["sas"] = pdf["as_src"].to_numpy()
+                rec["das"] = pdf["as_dst"].to_numpy()
+                blob = rec.tobytes()
+                sz = dt.itemsize
+                for lo in range(0, n, V9_MAX_RECORDS):
+                    hi = min(lo + V9_MAX_RECORDS, n)
+                    body = blob[lo * sz : hi * sz]
+                    pad = (-len(body)) % 4
+                    ds = (
+                        struct.pack("!HH", V9_TEMPLATE_ID, 4 + len(body) + pad)
+                        + body
+                        + b"\x00" * pad
+                    )
+                    out.append((exporter_ip, seqno, msg(ds, seqno)))
+                    seqno += 1
+            yield pd.DataFrame(out, columns=["exporter_ip", "seqno", "payload"])
+
+    return flows.mapInPandas(gen, DATAGRAM_SCHEMA)
