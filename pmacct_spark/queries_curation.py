@@ -132,3 +132,89 @@ def dedup_cc_clusters(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
     edges = dedup.minhash_dedup_pairs(docs, "doc_id", "text")
     return curation.connected_components(edges)
+
+
+@register(
+    "train_val_test_split",
+    f"""
+SELECT split, COUNT(*) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS n_chars
+FROM (
+  SELECT CASE
+    WHEN {sample_rank_sql('doc_id')} % 100 < 80 THEN 'train'
+    WHEN {sample_rank_sql('doc_id')} % 100 < 90 THEN 'val'
+    ELSE 'test' END AS split, n_chars
+  FROM documents
+) GROUP BY 1""",
+)
+def train_val_test_split(spark, sf_dir):
+    """Deterministic 80/10/10 corpus split on the LCG hash of doc_id —
+    rerun-stable, leakage-free (a doc's split never depends on the rest
+    of the corpus), pure map-side until the audit aggregation."""
+    docs = load_table(spark, sf_dir, "documents")
+    r = sample_rank_sql("doc_id")
+    return (
+        docs.withColumn(
+            "split",
+            F.expr(
+                f"CASE WHEN {r} % 100 < 80 THEN 'train' "
+                f"WHEN {r} % 100 < 90 THEN 'val' ELSE 'test' END"
+            ),
+        )
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("n_chars"),
+        )
+    )
+
+
+_PACK_BUDGET = 2048  # token budget per packed training sequence
+
+
+@register(
+    "pack_token_batches",
+    f"""
+WITH t AS (
+  SELECT doc_id, source,
+         len(string_split_regex(lower(text), '\\s+')) AS n_tokens
+  FROM documents
+),
+c AS (
+  SELECT *, SUM(n_tokens) OVER (
+    PARTITION BY source ORDER BY doc_id
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+  FROM t
+)
+SELECT source, CAST((cum - n_tokens) // {_PACK_BUDGET} AS BIGINT) AS bin_id,
+       COUNT(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS n_tokens
+FROM c GROUP BY 1, 2""",
+)
+def pack_token_batches(spark, sf_dir):
+    """Sequence packing for training batches: contiguous-fill documents
+    into ~budget-token bins per source (bin = prefix-sum DIV budget —
+    deterministic, order-defined, one window shuffle on the pack key).
+    At 100 TB the pack key is the output shard: each bin maps to one
+    training sequence file."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select(
+        "doc_id", "source",
+        F.expr("size(split(lower(text), '\\\\s+'))").alias("n_tokens"),
+    )
+    c = t.withColumn(
+        "cum",
+        F.expr(
+            "SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id "
+            "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"
+        ),
+    )
+    return (
+        c.withColumn(
+            "bin_id", F.expr(f"(cum - n_tokens) DIV {_PACK_BUDGET}")
+        )
+        .groupBy("source", "bin_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("n_tokens"),
+        )
+    )
