@@ -274,11 +274,85 @@ def _decode_option_records(
     return out
 
 
+# Template -> numpy dtype compilation (the reference compiles a
+# handler vector per template, evaluate_packet_handlers
+# src/pkt_handlers.c:99; we compile a structured dtype once per learned
+# template and decode whole flowsets with a single frombuffer).
+_IE_WIDTHS = {1: "u1", 2: ">u2", 4: ">u4", 8: ">u8"}
+
+
+def _compile_tmpl(fields: list[tuple[int, int]]):
+    """(dtype, ((field_name, column), ...)) or None if any IE width
+    isn't a plain big-endian integer (falls back to the scalar walk)."""
+    import numpy as np
+
+    if not fields or any(ln not in _IE_WIDTHS for _, ln in fields):
+        return None
+    dt = []
+    colmap = []
+    for i, (ie, ln) in enumerate(fields):
+        fn = f"f{i}"
+        dt.append((fn, _IE_WIDTHS[ln]))
+        col = V9_IE_COLUMNS.get(ie)
+        if col is not None:
+            colmap.append((fn, col))
+    return (np.dtype(dt), tuple(colmap))
+
+
+def _flow_frame(items: list, cols: list[str]) -> pd.DataFrame:
+    """Assemble decoder output — a mix of per-record dicts (scalar
+    fallback paths) and ('__arr__', exporter, seqno, group_key, colmap,
+    structured-array) items — into one DataFrame with ``cols``."""
+    import numpy as np
+
+    dicts: list[dict] = []
+    groups: dict = {}
+    for it in items:
+        if isinstance(it, dict):
+            dicts.append(it)
+            continue
+        _tag, exp, seq, gkey, colmap, arr = it
+        g = groups.setdefault(
+            gkey, {"colmap": colmap, "arrs": [], "exps": [], "seqs": [], "lens": []}
+        )
+        g["arrs"].append(arr)
+        g["exps"].append(exp)
+        g["seqs"].append(seq)
+        g["lens"].append(len(arr))
+    frames = []
+    for g in groups.values():
+        rec = np.concatenate(g["arrs"])
+        data = {
+            "exporter_ip": np.repeat(
+                np.asarray(g["exps"], dtype=object), g["lens"]
+            ),
+            "seqno": np.repeat(np.asarray(g["seqs"], dtype=np.int64), g["lens"]),
+        }
+        for fn, col in g["colmap"]:
+            data[col] = rec[fn].astype(np.int64)
+        frames.append(pd.DataFrame(data))
+    if dicts:
+        frames.append(
+            pd.DataFrame([[r.get(c) for c in cols] for r in dicts], columns=cols)
+        )
+    if not frames:
+        return pd.DataFrame({c: [] for c in cols})
+    df = pd.concat(frames, ignore_index=True) if len(frames) > 1 else frames[0]
+    for c in cols:
+        if c not in df.columns:
+            df[c] = pd.array([pd.NA] * len(df), dtype="Int64")
+        elif df[c].dtype == np.float64:
+            # NaN introduced by concat over missing columns
+            df[c] = df[c].astype("Int64")
+    return df[cols]
+
+
 def _v9_packet(
     exporter: str,
     payload: bytes,
     templates: dict[tuple[str, int, int], tuple],
     want: str = "flows",
+    compiled: dict | None = None,
 ) -> list[dict]:
     if len(payload) < 20:
         return []
@@ -310,6 +384,8 @@ def _v9_packet(
                     p += 4
                     fields.append((ie, ln))
                 templates[(exporter, source_id, tid)] = ("data", fields)
+                if compiled is not None:  # template (re)assignment
+                    compiled.pop((exporter, source_id, tid), None)
         elif set_id == 1:  # options template flowset (v9 layout:
             # tid, scope bytes, option bytes, then (type,len) pairs)
             p = 0
@@ -354,6 +430,27 @@ def _v9_packet(
             rec_len = sum(ln for _, ln in tmpl)
             if rec_len == 0:
                 continue
+            if compiled is not None:
+                k3 = (exporter, source_id, set_id)
+                comp = compiled.get(k3, "absent")
+                if comp == "absent":
+                    comp = _compile_tmpl(tmpl)
+                    compiled[k3] = comp
+                if comp is not None:
+                    import numpy as np
+
+                    dt, colmap = comp
+                    n = len(body) // dt.itemsize
+                    if n:
+                        out.append(
+                            (
+                                "__arr__", exporter, seqno,
+                                (k3, dt, colmap),
+                                colmap,
+                                np.frombuffer(body, dtype=dt, count=n),
+                            )
+                        )
+                    continue
             p = 0
             while p + rec_len <= len(body):
                 rec = {"exporter_ip": exporter, "seqno": seqno}
@@ -378,14 +475,17 @@ def decode_v9(datagrams: DataFrame) -> DataFrame:
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         templates: dict[tuple[str, int, int], list[tuple[int, int]]] = {}
+        compiled: dict = {}
         cols = [f.name for f in FLOW_SCHEMA.fields]
         for pdf in batches:
-            rows: list[dict] = []
+            items: list = []
             for exporter, payload in zip(pdf["exporter_ip"], pdf["payload"]):
-                rows.extend(_v9_packet(exporter, bytes(payload), templates))
-            yield pd.DataFrame(
-                [[r.get(c) for c in cols] for r in rows], columns=cols
-            )
+                items.extend(
+                    _v9_packet(
+                        exporter, bytes(payload), templates, compiled=compiled
+                    )
+                )
+            yield _flow_frame(items, cols)
 
     return datagrams.mapInPandas(gen, FLOW_SCHEMA)
 
@@ -406,6 +506,7 @@ def _v10_packet(
     exporter: str,
     payload: bytes,
     templates: dict[tuple[str, int, int], list[tuple[int, int]]],
+    compiled: dict | None = None,
 ) -> list[dict]:
     """IPFIX decode (process_v9_packet handles v10 too, reference
     src/nfacctd.c:1806): 16-byte header, template set id 2, enterprise
@@ -441,6 +542,8 @@ def _v10_packet(
                         ie = ie & 0x7FFF
                     fields.append((ie, ln))
                 templates[(exporter, domain, tid)] = fields
+                if compiled is not None:
+                    compiled.pop((exporter, domain, tid), None)
         elif set_id >= 256:
             tmpl = templates.get((exporter, domain, set_id))
             if tmpl is None:
@@ -448,6 +551,27 @@ def _v10_packet(
             rec_len = sum(ln for _, ln in tmpl)
             if rec_len == 0:
                 continue
+            if compiled is not None:
+                k3 = (exporter, domain, set_id)
+                comp = compiled.get(k3, "absent")
+                if comp == "absent":
+                    comp = _compile_tmpl(tmpl)
+                    compiled[k3] = comp
+                if comp is not None:
+                    import numpy as np
+
+                    dt, colmap = comp
+                    n = len(body) // dt.itemsize
+                    if n:
+                        out.append(
+                            (
+                                "__arr__", exporter, seqno,
+                                (k3, dt, colmap),
+                                colmap,
+                                np.frombuffer(body, dtype=dt, count=n),
+                            )
+                        )
+                    continue
             p = 0
             while p + rec_len <= len(body):
                 rec = {"exporter_ip": exporter, "seqno": seqno}
@@ -467,23 +591,26 @@ def decode_any(datagrams: DataFrame) -> DataFrame:
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         templates: dict[tuple[str, int, int], list[tuple[int, int]]] = {}
+        compiled: dict = {}
         cols = [f.name for f in FLOW_SCHEMA.fields]
         for pdf in batches:
-            rows: list = []
+            items: list = []
             for exporter, payload in zip(pdf["exporter_ip"], pdf["payload"]):
                 b = bytes(payload)
                 ver = int.from_bytes(b[:2], "big") if len(b) >= 2 else 0
                 if ver == 5:
-                    rows.extend(
+                    items.extend(
                         dict(zip(cols, r)) for r in _v5_rows(exporter, b)
                     )
                 elif ver == 9:
-                    rows.extend(_v9_packet(exporter, b, templates))
+                    items.extend(
+                        _v9_packet(exporter, b, templates, compiled=compiled)
+                    )
                 elif ver == 10:
-                    rows.extend(_v10_packet(exporter, b, templates))
-            yield pd.DataFrame(
-                [[r.get(c) for c in cols] for r in rows], columns=cols
-            )
+                    items.extend(
+                        _v10_packet(exporter, b, templates, compiled=compiled)
+                    )
+            yield _flow_frame(items, cols)
 
     return datagrams.mapInPandas(gen, FLOW_SCHEMA)
 

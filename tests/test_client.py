@@ -154,3 +154,43 @@ def test_argv_main_end_to_end(spark):
     assert req.counters_only and req.sum_matches and req.match == "*,10.0.0.1"
 
     assert "src_host" in main(["-a"], spark=spark).splitlines()
+
+
+def test_imt_socket_server(spark, tmp_path):
+    """The -s/-M/-N/-T/-t/-e vocabulary over a UNIX socket (reference
+    src/server.c): concurrent client requests against a served table."""
+    from pmacct_spark.client.imt import ImtTable
+    from pmacct_spark.client.server import ImtServer, query
+
+    df = spark.createDataFrame(
+        [("10.0.0.1", 6, 100, 1), ("10.0.0.2", 17, 50, 2),
+         ("10.0.0.1", 17, 7, 3)],
+        "src_host string, proto long, bytes long, packets long",
+    )
+    table = ImtTable(df, keys=["src_host", "proto"], counters=["bytes", "packets"])
+    srv = ImtServer(table, str(tmp_path / "collect.pipe")).start()
+    try:
+        r = query(srv.path, {"cmd": "stats"})
+        assert r["ok"] and len(r["rows"]) == 3
+
+        r = query(srv.path, {"cmd": "match", "spec": "10.0.0.1,*"})
+        assert len(r["rows"]) == 2
+
+        r = query(srv.path, {"cmd": "match", "spec": "10.0.0.1,*", "sum": True})
+        assert r["columns"] == ["bytes", "packets"]
+        assert r["rows"][0] == [107, 4]
+
+        r = query(srv.path, {"cmd": "topn", "counter": "bytes", "n": 1})
+        assert r["rows"][0][r["columns"].index("bytes")] == 100
+
+        r = query(srv.path, {"cmd": "status"})
+        assert r["ok"]
+
+        r = query(srv.path, {"cmd": "nope"})
+        assert not r["ok"] and "unknown cmd" in r["error"]
+
+        r = query(srv.path, {"cmd": "erase"})
+        assert r["ok"]
+        assert query(srv.path, {"cmd": "stats"})["rows"] == []
+    finally:
+        srv.stop()
