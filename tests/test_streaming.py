@@ -431,3 +431,48 @@ def test_bmp_decode_and_rib_compaction(spark):
     assert r["prefix"] == 0x0A010000 and r["masklen"] == 16
     assert r["local_pref"] == 300 and r["peer_ip"] == "192.0.2.5"
     assert r["next_hop"] == 0x0A0000FE and r["med"] == 20
+
+
+def test_sliding_window_stream_matches_batch(spark):
+    """sliding_buckets is stateless (explode + bucket arithmetic), so
+    the same operator runs unchanged on a stream; the streamed
+    (window, key) aggregate must equal the batch plan's."""
+    from pmacct_spark.operators.windows import sliding_buckets
+
+    src = flows_stream(spark, SF_DIR).select("ts", "ip_proto", "bytes")
+    stream = (
+        sliding_buckets(src, 7200, 3600)
+        .groupBy("window_start", "ip_proto")
+        .agg(F.sum("bytes").alias("bytes"))
+    )
+    got = run_to_memory(stream, "t_slide").orderBy("window_start", "ip_proto")
+    batch = (
+        sliding_buckets(
+            flows(spark, SF_DIR).select("ts", "ip_proto", "bytes"), 7200, 3600
+        )
+        .groupBy("window_start", "ip_proto")
+        .agg(F.sum("bytes").alias("bytes"))
+        .orderBy("window_start", "ip_proto")
+    )
+    assert [tuple(r) for r in got.collect()] == [
+        tuple(r) for r in batch.collect()
+    ]
+
+
+def test_streaming_dedup_within_watermark(spark):
+    """Streaming exact dedup: dropDuplicatesWithinWatermark keeps one
+    row per key — the streaming tier of the dedup family (state
+    bounded by the watermark, unlike unbounded dropDuplicates)."""
+    ev = flows_stream(spark, SF_DIR).select(
+        F.col("ts").cast("timestamp").alias("evt"), "as_src"
+    )
+    stream = ev.withWatermark("evt", "1 hour").dropDuplicatesWithinWatermark(
+        ["as_src"]
+    )
+    got = run_to_memory(stream, "t_sdedup", mode="append")
+    n_keys = flows(spark, SF_DIR).select("as_src").distinct().count()
+    # every key appears at least once and no more than once per
+    # watermark horizon; with this dataset's time span the result is
+    # bounded well below the raw row count
+    raw = flows(spark, SF_DIR).count()
+    assert n_keys <= got.count() < raw
