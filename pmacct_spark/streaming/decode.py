@@ -114,67 +114,87 @@ def _v5_rows(exporter: str, payload: bytes) -> list[tuple]:
     return out
 
 
+class _V5Acc:
+    """Per-batch accumulator for vectorized v5 decode (shared by
+    decode_v5 and the decode_any dispatch path)."""
+
+    def __init__(self):
+        import numpy as np
+
+        self.np = np
+        self.dt = _v5_rec_dtype()
+        self.hdr = struct.Struct(V5_HEADER_FMT)
+        self.parts = []
+        self.exps: list[str] = []
+        self.seqs: list[int] = []
+        self.bases: list[int] = []
+
+    def scan(self, exporter: str, payload: bytes) -> bool:
+        np, hdr, dt = self.np, self.hdr, self.dt
+        if len(payload) < hdr.size:
+            return False
+        ver, count, sysup, secs, nsecs, seqno, _t, _i, _s = hdr.unpack_from(
+            payload, 0
+        )
+        if ver != 5:
+            return False
+        n = min(count, (len(payload) - hdr.size) // dt.itemsize)
+        if n <= 0:
+            return True
+        self.parts.append(
+            np.frombuffer(payload, dtype=dt, count=n, offset=hdr.size)
+        )
+        self.exps.append(exporter)
+        self.seqs.append(seqno)
+        self.bases.append(secs * 1000 + nsecs // 1_000_000 - sysup)
+        return True
+
+    def frame(self, cols: list[str]) -> "pd.DataFrame | None":
+        np = self.np
+        if not self.parts:
+            return None
+        lens = [len(a) for a in self.parts]
+        rec = np.concatenate(self.parts)
+        base = np.repeat(np.asarray(self.bases, dtype=np.int64), lens)
+        return pd.DataFrame(
+            {
+                "exporter_ip": np.repeat(
+                    np.asarray(self.exps, dtype=object), lens
+                ),
+                "seqno": np.repeat(np.asarray(self.seqs, dtype=np.int64), lens),
+                "ip_src_i": rec["src"].astype(np.int64),
+                "ip_dst_i": rec["dst"].astype(np.int64),
+                "iface_in": rec["inp"].astype(np.int64),
+                "iface_out": rec["outp"].astype(np.int64),
+                "packets": rec["pkts"].astype(np.int64),
+                "bytes": rec["octets"].astype(np.int64),
+                "ts_ms": base + rec["first"].astype(np.int64),
+                "end_ts_ms": base + rec["last"].astype(np.int64),
+                "port_src": rec["sport"].astype(np.int32),
+                "port_dst": rec["dport"].astype(np.int32),
+                "tcp_flags": rec["flags"].astype(np.int32),
+                "ip_proto": rec["proto"].astype(np.int32),
+                "tos": rec["tos"].astype(np.int32),
+                "as_src": rec["sas"].astype(np.int64),
+                "as_dst": rec["das"].astype(np.int64),
+            },
+            columns=cols,
+        )
+
+
 def decode_v5(datagrams: DataFrame) -> DataFrame:
     """Decode NetFlow v5 datagrams into flow rows (vectorized: one
     ``np.frombuffer`` per datagram, column assembly in numpy)."""
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        import numpy as np
-
-        dt = _v5_rec_dtype()
-        hdr = struct.Struct(V5_HEADER_FMT)
         cols = [f.name for f in FLOW_SCHEMA.fields]
         for pdf in batches:
-            parts = []
-            exps: list[str] = []
-            seqs: list[int] = []
-            bases: list[int] = []
+            acc = _V5Acc()
             for exporter, payload in zip(pdf["exporter_ip"], pdf["payload"]):
-                payload = bytes(payload)
-                if len(payload) < hdr.size:
-                    continue
-                ver, count, sysup, secs, nsecs, seqno, _t, _i, _s = (
-                    hdr.unpack_from(payload, 0)
-                )
-                if ver != 5:
-                    continue
-                n = min(count, (len(payload) - hdr.size) // dt.itemsize)
-                if n <= 0:
-                    continue
-                arr = np.frombuffer(
-                    payload, dtype=dt, count=n, offset=hdr.size
-                )
-                parts.append(arr)
-                exps.append(exporter)
-                seqs.append(seqno)
-                bases.append(secs * 1000 + nsecs // 1_000_000 - sysup)
-            if not parts:
-                yield pd.DataFrame({c: [] for c in cols})
-                continue
-            lens = [len(a) for a in parts]
-            rec = np.concatenate(parts)
-            base = np.repeat(np.asarray(bases, dtype=np.int64), lens)
-            yield pd.DataFrame(
-                {
-                    "exporter_ip": np.repeat(np.asarray(exps, dtype=object), lens),
-                    "seqno": np.repeat(np.asarray(seqs, dtype=np.int64), lens),
-                    "ip_src_i": rec["src"].astype(np.int64),
-                    "ip_dst_i": rec["dst"].astype(np.int64),
-                    "iface_in": rec["inp"].astype(np.int64),
-                    "iface_out": rec["outp"].astype(np.int64),
-                    "packets": rec["pkts"].astype(np.int64),
-                    "bytes": rec["octets"].astype(np.int64),
-                    "ts_ms": base + rec["first"].astype(np.int64),
-                    "end_ts_ms": base + rec["last"].astype(np.int64),
-                    "port_src": rec["sport"].astype(np.int32),
-                    "port_dst": rec["dport"].astype(np.int32),
-                    "tcp_flags": rec["flags"].astype(np.int32),
-                    "ip_proto": rec["proto"].astype(np.int32),
-                    "tos": rec["tos"].astype(np.int32),
-                    "as_src": rec["sas"].astype(np.int64),
-                    "as_dst": rec["das"].astype(np.int64),
-                },
-                columns=cols,
+                acc.scan(exporter, bytes(payload))
+            frame = acc.frame(cols)
+            yield frame if frame is not None else pd.DataFrame(
+                {c: [] for c in cols}
             )
 
     return datagrams.mapInPandas(gen, FLOW_SCHEMA)
@@ -595,13 +615,12 @@ def decode_any(datagrams: DataFrame) -> DataFrame:
         cols = [f.name for f in FLOW_SCHEMA.fields]
         for pdf in batches:
             items: list = []
+            acc = _V5Acc()
             for exporter, payload in zip(pdf["exporter_ip"], pdf["payload"]):
                 b = bytes(payload)
                 ver = int.from_bytes(b[:2], "big") if len(b) >= 2 else 0
                 if ver == 5:
-                    items.extend(
-                        dict(zip(cols, r)) for r in _v5_rows(exporter, b)
-                    )
+                    acc.scan(exporter, b)
                 elif ver == 9:
                     items.extend(
                         _v9_packet(exporter, b, templates, compiled=compiled)
@@ -610,7 +629,18 @@ def decode_any(datagrams: DataFrame) -> DataFrame:
                     items.extend(
                         _v10_packet(exporter, b, templates, compiled=compiled)
                     )
-            yield _flow_frame(items, cols)
+            frame = _flow_frame(items, cols)
+            v5f = acc.frame(cols)
+            if v5f is not None:
+                frame = (
+                    pd.concat([frame, v5f], ignore_index=True)
+                    if len(frame)
+                    else v5f
+                )
+                for c in cols:
+                    if frame[c].dtype == "float64":
+                        frame[c] = frame[c].astype("Int64")
+            yield frame
 
     return datagrams.mapInPandas(gen, FLOW_SCHEMA)
 
