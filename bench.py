@@ -71,6 +71,14 @@ def main() -> int:
         except Exception as exc:  # keep benching the rest
             failures[name] = f"{type(exc).__name__}: {exc}"
             log(f"  {name}: FAILED {failures[name]}")
+        # queries are independent: drop persisted inputs so heap
+        # pressure from one query's cache can't skew the next
+        # (measured: 2-10x degradation on late HOF-heavy queries
+        # without this)
+        try:
+            spark.catalog.clearCache()
+        except Exception:
+            pass
 
     result = {
         "metric": "total_query_wall_sec",
