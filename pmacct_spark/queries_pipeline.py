@@ -267,3 +267,33 @@ def multimodal_decode_features(spark, sf_dir):
             for j in range(8)
         ],
     )
+
+
+# --- per-label embedding centroid components (the k-means "update"
+#     step / class-prototype computation): posexplode the vector, one
+#     groupBy on (label, dim). Integer-quantized (FLOOR x1e4) so the
+#     float sum is order-independent and oracle-replayable.
+@register(
+    "embedding_centroids_per_label",
+    """
+SELECT label, i AS dim,
+       CAST(SUM(CAST(FLOOR(CAST(embedding[i] AS DOUBLE) * 10000) AS BIGINT)) AS BIGINT) AS comp_q,
+       COUNT(*) AS n_vectors
+FROM embeddings, unnest(range(1, 1 + len(embedding))) AS t(i)
+GROUP BY 1, 2""",
+)
+def embedding_centroids_per_label(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    return (
+        emb.select("label", F.posexplode("embedding").alias("pos", "v"))
+        .select(
+            "label",
+            (F.col("pos") + 1).alias("dim"),
+            F.floor(F.col("v").cast("double") * 10000).cast("bigint").alias("q"),
+        )
+        .groupBy("label", "dim")
+        .agg(
+            F.sum("q").alias("comp_q"),
+            F.count(F.lit(1)).alias("n_vectors"),
+        )
+    )
