@@ -218,3 +218,86 @@ def pack_token_batches(spark, sf_dir):
             F.sum("n_tokens").alias("n_tokens"),
         )
     )
+
+
+@register(
+    "corpus_curation_pipeline",
+    f"""
+WITH q AS (
+  SELECT doc_id, source, n_chars, text,
+         CAST({_FAIL_SQL} AS BIGINT) AS rules_failed
+  FROM ({text.quality_features_duck('text')}) t
+),
+keep_q AS (
+  SELECT doc_id, source, n_chars, text FROM q
+  WHERE rules_failed = 0 AND source NOT IN ({_BENCH_SQL})
+),
+sets AS (
+  SELECT doc_id, {dedup.shingle_hashes_duck('text', _DECON_N)} AS hvs
+  FROM documents WHERE source IN ({_BENCH_SQL})
+),
+bench AS (SELECT DISTINCT unnest(hvs) AS hv FROM sets),
+corp_sets AS (
+  SELECT doc_id, {dedup.shingle_hashes_duck('text', _DECON_N)} AS hvs
+  FROM keep_q
+),
+contam AS (
+  SELECT c.doc_id
+  FROM (SELECT doc_id, len(hvs) AS n_shingles, unnest(hvs) AS hv
+        FROM corp_sets) c
+  JOIN bench b USING (hv)
+  GROUP BY c.doc_id, c.n_shingles
+  HAVING COUNT(*) * 1000 // c.n_shingles >= 500
+),
+clean AS (
+  SELECT * FROM keep_q WHERE doc_id NOT IN (SELECT doc_id FROM contam)
+),
+survivors AS (
+  SELECT md5(text) AS digest, MIN(doc_id) AS doc_id FROM clean GROUP BY 1
+)
+SELECT k.source, COUNT(*) AS n_kept,
+       CAST(SUM(k.n_chars) AS BIGINT) AS total_chars
+FROM survivors s JOIN clean k ON k.doc_id = s.doc_id
+GROUP BY 1""",
+)
+def corpus_curation_pipeline(spark, sf_dir):
+    """The full pretraining-corpus curation pipeline as ONE DataFrame
+    DAG: quality gate -> benchmark decontamination (>=50% shingle
+    overlap drops the doc) -> exact dedup (min-id survivor) ->
+    per-source audit. Every stage reuses the gated operators; Catalyst
+    sees the whole plan, so the corpus is scanned once, the only
+    shuffles are the dedup digest groupBy and the final audit, and the
+    benchmark hash set broadcasts."""
+    docs = load_table(spark, sf_dir, "documents")
+    q = text.quality_features(docs, "text")
+    # materialize both hash-set sides and the gated corpus before the
+    # explode/join stages (the InferFiltersFromGenerate inlining trap —
+    # see decontaminate_benchmark_overlap)
+    keep_q = q.filter(
+        F.expr(f"({_FAIL_SQL}) = 0")
+        & ~F.col("source").isin(*_BENCH_SOURCES)
+    ).select("doc_id", "source", "n_chars", "text").persist()
+    bench_sets = dedup.shingle_hash_sets(
+        docs.filter(F.col("source").isin(*_BENCH_SOURCES)),
+        "doc_id", "text", n=_DECON_N,
+    ).persist()
+    corp_sets = dedup.shingle_hash_sets(
+        keep_q, "doc_id", "text", n=_DECON_N
+    ).persist()
+    contam = curation.decontaminate(corp_sets, bench_sets).filter(
+        F.col("contam_pm") >= 500
+    ).select("doc_id")
+    clean = keep_q.join(contam, "doc_id", "left_anti")
+    survivors = (
+        clean.groupBy(F.md5("text").alias("digest"))
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+    )
+    return (
+        clean.join(survivors, "doc_id", "left_semi")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_kept"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+    )
