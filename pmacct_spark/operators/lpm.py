@@ -123,20 +123,44 @@ def range_join(
     attrs: dict[str, str],
     start_col: str = "range_start",
     end_col: str = "range_end",
+    bucket_bits: int = 16,
 ) -> DataFrame:
     """Non-overlapping range enrichment (GeoIP: reference
-    src/pkt_handlers.c:749-772 — ip -> country/pocode/coords). Ranges
-    must not overlap, so a plain broadcast theta-join is exact."""
+    src/pkt_handlers.c:749-772 — ip -> country/pocode/coords).
+
+    Physical shape: each range is exploded into the fixed-width buckets
+    it covers (``start >> bucket_bits`` .. ``end >> bucket_bits``), then
+    the fact side equi-joins on ``ip >> bucket_bits`` with the
+    [start, end] containment as a join filter. That makes the join a
+    BroadcastHashJoin probing ~1 dim row per fact row — NOT a
+    BroadcastNestedLoopJoin scanning all ranges per row, which is the
+    difference between O(rows) and O(rows x ranges) at MaxMind scale
+    (~3M ranges). Explosion cost per range is
+    ``width / 2^bucket_bits + 1`` rows; for /16 buckets a MaxMind-style
+    table (mostly sub-/16 ranges) roughly doubles, still broadcastable.
+    Because an IP lives in exactly one bucket, a fact row can match at
+    most one exploded copy of a range — no dedup needed."""
+    width = 1 << bucket_bits
     dim = ranges.select(
         F.col(start_col).alias("__r_start"),
         F.col(end_col).alias("__r_end"),
         *[F.col(src).alias(dst) for src, dst in attrs.items()],
+    ).withColumn(
+        "__r_bucket",
+        F.explode(
+            F.sequence(
+                F.expr(f"__r_start DIV {width}"), F.expr(f"__r_end DIV {width}")
+            )
+        ),
     )
-    return flows.join(
-        F.broadcast(dim),
-        (F.col(ip_col) >= F.col("__r_start")) & (F.col(ip_col) <= F.col("__r_end")),
-        "left",
-    ).drop("__r_start", "__r_end")
+    cond = (
+        (F.expr(f"{ip_col} DIV {width}") == F.col("__r_bucket"))
+        & (F.col(ip_col) >= F.col("__r_start"))
+        & (F.col(ip_col) <= F.col("__r_end"))
+    )
+    return flows.join(F.broadcast(dim), cond, "left").drop(
+        "__r_start", "__r_end", "__r_bucket"
+    )
 
 
 def lpm6_join(
