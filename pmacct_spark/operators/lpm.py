@@ -163,6 +163,21 @@ def range_join(
     )
 
 
+def _v6_prefix_len_chars(masklen: int) -> int:
+    """Length in characters of an uncompressed-form IPv6 prefix of
+    ``masklen`` bits rounded DOWN to whole hex nibbles: every 4 nibbles
+    (one group) is followed by a ':' separator."""
+    nibbles = masklen // 4
+    return (nibbles // 4) * 5 + nibbles % 4
+
+
+def _v6_nibble_int(col_sql: str, pos: int) -> str:
+    """SQL expr: integer value 0-15 of the hex nibble at 1-based char
+    position ``pos`` (cross-engine: instr works in Spark, strpos-like
+    behavior via instr is fine because addresses are lowercase)."""
+    return f"instr('0123456789abcdef', substr({col_sql}, {pos}, 1)) - 1"
+
+
 def lpm6_join(
     flows: DataFrame,
     networks6: DataFrame,
@@ -170,18 +185,21 @@ def lpm6_join(
     attrs: dict[str, str],
     default: dict[str, object] | None = None,
 ) -> DataFrame:
-    """Chained-broadcast LPM for IPv6 (reference handles both families
-    in the same binsearch, src/net_aggr.c:455-490).
+    """Chained-broadcast LPM for IPv6 with ARBITRARY mask lengths
+    (reference handles both families and any masklen in the same
+    binsearch, src/net_aggr.c:455-490).
 
-    Addresses are uncompressed 8-group lowercase strings, so a prefix
-    on a 16-bit group boundary is a fixed-width substring: the dim
-    stores ``prefix6`` (INCLUDING trailing colon) + ``masklen``; the
-    per-masklen join condition is
-    ``substr(ip6, 1, length(prefix6)) = prefix6``. Same plan shape as
-    :func:`lpm_join`: one broadcast hash join per distinct masklen,
-    longest first, coalesced — the fact table never shuffles. (A
-    128-bit integer mask doesn't fit Spark's BIGINT; the string form
-    keeps the key exact and pushdown-friendly.)
+    Addresses are uncompressed 8-group lowercase strings. For masklen
+    ``m``: the first ``m DIV 4`` hex nibbles are a fixed-width
+    substring equality (colon positions included), and a non-nibble
+    remainder (``m % 4`` bits) is an equality on the next nibble's
+    value shifted right by ``4 - m%4`` bits. Both conditions are
+    EQUI-conditions, so every per-masklen join stays a
+    BroadcastHashJoin — the fact table never shuffles, exactly the
+    :func:`lpm_join` plan shape. The dim stores ``prefix6`` rendered to
+    ``ceil(m/4)`` nibbles (aligned prefixes keep the trailing colon)
+    + ``masklen``. (A 128-bit integer mask doesn't fit Spark's BIGINT;
+    the string form keeps the key exact and pushdown-friendly.)
     """
     masklens = sorted(
         (r[0] for r in networks6.select("masklen").distinct().collect()),
@@ -189,14 +207,30 @@ def lpm6_join(
     )
     out = flows
     for m in masklens:
-        # groups of 16 bits, each rendered as 4 hex chars + ':'
-        plen = (m // 16) * 5
-        dim = networks6.filter(F.col("masklen") == m).select(
-            F.col("prefix6").alias(f"__pfx_{m}"),
+        plen = _v6_prefix_len_chars(m)
+        rem_bits = m % 4
+        dim_cols = [
+            F.expr(f"substr(prefix6, 1, {plen})").alias(f"__pfx_{m}"),
             *[F.col(src).alias(f"__{dst}_{m}") for src, dst in attrs.items()],
-        )
+        ]
+        if rem_bits:
+            shift = 1 << (4 - rem_bits)
+            dim_cols.append(
+                F.expr(
+                    f"({_v6_nibble_int('prefix6', plen + 1)}) DIV {shift}"
+                ).alias(f"__nib_{m}")
+            )
+        dim = networks6.filter(F.col("masklen") == m).select(*dim_cols)
         cond = F.expr(f"substr({ip6_col}, 1, {plen})") == F.col(f"__pfx_{m}")
-        out = out.join(F.broadcast(dim), cond, "left").drop(f"__pfx_{m}")
+        drop = [f"__pfx_{m}"]
+        if rem_bits:
+            shift = 1 << (4 - rem_bits)
+            cond = cond & (
+                F.expr(f"({_v6_nibble_int(ip6_col, plen + 1)}) DIV {shift}")
+                == F.col(f"__nib_{m}")
+            )
+            drop.append(f"__nib_{m}")
+        out = out.join(F.broadcast(dim), cond, "left").drop(*drop)
     for src, dst in attrs.items():
         cols = [F.col(f"__{dst}_{m}") for m in masklens]
         fallback = (

@@ -98,23 +98,45 @@ FROM region CROSS JOIN nation WHERE n_nationkey < 16
 """
 
 # IPv6 networks table (networks_file with v6 prefixes; the reference's
-# binsearch handles both families, src/net_aggr.c:455-490). Prefixes are
-# stored as uncompressed-form string prefixes INCLUDING the trailing
-# colon, so LPM = fixed-width substring equality; masklen ranks matches.
-#   - /64  per region   (group 4 = region key)
+# binsearch handles both families AND arbitrary masklens,
+# src/net_aggr.c:455-490). A prefix is stored as the uncompressed-form
+# string rendered to exactly ceil(masklen/4) hex nibbles (aligned
+# prefixes keep the trailing colon), so LPM = fixed-width substring
+# equality at length(prefix6); masklen ranks matches.
+#   - /116 per nation<16: the /112 below + the first nibble of group 8
+#     (= hex(nationkey)) — non-16-bit-aligned, steals the flows whose
+#     (event_id % 65536) DIV 4096 nibble agrees
 #   - /112 per nation<16 (groups 4+7 nation-derived; only flows whose
 #     user_id%16 agrees with user_id%5 hit these -> real LPM fallback)
+#   - /64  per region   (group 4 = region key)
+#   - /44  covering fd00:0000:000x (all fixture flows) — non-aligned
+#   - /20  covering fd00:0xxx (all fixture flows) — non-aligned, least
+#     specific: must lose to every longer match
 _G = "lpad(lower({HEX}(%s)), 4, '0')"
 
 _NETWORKS6_SQL = f"""
-SELECT 'fd00:0000:0000:' || {_G % 'r_regionkey'} || ':' AS prefix6,
-       64 AS masklen, CAST(65100 + r_regionkey AS BIGINT) AS asn
-FROM region
+SELECT 'fd00:0000:0000:' || {_G % '(n_nationkey % 5)'} || ':0000:0000:'
+         || {_G % 'n_nationkey'} || ':'
+         || substr({_G % 'n_nationkey'}, 4, 1) AS prefix6,
+       116 AS masklen, CAST(68000 + n_nationkey AS BIGINT) AS asn
+FROM nation WHERE n_nationkey < 16
 UNION ALL
 SELECT 'fd00:0000:0000:' || {_G % '(n_nationkey % 5)'} || ':0000:0000:'
          || {_G % 'n_nationkey'} || ':' AS prefix6,
        112 AS masklen, CAST(66100 + n_nationkey AS BIGINT) AS asn
 FROM nation WHERE n_nationkey < 16
+UNION ALL
+SELECT 'fd00:0000:0000:' || {_G % 'r_regionkey'} || ':' AS prefix6,
+       64 AS masklen, CAST(65100 + r_regionkey AS BIGINT) AS asn
+FROM region
+UNION ALL
+SELECT 'fd00:0000:000' AS prefix6,
+       44 AS masklen, CAST(67500 AS BIGINT) AS asn
+FROM region WHERE r_regionkey = 0
+UNION ALL
+SELECT 'fd00:0' AS prefix6,
+       20 AS masklen, CAST(67000 AS BIGINT) AS asn
+FROM region WHERE r_regionkey = 0
 """
 
 # flow_to_rd map (CONFIG-KEYS flow_to_rd_map; handlers in

@@ -67,3 +67,64 @@ def test_plan_is_broadcast_only(flows_df, networks):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+# ---------------------------------------------------------------------------
+# IPv6: arbitrary (non-16-bit-aligned, even non-nibble) masklens
+# (reference binsearch handles any prefix length, src/net_aggr.c:455-490)
+# ---------------------------------------------------------------------------
+
+@pytest.fixture(scope="module")
+def networks6(spark):
+    from pmacct_spark.operators.lpm import lpm6_join  # noqa: F401
+
+    rows = [
+        ("fd00:0", 20, 100),               # matches all fd00:0xxx::/20
+        ("fd00:0000:000", 44, 200),        # nibble-aligned, mid-group
+        ("fd00:0000:0008", 45, 300),       # SUB-NIBBLE: grp3 nib4 in 8..f
+        ("fd00:0000:0000:00aa:", 64, 400),  # group-aligned
+    ]
+    return spark.createDataFrame(rows, "prefix6 string, masklen int, asn int")
+
+
+@pytest.fixture(scope="module")
+def flows6(spark):
+    rows = [
+        (1, "fd00:0000:0003:0001:0000:0000:0000:0001"),  # /44 (nib 3 -> 0)
+        (2, "fd00:0000:0009:0001:0000:0000:0000:0001"),  # /45 beats /44
+        (3, "fd00:0000:0000:00aa:0000:0000:0000:0001"),  # /64 beats /44
+        (4, "fd00:0fff:0000:0000:0000:0000:0000:0001"),  # only /20
+        (5, "fd01:0000:0000:0000:0000:0000:0000:0001"),  # nothing
+    ]
+    return spark.createDataFrame(rows, "fid int, ip6 string")
+
+
+EXPECT6 = {1: 200, 2: 300, 3: 400, 4: 100, 5: None}
+
+
+def test_lpm6_arbitrary_masklens(flows6, networks6):
+    from pmacct_spark.operators.lpm import lpm6_join
+
+    out = lpm6_join(flows6, networks6, "ip6", {"asn": "asn_lpm"})
+    got = {r.fid: r.asn_lpm for r in out.collect()}
+    assert got == EXPECT6
+
+
+def test_lpm6_default_fallback(flows6, networks6):
+    from pmacct_spark.operators.lpm import lpm6_join
+
+    out = lpm6_join(
+        flows6, networks6, "ip6", {"asn": "asn_lpm"}, default={"asn_lpm": 64512}
+    )
+    got = {r.fid: r.asn_lpm for r in out.collect()}
+    assert got[5] == 64512 and got[2] == 300
+
+
+def test_lpm6_plan_is_broadcast_only(flows6, networks6):
+    from pmacct_spark.operators.lpm import lpm6_join
+
+    out = lpm6_join(flows6, networks6, "ip6", {"asn": "asn_lpm"})
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
