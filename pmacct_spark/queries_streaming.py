@@ -175,6 +175,69 @@ def v9_wire_loop_agg(spark, sf_dir):
     )
 
 
+from pmacct_spark.views.dims import NETWORKS6_DUCK as _NETWORKS6_DUCK
+
+
+@register(
+    "v6_wire_loop_agg",
+    f"""{FLOWS_DUCK_CTE},
+networks6 AS ({_NETWORKS6_DUCK}),
+v6 AS (
+  SELECT event_id, bytes, packets, vrf_name, flow_label,
+         64 + (event_id % 64) AS mask6_src, ip6_src
+  FROM flows WHERE ip6_src <> ''
+),
+cand AS (
+  SELECT v.*, n.asn,
+         ROW_NUMBER() OVER (
+           PARTITION BY v.event_id ORDER BY n.masklen DESC) AS rn
+  FROM v6 v JOIN networks6 n
+    ON substr(v.ip6_src, 1, length(n.prefix6)) = n.prefix6
+)
+SELECT asn AS src_as6, vrf_name,
+       CAST(SUM(bytes) AS BIGINT) AS bytes,
+       CAST(SUM(packets) AS BIGINT) AS packets,
+       CAST(SUM(flow_label) AS BIGINT) AS flow_label_sum,
+       CAST(SUM(mask6_src) AS BIGINT) AS mask6_sum,
+       COUNT(*) AS n_records
+FROM cand WHERE rn = 1 GROUP BY 1, 2""",
+)
+def v6_wire_loop_agg(spark, sf_dir):
+    """The dual-stack wire loop, oracle-gated end-to-end: v6 flows ->
+    encode_ipfix6 (IPv6 address IEs 27/28/62, prefix lengths 29/30,
+    flowLabel 31, variable-length vrfName 236 in BOTH the 1-byte and
+    255-escape encodings) -> decode_any_ext (template-stateful, vlen
+    walk) -> lpm6_join enrichment (arbitrary-masklen chained broadcast
+    LPM) -> aggregation. The oracle joins the pristine flows against
+    the same prefix table directly, so any v6 IE pack/parse error,
+    vlen framing error, or LPM ranking error breaks the value hash
+    (reference IE tables src/nfv9_template.c:1179, vlen
+    resolve_vlen_template src/nfv9_template.h:333, binsearch
+    src/net_aggr.c:455-490)."""
+    from pmacct_spark.driver_queries import flows as flows_view_fn
+    from pmacct_spark.operators.lpm import lpm6_join
+    from pmacct_spark.sinks.nfprobe import encode_ipfix6
+    from pmacct_spark.streaming.decode import decode_any_ext
+    from pmacct_spark.views.dims import networks6_dim
+
+    fl = flows_view_fn(spark, sf_dir).filter("ip6_src <> ''").selectExpr(
+        "ip6_src", "ip6_dst", "ip6_dst AS ip6_nexthop",
+        "64 + (event_id % 64) AS mask6_src", "48 AS mask6_dst",
+        "flow_label", "bytes", "packets", "port_src", "port_dst",
+        "ip_proto", "vrf_name",
+    )
+    back = decode_any_ext(encode_ipfix6(fl).select("exporter_ip", "payload"))
+    nets6 = networks6_dim(spark, sf_dir)
+    enriched = lpm6_join(back, nets6, "ip6_src", {"asn": "src_as6"})
+    return enriched.groupBy("src_as6", "vrf_name").agg(
+        F.sum("bytes").cast("bigint").alias("bytes"),
+        F.sum("packets").cast("bigint").alias("packets"),
+        F.sum("flow_label").cast("bigint").alias("flow_label_sum"),
+        F.sum("mask6_src").cast("bigint").alias("mask6_sum"),
+        F.count(F.lit(1)).alias("n_records"),
+    )
+
+
 @register(
     "mixed_wire_loop_agg",
     f"""{FLOWS_DUCK_CTE}

@@ -198,6 +198,100 @@ def encode_v9(
     return flows.mapInPandas(gen, DATAGRAM_SCHEMA)
 
 
+# ---------------------------------------------------------------------------
+# IPFIX v6 export: IPv6 address IEs + prefix lengths + flowLabel + a
+# variable-length vrfName IE (RFC 7011 §7). Mirrors the decoder's
+# extended IE families (streaming.decode: V6_ADDR_IES / EXT_UINT_IES /
+# VLEN_STR_IES; reference IE tables src/nfv9_template.c:1179, vlen
+# resolution src/nfv9_template.h:333).
+# ---------------------------------------------------------------------------
+
+V6_TEMPLATE_ID = 257
+# order matters: decode walks fields in template order
+V6_EXPORT_FIELDS = (
+    (27, 16), (28, 16), (62, 16),     # sourceIPv6Address, destinationIPv6Address, ipNextHopIPv6Address
+    (29, 1), (30, 1),                 # sourceIPv6PrefixLength, destinationIPv6PrefixLength
+    (31, 4),                          # flowLabelIPv6
+    (1, 4), (2, 4),                   # octetDeltaCount, packetDeltaCount
+    (7, 2), (11, 2), (4, 1),          # ports, protocolIdentifier
+    (236, 65535),                     # vrfName (VARIABLE length)
+)
+V6_MAX_RECORDS = 30
+
+
+def _v6_addr_bytes(s: str) -> bytes:
+    return bytes.fromhex(s.replace(":", ""))
+
+
+def encode_ipfix6(
+    flows: DataFrame, exporter_ip: str = "127.0.0.1", domain: int = 6
+) -> DataFrame:
+    """Pack dual-stack flow rows into IPFIX messages with IPv6 +
+    variable-length IEs. ``flows`` needs columns: ip6_src, ip6_dst,
+    ip6_nexthop, mask6_src, mask6_dst, flow_label, bytes, packets,
+    port_src, port_dst, ip_proto, vrf_name.
+
+    Records are variable-length (vrfName); alternating rows use the
+    1-byte short form and the 255-escape long form so BOTH wire
+    encodings round-trip through the decoder."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        tmpl_body = struct.pack(
+            "!HH", V6_TEMPLATE_ID, len(V6_EXPORT_FIELDS)
+        ) + b"".join(struct.pack("!HH", ie, ln) for ie, ln in V6_EXPORT_FIELDS)
+        tmpl_set = struct.pack("!HH", 2, 4 + len(tmpl_body)) + tmpl_body
+        seqno = 0
+        sent_template = False
+
+        def msg(sets: bytes, seq: int) -> bytes:
+            return struct.pack("!HHIII", 10, 16 + len(sets), 0, seq, domain) + sets
+
+        for pdf in batches:
+            n = len(pdf)
+            out = []
+            if not sent_template and n:
+                out.append((exporter_ip, seqno, msg(tmpl_set, seqno)))
+                sent_template = True
+                seqno += 1
+            recs: list[bytes] = []
+            for i, r in enumerate(pdf.itertuples(index=False)):
+                vrf = str(r.vrf_name).encode("utf-8")
+                if i % 2 == 0 and len(vrf) < 255:
+                    vl = bytes([len(vrf)]) + vrf
+                else:  # 255-escape long form (valid for any length)
+                    vl = b"\xff" + len(vrf).to_bytes(2, "big") + vrf
+                recs.append(
+                    _v6_addr_bytes(r.ip6_src)
+                    + _v6_addr_bytes(r.ip6_dst)
+                    + _v6_addr_bytes(r.ip6_nexthop)
+                    + struct.pack(
+                        "!BBIIIHHB",
+                        int(r.mask6_src) & 0xFF,
+                        int(r.mask6_dst) & 0xFF,
+                        int(r.flow_label) & 0xFFFFFFFF,
+                        int(r.bytes) & 0xFFFFFFFF,
+                        int(r.packets) & 0xFFFFFFFF,
+                        int(r.port_src) & 0xFFFF,
+                        int(r.port_dst) & 0xFFFF,
+                        int(r.ip_proto) & 0xFF,
+                    )
+                    + vl
+                )
+            for lo in range(0, len(recs), V6_MAX_RECORDS):
+                body = b"".join(recs[lo : lo + V6_MAX_RECORDS])
+                pad = (-len(body)) % 4
+                ds = (
+                    struct.pack("!HH", V6_TEMPLATE_ID, 4 + len(body) + pad)
+                    + body
+                    + b"\x00" * pad
+                )
+                out.append((exporter_ip, seqno, msg(ds, seqno)))
+                seqno += 1
+            yield pd.DataFrame(out, columns=["exporter_ip", "seqno", "payload"])
+
+    return flows.mapInPandas(gen, DATAGRAM_SCHEMA)
+
+
 def encode_ipfix(
     flows: DataFrame, exporter_ip: str = "127.0.0.1", domain: int = 1
 ) -> DataFrame:

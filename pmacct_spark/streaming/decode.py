@@ -228,6 +228,77 @@ V9_IE_COLUMNS = {
 V9_HEADER_FMT = "!HHIIII"  # 20 bytes
 V9_HEADER = struct.Struct(V9_HEADER_FMT)
 
+# --- extended IE families (reference IE tables src/nfv9_template.c:1179
+# and the vlen resolution hook resolve_vlen_template,
+# src/nfv9_template.h:333):
+#   - IPv6 address IEs 27/28/62 (16-byte, dual-stack day-one surface)
+#   - IPv6 prefix lengths 29/30 and flowLabelIPv6 31 (fixed-width uints)
+#   - variable-length IEs (template length 65535; RFC 7011 §7: 1-byte
+#     record length, 255 escape -> 2-byte length), e.g. vrfName 236
+V6_ADDR_IES = {27: "ip6_src", 28: "ip6_dst", 62: "ip6_nexthop"}
+EXT_UINT_IES = {29: "mask6_src", 30: "mask6_dst", 31: "flow_label"}
+VLEN_STR_IES = {236: "vrf_name"}
+VLEN_SENTINEL = 65535
+
+
+def _fmt_v6(b: bytes) -> str:
+    """16 bytes -> uncompressed 8-group lowercase form (the canonical
+    host_addr rendering used across the engine; SURVEY §1.4)."""
+    h = b.hex()
+    return ":".join(h[i : i + 4] for i in range(0, 32, 4))
+
+
+def _tmpl_is_ext(tmpl: list[tuple[int, int]]) -> bool:
+    return any(
+        ln == VLEN_SENTINEL
+        or (ie in V6_ADDR_IES and ln == 16)
+        or ie in EXT_UINT_IES
+        or ie in VLEN_STR_IES
+        for ie, ln in tmpl
+    )
+
+
+def _decode_ext_records(
+    body: bytes, tmpl: list[tuple[int, int]], exporter: str, seqno: int
+) -> list[dict]:
+    """Scalar walk for templates carrying IPv6 / vlen / string IEs.
+    Variable-length fields make the record size dynamic, so the walk
+    guards on the MINIMUM record length (>= 4, so trailing set padding
+    of <= 3 zero bytes is never misread as a record)."""
+    min_len = sum(1 if ln == VLEN_SENTINEL else ln for _, ln in tmpl)
+    if min_len == 0:
+        return []
+    out: list[dict] = []
+    p, n_body = 0, len(body)
+    while p + min_len <= n_body:
+        rec = {"exporter_ip": exporter, "seqno": seqno}
+        for ie, ln in tmpl:
+            if ln == VLEN_SENTINEL:
+                l0 = body[p]
+                p += 1
+                if l0 == 255:  # escape: real length in next 2 bytes
+                    l0 = int.from_bytes(body[p : p + 2], "big")
+                    p += 2
+                val = body[p : p + l0]
+                p += l0
+                col = VLEN_STR_IES.get(ie)
+                if col is not None:
+                    rec[col] = val.decode("utf-8", "replace")
+            else:
+                raw = body[p : p + ln]
+                p += ln
+                if ie in V6_ADDR_IES and ln == 16:
+                    rec[V6_ADDR_IES[ie]] = _fmt_v6(raw)
+                else:
+                    col = EXT_UINT_IES.get(ie) or V9_IE_COLUMNS.get(ie)
+                    if col is not None:
+                        rec[col] = _uint(raw)
+        if p > n_body:
+            break  # truncated final record: drop it (reference skips)
+        out.append(rec)
+    return out
+
+
 # Options-data IEs (sampling exposition, the reference's tests/104-*
 # sampling-options path; template structs src/nfv9_template.h): NetFlow
 # FLOW_SAMPLER_* (48-50), SAMPLING_* (34-35), IPFIX selectorId /
@@ -319,10 +390,14 @@ def _compile_tmpl(fields: list[tuple[int, int]]):
     return (np.dtype(dt), tuple(colmap))
 
 
-def _flow_frame(items: list, cols: list[str]) -> pd.DataFrame:
+def _flow_frame(
+    items: list, cols: list[str], str_cols: frozenset[str] = frozenset()
+) -> pd.DataFrame:
     """Assemble decoder output — a mix of per-record dicts (scalar
     fallback paths) and ('__arr__', exporter, seqno, group_key, colmap,
-    structured-array) items — into one DataFrame with ``cols``."""
+    structured-array) items — into one DataFrame with ``cols``.
+    ``str_cols`` names the string-typed output columns (filled with
+    None, not Int64 NA, when absent)."""
     import numpy as np
 
     dicts: list[dict] = []
@@ -360,10 +435,16 @@ def _flow_frame(items: list, cols: list[str]) -> pd.DataFrame:
     df = pd.concat(frames, ignore_index=True) if len(frames) > 1 else frames[0]
     for c in cols:
         if c not in df.columns:
-            df[c] = pd.array([pd.NA] * len(df), dtype="Int64")
+            if c in str_cols:
+                df[c] = pd.Series([None] * len(df), dtype=object)
+            else:
+                df[c] = pd.array([pd.NA] * len(df), dtype="Int64")
         elif df[c].dtype == np.float64:
             # NaN introduced by concat over missing columns
-            df[c] = df[c].astype("Int64")
+            if c in str_cols:
+                df[c] = df[c].astype(object).where(df[c].notna(), None)
+            else:
+                df[c] = df[c].astype("Int64")
     return df[cols]
 
 
@@ -447,6 +528,9 @@ def _v9_packet(
             if want != "flows":
                 continue
             tmpl = entry[1]
+            if _tmpl_is_ext(tmpl):
+                out.extend(_decode_ext_records(body, tmpl, exporter, seqno))
+                continue
             rec_len = sum(ln for _, ln in tmpl)
             if rec_len == 0:
                 continue
@@ -568,6 +652,9 @@ def _v10_packet(
             tmpl = templates.get((exporter, domain, set_id))
             if tmpl is None:
                 continue
+            if _tmpl_is_ext(tmpl):
+                out.extend(_decode_ext_records(body, tmpl, exporter, seqno))
+                continue
             rec_len = sum(ln for _, ln in tmpl)
             if rec_len == 0:
                 continue
@@ -643,6 +730,82 @@ def decode_any(datagrams: DataFrame) -> DataFrame:
             yield frame
 
     return datagrams.mapInPandas(gen, FLOW_SCHEMA)
+
+
+# Extended flow schema: dual-stack + vlen surface. String columns are
+# the canonical uncompressed v6 form / utf-8 vlen payloads.
+FLOW6_SCHEMA = T.StructType(
+    list(FLOW_SCHEMA.fields)
+    + [
+        T.StructField("ip6_src", T.StringType()),
+        T.StructField("ip6_dst", T.StringType()),
+        T.StructField("ip6_nexthop", T.StringType()),
+        T.StructField("mask6_src", T.IntegerType()),
+        T.StructField("mask6_dst", T.IntegerType()),
+        T.StructField("flow_label", T.LongType()),
+        T.StructField("vrf_name", T.StringType()),
+    ]
+)
+
+_FLOW6_STR_COLS = frozenset(
+    f.name for f in FLOW6_SCHEMA.fields if isinstance(f.dataType, T.StringType)
+) - {"exporter_ip"}
+
+
+def decode_any_ext(datagrams: DataFrame) -> DataFrame:
+    """Version-dispatch decoder with the EXTENDED output schema
+    (FLOW6_SCHEMA): v5 / v9 / IPFIX mixed, IPv6 + vlen IEs surfaced as
+    columns. Dual-stack collection is the reference's day-one reality
+    (src/nfacctd.c:1649-1654 + IE tables src/nfv9_template.c:1179)."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        templates: dict[tuple[str, int, int], list[tuple[int, int]]] = {}
+        compiled: dict = {}
+        cols = [f.name for f in FLOW6_SCHEMA.fields]
+        for pdf in batches:
+            items: list = []
+            acc = _V5Acc()
+            for exporter, payload in zip(pdf["exporter_ip"], pdf["payload"]):
+                b = bytes(payload)
+                ver = int.from_bytes(b[:2], "big") if len(b) >= 2 else 0
+                if ver == 5:
+                    acc.scan(exporter, b)
+                elif ver == 9:
+                    items.extend(
+                        _v9_packet(exporter, b, templates, compiled=compiled)
+                    )
+                elif ver == 10:
+                    items.extend(
+                        _v10_packet(exporter, b, templates, compiled=compiled)
+                    )
+            frame = _flow_frame(items, cols, str_cols=_FLOW6_STR_COLS)
+            v5f = acc.frame([f.name for f in FLOW_SCHEMA.fields])
+            if v5f is not None:
+                for c in cols:
+                    if c not in v5f.columns:
+                        v5f[c] = (
+                            pd.Series([None] * len(v5f), dtype=object)
+                            if c in _FLOW6_STR_COLS
+                            else pd.array([pd.NA] * len(v5f), dtype="Int64")
+                        )
+                frame = (
+                    pd.concat([frame, v5f[cols]], ignore_index=True)
+                    if len(frame)
+                    else v5f[cols]
+                )
+                import numpy as np
+
+                for c in cols:
+                    if frame[c].dtype == np.float64:
+                        if c in _FLOW6_STR_COLS:
+                            frame[c] = frame[c].astype(object).where(
+                                frame[c].notna(), None
+                            )
+                        else:
+                            frame[c] = frame[c].astype("Int64")
+            yield frame
+
+    return datagrams.mapInPandas(gen, FLOW6_SCHEMA)
 
 
 # ---------------------------------------------------------------------------
