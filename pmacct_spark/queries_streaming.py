@@ -179,6 +179,66 @@ from pmacct_spark.views.dims import NETWORKS6_DUCK as _NETWORKS6_DUCK
 
 
 @register(
+    "sflow_counter_samples",
+    f"""{FLOWS_DUCK_CTE},
+if_agg AS (
+  SELECT iface_in AS if_index,
+         CAST(SUM(bytes) AS BIGINT) AS if_in_octets,
+         CAST(SUM(packets) AS BIGINT) AS if_in_ucast
+  FROM flows GROUP BY 1
+)
+SELECT CAST(CASE WHEN if_index % 2 = 0 THEN 5 ELSE 4 END AS INT) AS sflow_version,
+       if_index,
+       if_in_octets,
+       CAST(if_in_octets * 2 + if_index AS BIGINT) AS if_out_octets,
+       if_in_ucast,
+       CAST(if_in_ucast + 1 AS BIGINT) AS if_out_ucast,
+       CAST(if_index % 3 AS BIGINT) AS if_in_errors,
+       CAST(1000000000 AS BIGINT) AS if_speed
+FROM if_agg""",
+)
+def sflow_counter_samples(spark, sf_dir):
+    """sFlow counter samples + v2/v4 dispatch, oracle-gated: interface
+    octet/packet counters derived from the flows -> encode as counter
+    samples (even interfaces on the v5 wire, odd on the v4/RFC 3176
+    wire) -> decode_sflow_counters dispatches per datagram version and
+    parses the 88-byte generic interface counter block (reference
+    src/sfacctd.c:1438,1578-1581). Any counter pack/parse or dispatch
+    error breaks the value hash against the direct oracle."""
+    from pmacct_spark.driver_queries import flows as flows_view_fn
+    from pmacct_spark.sinks.sfprobe import encode_sflow_counters
+    from pmacct_spark.streaming.decode import decode_sflow_counters
+
+    base = (
+        flows_view_fn(spark, sf_dir)
+        .groupBy(F.col("iface_in").alias("if_index"))
+        .agg(
+            F.sum("bytes").alias("if_in_octets"),
+            F.sum("packets").alias("if_in_ucast"),
+        )
+        .selectExpr(
+            "if_index",
+            "CAST(6 AS BIGINT) AS if_type",
+            "CAST(1000000000 AS BIGINT) AS if_speed",
+            "CAST(3 AS BIGINT) AS if_status",
+            "if_in_octets", "if_in_ucast",
+            "if_index % 3 AS if_in_errors",
+            "if_in_octets * 2 + if_index AS if_out_octets",
+            "if_in_ucast + 1 AS if_out_ucast",
+            "CAST(0 AS BIGINT) AS if_out_errors",
+        )
+    )
+    dgrams = encode_sflow_counters(
+        base.filter("if_index % 2 = 0"), version=5
+    ).unionByName(encode_sflow_counters(base.filter("if_index % 2 = 1"), version=4))
+    back = decode_sflow_counters(dgrams.select("exporter_ip", "payload"))
+    return back.select(
+        "sflow_version", "if_index", "if_in_octets", "if_out_octets",
+        "if_in_ucast", "if_out_ucast", "if_in_errors", "if_speed",
+    )
+
+
+@register(
     "v6_wire_loop_agg",
     f"""{FLOWS_DUCK_CTE},
 networks6 AS ({_NETWORKS6_DUCK}),

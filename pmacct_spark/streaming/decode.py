@@ -901,6 +901,226 @@ SFLOW_SCHEMA = T.StructType(
     list(FLOW_SCHEMA.fields) + [T.StructField("sampling_rate", T.LongType())]
 )
 
+# ---------------------------------------------------------------------------
+# sFlow counter samples + v2/v4 dispatch (reference version dispatch and
+# counter-sample processing src/sfacctd.c:1438,1578-1581; interface
+# counters are half of sFlow's operational value)
+# ---------------------------------------------------------------------------
+
+SFLOW_COUNTER_SCHEMA = T.StructType(
+    [
+        T.StructField("exporter_ip", T.StringType()),
+        T.StructField("seqno", T.LongType()),
+        T.StructField("sflow_version", T.IntegerType()),
+        T.StructField("source_id", T.LongType()),
+        T.StructField("if_index", T.LongType()),
+        T.StructField("if_type", T.LongType()),
+        T.StructField("if_speed", T.LongType()),
+        T.StructField("if_status", T.LongType()),
+        T.StructField("if_in_octets", T.LongType()),
+        T.StructField("if_in_ucast", T.LongType()),
+        T.StructField("if_in_errors", T.LongType()),
+        T.StructField("if_out_octets", T.LongType()),
+        T.StructField("if_out_ucast", T.LongType()),
+        T.StructField("if_out_errors", T.LongType()),
+    ]
+)
+
+# generic interface counters block (sFlow v5 counter record enterprise
+# 0 format 1; identical layout inline in v2/v4): 88 bytes
+_GEN_COUNTERS = struct.Struct("!IIQIIQIIIIIIQIIIIII")
+assert _GEN_COUNTERS.size == 88
+
+
+def _gen_counters_row(
+    blob: bytes, exporter: str, seqno: int, ver: int, source_id: int
+) -> dict | None:
+    if len(blob) < _GEN_COUNTERS.size:
+        return None
+    (
+        if_index, if_type, if_speed, _if_dir, if_status,
+        in_oct, in_ucast, _in_mc, _in_bc, _in_disc, in_err, _in_unk,
+        out_oct, out_ucast, _out_mc, _out_bc, _out_disc, out_err,
+        _promisc,
+    ) = _GEN_COUNTERS.unpack_from(blob, 0)
+    return {
+        "exporter_ip": exporter, "seqno": seqno, "sflow_version": ver,
+        "source_id": source_id, "if_index": if_index, "if_type": if_type,
+        "if_speed": if_speed, "if_status": if_status,
+        "if_in_octets": in_oct, "if_in_ucast": in_ucast,
+        "if_in_errors": in_err, "if_out_octets": out_oct,
+        "if_out_ucast": out_ucast, "if_out_errors": out_err,
+    }
+
+
+def _sflow_v5_counter_sample(
+    body: bytes, expanded: bool, exporter: str, seqno: int
+) -> list[dict]:
+    """v5 counter sample (type 2) / expanded counter sample (type 4):
+    sample seq + source id (+type split when expanded) + counted
+    records, each (tag, len, body); generic counters = tag 1."""
+    out: list[dict] = []
+    if expanded:
+        if len(body) < 16:
+            return out
+        _sseq, _st, sidx, nrec = struct.unpack_from("!IIII", body, 0)
+        p, source_id = 16, sidx
+    else:
+        if len(body) < 12:
+            return out
+        _sseq, source_id, nrec = struct.unpack_from("!III", body, 0)
+        p = 12
+    for _ in range(nrec):
+        if p + 8 > len(body):
+            break
+        rtag, rlen = struct.unpack_from("!II", body, p)
+        rbody = body[p + 8 : p + 8 + rlen]
+        p += 8 + rlen
+        if rtag == 1:
+            row = _gen_counters_row(rbody, exporter, seqno, 5, source_id)
+            if row:
+                out.append(row)
+    return out
+
+
+def _sflow_v2v4_samples(
+    exporter: str, payload: bytes
+) -> tuple[list[dict], list[dict]]:
+    """sFlow v2/v4 datagram walk (RFC 3176 layout; reference
+    readv2v4FlowSample / readv2v4CountersSample, src/sfacctd.c:1578).
+    v2/v4 samples carry NO length field, so both sample kinds must be
+    parsed to advance the cursor. Returns (flow_rows, counter_rows)."""
+    flows: list[dict] = []
+    counters: list[dict] = []
+    if len(payload) < 24:
+        return flows, counters
+    ver, ipver = struct.unpack_from("!II", payload, 0)
+    if ver not in (2, 4) or ipver != 1:
+        return flows, counters
+    seqno, _uptime, nsamples = struct.unpack_from("!III", payload, 12)
+    off = 24
+    for _ in range(nsamples):
+        if off + 4 > len(payload):
+            break
+        stype = struct.unpack_from("!I", payload, off)[0]
+        off += 4
+        if stype == 1:  # flow sample
+            if off + 32 > len(payload):
+                break
+            (_sseq, _src, rate, _pool, _drops, s_in, s_out, pdt) = (
+                struct.unpack_from("!IIIIIIII", payload, off)
+            )
+            off += 32
+            if pdt != 1:  # only HEADER packet data supported
+                break
+            if off + 12 > len(payload):
+                break
+            _hproto, frame_len, hlen = struct.unpack_from("!III", payload, off)
+            off += 12
+            hdr = payload[off : off + hlen]
+            off += hlen + ((-hlen) % 4)
+            if off + 4 > len(payload):
+                break
+            n_ext = struct.unpack_from("!I", payload, off)[0]
+            off += 4
+            if n_ext:  # extended records not length-framed: stop walk
+                break
+            parsed = _sflow_parse_raw_header(hdr)
+            if parsed is not None:
+                parsed.update(
+                    exporter_ip=exporter, seqno=seqno, bytes=frame_len,
+                    packets=1, iface_in=s_in, iface_out=s_out,
+                    as_src=0, as_dst=0, ts_ms=None, end_ts_ms=None,
+                    sampling_rate=rate,
+                )
+                flows.append(parsed)
+        elif stype == 2:  # counter sample
+            if off + 16 > len(payload):
+                break
+            _sseq, source_id, _interval, cver = struct.unpack_from(
+                "!IIII", payload, off
+            )
+            off += 16
+            if cver != 1:  # only GENERIC counters supported
+                break
+            row = _gen_counters_row(
+                payload[off : off + _GEN_COUNTERS.size],
+                exporter, seqno, ver, source_id,
+            )
+            off += _GEN_COUNTERS.size
+            if row:
+                counters.append(row)
+        else:
+            break
+    return flows, counters
+
+
+def _sflow_datagram_counters(exporter: str, payload: bytes) -> list[dict]:
+    """Counter rows from a v2/v4/v5 sFlow datagram."""
+    if len(payload) < 8:
+        return []
+    ver = struct.unpack_from("!I", payload, 0)[0]
+    if ver in (2, 4):
+        return _sflow_v2v4_samples(exporter, payload)[1]
+    if ver != 5:
+        return []
+    if len(payload) < 28 or struct.unpack_from("!I", payload, 4)[0] != 1:
+        return []
+    seqno = struct.unpack_from("!I", payload, 16)[0]
+    nsamples = struct.unpack_from("!I", payload, 24)[0]
+    out: list[dict] = []
+    off = 28
+    for _ in range(nsamples):
+        if off + 8 > len(payload):
+            break
+        stype, slen = struct.unpack_from("!II", payload, off)
+        body = payload[off + 8 : off + 8 + slen]
+        off += 8 + slen
+        if stype in (2, 4):
+            out.extend(
+                _sflow_v5_counter_sample(body, stype == 4, exporter, seqno)
+            )
+    return out
+
+
+def decode_sflow_counters(datagrams: DataFrame) -> DataFrame:
+    """Decode sFlow counter samples (generic interface counters) from
+    v2/v4/v5 datagrams into per-interface counter rows."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = [f.name for f in SFLOW_COUNTER_SCHEMA.fields]
+        for pdf in batches:
+            rows: list[dict] = []
+            for exporter, payload in zip(pdf["exporter_ip"], pdf["payload"]):
+                rows.extend(_sflow_datagram_counters(exporter, bytes(payload)))
+            yield pd.DataFrame(
+                [[r.get(c) for c in cols] for r in rows], columns=cols
+            )
+
+    return datagrams.mapInPandas(gen, SFLOW_COUNTER_SCHEMA)
+
+
+def decode_sflow_any(datagrams: DataFrame) -> DataFrame:
+    """Flow samples from v2/v4/v5 sFlow datagrams (version dispatch,
+    reference src/sfacctd.c:1438): v5 goes through the v5 walker, v2/v4
+    through the RFC 3176 walker. Same output schema as decode_sflow5."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = [f.name for f in SFLOW_SCHEMA.fields]
+        for pdf in batches:
+            rows: list[dict] = []
+            for exporter, payload in zip(pdf["exporter_ip"], pdf["payload"]):
+                b = bytes(payload)
+                if len(b) >= 4 and struct.unpack_from("!I", b, 0)[0] in (2, 4):
+                    rows.extend(_sflow_v2v4_samples(exporter, b)[0])
+                else:
+                    rows.extend(_sflow_datagram(exporter, b))
+            yield pd.DataFrame(
+                [[r.get(c) for c in cols] for r in rows], columns=cols
+            )
+
+    return datagrams.mapInPandas(gen, SFLOW_SCHEMA)
+
 
 def decode_sflow5(datagrams: DataFrame) -> DataFrame:
     """Decode sFlow v5 flow samples (raw-header records) into flow rows

@@ -75,3 +75,72 @@ def test_scenario_sflow_renorm_to_kafka_golden(spark):
     )
     assert got == GOLDEN
     assert {r["topic"] for r in frames} == {"daisy.flow"}
+
+
+# ---------------------------------------------------------------------------
+# v2/v4 dispatch (RFC 3176 wire; reference src/sfacctd.c:1438,1578-1581)
+# ---------------------------------------------------------------------------
+
+def _v4_flow_datagram(seqno: int, rows: list[tuple]) -> bytes:
+    """Hand-built sFlow v4 datagram: flow samples with an eth/IPv4/TCP
+    header, zero extended records."""
+    import struct
+
+    out = struct.pack("!IIIIII", 4, 1, 0x7F000001, seqno, 0, len(rows))
+    for (src, dst, sport, dport, rate, frame_len) in rows:
+        eth = b"\x02" * 6 + b"\x04" * 6 + b"\x08\x00"
+        ip = (
+            bytes([0x45, 0]) + (40).to_bytes(2, "big") + b"\x00" * 4
+            + bytes([64, 6]) + b"\x00\x00"
+            + src.to_bytes(4, "big") + dst.to_bytes(4, "big")
+        )
+        l4 = sport.to_bytes(2, "big") + dport.to_bytes(2, "big") + b"\x00" * 16
+        hdr = eth + ip + l4
+        pad = (-len(hdr)) % 4
+        out += struct.pack("!I", 1)  # sample_type = FLOW
+        out += struct.pack("!IIIIIII", seqno, 1, rate, 1000, 0, 2, 3)
+        out += struct.pack("!I", 1)  # packet_data_type = HEADER
+        out += struct.pack("!III", 1, frame_len, len(hdr))
+        out += hdr + b"\x00" * pad
+        out += struct.pack("!I", 0)  # n_extended = 0
+    return out
+
+
+def test_sflow_v4_flow_dispatch(spark):
+    from pmacct_spark.streaming.decode import decode_sflow_any
+
+    rows = [
+        (0x0A000001, 0x0A000002, 1234, 443, 128, 900),
+        (0x0A000003, 0x0A000004, 5555, 80, 128, 1200),
+    ]
+    dg = spark.createDataFrame(
+        [("198.51.100.9", 1, bytearray(_v4_flow_datagram(1, rows)))],
+        "exporter_ip string, seqno long, payload binary",
+    )
+    got = {
+        (r.ip_src_i, r.ip_dst_i, r.port_src, r.port_dst, r.bytes,
+         r.sampling_rate, r.iface_in, r.iface_out)
+        for r in decode_sflow_any(dg.select("exporter_ip", "payload")).collect()
+    }
+    assert got == {
+        (0x0A000001, 0x0A000002, 1234, 443, 900, 128, 2, 3),
+        (0x0A000003, 0x0A000004, 5555, 80, 1200, 128, 2, 3),
+    }
+
+
+def test_sflow_any_matches_v5_decoder(spark, flows_df=None):
+    """v5 datagrams through the dispatch decoder == decode_sflow5."""
+    from pmacct_spark.sinks.sfprobe import encode_sflow5
+    from pmacct_spark.streaming.decode import decode_sflow5, decode_sflow_any
+
+    src = spark.range(50).selectExpr(
+        "167772160 + id AS ip_src_i", "167772161 + id AS ip_dst_i",
+        "CAST(1000 + id AS INT) AS port_src", "CAST(443 AS INT) AS port_dst",
+        "CAST(CASE WHEN id % 2 = 0 THEN 6 ELSE 17 END AS INT) AS ip_proto",
+        "CAST(0 AS INT) AS tos", "CAST(16 AS INT) AS tcp_flags",
+        "100 + id AS bytes", "id % 8 AS iface_in", "(id + 1) % 8 AS iface_out",
+    )
+    dg = encode_sflow5(src, sampling_rate=32).select("exporter_ip", "payload")
+    a = sorted(map(tuple, decode_sflow5(dg).collect()))
+    b = sorted(map(tuple, decode_sflow_any(dg).collect()))
+    assert a == b and len(a) == 50
