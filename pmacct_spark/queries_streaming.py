@@ -299,6 +299,51 @@ def v6_wire_loop_agg(spark, sf_dir):
 
 
 @register(
+    "v9_wire_loop_twophase",
+    f"""{FLOWS_DUCK_CTE}
+SELECT ip_proto AS proto,
+       CAST(SUM(bytes) AS BIGINT) AS bytes,
+       CAST(SUM(packets) AS BIGINT) AS packets,
+       CAST(SUM(port_src) AS BIGINT) AS sport_sum,
+       COUNT(*) AS n_records
+FROM flows GROUP BY 1""",
+)
+def v9_wire_loop_twophase(spark, sf_dir):
+    """The SCALE-PATH wire loop: same v9 encode as v9_wire_loop_agg,
+    but decoded with the two-phase decoder — template-learning pass,
+    broadcast cache, then data decode under arbitrary partitioning
+    (here deliberately scrambled with a round-robin repartition, which
+    the stateful decoder would NOT survive). A single giant exporter
+    decodes with full cluster parallelism instead of one task
+    (What's-wrong #4 of VERDICT r2; reference scales by process,
+    src/nfacctd.c)."""
+    from pmacct_spark.driver_queries import flows as flows_view_fn
+    from pmacct_spark.sinks.nfprobe import encode_v9
+    from pmacct_spark.streaming.decode import decode_any_twophase
+
+    fl = flows_view_fn(spark, sf_dir).selectExpr(
+        "ip_src_i", "ip_dst_i", "iface_in", "iface_out", "packets",
+        "bytes", "unix_micros(CAST(ts AS TIMESTAMP)) DIV 1000 AS ts_ms",
+        "unix_micros(CAST(end_ts AS TIMESTAMP)) DIV 1000 AS end_ts_ms",
+        "port_src", "port_dst", "tcp_flags", "ip_proto", "tos",
+        "as_src", "as_dst",
+    )
+    # ONE exporter for every datagram — the stateful decoder's worst
+    # case (parallelism 1); two-phase decodes it on 8 round-robin
+    # partitions
+    dgrams = encode_v9(fl, exporter_ip="203.0.113.1").select(
+        "exporter_ip", "payload"
+    )
+    back = decode_any_twophase(dgrams, parallelism=8)
+    return back.groupBy(F.col("ip_proto").cast("int").alias("proto")).agg(
+        F.sum("bytes").alias("bytes"),
+        F.sum("packets").alias("packets"),
+        F.sum("port_src").alias("sport_sum"),
+        F.count(F.lit(1)).alias("n_records"),
+    )
+
+
+@register(
     "mixed_wire_loop_agg",
     f"""{FLOWS_DUCK_CTE}
 SELECT ip_proto AS proto,

@@ -595,8 +595,158 @@ def decode_v9(datagrams: DataFrame) -> DataFrame:
 
 
 def prepare_datagrams(df: DataFrame, order_col: str = "arrival_seq") -> DataFrame:
-    """Shard by exporter and order within shard — the decode contract."""
+    """Shard by exporter and order within shard — the STATEFUL decode
+    contract (decode_v9 / decode_any). Decode parallelism is then
+    bounded by the exporter count; for batch/replay inputs prefer
+    :func:`decode_any_twophase`, which has no partitioning contract."""
     return df.repartition(F.col("exporter_ip")).sortWithinPartitions(order_col)
+
+
+# ---------------------------------------------------------------------------
+# Two-phase decode: template learning pass -> broadcast cache -> data
+# decode under ARBITRARY partitioning.
+#
+# The stateful decoders above mirror the reference's per-socket decode
+# (one nfacctd process per exporter stream): parallelism == number of
+# exporters, so one big exporter = one task = a straggler factory at
+# 100 TB. For bounded inputs (pcap replay, object-store captures) the
+# template set is learnable in a cheap first pass over the template
+# flowsets only; the learned cache broadcasts (templates are ~KB) and
+# the data pass then decodes under any partitioning the caller likes —
+# decode parallelism scales with the cluster, not the exporter count.
+#
+# Semantic note: the reference drops data records that precede their
+# template on the live socket (src/nfv9_template.c:1179 learn-then-
+# decode). A closed batch has no "before" — the two-phase decoder
+# decodes every record whose template appears anywhere in the capture,
+# which is the right replay semantics. Template REASSIGNMENT (same id,
+# different layout over time inside one capture) is detected in the
+# learning pass and rejected — those captures need the ordered
+# stateful path.
+# ---------------------------------------------------------------------------
+
+_TMPL_DEF_SCHEMA = T.StructType(
+    [
+        T.StructField("exporter_ip", T.StringType()),
+        T.StructField("source_id", T.LongType()),
+        T.StructField("template_id", T.IntegerType()),
+        T.StructField("spec", T.StringType()),
+    ]
+)
+
+
+class _RecordingTemplates(dict):
+    """Template dict that records every (re)definition, so the learning
+    pass can detect same-id conflicting layouts."""
+
+    def __init__(self):
+        super().__init__()
+        self.defs: list[tuple] = []
+
+    def __setitem__(self, key, value):
+        self.defs.append((key, value))
+        super().__setitem__(key, value)
+
+
+def extract_template_defs(datagrams: DataFrame) -> DataFrame:
+    """Phase 1: every template definition seen in the capture, one row
+    per (exporter, source_id, template_id, json-spec) occurrence."""
+    import json
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            tmpls = _RecordingTemplates()
+            for exporter, payload in zip(pdf["exporter_ip"], pdf["payload"]):
+                b = bytes(payload)
+                ver = int.from_bytes(b[:2], "big") if len(b) >= 2 else 0
+                if ver == 9:
+                    _v9_packet(exporter, b, tmpls, want="templates")
+                elif ver == 10:
+                    _v10_packet(exporter, b, tmpls, want="templates")
+            rows = [
+                (exp, sid, tid, json.dumps(spec))
+                for (exp, sid, tid), spec in tmpls.defs
+            ]
+            yield pd.DataFrame(
+                rows, columns=["exporter_ip", "source_id", "template_id", "spec"]
+            )
+
+    return datagrams.mapInPandas(gen, _TMPL_DEF_SCHEMA)
+
+
+def learn_template_cache(datagrams: DataFrame) -> dict:
+    """Collect the (small) template cache to the driver; raise on
+    conflicting redefinitions."""
+    import json
+
+    cache: dict = {}
+    for r in extract_template_defs(datagrams).collect():
+        key = (r.exporter_ip, r.source_id, r.template_id)
+        spec = json.loads(r.spec)
+        if key in cache and cache[key] != spec:
+            raise ValueError(
+                f"template {key} redefined with a different layout; "
+                "use the ordered stateful path (prepare_datagrams + "
+                "decode_v9/decode_any)"
+            )
+        cache[key] = spec
+    return cache
+
+
+def _despec(spec):
+    """JSON round trip turns tuples into lists; normalize a spec back
+    into the walker's shape (nested lists unpack identically)."""
+    return spec
+
+
+def decode_any_twophase(
+    datagrams: DataFrame, parallelism: int | None = None
+) -> DataFrame:
+    """Version-dispatch decode with a pre-learned broadcast template
+    cache: no partitioning contract, parallelism = input partitions
+    (or ``parallelism`` round-robin if given). v5 needs no templates
+    and rides along unchanged."""
+    spark = datagrams.sparkSession
+    cache = learn_template_cache(datagrams)
+    bc = spark.sparkContext.broadcast(cache)
+    if parallelism:
+        datagrams = datagrams.repartition(parallelism)
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        templates = {tuple(k) if not isinstance(k, tuple) else k: _despec(v)
+                     for k, v in bc.value.items()}
+        compiled: dict = {}
+        cols = [f.name for f in FLOW_SCHEMA.fields]
+        for pdf in batches:
+            items: list = []
+            acc = _V5Acc()
+            for exporter, payload in zip(pdf["exporter_ip"], pdf["payload"]):
+                b = bytes(payload)
+                ver = int.from_bytes(b[:2], "big") if len(b) >= 2 else 0
+                if ver == 5:
+                    acc.scan(exporter, b)
+                elif ver == 9:
+                    items.extend(
+                        _v9_packet(exporter, b, templates, compiled=compiled)
+                    )
+                elif ver == 10:
+                    items.extend(
+                        _v10_packet(exporter, b, templates, compiled=compiled)
+                    )
+            frame = _flow_frame(items, cols)
+            v5f = acc.frame(cols)
+            if v5f is not None:
+                frame = (
+                    pd.concat([frame, v5f], ignore_index=True)
+                    if len(frame)
+                    else v5f
+                )
+                for c in cols:
+                    if frame[c].dtype == "float64":
+                        frame[c] = frame[c].astype("Int64")
+            yield frame
+
+    return datagrams.mapInPandas(gen, FLOW_SCHEMA)
 
 
 # ---------------------------------------------------------------------------
@@ -611,6 +761,7 @@ def _v10_packet(
     payload: bytes,
     templates: dict[tuple[str, int, int], list[tuple[int, int]]],
     compiled: dict | None = None,
+    want: str = "flows",
 ) -> list[dict]:
     """IPFIX decode (process_v9_packet handles v10 too, reference
     src/nfacctd.c:1806): 16-byte header, template set id 2, enterprise
@@ -649,6 +800,8 @@ def _v10_packet(
                 if compiled is not None:
                     compiled.pop((exporter, domain, tid), None)
         elif set_id >= 256:
+            if want != "flows":
+                continue
             tmpl = templates.get((exporter, domain, set_id))
             if tmpl is None:
                 continue

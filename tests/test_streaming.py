@@ -476,3 +476,70 @@ def test_streaming_dedup_within_watermark(spark):
     # bounded well below the raw row count
     raw = flows(spark, SF_DIR).count()
     assert n_keys <= got.count() < raw
+
+
+# ---------------------------------------------------------------------------
+# two-phase decode (template learn -> broadcast -> parallel data pass)
+# ---------------------------------------------------------------------------
+
+def _mk_flows(spark, n=100):
+    return spark.range(n).selectExpr(
+        "167772160 + id AS ip_src_i", "167772161 + id AS ip_dst_i",
+        "id % 8 AS iface_in", "(id + 3) % 8 AS iface_out",
+        "1 + id % 100 AS packets", "100 + id AS bytes",
+        "1700000000000 + id AS ts_ms", "1700000001000 + id AS end_ts_ms",
+        "CAST(1000 + id AS INT) AS port_src", "CAST(443 AS INT) AS port_dst",
+        "CAST(16 AS INT) AS tcp_flags",
+        "CAST(CASE WHEN id % 2 = 0 THEN 6 ELSE 17 END AS INT) AS ip_proto",
+        "CAST(0 AS INT) AS tos", "64500 + id % 20 AS as_src",
+        "64501 + id % 20 AS as_dst",
+    )
+
+
+def test_twophase_matches_stateful_single_exporter(spark):
+    from pmacct_spark.sinks.nfprobe import encode_v9
+    from pmacct_spark.streaming.decode import decode_any_twophase, decode_v9
+
+    dg = encode_v9(_mk_flows(spark).coalesce(1)).select(
+        "exporter_ip", "payload"
+    )
+    a = sorted(map(tuple, decode_v9(dg).collect()))
+    b = sorted(map(tuple, decode_any_twophase(dg, parallelism=7).collect()))
+    assert a == b and len(a) == 100
+
+
+def test_twophase_decodes_data_before_template(spark):
+    """Closed-batch semantics: a data datagram ordered before its
+    template still decodes (the stateful path would drop it)."""
+    from pmacct_spark.sinks.nfprobe import encode_v9
+    from pmacct_spark.streaming.decode import decode_any_twophase
+
+    rows = encode_v9(_mk_flows(spark, 40).coalesce(1)).collect()
+    flipped = list(reversed(rows))  # template datagram now LAST
+    dg = spark.createDataFrame(flipped, "exporter_ip string, seqno long, payload binary")
+    out = decode_any_twophase(dg.select("exporter_ip", "payload")).collect()
+    assert len(out) == 40
+
+
+def test_twophase_rejects_template_reassignment(spark):
+    import pytest as _pytest
+    import struct
+
+    from pmacct_spark.streaming.decode import learn_template_cache
+
+    def tmpl_dgram(fields):
+        body = struct.pack("!HH", 256, len(fields)) + b"".join(
+            struct.pack("!HH", ie, ln) for ie, ln in fields
+        )
+        fs = struct.pack("!HH", 0, 4 + len(body)) + body
+        return struct.pack("!HHIIII", 9, 1, 0, 0, 0, 1) + fs
+
+    dg = spark.createDataFrame(
+        [
+            ("198.51.100.7", 0, bytearray(tmpl_dgram([(8, 4), (12, 4)]))),
+            ("198.51.100.7", 1, bytearray(tmpl_dgram([(8, 4), (7, 2)]))),
+        ],
+        "exporter_ip string, seqno long, payload binary",
+    )
+    with _pytest.raises(ValueError, match="redefined"):
+        learn_template_cache(dg.select("exporter_ip", "payload").coalesce(1))
