@@ -101,7 +101,7 @@ def connected_components(
     edges: DataFrame,
     a: str = "doc_a",
     b: str = "doc_b",
-    max_iter: int = 20,
+    max_iter: int = 64,
 ) -> DataFrame:
     """Connected components of an undirected pair graph by iterative
     min-label propagation: every node repeatedly adopts the smallest
@@ -112,10 +112,16 @@ def connected_components(
 
     Scale notes: each round is one groupBy shuffle keyed by node over
     the (symmetrized) edge list; lineage is truncated per round with
-    localCheckpoint so 100-round worst cases don't build a mile-long
-    plan. Rounds needed = graph diameter; near-dup graphs are star-ish
+    localCheckpoint so long chains don't build a mile-long plan.
+    Rounds needed = graph diameter; near-dup graphs are star-ish
     (diameter ~2). The convergence check is an aggregate (sum of
     labels — monotonically non-increasing), not a collect of rows.
+
+    CONVERGENCE IS VERIFIED, never assumed: if the label-sum fixpoint
+    is not reached within ``max_iter`` rounds the function raises
+    RuntimeError rather than silently returning wrong cluster ids (a
+    diameter-``max_iter`` path graph is pathological for near-dup
+    data, and a wrong answer with no signal is worse than an error).
     """
     from pyspark.sql import Observation
 
@@ -123,7 +129,7 @@ def connected_components(
         F.col(a).alias("u"), F.col(b).alias("v")
     ).unionByName(
         edges.select(F.col(b).alias("u"), F.col(a).alias("v"))
-    ).persist()
+    ).localCheckpoint()
     labels = (
         sym.select(F.col("u").alias("node"))
         .distinct()
@@ -131,6 +137,7 @@ def connected_components(
         .localCheckpoint()
     )
     prev_sum = labels.agg(F.sum("label")).first()[0]
+    converged = False
     for i in range(max_iter):
         neigh = (
             sym.join(labels, sym["v"] == labels["node"])
@@ -153,9 +160,15 @@ def connected_components(
         )
         cur_sum = obs.get["s"]
         if cur_sum == prev_sum:
+            converged = True
             break
         prev_sum = cur_sum
-    sym.unpersist()
+    if not converged:
+        raise RuntimeError(
+            f"connected_components did not reach the label fixpoint in "
+            f"{max_iter} rounds (component diameter exceeds max_iter); "
+            f"raise max_iter"
+        )
     return labels.select(
         F.col("node"), F.col("label").alias("cluster_id")
     )

@@ -467,23 +467,43 @@ def cosine_near_dup_pairs_np(
 
     def block_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
         ids = pdf[id_col].to_numpy()
-        m = np.stack([np.asarray(v, dtype=np.int64) for v in pdf["qv"]])
+        # float64 GEMM is EXACT here and is the fast path: every
+        # quantized component is an integer <= QUANT, so each product
+        # (<= 1e8) and each 64-term dot (<= 6.4e9) stays below 2^53 —
+        # float64 represents them exactly. numpy int64 matmul does NOT
+        # dispatch to BLAS (generic O(n^3) loop); float64 does (dgemm),
+        # ~10x faster and multithread-capable.
+        m = np.array(pdf["qv"].tolist(), dtype=np.float64)
         order = np.argsort(ids)
         ids, m = ids[order], m[order]
-        gram = m @ m.T  # exact: |dot| < 2^63 at QUANT=1e4, d=64
-        norms = gram.diagonal().astype(np.float64)
-        iu, ju = np.triu_indices(len(ids), k=1)
-        dots = gram[iu, ju]
-        # identical rounding to the SQL test: double(dot)^2 is the
-        # correctly-rounded exact product == CAST(dot*dot AS DOUBLE)
-        ok = (dots >= 0) & (
-            (dots.astype(np.float64) ** 2) * 1e6 >= t2 * norms[iu] * norms[ju]
-        )
+        n = len(ids)
+        norms = np.einsum("ij,ij->i", m, m)  # exact integers < 2^53
+        # chunk the Gram computation: a full n x n float64 Gram is
+        # 8*n^2 bytes (800 MB at n=10k) — chunking bounds peak memory
+        # per task to 8 * chunk * n, the 100 TB-block safety property
+        chunk = 2048
+        parts_a, parts_b = [], []
+        for lo in range(0, n, chunk):
+            hi = min(lo + chunk, n)
+            g = m[lo:hi] @ m[lo:].T  # only columns j >= lo (upper tri)
+            # identical rounding to the SQL test: g holds the exact
+            # integer dot; g*g is the correctly-rounded double product
+            # == CAST(dot*dot AS DOUBLE)
+            ok = (g >= 0) & (
+                (g * g) * 1e6 >= t2 * norms[lo:hi, None] * norms[None, lo:]
+            )
+            ri, rj = np.nonzero(ok)
+            keep = rj > ri  # strictly-upper in global coordinates
+            ri, rj = ri[keep], rj[keep]
+            parts_a.append(ids[lo + ri])
+            parts_b.append(ids[lo + rj])
+        id_a = np.concatenate(parts_a) if parts_a else np.array([], dtype=ids.dtype)
+        id_b = np.concatenate(parts_b) if parts_b else np.array([], dtype=ids.dtype)
         return pd.DataFrame(
             {
                 block_col: pdf[block_col].iloc[0],
-                "id_a": ids[iu[ok]],
-                "id_b": ids[ju[ok]],
+                "id_a": id_a,
+                "id_b": id_b,
             }
         )
 

@@ -50,13 +50,14 @@ def decontaminate_benchmark_overlap(spark, sf_dir):
     re-collapse with partial aggregation)."""
     docs = load_table(spark, sf_dir, "documents")
     # Materialize the hash sets before the explode/join stages: without
-    # the persist barrier, InferFiltersFromGenerate pushes a
-    # size(hvs)>0 predicate whose inlined expression re-evaluates the
-    # whole token-state fold per element_at reference (measured 240s ->
-    # 1s at sf0.1). Same pattern as dedup.minhash_dedup_pairs.
+    # the barrier, InferFiltersFromGenerate pushes a size(hvs)>0
+    # predicate whose inlined expression re-evaluates the whole
+    # token-state fold per element_at reference (measured 240s -> 1s at
+    # sf0.1). Eager localCheckpoint: freed on GC, no unpersist owner
+    # needed. Same pattern as dedup.minhash_dedup_pairs.
     sets = dedup.shingle_hash_sets(
         docs, "doc_id", "text", n=_DECON_N, extra_cols=("source",)
-    ).persist()
+    ).localCheckpoint()
     bench = sets.filter(F.col("source").isin(*_BENCH_SOURCES))
     corpus = sets.filter(~F.col("source").isin(*_BENCH_SOURCES))
     return curation.decontaminate(corpus, bench)
@@ -276,14 +277,14 @@ def corpus_curation_pipeline(spark, sf_dir):
     keep_q = q.filter(
         F.expr(f"({_FAIL_SQL}) = 0")
         & ~F.col("source").isin(*_BENCH_SOURCES)
-    ).select("doc_id", "source", "n_chars", "text").persist()
+    ).select("doc_id", "source", "n_chars", "text").localCheckpoint()
     bench_sets = dedup.shingle_hash_sets(
         docs.filter(F.col("source").isin(*_BENCH_SOURCES)),
         "doc_id", "text", n=_DECON_N,
-    ).persist()
+    ).localCheckpoint()
     corp_sets = dedup.shingle_hash_sets(
         keep_q, "doc_id", "text", n=_DECON_N
-    ).persist()
+    ).localCheckpoint()
     contam = curation.decontaminate(corp_sets, bench_sets).filter(
         F.col("contam_pm") >= 500
     ).select("doc_id")

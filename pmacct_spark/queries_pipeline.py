@@ -87,7 +87,7 @@ def dedup_ngram_jaccard(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
     sets = dedup.shingle_hash_sets(
         docs, "doc_id", "text", extra_cols=("lang", "source")
-    ).persist()
+    ).localCheckpoint()
     tok = sets.select("doc_id", "lang", "source", F.explode("hvs").alias("hv"))
     a = tok.select(
         F.col("doc_id").alias("doc_a"), "lang", "source", "hv"

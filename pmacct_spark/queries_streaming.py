@@ -330,9 +330,14 @@ def v9_wire_loop_twophase(spark, sf_dir):
     )
     # ONE exporter for every datagram — the stateful decoder's worst
     # case (parallelism 1); two-phase decodes it on 8 round-robin
-    # partitions
-    dgrams = encode_v9(fl, exporter_ip="203.0.113.1").select(
-        "exporter_ip", "payload"
+    # partitions. The capture is materialized once (eager
+    # localCheckpoint) so the template-learning pass and the data pass
+    # read the same bytes instead of re-running the encoder lineage —
+    # on a cluster the capture is a file, already materialized.
+    dgrams = (
+        encode_v9(fl, exporter_ip="203.0.113.1")
+        .select("exporter_ip", "payload")
+        .localCheckpoint()
     )
     back = decode_any_twophase(dgrams, parallelism=8)
     return back.groupBy(F.col("ip_proto").cast("int").alias("proto")).agg(

@@ -202,3 +202,53 @@ def test_foreachbatch_hooks(spark, tmp_path):
     assert written.count() > 0
     log = marker.read_text()
     assert "purge 0 rows=" in log
+
+
+# ---------------------------------------------------------------------------
+# AMQP frame shaping (reference src/amqp_plugin.c cache->purge; the
+# RabbitMQ twin of the Kafka frame contract)
+# ---------------------------------------------------------------------------
+
+def test_amqp_frame_shape(spark):
+    import json
+
+    from pmacct_spark.sinks.amqp import amqp_frame
+
+    agg = spark.createDataFrame(
+        [("10.0.0.1", 6, 1000, 10), ("10.0.0.2", 17, 2000, 20)],
+        "ip_src string, proto int, bytes long, packets long",
+    )
+    rows = amqp_frame(
+        agg, exchange="pmacct", routing_key="acct", persistent=True
+    ).collect()
+    assert {r.exchange for r in rows} == {"pmacct"}
+    assert {r.exchange_type for r in rows} == {"direct"}
+    assert {r.routing_key for r in rows} == {"acct"}
+    assert {r.delivery_mode for r in rows} == {2}
+    assert {r.content_type for r in rows} == {"application/json"}
+    bodies = sorted(
+        (json.loads(r.body) for r in rows), key=lambda d: d["ip_src"]
+    )
+    assert bodies[0] == {"ip_src": "10.0.0.1", "proto": 6, "bytes": 1000, "packets": 10}
+
+
+def test_amqp_routing_key_modes(spark):
+    from pmacct_spark.sinks.amqp import amqp_frame
+
+    agg = spark.createDataFrame(
+        [("a", i) for i in range(40)], "grp string, v int"
+    ).withColumn("rk_col", (F.col("v") % 3).cast("string"))
+
+    dyn = amqp_frame(agg, "ex", "unused", routing_key_col="rk_col").collect()
+    assert {r.routing_key for r in dyn} == {"0", "1", "2"}
+
+    rr = amqp_frame(agg.drop("rk_col"), "ex", "acct", rr=4).collect()
+    keys = {r.routing_key for r in rr}
+    assert keys <= {f"acct_{i}" for i in range(4)} and len(keys) > 1
+    assert {r.delivery_mode for r in rr} == {1}
+
+    # determinism: same rows -> same round-robin assignment
+    rr2 = amqp_frame(agg.drop("rk_col"), "ex", "acct", rr=4).collect()
+    assert sorted((r.body, r.routing_key) for r in rr) == sorted(
+        (r.body, r.routing_key) for r in rr2
+    )
