@@ -349,6 +349,55 @@ def v9_wire_loop_twophase(spark, sf_dir):
 
 
 @register(
+    "tunnel_wire_loop",
+    f"""{FLOWS_DUCK_CTE}
+SELECT CASE WHEN vxlan > 0 THEN 'vxlan' ELSE 'nvgre' END AS tunnel_kind,
+       CAST(SUM(bytes) AS BIGINT) AS bytes,
+       CAST(SUM(packets) AS BIGINT) AS packets,
+       CAST(SUM(CASE WHEN vxlan > 0 THEN vxlan ELSE nvgre END) AS BIGINT)
+         AS vni_sum,
+       COUNT(*) AS n_records
+FROM flows WHERE vxlan > 0 OR nvgre > 0 GROUP BY 1""",
+)
+def tunnel_wire_loop(spark, sf_dir):
+    """Tunnel telemetry end-to-end on the wire: VXLAN/NVGRE-bearing
+    flows -> encode_ipfix_tunnel (layer2SegmentId IE 351: type byte +
+    low-3-byte VNI/TNI) -> decode_any_ext (discriminates the type byte
+    into vxlan / nvgre columns, reference src/pkt_handlers.c:4624-4662)
+    -> per-tunnel-kind aggregation vs the pristine flows. Previously
+    agg_tunnel_outer was fed only from parquet fixtures; this gates the
+    datagram path (VERDICT r2 missing #6)."""
+    from pmacct_spark.driver_queries import flows as flows_view_fn
+    from pmacct_spark.sinks.nfprobe import encode_ipfix_tunnel
+    from pmacct_spark.streaming.decode import decode_any_ext
+
+    fl = flows_view_fn(spark, sf_dir).filter(
+        "vxlan > 0 OR nvgre > 0"
+    ).selectExpr(
+        "ip_src_i", "ip_dst_i", "bytes", "packets", "ip_proto",
+        # layer2SegmentId: 0x01<<56 | VNI (VXLAN) / 0x02<<56 | TNI
+        "CASE WHEN vxlan > 0 THEN 72057594037927936 + vxlan "
+        "ELSE 144115188075855872 + nvgre END AS l2sid",
+    )
+    back = decode_any_ext(
+        encode_ipfix_tunnel(fl).select("exporter_ip", "payload")
+    )
+    return (
+        back.withColumn(
+            "tunnel_kind",
+            F.expr("CASE WHEN vxlan IS NOT NULL THEN 'vxlan' ELSE 'nvgre' END"),
+        )
+        .groupBy("tunnel_kind")
+        .agg(
+            F.sum("bytes").cast("bigint").alias("bytes"),
+            F.sum("packets").cast("bigint").alias("packets"),
+            F.sum(F.coalesce("vxlan", "nvgre")).cast("bigint").alias("vni_sum"),
+            F.count(F.lit(1)).alias("n_records"),
+        )
+    )
+
+
+@register(
     "mixed_wire_loop_agg",
     f"""{FLOWS_DUCK_CTE}
 SELECT ip_proto AS proto,

@@ -239,6 +239,14 @@ V6_ADDR_IES = {27: "ip6_src", 28: "ip6_dst", 62: "ip6_nexthop"}
 EXT_UINT_IES = {29: "mask6_src", 30: "mask6_dst", 31: "flow_label"}
 VLEN_STR_IES = {236: "vrf_name"}
 VLEN_SENTINEL = 65535
+# layer2SegmentId (IE 351, 8 bytes): high byte discriminates the
+# tunnel type, low 3 bytes carry the segment id (reference
+# NF9_LAYER2_SEGMENT_ID src/nfv9_template.h:180, type constants
+# NF9_L2_SID_VXLAN/NVGRE :242, handler src/pkt_handlers.c:4624-4662;
+# tunnel_id in struct pkt_tunnel_primitives src/network.h:654)
+L2_SEGMENT_IE = 351
+_L2_SID_VXLAN = 0x01
+_L2_SID_NVGRE = 0x02
 
 
 def _fmt_v6(b: bytes) -> str:
@@ -254,6 +262,7 @@ def _tmpl_is_ext(tmpl: list[tuple[int, int]]) -> bool:
         or (ie in V6_ADDR_IES and ln == 16)
         or ie in EXT_UINT_IES
         or ie in VLEN_STR_IES
+        or ie == L2_SEGMENT_IE
         for ie, ln in tmpl
     )
 
@@ -289,6 +298,13 @@ def _decode_ext_records(
                 p += ln
                 if ie in V6_ADDR_IES and ln == 16:
                     rec[V6_ADDR_IES[ie]] = _fmt_v6(raw)
+                elif ie == L2_SEGMENT_IE and ln == 8:
+                    val = _uint(raw)
+                    sid_type, sid = val >> 56, val & 0xFFFFFF
+                    if sid_type == _L2_SID_VXLAN:
+                        rec["vxlan"] = sid
+                    elif sid_type == _L2_SID_NVGRE:
+                        rec["nvgre"] = sid
                 else:
                     col = EXT_UINT_IES.get(ie) or V9_IE_COLUMNS.get(ie)
                     if col is not None:
@@ -897,6 +913,8 @@ FLOW6_SCHEMA = T.StructType(
         T.StructField("mask6_dst", T.IntegerType()),
         T.StructField("flow_label", T.LongType()),
         T.StructField("vrf_name", T.StringType()),
+        T.StructField("vxlan", T.LongType()),
+        T.StructField("nvgre", T.LongType()),
     ]
 )
 
