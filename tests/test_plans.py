@@ -81,7 +81,7 @@ def test_no_python_udf_in_relational_paths(spark):
     q = entrymod.queries()
     for name, fn in q.items():
         if name.startswith(
-            ("dedup", "ann_", "text_", "multimodal")
+            ("dedup", "ann_", "text_", "multimodal", "sflow_counter")
         ) or "wire_loop" in name:
             continue  # pipeline/wire-format ops use Arrow kernels by design
         plan = _plan(fn(spark, SF_DIR))
@@ -99,7 +99,11 @@ def test_pipeline_ops_also_jvm_side(spark):
     compete; each is paired with a pure-JVM strategy sharing its
     oracle)."""
     arrow_vectorized = {"dedup_embedding_cosine", "multimodal_decode_features"}
-    q = {n: f for n, f in entrymod.queries().items() if "wire_loop" not in n}
+    q = {
+        n: f
+        for n, f in entrymod.queries().items()
+        if "wire_loop" not in n and not n.startswith("sflow_counter")
+    }
     for name, fn in q.items():
         plan = _plan(fn(spark, SF_DIR))
         if name in arrow_vectorized:
