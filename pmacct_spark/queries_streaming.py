@@ -398,6 +398,124 @@ def tunnel_wire_loop(spark, sf_dir):
 
 
 @register(
+    "nat_wire_loop",
+    f"""{FLOWS_DUCK_CTE}
+SELECT CAST(nat_event AS BIGINT) AS nat_event,
+       CAST(SUM(bytes) AS BIGINT) AS bytes,
+       CAST(SUM(packets) AS BIGINT) AS packets,
+       CAST(SUM(post_nat_ip_src_i) AS BIGINT) AS pnat_src_sum,
+       CAST(SUM(post_nat_port_src) AS BIGINT) AS pnat_sport_sum,
+       COUNT(*) AS n_records
+FROM flows WHERE nat_event > 0 GROUP BY 1""",
+)
+def nat_wire_loop(spark, sf_dir):
+    """NAT event logging (NEL) on the wire, oracle-gated: NAT-bearing
+    flows -> encode_ipfix_nat (postNAT address/port IEs 225-228 +
+    natEvent 230, reference src/nfv9_template.h:149-154) ->
+    decode_any_ext -> per-event aggregation vs the pristine flows
+    (struct pkt_nat_primitives src/network.h:620-632; previously fed
+    only from parquet fixtures via agg_nat_events)."""
+    from pmacct_spark.driver_queries import flows as flows_view_fn
+    from pmacct_spark.sinks.nfprobe import encode_ipfix_nat
+    from pmacct_spark.streaming.decode import decode_any_ext
+
+    fl = flows_view_fn(spark, sf_dir).filter("nat_event > 0").select(
+        "post_nat_ip_src_i", "post_nat_ip_dst_i", "post_nat_port_src",
+        "post_nat_port_dst", "nat_event", "bytes", "packets", "ip_proto",
+    )
+    back = decode_any_ext(encode_ipfix_nat(fl).select("exporter_ip", "payload"))
+    return back.groupBy(F.col("nat_event").cast("bigint").alias("nat_event")).agg(
+        F.sum("bytes").cast("bigint").alias("bytes"),
+        F.sum("packets").cast("bigint").alias("packets"),
+        F.sum("post_nat_ip_src_i").cast("bigint").alias("pnat_src_sum"),
+        F.sum("post_nat_port_src").cast("bigint").alias("pnat_sport_sum"),
+        F.count(F.lit(1)).alias("n_records"),
+    )
+
+
+@register(
+    "mpls_wire_loop",
+    f"""{FLOWS_DUCK_CTE}
+SELECT ip_proto AS proto,
+       CAST(SUM(mpls_label_top) AS BIGINT) AS label_top_sum,
+       CAST(SUM(mpls_label_bottom) AS BIGINT) AS label_bottom_sum,
+       CAST(SUM(bytes) AS BIGINT) AS bytes,
+       COUNT(*) AS n_records
+FROM flows GROUP BY 1""",
+)
+def mpls_wire_loop(spark, sf_dir):
+    """MPLS label telemetry on the wire, oracle-gated: flows ->
+    encode_ipfix_mpls (3-byte label IEs 70/71, 20-bit label pre-shifted
+    — reference NF9_MPLS_LABEL_1..10 src/nfv9_template.h:99-108) ->
+    decode_any_ext (>> 4 recovers the label) -> aggregation vs the
+    pristine flows."""
+    from pmacct_spark.driver_queries import flows as flows_view_fn
+    from pmacct_spark.sinks.nfprobe import encode_ipfix_mpls
+    from pmacct_spark.streaming.decode import decode_any_ext
+
+    fl = flows_view_fn(spark, sf_dir).select(
+        "mpls_label_top", "mpls_label_bottom", "bytes", "packets", "ip_proto",
+    )
+    back = decode_any_ext(
+        encode_ipfix_mpls(fl).select("exporter_ip", "payload")
+    )
+    return back.groupBy(F.col("ip_proto").cast("int").alias("proto")).agg(
+        F.sum("mpls_label_top").cast("bigint").alias("label_top_sum"),
+        F.sum("mpls_label_bottom").cast("bigint").alias("label_bottom_sum"),
+        F.sum("bytes").cast("bigint").alias("bytes"),
+        F.count(F.lit(1)).alias("n_records"),
+    )
+
+
+@register(
+    "sampling_options_wire_loop",
+    f"""{FLOWS_DUCK_CTE},
+rates AS (
+  SELECT '192.0.2.' || CAST(r_regionkey AS VARCHAR) AS exporter_ip,
+         CAST(64 * (r_regionkey + 1) AS BIGINT) AS sampling_rate
+  FROM region
+)
+SELECT f.peer_ip_src, r.sampling_rate,
+       CAST(SUM(f.bytes * r.sampling_rate) AS BIGINT) AS bytes,
+       COUNT(*) AS n_records
+FROM flows f JOIN rates r ON r.exporter_ip = f.peer_ip_src
+GROUP BY 1, 2""",
+)
+def sampling_options_wire_loop(spark, sf_dir):
+    """The sampling-options path (reference tests/104-*; options
+    dispatch src/nfacctd.c:1965) on the wire, oracle-gated:
+    per-exporter sampling rates -> encode_options (even exporters on
+    the v9 set-1 layout, odd on the IPFIX set-3 layout) ->
+    decode_options (options template cache + options-data records) ->
+    broadcast-joined to flows for counter renormalization vs a direct
+    oracle join. Gates BOTH options-template wire layouts end-to-end."""
+    from pmacct_spark.driver_queries import flows as flows_view_fn
+    from pmacct_spark.sinks.nfprobe import encode_options
+    from pmacct_spark.sources.tables import load_table
+    from pmacct_spark.streaming.decode import decode_options
+
+    rates_src = load_table(spark, sf_dir, "region").selectExpr(
+        "'192.0.2.' || CAST(r_regionkey AS STRING) AS exporter_ip",
+        "r_regionkey AS sysid",
+        "10 + r_regionkey AS sampler_id",
+        "CAST(64 * (r_regionkey + 1) AS BIGINT) AS sampling_rate",
+    )
+    dg = encode_options(rates_src.filter("sysid % 2 = 0"), version=9).unionByName(
+        encode_options(rates_src.filter("sysid % 2 = 1"), version=10)
+    )
+    opts = decode_options(dg.select("exporter_ip", "payload"))
+    rates = opts.select("exporter_ip", "sampling_rate")
+    fl = flows_view_fn(spark, sf_dir).select("peer_ip_src", "bytes")
+    joined = fl.join(
+        F.broadcast(rates), fl["peer_ip_src"] == rates["exporter_ip"]
+    ).drop("exporter_ip")
+    return joined.groupBy("peer_ip_src", "sampling_rate").agg(
+        F.sum(F.expr("bytes * sampling_rate")).cast("bigint").alias("bytes"),
+        F.count(F.lit(1)).alias("n_records"),
+    )
+
+
+@register(
     "mixed_wire_loop_agg",
     f"""{FLOWS_DUCK_CTE}
 SELECT ip_proto AS proto,

@@ -367,6 +367,218 @@ def encode_ipfix_tunnel(
     return flows.mapInPandas(gen, DATAGRAM_SCHEMA)
 
 
+# NAT export: post-NAT addresses/ports + natEvent (reference
+# NF9_POST_NAT_* / NF9_NAT_EVENT src/nfv9_template.h:149-154).
+NAT_TEMPLATE_ID = 259
+NAT_EXPORT_FIELDS = (
+    (225, 4), (226, 4),   # postNATSource/DestinationIPv4Address
+    (227, 2), (228, 2),   # postNAPT ports
+    (230, 1),             # natEvent
+    (1, 4), (2, 4), (4, 1),
+)
+
+
+def encode_ipfix_nat(
+    flows: DataFrame, exporter_ip: str = "127.0.0.1", domain: int = 8
+) -> DataFrame:
+    """Pack NAT-event rows into IPFIX. ``flows`` needs:
+    post_nat_ip_src_i, post_nat_ip_dst_i, post_nat_port_src,
+    post_nat_port_dst, nat_event, bytes, packets, ip_proto."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        dt = np.dtype(
+            [
+                ("pnsrc", ">u4"), ("pndst", ">u4"),
+                ("pnsp", ">u2"), ("pndp", ">u2"), ("nev", "u1"),
+                ("octets", ">u4"), ("pkts", ">u4"), ("proto", "u1"),
+            ]
+        )
+        assert dt.itemsize == sum(ln for _, ln in NAT_EXPORT_FIELDS)
+        tmpl_body = struct.pack(
+            "!HH", NAT_TEMPLATE_ID, len(NAT_EXPORT_FIELDS)
+        ) + b"".join(struct.pack("!HH", ie, ln) for ie, ln in NAT_EXPORT_FIELDS)
+        tmpl_set = struct.pack("!HH", 2, 4 + len(tmpl_body)) + tmpl_body
+        seqno, sent_template = 0, False
+
+        def msg(sets: bytes, seq: int) -> bytes:
+            return struct.pack("!HHIII", 10, 16 + len(sets), 0, seq, domain) + sets
+
+        for pdf in batches:
+            n = len(pdf)
+            out = []
+            if not sent_template and n:
+                out.append((exporter_ip, seqno, msg(tmpl_set, seqno)))
+                sent_template = True
+                seqno += 1
+            if n:
+                rec = np.zeros(n, dtype=dt)
+                rec["pnsrc"] = pdf["post_nat_ip_src_i"].to_numpy()
+                rec["pndst"] = pdf["post_nat_ip_dst_i"].to_numpy()
+                rec["pnsp"] = pdf["post_nat_port_src"].to_numpy()
+                rec["pndp"] = pdf["post_nat_port_dst"].to_numpy()
+                rec["nev"] = pdf["nat_event"].to_numpy()
+                rec["octets"] = pdf["bytes"].to_numpy()
+                rec["pkts"] = pdf["packets"].to_numpy()
+                rec["proto"] = pdf["ip_proto"].to_numpy()
+                blob = rec.tobytes()
+                sz = dt.itemsize
+                for lo in range(0, n, V9_MAX_RECORDS):
+                    hi = min(lo + V9_MAX_RECORDS, n)
+                    body = blob[lo * sz : hi * sz]
+                    pad = (-len(body)) % 4
+                    ds = (
+                        struct.pack("!HH", NAT_TEMPLATE_ID, 4 + len(body) + pad)
+                        + body + b"\x00" * pad
+                    )
+                    out.append((exporter_ip, seqno, msg(ds, seqno)))
+                    seqno += 1
+            yield pd.DataFrame(out, columns=["exporter_ip", "seqno", "payload"])
+
+    return flows.mapInPandas(gen, DATAGRAM_SCHEMA)
+
+
+# MPLS export: 3-byte label IEs 70/71 (reference NF9_MPLS_LABEL_1..10
+# src/nfv9_template.h:99-108; label value in the top 20 bits).
+MPLS_TEMPLATE_ID = 260
+MPLS_EXPORT_FIELDS = ((70, 3), (71, 3), (1, 4), (2, 4), (4, 1))
+
+
+def encode_ipfix_mpls(
+    flows: DataFrame, exporter_ip: str = "127.0.0.1", domain: int = 9
+) -> DataFrame:
+    """Pack MPLS-labeled rows into IPFIX: label IEs are 3 bytes with
+    the 20-bit label pre-shifted (<< 4). ``flows`` needs:
+    mpls_label_top, mpls_label_bottom, bytes, packets, ip_proto."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        dt = np.dtype(
+            [
+                ("l1a", "u1"), ("l1b", "u1"), ("l1c", "u1"),
+                ("l2a", "u1"), ("l2b", "u1"), ("l2c", "u1"),
+                ("octets", ">u4"), ("pkts", ">u4"), ("proto", "u1"),
+            ]
+        )
+        assert dt.itemsize == sum(ln for _, ln in MPLS_EXPORT_FIELDS)
+        tmpl_body = struct.pack(
+            "!HH", MPLS_TEMPLATE_ID, len(MPLS_EXPORT_FIELDS)
+        ) + b"".join(struct.pack("!HH", ie, ln) for ie, ln in MPLS_EXPORT_FIELDS)
+        tmpl_set = struct.pack("!HH", 2, 4 + len(tmpl_body)) + tmpl_body
+        seqno, sent_template = 0, False
+
+        def msg(sets: bytes, seq: int) -> bytes:
+            return struct.pack("!HHIII", 10, 16 + len(sets), 0, seq, domain) + sets
+
+        for pdf in batches:
+            n = len(pdf)
+            out = []
+            if not sent_template and n:
+                out.append((exporter_ip, seqno, msg(tmpl_set, seqno)))
+                sent_template = True
+                seqno += 1
+            if n:
+                rec = np.zeros(n, dtype=dt)
+                top = pdf["mpls_label_top"].to_numpy().astype(np.int64) << 4
+                bot = pdf["mpls_label_bottom"].to_numpy().astype(np.int64) << 4
+                rec["l1a"], rec["l1b"], rec["l1c"] = (
+                    (top >> 16) & 0xFF, (top >> 8) & 0xFF, top & 0xFF
+                )
+                rec["l2a"], rec["l2b"], rec["l2c"] = (
+                    (bot >> 16) & 0xFF, (bot >> 8) & 0xFF, bot & 0xFF
+                )
+                rec["octets"] = pdf["bytes"].to_numpy()
+                rec["pkts"] = pdf["packets"].to_numpy()
+                rec["proto"] = pdf["ip_proto"].to_numpy()
+                blob = rec.tobytes()
+                sz = dt.itemsize
+                for lo in range(0, n, V9_MAX_RECORDS):
+                    hi = min(lo + V9_MAX_RECORDS, n)
+                    body = blob[lo * sz : hi * sz]
+                    pad = (-len(body)) % 4
+                    ds = (
+                        struct.pack("!HH", MPLS_TEMPLATE_ID, 4 + len(body) + pad)
+                        + body + b"\x00" * pad
+                    )
+                    out.append((exporter_ip, seqno, msg(ds, seqno)))
+                    seqno += 1
+            yield pd.DataFrame(out, columns=["exporter_ip", "seqno", "payload"])
+
+    return flows.mapInPandas(gen, DATAGRAM_SCHEMA)
+
+
+# Options export: sampling exposition keyed by a System scope
+# (reference sampling-options tests/104-*; v9 options template set id
+# 1, IPFIX options template set id 3 — dispatch src/nfacctd.c:1965).
+OPTIONS_TEMPLATE_ID = 512
+_OPT_SCOPE_FIELDS = ((1, 4),)            # scope: System, 4 bytes
+_OPT_OPTION_FIELDS = ((48, 2), (50, 4))  # samplerId, samplerRandomInterval
+
+
+def encode_options(
+    rates: DataFrame, version: int = 9
+) -> DataFrame:
+    """Pack per-exporter sampling-options rows into one options
+    datagram each. ``rates`` needs: exporter_ip, sysid, sampler_id,
+    sampling_rate. ``version`` 9 -> v9 set 1 layout; 10 -> IPFIX set 3
+    layout (both decode through decode_options)."""
+    if version not in (9, 10):
+        raise ValueError(f"unsupported options wire version {version}")
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        if version == 9:
+            tmpl_body = struct.pack(
+                "!HHH", OPTIONS_TEMPLATE_ID,
+                4 * len(_OPT_SCOPE_FIELDS), 4 * len(_OPT_OPTION_FIELDS),
+            )
+        else:
+            tmpl_body = struct.pack(
+                "!HHH", OPTIONS_TEMPLATE_ID,
+                len(_OPT_SCOPE_FIELDS) + len(_OPT_OPTION_FIELDS),
+                len(_OPT_SCOPE_FIELDS),
+            )
+        for ie, ln in _OPT_SCOPE_FIELDS + _OPT_OPTION_FIELDS:
+            tmpl_body += struct.pack("!HH", ie, ln)
+        pad_t = (-len(tmpl_body)) % 4
+        tmpl_set = (
+            struct.pack(
+                "!HH", 1 if version == 9 else 3, 4 + len(tmpl_body) + pad_t
+            )
+            + tmpl_body + b"\x00" * pad_t
+        )
+        seqno = 0
+        for pdf in batches:
+            out = []
+            for r in pdf.itertuples(index=False):
+                data = struct.pack(
+                    "!IHI",
+                    int(r.sysid), int(r.sampler_id), int(r.sampling_rate),
+                )
+                pad = (-len(data)) % 4
+                data_set = (
+                    struct.pack("!HH", OPTIONS_TEMPLATE_ID, 4 + len(data) + pad)
+                    + data + b"\x00" * pad
+                )
+                if version == 9:
+                    dgram = (
+                        struct.pack("!HHIIII", 9, 2, 0, 0, seqno, 0)
+                        + tmpl_set + data_set
+                    )
+                else:
+                    sets = tmpl_set + data_set
+                    dgram = (
+                        struct.pack("!HHIII", 10, 16 + len(sets), 0, seqno, 0)
+                        + sets
+                    )
+                out.append((str(r.exporter_ip), seqno, dgram))
+                seqno += 1
+            yield pd.DataFrame(out, columns=["exporter_ip", "seqno", "payload"])
+
+    return rates.mapInPandas(gen, DATAGRAM_SCHEMA)
+
+
 def encode_ipfix(
     flows: DataFrame, exporter_ip: str = "127.0.0.1", domain: int = 1
 ) -> DataFrame:

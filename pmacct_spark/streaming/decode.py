@@ -236,9 +236,25 @@ V9_HEADER = struct.Struct(V9_HEADER_FMT)
 #   - variable-length IEs (template length 65535; RFC 7011 §7: 1-byte
 #     record length, 255 escape -> 2-byte length), e.g. vrfName 236
 V6_ADDR_IES = {27: "ip6_src", 28: "ip6_dst", 62: "ip6_nexthop"}
-EXT_UINT_IES = {29: "mask6_src", 30: "mask6_dst", 31: "flow_label"}
+EXT_UINT_IES = {
+    29: "mask6_src",
+    30: "mask6_dst",
+    31: "flow_label",
+    # NAT event block (reference NF9_POST_NAT_* / NF9_NAT_EVENT,
+    # src/nfv9_template.h:149-154; struct pkt_nat_primitives
+    # src/network.h:620-632)
+    225: "post_nat_ip_src_i",
+    226: "post_nat_ip_dst_i",
+    227: "post_nat_port_src",
+    228: "post_nat_port_dst",
+    230: "nat_event",
+}
 VLEN_STR_IES = {236: "vrf_name"}
 VLEN_SENTINEL = 65535
+# MPLS label IEs 70-79 (reference NF9_MPLS_LABEL_1..10,
+# src/nfv9_template.h:99-108): 3 bytes on the wire, 20-bit label in
+# the top bits (value = raw >> 4; exp/bos in the low nibble)
+MPLS_LABEL_IES = {70: "mpls_label_top", 71: "mpls_label_bottom"}
 # layer2SegmentId (IE 351, 8 bytes): high byte discriminates the
 # tunnel type, low 3 bytes carry the segment id (reference
 # NF9_LAYER2_SEGMENT_ID src/nfv9_template.h:180, type constants
@@ -262,6 +278,7 @@ def _tmpl_is_ext(tmpl: list[tuple[int, int]]) -> bool:
         or (ie in V6_ADDR_IES and ln == 16)
         or ie in EXT_UINT_IES
         or ie in VLEN_STR_IES
+        or ie in MPLS_LABEL_IES
         or ie == L2_SEGMENT_IE
         for ie, ln in tmpl
     )
@@ -305,6 +322,8 @@ def _decode_ext_records(
                         rec["vxlan"] = sid
                     elif sid_type == _L2_SID_NVGRE:
                         rec["nvgre"] = sid
+                elif ie in MPLS_LABEL_IES and ln == 3:
+                    rec[MPLS_LABEL_IES[ie]] = _uint(raw) >> 4
                 else:
                     col = EXT_UINT_IES.get(ie) or V9_IE_COLUMNS.get(ie)
                     if col is not None:
@@ -812,15 +831,51 @@ def _v10_packet(
                         p += 4
                         ie = ie & 0x7FFF
                     fields.append((ie, ln))
-                templates[(exporter, domain, tid)] = fields
+                templates[(exporter, domain, tid)] = ("data", fields)
                 if compiled is not None:
                     compiled.pop((exporter, domain, tid), None)
+        elif set_id == 3:  # options template set (RFC 7011 §3.4.2.2;
+            # reference dispatch fid==3, src/nfacctd.c:1965): tid,
+            # total field count, SCOPE field count; scope field specs
+            # first, then option field specs
+            p = 0
+            while p + 6 <= len(body):
+                tid, nfields, nscope = struct.unpack_from("!HHH", body, p)
+                p += 6
+                if tid < 256:
+                    break
+                scope_fields, option_fields = [], []
+                for k in range(nfields):
+                    if p + 4 > len(body):
+                        break
+                    ie, ln = struct.unpack_from("!HH", body, p)
+                    p += 4
+                    if ie & 0x8000:
+                        p += 4
+                        ie = ie & 0x7FFF
+                    (scope_fields if k < nscope else option_fields).append(
+                        (ie, ln)
+                    )
+                templates[(exporter, domain, tid)] = (
+                    "options", scope_fields, option_fields,
+                )
         elif set_id >= 256:
+            entry = templates.get((exporter, domain, set_id))
+            if entry is None:
+                continue
+            # legacy plain-list entries (pre-tagged caches) decode as data
+            kind = entry[0] if entry and entry[0] in ("data", "options") else "data"
+            if kind == "options":
+                if want == "options":
+                    out.extend(
+                        _decode_option_records(
+                            body, entry[1], entry[2], exporter, seqno
+                        )
+                    )
+                continue
             if want != "flows":
                 continue
-            tmpl = templates.get((exporter, domain, set_id))
-            if tmpl is None:
-                continue
+            tmpl = entry[1] if kind == "data" and entry[0] == "data" else entry
             if _tmpl_is_ext(tmpl):
                 out.extend(_decode_ext_records(body, tmpl, exporter, seqno))
                 continue
@@ -915,12 +970,49 @@ FLOW6_SCHEMA = T.StructType(
         T.StructField("vrf_name", T.StringType()),
         T.StructField("vxlan", T.LongType()),
         T.StructField("nvgre", T.LongType()),
+        T.StructField("post_nat_ip_src_i", T.LongType()),
+        T.StructField("post_nat_ip_dst_i", T.LongType()),
+        T.StructField("post_nat_port_src", T.IntegerType()),
+        T.StructField("post_nat_port_dst", T.IntegerType()),
+        T.StructField("nat_event", T.IntegerType()),
+        T.StructField("mpls_label_top", T.LongType()),
+        T.StructField("mpls_label_bottom", T.LongType()),
     ]
 )
 
 _FLOW6_STR_COLS = frozenset(
     f.name for f in FLOW6_SCHEMA.fields if isinstance(f.dataType, T.StringType)
 ) - {"exporter_ip"}
+
+
+def decode_options(datagrams: DataFrame) -> DataFrame:
+    """Decode options-DATA records (sampling exposition: sampler id /
+    rate / interval keyed by scope) from v9 datagrams (options template
+    set id 1) and IPFIX (set id 3) — the reference's tests/104-*
+    sampling-options path (options dispatch src/nfacctd.c:1965).
+    Same partition contract as decode_v9 (stateful template cache)."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        templates: dict = {}
+        cols = [f.name for f in OPTIONS_SCHEMA.fields]
+        for pdf in batches:
+            rows: list[dict] = []
+            for exporter, payload in zip(pdf["exporter_ip"], pdf["payload"]):
+                b = bytes(payload)
+                ver = int.from_bytes(b[:2], "big") if len(b) >= 2 else 0
+                if ver == 9:
+                    rows.extend(
+                        _v9_packet(exporter, b, templates, want="options")
+                    )
+                elif ver == 10:
+                    rows.extend(
+                        _v10_packet(exporter, b, templates, want="options")
+                    )
+            yield pd.DataFrame(
+                [[r.get(c) for c in cols] for r in rows], columns=cols
+            )
+
+    return datagrams.mapInPandas(gen, OPTIONS_SCHEMA)
 
 
 def decode_any_ext(datagrams: DataFrame) -> DataFrame:

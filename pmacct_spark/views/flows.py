@@ -96,6 +96,13 @@ _DERIVATIONS: list[tuple[str, str]] = [
     ("fw_event", "user_id % 3"),
     ("post_nat_port_src", "1024 + ((event_id * 3) % 60000)"),
     ("post_nat_port_dst", "1 + (user_id % 65000)"),
+    # integer forms of the post-NAT addresses (wire encode/decode path)
+    ("post_nat_ip_src_i", (
+        "CASE WHEN user_id % 6 <= 1 THEN 3323068416 + ((event_id * 31) % 131072) ELSE 0 END"
+    )),
+    ("post_nat_ip_dst_i", (
+        "CASE WHEN user_id % 6 <= 1 THEN 3323068416 + ((user_id * 131) % 131072) ELSE 0 END"
+    )),
     # --- tunnel block (struct pkt_tunnel_primitives, src/network.h:642-660):
     #     user_id%4==0 -> VXLAN/UDP outer; user_id%4==1 -> NVGRE outer
     ("tunnel_proto", (
