@@ -516,6 +516,49 @@ def sampling_options_wire_loop(spark, sf_dir):
 
 
 @register(
+    "custom_wire_loop",
+    f"""{FLOWS_DUCK_CTE}
+SELECT 'app-' || CAST(iface_in AS VARCHAR) AS app_name,
+       CAST(SUM(event_id % 100) AS BIGINT) AS app_tag_sum,
+       CAST(SUM(bytes) AS BIGINT) AS bytes,
+       COUNT(*) AS n_records
+FROM flows GROUP BY 1""",
+)
+def custom_wire_loop(spark, sf_dir):
+    """Custom primitives (aggregate_primitives map) decoded FROM THE
+    WIRE, oracle-gated: a vendor u_int IE (PEN 42 / IE 1, 2 bytes) and
+    a vendor string IE (PEN 42 / IE 2, 8 bytes) are exported with
+    enterprise template field specs, decoded back by declarative
+    CustomIE config (reference struct custom_primitive_entry
+    src/cfg.h:45-63, semantics src/pmacct-defines.h:488-495), and
+    aggregated like any built-in primitive. Also proves enterprise IEs
+    are keyed (pen<<16)|ie — a vendor IE 1 cannot alias
+    octetDeltaCount."""
+    from pmacct_spark.driver_queries import flows as flows_view_fn
+    from pmacct_spark.sinks.nfprobe import encode_ipfix_custom
+    from pmacct_spark.streaming.decode import CustomIE, decode_any_custom
+
+    customs = [
+        CustomIE("app_tag", ie=1, pen=42, semantics="u_int", length=2),
+        CustomIE("app_name", ie=2, pen=42, semantics="string", length=8),
+    ]
+    fl = flows_view_fn(spark, sf_dir).selectExpr(
+        "event_id % 100 AS app_tag",
+        "'app-' || CAST(iface_in AS STRING) AS app_name",
+        "bytes", "packets", "ip_proto",
+    )
+    back = decode_any_custom(
+        encode_ipfix_custom(fl, customs).select("exporter_ip", "payload"),
+        customs,
+    )
+    return back.groupBy("app_name").agg(
+        F.sum("app_tag").cast("bigint").alias("app_tag_sum"),
+        F.sum("bytes").cast("bigint").alias("bytes"),
+        F.count(F.lit(1)).alias("n_records"),
+    )
+
+
+@register(
     "mixed_wire_loop_agg",
     f"""{FLOWS_DUCK_CTE}
 SELECT ip_proto AS proto,

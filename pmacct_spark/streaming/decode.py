@@ -255,6 +255,48 @@ VLEN_SENTINEL = 65535
 # src/nfv9_template.h:99-108): 3 bytes on the wire, 20-bit label in
 # the top bits (value = raw >> 4; exp/bos in the low nibble)
 MPLS_LABEL_IES = {70: "mpls_label_top", 71: "mpls_label_bottom"}
+
+
+# --- custom primitives decoded from the wire (aggregate_primitives
+# map: reference struct custom_primitive_entry src/cfg.h:45-63, typed
+# semantics src/pmacct-defines.h:488-495). Enterprise IEs are keyed
+# (pen << 16) | ie inside learned templates, so a vendor IE can never
+# alias a standard column.
+from dataclasses import dataclass
+
+
+@dataclass(frozen=True)
+class CustomIE:
+    """One aggregate_primitives map entry: extract the (pen, ie) field
+    as a typed output column. semantics: u_int | hex | string | ip |
+    mac | raw."""
+
+    name: str
+    ie: int
+    pen: int = 0
+    semantics: str = "u_int"
+    length: int = 4  # on-wire width (encoder side; decode reads the template)
+
+    @property
+    def key(self) -> int:
+        return (self.pen << 16) | self.ie
+
+
+def _decode_custom_value(raw: bytes, semantics: str):
+    if semantics == "u_int":
+        return _uint(raw)
+    if semantics == "string":
+        return raw.rstrip(b"\x00").decode("utf-8", "replace")
+    if semantics == "ip":
+        if len(raw) == 4:
+            return ".".join(str(b) for b in raw)
+        if len(raw) == 16:
+            return _fmt_v6(raw)
+        return raw.hex()
+    if semantics == "mac":
+        return ":".join(f"{b:02x}" for b in raw)
+    # hex / raw
+    return raw.hex()
 # layer2SegmentId (IE 351, 8 bytes): high byte discriminates the
 # tunnel type, low 3 bytes carry the segment id (reference
 # NF9_LAYER2_SEGMENT_ID src/nfv9_template.h:180, type constants
@@ -285,12 +327,17 @@ def _tmpl_is_ext(tmpl: list[tuple[int, int]]) -> bool:
 
 
 def _decode_ext_records(
-    body: bytes, tmpl: list[tuple[int, int]], exporter: str, seqno: int
+    body: bytes,
+    tmpl: list[tuple[int, int]],
+    exporter: str,
+    seqno: int,
+    customs: dict | None = None,
 ) -> list[dict]:
-    """Scalar walk for templates carrying IPv6 / vlen / string IEs.
-    Variable-length fields make the record size dynamic, so the walk
-    guards on the MINIMUM record length (>= 4, so trailing set padding
-    of <= 3 zero bytes is never misread as a record)."""
+    """Scalar walk for templates carrying IPv6 / vlen / string /
+    custom IEs. Variable-length fields make the record size dynamic,
+    so the walk guards on the MINIMUM record length (>= 4, so trailing
+    set padding of <= 3 zero bytes is never misread as a record).
+    ``customs`` maps the pen-shifted IE key to a :class:`CustomIE`."""
     min_len = sum(1 if ln == VLEN_SENTINEL else ln for _, ln in tmpl)
     if min_len == 0:
         return []
@@ -307,13 +354,20 @@ def _decode_ext_records(
                     p += 2
                 val = body[p : p + l0]
                 p += l0
+                cu = customs.get(ie) if customs else None
+                if cu is not None:
+                    rec[cu.name] = _decode_custom_value(val, cu.semantics)
+                    continue
                 col = VLEN_STR_IES.get(ie)
                 if col is not None:
                     rec[col] = val.decode("utf-8", "replace")
             else:
                 raw = body[p : p + ln]
                 p += ln
-                if ie in V6_ADDR_IES and ln == 16:
+                cu = customs.get(ie) if customs else None
+                if cu is not None:
+                    rec[cu.name] = _decode_custom_value(raw, cu.semantics)
+                elif ie in V6_ADDR_IES and ln == 16:
                     rec[V6_ADDR_IES[ie]] = _fmt_v6(raw)
                 elif ie == L2_SEGMENT_IE and ln == 8:
                     val = _uint(raw)
@@ -489,6 +543,7 @@ def _v9_packet(
     templates: dict[tuple[str, int, int], tuple],
     want: str = "flows",
     compiled: dict | None = None,
+    customs: dict | None = None,
 ) -> list[dict]:
     if len(payload) < 20:
         return []
@@ -563,8 +618,14 @@ def _v9_packet(
             if want != "flows":
                 continue
             tmpl = entry[1]
-            if _tmpl_is_ext(tmpl):
-                out.extend(_decode_ext_records(body, tmpl, exporter, seqno))
+            if _tmpl_is_ext(tmpl) or (
+                customs and any(k in customs for k, _ in tmpl)
+            ):
+                out.extend(
+                    _decode_ext_records(
+                        body, tmpl, exporter, seqno, customs=customs
+                    )
+                )
                 continue
             rec_len = sum(ln for _, ln in tmpl)
             if rec_len == 0:
@@ -797,6 +858,7 @@ def _v10_packet(
     templates: dict[tuple[str, int, int], list[tuple[int, int]]],
     compiled: dict | None = None,
     want: str = "flows",
+    customs: dict | None = None,
 ) -> list[dict]:
     """IPFIX decode (process_v9_packet handles v10 too, reference
     src/nfacctd.c:1806): 16-byte header, template set id 2, enterprise
@@ -827,9 +889,12 @@ def _v10_packet(
                         break
                     ie, ln = struct.unpack_from("!HH", body, p)
                     p += 4
-                    if ie & 0x8000:  # enterprise IE: PEN follows
+                    if ie & 0x8000:  # enterprise IE: 4-byte PEN
+                        # follows; key as (pen << 16) | ie so vendor
+                        # IEs can never alias standard columns
+                        pen = struct.unpack_from("!I", body, p)[0]
                         p += 4
-                        ie = ie & 0x7FFF
+                        ie = (pen << 16) | (ie & 0x7FFF)
                     fields.append((ie, ln))
                 templates[(exporter, domain, tid)] = ("data", fields)
                 if compiled is not None:
@@ -876,8 +941,14 @@ def _v10_packet(
             if want != "flows":
                 continue
             tmpl = entry[1] if kind == "data" and entry[0] == "data" else entry
-            if _tmpl_is_ext(tmpl):
-                out.extend(_decode_ext_records(body, tmpl, exporter, seqno))
+            if _tmpl_is_ext(tmpl) or (
+                customs and any(k in customs for k, _ in tmpl)
+            ):
+                out.extend(
+                    _decode_ext_records(
+                        body, tmpl, exporter, seqno, customs=customs
+                    )
+                )
                 continue
             rec_len = sum(ln for _, ln in tmpl)
             if rec_len == 0:
@@ -983,6 +1054,54 @@ FLOW6_SCHEMA = T.StructType(
 _FLOW6_STR_COLS = frozenset(
     f.name for f in FLOW6_SCHEMA.fields if isinstance(f.dataType, T.StringType)
 ) - {"exporter_ip"}
+
+
+def decode_any_custom(
+    datagrams: DataFrame, customs: list[CustomIE]
+) -> DataFrame:
+    """Version-dispatch decode with user-declared custom primitives
+    appended as typed columns (aggregate_primitives map on the wire:
+    reference src/cfg.h:45-63, CONFIG-KEYS:174-181). Output schema =
+    FLOW6_SCHEMA + one column per custom (u_int -> bigint, everything
+    else -> string)."""
+    cmap = {c.key: c for c in customs}
+    fields = list(FLOW6_SCHEMA.fields)
+    str_cols = set(_FLOW6_STR_COLS)
+    for c in customs:
+        if c.semantics == "u_int":
+            fields.append(T.StructField(c.name, T.LongType()))
+        else:
+            fields.append(T.StructField(c.name, T.StringType()))
+            str_cols.add(c.name)
+    schema = T.StructType(fields)
+    frozen_str = frozenset(str_cols)
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        templates: dict = {}
+        compiled: dict = {}
+        cols = [f.name for f in schema.fields]
+        for pdf in batches:
+            items: list = []
+            for exporter, payload in zip(pdf["exporter_ip"], pdf["payload"]):
+                b = bytes(payload)
+                ver = int.from_bytes(b[:2], "big") if len(b) >= 2 else 0
+                if ver == 9:
+                    items.extend(
+                        _v9_packet(
+                            exporter, b, templates,
+                            compiled=compiled, customs=cmap,
+                        )
+                    )
+                elif ver == 10:
+                    items.extend(
+                        _v10_packet(
+                            exporter, b, templates,
+                            compiled=compiled, customs=cmap,
+                        )
+                    )
+            yield _flow_frame(items, cols, str_cols=frozen_str)
+
+    return datagrams.mapInPandas(gen, schema)
 
 
 def decode_options(datagrams: DataFrame) -> DataFrame:
