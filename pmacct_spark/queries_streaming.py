@@ -559,6 +559,44 @@ def custom_wire_loop(spark, sf_dir):
 
 
 @register(
+    "sflow_v6_loop",
+    f"""{FLOWS_DUCK_CTE}
+SELECT CAST(vlan AS BIGINT) AS vlan,
+       CAST(SUM(bytes) * 32 AS BIGINT) AS bytes,
+       MIN(ip6_src) AS min_ip6_src,
+       COUNT(*) AS n_samples
+FROM flows WHERE ip6_src <> '' GROUP BY 1""",
+)
+def sflow_v6_loop(spark, sf_dir):
+    """Dual-stack sFlow on the wire, oracle-gated: v6 flows ->
+    encode_sflow5_v6 (sampled headers = eth + 802.1Q VLAN tag + IPv6 +
+    L4) -> decode_sflow5 (VLAN walk + IPv6 dissection, reference
+    eth_handler src/ll.c:29 / ip6_handler src/nl.c) -> renormalized
+    per-VLAN aggregation vs the pristine flows. Gates the 802.1Q tag
+    walk, the IPv6 header parse, and the canonical v6 string render."""
+    from pmacct_spark.driver_queries import flows as flows_view_fn
+    from pmacct_spark.sinks.sfprobe import encode_sflow5_v6
+    from pmacct_spark.streaming.decode import decode_sflow5
+
+    fl = flows_view_fn(spark, sf_dir).filter("ip6_src <> ''").select(
+        "ip6_src", "ip6_dst", "vlan", "port_src", "port_dst", "ip_proto",
+        "tos", "tcp_flags", "bytes", "iface_in", "iface_out",
+    )
+    back = decode_sflow5(
+        encode_sflow5_v6(fl, sampling_rate=32).select("exporter_ip", "payload")
+    )
+    return (
+        back.withColumn("bytes", F.expr("bytes * sampling_rate"))
+        .groupBy(F.col("vlan").cast("bigint").alias("vlan"))
+        .agg(
+            F.sum("bytes").cast("bigint").alias("bytes"),
+            F.min("ip6_src").alias("min_ip6_src"),
+            F.count(F.lit(1)).alias("n_samples"),
+        )
+    )
+
+
+@register(
     "mixed_wire_loop_agg",
     f"""{FLOWS_DUCK_CTE}
 SELECT ip_proto AS proto,

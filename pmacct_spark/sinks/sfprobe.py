@@ -91,6 +91,88 @@ def _sample_dtype(l4: str):
 
 
 # ---------------------------------------------------------------------------
+# IPv6 + 802.1Q flow-sample export: sampled headers carrying a VLAN
+# tag and an IPv6 inner packet (reference eth_handler VLAN walk
+# src/ll.c:29, ip6_handler src/nl.c) — the dual-stack sFlow path.
+# ---------------------------------------------------------------------------
+
+def _v6_hdr_bytes(s: str) -> bytes:
+    return bytes.fromhex(s.replace(":", ""))
+
+
+def encode_sflow5_v6(
+    flows: DataFrame, agent_ip: str = "127.0.0.1", sampling_rate: int = 1
+) -> DataFrame:
+    """Pack IPv6 flow rows into sFlow v5 datagrams whose sampled
+    headers are eth + 802.1Q(vlan) + IPv6 + TCP/UDP. ``flows`` needs:
+    ip6_src, ip6_dst, vlan, port_src, port_dst, ip_proto, tos,
+    tcp_flags, bytes, iface_in, iface_out."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        seqno = 0
+        for pdf in batches:
+            out = []
+            samples = []
+            for r in pdf.itertuples(index=False):
+                proto = int(r.ip_proto)
+                eth = (
+                    b"\x02" * 6 + b"\x04" * 6
+                    + b"\x81\x00"
+                    + (int(r.vlan) & 0x0FFF).to_bytes(2, "big")
+                    + b"\x86\xdd"
+                )
+                if proto == 6:
+                    l4 = (
+                        int(r.port_src).to_bytes(2, "big")
+                        + int(r.port_dst).to_bytes(2, "big")
+                        + b"\x00" * 9
+                        + bytes([int(r.tcp_flags) & 0xFF])
+                        + b"\x00" * 6
+                    )
+                elif proto == 17:
+                    l4 = (
+                        int(r.port_src).to_bytes(2, "big")
+                        + int(r.port_dst).to_bytes(2, "big")
+                        + b"\x00\x08\x00\x00"
+                    )
+                else:
+                    l4 = b""
+                vtc_fl = (6 << 28) | ((int(r.tos) & 0xFF) << 20)
+                ip6 = (
+                    vtc_fl.to_bytes(4, "big")
+                    + len(l4).to_bytes(2, "big")
+                    + bytes([proto, 64])
+                    + _v6_hdr_bytes(r.ip6_src)
+                    + _v6_hdr_bytes(r.ip6_dst)
+                )
+                hdr = eth + ip6 + l4
+                pad = (-len(hdr)) % 4
+                raw = (
+                    struct.pack("!IIII", 1, int(r.bytes), 4, len(hdr))
+                    + hdr + b"\x00" * pad
+                )
+                body = (
+                    struct.pack(
+                        "!IIIIIIII", seqno + len(samples), 1, sampling_rate,
+                        1000, 0, int(r.iface_in), int(r.iface_out), 1,
+                    )
+                    + struct.pack("!II", 1, len(raw))
+                    + raw
+                )
+                samples.append(struct.pack("!II", 1, len(body)) + body)
+            for lo in range(0, len(samples), SAMPLES_PER_DATAGRAM):
+                chunk = samples[lo : lo + SAMPLES_PER_DATAGRAM]
+                dgram = struct.pack(
+                    "!IIIIIII", 5, 1, 0x7F000001, 0, seqno + lo, 0, len(chunk)
+                ) + b"".join(chunk)
+                out.append((agent_ip, seqno + lo, dgram))
+            seqno += len(samples)
+            yield pd.DataFrame(out, columns=["exporter_ip", "seqno", "payload"])
+
+    return flows.mapInPandas(gen, SFPROBE_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
 # counter-sample export (generic interface counters, the other half of
 # sFlow's value; reference counter-sample processing
 # src/sfacctd.c:1578-1581). v5 wraps the 88-byte generic block in a

@@ -1,0 +1,91 @@
+"""ZeroMQ transport shaping (reference src/zmq_common.c — pmacct's
+internal core->plugin pipe and its Kafka-less pub/sub delivery:
+single-byte topic frame set via p_zmq_set_topic src/zmq_common.c:56,
+PUB/PUSH sockets :348-358, subscriber topic filter :482).
+
+As with sinks/kafka.py and sinks/amqp.py, no broker/socket runs in
+this container, so the testable surface is the wire frame itself:
+a (topic: 1-byte, payload: JSON) pair per record, plus the plugin-pipe
+variant that frames a whole microbatch as one length-prefixed buffer
+(the ring-buffer batching the reference uses between core and plugin,
+docs/INTERNALS:96-125).
+"""
+
+from __future__ import annotations
+
+import struct
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from pmacct_spark.sinks.kafka import compose_json_value
+
+
+def zmq_frame(df: DataFrame, topic: int) -> DataFrame:
+    """Shape records into the ZMQ pub/sub contract: a single-byte
+    ``topic`` (subscribers filter on it, reference
+    src/zmq_common.c:56,482) and the JSON payload."""
+    if not 0 <= topic <= 255:
+        raise ValueError(f"zmq topic must fit one byte, got {topic}")
+    return df.select(
+        F.lit(topic).alias("topic"),
+        compose_json_value(df).alias("payload"),
+    )
+
+
+def zmq_pipe_buffers(
+    df: DataFrame, topic: int, records_per_buffer: int = 100
+) -> DataFrame:
+    """The plugin-pipe variant: batch records into length-prefixed
+    buffers (seq, topic, payload of newline-joined JSON) the way the
+    reference amortizes IPC with ring-buffer batching
+    (docs/INTERNALS:96-125; struct ch_buf_hdr src/plugin_hooks.h:39-54).
+    Buffer assembly is per-partition (mapInPandas) — no shuffle."""
+    import pandas as pd
+
+    from pyspark.sql import types as T
+
+    frame = zmq_frame(df, topic)
+    schema = T.StructType(
+        [
+            T.StructField("seq", T.LongType()),
+            T.StructField("topic", T.IntegerType()),
+            T.StructField("n_records", T.IntegerType()),
+            T.StructField("buffer", T.BinaryType()),
+        ]
+    )
+
+    def gen(batches):
+        seq = 0
+        for pdf in batches:
+            rows = []
+            payloads = pdf["payload"].tolist()
+            for lo in range(0, len(payloads), records_per_buffer):
+                chunk = payloads[lo : lo + records_per_buffer]
+                body = "\n".join(chunk).encode("utf-8")
+                buf = struct.pack("!IBI", seq, topic, len(body)) + body
+                rows.append((seq, topic, len(chunk), buf))
+                seq += 1
+            yield pd.DataFrame(
+                rows, columns=["seq", "topic", "n_records", "buffer"]
+            )
+
+    return frame.mapInPandas(gen, schema)
+
+
+def write_zmq(frame: DataFrame, endpoint: str) -> None:
+    """Publish via pyzmq (unavailable in this container; the frame is
+    the tested contract)."""
+    try:
+        import zmq  # noqa: F401
+    except ImportError as exc:  # pragma: no cover - no broker in sandbox
+        raise NotImplementedError(
+            "pyzmq is not installed in this environment; zmq_frame() is "
+            "the testable publish contract"
+        ) from exc
+    ctx = zmq.Context()  # pragma: no cover
+    sock = ctx.socket(zmq.PUB)  # pragma: no cover
+    sock.bind(endpoint)  # pragma: no cover
+    for r in frame.toLocalIterator():  # pragma: no cover
+        sock.send(bytes([r["topic"]]) + r["payload"].encode("utf-8"))
+    sock.close()  # pragma: no cover

@@ -1195,29 +1195,58 @@ def decode_any_ext(datagrams: DataFrame) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 def _sflow_parse_raw_header(hdr: bytes) -> dict | None:
-    """Ethernet -> IPv4 -> TCP/UDP dissection of a sampled header
-    (reference sfacctd feeds the same L2 parse as pmacctd:
-    eth_handler src/ll.c:29, ip_handler src/nl.c)."""
+    """Ethernet [+ 802.1Q] -> IPv4/IPv6 -> TCP/UDP dissection of a
+    sampled header (reference sfacctd feeds the same L2 parse as
+    pmacctd: eth_handler src/ll.c:29 incl. VLAN walk, ip_handler /
+    ip6_handler src/nl.c)."""
     if len(hdr) < 14:
         return None
     ethertype = int.from_bytes(hdr[12:14], "big")
-    if ethertype != 0x0800:
-        return None  # non-IPv4: out of scope
-    ip = hdr[14:]
-    if len(ip) < 20:
-        return None
-    ihl = (ip[0] & 0x0F) * 4
-    proto = ip[9]
-    rec = {
-        "tos": ip[1],
-        "ip_proto": proto,
-        "ip_src_i": int.from_bytes(ip[12:16], "big"),
-        "ip_dst_i": int.from_bytes(ip[16:20], "big"),
-        "port_src": 0,
-        "port_dst": 0,
-        "tcp_flags": 0,
-    }
-    l4 = ip[ihl:]
+    off = 14
+    vlan = 0
+    while ethertype in (0x8100, 0x88A8) and len(hdr) >= off + 4:
+        if vlan == 0:  # outermost tag wins (reference vlan_handler)
+            vlan = int.from_bytes(hdr[off : off + 2], "big") & 0x0FFF
+        ethertype = int.from_bytes(hdr[off + 2 : off + 4], "big")
+        off += 4
+    if ethertype == 0x0800:
+        ip = hdr[off:]
+        if len(ip) < 20:
+            return None
+        ihl = (ip[0] & 0x0F) * 4
+        proto = ip[9]
+        rec = {
+            "tos": ip[1],
+            "ip_proto": proto,
+            "ip_src_i": int.from_bytes(ip[12:16], "big"),
+            "ip_dst_i": int.from_bytes(ip[16:20], "big"),
+            "port_src": 0,
+            "port_dst": 0,
+            "tcp_flags": 0,
+            "vlan": vlan,
+        }
+        l4 = ip[ihl:]
+    elif ethertype == 0x86DD:
+        ip6 = hdr[off:]
+        if len(ip6) < 40:
+            return None
+        vtc_fl = int.from_bytes(ip6[0:4], "big")
+        proto = ip6[6]  # next header (no extension-header walk)
+        rec = {
+            "tos": (vtc_fl >> 20) & 0xFF,  # traffic class
+            "ip_proto": proto,
+            "ip_src_i": 0,
+            "ip_dst_i": 0,
+            "ip6_src": _fmt_v6(ip6[8:24]),
+            "ip6_dst": _fmt_v6(ip6[24:40]),
+            "port_src": 0,
+            "port_dst": 0,
+            "tcp_flags": 0,
+            "vlan": vlan,
+        }
+        l4 = ip6[40:]
+    else:
+        return None  # non-IP: out of scope
     if proto in (6, 17) and len(l4) >= 4:
         rec["port_src"] = int.from_bytes(l4[0:2], "big")
         rec["port_dst"] = int.from_bytes(l4[2:4], "big")
@@ -1280,7 +1309,13 @@ def _sflow_datagram(exporter: str, payload: bytes) -> list[dict]:
 
 # note: StructType.add mutates in place — build a fresh copy
 SFLOW_SCHEMA = T.StructType(
-    list(FLOW_SCHEMA.fields) + [T.StructField("sampling_rate", T.LongType())]
+    list(FLOW_SCHEMA.fields)
+    + [
+        T.StructField("sampling_rate", T.LongType()),
+        T.StructField("vlan", T.IntegerType()),
+        T.StructField("ip6_src", T.StringType()),
+        T.StructField("ip6_dst", T.StringType()),
+    ]
 )
 
 # ---------------------------------------------------------------------------

@@ -252,3 +252,44 @@ def test_amqp_routing_key_modes(spark):
     assert sorted((r.body, r.routing_key) for r in rr) == sorted(
         (r.body, r.routing_key) for r in rr2
     )
+
+
+# ---------------------------------------------------------------------------
+# ZMQ frame shaping (reference src/zmq_common.c: 1-byte topic pub/sub +
+# plugin-pipe buffer batching docs/INTERNALS:96-125)
+# ---------------------------------------------------------------------------
+
+def test_zmq_frame_shape(spark):
+    import json
+
+    from pmacct_spark.sinks.zmq import zmq_frame
+
+    agg = spark.createDataFrame(
+        [("10.0.0.1", 1000), ("10.0.0.2", 2000)], "ip_src string, bytes long"
+    )
+    rows = zmq_frame(agg, topic=7).collect()
+    assert {r.topic for r in rows} == {7}
+    got = sorted(json.loads(r.payload)["bytes"] for r in rows)
+    assert got == [1000, 2000]
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        zmq_frame(agg, topic=300)
+
+
+def test_zmq_pipe_buffers(spark):
+    import struct
+
+    from pmacct_spark.sinks.zmq import zmq_pipe_buffers
+
+    agg = spark.range(250).selectExpr("id", "id * 10 AS bytes").coalesce(1)
+    bufs = sorted(
+        zmq_pipe_buffers(agg, topic=3, records_per_buffer=100).collect(),
+        key=lambda r: r.seq,
+    )
+    assert [b.n_records for b in bufs] == [100, 100, 50]
+    seq, topic, blen = struct.unpack_from("!IBI", bytes(bufs[0].buffer), 0)
+    assert (seq, topic) == (0, 3)
+    body = bytes(bufs[0].buffer)[9:]
+    assert len(body) == blen and body.count(b"\n") == 99
