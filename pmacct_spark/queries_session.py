@@ -212,3 +212,86 @@ def bgp_src_lookup(spark, sf_dir):
         F.count(F.lit(1)).alias("flows"),
         F.min("src_local_pref").cast("bigint").alias("min_src_local_pref"),
     )
+
+
+# --- BGP RIB built FROM THE WIRE: per-peer BGP UPDATE streams (AS4
+#     AS_PATH, NEXT_HOP, MED, LOCAL_PREF, all three community
+#     families) -> decode_bgp -> rib_state compaction -> the same
+#     peer-then-LPM flow lookup as bgp_lookup_attrs. Upgrades the BGP
+#     source from "snapshot dimension" to wire-gated (reference
+#     src/bgp/bgp.c:99 session side, UPDATE parse src/bgp/bgp_msg.c).
+@register(
+    "bgp_wire_rib_lookup",
+    f"""{FLOWS_DUCK_CTE},
+rib AS ({BGP_RIB_DUCK}),
+cand AS (
+  SELECT f.event_id, f.bytes, r.as_path, r.peer_dst_as, r.local_pref,
+         r.med, r.std_comm, r.lrg_comm,
+         ROW_NUMBER() OVER (
+           PARTITION BY f.event_id ORDER BY r.masklen DESC) AS rn
+  FROM flows f JOIN rib r
+    ON f.peer_ip_src = r.peer_ip
+   AND (f.ip_dst_i // (CAST(1 AS BIGINT) << (32 - r.masklen)))
+     = (r.net_int // (CAST(1 AS BIGINT) << (32 - r.masklen)))
+)
+SELECT as_path, peer_dst_as, std_comm, lrg_comm,
+       CAST(SUM(bytes) AS BIGINT) AS bytes, COUNT(*) AS flows,
+       CAST(MIN(local_pref) AS BIGINT) AS min_local_pref,
+       CAST(MAX(med) AS BIGINT) AS max_med
+FROM cand WHERE rn = 1 GROUP BY 1, 2, 3, 4""",
+)
+def bgp_wire_rib_lookup(spark, sf_dir):
+    """The oracle joins against the pristine fixture RIB; the Spark
+    side must reproduce it bit-for-bit through encode_bgp_updates ->
+    decode_bgp -> rib_state, so any attribute codec error (AS_PATH
+    segmenting, community rendering, NLRI prefix packing) or
+    compaction error breaks the value hash. peer_dst_as is derived
+    from the decoded AS_PATH (last hop), as the reference derives it
+    from the RIB entry."""
+    from pmacct_spark.streaming.bmp import (
+        decode_bgp,
+        encode_bgp_updates,
+        rib_state,
+    )
+
+    rib_src = bgp_rib_dim(spark, sf_dir)
+    streams = encode_bgp_updates(rib_src)
+    decoded = decode_bgp(streams.select("exporter_ip", "payload"))
+    # materialize once: lpm_join reads the dim several times (masklen
+    # discovery + one broadcast per masklen)
+    rib_wire = rib_state(decoded).selectExpr(
+        "peer_ip",
+        "prefix AS net_int",
+        "masklen",
+        "as_path",
+        "CAST(element_at(split(as_path, ' '), -1) AS BIGINT) AS peer_dst_as",
+        "local_pref",
+        "med",
+        "std_comm",
+        "lrg_comm",
+    ).localCheckpoint()
+    fl = flows(spark, sf_dir).select(
+        "event_id", "peer_ip_src", "ip_dst_i", "bytes"
+    )
+    enriched = lpm_join(
+        fl,
+        rib_wire,
+        "ip_dst_i",
+        {
+            "as_path": "as_path",
+            "peer_dst_as": "peer_dst_as",
+            "local_pref": "local_pref",
+            "med": "med",
+            "std_comm": "std_comm",
+            "lrg_comm": "lrg_comm",
+        },
+        extra_keys={"peer_ip_src": "peer_ip"},
+    )
+    return enriched.groupBy(
+        "as_path", "peer_dst_as", "std_comm", "lrg_comm"
+    ).agg(
+        F.sum("bytes").cast("bigint").alias("bytes"),
+        F.count(F.lit(1)).alias("flows"),
+        F.min("local_pref").cast("bigint").alias("min_local_pref"),
+        F.max("med").cast("bigint").alias("max_med"),
+    )

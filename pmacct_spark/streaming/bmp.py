@@ -38,6 +38,9 @@ BMP_EVENT_SCHEMA = T.StructType(
         T.StructField("next_hop", T.LongType()),
         T.StructField("local_pref", T.LongType()),
         T.StructField("med", T.LongType()),
+        T.StructField("std_comm", T.StringType()),
+        T.StructField("ext_comm", T.StringType()),
+        T.StructField("lrg_comm", T.StringType()),
         T.StructField("seq", T.LongType()),  # intra-datagram order
     ]
 )
@@ -108,6 +111,32 @@ def _parse_attrs(b: bytes) -> dict:
             attrs["med"] = int.from_bytes(val, "big")
         elif code == 5 and len(val) == 4:
             attrs["local_pref"] = int.from_bytes(val, "big")
+        elif code == 8:  # COMMUNITIES (RFC 1997): 4 bytes each, "A:B"
+            attrs["std_comm"] = " ".join(
+                f"{int.from_bytes(val[q:q+2], 'big')}:"
+                f"{int.from_bytes(val[q+2:q+4], 'big')}"
+                for q in range(0, len(val) - 3, 4)
+            )
+        elif code == 16:  # EXTENDED COMMUNITIES (RFC 4360): 8 bytes;
+            # render the route-target 2-octet-AS form (type 0x00/0x02)
+            # the way the engine's ext_comm strings look
+            parts = []
+            for q in range(0, len(val) - 7, 8):
+                t, st = val[q], val[q + 1]
+                if st == 0x02 and t in (0x00, 0x40):
+                    parts.append(
+                        f"RT:{int.from_bytes(val[q+2:q+4], 'big')}:"
+                        f"{int.from_bytes(val[q+4:q+8], 'big')}"
+                    )
+            if parts:
+                attrs["ext_comm"] = " ".join(parts)
+        elif code == 32:  # LARGE COMMUNITIES (RFC 8092): 12 bytes "a:b:c"
+            attrs["lrg_comm"] = " ".join(
+                f"{int.from_bytes(val[q:q+4], 'big')}:"
+                f"{int.from_bytes(val[q+4:q+8], 'big')}:"
+                f"{int.from_bytes(val[q+8:q+12], 'big')}"
+                for q in range(0, len(val) - 11, 12)
+            )
     return attrs
 
 
@@ -149,6 +178,9 @@ def _bmp_rows(exporter: str, payload: bytes, seq0: int) -> list[dict]:
                             "next_hop": attrs.get("next_hop"),
                             "local_pref": attrs.get("local_pref"),
                             "med": attrs.get("med"),
+                            "std_comm": attrs.get("std_comm"),
+                            "ext_comm": attrs.get("ext_comm"),
+                            "lrg_comm": attrs.get("lrg_comm"),
                         }
                     )
                     seq += 1
@@ -172,6 +204,175 @@ def decode_bmp(datagrams: DataFrame) -> DataFrame:
             yield pd.DataFrame([[r.get(c) for c in cols] for r in rows], columns=cols)
 
     return datagrams.mapInPandas(gen, BMP_EVENT_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# Raw BGP peering-session messages (the pmbgpd source side: reference
+# src/bgp/bgp.c:99, UPDATE parse src/bgp/bgp_msg.c). A session's byte
+# stream is a sequence of [16-byte marker][length 2][type 1] messages;
+# type 2 = UPDATE reuses the same parser the BMP path embeds. The
+# session's remote peer IS the exporter, so peer_ip = exporter_ip.
+# ---------------------------------------------------------------------------
+
+_BGP_MARKER = b"\xff" * 16
+
+
+def _bgp_stream_rows(exporter: str, payload: bytes, seq0: int) -> list[dict]:
+    out: list[dict] = []
+    off, seq = 0, seq0
+    while off + 19 <= len(payload):
+        if payload[off : off + 16] != _BGP_MARKER:
+            break
+        mlen = int.from_bytes(payload[off + 16 : off + 18], "big")
+        mtype = payload[off + 18]
+        if mlen < 19:
+            break
+        msg = payload[off : off + mlen]  # _parse_update wants the full
+        off += mlen                      # message incl. the BGP header
+        if mtype != 2:  # OPEN/NOTIFICATION/KEEPALIVE: session plumbing
+            continue
+        withdrawn, nlri, attrs = _parse_update(msg)
+        base = {
+            "exporter_ip": exporter, "peer_ip": exporter,
+            "peer_as": 0, "ts_s": 0, "msg_type": 0,
+        }
+        for pfx, ml in withdrawn:
+            out.append(
+                base | {"prefix": pfx, "masklen": ml,
+                        "is_withdrawal": True, "seq": seq}
+            )
+            seq += 1
+        for pfx, ml in nlri:
+            out.append(
+                base | {
+                    "prefix": pfx, "masklen": ml,
+                    "is_withdrawal": False, "seq": seq,
+                    "as_path": attrs.get("as_path"),
+                    "next_hop": attrs.get("next_hop"),
+                    "local_pref": attrs.get("local_pref"),
+                    "med": attrs.get("med"),
+                    "std_comm": attrs.get("std_comm"),
+                    "ext_comm": attrs.get("ext_comm"),
+                    "lrg_comm": attrs.get("lrg_comm"),
+                }
+            )
+            seq += 1
+    return out
+
+
+def decode_bgp(datagrams: DataFrame) -> DataFrame:
+    """Decode raw BGP session streams (exporter-sharded like
+    decode_bmp); output feeds the same :func:`rib_state` compaction."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = [f.name for f in BMP_EVENT_SCHEMA.fields]
+        seq = 0
+        for pdf in batches:
+            rows: list[dict] = []
+            for exporter, payload in zip(pdf["exporter_ip"], pdf["payload"]):
+                rows.extend(_bgp_stream_rows(exporter, bytes(payload), seq))
+                seq += 1000
+            yield pd.DataFrame(
+                [[r.get(c) for c in cols] for r in rows], columns=cols
+            )
+
+    return datagrams.mapInPandas(gen, BMP_EVENT_SCHEMA)
+
+
+def _encode_attr(flags: int, code: int, val: bytes) -> bytes:
+    if len(val) > 255:
+        return bytes([flags | 0x10, code]) + len(val).to_bytes(2, "big") + val
+    return bytes([flags, code, len(val)]) + val
+
+
+def encode_bgp_update(
+    prefix: int,
+    masklen: int,
+    as_path: str,
+    next_hop: int = 0,
+    local_pref: int | None = None,
+    med: int | None = None,
+    std_comm: str = "",
+    ext_comm: str = "",
+    lrg_comm: str = "",
+) -> bytes:
+    """One BGP UPDATE message announcing ``prefix/masklen`` with the
+    engine's attribute vocabulary (AS4 AS_PATH, communities in all
+    three families)."""
+    attrs = _encode_attr(0x40, 1, b"\x00")  # ORIGIN IGP
+    asns = [int(a) for a in as_path.split()] if as_path else []
+    seg = bytes([2, len(asns)]) + b"".join(
+        a.to_bytes(4, "big") for a in asns
+    )
+    attrs += _encode_attr(0x40, 2, seg)
+    attrs += _encode_attr(0x40, 3, int(next_hop).to_bytes(4, "big"))
+    if med is not None:
+        attrs += _encode_attr(0x80, 4, int(med).to_bytes(4, "big"))
+    if local_pref is not None:
+        attrs += _encode_attr(0x40, 5, int(local_pref).to_bytes(4, "big"))
+    if std_comm:
+        val = b"".join(
+            int(a).to_bytes(2, "big") + int(b).to_bytes(2, "big")
+            for a, b in (c.split(":") for c in std_comm.split())
+        )
+        attrs += _encode_attr(0xC0, 8, val)
+    if ext_comm:
+        val = b""
+        for c in ext_comm.split():
+            _rt, a, v = c.split(":")
+            val += b"\x00\x02" + int(a).to_bytes(2, "big") + int(v).to_bytes(4, "big")
+        attrs += _encode_attr(0xC0, 16, val)
+    if lrg_comm:
+        val = b"".join(
+            int(a).to_bytes(4, "big")
+            + int(b).to_bytes(4, "big")
+            + int(c_).to_bytes(4, "big")
+            for a, b, c_ in (c.split(":") for c in lrg_comm.split())
+        )
+        attrs += _encode_attr(0xC0, 32, val)
+    nbytes = (masklen + 7) // 8
+    nlri = bytes([masklen]) + int(prefix).to_bytes(4, "big")[:nbytes]
+    body = (
+        (0).to_bytes(2, "big")
+        + len(attrs).to_bytes(2, "big")
+        + attrs
+        + nlri
+    )
+    return _BGP_MARKER + (19 + len(body)).to_bytes(2, "big") + b"\x02" + body
+
+
+def encode_bgp_updates(rib: DataFrame) -> DataFrame:
+    """Pack RIB rows into per-peer BGP UPDATE streams: one message per
+    route, exporter_ip = the peer. ``rib`` needs peer_ip, net_int,
+    masklen, as_path, local_pref, med, std_comm, ext_comm, lrg_comm."""
+
+    schema = T.StructType(
+        [
+            T.StructField("exporter_ip", T.StringType()),
+            T.StructField("seqno", T.LongType()),
+            T.StructField("payload", T.BinaryType()),
+        ]
+    )
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        seq = 0
+        for pdf in batches:
+            out = []
+            for r in pdf.itertuples(index=False):
+                msg = encode_bgp_update(
+                    int(r.net_int), int(r.masklen), str(r.as_path or ""),
+                    next_hop=int(r.net_int),
+                    local_pref=int(r.local_pref),
+                    med=int(r.med),
+                    std_comm=str(r.std_comm or ""),
+                    ext_comm=str(r.ext_comm or ""),
+                    lrg_comm=str(r.lrg_comm or ""),
+                )
+                out.append((str(r.peer_ip), seq, msg))
+                seq += 1
+            yield pd.DataFrame(out, columns=["exporter_ip", "seqno", "payload"])
+
+    return rib.mapInPandas(gen, schema)
 
 
 def rib_state(updates: DataFrame) -> DataFrame:
