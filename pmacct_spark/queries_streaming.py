@@ -65,6 +65,45 @@ def stream_hist_5m_peer(spark, sf_dir):
 
 
 @register(
+    "stream_v5_wire_decode",
+    f"""{FLOWS_DUCK_CTE}
+SELECT ip_proto AS proto,
+       CAST(SUM(bytes) AS BIGINT) AS bytes,
+       CAST(SUM(packets) AS BIGINT) AS packets,
+       COUNT(*) AS n_records
+FROM flows GROUP BY 1""",
+)
+def stream_v5_wire_decode(spark, sf_dir):
+    """The wire-decode path executed AS A STREAMING QUERY: the flows
+    stream is encoded to NetFlow v5 datagrams and decoded back inside
+    the streaming plan (mapInPandas codecs run per micro-batch exactly
+    as they would on a live UDP/Kafka feed — v5 is stateless, so no
+    partition contract is needed), then aggregated to a memory sink
+    with availableNow. Same oracle as the batch v5 loop: live decode ==
+    batch decode == pristine flows (reference's collector loop,
+    src/nfacctd.c:1525, against its pcap replay, src/nfacctd.c:1466)."""
+    from pmacct_spark.sinks.nfprobe import encode_v5
+    from pmacct_spark.streaming.decode import decode_v5
+
+    fl = flows_stream(spark, sf_dir).selectExpr(
+        "ip_src_i", "ip_dst_i", "iface_in", "iface_out", "packets",
+        "bytes", "unix_micros(CAST(ts AS TIMESTAMP)) DIV 1000 AS ts_ms",
+        "unix_micros(CAST(end_ts AS TIMESTAMP)) DIV 1000 AS end_ts_ms",
+        "port_src", "port_dst", "tcp_flags", "ip_proto", "tos",
+        "as_src", "as_dst",
+    )
+    back = decode_v5(encode_v5(fl).select("exporter_ip", "payload"))
+    agg = back.groupBy(F.col("ip_proto").cast("int").alias("proto")).agg(
+        F.sum("bytes").alias("bytes"),
+        F.sum("packets").alias("packets"),
+        F.count(F.lit(1)).alias("n_records"),
+    )
+    return run_to_memory(agg, "q_stream_v5_wire_decode").select(
+        "proto", "bytes", "packets", "n_records"
+    )
+
+
+@register(
     "v5_wire_loop_agg",
     f"""{FLOWS_DUCK_CTE}
 SELECT ip_proto AS proto, {_SUMS.replace(', CAST(SUM(flows) AS BIGINT) AS flows', '')},
