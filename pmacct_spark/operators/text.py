@@ -145,3 +145,31 @@ def bpe_ish_token_count(df: DataFrame, text_col: str = "text", out: str = "n_bpe
             F.split(F.lower(F.col(text_col)), r"[\s]+|(?<=[a-z])(?=[0-9])")
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# PII-style redaction (beyond-reference pipeline op): scrub emails,
+# IPv4 literals, and long digit runs from document text with pure JVM
+# regexp_replace — per-row, zero shuffle, identical regex semantics in
+# the DuckDB oracle.
+# ---------------------------------------------------------------------------
+
+PII_PATTERNS: tuple[tuple[str, str], ...] = (
+    (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    (r"\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}", "<IP>"),
+    (r"\d{9,}", "<NUM>"),
+)
+
+
+def redact_pii(df: DataFrame, text_col: str = "text", out: str = "redacted") -> DataFrame:
+    expr = F.col(text_col)
+    for pat, repl in PII_PATTERNS:
+        expr = F.regexp_replace(expr, pat, repl)
+    return df.withColumn(out, expr)
+
+
+def redact_pii_duck(text_col: str = "text") -> str:
+    expr = text_col
+    for pat, repl in PII_PATTERNS:
+        expr = f"regexp_replace({expr}, '{pat}', '{repl}', 'g')"
+    return expr

@@ -302,3 +302,74 @@ def corpus_curation_pipeline(spark, sf_dir):
             F.sum("n_chars").alias("total_chars"),
         )
     )
+
+
+@register(
+    "pii_redaction",
+    f"""
+WITH red AS (
+  SELECT source, text, {text.redact_pii_duck('text')} AS redacted
+  FROM documents
+)
+SELECT source,
+       COUNT(*) AS n_docs,
+       CAST(SUM(length(text) - length(redacted)) AS BIGINT) AS delta_chars,
+       CAST(SUM(CASE WHEN redacted <> text THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_redacted
+FROM red GROUP BY 1""",
+)
+def pii_redaction(spark, sf_dir):
+    """PII-style scrubbing (emails, IPv4 literals, long digit runs ->
+    typed placeholders) as pure JVM regexp_replace — per-row, zero
+    shuffle before the audit aggregation; the oracle runs the identical
+    regexes with DuckDB's global flag."""
+    docs = load_table(spark, sf_dir, "documents")
+    red = text.redact_pii(docs, "text", "redacted")
+    return red.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.length("text") - F.length("redacted"))
+        .cast("bigint")
+        .alias("delta_chars"),
+        F.sum(
+            F.when(F.col("redacted") != F.col("text"), 1).otherwise(0)
+        ).cast("bigint").alias("n_redacted"),
+    )
+
+
+@register(
+    "dedup_survivor_selection",
+    f"""
+WITH cc AS ({curation.cc_duck(dedup.minhash_dedup_duck())}),
+j AS (
+  SELECT c.cluster_id, c.node, d.n_chars,
+         ROW_NUMBER() OVER (
+           PARTITION BY c.cluster_id
+           ORDER BY d.n_chars DESC, c.node ASC) AS rn
+  FROM cc c JOIN documents d ON d.doc_id = c.node
+)
+SELECT cluster_id,
+       CAST(COUNT(*) AS BIGINT) AS n_members,
+       CAST(MAX(CASE WHEN rn = 1 THEN node END) AS BIGINT) AS survivor_id,
+       CAST(MAX(n_chars) AS BIGINT) AS survivor_chars
+FROM j GROUP BY 1""",
+)
+def dedup_survivor_selection(spark, sf_dir):
+    """The step after cluster assignment in a real dedup pipeline:
+    keep ONE survivor per near-dup cluster, chosen by quality (here:
+    longest document, doc_id as deterministic tiebreak — smaller id
+    wins among equals). Composition of minhash pairs -> connected
+    components -> per-cluster max_by; the per-cluster choice is one
+    partial-aggregated shuffle on cluster_id."""
+    docs = load_table(spark, sf_dir, "documents")
+    edges = dedup.minhash_dedup_pairs(docs, "doc_id", "text")
+    clusters = curation.connected_components(edges)
+    joined = clusters.join(
+        docs.select(F.col("doc_id").alias("node"), "n_chars"), "node"
+    )
+    return joined.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_members"),
+        F.expr("max_by(node, struct(n_chars, -node))")
+        .cast("bigint")
+        .alias("survivor_id"),
+        F.max("n_chars").cast("bigint").alias("survivor_chars"),
+    )
