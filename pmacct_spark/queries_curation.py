@@ -53,11 +53,13 @@ def decontaminate_benchmark_overlap(spark, sf_dir):
     # the barrier, InferFiltersFromGenerate pushes a size(hvs)>0
     # predicate whose inlined expression re-evaluates the whole
     # token-state fold per element_at reference (measured 240s -> 1s at
-    # sf0.1). Eager localCheckpoint: freed on GC, no unpersist owner
-    # needed. Same pattern as dedup.minhash_dedup_pairs.
-    sets = dedup.shingle_hash_sets(
+    # sf0.1). Staged parquet barrier: ownership-free, zero
+    # block-manager residency. Same pattern as dedup.minhash_dedup_pairs.
+    from pmacct_spark.operators.staging import stage
+
+    sets = stage(dedup.shingle_hash_sets(
         docs, "doc_id", "text", n=_DECON_N, extra_cols=("source",)
-    ).localCheckpoint()
+    ))
     bench = sets.filter(F.col("source").isin(*_BENCH_SOURCES))
     corpus = sets.filter(~F.col("source").isin(*_BENCH_SOURCES))
     return curation.decontaminate(corpus, bench)
@@ -274,17 +276,19 @@ def corpus_curation_pipeline(spark, sf_dir):
     # materialize both hash-set sides and the gated corpus before the
     # explode/join stages (the InferFiltersFromGenerate inlining trap —
     # see decontaminate_benchmark_overlap)
-    keep_q = q.filter(
+    from pmacct_spark.operators.staging import stage
+
+    keep_q = stage(q.filter(
         F.expr(f"({_FAIL_SQL}) = 0")
         & ~F.col("source").isin(*_BENCH_SOURCES)
-    ).select("doc_id", "source", "n_chars", "text").localCheckpoint()
-    bench_sets = dedup.shingle_hash_sets(
+    ).select("doc_id", "source", "n_chars", "text"))
+    bench_sets = stage(dedup.shingle_hash_sets(
         docs.filter(F.col("source").isin(*_BENCH_SOURCES)),
         "doc_id", "text", n=_DECON_N,
-    ).localCheckpoint()
-    corp_sets = dedup.shingle_hash_sets(
+    ))
+    corp_sets = stage(dedup.shingle_hash_sets(
         keep_q, "doc_id", "text", n=_DECON_N
-    ).localCheckpoint()
+    ))
     contam = curation.decontaminate(corp_sets, bench_sets).filter(
         F.col("contam_pm") >= 500
     ).select("doc_id")

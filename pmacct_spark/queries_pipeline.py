@@ -85,9 +85,11 @@ WHERE c.n_common * 1000 // (len(sa.hvs) + len(sb.hvs) - c.n_common) >= 300""",
 )
 def dedup_ngram_jaccard(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
-    sets = dedup.shingle_hash_sets(
+    from pmacct_spark.operators.staging import stage
+
+    sets = stage(dedup.shingle_hash_sets(
         docs, "doc_id", "text", extra_cols=("lang", "source")
-    ).localCheckpoint()
+    ))
     tok = sets.select("doc_id", "lang", "source", F.explode("hvs").alias("hv"))
     a = tok.select(
         F.col("doc_id").alias("doc_a"), "lang", "source", "hv"

@@ -269,7 +269,10 @@ def bgp_wire_rib_lookup(spark, sf_dir):
         "med",
         "std_comm",
         "lrg_comm",
-    ).localCheckpoint()
+    )
+    from pmacct_spark.operators.staging import stage
+
+    rib_wire = stage(rib_wire)
     fl = flows(spark, sf_dir).select(
         "event_id", "peer_ip_src", "ip_dst_i", "bytes"
     )

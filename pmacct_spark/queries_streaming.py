@@ -373,10 +373,12 @@ def v9_wire_loop_twophase(spark, sf_dir):
     # localCheckpoint) so the template-learning pass and the data pass
     # read the same bytes instead of re-running the encoder lineage —
     # on a cluster the capture is a file, already materialized.
-    dgrams = (
-        encode_v9(fl, exporter_ip="203.0.113.1")
-        .select("exporter_ip", "payload")
-        .localCheckpoint()
+    from pmacct_spark.operators.staging import stage
+
+    dgrams = stage(
+        encode_v9(fl, exporter_ip="203.0.113.1").select(
+            "exporter_ip", "payload"
+        )
     )
     back = decode_any_twophase(dgrams, parallelism=8)
     return back.groupBy(F.col("ip_proto").cast("int").alias("proto")).agg(

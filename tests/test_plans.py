@@ -81,8 +81,8 @@ def test_no_python_udf_in_relational_paths(spark):
     q = entrymod.queries()
     for name, fn in q.items():
         if name.startswith(
-            ("dedup", "ann_", "text_", "multimodal", "sflow_counter")
-        ) or "wire_loop" in name:
+            ("dedup", "ann_", "text_", "multimodal", "sflow_")
+        ) or "wire" in name:
             continue  # pipeline/wire-format ops use Arrow kernels by design
         plan = _plan(fn(spark, SF_DIR))
         for marker in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
@@ -102,7 +102,7 @@ def test_pipeline_ops_also_jvm_side(spark):
     q = {
         n: f
         for n, f in entrymod.queries().items()
-        if "wire_loop" not in n and not n.startswith("sflow_counter")
+        if "wire" not in n and not n.startswith("sflow_")
     }
     for name, fn in q.items():
         plan = _plan(fn(spark, SF_DIR))
