@@ -48,17 +48,16 @@ def telemetry_json_metrics(spark, sf_dir):
 @register(
     "custom_primitive_agg",
     f"""{FLOWS_DUCK_CTE}
-SELECT CAST(json_extract(e.props, '$.k') AS BIGINT) % 10 AS app_class,
-       CAST(SUM(f.bytes) AS BIGINT) AS bytes,
-       CAST(SUM(f.packets) AS BIGINT) AS packets,
-       CAST(SUM(f.flows) AS BIGINT) AS flows
-FROM flows f JOIN events e ON f.event_id = e.event_id
-GROUP BY 1""",
+SELECT CAST(json_extract(props, '$.k') AS BIGINT) % 10 AS app_class,
+       CAST(SUM(bytes) AS BIGINT) AS bytes,
+       CAST(SUM(packets) AS BIGINT) AS packets,
+       CAST(SUM(flows) AS BIGINT) AS flows
+FROM flows GROUP BY 1""",
 )
 def custom_primitive_agg(spark, sf_dir):
-    ev = load_table(spark, sf_dir, "events").select("event_id", "props")
-    fl = flows(spark, sf_dir).join(ev, "event_id")
-    fl = fl.withColumn(
+    # props rides the flows view (no self-join back to events: the
+    # join was two shuffles + SMJ for a column the scan already has)
+    fl = flows(spark, sf_dir).withColumn(
         "app_class",
         F.from_json("props", "k BIGINT").getField("k") % 10,
     )

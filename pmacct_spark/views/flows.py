@@ -29,6 +29,7 @@ from pmacct_spark.sources.tables import load_table
 _DERIVATIONS: list[tuple[str, str]] = [
     ("event_id", "event_id"),
     ("ts", "ts"),
+    ("props", "props"),
     ("duration_s", "event_id % 600"),
     # exporter: 5 distinct collectors
     ("peer_ip_src", "'192.0.2.' || CAST(user_id % 5 AS {STR})"),
