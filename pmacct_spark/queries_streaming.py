@@ -464,6 +464,7 @@ def nat_wire_loop(spark, sf_dir):
         "post_nat_ip_src_i", "post_nat_ip_dst_i", "post_nat_port_src",
         "post_nat_port_dst", "nat_event", "bytes", "packets", "ip_proto",
     )
+    fl = fl.repartition(spark.sparkContext.defaultParallelism)
     back = decode_any_ext(encode_ipfix_nat(fl).select("exporter_ip", "payload"))
     return back.groupBy(F.col("nat_event").cast("bigint").alias("nat_event")).agg(
         F.sum("bytes").cast("bigint").alias("bytes"),
@@ -497,6 +498,9 @@ def mpls_wire_loop(spark, sf_dir):
     fl = flows_view_fn(spark, sf_dir).select(
         "mpls_label_top", "mpls_label_bottom", "bytes", "packets", "ip_proto",
     )
+    # the local parquet is 1-2 splits; a real capture arrives in many
+    # partitions — spread the codec chain across the cluster
+    fl = fl.repartition(spark.sparkContext.defaultParallelism)
     back = decode_any_ext(
         encode_ipfix_mpls(fl).select("exporter_ip", "payload")
     )
@@ -588,6 +592,7 @@ def custom_wire_loop(spark, sf_dir):
         "'app-' || CAST(iface_in AS STRING) AS app_name",
         "bytes", "packets", "ip_proto",
     )
+    fl = fl.repartition(spark.sparkContext.defaultParallelism)
     back = decode_any_custom(
         encode_ipfix_custom(fl, customs).select("exporter_ip", "payload"),
         customs,

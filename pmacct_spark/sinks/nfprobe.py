@@ -545,6 +545,19 @@ def encode_ipfix_custom(
         def msg(sets: bytes, seq: int) -> bytes:
             return struct.pack("!HHIII", 10, 16 + len(sets), 0, seq, domain) + sets
 
+        import numpy as np
+
+        # vectorized record pack: u_int customs fold into big-endian
+        # byte columns, string customs null-pad via S-dtype assignment
+        dt_fields = []
+        for i, c in enumerate(customs):
+            if c.semantics == "u_int" and c.length in (1, 2, 4, 8):
+                dt_fields.append((f"c{i}", f">u{c.length}"))
+            else:
+                dt_fields.append((f"c{i}", f"S{c.length}"))
+        dt_fields += [("octets", ">u4"), ("pkts", ">u4"), ("proto", "u1")]
+        dt = np.dtype(dt_fields)
+
         for pdf in batches:
             n = len(pdf)
             out = []
@@ -552,30 +565,43 @@ def encode_ipfix_custom(
                 out.append((exporter_ip, seqno, msg(tmpl_set, seqno)))
                 sent_template = True
                 seqno += 1
-            recs: list[bytes] = []
-            for r in pdf.itertuples(index=False):
-                rec = b""
-                for c in customs:
-                    v = getattr(r, c.name)
-                    if c.semantics == "u_int":
-                        rec += int(v).to_bytes(c.length, "big")
-                    else:
-                        rec += str(v).encode("utf-8")[: c.length].ljust(
-                            c.length, b"\x00"
+            if n:
+                rec = np.zeros(n, dtype=dt)
+                for i, c in enumerate(customs):
+                    col = pdf[c.name]
+                    if dt[f"c{i}"].kind != "S":
+                        rec[f"c{i}"] = col.to_numpy().astype(np.int64)
+                    elif c.semantics == "u_int":
+                        # odd-width uint (e.g. 3 bytes): big-endian
+                        # byte split into the S-field
+                        v = col.to_numpy().astype(np.int64)
+                        bts = np.zeros((n, c.length), dtype=np.uint8)
+                        for j in range(c.length):
+                            bts[:, c.length - 1 - j] = (v >> (8 * j)) & 0xFF
+                        rec[f"c{i}"] = np.frombuffer(
+                            bts.tobytes(), dtype=f"S{c.length}"
                         )
-                rec += struct.pack(
-                    "!IIB", int(r.bytes), int(r.packets), int(r.ip_proto)
-                )
-                recs.append(rec)
-            for lo in range(0, len(recs), V9_MAX_RECORDS):
-                body = b"".join(recs[lo : lo + V9_MAX_RECORDS])
-                pad = (-len(body)) % 4
-                ds = (
-                    struct.pack("!HH", CUSTOM_TEMPLATE_ID, 4 + len(body) + pad)
-                    + body + b"\x00" * pad
-                )
-                out.append((exporter_ip, seqno, msg(ds, seqno)))
-                seqno += 1
+                    else:
+                        rec[f"c{i}"] = np.asarray(
+                            col.astype(str), dtype=f"S{c.length}"
+                        )
+                rec["octets"] = pdf["bytes"].to_numpy()
+                rec["pkts"] = pdf["packets"].to_numpy()
+                rec["proto"] = pdf["ip_proto"].to_numpy()
+                blob = rec.tobytes()
+                sz = dt.itemsize
+                for lo in range(0, n, V9_MAX_RECORDS):
+                    hi = min(lo + V9_MAX_RECORDS, n)
+                    body = blob[lo * sz : hi * sz]
+                    pad = (-len(body)) % 4
+                    ds = (
+                        struct.pack(
+                            "!HH", CUSTOM_TEMPLATE_ID, 4 + len(body) + pad
+                        )
+                        + body + b"\x00" * pad
+                    )
+                    out.append((exporter_ip, seqno, msg(ds, seqno)))
+                    seqno += 1
             yield pd.DataFrame(out, columns=["exporter_ip", "seqno", "payload"])
 
     return flows.mapInPandas(gen, DATAGRAM_SCHEMA)

@@ -326,18 +326,110 @@ def _tmpl_is_ext(tmpl: list[tuple[int, int]]) -> bool:
     )
 
 
+def _compile_ext_tmpl(tmpl: list[tuple[int, int]], customs: dict | None):
+    """Compile an extended template to a numpy fast path when every
+    field is fixed-width and integer- or fixed-string-decodable: the
+    whole flowset decodes with one frombuffer + vectorized byte folds
+    (odd widths like 3-byte MPLS labels fold from raw bytes). Returns
+    (raw_dtype, [(field, out_col, kind, width)]) with kind in
+    {uint, mpls, str}; None -> scalar walk (vlen, IPv6 strings, or
+    layer2SegmentId whose output column is value-dependent)."""
+    import numpy as np
+
+    fields, convs = [], []
+    for i, (ie, ln) in enumerate(tmpl):
+        if ln == VLEN_SENTINEL or ln > 8 and ie != L2_SEGMENT_IE:
+            # vlen or wide unknown: only 16-byte v6 handled, as strings
+            return None
+        if ie in V6_ADDR_IES or ie == L2_SEGMENT_IE:
+            return None
+        fn = f"f{i}"
+        fields.append((fn, f"S{ln}"))
+        cu = customs.get(ie) if customs else None
+        if cu is not None:
+            if cu.semantics == "u_int":
+                convs.append((fn, cu.name, "uint", ln))
+            elif cu.semantics == "string":
+                convs.append((fn, cu.name, "str", ln))
+            else:
+                return None  # hex/ip/mac renderings: scalar walk
+        elif ie in MPLS_LABEL_IES and ln == 3:
+            convs.append((fn, MPLS_LABEL_IES[ie], "mpls", ln))
+        else:
+            col = EXT_UINT_IES.get(ie) or V9_IE_COLUMNS.get(ie)
+            if col is not None:
+                if ln > 8:
+                    return None
+                convs.append((fn, col, "uint", ln))
+    if not convs:
+        return None
+    return (np.dtype(fields), tuple(convs))
+
+
+def _run_ext_compiled(comp, body: bytes):
+    """Decode one flowset with a compiled ext template: byte-fold each
+    needed column (vectorized), shift MPLS labels, strip fixed-width
+    strings. Returns (out_struct_array, colmap) or None if empty."""
+    import numpy as np
+
+    dt, convs = comp
+    n = len(body) // dt.itemsize
+    if n == 0:
+        return None
+    raw = np.frombuffer(body, dtype=dt, count=n)
+    out_dt = [
+        (fn, "O") if kind == "str" else (fn, "<i8")
+        for fn, _col, kind, _ln in convs
+    ]
+    out = np.zeros(n, dtype=out_dt)
+    for fn, _col, kind, ln in convs:
+        if kind == "str":
+            u = np.char.decode(raw[fn], "utf-8", "replace")
+            out[fn] = np.char.rstrip(u, "\x00").astype(object)
+            continue
+        # field views of a structured array are strided: copy to a
+        # contiguous buffer before the byte-level view
+        b = np.ascontiguousarray(raw[fn]).view(np.uint8).reshape(n, ln)
+        v = np.zeros(n, dtype=np.int64)
+        for j in range(ln):
+            v = (v << 8) | b[:, j].astype(np.int64)
+        if kind == "mpls":
+            v >>= 4
+        out[fn] = v
+    colmap = tuple((fn, col, kind) for fn, col, kind, _ln in convs)
+    return out, colmap
+
+
 def _decode_ext_records(
     body: bytes,
     tmpl: list[tuple[int, int]],
     exporter: str,
     seqno: int,
     customs: dict | None = None,
-) -> list[dict]:
-    """Scalar walk for templates carrying IPv6 / vlen / string /
-    custom IEs. Variable-length fields make the record size dynamic,
-    so the walk guards on the MINIMUM record length (>= 4, so trailing
-    set padding of <= 3 zero bytes is never misread as a record).
-    ``customs`` maps the pen-shifted IE key to a :class:`CustomIE`."""
+    compiled: dict | None = None,
+    tmpl_key=None,
+) -> list:
+    """Decode for templates carrying IPv6 / vlen / string / custom
+    IEs. Fixed-width integer/string-only templates take the COMPILED
+    numpy path (one frombuffer + vectorized byte folds per flowset,
+    cached in ``compiled`` under ("ext", tmpl_key)); everything else
+    takes the scalar walk. Variable-length fields make the record size
+    dynamic, so the walk guards on the MINIMUM record length (>= 4, so
+    trailing set padding of <= 3 zero bytes is never misread as a
+    record). ``customs`` maps the pen-shifted IE key to a
+    :class:`CustomIE`."""
+    if compiled is not None and tmpl_key is not None:
+        ck = ("ext", tmpl_key)
+        comp = compiled.get(ck, "absent")
+        if comp == "absent":
+            comp = _compile_ext_tmpl(tmpl, customs)
+            compiled[ck] = comp
+        if comp is not None:
+            res = _run_ext_compiled(comp, body)
+            if res is None:
+                return []
+            arr, colmap = res
+            return [("__arr__", exporter, seqno, (ck, colmap), colmap, arr)]
     min_len = sum(1 if ln == VLEN_SENTINEL else ln for _, ln in tmpl)
     if min_len == 0:
         return []
@@ -512,8 +604,12 @@ def _flow_frame(
             ),
             "seqno": np.repeat(np.asarray(g["seqs"], dtype=np.int64), g["lens"]),
         }
-        for fn, col in g["colmap"]:
-            data[col] = rec[fn].astype(np.int64)
+        for entry in g["colmap"]:
+            fn, col, kind = entry if len(entry) == 3 else (*entry, "uint")
+            if kind == "str":
+                data[col] = pd.Series(rec[fn], dtype=object)
+            else:
+                data[col] = rec[fn].astype(np.int64)
         frames.append(pd.DataFrame(data))
     if dicts:
         frames.append(
@@ -577,6 +673,7 @@ def _v9_packet(
                 templates[(exporter, source_id, tid)] = ("data", fields)
                 if compiled is not None:  # template (re)assignment
                     compiled.pop((exporter, source_id, tid), None)
+                    compiled.pop(("ext", (exporter, source_id, tid)), None)
         elif set_id == 1:  # options template flowset (v9 layout:
             # tid, scope bytes, option bytes, then (type,len) pairs)
             p = 0
@@ -623,7 +720,9 @@ def _v9_packet(
             ):
                 out.extend(
                     _decode_ext_records(
-                        body, tmpl, exporter, seqno, customs=customs
+                        body, tmpl, exporter, seqno, customs=customs,
+                        compiled=compiled,
+                        tmpl_key=(exporter, source_id, set_id),
                     )
                 )
                 continue
@@ -899,6 +998,7 @@ def _v10_packet(
                 templates[(exporter, domain, tid)] = ("data", fields)
                 if compiled is not None:
                     compiled.pop((exporter, domain, tid), None)
+                    compiled.pop(("ext", (exporter, domain, tid)), None)
         elif set_id == 3:  # options template set (RFC 7011 §3.4.2.2;
             # reference dispatch fid==3, src/nfacctd.c:1965): tid,
             # total field count, SCOPE field count; scope field specs
@@ -946,7 +1046,9 @@ def _v10_packet(
             ):
                 out.extend(
                     _decode_ext_records(
-                        body, tmpl, exporter, seqno, customs=customs
+                        body, tmpl, exporter, seqno, customs=customs,
+                        compiled=compiled,
+                        tmpl_key=(exporter, domain, set_id),
                     )
                 )
                 continue
