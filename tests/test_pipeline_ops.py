@@ -109,3 +109,38 @@ def test_frame_sample_expands_rows(spark, docs):
     out = frames.collect()
     assert len(out) > 5  # row-expanding
     assert all(r.frame_ts_ms % 500 == 0 for r in out)
+
+
+def test_ann_ivf_recall_vs_brute_force(spark):
+    """On clustered data (the workload IVF exists for) nprobe probing
+    must recover nearly all of the exact top-k; on uniform-random data
+    recall degrades toward nprobe/ncells by construction — so the
+    quality gate uses planted clusters: 6 well-separated centers, 40
+    points each, recall >= 0.9."""
+    import random
+
+    rnd = random.Random(7)
+    d, n_clusters, per = 16, 6, 40
+    rows = []
+    for c in range(n_clusters):
+        center = [10.0 if i == c else 0.0 for i in range(d)]
+        for j in range(per):
+            vec = [v + rnd.uniform(-0.5, 0.5) for v in center]
+            nrm = sum(x * x for x in vec) ** 0.5  # unit-norm contract
+            rows.append((c * per + j, [x / nrm for x in vec]))
+    emb2 = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+    k = 5
+    exact = similarity.brute_force_topk(
+        emb2, emb2.filter(F.col("vec_id") < 15), k=k
+    ).collect()
+    approx = similarity.ivf_topk(emb2, k=k, query_pred="vec_id < 15").collect()
+    truth: dict = {}
+    for r in exact:
+        truth.setdefault(r.query_id, set()).add(r.neighbor_id)
+    got: dict = {}
+    for r in approx:
+        got.setdefault(r.query_id, set()).add(r.neighbor_id)
+    recalls = [
+        len(truth[q] & got.get(q, set())) / len(truth[q]) for q in truth
+    ]
+    assert recalls and sum(recalls) / len(recalls) >= 0.9
