@@ -643,6 +643,39 @@ def sflow_v6_loop(spark, sf_dir):
 
 
 @register(
+    "l2_wire_loop",
+    f"""{FLOWS_DUCK_CTE}
+SELECT CAST(vlan AS BIGINT) AS vlan, CAST(etype AS BIGINT) AS etype,
+       CAST(SUM(bytes) AS BIGINT) AS bytes,
+       MIN(mac_src) AS mac_src_min,
+       COUNT(*) AS n_records
+FROM flows GROUP BY 1, 2""",
+)
+def l2_wire_loop(spark, sf_dir):
+    """The L2 block of pkt_primitives on the wire, oracle-gated: flows
+    -> encode_ipfix_l2 (MAC IEs 56/57, VLAN 58, ETHERTYPE 256;
+    reference src/nfv9_template.h:90-91,173) -> decode_any_ext
+    (vectorized colon-hex MAC render) -> per-(vlan, etype) aggregation
+    vs the pristine flows."""
+    from pmacct_spark.driver_queries import flows as flows_view_fn
+    from pmacct_spark.sinks.nfprobe import encode_ipfix_l2
+    from pmacct_spark.streaming.decode import decode_any_ext
+
+    fl = flows_view_fn(spark, sf_dir).select(
+        "mac_src", "mac_dst", "vlan", "etype", "bytes", "packets", "ip_proto",
+    ).repartition(spark.sparkContext.defaultParallelism)
+    back = decode_any_ext(encode_ipfix_l2(fl).select("exporter_ip", "payload"))
+    return back.groupBy(
+        F.col("vlan").cast("bigint").alias("vlan"),
+        F.col("etype").cast("bigint").alias("etype"),
+    ).agg(
+        F.sum("bytes").cast("bigint").alias("bytes"),
+        F.min("mac_src").alias("mac_src_min"),
+        F.count(F.lit(1)).alias("n_records"),
+    )
+
+
+@register(
     "mixed_wire_loop_agg",
     f"""{FLOWS_DUCK_CTE}
 SELECT ip_proto AS proto,

@@ -607,6 +607,83 @@ def encode_ipfix_custom(
     return flows.mapInPandas(gen, DATAGRAM_SCHEMA)
 
 
+# L2 export: MAC IEs 56/57 (6 bytes, reference NF9_IN_SRC_MAC /
+# NF9_OUT_DST_MAC src/nfv9_template.h:90-91), VLAN 58, ETHERTYPE 256.
+L2_TEMPLATE_ID = 262
+L2_EXPORT_FIELDS = (
+    (56, 6), (57, 6),     # source / destination MAC
+    (58, 2), (256, 2),    # dot1qVlanId, ethernetType
+    (1, 4), (2, 4), (4, 1),
+)
+
+
+def encode_ipfix_l2(
+    flows: DataFrame, exporter_ip: str = "127.0.0.1", domain: int = 12
+) -> DataFrame:
+    """Pack L2-bearing rows into IPFIX. ``flows`` needs: mac_src,
+    mac_dst (colon-hex strings), vlan, etype, bytes, packets, ip_proto.
+    MAC packing is vectorized: strip colons, one unhexlify over the
+    whole batch, reinterpret as S6 fields."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import binascii
+
+        import numpy as np
+
+        dt = np.dtype(
+            [
+                ("smac", "S6"), ("dmac", "S6"),
+                ("vlan", ">u2"), ("etype", ">u2"),
+                ("octets", ">u4"), ("pkts", ">u4"), ("proto", "u1"),
+            ]
+        )
+        assert dt.itemsize == sum(ln for _, ln in L2_EXPORT_FIELDS)
+        tmpl_body = struct.pack(
+            "!HH", L2_TEMPLATE_ID, len(L2_EXPORT_FIELDS)
+        ) + b"".join(struct.pack("!HH", ie, ln) for ie, ln in L2_EXPORT_FIELDS)
+        tmpl_set = struct.pack("!HH", 2, 4 + len(tmpl_body)) + tmpl_body
+        seqno, sent_template = 0, False
+
+        def msg(sets: bytes, seq: int) -> bytes:
+            return struct.pack("!HHIII", 10, 16 + len(sets), 0, seq, domain) + sets
+
+        def macs_to_s6(col: pd.Series, n: int) -> "np.ndarray":
+            hexcat = "".join(col.str.replace(":", "", regex=False))
+            return np.frombuffer(binascii.unhexlify(hexcat), dtype="S6", count=n)
+
+        for pdf in batches:
+            n = len(pdf)
+            out = []
+            if not sent_template and n:
+                out.append((exporter_ip, seqno, msg(tmpl_set, seqno)))
+                sent_template = True
+                seqno += 1
+            if n:
+                rec = np.zeros(n, dtype=dt)
+                rec["smac"] = macs_to_s6(pdf["mac_src"], n)
+                rec["dmac"] = macs_to_s6(pdf["mac_dst"], n)
+                rec["vlan"] = pdf["vlan"].to_numpy()
+                rec["etype"] = pdf["etype"].to_numpy()
+                rec["octets"] = pdf["bytes"].to_numpy()
+                rec["pkts"] = pdf["packets"].to_numpy()
+                rec["proto"] = pdf["ip_proto"].to_numpy()
+                blob = rec.tobytes()
+                sz = dt.itemsize
+                for lo in range(0, n, V9_MAX_RECORDS):
+                    hi = min(lo + V9_MAX_RECORDS, n)
+                    body = blob[lo * sz : hi * sz]
+                    pad = (-len(body)) % 4
+                    ds = (
+                        struct.pack("!HH", L2_TEMPLATE_ID, 4 + len(body) + pad)
+                        + body + b"\x00" * pad
+                    )
+                    out.append((exporter_ip, seqno, msg(ds, seqno)))
+                    seqno += 1
+            yield pd.DataFrame(out, columns=["exporter_ip", "seqno", "payload"])
+
+    return flows.mapInPandas(gen, DATAGRAM_SCHEMA)
+
+
 # Options export: sampling exposition keyed by a System scope
 # (reference sampling-options tests/104-*; v9 options template set id
 # 1, IPFIX options template set id 3 — dispatch src/nfacctd.c:1965).

@@ -255,6 +255,10 @@ VLEN_SENTINEL = 65535
 # src/nfv9_template.h:99-108): 3 bytes on the wire, 20-bit label in
 # the top bits (value = raw >> 4; exp/bos in the low nibble)
 MPLS_LABEL_IES = {70: "mpls_label_top", 71: "mpls_label_bottom"}
+# L2 block: MAC IEs render colon-hex (reference NF9_IN_SRC_MAC 56 /
+# NF9_OUT_DST_MAC 57, src/nfv9_template.h:90-91); VLAN 58, etype 256
+MAC_IES = {56: "mac_src", 57: "mac_dst"}
+L2_UINT_IES = {58: "vlan", 256: "etype"}
 
 
 # --- custom primitives decoded from the wire (aggregate_primitives
@@ -321,6 +325,8 @@ def _tmpl_is_ext(tmpl: list[tuple[int, int]]) -> bool:
         or ie in EXT_UINT_IES
         or ie in VLEN_STR_IES
         or ie in MPLS_LABEL_IES
+        or ie in MAC_IES
+        or ie in L2_UINT_IES
         or ie == L2_SEGMENT_IE
         for ie, ln in tmpl
     )
@@ -355,8 +361,14 @@ def _compile_ext_tmpl(tmpl: list[tuple[int, int]], customs: dict | None):
                 return None  # hex/ip/mac renderings: scalar walk
         elif ie in MPLS_LABEL_IES and ln == 3:
             convs.append((fn, MPLS_LABEL_IES[ie], "mpls", ln))
+        elif ie in MAC_IES and ln == 6:
+            convs.append((fn, MAC_IES[ie], "mac", ln))
         else:
-            col = EXT_UINT_IES.get(ie) or V9_IE_COLUMNS.get(ie)
+            col = (
+                EXT_UINT_IES.get(ie)
+                or L2_UINT_IES.get(ie)
+                or V9_IE_COLUMNS.get(ie)
+            )
             if col is not None:
                 if ln > 8:
                     return None
@@ -378,7 +390,7 @@ def _run_ext_compiled(comp, body: bytes):
         return None
     raw = np.frombuffer(body, dtype=dt, count=n)
     out_dt = [
-        (fn, "O") if kind == "str" else (fn, "<i8")
+        (fn, "O") if kind in ("str", "mac") else (fn, "<i8")
         for fn, _col, kind, _ln in convs
     ]
     out = np.zeros(n, dtype=out_dt)
@@ -386,6 +398,14 @@ def _run_ext_compiled(comp, body: bytes):
         if kind == "str":
             u = np.char.decode(raw[fn], "utf-8", "replace")
             out[fn] = np.char.rstrip(u, "\x00").astype(object)
+            continue
+        if kind == "mac":
+            b = np.ascontiguousarray(raw[fn]).view(np.uint8).reshape(n, ln)
+            lut = np.array([f"{i:02x}" for i in range(256)])
+            parts = lut[b[:, 0]]
+            for j in range(1, ln):
+                parts = np.char.add(np.char.add(parts, ":"), lut[b[:, j]])
+            out[fn] = parts.astype(object)
             continue
         # field views of a structured array are strided: copy to a
         # contiguous buffer before the byte-level view
@@ -470,8 +490,14 @@ def _decode_ext_records(
                         rec["nvgre"] = sid
                 elif ie in MPLS_LABEL_IES and ln == 3:
                     rec[MPLS_LABEL_IES[ie]] = _uint(raw) >> 4
+                elif ie in MAC_IES and ln == 6:
+                    rec[MAC_IES[ie]] = ":".join(f"{b:02x}" for b in raw)
                 else:
-                    col = EXT_UINT_IES.get(ie) or V9_IE_COLUMNS.get(ie)
+                    col = (
+                        EXT_UINT_IES.get(ie)
+                        or L2_UINT_IES.get(ie)
+                        or V9_IE_COLUMNS.get(ie)
+                    )
                     if col is not None:
                         rec[col] = _uint(raw)
         if p > n_body:
@@ -606,7 +632,7 @@ def _flow_frame(
         }
         for entry in g["colmap"]:
             fn, col, kind = entry if len(entry) == 3 else (*entry, "uint")
-            if kind == "str":
+            if kind in ("str", "mac"):
                 data[col] = pd.Series(rec[fn], dtype=object)
             else:
                 data[col] = rec[fn].astype(np.int64)
@@ -1150,6 +1176,10 @@ FLOW6_SCHEMA = T.StructType(
         T.StructField("nat_event", T.IntegerType()),
         T.StructField("mpls_label_top", T.LongType()),
         T.StructField("mpls_label_bottom", T.LongType()),
+        T.StructField("mac_src", T.StringType()),
+        T.StructField("mac_dst", T.StringType()),
+        T.StructField("vlan", T.LongType()),
+        T.StructField("etype", T.LongType()),
     ]
 )
 
