@@ -1403,12 +1403,21 @@ def _sflow_datagram(exporter: str, payload: bytes) -> list[dict]:
         stype, slen = struct.unpack_from("!II", payload, off)
         body = payload[off + 8 : off + 8 + slen]
         off += 8 + slen
-        if stype != 1 or len(body) < 32:  # flow sample only
+        if stype == 1 and len(body) >= 32:  # flow sample
+            (_sseq, _src_id, rate, _pool, _drops, s_in, s_out, nrec) = (
+                struct.unpack_from("!IIIIIIII", body, 0)
+            )
+            p = 32
+        elif stype == 3 and len(body) >= 44:  # EXPANDED flow sample:
+            # (seq, src_type, src_idx, rate, pool, drops,
+            #  in_format, in_value, out_format, out_value, nrec)
+            (
+                _sseq, _st, _sidx, rate, _pool, _drops,
+                _inf, s_in, _outf, s_out, nrec,
+            ) = struct.unpack_from("!IIIIIIIIIII", body, 0)
+            p = 44
+        else:
             continue
-        (_sseq, _src_id, rate, _pool, _drops, s_in, s_out, nrec) = struct.unpack_from(
-            "!IIIIIIII", body, 0
-        )
-        p = 32
         for _ in range(nrec):
             if p + 8 > len(body):
                 break

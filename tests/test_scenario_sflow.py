@@ -144,3 +144,43 @@ def test_sflow_any_matches_v5_decoder(spark, flows_df=None):
     a = sorted(map(tuple, decode_sflow5(dg).collect()))
     b = sorted(map(tuple, decode_sflow_any(dg).collect()))
     assert a == b and len(a) == 50
+
+
+def test_sflow_v5_expanded_flow_sample(spark):
+    """v5 EXPANDED flow samples (type 3: split source-id and
+    format/value interface fields) decode identically to compact flow
+    samples."""
+    import struct
+
+    eth = b"\x02" * 6 + b"\x04" * 6 + b"\x08\x00"
+    ip = (
+        bytes([0x45, 0]) + (40).to_bytes(2, "big") + b"\x00" * 4
+        + bytes([64, 17]) + b"\x00\x00"
+        + (0x0A000007).to_bytes(4, "big") + (0x0A000008).to_bytes(4, "big")
+    )
+    l4 = (53).to_bytes(2, "big") + (5353).to_bytes(2, "big") + b"\x00\x08\x00\x00"
+    hdr = eth + ip + l4
+    pad = (-len(hdr)) % 4
+    raw = struct.pack("!IIII", 1, 777, 4, len(hdr)) + hdr + b"\x00" * pad
+    body = (
+        struct.pack("!IIIIIIIIIII", 1, 0, 5, 256, 1000, 0, 0, 4, 0, 9, 1)
+        + struct.pack("!II", 1, len(raw))
+        + raw
+    )
+    dgram = struct.pack(
+        "!IIIIIII", 5, 1, 0x7F000001, 0, 42, 0, 1
+    ) + struct.pack("!II", 3, len(body)) + body
+
+    from pmacct_spark.streaming.decode import decode_sflow5
+
+    dg = spark.createDataFrame(
+        [("198.51.100.3", 1, bytearray(dgram))],
+        "exporter_ip string, seqno long, payload binary",
+    )
+    out = decode_sflow5(dg.select("exporter_ip", "payload")).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r.ip_src_i, r.ip_dst_i, r.port_src, r.port_dst) == (
+        0x0A000007, 0x0A000008, 53, 5353,
+    )
+    assert (r.bytes, r.sampling_rate, r.iface_in, r.iface_out) == (777, 256, 4, 9)
