@@ -104,6 +104,92 @@ def stream_v5_wire_decode(spark, sf_dir):
 
 
 @register(
+    "stream_v9_stateful_decode",
+    f"""{FLOWS_DUCK_CTE}
+SELECT ip_proto AS proto,
+       CAST(SUM(bytes) AS BIGINT) AS bytes,
+       CAST(SUM(packets) AS BIGINT) AS packets,
+       COUNT(*) AS n_records
+FROM flows WHERE event_id % 4 = 0 GROUP BY 1""",
+)
+def stream_v9_stateful_decode(spark, sf_dir):
+    """TEMPLATE-STATEFUL decode as a streaming query: the v9 capture is
+    split across MULTIPLE micro-batches (maxFilesPerTrigger=1) with the
+    template datagram only in the first; decode_v9_stream keeps the
+    per-exporter template cache in applyInPandasWithState state, so
+    later batches decode — the reference's long-lived per-socket cache
+    (src/nfv9_template.c:1179) under Structured Streaming semantics. A
+    stateless per-batch decoder would silently drop every record after
+    batch one; the oracle (all flows) catches exactly that."""
+    import os
+    import tempfile
+
+    from pmacct_spark.driver_queries import flows as flows_view_fn
+    from pmacct_spark.sinks.nfprobe import encode_v9
+    from pmacct_spark.streaming.stateful import decode_v9_stream
+
+    fl = flows_view_fn(spark, sf_dir).filter("event_id % 4 = 0").selectExpr(
+        "ip_src_i", "ip_dst_i", "iface_in", "iface_out", "packets",
+        "bytes", "unix_micros(CAST(ts AS TIMESTAMP)) DIV 1000 AS ts_ms",
+        "unix_micros(CAST(end_ts AS TIMESTAMP)) DIV 1000 AS end_ts_ms",
+        "port_src", "port_dst", "tcp_flags", "ip_proto", "tos",
+        "as_src", "as_dst",
+    )
+    # parallel encode: every partition emits the identical template
+    # (same exporter/source-id/layout), so learning any copy in batch 1
+    # unlocks every later batch; in-batch seqno sort puts templates
+    # (seqno 0) first
+    dgrams = encode_v9(
+        fl.repartition(spark.sparkContext.defaultParallelism)
+    ).collect()
+    d = tempfile.mkdtemp(prefix="v9_stream_")
+    import pandas as pd_
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    def write(path, rws):
+        pq.write_table(
+            pa.Table.from_pandas(
+                pd_.DataFrame(
+                    {
+                        "exporter_ip": [r.exporter_ip for r in rws],
+                        "seqno": [r.seqno for r in rws],
+                        "payload": [bytes(r.payload) for r in rws],
+                    }
+                )
+            ),
+            path,
+        )
+
+    # template rides ONLY the first file; later batches depend on state
+    half = max(1, len(dgrams) // 2)
+    write(os.path.join(d, "b1.parquet"), dgrams[:half])
+    write(os.path.join(d, "b2.parquet"), dgrams[half:])
+    schema = spark.read.parquet(d).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(d)
+    )
+    decoded = decode_v9_stream(stream)
+    q = (
+        decoded.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("q_stream_v9_stateful")
+        .option("checkpointLocation", os.path.join(d, "_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    back = spark.table("q_stream_v9_stateful")
+    return back.groupBy(F.col("ip_proto").cast("int").alias("proto")).agg(
+        F.sum("bytes").alias("bytes"),
+        F.sum("packets").alias("packets"),
+        F.count(F.lit(1)).alias("n_records"),
+    )
+
+
+@register(
     "v5_wire_loop_agg",
     f"""{FLOWS_DUCK_CTE}
 SELECT ip_proto AS proto, {_SUMS.replace(', CAST(SUM(flows) AS BIGINT) AS flows', '')},

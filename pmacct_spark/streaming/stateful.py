@@ -24,6 +24,77 @@ from pyspark.sql import types as T
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 
+def decode_v9_stream(
+    dgram_stream: DataFrame, order_col: str = "seqno"
+) -> DataFrame:
+    """STREAMING-grade stateful v9/IPFIX decode: the per-exporter
+    template cache lives in ``applyInPandasWithState`` state, so a
+    template learned in one micro-batch decodes data flowsets arriving
+    in LATER micro-batches — the exact semantics of the reference's
+    long-lived per-socket cache (src/nfv9_template.c:1179) which a
+    per-batch mapInPandas decoder cannot provide (its state dies with
+    the batch). State is the JSON-serialized template dict keyed
+    (source_id, template_id); datagrams sort by ``order_col`` within
+    each batch."""
+    import json
+
+    from pmacct_spark.streaming.decode import (
+        FLOW_SCHEMA,
+        _flow_frame,
+        _v9_packet,
+        _v10_packet,
+    )
+
+    state_schema = T.StructType([T.StructField("tmpl_json", T.StringType())])
+    cols = [f.name for f in FLOW_SCHEMA.fields]
+
+    def fn(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        exporter = key[0]
+        templates: dict = {}
+        if state.exists:
+            (tj,) = state.get
+            for k, spec in json.loads(tj).items():
+                sid, tid = k.split(":")
+                templates[(exporter, int(sid), int(tid))] = spec
+        items: list = []
+        compiled: dict = {}  # per-call dtype cache (templates persist
+        # in state; the compiled numpy form rebuilds per batch, cheap)
+        for pdf in pdfs:
+            if order_col in pdf.columns:
+                pdf = pdf.sort_values(order_col)
+            for payload in pdf["payload"]:
+                b = bytes(payload)
+                ver = int.from_bytes(b[:2], "big") if len(b) >= 2 else 0
+                if ver == 9:
+                    items.extend(
+                        _v9_packet(exporter, b, templates, compiled=compiled)
+                    )
+                elif ver == 10:
+                    items.extend(
+                        _v10_packet(exporter, b, templates, compiled=compiled)
+                    )
+        state.update(
+            (
+                json.dumps(
+                    {f"{k[1]}:{k[2]}": spec for k, spec in templates.items()}
+                ),
+            )
+        )
+        frame = _flow_frame(items, cols)
+        if len(frame):
+            yield frame
+
+    return dgram_stream.groupBy("exporter_ip").applyInPandasWithState(
+        fn,
+        outputStructType=FLOW_SCHEMA,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def flow_cache(
     stream: DataFrame,
     keys: list[str],

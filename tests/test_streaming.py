@@ -543,3 +543,56 @@ def test_twophase_rejects_template_reassignment(spark):
     )
     with _pytest.raises(ValueError, match="redefined"):
         learn_template_cache(dg.select("exporter_ip", "payload").coalesce(1))
+
+
+def test_decode_v9_stream_state_survives_batches(spark, tmp_path):
+    """The template learned in micro-batch 1 must decode data-only
+    datagrams arriving in micro-batch 2 (maxFilesPerTrigger=1 forces
+    two batches; a stateless per-batch decoder would drop batch 2)."""
+    from pmacct_spark.sinks.nfprobe import encode_v9
+    from pmacct_spark.streaming.stateful import decode_v9_stream
+
+    rows = encode_v9(_mk_flows(spark, 60).coalesce(1)).collect()
+    tmpl_row = rows[0]          # template datagram
+    data_rows = rows[1:]        # 2 data datagrams (30 recs each)
+    src = tmp_path / "dgrams"
+    src.mkdir()
+    import pandas as pd_
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    def write(path, rws):
+        pq.write_table(
+            pa.Table.from_pandas(
+                pd_.DataFrame(
+                    {
+                        "exporter_ip": [r.exporter_ip for r in rws],
+                        "seqno": [r.seqno for r in rws],
+                        "payload": [bytes(r.payload) for r in rws],
+                    }
+                )
+            ),
+            path,
+        )
+
+    write(str(src / "b1.parquet"), [tmpl_row, data_rows[0]])
+    write(str(src / "b2.parquet"), data_rows[1:])  # data ONLY
+
+    schema = spark.read.parquet(str(src)).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    decoded = decode_v9_stream(stream)
+    q = (
+        decoded.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("q_v9_state")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = spark.table("q_v9_state")
+    assert got.count() == 60  # both data datagrams decoded
