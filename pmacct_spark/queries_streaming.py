@@ -762,6 +762,44 @@ def l2_wire_loop(spark, sf_dir):
 
 
 @register(
+    "srv6_wire_loop",
+    f"""{FLOWS_DUCK_CTE}
+SELECT vrf_name,
+       COUNT(*) AS n_records,
+       MIN(ip6_src || ',' || ip6_dst) AS seg_list_min,
+       CAST(SUM(bytes) AS BIGINT) AS bytes
+FROM flows WHERE ip6_src <> '' GROUP BY 1""",
+)
+def srv6_wire_loop(spark, sf_dir):
+    """SRv6 segment lists on the wire, oracle-gated: each v6 flow
+    exports a 2-segment list (src, dst) through the variable-length
+    srhSegmentIPv6ListSection IE 497 (reference
+    src/nfv9_template.h:188; vlen primitive src/network.h:520-523);
+    the decoder renders concatenated 16-byte segments back to the
+    engine's csv form. Two vlen IEs ride one record (vrfName + the
+    segment section), gating multi-vlen record walks."""
+    from pmacct_spark.driver_queries import flows as flows_view_fn
+    from pmacct_spark.sinks.nfprobe import encode_ipfix6
+    from pmacct_spark.streaming.decode import decode_any_ext
+
+    fl = flows_view_fn(spark, sf_dir).filter("ip6_src <> ''").selectExpr(
+        "ip6_src", "ip6_dst", "ip6_dst AS ip6_nexthop",
+        "64 AS mask6_src", "48 AS mask6_dst",
+        "flow_label", "bytes", "packets", "port_src", "port_dst",
+        "ip_proto", "vrf_name",
+        "ip6_src || ',' || ip6_dst AS srv6_segs",
+    )
+    back = decode_any_ext(
+        encode_ipfix6(fl, with_srv6=True).select("exporter_ip", "payload")
+    )
+    return back.groupBy("vrf_name").agg(
+        F.count(F.lit(1)).alias("n_records"),
+        F.min("srv6_seg_ipv6_list").alias("seg_list_min"),
+        F.sum("bytes").cast("bigint").alias("bytes"),
+    )
+
+
+@register(
     "mixed_wire_loop_agg",
     f"""{FLOWS_DUCK_CTE}
 SELECT ip_proto AS proto,

@@ -224,7 +224,10 @@ def _v6_addr_bytes(s: str) -> bytes:
 
 
 def encode_ipfix6(
-    flows: DataFrame, exporter_ip: str = "127.0.0.1", domain: int = 6
+    flows: DataFrame,
+    exporter_ip: str = "127.0.0.1",
+    domain: int = 6,
+    with_srv6: bool = False,
 ) -> DataFrame:
     """Pack dual-stack flow rows into IPFIX messages with IPv6 +
     variable-length IEs. ``flows`` needs columns: ip6_src, ip6_dst,
@@ -233,12 +236,17 @@ def encode_ipfix6(
 
     Records are variable-length (vrfName); alternating rows use the
     1-byte short form and the 255-escape long form so BOTH wire
-    encodings round-trip through the decoder."""
+    encodings round-trip through the decoder. ``with_srv6`` appends a
+    second vlen IE (srhSegmentIPv6ListSection 497, reference
+    src/nfv9_template.h:188) carrying the row's ``srv6_segs`` —
+    a csv of uncompressed v6 addresses — as concatenated 16-byte
+    segments."""
+    fields = V6_EXPORT_FIELDS + ((497, 65535),) if with_srv6 else V6_EXPORT_FIELDS
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         tmpl_body = struct.pack(
-            "!HH", V6_TEMPLATE_ID, len(V6_EXPORT_FIELDS)
-        ) + b"".join(struct.pack("!HH", ie, ln) for ie, ln in V6_EXPORT_FIELDS)
+            "!HH", V6_TEMPLATE_ID, len(fields)
+        ) + b"".join(struct.pack("!HH", ie, ln) for ie, ln in fields)
         tmpl_set = struct.pack("!HH", 2, 4 + len(tmpl_body)) + tmpl_body
         seqno = 0
         sent_template = False
@@ -260,6 +268,13 @@ def encode_ipfix6(
                     vl = bytes([len(vrf)]) + vrf
                 else:  # 255-escape long form (valid for any length)
                     vl = b"\xff" + len(vrf).to_bytes(2, "big") + vrf
+                if with_srv6:
+                    segs = b"".join(
+                        _v6_addr_bytes(s)
+                        for s in str(r.srv6_segs).split(",")
+                        if s
+                    )
+                    vl += bytes([len(segs)]) + segs
                 recs.append(
                     _v6_addr_bytes(r.ip6_src)
                     + _v6_addr_bytes(r.ip6_dst)

@@ -250,6 +250,10 @@ EXT_UINT_IES = {
     230: "nat_event",
 }
 VLEN_STR_IES = {236: "vrf_name"}
+# srhSegmentIPv6ListSection (reference NF9_srhSegmentIPv6ListSection
+# 497, src/nfv9_template.h:188): a vlen blob of concatenated 16-byte
+# segment addresses, rendered as the engine's csv form
+SRV6_SEG_LIST_IE = 497
 VLEN_SENTINEL = 65535
 # MPLS label IEs 70-79 (reference NF9_MPLS_LABEL_1..10,
 # src/nfv9_template.h:99-108): 3 bytes on the wire, 20-bit label in
@@ -469,6 +473,12 @@ def _decode_ext_records(
                 cu = customs.get(ie) if customs else None
                 if cu is not None:
                     rec[cu.name] = _decode_custom_value(val, cu.semantics)
+                    continue
+                if ie == SRV6_SEG_LIST_IE:
+                    rec["srv6_seg_ipv6_list"] = ",".join(
+                        _fmt_v6(val[q : q + 16])
+                        for q in range(0, len(val) - 15, 16)
+                    )
                     continue
                 col = VLEN_STR_IES.get(ie)
                 if col is not None:
@@ -1180,6 +1190,7 @@ FLOW6_SCHEMA = T.StructType(
         T.StructField("mac_dst", T.StringType()),
         T.StructField("vlan", T.LongType()),
         T.StructField("etype", T.LongType()),
+        T.StructField("srv6_seg_ipv6_list", T.StringType()),
     ]
 )
 
