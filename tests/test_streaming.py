@@ -596,3 +596,49 @@ def test_decode_v9_stream_state_survives_batches(spark, tmp_path):
     q.awaitTermination()
     got = spark.table("q_v9_state")
     assert got.count() == 60  # both data datagrams decoded
+
+
+def test_decoders_survive_malformed_input(spark):
+    """Garbage, truncated, and wrong-version datagrams must decode to
+    zero rows — never raise (the reference logs and skips; a poison
+    datagram must not kill a 100 TB job)."""
+    import struct
+
+    from pmacct_spark.streaming.decode import (
+        decode_any,
+        decode_any_ext,
+        decode_options,
+        decode_sflow5,
+        decode_sflow_any,
+        decode_sflow_counters,
+        decode_v5,
+        decode_v9,
+    )
+
+    garbage = [
+        b"",
+        b"\x00",
+        b"\xff" * 7,
+        b"garbage-not-a-datagram",
+        struct.pack("!HH", 5, 9999),                    # truncated v5
+        struct.pack("!HHIIII", 9, 5, 0, 0, 0, 1),       # v9 header only
+        struct.pack("!HHIII", 10, 16, 0, 0, 1),         # bare IPFIX header
+        struct.pack("!HHIII", 10, 9999, 0, 0, 1) + b"\x00" * 8,
+        struct.pack("!I", 5) + b"\x00" * 10,            # truncated sflow
+        struct.pack("!II", 5, 1) + b"\x00" * 30,        # sflow, 0 samples... lies
+        struct.pack("!HH", 9, 0) + b"\x01" * 40,        # v9, zero count
+        # v9 with a template flowset whose body lies about its length
+        struct.pack("!HHIIII", 9, 1, 0, 0, 0, 1)
+        + struct.pack("!HH", 0, 60) + b"\x02" * 8,
+    ]
+    dg = spark.createDataFrame(
+        [("203.0.113.9", i, bytearray(b)) for i, b in enumerate(garbage)],
+        "exporter_ip string, seqno long, payload binary",
+    ).coalesce(1)
+    sel = dg.select("exporter_ip", "payload")
+    for dec in (
+        decode_v5, decode_v9, decode_any, decode_any_ext,
+        decode_options, decode_sflow5, decode_sflow_any,
+        decode_sflow_counters,
+    ):
+        assert dec(sel).count() == 0, dec.__name__
