@@ -260,3 +260,62 @@ def test_quota_sample_matches_reference(spark, ids, k):
         for i in sorted(members, key=lambda x: ((x * 1103515245 + 12345) % 2147483647, x))[:k]
     )
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# Extended wire round trip: IPv6 + dual-vlen records survive
+# encode -> decode bit-for-bit for arbitrary values
+# ---------------------------------------------------------------------------
+
+v6_group_st = st.integers(min_value=0, max_value=0xFFFF)
+
+
+def _mk_addr(groups):
+    return ":".join(f"{g:04x}" for g in groups)
+
+
+ext_row_st = st.tuples(
+    st.lists(v6_group_st, min_size=8, max_size=8),   # ip6_src
+    st.lists(v6_group_st, min_size=8, max_size=8),   # ip6_dst
+    st.integers(min_value=0, max_value=128),         # mask6_src
+    st.integers(min_value=0, max_value=0xFFFFF),     # flow_label
+    st.integers(min_value=0, max_value=0xFFFFFFFF),  # bytes
+    st.text(
+        alphabet=st.characters(min_codepoint=33, max_codepoint=126),
+        min_size=0, max_size=300,                    # vrf: forces 255-escape
+    ),
+)
+
+
+@SET
+@given(st.lists(ext_row_st, min_size=1, max_size=12))
+def test_ext_wire_roundtrip(spark, rows):
+    from pmacct_spark.sinks.nfprobe import encode_ipfix6
+    from pmacct_spark.streaming.decode import decode_any_ext
+
+    data = [
+        (
+            _mk_addr(s), _mk_addr(d), _mk_addr(d), m, 48, fl,
+            b, 1, 80, 443, 6, vrf,
+        )
+        for s, d, m, fl, b, vrf in rows
+    ]
+    df = spark.createDataFrame(
+        data,
+        "ip6_src string, ip6_dst string, ip6_nexthop string, "
+        "mask6_src int, mask6_dst int, flow_label long, bytes long, "
+        "packets long, port_src int, port_dst int, ip_proto int, "
+        "vrf_name string",
+    ).coalesce(1)
+    back = decode_any_ext(
+        encode_ipfix6(df).select("exporter_ip", "payload")
+    )
+    want = sorted(
+        (r[0], r[1], r[3], r[5], r[6], r[11]) for r in data
+    )
+    got = sorted(
+        (r.ip6_src, r.ip6_dst, r.mask6_src, r.flow_label, r.bytes,
+         r.vrf_name)
+        for r in back.collect()
+    )
+    assert got == want
