@@ -226,7 +226,7 @@ def bgp_src_lookup(spark, sf_dir):
 rib AS ({BGP_RIB_DUCK}),
 cand AS (
   SELECT f.event_id, f.bytes, r.as_path, r.peer_dst_as, r.local_pref,
-         r.med, r.std_comm, r.lrg_comm,
+         r.med, r.std_comm, r.ext_comm, r.lrg_comm,
          ROW_NUMBER() OVER (
            PARTITION BY f.event_id ORDER BY r.masklen DESC) AS rn
   FROM flows f JOIN rib r
@@ -234,11 +234,11 @@ cand AS (
    AND (f.ip_dst_i // (CAST(1 AS BIGINT) << (32 - r.masklen)))
      = (r.net_int // (CAST(1 AS BIGINT) << (32 - r.masklen)))
 )
-SELECT as_path, peer_dst_as, std_comm, lrg_comm,
+SELECT as_path, peer_dst_as, std_comm, ext_comm, lrg_comm,
        CAST(SUM(bytes) AS BIGINT) AS bytes, COUNT(*) AS flows,
        CAST(MIN(local_pref) AS BIGINT) AS min_local_pref,
        CAST(MAX(med) AS BIGINT) AS max_med
-FROM cand WHERE rn = 1 GROUP BY 1, 2, 3, 4""",
+FROM cand WHERE rn = 1 GROUP BY 1, 2, 3, 4, 5""",
 )
 def bgp_wire_rib_lookup(spark, sf_dir):
     """The oracle joins against the pristine fixture RIB; the Spark
@@ -268,6 +268,7 @@ def bgp_wire_rib_lookup(spark, sf_dir):
         "local_pref",
         "med",
         "std_comm",
+        "ext_comm",
         "lrg_comm",
     )
     from pmacct_spark.operators.staging import stage
@@ -286,12 +287,13 @@ def bgp_wire_rib_lookup(spark, sf_dir):
             "local_pref": "local_pref",
             "med": "med",
             "std_comm": "std_comm",
+            "ext_comm": "ext_comm",
             "lrg_comm": "lrg_comm",
         },
         extra_keys={"peer_ip_src": "peer_ip"},
     )
     return enriched.groupBy(
-        "as_path", "peer_dst_as", "std_comm", "lrg_comm"
+        "as_path", "peer_dst_as", "std_comm", "ext_comm", "lrg_comm"
     ).agg(
         F.sum("bytes").cast("bigint").alias("bytes"),
         F.count(F.lit(1)).alias("flows"),
