@@ -9,12 +9,21 @@ long-running multi-query session (5-8 s GC spikes on unrelated
 queries once a few GB of deserialized array blocks pile up).
 
 A staged parquet write/read is the barrier a real 100 TB pipeline
-uses anyway (stage tables between phases): the data lives on local
-disk in columnar form, costs zero block-manager memory, reads back
-with full scan parallelism, and the files are deleted at interpreter
-exit. The write itself is the materialization point, so expression
-re-computation traps (InferFiltersFromGenerate inlining) are cut
-exactly like a checkpoint would.
+uses anyway (stage tables between phases): the data lives on the
+staging filesystem in columnar form, costs zero block-manager memory,
+reads back with full scan parallelism, and each staged directory is
+deleted as soon as it is released (or at interpreter exit). The write
+itself is the materialization point, so expression re-computation
+traps (InferFiltersFromGenerate inlining) are cut exactly like a
+checkpoint would.
+
+Cluster note: the default staging root is a driver-local temp dir,
+which is only correct on single-node / local-mode Spark (executors
+must see the same filesystem). On a multi-node cluster set the root
+to a shared path (HDFS/S3/NFS) via ``set_staging_root()`` or the
+session conf ``spark.pmacct.stagingRoot`` — ``stage()`` checks the
+conf on every call, so `--conf spark.pmacct.stagingRoot=hdfs://...`
+is enough.
 """
 
 from __future__ import annotations
@@ -22,10 +31,30 @@ from __future__ import annotations
 import atexit
 import shutil
 import tempfile
+import uuid
 
 from pyspark.sql import DataFrame
 
+STAGING_ROOT_CONF = "spark.pmacct.stagingRoot"
+
+_STAGING_ROOT: str | None = None  # explicit override via set_staging_root
 _STAGE_DIRS: list[str] = []
+
+
+def set_staging_root(path: str | None) -> None:
+    """Set (or clear, with ``None``) the directory under which staged
+    parquet is written. On a multi-node cluster this must be a path
+    all executors can reach (HDFS/S3/NFS). Overrides the session conf
+    ``spark.pmacct.stagingRoot``."""
+    global _STAGING_ROOT
+    _STAGING_ROOT = path
+
+
+def _staging_root(df: DataFrame) -> str | None:
+    if _STAGING_ROOT is not None:
+        return _STAGING_ROOT
+    root = df.sparkSession.conf.get(STAGING_ROOT_CONF, None)
+    return root or None
 
 
 def _cleanup() -> None:  # pragma: no cover - exit hook
@@ -36,10 +65,30 @@ def _cleanup() -> None:  # pragma: no cover - exit hook
 atexit.register(_cleanup)
 
 
+def release(df_or_path: DataFrame | str) -> None:
+    """Delete a staged directory (pass the path recorded in
+    ``df.stage_path`` or the DataFrame returned by :func:`stage`).
+    Long sessions should release stages they no longer read so local
+    disk does not accumulate; unreleased stages are removed at
+    interpreter exit."""
+    path = getattr(df_or_path, "stage_path", df_or_path)
+    if isinstance(path, str) and path in _STAGE_DIRS:
+        _STAGE_DIRS.remove(path)
+        shutil.rmtree(path, ignore_errors=True)
+
+
 def stage(df: DataFrame) -> DataFrame:
-    """Materialize ``df`` to session-scoped temp parquet and return a
-    DataFrame reading it back — an ownership-free barrier."""
-    d = tempfile.mkdtemp(prefix="pmacct_stage_")
+    """Materialize ``df`` to staged parquet and return a DataFrame
+    reading it back — an ownership-free barrier. The returned
+    DataFrame carries its directory as ``.stage_path`` so callers can
+    :func:`release` it early."""
+    root = _staging_root(df)
+    if root is None:
+        d = tempfile.mkdtemp(prefix="pmacct_stage_")
+    else:
+        d = f"{root.rstrip('/')}/pmacct_stage_{uuid.uuid4().hex}"
     _STAGE_DIRS.append(d)
     df.write.mode("overwrite").parquet(d)
-    return df.sparkSession.read.parquet(d)
+    out = df.sparkSession.read.parquet(d)
+    out.stage_path = d
+    return out

@@ -274,7 +274,13 @@ def encode_ipfix6(
                         for s in str(r.srv6_segs).split(",")
                         if s
                     )
-                    vl += bytes([len(segs)]) + segs
+                    # RFC 7011 §7: short form only below 255; a 16+
+                    # segment list (256 bytes) needs the 255-escape,
+                    # same as the vrf field above.
+                    if len(segs) < 255:
+                        vl += bytes([len(segs)]) + segs
+                    else:
+                        vl += b"\xff" + len(segs).to_bytes(2, "big") + segs
                 recs.append(
                     _v6_addr_bytes(r.ip6_src)
                     + _v6_addr_bytes(r.ip6_dst)

@@ -199,8 +199,14 @@ def decode_bmp(datagrams: DataFrame) -> DataFrame:
         for pdf in batches:
             rows: list[dict] = []
             for exporter, payload in zip(pdf["exporter_ip"], pdf["payload"]):
-                rows.extend(_bmp_rows(exporter, bytes(payload), seq))
-                seq += 1000  # datagram-order spacing
+                new = _bmp_rows(exporter, bytes(payload), seq)
+                rows.extend(new)
+                # advance by rows actually emitted: a fixed stride
+                # would overlap the next datagram's range once a
+                # payload carries more routes than the stride, letting
+                # rib_state keep a stale announcement over a later
+                # withdrawal
+                seq += len(new)
             yield pd.DataFrame([[r.get(c) for c in cols] for r in rows], columns=cols)
 
     return datagrams.mapInPandas(gen, BMP_EVENT_SCHEMA)
@@ -270,8 +276,9 @@ def decode_bgp(datagrams: DataFrame) -> DataFrame:
         for pdf in batches:
             rows: list[dict] = []
             for exporter, payload in zip(pdf["exporter_ip"], pdf["payload"]):
-                rows.extend(_bgp_stream_rows(exporter, bytes(payload), seq))
-                seq += 1000
+                new = _bgp_stream_rows(exporter, bytes(payload), seq)
+                rows.extend(new)
+                seq += len(new)  # exact stride, see decode_bmp
             yield pd.DataFrame(
                 [[r.get(c) for c in cols] for r in rows], columns=cols
             )

@@ -457,17 +457,36 @@ def _decode_ext_records(
     min_len = sum(1 if ln == VLEN_SENTINEL else ln for _, ln in tmpl)
     if min_len == 0:
         return []
+    # Enforce the >=4 floor so trailing set padding (<= 3 zero bytes,
+    # RFC 7011 §3.3.1) is never misread as a record: a vlen-only
+    # template has min_len == 1 and would otherwise parse padding.
+    min_len = max(min_len, 4)
     out: list[dict] = []
     p, n_body = 0, len(body)
-    while p + min_len <= n_body:
+    truncated = False
+    while p + min_len <= n_body and not truncated:
         rec = {"exporter_ip": exporter, "seqno": seqno}
         for ie, ln in tmpl:
             if ln == VLEN_SENTINEL:
+                # A malformed/truncated data set can exhaust the body
+                # mid-record: every vlen read is bounds-checked so a
+                # poison datagram drops the record instead of raising
+                # (reference clamps the same way, src/nfacctd.c tpl
+                # walk).
+                if p >= n_body:
+                    truncated = True
+                    break
                 l0 = body[p]
                 p += 1
                 if l0 == 255:  # escape: real length in next 2 bytes
+                    if p + 2 > n_body:
+                        truncated = True
+                        break
                     l0 = int.from_bytes(body[p : p + 2], "big")
                     p += 2
+                if p + l0 > n_body:
+                    truncated = True
+                    break
                 val = body[p : p + l0]
                 p += l0
                 cu = customs.get(ie) if customs else None
@@ -510,7 +529,7 @@ def _decode_ext_records(
                     )
                     if col is not None:
                         rec[col] = _uint(raw)
-        if p > n_body:
+        if truncated or p > n_body:
             break  # truncated final record: drop it (reference skips)
         out.append(rec)
     return out
@@ -1052,8 +1071,13 @@ def _v10_packet(
                     ie, ln = struct.unpack_from("!HH", body, p)
                     p += 4
                     if ie & 0x8000:
+                        # key enterprise options IEs exactly like
+                        # data-template fields: (pen << 16) | ie, so a
+                        # vendor IE (e.g. pen X, ie 48) can never
+                        # alias a standard OPT_IE_COLUMNS entry
+                        pen = struct.unpack_from("!I", body, p)[0]
                         p += 4
-                        ie = ie & 0x7FFF
+                        ie = (pen << 16) | (ie & 0x7FFF)
                     (scope_fields if k < nscope else option_fields).append(
                         (ie, ln)
                     )

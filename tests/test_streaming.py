@@ -642,3 +642,166 @@ def test_decoders_survive_malformed_input(spark):
         decode_sflow_counters,
     ):
         assert dec(sel).count() == 0, dec.__name__
+
+
+def test_vlen_decoder_survives_poison_datagrams(spark):
+    """A malformed data set under a template with >=2 variable-length
+    IEs must drop the truncated record, not raise IndexError (ADVICE
+    r3 high: a poison datagram from an untrusted exporter must never
+    kill the job). Exercises the vlen scalar walk the generic
+    malformed-input test never reaches."""
+    from pmacct_spark.streaming.decode import (
+        VLEN_SENTINEL,
+        _decode_ext_records,
+        decode_any_ext,
+    )
+
+    tmpl = [(236, VLEN_SENTINEL), (497, VLEN_SENTINEL)]
+    # declared length pushes p past the body -> next field's length
+    # byte used to raise IndexError
+    assert _decode_ext_records(b"\x05AB", tmpl, "x", 1) == []
+    # 255-escape with a truncated 2-byte length
+    assert _decode_ext_records(b"\xffA", tmpl, "x", 1) == []
+    # declared escape length overrunning the body
+    assert _decode_ext_records(b"\xff\xff\xff" + b"A" * 10, tmpl, "x", 1) == []
+    # vlen-only template: <=3 trailing zero bytes are set padding, not
+    # a record (RFC 7011 s3.3.1; docstring min_len>=4 floor)
+    got = _decode_ext_records(
+        b"\x02hi\x01X\x00\x00\x00", [(236, VLEN_SENTINEL)], "x", 1
+    )
+    assert [r.get("vrf_name") for r in got] == ["hi", "X"]
+
+    # end-to-end: full IPFIX datagrams (template set + poison data
+    # set) through the Spark decode path -> zero rows, no task failure
+    def msg(body_sets: bytes) -> bytes:
+        return struct.pack("!HHIII", 10, 16 + len(body_sets), 0, 1, 0) + body_sets
+
+    tset = struct.pack("!HH", 2, 4 + 4 + 8) + struct.pack(
+        "!HHHHHH", 256, 2, 236, VLEN_SENTINEL, 497, VLEN_SENTINEL
+    )
+    poison = [
+        msg(tset + struct.pack("!HH", 256, 4 + 3) + b"\x05AB"),
+        msg(tset + struct.pack("!HH", 256, 4 + 2) + b"\xffA"),
+        msg(tset + struct.pack("!HH", 256, 4 + 13) + b"\xff\xff\xff" + b"A" * 10),
+    ]
+    dg = spark.createDataFrame(
+        [("203.0.113.66", i, bytearray(b)) for i, b in enumerate(poison)],
+        "exporter_ip string, seqno long, payload binary",
+    ).coalesce(1)
+    assert decode_any_ext(dg.select("exporter_ip", "payload")).count() == 0
+
+
+def test_srv6_segment_list_255_escape_roundtrip(spark):
+    """A 16-segment SRv6 list is 256 bytes: the encoder must use the
+    RFC 7011 s7 255-escape long form (the 1-byte short form would
+    raise ValueError), and the decoder must round-trip all 16
+    segments (ADVICE r3 medium)."""
+    import ipaddress
+
+    from pmacct_spark.sinks.nfprobe import encode_ipfix6
+    from pmacct_spark.streaming.decode import decode_any_ext
+
+    def full(s: str) -> str:
+        return ipaddress.IPv6Address(s).exploded
+
+    segs = ",".join(full(f"2001:db8::{i:x}") for i in range(1, 17))
+    fl = spark.createDataFrame(
+        [
+            (
+                full("2001:db8::1"), full("2001:db8::2"), full("2001:db8::3"),
+                64, 48, 5, 1000, 10, 80, 443, 6, "vrf-a", segs,
+            )
+        ],
+        "ip6_src string, ip6_dst string, ip6_nexthop string, "
+        "mask6_src int, mask6_dst int, flow_label int, bytes long, "
+        "packets long, port_src int, port_dst int, ip_proto int, "
+        "vrf_name string, srv6_segs string",
+    )
+    back = decode_any_ext(
+        encode_ipfix6(fl, with_srv6=True).select("exporter_ip", "payload")
+    ).collect()
+    assert len(back) == 1
+    got_segs = back[0]["srv6_seg_ipv6_list"].split(",")
+    assert len(got_segs) == 16
+    assert got_segs[0] == full("2001:db8::1")
+    assert got_segs[15] == full("2001:db8::10")
+
+
+def test_enterprise_options_ie_does_not_alias_standard(spark):
+    """An enterprise options-template IE with the same low bits as a
+    standard sampling IE (ie 48 = sampler_id) must be keyed
+    (pen<<16)|ie and therefore NOT populate the standard column
+    (ADVICE r3 low: options templates used to strip the PEN)."""
+    from pmacct_spark.streaming.decode import decode_options
+
+    def otmpl_msg(ie_spec: bytes, nfields: int, datum: bytes) -> bytes:
+        ot = struct.pack("!HH", 3, 4 + 6 + len(ie_spec)) + struct.pack(
+            "!HHH", 300, nfields, 1
+        ) + ie_spec
+        ds = struct.pack("!HH", 300, 4 + len(datum)) + datum
+        body = ot + ds
+        return struct.pack("!HHIII", 10, 16 + len(body), 0, 1, 0) + body
+
+    # scope: System(1) len 4; option: enterprise ie 48 (high bit set,
+    # PEN 9999) len 4 -> must NOT become sampler_id
+    ent = otmpl_msg(
+        struct.pack("!HH", 1, 4)
+        + struct.pack("!HH", 0x8000 | 48, 4)
+        + struct.pack("!I", 9999),
+        2,
+        struct.pack("!II", 7, 1024),
+    )
+    # same template shape without the enterprise bit -> sampler_id
+    std = otmpl_msg(
+        struct.pack("!HH", 1, 4) + struct.pack("!HH", 48, 4),
+        2,
+        struct.pack("!II", 7, 1024),
+    )
+    dg = spark.createDataFrame(
+        [("198.51.100.1", 0, bytearray(ent)), ("198.51.100.2", 1, bytearray(std))],
+        "exporter_ip string, seqno long, payload binary",
+    ).coalesce(1)
+    rows = {
+        r["exporter_ip"]: r
+        for r in decode_options(dg.select("exporter_ip", "payload")).collect()
+    }
+    assert rows["198.51.100.2"]["sampler_id"] == 1024
+    assert rows["198.51.100.1"]["sampler_id"] is None
+
+
+def test_bgp_seq_stride_survives_large_datagram(spark):
+    """A session chunk carrying >1000 routes must not overlap the next
+    datagram's seq range: a later withdrawal has to beat every
+    announcement from the earlier chunk in rib_state's latest-wins
+    compaction (ADVICE r3 low: fixed seq stride of 1000)."""
+    from pmacct_spark.streaming.bmp import (
+        decode_bgp,
+        encode_bgp_update,
+        rib_state,
+    )
+
+    n = 1005
+    chunk = b"".join(
+        encode_bgp_update(0x0A000000 + (i << 8), 24, "65000")
+        for i in range(n)
+    )
+    # hand-built withdrawal UPDATE for the LAST announced prefix
+    # (seq n-1 in datagram 0): withdrawn routes, zero path attributes
+    last = 0x0A000000 + ((n - 1) << 8)
+    wd_nlri = bytes([24]) + last.to_bytes(4, "big")[:3]
+    wd_body = (
+        len(wd_nlri).to_bytes(2, "big") + wd_nlri + (0).to_bytes(2, "big")
+    )
+    withdraw = (
+        b"\xff" * 16 + (19 + len(wd_body)).to_bytes(2, "big") + b"\x02" + wd_body
+    )
+    dg = spark.createDataFrame(
+        [("10.9.9.9", 0, bytearray(chunk)), ("10.9.9.9", 1, bytearray(withdraw))],
+        "exporter_ip string, seqno long, payload binary",
+    ).coalesce(1)
+    rib = rib_state(decode_bgp(dg.select("exporter_ip", "payload")))
+    prefixes = {r["prefix"] for r in rib.collect()}
+    assert rib.count() == n - 1
+    import ipaddress as _ip
+
+    assert str(_ip.IPv4Address(last)) not in prefixes
