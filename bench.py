@@ -67,20 +67,33 @@ def main() -> int:
     entry_mod.entry(spark).write.format("noop").mode("overwrite").save()
     log(f"warmup entry(): {time.time() - t0:.2f}s")
 
+    # Median of N runs per query: on a shared box single-shot timings
+    # of sub-3 s queries swing 2-5x run-to-run (GC / noisy neighbor),
+    # which made real regressions indistinguishable from noise
+    # (VERDICT r3). Run 1 doubles as the per-query warm-up.
+    reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3")))
     timings: dict[str, float] = {}
+    spreads: dict[str, list[float]] = {}
     failures: dict[str, str] = {}
     for name in sorted(qmap):
-        t0 = time.time()
+        runs: list[float] = []
         try:
-            qmap[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
-            timings[name] = round(time.time() - t0, 3)
-            log(f"  {name}: {timings[name]:.3f}s")
+            for _ in range(reps):
+                t0 = time.time()
+                qmap[name](spark, sf_dir).write.format("noop").mode(
+                    "overwrite"
+                ).save()
+                runs.append(round(time.time() - t0, 3))
+            runs.sort()
+            timings[name] = runs[len(runs) // 2]
+            spreads[name] = runs
+            log(f"  {name}: {timings[name]:.3f}s (runs {runs})")
         except Exception as exc:  # keep benching the rest
             failures[name] = f"{type(exc).__name__}: {exc}"
             log(f"  {name}: FAILED {failures[name]}")
         # no clearCache crutch: operators own their materialization
-        # lifecycle (eager localCheckpoint, freed on GC) — a long-lived
-        # pipeline gets the same hygiene this bench measures
+        # lifecycle — a long-lived pipeline gets the same hygiene this
+        # bench measures
 
     result = {
         "metric": "total_query_wall_sec",
@@ -91,6 +104,18 @@ def main() -> int:
     }
     if failures:
         result["failures"] = failures
+    # The driver records stdout with a tail-truncation that has lost
+    # per-query numbers in past rounds: also persist the full result
+    # (plus raw per-run samples) next to the repo so it survives.
+    full = dict(result, reps=reps, runs=spreads)
+    try:
+        with open(
+            os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                         "BENCH_FULL.json"), "w"
+        ) as fh:
+            json.dump(full, fh, indent=1, sort_keys=True)
+    except OSError as exc:  # pragma: no cover - read-only checkout
+        log(f"BENCH_FULL.json not written: {exc}")
     print(json.dumps(result), flush=True)
     return 1 if failures else 0
 

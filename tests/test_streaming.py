@@ -805,3 +805,44 @@ def test_bgp_seq_stride_survives_large_datagram(spark):
     import ipaddress as _ip
 
     assert str(_ip.IPv4Address(last)) not in prefixes
+
+
+def test_custom_fixed_width_templates_take_compiled_path():
+    """Fixed-width custom/enterprise templates (u_int + string
+    semantics) must compile to the numpy frombuffer fast path — the
+    scalar walk on the slowest wire loop was VERDICT r3's top
+    constant-factor item. The compiled path signals itself with the
+    __arr__ marker row."""
+    from pmacct_spark.streaming.decode import (
+        CustomIE,
+        _compile_ext_tmpl,
+        _decode_ext_records,
+    )
+
+    customs = {
+        c.key: c
+        for c in (
+            CustomIE("app_tag", ie=1, pen=42, semantics="u_int", length=2),
+            CustomIE("app_name", ie=2, pen=42, semantics="string", length=8),
+        )
+    }
+    tmpl = [((42 << 16) | 1, 2), ((42 << 16) | 2, 8), (1, 4), (2, 4), (4, 1)]
+    assert _compile_ext_tmpl(tmpl, customs) is not None
+    body = (
+        (7).to_bytes(2, "big") + b"app-3\x00\x00\x00"
+        + (1000).to_bytes(4, "big") + (10).to_bytes(4, "big") + b"\x06"
+    )
+    compiled: dict = {}
+    out = _decode_ext_records(
+        body, tmpl, "x", 1, customs=customs, compiled=compiled,
+        tmpl_key=("x", 0, 256),
+    )
+    assert len(out) == 1 and out[0][0] == "__arr__"
+    arr, colmap = out[0][5], out[0][4]
+    cols = {c[1]: arr[c[0]][0] for c in colmap}
+    assert cols["app_tag"] == 7
+    assert cols["app_name"] == "app-3"
+    assert cols["bytes"] == 1000 and cols["ip_proto"] == 6
+    # hex/ip/mac semantics still (correctly) fall back to the walk
+    customs2 = {c.key: c for c in (CustomIE("h", ie=3, pen=42, semantics="hex", length=4),)}
+    assert _compile_ext_tmpl([((42 << 16) | 3, 4)], customs2) is None
