@@ -1,0 +1,177 @@
+"""UDP datagram ingest: the nfacctd/sfacctd socket half.
+
+The reference collects NetFlow/sFlow/BMP over a blocking recvfrom loop
+(reference src/nfacctd.c:1525) and hands each datagram to the decode
+dispatch. Spark's unit of streaming ingest is a source, not a socket,
+so the adapter is a spool: a background thread owns the socket,
+accumulates datagrams, and flushes them as parquet files of the
+engine's universal datagram contract
+
+    (exporter_ip string, seqno long, payload binary)
+
+into a spool directory that both ``spark.read.parquet`` (batch replay)
+and ``spark.readStream.parquet`` (live tailing with
+``maxFilesPerTrigger``) consume. Every decode surface in
+``streaming/decode.py`` accepts exactly this row shape, so
+UdpSpool.stream() -> decode_any -> aggregation is the full nfacctd
+pipeline.
+
+Scale shape: one listener per collector edge node (the reference is
+identical — one socket per nfacctd process), each spooling to shared
+storage (set ``spool_dir`` to an HDFS/S3-mounted path); the Spark
+streaming job unions per-listener spools and fans decode out across
+the cluster. The socket thread does NO decoding — the two-phase /
+stateful decoders keep parallelism decoupled from exporter count.
+"""
+
+from __future__ import annotations
+
+import os
+import socket
+import tempfile
+import threading
+import time
+
+DATAGRAM_DDL = "exporter_ip string, seqno long, payload binary"
+
+
+class UdpSpool:
+    """Background UDP listener spooling datagrams to parquet files.
+
+    Parameters
+    ----------
+    host, port : bind address; ``port=0`` picks an ephemeral port
+        (read it back from ``self.port`` after :meth:`start`).
+    spool_dir : directory the parquet batch files land in (created if
+        missing); pass a shared-filesystem path on a cluster.
+    flush_datagrams / flush_secs : a batch file is cut when either
+        bound is reached — the latency/file-size trade the reference
+        expresses as plugin_pipe buffering (docs/INTERNALS:96-125).
+    """
+
+    def __init__(
+        self,
+        host: str = "127.0.0.1",
+        port: int = 0,
+        spool_dir: str | None = None,
+        flush_datagrams: int = 1000,
+        flush_secs: float = 1.0,
+    ):
+        self.host = host
+        self.port = port
+        self.spool_dir = spool_dir or tempfile.mkdtemp(prefix="udp_spool_")
+        self.flush_datagrams = flush_datagrams
+        self.flush_secs = flush_secs
+        self._sock: socket.socket | None = None
+        self._thread: threading.Thread | None = None
+        self._stop = threading.Event()
+        self._seq = 0
+        self._nfile = 0
+        self.datagrams_received = 0
+
+    # -- lifecycle ----------------------------------------------------
+    def start(self) -> "UdpSpool":
+        os.makedirs(self.spool_dir, exist_ok=True)
+        self._sock = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
+        self._sock.bind((self.host, self.port))
+        self.port = self._sock.getsockname()[1]
+        # timeout bounds both the stop() latency and the flush cadence
+        self._sock.settimeout(min(self.flush_secs, 0.2))
+        self._stop.clear()
+        self._thread = threading.Thread(
+            target=self._loop, name=f"udp-spool-{self.port}", daemon=True
+        )
+        self._thread.start()
+        return self
+
+    def stop(self) -> None:
+        self._stop.set()
+        if self._thread is not None:
+            self._thread.join(timeout=10)
+            self._thread = None
+        if self._sock is not None:
+            self._sock.close()
+            self._sock = None
+
+    def __enter__(self) -> "UdpSpool":
+        return self.start()
+
+    def __exit__(self, *exc) -> None:
+        self.stop()
+
+    # -- socket thread ------------------------------------------------
+    def _loop(self) -> None:
+        buf: list[tuple[str, int, bytes]] = []
+        last_flush = time.monotonic()
+        while not self._stop.is_set():
+            try:
+                payload, (addr, _port) = self._sock.recvfrom(65535)
+                buf.append((addr, self._seq, payload))
+                self._seq += 1
+                self.datagrams_received += 1
+            except socket.timeout:
+                pass
+            now = time.monotonic()
+            if buf and (
+                len(buf) >= self.flush_datagrams
+                or now - last_flush >= self.flush_secs
+            ):
+                self._flush(buf)
+                buf = []
+                last_flush = now
+        if buf:
+            self._flush(buf)
+
+    def _flush(self, rows: list[tuple[str, int, bytes]]) -> None:
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        table = pa.table(
+            {
+                "exporter_ip": [r[0] for r in rows],
+                "seqno": pa.array([r[1] for r in rows], pa.int64()),
+                "payload": pa.array([r[2] for r in rows], pa.binary()),
+            }
+        )
+        # write-then-rename so the streaming file source never lists a
+        # half-written file
+        tmp = os.path.join(self.spool_dir, f"._b{self._nfile:08d}.tmp")
+        pq.write_table(table, tmp)
+        os.rename(
+            tmp, os.path.join(self.spool_dir, f"b{self._nfile:08d}.parquet")
+        )
+        self._nfile += 1
+
+    # -- Spark surfaces -----------------------------------------------
+    def batch(self, spark):
+        """Everything spooled so far, as a batch DataFrame."""
+        return spark.read.schema(DATAGRAM_DDL).parquet(self.spool_dir)
+
+    def stream(self, spark, max_files_per_trigger: int | None = None):
+        """A Structured Streaming DataFrame tailing the spool — feed it
+        to any decoder (``decode_any``, ``decode_v9_stream``, ...)."""
+        r = spark.readStream.schema(DATAGRAM_DDL)
+        if max_files_per_trigger is not None:
+            r = r.option("maxFilesPerTrigger", max_files_per_trigger)
+        return r.parquet(self.spool_dir)
+
+
+def send_datagrams(
+    rows, host: str, port: int, pace_every: int = 500, pace_secs: float = 0.01
+) -> int:
+    """Test/replay helper: fire (exporter_ip, seqno, payload)-shaped
+    rows (or bare payload bytes) at a collector socket, pacing every
+    ``pace_every`` packets so a local burst does not overflow the
+    receive buffer. Returns the number of datagrams sent."""
+    tx = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
+    n = 0
+    try:
+        for r in rows:
+            payload = r if isinstance(r, (bytes, bytearray)) else r.payload
+            tx.sendto(bytes(payload), (host, port))
+            n += 1
+            if pace_every and n % pace_every == 0:
+                time.sleep(pace_secs)
+    finally:
+        tx.close()
+    return n

@@ -113,3 +113,53 @@ def test_write_print_avro_fallback(spark, tmp_path):
     write_print(df, path, fmt="avro")
     rows = A.read_container(path)
     assert {r["id"] for r in rows} == {1, 2, 3}
+
+
+def test_registry_framed_datum_roundtrip(spark):
+    """Confluent wire format (VERDICT r3 #6): register the writer
+    schema once, frame every datum [0x00][4-byte id][avro binary],
+    decode back by resolving the id through the (stubbed) registry —
+    the libserdes path of src/plugin_cmn_avro.c:47."""
+    reg = A.StubSchemaRegistry()
+    df = _sample_df(spark)
+    framed = A.avro_registry_frames(df, reg, "acct", key_cols=["id"])
+    rows = framed.collect()
+    assert len(rows) == 3
+    for r in rows:
+        v = bytes(r["value"])
+        assert v[0] == 0  # magic byte
+        sid, rec = A.read_registry_frame(v, reg)
+        assert sid == 1
+        assert rec["id"] in (1, 2, 3)
+    got = {
+        A.read_registry_frame(bytes(r["value"]), reg)[1]["id"] for r in rows
+    }
+    assert got == {1, 2, 3}
+
+
+def test_registry_identical_schema_reuses_id_evolution_bumps():
+    """Registry semantics: same schema under the same subject -> same
+    id (no churn from repeated runs); an evolved schema -> new id."""
+    reg = A.StubSchemaRegistry()
+    s1 = '{"type":"record","name":"r","fields":[{"name":"a","type":"long"}]}'
+    s1_reordered = (
+        '{"name":"r","fields":[{"name":"a","type":"long"}],"type":"record"}'
+    )
+    s2 = (
+        '{"type":"record","name":"r","fields":[{"name":"a","type":"long"},'
+        '{"name":"b","type":"string"}]}'
+    )
+    id1 = reg.register("t-value", s1)
+    assert reg.register("t-value", s1) == id1
+    assert reg.register("t-value", s1_reordered) == id1  # canonicalized
+    id2 = reg.register("t-value", s2)
+    assert id2 != id1
+    assert reg.get_schema(id2)["fields"][1]["name"] == "b"
+
+
+def test_registry_frame_rejects_bad_magic():
+    import pytest
+
+    reg = A.StubSchemaRegistry()
+    with pytest.raises(ValueError, match="magic"):
+        A.read_registry_frame(b"\x01\x00\x00\x00\x01\x02", reg)
