@@ -23,7 +23,7 @@ import struct
 from collections.abc import Iterator
 
 import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -549,6 +549,15 @@ OPT_IE_COLUMNS = {
     305: "sampling_interval",
 }
 
+# Name/RD exposition options (the reference's vrf_name_map /
+# iface_name_map / rd maps fed by Cisco options records — tests/112,
+# tests/500; IEs: interfaceName 82, mplsVpnRouteDistinguisher 90,
+# vrfName 236). Strings are fixed-width null-padded in options
+# records; the RD renders as 16 hex chars (the form the reference's
+# output-flow JSON carries).
+OPT_STR_IES = {82: "iface_name", 236: "vrf_name"}
+OPT_HEX_IES = {90: "mpls_vpn_rd"}
+
 OPTIONS_SCHEMA = T.StructType(
     [
         T.StructField("exporter_ip", T.StringType()),
@@ -560,6 +569,9 @@ OPTIONS_SCHEMA = T.StructType(
         T.StructField("sampling_rate", T.LongType()),
         T.StructField("sampling_interval", T.LongType()),
         T.StructField("sampling_algorithm", T.IntegerType()),
+        T.StructField("iface_name", T.StringType()),
+        T.StructField("vrf_name", T.StringType()),
+        T.StructField("mpls_vpn_rd", T.StringType()),
     ]
 )
 
@@ -596,9 +608,35 @@ def _decode_option_records(
             col = OPT_IE_COLUMNS.get(ie)
             if col is not None:
                 rec[col] = _uint(body[p : p + ln])
+            elif ie in OPT_STR_IES:
+                rec[OPT_STR_IES[ie]] = (
+                    body[p : p + ln].rstrip(b"\x00").decode("utf-8", "replace")
+                )
+            elif ie in OPT_HEX_IES:
+                rec[OPT_HEX_IES[ie]] = body[p : p + ln].hex()
             p += ln
         out.append(rec)
     return out
+
+
+def options_map(options: DataFrame) -> DataFrame:
+    """Compact decoded options records into the live exposition map:
+    the LATEST record per (exporter, scope_type, scope_value) wins.
+
+    This is the semantics the reference's vrf_name_map / in_rd_map /
+    out_rd_map / iface_name_map must have on ID reassignment — a
+    router re-sending options for an existing scope key REPLACES the
+    stale entry (the cdada_map_insert silent-EEXISTS bug the tests/112
+    scenario pins down). One window shuffle over the tiny options
+    stream; the result broadcasts into flow enrichment joins."""
+    w = Window.partitionBy(
+        "exporter_ip", "scope_type", "scope_value"
+    ).orderBy(F.desc("seqno"))
+    return (
+        options.withColumn("__rn", F.row_number().over(w))
+        .filter("__rn = 1")
+        .drop("__rn")
+    )
 
 
 # Template -> numpy dtype compilation (the reference compiles a
