@@ -837,3 +837,63 @@ def mixed_wire_loop_agg(spark, sf_dir):
         F.sum("packets").alias("packets"),
         F.count(F.lit(1)).alias("n_records"),
     )
+
+
+@register(
+    "options_vrf_map_enrich",
+    f"""{FLOWS_DUCK_CTE}
+SELECT CASE WHEN iface_in % 2 = 0 THEN 'vrf-' || CAST(iface_in AS VARCHAR)
+            ELSE 'stale-' || CAST(iface_in AS VARCHAR) END AS vrf_name,
+       CASE WHEN iface_in % 2 = 0 THEN printf('%016x', iface_in + 4096)
+            ELSE printf('%016x', iface_in) END AS mpls_vpn_rd,
+       CASE WHEN iface_in % 2 = 0 THEN 'ifx-' || CAST(iface_in AS VARCHAR)
+            ELSE 'if-' || CAST(iface_in AS VARCHAR) END AS iface_name,
+       CAST(SUM(bytes) AS BIGINT) AS bytes,
+       COUNT(*) AS n_records
+FROM flows GROUP BY 1, 2, 3""",
+)
+def options_vrf_map_enrich(spark, sf_dir):
+    """VRF/RD/interface exposition options ON THE WIRE with ID
+    reassignment, oracle-gated (the reference's tests/112 scenario as
+    a driver-checked query): round-1 options name every VRF id
+    'stale-*'; round-2 options (later header sequence) REASSIGN the
+    even ids to 'vrf-*' with a new RD and interface name.
+    encode_options_names -> decode_options -> options_map latest-wins
+    compaction -> broadcast enrichment of flows keyed on the vrf_id.
+    The oracle computes the post-reassignment exposition directly, so
+    a stale-map bug (the reference's cdada_map_insert EEXISTS leak)
+    surfaces as a value-hash mismatch on every even-VRF row."""
+    from pmacct_spark.driver_queries import flows as flows_view_fn
+    from pmacct_spark.sinks.nfprobe import encode_options_names
+    from pmacct_spark.streaming.decode import decode_options, options_map
+
+    fl = flows_view_fn(spark, sf_dir).selectExpr(
+        "iface_in AS vrf_id", "bytes"
+    )
+    vrfs = fl.select("vrf_id").distinct()
+    round1 = vrfs.selectExpr(
+        "'127.0.0.1' AS exporter_ip", "1 AS seq", "vrf_id",
+        "'stale-' || CAST(vrf_id AS STRING) AS vrf_name",
+        "CAST(vrf_id AS BIGINT) AS rd_int",
+        "'if-' || CAST(vrf_id AS STRING) AS iface_name",
+    )
+    round2 = vrfs.filter("vrf_id % 2 = 0").selectExpr(
+        "'127.0.0.1' AS exporter_ip", "2 AS seq", "vrf_id",
+        "'vrf-' || CAST(vrf_id AS STRING) AS vrf_name",
+        "CAST(vrf_id AS BIGINT) + 4096 AS rd_int",
+        "'ifx-' || CAST(vrf_id AS STRING) AS iface_name",
+    )
+    omap = options_map(
+        decode_options(
+            encode_options_names(round1.unionByName(round2)).select(
+                "exporter_ip", "payload"
+            )
+        )
+    ).select("scope_value", "vrf_name", "mpls_vpn_rd", "iface_name")
+    enriched = fl.join(
+        F.broadcast(omap), fl["vrf_id"] == omap["scope_value"], "inner"
+    )
+    return enriched.groupBy("vrf_name", "mpls_vpn_rd", "iface_name").agg(
+        F.sum("bytes").cast("bigint").alias("bytes"),
+        F.count(F.lit(1)).alias("n_records"),
+    )

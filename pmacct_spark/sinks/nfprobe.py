@@ -836,3 +836,53 @@ def encode_ipfix(
             yield pd.DataFrame(out, columns=["exporter_ip", "seqno", "payload"])
 
     return flows.mapInPandas(gen, DATAGRAM_SCHEMA)
+
+
+# --- name/RD exposition options (the tests/112 & 500 option families:
+# VRF name map, MPLS VPN RD, interface name; reference maps fed at
+# src/nfacctd.c options handling, scenario README tests/112) ---------
+
+OPTIONS_NAME_TEMPLATE_ID = 513
+_OPTNAME_SCOPE = ((234, 4),)          # ingressVRFID
+_OPTNAME_FIELDS = ((236, 16), (90, 8), (82, 20))  # vrfName, RD, ifName
+
+
+def encode_options_names(maps: DataFrame) -> DataFrame:
+    """Pack VRF exposition rows into IPFIX options datagrams (set 3
+    layout): scope ingressVRFID(234) -> vrfName(236, 16B null-padded)
+    + mplsVpnRD(90, 8B big-endian of ``rd_int``) + interfaceName(82,
+    20B). ``maps`` needs: exporter_ip, seq (header sequence — later
+    rounds overwrite earlier ones in options_map), vrf_id, vrf_name,
+    rd_int, iface_name. Each datagram is self-contained (template set
+    first), like encode_options."""
+    tmpl_body = struct.pack(
+        "!HHH", OPTIONS_NAME_TEMPLATE_ID,
+        len(_OPTNAME_SCOPE) + len(_OPTNAME_FIELDS), len(_OPTNAME_SCOPE),
+    )
+    for ie, ln in _OPTNAME_SCOPE + _OPTNAME_FIELDS:
+        tmpl_body += struct.pack("!HH", ie, ln)
+    tmpl_set = struct.pack("!HH", 3, 4 + len(tmpl_body)) + tmpl_body
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for r in pdf.itertuples(index=False):
+                data = (
+                    struct.pack("!I", int(r.vrf_id))
+                    + str(r.vrf_name).encode()[:16].ljust(16, b"\x00")
+                    + struct.pack("!Q", int(r.rd_int))
+                    + str(r.iface_name).encode()[:20].ljust(20, b"\x00")
+                )
+                ds = struct.pack(
+                    "!HH", OPTIONS_NAME_TEMPLATE_ID, 4 + len(data)
+                ) + data
+                sets = tmpl_set + ds
+                dgram = struct.pack(
+                    "!HHIII", 10, 16 + len(sets), 0, int(r.seq), 0
+                ) + sets
+                out.append((str(r.exporter_ip), int(r.seq), dgram))
+            yield pd.DataFrame(
+                out, columns=["exporter_ip", "seqno", "payload"]
+            )
+
+    return maps.mapInPandas(gen, DATAGRAM_SCHEMA)
