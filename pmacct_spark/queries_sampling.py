@@ -9,7 +9,12 @@ from pyspark.sql import functions as F
 
 from pmacct_spark.config import PluginConfig
 from pmacct_spark.driver_queries import flows, register
-from pmacct_spark.operators.fss import fss_duck_sql, fss_sample
+from pmacct_spark.operators.fss import (
+    fsrc_duck_sql,
+    fss_duck_sql,
+    fss_sample,
+    priority_sample,
+)
 from pmacct_spark.pipeline import build_aggregation
 from pmacct_spark.sources.tables import load_table
 from pmacct_spark.views.flows import FLOWS_DUCK_CTE
@@ -34,6 +39,29 @@ def fss_smart_sampling(spark, sf_dir):
     cfg = PluginConfig(aggregate=["src_host", "dst_host"])
     agg = build_aggregation(flows(spark, sf_dir), cfg)
     return fss_sample(agg, _FSS_T, ["src_host", "dst_host"])
+
+
+_FSRC_M = 200
+
+_FSRC_INNER = f"""{FLOWS_DUCK_CTE}
+SELECT event_id, bytes, packets FROM flows"""
+
+
+# --- fsrc: priority sampling of the flow queue (check_fsrc,
+#     src/preprocess.c:582-668) — deterministic hash-uniform twin of
+#     the reference's random()-seeded draw, same Duffield estimator
+@register(
+    "fsrc_priority_sampling",
+    fsrc_duck_sql(_FSRC_INNER, _FSRC_M, "event_id"),
+)
+def fsrc_priority_sampling(spark, sf_dir):
+    """Keep the m=200 highest-priority flows (z = bytes/w), renormalize
+    survivors below the discarded threshold tau up to tau. The oracle
+    replays the identical double-precision priority and integer
+    renormalization, so both the top-k membership and every
+    renormalized counter value are hash-checked."""
+    fl = flows(spark, sf_dir).select("event_id", "bytes", "packets")
+    return priority_sample(fl, _FSRC_M, "event_id")
 
 
 # --- conntrack-style correlation: relate data flows to their control

@@ -319,3 +319,60 @@ def test_ext_wire_roundtrip(spark, rows):
         for r in back.collect()
     )
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# priority sampling (check_fsrc twin) invariants
+# ---------------------------------------------------------------------------
+
+@SET
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=1, max_value=5_000_000),  # bytes
+            st.integers(min_value=1, max_value=1000),  # packets
+        ),
+        min_size=1,
+        max_size=40,
+        ),
+    st.integers(min_value=1, max_value=12),  # m
+)
+def test_priority_sample_invariants(spark, rows, m):
+    """Against a direct Python replay: survivors are EXACTLY the top-m
+    by z = bytes*P/h (deterministic hash uniform), each renormalized to
+    max(bytes, floor(tau)); fewer rows than m -> all kept untouched."""
+    from pmacct_spark.operators.fss import (
+        PRIO_A,
+        PRIO_B,
+        PRIO_P,
+        priority_sample,
+    )
+
+    df = spark.createDataFrame(
+        [(i, b, p) for i, (b, p) in enumerate(rows)],
+        "event_id long, bytes long, packets long",
+    )
+    got = {
+        r["event_id"]: (r["bytes"], r["packets"])
+        for r in priority_sample(df, m, "event_id").collect()
+    }
+
+    def z(i, b):
+        return (float(b) * PRIO_P) / (1 + (i * PRIO_A + PRIO_B) % PRIO_P)
+
+    order = sorted(
+        ((z(i, b), i, b, p) for i, (b, p) in enumerate(rows)),
+        key=lambda t: (-t[0], t[1]),
+    )
+    want = {}
+    if len(order) <= m:
+        want = {i: (b, p) for _, i, b, p in order}
+    else:
+        tau = int(order[m][0] // 1)  # floor of the (m+1)-th priority
+        for _, i, b, p in order[:m]:
+            if b < tau:
+                bpr = b // p
+                want[i] = (tau, tau // bpr if bpr >= 1 else p)
+            else:
+                want[i] = (b, p)
+    assert got == want
