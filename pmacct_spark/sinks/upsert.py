@@ -108,3 +108,93 @@ class ParquetUpsertTable:
         # materialize before overwrite (can't overwrite what we read)
         merged.localCheckpoint(eager=True).write.mode("overwrite").parquet(self.path)
         self._exists = True
+
+
+class DuckDBSqlTable:
+    """LIVE SQL-plugin sink against an embedded SQL database.
+
+    DuckDB stands in for the reference's embedded sqlite3 backend
+    (src/sqlite3_plugin.c; statement cycle src/sql_common.c:680-765):
+    a real SQL engine executes the UPDATE-counters-then-INSERT purge
+    against a persistent database file, with stamp_inserted /
+    stamp_updated bookkeeping and ``sql_dont_try_update`` append-only
+    mode. Swapping the connection for MySQL/Postgres (or
+    ``df.write.jdbc`` on a cluster) keeps the same statement shape.
+
+    The purge batch is an already-aggregated frame (one row per key
+    per cycle — the plugin cache the reference flushes), so moving it
+    through the driver connection is the reference's own writer
+    topology, not a scale liability; cluster deployments point the
+    same statements at a server over JDBC/foreachPartition.
+    """
+
+    def __init__(self, db_path: str, table: str, keys: list[str], counters: list[str]):
+        self.db_path = db_path
+        self.table = table
+        self.keys = keys
+        self.counters = counters
+
+    def _con(self):
+        import duckdb
+
+        return duckdb.connect(self.db_path)
+
+    def purge(self, batch: DataFrame, stamp_updated: str, append_only: bool = False):
+        """One purge cycle, set-based but semantically identical to the
+        reference's per-row UPDATE -> (0 rows affected) -> INSERT."""
+        pdf = batch.toPandas()
+        con = self._con()
+        try:
+            con.register("__batch", pdf)
+            cols = list(pdf.columns)
+            collist = ", ".join(cols)
+            con.execute(
+                f"CREATE TABLE IF NOT EXISTS {self.table} AS "
+                f"SELECT *, CAST(NULL AS TIMESTAMP) AS stamp_updated "
+                f"FROM __batch LIMIT 0"
+            )
+            ts = f"TIMESTAMP '{stamp_updated}'"
+            if append_only:  # sql_dont_try_update: blind INSERT
+                con.execute(
+                    f"INSERT INTO {self.table} "
+                    f"SELECT {collist}, {ts} FROM __batch"
+                )
+                return
+            keyeq = " AND ".join(
+                f"{self.table}.{k} IS NOT DISTINCT FROM b.{k}" for k in self.keys
+            )
+            sets = ", ".join(
+                f"{c} = {self.table}.{c} + b.{c}" for c in self.counters
+            )
+            con.execute(
+                f"UPDATE {self.table} SET {sets}, stamp_updated = {ts} "
+                f"FROM __batch b WHERE {keyeq}"
+            )
+            con.execute(
+                f"INSERT INTO {self.table} "
+                f"SELECT {collist}, {ts} FROM __batch b "
+                f"WHERE NOT EXISTS ("
+                f"  SELECT 1 FROM {self.table} t WHERE "
+                + " AND ".join(
+                    f"t.{k} IS NOT DISTINCT FROM b.{k}" for k in self.keys
+                )
+                + ")"
+            )
+        finally:
+            con.close()
+
+    def read_rows(self) -> list[tuple]:
+        con = self._con()
+        try:
+            cols = [
+                r[1]
+                for r in con.execute(
+                    f"PRAGMA table_info('{self.table}')"
+                ).fetchall()
+            ]
+            order = ", ".join(self.keys)
+            return cols, con.execute(
+                f"SELECT * FROM {self.table} ORDER BY {order}"
+            ).fetchall()
+        finally:
+            con.close()

@@ -293,3 +293,52 @@ def test_zmq_pipe_buffers(spark):
     assert (seq, topic) == (0, 3)
     body = bytes(bufs[0].buffer)[9:]
     assert len(body) == blen and body.count(b"\n") == 99
+
+
+def test_duckdb_sql_table_matches_merge_semantics(spark, tmp_path):
+    """The LIVE embedded-SQL sink (DuckDB executing the reference's
+    UPDATE-then-INSERT cycle, src/sql_common.c:680-765) must land in
+    exactly the state the Spark-side MERGE stand-in computes: same
+    rows, doubled counters after a repeat purge, stamp_updated
+    refreshed — a cross-implementation gate between the two sink
+    paths."""
+    from pmacct_spark.sinks.upsert import DuckDBSqlTable
+
+    agg = _agg(spark).localCheckpoint(eager=True)
+    n = agg.count()
+    keys = ["src_as", "dst_as"]
+    counters = ["bytes", "packets", "flows"]
+
+    pq = ParquetUpsertTable(spark, str(tmp_path / "pq"), keys, counters)
+    db = DuckDBSqlTable(str(tmp_path / "acct.duckdb"), "acct", keys, counters)
+    for stamp in ("2024-02-01 00:00:00", "2024-02-01 00:05:00"):
+        pq.purge(agg, stamp)
+        db.purge(agg, stamp)
+
+    cols, rows = db.read_rows()
+    assert len(rows) == n
+    want = {
+        tuple(r[k] for k in keys): r
+        for r in pq.read().collect()
+    }
+    for r in rows:
+        rec = dict(zip(cols, r))
+        w = want[tuple(rec[k] for k in keys)]
+        for c in counters:
+            assert rec[c] == w[c], (rec, w)
+        assert str(rec["stamp_updated"]) == "2024-02-01 00:05:00"
+
+
+def test_duckdb_sql_table_append_only(spark, tmp_path):
+    from pmacct_spark.sinks.upsert import DuckDBSqlTable
+
+    agg = _agg(spark).localCheckpoint(eager=True)
+    n = agg.count()
+    db = DuckDBSqlTable(
+        str(tmp_path / "a2.duckdb"), "acct", ["src_as", "dst_as"],
+        ["bytes", "packets", "flows"],
+    )
+    db.purge(agg, "2024-02-01 00:00:00", append_only=True)
+    db.purge(agg, "2024-02-01 00:05:00", append_only=True)
+    _, rows = db.read_rows()
+    assert len(rows) == 2 * n  # sql_dont_try_update: blind INSERT
