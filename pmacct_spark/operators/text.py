@@ -173,3 +173,82 @@ def redact_pii_duck(text_col: str = "text") -> str:
     for pat, repl in PII_PATTERNS:
         expr = f"regexp_replace({expr}, '{pat}', '{repl}', 'g')"
     return expr
+
+
+# --- repetition / boilerplate signals (the Gopher-style repetition
+#     rules used to drop templated or stuttering documents) ---------------
+
+def repetition_features(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Add exact integer repetition signals per document:
+
+    - ``n_lines``: newline-split line count;
+    - ``dup_line_pm``: per-mille of lines that are duplicates of an
+      earlier line (templated/boilerplate detector);
+    - ``top_bigram_pm``: per-mille of token bigrams occupied by the
+      single most frequent bigram (stutter/keyword-spam detector).
+
+    All built-in expressions (split/transform/filter/array_max) —
+    JVM-side and cross-engine exact. The bigram mode is O(distinct·n)
+    per doc, linear in practice for bounded-length documents (quality
+    pipelines cap length upstream; a sketch replaces the exact mode at
+    book scale)."""
+    toks = _toks_sql(text_col)
+    out = (
+        df.withColumn("__t", F.expr(toks))
+        .withColumn("__lines", F.split(F.col(text_col), "\n"))
+        .withColumn(
+            "__bg",
+            F.expr(
+                "CASE WHEN size(__t) >= 2 THEN "
+                "transform(sequence(0, size(__t) - 2), "
+                "i -> concat(__t[i], ' ', __t[i + 1])) "
+                "ELSE array() END"
+            ),
+        )
+    )
+    return (
+        out.withColumn("n_lines", F.expr("size(__lines)"))
+        .withColumn(
+            "dup_line_pm",
+            F.expr(
+                "CAST((size(__lines) - size(array_distinct(__lines))) * 1000 "
+                "DIV size(__lines) AS INT)"
+            ),
+        )
+        .withColumn(
+            "top_bigram_pm",
+            F.expr(
+                "CAST(CASE WHEN size(__t) >= 2 THEN "
+                "array_max(transform(array_distinct(__bg), "
+                "b -> size(filter(__bg, x -> x = b)))) * 1000 "
+                "DIV (size(__t) - 1) ELSE 0 END AS INT)"
+            ),
+        )
+        .drop("__t", "__lines", "__bg")
+    )
+
+
+def repetition_duck(text_col: str = "text", source: str = "documents") -> str:
+    """DuckDB replay of :func:`repetition_features`."""
+    return f"""
+WITH __tk AS (
+  SELECT *, string_split_regex(lower({text_col}), '\\s+') AS __t,
+         string_split({text_col}, chr(10)) AS __lines
+  FROM {source}
+),
+__bgx AS (
+  SELECT *, CASE WHEN len(__t) >= 2 THEN
+      list_transform(range(1, len(__t)), i -> __t[i] || ' ' || __t[i + 1])
+    ELSE [] END AS __bg
+  FROM __tk
+)
+SELECT * EXCLUDE (__t, __lines, __bg),
+  len(__lines) AS n_lines,
+  CAST((len(__lines) - len(list_distinct(__lines))) * 1000
+       // len(__lines) AS INT) AS dup_line_pm,
+  CAST(CASE WHEN len(__t) >= 2 THEN
+    list_max(list_transform(list_distinct(__bg),
+                            b -> len(list_filter(__bg, x -> x = b)))) * 1000
+    // (len(__t) - 1) ELSE 0 END AS INT) AS top_bigram_pm
+FROM __bgx
+"""

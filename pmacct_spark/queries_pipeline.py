@@ -299,3 +299,24 @@ def embedding_centroids_per_label(spark, sf_dir):
             F.count(F.lit(1)).alias("n_vectors"),
         )
     )
+
+
+# --- repetition / boilerplate signals (Gopher-style rules): line-dup
+#     ratio + most-frequent-bigram share, exact integer per-mille
+@register(
+    "text_repetition_metrics",
+    f"""
+SELECT doc_id, n_lines, dup_line_pm, top_bigram_pm
+FROM ({text.repetition_duck()})
+WHERE dup_line_pm >= 100 OR top_bigram_pm >= 100 OR doc_id % 7 = 0""",
+)
+def text_repetition_metrics(spark, sf_dir):
+    """Repetition-heavy documents (boilerplate, keyword stuffing) are
+    exactly what dedup misses — same-document internal repetition.
+    The filter keeps flagged docs plus a deterministic 1-in-7 sample
+    so the oracle checks both flagged and clean values."""
+    docs = load_table(spark, sf_dir, "documents")
+    feats = text.repetition_features(docs, "text")
+    return feats.filter(
+        "dup_line_pm >= 100 OR top_bigram_pm >= 100 OR doc_id % 7 = 0"
+    ).select("doc_id", "n_lines", "dup_line_pm", "top_bigram_pm")

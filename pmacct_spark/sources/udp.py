@@ -68,6 +68,8 @@ class UdpSpool:
         self._seq = 0
         self._nfile = 0
         self.datagrams_received = 0
+        self.datagrams_dropped = 0  # rows lost to failed flushes
+        self.last_error: Exception | None = None
 
     # -- lifecycle ----------------------------------------------------
     def start(self) -> "UdpSpool":
@@ -116,11 +118,21 @@ class UdpSpool:
                 len(buf) >= self.flush_datagrams
                 or now - last_flush >= self.flush_secs
             ):
-                self._flush(buf)
+                self._try_flush(buf)
                 buf = []
                 last_flush = now
         if buf:
-            self._flush(buf)
+            self._try_flush(buf)
+
+    def _try_flush(self, rows: list[tuple[str, int, bytes]]) -> None:
+        """A failed flush (disk full, spool dir removed) must not kill
+        the listener thread — the reference daemon logs and keeps
+        collecting. The batch is dropped and counted."""
+        try:
+            self._flush(rows)
+        except Exception as exc:  # pragma: no cover - environmental
+            self.datagrams_dropped += len(rows)
+            self.last_error = exc
 
     def _flush(self, rows: list[tuple[str, int, bytes]]) -> None:
         import pyarrow as pa
