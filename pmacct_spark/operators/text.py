@@ -187,49 +187,47 @@ def repetition_features(df: DataFrame, text_col: str = "text") -> DataFrame:
     - ``top_bigram_pm``: per-mille of token bigrams occupied by the
       single most frequent bigram (stutter/keyword-spam detector).
 
-    All built-in expressions (split/transform/filter/array_max) —
-    JVM-side and cross-engine exact. The bigram mode is O(distinct·n)
-    per doc, linear in practice for bounded-length documents (quality
-    pipelines cap length upstream; a sketch replaces the exact mode at
-    book scale)."""
+    All built-in expressions — JVM-side and cross-engine exact. The
+    bigram mode is array_sort + a run-length fold, O(n log n) per doc.
+    Two formulation traps, both hit and fixed here: a naive
+    distinct×filter mode is O(n²); and staging the token array in a
+    helper column lets Catalyst's projection collapsing INLINE the
+    split() into every array subscript (re-tokenizing the document per
+    bigram element — O(n²) again, invisible in the logical plan). The
+    token array is therefore bound ONCE as a lambda variable via
+    transform(array(split(...)), t -> ...), which Catalyst cannot
+    inline through."""
     toks = _toks_sql(text_col)
-    out = (
-        df.withColumn("__t", F.expr(toks))
-        .withColumn("__lines", F.split(F.col(text_col), "\n"))
-        .withColumn(
-            "__bg",
-            F.expr(
-                "CASE WHEN size(__t) >= 2 THEN "
-                "transform(sequence(0, size(__t) - 2), "
-                "i -> concat(__t[i], ' ', __t[i + 1])) "
-                "ELSE array() END"
-            ),
-        )
+    # run-length fold over the SORTED bigrams of lambda-bound t: the
+    # longest run is the mode's count
+    top_bigram = (
+        f"CAST(element_at(transform(array({toks}), t -> "
+        "CASE WHEN size(t) >= 2 THEN "
+        "aggregate("
+        "  array_sort(transform(sequence(0, size(t) - 2), "
+        "    i -> concat(t[i], ' ', t[i + 1]))), "
+        "  struct('' AS prev, 0 AS run, 0 AS best), "
+        "  (a, x) -> struct(x, "
+        "    IF(x = a.prev, a.run + 1, 1), "
+        "    GREATEST(a.best, IF(x = a.prev, a.run + 1, 1))), "
+        "  a -> a.best) * 1000 DIV (size(t) - 1) "
+        "ELSE 0 END), 1) AS INT)"
+    )
+    lines = f"split({text_col}, '\\n')"
+    dup_line = (
+        f"CAST(element_at(transform(array({lines}), l -> "
+        "(size(l) - size(array_distinct(l))) * 1000 DIV size(l)), 1) AS INT)"
     )
     return (
-        out.withColumn("n_lines", F.expr("size(__lines)"))
-        .withColumn(
-            "dup_line_pm",
-            F.expr(
-                "CAST((size(__lines) - size(array_distinct(__lines))) * 1000 "
-                "DIV size(__lines) AS INT)"
-            ),
-        )
-        .withColumn(
-            "top_bigram_pm",
-            F.expr(
-                "CAST(CASE WHEN size(__t) >= 2 THEN "
-                "array_max(transform(array_distinct(__bg), "
-                "b -> size(filter(__bg, x -> x = b)))) * 1000 "
-                "DIV (size(__t) - 1) ELSE 0 END AS INT)"
-            ),
-        )
-        .drop("__t", "__lines", "__bg")
+        df.withColumn("n_lines", F.expr(f"size({lines})"))
+        .withColumn("dup_line_pm", F.expr(dup_line))
+        .withColumn("top_bigram_pm", F.expr(top_bigram))
     )
 
 
 def repetition_duck(text_col: str = "text", source: str = "documents") -> str:
-    """DuckDB replay of :func:`repetition_features`."""
+    """DuckDB replay of :func:`repetition_features` (the mode count
+    uses a correlated unnest+GROUP BY — hash-linear per doc)."""
     return f"""
 WITH __tk AS (
   SELECT *, string_split_regex(lower({text_col}), '\\s+') AS __t,
@@ -247,8 +245,8 @@ SELECT * EXCLUDE (__t, __lines, __bg),
   CAST((len(__lines) - len(list_distinct(__lines))) * 1000
        // len(__lines) AS INT) AS dup_line_pm,
   CAST(CASE WHEN len(__t) >= 2 THEN
-    list_max(list_transform(list_distinct(__bg),
-                            b -> len(list_filter(__bg, x -> x = b)))) * 1000
-    // (len(__t) - 1) ELSE 0 END AS INT) AS top_bigram_pm
+    (SELECT MAX(c) FROM (
+       SELECT COUNT(*) AS c FROM unnest(__bg) AS u(x) GROUP BY x
+     )) * 1000 // (len(__t) - 1) ELSE 0 END AS INT) AS top_bigram_pm
 FROM __bgx
 """

@@ -315,7 +315,11 @@ def text_repetition_metrics(spark, sf_dir):
     exactly what dedup misses — same-document internal repetition.
     The filter keeps flagged docs plus a deterministic 1-in-7 sample
     so the oracle checks both flagged and clean values."""
-    docs = load_table(spark, sf_dir, "documents")
+    # the table is one small file -> one input partition; the HOF
+    # folds are interpreted, so spread the per-doc work across cores
+    docs = load_table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
     feats = text.repetition_features(docs, "text")
     return feats.filter(
         "dup_line_pm >= 100 OR top_bigram_pm >= 100 OR doc_id % 7 = 0"

@@ -74,3 +74,21 @@ def write_kafka(frame: DataFrame, bootstrap_servers: str, streaming: bool = Fals
     frame.write.format("kafka").option(
         "kafka.bootstrap.servers", bootstrap_servers
     ).save()
+
+
+def kafka_avro_frame(
+    df: DataFrame,
+    topic: str,
+    registry,
+    key_cols: list[str] | None = None,
+) -> DataFrame:
+    """``kafka_output: avro`` with ``kafka_avro_schema_registry``
+    (reference src/kafka_plugin.c + src/plugin_cmn_avro.c:47): the
+    Kafka writer contract where every value is a Confluent-framed Avro
+    datum — schema registered once driver-side under
+    ``<topic>-value``, the 5-byte [magic 0][schema id] header
+    prepended executor-side."""
+    from pmacct_spark.sinks.avro import avro_registry_frames
+
+    framed = avro_registry_frames(df, registry, topic, key_cols=key_cols)
+    return framed.select("key", "value", F.lit(topic).alias("topic"))

@@ -89,3 +89,40 @@ def write_zmq(frame: DataFrame, endpoint: str) -> None:
     for r in frame.toLocalIterator():  # pragma: no cover
         sock.send(bytes([r["topic"]]) + r["payload"].encode("utf-8"))
     sock.close()  # pragma: no cover
+
+
+def zmq_pipe_unpack(buffers: DataFrame) -> DataFrame:
+    """The RECEIVE side of the plugin pipe: parse length-prefixed
+    buffers back into individual (seq, topic, payload) records — what
+    a plugin does with each ring-buffer read (reference
+    src/plugin_hooks.c read loop over struct ch_buf_hdr). Round-trips
+    :func:`zmq_pipe_buffers` exactly; per-partition, no shuffle."""
+    import pandas as pd
+
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("seq", T.LongType()),
+            T.StructField("topic", T.IntegerType()),
+            T.StructField("payload", T.StringType()),
+        ]
+    )
+
+    def gen(batches):
+        for pdf in batches:
+            out = []
+            for buf in pdf["buffer"]:
+                b = bytes(buf)
+                if len(b) < 9:
+                    continue  # truncated header: drop, keep consuming
+                seq, topic, blen = struct.unpack_from("!IBI", b, 0)
+                body = b[9 : 9 + blen]
+                if len(body) < blen:
+                    continue  # truncated body
+                for line in body.decode("utf-8").split("\n"):
+                    if line:
+                        out.append((seq, topic, line))
+            yield pd.DataFrame(out, columns=["seq", "topic", "payload"])
+
+    return buffers.select("buffer").mapInPandas(gen, schema)

@@ -342,3 +342,47 @@ def test_duckdb_sql_table_append_only(spark, tmp_path):
     db.purge(agg, "2024-02-01 00:05:00", append_only=True)
     _, rows = db.read_rows()
     assert len(rows) == 2 * n  # sql_dont_try_update: blind INSERT
+
+
+def test_zmq_pipe_roundtrip(spark):
+    """pipe buffers -> unpack round-trips every record (the core ->
+    plugin ring-buffer contract, both directions)."""
+    from pmacct_spark.sinks.zmq import zmq_pipe_buffers, zmq_pipe_unpack
+
+    agg = _agg(spark).coalesce(1).localCheckpoint(eager=True)
+    n = agg.count()
+    assert n > 10  # multiple buffers at 10 records each
+    bufs = zmq_pipe_buffers(agg, topic=7, records_per_buffer=10)
+    back = zmq_pipe_unpack(bufs)
+    rows = back.collect()
+    assert len(rows) == n
+    assert all(r["topic"] == 7 for r in rows)
+    import json as _json
+
+    got = {
+        (d["src_as"], d["dst_as"]): d["bytes"]
+        for d in (_json.loads(r["payload"]) for r in rows)
+    }
+    want = {
+        (r["src_as"], r["dst_as"]): r["bytes"] for r in agg.collect()
+    }
+    assert got == want
+
+
+def test_kafka_avro_registry_frame(spark):
+    """kafka_output: avro + schema registry: every Kafka value is a
+    Confluent-framed datum resolvable through the registry."""
+    from pmacct_spark.sinks.avro import StubSchemaRegistry, read_registry_frame
+    from pmacct_spark.sinks.kafka import kafka_avro_frame
+
+    reg = StubSchemaRegistry()
+    agg = _agg(spark).limit(8)
+    fr = kafka_avro_frame(agg, "daisy.flow", reg, key_cols=["src_as"])
+    rows = fr.collect()
+    assert len(rows) == 8
+    assert {r["topic"] for r in rows} == {"daisy.flow"}
+    want = {r["src_as"]: r["bytes"] for r in agg.collect()}
+    for r in rows:
+        sid, rec = read_registry_frame(bytes(r["value"]), reg)
+        assert sid == 1
+        assert want[rec["src_as"]] == rec["bytes"]
