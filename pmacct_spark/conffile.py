@@ -1,0 +1,301 @@
+"""Reference-format configuration and map-file loaders.
+
+A pmacct deployment is driven by a ``key: value`` daemon config
+(CONFIG-KEYS; ``!`` comments, per-plugin scoping via ``key[name]:``)
+plus map files (pre_tag_map, networks_file, ports_file, sampling_map,
+aggregate_primitives). This module parses THOSE exact formats into
+the engine's native objects — :class:`PluginConfig` channels,
+:class:`~pmacct_spark.operators.pretag.Rule` lists, network/ports
+rows, :class:`~pmacct_spark.streaming.decode.CustomIE` declarations —
+so a reference user's existing files configure this engine unchanged.
+
+Reference parsers mirrored: config read ``src/cfg.c`` (key file
+syntax, per-plugin brackets), map grammar ``src/pretag.c:126`` /
+``map examples in examples/``, networks list ``src/net_aggr.c``,
+ports list ``src/plugin_common.c:1419``, custom primitives
+``src/cfg.h:45-63``.
+"""
+
+from __future__ import annotations
+
+import ipaddress
+import re
+from dataclasses import dataclass, field
+
+from pmacct_spark.config import PluginConfig, Preprocess
+from pmacct_spark.operators.pretag import Rule
+
+# plugin types whose per-type keys map onto a channel
+_PLUGIN_TYPES = ("memory", "print", "sql", "mysql", "pgsql", "sqlite3",
+                 "kafka", "amqp", "nfprobe", "sfprobe", "tee")
+# key prefixes that all mean "this channel's history/refresh/..."
+_TYPE_PREFIXES = ("sql", "print", "kafka", "amqp")
+
+
+@dataclass
+class Conf:
+    """Parsed daemon config: global keys + per-plugin overrides."""
+
+    globals: dict[str, str] = field(default_factory=dict)
+    scoped: dict[str, dict[str, str]] = field(default_factory=dict)
+    plugins: list[tuple[str, str]] = field(default_factory=list)  # (type, name)
+
+    def get(self, key: str, plugin: str | None = None, default=None):
+        if plugin is not None:
+            v = self.scoped.get(plugin, {}).get(key)
+            if v is not None:
+                return v
+        return self.globals.get(key, default)
+
+    def getbool(self, key: str, plugin: str | None = None, default=False):
+        v = self.get(key, plugin)
+        if v is None:
+            return default
+        return str(v).strip().lower() in ("true", "1", "yes")
+
+
+_KEY_RE = re.compile(r"^([A-Za-z0-9_]+)(?:\[([^\]]+)\])?\s*:\s*(.*)$")
+
+
+def parse_conf(text: str) -> Conf:
+    """Parse ``key: value`` / ``key[plugin]: value`` lines; ``!``
+    starts a comment (whole line or trailing)."""
+    conf = Conf()
+    for raw in text.splitlines():
+        line = raw.split("!", 1)[0].strip()
+        if not line:
+            continue
+        m = _KEY_RE.match(line)
+        if not m:
+            continue  # reference warns and skips malformed lines
+        key, plugin, value = m.group(1), m.group(2), m.group(3).strip()
+        if key == "plugins":
+            for spec in value.split(","):
+                spec = spec.strip()
+                pm = re.match(r"^(\w+)(?:\[([^\]]+)\])?$", spec)
+                if pm:
+                    ptype, pname = pm.group(1), pm.group(2) or pm.group(1)
+                    conf.plugins.append((ptype, pname))
+            continue
+        if plugin:
+            conf.scoped.setdefault(plugin, {})[key] = value
+        else:
+            conf.globals[key] = value
+    return conf
+
+
+def _typed(conf: Conf, plugin: str, suffix: str):
+    """Resolve ``<type>_<suffix>`` for a channel (sql_history /
+    print_history / kafka_history ... whichever is set)."""
+    for pfx in _TYPE_PREFIXES:
+        v = conf.get(f"{pfx}_{suffix}", plugin)
+        if v is not None:
+            return v
+    return None
+
+
+def _parse_preprocess(spec: str) -> Preprocess:
+    """``sql_preprocess: minb=100,maxbpp=1500,usrf=64`` (reference
+    src/preprocess.c key grammar)."""
+    p = Preprocess()
+    for part in spec.split(","):
+        part = part.strip()
+        if not part or "=" not in part:
+            continue
+        k, v = part.split("=", 1)
+        if hasattr(p, k):
+            setattr(p, k, int(v))
+    return p
+
+
+def channels(conf: Conf) -> dict[str, PluginConfig]:
+    """Build one :class:`PluginConfig` per declared plugin."""
+    out: dict[str, PluginConfig] = {}
+    for _ptype, name in conf.plugins or [("memory", "default")]:
+        agg = conf.get("aggregate", name, "")
+        cfg = PluginConfig(
+            aggregate=[a.strip() for a in agg.split(",") if a.strip()],
+            history=_typed(conf, name, "history"),
+            history_roundoff=_typed(conf, name, "history_roundoff"),
+            pro_rating=conf.getbool("nfacctd_pro_rating", name),
+            stitching=conf.getbool("nfacctd_stitching", name),
+            renormalize=conf.getbool("nfacctd_renormalize", name),
+            aggregate_filter=conf.get("aggregate_filter", name),
+            timestamps_secs=conf.getbool("timestamps_secs", name),
+        )
+        ptf = conf.get("pre_tag_filter", name)
+        if ptf:
+            cfg.pre_tag_filter = [int(x) for x in ptf.split(",")]
+        pt = conf.get("post_tag", name)
+        if pt is not None:
+            cfg.post_tag = int(pt)
+        pre = _typed(conf, name, "preprocess")
+        if pre:
+            cfg.preprocess = _parse_preprocess(pre)
+        out[name] = cfg
+    return out
+
+
+# --- map files --------------------------------------------------------------
+
+# pretag MATCH keys -> flow-schema columns (subset: the keys the engine
+# carries as columns; reference full list src/pretag.h:37-108)
+_PRETAG_KEY_COLS = {
+    "ip": "peer_src_ip",
+    "in": "iface_in",
+    "out": "iface_out",
+    "ip_proto": "ip_proto",
+    "src_port": "port_src",
+    "dst_port": "port_dst",
+    "vlan": "vlan",
+    "source_id": "source_id",
+    "engine_id": "engine_id",
+    "engine_type": "engine_type",
+}
+_PRETAG_INT_KEYS = {k for k in _PRETAG_KEY_COLS if k != "ip"}
+
+
+def _strip_host_cidr(v: str) -> str:
+    """``ip=`` takes the exporter address, optionally /32 or /128."""
+    if v.endswith("/32") or v.endswith("/128"):
+        return v.rsplit("/", 1)[0]
+    return v
+
+
+def parse_pretag_map(text: str) -> list[Rule]:
+    """pre_tag_map rules: ``set_tag=N key=v ...`` per line, first full
+    match wins, ``label=``/``jeq=``/``stack=`` alter evaluation flow,
+    negative match values negate (``in=-2``)."""
+    rules: list[Rule] = []
+    int_sets = {"set_tag", "set_tag2"}
+    str_sets = {"set_label", "label", "jeq", "stack"}
+    for raw in text.splitlines():
+        line = raw.split("!", 1)[0].strip()
+        if not line:
+            continue
+        match: dict[str, object] = {}
+        kwargs: dict[str, object] = {}
+        for token in line.split():
+            if "=" not in token:
+                continue
+            k, v = token.split("=", 1)
+            if k in int_sets:
+                kwargs[k] = int(v)
+            elif k in str_sets:
+                kwargs[k] = v
+            elif k in _PRETAG_KEY_COLS:
+                col = _PRETAG_KEY_COLS[k]
+                if k in _PRETAG_INT_KEYS:
+                    iv = int(v)
+                    match[col] = ("!=", -iv) if iv < 0 else iv
+                else:
+                    match[col] = _strip_host_cidr(v)
+        rules.append(Rule(match=match, **kwargs))
+    return rules
+
+
+def parse_networks_file(text: str) -> list[dict]:
+    """networks_file rows -> LPM dimension rows. Formats (reference
+    examples/networks.lst.example):
+
+        <net>/<mask>
+        <origin_as>,<net>/<mask>
+        <peer_as>_<origin_as>,<net>/<mask>
+        <next-hop>,<origin_as>,<net>/<mask>
+    """
+    out: list[dict] = []
+    for raw in text.splitlines():
+        line = raw.split("!", 1)[0].strip()
+        if not line:
+            continue
+        parts = line.split(",")
+        nexthop = asn = peer_as = None
+        cidr = parts[-1]
+        if len(parts) == 3:
+            nexthop, asfield = parts[0], parts[1]
+        elif len(parts) == 2:
+            asfield = parts[0]
+        else:
+            asfield = None
+        if asfield:
+            if "_" in asfield:
+                pa, oa = asfield.split("_", 1)
+                peer_as, asn = int(pa), int(oa)
+            else:
+                asn = int(asfield)
+        net = ipaddress.ip_network(cidr, strict=False)
+        out.append(
+            {
+                "net_int": int(net.network_address),
+                "masklen": net.prefixlen,
+                "v6": net.version == 6,
+                "asn": asn,
+                "peer_as": peer_as,
+                "nexthop": nexthop,
+            }
+        )
+    return out
+
+
+def parse_ports_file(text: str) -> list[int]:
+    """ports_file: one port per line (``load_ports``,
+    reference src/plugin_common.c:1419)."""
+    out = []
+    for raw in text.splitlines():
+        line = raw.split("!", 1)[0].strip()
+        if line:
+            out.append(int(line))
+    return sorted(set(out))
+
+
+def parse_sampling_map(text: str) -> list[dict]:
+    """sampling_map rules: ``id=<rate> ip=<exporter> [in= out=]``."""
+    out: list[dict] = []
+    for raw in text.splitlines():
+        line = raw.split("!", 1)[0].strip()
+        if not line:
+            continue
+        row: dict = {}
+        for token in line.split():
+            if "=" not in token:
+                continue
+            k, v = token.split("=", 1)
+            if k == "id":
+                row["rate"] = int(v)
+            elif k == "ip":
+                row["exporter_ip"] = _strip_host_cidr(v)
+            elif k in ("in", "out"):
+                row[f"iface_{k}"] = int(v)
+        if row:
+            out.append(row)
+    return out
+
+
+def parse_custom_primitives(text: str) -> list:
+    """aggregate_primitives map: ``name= field_type=[pen:]ie len=
+    semantics=`` per line (reference src/cfg.h:45-63) ->
+    :class:`CustomIE` declarations."""
+    from pmacct_spark.streaming.decode import CustomIE
+
+    out = []
+    for raw in text.splitlines():
+        line = raw.split("!", 1)[0].strip()
+        if not line:
+            continue
+        kv = dict(
+            t.split("=", 1) for t in line.split() if "=" in t
+        )
+        if "name" not in kv or "field_type" not in kv:
+            continue
+        ft = kv["field_type"]
+        pen, ie = (ft.split(":", 1) if ":" in ft else ("0", ft))
+        out.append(
+            CustomIE(
+                name=kv["name"],
+                ie=int(ie),
+                pen=int(pen),
+                semantics=kv.get("semantics", "u_int"),
+                length=int(kv.get("len", 4)),
+            )
+        )
+    return out

@@ -47,16 +47,19 @@ def _key_cond(col: str, spec: object) -> Column:
     if isinstance(spec, tuple) and len(spec) == 2 and isinstance(spec[0], str):
         op, v = spec
         c = F.col(col)
-        return {
-            "=": c == v,
-            "!=": c != v,
-            ">": c > v,
-            ">=": c >= v,
-            "<": c < v,
-            "<=": c <= v,
-            "in": c.isin(list(v)),
-            "not in": ~c.isin(list(v)),
-        }[op]
+        # lazy dispatch: a dict literal would evaluate EVERY branch,
+        # and isin(list(v)) raises for scalar v before the lookup
+        ops = {
+            "=": lambda: c == v,
+            "!=": lambda: c != v,
+            ">": lambda: c > v,
+            ">=": lambda: c >= v,
+            "<": lambda: c < v,
+            "<=": lambda: c <= v,
+            "in": lambda: c.isin(list(v)),
+            "not in": lambda: ~c.isin(list(v)),
+        }
+        return ops[op]()
     if isinstance(spec, (list, set, tuple)):
         return F.col(col).isin(list(spec))
     return F.col(col) == spec

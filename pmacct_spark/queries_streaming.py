@@ -835,7 +835,7 @@ def mixed_wire_loop_agg(spark, sf_dir):
 
 
 @register(
-    "options_vrf_map_enrich",
+    "options_vrf_wire_enrich",
     f"""{FLOWS_DUCK_CTE}
 SELECT CASE WHEN iface_in % 2 = 0 THEN 'vrf-' || CAST(iface_in AS VARCHAR)
             ELSE 'stale-' || CAST(iface_in AS VARCHAR) END AS vrf_name,
@@ -847,7 +847,7 @@ SELECT CASE WHEN iface_in % 2 = 0 THEN 'vrf-' || CAST(iface_in AS VARCHAR)
        COUNT(*) AS n_records
 FROM flows GROUP BY 1, 2, 3""",
 )
-def options_vrf_map_enrich(spark, sf_dir):
+def options_vrf_wire_enrich(spark, sf_dir):
     """VRF/RD/interface exposition options ON THE WIRE with ID
     reassignment, oracle-gated (the reference's tests/112 scenario as
     a driver-checked query): round-1 options name every VRF id

@@ -1,0 +1,166 @@
+"""Reference-format config/map loaders: a pmacct user's files drive
+this engine. Fixtures are original but follow the documented grammars
+(CONFIG-KEYS key files, examples/*.example map formats).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from pmacct_spark import conffile
+
+CONF = """
+! daemon config
+daemonize: false
+timestamps_secs: true
+plugins: kafka[k1], print[p1]
+aggregate[k1]: src_host, dst_host, proto
+aggregate[p1]: proto
+kafka_history[k1]: 5m
+kafka_history_roundoff[k1]: m
+print_history[p1]: 1h
+print_preprocess[p1]: minb=100,maxbpp=1500
+aggregate_filter[p1]: proto = 6    ! tcp only
+pre_tag_filter[k1]: 100,200
+nfacctd_stitching: true
+nfacctd_renormalize: true
+"""
+
+
+def test_parse_conf_and_channels():
+    conf = conffile.parse_conf(CONF)
+    assert conf.plugins == [("kafka", "k1"), ("print", "p1")]
+    assert conf.getbool("timestamps_secs")
+    assert conf.get("kafka_history", "k1") == "5m"
+
+    chans = conffile.channels(conf)
+    assert set(chans) == {"k1", "p1"}
+    k1, p1 = chans["k1"], chans["p1"]
+    assert k1.aggregate == ["src_host", "dst_host", "proto"]
+    assert k1.history == "5m" and k1.history_roundoff == "m"
+    assert k1.pre_tag_filter == [100, 200]
+    assert k1.stitching and k1.renormalize and k1.timestamps_secs
+    assert p1.history == "1h"
+    assert p1.aggregate_filter == "proto = 6"
+    assert p1.preprocess.minb == 100 and p1.preprocess.maxbpp == 1500
+    assert "bytes >= 100" in p1.preprocess.having_sql()
+
+
+def test_channels_drive_real_aggregation(spark):
+    """A parsed channel builds the same plan a hand-written
+    PluginConfig does."""
+    from pmacct_spark.driver_queries import flows
+    from pmacct_spark.pipeline import build_aggregation
+    from tests.conftest import SF_DIR
+
+    conf = conffile.parse_conf(
+        "plugins: memory[m1]\naggregate[m1]: proto\nsql_history[m1]: 5m\n"
+    )
+    cfg = conffile.channels(conf)["m1"]
+    got = build_aggregation(flows(spark, SF_DIR), cfg)
+    assert {"stamp_inserted", "proto", "bytes", "packets", "flows"} <= set(
+        got.columns
+    )
+    assert got.count() > 0
+
+
+PRETAG_MAP = """
+! ordered rules, first full match wins
+set_tag=100 set_label=cust-a ip=192.0.2.31/32 in=10
+set_tag=200 ip=192.0.2.31 in=-10 jeq=others
+set_tag=300 label=others ip=192.0.2.32 src_port=443
+set_tag=400 ip=192.0.2.32
+"""
+
+
+def test_parse_pretag_map_applies(spark):
+    rules = conffile.parse_pretag_map(PRETAG_MAP)
+    assert len(rules) == 4
+    assert rules[0].set_tag == 100 and rules[0].set_label == "cust-a"
+    assert rules[0].match == {"peer_src_ip": "192.0.2.31", "iface_in": 10}
+    assert rules[1].match["iface_in"] == ("!=", 10)  # negation
+    assert rules[1].jeq == "others" and rules[2].label == "others"
+
+    from pmacct_spark.operators.pretag import apply_pretag
+
+    df = spark.createDataFrame(
+        [
+            ("192.0.2.31", 10, 80),
+            ("192.0.2.31", 20, 80),   # in!=10 -> rule 2, jeq skips rule 3
+            ("192.0.2.32", 1, 443),
+            ("192.0.2.32", 1, 80),
+        ],
+        "peer_src_ip string, iface_in int, src_port int",
+    ).withColumnRenamed("src_port", "port_src")
+    got = {
+        (r["peer_src_ip"], r["iface_in"], r["port_src"]): r["tag"]
+        for r in apply_pretag(df, rules).collect()
+    }
+    assert got == {
+        ("192.0.2.31", 10, 80): 100,
+        ("192.0.2.31", 20, 80): 200,
+        ("192.0.2.32", 1, 443): 300,
+        ("192.0.2.32", 1, 80): 400,
+    }
+
+
+NETWORKS = """
+! all four documented row formats
+192.168.95.0/24
+65001,10.0.0.0/8
+64512_65002,172.16.0.0/12
+10.0.0.254,65003,192.168.0.0/16
+2001:db8::/32
+"""
+
+
+def test_parse_networks_file_and_lpm(spark):
+    rows = conffile.parse_networks_file(NETWORKS)
+    assert len(rows) == 5
+    by_mask = {r["masklen"]: r for r in rows if not r["v6"]}
+    assert by_mask[24]["asn"] is None
+    assert by_mask[8]["asn"] == 65001
+    assert by_mask[12]["peer_as"] == 64512 and by_mask[12]["asn"] == 65002
+    assert by_mask[16]["nexthop"] == "10.0.0.254"
+    assert any(r["v6"] and r["masklen"] == 32 for r in rows)
+
+    from pmacct_spark.operators.lpm import lpm_join
+
+    nets = spark.createDataFrame(
+        [
+            (r["net_int"], r["masklen"], r["asn"] or 0)
+            for r in rows
+            if not r["v6"] and r["asn"]
+        ],
+        "net_int long, masklen int, asn long",
+    )
+    fl = spark.createDataFrame(
+        [(1, 0x0A010101), (2, 0xAC100101)], "rid long, ip long"
+    )
+    got = {
+        r["rid"]: r["src_as"]
+        for r in lpm_join(fl, nets, "ip", {"asn": "src_as"}).collect()
+    }
+    assert got == {1: 65001, 2: 65002}
+
+
+def test_parse_ports_sampling_customs():
+    assert conffile.parse_ports_file("! c\n22\n443\n22\n") == [22, 443]
+
+    smap = conffile.parse_sampling_map(
+        "id=64 ip=192.0.2.31/32\nid=1024 ip=192.0.2.32 in=9\n"
+    )
+    assert smap == [
+        {"rate": 64, "exporter_ip": "192.0.2.31"},
+        {"rate": 1024, "exporter_ip": "192.0.2.32", "iface_in": 9},
+    ]
+
+    cust = conffile.parse_custom_primitives(
+        "name=vrf_id_ingress field_type=234 len=4 semantics=u_int\n"
+        "name=app_name field_type=42:2 len=8 semantics=string\n"
+    )
+    assert cust[0].name == "vrf_id_ingress" and cust[0].ie == 234
+    assert cust[0].pen == 0 and cust[0].length == 4
+    assert cust[1].pen == 42 and cust[1].ie == 2
+    assert cust[1].semantics == "string"
+    assert cust[1].key == (42 << 16) | 2
