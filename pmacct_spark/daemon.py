@@ -39,6 +39,9 @@ def canonical_flows(decoded: DataFrame) -> DataFrame:
         decoded.withColumn("ip_src", ipv4_ntoa("ip_src_i"))
         .withColumn("ip_dst", ipv4_ntoa("ip_dst_i"))
         .withColumn("peer_ip_src", F.col("exporter_ip"))
+        # the presentation-name twin: pretag 'ip=' rules and clients
+        # address the exporter as peer_src_ip
+        .withColumn("peer_src_ip", F.col("exporter_ip"))
         .withColumn(
             "ts", F.timestamp_millis(F.col("ts_ms")).cast("timestamp_ntz")
         )
@@ -60,6 +63,8 @@ class Daemon:
     spool: UdpSpool
     channels: dict = field(default_factory=dict)  # name -> PluginConfig
 
+    flavor: str = "netflow"  # or "sflow" (sfacctd_port configured)
+
     @classmethod
     def from_conf(
         cls,
@@ -69,13 +74,16 @@ class Daemon:
         spool_dir: str | None = None,
     ) -> "Daemon":
         conf = conffile.parse_conf(conf_text)
-        port = int(conf.get("nfacctd_port", 0) or 0)
+        if conf.get("sfacctd_port") is not None:
+            flavor, port = "sflow", int(conf.get("sfacctd_port") or 0)
+        else:
+            flavor, port = "netflow", int(conf.get("nfacctd_port", 0) or 0)
         spool = UdpSpool(
             host=host, port=port, spool_dir=spool_dir, flush_secs=0.2
         ).start()
         return cls(
             spark=spark, conf=conf, spool=spool,
-            channels=conffile.channels(conf),
+            channels=conffile.channels(conf), flavor=flavor,
         )
 
     @property
@@ -86,14 +94,61 @@ class Daemon:
         self.spool.stop()
 
     def _decoded(self, streaming: bool) -> DataFrame:
-        from pmacct_spark.streaming.decode import decode_any
+        from pmacct_spark.streaming.decode import decode_any, decode_sflow_any
 
         dg = (
             self.spool.stream(self.spark)
             if streaming
             else self.spool.batch(self.spark)
         )
-        return canonical_flows(decode_any(dg.select("exporter_ip", "payload")))
+        decode = decode_sflow_any if self.flavor == "sflow" else decode_any
+        df = canonical_flows(decode(dg.select("exporter_ip", "payload")))
+        return self._maps(df)
+
+    def _maps(self, df: DataFrame) -> DataFrame:
+        """Apply the configured maps, exactly as the reference's
+        find_id / sampling-map passes tag and renormalize records
+        before plugin fan-out (src/pretag.c:1117)."""
+        ptm = self.conf.get("pre_tag_map")
+        if ptm:
+            from pmacct_spark.operators.pretag import apply_pretag
+
+            with open(ptm) as fh:
+                rules = conffile.parse_pretag_map(fh.read())
+            df = apply_pretag(df, rules, label_out="label")
+        smap = self.conf.get("sampling_map")
+        if smap:
+            with open(smap) as fh:
+                rows = conffile.parse_sampling_map(fh.read())
+            # first-match-wins when/otherwise chain (tiny rule list,
+            # broadcast-free codegen; reference sampling_map semantics)
+            rate = F.lit(1).cast("long")
+            for r in reversed(rows):
+                cond = F.col("peer_ip_src") == F.lit(r["exporter_ip"])
+                for ic in ("iface_in", "iface_out"):
+                    if ic in r:
+                        cond = cond & (F.col(ic) == F.lit(r[ic]))
+                rate = F.when(cond, F.lit(r["rate"]).cast("long")).otherwise(rate)
+            df = df.withColumn("sampling_rate", rate)
+        return df
+
+    @staticmethod
+    def _route(df: DataFrame, cfg) -> DataFrame:
+        """Per-channel routing for the STREAMING path (the batch path
+        gets this inside build_aggregation): pre_tag_filter + sampling
+        renormalization."""
+        if cfg.pre_tag_filter is not None and "tag" in df.columns:
+            df = df.filter(F.col("tag").isin(list(cfg.pre_tag_filter)))
+        if cfg.renormalize and "sampling_rate" in df.columns:
+            for c in ("bytes", "packets"):
+                df = df.withColumn(
+                    c,
+                    F.expr(
+                        f"CASE WHEN sampling_rate > 1 THEN {c} * "
+                        f"sampling_rate ELSE {c} END"
+                    ),
+                )
+        return df
 
     def run_available(self, streaming: bool = True) -> dict[str, DataFrame]:
         """Process everything received so far through EVERY configured
@@ -112,7 +167,9 @@ class Daemon:
         ) or {"default": "memory"}
         for name, cfg in self.channels.items():
             if streaming and cfg.history and not cfg.history_spec().calendar:
-                agg = stream_aggregation(self._decoded(True), cfg)
+                agg = stream_aggregation(
+                    self._route(self._decoded(True), cfg), cfg
+                )
                 out = run_to_memory(agg, f"imt_{name}")
             else:
                 out = build_aggregation(self._decoded(False), cfg)

@@ -111,3 +111,60 @@ def results_select(df):
     return df.select(
         "stamp_inserted", "proto", "bytes", "packets", "flows"
     ).collect()
+
+
+def test_daemon_maps_tagging_and_renormalize(spark, tmp_path):
+    """pre_tag_map + sampling_map from files referenced in the conf:
+    flows are tagged before plugin fan-out, the channel's
+    pre_tag_filter routes only its tag, and nfacctd_renormalize
+    multiplies counters by the exporter's mapped rate."""
+    (tmp_path / "pretag.map").write_text(
+        "set_tag=100 ip=127.0.0.1 in=1\n"
+        "set_tag=200 ip=127.0.0.1\n"
+    )
+    (tmp_path / "sampling.map").write_text("id=64 ip=127.0.0.1/32\n")
+    conf = f"""
+nfacctd_port: 0
+nfacctd_renormalize: true
+pre_tag_map: {tmp_path / 'pretag.map'}
+sampling_map: {tmp_path / 'sampling.map'}
+plugins: memory[tagged]
+aggregate[tagged]: tag
+sql_history[tagged]: 5m
+pre_tag_filter[tagged]: 100
+"""
+    d = Daemon.from_conf(spark, conf, spool_dir=str(tmp_path / "spool3"))
+    try:
+        # iface_in=1 -> tag 100 (kept); iface_in=2 -> tag 200 (dropped)
+        recs_in1 = [{"src": 1, "dst": 2, "pkts": 3, "bytes": 400,
+                     "sport": 1, "dport": 2}]
+        recs_in2 = [{"src": 5, "dst": 6, "pkts": 7, "bytes": 800,
+                     "sport": 3, "dport": 4}]
+        import struct as _s
+
+        from pmacct_spark.streaming.decode import V5_HEADER, V5_RECORD
+
+        def dg(recs, iface):
+            hdr = V5_HEADER.pack(5, len(recs), 1_000_000, 1_700_000_000,
+                                 0, 0, 0, 0, 1)
+            body = b"".join(
+                V5_RECORD.pack(r["src"], r["dst"], 0, iface, 2, r["pkts"],
+                               r["bytes"], 995_000, 999_000, r["sport"],
+                               r["dport"], 0, 16, 6, 0, 64500, 64501, 24,
+                               24, 0)
+                for r in recs
+            )
+            return hdr + body
+
+        send_datagrams([dg(recs_in1, 1), dg(recs_in2, 2)], "127.0.0.1", d.port)
+        t0 = time.monotonic()
+        while d.spool.datagrams_received < 2 and time.monotonic() - t0 < 15:
+            time.sleep(0.05)
+        out = d.run_available()["tagged"]
+    finally:
+        d.stop()
+    rows = out.collect()
+    # only tag 100 routed; counters renormalized by rate 64
+    assert len(rows) == 1
+    assert rows[0]["tag"] == 100
+    assert rows[0]["bytes"] == 400 * 64 and rows[0]["packets"] == 3 * 64
