@@ -161,6 +161,8 @@ class Daemon:
             stream_aggregation,
         )
 
+        # make everything received so far readable before planning
+        self.spool.flush()
         results: dict[str, DataFrame] = {}
         ptype_by_name = dict(
             (name, ptype) for ptype, name in self.conf.plugins

@@ -70,6 +70,7 @@ class UdpSpool:
         self.datagrams_received = 0
         self.datagrams_dropped = 0  # rows lost to failed flushes
         self.last_error: Exception | None = None
+        self._flush_req = threading.Event()
 
     # -- lifecycle ----------------------------------------------------
     def start(self) -> "UdpSpool":
@@ -117,12 +118,28 @@ class UdpSpool:
             if buf and (
                 len(buf) >= self.flush_datagrams
                 or now - last_flush >= self.flush_secs
+                or self._flush_req.is_set()
             ):
                 self._try_flush(buf)
                 buf = []
                 last_flush = now
+            if self._flush_req.is_set() and not buf:
+                self._flush_req.clear()
         if buf:
             self._try_flush(buf)
+        self._flush_req.clear()
+
+    def flush(self, timeout: float = 5.0) -> None:
+        """Force buffered datagrams out to a spool file and wait until
+        they are readable — readers call this before draining so a
+        just-received datagram is never missed by the batch/stream
+        listing (the race is otherwise bounded by ``flush_secs``)."""
+        if self._thread is None or not self._thread.is_alive():
+            return
+        self._flush_req.set()
+        t0 = time.monotonic()
+        while self._flush_req.is_set() and time.monotonic() - t0 < timeout:
+            time.sleep(0.02)
 
     def _try_flush(self, rows: list[tuple[str, int, bytes]]) -> None:
         """A failed flush (disk full, spool dir removed) must not kill

@@ -168,3 +168,32 @@ pre_tag_filter[tagged]: 100
     assert len(rows) == 1
     assert rows[0]["tag"] == 100
     assert rows[0]["bytes"] == 400 * 64 and rows[0]["packets"] == 3 * 64
+
+
+def test_daemon_imt_queryable_via_client(spark, tmp_path):
+    """The daemon's memory channel serves the pmacct client surface:
+    the collected aggregate answers -s (full table), -M match and -T
+    top-N requests — the full collector + client query loop."""
+    from pmacct_spark.client.imt import ImtTable
+
+    d = Daemon.from_conf(spark, CONF, spool_dir=str(tmp_path / "spool4"))
+    try:
+        _fire(d.port)
+        t0 = time.monotonic()
+        while d.spool.datagrams_received < 2 and time.monotonic() - t0 < 15:
+            time.sleep(0.05)
+        imt_df = d.run_available()["imt"]
+    finally:
+        d.stop()
+    table = ImtTable(
+        imt_df, keys=["src_host", "dst_host"],
+        counters=["bytes", "packets", "flows"],
+    )
+    # -s full table
+    assert table.stats().count() == 2
+    # -M exact match on the hot talker (wildcard dst)
+    m = table.match("10.0.0.1,*").collect()
+    assert len(m) == 1 and m[0]["bytes"] == 1500
+    # -T bytes,1 top-N
+    top = table.topn("bytes", 1).collect()
+    assert top[0]["src_host"] == "10.0.0.1" and top[0]["bytes"] == 1500
