@@ -1,0 +1,200 @@
+"""TCP session ingest: the BGP/BMP socket half (pmbgpd/pmbmpd —
+reference src/bgp/bgp.c:99 session accept loop, src/bmp/bmp.c:67).
+
+Unlike UDP, BGP and BMP ride message STREAMS: a read boundary can fall
+mid-message, so the spool must only ever emit byte ranges that end on
+a message boundary — ``decode_bgp``/``decode_bmp`` walk
+[16-byte marker][length] / [version][4-byte length] frames and would
+silently drop a split tail otherwise. Each connection accumulates
+bytes; on every flush the longest complete-message prefix is written
+as one datagram row ``(exporter_ip=peer address, seqno, payload)`` and
+the remainder stays buffered. The output feeds the same decoders and
+``rib_state`` compaction the fixture-driven paths use.
+"""
+
+from __future__ import annotations
+
+import os
+import socket
+import tempfile
+import threading
+import time
+
+_BGP_MARKER = b"\xff" * 16
+
+
+def complete_prefix_bgp(buf: bytes) -> int:
+    """Length of the longest prefix of ``buf`` holding only complete
+    BGP messages ([marker 16][len 2][type 1] framing)."""
+    off = 0
+    while off + 19 <= len(buf):
+        if buf[off : off + 16] != _BGP_MARKER:
+            break  # desynced: emit what we had, drop nothing silently
+        mlen = int.from_bytes(buf[off + 16 : off + 18], "big")
+        if mlen < 19 or off + mlen > len(buf):
+            break
+        off += mlen
+    return off
+
+
+def complete_prefix_bmp(buf: bytes) -> int:
+    """Same for BMP: [version 1][total length 4][msg type 1]."""
+    off = 0
+    while off + 6 <= len(buf):
+        if buf[off] != 3:
+            break
+        mlen = int.from_bytes(buf[off + 1 : off + 5], "big")
+        if mlen < 6 or off + mlen > len(buf):
+            break
+        off += mlen
+    return off
+
+
+_FRAMERS = {"bgp": complete_prefix_bgp, "bmp": complete_prefix_bmp}
+
+
+class TcpSpool:
+    """Accepting TCP listener spooling per-peer session bytes to
+    parquet datagram rows, message-boundary aligned.
+
+    ``framing``: 'bgp' or 'bmp' — picks the complete-prefix walker.
+    The peer's source address is the exporter identity (the session's
+    remote IS the peer, reference src/bgp/bgp.c session bookkeeping).
+    """
+
+    def __init__(
+        self,
+        framing: str = "bgp",
+        host: str = "127.0.0.1",
+        port: int = 0,
+        spool_dir: str | None = None,
+        flush_secs: float = 0.2,
+    ):
+        self._prefix = _FRAMERS[framing]
+        self.host = host
+        self.port = port
+        self.spool_dir = spool_dir or tempfile.mkdtemp(prefix="tcp_spool_")
+        self.flush_secs = flush_secs
+        self._srv: socket.socket | None = None
+        self._accept_thread: threading.Thread | None = None
+        self._conn_threads: list[threading.Thread] = []
+        self._stop = threading.Event()
+        self._lock = threading.Lock()
+        self._seq = 0
+        self._nfile = 0
+        self.messages_spooled = 0
+
+    # -- lifecycle ----------------------------------------------------
+    def start(self) -> "TcpSpool":
+        os.makedirs(self.spool_dir, exist_ok=True)
+        self._srv = socket.socket(socket.AF_INET, socket.SOCK_STREAM)
+        self._srv.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
+        self._srv.bind((self.host, self.port))
+        self.port = self._srv.getsockname()[1]
+        self._srv.listen(16)
+        self._srv.settimeout(0.2)
+        self._stop.clear()
+        self._accept_thread = threading.Thread(
+            target=self._accept_loop, name=f"tcp-spool-{self.port}",
+            daemon=True,
+        )
+        self._accept_thread.start()
+        return self
+
+    def stop(self) -> None:
+        self._stop.set()
+        if self._accept_thread is not None:
+            self._accept_thread.join(timeout=10)
+            self._accept_thread = None
+        for t in self._conn_threads:
+            t.join(timeout=10)
+        self._conn_threads = []
+        if self._srv is not None:
+            self._srv.close()
+            self._srv = None
+
+    def __enter__(self) -> "TcpSpool":
+        return self.start()
+
+    def __exit__(self, *exc) -> None:
+        self.stop()
+
+    # -- socket threads -----------------------------------------------
+    def _accept_loop(self) -> None:
+        while not self._stop.is_set():
+            try:
+                conn, (peer, _port) = self._srv.accept()
+            except socket.timeout:
+                continue
+            except OSError:
+                break
+            t = threading.Thread(
+                target=self._conn_loop, args=(conn, peer), daemon=True
+            )
+            t.start()
+            self._conn_threads.append(t)
+
+    def _conn_loop(self, conn: socket.socket, peer: str) -> None:
+        conn.settimeout(0.2)
+        buf = b""
+        last_flush = time.monotonic()
+        try:
+            while not self._stop.is_set():
+                closed = False
+                try:
+                    chunk = conn.recv(65535)
+                    if not chunk:
+                        closed = True
+                    buf += chunk
+                except socket.timeout:
+                    pass
+                now = time.monotonic()
+                if buf and (closed or now - last_flush >= self.flush_secs):
+                    n = self._prefix(buf)
+                    if n:
+                        self._emit(peer, buf[:n])
+                        buf = buf[n:]
+                    last_flush = now
+                if closed:
+                    break
+        finally:
+            n = self._prefix(buf)
+            if n:
+                self._emit(peer, buf[:n])
+            conn.close()
+
+    def _emit(self, peer: str, payload: bytes) -> None:
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        with self._lock:
+            seq, nfile = self._seq, self._nfile
+            self._seq += 1
+            self._nfile += 1
+            self.messages_spooled += 1
+        table = pa.table(
+            {
+                "exporter_ip": [peer],
+                "seqno": pa.array([seq], pa.int64()),
+                "payload": pa.array([payload], pa.binary()),
+            }
+        )
+        tmp = os.path.join(self.spool_dir, f"._s{nfile:08d}.tmp")
+        pq.write_table(table, tmp)
+        os.rename(
+            tmp, os.path.join(self.spool_dir, f"s{nfile:08d}.parquet")
+        )
+
+    # -- Spark surfaces -----------------------------------------------
+    def batch(self, spark):
+        return spark.read.schema(
+            "exporter_ip string, seqno long, payload binary"
+        ).parquet(self.spool_dir)
+
+    def stream(self, spark, max_files_per_trigger: int | None = None):
+        r = spark.readStream.schema(
+            "exporter_ip string, seqno long, payload binary"
+        )
+        if max_files_per_trigger is not None:
+            r = r.option("maxFilesPerTrigger", max_files_per_trigger)
+        return r.parquet(self.spool_dir)

@@ -198,14 +198,21 @@ def decode_bmp(datagrams: DataFrame) -> DataFrame:
         seq = 0
         for pdf in batches:
             rows: list[dict] = []
-            for exporter, payload in zip(pdf["exporter_ip"], pdf["payload"]):
+            seqnos = pdf["seqno"] if "seqno" in pdf.columns else None
+            for i, (exporter, payload) in enumerate(
+                zip(pdf["exporter_ip"], pdf["payload"])
+            ):
+                # with a datagram seqno column the ordering is GLOBAL
+                # (live spools split datagrams across partitions, where
+                # a per-partition counter would restart at 0 and let
+                # an early partition shadow a later withdrawal);
+                # without it, advance by rows actually emitted — a
+                # fixed stride would overlap once a payload carries
+                # more routes than the stride
+                if seqnos is not None:
+                    seq = int(seqnos.iloc[i]) << 24
                 new = _bmp_rows(exporter, bytes(payload), seq)
                 rows.extend(new)
-                # advance by rows actually emitted: a fixed stride
-                # would overlap the next datagram's range once a
-                # payload carries more routes than the stride, letting
-                # rib_state keep a stale announcement over a later
-                # withdrawal
                 seq += len(new)
             yield pd.DataFrame([[r.get(c) for c in cols] for r in rows], columns=cols)
 
@@ -275,7 +282,12 @@ def decode_bgp(datagrams: DataFrame) -> DataFrame:
         seq = 0
         for pdf in batches:
             rows: list[dict] = []
-            for exporter, payload in zip(pdf["exporter_ip"], pdf["payload"]):
+            seqnos = pdf["seqno"] if "seqno" in pdf.columns else None
+            for i, (exporter, payload) in enumerate(
+                zip(pdf["exporter_ip"], pdf["payload"])
+            ):
+                if seqnos is not None:  # global order, see decode_bmp
+                    seq = int(seqnos.iloc[i]) << 24
                 new = _bgp_stream_rows(exporter, bytes(payload), seq)
                 rows.extend(new)
                 seq += len(new)  # exact stride, see decode_bmp
