@@ -64,6 +64,7 @@ class Daemon:
     channels: dict = field(default_factory=dict)  # name -> PluginConfig
 
     flavor: str = "netflow"  # or "sflow" (sfacctd_port configured)
+    bgp_spool: object | None = None  # TcpSpool when bgp_daemon is on
 
     @classmethod
     def from_conf(
@@ -81,17 +82,45 @@ class Daemon:
         spool = UdpSpool(
             host=host, port=port, spool_dir=spool_dir, flush_secs=0.2
         ).start()
+        bgp_spool = None
+        if conf.getbool("bgp_daemon"):
+            from pmacct_spark.sources.tcp import TcpSpool
+
+            bgp_spool = TcpSpool(
+                framing="bgp", host=host,
+                port=int(conf.get("bgp_daemon_port", 0) or 0),
+            ).start()
         return cls(
             spark=spark, conf=conf, spool=spool,
             channels=conffile.channels(conf), flavor=flavor,
+            bgp_spool=bgp_spool,
         )
 
     @property
     def port(self) -> int:
         return self.spool.port
 
+    @property
+    def bgp_port(self) -> int:
+        return self.bgp_spool.port if self.bgp_spool else 0
+
     def stop(self) -> None:
         self.spool.stop()
+        if self.bgp_spool is not None:
+            self.bgp_spool.stop()
+
+    def rib(self) -> DataFrame:
+        """Current RIB state from the live BGP sessions (latest-wins
+        compaction — the in-memory table the reference daemon holds)."""
+        from pmacct_spark.streaming.bmp import decode_bgp, rib_state
+
+        return rib_state(
+            decode_bgp(
+                self.bgp_spool.batch(self.spark).select(
+                    "exporter_ip", "seqno", "payload"
+                )
+            )
+        )
 
     def _decoded(self, streaming: bool) -> DataFrame:
         from pmacct_spark.streaming.decode import decode_any, decode_sflow_any
@@ -103,7 +132,31 @@ class Daemon:
         )
         decode = decode_sflow_any if self.flavor == "sflow" else decode_any
         df = canonical_flows(decode(dg.select("exporter_ip", "payload")))
-        return self._maps(df)
+        df = self._maps(df)
+        if self.bgp_spool is not None:
+            df = self._bgp_enrich(df)
+        return df
+
+    def _bgp_enrich(self, df: DataFrame) -> DataFrame:
+        """Peer-then-LPM flow correlation against the live RIB
+        (bgp_srcdst_lookup, reference src/bgp/bgp_lookup.c:33-210):
+        dst attributes from the longest matching announced prefix of
+        the flow's OWN peer; stream-static broadcast joins, the flow
+        side never shuffles."""
+        from pmacct_spark.operators.lpm import lpm_join
+
+        rib = self.rib().withColumnRenamed("prefix", "net_int")
+        return lpm_join(
+            df, rib, "ip_dst_i",
+            {
+                "as_path": "as_path", "local_pref": "local_pref",
+                "med": "med", "std_comm": "std_comm",
+            },
+            default={
+                "as_path": "", "local_pref": 0, "med": 0, "std_comm": "",
+            },
+            extra_keys={"peer_ip_src": "peer_ip"},
+        )
 
     def _maps(self, df: DataFrame) -> DataFrame:
         """Apply the configured maps, exactly as the reference's

@@ -197,3 +197,61 @@ def test_daemon_imt_queryable_via_client(spark, tmp_path):
     # -T bytes,1 top-N
     top = table.topn("bytes", 1).collect()
     assert top[0]["src_host"] == "10.0.0.1" and top[0]["bytes"] == 1500
+
+
+def test_daemon_live_flow_bgp_correlation(spark, tmp_path):
+    """Both sockets live: a BGP peer streams its table over TCP, flow
+    datagrams arrive over UDP, and the channel aggregates by as_path —
+    the reference's nfacctd+bgp_daemon correlation (tests/5xx), fully
+    live end-to-end."""
+    import socket as _sock
+
+    from pmacct_spark.streaming.bmp import encode_bgp_update
+
+    conf = """
+nfacctd_port: 0
+bgp_daemon: true
+bgp_daemon_port: 0
+plugins: memory[routes]
+aggregate[routes]: as_path
+sql_history[routes]: 5m
+"""
+    d = Daemon.from_conf(spark, conf, spool_dir=str(tmp_path / "spool5"))
+    try:
+        # the peer announces two prefixes with distinct paths
+        session = encode_bgp_update(
+            0x0A000000, 8, "65000 65100"
+        ) + encode_bgp_update(0x0B000000, 8, "65000 65200")
+        c = _sock.socket(_sock.AF_INET, _sock.SOCK_STREAM)
+        c.connect(("127.0.0.1", d.bgp_port))
+        c.sendall(session)
+        c.close()
+        t0 = time.monotonic()
+        while d.bgp_spool.messages_spooled < 1 and time.monotonic() - t0 < 15:
+            time.sleep(0.05)
+
+        recs_a = [{"src": 1, "dst": 0x0A010101, "pkts": 2, "bytes": 300,
+                   "sport": 1, "dport": 2}]
+        recs_b = [{"src": 2, "dst": 0x0B020202, "pkts": 4, "bytes": 700,
+                   "sport": 3, "dport": 4}]
+        recs_off = [{"src": 3, "dst": 0x0C030303, "pkts": 1, "bytes": 50,
+                     "sport": 5, "dport": 6}]
+        send_datagrams(
+            [_v5_datagram(1, recs_a), _v5_datagram(2, recs_b),
+             _v5_datagram(3, recs_off)],
+            "127.0.0.1", d.port,
+        )
+        t0 = time.monotonic()
+        while d.spool.datagrams_received < 3 and time.monotonic() - t0 < 15:
+            time.sleep(0.05)
+        out = d.run_available()["routes"]
+    finally:
+        d.stop()
+    got = {
+        r["as_path"]: (r["bytes"], r["packets"]) for r in out.collect()
+    }
+    assert got == {
+        "65000 65100": (300, 2),
+        "65000 65200": (700, 4),
+        "": (50, 1),  # off-RIB traffic gets the empty-path default
+    }
