@@ -237,6 +237,56 @@ class Daemon:
             results[name] = out
         return results
 
+    def run_continuous(self, trigger_secs: float = 1.0) -> "ContinuousRun":
+        """Start every windowed channel as a LIVE streaming query
+        (processing-time trigger) serving its aggregate into the
+        memory table ``imt_<name>`` — the daemon's steady-state mode;
+        the spool keeps feeding micro-batches as datagrams arrive.
+        Returns a handle; results are readable at any time via
+        ``spark.table``."""
+        from pmacct_spark.streaming.jobs import stream_aggregation
+
+        queries = {}
+        for name, cfg in self.channels.items():
+            if not cfg.history or cfg.history_spec().calendar:
+                continue
+            agg = stream_aggregation(
+                self._route(self._decoded(True), cfg), cfg
+            )
+            queries[name] = (
+                agg.writeStream.outputMode("complete")
+                .format("memory")
+                .queryName(f"imt_{name}")
+                .trigger(processingTime=f"{trigger_secs} seconds")
+                .start()
+            )
+        return ContinuousRun(queries)
+
+
+
+class ContinuousRun:
+    """Handle for live daemon queries started by
+    :meth:`Daemon.run_continuous` — stop() terminates them."""
+
+    def __init__(self, queries):
+        self.queries = queries
+
+    def stop(self) -> None:
+        for q in self.queries.values():
+            q.stop()
+
+    def await_any_progress(self, timeout: float = 30.0) -> bool:
+        import time as _t
+
+        t0 = _t.monotonic()
+        while _t.monotonic() - t0 < timeout:
+            if all(
+                q.lastProgress is not None for q in self.queries.values()
+            ):
+                return True
+            _t.sleep(0.1)
+        return False
+
 
 def main(argv: list[str] | None = None) -> int:
     """``python -m pmacct_spark.daemon -f nfacctd.conf`` — collect for
@@ -270,3 +320,4 @@ def main(argv: list[str] | None = None) -> int:
 
 if __name__ == "__main__":  # pragma: no cover - CLI shim
     raise SystemExit(main())
+

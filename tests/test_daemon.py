@@ -255,3 +255,46 @@ sql_history[routes]: 5m
         "65000 65200": (700, 4),
         "": (50, 1),  # off-RIB traffic gets the empty-path default
     }
+
+
+def test_daemon_continuous_live_updates(spark, tmp_path):
+    """Steady-state mode: channels run with a processing-time trigger
+    and the served aggregate ADVANCES while the daemon stays up —
+    datagrams sent after the queries started appear without a restart."""
+    d = Daemon.from_conf(spark, CONF, spool_dir=str(tmp_path / "spool6"))
+    run = None
+    try:
+        _fire(d.port)
+        t0 = time.monotonic()
+        while d.spool.datagrams_received < 2 and time.monotonic() - t0 < 15:
+            time.sleep(0.05)
+        d.spool.flush()
+        run = d.run_continuous(trigger_secs=0.5)
+        assert run.await_any_progress()
+
+        def served_bytes():
+            try:
+                rows = spark.table("imt_files").collect()
+            except Exception:
+                return -1
+            return sum(r["bytes"] for r in rows)
+
+        t0 = time.monotonic()
+        while served_bytes() < 1700 and time.monotonic() - t0 < 30:
+            time.sleep(0.2)
+        assert served_bytes() == 1700  # first two datagrams
+
+        # live update: a third datagram lands while queries run
+        send_datagrams(
+            [_v5_datagram(3, [{"src": 9, "dst": 9, "pkts": 1, "bytes": 99,
+                               "sport": 1, "dport": 2}])],
+            "127.0.0.1", d.port,
+        )
+        t0 = time.monotonic()
+        while served_bytes() < 1799 and time.monotonic() - t0 < 30:
+            time.sleep(0.2)
+        assert served_bytes() == 1799
+    finally:
+        if run is not None:
+            run.stop()
+        d.stop()
