@@ -69,12 +69,18 @@ class TcpSpool:
         port: int = 0,
         spool_dir: str | None = None,
         flush_secs: float = 0.2,
+        max_buffer: int = 4 << 20,
     ):
         self._prefix = _FRAMERS[framing]
         self.host = host
         self.port = port
         self.spool_dir = spool_dir or tempfile.mkdtemp(prefix="tcp_spool_")
         self.flush_secs = flush_secs
+        # a desynced/garbage peer never produces a complete message, so
+        # its buffer would grow without bound: past this, the session
+        # is dropped (the reference closes misbehaving sessions too)
+        self.max_buffer = max_buffer
+        self.sessions_dropped = 0
         self._srv: socket.socket | None = None
         self._accept_thread: threading.Thread | None = None
         self._conn_threads: list[threading.Thread] = []
@@ -132,6 +138,11 @@ class TcpSpool:
                 target=self._conn_loop, args=(conn, peer), daemon=True
             )
             t.start()
+            # prune finished sessions so a long-lived daemon's thread
+            # list stays bounded by its CONCURRENT peers
+            self._conn_threads = [
+                x for x in self._conn_threads if x.is_alive()
+            ]
             self._conn_threads.append(t)
 
     def _conn_loop(self, conn: socket.socket, peer: str) -> None:
@@ -155,6 +166,10 @@ class TcpSpool:
                         self._emit(peer, buf[:n])
                         buf = buf[n:]
                     last_flush = now
+                if len(buf) > self.max_buffer:
+                    self.sessions_dropped += 1
+                    buf = b""
+                    break
                 if closed:
                     break
         finally:

@@ -80,3 +80,22 @@ def test_live_bgp_session_builds_rib(spark, tmp_path):
     assert rows[0x0A010000]["std_comm"] == "65000:3"
     # peer identity = the session's remote address
     assert rib.select("peer_ip").distinct().first()[0] == "127.0.0.1"
+
+
+def test_garbage_session_is_bounded_and_dropped(spark, tmp_path):
+    """A desynced peer (bytes that never frame a complete message)
+    must not grow the session buffer without bound: past max_buffer
+    the session is dropped and counted, and nothing is spooled."""
+    with TcpSpool(
+        framing="bgp", spool_dir=str(tmp_path / "junk_spool"),
+        max_buffer=10_000,
+    ) as sp:
+        c = socket.socket(socket.AF_INET, socket.SOCK_STREAM)
+        c.connect(("127.0.0.1", sp.port))
+        c.sendall(b"\x00" * 50_000)  # never a BGP marker
+        t0 = time.monotonic()
+        while sp.sessions_dropped < 1 and time.monotonic() - t0 < 15:
+            time.sleep(0.05)
+        c.close()
+        assert sp.sessions_dropped == 1
+        assert sp.messages_spooled == 0
