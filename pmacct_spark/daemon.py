@@ -216,6 +216,8 @@ class Daemon:
 
         # make everything received so far readable before planning
         self.spool.flush()
+        if self.bgp_spool is not None:
+            self.bgp_spool.flush()
         results: dict[str, DataFrame] = {}
         ptype_by_name = dict(
             (name, ptype) for ptype, name in self.conf.plugins

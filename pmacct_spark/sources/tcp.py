@@ -89,6 +89,7 @@ class TcpSpool:
         self._seq = 0
         self._nfile = 0
         self.messages_spooled = 0
+        self._flush_req = threading.Event()
 
     # -- lifecycle ----------------------------------------------------
     def start(self) -> "TcpSpool":
@@ -160,7 +161,11 @@ class TcpSpool:
                 except socket.timeout:
                     pass
                 now = time.monotonic()
-                if buf and (closed or now - last_flush >= self.flush_secs):
+                if buf and (
+                    closed
+                    or now - last_flush >= self.flush_secs
+                    or self._flush_req.is_set()
+                ):
                     n = self._prefix(buf)
                     if n:
                         self._emit(peer, buf[:n])
@@ -199,6 +204,15 @@ class TcpSpool:
         os.rename(
             tmp, os.path.join(self.spool_dir, f"s{nfile:08d}.parquet")
         )
+
+    def flush(self, settle_secs: float = 0.3) -> None:
+        """Ask every live session to emit its complete-message prefix
+        now (readers call this before draining). Unlike the UDP spool
+        there is no single buffer owner, so this settles on a short
+        wait covering one conn-loop iteration."""
+        self._flush_req.set()
+        time.sleep(settle_secs)
+        self._flush_req.clear()
 
     # -- Spark surfaces -----------------------------------------------
     def batch(self, spark):
