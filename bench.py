@@ -99,7 +99,10 @@ def main() -> int:
         "metric": "total_query_wall_sec",
         "value": round(sum(timings.values()), 3),
         "unit": "sec",
-        "queries": timings,
+        # 2-decimal, compact-separator line: the driver records a
+        # ~4 KB tail of stdout, and r2/r3's 3-decimal pretty line
+        # overflowed it, losing the parsed per-query dict
+        "queries": {k: round(v, 2) for k, v in timings.items()},
         "sf": sf,
     }
     if failures:
@@ -116,7 +119,7 @@ def main() -> int:
             json.dump(full, fh, indent=1, sort_keys=True)
     except OSError as exc:  # pragma: no cover - read-only checkout
         log(f"BENCH_FULL.json not written: {exc}")
-    print(json.dumps(result), flush=True)
+    print(json.dumps(result, separators=(",", ":")), flush=True)
     return 1 if failures else 0
 
 
