@@ -175,6 +175,7 @@ def parse_pretag_map(text: str) -> list[Rule]:
             continue
         match: dict[str, object] = {}
         kwargs: dict[str, object] = {}
+        unsupported = False
         for token in line.split():
             if "=" not in token:
                 continue
@@ -190,6 +191,14 @@ def parse_pretag_map(text: str) -> list[Rule]:
                     match[col] = ("!=", -iv) if iv < 0 else iv
                 else:
                     match[col] = _strip_host_cidr(v)
+            else:
+                # a MATCH key this engine doesn't carry as a column
+                # (e.g. 'filter='): dropping just the key would turn
+                # the rule into an overbroad/match-all one — skip the
+                # whole line, like the reference skips unparsable rows
+                unsupported = True
+        if unsupported or (not match and not kwargs):
+            continue
         rules.append(Rule(match=match, **kwargs))
     return rules
 

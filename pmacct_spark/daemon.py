@@ -78,7 +78,7 @@ class Daemon:
         if conf.get("sfacctd_port") is not None:
             flavor, port = "sflow", int(conf.get("sfacctd_port") or 0)
         else:
-            flavor, port = "netflow", int(conf.get("nfacctd_port", 0) or 0)
+            flavor, port = "netflow", int(conf.get("nfacctd_port", default=0) or 0)
         spool = UdpSpool(
             host=host, port=port, spool_dir=spool_dir, flush_secs=0.2
         ).start()
@@ -88,7 +88,7 @@ class Daemon:
 
             bgp_spool = TcpSpool(
                 framing="bgp", host=host,
-                port=int(conf.get("bgp_daemon_port", 0) or 0),
+                port=int(conf.get("bgp_daemon_port", default=0) or 0),
             ).start()
         return cls(
             spark=spark, conf=conf, spool=spool,
@@ -183,6 +183,16 @@ class Daemon:
                         cond = cond & (F.col(ic) == F.lit(r[ic]))
                 rate = F.when(cond, F.lit(r["rate"]).cast("long")).otherwise(rate)
             df = df.withColumn("sampling_rate", rate)
+        # guarantee the columns the channel configs reference even when
+        # the producing map is absent (tag=0 untagged, rate=1 unsampled)
+        # — otherwise build_aggregation's renormalize/pre_tag_filter
+        # blocks raise on the missing column while the streaming path's
+        # guarded _route silently skips them: crash vs divergence for
+        # the same conf
+        if "tag" not in df.columns:
+            df = df.withColumn("tag", F.lit(0).cast("bigint"))
+        if "sampling_rate" not in df.columns:
+            df = df.withColumn("sampling_rate", F.lit(1).cast("long"))
         return df
 
     @staticmethod

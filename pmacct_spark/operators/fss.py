@@ -99,9 +99,13 @@ SELECT * EXCLUDE (cum) REPLACE (
 # (both engines evaluate the identical IEEE double expression and the
 # identical integer renormalization).
 
-PRIO_A = 329690530  # frozen constants shared with the minhash family
-PRIO_B = 876966115
-PRIO_P = 1_000_000_007
+# the hash family's frozen constants — imported, not re-hardcoded:
+# the DuckDB oracle replays the identical arithmetic, so a drifting
+# duplicate literal would silently break the cross-engine gate
+from pmacct_spark.functions.hashing import MINHASH_A, MINHASH_B, P as PRIO_P
+
+PRIO_A = MINHASH_A[0]
+PRIO_B = MINHASH_B[0]
 
 
 def _prio_z_sql(key_col: str) -> str:

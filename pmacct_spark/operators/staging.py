@@ -57,9 +57,33 @@ def _staging_root(df: DataFrame) -> str | None:
     return root or None
 
 
+def _rm(path: str) -> None:
+    """Delete a staged directory on whatever filesystem it lives on:
+    local paths via shutil; scheme'd paths (hdfs://, s3a://, ...) via
+    the active session's Hadoop FileSystem — shutil silently no-ops on
+    a URI string, which would leak every stage on shared storage."""
+    if "://" not in path:
+        shutil.rmtree(path, ignore_errors=True)
+        return
+    try:
+        from pyspark.sql import SparkSession
+
+        spark = SparkSession.getActiveSession()
+        if spark is None:
+            return
+        jvm = spark._jvm
+        jpath = jvm.org.apache.hadoop.fs.Path(path)
+        fs = jpath.getFileSystem(
+            spark._jsc.hadoopConfiguration()
+        )
+        fs.delete(jpath, True)
+    except Exception:  # pragma: no cover - best-effort cleanup
+        pass
+
+
 def _cleanup() -> None:  # pragma: no cover - exit hook
     for d in _STAGE_DIRS:
-        shutil.rmtree(d, ignore_errors=True)
+        _rm(d)
 
 
 atexit.register(_cleanup)
@@ -74,7 +98,7 @@ def release(df_or_path: DataFrame | str) -> None:
     path = getattr(df_or_path, "stage_path", df_or_path)
     if isinstance(path, str) and path in _STAGE_DIRS:
         _STAGE_DIRS.remove(path)
-        shutil.rmtree(path, ignore_errors=True)
+        _rm(path)
 
 
 def stage(df: DataFrame) -> DataFrame:

@@ -89,7 +89,10 @@ class TcpSpool:
         self._seq = 0
         self._nfile = 0
         self.messages_spooled = 0
-        self._flush_req = threading.Event()
+        # acknowledged-flush handshake: flush() bumps the generation,
+        # each session thread emits its prefix then records the gen
+        self._flush_gen = 0
+        self._flush_acks: dict[int, int] = {}
 
     # -- lifecycle ----------------------------------------------------
     def start(self) -> "TcpSpool":
@@ -150,6 +153,9 @@ class TcpSpool:
         conn.settimeout(0.2)
         buf = b""
         last_flush = time.monotonic()
+        tid = threading.get_ident()
+        with self._lock:
+            self._flush_acks[tid] = self._flush_gen
         try:
             while not self._stop.is_set():
                 closed = False
@@ -161,16 +167,22 @@ class TcpSpool:
                 except socket.timeout:
                     pass
                 now = time.monotonic()
+                flush_wanted = self._flush_acks.get(tid, 0) < self._flush_gen
                 if buf and (
                     closed
                     or now - last_flush >= self.flush_secs
-                    or self._flush_req.is_set()
+                    or flush_wanted
                 ):
                     n = self._prefix(buf)
                     if n:
                         self._emit(peer, buf[:n])
                         buf = buf[n:]
                     last_flush = now
+                if flush_wanted:
+                    # ack AFTER any emit: flush() waiters know this
+                    # session's complete prefix is on disk
+                    with self._lock:
+                        self._flush_acks[tid] = self._flush_gen
                 if len(buf) > self.max_buffer:
                     self.sessions_dropped += 1
                     buf = b""
@@ -181,6 +193,8 @@ class TcpSpool:
             n = self._prefix(buf)
             if n:
                 self._emit(peer, buf[:n])
+            with self._lock:
+                self._flush_acks.pop(tid, None)
             conn.close()
 
     def _emit(self, peer: str, payload: bytes) -> None:
@@ -205,14 +219,22 @@ class TcpSpool:
             tmp, os.path.join(self.spool_dir, f"s{nfile:08d}.parquet")
         )
 
-    def flush(self, settle_secs: float = 0.3) -> None:
+    def flush(self, timeout: float = 5.0) -> None:
         """Ask every live session to emit its complete-message prefix
-        now (readers call this before draining). Unlike the UDP spool
-        there is no single buffer owner, so this settles on a short
-        wait covering one conn-loop iteration."""
-        self._flush_req.set()
-        time.sleep(settle_secs)
-        self._flush_req.clear()
+        and WAIT until each acknowledges (readers call this before
+        draining, so a just-received message — e.g. a withdrawal — is
+        never missing from the RIB they build). Sessions that finish
+        during the wait deregister and stop blocking it."""
+        with self._lock:
+            self._flush_gen += 1
+            gen = self._flush_gen
+        t0 = time.monotonic()
+        while time.monotonic() - t0 < timeout:
+            with self._lock:
+                pending = [a for a in self._flush_acks.values() if a < gen]
+            if not pending:
+                return
+            time.sleep(0.02)
 
     # -- Spark surfaces -----------------------------------------------
     def batch(self, spark):

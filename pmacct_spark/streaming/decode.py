@@ -457,10 +457,14 @@ def _decode_ext_records(
     min_len = sum(1 if ln == VLEN_SENTINEL else ln for _, ln in tmpl)
     if min_len == 0:
         return []
-    # Enforce the >=4 floor so trailing set padding (<= 3 zero bytes,
-    # RFC 7011 §3.3.1) is never misread as a record: a vlen-only
-    # template has min_len == 1 and would otherwise parse padding.
-    min_len = max(min_len, 4)
+    # Enforce the >=4 floor ONLY for templates carrying vlen fields:
+    # a vlen-only template has min_len == 1 and would otherwise parse
+    # trailing set padding (<= 3 zero bytes, RFC 7011 §3.3.1) as
+    # records. Fixed-width templates keep their exact record size — a
+    # short (1-3 byte) fixed record in an unpadded set is valid and
+    # must still decode.
+    if any(ln == VLEN_SENTINEL for _, ln in tmpl):
+        min_len = max(min_len, 4)
     out: list[dict] = []
     p, n_body = 0, len(body)
     truncated = False
@@ -1084,6 +1088,8 @@ def _v10_packet(
                     if ie & 0x8000:  # enterprise IE: 4-byte PEN
                         # follows; key as (pen << 16) | ie so vendor
                         # IEs can never alias standard columns
+                        if p + 4 > len(body):
+                            break  # truncated PEN: drop, don't raise
                         pen = struct.unpack_from("!I", body, p)[0]
                         p += 4
                         ie = (pen << 16) | (ie & 0x7FFF)
@@ -1113,6 +1119,8 @@ def _v10_packet(
                         # data-template fields: (pen << 16) | ie, so a
                         # vendor IE (e.g. pen X, ie 48) can never
                         # alias a standard OPT_IE_COLUMNS entry
+                        if p + 4 > len(body):
+                            break  # truncated PEN: drop, don't raise
                         pen = struct.unpack_from("!I", body, p)[0]
                         p += 4
                         ie = (pen << 16) | (ie & 0x7FFF)

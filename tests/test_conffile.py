@@ -164,3 +164,19 @@ def test_parse_ports_sampling_customs():
     assert cust[1].pen == 42 and cust[1].ie == 2
     assert cust[1].semantics == "string"
     assert cust[1].key == (42 << 16) | 2
+
+
+def test_pretag_unsupported_key_skips_line():
+    """A rule using a MATCH key the engine doesn't carry (e.g. the BPF
+    'filter=') must skip the WHOLE line — keeping the recognized keys
+    only would compile an overbroad (possibly match-all) rule that
+    dead-codes every later rule (code-review r4)."""
+    rules = conffile.parse_pretag_map(
+        "set_tag=100 filter=port_80\n"        # unsupported key -> skip
+        "set_tag=150\n"                        # no match at all: keep
+        "garbage line without keys\n"          # nothing parsed -> skip
+        "set_tag=200 ip=192.0.2.1\n"
+    )
+    tags = [r.set_tag for r in rules]
+    assert tags == [150, 200]
+    assert rules[1].match == {"peer_src_ip": "192.0.2.1"}

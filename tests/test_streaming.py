@@ -846,3 +846,48 @@ def test_custom_fixed_width_templates_take_compiled_path():
     # hex/ip/mac semantics still (correctly) fall back to the walk
     customs2 = {c.key: c for c in (CustomIE("h", ie=3, pen=42, semantics="hex", length=4),)}
     assert _compile_ext_tmpl([((42 << 16) | 3, 4)], customs2) is None
+
+
+def test_truncated_enterprise_pen_does_not_raise(spark):
+    """A template/options-template set that ends right after an
+    enterprise ie/len pair (the 4-byte PEN truncated away) must drop
+    the parse, not raise struct.error (code-review r4: the PEN reads
+    were the one unguarded decode in the attacker-reachable path)."""
+    from pmacct_spark.streaming.decode import decode_any_ext, decode_options
+
+    # data template: tid 256, 1 field, enterprise ie 0x8001, len 4 —
+    # and the body ends before the PEN
+    tset = struct.pack("!HH", 2, 4 + 4 + 4) + struct.pack(
+        "!HHHH", 256, 1, 0x8001, 4
+    )
+    msg1 = struct.pack("!HHIII", 10, 16 + len(tset), 0, 1, 0) + tset
+    # options template: tid 300, 1 field (scope 0), enterprise, no PEN
+    oset = struct.pack("!HH", 3, 4 + 6 + 4) + struct.pack(
+        "!HHHHH", 300, 1, 0, 0x8001, 4
+    )
+    msg2 = struct.pack("!HHIII", 10, 16 + len(oset), 0, 2, 0) + oset
+    dg = spark.createDataFrame(
+        [("203.0.113.77", 0, bytearray(msg1)), ("203.0.113.77", 1, bytearray(msg2))],
+        "exporter_ip string, seqno long, payload binary",
+    ).coalesce(1)
+    assert decode_any_ext(dg.select("exporter_ip", "payload")).count() == 0
+    assert decode_options(dg.select("exporter_ip", "payload")).count() == 0
+
+
+def test_short_fixed_record_still_decodes():
+    """The >=4 min-record floor applies ONLY to vlen templates: a
+    2-byte fixed record in an unpadded data set must decode
+    (code-review r4: the unconditional floor silently dropped it)."""
+    from pmacct_spark.streaming.decode import (
+        VLEN_SENTINEL,
+        _decode_ext_records,
+    )
+
+    # vlan IE 58 is an ext uint: 2-byte record, body exactly 2 bytes
+    got = _decode_ext_records((4095).to_bytes(2, "big"), [(58, 2)], "x", 1)
+    assert len(got) == 1 and got[0]["vlan"] == 4095
+    # vlen-only template keeps the floor: 3 zero bytes = set padding
+    assert (
+        _decode_ext_records(b"\x00\x00\x00", [(236, VLEN_SENTINEL)], "x", 1)
+        == []
+    )
