@@ -30,6 +30,10 @@ BMP_EVENT_SCHEMA = T.StructType(
         T.StructField("msg_type", T.IntegerType()),  # 0 RM, 2 down, 3 up
         T.StructField("peer_ip", T.StringType()),
         T.StructField("peer_as", T.LongType()),
+        # RFC 7854 §4.2 peer type: 0 global instance, 1 RD instance,
+        # 2 local instance, 3 loc-RIB (RFC 9069)
+        T.StructField("peer_type", T.IntegerType()),
+        T.StructField("rd", T.StringType()),  # peer distinguisher
         T.StructField("ts_s", T.LongType()),
         T.StructField("prefix", T.LongType()),  # v4-as-int; null for events
         T.StructField("masklen", T.IntegerType()),
@@ -48,6 +52,22 @@ BMP_EVENT_SCHEMA = T.StructType(
 
 def _v4_str(b: bytes) -> str:
     return ".".join(str(x) for x in b)
+
+
+def _rd_str(b: bytes) -> str | None:
+    """Render an 8-byte peer/route distinguisher the way the reference
+    prints it (src/bgp/bgp_lookup.c bgp_rd2str: "type:admin:value" for
+    RD types 0/1/2). An all-zero distinguisher (global-instance and
+    loc-RIB peers) renders as NULL."""
+    if not any(b):
+        return None
+    rdt = int.from_bytes(b[0:2], "big")
+    if rdt == 0:  # 2-byte ASN admin : 4-byte assigned
+        return f"0:{int.from_bytes(b[2:4], 'big')}:{int.from_bytes(b[4:8], 'big')}"
+    if rdt == 1:  # IPv4 admin : 2-byte assigned
+        return f"1:{_v4_str(b[2:6])}:{int.from_bytes(b[6:8], 'big')}"
+    # 4-byte ASN admin : 2-byte assigned
+    return f"{rdt}:{int.from_bytes(b[2:6], 'big')}:{int.from_bytes(b[6:8], 'big')}"
 
 
 def _parse_update(pdu: bytes) -> tuple[list[tuple[int, int]], list[tuple[int, int]], dict]:
@@ -151,15 +171,18 @@ def _bmp_rows(exporter: str, payload: bytes, seq0: int) -> list[dict]:
         body = payload[off + 6 : off + mlen]
         off += mlen
         if mtype in (0, 2, 3) and len(body) >= 42:
-            # per-peer header
-            peer_ip = _v4_str(body[14:18] if body[0] == 0 and not body[1] & 0x80 else body[22:26])
-            # v4 peers: address right-aligned in the 16-byte field
+            # per-peer header (RFC 7854 §4.2): type(1) flags(1)
+            # distinguisher(8) addr(16) as(4) bgp_id(4) ts(4+4).
+            # v4 peers: address right-aligned in the 16-byte field.
+            peer_type = body[0]
+            rd = _rd_str(body[2:10])
             peer_ip = _v4_str(body[22:26])
             peer_as = int.from_bytes(body[26:30], "big")
             ts_s = int.from_bytes(body[34:38], "big")
             base = {
                 "exporter_ip": exporter, "peer_ip": peer_ip,
-                "peer_as": peer_as, "ts_s": ts_s, "msg_type": mtype,
+                "peer_as": peer_as, "peer_type": peer_type, "rd": rd,
+                "ts_s": ts_s, "msg_type": mtype,
             }
             if mtype == 0:
                 withdrawn, nlri, attrs = _parse_update(body[42:])
@@ -396,15 +419,24 @@ def encode_bgp_updates(rib: DataFrame) -> DataFrame:
 
 def rib_state(updates: DataFrame) -> DataFrame:
     """Compact a decoded update stream into current RIB state: the
-    latest message per (exporter, peer, prefix) wins; withdrawals
-    tombstone. One window shuffle — the streaming form is the same
-    plan per microbatch merged into a keyed store."""
-    w = Window.partitionBy("exporter_ip", "peer_ip", "prefix", "masklen").orderBy(
-        F.desc("seq")
-    )
+    latest message per (exporter, peer, rd, prefix) wins; withdrawals
+    tombstone; a Peer Down (msg_type 2) purges every route that peer
+    instance announced before it (reference src/bmp/bmp_msg.c peer
+    down handling / tests/204-205 — routes re-announced after the
+    peer comes back survive). Window shuffles only — the streaming
+    form is the same plan per microbatch merged into a keyed store."""
+    w_peer = Window.partitionBy("exporter_ip", "peer_ip", "rd")
+    w = Window.partitionBy(
+        "exporter_ip", "peer_ip", "rd", "prefix", "masklen"
+    ).orderBy(F.desc("seq"))
     return (
-        updates.filter("msg_type = 0")
+        updates.filter("msg_type IN (0, 2)")
+        .withColumn(
+            "__down_seq",
+            F.max(F.when(F.col("msg_type") == 2, F.col("seq"))).over(w_peer),
+        )
+        .filter("msg_type = 0 AND (__down_seq IS NULL OR seq > __down_seq)")
         .withColumn("__rn", F.row_number().over(w))
         .filter("__rn = 1 AND NOT is_withdrawal")
-        .drop("__rn", "msg_type", "is_withdrawal")
+        .drop("__rn", "__down_seq", "msg_type", "is_withdrawal")
     )

@@ -1,0 +1,119 @@
+"""Golden scenarios for BMP peer-instance semantics — the reference's
+200/201/204/205 test families:
+
+- 204/205 (peer_down): a Peer Down Notification purges every route that
+  peer announced before it; other peers are untouched; routes announced
+  after the peer comes back survive (reference src/bmp/bmp_msg.c peer
+  down handling).
+- 201 (rd_instance): RD-instance peers (peer type 1) carry an 8-byte
+  peer distinguisher; the same prefix under two RDs is two RIB entries,
+  and the rendered RD matches the reference's "type:admin:value" form
+  (src/bgp/bgp_lookup.c bgp_rd2str).
+- 200 (locrib_instance): loc-RIB peers (peer type 3, RFC 9069) decode
+  with a zero peer address and are selectable by peer_type.
+"""
+
+from __future__ import annotations
+
+from pmacct_spark.streaming.bmp import decode_bmp, rib_state
+from tests.test_streaming import _bgp_update, _bmp_msg
+
+PEER_A = 0xC0000205  # 192.0.2.5
+PEER_B = 0xC0000206  # 192.0.2.6
+
+
+def _dg(spark, *streams):
+    return spark.createDataFrame(
+        [(exp, bytearray(msgs)) for exp, msgs in streams],
+        "exporter_ip string, payload binary",
+    )
+
+
+def test_peer_down_purges_rib(spark):
+    msgs = (
+        _bmp_msg(3, PEER_A, 64500)  # A up
+        + _bmp_msg(0, PEER_A, 64500, _bgp_update([], [(0x0A010000, 16)], lp=100))
+        + _bmp_msg(0, PEER_A, 64500, _bgp_update([], [(0x0A020000, 16)], lp=200))
+        + _bmp_msg(3, PEER_B, 64510)  # B up
+        + _bmp_msg(0, PEER_B, 64510, _bgp_update([], [(0x0A030000, 16)], lp=70))
+        + _bmp_msg(2, PEER_A, 64500)  # A down: both A routes must vanish
+        + _bmp_msg(3, PEER_A, 64500)  # A back up
+        + _bmp_msg(0, PEER_A, 64500, _bgp_update([], [(0x0A040000, 16)], lp=400))
+    )
+    rib = rib_state(decode_bmp(_dg(spark, ("203.0.113.9", msgs))))
+    got = {
+        (r.peer_ip, r.prefix, r.local_pref)
+        for r in rib.collect()
+    }
+    assert got == {
+        ("192.0.2.6", 0x0A030000, 70),   # B untouched by A's down
+        ("192.0.2.5", 0x0A040000, 400),  # announced after A re-up
+    }
+
+
+def test_peer_down_scoped_to_one_exporter(spark):
+    """The same peer IP seen from two BMP exporters is two sessions; a
+    down on one exporter leaves the other exporter's RIB intact."""
+    up = _bmp_msg(3, PEER_A, 64500) + _bmp_msg(
+        0, PEER_A, 64500, _bgp_update([], [(0x0A010000, 16)], lp=100)
+    )
+    down = up + _bmp_msg(2, PEER_A, 64500)
+    rib = rib_state(
+        decode_bmp(_dg(spark, ("203.0.113.9", down), ("203.0.113.10", up)))
+    )
+    got = {(r.exporter_ip, r.prefix) for r in rib.collect()}
+    assert got == {("203.0.113.10", 0x0A010000)}
+
+
+def test_rd_instance_peers_keep_separate_rib_entries(spark):
+    """tests/201: the same prefix announced under two RDs by the same
+    peer address is two entries, each carrying its rendered RD; a peer
+    down for ONE RD instance purges only that instance's routes."""
+    rd1 = (0).to_bytes(2, "big") + (64512).to_bytes(2, "big") + (1).to_bytes(4, "big")
+    rd2 = (0).to_bytes(2, "big") + (64512).to_bytes(2, "big") + (2).to_bytes(4, "big")
+    msgs = (
+        _bmp_msg(3, PEER_A, 64500, ptype=1, rd=rd1)
+        + _bmp_msg(0, PEER_A, 64500, _bgp_update([], [(0x0A010000, 16)], lp=111),
+                   ptype=1, rd=rd1)
+        + _bmp_msg(3, PEER_A, 64500, ptype=1, rd=rd2)
+        + _bmp_msg(0, PEER_A, 64500, _bgp_update([], [(0x0A010000, 16)], lp=222),
+                   ptype=1, rd=rd2)
+        + _bmp_msg(2, PEER_A, 64500, ptype=1, rd=rd2)  # down rd2 only
+    )
+    rib = rib_state(decode_bmp(_dg(spark, ("203.0.113.9", msgs))))
+    got = {(r.rd, r.peer_type, r.prefix, r.local_pref) for r in rib.collect()}
+    assert got == {("0:64512:1", 1, 0x0A010000, 111)}
+
+
+def test_rd_render_forms(spark):
+    """bgp_rd2str parity: type 0 (asn2:val4), 1 (ip:val2), 2 (asn4:val2)."""
+    rd_t1 = (1).to_bytes(2, "big") + bytes([10, 0, 0, 1]) + (7).to_bytes(2, "big")
+    rd_t2 = (2).to_bytes(2, "big") + (4200000000).to_bytes(4, "big") + (9).to_bytes(2, "big")
+    msgs = (
+        _bmp_msg(0, PEER_A, 64500, _bgp_update([], [(0x0A010000, 16)]),
+                 ptype=1, rd=rd_t1)
+        + _bmp_msg(0, PEER_B, 64510, _bgp_update([], [(0x0A020000, 16)]),
+                   ptype=1, rd=rd_t2)
+    )
+    events = decode_bmp(_dg(spark, ("203.0.113.9", msgs)))
+    got = {r.rd for r in events.collect()}
+    assert got == {"1:10.0.0.1:7", "2:4200000000:9"}
+
+
+def test_locrib_instance_peer(spark):
+    """tests/200: a loc-RIB peer (type 3, RFC 9069) has a zero peer
+    address and zero distinguisher; its routes land in the RIB flagged
+    with peer_type=3, selectable separately from adj-RIB-in peers."""
+    msgs = (
+        _bmp_msg(3, 0, 0, ptype=3)
+        + _bmp_msg(0, 0, 0, _bgp_update([], [(0x0A050000, 16)], lp=500), ptype=3)
+        + _bmp_msg(3, PEER_A, 64500)
+        + _bmp_msg(0, PEER_A, 64500, _bgp_update([], [(0x0A050000, 16)], lp=100))
+    )
+    rib = rib_state(decode_bmp(_dg(spark, ("203.0.113.9", msgs))))
+    rows = {(r.peer_ip, r.peer_type, r.local_pref, r.rd) for r in rib.collect()}
+    assert rows == {
+        ("0.0.0.0", 3, 500, None),
+        ("192.0.2.5", 0, 100, None),
+    }
+    assert rib.filter("peer_type = 3").count() == 1

@@ -390,9 +390,9 @@ def _bgp_update(withdrawn, nlri, as_path=(64496, 65001), nh=0x0A0000FE,
     return pdu
 
 
-def _bmp_msg(mtype, peer_ip, peer_as, pdu=b""):
+def _bmp_msg(mtype, peer_ip, peer_as, pdu=b"", ptype=0, rd=b"\x00" * 8):
     peer_hdr = (
-        bytes([0, 0]) + b"\x00" * 8 + b"\x00" * 12 + peer_ip.to_bytes(4, "big")
+        bytes([ptype, 0]) + rd + b"\x00" * 12 + peer_ip.to_bytes(4, "big")
         + peer_as.to_bytes(4, "big") + b"\x00" * 4
         + (1_700_000_000).to_bytes(4, "big") + b"\x00" * 4
     )
