@@ -55,7 +55,7 @@ _DRIVER_WINDOW = [
     "hist_5m_proto", "hist_month", "hist_5m_prorate",
     "hist_sliding_10m_5m", "sessionize_tcp_close",
     # §2.7 sort / client surface
-    "topn_bytes", "client_match_sum",
+    "topn_bytes",
     # §2.3 filters / maps
     "aggregate_filter_tcp443", "pretag_rules", "ports_dictionary",
     "sampling_map_renorm",
@@ -69,8 +69,8 @@ _DRIVER_WINDOW = [
     "v9_wire_loop_twophase", "mixed_wire_loop_agg",
     "sflow_wire_loop_renorm", "sflow_counter_samples",
     "sampling_options_wire_loop", "custom_wire_loop", "srv6_wire_loop",
-    # BGP wire -> RIB -> lookup
-    "bgp_wire_rib_lookup",
+    # BGP/BMP wire -> RIB -> lookup (incl. peer-down purge)
+    "bgp_wire_rib_lookup", "bmp_wire_peer_down_rib",
     # §2.10 streaming state
     "stream_v5_wire_decode", "stream_v9_stateful_decode",
     "stream_hist_5m_proto",

@@ -300,3 +300,51 @@ def bgp_wire_rib_lookup(spark, sf_dir):
         F.min("local_pref").cast("bigint").alias("min_local_pref"),
         F.max("med").cast("bigint").alias("max_med"),
     )
+
+
+# --- BMP RIB built FROM THE WIRE with peer-down purge: the fixture
+#     RIB is packed into per-peer BMP v3 byte streams (Peer Up, one
+#     Route Monitoring message per route, then for even-numbered
+#     peers a Peer Down Notification followed by re-announcements of
+#     the /16 routes only) -> decode_bmp -> rib_state. The oracle
+#     models the purge directly: a downed peer keeps only what it
+#     re-announced (reference src/bmp/bmp_msg.c peer-down handling,
+#     tests/204-205-peer_down).
+@register(
+    "bmp_wire_peer_down_rib",
+    f"""WITH rib AS ({BGP_RIB_DUCK})
+SELECT peer_ip, COUNT(*) AS routes,
+       CAST(SUM(local_pref) AS BIGINT) AS sum_local_pref,
+       CAST(SUM(net_int) AS BIGINT) AS sum_net,
+       CAST(MAX(med) AS BIGINT) AS max_med
+FROM rib
+WHERE (CAST(split_part(peer_ip, '.', 4) AS INT) % 2 = 1) OR masklen = 16
+GROUP BY peer_ip""",
+)
+def bmp_wire_peer_down_rib(spark, sf_dir):
+    """Any framing, per-peer-header, UPDATE codec, seq-ordering, or
+    purge-window error breaks the value hash: routes announced before
+    a Peer Down must vanish, re-announcements after it must survive
+    with their attributes intact."""
+    from pmacct_spark.streaming.bmp import (
+        decode_bmp,
+        encode_bmp_streams,
+        rib_state,
+    )
+
+    rib_src = (
+        bgp_rib_dim(spark, sf_dir)
+        .withColumn(
+            "__down",
+            F.expr("CAST(substring_index(peer_ip, '.', -1) AS INT) % 2 = 0"),
+        )
+        .withColumn("__reannounce", F.expr("__down AND masklen = 16"))
+    )
+    streams = encode_bmp_streams(rib_src)
+    rib = rib_state(decode_bmp(streams))
+    return rib.groupBy("peer_ip").agg(
+        F.count(F.lit(1)).alias("routes"),
+        F.sum("local_pref").cast("bigint").alias("sum_local_pref"),
+        F.sum("prefix").cast("bigint").alias("sum_net"),
+        F.max("med").cast("bigint").alias("max_med"),
+    )

@@ -417,6 +417,83 @@ def encode_bgp_updates(rib: DataFrame) -> DataFrame:
     return rib.mapInPandas(gen, schema)
 
 
+def _bmp_frame(
+    mtype: int,
+    peer_ip: str,
+    peer_as: int,
+    pdu: bytes = b"",
+    ptype: int = 0,
+    rd: bytes = b"\x00" * 8,
+    ts_s: int = 1_700_000_000,
+) -> bytes:
+    """One BMP v3 message: common header + RFC 7854 §4.2 per-peer
+    header (v4 peer address right-aligned in the 16-byte field)."""
+    addr = bytes(int(x) for x in peer_ip.split("."))
+    peer_hdr = (
+        bytes([ptype, 0]) + rd + b"\x00" * 12 + addr
+        + peer_as.to_bytes(4, "big") + b"\x00" * 4
+        + ts_s.to_bytes(4, "big") + b"\x00" * 4
+    )
+    body = peer_hdr + pdu
+    return bytes([3]) + (6 + len(body)).to_bytes(4, "big") + bytes([mtype]) + body
+
+
+def encode_bmp_streams(rib: DataFrame, peer_as: int = 64500) -> DataFrame:
+    """Pack RIB rows into one BMP byte stream per peer: Peer Up, one
+    Route Monitoring message per route (deterministic net/masklen
+    order), then — for peers flagged in the boolean ``__down`` column
+    — a Peer Down Notification followed by re-announcements of the
+    rows flagged ``__reannounce``. The monitored router doubles as
+    the exporter (exporter_ip = peer_ip), one datagram per peer.
+
+    Feeds decode_bmp -> rib_state so the peer-down purge semantics
+    (reference tests/204-205) are value-checked from the wire."""
+    schema = T.StructType(
+        [
+            T.StructField("exporter_ip", T.StringType()),
+            T.StructField("seqno", T.LongType()),
+            T.StructField("payload", T.BinaryType()),
+        ]
+    )
+
+    def pack(key, pdf):
+        (peer,) = key
+        pdf = pdf.sort_values(["net_int", "masklen"])
+        down = bool(pdf["__down"].iloc[0]) if "__down" in pdf else False
+
+        def rm(r) -> bytes:
+            upd = encode_bgp_update(
+                int(r.net_int), int(r.masklen), str(r.as_path or ""),
+                next_hop=int(r.net_int),
+                local_pref=int(r.local_pref), med=int(r.med),
+                std_comm=str(r.std_comm or ""),
+                ext_comm=str(r.ext_comm or ""),
+                lrg_comm=str(r.lrg_comm or ""),
+            )
+            return _bmp_frame(0, peer, peer_as, upd)
+
+        # itertuples mangles leading-underscore names — read the flag
+        # column positionally instead
+        re_flags = (
+            pdf["__reannounce"].fillna(False).tolist()
+            if "__reannounce" in pdf
+            else [False] * len(pdf)
+        )
+        msgs = _bmp_frame(3, peer, peer_as)  # peer up
+        for r in pdf.itertuples(index=False):
+            msgs += rm(r)
+        if down:
+            msgs += _bmp_frame(2, peer, peer_as)  # peer down purges
+            for r, rf in zip(pdf.itertuples(index=False), re_flags):
+                if bool(rf):
+                    msgs += rm(r)
+        seqno = int(peer.rsplit(".", 1)[-1])
+        return pd.DataFrame([(peer, seqno, msgs)],
+                            columns=["exporter_ip", "seqno", "payload"])
+
+    return rib.groupBy("peer_ip").applyInPandas(pack, schema)
+
+
 def rib_state(updates: DataFrame) -> DataFrame:
     """Compact a decoded update stream into current RIB state: the
     latest message per (exporter, peer, rd, prefix) wins; withdrawals
