@@ -111,6 +111,11 @@ def main() -> int:
     # per-query numbers in past rounds: also persist the full result
     # (plus raw per-run samples) next to the repo so it survives.
     full = dict(result, reps=reps, runs=spreads)
+    if only:
+        # a filtered run must not clobber the full-suite medians
+        log("BENCH_FULL.json not rewritten (SPARK_GRAFT_BENCH_ONLY set)")
+        print(json.dumps(result, separators=(",", ":")), flush=True)
+        return 1 if failures else 0
     try:
         with open(
             os.path.join(os.path.dirname(os.path.abspath(__file__)),
