@@ -348,3 +348,46 @@ def bmp_wire_peer_down_rib(spark, sf_dir):
         F.sum("prefix").cast("bigint").alias("sum_net"),
         F.max("med").cast("bigint").alias("max_med"),
     )
+
+
+# --- table dump gated from the wire: the purged BMP RIB above is
+#     rendered into the reference's dump event stream (dump_init /
+#     dump / dump_close per peer, src/bgp/bgp_logdump.c) and the
+#     per-peer event accounting is value-checked: a peer with n live
+#     routes emits n+2 events, entries=n on the close row, seq ends
+#     at n+1 (reference tests/203-BMP-dump).
+@register(
+    "bmp_dump_accounting",
+    f"""WITH rib AS ({BGP_RIB_DUCK}),
+alive AS (
+  SELECT * FROM rib
+  WHERE (CAST(split_part(peer_ip, '.', 4) AS INT) % 2 = 1) OR masklen = 16
+),
+pp AS (SELECT peer_ip, COUNT(*) AS n FROM alive GROUP BY 1)
+SELECT peer_ip, CAST(n + 2 AS BIGINT) AS events,
+       CAST(n AS BIGINT) AS entries, CAST(n + 1 AS BIGINT) AS max_seq
+FROM pp""",
+)
+def bmp_dump_accounting(spark, sf_dir):
+    from pmacct_spark.sinks.dump import rib_dump_events
+    from pmacct_spark.streaming.bmp import (
+        decode_bmp,
+        encode_bmp_streams,
+        rib_state,
+    )
+
+    rib_src = (
+        bgp_rib_dim(spark, sf_dir)
+        .withColumn(
+            "__down",
+            F.expr("CAST(substring_index(peer_ip, '.', -1) AS INT) % 2 = 0"),
+        )
+        .withColumn("__reannounce", F.expr("__down AND masklen = 16"))
+    )
+    rib = rib_state(decode_bmp(encode_bmp_streams(rib_src)))
+    ev = rib_dump_events(rib, dump_ts=1_700_000_000)
+    return ev.groupBy("peer_ip").agg(
+        F.count(F.lit(1)).alias("events"),
+        F.max("entries").cast("bigint").alias("entries"),
+        F.max("seq").cast("bigint").alias("max_seq"),
+    )

@@ -1,0 +1,118 @@
+"""Periodic RIB table dump — the reference's bgp_table_dump_file /
+bmp_dump_file machinery (src/bgp/bgp_logdump.c bgp_peer_dump_init /
+bgp_peer_dump_close, config keys bgp_table_dump_refresh_time,
+bmp_dump_time_slots; exercised by its tests/203-BMP-dump and
+207/304 dump-spreading families).
+
+The reference walks each peer's RIB on a timer and writes one JSON
+event stream per dump: a ``dump_init`` record per peer, one ``dump``
+record per route (sequenced), and a ``dump_close`` record carrying
+the per-peer entry count. "Dump spreading" staggers peers across the
+refresh interval so a large RIB doesn't stall the collector at the
+tick (time slots, each peer hashed to one).
+
+Spark-first: the whole dump is ONE DataFrame — event rows derived
+from the RIB with window functions (seq = row_number per peer,
+entries = count per peer), unioned with init/close rows, written as
+JSON lines partitioned by (slot, exporter, peer). No driver-side
+loop over peers; a 1000-executor cluster writes all peers' dumps in
+parallel, and the slot partition column IS the spreading schedule.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+_PEER_KEY = ["exporter_ip", "peer_ip"]
+
+
+def rib_dump_events(
+    rib: DataFrame,
+    dump_ts: int,
+    refresh_secs: int = 60,
+    time_slots: int = 1,
+) -> DataFrame:
+    """Render current RIB state (rib_state output) into the dump event
+    stream. Columns: event_type (dump_init|dump|dump_close), seq,
+    entries (close rows), dump_slot, scheduled_at, the peer key, and
+    the route attributes (null on init/close rows).
+
+    ``time_slots`` > 1 spreads peers across the refresh interval: a
+    peer's slot is a stable hash of its key, and ``scheduled_at`` =
+    dump_ts + slot * (refresh_secs / time_slots) — the reference's
+    bmp_dump_time_slots semantics."""
+    if time_slots < 1:
+        raise ValueError("time_slots must be >= 1")
+    slot = (
+        F.pmod(F.xxhash64(*[F.col(c) for c in _PEER_KEY]), F.lit(time_slots))
+        .cast("int")
+        .alias("dump_slot")
+    )
+    sched = (
+        F.lit(dump_ts)
+        + F.col("dump_slot") * F.lit(refresh_secs // max(time_slots, 1))
+    ).cast("bigint")
+
+    w = Window.partitionBy(*_PEER_KEY).orderBy("prefix", "masklen")
+    routes = (
+        rib.withColumn("event_type", F.lit("dump"))
+        .withColumn("seq", F.row_number().over(w).cast("bigint"))
+        .withColumn("entries", F.lit(None).cast("bigint"))
+    )
+    per_peer = rib.groupBy(*_PEER_KEY).agg(
+        F.count(F.lit(1)).alias("__n")
+    )
+    attr_cols = [c for c in routes.columns
+                 if c not in {"event_type", "seq", "entries",
+                              "exporter_ip", "peer_ip"}]
+    nulls = [
+        F.lit(None).cast(dict(routes.dtypes)[c]).alias(c) for c in attr_cols
+    ]
+    inits = per_peer.select(
+        "exporter_ip", "peer_ip",
+        F.lit("dump_init").alias("event_type"),
+        F.lit(0).cast("bigint").alias("seq"),
+        F.lit(None).cast("bigint").alias("entries"),
+        *nulls,
+    )
+    closes = per_peer.select(
+        "exporter_ip", "peer_ip",
+        F.lit("dump_close").alias("event_type"),
+        (F.col("__n") + 1).cast("bigint").alias("seq"),
+        F.col("__n").cast("bigint").alias("entries"),
+        *nulls,
+    )
+    cols = ["exporter_ip", "peer_ip", "event_type", "seq", "entries",
+            *attr_cols]
+    events = (
+        inits.select(cols)
+        .unionByName(routes.select(cols))
+        .unionByName(closes.select(cols))
+    )
+    return (
+        events.withColumn("dump_slot", slot)
+        .withColumn("scheduled_at", sched)
+        .withColumn("dump_ts", F.lit(dump_ts).cast("bigint"))
+    )
+
+
+def write_rib_dump(
+    rib: DataFrame,
+    path: str,
+    dump_ts: int,
+    refresh_secs: int = 60,
+    time_slots: int = 1,
+    mode: str = "overwrite",
+) -> None:
+    """Write one dump as JSON lines partitioned by (dump_slot,
+    exporter_ip, peer_ip) — the cluster-scalable form of the
+    reference's per-peer dynamic filenames (cf. sinks/files.py)."""
+    events = rib_dump_events(rib, dump_ts, refresh_secs, time_slots)
+    (
+        events.repartition("dump_slot", *_PEER_KEY)
+        .sortWithinPartitions("seq")
+        .write.mode(mode)
+        .partitionBy("dump_slot", "exporter_ip", "peer_ip")
+        .json(path)
+    )

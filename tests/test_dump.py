@@ -1,0 +1,81 @@
+"""RIB table dump — reference tests/203-BMP-dump (init/route/close
+event stream per peer) and 207/304 dump spreading (peers staggered
+across the refresh interval via time slots)."""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+
+from pmacct_spark.sinks.dump import rib_dump_events, write_rib_dump
+from pmacct_spark.streaming.bmp import decode_bmp, rib_state
+from tests.test_streaming import _bgp_update, _bmp_msg
+
+PEER_A = 0xC0000205
+PEER_B = 0xC0000206
+
+
+def _rib(spark):
+    msgs = (
+        _bmp_msg(3, PEER_A, 64500)
+        + _bmp_msg(0, PEER_A, 64500, _bgp_update([], [(0x0A010000, 16)], lp=100))
+        + _bmp_msg(0, PEER_A, 64500, _bgp_update([], [(0x0A020000, 16)], lp=200))
+        + _bmp_msg(3, PEER_B, 64510)
+        + _bmp_msg(0, PEER_B, 64510, _bgp_update([], [(0x0A030000, 16)], lp=70))
+    )
+    dg = spark.createDataFrame(
+        [("203.0.113.9", bytearray(msgs))], "exporter_ip string, payload binary"
+    )
+    return rib_state(decode_bmp(dg))
+
+
+def test_dump_event_stream_golden(spark):
+    ev = rib_dump_events(_rib(spark), dump_ts=1_700_000_100).toPandas()
+    a = ev[ev.peer_ip == "192.0.2.5"].sort_values("seq")
+    b = ev[ev.peer_ip == "192.0.2.6"].sort_values("seq")
+    assert list(a.event_type) == ["dump_init", "dump", "dump", "dump_close"]
+    assert list(b.event_type) == ["dump_init", "dump", "dump_close"]
+    # close rows carry the per-peer entry count; routes are sequenced
+    assert int(a[a.event_type == "dump_close"].entries.iloc[0]) == 2
+    assert int(b[b.event_type == "dump_close"].entries.iloc[0]) == 1
+    assert list(a[a.event_type == "dump"].seq) == [1, 2]
+    # route attributes survive on dump rows, null on init/close
+    assert set(a[a.event_type == "dump"].local_pref) == {100, 200}
+    assert a[a.event_type == "dump_init"].local_pref.isna().all()
+    # single slot: everything scheduled at the tick
+    assert set(ev.dump_slot) == {0}
+    assert set(ev.scheduled_at) == {1_700_000_100}
+
+
+def test_dump_spreading_slots(spark):
+    ev = rib_dump_events(
+        _rib(spark), dump_ts=1000, refresh_secs=60, time_slots=4
+    ).toPandas()
+    # a peer maps to exactly one slot, and its whole event stream
+    # (init, routes, close) shares that slot + schedule
+    for _, g in ev.groupby("peer_ip"):
+        assert g.dump_slot.nunique() == 1
+        assert g.scheduled_at.nunique() == 1
+        slot = int(g.dump_slot.iloc[0])
+        assert 0 <= slot < 4
+        assert int(g.scheduled_at.iloc[0]) == 1000 + slot * 15
+
+
+def test_write_rib_dump_files(spark, tmp_path):
+    out = str(tmp_path / "dump")
+    write_rib_dump(_rib(spark), out, dump_ts=1_700_000_100)
+    # one directory per (slot, exporter, peer) — the dynamic-name form
+    peers = sorted(
+        os.path.basename(p)
+        for p in glob.glob(os.path.join(out, "dump_slot=0", "exporter_ip=*", "peer_ip=*"))
+    )
+    assert peers == ["peer_ip=192.0.2.5", "peer_ip=192.0.2.6"]
+    rows = []
+    for f in glob.glob(os.path.join(out, "**", "*.json"), recursive=True):
+        with open(f) as fh:
+            rows += [json.loads(line) for line in fh if line.strip()]
+    assert sum(r["event_type"] == "dump_init" for r in rows) == 2
+    assert sum(r["event_type"] == "dump" for r in rows) == 3
+    closes = [r for r in rows if r["event_type"] == "dump_close"]
+    assert sorted(c["entries"] for c in closes) == [1, 2]
