@@ -119,7 +119,8 @@ class Daemon:
                 self.bgp_spool.batch(self.spark).select(
                     "exporter_ip", "seqno", "payload"
                 )
-            )
+            ),
+            peer_down=False,  # BGP session streams only carry UPDATEs
         )
 
     def _decoded(self, streaming: bool) -> DataFrame:

@@ -61,7 +61,7 @@ _DRIVER_WINDOW = [
     "sampling_map_renorm",
     # §2.4 enrichment joins
     "lpm_networks_src_as", "lpm6_networks_src_as", "geoip_country",
-    "bgp_lookup_attrs", "as_of_sampling_rate", "conntrack_correlate",
+    "bgp6_wire_rib_lookup", "as_of_sampling_rate", "conntrack_correlate",
     # §2.5 advanced agg
     "fss_smart_sampling", "salted_skew_agg",
     # §2.1 wire-format loops (decode + §2.2 probe re-export)

@@ -184,6 +184,7 @@ def lpm6_join(
     ip6_col: str,
     attrs: dict[str, str],
     default: dict[str, object] | None = None,
+    extra_keys: dict[str, str] | None = None,
 ) -> DataFrame:
     """Chained-broadcast LPM for IPv6 with ARBITRARY mask lengths
     (reference handles both families and any masklen in the same
@@ -205,12 +206,14 @@ def lpm6_join(
         (r[0] for r in networks6.select("masklen").distinct().collect()),
         reverse=True,
     )
+    extra = extra_keys or {}
     out = flows
     for m in masklens:
         plen = _v6_prefix_len_chars(m)
         rem_bits = m % 4
         dim_cols = [
             F.expr(f"substr(prefix6, 1, {plen})").alias(f"__pfx_{m}"),
+            *[F.col(d).alias(f"__ek_{d}_{m}") for d in extra.values()],
             *[F.col(src).alias(f"__{dst}_{m}") for src, dst in attrs.items()],
         ]
         if rem_bits:
@@ -222,7 +225,9 @@ def lpm6_join(
             )
         dim = networks6.filter(F.col("masklen") == m).select(*dim_cols)
         cond = F.expr(f"substr({ip6_col}, 1, {plen})") == F.col(f"__pfx_{m}")
-        drop = [f"__pfx_{m}"]
+        for fcol, dcol in extra.items():
+            cond = cond & (F.col(fcol) == F.col(f"__ek_{dcol}_{m}"))
+        drop = [f"__pfx_{m}", *[f"__ek_{d}_{m}" for d in extra.values()]]
         if rem_bits:
             shift = 1 << (4 - rem_bits)
             cond = cond & (

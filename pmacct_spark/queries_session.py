@@ -14,7 +14,7 @@ from pmacct_spark.operators.sessionize import (
     sessionize_duck,
 )
 from pmacct_spark.sources.tables import load_table
-from pmacct_spark.views.dims import BGP_RIB_DUCK, bgp_rib_dim
+from pmacct_spark.views.dims import BGP6_RIB_DUCK, BGP_RIB_DUCK, bgp_rib_dim
 from pmacct_spark.views.flows import FLOWS_DUCK_CTE, flows_sql
 
 
@@ -259,7 +259,7 @@ def bgp_wire_rib_lookup(spark, sf_dir):
     decoded = decode_bgp(streams.select("exporter_ip", "payload"))
     # materialize once: lpm_join reads the dim several times (masklen
     # discovery + one broadcast per masklen)
-    rib_wire = rib_state(decoded).selectExpr(
+    rib_wire = rib_state(decoded, peer_down=False).selectExpr(
         "peer_ip",
         "prefix AS net_int",
         "masklen",
@@ -390,4 +390,76 @@ def bmp_dump_accounting(spark, sf_dir):
         F.count(F.lit(1)).alias("events"),
         F.max("entries").cast("bigint").alias("entries"),
         F.max("seq").cast("bigint").alias("max_seq"),
+    )
+
+
+# --- BGP IPv6 RIB FROM THE WIRE: MP_REACH_NLRI announcements and
+#     MP_UNREACH_NLRI withdrawals (RFC 4760) per-peer session streams
+#     -> decode_bgp -> rib_state -> peer-keyed v6 LPM enrichment of
+#     the v6-signalled flows (reference BGP IPv6 families
+#     tests/300/302/501/502, src/bgp/bgp_msg.c MP attributes). The
+#     oracle joins the pristine fixture (withdrawn rows excluded);
+#     the Spark side must reproduce it through the v6 codec.
+@register(
+    "bgp6_wire_rib_lookup",
+    f"""{FLOWS_DUCK_CTE},
+rib AS ({BGP6_RIB_DUCK}),
+cand AS (
+  SELECT f.event_id, f.bytes, r.as_path, r.local_pref, r.med, r.lrg_comm,
+         ROW_NUMBER() OVER (
+           PARTITION BY f.event_id ORDER BY r.masklen DESC) AS rn
+  FROM flows f JOIN rib r
+    ON f.peer_ip_src = r.peer_ip
+   AND substr(f.ip6_dst, 1, length(r.prefix6)) = r.prefix6
+  WHERE f.ip6_dst <> '' AND NOT r.withdrawn
+)
+SELECT as_path AS as_path6, lrg_comm,
+       CAST(SUM(bytes) AS BIGINT) AS bytes, COUNT(*) AS flows,
+       CAST(MIN(local_pref) AS BIGINT) AS min_local_pref,
+       CAST(MAX(med) AS BIGINT) AS max_med
+FROM cand WHERE rn = 1 GROUP BY 1, 2""",
+)
+def bgp6_wire_rib_lookup(spark, sf_dir):
+    """Any MP attribute codec error (AFI/SAFI framing, NLRI nibble
+    packing, the v6 LPM key render) or a withdrawal that fails to
+    tombstone breaks the value hash."""
+    from pmacct_spark.operators.lpm import lpm6_join
+    from pmacct_spark.operators.staging import stage
+    from pmacct_spark.streaming.bmp import (
+        decode_bgp,
+        encode_bgp6_streams,
+        rib_state,
+    )
+    from pmacct_spark.views.dims import bgp6_rib_dim
+
+    rib_src = bgp6_rib_dim(spark, sf_dir).withColumnRenamed(
+        "withdrawn", "__withdraw"
+    )
+    streams = encode_bgp6_streams(rib_src)
+    rib_wire = stage(
+        rib_state(decode_bgp(streams), peer_down=False).select(
+            "peer_ip", "prefix6", "masklen", "as_path",
+            "local_pref", "med", "lrg_comm",
+        )
+    )
+    fl = flows(spark, sf_dir).filter("ip6_dst <> ''").select(
+        "peer_ip_src", "ip6_dst", "bytes"
+    )
+    enriched = lpm6_join(
+        fl,
+        rib_wire,
+        "ip6_dst",
+        {
+            "as_path": "as_path6",
+            "local_pref": "local_pref",
+            "med": "med",
+            "lrg_comm": "lrg_comm",
+        },
+        extra_keys={"peer_ip_src": "peer_ip"},
+    )
+    return enriched.groupBy("as_path6", "lrg_comm").agg(
+        F.sum("bytes").cast("bigint").alias("bytes"),
+        F.count(F.lit(1)).alias("flows"),
+        F.min("local_pref").cast("bigint").alias("min_local_pref"),
+        F.max("med").cast("bigint").alias("max_med"),
     )

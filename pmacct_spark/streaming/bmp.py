@@ -36,6 +36,10 @@ BMP_EVENT_SCHEMA = T.StructType(
         T.StructField("rd", T.StringType()),  # peer distinguisher
         T.StructField("ts_s", T.LongType()),
         T.StructField("prefix", T.LongType()),  # v4-as-int; null for events
+        # v6 prefix in the networks6 LPM key form (uncompressed
+        # lowercase, cut to ceil(masklen/4) nibbles incl. colons);
+        # null for v4 routes and events
+        T.StructField("prefix6", T.StringType()),
         T.StructField("masklen", T.IntegerType()),
         T.StructField("is_withdrawal", T.BooleanType()),
         T.StructField("as_path", T.StringType()),
@@ -85,6 +89,33 @@ def _parse_update(pdu: bytes) -> tuple[list[tuple[int, int]], list[tuple[int, in
     off += alen
     nlri = _parse_prefixes(pdu[off:])
     return withdrawn, nlri, attrs
+
+
+def _v6_prefix_str(b: bytes, masklen: int) -> str:
+    """Render a (possibly truncated) NLRI address to the engine's v6
+    LPM key: the uncompressed lowercase 8-group form with a ':' after
+    every complete group, cut to ``masklen DIV 4`` nibbles
+    (operators/lpm.py _v6_prefix_len_chars — aligned prefixes keep
+    the trailing colon)."""
+    full = (b + b"\x00" * 16)[:16]
+    s = "".join(
+        f"{int.from_bytes(full[i : i + 2], 'big'):04x}:" for i in range(0, 16, 2)
+    )
+    nibbles = masklen // 4
+    return s[: (nibbles // 4) * 5 + nibbles % 4]
+
+
+def _parse_prefixes6(b: bytes) -> list[tuple[str, int]]:
+    """MP NLRI walk (RFC 4760): masklen byte + ceil(masklen/8) bytes."""
+    out = []
+    p = 0
+    while p < len(b):
+        ml = b[p]
+        p += 1
+        nbytes = (ml + 7) // 8
+        out.append((_v6_prefix_str(b[p : p + nbytes], ml), ml))
+        p += nbytes
+    return out
 
 
 def _parse_prefixes(b: bytes) -> list[tuple[int, int]]:
@@ -150,6 +181,18 @@ def _parse_attrs(b: bytes) -> dict:
                     )
             if parts:
                 attrs["ext_comm"] = " ".join(parts)
+        elif code == 14 and len(val) >= 5:  # MP_REACH_NLRI (RFC 4760)
+            afi = int.from_bytes(val[0:2], "big")
+            safi = val[2]
+            nhlen = val[3]
+            q = 4 + nhlen + 1  # next hop + reserved byte
+            if afi == 2 and safi == 1 and q <= len(val):
+                attrs["__nlri6"] = _parse_prefixes6(val[q:])
+        elif code == 15 and len(val) >= 3:  # MP_UNREACH_NLRI
+            afi = int.from_bytes(val[0:2], "big")
+            safi = val[2]
+            if afi == 2 and safi == 1:
+                attrs["__withdrawn6"] = _parse_prefixes6(val[3:])
         elif code == 32:  # LARGE COMMUNITIES (RFC 8092): 12 bytes "a:b:c"
             attrs["lrg_comm"] = " ".join(
                 f"{int.from_bytes(val[q:q+4], 'big')}:"
@@ -186,31 +229,59 @@ def _bmp_rows(exporter: str, payload: bytes, seq0: int) -> list[dict]:
             }
             if mtype == 0:
                 withdrawn, nlri, attrs = _parse_update(body[42:])
-                for pfx, ml in withdrawn:
-                    out.append(
-                        base | {"prefix": pfx, "masklen": ml,
-                                "is_withdrawal": True, "seq": seq}
-                    )
-                    seq += 1
-                for pfx, ml in nlri:
-                    out.append(
-                        base | {
-                            "prefix": pfx, "masklen": ml,
-                            "is_withdrawal": False, "seq": seq,
-                            "as_path": attrs.get("as_path"),
-                            "next_hop": attrs.get("next_hop"),
-                            "local_pref": attrs.get("local_pref"),
-                            "med": attrs.get("med"),
-                            "std_comm": attrs.get("std_comm"),
-                            "ext_comm": attrs.get("ext_comm"),
-                            "lrg_comm": attrs.get("lrg_comm"),
-                        }
-                    )
-                    seq += 1
+                seq = _emit_update_rows(out, base, withdrawn, nlri, attrs, seq)
             else:
                 out.append(base | {"seq": seq})
                 seq += 1
     return out
+
+
+def _emit_update_rows(
+    out: list[dict],
+    base: dict,
+    withdrawn: list[tuple[int, int]],
+    nlri: list[tuple[int, int]],
+    attrs: dict,
+    seq: int,
+) -> int:
+    """Append decoded route rows (v4 NLRI + MP v6 NLRI, RFC 4760)
+    for one UPDATE; returns the advanced seq."""
+    withdrawn6 = attrs.pop("__withdrawn6", [])
+    nlri6 = attrs.pop("__nlri6", [])
+    for pfx, ml in withdrawn:
+        out.append(
+            base | {"prefix": pfx, "masklen": ml,
+                    "is_withdrawal": True, "seq": seq}
+        )
+        seq += 1
+    for pfx6, ml in withdrawn6:
+        out.append(
+            base | {"prefix6": pfx6, "masklen": ml,
+                    "is_withdrawal": True, "seq": seq}
+        )
+        seq += 1
+    attr_cols = {
+        "as_path": attrs.get("as_path"),
+        "next_hop": attrs.get("next_hop"),
+        "local_pref": attrs.get("local_pref"),
+        "med": attrs.get("med"),
+        "std_comm": attrs.get("std_comm"),
+        "ext_comm": attrs.get("ext_comm"),
+        "lrg_comm": attrs.get("lrg_comm"),
+    }
+    for pfx, ml in nlri:
+        out.append(
+            base | {"prefix": pfx, "masklen": ml,
+                    "is_withdrawal": False, "seq": seq} | attr_cols
+        )
+        seq += 1
+    for pfx6, ml in nlri6:
+        out.append(
+            base | {"prefix6": pfx6, "masklen": ml,
+                    "is_withdrawal": False, "seq": seq} | attr_cols
+        )
+        seq += 1
+    return seq
 
 
 def decode_bmp(datagrams: DataFrame) -> DataFrame:
@@ -272,27 +343,7 @@ def _bgp_stream_rows(exporter: str, payload: bytes, seq0: int) -> list[dict]:
             "exporter_ip": exporter, "peer_ip": exporter,
             "peer_as": 0, "ts_s": 0, "msg_type": 0,
         }
-        for pfx, ml in withdrawn:
-            out.append(
-                base | {"prefix": pfx, "masklen": ml,
-                        "is_withdrawal": True, "seq": seq}
-            )
-            seq += 1
-        for pfx, ml in nlri:
-            out.append(
-                base | {
-                    "prefix": pfx, "masklen": ml,
-                    "is_withdrawal": False, "seq": seq,
-                    "as_path": attrs.get("as_path"),
-                    "next_hop": attrs.get("next_hop"),
-                    "local_pref": attrs.get("local_pref"),
-                    "med": attrs.get("med"),
-                    "std_comm": attrs.get("std_comm"),
-                    "ext_comm": attrs.get("ext_comm"),
-                    "lrg_comm": attrs.get("lrg_comm"),
-                }
-            )
-            seq += 1
+        seq = _emit_update_rows(out, base, withdrawn, nlri, attrs, seq)
     return out
 
 
@@ -381,6 +432,104 @@ def encode_bgp_update(
         + nlri
     )
     return _BGP_MARKER + (19 + len(body)).to_bytes(2, "big") + b"\x02" + body
+
+
+def _v6_prefix_bytes(prefix6: str, masklen: int) -> bytes:
+    """Inverse of :func:`_v6_prefix_str`: LPM-key string -> the
+    ceil(masklen/8) NLRI bytes."""
+    nib = prefix6.replace(":", "")
+    full = bytes.fromhex(nib.ljust(32, "0"))
+    return full[: (masklen + 7) // 8]
+
+
+def encode_bgp_update6(
+    prefix6: str,
+    masklen: int,
+    as_path: str,
+    withdraw: bool = False,
+    local_pref: int | None = None,
+    med: int | None = None,
+    std_comm: str = "",
+    ext_comm: str = "",
+    lrg_comm: str = "",
+) -> bytes:
+    """One BGP UPDATE carrying an IPv6 route as MP_REACH_NLRI (or a
+    withdrawal as MP_UNREACH_NLRI), RFC 4760 — the reference's BGP
+    IPv6 path (tests/300/302/501/502 families, src/bgp/bgp_msg.c
+    MP attribute handling)."""
+    nlri = bytes([masklen]) + _v6_prefix_bytes(prefix6, masklen)
+    if withdraw:
+        mp = b"\x00\x02\x01" + nlri  # afi 2, safi 1
+        attrs = _encode_attr(0x80, 15, mp)
+    else:
+        # afi 2, safi 1, 16-byte next hop (zero), reserved, NLRI
+        mp = b"\x00\x02\x01\x10" + b"\x00" * 16 + b"\x00" + nlri
+        attrs = _encode_attr(0x40, 1, b"\x00")  # ORIGIN IGP
+        asns = [int(a) for a in as_path.split()] if as_path else []
+        seg = bytes([2, len(asns)]) + b"".join(a.to_bytes(4, "big") for a in asns)
+        attrs += _encode_attr(0x40, 2, seg)
+        attrs += _encode_attr(0x80, 14, mp)
+        if med is not None:
+            attrs += _encode_attr(0x80, 4, int(med).to_bytes(4, "big"))
+        if local_pref is not None:
+            attrs += _encode_attr(0x40, 5, int(local_pref).to_bytes(4, "big"))
+        if std_comm:
+            val = b"".join(
+                int(a).to_bytes(2, "big") + int(b).to_bytes(2, "big")
+                for a, b in (c.split(":") for c in std_comm.split())
+            )
+            attrs += _encode_attr(0xC0, 8, val)
+        if lrg_comm:
+            val = b"".join(
+                int(a).to_bytes(4, "big") + int(b).to_bytes(4, "big")
+                + int(c_).to_bytes(4, "big")
+                for a, b, c_ in (c.split(":") for c in lrg_comm.split())
+            )
+            attrs += _encode_attr(0xC0, 32, val)
+    body = (0).to_bytes(2, "big") + len(attrs).to_bytes(2, "big") + attrs
+    return _BGP_MARKER + (19 + len(body)).to_bytes(2, "big") + b"\x02" + body
+
+
+def encode_bgp6_streams(rib: DataFrame) -> DataFrame:
+    """Pack a v6 RIB into one BGP session byte stream per peer
+    (exporter_ip = peer, like decode_bgp expects): announcements in
+    deterministic (prefix6, masklen) order, then MP_UNREACH
+    withdrawals for rows flagged in the boolean ``__withdraw``
+    column. Feeds decode_bgp -> rib_state."""
+    schema = T.StructType(
+        [
+            T.StructField("exporter_ip", T.StringType()),
+            T.StructField("seqno", T.LongType()),
+            T.StructField("payload", T.BinaryType()),
+        ]
+    )
+
+    def pack(key, pdf):
+        (peer,) = key
+        pdf = pdf.sort_values(["prefix6", "masklen"])
+        wd_flags = (
+            pdf["__withdraw"].fillna(False).tolist()
+            if "__withdraw" in pdf
+            else [False] * len(pdf)
+        )
+        msgs = b""
+        for r in pdf.itertuples(index=False):
+            msgs += encode_bgp_update6(
+                str(r.prefix6), int(r.masklen), str(r.as_path or ""),
+                local_pref=int(r.local_pref), med=int(r.med),
+                std_comm=str(getattr(r, "std_comm", "") or ""),
+                lrg_comm=str(getattr(r, "lrg_comm", "") or ""),
+            )
+        for r, wd in zip(pdf.itertuples(index=False), wd_flags):
+            if bool(wd):
+                msgs += encode_bgp_update6(
+                    str(r.prefix6), int(r.masklen), "", withdraw=True
+                )
+        seqno = int(peer.rsplit(".", 1)[-1])
+        return pd.DataFrame([(peer, seqno, msgs)],
+                            columns=["exporter_ip", "seqno", "payload"])
+
+    return rib.groupBy("peer_ip").applyInPandas(pack, schema)
 
 
 def encode_bgp_updates(rib: DataFrame) -> DataFrame:
@@ -494,26 +643,38 @@ def encode_bmp_streams(rib: DataFrame, peer_as: int = 64500) -> DataFrame:
     return rib.groupBy("peer_ip").applyInPandas(pack, schema)
 
 
-def rib_state(updates: DataFrame) -> DataFrame:
+def rib_state(updates: DataFrame, peer_down: bool = True) -> DataFrame:
     """Compact a decoded update stream into current RIB state: the
     latest message per (exporter, peer, rd, prefix) wins; withdrawals
     tombstone; a Peer Down (msg_type 2) purges every route that peer
     instance announced before it (reference src/bmp/bmp_msg.c peer
     down handling / tests/204-205 — routes re-announced after the
     peer comes back survive). Window shuffles only — the streaming
-    form is the same plan per microbatch merged into a keyed store."""
-    w_peer = Window.partitionBy("exporter_ip", "peer_ip", "rd")
+    form is the same plan per microbatch merged into a keyed store.
+
+    ``peer_down=False`` skips the purge window — its partitioning is
+    one partition PER PEER (skewed: a 5-peer stream collapses onto 5
+    tasks however many rows there are), so sources that cannot emit
+    Peer Down rows (decode_bgp session streams only yield UPDATEs)
+    should opt out and keep the single fine-grained window."""
     w = Window.partitionBy(
-        "exporter_ip", "peer_ip", "rd", "prefix", "masklen"
+        "exporter_ip", "peer_ip", "rd", "prefix", "prefix6", "masklen"
     ).orderBy(F.desc("seq"))
-    return (
-        updates.filter("msg_type IN (0, 2)")
-        .withColumn(
-            "__down_seq",
-            F.max(F.when(F.col("msg_type") == 2, F.col("seq"))).over(w_peer),
+    if peer_down:
+        w_peer = Window.partitionBy("exporter_ip", "peer_ip", "rd")
+        updates = (
+            updates.filter("msg_type IN (0, 2)")
+            .withColumn(
+                "__down_seq",
+                F.max(F.when(F.col("msg_type") == 2, F.col("seq"))).over(w_peer),
+            )
+            .filter("msg_type = 0 AND (__down_seq IS NULL OR seq > __down_seq)")
+            .drop("__down_seq")
         )
-        .filter("msg_type = 0 AND (__down_seq IS NULL OR seq > __down_seq)")
-        .withColumn("__rn", F.row_number().over(w))
+    else:
+        updates = updates.filter("msg_type = 0")
+    return (
+        updates.withColumn("__rn", F.row_number().over(w))
         .filter("__rn = 1 AND NOT is_withdrawal")
-        .drop("__rn", "__down_seq", "msg_type", "is_withdrawal")
+        .drop("__rn", "msg_type", "is_withdrawal")
     )

@@ -139,6 +139,37 @@ SELECT 'fd00:0' AS prefix6,
 FROM region WHERE r_regionkey = 0
 """
 
+# BGP IPv6 RIB fixture (the reference's BGP v6 families,
+# tests/300/302/501/502: MP_REACH/MP_UNREACH_NLRI routes per peer).
+# Prefixes use the networks6 LPM key form; the ``withdrawn`` flag
+# drives MP_UNREACH messages in the wire fixture (and excludes the
+# row from the oracle's final RIB).
+_BGP6_RIB_SQL = f"""
+SELECT '192.0.2.' || CAST(r_regionkey AS {{STR}}) AS peer_ip,
+       'fd00:0' AS prefix6, 20 AS masklen,
+       '64512' AS as_path, CAST(50 AS BIGINT) AS local_pref,
+       CAST(0 AS BIGINT) AS med, '' AS lrg_comm, FALSE AS withdrawn
+FROM region
+UNION ALL
+SELECT '192.0.2.' || CAST(r_regionkey AS {{STR}}),
+       'fd00:0000:0000:' || {_G % 'n_nationkey'} || ':', 64,
+       '64496 ' || CAST(65200 + n_nationkey AS {{STR}}),
+       CAST(100 + ((n_nationkey * 7 + r_regionkey) % 50) AS BIGINT),
+       CAST((n_nationkey * 13 + r_regionkey * 3) % 100 AS BIGINT),
+       '64496:2:' || CAST(n_nationkey AS {{STR}}), FALSE
+FROM region CROSS JOIN nation WHERE n_nationkey < 5
+UNION ALL
+SELECT '192.0.2.' || CAST(r_regionkey AS {{STR}}),
+       'fd00:0000:0000:' || {_G % '(n_nationkey % 5)'} || ':0000:0000:'
+         || {_G % 'n_nationkey'} || ':', 112,
+       '64496 64499 ' || CAST(66200 + n_nationkey AS {{STR}}),
+       CAST(200 + ((n_nationkey * 11 + r_regionkey) % 50) AS BIGINT),
+       CAST((n_nationkey * 17 + r_regionkey * 5) % 100 AS BIGINT),
+       '64499:2:' || CAST(n_nationkey AS {{STR}}),
+       n_nationkey % 4 = 3
+FROM region CROSS JOIN nation WHERE n_nationkey < 16
+"""
+
 # flow_to_rd map (CONFIG-KEYS flow_to_rd_map; handlers in
 # src/pretag_handlers.c): (exporter, input ifindex) -> MPLS VPN RD.
 _FLOW_TO_RD_SQL = """
@@ -154,6 +185,7 @@ GEOIP_DUCK = _GEOIP_SQL.replace("{STR}", "VARCHAR")
 SAMPLING_MAP_DUCK = _SAMPLING_MAP_SQL.replace("{STR}", "VARCHAR")
 NETWORKS6_DUCK = _NETWORKS6_SQL.replace("{HEX}", "to_hex")
 BGP_RIB_DUCK = _BGP_RIB_SQL.replace("{STR}", "VARCHAR")
+BGP6_RIB_DUCK = _BGP6_RIB_SQL.replace("{STR}", "VARCHAR").replace("{HEX}", "to_hex")
 FLOW_TO_RD_DUCK = _FLOW_TO_RD_SQL.replace("{STR}", "VARCHAR")
 
 
@@ -186,6 +218,15 @@ def sampling_map_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
 def bgp_rib_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _run(
         spark, sf_dir, _BGP_RIB_SQL.replace("{STR}", "STRING"), ["region", "nation"]
+    )
+
+
+def bgp6_rib_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _run(
+        spark,
+        sf_dir,
+        _BGP6_RIB_SQL.replace("{STR}", "STRING").replace("{HEX}", "hex"),
+        ["region", "nation"],
     )
 
 
