@@ -216,10 +216,15 @@ def _bmp_rows(exporter: str, payload: bytes, seq0: int) -> list[dict]:
         if mtype in (0, 2, 3) and len(body) >= 42:
             # per-peer header (RFC 7854 §4.2): type(1) flags(1)
             # distinguisher(8) addr(16) as(4) bgp_id(4) ts(4+4).
-            # v4 peers: address right-aligned in the 16-byte field.
+            # flag V (0x80) marks a v6 peer (full 16-byte address,
+            # rendered uncompressed like every engine v6 string);
+            # v4 peers sit right-aligned in the 16-byte field.
             peer_type = body[0]
             rd = _rd_str(body[2:10])
-            peer_ip = _v4_str(body[22:26])
+            if body[1] & 0x80:
+                peer_ip = _v6_prefix_str(body[10:26], 128).rstrip(":")
+            else:
+                peer_ip = _v4_str(body[22:26])
             peer_as = int.from_bytes(body[26:30], "big")
             ts_s = int.from_bytes(body[34:38], "big")
             base = {

@@ -117,3 +117,42 @@ def test_locrib_instance_peer(spark):
         ("192.0.2.5", 0, 100, None),
     }
     assert rib.filter("peer_type = 3").count() == 1
+
+
+def test_bmp_v6_peer_and_mp_routes(spark):
+    """tests/401-402 family: a BMP per-peer header with the V flag
+    carries a 16-byte peer address, and Route Monitoring UPDATEs with
+    MP_REACH/MP_UNREACH_NLRI (RFC 4760) build v6 RIB entries; an
+    MP_UNREACH withdrawal tombstones through the same compaction."""
+    from pmacct_spark.streaming.bmp import encode_bgp_update6
+
+    v6peer = bytes.fromhex("20010db8000000000000000000000009")
+    msgs = (
+        _bmp_msg(3, v6peer, 64600)
+        + _bmp_msg(
+            0, v6peer, 64600,
+            encode_bgp_update6("fd00:0000:0000:0003:", 64, "64600 65003",
+                               local_pref=90, med=4, lrg_comm="64600:9:3"),
+        )
+        + _bmp_msg(
+            0, v6peer, 64600,
+            encode_bgp_update6(
+                "fd00:0000:0000:0002:0000:0000:000b:", 112, "64600 65002",
+                local_pref=70),
+        )
+        + _bmp_msg(
+            0, v6peer, 64600,
+            encode_bgp_update6(
+                "fd00:0000:0000:0002:0000:0000:000b:", 112, "",
+                withdraw=True),
+        )
+    )
+    rib = rib_state(decode_bmp(_dg(spark, ("203.0.113.9", msgs))))
+    rows = rib.collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r.peer_ip == "2001:0db8:0000:0000:0000:0000:0000:0009"
+    assert r.prefix6 == "fd00:0000:0000:0003:" and r.masklen == 64
+    assert r.prefix is None
+    assert (r.as_path, r.local_pref, r.med, r.lrg_comm) == (
+        "64600 65003", 90, 4, "64600:9:3")

@@ -391,8 +391,12 @@ def _bgp_update(withdrawn, nlri, as_path=(64496, 65001), nh=0x0A0000FE,
 
 
 def _bmp_msg(mtype, peer_ip, peer_as, pdu=b"", ptype=0, rd=b"\x00" * 8):
+    if isinstance(peer_ip, bytes):  # 16-byte v6 peer, V flag set
+        flags, addr = 0x80, peer_ip
+    else:
+        flags, addr = 0, b"\x00" * 12 + peer_ip.to_bytes(4, "big")
     peer_hdr = (
-        bytes([ptype, 0]) + rd + b"\x00" * 12 + peer_ip.to_bytes(4, "big")
+        bytes([ptype, flags]) + rd + addr
         + peer_as.to_bytes(4, "big") + b"\x00" * 4
         + (1_700_000_000).to_bytes(4, "big") + b"\x00" * 4
     )
