@@ -44,6 +44,7 @@ BMP_EVENT_SCHEMA = T.StructType(
         T.StructField("is_withdrawal", T.BooleanType()),
         T.StructField("as_path", T.StringType()),
         T.StructField("next_hop", T.LongType()),
+        T.StructField("next_hop6", T.StringType()),  # RFC 8950 extNH
         T.StructField("local_pref", T.LongType()),
         T.StructField("med", T.LongType()),
         T.StructField("std_comm", T.StringType()),
@@ -188,6 +189,14 @@ def _parse_attrs(b: bytes) -> dict:
             q = 4 + nhlen + 1  # next hop + reserved byte
             if afi == 2 and safi == 1 and q <= len(val):
                 attrs["__nlri6"] = _parse_prefixes6(val[q:])
+            elif afi == 1 and safi == 1 and q <= len(val):
+                # RFC 8950 extended next hop: v4 NLRI announced with a
+                # 16-byte v6 next hop (reference tests/300-extNH_enc)
+                attrs["__nlri4mp"] = _parse_prefixes(val[q:])
+                if nhlen in (16, 32):  # optional link-local second half
+                    attrs["next_hop6"] = _v6_prefix_str(
+                        val[4:20], 128
+                    ).rstrip(":")
         elif code == 15 and len(val) >= 3:  # MP_UNREACH_NLRI
             afi = int.from_bytes(val[0:2], "big")
             safi = val[2]
@@ -253,6 +262,8 @@ def _emit_update_rows(
     for one UPDATE; returns the advanced seq."""
     withdrawn6 = attrs.pop("__withdrawn6", [])
     nlri6 = attrs.pop("__nlri6", [])
+    # RFC 8950: v4 routes from the MP attribute join the v4 NLRI list
+    nlri = nlri + attrs.pop("__nlri4mp", [])
     for pfx, ml in withdrawn:
         out.append(
             base | {"prefix": pfx, "masklen": ml,
@@ -268,6 +279,7 @@ def _emit_update_rows(
     attr_cols = {
         "as_path": attrs.get("as_path"),
         "next_hop": attrs.get("next_hop"),
+        "next_hop6": attrs.get("next_hop6"),
         "local_pref": attrs.get("local_pref"),
         "med": attrs.get("med"),
         "std_comm": attrs.get("std_comm"),

@@ -156,3 +156,28 @@ def test_bmp_v6_peer_and_mp_routes(spark):
     assert r.prefix is None
     assert (r.as_path, r.local_pref, r.med, r.lrg_comm) == (
         "64600 65003", 90, 4, "64600:9:3")
+
+
+def test_extended_next_hop_v4_nlri_v6_nexthop(spark):
+    """tests/300-extNH_enc (RFC 8950): v4 NLRI carried in MP_REACH
+    AFI 1 with a 16-byte v6 next hop decodes as a v4 RIB entry whose
+    next_hop6 column holds the rendered v6 address."""
+    from pmacct_spark.streaming.bmp import _BGP_MARKER
+
+    nh6 = bytes.fromhex("20010db8000000000000000000000001")
+    # MP_REACH: afi 1, safi 1, nhlen 16, nh, reserved, NLRI 10.7.0.0/16
+    mp = b"\x00\x01\x01\x10" + nh6 + b"\x00" + bytes([16, 10, 7])
+    attrs = bytes([0x40, 1, 1, 0])                       # ORIGIN
+    path = bytes([2, 1]) + (64777).to_bytes(4, "big")
+    attrs += bytes([0x40, 2, len(path)]) + path          # AS_PATH
+    attrs += bytes([0x80, 14, len(mp)]) + mp             # MP_REACH
+    body = (0).to_bytes(2, "big") + len(attrs).to_bytes(2, "big") + attrs
+    upd = _BGP_MARKER + (19 + len(body)).to_bytes(2, "big") + b"\x02" + body
+    msgs = _bmp_msg(3, PEER_A, 64500) + _bmp_msg(0, PEER_A, 64500, upd)
+    rib = rib_state(decode_bmp(_dg(spark, ("203.0.113.9", msgs))))
+    rows = rib.collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r.prefix, r.masklen, r.prefix6) == (0x0A070000, 16, None)
+    assert r.next_hop6 == "2001:0db8:0000:0000:0000:0000:0000:0001"
+    assert r.as_path == "64777"
