@@ -248,7 +248,30 @@ class Daemon:
                 if path:
                     write_print(out, path, fmt=fmt)
             results[name] = out
+        self.dump_rib_if_configured()
         return results
+
+    def dump_rib_if_configured(self) -> str | None:
+        """Write a periodic RIB table dump when bgp_table_dump_file is
+        configured (reference src/bgp/bgp_logdump.c timer path, config
+        keys bgp_table_dump_file / _refresh_time / CONFIG-KEYS
+        dump-spreading time slots). Returns the dump path, or None."""
+        path = self.conf.get("bgp_table_dump_file")
+        if not path or self.bgp_spool is None:
+            return None
+        import time as _time
+
+        from pmacct_spark.sinks.dump import write_rib_dump
+
+        refresh = int(
+            self.conf.get("bgp_table_dump_refresh_time", default=60) or 60
+        )
+        slots = int(self.conf.get("bgp_table_dump_time_slots", default=1) or 1)
+        write_rib_dump(
+            self.rib(), path, dump_ts=int(_time.time()),
+            refresh_secs=refresh, time_slots=slots,
+        )
+        return path
 
     def run_continuous(self, trigger_secs: float = 1.0) -> "ContinuousRun":
         """Start every windowed channel as a LIVE streaming query

@@ -298,3 +298,53 @@ def test_daemon_continuous_live_updates(spark, tmp_path):
         if run is not None:
             run.stop()
         d.stop()
+
+
+def test_daemon_bgp_table_dump(spark, tmp_path):
+    """bgp_table_dump_file: the serve cycle writes a RIB snapshot in
+    the reference's dump event form (dump_init/dump/dump_close per
+    peer; src/bgp/bgp_logdump.c, tests/203+304 dump families)."""
+    import glob as _glob
+    import json as _json
+    import socket as _sock
+
+    from pmacct_spark.streaming.bmp import encode_bgp_update
+
+    dump_dir = str(tmp_path / "ribdump")
+    conf = f"""
+nfacctd_port: 0
+bgp_daemon: true
+bgp_daemon_port: 0
+bgp_table_dump_file: {dump_dir}
+bgp_table_dump_refresh_time: 120
+bgp_table_dump_time_slots: 3
+plugins: memory[routes]
+aggregate[routes]: as_path
+"""
+    d = Daemon.from_conf(spark, conf, spool_dir=str(tmp_path / "spool6"))
+    try:
+        session = encode_bgp_update(
+            0x0A000000, 8, "65000 65100"
+        ) + encode_bgp_update(0x0B000000, 8, "65000 65200")
+        c = _sock.socket(_sock.AF_INET, _sock.SOCK_STREAM)
+        c.connect(("127.0.0.1", d.bgp_port))
+        c.sendall(session)
+        c.close()
+        t0 = time.monotonic()
+        while d.bgp_spool.messages_spooled < 1 and time.monotonic() - t0 < 15:
+            time.sleep(0.05)
+        assert d.dump_rib_if_configured() == dump_dir
+    finally:
+        d.stop()
+    rows = []
+    for f in _glob.glob(f"{dump_dir}/**/*.json", recursive=True):
+        with open(f) as fh:
+            rows += [_json.loads(line) for line in fh if line.strip()]
+    by_type = {}
+    for r in rows:
+        by_type.setdefault(r["event_type"], []).append(r)
+    assert len(by_type["dump_init"]) == 1  # one peer session
+    assert len(by_type["dump"]) == 2
+    assert by_type["dump_close"][0]["entries"] == 2
+    assert {r["as_path"] for r in by_type["dump"]} == {
+        "65000 65100", "65000 65200"}
