@@ -357,7 +357,7 @@ def bmp_wire_peer_down_rib(spark, sf_dir):
 #     routes emits n+2 events, entries=n on the close row, seq ends
 #     at n+1 (reference tests/203-BMP-dump).
 @register(
-    "bmp_dump_accounting",
+    "bmp_wire_dump_accounting",
     f"""WITH rib AS ({BGP_RIB_DUCK}),
 alive AS (
   SELECT * FROM rib
@@ -368,7 +368,7 @@ SELECT peer_ip, CAST(n + 2 AS BIGINT) AS events,
        CAST(n AS BIGINT) AS entries, CAST(n + 1 AS BIGINT) AS max_seq
 FROM pp""",
 )
-def bmp_dump_accounting(spark, sf_dir):
+def bmp_wire_dump_accounting(spark, sf_dir):
     from pmacct_spark.sinks.dump import rib_dump_events
     from pmacct_spark.streaming.bmp import (
         decode_bmp,

@@ -165,7 +165,8 @@ def test_lpm6_and_ivf_keep_fact_side_broadcast(spark):
     lookup; the sole hash exchanges allowed are the tiny per-query
     ranking windows (IVF) or the final aggregation (LPM)."""
     q = entrymod.queries()
-    for name in ("lpm6_networks_src_as", "ann_ivf_topk"):
+    for name in ("lpm6_networks_src_as", "ann_ivf_topk",
+                 "bgp6_wire_rib_lookup"):
         plan = _plan(q[name](spark, SF_DIR))
         assert "BroadcastHashJoin" in plan, f"{name}: no broadcast join"
         assert "SortMergeJoin" not in plan, f"{name}: fact-side shuffle join"
