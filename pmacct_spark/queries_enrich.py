@@ -16,13 +16,17 @@ from pmacct_spark.operators.lpm import lpm_join, lpm_join_range, range_join
 from pmacct_spark.operators.pretag import Rule, apply_pretag, duck_case_sql
 from pmacct_spark.views.flows import flows_sql
 from pmacct_spark.views.dims import (
+    BGP_RIB_DUCK,
     FLOW_TO_RD_DUCK,
+    ROA_DUCK,
     GEOIP_DUCK,
     NETWORKS6_DUCK,
     NETWORKS_DUCK,
     SAMPLING_MAP_DUCK,
+    bgp_rib_dim,
     geoip_dim,
     networks6_dim,
+    roa_dim,
     networks_dim,
     sampling_map_dim,
 )
@@ -445,4 +449,45 @@ def networks_filter_zero(spark, sf_dir):
         F.sum("bytes").cast("bigint").alias("bytes"),
         F.sum("packets").cast("bigint").alias("packets"),
         F.sum("flows").cast("bigint").alias("flows"),
+    )
+
+
+# --- RPKI ROA validation (reference src/rpki/rpki_lookup.c:29-106;
+#     status chars src/rpki/rpki.h:26-31): each RIB route is checked
+#     against the ROA table — valid if a covering ROA carries a
+#     maxlen >= the route's prefix length AND the route's origin AS,
+#     invalid if covered without a match, unknown if uncovered. The
+#     oracle states the same rule as correlated EXISTS subqueries.
+@register(
+    "rpki_roa_validation",
+    f"""WITH rib AS ({BGP_RIB_DUCK}), roa AS ({ROA_DUCK}),
+val AS (
+  SELECT r.peer_ip, r.local_pref,
+    EXISTS(SELECT 1 FROM roa a
+           WHERE a.masklen <= r.masklen
+             AND (r.net_int // (CAST(1 AS BIGINT) << (32 - a.masklen)))
+               = (a.net_int // (CAST(1 AS BIGINT) << (32 - a.masklen)))
+             AND a.maxlen >= r.masklen
+             AND a.asn = r.peer_dst_as) AS is_valid,
+    EXISTS(SELECT 1 FROM roa a
+           WHERE a.masklen <= r.masklen
+             AND (r.net_int // (CAST(1 AS BIGINT) << (32 - a.masklen)))
+               = (a.net_int // (CAST(1 AS BIGINT) << (32 - a.masklen)))) AS is_covered
+  FROM rib r)
+SELECT CASE WHEN is_valid THEN 'v' WHEN is_covered THEN 'i' ELSE 'u' END
+         AS roa_status,
+       COUNT(*) AS routes,
+       CAST(SUM(local_pref) AS BIGINT) AS sum_local_pref
+FROM val GROUP BY 1""",
+)
+def rpki_roa_validation(spark, sf_dir):
+    from pmacct_spark.operators.rpki import rpki_validate
+
+    rib = bgp_rib_dim(spark, sf_dir).withColumnRenamed(
+        "peer_dst_as", "origin_as"
+    )
+    validated = rpki_validate(rib, roa_dim(spark, sf_dir))
+    return validated.groupBy("roa_status").agg(
+        F.count(F.lit(1)).alias("routes"),
+        F.sum("local_pref").cast("bigint").alias("sum_local_pref"),
     )

@@ -170,6 +170,26 @@ SELECT '192.0.2.' || CAST(r_regionkey AS {{STR}}),
 FROM region CROSS JOIN nation WHERE n_nationkey < 16
 """
 
+# RPKI ROA table fixture (the reference's rpki_roas_file /
+# RTR-sourced ROA db, src/rpki/rpki_msg.c): (prefix, masklen, maxlen,
+# origin asn). Shaped so validation against _BGP_RIB_SQL's routes
+# yields all three statuses: /16 ROAs validate even-nation /16 routes
+# (odd nations carry a non-matching origin -> invalid), the /20
+# more-specifics are covered-but-wrong-origin except n=1 (validated
+# by the /8 covering ROA's origin 66001), and the masklen-0 default
+# routes are uncovered -> unknown.
+_ROA_SQL = f"""
+SELECT CAST({_BASE} + n_nationkey * 65536 AS BIGINT) AS net_int,
+       16 AS masklen,
+       CASE WHEN n_nationkey % 3 = 0 THEN 16 ELSE 20 END AS maxlen,
+       CAST(CASE WHEN n_nationkey % 2 = 0
+            THEN 65000 + n_nationkey ELSE 64999 END AS BIGINT) AS asn
+FROM nation
+UNION ALL
+SELECT CAST({_BASE} AS BIGINT), 8, 24, CAST(66001 AS BIGINT)
+FROM region WHERE r_regionkey = 0
+"""
+
 # flow_to_rd map (CONFIG-KEYS flow_to_rd_map; handlers in
 # src/pretag_handlers.c): (exporter, input ifindex) -> MPLS VPN RD.
 _FLOW_TO_RD_SQL = """
@@ -186,6 +206,7 @@ SAMPLING_MAP_DUCK = _SAMPLING_MAP_SQL.replace("{STR}", "VARCHAR")
 NETWORKS6_DUCK = _NETWORKS6_SQL.replace("{HEX}", "to_hex")
 BGP_RIB_DUCK = _BGP_RIB_SQL.replace("{STR}", "VARCHAR")
 BGP6_RIB_DUCK = _BGP6_RIB_SQL.replace("{STR}", "VARCHAR").replace("{HEX}", "to_hex")
+ROA_DUCK = _ROA_SQL
 FLOW_TO_RD_DUCK = _FLOW_TO_RD_SQL.replace("{STR}", "VARCHAR")
 
 
@@ -219,6 +240,10 @@ def bgp_rib_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _run(
         spark, sf_dir, _BGP_RIB_SQL.replace("{STR}", "STRING"), ["region", "nation"]
     )
+
+
+def roa_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _run(spark, sf_dir, _ROA_SQL, ["region", "nation"])
 
 
 def bgp6_rib_dim(spark: SparkSession, sf_dir: str) -> DataFrame:

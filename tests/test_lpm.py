@@ -128,3 +128,40 @@ def test_lpm6_plan_is_broadcast_only(flows6, networks6):
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_rpki_validation_statuses(spark):
+    """Hand-computed ROA matrix (reference src/rpki/rpki_lookup.c):
+    maxlen boundary, multiple ROAs on one prefix, shorter-than-ROA
+    routes uncovered, and invalid-despite-cover."""
+    from pmacct_spark.operators.rpki import rpki_validate
+
+    roa = spark.createDataFrame(
+        [
+            (0x0A010000, 16, 20, 65001),  # 10.1/16-20 AS65001
+            (0x0A010000, 16, 16, 65002),  # same prefix, other origin
+            (0x0AFF0000, 16, 16, 65009),
+        ],
+        "net_int long, masklen int, maxlen int, asn long",
+    )
+    routes = spark.createDataFrame(
+        [
+            ("r1", 0x0A010000, 16, 65001),  # covered, ml ok -> v
+            ("r2", 0x0A010000, 16, 65002),  # second ROA validates -> v
+            ("r3", 0x0A011000, 20, 65001),  # within maxlen 20 -> v
+            ("r4", 0x0A011000, 20, 65002),  # maxlen 16 < 20 -> i
+            ("r5", 0x0A011800, 21, 65001),  # beyond maxlen 20 -> i
+            ("r6", 0x0A010000, 16, 65999),  # covered, wrong origin -> i
+            ("r7", 0x0A000000, 8, 65001),   # SHORTER than ROA -> u
+            ("r8", 0x0B000000, 16, 65001),  # no covering ROA -> u
+        ],
+        "rid string, net_int long, masklen int, origin_as long",
+    )
+    got = {
+        r.rid: r.roa_status
+        for r in rpki_validate(routes, roa).collect()
+    }
+    assert got == {
+        "r1": "v", "r2": "v", "r3": "v", "r4": "i",
+        "r5": "i", "r6": "i", "r7": "u", "r8": "u",
+    }
