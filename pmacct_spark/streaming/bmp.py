@@ -51,6 +51,11 @@ BMP_EVENT_SCHEMA = T.StructType(
         T.StructField("ext_comm", T.StringType()),
         T.StructField("lrg_comm", T.StringType()),
         T.StructField("seq", T.LongType()),  # intra-datagram order
+        # Stats Report rows (msg_type 1): RFC 7854 §4.8 counter TLVs
+        T.StructField("stat_type", T.IntegerType()),
+        T.StructField("stat_value", T.LongType()),
+        # Init/Term (4/5) information TLV strings; Peer Up TLVs
+        T.StructField("info", T.StringType()),
     ]
 )
 
@@ -222,7 +227,29 @@ def _bmp_rows(exporter: str, payload: bytes, seq0: int) -> list[dict]:
             break
         body = payload[off + 6 : off + mlen]
         off += mlen
-        if mtype in (0, 2, 3) and len(body) >= 42:
+        if mtype in (4, 5):
+            # Init/Term (RFC 7854 §4.3/4.5): information TLVs only, no
+            # per-peer header. sysDescr/sysName/free-form strings join
+            # into one info field; a Term reason code renders as
+            # "reason:<n>" (reference src/bmp/bmp_msg.c TLV walks).
+            parts = []
+            q = 0
+            while q + 4 <= len(body):
+                t = int.from_bytes(body[q : q + 2], "big")
+                ln = int.from_bytes(body[q + 2 : q + 4], "big")
+                val = body[q + 4 : q + 4 + ln]
+                q += 4 + ln
+                if mtype == 5 and t == 1 and ln == 2:
+                    parts.append(f"reason:{int.from_bytes(val, 'big')}")
+                else:
+                    parts.append(val.decode("utf-8", "replace"))
+            out.append(
+                {"exporter_ip": exporter, "msg_type": mtype,
+                 "info": " | ".join(parts) or None, "seq": seq}
+            )
+            seq += 1
+            continue
+        if mtype in (0, 1, 2, 3) and len(body) >= 42:
             # per-peer header (RFC 7854 §4.2): type(1) flags(1)
             # distinguisher(8) addr(16) as(4) bgp_id(4) ts(4+4).
             # flag V (0x80) marks a v6 peer (full 16-byte address,
@@ -244,6 +271,28 @@ def _bmp_rows(exporter: str, payload: bytes, seq0: int) -> list[dict]:
             if mtype == 0:
                 withdrawn, nlri, attrs = _parse_update(body[42:])
                 seq = _emit_update_rows(out, base, withdrawn, nlri, attrs, seq)
+            elif mtype == 1 and len(body) >= 46:
+                # Stats Report (RFC 7854 §4.8): count + [type len value]
+                # TLVs; 32-bit counters and 64-bit gauges both fold to
+                # one long (reference src/bmp/bmp_msg.c bmp_process_
+                # msg_stats, counter vocabulary src/bmp/bmp.h:195-213)
+                n_cnt = int.from_bytes(body[42:46], "big")
+                q = 46
+                for _ in range(n_cnt):
+                    if q + 4 > len(body):
+                        break
+                    st = int.from_bytes(body[q : q + 2], "big")
+                    ln = int.from_bytes(body[q + 2 : q + 4], "big")
+                    if ln not in (4, 8) or q + 4 + ln > len(body):
+                        q += 4 + ln
+                        continue
+                    val = int.from_bytes(body[q + 4 : q + 4 + ln], "big")
+                    q += 4 + ln
+                    out.append(
+                        base | {"stat_type": st, "stat_value": val,
+                                "seq": seq}
+                    )
+                    seq += 1
             else:
                 out.append(base | {"seq": seq})
                 seq += 1

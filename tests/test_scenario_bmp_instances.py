@@ -181,3 +181,38 @@ def test_extended_next_hop_v4_nlri_v6_nexthop(spark):
     assert (r.prefix, r.masklen, r.prefix6) == (0x0A070000, 16, None)
     assert r.next_hop6 == "2001:0db8:0000:0000:0000:0000:0000:0001"
     assert r.as_path == "64777"
+
+
+def test_bmp_stats_and_init_term(spark):
+    """208-family plumbing: Stats Reports (type 1, RFC 7854 §4.8)
+    decode one row per counter TLV (32-bit counters and 64-bit gauges);
+    Init/Term (4/5) carry information TLV strings and a Term reason."""
+    stats_body = (
+        (3).to_bytes(4, "big")
+        + (0).to_bytes(2, "big") + (4).to_bytes(2, "big") + (17).to_bytes(4, "big")
+        + (7).to_bytes(2, "big") + (8).to_bytes(2, "big") + (123456789012).to_bytes(8, "big")
+        + (8).to_bytes(2, "big") + (8).to_bytes(2, "big") + (99).to_bytes(8, "big")
+    )
+    # stats message: reuse the peer-header builder with a raw body
+    stats_msg = _bmp_msg(1, PEER_A, 64500, stats_body)
+    init_body = (
+        (1).to_bytes(2, "big") + (4).to_bytes(2, "big") + b"IOSv"      # sysDescr
+        + (2).to_bytes(2, "big") + (3).to_bytes(2, "big") + b"rtr"     # sysName
+    )
+    init_msg = bytes([3]) + (6 + len(init_body)).to_bytes(4, "big") + bytes([4]) + init_body
+    term_body = (1).to_bytes(2, "big") + (2).to_bytes(2, "big") + (1).to_bytes(2, "big")
+    term_msg = bytes([3]) + (6 + len(term_body)).to_bytes(4, "big") + bytes([5]) + term_body
+
+    ev = decode_bmp(
+        _dg(spark, ("203.0.113.9", init_msg + stats_msg + term_msg))
+    ).toPandas()
+    stats = ev[ev.msg_type == 1].sort_values("seq")
+    assert list(zip(stats.stat_type, stats.stat_value)) == [
+        (0, 17), (7, 123456789012), (8, 99)]
+    assert set(stats.peer_ip) == {"192.0.2.5"}
+    assert list(ev[ev.msg_type == 4]["info"]) == ["IOSv | rtr"]
+    assert list(ev[ev.msg_type == 5]["info"]) == ["reason:1"]
+    # stats/init/term rows never leak into RIB state
+    assert rib_state(decode_bmp(
+        _dg(spark, ("203.0.113.9", init_msg + stats_msg + term_msg))
+    )).count() == 0
