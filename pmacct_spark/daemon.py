@@ -65,6 +65,7 @@ class Daemon:
 
     flavor: str = "netflow"  # or "sflow" (sfacctd_port configured)
     bgp_spool: object | None = None  # TcpSpool when bgp_daemon is on
+    bmp_spool: object | None = None  # TcpSpool when bmp_daemon is on
 
     @classmethod
     def from_conf(
@@ -82,7 +83,7 @@ class Daemon:
         spool = UdpSpool(
             host=host, port=port, spool_dir=spool_dir, flush_secs=0.2
         ).start()
-        bgp_spool = None
+        bgp_spool = bmp_spool = None
         if conf.getbool("bgp_daemon"):
             from pmacct_spark.sources.tcp import TcpSpool
 
@@ -90,10 +91,17 @@ class Daemon:
                 framing="bgp", host=host,
                 port=int(conf.get("bgp_daemon_port", default=0) or 0),
             ).start()
+        if conf.getbool("bmp_daemon"):  # the pmbmpd flavor
+            from pmacct_spark.sources.tcp import TcpSpool
+
+            bmp_spool = TcpSpool(
+                framing="bmp", host=host,
+                port=int(conf.get("bmp_daemon_port", default=0) or 0),
+            ).start()
         return cls(
             spark=spark, conf=conf, spool=spool,
             channels=conffile.channels(conf), flavor=flavor,
-            bgp_spool=bgp_spool,
+            bgp_spool=bgp_spool, bmp_spool=bmp_spool,
         )
 
     @property
@@ -104,24 +112,56 @@ class Daemon:
     def bgp_port(self) -> int:
         return self.bgp_spool.port if self.bgp_spool else 0
 
+    @property
+    def bmp_port(self) -> int:
+        return self.bmp_spool.port if self.bmp_spool else 0
+
     def stop(self) -> None:
         self.spool.stop()
-        if self.bgp_spool is not None:
-            self.bgp_spool.stop()
+        for sp in (self.bgp_spool, self.bmp_spool):
+            if sp is not None:
+                sp.stop()
 
     def rib(self) -> DataFrame:
-        """Current RIB state from the live BGP sessions (latest-wins
-        compaction — the in-memory table the reference daemon holds)."""
-        from pmacct_spark.streaming.bmp import decode_bgp, rib_state
+        """Current RIB state from the live BGP and/or BMP sessions
+        (latest-wins compaction — the in-memory table the reference
+        daemon holds). With both daemons on, the two sources union;
+        exporter_ip keeps their tables apart."""
+        from pmacct_spark.streaming.bmp import decode_bgp, decode_bmp, rib_state
 
-        return rib_state(
-            decode_bgp(
-                self.bgp_spool.batch(self.spark).select(
-                    "exporter_ip", "seqno", "payload"
+        parts = []
+        if self.bgp_spool is not None:
+            parts.append(
+                rib_state(
+                    decode_bgp(
+                        self.bgp_spool.batch(self.spark).select(
+                            "exporter_ip", "seqno", "payload"
+                        )
+                    ),
+                    peer_down=False,  # BGP sessions only carry UPDATEs
                 )
-            ),
-            peer_down=False,  # BGP session streams only carry UPDATEs
-        )
+            )
+        if self.bmp_spool is not None:
+            parts.append(
+                rib_state(  # BMP streams can carry Peer Down purges
+                    decode_bmp(
+                        self.bmp_spool.batch(self.spark).select(
+                            "exporter_ip", "seqno", "payload"
+                        )
+                    )
+                )
+                # flow correlation keys on the MONITORED ROUTER (the
+                # BMP sender), not the remote BGP neighbor: the flow's
+                # exporter is the router whose Adj-RIB-In BMP mirrors
+                # (reference nfacctd+bmp tests/4xx correlation)
+                .withColumn("peer_ip", F.col("exporter_ip"))
+            )
+        if not parts:
+            raise ValueError("rib(): neither bgp_daemon nor bmp_daemon is on")
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
 
     def _decoded(self, streaming: bool) -> DataFrame:
         from pmacct_spark.streaming.decode import decode_any, decode_sflow_any
@@ -134,7 +174,7 @@ class Daemon:
         decode = decode_sflow_any if self.flavor == "sflow" else decode_any
         df = canonical_flows(decode(dg.select("exporter_ip", "payload")))
         df = self._maps(df)
-        if self.bgp_spool is not None:
+        if self.bgp_spool is not None or self.bmp_spool is not None:
             df = self._bgp_enrich(df)
         return df
 
@@ -256,8 +296,10 @@ class Daemon:
         configured (reference src/bgp/bgp_logdump.c timer path, config
         keys bgp_table_dump_file / _refresh_time / CONFIG-KEYS
         dump-spreading time slots). Returns the dump path, or None."""
-        path = self.conf.get("bgp_table_dump_file")
-        if not path or self.bgp_spool is None:
+        path = self.conf.get("bgp_table_dump_file") or self.conf.get(
+            "bmp_dump_file"
+        )
+        if not path or (self.bgp_spool is None and self.bmp_spool is None):
             return None
         import time as _time
 

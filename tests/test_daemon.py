@@ -348,3 +348,60 @@ aggregate[routes]: as_path
     assert by_type["dump_close"][0]["entries"] == 2
     assert {r["as_path"] for r in by_type["dump"]} == {
         "65000 65100", "65000 65200"}
+
+
+def test_daemon_live_bmp_correlation_with_peer_down(spark, tmp_path):
+    """bmp_daemon (the pmbmpd flavor): BMP messages stream over TCP,
+    flows over UDP; the channel enriches from the BMP-fed RIB and a
+    Peer Down purges that peer's routes before correlation (the
+    reference's nfacctd+bmp tests/4xx shape, live end-to-end)."""
+    import socket as _sock
+
+    from tests.test_streaming import _bgp_update, _bmp_msg
+
+    conf = """
+nfacctd_port: 0
+bmp_daemon: true
+bmp_daemon_port: 0
+plugins: memory[routes]
+aggregate[routes]: as_path
+"""
+    d = Daemon.from_conf(spark, conf, spool_dir=str(tmp_path / "spool7"))
+    try:
+        peer_a, peer_b = 0xC0000205, 0xC0000206  # 192.0.2.5 / .6
+        stream = (
+            _bmp_msg(3, peer_a, 64500)
+            + _bmp_msg(0, peer_a, 64500,
+                       _bgp_update([], [(0x0A000000, 8)], as_path=(65000, 65100)))
+            + _bmp_msg(3, peer_b, 64510)
+            + _bmp_msg(0, peer_b, 64510,
+                       _bgp_update([], [(0x0B000000, 8)], as_path=(65000, 65200)))
+            + _bmp_msg(2, peer_b, 64510)  # B down: its route must purge
+        )
+        c = _sock.socket(_sock.AF_INET, _sock.SOCK_STREAM)
+        c.connect(("127.0.0.1", d.bmp_port))
+        c.sendall(stream)
+        c.close()
+        t0 = time.monotonic()
+        while d.bmp_spool.messages_spooled < 1 and time.monotonic() - t0 < 15:
+            time.sleep(0.05)
+
+        recs_a = [{"src": 1, "dst": 0x0A010101, "pkts": 2, "bytes": 300,
+                   "sport": 1, "dport": 2}]
+        recs_b = [{"src": 2, "dst": 0x0B020202, "pkts": 4, "bytes": 700,
+                   "sport": 3, "dport": 4}]
+        send_datagrams(
+            [_v5_datagram(1, recs_a), _v5_datagram(2, recs_b)],
+            "127.0.0.1", d.port,
+        )
+        t0 = time.monotonic()
+        while d.spool.datagrams_received < 2 and time.monotonic() - t0 < 15:
+            time.sleep(0.05)
+        out = d.run_available()["routes"]
+    finally:
+        d.stop()
+    got = {r["as_path"]: (r["bytes"], r["packets"]) for r in out.collect()}
+    assert got == {
+        "65000 65100": (300, 2),  # A's /8 still enriches
+        "": (700, 4),             # B's route purged by Peer Down
+    }
