@@ -308,3 +308,36 @@ def parse_custom_primitives(text: str) -> list:
             )
         )
     return out
+
+
+def parse_roas_file(text: str) -> list[dict]:
+    """rpki_roas_file: the RIPE-validator JSON export the reference
+    loads (src/rpki/rpki_msg.c:29 rpki_roas_file_load) —
+    {"roas": [{"prefix": "a.b.c.d/m", "asn": "AS65001"|65001,
+    "maxLength": n}, ...]}. Rows with a malformed prefix/asn or a
+    maxLength below the prefix length are skipped with the same
+    tolerance as the reference's per-ROA warnings. v4 only (the
+    engine's ROA lookup keys on net_int)."""
+    import json as _json
+
+    out: list[dict] = []
+    doc = _json.loads(text)
+    for roa in doc.get("roas", []):
+        try:
+            net = ipaddress.ip_network(str(roa["prefix"]), strict=False)
+            asn_raw = roa["asn"]
+            asn = int(str(asn_raw).upper().removeprefix("AS"))
+            maxlen = int(roa.get("maxLength", net.prefixlen))
+        except (KeyError, ValueError):
+            continue
+        if net.version != 4 or maxlen < net.prefixlen:
+            continue
+        out.append(
+            {
+                "net_int": int(net.network_address),
+                "masklen": net.prefixlen,
+                "maxlen": maxlen,
+                "asn": asn,
+            }
+        )
+    return out

@@ -187,15 +187,40 @@ class Daemon:
         from pmacct_spark.operators.lpm import lpm_join
 
         rib = self.rib().withColumnRenamed("prefix", "net_int")
+        attrs = {
+            "as_path": "as_path", "local_pref": "local_pref",
+            "med": "med", "std_comm": "std_comm",
+        }
+        defaults = {
+            "as_path": "", "local_pref": 0, "med": 0, "std_comm": "",
+        }
+        roas_path = self.conf.get("rpki_roas_file")
+        if roas_path:
+            # validate each RIB route against the ROA table BEFORE the
+            # flow join, so flows inherit the looked-up route's status
+            # (reference attaches dst ROA the same way, rpki_lookup.c)
+            from pmacct_spark.operators.rpki import rpki_validate
+
+            with open(roas_path) as fh:
+                rows = conffile.parse_roas_file(fh.read())
+            roa_df = self.spark.createDataFrame(
+                [(r["net_int"], r["masklen"], r["maxlen"], r["asn"])
+                 for r in rows],
+                "net_int long, masklen int, maxlen int, asn long",
+            )
+            rib = rpki_validate(
+                rib.withColumn(
+                    "origin_as",
+                    F.expr(
+                        "CAST(element_at(split(as_path, ' '), -1) AS BIGINT)"
+                    ),
+                ),
+                roa_df,
+            ).drop("origin_as")
+            attrs["roa_status"] = "dst_roa"  # the registry primitive
+            defaults["dst_roa"] = "u"  # off-RIB traffic: unknown
         return lpm_join(
-            df, rib, "ip_dst_i",
-            {
-                "as_path": "as_path", "local_pref": "local_pref",
-                "med": "med", "std_comm": "std_comm",
-            },
-            default={
-                "as_path": "", "local_pref": 0, "med": 0, "std_comm": "",
-            },
+            df, rib, "ip_dst_i", attrs, default=defaults,
             extra_keys={"peer_ip_src": "peer_ip"},
         )
 

@@ -405,3 +405,56 @@ aggregate[routes]: as_path
         "65000 65100": (300, 2),  # A's /8 still enriches
         "": (700, 4),             # B's route purged by Peer Down
     }
+
+
+def test_daemon_rpki_roas_file(spark, tmp_path):
+    """rpki_roas_file: flows inherit the looked-up route's ROA status
+    (dst_roa primitive) computed live against the loaded ROA table —
+    valid origin, wrong origin, and off-table routes."""
+    import socket as _sock
+
+    from pmacct_spark.streaming.bmp import encode_bgp_update
+
+    roas = tmp_path / "roas.json"
+    roas.write_text(
+        '{"roas": ['
+        '{"prefix": "10.0.0.0/8", "asn": "AS65100", "maxLength": 8},'
+        '{"prefix": "11.0.0.0/8", "asn": "AS64000", "maxLength": 8}]}'
+    )
+    conf = f"""
+nfacctd_port: 0
+bgp_daemon: true
+bgp_daemon_port: 0
+rpki_roas_file: {roas}
+plugins: memory[routes]
+aggregate[routes]: dst_roa
+"""
+    d = Daemon.from_conf(spark, conf, spool_dir=str(tmp_path / "spool8"))
+    try:
+        session = encode_bgp_update(
+            0x0A000000, 8, "65000 65100"   # origin matches ROA -> v
+        ) + encode_bgp_update(0x0B000000, 8, "65000 65200")  # covered, wrong origin -> i
+        c = _sock.socket(_sock.AF_INET, _sock.SOCK_STREAM)
+        c.connect(("127.0.0.1", d.bgp_port))
+        c.sendall(session)
+        c.close()
+        t0 = time.monotonic()
+        while d.bgp_spool.messages_spooled < 1 and time.monotonic() - t0 < 15:
+            time.sleep(0.05)
+        send_datagrams(
+            [_v5_datagram(1, [{"src": 1, "dst": 0x0A010101, "pkts": 2,
+                               "bytes": 300, "sport": 1, "dport": 2}]),
+             _v5_datagram(2, [{"src": 2, "dst": 0x0B020202, "pkts": 4,
+                               "bytes": 700, "sport": 3, "dport": 4}]),
+             _v5_datagram(3, [{"src": 3, "dst": 0x0C030303, "pkts": 1,
+                               "bytes": 50, "sport": 5, "dport": 6}])],
+            "127.0.0.1", d.port,
+        )
+        t0 = time.monotonic()
+        while d.spool.datagrams_received < 3 and time.monotonic() - t0 < 15:
+            time.sleep(0.05)
+        out = d.run_available()["routes"]
+    finally:
+        d.stop()
+    got = {r["dst_roa"]: (r["bytes"], r["packets"]) for r in out.collect()}
+    assert got == {"v": (300, 2), "i": (700, 4), "u": (50, 1)}
