@@ -322,15 +322,18 @@ def parse_roas_file(text: str) -> list[dict]:
 
     out: list[dict] = []
     doc = _json.loads(text)
-    for roa in doc.get("roas", []):
+    roas = doc.get("roas", []) if isinstance(doc, dict) else []
+    for roa in roas:
         try:
             net = ipaddress.ip_network(str(roa["prefix"]), strict=False)
             asn_raw = roa["asn"]
             asn = int(str(asn_raw).upper().removeprefix("AS"))
             maxlen = int(roa.get("maxLength", net.prefixlen))
-        except (KeyError, ValueError):
+        except (KeyError, TypeError, ValueError):
             continue
-        if net.version != 4 or maxlen < net.prefixlen:
+        # a v4 maxLength beyond 32 (v6-style value on a mixed-export
+        # row) would validate EVERY more-specific announcement — skip
+        if net.version != 4 or maxlen < net.prefixlen or maxlen > 32:
             continue
         out.append(
             {

@@ -142,18 +142,33 @@ class Daemon:
                 )
             )
         if self.bmp_spool is not None:
-            parts.append(
-                rib_state(  # BMP streams can carry Peer Down purges
-                    decode_bmp(
-                        self.bmp_spool.batch(self.spark).select(
-                            "exporter_ip", "seqno", "payload"
-                        )
+            from pyspark.sql import Window
+
+            bmp_rib = rib_state(  # BMP streams carry Peer Down purges
+                decode_bmp(
+                    self.bmp_spool.batch(self.spark).select(
+                        "exporter_ip", "seqno", "payload"
                     )
                 )
-                # flow correlation keys on the MONITORED ROUTER (the
-                # BMP sender), not the remote BGP neighbor: the flow's
-                # exporter is the router whose Adj-RIB-In BMP mirrors
-                # (reference nfacctd+bmp tests/4xx correlation)
+            )
+            # Flow correlation keys on the MONITORED ROUTER (the BMP
+            # sender), not the remote BGP neighbor: the flow's exporter
+            # is the router whose Adj-RIB-In BMP mirrors (reference
+            # nfacctd+bmp tests/4xx correlation). Collapsing neighbors
+            # onto the router needs BEST-PATH selection first, or two
+            # neighbors announcing the same prefix would duplicate the
+            # broadcast-join key and double-count every matching flow:
+            # highest local_pref wins, then latest (reference
+            # bgp_best_path local-pref step, src/bgp/bgp_aux.c).
+            w_best = Window.partitionBy(
+                "exporter_ip", "prefix", "prefix6", "masklen"
+            ).orderBy(
+                F.desc_nulls_last("local_pref"), F.desc("seq")
+            )
+            parts.append(
+                bmp_rib.withColumn("__best", F.row_number().over(w_best))
+                .filter("__best = 1")
+                .drop("__best")
                 .withColumn("peer_ip", F.col("exporter_ip"))
             )
         if not parts:
@@ -178,6 +193,23 @@ class Daemon:
             df = self._bgp_enrich(df)
         return df
 
+    def _roa_table(self) -> DataFrame | None:
+        """Parse rpki_roas_file once per daemon (the reference reloads
+        it only on SIGUSR2 too) and reuse the DataFrame every batch."""
+        if not hasattr(self, "_roa_df"):
+            roas_path = self.conf.get("rpki_roas_file")
+            if not roas_path:
+                self._roa_df = None
+            else:
+                with open(roas_path) as fh:
+                    rows = conffile.parse_roas_file(fh.read())
+                self._roa_df = self.spark.createDataFrame(
+                    [(r["net_int"], r["masklen"], r["maxlen"], r["asn"])
+                     for r in rows],
+                    "net_int long, masklen int, maxlen int, asn long",
+                )
+        return self._roa_df
+
     def _bgp_enrich(self, df: DataFrame) -> DataFrame:
         """Peer-then-LPM flow correlation against the live RIB
         (bgp_srcdst_lookup, reference src/bgp/bgp_lookup.c:33-210):
@@ -194,20 +226,13 @@ class Daemon:
         defaults = {
             "as_path": "", "local_pref": 0, "med": 0, "std_comm": "",
         }
-        roas_path = self.conf.get("rpki_roas_file")
-        if roas_path:
+        roa_df = self._roa_table()
+        if roa_df is not None:
             # validate each RIB route against the ROA table BEFORE the
             # flow join, so flows inherit the looked-up route's status
             # (reference attaches dst ROA the same way, rpki_lookup.c)
             from pmacct_spark.operators.rpki import rpki_validate
 
-            with open(roas_path) as fh:
-                rows = conffile.parse_roas_file(fh.read())
-            roa_df = self.spark.createDataFrame(
-                [(r["net_int"], r["masklen"], r["maxlen"], r["asn"])
-                 for r in rows],
-                "net_int long, masklen int, maxlen int, asn long",
-            )
             rib = rpki_validate(
                 rib.withColumn(
                     "origin_as",
@@ -321,9 +346,10 @@ class Daemon:
         configured (reference src/bgp/bgp_logdump.c timer path, config
         keys bgp_table_dump_file / _refresh_time / CONFIG-KEYS
         dump-spreading time slots). Returns the dump path, or None."""
-        path = self.conf.get("bgp_table_dump_file") or self.conf.get(
-            "bmp_dump_file"
-        )
+        path = self.conf.get("bgp_table_dump_file")
+        prefix = "bgp_table_dump"  # key family matching the path key
+        if not path:
+            path, prefix = self.conf.get("bmp_dump_file"), "bmp_dump"
         if not path or (self.bgp_spool is None and self.bmp_spool is None):
             return None
         import time as _time
@@ -331,9 +357,9 @@ class Daemon:
         from pmacct_spark.sinks.dump import write_rib_dump
 
         refresh = int(
-            self.conf.get("bgp_table_dump_refresh_time", default=60) or 60
+            self.conf.get(f"{prefix}_refresh_time", default=60) or 60
         )
-        slots = int(self.conf.get("bgp_table_dump_time_slots", default=1) or 1)
+        slots = int(self.conf.get(f"{prefix}_time_slots", default=1) or 1)
         write_rib_dump(
             self.rib(), path, dump_ts=int(_time.time()),
             refresh_secs=refresh, time_slots=slots,

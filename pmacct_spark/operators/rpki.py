@@ -47,6 +47,8 @@ def rpki_validate(
         (r[0] for r in roa.select("masklen").distinct().collect()),
         reverse=True,
     )
+    if not masklens:  # empty ROA table: nothing is covered
+        return routes.withColumn(out_col, F.lit("u"))
     out = routes
     valid_terms, cover_terms = [], []
     for m in masklens:

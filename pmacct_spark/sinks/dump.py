@@ -54,7 +54,13 @@ def rib_dump_events(
         + F.col("dump_slot") * F.lit(refresh_secs // max(time_slots, 1))
     ).cast("bigint")
 
-    w = Window.partitionBy(*_PEER_KEY).orderBy("prefix", "masklen")
+    # order on every route-identity column present so seq is
+    # reproducible for v6 rows (prefix null) and multi-RD tables
+    order_cols = [c for c in ("prefix", "prefix6", "masklen", "rd")
+                  if c in rib.columns]
+    w = Window.partitionBy(*_PEER_KEY).orderBy(
+        *[F.asc_nulls_last(c) for c in order_cols]
+    )
     routes = (
         rib.withColumn("event_type", F.lit("dump"))
         .withColumn("seq", F.row_number().over(w).cast("bigint"))

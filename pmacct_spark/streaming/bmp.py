@@ -100,14 +100,27 @@ def _parse_update(pdu: bytes) -> tuple[list[tuple[int, int]], list[tuple[int, in
 def _v6_prefix_str(b: bytes, masklen: int) -> str:
     """Render a (possibly truncated) NLRI address to the engine's v6
     LPM key: the uncompressed lowercase 8-group form with a ':' after
-    every complete group, cut to ``masklen DIV 4`` nibbles
-    (operators/lpm.py _v6_prefix_len_chars — aligned prefixes keep
-    the trailing colon)."""
-    full = (b + b"\x00" * 16)[:16]
+    every complete group, cut to ``ceil(masklen/4)`` nibbles — the
+    dim contract of operators/lpm.lpm6_join, which substring-matches
+    the first ``masklen DIV 4`` nibbles and reads the one partial
+    nibble (if masklen % 4) separately. The partial nibble's excess
+    bits are masked to zero so e.g. 2001:800::/21 and 2001:c00::/21
+    stay distinct canonical keys instead of both flooring to
+    '2001:0'."""
+    full = bytearray((b + b"\x00" * 16)[:16])
+    rem = masklen % 4
+    if rem:
+        nib_idx = masklen // 4  # index of the partial nibble
+        byte_idx, hi = nib_idx // 2, nib_idx % 2 == 0
+        keep = (0xF << (4 - rem)) & 0xF
+        if hi:
+            full[byte_idx] &= (keep << 4) | 0x0F
+        else:
+            full[byte_idx] &= 0xF0 | keep
     s = "".join(
         f"{int.from_bytes(full[i : i + 2], 'big'):04x}:" for i in range(0, 16, 2)
     )
-    nibbles = masklen // 4
+    nibbles = (masklen + 3) // 4
     return s[: (nibbles // 4) * 5 + nibbles % 4]
 
 

@@ -458,3 +458,53 @@ aggregate[routes]: dst_roa
         d.stop()
     got = {r["dst_roa"]: (r["bytes"], r["packets"]) for r in out.collect()}
     assert got == {"v": (300, 2), "i": (700, 4), "u": (50, 1)}
+
+
+def test_daemon_bmp_best_path_no_fanout(spark, tmp_path):
+    """Two BGP neighbors of one monitored router announcing the SAME
+    prefix must collapse to one best-path RIB row (highest local_pref)
+    before flow correlation — not double-count every matching flow."""
+    import socket as _sock
+
+    from tests.test_streaming import _bgp_update, _bmp_msg
+
+    conf = """
+nfacctd_port: 0
+bmp_daemon: true
+bmp_daemon_port: 0
+plugins: memory[routes]
+aggregate[routes]: as_path
+"""
+    d = Daemon.from_conf(spark, conf, spool_dir=str(tmp_path / "spool9"))
+    try:
+        stream = (
+            _bmp_msg(3, 0xC0000205, 64500)
+            + _bmp_msg(0, 0xC0000205, 64500,
+                       _bgp_update([], [(0x0A000000, 8)],
+                                   as_path=(65000, 65100), lp=100))
+            + _bmp_msg(3, 0xC0000206, 64510)
+            + _bmp_msg(0, 0xC0000206, 64510,
+                       _bgp_update([], [(0x0A000000, 8)],
+                                   as_path=(65000, 65200), lp=300))
+        )
+        c = _sock.socket(_sock.AF_INET, _sock.SOCK_STREAM)
+        c.connect(("127.0.0.1", d.bmp_port))
+        c.sendall(stream)
+        c.close()
+        t0 = time.monotonic()
+        while d.bmp_spool.messages_spooled < 1 and time.monotonic() - t0 < 15:
+            time.sleep(0.05)
+        send_datagrams(
+            [_v5_datagram(1, [{"src": 1, "dst": 0x0A010101, "pkts": 2,
+                               "bytes": 300, "sport": 1, "dport": 2}])],
+            "127.0.0.1", d.port,
+        )
+        t0 = time.monotonic()
+        while d.spool.datagrams_received < 1 and time.monotonic() - t0 < 15:
+            time.sleep(0.05)
+        out = d.run_available()["routes"]
+    finally:
+        d.stop()
+    got = {r["as_path"]: (r["bytes"], r["packets"]) for r in out.collect()}
+    # exactly once, via the higher-local-pref neighbor
+    assert got == {"65000 65200": (300, 2)}

@@ -165,3 +165,18 @@ def test_rpki_validation_statuses(spark):
         "r1": "v", "r2": "v", "r3": "v", "r4": "i",
         "r5": "i", "r6": "i", "r7": "u", "r8": "u",
     }
+
+
+def test_rpki_validation_empty_roa_table(spark):
+    """An empty ROA table (e.g. an all-IPv6 export) marks every route
+    unknown instead of crashing (regression: reduce over no terms)."""
+    from pmacct_spark.operators.rpki import rpki_validate
+
+    roa = spark.createDataFrame(
+        [], "net_int long, masklen int, maxlen int, asn long"
+    )
+    routes = spark.createDataFrame(
+        [("r1", 0x0A010000, 16, 65001)],
+        "rid string, net_int long, masklen int, origin_as long",
+    )
+    assert [r.roa_status for r in rpki_validate(routes, roa).collect()] == ["u"]

@@ -216,3 +216,31 @@ def test_bmp_stats_and_init_term(spark):
     assert rib_state(decode_bmp(
         _dg(spark, ("203.0.113.9", init_msg + stats_msg + term_msg))
     )).count() == 0
+
+
+def test_mp_v6_sub_nibble_prefixes_stay_distinct(spark):
+    """Non-nibble-aligned v6 NLRI (/22) must keep the partial nibble
+    in the canonical key: 2001:0800::/22 and 2001:0c00::/22 differ at
+    bit 21, and a withdrawal of one must not tombstone the other
+    (regression: the renderer floored to whole nibbles, colliding
+    both on '2001:0')."""
+    from pmacct_spark.streaming.bmp import encode_bgp_update6
+
+    def upd(pfx_bytes, withdraw=False):
+        from pmacct_spark.streaming.bmp import _v6_prefix_str
+        return encode_bgp_update6(
+            _v6_prefix_str(pfx_bytes, 22), 22, "64600 65003",
+            local_pref=5, med=0, withdraw=withdraw)
+
+    a = bytes.fromhex("20010800") + b"\x00" * 12
+    b = bytes.fromhex("20010c00") + b"\x00" * 12
+    msgs = (
+        _bmp_msg(3, PEER_A, 64500)
+        + _bmp_msg(0, PEER_A, 64500, upd(a))
+        + _bmp_msg(0, PEER_A, 64500, upd(b))
+        + _bmp_msg(0, PEER_A, 64500, upd(b, withdraw=True))
+    )
+    rib = rib_state(decode_bmp(_dg(spark, ("203.0.113.9", msgs))))
+    rows = rib.collect()
+    assert len(rows) == 1  # only the withdrawn one vanished
+    assert rows[0].prefix6 == "2001:08"  # ceil(22/4)=6 nibbles kept
