@@ -127,6 +127,7 @@ class Daemon:
         (latest-wins compaction — the in-memory table the reference
         daemon holds). With both daemons on, the two sources union;
         exporter_ip keeps their tables apart."""
+        from pmacct_spark.sources.tcp import latest_session_only
         from pmacct_spark.streaming.bmp import decode_bgp, decode_bmp, rib_state
 
         parts = []
@@ -134,9 +135,10 @@ class Daemon:
             parts.append(
                 rib_state(
                     decode_bgp(
-                        self.bgp_spool.batch(self.spark).select(
-                            "exporter_ip", "seqno", "payload"
-                        )
+                        # a reconnecting peer's old session is obsolete
+                        latest_session_only(
+                            self.bgp_spool.batch(self.spark)
+                        ).select("exporter_ip", "seqno", "payload")
                     ),
                     peer_down=False,  # BGP sessions only carry UPDATEs
                 )
@@ -146,9 +148,9 @@ class Daemon:
 
             bmp_rib = rib_state(  # BMP streams carry Peer Down purges
                 decode_bmp(
-                    self.bmp_spool.batch(self.spark).select(
-                        "exporter_ip", "seqno", "payload"
-                    )
+                    latest_session_only(
+                        self.bmp_spool.batch(self.spark)
+                    ).select("exporter_ip", "seqno", "payload")
                 )
             )
             # Flow correlation keys on the MONITORED ROUTER (the BMP

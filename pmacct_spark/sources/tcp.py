@@ -88,6 +88,12 @@ class TcpSpool:
         self._lock = threading.Lock()
         self._seq = 0
         self._nfile = 0
+        # per-peer connection epoch: a NEW connection from the same
+        # peer starts a new BGP/BMP session, and (no graceful restart)
+        # the previous session's state is obsolete — readers keep only
+        # the max epoch per peer (reference src/bgp/bgp.c session
+        # teardown clears the peer's RIB)
+        self._epochs: dict[str, int] = {}
         self.messages_spooled = 0
         # acknowledged-flush handshake: flush() bumps the generation,
         # each session thread emits its prefix then records the gen
@@ -138,8 +144,11 @@ class TcpSpool:
                 continue
             except OSError:
                 break
+            with self._lock:
+                self._epochs[peer] = self._epochs.get(peer, 0) + 1
+                epoch = self._epochs[peer]
             t = threading.Thread(
-                target=self._conn_loop, args=(conn, peer), daemon=True
+                target=self._conn_loop, args=(conn, peer, epoch), daemon=True
             )
             t.start()
             # prune finished sessions so a long-lived daemon's thread
@@ -149,7 +158,7 @@ class TcpSpool:
             ]
             self._conn_threads.append(t)
 
-    def _conn_loop(self, conn: socket.socket, peer: str) -> None:
+    def _conn_loop(self, conn: socket.socket, peer: str, epoch: int = 1) -> None:
         conn.settimeout(0.2)
         buf = b""
         last_flush = time.monotonic()
@@ -175,7 +184,7 @@ class TcpSpool:
                 ):
                     n = self._prefix(buf)
                     if n:
-                        self._emit(peer, buf[:n])
+                        self._emit(peer, buf[:n], epoch)
                         buf = buf[n:]
                     last_flush = now
                 if flush_wanted:
@@ -192,12 +201,12 @@ class TcpSpool:
         finally:
             n = self._prefix(buf)
             if n:
-                self._emit(peer, buf[:n])
+                self._emit(peer, buf[:n], epoch)
             with self._lock:
                 self._flush_acks.pop(tid, None)
             conn.close()
 
-    def _emit(self, peer: str, payload: bytes) -> None:
+    def _emit(self, peer: str, payload: bytes, epoch: int = 1) -> None:
         import pyarrow as pa
         import pyarrow.parquet as pq
 
@@ -210,6 +219,7 @@ class TcpSpool:
             {
                 "exporter_ip": [peer],
                 "seqno": pa.array([seq], pa.int64()),
+                "epoch": pa.array([epoch], pa.int64()),
                 "payload": pa.array([payload], pa.binary()),
             }
         )
@@ -239,13 +249,27 @@ class TcpSpool:
     # -- Spark surfaces -----------------------------------------------
     def batch(self, spark):
         return spark.read.schema(
-            "exporter_ip string, seqno long, payload binary"
+            "exporter_ip string, seqno long, epoch long, payload binary"
         ).parquet(self.spool_dir)
 
     def stream(self, spark, max_files_per_trigger: int | None = None):
         r = spark.readStream.schema(
-            "exporter_ip string, seqno long, payload binary"
+            "exporter_ip string, seqno long, epoch long, payload binary"
         )
         if max_files_per_trigger is not None:
             r = r.option("maxFilesPerTrigger", max_files_per_trigger)
         return r.parquet(self.spool_dir)
+
+
+def latest_session_only(datagrams):
+    """Keep only each peer's newest connection epoch: a reconnecting
+    BGP/BMP peer starts a fresh session, and routes spooled by its
+    previous connection are obsolete (no graceful restart — the
+    reference clears the peer's RIB on session teardown,
+    src/bgp/bgp.c). The epoch dimension is one row per peer, so this
+    is a broadcast semi-join on the raw datagram stream — applied
+    BEFORE decode, it also skips decoding dead-session bytes."""
+    from pyspark.sql import functions as F
+
+    cur = datagrams.groupBy("exporter_ip").agg(F.max("epoch").alias("epoch"))
+    return datagrams.join(F.broadcast(cur), ["exporter_ip", "epoch"], "inner")

@@ -99,3 +99,50 @@ def test_garbage_session_is_bounded_and_dropped(spark, tmp_path):
         c.close()
         assert sp.sessions_dropped == 1
         assert sp.messages_spooled == 0
+
+
+def test_session_reset_clears_previous_routes(spark, tmp_path):
+    """A peer that disconnects and reconnects starts a NEW BGP
+    session: routes announced over the old connection are obsolete
+    (no graceful restart — reference src/bgp/bgp.c clears the peer's
+    RIB on teardown). The spool's per-peer connection epoch makes the
+    reader keep only the newest session."""
+    import socket as _sock
+    import time as _time
+
+    from pmacct_spark.sources.tcp import TcpSpool, latest_session_only
+
+    sp = TcpSpool(framing="bgp", spool_dir=str(tmp_path / "sess")).start()
+    try:
+        def send(msgs):
+            c = _sock.socket(_sock.AF_INET, _sock.SOCK_STREAM)
+            c.connect(("127.0.0.1", sp.port))
+            c.sendall(msgs)
+            c.close()
+
+        before = sp.messages_spooled
+        send(encode_bgp_update(0x0A000000, 8, "65000 65100")
+             + encode_bgp_update(0x0B000000, 8, "65000 65150"))
+        t0 = _time.monotonic()
+        while sp.messages_spooled == before and _time.monotonic() - t0 < 15:
+            _time.sleep(0.05)
+        # reconnect: only one route re-announced
+        before = sp.messages_spooled
+        send(encode_bgp_update(0x0A000000, 8, "65000 65200"))
+        t0 = _time.monotonic()
+        while sp.messages_spooled == before and _time.monotonic() - t0 < 15:
+            _time.sleep(0.05)
+
+        dg = latest_session_only(sp.batch(spark))
+        rib = rib_state(
+            decode_bgp(dg.select("exporter_ip", "seqno", "payload")),
+            peer_down=False,
+        )
+        rows = rib.collect()
+    finally:
+        sp.stop()
+    # 0x0B/8 from the dead session is gone; 0x0A/8 carries the NEW
+    # session's path
+    assert {(r.prefix, r.as_path) for r in rows} == {
+        (0x0A000000, "65000 65200")
+    }
