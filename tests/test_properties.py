@@ -376,3 +376,50 @@ def test_priority_sample_invariants(spark, rows, m):
             else:
                 want[i] = (b, p)
     assert got == want
+
+
+# --- BGP MP v6 codec: encode_bgp_update6 -> _bgp_stream_rows must
+#     round-trip ANY prefix at ANY masklen 1..127, including
+#     sub-nibble lengths, with the canonical-key invariant: the
+#     rendered prefix6 carries ceil(m/4) nibbles and no bits beyond
+#     masklen (pure-Python walk, no Spark session needed).
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=(1 << 128) - 1),
+            st.integers(min_value=1, max_value=127),
+        ),
+        min_size=1,
+        max_size=12,
+    ),
+    st.integers(min_value=0, max_value=1),
+)
+@settings(max_examples=40, deadline=None)
+def test_bgp6_mp_roundtrip(routes, withdraw_last):
+    from pmacct_spark.streaming.bmp import (
+        _bgp_stream_rows,
+        _v6_prefix_str,
+        encode_bgp_update6,
+    )
+
+    keys = [
+        _v6_prefix_str(addr.to_bytes(16, "big"), ml) for addr, ml in routes
+    ]
+    payload = b""
+    for (addr, ml), key in zip(routes, keys):
+        payload += encode_bgp_update6(key, ml, "64496 65001", local_pref=7)
+    if withdraw_last:
+        payload += encode_bgp_update6(keys[-1], routes[-1][1], "", withdraw=True)
+    rows = _bgp_stream_rows("192.0.2.9", payload, 0)
+    assert len(rows) == len(routes) + withdraw_last
+    for (addr, ml), key, row in zip(routes, keys, rows):
+        assert row["masklen"] == ml
+        assert row["prefix6"] == key  # canonical key round-trips
+        # canonical: re-rendering the decoded key changes nothing
+        from pmacct_spark.streaming.bmp import _v6_prefix_bytes
+        assert _v6_prefix_str(_v6_prefix_bytes(key, ml), ml) == key
+        nibbles = (ml + 3) // 4
+        assert len(key.replace(":", "")) == nibbles
+    if withdraw_last:
+        wd = rows[-1]
+        assert wd["is_withdrawal"] and wd["prefix6"] == keys[-1]
