@@ -335,3 +335,92 @@ def tpch_q6_forecast_revenue(spark, sf_dir):
             F.count(F.lit(1)).alias("n_items"),
         )
     )
+
+
+# --- TPC-H Q3-shaped: selective dim filter -> fact join -> top-N by
+#     aggregate (the classic shipping-priority plan: broadcast the
+#     filtered customer dim, one groupBy shuffle, global top-10 via
+#     TakeOrderedAndProject — no full sort).
+@register(
+    "tpch_q3_shipping_priority",
+    f"""
+SELECT l.l_orderkey,
+       {_CENTS.format(c='l.l_extendedprice * (1 - l.l_discount)')} AS revenue_cents,
+       o.o_orderdate, o.o_orderpriority
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+WHERE c.c_mktsegment = 'BUILDING'
+  AND o.o_orderdate < TIMESTAMP '1997-06-15 00:00:00'
+  AND l.l_shipdate > TIMESTAMP '1997-06-15 00:00:00'
+GROUP BY 1, 3, 4
+ORDER BY revenue_cents DESC, o_orderdate, l_orderkey LIMIT 10""",
+)
+def tpch_q3_shipping_priority(spark, sf_dir):
+    c = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1997-06-15 00:00:00").cast("timestamp_ntz")
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1997-06-15 00:00:00").cast("timestamp_ntz")
+    )
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            F.sum(
+                F.round(
+                    F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+                ).cast("bigint")
+            ).alias("revenue_cents")
+        )
+        .select("l_orderkey", "revenue_cents", "o_orderdate", "o_orderpriority")
+        .orderBy(F.desc("revenue_cents"), "o_orderdate", "l_orderkey")
+        .limit(10)
+    )
+
+
+# --- TPC-H Q18-shaped: aggregate-filtered semi join (large orders) —
+#     the HAVING-subquery shape: the qualifying-order set is computed
+#     with one groupBy and joined back; at scale the qualifier set is
+#     small -> broadcast, so the detail pass never shuffles twice.
+@register(
+    "tpch_q18_large_orders",
+    """
+WITH big AS (
+  SELECT l_orderkey FROM lineitem GROUP BY 1 HAVING SUM(l_quantity) > 270
+)
+SELECT c.c_name, o.o_orderkey, o.o_orderdate,
+       CAST(ROUND(o.o_totalprice * 100) AS BIGINT) AS totalprice_cents,
+       CAST(SUM(l.l_quantity) AS BIGINT) AS sum_qty
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+WHERE o.o_orderkey IN (SELECT l_orderkey FROM big)
+GROUP BY 1, 2, 3, 4""",
+)
+def tpch_q18_large_orders(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("__q"))
+        .filter("__q > 270")
+        .select("l_orderkey")
+    )
+    return (
+        li.join(F.broadcast(big), "l_orderkey")
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy(
+            "c_name", "o_orderkey", "o_orderdate",
+            F.round(F.col("o_totalprice") * 100)
+            .cast("bigint")
+            .alias("totalprice_cents"),
+        )
+        .agg(F.sum("l_quantity").cast("bigint").alias("sum_qty"))
+    )
