@@ -194,3 +194,37 @@ walk(node, label) AS (
 SELECT node, CAST(MIN(label) AS BIGINT) AS cluster_id
 FROM walk GROUP BY node
 """
+
+
+def temperature_mix(
+    df: DataFrame, group_col: str, id_col: str, scale: int = 4
+) -> DataFrame:
+    """Temperature-2 source mixing: keep ``max(1, floor(sqrt(n_g)) *
+    scale)`` rows per group, where n_g is the group's row count — the
+    standard sub-linear reweighting that upsamples small sources and
+    damps huge ones in a training mix (count^(1/T) with T=2).
+
+    sqrt is IEEE-correctly-rounded so the quota is cross-engine exact
+    (no cross-group float SUM anywhere — a normalized-to-total variant
+    would order-depend on float addition); rows are chosen by the same
+    deterministic LCG rank as :func:`quota_sample`. Plan shape: one
+    count aggregation (tiny, one row per source) broadcast back, then
+    the running-top-k window per group — the corpus shuffles once."""
+    counts = df.groupBy(group_col).agg(F.count(F.lit(1)).alias("__n"))
+    quota = counts.withColumn(
+        "__quota",
+        F.greatest(
+            F.lit(1).cast("bigint"),
+            F.floor(F.sqrt(F.col("__n")) * scale).cast("bigint"),
+        ),
+    ).drop("__n")
+    w = F.expr(
+        f"row_number() OVER (PARTITION BY {group_col} "
+        f"ORDER BY {sample_rank_sql(id_col)}, {id_col})"
+    )
+    return (
+        df.join(F.broadcast(quota), group_col)
+        .withColumn("smp_rank", w)
+        .filter(F.col("smp_rank") <= F.col("__quota"))
+        .drop("smp_rank", "__quota")
+    )

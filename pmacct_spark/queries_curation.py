@@ -377,3 +377,36 @@ def dedup_survivor_selection(spark, sf_dir):
         .alias("survivor_id"),
         F.max("n_chars").cast("bigint").alias("survivor_chars"),
     )
+
+
+# --- temperature-2 source mixing (count^(1/2) reweighting): the
+#     standard training-mix operator — upsample small sources, damp
+#     huge ones. Quotas are floor(sqrt(n))*4 (IEEE sqrt is correctly
+#     rounded, so cross-engine exact with no float SUM anywhere);
+#     membership via the deterministic LCG rank.
+@register(
+    "temperature_mix_sampling",
+    f"""
+WITH q AS (
+  SELECT source,
+         GREATEST(1, CAST(FLOOR(SQRT(COUNT(*)) * 4) AS BIGINT)) AS quota
+  FROM documents GROUP BY 1
+),
+ranked AS (
+  SELECT d.doc_id, d.source, q.quota,
+         row_number() OVER (
+           PARTITION BY d.source
+           ORDER BY {sample_rank_sql('d.doc_id')}, d.doc_id) AS rn
+  FROM documents d JOIN q USING (source)
+)
+SELECT source, COUNT(*) AS sampled,
+       CAST(SUM(doc_id) AS BIGINT) AS id_sum
+FROM ranked WHERE rn <= quota GROUP BY 1""",
+)
+def temperature_mix_sampling(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    mixed = curation.temperature_mix(docs, "source", "doc_id", scale=4)
+    return mixed.groupBy("source").agg(
+        F.count(F.lit(1)).alias("sampled"),
+        F.sum("doc_id").cast("bigint").alias("id_sum"),
+    )
