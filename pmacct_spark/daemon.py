@@ -263,6 +263,44 @@ class Daemon:
                 rules = conffile.parse_pretag_map(fh.read())
             df = apply_pretag(df, rules, label_out="label")
         smap = self.conf.get("sampling_map")
+        if not smap and self.conf.getbool("nfacctd_renormalize") and (
+            self.flavor == "netflow"
+        ):
+            # no sampling_map: learn sampler rates from options-data
+            # records arriving ON THE SAME SOCKET (the reference's
+            # tests/104 sampling-option path — nfacctd_renormalize
+            # picks up the exporter's own exposition,
+            # src/nfacctd.c:1965 options dispatch). Latest exposition
+            # per exporter wins; tiny dim, broadcast.
+            from pyspark.sql import Window as _W
+
+            from pmacct_spark.streaming.decode import decode_options
+
+            opts = decode_options(
+                self.spool.batch(self.spark).select("exporter_ip", "payload")
+            )
+            w_last = _W.partitionBy("exporter_ip").orderBy(F.desc("seqno"))
+            rates = (
+                opts.filter("sampling_rate IS NOT NULL")
+                .withColumn("__rn", F.row_number().over(w_last))
+                .filter("__rn = 1")
+                .select(
+                    F.col("exporter_ip").alias("__exp"),
+                    F.col("sampling_rate").alias("__rate"),
+                )
+            )
+            df = (
+                df.join(
+                    F.broadcast(rates),
+                    df["peer_ip_src"] == rates["__exp"],
+                    "left",
+                )
+                .withColumn(
+                    "sampling_rate",
+                    F.coalesce(F.col("__rate"), F.lit(1)).cast("long"),
+                )
+                .drop("__exp", "__rate")
+            )
         if smap:
             with open(smap) as fh:
                 rows = conffile.parse_sampling_map(fh.read())

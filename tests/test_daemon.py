@@ -508,3 +508,42 @@ aggregate[routes]: as_path
     got = {r["as_path"]: (r["bytes"], r["packets"]) for r in out.collect()}
     # exactly once, via the higher-local-pref neighbor
     assert got == {"65000 65200": (300, 2)}
+
+
+def test_daemon_wire_options_renormalization(spark, tmp_path):
+    """nfacctd_renormalize with NO sampling_map learns the sampler
+    rate from options-data records arriving on the same socket (the
+    reference's tests/104 sampling-option path): counters multiply by
+    the exporter's own exposed rate."""
+    conf = """
+nfacctd_port: 0
+nfacctd_renormalize: true
+plugins: memory[renorm]
+aggregate[renorm]: proto
+"""
+    d = Daemon.from_conf(spark, conf, spool_dir=str(tmp_path / "spoolA"))
+    try:
+        from pmacct_spark.sinks.nfprobe import encode_options
+
+        rates_src = spark.createDataFrame(
+            [("127.0.0.1", 0, 10, 64)],
+            "exporter_ip string, sysid int, sampler_id int, sampling_rate long",
+        )
+        opt_payload = bytes(
+            encode_options(rates_src, version=9).select("payload").collect()[0][0]
+        )
+        send_datagrams(
+            [opt_payload,
+             _v5_datagram(1, [{"src": 1, "dst": 2, "pkts": 3, "bytes": 500,
+                               "sport": 1, "dport": 2}])],
+            "127.0.0.1", d.port,
+        )
+        t0 = time.monotonic()
+        while d.spool.datagrams_received < 2 and time.monotonic() - t0 < 15:
+            time.sleep(0.05)
+        out = d.run_available()["renorm"]
+        rows = out.collect()
+    finally:
+        d.stop()
+    # 500 bytes * learned rate 64
+    assert [(r["bytes"], r["packets"]) for r in rows] == [(32000, 192)]
