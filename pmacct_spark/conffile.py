@@ -84,10 +84,16 @@ def parse_conf(text: str) -> Conf:
     return conf
 
 
-def _typed(conf: Conf, plugin: str, suffix: str):
+def _typed(conf: Conf, plugin: str, suffix: str, ptype: str | None = None):
     """Resolve ``<type>_<suffix>`` for a channel (sql_history /
-    print_history / kafka_history ... whichever is set)."""
-    for pfx in _TYPE_PREFIXES:
+    print_history / kafka_history ...). The plugin's OWN type prefix
+    is consulted first — otherwise a global sql_history would shadow
+    a scoped print_history[p] for a print channel."""
+    order = list(_TYPE_PREFIXES)
+    if ptype in order:
+        order.remove(ptype)
+        order.insert(0, ptype)
+    for pfx in order:
         v = conf.get(f"{pfx}_{suffix}", plugin)
         if v is not None:
             return v
@@ -110,16 +116,26 @@ def _parse_preprocess(spec: str) -> Preprocess:
 
 def channels(conf: Conf) -> dict[str, PluginConfig]:
     """Build one :class:`PluginConfig` per declared plugin."""
+
+    def _daemon_bool(key: str, name: str) -> bool:
+        # the reference prefixes behavior keys per daemon flavor
+        # (nfacctd_renormalize / sfacctd_renormalize / ...): accept
+        # any of them so an sfacctd conf renormalizes too
+        return any(
+            conf.getbool(f"{d}_{key}", name)
+            for d in ("nfacctd", "sfacctd", "pmacctd", "uacctd")
+        )
+
     out: dict[str, PluginConfig] = {}
     for _ptype, name in conf.plugins or [("memory", "default")]:
         agg = conf.get("aggregate", name, "")
         cfg = PluginConfig(
             aggregate=[a.strip() for a in agg.split(",") if a.strip()],
-            history=_typed(conf, name, "history"),
-            history_roundoff=_typed(conf, name, "history_roundoff"),
-            pro_rating=conf.getbool("nfacctd_pro_rating", name),
-            stitching=conf.getbool("nfacctd_stitching", name),
-            renormalize=conf.getbool("nfacctd_renormalize", name),
+            history=_typed(conf, name, "history", _ptype),
+            history_roundoff=_typed(conf, name, "history_roundoff", _ptype),
+            pro_rating=_daemon_bool("pro_rating", name),
+            stitching=_daemon_bool("stitching", name),
+            renormalize=_daemon_bool("renormalize", name),
             aggregate_filter=conf.get("aggregate_filter", name),
             timestamps_secs=conf.getbool("timestamps_secs", name),
         )
@@ -129,7 +145,7 @@ def channels(conf: Conf) -> dict[str, PluginConfig]:
         pt = conf.get("post_tag", name)
         if pt is not None:
             cfg.post_tag = int(pt)
-        pre = _typed(conf, name, "preprocess")
+        pre = _typed(conf, name, "preprocess", _ptype)
         if pre:
             cfg.preprocess = _parse_preprocess(pre)
         out[name] = cfg
@@ -189,6 +205,24 @@ def parse_pretag_map(text: str) -> list[Rule]:
                 if k in _PRETAG_INT_KEYS:
                     iv = int(v)
                     match[col] = ("!=", -iv) if iv < 0 else iv
+                elif k == "ip" and "/" in v and not (
+                    v.endswith("/32") or v.endswith("/128")
+                ):
+                    # the reference prefix-matches the exporter
+                    # address for non-host CIDRs (src/pretag.c ip
+                    # handler); a string-equality rule would silently
+                    # never fire
+                    try:
+                        net = ipaddress.ip_network(v, strict=False)
+                    except ValueError:
+                        unsupported = True
+                        continue
+                    if net.version != 4:
+                        unsupported = True  # v6 exporters not columned
+                        continue
+                    match[col] = (
+                        "cidr", (int(net.network_address), net.prefixlen)
+                    )
                 else:
                     match[col] = _strip_host_cidr(v)
             else:
@@ -224,15 +258,22 @@ def parse_networks_file(text: str) -> list[dict]:
             nexthop, asfield = parts[0], parts[1]
         elif len(parts) == 2:
             asfield = parts[0]
-        else:
+        elif len(parts) == 1:
             asfield = None
-        if asfield:
-            if "_" in asfield:
-                pa, oa = asfield.split("_", 1)
-                peer_as, asn = int(pa), int(oa)
-            else:
-                asn = int(asfield)
-        net = ipaddress.ip_network(cidr, strict=False)
+        else:  # >3 fields: not a known row form — skip, don't misparse
+            continue
+        # a malformed AS or CIDR skips THAT row (the reference warns
+        # and continues); it must not discard the rest of the file
+        try:
+            if asfield:
+                if "_" in asfield:
+                    pa, oa = asfield.split("_", 1)
+                    peer_as, asn = int(pa), int(oa)
+                else:
+                    asn = int(asfield)
+            net = ipaddress.ip_network(cidr, strict=False)
+        except ValueError:
+            continue
         out.append(
             {
                 "net_int": int(net.network_address),

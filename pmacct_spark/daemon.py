@@ -192,7 +192,7 @@ class Daemon:
         df = canonical_flows(decode(dg.select("exporter_ip", "payload")))
         df = self._maps(df)
         if self.bgp_spool is not None or self.bmp_spool is not None:
-            df = self._bgp_enrich(df)
+            df = self._bgp_enrich(df, streaming=streaming)
         return df
 
     def _roa_table(self) -> DataFrame | None:
@@ -212,12 +212,19 @@ class Daemon:
                 )
         return self._roa_df
 
-    def _bgp_enrich(self, df: DataFrame) -> DataFrame:
+    def _bgp_enrich(self, df: DataFrame, streaming: bool = False) -> DataFrame:
         """Peer-then-LPM flow correlation against the live RIB
         (bgp_srcdst_lookup, reference src/bgp/bgp_lookup.c:33-210):
         dst attributes from the longest matching announced prefix of
         the flow's OWN peer; stream-static broadcast joins, the flow
-        side never shuffles."""
+        side never shuffles.
+
+        Streaming plans pass a FIXED masklen range to lpm_join: the
+        usual driver-side masklen discovery would freeze the set at
+        .start() time, so routes (or new prefix lengths) announced
+        after startup would never be joined for the lifetime of the
+        query. With the fixed range, the per-masklen dims are
+        stream-static relations re-read every micro-batch."""
         from pmacct_spark.operators.lpm import lpm_join
 
         rib = self.rib().withColumnRenamed("prefix", "net_int")
@@ -249,6 +256,9 @@ class Daemon:
         return lpm_join(
             df, rib, "ip_dst_i", attrs, default=defaults,
             extra_keys={"peer_ip_src": "peer_ip"},
+            # live queries must not freeze the masklen set at
+            # .start() time (see lpm_join docstring)
+            masklens=list(range(32, -1, -1)) if streaming else None,
         )
 
     def _maps(self, df: DataFrame) -> DataFrame:
@@ -333,6 +343,22 @@ class Daemon:
         renormalization."""
         if cfg.pre_tag_filter is not None and "tag" in df.columns:
             df = df.filter(F.col("tag").isin(list(cfg.pre_tag_filter)))
+        # post_tag overrides AFTER the filter, mirroring
+        # pipeline.build_aggregation — the batch and streaming paths
+        # must produce identical aggregates for the same conf
+        if cfg.post_tag is not None:
+            df = df.withColumn("tag", F.lit(cfg.post_tag).cast("bigint"))
+        if cfg.post_tag2 is not None:
+            df = df.withColumn("tag2", F.lit(cfg.post_tag2).cast("bigint"))
+        if cfg.timestamps_secs:
+            for c in ("ts", "end_ts", "timestamp_arrival", "timestamp_export"):
+                if c in df.columns:
+                    df = df.withColumn(
+                        c,
+                        F.expr(
+                            f"CAST(date_trunc('second', {c}) AS TIMESTAMP_NTZ)"
+                        ),
+                    )
         if cfg.renormalize and "sampling_rate" in df.columns:
             for c in ("bytes", "packets"):
                 df = df.withColumn(
@@ -357,20 +383,39 @@ class Daemon:
 
         # make everything received so far readable before planning
         self.spool.flush()
-        if self.bgp_spool is not None:
-            self.bgp_spool.flush()
+        for sp in (self.bgp_spool, self.bmp_spool):
+            if sp is not None:
+                sp.flush()
         results: dict[str, DataFrame] = {}
         ptype_by_name = dict(
             (name, ptype) for ptype, name in self.conf.plugins
         ) or {"default": "memory"}
+
+        def is_stream(cfg) -> bool:
+            return bool(
+                streaming and cfg.history and not cfg.history_spec().calendar
+            )
+
+        # Decode ONCE per drain for the batch channels (the reference
+        # decodes once and fans out to plugins, src/plugin_hooks.c);
+        # with several channels the decoded frame is staged so N
+        # channels don't trigger N Python decode passes.
+        batch_df = None
+        n_batch = sum(1 for c in self.channels.values() if not is_stream(c))
         for name, cfg in self.channels.items():
-            if streaming and cfg.history and not cfg.history_spec().calendar:
+            if is_stream(cfg):
                 agg = stream_aggregation(
                     self._route(self._decoded(True), cfg), cfg
                 )
                 out = run_to_memory(agg, f"imt_{name}")
             else:
-                out = build_aggregation(self._decoded(False), cfg)
+                if batch_df is None:
+                    batch_df = self._decoded(False)
+                    if n_batch > 1:
+                        from pmacct_spark.operators.staging import stage
+
+                        batch_df = stage(batch_df)
+                out = build_aggregation(batch_df, cfg)
             ptype = ptype_by_name.get(name, "memory")
             if ptype == "print":
                 path = self.conf.get("print_output_file", name)
@@ -407,30 +452,109 @@ class Daemon:
         return path
 
     def run_continuous(self, trigger_secs: float = 1.0) -> "ContinuousRun":
-        """Start every windowed channel as a LIVE streaming query
-        (processing-time trigger) serving its aggregate into the
-        memory table ``imt_<name>`` — the daemon's steady-state mode;
-        the spool keeps feeding micro-batches as datagrams arrive.
-        Returns a handle; results are readable at any time via
-        ``spark.table``."""
+        """Start every windowed channel LIVE, serving its aggregate
+        into the memory table ``imt_<name>`` — the daemon's
+        steady-state mode; the spool keeps feeding as datagrams
+        arrive. Returns a handle; results are readable at any time
+        via ``spark.table``.
+
+        Channels WITHOUT live-dimension enrichment run as Structured
+        Streaming queries (processing-time trigger). Channels
+        enriched from a LIVE RIB (bgp_daemon/bmp_daemon) instead run
+        a replan loop: a Structured Streaming plan pins the static
+        side's FILE LISTING at .start() time, so routes spooled after
+        startup would be invisible for the lifetime of the query —
+        re-planning per tick reads the RIB as of each tick, matching
+        the reference's enrich-at-arrival semantics."""
         from pmacct_spark.streaming.jobs import stream_aggregation
 
+        live_dims = self.bgp_spool is not None or self.bmp_spool is not None
         queries = {}
         for name, cfg in self.channels.items():
             if not cfg.history or cfg.history_spec().calendar:
                 continue
-            agg = stream_aggregation(
-                self._route(self._decoded(True), cfg), cfg
-            )
-            queries[name] = (
-                agg.writeStream.outputMode("complete")
-                .format("memory")
-                .queryName(f"imt_{name}")
-                .trigger(processingTime=f"{trigger_secs} seconds")
-                .start()
-            )
+            if live_dims:
+                queries[name] = _ReplanLoop(
+                    self, name, cfg, trigger_secs
+                ).start()
+            else:
+                agg = stream_aggregation(
+                    self._route(self._decoded(True), cfg), cfg
+                )
+                queries[name] = (
+                    agg.writeStream.outputMode("complete")
+                    .format("memory")
+                    .queryName(f"imt_{name}")
+                    .trigger(processingTime=f"{trigger_secs} seconds")
+                    .start()
+                )
         return ContinuousRun(queries)
 
+
+
+class _ReplanLoop:
+    """Steady-state serving for a channel whose enrichment reads live
+    dimensions: every tick rebuilds the batch plan (fresh file
+    listings -> current RIB) and materializes the aggregate into the
+    ``imt_<name>`` temp view. The materialized table IS the product —
+    the reference's IMT is exactly an in-memory aggregate table, so
+    collecting the (group-cardinality-bounded) result to refresh the
+    served view mirrors its memory plugin, not a scale liability.
+
+    Duck-typed to the StreamingQuery surface ContinuousRun handles:
+    ``stop()`` and ``lastProgress``."""
+
+    def __init__(self, daemon: "Daemon", name: str, cfg, trigger_secs: float):
+        self.daemon = daemon
+        self.name = name
+        self.cfg = cfg
+        self.trigger_secs = trigger_secs
+        self.lastProgress = None
+        self.last_error: Exception | None = None
+        self._stop = None
+        self._thread = None
+
+    def start(self) -> "_ReplanLoop":
+        import threading as _th
+
+        self._stop = _th.Event()
+        self._thread = _th.Thread(
+            target=self._loop, name=f"replan-{self.name}", daemon=True
+        )
+        self._thread.start()
+        return self
+
+    def _tick(self) -> None:
+        from pmacct_spark.pipeline import build_aggregation
+
+        d = self.daemon
+        d.spool.flush()
+        for sp in (d.bgp_spool, d.bmp_spool):
+            if sp is not None:
+                sp.flush()
+        df = build_aggregation(d._decoded(False), self.cfg)
+        rows = df.collect()
+        d.spark.createDataFrame(rows, df.schema).createOrReplaceTempView(
+            f"imt_{self.name}"
+        )
+        self.lastProgress = {"numRows": len(rows)}
+
+    def _loop(self) -> None:
+        import time as _t
+
+        while not self._stop.is_set():
+            try:
+                self._tick()
+            except Exception as exc:  # keep serving the last good view
+                self.last_error = exc
+            self._stop.wait(self.trigger_secs)
+
+    def stop(self) -> None:
+        if self._stop is not None:
+            self._stop.set()
+        if self._thread is not None:
+            self._thread.join(timeout=30)
+            self._thread = None
 
 
 class ContinuousRun:

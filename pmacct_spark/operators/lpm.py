@@ -43,6 +43,7 @@ def lpm_join(
     attrs: dict[str, str],
     default: dict[str, object] | None = None,
     extra_keys: dict[str, str] | None = None,
+    masklens: list[int] | None = None,
 ) -> DataFrame:
     """Chained-broadcast LPM: enrich ``flows`` with ``attrs`` (dim column
     -> output column) from the longest matching prefix in ``networks``.
@@ -54,11 +55,21 @@ def lpm_join(
     ``extra_keys`` (flow column -> dim column) adds equi conditions to
     every per-masklen join — the BGP two-stage lookup (pick the RIB by
     exporter, then LPM within it; reference src/bgp/bgp_lookup.c:89).
+
+    ``masklens`` overrides the driver-side discovery of distinct mask
+    lengths. Pass it for STREAMING plans over a live dimension: the
+    collect() freezes the set at plan-build time, so a dim that is
+    empty (or missing a length) at startup would never match routes
+    arriving later — a fixed range keeps every per-masklen join in
+    the plan and the stream-static dim re-evaluates per micro-batch.
     """
-    masklens = sorted(
-        (r[0] for r in networks.select("masklen").distinct().collect()),
-        reverse=True,
-    )
+    if masklens is None:
+        masklens = sorted(
+            (r[0] for r in networks.select("masklen").distinct().collect()),
+            reverse=True,
+        )
+    else:
+        masklens = sorted(masklens, reverse=True)
     extra = extra_keys or {}
     out = flows
     for m in masklens:

@@ -58,6 +58,15 @@ def _key_cond(col: str, spec: object) -> Column:
             "<=": lambda: c <= v,
             "in": lambda: c.isin(list(v)),
             "not in": lambda: ~c.isin(list(v)),
+            # ("cidr", (net_int, masklen)): prefix-match a dotted-quad
+            # exporter address (reference pre_tag_map ip= handler)
+            "cidr": lambda: F.expr(
+                f"(CAST(split({col}, '\\\\.')[0] AS BIGINT) * 16777216"
+                f" + CAST(split({col}, '\\\\.')[1] AS BIGINT) * 65536"
+                f" + CAST(split({col}, '\\\\.')[2] AS BIGINT) * 256"
+                f" + CAST(split({col}, '\\\\.')[3] AS BIGINT))"
+                f" DIV {1 << (32 - v[1])}"
+            ) == (v[0] >> (32 - v[1])) if v[1] else F.lit(True),
         }
         return ops[op]()
     if isinstance(spec, (list, set, tuple)):

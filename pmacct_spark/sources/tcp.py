@@ -99,6 +99,7 @@ class TcpSpool:
         # each session thread emits its prefix then records the gen
         self._flush_gen = 0
         self._flush_acks: dict[int, int] = {}
+        self._accept_iter = 0  # accept-loop progress, see flush()
 
     # -- lifecycle ----------------------------------------------------
     def start(self) -> "TcpSpool":
@@ -138,6 +139,7 @@ class TcpSpool:
     # -- socket threads -----------------------------------------------
     def _accept_loop(self) -> None:
         while not self._stop.is_set():
+            self._accept_iter += 1
             try:
                 conn, (peer, _port) = self._srv.accept()
             except socket.timeout:
@@ -164,7 +166,10 @@ class TcpSpool:
         last_flush = time.monotonic()
         tid = threading.get_ident()
         with self._lock:
-            self._flush_acks[tid] = self._flush_gen
+            # register UNACKED (gen 0): a connection accepted while a
+            # flush() waits must run one emit cycle before it counts
+            # as drained, not satisfy the flush by arriving
+            self._flush_acks[tid] = 0
         try:
             while not self._stop.is_set():
                 closed = False
@@ -176,7 +181,11 @@ class TcpSpool:
                 except socket.timeout:
                     pass
                 now = time.monotonic()
-                flush_wanted = self._flush_acks.get(tid, 0) < self._flush_gen
+                # snapshot the generation BEFORE emitting: acking a
+                # re-read gen would satisfy a flush() that arrived
+                # between emit and ack without emitting for it
+                gen = self._flush_gen
+                flush_wanted = self._flush_acks.get(tid, 0) < gen
                 if buf and (
                     closed
                     or now - last_flush >= self.flush_secs
@@ -191,7 +200,7 @@ class TcpSpool:
                     # ack AFTER any emit: flush() waiters know this
                     # session's complete prefix is on disk
                     with self._lock:
-                        self._flush_acks[tid] = self._flush_gen
+                        self._flush_acks[tid] = gen
                 if len(buf) > self.max_buffer:
                     self.sessions_dropped += 1
                     buf = b""
@@ -238,11 +247,18 @@ class TcpSpool:
         with self._lock:
             self._flush_gen += 1
             gen = self._flush_gen
+        it0 = self._accept_iter
         t0 = time.monotonic()
         while time.monotonic() - t0 < timeout:
+            # a connection queued in the listen backlog before this
+            # flush hasn't been accept()ed yet and is invisible to the
+            # ack map: wait for the accept loop to complete a full
+            # pass (and its conn thread to register) before trusting
+            # "no pending acks"
+            accepted_pass = self._accept_iter >= it0 + 2
             with self._lock:
                 pending = [a for a in self._flush_acks.values() if a < gen]
-            if not pending:
+            if accepted_pass and not pending:
                 return
             time.sleep(0.02)
 

@@ -114,6 +114,23 @@ class UdpSpool:
                 self.datagrams_received += 1
             except socket.timeout:
                 pass
+            if self._flush_req.is_set():
+                # drain the KERNEL queue before honoring the flush: a
+                # caller who just sent a burst expects every datagram
+                # the socket already delivered to be in the spool, not
+                # just the ones the 0.2 s cadence happened to recv
+                self._sock.setblocking(False)
+                try:
+                    while True:
+                        try:
+                            payload, (addr, _port) = self._sock.recvfrom(65535)
+                        except (BlockingIOError, socket.timeout):
+                            break
+                        buf.append((addr, self._seq, payload))
+                        self._seq += 1
+                        self.datagrams_received += 1
+                finally:
+                    self._sock.settimeout(min(self.flush_secs, 0.2))
             now = time.monotonic()
             if buf and (
                 len(buf) >= self.flush_datagrams

@@ -180,3 +180,40 @@ def test_pretag_unsupported_key_skips_line():
     tags = [r.set_tag for r in rules]
     assert tags == [150, 200]
     assert rules[1].match == {"peer_src_ip": "192.0.2.1"}
+
+
+def test_pretag_ip_cidr_prefix_match(spark):
+    """pre_tag_map ip= with a non-host CIDR prefix-matches the
+    exporter address (reference src/pretag.c), instead of a
+    never-firing string equality."""
+    from pmacct_spark.conffile import parse_pretag_map
+    from pmacct_spark.operators.pretag import apply_pretag
+
+    rules = parse_pretag_map(
+        "set_tag=100 ip=10.1.0.0/16\n"
+        "set_tag=200 ip=10.0.0.0/8\n"
+    )
+    df = spark.createDataFrame(
+        [("10.1.2.3",), ("10.9.9.9",), ("192.0.2.1",)],
+        "peer_src_ip string",
+    )
+    got = {r.peer_src_ip: r.tag for r in apply_pretag(df, rules).collect()}
+    assert got == {"10.1.2.3": 100, "10.9.9.9": 200, "192.0.2.1": 0}
+
+
+def test_conf_typed_prefers_plugin_type(spark):
+    """A scoped print_history[p] beats a global sql_history for a
+    print channel; sfacctd_renormalize is honored like nfacctd_."""
+    from pmacct_spark.conffile import channels, parse_conf
+
+    conf = parse_conf(
+        "plugins: print[p1], sql[s1]\n"
+        "sql_history: 60m\n"
+        "print_history[p1]: 5m\n"
+        "sfacctd_renormalize: true\n"
+        "aggregate[p1]: proto\naggregate[s1]: proto\n"
+    )
+    ch = channels(conf)
+    assert ch["p1"].history == "5m"
+    assert ch["s1"].history == "60m"
+    assert ch["p1"].renormalize and ch["s1"].renormalize

@@ -547,3 +547,61 @@ aggregate[renorm]: proto
         d.stop()
     # 500 bytes * learned rate 64
     assert [(r["bytes"], r["packets"]) for r in rows] == [(32000, 192)]
+
+
+def test_daemon_continuous_bgp_routes_after_start(spark, tmp_path):
+    """Routes announced AFTER run_continuous() started must still
+    enrich flows (regression: lpm_join froze the RIB's masklen set at
+    query-plan time, so a late-announced prefix length was never
+    joined for the lifetime of the stream)."""
+    import socket as _sock
+
+    from pmacct_spark.streaming.bmp import encode_bgp_update
+
+    conf = """
+nfacctd_port: 0
+bgp_daemon: true
+bgp_daemon_port: 0
+plugins: memory[live]
+aggregate[live]: as_path
+sql_history[live]: 5m
+"""
+    d = Daemon.from_conf(spark, conf, spool_dir=str(tmp_path / "spoolB"))
+    run = None
+    try:
+        # start the streaming queries with an EMPTY RIB
+        run = d.run_continuous(trigger_secs=0.5)
+
+        # only now does the peer announce (a /8 — no /8 existed at
+        # plan time, nothing did)
+        c = _sock.socket(_sock.AF_INET, _sock.SOCK_STREAM)
+        c.connect(("127.0.0.1", d.bgp_port))
+        c.sendall(encode_bgp_update(0x0A000000, 8, "65000 65400"))
+        c.close()
+        t0 = time.monotonic()
+        while d.bgp_spool.messages_spooled < 1 and time.monotonic() - t0 < 15:
+            time.sleep(0.05)
+
+        send_datagrams(
+            [_v5_datagram(1, [{"src": 1, "dst": 0x0A010101, "pkts": 2,
+                               "bytes": 300, "sport": 1, "dport": 2}])],
+            "127.0.0.1", d.port,
+        )
+
+        def served():
+            try:
+                return {
+                    r["as_path"]: r["bytes"]
+                    for r in spark.table("imt_live").collect()
+                }
+            except Exception:
+                return {}
+
+        t0 = time.monotonic()
+        while served().get("65000 65400") != 300 and time.monotonic() - t0 < 45:
+            time.sleep(0.3)
+        assert served() == {"65000 65400": 300}
+    finally:
+        if run is not None:
+            run.stop()
+        d.stop()
