@@ -50,7 +50,8 @@ def test_dimension_joins_broadcast(spark):
     """LPM / GeoIP / BGP enrichments must be broadcast joins — the fact
     table never shuffles for a map lookup."""
     q = entrymod.queries()
-    for name in ("lpm_networks_src_as", "geoip_country", "bgp_lookup_attrs"):
+    for name in ("lpm_networks_src_as", "geoip_country", "bgp_lookup_attrs",
+                 "rpki_roa_validation"):
         plan = _plan(q[name](spark, SF_DIR))
         # equi LPM and the bucketed GeoIP range join are both
         # BroadcastHashJoin: ~1 probe per fact row. A BNLJ (scan every
@@ -58,9 +59,9 @@ def test_dimension_joins_broadcast(spark):
         assert "BroadcastHashJoin" in plan, f"{name}: no broadcast hash join"
         assert "SortMergeJoin" not in plan, f"{name}: fact-side shuffle join"
         assert "ShuffledHashJoin" not in plan, f"{name}: fact-side shuffle join"
-        if name != "bgp_lookup_attrs":
-            # bgp's synthetic RIB fixture builds its dim with a tiny
-            # region x nation cross join; the FACT-side joins are BHJ.
+        if name not in ("bgp_lookup_attrs", "rpki_roa_validation"):
+            # the synthetic RIB/ROA fixtures build their dims with a
+            # tiny region x nation cross join; FACT-side joins are BHJ.
             assert "BroadcastNestedLoopJoin" not in plan, f"{name}: BNLJ range scan"
 
 
