@@ -50,7 +50,20 @@ def complete_prefix_bmp(buf: bytes) -> int:
     return off
 
 
-_FRAMERS = {"bgp": complete_prefix_bgp, "bmp": complete_prefix_bmp}
+def complete_prefix_jsonl(buf: bytes) -> int:
+    """Newline-delimited JSON (streaming telemetry over TCP, the
+    reference's tests/801 tcp-json path, src/telemetry/telemetry.c
+    line decoder): everything up to and including the last '\\n' is
+    complete; a split trailing line stays buffered."""
+    i = buf.rfind(b"\n")
+    return i + 1 if i >= 0 else 0
+
+
+_FRAMERS = {
+    "bgp": complete_prefix_bgp,
+    "bmp": complete_prefix_bmp,
+    "jsonl": complete_prefix_jsonl,
+}
 
 
 class TcpSpool:
