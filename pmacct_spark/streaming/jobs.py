@@ -74,25 +74,52 @@ def stream_aggregation(
     df = df.withColumn("__evt", F.col("ts").cast("timestamp"))
     if watermark_delay:
         df = df.withWatermark("__evt", watermark_delay)
-    from pmacct_spark.registry import resolve
+    from pmacct_spark.registry import PRIMITIVES, resolve
 
     keys = []
     for prim in resolve(cfg.aggregate):
         if prim.column != prim.name:
             df = df.withColumn(prim.name, F.col(prim.column))
         keys.append(prim.name)
-    win = F.window("__evt", f"{hist.seconds} seconds")
-    out = df.groupBy(win.alias("__w"), *[F.col(k) for k in keys]).agg(
+    aggs = [
         F.sum("bytes").alias("bytes"),
         F.sum("packets").alias("packets"),
         F.sum("flows").alias("flows"),
-    )
+    ]
+    if cfg.stitching:  # same shape as the batch path (pipeline.py)
+        aggs.append(PRIMITIVES["timestamp_min"].agg_expr())
+        aggs.append(PRIMITIVES["timestamp_max"].agg_expr())
+    if cfg.pro_rating:
+        # pro-rating is a pre-agg explode (operators/windows.py) —
+        # pure column ops, so it streams; the computed bucket column
+        # replaces F.window. Arbitrary-column grouping streams in the
+        # complete/update serving modes this engine uses; the
+        # watermark/append path needs F.window's eviction metadata.
+        if watermark_delay:
+            raise ValueError(
+                "pro_rating with a watermark: unsupported (append-mode "
+                "eviction needs F.window; serve in complete mode)"
+            )
+        from pmacct_spark.operators.windows import explode_prorate
+
+        # same counter set as the batch path: flows pro-rates too
+        # (a spanning flow floors to 0 in partial windows)
+        df = explode_prorate(
+            df, hist, ["bytes", "packets", "flows"],
+            roundoff=cfg.history_roundoff,
+        )
+        return df.groupBy("stamp_inserted", *[F.col(k) for k in keys]).agg(
+            *aggs
+        )
+    win = F.window("__evt", f"{hist.seconds} seconds")
+    out = df.groupBy(win.alias("__w"), *[F.col(k) for k in keys]).agg(*aggs)
     return out.select(
         F.col("__w.start").cast("timestamp_ntz").alias("stamp_inserted"),
         *[F.col(k) for k in keys],
         "bytes",
         "packets",
         "flows",
+        *(["timestamp_min", "timestamp_max"] if cfg.stitching else []),
     )
 
 

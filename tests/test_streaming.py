@@ -42,6 +42,31 @@ def test_stream_batch_parity(spark):
     assert [tuple(r) for r in got.collect()] == [tuple(r) for r in want.collect()]
 
 
+def test_stream_batch_parity_prorate_stitching(spark):
+    """pro_rating and stitching behave identically in the streaming
+    path (regression: stream_aggregation whole-inserted counters and
+    dropped the stitch stamps, diverging from build_aggregation for
+    the same conf)."""
+    cfg = PluginConfig(
+        aggregate=["proto"], history="5m", pro_rating=True, stitching=True
+    )
+    stream = stream_aggregation(flows_stream(spark, SF_DIR), cfg)
+    got = run_to_memory(stream, "t_parity_ps").orderBy(
+        "stamp_inserted", "proto"
+    )
+    want = (
+        build_aggregation(flows(spark, SF_DIR), cfg)
+        .select(
+            "stamp_inserted", "proto", "bytes", "packets", "flows",
+            "timestamp_min", "timestamp_max",
+        )
+        .orderBy("stamp_inserted", "proto")
+    )
+    gs = [tuple(r) for r in got.select(*want.columns).collect()]
+    ws = [tuple(r) for r in want.collect()]
+    assert gs == ws and len(gs) > 0
+
+
 def test_watermark_appends_only_closed_windows(spark):
     """Append mode + watermark: only windows the watermark has passed
     are emitted (sql_startup_delay pending semantics)."""
