@@ -108,12 +108,13 @@ def stream_aggregation(
             df, hist, ["bytes", "packets", "flows"],
             roundoff=cfg.history_roundoff,
         )
-        return df.groupBy("stamp_inserted", *[F.col(k) for k in keys]).agg(
+        out = df.groupBy("stamp_inserted", *[F.col(k) for k in keys]).agg(
             *aggs
         )
+        return _post_agg(out, cfg)
     win = F.window("__evt", f"{hist.seconds} seconds")
     out = df.groupBy(win.alias("__w"), *[F.col(k) for k in keys]).agg(*aggs)
-    return out.select(
+    out = out.select(
         F.col("__w.start").cast("timestamp_ntz").alias("stamp_inserted"),
         *[F.col(k) for k in keys],
         "bytes",
@@ -121,6 +122,29 @@ def stream_aggregation(
         "flows",
         *(["timestamp_min", "timestamp_max"] if cfg.stitching else []),
     )
+    return _post_agg(out, cfg)
+
+
+def _post_agg(out: DataFrame, cfg: PluginConfig) -> DataFrame:
+    """Post-aggregation preprocess (HAVING + usrf/adjb actions),
+    identical to the batch path (pipeline.py) — plain filters and
+    column maps over the aggregate, so they stream in complete/update
+    serving unchanged."""
+    if cfg.preprocess:
+        having = cfg.preprocess.having_sql()
+        if having:
+            out = out.filter(having)
+        if cfg.preprocess.usrf:
+            for c in ("bytes", "packets"):
+                if c in out.columns:
+                    out = out.withColumn(
+                        c, F.col(c) * F.lit(cfg.preprocess.usrf)
+                    )
+        if cfg.preprocess.adjb and "bytes" in out.columns:
+            out = out.withColumn(
+                "bytes", F.col("bytes") + F.lit(cfg.preprocess.adjb)
+            )
+    return out
 
 
 def session_flows_stream(flows: DataFrame, keys: list[str], gap_s: int) -> DataFrame:

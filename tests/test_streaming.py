@@ -920,3 +920,26 @@ def test_short_fixed_record_still_decodes():
         _decode_ext_records(b"\x00\x00\x00", [(236, VLEN_SENTINEL)], "x", 1)
         == []
     )
+
+
+def test_stream_batch_parity_preprocess(spark):
+    """preprocess (HAVING + usrf/adjb) applies post-aggregation in the
+    streaming path exactly like the batch path."""
+    from pmacct_spark.config import Preprocess
+
+    cfg = PluginConfig(
+        aggregate=["proto"], history="1h",
+        preprocess=Preprocess(minb=50_000, usrf=2, adjb=7),
+    )
+    stream = stream_aggregation(flows_stream(spark, SF_DIR), cfg)
+    got = run_to_memory(stream, "t_parity_pp").orderBy(
+        "stamp_inserted", "proto"
+    )
+    want = (
+        build_aggregation(flows(spark, SF_DIR), cfg)
+        .select("stamp_inserted", "proto", "bytes", "packets", "flows")
+        .orderBy("stamp_inserted", "proto")
+    )
+    gs = [tuple(r) for r in got.select(*want.columns).collect()]
+    ws = [tuple(r) for r in want.collect()]
+    assert gs == ws and len(gs) > 0
