@@ -89,23 +89,27 @@ def stream_aggregation(
     if cfg.stitching:  # same shape as the batch path (pipeline.py)
         aggs.append(PRIMITIVES["timestamp_min"].agg_expr())
         aggs.append(PRIMITIVES["timestamp_max"].agg_expr())
-    if cfg.pro_rating:
-        # pro-rating is a pre-agg explode (operators/windows.py) —
-        # pure column ops, so it streams; the computed bucket column
-        # replaces F.window. Arbitrary-column grouping streams in the
-        # complete/update serving modes this engine uses; the
-        # watermark/append path needs F.window's eviction metadata.
+    if cfg.pro_rating or cfg.multi_window:
+        # pro-rating / multi-window insert is a pre-agg explode
+        # (operators/windows.py) — pure column ops, so it streams; the
+        # computed bucket column replaces F.window. Arbitrary-column
+        # grouping streams in the complete/update serving modes this
+        # engine uses; the watermark/append path needs F.window's
+        # eviction metadata.
         if watermark_delay:
             raise ValueError(
-                "pro_rating with a watermark: unsupported (append-mode "
-                "eviction needs F.window; serve in complete mode)"
+                "pro_rating/multi_window with a watermark: unsupported "
+                "(append-mode eviction needs F.window; serve in "
+                "complete mode)"
             )
         from pmacct_spark.operators.windows import explode_prorate
 
-        # same counter set as the batch path: flows pro-rates too
-        # (a spanning flow floors to 0 in partial windows)
+        # same counter set as the batch path: pro-rating splits the
+        # counters (flows too — a spanning flow floors to 0 in partial
+        # windows); multi_window inserts them WHOLE per bucket
         df = explode_prorate(
-            df, hist, ["bytes", "packets", "flows"],
+            df, hist,
+            ["bytes", "packets", "flows"] if cfg.pro_rating else [],
             roundoff=cfg.history_roundoff,
         )
         out = df.groupBy("stamp_inserted", *[F.col(k) for k in keys]).agg(

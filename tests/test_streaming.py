@@ -943,3 +943,21 @@ def test_stream_batch_parity_preprocess(spark):
     gs = [tuple(r) for r in got.select(*want.columns).collect()]
     ws = [tuple(r) for r in want.collect()]
     assert gs == ws and len(gs) > 0
+
+
+def test_stream_batch_parity_multiwindow(spark):
+    """multi_window (whole-counter insert per spanned bucket) streams
+    identically to the batch path."""
+    cfg = PluginConfig(aggregate=["proto"], history="5m", multi_window=True)
+    stream = stream_aggregation(flows_stream(spark, SF_DIR), cfg)
+    got = run_to_memory(stream, "t_parity_mw").orderBy(
+        "stamp_inserted", "proto"
+    )
+    want = (
+        build_aggregation(flows(spark, SF_DIR), cfg)
+        .select("stamp_inserted", "proto", "bytes", "packets", "flows")
+        .orderBy("stamp_inserted", "proto")
+    )
+    gs = [tuple(r) for r in got.select(*want.columns).collect()]
+    ws = [tuple(r) for r in want.collect()]
+    assert gs == ws and len(gs) > 0
