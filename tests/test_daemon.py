@@ -605,3 +605,36 @@ sql_history[live]: 5m
         if run is not None:
             run.stop()
         d.stop()
+
+
+def test_daemon_map_reload_between_drains(spark, tmp_path):
+    """Editing sampling_map on disk takes effect on the next drain
+    without a daemon restart — the reference's SIGUSR2 map reload
+    (src/plugin_common.c:56); plans re-read the file per build."""
+    smap = tmp_path / "sampling.map"
+    smap.write_text("id=64 ip=127.0.0.1\n")
+    conf = f"""
+nfacctd_port: 0
+nfacctd_renormalize: true
+sampling_map: {smap}
+plugins: memory[m]
+aggregate[m]: proto
+"""
+    d = Daemon.from_conf(spark, conf, spool_dir=str(tmp_path / "spoolC"))
+    try:
+        send_datagrams(
+            [_v5_datagram(1, [{"src": 1, "dst": 2, "pkts": 3, "bytes": 100,
+                               "sport": 1, "dport": 2}])],
+            "127.0.0.1", d.port,
+        )
+        t0 = time.monotonic()
+        while d.spool.datagrams_received < 1 and time.monotonic() - t0 < 15:
+            time.sleep(0.05)
+        first = d.run_available()["m"].collect()
+        assert [(r["bytes"]) for r in first] == [6400]  # rate 64
+
+        smap.write_text("id=8 ip=127.0.0.1\n")  # operator edits the map
+        second = d.run_available()["m"].collect()
+        assert [(r["bytes"]) for r in second] == [800]  # rate 8, no restart
+    finally:
+        d.stop()
