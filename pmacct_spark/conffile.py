@@ -205,26 +205,29 @@ def parse_pretag_map(text: str) -> list[Rule]:
                 if k in _PRETAG_INT_KEYS:
                     iv = int(v)
                     match[col] = ("!=", -iv) if iv < 0 else iv
-                elif k == "ip" and "/" in v and not (
-                    v.endswith("/32") or v.endswith("/128")
-                ):
+                elif k == "ip" and "/" in v:
                     # the reference prefix-matches the exporter
                     # address for non-host CIDRs (src/pretag.c ip
                     # handler); a string-equality rule would silently
-                    # never fire
+                    # never fire. "Host" is family-specific: /32 is a
+                    # host for v4 but a huge PREFIX for v6.
                     try:
                         net = ipaddress.ip_network(v, strict=False)
                     except ValueError:
                         unsupported = True
                         continue
-                    if net.version != 4:
-                        unsupported = True  # v6 exporters not columned
+                    host_len = 32 if net.version == 4 else 128
+                    if net.prefixlen == host_len:
+                        match[col] = v.rsplit("/", 1)[0]
+                    elif net.version != 4:
+                        unsupported = True  # v6 prefixes not columned
                         continue
-                    match[col] = (
-                        "cidr", (int(net.network_address), net.prefixlen)
-                    )
+                    else:
+                        match[col] = (
+                            "cidr", (int(net.network_address), net.prefixlen)
+                        )
                 else:
-                    match[col] = _strip_host_cidr(v)
+                    match[col] = v
             else:
                 # a MATCH key this engine doesn't carry as a column
                 # (e.g. 'filter='): dropping just the key would turn

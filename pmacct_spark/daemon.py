@@ -22,6 +22,7 @@ cluster running the same channel queries over the union.
 from __future__ import annotations
 
 from dataclasses import dataclass, field
+from dataclasses import replace as _replace
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -339,8 +340,13 @@ class Daemon:
     @staticmethod
     def _route(df: DataFrame, cfg) -> DataFrame:
         """Per-channel routing for the STREAMING path (the batch path
-        gets this inside build_aggregation): pre_tag_filter + sampling
-        renormalization."""
+        gets this inside build_aggregation): aggregate_filter +
+        pre_tag_filter + post-tagging + sampling renormalization, in
+        the batch path's exact order — aggregate_filter must see RAW
+        columns (a 'bytes < X' filter evaluated after renormalization
+        would drop different records than the batch plan)."""
+        if cfg.aggregate_filter:
+            df = df.filter(cfg.aggregate_filter)
         if cfg.pre_tag_filter is not None and "tag" in df.columns:
             df = df.filter(F.col("tag").isin(list(cfg.pre_tag_filter)))
         # post_tag overrides AFTER the filter, mirroring
@@ -405,16 +411,28 @@ class Daemon:
         for name, cfg in self.channels.items():
             if is_stream(cfg):
                 agg = stream_aggregation(
-                    self._route(self._decoded(True), cfg), cfg
+                    self._route(self._decoded(True), cfg),
+                    _replace(cfg, aggregate_filter=None),  # applied in _route
                 )
                 out = run_to_memory(agg, f"imt_{name}")
             else:
                 if batch_df is None:
                     batch_df = self._decoded(False)
                     if n_batch > 1:
-                        from pmacct_spark.operators.staging import stage
+                        from pmacct_spark.operators.staging import (
+                            release,
+                            stage,
+                        )
 
+                        # the previous drain's staged copy is dead
+                        # once a new one exists — release it, or a
+                        # long-lived daemon leaks one spool-sized
+                        # parquet copy per drain
+                        prev = getattr(self, "_drain_stage", None)
+                        if prev is not None:
+                            release(prev)
                         batch_df = stage(batch_df)
+                        self._drain_stage = batch_df
                 out = build_aggregation(batch_df, cfg)
             ptype = ptype_by_name.get(name, "memory")
             if ptype == "print":
@@ -479,7 +497,8 @@ class Daemon:
                 ).start()
             else:
                 agg = stream_aggregation(
-                    self._route(self._decoded(True), cfg), cfg
+                    self._route(self._decoded(True), cfg),
+                    _replace(cfg, aggregate_filter=None),  # applied in _route
                 )
                 queries[name] = (
                     agg.writeStream.outputMode("complete")
@@ -525,13 +544,27 @@ class _ReplanLoop:
         return self
 
     def _tick(self) -> None:
+        import time as _t
+
         from pmacct_spark.pipeline import build_aggregation
 
         d = self.daemon
-        d.spool.flush()
-        for sp in (d.bgp_spool, d.bmp_spool):
-            if sp is not None:
-                sp.flush()
+        # N channel loops share the spools: debounce so one tick's
+        # flush serves every loop in the same interval instead of
+        # 3 x N flush round-trips per trigger
+        now = _t.monotonic()
+        last = getattr(d, "_last_spool_flush", 0.0)
+        if now - last >= self.trigger_secs / 2:
+            d._last_spool_flush = now
+            d.spool.flush()
+            for sp in (d.bgp_spool, d.bmp_spool):
+                if sp is not None:
+                    sp.flush()
+        # NOTE each tick re-reads the whole spool (bounded-replay
+        # serving): correct at any moment, but input grows with
+        # uptime — long deployments should rotate/compact the spool
+        # dirs on the purge cadence like the reference rotates its
+        # own memory tables
         df = build_aggregation(d._decoded(False), self.cfg)
         rows = df.collect()
         d.spark.createDataFrame(rows, df.schema).createOrReplaceTempView(
@@ -546,6 +579,15 @@ class _ReplanLoop:
             try:
                 self._tick()
             except Exception as exc:  # keep serving the last good view
+                import sys as _sys
+
+                if type(exc) is not type(self.last_error) or str(exc) != str(
+                    self.last_error
+                ):  # log each DISTINCT failure once, not once per tick
+                    print(
+                        f"replan[{self.name}]: {type(exc).__name__}: {exc}",
+                        file=_sys.stderr, flush=True,
+                    )
                 self.last_error = exc
             self._stop.wait(self.trigger_secs)
 

@@ -113,6 +113,7 @@ class TcpSpool:
         self._flush_gen = 0
         self._flush_acks: dict[int, int] = {}
         self._accept_iter = 0  # accept-loop progress, see flush()
+        self._conn_seq = 0  # per-connection ack keys
 
     # -- lifecycle ----------------------------------------------------
     def start(self) -> "TcpSpool":
@@ -122,7 +123,9 @@ class TcpSpool:
         self._srv.bind((self.host, self.port))
         self.port = self._srv.getsockname()[1]
         self._srv.listen(16)
-        self._srv.settimeout(0.2)
+        # short accept poll: flush()'s backlog barrier waits two
+        # passes, so this bounds flush latency (~0.1 s), not 0.4 s
+        self._srv.settimeout(0.05)
         self._stop.clear()
         self._accept_thread = threading.Thread(
             target=self._accept_loop, name=f"tcp-spool-{self.port}",
@@ -162,8 +165,18 @@ class TcpSpool:
             with self._lock:
                 self._epochs[peer] = self._epochs.get(peer, 0) + 1
                 epoch = self._epochs[peer]
+                # register the ack slot BEFORE the thread starts
+                # (unacked, gen 0): a flush() racing this accept must
+                # see the session as pending until it emits once —
+                # in-thread registration left a window where the
+                # accept-pass barrier passed but the ack map didn't
+                # know the connection yet
+                self._conn_seq += 1
+                key = self._conn_seq
+                self._flush_acks[key] = 0
             t = threading.Thread(
-                target=self._conn_loop, args=(conn, peer, epoch), daemon=True
+                target=self._conn_loop, args=(conn, peer, epoch, key),
+                daemon=True,
             )
             t.start()
             # prune finished sessions so a long-lived daemon's thread
@@ -173,16 +186,17 @@ class TcpSpool:
             ]
             self._conn_threads.append(t)
 
-    def _conn_loop(self, conn: socket.socket, peer: str, epoch: int = 1) -> None:
+    def _conn_loop(
+        self, conn: socket.socket, peer: str, epoch: int = 1, key: int = 0
+    ) -> None:
         conn.settimeout(0.2)
         buf = b""
         last_flush = time.monotonic()
-        tid = threading.get_ident()
-        with self._lock:
-            # register UNACKED (gen 0): a connection accepted while a
-            # flush() waits must run one emit cycle before it counts
-            # as drained, not satisfy the flush by arriving
-            self._flush_acks[tid] = 0
+        if key == 0:  # direct callers (tests): self-register
+            with self._lock:
+                self._conn_seq += 1
+                key = self._conn_seq
+                self._flush_acks[key] = 0
         try:
             while not self._stop.is_set():
                 closed = False
@@ -198,7 +212,31 @@ class TcpSpool:
                 # re-read gen would satisfy a flush() that arrived
                 # between emit and ack without emitting for it
                 gen = self._flush_gen
-                flush_wanted = self._flush_acks.get(tid, 0) < gen
+                flush_wanted = self._flush_acks.get(key, 0) < gen
+                if flush_wanted and not closed:
+                    # drain the KERNEL buffer before honoring the
+                    # flush: a multi-MB table dump sitting in the
+                    # receive queue must be spooled, not just the one
+                    # chunk this iteration's recv happened to return
+                    conn.setblocking(False)
+                    try:
+                        while True:
+                            try:
+                                chunk = conn.recv(65535)
+                            except (BlockingIOError, socket.timeout):
+                                break
+                            except OSError:
+                                closed = True
+                                break
+                            if not chunk:
+                                closed = True
+                                break
+                            buf += chunk
+                    finally:
+                        try:
+                            conn.settimeout(0.2)
+                        except OSError:
+                            pass
                 if buf and (
                     closed
                     or now - last_flush >= self.flush_secs
@@ -213,7 +251,7 @@ class TcpSpool:
                     # ack AFTER any emit: flush() waiters know this
                     # session's complete prefix is on disk
                     with self._lock:
-                        self._flush_acks[tid] = gen
+                        self._flush_acks[key] = gen
                 if len(buf) > self.max_buffer:
                     self.sessions_dropped += 1
                     buf = b""
@@ -225,7 +263,7 @@ class TcpSpool:
             if n:
                 self._emit(peer, buf[:n], epoch)
             with self._lock:
-                self._flush_acks.pop(tid, None)
+                self._flush_acks.pop(key, None)
             conn.close()
 
     def _emit(self, peer: str, payload: bytes, epoch: int = 1) -> None:
@@ -268,7 +306,13 @@ class TcpSpool:
             # ack map: wait for the accept loop to complete a full
             # pass (and its conn thread to register) before trusting
             # "no pending acks"
-            accepted_pass = self._accept_iter >= it0 + 2
+            alive = (
+                self._accept_thread is not None
+                and self._accept_thread.is_alive()
+            )
+            # no accept loop running -> nothing will ever advance the
+            # barrier or the acks; don't spin out the whole timeout
+            accepted_pass = (not alive) or self._accept_iter >= it0 + 2
             with self._lock:
                 pending = [a for a in self._flush_acks.values() if a < gen]
             if accepted_pass and not pending:

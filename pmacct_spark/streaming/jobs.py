@@ -81,6 +81,14 @@ def stream_aggregation(
         if prim.column != prim.name:
             df = df.withColumn(prim.name, F.col(prim.column))
         keys.append(prim.name)
+    # the streaming shape carries the default counter set; a conf
+    # asking for custom counters (tcp_flags bit-OR, sum_* folds) must
+    # use the batch/replan path rather than silently diverge from it
+    if cfg.counters and set(cfg.counters) != {"bytes", "packets", "flows"}:
+        raise ValueError(
+            "streaming channel supports the default counters only "
+            f"(got {cfg.counters!r}); use the batch path"
+        )
     aggs = [
         F.sum("bytes").alias("bytes"),
         F.sum("packets").alias("packets"),

@@ -217,3 +217,19 @@ def test_conf_typed_prefers_plugin_type(spark):
     assert ch["p1"].history == "5m"
     assert ch["s1"].history == "60m"
     assert ch["p1"].renormalize and ch["s1"].renormalize
+
+
+def test_pretag_ip_v6_slash32_is_prefix_not_host(spark):
+    """A v6 /32 in ip= is a huge prefix, not a host address: the line
+    must be skipped as unsupported (v6 exporters aren't columned),
+    never kept as a silently-never-matching equality rule."""
+    from pmacct_spark.conffile import parse_pretag_map
+
+    rules = parse_pretag_map(
+        "set_tag=5 ip=2001:db8::/32\n"        # v6 prefix: skip line
+        "set_tag=6 ip=2001:db8::1/128\n"      # v6 host: equality ok
+        "set_tag=7 ip=10.0.0.1/32\n"          # v4 host: equality ok
+    )
+    assert len(rules) == 2
+    assert rules[0].match == {"peer_src_ip": "2001:db8::1"}
+    assert rules[1].match == {"peer_src_ip": "10.0.0.1"}
