@@ -424,3 +424,87 @@ def tpch_q18_large_orders(spark, sf_dir):
         )
         .agg(F.sum("l_quantity").cast("bigint").alias("sum_qty"))
     )
+
+
+# --- TPC-H Q10-shaped: returned-item revenue by customer — selective
+#     fact filter, two broadcast dims, one groupBy shuffle, global
+#     top-20 via TakeOrderedAndProject.
+@register(
+    "tpch_q10_returned_items",
+    f"""
+SELECT c.c_custkey, c.c_name, n.n_name AS nation,
+       {_CENTS.format(c='l.l_extendedprice * (1 - l.l_discount)')} AS revenue_cents
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+WHERE l.l_returnflag = 'R'
+  AND o.o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+  AND o.o_orderdate < TIMESTAMP '1997-07-01 00:00:00'
+GROUP BY 1, 2, 3
+ORDER BY revenue_cents DESC, c_custkey LIMIT 20""",
+)
+def tpch_q10_returned_items(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_returnflag") == "R"
+    )
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp_ntz"))
+        & (F.col("o_orderdate") < F.lit("1997-07-01 00:00:00").cast("timestamp_ntz"))
+    )
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("c_custkey", "c_name", F.col("n_name").alias("nation"))
+        .agg(
+            F.sum(
+                F.round(
+                    F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+                ).cast("bigint")
+            ).alias("revenue_cents")
+        )
+        .select("c_custkey", "c_name", "nation", "revenue_cents")
+        .orderBy(F.desc("revenue_cents"), "c_custkey")
+        .limit(20)
+    )
+
+
+# --- TPC-H Q12-shaped: conditional-count aggregation (CASE buckets
+#     inside SUM) over a pure scan filter — zero joins, one shuffle.
+@register(
+    "tpch_q12_priority_by_status",
+    """
+SELECT l_linestatus,
+       CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+WHERE l.l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+  AND l.l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+GROUP BY 1""",
+)
+def tpch_q12_priority_by_status(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp_ntz"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01 00:00:00").cast("timestamp_ntz"))
+    )
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority"
+    )
+    hi = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(hi, 1).otherwise(0)).cast("bigint").alias(
+                "high_line_count"
+            ),
+            F.sum(F.when(~hi, 1).otherwise(0)).cast("bigint").alias(
+                "low_line_count"
+            ),
+        )
+    )
