@@ -71,6 +71,20 @@ def write_print(
         writer.option("header", "true").csv(path)
     elif fmt == "json":
         writer.json(path)
+    elif fmt == "formatted":
+        # the reference's DEFAULT print_output: fixed-width aligned
+        # columns (src/print_plugin.c P_write_stats_header). Width
+        # discovery needs the whole (small, post-aggregation) result;
+        # reuse the client renderer — the print plugin and the client
+        # share presentation in the reference too.
+        import os as _os
+
+        from pmacct_spark.client.cli import render
+
+        _os.makedirs(path, exist_ok=True)
+        with open(_os.path.join(path, "part-00000.txt"), "w") as fh:
+            fh.write(render(out, "formatted"))
+            fh.write("\n")
     elif fmt == "avro":
         try:
             writer.format("avro").save(path)

@@ -386,3 +386,28 @@ def test_kafka_avro_registry_frame(spark):
         sid, rec = read_registry_frame(bytes(r["value"]), reg)
         assert sid == 1
         assert want[rec["src_as"]] == rec["bytes"]
+
+
+def test_write_print_formatted(spark, tmp_path):
+    """print_output: formatted (the reference's default) writes the
+    aligned fixed-width table the client renders."""
+    import glob
+    import os
+
+    from pmacct_spark.sinks.files import write_print
+
+    df = spark.createDataFrame(
+        [("tcp", 100), ("udp", 20)], "proto string, bytes long"
+    )
+    out = str(tmp_path / "fmt")
+    write_print(df, out, fmt="formatted")
+    files = glob.glob(os.path.join(out, "*.txt"))
+    assert len(files) == 1
+    text = open(files[0]).read()
+    lines = [ln for ln in text.splitlines() if ln]
+    assert lines[0].split() == ["PROTO", "BYTES"]  # pmacct uppercases headers
+    assert {tuple(ln.split()) for ln in lines[1:]} == {
+        ("tcp", "100"), ("udp", "20")
+    }
+    # fixed-width: every row is as wide as the header
+    assert len({len(ln) for ln in lines if ln.strip()}) <= 2
