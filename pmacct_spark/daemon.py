@@ -273,6 +273,45 @@ class Daemon:
             with open(ptm) as fh:
                 rules = conffile.parse_pretag_map(fh.read())
             df = apply_pretag(df, rules, label_out="label")
+        pf = self.conf.get("ports_file")
+        if pf:
+            from pmacct_spark.operators.dicts import apply_allowlist
+
+            with open(pf) as fh:
+                allowed = conffile.parse_ports_file(fh.read())
+            for c in ("port_src", "port_dst"):
+                if c in df.columns:
+                    df = apply_allowlist(df, c, allowed)
+        nets_path = self.conf.get("networks_file")
+        # reference default nfacctd_as is 'netflow' (trust the export);
+        # the file only overrides when explicitly asked to
+        if nets_path and str(
+            self.conf.get("nfacctd_as", default="netflow")
+        ).lower() in ("file", "longest"):
+            # networks_file overrides the export's AS numbers with the
+            # operator's own table (nfacctd_as: file / longest,
+            # reference src/net_aggr.c) — LPM per address, asn wins
+            # over whatever the exporter put in the record
+            from pmacct_spark.operators.lpm import lpm_join
+
+            with open(nets_path) as fh:
+                rows = [
+                    r for r in conffile.parse_networks_file(fh.read())
+                    if not r["v6"] and r["asn"] is not None
+                ]
+            if rows:
+                nets = self.spark.createDataFrame(
+                    [(r["net_int"], r["masklen"], r["asn"]) for r in rows],
+                    "net_int long, masklen int, asn long",
+                )
+                df = lpm_join(
+                    df, nets, "ip_src_i", {"asn": "as_src"},
+                    default={"as_src": 0},
+                )
+                df = lpm_join(
+                    df, nets, "ip_dst_i", {"asn": "as_dst"},
+                    default={"as_dst": 0},
+                )
         smap = self.conf.get("sampling_map")
         if not smap and self.conf.getbool("nfacctd_renormalize") and (
             self.flavor == "netflow"

@@ -638,3 +638,45 @@ aggregate[m]: proto
         assert [(r["bytes"]) for r in second] == [800]  # rate 8, no restart
     finally:
         d.stop()
+
+
+def test_daemon_networks_file_and_ports_file(spark, tmp_path):
+    """networks_file with nfacctd_as: file overrides the export's AS
+    numbers via LPM (unmatched -> 0); ports_file zeroes ports not in
+    the allowlist — both live through the UDP socket."""
+    nets = tmp_path / "networks.lst"
+    nets.write_text("65100,10.0.0.0/8\n65200,11.0.0.0/8\n")
+    ports = tmp_path / "ports.lst"
+    ports.write_text("443\n")
+    conf = f"""
+nfacctd_port: 0
+nfacctd_as: file
+networks_file: {nets}
+ports_file: {ports}
+plugins: memory[m]
+aggregate[m]: src_as, dst_as, dst_port
+"""
+    d = Daemon.from_conf(spark, conf, spool_dir=str(tmp_path / "spoolD"))
+    try:
+        send_datagrams(
+            [_v5_datagram(1, [
+                # 10.x -> 11.x, dport 443 (in allowlist)
+                {"src": 0x0A010101, "dst": 0x0B020202, "pkts": 1,
+                 "bytes": 100, "sport": 5, "dport": 443},
+                # 12.x (off-table -> AS 0), dport 8080 (not listed -> 0)
+                {"src": 0x0C010101, "dst": 0x0A090909, "pkts": 1,
+                 "bytes": 50, "sport": 5, "dport": 8080},
+            ])],
+            "127.0.0.1", d.port,
+        )
+        t0 = time.monotonic()
+        while d.spool.datagrams_received < 1 and time.monotonic() - t0 < 15:
+            time.sleep(0.05)
+        out = d.run_available()["m"].collect()
+    finally:
+        d.stop()
+    got = {(r["src_as"], r["dst_as"], r["dst_port"]): r["bytes"] for r in out}
+    assert got == {
+        (65100, 65200, 443): 100,  # both matched, port kept
+        (0, 65100, 0): 50,         # src off-table, port zeroed
+    }
