@@ -296,8 +296,12 @@ def parse_ports_file(text: str) -> list[int]:
     out = []
     for raw in text.splitlines():
         line = raw.split("!", 1)[0].strip()
-        if line:
+        if not line:
+            continue
+        try:
             out.append(int(line))
+        except ValueError:
+            continue  # warn-and-skip like the reference, not daemon-fatal
     return sorted(set(out))
 
 

@@ -122,6 +122,11 @@ class Daemon:
         for sp in (self.bgp_spool, self.bmp_spool):
             if sp is not None:
                 sp.stop()
+        from pmacct_spark.operators.staging import release
+
+        for st in getattr(self, "_drain_stages", []):
+            release(st)
+        self._drain_stages = []
 
     def rib(self) -> DataFrame:
         """Current RIB state from the live BGP and/or BMP sessions
@@ -195,6 +200,54 @@ class Daemon:
         if self.bgp_spool is not None or self.bmp_spool is not None:
             df = self._bgp_enrich(df, streaming=streaming)
         return df
+
+    def _ports_allowlist(self) -> list[int] | None:
+        """Parse ports_file once per daemon (SIGUSR2-reload class,
+        like _roa_table)."""
+        if not hasattr(self, "_ports_cache"):
+            pf = self.conf.get("ports_file")
+            if not pf:
+                self._ports_cache = None
+            else:
+                with open(pf) as fh:
+                    self._ports_cache = conffile.parse_ports_file(fh.read())
+        return self._ports_cache
+
+    def _networks_table(self):
+        """Parse networks_file once per daemon; returns (DataFrame,
+        masklens) or None. The masklen list rides along so the per-call
+        lpm_join needs no driver-side distinct().collect() per tick.
+        Active only when the daemon's *_as key asks for file/longest
+        (reference default is 'netflow': trust the export)."""
+        if not hasattr(self, "_networks_cache"):
+            self._networks_cache = None
+            nets_path = self.conf.get("networks_file")
+            as_mode = next(
+                (
+                    str(v).lower()
+                    for v in (
+                        self.conf.get(f"{d}_as")
+                        for d in ("nfacctd", "sfacctd", "pmacctd", "uacctd")
+                    )
+                    if v is not None
+                ),
+                "netflow",
+            )
+            if nets_path and as_mode in ("file", "longest"):
+                with open(nets_path) as fh:
+                    rows = [
+                        r for r in conffile.parse_networks_file(fh.read())
+                        if not r["v6"] and r["asn"] is not None
+                    ]
+                if rows:
+                    df = self.spark.createDataFrame(
+                        [(r["net_int"], r["masklen"], r["asn"]) for r in rows],
+                        "net_int long, masklen int, asn long",
+                    )
+                    self._networks_cache = (
+                        df, sorted({r["masklen"] for r in rows}, reverse=True)
+                    )
+        return self._networks_cache
 
     def _roa_table(self) -> DataFrame | None:
         """Parse rpki_roas_file once per daemon (the reference reloads
@@ -273,45 +326,30 @@ class Daemon:
             with open(ptm) as fh:
                 rules = conffile.parse_pretag_map(fh.read())
             df = apply_pretag(df, rules, label_out="label")
-        pf = self.conf.get("ports_file")
-        if pf:
+        allowed = self._ports_allowlist()
+        if allowed is not None:
             from pmacct_spark.operators.dicts import apply_allowlist
 
-            with open(pf) as fh:
-                allowed = conffile.parse_ports_file(fh.read())
             for c in ("port_src", "port_dst"):
                 if c in df.columns:
                     df = apply_allowlist(df, c, allowed)
-        nets_path = self.conf.get("networks_file")
-        # reference default nfacctd_as is 'netflow' (trust the export);
-        # the file only overrides when explicitly asked to
-        if nets_path and str(
-            self.conf.get("nfacctd_as", default="netflow")
-        ).lower() in ("file", "longest"):
+        nets = self._networks_table()
+        if nets is not None:
             # networks_file overrides the export's AS numbers with the
-            # operator's own table (nfacctd_as: file / longest,
+            # operator's own table (<daemon>_as: file / longest,
             # reference src/net_aggr.c) — LPM per address, asn wins
             # over whatever the exporter put in the record
             from pmacct_spark.operators.lpm import lpm_join
 
-            with open(nets_path) as fh:
-                rows = [
-                    r for r in conffile.parse_networks_file(fh.read())
-                    if not r["v6"] and r["asn"] is not None
-                ]
-            if rows:
-                nets = self.spark.createDataFrame(
-                    [(r["net_int"], r["masklen"], r["asn"]) for r in rows],
-                    "net_int long, masklen int, asn long",
-                )
-                df = lpm_join(
-                    df, nets, "ip_src_i", {"asn": "as_src"},
-                    default={"as_src": 0},
-                )
-                df = lpm_join(
-                    df, nets, "ip_dst_i", {"asn": "as_dst"},
-                    default={"as_dst": 0},
-                )
+            nets_df, masklens = nets
+            df = lpm_join(
+                df, nets_df, "ip_src_i", {"asn": "as_src"},
+                default={"as_src": 0}, masklens=masklens,
+            )
+            df = lpm_join(
+                df, nets_df, "ip_dst_i", {"asn": "as_dst"},
+                default={"as_dst": 0}, masklens=masklens,
+            )
         smap = self.conf.get("sampling_map")
         if not smap and self.conf.getbool("nfacctd_renormalize") and (
             self.flavor == "netflow"
@@ -463,15 +501,17 @@ class Daemon:
                             stage,
                         )
 
-                        # the previous drain's staged copy is dead
-                        # once a new one exists — release it, or a
-                        # long-lived daemon leaks one spool-sized
-                        # parquet copy per drain
-                        prev = getattr(self, "_drain_stage", None)
-                        if prev is not None:
-                            release(prev)
+                        # bound the per-drain staged copies WITHOUT
+                        # invalidating handles the caller still holds:
+                        # the previous drain's results stay readable
+                        # (they lazily read their stage) until two
+                        # more drains happen; stop() releases the rest
                         batch_df = stage(batch_df)
-                        self._drain_stage = batch_df
+                        stages = getattr(self, "_drain_stages", [])
+                        stages.append(batch_df)
+                        while len(stages) > 2:
+                            release(stages.pop(0))
+                        self._drain_stages = stages
                 out = build_aggregation(batch_df, cfg)
             ptype = ptype_by_name.get(name, "memory")
             if ptype == "print":
@@ -526,21 +566,27 @@ class Daemon:
         from pmacct_spark.streaming.jobs import stream_aggregation
 
         live_dims = self.bgp_spool is not None or self.bmp_spool is not None
-        queries = {}
+        # VALIDATE every channel's plan before starting ANY query — a
+        # later channel raising (unsupported counters, bad aggregate)
+        # must not leave earlier queries running with no handle
+        plans: dict[str, object] = {}
         for name, cfg in self.channels.items():
             if not cfg.history or cfg.history_spec().calendar:
                 continue
             if live_dims:
-                queries[name] = _ReplanLoop(
-                    self, name, cfg, trigger_secs
-                ).start()
+                plans[name] = _ReplanLoop(self, name, cfg, trigger_secs)
             else:
-                agg = stream_aggregation(
+                plans[name] = stream_aggregation(
                     self._route(self._decoded(True), cfg),
                     _replace(cfg, aggregate_filter=None),  # applied in _route
                 )
+        queries = {}
+        for name, plan in plans.items():
+            if isinstance(plan, _ReplanLoop):
+                queries[name] = plan.start()
+            else:
                 queries[name] = (
-                    agg.writeStream.outputMode("complete")
+                    plan.writeStream.outputMode("complete")
                     .format("memory")
                     .queryName(f"imt_{name}")
                     .trigger(processingTime=f"{trigger_secs} seconds")

@@ -78,9 +78,17 @@ def write_print(
         # reuse the client renderer — the print plugin and the client
         # share presentation in the reference too.
         import os as _os
+        import shutil as _shutil
 
         from pmacct_spark.client.cli import render
 
+        if partition_cols:
+            raise ValueError(
+                "formatted output does not support dynamic names "
+                "(name_spec) — use csv/json for partitioned prints"
+            )
+        if mode == "overwrite" and _os.path.isdir(path):
+            _shutil.rmtree(path)  # match the writer's overwrite
         _os.makedirs(path, exist_ok=True)
         with open(_os.path.join(path, "part-00000.txt"), "w") as fh:
             fh.write(render(out, "formatted"))

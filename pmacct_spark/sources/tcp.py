@@ -220,7 +220,14 @@ class TcpSpool:
                     # chunk this iteration's recv happened to return
                     conn.setblocking(False)
                     try:
-                        while True:
+                        # the drain honors the same bounds as the
+                        # outer loop: a desynced flooding peer must
+                        # still hit max_buffer, and stop() must be
+                        # able to end the thread mid-drain
+                        while (
+                            len(buf) <= self.max_buffer
+                            and not self._stop.is_set()
+                        ):
                             try:
                                 chunk = conn.recv(65535)
                             except (BlockingIOError, socket.timeout):

@@ -81,19 +81,18 @@ def stream_aggregation(
         if prim.column != prim.name:
             df = df.withColumn(prim.name, F.col(prim.column))
         keys.append(prim.name)
-    # the streaming shape carries the default counter set; a conf
-    # asking for custom counters (tcp_flags bit-OR, sum_* folds) must
-    # use the batch/replan path rather than silently diverge from it
-    if cfg.counters and set(cfg.counters) != {"bytes", "packets", "flows"}:
+    # the streaming shape carries (a subset of) the default counter
+    # set; a conf asking for custom counters (tcp_flags bit-OR,
+    # sum_* folds) must use the batch/replan path rather than
+    # silently diverge from it
+    counters = list(cfg.counters) or ["bytes", "packets", "flows"]
+    bad = set(counters) - {"bytes", "packets", "flows"}
+    if bad:
         raise ValueError(
-            "streaming channel supports the default counters only "
-            f"(got {cfg.counters!r}); use the batch path"
+            f"streaming channel supports the default counters only "
+            f"(got {sorted(bad)!r}); use the batch path"
         )
-    aggs = [
-        F.sum("bytes").alias("bytes"),
-        F.sum("packets").alias("packets"),
-        F.sum("flows").alias("flows"),
-    ]
+    aggs = [F.sum(c).alias(c) for c in counters]
     if cfg.stitching:  # same shape as the batch path (pipeline.py)
         aggs.append(PRIMITIVES["timestamp_min"].agg_expr())
         aggs.append(PRIMITIVES["timestamp_max"].agg_expr())
@@ -117,7 +116,7 @@ def stream_aggregation(
         # windows); multi_window inserts them WHOLE per bucket
         df = explode_prorate(
             df, hist,
-            ["bytes", "packets", "flows"] if cfg.pro_rating else [],
+            counters if cfg.pro_rating else [],
             roundoff=cfg.history_roundoff,
         )
         out = df.groupBy("stamp_inserted", *[F.col(k) for k in keys]).agg(
@@ -129,9 +128,7 @@ def stream_aggregation(
     out = out.select(
         F.col("__w.start").cast("timestamp_ntz").alias("stamp_inserted"),
         *[F.col(k) for k in keys],
-        "bytes",
-        "packets",
-        "flows",
+        *counters,
         *(["timestamp_min", "timestamp_max"] if cfg.stitching else []),
     )
     return _post_agg(out, cfg)
