@@ -570,11 +570,22 @@ class Daemon:
         # later channel raising (unsupported counters, bad aggregate)
         # must not leave earlier queries running with no handle
         plans: dict[str, object] = {}
+        triggers: dict[str, float] = {}
+        ptype_by_name = dict(
+            (name, ptype) for ptype, name in self.conf.plugins
+        )
         for name, cfg in self.channels.items():
             if not cfg.history or cfg.history_spec().calendar:
                 continue
+            # the reference's per-channel purge cadence
+            # (sql_refresh_time / print_refresh_time ...) overrides
+            # the default trigger for THAT channel only
+            rt = conffile._typed(
+                self.conf, name, "refresh_time", ptype_by_name.get(name)
+            )
+            triggers[name] = float(rt) if rt else trigger_secs
             if live_dims:
-                plans[name] = _ReplanLoop(self, name, cfg, trigger_secs)
+                plans[name] = _ReplanLoop(self, name, cfg, triggers[name])
             else:
                 plans[name] = stream_aggregation(
                     self._route(self._decoded(True), cfg),
@@ -589,7 +600,7 @@ class Daemon:
                     plan.writeStream.outputMode("complete")
                     .format("memory")
                     .queryName(f"imt_{name}")
-                    .trigger(processingTime=f"{trigger_secs} seconds")
+                    .trigger(processingTime=f"{triggers[name]} seconds")
                     .start()
                 )
         return ContinuousRun(queries)

@@ -233,3 +233,17 @@ def test_pretag_ip_v6_slash32_is_prefix_not_host(spark):
     assert len(rules) == 2
     assert rules[0].match == {"peer_src_ip": "2001:db8::1"}
     assert rules[1].match == {"peer_src_ip": "10.0.0.1"}
+
+
+def test_refresh_time_resolves_per_channel(spark):
+    """print_refresh_time[p] overrides the default trigger for that
+    channel only (the reference's per-plugin purge cadence)."""
+    from pmacct_spark.conffile import _typed, parse_conf
+
+    conf = parse_conf(
+        "plugins: print[p1], sql[s1]\n"
+        "print_refresh_time[p1]: 30\n"
+        "sql_refresh_time: 300\n"
+    )
+    assert _typed(conf, "p1", "refresh_time", "print") == "30"
+    assert _typed(conf, "s1", "refresh_time", "sql") == "300"
