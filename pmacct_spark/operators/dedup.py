@@ -365,3 +365,102 @@ h AS (SELECT {id_col}, {poly_hash_duck_sql('t')} AS hv FROM tok),
 v AS (SELECT {id_col}, {votes} FROM h GROUP BY {id_col})
 SELECT {id_col}, CAST({fp} AS BIGINT) AS simhash FROM v
 """
+
+
+def minhash_cross_pairs(
+    new_df: DataFrame,
+    ref_df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    bands: int = DEFAULT_BANDS,
+    threshold_pm: int = 500,
+    fast: bool = False,
+) -> DataFrame:
+    """Cross-corpus near-dedup: flag NEW docs that near-duplicate any
+    REFERENCE doc — the incremental-ingest case (dedup an incoming
+    crawl against the existing training set) where self-join dedup
+    would waste work on ref x ref pairs.
+
+    Same LSH shape as :func:`minhash_dedup_pairs` but the band join is
+    new x ref only: a shuffle equi-join on (band index, band key) —
+    both sides scale to billions of docs, no broadcast, no all-pairs.
+    Returns (new_id, ref_id, jaccard_pm >= threshold)."""
+    from pmacct_spark.operators.staging import stage
+
+    new_sets = stage(shingle_hash_sets(new_df, id_col, text_col, n, fast=fast))
+    ref_sets = stage(shingle_hash_sets(ref_df, id_col, text_col, n, fast=fast))
+    nb = band_keys_long(
+        _signature_from_sets(new_sets, id_col), id_col, bands
+    ).select(F.col(id_col).alias("new_id"), "bidx", "bk")
+    rb = band_keys_long(
+        _signature_from_sets(ref_sets, id_col), id_col, bands
+    ).select(F.col(id_col).alias("ref_id"), "bidx", "bk")
+    cands = nb.join(rb, ["bidx", "bk"]).select("new_id", "ref_id").distinct()
+    a = new_sets.select(F.col(id_col).alias("new_id"), F.col("hvs").alias("hv_a"))
+    b = ref_sets.select(F.col(id_col).alias("ref_id"), F.col("hvs").alias("hv_b"))
+    return (
+        cands.join(a, "new_id")
+        .join(b, "ref_id")
+        .withColumn(
+            "jaccard_pm",
+            F.expr(
+                "size(array_intersect(hv_a, hv_b)) * 1000 "
+                "DIV size(array_union(hv_a, hv_b))"
+            ),
+        )
+        .filter(F.col("jaccard_pm") >= threshold_pm)
+        .select("new_id", "ref_id", "jaccard_pm")
+    )
+
+
+def minhash_cross_duck(
+    new_pred: str,
+    ref_pred: str,
+    source: str = "documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    bands: int = DEFAULT_BANDS,
+    threshold_pm: int = 500,
+) -> str:
+    """DuckDB oracle for :func:`minhash_cross_pairs` (same hash family,
+    same banded join, new/ref split by the given predicates)."""
+    rows = K // bands
+    mins = ", ".join(
+        f"MIN(({MINHASH_A[i]} * hv + {MINHASH_B[i]}) % {P}) AS mh{i}"
+        for i in range(K)
+    )
+    band_cols = ", ".join(
+        " || '-' || ".join(
+            f"CAST(mh{b * rows + r} AS VARCHAR)" for r in range(rows)
+        )
+        + f" AS band{b}"
+        for b in range(bands)
+    )
+    band_joins = "\nUNION\n".join(
+        f"SELECT a.{id_col} AS new_id, b.{id_col} AS ref_id "
+        f"FROM nbands a JOIN rbands b ON a.band{b} = b.band{b}"
+        for b in range(bands)
+    )
+    return f"""
+WITH sh AS (
+  SELECT {id_col}, {shingle_hashes_duck(text_col, n)} AS hvs FROM {source}
+),
+tok AS (SELECT {id_col}, unnest(hvs) AS hv FROM sh),
+sig AS (SELECT {id_col}, {mins} FROM tok GROUP BY {id_col}),
+bands AS (SELECT {id_col}, {band_cols} FROM sig),
+nbands AS (SELECT * FROM bands WHERE {new_pred}),
+rbands AS (SELECT * FROM bands WHERE {ref_pred}),
+cand AS ({band_joins}),
+ver AS (
+  SELECT c.new_id, c.ref_id,
+         len(list_intersect(sa.hvs, sb.hvs)) * 1000
+           // len(list_distinct(list_concat(sa.hvs, sb.hvs))) AS jaccard_pm
+  FROM cand c
+  JOIN sh sa ON sa.{id_col} = c.new_id
+  JOIN sh sb ON sb.{id_col} = c.ref_id
+)
+SELECT new_id, ref_id, CAST(jaccard_pm AS BIGINT) AS jaccard_pm
+FROM ver WHERE jaccard_pm >= {threshold_pm}
+"""

@@ -410,3 +410,21 @@ def temperature_mix_sampling(spark, sf_dir):
         F.count(F.lit(1)).alias("sampled"),
         F.sum("doc_id").cast("bigint").alias("id_sum"),
     )
+
+
+# --- cross-corpus near-dedup: flag NEW docs (even ids, the incoming
+#     crawl) near-duplicating any REFERENCE doc (odd ids, the
+#     existing training set). new x ref band join only — no ref x ref
+#     work, both sides shuffle-joinable at billions of docs.
+@register(
+    "dedup_cross_corpus",
+    dedup.minhash_cross_duck("doc_id % 2 = 0", "doc_id % 2 = 1"),
+)
+def dedup_cross_corpus(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return dedup.minhash_cross_pairs(
+        docs.filter("doc_id % 2 = 0"),
+        docs.filter("doc_id % 2 = 1"),
+        "doc_id",
+        "text",
+    )
