@@ -301,6 +301,12 @@ def parse_ports_file(text: str) -> list[int]:
         try:
             out.append(int(line))
         except ValueError:
+            import sys as _sys
+
+            print(
+                f"ports_file: skipping malformed line {line!r}",
+                file=_sys.stderr,
+            )
             continue  # warn-and-skip like the reference, not daemon-fatal
     return sorted(set(out))
 

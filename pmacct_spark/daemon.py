@@ -128,6 +128,11 @@ class Daemon:
             release(st)
         self._drain_stages = []
 
+    def _ptype_by_name(self) -> dict:
+        return dict(
+            (name, ptype) for ptype, name in self.conf.plugins
+        ) or {"default": "memory"}
+
     def rib(self) -> DataFrame:
         """Current RIB state from the live BGP and/or BMP sessions
         (latest-wins compaction — the in-memory table the reference
@@ -220,7 +225,7 @@ class Daemon:
         Active only when the daemon's *_as key asks for file/longest
         (reference default is 'netflow': trust the export)."""
         if not hasattr(self, "_networks_cache"):
-            self._networks_cache = None
+            cache = None
             nets_path = self.conf.get("networks_file")
             as_mode = next(
                 (
@@ -244,9 +249,13 @@ class Daemon:
                         [(r["net_int"], r["masklen"], r["asn"]) for r in rows],
                         "net_int long, masklen int, asn long",
                     )
-                    self._networks_cache = (
+                    cache = (
                         df, sorted({r["masklen"] for r in rows}, reverse=True)
                     )
+            # assign only after a successful parse: a transient read
+            # failure raises (and retries next drain) instead of
+            # silently disabling the enrichment for the daemon's life
+            self._networks_cache = cache
         return self._networks_cache
 
     def _roa_table(self) -> DataFrame | None:
@@ -470,9 +479,7 @@ class Daemon:
             if sp is not None:
                 sp.flush()
         results: dict[str, DataFrame] = {}
-        ptype_by_name = dict(
-            (name, ptype) for ptype, name in self.conf.plugins
-        ) or {"default": "memory"}
+        ptype_by_name = self._ptype_by_name()
 
         def is_stream(cfg) -> bool:
             return bool(
@@ -571,17 +578,20 @@ class Daemon:
         # must not leave earlier queries running with no handle
         plans: dict[str, object] = {}
         triggers: dict[str, float] = {}
-        ptype_by_name = dict(
-            (name, ptype) for ptype, name in self.conf.plugins
-        )
+        ptype_by_name = self._ptype_by_name()
         for name, cfg in self.channels.items():
             if not cfg.history or cfg.history_spec().calendar:
                 continue
             # the reference's per-channel purge cadence
             # (sql_refresh_time / print_refresh_time ...) overrides
-            # the default trigger for THAT channel only
-            rt = conffile._typed(
-                self.conf, name, "refresh_time", ptype_by_name.get(name)
+            # the default trigger — but only for plugin TYPES that
+            # have a refresh concept; the memory plugin serves live
+            # and must not inherit a global sql_refresh_time
+            ptype = ptype_by_name.get(name)
+            rt = (
+                conffile._typed(self.conf, name, "refresh_time", ptype)
+                if ptype in ("sql", "print", "kafka", "amqp")
+                else None
             )
             triggers[name] = float(rt) if rt else trigger_secs
             if live_dims:

@@ -271,6 +271,33 @@ def minhash_dedup_pairs(
     )
 
 
+def _mins_duck_sql() -> str:
+    """The K minhash aggregates (shared by the self-join and
+    cross-corpus oracles so the hash family can never drift between
+    them)."""
+    return ", ".join(
+        f"MIN(({MINHASH_A[i]} * hv + {MINHASH_B[i]}) % {P}) AS mh{i}"
+        for i in range(K)
+    )
+
+
+def _band_cols_duck_sql(bands: int) -> str:
+    rows = K // bands
+    return ", ".join(
+        " || '-' || ".join(
+            f"CAST(mh{b * rows + r} AS VARCHAR)" for r in range(rows)
+        )
+        + f" AS band{b}"
+        for b in range(bands)
+    )
+
+
+_JACCARD_PM_SQL = (
+    "len(list_intersect(sa.hvs, sb.hvs)) * 1000 "
+    "// len(list_distinct(list_concat(sa.hvs, sb.hvs)))"
+)
+
+
 def minhash_dedup_duck(
     source: str = "documents",
     id_col: str = "doc_id",
@@ -281,18 +308,8 @@ def minhash_dedup_duck(
 ) -> str:
     """DuckDB oracle replaying the exact MinHash-LSH pipeline (same hash
     family, same hashed-shingle Jaccard)."""
-    rows = K // bands
-    mins = ", ".join(
-        f"MIN(({MINHASH_A[i]} * hv + {MINHASH_B[i]}) % {P}) AS mh{i}"
-        for i in range(K)
-    )
-    band_cols = ", ".join(
-        " || '-' || ".join(
-            f"CAST(mh{b * rows + r} AS VARCHAR)" for r in range(rows)
-        )
-        + f" AS band{b}"
-        for b in range(bands)
-    )
+    mins = _mins_duck_sql()
+    band_cols = _band_cols_duck_sql(bands)
     band_joins = "\nUNION\n".join(
         f"SELECT a.{id_col} AS doc_a, b.{id_col} AS doc_b "
         f"FROM bands a JOIN bands b ON a.band{b} = b.band{b} "
@@ -308,9 +325,7 @@ sig AS (SELECT {id_col}, {mins} FROM tok GROUP BY {id_col}),
 bands AS (SELECT {id_col}, {band_cols} FROM sig),
 cand AS ({band_joins}),
 ver AS (
-  SELECT c.doc_a, c.doc_b,
-         len(list_intersect(sa.hvs, sb.hvs)) * 1000
-           // len(list_distinct(list_concat(sa.hvs, sb.hvs))) AS jaccard_pm
+  SELECT c.doc_a, c.doc_b, {_JACCARD_PM_SQL} AS jaccard_pm
   FROM cand c
   JOIN sh sa ON sa.{id_col} = c.doc_a
   JOIN sh sb ON sb.{id_col} = c.doc_b
@@ -376,6 +391,7 @@ def minhash_cross_pairs(
     bands: int = DEFAULT_BANDS,
     threshold_pm: int = 500,
     fast: bool = False,
+    ref_sets: DataFrame | None = None,
 ) -> DataFrame:
     """Cross-corpus near-dedup: flag NEW docs that near-duplicate any
     REFERENCE doc — the incremental-ingest case (dedup an incoming
@@ -389,7 +405,13 @@ def minhash_cross_pairs(
     from pmacct_spark.operators.staging import stage
 
     new_sets = stage(shingle_hash_sets(new_df, id_col, text_col, n, fast=fast))
-    ref_sets = stage(shingle_hash_sets(ref_df, id_col, text_col, n, fast=fast))
+    if ref_sets is None:
+        # the static training-set side dominates the cost: callers
+        # ingesting repeatedly should compute it once via
+        # shingle_hash_sets + stage and pass it back in each batch
+        ref_sets = stage(
+            shingle_hash_sets(ref_df, id_col, text_col, n, fast=fast)
+        )
     nb = band_keys_long(
         _signature_from_sets(new_sets, id_col), id_col, bands
     ).select(F.col(id_col).alias("new_id"), "bidx", "bk")
@@ -426,18 +448,8 @@ def minhash_cross_duck(
 ) -> str:
     """DuckDB oracle for :func:`minhash_cross_pairs` (same hash family,
     same banded join, new/ref split by the given predicates)."""
-    rows = K // bands
-    mins = ", ".join(
-        f"MIN(({MINHASH_A[i]} * hv + {MINHASH_B[i]}) % {P}) AS mh{i}"
-        for i in range(K)
-    )
-    band_cols = ", ".join(
-        " || '-' || ".join(
-            f"CAST(mh{b * rows + r} AS VARCHAR)" for r in range(rows)
-        )
-        + f" AS band{b}"
-        for b in range(bands)
-    )
+    mins = _mins_duck_sql()
+    band_cols = _band_cols_duck_sql(bands)
     band_joins = "\nUNION\n".join(
         f"SELECT a.{id_col} AS new_id, b.{id_col} AS ref_id "
         f"FROM nbands a JOIN rbands b ON a.band{b} = b.band{b}"
@@ -454,9 +466,7 @@ nbands AS (SELECT * FROM bands WHERE {new_pred}),
 rbands AS (SELECT * FROM bands WHERE {ref_pred}),
 cand AS ({band_joins}),
 ver AS (
-  SELECT c.new_id, c.ref_id,
-         len(list_intersect(sa.hvs, sb.hvs)) * 1000
-           // len(list_distinct(list_concat(sa.hvs, sb.hvs))) AS jaccard_pm
+  SELECT c.new_id, c.ref_id, {_JACCARD_PM_SQL} AS jaccard_pm
   FROM cand c
   JOIN sh sa ON sa.{id_col} = c.new_id
   JOIN sh sb ON sb.{id_col} = c.ref_id

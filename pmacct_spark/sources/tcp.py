@@ -220,14 +220,15 @@ class TcpSpool:
                     # chunk this iteration's recv happened to return
                     conn.setblocking(False)
                     try:
-                        # the drain honors the same bounds as the
-                        # outer loop: a desynced flooding peer must
-                        # still hit max_buffer, and stop() must be
-                        # able to end the thread mid-drain
-                        while (
-                            len(buf) <= self.max_buffer
-                            and not self._stop.is_set()
-                        ):
+                        # Drain to EAGAIN so flush() really covers
+                        # everything the kernel delivered — but emit
+                        # complete-message prefixes AS the buffer
+                        # grows, so a legitimate multi-MB table dump
+                        # spools incrementally while a desynced flood
+                        # (no complete prefix ever) still trips the
+                        # max_buffer drop below; stop() ends the
+                        # drain mid-way.
+                        while not self._stop.is_set():
                             try:
                                 chunk = conn.recv(65535)
                             except (BlockingIOError, socket.timeout):
@@ -239,6 +240,13 @@ class TcpSpool:
                                 closed = True
                                 break
                             buf += chunk
+                            if len(buf) >= self.max_buffer:
+                                n = self._prefix(buf)
+                                if n:
+                                    self._emit(peer, buf[:n], epoch)
+                                    buf = buf[n:]
+                                if len(buf) >= self.max_buffer:
+                                    break  # desynced: outer drop
                     finally:
                         try:
                             conn.settimeout(0.2)
