@@ -423,3 +423,63 @@ def test_bgp6_mp_roundtrip(routes, withdraw_last):
     if withdraw_last:
         wd = rows[-1]
         assert wd["is_withdrawal"] and wd["prefix6"] == keys[-1]
+
+
+# --- RPKI ROA validation vs an independent Python model of the
+#     reference's rule (src/rpki/rpki_lookup.c): VALID iff any
+#     covering ROA has maxlen >= plen AND matching origin; INVALID if
+#     covered without a match; UNKNOWN if uncovered.
+roa_st = st.tuples(
+    st.integers(min_value=0, max_value=(1 << 32) - 1),  # net
+    st.integers(min_value=8, max_value=28),             # masklen
+    st.integers(min_value=0, max_value=8),              # maxlen - masklen
+    st.sampled_from([65001, 65002, 65003]),             # asn
+)
+route_st = st.tuples(
+    st.integers(min_value=0, max_value=(1 << 32) - 1),
+    st.integers(min_value=8, max_value=32),
+    st.sampled_from([65001, 65002, 65003, 65999]),
+)
+
+
+@given(
+    st.lists(roa_st, min_size=1, max_size=8),
+    st.lists(route_st, min_size=1, max_size=12),
+)
+@settings(max_examples=15, deadline=None)
+def test_rpki_validate_matches_model(spark, roas, routes):
+    from pmacct_spark.operators.rpki import rpki_validate
+
+    def mask(net, ml):
+        return net >> (32 - ml) if ml else 0
+
+    roa_rows = [
+        (mask(net, ml) << (32 - ml), ml, min(ml + extra, 32), asn)
+        for net, ml, extra, asn in roas
+    ]
+    route_rows = [
+        (i, mask(net, ml) << (32 - ml) if ml < 32 else net, ml, asn)
+        for i, (net, ml, asn) in enumerate(routes)
+    ]
+
+    def model(net, plen, origin):
+        covered = valid = False
+        for rnet, rml, rmax, rasn in roa_rows:
+            if rml <= plen and (net >> (32 - rml)) == (rnet >> (32 - rml)):
+                covered = True
+                if rmax >= plen and rasn == origin:
+                    valid = True
+        return "v" if valid else ("i" if covered else "u")
+
+    roa_df = spark.createDataFrame(
+        roa_rows, "net_int long, masklen int, maxlen int, asn long"
+    )
+    routes_df = spark.createDataFrame(
+        route_rows, "rid long, net_int long, masklen int, origin_as long"
+    )
+    got = {
+        r.rid: r.roa_status
+        for r in rpki_validate(routes_df, roa_df).collect()
+    }
+    want = {rid: model(net, ml, asn) for rid, net, ml, asn in route_rows}
+    assert got == want
