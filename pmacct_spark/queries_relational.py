@@ -508,3 +508,45 @@ def tpch_q12_priority_by_status(spark, sf_dir):
             ),
         )
     )
+
+
+# --- TPC-H Q14-shaped: conditional-revenue ratio over a dim join —
+#     broadcast part, one scan, CASE inside both SUMs, the ratio as
+#     integer per-mille so the oracle hash-matches exactly.
+@register(
+    "tpch_q14_promo_revenue",
+    """
+WITH j AS (
+  SELECT CAST(ROUND(l.l_extendedprice * (1 - l.l_discount) * 100) AS BIGINT)
+           AS cents,
+         p.p_type LIKE 'PROMO%' AS is_promo
+  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+  WHERE l.l_shipdate >= TIMESTAMP '1997-03-01 00:00:00'
+    AND l.l_shipdate < TIMESTAMP '1997-06-01 00:00:00'
+)
+SELECT CAST(SUM(CASE WHEN is_promo THEN cents ELSE 0 END) * 1000
+        // SUM(cents) AS BIGINT) AS promo_pm,
+       CAST(SUM(cents) AS BIGINT) AS revenue_cents
+FROM j""",
+)
+def tpch_q14_promo_revenue(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-03-01 00:00:00").cast("timestamp_ntz"))
+        & (F.col("l_shipdate") < F.lit("1997-06-01 00:00:00").cast("timestamp_ntz"))
+    )
+    p = load_table(spark, sf_dir, "part").select("p_partkey", "p_type")
+    cents = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+    ).cast("bigint")
+    promo = F.col("p_type").startswith("PROMO")
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .agg(
+            F.sum(F.when(promo, cents).otherwise(0)).alias("__p"),
+            F.sum(cents).alias("__t"),
+        )
+        .select(
+            F.expr("__p * 1000 DIV __t").cast("bigint").alias("promo_pm"),
+            F.col("__t").cast("bigint").alias("revenue_cents"),
+        )
+    )
