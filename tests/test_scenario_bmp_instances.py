@@ -244,3 +244,41 @@ def test_mp_v6_sub_nibble_prefixes_stay_distinct(spark):
     rows = rib.collect()
     assert len(rows) == 1  # only the withdrawn one vanished
     assert rows[0].prefix6 == "2001:08"  # ceil(22/4)=6 nibbles kept
+
+
+def test_bmp_bgp_decoders_survive_malformed_input(spark):
+    """Poison datagrams (garbage, truncated messages, lying lengths,
+    absurd masklens) must decode to zero-or-some rows, never crash the
+    task — a single bad exporter cannot kill a run."""
+    from pmacct_spark.streaming.bmp import decode_bgp
+
+    good = _bmp_msg(0, PEER_A, 64500, _bgp_update([], [(0x0A010000, 16)]))
+    poison = [
+        b"",
+        b"\x00" * 40,
+        good[: len(good) // 2],                  # truncated mid-message
+        bytes([3]) + (10**6).to_bytes(4, "big") + b"\x00" * 10,  # lying len
+        _bmp_msg(0, PEER_A, 64500, b"\xff" * 19),  # garbage pdu
+        _bmp_msg(1, PEER_A, 64500, (99).to_bytes(4, "big")),  # stats lying count
+        # masklen 255 in NLRI
+        _bmp_msg(0, PEER_A, 64500,
+                 b"\xff" * 16 + (27).to_bytes(2, "big") + b"\x02"
+                 + (0).to_bytes(2, "big") + (0).to_bytes(2, "big")
+                 + bytes([255, 1, 2, 3])),
+        good,  # a good message among the poison still decodes
+    ]
+    dg = spark.createDataFrame(
+        [("198.51.100.66", bytearray(p)) for p in poison],
+        "exporter_ip string, payload binary",
+    )
+    rows = decode_bmp(dg).collect()          # must not raise
+    rows_bgp = decode_bgp(
+        spark.createDataFrame(
+            [("198.51.100.66", bytearray(b"".join(poison)))],
+            "exporter_ip string, payload binary",
+        )
+    ).collect()                               # must not raise
+    assert any(
+        r.prefix == 0x0A010000 and r.masklen == 16 for r in rows
+    )
+    assert isinstance(rows_bgp, list)
