@@ -50,7 +50,7 @@ def register(name: str, oracle: str | None = None):
 _DRIVER_WINDOW = [
     # §2.5 aggregation primitives
     "agg_host_pairs", "agg_tcpflags_bitor", "agg_stitching",
-    "agg_renormalize", "agg_none_total", "preprocess_having",
+    "agg_none_total", "preprocess_having",
     # §2.6 windows / time / sessions
     "hist_5m_proto", "hist_month", "hist_5m_prorate",
     "hist_sliding_10m_5m", "sessionize_tcp_close",
@@ -61,7 +61,8 @@ _DRIVER_WINDOW = [
     "sampling_map_renorm",
     # §2.4 enrichment joins
     "lpm_networks_src_as", "lpm6_networks_src_as", "geoip_country",
-    "bgp6_wire_rib_lookup", "as_of_sampling_rate", "conntrack_correlate",
+    "bgp6_wire_rib_lookup", "rpki_roa_validation",
+    "as_of_sampling_rate", "conntrack_correlate",
     # §2.5 advanced agg
     "fss_smart_sampling", "salted_skew_agg",
     # §2.1 wire-format loops (decode + §2.2 probe re-export)
