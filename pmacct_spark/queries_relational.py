@@ -65,7 +65,7 @@ def tpch_q1_pricing(spark, sf_dir):
     )
 
 
-# --- star join: orders x customer (broadcast) x nation (broadcast)
+# --- star join: orders x customer (AQE) x nation (broadcast hint)
 @register(
     "join_revenue_by_nation",
     f"""
@@ -143,7 +143,9 @@ def semi_join_suppliers(spark, sf_dir):
     s = load_table(spark, sf_dir, "supplier")
     li = load_table(spark, sf_dir, "lineitem")
     p = load_table(spark, sf_dir, "part").filter(F.col("p_size") > 40)
-    shippers = li.join(F.broadcast(p), li.l_partkey == p.p_partkey).select("l_suppkey")
+    # part is SF-linear: no forced broadcast — AQE picks the strategy
+    # from runtime sizes (broadcasts at small SF, shuffles at 100 TB).
+    shippers = li.join(p, li.l_partkey == p.p_partkey).select("l_suppkey")
     return s.join(
         shippers, s.s_suppkey == shippers.l_suppkey, "left_semi"
     ).select("s_suppkey", "s_name")
@@ -252,9 +254,9 @@ def presentation_render(spark, sf_dir):
 
 
 # --- TPC-H Q5-shaped: six-way join with the s_nationkey = c_nationkey
-#     "local supplier" equality, region-filtered. Dims (supplier,
-#     customer, nation, region) broadcast; the lineitem x orders fact
-#     join is the only shuffle.
+#     "local supplier" equality, region-filtered. Fixed-size dims
+#     (nation, region) broadcast-hinted; SF-linear dims (customer,
+#     supplier) are left to AQE so the plan survives a 100× scale-up.
 @register(
     "tpch_q5_local_supplier",
     f"""
@@ -283,10 +285,13 @@ def tpch_q5_local_supplier(spark, sf_dir):
     n = load_table(spark, sf_dir, "nation")
     r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
     return (
+        # customer/supplier are SF-linear: no forced broadcast (a forced
+        # hint OOMs executors at the 100 TB design point); AQE converts
+        # these to broadcast joins at small SF from runtime statistics.
         li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .join(
-            F.broadcast(s),
+            s,
             (li.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey),
         )
         .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
@@ -338,8 +343,8 @@ def tpch_q6_forecast_revenue(spark, sf_dir):
 
 
 # --- TPC-H Q3-shaped: selective dim filter -> fact join -> top-N by
-#     aggregate (the classic shipping-priority plan: broadcast the
-#     filtered customer dim, one groupBy shuffle, global top-10 via
+#     aggregate (the classic shipping-priority plan: filtered customer
+#     dim joined under AQE, one groupBy shuffle, global top-10 via
 #     TakeOrderedAndProject — no full sort).
 @register(
     "tpch_q3_shipping_priority",
@@ -367,8 +372,10 @@ def tpch_q3_shipping_priority(spark, sf_dir):
         F.col("l_shipdate") > F.lit("1997-06-15 00:00:00").cast("timestamp_ntz")
     )
     return (
+        # filtered customer is still SF-linear (~1/5 of the table): let
+        # AQE choose broadcast from measured size instead of forcing it.
         li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
         .agg(
             F.sum(
@@ -385,8 +392,8 @@ def tpch_q3_shipping_priority(spark, sf_dir):
 
 # --- TPC-H Q18-shaped: aggregate-filtered semi join (large orders) —
 #     the HAVING-subquery shape: the qualifying-order set is computed
-#     with one groupBy and joined back; at scale the qualifier set is
-#     small -> broadcast, so the detail pass never shuffles twice.
+#     with one groupBy and joined back; AQE broadcasts it while it
+#     fits and degrades to a shuffle join when it grows with SF.
 @register(
     "tpch_q18_large_orders",
     """
@@ -413,9 +420,11 @@ def tpch_q18_large_orders(spark, sf_dir):
         .select("l_orderkey")
     )
     return (
-        li.join(F.broadcast(big), "l_orderkey")
+        # `big` (qualifying orders) and customer grow with SF — no
+        # forced broadcast; AQE broadcasts them while they fit.
+        li.join(big, "l_orderkey")
         .join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .groupBy(
             "c_name", "o_orderkey", "o_orderdate",
             F.round(F.col("o_totalprice") * 100)
@@ -427,8 +436,8 @@ def tpch_q18_large_orders(spark, sf_dir):
 
 
 # --- TPC-H Q10-shaped: returned-item revenue by customer — selective
-#     fact filter, two broadcast dims, one groupBy shuffle, global
-#     top-20 via TakeOrderedAndProject.
+#     fact filter, nation broadcast-hinted, customer under AQE, one
+#     groupBy shuffle, global top-20 via TakeOrderedAndProject.
 @register(
     "tpch_q10_returned_items",
     f"""
@@ -455,8 +464,9 @@ def tpch_q10_returned_items(spark, sf_dir):
     c = load_table(spark, sf_dir, "customer")
     n = load_table(spark, sf_dir, "nation")
     return (
+        # customer is SF-linear: hint only the fixed-size nation dim.
         li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .groupBy("c_custkey", "c_name", F.col("n_name").alias("nation"))
         .agg(
@@ -511,8 +521,8 @@ def tpch_q12_priority_by_status(spark, sf_dir):
 
 
 # --- TPC-H Q14-shaped: conditional-revenue ratio over a dim join —
-#     broadcast part, one scan, CASE inside both SUMs, the ratio as
-#     integer per-mille so the oracle hash-matches exactly.
+#     part joined under AQE, one scan, CASE inside both SUMs, the ratio
+#     as integer per-mille so the oracle hash-matches exactly.
 @register(
     "tpch_q14_promo_revenue",
     """
@@ -540,7 +550,8 @@ def tpch_q14_promo_revenue(spark, sf_dir):
     ).cast("bigint")
     promo = F.col("p_type").startswith("PROMO")
     return (
-        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        # part is SF-linear: AQE decides broadcast vs shuffle at runtime.
+        li.join(p, li.l_partkey == p.p_partkey)
         .agg(
             F.sum(F.when(promo, cents).otherwise(0)).alias("__p"),
             F.sum(cents).alias("__t"),

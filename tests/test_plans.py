@@ -213,3 +213,78 @@ def test_no_collect_in_timed_query_paths():
             if re.search(r"\.collect\(\)|\.toPandas\(\)", line):
                 offenders.append(f"{f.name}:{i}: {line.strip()}")
     assert not offenders, "\n".join(offenders)
+
+
+# --- VERDICT r4 what's-wrong #1: forced broadcast of SF-linear tables ---
+
+# Tables whose row count grows with scale factor; a forced F.broadcast
+# on any of these is fast at sf0.1 and OOMs every executor at 100 TB.
+_SF_LINEAR_MARKERS = {
+    "customer": "c_custkey",
+    "supplier": "s_suppkey",
+    "part": "p_partkey",
+    "orders": "o_orderkey",
+    "lineitem": "l_linenumber",
+    "events": "event_id",
+    "documents": "doc_id",
+}
+
+
+def _broadcast_hint_subtrees(analyzed: str) -> list[str]:
+    """Extract the subtree under each broadcast ResolvedHint node from a
+    logical-plan string (tree lines are indented with ':- ' / '+- '
+    prefixes; a node's subtree is the run of deeper-indented lines)."""
+    lines = analyzed.splitlines()
+
+    def indent(s: str) -> int:
+        return len(s) - len(s.lstrip(":+- "))
+
+    out = []
+    for i, ln in enumerate(lines):
+        if "ResolvedHint" in ln and "broadcast" in ln.lower():
+            d = indent(ln)
+            sub = []
+            for nxt in lines[i + 1 :]:
+                if nxt.strip() and indent(nxt) <= d:
+                    break
+                sub.append(nxt)
+            out.append("\n".join(sub))
+    return out
+
+
+def test_no_forced_broadcast_of_sf_linear_tables(spark):
+    """Two-level gate. Source level: every ``F.broadcast(<var>)`` in
+    queries_relational.py must name a fixed-cardinality dim (nation ``n``
+    / region ``r``). Plan level: in the analyzed plan of every
+    relational query, each broadcast-hint subtree may reference only
+    fixed-size dims — never a column unique to an SF-linear table."""
+    import pathlib
+    import re
+
+    src = (
+        pathlib.Path(__file__).resolve().parent.parent
+        / "pmacct_spark"
+        / "queries_relational.py"
+    )
+    bad = [
+        v
+        for v in re.findall(r"F\.broadcast\((\w+)\)", src.read_text())
+        if v not in ("n", "r")
+    ]
+    assert not bad, f"forced broadcast of SF-linear var(s): {bad}"
+
+    q = entrymod.queries()
+    rel = [
+        k
+        for k, fn in q.items()
+        if getattr(fn, "__module__", "").endswith("queries_relational")
+    ]
+    assert rel, "no relational queries registered?"
+    for name in rel:
+        analyzed = q[name](spark, SF_DIR)._jdf.queryExecution().analyzed().toString()
+        for sub in _broadcast_hint_subtrees(analyzed):
+            for table, marker in _SF_LINEAR_MARKERS.items():
+                assert marker not in sub, (
+                    f"{name}: broadcast hint covers SF-linear table "
+                    f"'{table}' (marker column {marker})"
+                )

@@ -1,0 +1,65 @@
+"""One-off scale-up fixture builder (VERDICT r4 task #1 'Done' bar).
+
+Derives an sfN TPC-H-ish dataset from an existing driver-generated SF
+directory by replicating each SF-linear table K times with disjoint key
+offsets, so every join key keeps referential integrity and per-key
+cardinalities match a genuine K-times-larger scale factor.  Fixed-size
+dims (nation/region) are copied verbatim.  Used to prove the TPC-H
+plans survive a 10x scale-up (SCALE.md §"sf1 proof"); NOT used by any
+gated query or test fixture — driver testdata stays the only
+correctness input.
+
+Usage: python tools/make_sf_scaled.py SRC_DIR DST_DIR K
+"""
+from __future__ import annotations
+
+import os
+import sys
+
+import duckdb
+
+
+def main(src: str, dst: str, k: int) -> None:
+    os.makedirs(dst, exist_ok=True)
+    con = duckdb.connect()
+    # Key spans per table, used as offsets per replica.
+    spans = {}
+    for t, key in [("customer", "c_custkey"), ("orders", "o_orderkey"),
+                   ("supplier", "s_suppkey"), ("part", "p_partkey")]:
+        spans[t] = con.execute(
+            f"SELECT MAX({key}) FROM read_parquet('{src}/{t}.parquet')"
+        ).fetchone()[0]
+
+    def rep(table: str, remap: dict[str, str]) -> None:
+        cols = [r[0] for r in con.execute(
+            f"DESCRIBE SELECT * FROM read_parquet('{src}/{table}.parquet')"
+        ).fetchall()]
+        sel = ", ".join(remap.get(c, c) + f" AS {c}" for c in cols)
+        parts = " UNION ALL ".join(
+            f"SELECT {sel.replace('@I', str(i))} "
+            f"FROM read_parquet('{src}/{table}.parquet')"
+            for i in range(k)
+        )
+        con.execute(f"COPY ({parts}) TO '{dst}/{table}.parquet' (FORMAT PARQUET)")
+        print(table, con.execute(
+            f"SELECT COUNT(*) FROM read_parquet('{dst}/{table}.parquet')"
+        ).fetchone()[0])
+
+    C, O, S, P = (spans[t] for t in ("customer", "orders", "supplier", "part"))
+    rep("customer", {"c_custkey": f"c_custkey + @I * {C}"})
+    rep("supplier", {"s_suppkey": f"s_suppkey + @I * {S}"})
+    rep("part", {"p_partkey": f"p_partkey + @I * {P}"})
+    rep("orders", {"o_orderkey": f"o_orderkey + @I * {O}",
+                   "o_custkey": f"o_custkey + @I * {C}"})
+    rep("lineitem", {"l_orderkey": f"l_orderkey + @I * {O}",
+                     "l_partkey": f"l_partkey + @I * {P}",
+                     "l_suppkey": f"l_suppkey + @I * {S}"})
+    for t in ("nation", "region"):
+        con.execute(
+            f"COPY (SELECT * FROM read_parquet('{src}/{t}.parquet')) "
+            f"TO '{dst}/{t}.parquet' (FORMAT PARQUET)"
+        )
+
+
+if __name__ == "__main__":
+    main(sys.argv[1], sys.argv[2], int(sys.argv[3]))
