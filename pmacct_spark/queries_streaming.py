@@ -501,8 +501,15 @@ def tunnel_wire_loop(spark, sf_dir):
         "CASE WHEN vxlan > 0 THEN 72057594037927936 + vxlan "
         "ELSE 144115188075855872 + nvgre END AS l2sid",
     )
+    # Spread encode+decode across tasks: the filtered view otherwise
+    # coalesces to one partition and the whole wire loop serializes on
+    # a single task (the r4 1.38->1.95 s regression was this stage, not
+    # the decode kernel — which is ALSO compiled now, see
+    # streaming/decode.py l2sid kind). Each encode partition emits its
+    # own template datagram first, so per-partition decode stays
+    # self-contained — the same property the two-phase decoder relies on.
     back = decode_any_ext(
-        encode_ipfix_tunnel(fl).select("exporter_ip", "payload")
+        encode_ipfix_tunnel(fl.repartition(8)).select("exporter_ip", "payload")
     )
     return (
         back.withColumn(

@@ -342,8 +342,11 @@ def _compile_ext_tmpl(tmpl: list[tuple[int, int]], customs: dict | None):
     whole flowset decodes with one frombuffer + vectorized byte folds
     (odd widths like 3-byte MPLS labels fold from raw bytes). Returns
     (raw_dtype, [(field, out_col, kind, width)]) with kind in
-    {uint, mpls, str}; None -> scalar walk (vlen, IPv6 strings, or
-    layer2SegmentId whose output column is value-dependent)."""
+    {uint, mpls, str, mac, l2sid}; None -> scalar walk (vlen / IPv6
+    strings). layer2SegmentId compiles to the ``l2sid`` kind — the
+    value-dependent type-byte discrimination into the vxlan/nvgre
+    columns runs as a vectorized mask (r4 routed it through the scalar
+    walk, the one materially regressed bench query of that round)."""
     import numpy as np
 
     fields, convs = [], []
@@ -351,7 +354,7 @@ def _compile_ext_tmpl(tmpl: list[tuple[int, int]], customs: dict | None):
         if ln == VLEN_SENTINEL or ln > 8 and ie != L2_SEGMENT_IE:
             # vlen or wide unknown: only 16-byte v6 handled, as strings
             return None
-        if ie in V6_ADDR_IES or ie == L2_SEGMENT_IE:
+        if ie in V6_ADDR_IES:
             return None
         fn = f"f{i}"
         fields.append((fn, f"S{ln}"))
@@ -363,6 +366,10 @@ def _compile_ext_tmpl(tmpl: list[tuple[int, int]], customs: dict | None):
                 convs.append((fn, cu.name, "str", ln))
             else:
                 return None  # hex/ip/mac renderings: scalar walk
+        elif ie == L2_SEGMENT_IE:
+            if ln != 8:
+                return None
+            convs.append((fn, None, "l2sid", ln))
         elif ie in MPLS_LABEL_IES and ln == 3:
             convs.append((fn, MPLS_LABEL_IES[ie], "mpls", ln))
         elif ie in MAC_IES and ln == 6:
@@ -393,10 +400,15 @@ def _run_ext_compiled(comp, body: bytes):
     if n == 0:
         return None
     raw = np.frombuffer(body, dtype=dt, count=n)
-    out_dt = [
-        (fn, "O") if kind in ("str", "mac") else (fn, "<i8")
-        for fn, _col, kind, _ln in convs
-    ]
+    out_dt = []
+    for fn, _col, kind, _ln in convs:
+        if kind == "l2sid":
+            # two nullable outputs per field: rows are vxlan OR nvgre
+            out_dt += [(fn + "__vx", "O"), (fn + "__nv", "O")]
+        elif kind in ("str", "mac"):
+            out_dt.append((fn, "O"))
+        else:
+            out_dt.append((fn, "<i8"))
     out = np.zeros(n, dtype=out_dt)
     for fn, _col, kind, ln in convs:
         if kind == "str":
@@ -419,9 +431,30 @@ def _run_ext_compiled(comp, body: bytes):
             v = (v << 8) | b[:, j].astype(np.int64)
         if kind == "mpls":
             v >>= 4
+        if kind == "l2sid":
+            # type byte -> column routing, vectorized (reference
+            # src/pkt_handlers.c:4624-4662): sid goes to vxlan when the
+            # high byte is 0x01, nvgre when 0x02; the other column (and
+            # unknown types) stay NULL.
+            sid_type, sid = v >> 56, v & 0xFFFFFF
+            vx = np.full(n, None, dtype=object)
+            nv = np.full(n, None, dtype=object)
+            m = sid_type == _L2_SID_VXLAN
+            vx[m] = sid[m]
+            m = sid_type == _L2_SID_NVGRE
+            nv[m] = sid[m]
+            out[fn + "__vx"] = vx
+            out[fn + "__nv"] = nv
+            continue
         out[fn] = v
-    colmap = tuple((fn, col, kind) for fn, col, kind, _ln in convs)
-    return out, colmap
+    colmap = []
+    for fn, col, kind, _ln in convs:
+        if kind == "l2sid":
+            colmap.append((fn + "__vx", "vxlan", "onull"))
+            colmap.append((fn + "__nv", "nvgre", "onull"))
+        else:
+            colmap.append((fn, col, kind))
+    return out, tuple(colmap)
 
 
 def _decode_ext_records(
@@ -703,7 +736,7 @@ def _flow_frame(
         }
         for entry in g["colmap"]:
             fn, col, kind = entry if len(entry) == 3 else (*entry, "uint")
-            if kind in ("str", "mac"):
+            if kind in ("str", "mac", "onull"):
                 data[col] = pd.Series(rec[fn], dtype=object)
             else:
                 data[col] = rec[fn].astype(np.int64)
