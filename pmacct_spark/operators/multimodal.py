@@ -127,13 +127,15 @@ def frame_sample(
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
-            for _, r in pdf.iterrows():
-                dur = int(r["media"]["duration_ms"] or 0)
-                payload = bytes(r[payload_col]) if r[payload_col] is not None else b""
+            for cid, media, raw in zip(
+                pdf["content_id"], pdf["media"], pdf[payload_col]
+            ):
+                dur = int(media["duration_ms"] or 0)
+                payload = bytes(raw) if raw is not None else b""
                 for k, ts in enumerate(range(0, max(dur, 1), every_ms)):
                     rows.append(
                         {
-                            "content_id": r["content_id"],
+                            "content_id": cid,
                             "frame_idx": k,
                             "frame_ts_ms": ts,
                             "features": _fake_features(

@@ -178,9 +178,12 @@ def avro_frames(df: DataFrame, key_cols: list[str] | None = None) -> DataFrame:
             # to object-None so the encoder sees real nulls and longs
             # round-trip exactly.
             pdf = pdf.astype(object).where(pd.notna(pdf), None)
-            vals = []
-            for _, r in pdf.iterrows():
-                vals.append(encode_datum(r, types))
+            names = [n for n, _, _ in types]
+            cols = [pdf[n].to_numpy() for n in names]
+            vals = [
+                encode_datum(dict(zip(names, tup)), types)
+                for tup in zip(*cols)
+            ]
             yield pd.DataFrame(
                 {"key": pdf["__key"], "value": vals},
                 columns=["key", "value"],
