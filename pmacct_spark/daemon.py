@@ -127,6 +127,14 @@ class Daemon:
         for st in getattr(self, "_drain_stages", []):
             release(st)
         self._drain_stages = []
+        import shutil as _sh
+
+        for d in (
+            getattr(self, "_compact_flows_dir", None),
+            getattr(self, "_compact_opts_dir", None),
+        ):
+            if d:
+                _sh.rmtree(d, ignore_errors=True)
 
     def _ptype_by_name(self) -> dict:
         return dict(
@@ -136,8 +144,9 @@ class Daemon:
     def rib(self) -> DataFrame:
         """Current RIB state from the live BGP and/or BMP sessions
         (latest-wins compaction — the in-memory table the reference
-        daemon holds). With both daemons on, the two sources union;
-        exporter_ip keeps their tables apart."""
+        daemon holds). With both daemons on, the two sources union and
+        are deduplicated per (peer, prefix) so a router feeding both
+        never double-counts flows through the enrichment join."""
         from pmacct_spark.sources.tcp import latest_session_only
         from pmacct_spark.streaming.bmp import decode_bgp, decode_bmp, rib_state
 
@@ -189,21 +198,139 @@ class Daemon:
         out = parts[0]
         for p in parts[1:]:
             out = out.unionByName(p)
+        if len(parts) > 1:
+            # A router feeding BOTH bgp_daemon and bmp_daemon from the
+            # same source IP would otherwise yield duplicate rows per
+            # (peer, prefix) — and lpm_join is a plain per-masklen left
+            # join, so duplicate dim rows multiply flow rows and
+            # double-count counters. Latest-wins per join granularity.
+            from pyspark.sql import Window as _W
+
+            w_dup = _W.partitionBy(
+                "peer_ip", "prefix", "prefix6", "masklen"
+            ).orderBy(F.desc("seq"))
+            out = (
+                out.withColumn("__dup", F.row_number().over(w_dup))
+                .filter("__dup = 1")
+                .drop("__dup")
+            )
         return out
 
-    def _decoded(self, streaming: bool) -> DataFrame:
+    # ---- spool compaction (bounded-replay serving, VERDICT r4 #4) ----
+    #
+    # The batch/replan paths re-read the spool per drain/tick; without
+    # rotation the Python datagram decode grows with uptime. Compaction
+    # folds retired spool files through the FULL decode+maps+enrich
+    # pipeline once and appends the resulting flow rows to a columnar
+    # side table; subsequent drains decode only the live (recent) spool
+    # files and union the pre-decoded rows. Enrichment state (RIB,
+    # learned sampling rates) is captured as of compaction time —
+    # enrich-at-arrival, exactly the reference's semantics. Spool files
+    # are retired logically (never deleted), so streaming channels that
+    # tail the spool directory are unaffected.
+
+    def _spool_files(self) -> list[str]:
+        import glob as _glob
+        import os as _os
+
+        return sorted(
+            _glob.glob(_os.path.join(self.spool.spool_dir, "*.parquet"))
+        )
+
+    def _live_spool_files(self) -> list[str]:
+        retired = getattr(self, "_retired_files", set())
+        return [f for f in self._spool_files() if f not in retired]
+
+    def _spool_batch(self) -> DataFrame:
+        from pmacct_spark.sources.udp import DATAGRAM_DDL
+
+        files = self._live_spool_files()
+        if not files:
+            return self.spark.createDataFrame([], DATAGRAM_DDL)
+        return self.spark.read.schema(DATAGRAM_DDL).parquet(*files)
+
+    def _compact_dirs(self) -> tuple[str, str]:
+        if not hasattr(self, "_compact_flows_dir"):
+            import tempfile as _tmp
+
+            self._compact_flows_dir = _tmp.mkdtemp(prefix="pmacct_compact_fl_")
+            self._compact_opts_dir = _tmp.mkdtemp(prefix="pmacct_compact_op_")
+            self._n_compacted_flow_files = 0
+            self._n_compacted_opt_files = 0
+        return self._compact_flows_dir, self._compact_opts_dir
+
+    def compact_spool(self, keep_files: int = 4) -> int:
+        """Retire all but the newest ``keep_files`` live spool files:
+        decode+enrich them once, append the flow rows (and any decoded
+        options-data rows, which later renormalize passes still need)
+        to the compacted side tables. Returns files retired."""
+        import threading as _th
+
+        if not hasattr(self, "_compact_lock"):
+            self._compact_lock = _th.Lock()
+        with self._compact_lock:
+            live = self._live_spool_files()
+            victims = live[:-keep_files] if keep_files else live
+            if not victims:
+                return 0
+            flows_dir, opts_dir = self._compact_dirs()
+            from pmacct_spark.sources.udp import DATAGRAM_DDL
+            from pmacct_spark.streaming.decode import decode_options
+
+            dg = self.spark.read.schema(DATAGRAM_DDL).parquet(*victims)
+            flows = self._enrich_datagrams(dg, streaming=False)
+            flows.write.mode("append").parquet(flows_dir)
+            self._n_compacted_flow_files += 1
+            if self.flavor == "netflow":
+                opts = decode_options(dg.select("exporter_ip", "payload"))
+                opts.write.mode("append").parquet(opts_dir)
+                self._n_compacted_opt_files += 1
+            retired = getattr(self, "_retired_files", set())
+            retired.update(victims)
+            self._retired_files = retired
+            return len(victims)
+
+    def maybe_compact_spool(self, max_live_files: int | None = None) -> int:
+        """Compact when the live spool exceeds the configured bound
+        (conf key ``spool_compact_files``, default 32) — called on the
+        replan/purge cadence so tick cost stays flat with uptime."""
+        if max_live_files is None:
+            max_live_files = int(
+                self.conf.get("spool_compact_files", default=32) or 32
+            )
+        if len(self._live_spool_files()) <= max_live_files:
+            return 0
+        return self.compact_spool()
+
+    def _compacted_flows(self) -> DataFrame | None:
+        if not getattr(self, "_n_compacted_flow_files", 0):
+            return None
+        return self.spark.read.parquet(self._compact_flows_dir)
+
+    def _compacted_options(self) -> DataFrame | None:
+        if not getattr(self, "_n_compacted_opt_files", 0):
+            return None
+        return self.spark.read.parquet(self._compact_opts_dir)
+
+    def _enrich_datagrams(self, dg: DataFrame, streaming: bool) -> DataFrame:
         from pmacct_spark.streaming.decode import decode_any, decode_sflow_any
 
-        dg = (
-            self.spool.stream(self.spark)
-            if streaming
-            else self.spool.batch(self.spark)
-        )
         decode = decode_sflow_any if self.flavor == "sflow" else decode_any
         df = canonical_flows(decode(dg.select("exporter_ip", "payload")))
         df = self._maps(df)
         if self.bgp_spool is not None or self.bmp_spool is not None:
             df = self._bgp_enrich(df, streaming=streaming)
+        return df
+
+    def _decoded(self, streaming: bool) -> DataFrame:
+        if streaming:
+            return self._enrich_datagrams(
+                self.spool.stream(self.spark), streaming=True
+            )
+        df = self._enrich_datagrams(self._spool_batch(), streaming=False)
+        comp = self._compacted_flows()
+        if comp is not None:
+            df = df.unionByName(comp, allowMissingColumns=True)
         return df
 
     def _ports_allowlist(self) -> list[int] | None:
@@ -227,13 +354,20 @@ class Daemon:
         if not hasattr(self, "_networks_cache"):
             cache = None
             nets_path = self.conf.get("networks_file")
+            # prefer the key matching this daemon's flavor (the
+            # reference daemon reads only its own *_as key): a shared
+            # conf setting nfacctd_as alongside sfacctd_as must not
+            # have the netflow key decide for an sflow daemon
+            own = "sfacctd" if self.flavor == "sflow" else "nfacctd"
+            daemons = [own] + [
+                d
+                for d in ("nfacctd", "sfacctd", "pmacctd", "uacctd")
+                if d != own
+            ]
             as_mode = next(
                 (
                     str(v).lower()
-                    for v in (
-                        self.conf.get(f"{d}_as")
-                        for d in ("nfacctd", "sfacctd", "pmacctd", "uacctd")
-                    )
+                    for v in (self.conf.get(f"{d}_as") for d in daemons)
                     if v is not None
                 ),
                 "netflow",
@@ -374,8 +508,13 @@ class Daemon:
             from pmacct_spark.streaming.decode import decode_options
 
             opts = decode_options(
-                self.spool.batch(self.spark).select("exporter_ip", "payload")
+                self._spool_batch().select("exporter_ip", "payload")
             )
+            comp_opts = self._compacted_options()
+            if comp_opts is not None:
+                # expositions whose datagrams were compacted away must
+                # still rate new flows (latest per exporter wins below)
+                opts = opts.unionByName(comp_opts, allowMissingColumns=True)
             w_last = _W.partitionBy("exporter_ip").orderBy(F.desc("seqno"))
             rates = (
                 opts.filter("sampling_rate IS NOT NULL")
@@ -572,7 +711,23 @@ class Daemon:
         the reference's enrich-at-arrival semantics."""
         from pmacct_spark.streaming.jobs import stream_aggregation
 
-        live_dims = self.bgp_spool is not None or self.bmp_spool is not None
+        # Channels are live-dimension channels when enrichment reads
+        # state that changes while the query runs: a live RIB
+        # (bgp/bmp), or options-learned sampling rates — a streaming
+        # plan would pin the learned-rates dim's file listing at
+        # .start() time, so expositions arriving later would silently
+        # never renormalize (the rates dim is typically EMPTY at
+        # startup: renormalize would multiply by 1 forever).
+        learns_rates = (
+            not self.conf.get("sampling_map")
+            and self.conf.getbool("nfacctd_renormalize")
+            and self.flavor == "netflow"
+        )
+        live_dims = (
+            self.bgp_spool is not None
+            or self.bmp_spool is not None
+            or learns_rates
+        )
         # VALIDATE every channel's plan before starting ANY query — a
         # later channel raising (unsupported counters, bad aggregate)
         # must not leave earlier queries running with no handle
@@ -595,6 +750,15 @@ class Daemon:
             )
             triggers[name] = float(rt) if rt else trigger_secs
             if live_dims:
+                # build the batch plan ONCE synchronously so a
+                # misconfigured channel (bad aggregate, unsupported
+                # counters) raises HERE to the caller — the tick
+                # thread's exception guard would otherwise swallow it
+                # and readers would see TABLE_NOT_FOUND instead of the
+                # config error
+                from pmacct_spark.pipeline import build_aggregation
+
+                build_aggregation(self._decoded(False), cfg)
                 plans[name] = _ReplanLoop(self, name, cfg, triggers[name])
             else:
                 plans[name] = stream_aggregation(
@@ -666,11 +830,12 @@ class _ReplanLoop:
             for sp in (d.bgp_spool, d.bmp_spool):
                 if sp is not None:
                     sp.flush()
-        # NOTE each tick re-reads the whole spool (bounded-replay
-        # serving): correct at any moment, but input grows with
-        # uptime — long deployments should rotate/compact the spool
-        # dirs on the purge cadence like the reference rotates its
-        # own memory tables
+            # rotate on the purge cadence: retired spool files are
+            # decoded+enriched once into a columnar side table, so the
+            # per-tick Python decode covers only the live tail and
+            # tick cost stays flat with uptime (the reference rotates
+            # its memory tables the same way)
+            d.maybe_compact_spool()
         df = build_aggregation(d._decoded(False), self.cfg)
         rows = df.collect()
         d.spark.createDataFrame(rows, df.schema).createOrReplaceTempView(
