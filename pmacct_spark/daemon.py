@@ -141,25 +141,36 @@ class Daemon:
             (name, ptype) for ptype, name in self.conf.plugins
         ) or {"default": "memory"}
 
-    def rib(self) -> DataFrame:
+    def rib(self, for_lookup: bool = True) -> DataFrame:
         """Current RIB state from the live BGP and/or BMP sessions
         (latest-wins compaction — the in-memory table the reference
-        daemon holds). With both daemons on, the two sources union and
-        are deduplicated per (peer, prefix) so a router feeding both
-        never double-counts flows through the enrichment join."""
+        daemon holds). With ``for_lookup`` (enrichment joins) the
+        result is collapsed to ONE row per (peer, prefix): best-path
+        across ADD-PATH entries AND across sources (a router feeding
+        both bgp_daemon and bmp_daemon from one source IP must not
+        double-count flows through the join). ``for_lookup=False``
+        (table dumps) keeps per-path entries, as the reference dump
+        does (src/bgp/bgp_logdump.c path_id handling)."""
         from pmacct_spark.sources.tcp import latest_session_only
-        from pmacct_spark.streaming.bmp import decode_bgp, decode_bmp, rib_state
+        from pmacct_spark.streaming.bmp import (
+            decode_bgp,
+            decode_bmp,
+            learn_bgp_caps,
+            rib_state,
+        )
 
         parts = []
         if self.bgp_spool is not None:
+            # a reconnecting peer's old session is obsolete
+            sess = latest_session_only(
+                self.bgp_spool.batch(self.spark)
+            ).select("exporter_ip", "seqno", "payload")
             parts.append(
                 rib_state(
-                    decode_bgp(
-                        # a reconnecting peer's old session is obsolete
-                        latest_session_only(
-                            self.bgp_spool.batch(self.spark)
-                        ).select("exporter_ip", "seqno", "payload")
-                    ),
+                    # two-phase: a session's OPEN chunk and its UPDATE
+                    # chunks may land in different spool files, so the
+                    # ADD-PATH capability set is learned in a pre-pass
+                    decode_bgp(sess, session_caps=learn_bgp_caps(sess)),
                     peer_down=False,  # BGP sessions only carry UPDATEs
                 )
             )
@@ -198,22 +209,10 @@ class Daemon:
         out = parts[0]
         for p in parts[1:]:
             out = out.unionByName(p)
-        if len(parts) > 1:
-            # A router feeding BOTH bgp_daemon and bmp_daemon from the
-            # same source IP would otherwise yield duplicate rows per
-            # (peer, prefix) — and lpm_join is a plain per-masklen left
-            # join, so duplicate dim rows multiply flow rows and
-            # double-count counters. Latest-wins per join granularity.
-            from pyspark.sql import Window as _W
+        if for_lookup:
+            from pmacct_spark.streaming.bmp import best_path
 
-            w_dup = _W.partitionBy(
-                "peer_ip", "prefix", "prefix6", "masklen"
-            ).orderBy(F.desc("seq"))
-            out = (
-                out.withColumn("__dup", F.row_number().over(w_dup))
-                .filter("__dup = 1")
-                .drop("__dup")
-            )
+            out = best_path(out)
         return out
 
     # ---- spool compaction (bounded-replay serving, VERDICT r4 #4) ----
@@ -689,7 +688,7 @@ class Daemon:
         )
         slots = int(self.conf.get(f"{prefix}_time_slots", default=1) or 1)
         write_rib_dump(
-            self.rib(), path, dump_ts=int(_time.time()),
+            self.rib(for_lookup=False), path, dump_ts=int(_time.time()),
             refresh_secs=refresh, time_slots=slots,
         )
         return path

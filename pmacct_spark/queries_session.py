@@ -302,6 +302,73 @@ def bgp_wire_rib_lookup(spark, sf_dir):
     )
 
 
+# --- BGP ADD-PATH (RFC 7911) on the wire: per-peer sessions OPEN with
+#     the capability, every route arrives as TWO paths (decoy with an
+#     extra hop and lower local_pref + the true fixture path, emit
+#     order alternating), the RIB keys per path-id, and best-path
+#     selection recovers exactly the fixture attributes for the flow
+#     join — so the oracle is the same pristine-RIB join as
+#     bgp_wire_rib_lookup (reference capability parse
+#     src/bgp/bgp_msg.c:296-346, per-path NLRI :1225-1232, per-path
+#     route_info keying :1514-1516).
+@register(
+    "bgp_addpath_rib_lookup",
+    f"""{FLOWS_DUCK_CTE},
+rib AS ({BGP_RIB_DUCK}),
+cand AS (
+  SELECT f.event_id, f.bytes, r.as_path, r.local_pref,
+         ROW_NUMBER() OVER (
+           PARTITION BY f.event_id ORDER BY r.masklen DESC) AS rn
+  FROM flows f JOIN rib r
+    ON f.peer_ip_src = r.peer_ip
+   AND (f.ip_dst_i // (CAST(1 AS BIGINT) << (32 - r.masklen)))
+     = (r.net_int // (CAST(1 AS BIGINT) << (32 - r.masklen)))
+)
+SELECT as_path,
+       CAST(SUM(bytes) AS BIGINT) AS bytes, COUNT(*) AS flows,
+       CAST(MIN(local_pref) AS BIGINT) AS min_local_pref
+FROM cand WHERE rn = 1 GROUP BY 1""",
+)
+def bgp_addpath_rib_lookup(spark, sf_dir):
+    """Wire-gated ADD-PATH: if the decoder missed the OPEN capability
+    the 4-byte path-id shift corrupts every NLRI; if the RIB is not
+    keyed per path, plain latest-wins keeps the decoy for the
+    alternating half of the routes; if best-path ordering is wrong the
+    decoy's attributes surface — each breaks the value hash against
+    the pristine fixture oracle."""
+    from pmacct_spark.streaming.bmp import (
+        best_path,
+        decode_bgp,
+        encode_bgp_updates_addpath,
+        rib_state,
+    )
+
+    rib_src = bgp_rib_dim(spark, sf_dir)
+    streams = encode_bgp_updates_addpath(rib_src)
+    decoded = decode_bgp(streams.select("exporter_ip", "seqno", "payload"))
+    rib_wire = best_path(rib_state(decoded, peer_down=False)).selectExpr(
+        "peer_ip", "prefix AS net_int", "masklen", "as_path", "local_pref"
+    )
+    from pmacct_spark.operators.staging import stage
+
+    rib_wire = stage(rib_wire)
+    fl = flows(spark, sf_dir).select(
+        "event_id", "peer_ip_src", "ip_dst_i", "bytes"
+    )
+    enriched = lpm_join(
+        fl,
+        rib_wire,
+        "ip_dst_i",
+        {"as_path": "as_path", "local_pref": "local_pref"},
+        extra_keys={"peer_ip_src": "peer_ip"},
+    )
+    return enriched.groupBy("as_path").agg(
+        F.sum("bytes").cast("bigint").alias("bytes"),
+        F.count(F.lit(1)).alias("flows"),
+        F.min("local_pref").cast("bigint").alias("min_local_pref"),
+    )
+
+
 # --- BMP RIB built FROM THE WIRE with peer-down purge: the fixture
 #     RIB is packed into per-peer BMP v3 byte streams (Peer Up, one
 #     Route Monitoring message per route, then for even-numbered

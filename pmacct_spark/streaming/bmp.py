@@ -41,6 +41,10 @@ BMP_EVENT_SCHEMA = T.StructType(
         # null for v4 routes and events
         T.StructField("prefix6", T.StringType()),
         T.StructField("masklen", T.IntegerType()),
+        # RFC 7911 ADD-PATH identifier: set only when the session
+        # negotiated the capability for the route's AFI/SAFI (the RIB
+        # then keys per path; reference src/bgp/bgp_msg.c:1228-1231)
+        T.StructField("path_id", T.LongType()),
         T.StructField("is_withdrawal", T.BooleanType()),
         T.StructField("as_path", T.StringType()),
         T.StructField("next_hop", T.LongType()),
@@ -80,20 +84,26 @@ def _rd_str(b: bytes) -> str | None:
     return f"{rdt}:{int.from_bytes(b[2:6], 'big')}:{int.from_bytes(b[6:8], 'big')}"
 
 
-def _parse_update(pdu: bytes) -> tuple[list[tuple[int, int]], list[tuple[int, int]], dict]:
-    """BGP UPDATE -> (withdrawn [(prefix,masklen)], nlri, attrs)."""
+def _parse_update(
+    pdu: bytes, addpath_v4: bool = False, addpath_v6: bool = False
+) -> tuple[list, list, dict]:
+    """BGP UPDATE -> (withdrawn [(prefix,masklen,path_id)], nlri,
+    attrs). The addpath flags reflect the session's negotiated RFC
+    7911 capability per AFI (reference keys its parse on
+    peer->cap_add_paths.cap[afi][safi], src/bgp/bgp_msg.c:1225-1232);
+    path_id is None when not negotiated."""
     if len(pdu) < 23 or pdu[18] != 2:  # BGP header: 16 marker + len + type
         return [], [], {}
     off = 19
     wlen = int.from_bytes(pdu[off : off + 2], "big")
     off += 2
-    withdrawn = _parse_prefixes(pdu[off : off + wlen])
+    withdrawn = _parse_prefixes(pdu[off : off + wlen], addpath_v4)
     off += wlen
     alen = int.from_bytes(pdu[off : off + 2], "big")
     off += 2
-    attrs = _parse_attrs(pdu[off : off + alen])
+    attrs = _parse_attrs(pdu[off : off + alen], addpath_v4, addpath_v6)
     off += alen
-    nlri = _parse_prefixes(pdu[off:])
+    nlri = _parse_prefixes(pdu[off:], addpath_v4)
     return withdrawn, nlri, attrs
 
 
@@ -124,33 +134,49 @@ def _v6_prefix_str(b: bytes, masklen: int) -> str:
     return s[: (nibbles // 4) * 5 + nibbles % 4]
 
 
-def _parse_prefixes6(b: bytes) -> list[tuple[str, int]]:
-    """MP NLRI walk (RFC 4760): masklen byte + ceil(masklen/8) bytes."""
+def _parse_prefixes6(b: bytes, addpath: bool = False) -> list[tuple[str, int, int | None]]:
+    """MP NLRI walk (RFC 4760): masklen byte + ceil(masklen/8) bytes.
+    With ``addpath`` (RFC 7911 negotiated for the AFI/SAFI) each entry
+    is preceded by a 4-byte path identifier."""
     out = []
     p = 0
     while p < len(b):
+        pid = None
+        if addpath:
+            if p + 5 > len(b):
+                break
+            pid = int.from_bytes(b[p : p + 4], "big")
+            p += 4
         ml = b[p]
         p += 1
         nbytes = (ml + 7) // 8
-        out.append((_v6_prefix_str(b[p : p + nbytes], ml), ml))
+        out.append((_v6_prefix_str(b[p : p + nbytes], ml), ml, pid))
         p += nbytes
     return out
 
 
-def _parse_prefixes(b: bytes) -> list[tuple[int, int]]:
+def _parse_prefixes(b: bytes, addpath: bool = False) -> list[tuple[int, int, int | None]]:
     out = []
     p = 0
     while p < len(b):
+        pid = None
+        if addpath:
+            if p + 5 > len(b):
+                break
+            pid = int.from_bytes(b[p : p + 4], "big")
+            p += 4
         ml = b[p]
         p += 1
         nbytes = (ml + 7) // 8
         raw = b[p : p + nbytes] + b"\x00" * (4 - nbytes)
         p += nbytes
-        out.append((int.from_bytes(raw[:4], "big"), ml))
+        out.append((int.from_bytes(raw[:4], "big"), ml, pid))
     return out
 
 
-def _parse_attrs(b: bytes) -> dict:
+def _parse_attrs(
+    b: bytes, addpath_v4: bool = False, addpath_v6: bool = False
+) -> dict:
     attrs: dict = {}
     p = 0
     while p + 3 <= len(b):
@@ -206,11 +232,11 @@ def _parse_attrs(b: bytes) -> dict:
             nhlen = val[3]
             q = 4 + nhlen + 1  # next hop + reserved byte
             if afi == 2 and safi == 1 and q <= len(val):
-                attrs["__nlri6"] = _parse_prefixes6(val[q:])
+                attrs["__nlri6"] = _parse_prefixes6(val[q:], addpath_v6)
             elif afi == 1 and safi == 1 and q <= len(val):
                 # RFC 8950 extended next hop: v4 NLRI announced with a
                 # 16-byte v6 next hop (reference tests/300-extNH_enc)
-                attrs["__nlri4mp"] = _parse_prefixes(val[q:])
+                attrs["__nlri4mp"] = _parse_prefixes(val[q:], addpath_v4)
                 if nhlen in (16, 32):  # optional link-local second half
                     attrs["next_hop6"] = _v6_prefix_str(
                         val[4:20], 128
@@ -219,7 +245,7 @@ def _parse_attrs(b: bytes) -> dict:
             afi = int.from_bytes(val[0:2], "big")
             safi = val[2]
             if afi == 2 and safi == 1:
-                attrs["__withdrawn6"] = _parse_prefixes6(val[3:])
+                attrs["__withdrawn6"] = _parse_prefixes6(val[3:], addpath_v6)
         elif code == 32:  # LARGE COMMUNITIES (RFC 8092): 12 bytes "a:b:c"
             attrs["lrg_comm"] = " ".join(
                 f"{int.from_bytes(val[q:q+4], 'big')}:"
@@ -326,15 +352,15 @@ def _emit_update_rows(
     nlri6 = attrs.pop("__nlri6", [])
     # RFC 8950: v4 routes from the MP attribute join the v4 NLRI list
     nlri = nlri + attrs.pop("__nlri4mp", [])
-    for pfx, ml in withdrawn:
+    for pfx, ml, pid in withdrawn:
         out.append(
-            base | {"prefix": pfx, "masklen": ml,
+            base | {"prefix": pfx, "masklen": ml, "path_id": pid,
                     "is_withdrawal": True, "seq": seq}
         )
         seq += 1
-    for pfx6, ml in withdrawn6:
+    for pfx6, ml, pid in withdrawn6:
         out.append(
-            base | {"prefix6": pfx6, "masklen": ml,
+            base | {"prefix6": pfx6, "masklen": ml, "path_id": pid,
                     "is_withdrawal": True, "seq": seq}
         )
         seq += 1
@@ -348,15 +374,15 @@ def _emit_update_rows(
         "ext_comm": attrs.get("ext_comm"),
         "lrg_comm": attrs.get("lrg_comm"),
     }
-    for pfx, ml in nlri:
+    for pfx, ml, pid in nlri:
         out.append(
-            base | {"prefix": pfx, "masklen": ml,
+            base | {"prefix": pfx, "masklen": ml, "path_id": pid,
                     "is_withdrawal": False, "seq": seq} | attr_cols
         )
         seq += 1
-    for pfx6, ml in nlri6:
+    for pfx6, ml, pid in nlri6:
         out.append(
-            base | {"prefix6": pfx6, "masklen": ml,
+            base | {"prefix6": pfx6, "masklen": ml, "path_id": pid,
                     "is_withdrawal": False, "seq": seq} | attr_cols
         )
         seq += 1
@@ -403,9 +429,50 @@ def decode_bmp(datagrams: DataFrame) -> DataFrame:
 _BGP_MARKER = b"\xff" * 16
 
 
-def _bgp_stream_rows(exporter: str, payload: bytes, seq0: int) -> list[dict]:
+def _parse_open_caps(msg: bytes) -> set[tuple[int, int]]:
+    """BGP OPEN -> the set of (afi, safi) the peer negotiated ADD-PATH
+    for (capability 69, RFC 7911). As a passive collector any sndrcv
+    value counts — the reference accepts any when offline
+    (src/bgp/bgp_msg.c:314-315 '!online && cap_data.sndrcv')."""
+    caps: set[tuple[int, int]] = set()
+    if len(msg) < 29 or msg[18] != 1:  # not an OPEN
+        return caps
+    optlen = msg[28]
+    p, end = 29, min(29 + optlen, len(msg))
+    while p + 2 <= end:
+        ptype, plen = msg[p], msg[p + 1]
+        pval = msg[p + 2 : p + 2 + plen]
+        p += 2 + plen
+        if ptype != 2:  # not a capability parameter
+            continue
+        q = 0
+        while q + 2 <= len(pval):
+            code, clen = pval[q], pval[q + 1]
+            cval = pval[q + 2 : q + 2 + clen]
+            q += 2 + clen
+            if code != 69:
+                continue
+            for r in range(0, len(cval) - 3, 4):
+                afi = int.from_bytes(cval[r : r + 2], "big")
+                safi = cval[r + 2]
+                if cval[r + 3]:  # sndrcv 1/2/3
+                    caps.add((afi, safi))
+    return caps
+
+
+def _bgp_stream_rows(
+    exporter: str,
+    payload: bytes,
+    seq0: int,
+    session_caps: dict[str, set[tuple[int, int]]] | None = None,
+) -> list[dict]:
     out: list[dict] = []
     off, seq = 0, seq0
+    caps = (
+        session_caps.get(exporter, set())
+        if session_caps is not None
+        else set()
+    )
     while off + 19 <= len(payload):
         if payload[off : off + 16] != _BGP_MARKER:
             break
@@ -415,9 +482,17 @@ def _bgp_stream_rows(exporter: str, payload: bytes, seq0: int) -> list[dict]:
             break
         msg = payload[off : off + mlen]  # _parse_update wants the full
         off += mlen                      # message incl. the BGP header
-        if mtype != 2:  # OPEN/NOTIFICATION/KEEPALIVE: session plumbing
+        if mtype == 1 and session_caps is not None:
+            # OPEN: learn the session's ADD-PATH AFI/SAFI set (a
+            # re-OPEN after session reset replaces it)
+            caps = _parse_open_caps(msg)
+            session_caps[exporter] = caps
             continue
-        withdrawn, nlri, attrs = _parse_update(msg)
+        if mtype != 2:  # NOTIFICATION/KEEPALIVE: session plumbing
+            continue
+        withdrawn, nlri, attrs = _parse_update(
+            msg, addpath_v4=(1, 1) in caps, addpath_v6=(2, 1) in caps
+        )
         base = {
             "exporter_ip": exporter, "peer_ip": exporter,
             "peer_as": 0, "ts_s": 0, "msg_type": 0,
@@ -426,13 +501,54 @@ def _bgp_stream_rows(exporter: str, payload: bytes, seq0: int) -> list[dict]:
     return out
 
 
-def decode_bgp(datagrams: DataFrame) -> DataFrame:
+def learn_bgp_caps(datagrams: DataFrame) -> dict[str, set[tuple[int, int]]]:
+    """Capability-learning pass (the two-phase shape the v9 template
+    decoder uses): scan every session chunk for OPEN messages and
+    return {exporter: {(afi, safi), ...}} for ADD-PATH. The result is
+    bounded by session count (tiny), so collecting it driver-side and
+    shipping it into :func:`decode_bgp` keeps decode parallelism
+    decoupled from where each session's OPEN chunk landed."""
+    schema = "exporter_ip string, afi int, safi int"
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for exporter, payload in zip(pdf["exporter_ip"], pdf["payload"]):
+                b, off = bytes(payload), 0
+                while off + 19 <= len(b):
+                    if b[off : off + 16] != _BGP_MARKER:
+                        break
+                    mlen = int.from_bytes(b[off + 16 : off + 18], "big")
+                    if mlen < 19:
+                        break
+                    if b[off + 18] == 1:
+                        for afi, safi in _parse_open_caps(b[off : off + mlen]):
+                            out.append((str(exporter), afi, safi))
+                    off += mlen
+            yield pd.DataFrame(out, columns=["exporter_ip", "afi", "safi"])
+
+    caps: dict[str, set[tuple[int, int]]] = {}
+    for r in datagrams.mapInPandas(gen, schema).collect():
+        caps.setdefault(r["exporter_ip"], set()).add((r["afi"], r["safi"]))
+    return caps
+
+
+def decode_bgp(
+    datagrams: DataFrame,
+    session_caps: dict[str, set[tuple[int, int]]] | None = None,
+) -> DataFrame:
     """Decode raw BGP session streams (exporter-sharded like
-    decode_bmp); output feeds the same :func:`rib_state` compaction."""
+    decode_bmp); output feeds the same :func:`rib_state` compaction.
+    Per-session OPEN capabilities (ADD-PATH) persist across payload
+    chunks within a partition the way v9 templates do; when a
+    session's chunks may span partitions (a live spool), pass
+    ``session_caps`` from :func:`learn_bgp_caps` — in-partition OPENs
+    still override (a re-OPEN after session reset replaces them)."""
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         cols = [f.name for f in BMP_EVENT_SCHEMA.fields]
         seq = 0
+        caps0 = {k: set(v) for k, v in (session_caps or {}).items()}
         for pdf in batches:
             rows: list[dict] = []
             seqnos = pdf["seqno"] if "seqno" in pdf.columns else None
@@ -441,7 +557,9 @@ def decode_bgp(datagrams: DataFrame) -> DataFrame:
             ):
                 if seqnos is not None:  # global order, see decode_bmp
                     seq = int(seqnos.iloc[i]) << 24
-                new = _bgp_stream_rows(exporter, bytes(payload), seq)
+                new = _bgp_stream_rows(
+                    exporter, bytes(payload), seq, caps0
+                )
                 rows.extend(new)
                 seq += len(new)  # exact stride, see decode_bmp
             yield pd.DataFrame(
@@ -457,6 +575,34 @@ def _encode_attr(flags: int, code: int, val: bytes) -> bytes:
     return bytes([flags, code, len(val)]) + val
 
 
+def encode_bgp_open(
+    asn: int = 64512,
+    bgp_id: int = 0x0A000001,
+    addpath: list[tuple[int, int, int]] | None = None,
+    hold_time: int = 180,
+) -> bytes:
+    """One BGP OPEN message. ``addpath`` lists (afi, safi, sndrcv)
+    tuples to advertise as the RFC 7911 capability (code 69) —
+    the shape the reference parses in src/bgp/bgp_msg.c:296-346."""
+    caps = b""
+    if addpath:
+        val = b"".join(
+            afi.to_bytes(2, "big") + bytes([safi, sndrcv])
+            for afi, safi, sndrcv in addpath
+        )
+        caps += bytes([69, len(val)]) + val
+    opt = bytes([2, len(caps)]) + caps if caps else b""
+    body = (
+        bytes([4])  # version
+        + min(asn, 0xFFFF).to_bytes(2, "big")
+        + hold_time.to_bytes(2, "big")
+        + bgp_id.to_bytes(4, "big")
+        + bytes([len(opt)])
+        + opt
+    )
+    return _BGP_MARKER + (19 + len(body)).to_bytes(2, "big") + b"\x01" + body
+
+
 def encode_bgp_update(
     prefix: int,
     masklen: int,
@@ -467,10 +613,13 @@ def encode_bgp_update(
     std_comm: str = "",
     ext_comm: str = "",
     lrg_comm: str = "",
+    path_id: int | None = None,
 ) -> bytes:
     """One BGP UPDATE message announcing ``prefix/masklen`` with the
     engine's attribute vocabulary (AS4 AS_PATH, communities in all
-    three families)."""
+    three families). ``path_id`` prepends the RFC 7911 4-byte path
+    identifier to the NLRI — only valid on a session that advertised
+    the ADD-PATH capability in its OPEN."""
     attrs = _encode_attr(0x40, 1, b"\x00")  # ORIGIN IGP
     asns = [int(a) for a in as_path.split()] if as_path else []
     seg = bytes([2, len(asns)]) + b"".join(
@@ -504,6 +653,8 @@ def encode_bgp_update(
         attrs += _encode_attr(0xC0, 32, val)
     nbytes = (masklen + 7) // 8
     nlri = bytes([masklen]) + int(prefix).to_bytes(4, "big")[:nbytes]
+    if path_id is not None:
+        nlri = int(path_id).to_bytes(4, "big") + nlri
     body = (
         (0).to_bytes(2, "big")
         + len(attrs).to_bytes(2, "big")
@@ -645,6 +796,71 @@ def encode_bgp_updates(rib: DataFrame) -> DataFrame:
     return rib.mapInPandas(gen, schema)
 
 
+def encode_bgp_updates_addpath(rib: DataFrame) -> DataFrame:
+    """ADD-PATH session streams for the same RIB rows: per peer one
+    OPEN advertising the RFC 7911 capability (v4/unicast, send+recv),
+    then per route TWO paths — path_id 1 is a decoy (extra leading
+    hop, local_pref one lower), path_id 2 carries the true fixture
+    attributes — so only a decoder that (a) learns the capability from
+    the OPEN, (b) shifts NLRI parsing by the 4-byte id, and (c) keeps
+    per-path RIB entries with best-path selection reproduces the
+    fixture oracle. One concatenated byte stream per peer, matching
+    the TcpSpool session shape."""
+
+    schema = T.StructType(
+        [
+            T.StructField("exporter_ip", T.StringType()),
+            T.StructField("seqno", T.LongType()),
+            T.StructField("payload", T.BinaryType()),
+        ]
+    )
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        seq = 0
+        for pdf in batches:
+            out = []
+            opened: set[str] = set()
+            for r in pdf.itertuples(index=False):
+                peer = str(r.peer_ip)
+                if peer not in opened:
+                    opened.add(peer)
+                    out.append(
+                        (peer, seq,
+                         encode_bgp_open(addpath=[(1, 1, 3)]))
+                    )
+                    seq += 1
+                common = dict(
+                    next_hop=int(r.net_int),
+                    med=int(r.med),
+                    std_comm=str(r.std_comm or ""),
+                    ext_comm=str(r.ext_comm or ""),
+                    lrg_comm=str(r.lrg_comm or ""),
+                )
+                decoy = encode_bgp_update(
+                    int(r.net_int), int(r.masklen),
+                    "64999 " + str(r.as_path or ""),
+                    local_pref=int(r.local_pref) - 1,
+                    path_id=1, **common,
+                )
+                best = encode_bgp_update(
+                    int(r.net_int), int(r.masklen), str(r.as_path or ""),
+                    local_pref=int(r.local_pref),
+                    path_id=2, **common,
+                )
+                # alternate emit order so a RIB that is NOT keyed per
+                # path (plain latest-wins) keeps the decoy for half the
+                # routes and breaks the oracle hash
+                pair = (
+                    (decoy, best) if int(r.net_int) % 2 == 0 else (best, decoy)
+                )
+                out.append((peer, seq, pair[0]))
+                out.append((peer, seq + 1, pair[1]))
+                seq += 2
+            yield pd.DataFrame(out, columns=["exporter_ip", "seqno", "payload"])
+
+    return rib.mapInPandas(gen, schema)
+
+
 def _bmp_frame(
     mtype: int,
     peer_ip: str,
@@ -736,8 +952,13 @@ def rib_state(updates: DataFrame, peer_down: bool = True) -> DataFrame:
     tasks however many rows there are), so sources that cannot emit
     Peer Down rows (decode_bgp session streams only yield UPDATEs)
     should opt out and keep the single fine-grained window."""
+    # path_id in the key: an ADD-PATH session's RIB holds one entry
+    # per (prefix, path) — reference keys route_info the same way
+    # (src/bgp/bgp_msg.c:1514-1516); non-ADD-PATH rows carry NULL and
+    # collapse to the classic one-entry-per-prefix behavior.
     w = Window.partitionBy(
-        "exporter_ip", "peer_ip", "rd", "prefix", "prefix6", "masklen"
+        "exporter_ip", "peer_ip", "rd", "prefix", "prefix6", "masklen",
+        "path_id",
     ).orderBy(F.desc("seq"))
     if peer_down:
         w_peer = Window.partitionBy("exporter_ip", "peer_ip", "rd")
@@ -756,4 +977,21 @@ def rib_state(updates: DataFrame, peer_down: bool = True) -> DataFrame:
         updates.withColumn("__rn", F.row_number().over(w))
         .filter("__rn = 1 AND NOT is_withdrawal")
         .drop("__rn", "msg_type", "is_withdrawal")
+    )
+
+
+def best_path(rib: DataFrame) -> DataFrame:
+    """Collapse a (possibly multi-path) RIB to ONE row per
+    (peer, prefix) for enrichment joins: highest local_pref wins, then
+    latest seq (the reference's bgp_best_path local-pref step,
+    src/bgp/bgp_aux.c). An ADD-PATH session's per-path entries stay
+    intact in :func:`rib_state` (the table the dump sink writes);
+    lookup paths collapse here so the flow join never fans out."""
+    w = Window.partitionBy("peer_ip", "prefix", "prefix6", "masklen").orderBy(
+        F.desc_nulls_last("local_pref"), F.desc("seq")
+    )
+    return (
+        rib.withColumn("__bp", F.row_number().over(w))
+        .filter("__bp = 1")
+        .drop("__bp")
     )

@@ -146,3 +146,67 @@ def test_session_reset_clears_previous_routes(spark, tmp_path):
     assert {(r.prefix, r.as_path) for r in rows} == {
         (0x0A000000, "65000 65200")
     }
+
+
+def test_live_bgp_addpath_session(spark, tmp_path):
+    """RFC 7911 over a LIVE socket: the peer's OPEN advertises
+    ADD-PATH (v4/unicast), every prefix arrives twice with distinct
+    path-ids, the RIB keeps BOTH entries, and best-path selection
+    yields the higher-local-pref path for enrichment."""
+    from pmacct_spark.streaming.bmp import best_path, encode_bgp_open
+
+    msgs = [
+        encode_bgp_open(addpath=[(1, 1, 3)]),
+        # two paths for 10.0.0.0/8: path 1 loses on local_pref
+        encode_bgp_update(0x0A000000, 8, "64999 65000 65100",
+                          local_pref=90, path_id=1),
+        encode_bgp_update(0x0A000000, 8, "65000 65100",
+                          local_pref=100, path_id=2),
+        # two paths for 10.1.0.0/16: BEST first, decoy second — a
+        # latest-wins RIB (not keyed per path) would keep the decoy
+        encode_bgp_update(0x0A010000, 16, "65000 65200",
+                          local_pref=100, path_id=7),
+        encode_bgp_update(0x0A010000, 16, "64999 65000 65200",
+                          local_pref=90, path_id=8),
+    ]
+    stream_bytes = b"".join(msgs)
+    with TcpSpool(
+        framing="bgp", spool_dir=str(tmp_path / "bgp_ap_spool")
+    ) as sp:
+        c = socket.socket(socket.AF_INET, socket.SOCK_STREAM)
+        c.connect(("127.0.0.1", sp.port))
+        # split mid-UPDATE to exercise framing under the capability
+        cut = len(msgs[0]) + len(msgs[1]) + 11
+        c.sendall(stream_bytes[:cut])
+        time.sleep(0.5)
+        c.sendall(stream_bytes[cut:])
+        c.close()
+        assert _wait(lambda: sp.messages_spooled >= 2)
+        time.sleep(0.3)
+        dg = sp.batch(spark)
+        assert dg.count() >= 2
+    from pmacct_spark.streaming.bmp import learn_bgp_caps
+
+    sess = dg.select("exporter_ip", "seqno", "payload")
+    # the OPEN chunk and UPDATE chunks land in separate spool files
+    # (separate partitions): the capability pre-pass covers that
+    rib = rib_state(
+        decode_bgp(sess, session_caps=learn_bgp_caps(sess)),
+        peer_down=False,
+    )
+    per_path = {
+        (r["prefix"], r["path_id"]): r for r in rib.collect()
+    }
+    # BOTH path entries per prefix survive in the RIB (the dump view)
+    assert set(per_path) == {
+        (0x0A000000, 1), (0x0A000000, 2),
+        (0x0A010000, 7), (0x0A010000, 8),
+    }
+    assert per_path[(0x0A000000, 1)]["as_path"] == "64999 65000 65100"
+    # best-path collapse for enrichment: higher local_pref wins in
+    # both emit orders
+    bp = {r["prefix"]: r for r in best_path(rib).collect()}
+    assert bp[0x0A000000]["as_path"] == "65000 65100"
+    assert bp[0x0A000000]["local_pref"] == 100
+    assert bp[0x0A010000]["as_path"] == "65000 65200"
+    assert bp[0x0A010000]["local_pref"] == 100
