@@ -67,6 +67,7 @@ class Daemon:
     flavor: str = "netflow"  # or "sflow" (sfacctd_port configured)
     bgp_spool: object | None = None  # TcpSpool when bgp_daemon is on
     bmp_spool: object | None = None  # TcpSpool when bmp_daemon is on
+    rtr_client: object | None = None  # RtrClient when rpki_rtr_cache is set
 
     @classmethod
     def from_conf(
@@ -99,10 +100,23 @@ class Daemon:
                 framing="bmp", host=host,
                 port=int(conf.get("bmp_daemon_port", default=0) or 0),
             ).start()
+        rtr_client = None
+        cache = conf.get("rpki_rtr_cache")
+        if cache:  # live ROA feed from a validator cache (RFC 6810)
+            from pmacct_spark.sources.rtr import RtrClient
+
+            chost, _, cport = str(cache).rpartition(":")
+            rtr_client = RtrClient(
+                host=chost or "127.0.0.1", port=int(cport),
+                version=int(
+                    conf.get("rpki_rtr_cache_version", default=1) or 1
+                ),
+            ).start()
         return cls(
             spark=spark, conf=conf, spool=spool,
             channels=conffile.channels(conf), flavor=flavor,
             bgp_spool=bgp_spool, bmp_spool=bmp_spool,
+            rtr_client=rtr_client,
         )
 
     @property
@@ -119,7 +133,7 @@ class Daemon:
 
     def stop(self) -> None:
         self.spool.stop()
-        for sp in (self.bgp_spool, self.bmp_spool):
+        for sp in (self.bgp_spool, self.bmp_spool, self.rtr_client):
             if sp is not None:
                 sp.stop()
         from pmacct_spark.operators.staging import release
@@ -392,8 +406,12 @@ class Daemon:
         return self._networks_cache
 
     def _roa_table(self) -> DataFrame | None:
-        """Parse rpki_roas_file once per daemon (the reference reloads
-        it only on SIGUSR2 too) and reuse the DataFrame every batch."""
+        """The ROA dim. From rpki_roas_file: parsed once per daemon
+        (the reference reloads it only on SIGUSR2 too). From a live
+        RTR session (rpki_rtr_cache): re-compacted from the PDU spool
+        on EVERY call, so a delta the cache pushed between drains
+        flips validation statuses immediately — the live-reload
+        semantics of the BGP RIB. Both configured -> union."""
         if not hasattr(self, "_roa_df"):
             roas_path = self.conf.get("rpki_roas_file")
             if not roas_path:
@@ -406,7 +424,16 @@ class Daemon:
                      for r in rows],
                     "net_int long, masklen int, maxlen int, asn long",
                 )
-        return self._roa_df
+        if self.rtr_client is None:
+            return self._roa_df
+        from pmacct_spark.sources.rtr import roa_state
+
+        live = roa_state(self.rtr_client.batch(self.spark)).filter(
+            "afi = 1"
+        ).selectExpr("prefix AS net_int", "masklen", "maxlen", "asn")
+        if self._roa_df is not None:
+            live = live.unionByName(self._roa_df)
+        return live
 
     def _bgp_enrich(self, df: DataFrame, streaming: bool = False) -> DataFrame:
         """Peer-then-LPM flow correlation against the live RIB
@@ -725,6 +752,7 @@ class Daemon:
         live_dims = (
             self.bgp_spool is not None
             or self.bmp_spool is not None
+            or self.rtr_client is not None
             or learns_rates
         )
         # VALIDATE every channel's plan before starting ANY query — a

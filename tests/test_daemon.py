@@ -800,3 +800,154 @@ aggregate[m]: proto
         assert d.maybe_compact_spool() == 0
     finally:
         d.stop()
+
+
+def test_daemon_rtr_live_roa_flip(spark, tmp_path):
+    """RPKI RTR (RFC 6810) LIVE: the daemon's RtrClient connects to a
+    validator cache, loads ROAs via Reset Query -> Cache Response ->
+    Prefix PDUs -> End of Data, and a mid-run Serial Notify + delta
+    (withdraw + re-announce with a different origin) flips the looked
+    up route's validation status between drains."""
+    import socket as _sock
+    import threading as _th
+
+    from pmacct_spark.sources import rtr as R
+    from pmacct_spark.streaming.bmp import encode_bgp_update
+
+    srv = _sock.socket(_sock.AF_INET, _sock.SOCK_STREAM)
+    srv.setsockopt(_sock.SOL_SOCKET, _sock.SO_REUSEADDR, 1)
+    srv.bind(("127.0.0.1", 0))
+    srv.listen(1)
+    cache_port = srv.getsockname()[1]
+    state = {"conn": None, "ready": _th.Event(), "flipped": _th.Event()}
+
+    def cache():
+        conn, _ = srv.accept()
+        state["conn"] = conn
+        conn.settimeout(20)
+        buf = b""
+        serial = 1
+        while True:
+            try:
+                chunk = conn.recv(4096)
+            except OSError:
+                break
+            if not chunk:
+                break
+            buf += chunk
+            while len(buf) >= 8:
+                plen = int.from_bytes(buf[4:8], "big")
+                if len(buf) < plen:
+                    break
+                ptype = buf[1]
+                buf = buf[plen:]
+                if ptype == R.PDU_RESET_QUERY:
+                    conn.sendall(
+                        R.encode_pdu(R.PDU_CACHE_RESPONSE, session_id=7)
+                        + R.encode_ipv4_prefix(0x0A000000, 8, 8, 65100)
+                        + R.encode_pdu(
+                            R.PDU_END_OF_DATA, serial.to_bytes(4, "big"),
+                            session_id=7,
+                        )
+                    )
+                    state["ready"].set()
+                elif ptype == R.PDU_SERIAL_QUERY:
+                    serial += 1
+                    conn.sendall(
+                        R.encode_pdu(R.PDU_CACHE_RESPONSE, session_id=7)
+                        + R.encode_ipv4_prefix(
+                            0x0A000000, 8, 8, 65100, flags=R.FLAG_WITHDRAW
+                        )
+                        + R.encode_ipv4_prefix(0x0A000000, 8, 8, 64999)
+                        + R.encode_pdu(
+                            R.PDU_END_OF_DATA, serial.to_bytes(4, "big"),
+                            session_id=7,
+                        )
+                    )
+                    state["flipped"].set()
+
+    t = _th.Thread(target=cache, daemon=True)
+    t.start()
+
+    conf = f"""
+nfacctd_port: 0
+bgp_daemon: true
+bgp_daemon_port: 0
+rpki_rtr_cache: 127.0.0.1:{cache_port}
+plugins: memory[routes]
+aggregate[routes]: dst_roa
+"""
+    d = Daemon.from_conf(spark, conf, spool_dir=str(tmp_path / "spoolRTR"))
+    try:
+        assert state["ready"].wait(15)
+        assert d.rtr_client.wait_eod(1)
+        # one route whose origin matches the initial ROA
+        c = _sock.socket(_sock.AF_INET, _sock.SOCK_STREAM)
+        c.connect(("127.0.0.1", d.bgp_port))
+        c.sendall(encode_bgp_update(0x0A000000, 8, "65000 65100"))
+        c.close()
+        t0 = time.monotonic()
+        while d.bgp_spool.messages_spooled < 1 and time.monotonic() - t0 < 15:
+            time.sleep(0.05)
+        send_datagrams(
+            [_v5_datagram(1, [{"src": 1, "dst": 0x0A010101, "pkts": 2,
+                               "bytes": 300, "sport": 1, "dport": 2}])],
+            "127.0.0.1", d.port,
+        )
+        t0 = time.monotonic()
+        while d.spool.datagrams_received < 1 and time.monotonic() - t0 < 15:
+            time.sleep(0.05)
+        first = {r["dst_roa"]: r["bytes"]
+                 for r in d.run_available()["routes"].collect()}
+        assert first == {"v": 300}
+        # the cache pushes a delta mid-run: same prefix, different
+        # origin -> the SAME flow aggregates as invalid on re-drain
+        state["conn"].sendall(
+            R.encode_pdu(R.PDU_SERIAL_NOTIFY,
+                         (2).to_bytes(4, "big"), session_id=7)
+        )
+        assert state["flipped"].wait(15)
+        assert d.rtr_client.wait_eod(2)
+        second = {r["dst_roa"]: r["bytes"]
+                  for r in d.run_available()["routes"].collect()}
+        assert second == {"i": 300}
+    finally:
+        d.stop()
+        srv.close()
+
+
+def test_rtr_pdu_consume_and_state(spark):
+    """RTR PDU walk unit: v4+v6 announce/withdraw sequences compact to
+    the current ROA set; split PDU framing survives."""
+    from pmacct_spark.sources import rtr as R
+
+    cl = R.RtrClient.__new__(R.RtrClient)
+    cl.session_id = 0
+    cl.serial = 0
+    cl.eods_received = 0
+    cl.pdus_received = 0
+    cl._seq = 0
+    cl._buf = []
+    cl._nfile = 0
+    cl.last_error = None
+    stream = (
+        R.encode_pdu(R.PDU_CACHE_RESPONSE, session_id=9)
+        + R.encode_ipv4_prefix(0x0A000000, 8, 24, 65001)
+        + R.encode_ipv6_prefix(bytes([0x20, 0x01]) + b"\x00" * 14, 32, 48, 65002)
+        + R.encode_ipv4_prefix(0x0B000000, 8, 8, 65003)
+        + R.encode_ipv4_prefix(0x0B000000, 8, 8, 65003, flags=R.FLAG_WITHDRAW)
+    )
+    # feed with an awkward split mid-PDU
+    rest = cl._consume(stream[:30])
+    rest = cl._consume(rest + stream[30:])
+    assert rest == b""
+    assert cl.session_id == 9 and cl.pdus_received == 5
+    ev = spark.createDataFrame(
+        [tuple(r) for r in cl._buf], R.ROA_EVENT_DDL
+    )
+    state = {(r["afi"], r["prefix"], r["prefix6"], r["asn"])
+             for r in R.roa_state(ev).collect()}
+    assert state == {
+        (1, 0x0A000000, None, 65001),
+        (2, None, "2001:0000:0000:0000:0000:0000:0000:0000", 65002),
+    }
