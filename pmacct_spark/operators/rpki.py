@@ -9,9 +9,16 @@ rpki_prefix_lookup_node_match_cmp; status chars src/rpki/rpki.h:26-31):
 
 "Covering" = the ROA's prefix contains the route's prefix (ROA
 masklen <= route masklen, masked bits equal). The reference's
-OVERLAP_* statuses ('o'/'O') come from its follow-default RIB-level
-walk (rpki_vector_prefix_lookup) and are out of scope here — they
-require the recursive less-specific lookup the engine does not model.
+OVERLAP_* statuses ('o'/'O', src/rpki/rpki.h:29-30) come from its
+follow-default RIB-level walk (rpki_vector_prefix_lookup,
+src/rpki/rpki_lookup.c:60-90): when the MOST-SPECIFIC matching RIB
+route is invalid, the walk climbs the covering (less-specific)
+routes — each judged with ITS OWN origin AS — and stops at the first
+valid/unknown one; reaching one upgrades the lookup to 'o'
+(invalid-with-covering-valid) / 'O' (invalid-with-covering-unknown).
+:func:`rpki_vector_status` implements that walk as a closed-form
+per-row expression over per-masklen broadcast joins — no recursion,
+no extra shuffle.
 
 Spark shape: like operators/lpm.lpm_join, the ROA table is expanded
 per distinct ROA mask length and broadcast; each join key is the
@@ -79,3 +86,69 @@ def rpki_validate(
     return out.withColumn(out_col, status).drop(
         *[f"__ent_{m}" for m in masklens]
     )
+
+
+def rpki_vector_status(
+    flows: DataFrame,
+    rib_validated: DataFrame,
+    ip_col: str = "ip_dst_i",
+    peer_flow_col: str = "peer_ip_src",
+    peer_dim_col: str = "peer_ip",
+    status_col: str = "roa_status",
+    out_col: str = "dst_roa",
+) -> DataFrame:
+    """Flow-level ROA status WITH the reference's overlap walk
+    (rpki_vector_prefix_lookup, src/rpki/rpki_lookup.c:60-90).
+
+    ``rib_validated`` is a RIB carrying a per-route ``status_col``
+    ('v'/'i'/'u' from :func:`rpki_validate`). Every matching RIB level
+    of the flow's peer joins in (one broadcast equi-join per distinct
+    masklen, flow table never shuffles); the walk's result is a pure
+    per-row expression over the level columns:
+
+      - s1 (most-specific level) != 'i'  ->  s1       (walk breaks)
+      - s1 == 'i', first less-specific non-'i' is 'v' -> 'o'
+      - s1 == 'i', first less-specific non-'i' is 'u' -> 'O'
+      - every level 'i' (or only one level)           -> 'i'
+      - no matching route at all                      -> 'u'
+    """
+    masklens = sorted(
+        (
+            r[0]
+            for r in rib_validated.select("masklen").distinct().collect()
+        ),
+        reverse=True,
+    )
+    out = flows
+    st_cols: list[str] = []
+    for m in masklens:
+        div = 1 << (32 - m)
+        dim = (
+            rib_validated.filter(F.col("masklen") == m)
+            .groupBy(
+                F.col(peer_dim_col).alias(f"__p_{m}"),
+                F.expr(f"net_int DIV {div}").alias(f"__k_{m}"),
+            )
+            .agg(F.max(status_col).alias(f"__st_{m}"))
+        )
+        cond = (F.col(peer_flow_col) == F.col(f"__p_{m}")) & (
+            F.expr(f"{ip_col} DIV {div}") == F.col(f"__k_{m}")
+        )
+        out = out.join(F.broadcast(dim), cond, "left").drop(
+            f"__p_{m}", f"__k_{m}"
+        )
+        st_cols.append(f"__st_{m}")
+    if not st_cols:
+        return flows.withColumn(out_col, F.lit("u"))
+    s1 = F.coalesce(*[F.col(c) for c in st_cols])
+    fni = F.coalesce(
+        *[F.when(F.col(c) != "i", F.col(c)) for c in st_cols]
+    )
+    status = (
+        F.when(s1.isNull(), F.lit("u"))
+        .when(s1 != "i", s1)
+        .when(fni == "v", F.lit("o"))
+        .when(fni == "u", F.lit("O"))
+        .otherwise(F.lit("i"))
+    )
+    return out.withColumn(out_col, status).drop(*st_cols)

@@ -491,3 +491,65 @@ def rpki_roa_validation(spark, sf_dir):
         F.count(F.lit(1)).alias("routes"),
         F.sum("local_pref").cast("bigint").alias("sum_local_pref"),
     )
+
+
+# --- RPKI overlap statuses o/O (reference rpki_vector_prefix_lookup,
+#     src/rpki/rpki_lookup.c:60-90; chars src/rpki/rpki.h:29-30): the
+#     flow's lookup walks the peer's covering RIB levels most-specific
+#     first, each level judged against the ROA table with ITS OWN
+#     origin AS; an invalid most-specific route with a valid/unknown
+#     covering route upgrades to 'o'/'O'. The fixture RIB's nested
+#     /20-inside-/16-inside-/0 chains exercise all five statuses.
+@register(
+    "rpki_overlap_validation",
+    f"""{FLOWS_DUCK_CTE},
+rib AS ({BGP_RIB_DUCK}), roa AS ({ROA_DUCK}),
+rv AS (
+  SELECT r.peer_ip, r.net_int, r.masklen,
+    CASE WHEN EXISTS(SELECT 1 FROM roa a
+           WHERE a.masklen <= r.masklen
+             AND (r.net_int // (CAST(1 AS BIGINT) << (32 - a.masklen)))
+               = (a.net_int // (CAST(1 AS BIGINT) << (32 - a.masklen)))
+             AND a.maxlen >= r.masklen
+             AND a.asn = r.peer_dst_as) THEN 'v'
+         WHEN EXISTS(SELECT 1 FROM roa a
+           WHERE a.masklen <= r.masklen
+             AND (r.net_int // (CAST(1 AS BIGINT) << (32 - a.masklen)))
+               = (a.net_int // (CAST(1 AS BIGINT) << (32 - a.masklen))))
+         THEN 'i' ELSE 'u' END AS st
+  FROM rib r),
+m AS (
+  SELECT f.event_id, f.bytes, r.masklen, r.st
+  FROM flows f LEFT JOIN rv r
+    ON f.peer_ip_src = r.peer_ip
+   AND (f.ip_dst_i // (CAST(1 AS BIGINT) << (32 - r.masklen)))
+     = (r.net_int // (CAST(1 AS BIGINT) << (32 - r.masklen)))),
+walk AS (
+  SELECT event_id, ANY_VALUE(bytes) AS bytes,
+         arg_max(st, masklen) AS s1,
+         arg_max(CASE WHEN st <> 'i' THEN st END,
+                 CASE WHEN st <> 'i' THEN masklen END) AS fni
+  FROM m GROUP BY event_id)
+SELECT CASE WHEN s1 IS NULL THEN 'u'
+            WHEN s1 <> 'i' THEN s1
+            WHEN fni = 'v' THEN 'o'
+            WHEN fni = 'u' THEN 'O'
+            ELSE 'i' END AS dst_roa,
+       CAST(SUM(bytes) AS BIGINT) AS bytes, COUNT(*) AS flows
+FROM walk GROUP BY 1""",
+)
+def rpki_overlap_validation(spark, sf_dir):
+    from pmacct_spark.operators.rpki import rpki_validate, rpki_vector_status
+
+    rib = bgp_rib_dim(spark, sf_dir).withColumnRenamed(
+        "peer_dst_as", "origin_as"
+    )
+    validated = rpki_validate(rib, roa_dim(spark, sf_dir))
+    fl = flows(spark, sf_dir).select(
+        "event_id", "peer_ip_src", "ip_dst_i", "bytes"
+    )
+    out = rpki_vector_status(fl, validated)
+    return out.groupBy("dst_roa").agg(
+        F.sum("bytes").cast("bigint").alias("bytes"),
+        F.count(F.lit(1)).alias("flows"),
+    )
