@@ -59,19 +59,25 @@ _DRIVER_WINDOW = [
     # §2.3 filters / maps
     "aggregate_filter_tcp443", "pretag_rules", "ports_dictionary",
     "sampling_map_renorm",
-    # §2.4 enrichment joins
+    # §2.4 enrichment joins (r5: rpki_overlap_validation supersedes
+    # rpki_roa_validation in the window — same per-route rule PLUS the
+    # o/O follow-default walk; the plain variant keeps local parity)
     "lpm_networks_src_as", "lpm6_networks_src_as", "geoip_country",
-    "bgp6_wire_rib_lookup", "rpki_roa_validation",
+    "bgp6_wire_rib_lookup", "rpki_overlap_validation",
     "as_of_sampling_rate", "conntrack_correlate",
     # §2.5 advanced agg
     "fss_smart_sampling", "salted_skew_agg",
-    # §2.1 wire-format loops (decode + §2.2 probe re-export)
-    "v5_wire_loop_agg", "v9_wire_loop_agg", "v6_wire_loop_agg",
+    # §2.1 wire-format loops (decode + §2.2 probe re-export; r5 swaps:
+    # tunnel_wire_loop driver-gates the regression-fixed compiled
+    # l2sid path — plain v9 stays covered by twophase/custom/srv6)
+    "v5_wire_loop_agg", "tunnel_wire_loop", "v6_wire_loop_agg",
     "v9_wire_loop_twophase", "mixed_wire_loop_agg",
     "sflow_wire_loop_renorm", "sflow_counter_samples",
     "sampling_options_wire_loop", "custom_wire_loop", "srv6_wire_loop",
-    # BGP/BMP wire -> RIB -> lookup (incl. peer-down purge)
-    "bgp_wire_rib_lookup", "bmp_wire_peer_down_rib",
+    # BGP/BMP wire -> RIB -> lookup (incl. peer-down purge; r5:
+    # addpath variant supersedes bgp_wire_rib_lookup — same session
+    # decode PLUS RFC 7911 capability/per-path keying/best-path)
+    "bgp_addpath_rib_lookup", "bmp_wire_peer_down_rib",
     # §2.10 streaming state
     "stream_v5_wire_decode", "stream_v9_stateful_decode",
     "stream_hist_5m_proto",
