@@ -124,3 +124,83 @@ def bgp_peer_src_as_map(spark, sf_dir):
             F.count(F.lit(1)).alias("flows"),
         )
     )
+
+
+# --- Cisco MDT dial-out framing on the wire (reference decoder
+#     dispatch src/telemetry/telemetry.c:1009 + telemetry_msg.c:
+#     150-246; header structs src/telemetry/telemetry.h:99-111):
+#     every event becomes a v1 JSON frame; every 7th event also ships
+#     a GPB-compact frame (opaque binary, surfaced with its decoder
+#     tag, never parsed); every 13th a reset-compressor frame whose
+#     payload LOOKS like JSON and would corrupt k_sum if the skip
+#     logic mis-dispatched it. Decode -> JSON metrics + GPB counts per
+#     device vs the direct oracle over events.
+@register(
+    "telemetry_cisco_mdt_loop",
+    """
+SELECT event_type AS device,
+       CAST(SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS k_sum,
+       CAST(MAX(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS k_max,
+       COUNT(*) AS n_json,
+       CAST(SUM(CASE WHEN event_id % 7 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_gpb
+FROM events GROUP BY 1""",
+)
+def telemetry_cisco_mdt_loop(spark, sf_dir):
+    from pmacct_spark.streaming.telemetry import (
+        CISCO_GPB_COMPACT,
+        CISCO_JSON,
+        CISCO_RESET_COMPRESSOR,
+        decode_cisco_mdt,
+        encode_cisco_frame,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "props"
+    )
+
+    def enc(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            out = []
+            for r in pdf.itertuples(index=False):
+                chunk = b""
+                if int(r.event_id) % 13 == 0:  # must be skipped intact
+                    chunk += encode_cisco_frame(
+                        CISCO_RESET_COMPRESSOR, b'{"k": 999999}'
+                    )
+                chunk += encode_cisco_frame(
+                    CISCO_JSON, str(r.props).encode()
+                )
+                if int(r.event_id) % 7 == 0:
+                    chunk += encode_cisco_frame(
+                        CISCO_GPB_COMPACT, b"\x0a\x03gpb"
+                    )
+                out.append((str(r.event_type), int(r.event_id), chunk))
+            yield pd.DataFrame(
+                out, columns=["exporter_ip", "seqno", "payload"]
+            )
+
+    dg = ev.mapInPandas(enc, "exporter_ip string, seqno long, payload binary")
+    msgs = decode_cisco_mdt(dg, version=1)
+    return msgs.groupBy(F.col("exporter_ip").alias("device")).agg(
+        F.sum(
+            F.when(
+                F.col("decoder") == "json",
+                F.from_json("payload_json", "k BIGINT").getField("k"),
+            )
+        ).alias("k_sum"),
+        F.max(
+            F.when(
+                F.col("decoder") == "json",
+                F.from_json("payload_json", "k BIGINT").getField("k"),
+            )
+        ).alias("k_max"),
+        F.sum(F.when(F.col("decoder") == "json", 1).otherwise(0)).cast(
+            "bigint"
+        ).alias("n_json"),
+        F.sum(
+            F.when(F.col("decoder") == "gpb_compact", 1).otherwise(0)
+        ).cast("bigint").alias("n_gpb"),
+    )

@@ -59,10 +59,39 @@ def complete_prefix_jsonl(buf: bytes) -> int:
     return i + 1 if i >= 0 else 0
 
 
+def complete_prefix_cisco_v0(buf: bytes) -> int:
+    """Cisco MDT dial-out v0 framing ([type u32][flags u32][len u32] +
+    payload, reference struct telemetry_cisco_hdr_v0
+    src/telemetry/telemetry.h:99-103, length read
+    src/telemetry/telemetry_util.c:71-79)."""
+    off = 0
+    while off + 12 <= len(buf):
+        plen = int.from_bytes(buf[off + 8 : off + 12], "big")
+        if off + 12 + plen > len(buf):
+            break
+        off += 12 + plen
+    return off
+
+
+def complete_prefix_cisco_v1(buf: bytes) -> int:
+    """Cisco MDT dial-out v1 framing ([type u16][encap u16][version
+    u16][flags u16][len u32] + payload, reference
+    telemetry_cisco_hdr_v1 src/telemetry/telemetry.h:105-111)."""
+    off = 0
+    while off + 12 <= len(buf):
+        plen = int.from_bytes(buf[off + 8 : off + 12], "big")
+        if off + 12 + plen > len(buf):
+            break
+        off += 12 + plen
+    return off
+
+
 _FRAMERS = {
     "bgp": complete_prefix_bgp,
     "bmp": complete_prefix_bmp,
     "jsonl": complete_prefix_jsonl,
+    "cisco_v0": complete_prefix_cisco_v0,
+    "cisco_v1": complete_prefix_cisco_v1,
 }
 
 

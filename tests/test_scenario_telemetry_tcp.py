@@ -81,3 +81,82 @@ def test_telemetry_tcp_json_golden(spark, tmp_path):
         ("router-0", "ifstats"): (300 + 500 + 900 + 1100, 4),
         ("router-1", "ifstats"): (200 + 600 + 800 + 1200, 4),
     }
+
+
+def test_telemetry_cisco_dialout_live(spark, tmp_path):
+    """Cisco MDT dial-out over a LIVE TCP session (reference
+    telemetry_recv_cisco_v1, src/telemetry/telemetry_msg.c:173-212):
+    v1-framed JSON + GPB + reset-compressor messages, sends split
+    MID-FRAME, decode to tagged per-message rows."""
+    import socket
+    import time as _t
+
+    from pmacct_spark.sources.tcp import TcpSpool
+    from pmacct_spark.streaming.telemetry import (
+        CISCO_GPB_KV,
+        CISCO_JSON,
+        CISCO_RESET_COMPRESSOR,
+        decode_cisco_mdt,
+        encode_cisco_frame,
+    )
+
+    stream = (
+        encode_cisco_frame(CISCO_JSON, b'{"k": 5, "path": "ifmib"}')
+        + encode_cisco_frame(CISCO_RESET_COMPRESSOR, b"")
+        + encode_cisco_frame(CISCO_GPB_KV, b"\x0a\x02kv")
+        + encode_cisco_frame(CISCO_JSON, b'{"k": 7, "path": "qos"}')
+    )
+    with TcpSpool(
+        framing="cisco_v1", spool_dir=str(tmp_path / "mdt_spool")
+    ) as sp:
+        c = socket.socket(socket.AF_INET, socket.SOCK_STREAM)
+        c.connect(("127.0.0.1", sp.port))
+        cut = 17  # inside the first frame's payload
+        c.sendall(stream[:cut])
+        _t.sleep(0.4)
+        c.sendall(stream[cut:])
+        c.close()
+        t0 = _t.monotonic()
+        while sp.messages_spooled < 1 and _t.monotonic() - t0 < 15:
+            _t.sleep(0.05)
+        _t.sleep(0.3)
+        dg = sp.batch(spark)
+        rows = decode_cisco_mdt(
+            dg.select("exporter_ip", "seqno", "payload"), version=1
+        ).collect()
+    by_seq = sorted(rows, key=lambda r: r["seqno"])
+    assert [r["decoder"] for r in by_seq] == ["json", "gpb_kv", "json"]
+    assert '"k": 5' in by_seq[0]["payload_json"]
+    assert bytes(by_seq[1]["payload_raw"]) == b"\x0a\x02kv"
+    assert '"k": 7' in by_seq[2]["payload_json"]
+
+
+def test_telemetry_json_rides_kafka_frame_contract(spark):
+    """pmtelemetryd-over-Kafka (reference src/telemetry/telemetry.c
+    ZeroMQ/Kafka consumer paths): a telemetry JSON payload is one
+    value frame — the kafka-source mapping feeds the SAME metrics
+    pipeline as the socket paths, no broker needed to pin the plan."""
+    from pyspark.sql import functions as F
+
+    from pmacct_spark.sources.kafka import frames_to_datagrams
+
+    kafka_shaped = spark.createDataFrame(
+        [
+            (b"10.0.0.9", b'{"k": 3}', "telemetry", 0, 0),
+            (b"10.0.0.9", b'{"k": 4}', "telemetry", 0, 1),
+            (None, b'{"k": 10}', "telemetry", 1, 0),
+        ],
+        "key binary, value binary, topic string, partition int, offset long",
+    )
+    dg = frames_to_datagrams(kafka_shaped)
+    parsed = dg.select(
+        "exporter_ip",
+        F.from_json(F.col("payload").cast("string"), "k BIGINT")
+        .getField("k")
+        .alias("k"),
+    )
+    got = {
+        r["exporter_ip"]: r["sum(k)"]
+        for r in parsed.groupBy("exporter_ip").sum("k").collect()
+    }
+    assert got == {"10.0.0.9": 7, "kafka:telemetry/1": 10}
