@@ -147,17 +147,75 @@ class DuckDBSqlTable:
     # UPDATE/INSERT cycle runs entirely inside the SQL engine.
     CHUNK_ROWS = 50_000
 
-    def purge(self, batch: DataFrame, stamp_updated: str, append_only: bool = False):
+    _DUCK_TYPES = {
+        "string": "VARCHAR", "bigint": "BIGINT", "int": "INTEGER",
+        "smallint": "SMALLINT", "tinyint": "TINYINT", "double": "DOUBLE",
+        "float": "FLOAT", "boolean": "BOOLEAN", "binary": "BLOB",
+        "timestamp": "TIMESTAMP", "timestamp_ntz": "TIMESTAMP",
+        "date": "DATE",
+    }
+
+    def _ddl_cols(self, batch: DataFrame) -> str:
+        """Column DDL from the Spark schema (an empty pandas frame
+        loses the types: DuckDB would guess INT32 for empty object
+        columns)."""
+        parts = []
+        for name, dtype in batch.dtypes:
+            parts.append(f"{name} {self._DUCK_TYPES.get(dtype, 'VARCHAR')}")
+        return ", ".join(parts)
+
+    @staticmethod
+    def _sql_literal(v) -> str:
+        """Render one value as a SQL literal for the multi-values
+        INSERT path (the reference composes the VALUES string the same
+        way, src/sql_common.c multi-values buffer)."""
+        import datetime as _dt
+
+        if v is None:
+            return "NULL"
+        if isinstance(v, bool):
+            return "TRUE" if v else "FALSE"
+        if isinstance(v, (int, float)):
+            return repr(v)
+        if isinstance(v, _dt.datetime):
+            return f"TIMESTAMP '{v.isoformat(sep=' ')}'"
+        s = str(v).replace("'", "''")
+        return f"'{s}'"
+
+    def purge(
+        self,
+        batch: DataFrame,
+        stamp_updated: str,
+        append_only: bool = False,
+        multi_values: int = 0,
+        use_copy: bool = False,
+        delimiter: str = ",",
+    ):
         """One purge cycle, set-based but semantically identical to the
-        reference's per-row UPDATE -> (0 rows affected) -> INSERT."""
+        reference's per-row UPDATE -> (0 rows affected) -> INSERT.
+
+        ``multi_values`` (sql_multi_values, CONFIG-KEYS:1519-1531):
+        append-only INSERTs composed as multi-row VALUES statements,
+        the value being the byte budget of each statement's VALUES
+        buffer — the MySQL/SQLite fast path. ``use_copy``
+        (sql_use_copy, CONFIG-KEYS:1502-1511): append-only loads go
+        through the engine's COPY bulk path with ``delimiter``
+        (sql_delimiter) — the PostgreSQL fast path. Both require
+        ``append_only`` (sql_dont_try_update), as the reference does."""
         import pandas as pd
 
+        if (multi_values or use_copy) and not append_only:
+            raise ValueError(
+                "sql_multi_values/sql_use_copy require sql_dont_try_update"
+            )
+        if append_only and (multi_values or use_copy):
+            return self._purge_append_fast(
+                batch, stamp_updated, multi_values, use_copy, delimiter
+            )
         cols = list(batch.columns)
         con = self._con()
         try:
-            empty = batch.limit(0).toPandas()
-            con.register("__shape", empty)
-            con.execute("CREATE TEMP TABLE __batch AS SELECT * FROM __shape LIMIT 0")
+            con.execute(f"CREATE TEMP TABLE __batch ({self._ddl_cols(batch)})")
             buf: list[tuple] = []
 
             def flush():
@@ -207,6 +265,79 @@ class DuckDBSqlTable:
                 )
                 + ")"
             )
+        finally:
+            con.close()
+
+    def _purge_append_fast(
+        self,
+        batch: DataFrame,
+        stamp_updated: str,
+        multi_values: int,
+        use_copy: bool,
+        delimiter: str,
+    ):
+        """The two reference INSERT-only fast paths, streamed in
+        bounded chunks like the main purge."""
+        import csv as _csv
+        import os as _os
+        import tempfile as _tmp
+
+        cols = list(batch.columns)
+        collist = ", ".join(cols)
+        con = self._con()
+        try:
+            con.execute(
+                f"CREATE TABLE IF NOT EXISTS {self.table} "
+                f"({self._ddl_cols(batch)}, stamp_updated TIMESTAMP)"
+            )
+            ts_lit = f"TIMESTAMP '{stamp_updated}'"
+            if use_copy:
+                # COPY: spool chunk rows as delimited text, bulk-load
+                fd, path = _tmp.mkstemp(suffix=".csv")
+                try:
+                    n = 0
+                    with _os.fdopen(fd, "w", newline="") as fh:
+                        w = _csv.writer(fh, delimiter=delimiter)
+                        for row in batch.toLocalIterator(
+                            prefetchPartitions=True
+                        ):
+                            w.writerow(list(row) + [stamp_updated])
+                            n += 1
+                    if n:
+                        con.execute(
+                            f"COPY {self.table} FROM '{path}' "
+                            f"(FORMAT CSV, DELIMITER '{delimiter}', "
+                            f"HEADER FALSE)"
+                        )
+                finally:
+                    _os.unlink(path)
+                return
+            # multi-values INSERT: statements bounded by the byte
+            # budget of their VALUES buffer
+            vals_buf: list[str] = []
+            size = 0
+
+            def flush():
+                nonlocal size
+                if vals_buf:
+                    con.execute(
+                        f"INSERT INTO {self.table} ({collist}, stamp_updated)"
+                        f" VALUES " + ", ".join(vals_buf)
+                    )
+                vals_buf.clear()
+                size = 0
+
+            for row in batch.toLocalIterator(prefetchPartitions=True):
+                tup = (
+                    "("
+                    + ", ".join(self._sql_literal(v) for v in row)
+                    + f", {ts_lit})"
+                )
+                if vals_buf and size + len(tup) > max(multi_values, len(tup)):
+                    flush()
+                vals_buf.append(tup)
+                size += len(tup) + 2
+            flush()
         finally:
             con.close()
 

@@ -411,3 +411,46 @@ def test_write_print_formatted(spark, tmp_path):
     }
     # fixed-width: every row is as wide as the header
     assert len({len(ln) for ln in lines if ln.strip()}) <= 2
+
+
+def test_sql_multi_values_and_copy_paths_match_insert(spark, tmp_path):
+    """sql_multi_values (CONFIG-KEYS:1519) and sql_use_copy (:1502):
+    the two INSERT-only fast paths must land byte-identical table
+    contents vs the plain set-based INSERT — three engines' worth of
+    statement shapes, one result. Tiny byte budget forces several
+    multi-VALUES statements; strings carry quotes and the delimiter."""
+    from pmacct_spark.sinks.upsert import DuckDBSqlTable
+
+    rows = [
+        ("10.0.0.1", "o'hara,x", 100, 1),
+        ("10.0.0.2", "plain", 250, 2),
+        ("10.0.0.3", None, 50, 3),
+        ("10.0.0.4", "d,e,f", 75, 4),
+    ]
+    batch = spark.createDataFrame(
+        rows, "ip string, label string, bytes long, packets long"
+    )
+    results = {}
+    for mode, kwargs in (
+        ("insert", {}),
+        ("multi", {"multi_values": 60}),
+        ("copy", {"use_copy": True, "delimiter": "|"}),
+    ):
+        t = DuckDBSqlTable(
+            str(tmp_path / f"db_{mode}.duckdb"), "acct",
+            keys=["ip"], counters=["bytes", "packets"],
+        )
+        t.purge(batch, "2026-01-02 03:04:05", append_only=True, **kwargs)
+        cols, got = t.read_rows()
+        results[mode] = (cols, got)
+    assert results["insert"] == results["multi"] == results["copy"]
+    assert len(results["insert"][1]) == 4
+    # guard: fast paths without sql_dont_try_update must refuse
+    import pytest as _pytest
+
+    t = DuckDBSqlTable(
+        str(tmp_path / "db_err.duckdb"), "acct",
+        keys=["ip"], counters=["bytes"],
+    )
+    with _pytest.raises(ValueError):
+        t.purge(batch, "2026-01-02 03:04:05", multi_values=100)
