@@ -561,3 +561,273 @@ def tpch_q14_promo_revenue(spark, sf_dir):
             F.col("__t").cast("bigint").alias("revenue_cents"),
         )
     )
+
+
+# --- TPC-H Q4-shaped: order-priority checking — EXISTS semi join from
+#     orders into lineitem (late-shipped), priority histogram. (The
+#     classic predicate uses l_commitdate/l_receiptdate; the fixture
+#     carries l_shipdate, so "late" = shipped after the order date.)
+@register(
+    "tpch_q4_order_priority",
+    """
+SELECT o.o_orderpriority, COUNT(*) AS order_count
+FROM orders o
+WHERE o.o_orderdate >= TIMESTAMP '1996-07-01 00:00:00'
+  AND o.o_orderdate < TIMESTAMP '1996-10-01 00:00:00'
+  AND EXISTS (SELECT 1 FROM lineitem l
+              WHERE l.l_orderkey = o.o_orderkey
+                AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
+GROUP BY 1""",
+)
+def tpch_q4_order_priority(spark, sf_dir):
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-07-01 00:00:00").cast("timestamp_ntz"))
+        & (F.col("o_orderdate") < F.lit("1996-10-01 00:00:00").cast("timestamp_ntz"))
+    )
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    late = o.join(
+        li,
+        (li.l_orderkey == o.o_orderkey)
+        & (li.l_shipdate > F.expr("o_orderdate + INTERVAL 60 DAY")),
+        "left_semi",
+    )
+    return late.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("order_count")
+    )
+
+
+# --- TPC-H Q7-shaped: volume shipping between two nations — the
+#     supplier's and customer's nations on opposite sides of each
+#     lineitem, per year. nation broadcast-hinted; customer/supplier
+#     under AQE (SF-linear).
+@register(
+    "tpch_q7_volume_shipping",
+    f"""
+SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+       CAST(YEAR(l.l_shipdate) AS BIGINT) AS l_year,
+       {_CENTS.format(c='l.l_extendedprice * (1 - l.l_discount)')} AS revenue_cents
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+JOIN nation sn ON s.s_nationkey = sn.n_nationkey
+JOIN nation cn ON c.c_nationkey = cn.n_nationkey
+WHERE ((sn.n_name = 'NATION_3' AND cn.n_name = 'NATION_8')
+    OR (sn.n_name = 'NATION_8' AND cn.n_name = 'NATION_3'))
+GROUP BY 1, 2, 3""",
+)
+def tpch_q7_volume_shipping(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    sn = n.select(F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation"))
+    cn = n.select(F.col("n_nationkey").alias("cn_key"), F.col("n_name").alias("cust_nation"))
+    j = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(sn), F.col("s_nationkey") == F.col("sn_key"))
+        .join(F.broadcast(cn), F.col("c_nationkey") == F.col("cn_key"))
+        .filter(
+            ((F.col("supp_nation") == "NATION_3") & (F.col("cust_nation") == "NATION_8"))
+            | ((F.col("supp_nation") == "NATION_8") & (F.col("cust_nation") == "NATION_3"))
+        )
+    )
+    return j.groupBy(
+        "supp_nation", "cust_nation",
+        F.year("l_shipdate").cast("bigint").alias("l_year"),
+    ).agg(
+        F.sum(
+            F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100)
+            .cast("bigint")
+        ).alias("revenue_cents")
+    )
+
+
+# --- TPC-H Q13-shaped: customer order-count distribution — LEFT join
+#     so zero-order customers count, two-level aggregation.
+@register(
+    "tpch_q13_customer_distribution",
+    """
+SELECT c_count, COUNT(*) AS custdist
+FROM (
+  SELECT c.c_custkey, COUNT(o.o_orderkey) AS c_count
+  FROM customer c LEFT JOIN orders o
+    ON c.c_custkey = o.o_custkey
+   AND o.o_orderpriority <> '1-URGENT'
+  GROUP BY 1
+) GROUP BY 1""",
+)
+def tpch_q13_customer_distribution(spark, sf_dir):
+    c = load_table(spark, sf_dir, "customer").select("c_custkey")
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") != "1-URGENT"
+    ).select("o_custkey", "o_orderkey")
+    per_cust = (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count(F.lit(1)).alias("custdist"))
+
+
+# --- TPC-H Q15-shaped: top supplier(s) by quarterly revenue — the
+#     revenue "view" + scalar max, ties kept (deterministic by key).
+@register(
+    "tpch_q15_top_supplier",
+    f"""
+WITH revenue AS (
+  SELECT l_suppkey AS supplier_no,
+         {_CENTS.format(c='l_extendedprice * (1 - l_discount)')} AS total_cents
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+    AND l_shipdate < TIMESTAMP '1997-04-01 00:00:00'
+  GROUP BY 1)
+SELECT s.s_suppkey, s.s_name, r.total_cents
+FROM supplier s JOIN revenue r ON s.s_suppkey = r.supplier_no
+WHERE r.total_cents = (SELECT MAX(total_cents) FROM revenue)""",
+)
+def tpch_q15_top_supplier(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp_ntz"))
+        & (F.col("l_shipdate") < F.lit("1997-04-01 00:00:00").cast("timestamp_ntz"))
+    )
+    revenue = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
+        F.sum(
+            F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100)
+            .cast("bigint")
+        ).alias("total_cents")
+    )
+    from pmacct_spark.operators.staging import stage
+
+    revenue = stage(revenue)  # read twice: scalar max + the join
+    mx = revenue.agg(F.max("total_cents")).first()[0]
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        s.join(revenue, s.s_suppkey == revenue.supplier_no)
+        .filter(F.col("total_cents") == F.lit(mx))
+        .select("s_suppkey", "s_name", "total_cents")
+    )
+
+
+# --- TPC-H Q17-shaped: small-quantity-order revenue — correlated
+#     per-part average; exact integer form qty*5*n < sum_qty avoids
+#     float thresholds so both engines agree bit-for-bit.
+@register(
+    "tpch_q17_small_quantity",
+    """
+WITH pq AS (
+  SELECT l_partkey,
+         CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+         COUNT(*) AS n
+  FROM lineitem GROUP BY 1)
+SELECT CAST(SUM(CAST(ROUND(l.l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+         AS revenue_cents,
+       COUNT(*) AS n_items
+FROM lineitem l
+JOIN part p ON p.p_partkey = l.l_partkey AND p.p_brand = 'Brand#23'
+JOIN pq ON pq.l_partkey = l.l_partkey
+WHERE CAST(l.l_quantity AS BIGINT) * 5 * pq.n < pq.sum_qty""",
+)
+def tpch_q17_small_quantity(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    pq = li.groupBy("l_partkey").agg(
+        F.sum(F.col("l_quantity").cast("bigint")).alias("sum_qty"),
+        F.count(F.lit(1)).alias("n"),
+    ).withColumnRenamed("l_partkey", "pq_partkey")
+    p = load_table(spark, sf_dir, "part").filter(
+        F.col("p_brand") == "Brand#23"
+    ).select("p_partkey")
+    return (
+        li.join(p, li.l_partkey == p.p_partkey)
+        .join(pq, li.l_partkey == pq.pq_partkey)
+        .filter(F.col("l_quantity").cast("bigint") * 5 * F.col("n") < F.col("sum_qty"))
+        .agg(
+            F.sum(F.round(F.col("l_extendedprice") * 100).cast("bigint")).alias(
+                "revenue_cents"
+            ),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+# --- TPC-H Q19-shaped: disjunctive predicate groups (brand x size x
+#     quantity bands OR'd together) — the filter-pushdown stress shape.
+@register(
+    "tpch_q19_disjunctive",
+    f"""
+SELECT {_CENTS.format(c='l.l_extendedprice * (1 - l.l_discount)')} AS revenue_cents,
+       COUNT(*) AS n_items
+FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+WHERE (p.p_brand = 'Brand#12' AND p.p_size BETWEEN 1 AND 5
+       AND l.l_quantity BETWEEN 1 AND 11)
+   OR (p.p_brand = 'Brand#23' AND p.p_size BETWEEN 1 AND 10
+       AND l.l_quantity BETWEEN 10 AND 20)
+   OR (p.p_brand = 'Brand#34' AND p.p_size BETWEEN 1 AND 15
+       AND l.l_quantity BETWEEN 20 AND 30)""",
+)
+def tpch_q19_disjunctive(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_size")
+    j = li.join(p, li.l_partkey == p.p_partkey)
+    band = (
+        ((F.col("p_brand") == "Brand#12") & F.col("p_size").between(1, 5)
+         & F.col("l_quantity").between(1, 11))
+        | ((F.col("p_brand") == "Brand#23") & F.col("p_size").between(1, 10)
+           & F.col("l_quantity").between(10, 20))
+        | ((F.col("p_brand") == "Brand#34") & F.col("p_size").between(1, 15)
+           & F.col("l_quantity").between(20, 30))
+    )
+    return j.filter(band).agg(
+        F.sum(
+            F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100)
+            .cast("bigint")
+        ).alias("revenue_cents"),
+        F.count(F.lit(1)).alias("n_items"),
+    )
+
+
+# --- TPC-H Q22-shaped: idle wealthy customers — scalar avg subquery
+#     (exact integer cross-multiplication) + anti join to orders.
+#     (The classic keys on phone country codes and zero orders; the
+#     fixture keys on c_nationkey, and "idle" = no URGENT order —
+#     every fixture customer has at least one order.)
+@register(
+    "tpch_q22_idle_customers",
+    """
+WITH avgbal AS (
+  SELECT CAST(SUM(CAST(ROUND(c_acctbal * 100) AS BIGINT)) AS BIGINT) AS s,
+         COUNT(*) AS n
+  FROM customer WHERE c_acctbal > 0.0)
+SELECT c.c_nationkey,
+       COUNT(*) AS numcust,
+       CAST(SUM(CAST(ROUND(c.c_acctbal * 100) AS BIGINT)) AS BIGINT) AS totacctbal_cents
+FROM customer c, avgbal a
+WHERE CAST(ROUND(c.c_acctbal * 100) AS BIGINT) * a.n > a.s
+  AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+                  AND o.o_orderpriority = '1-URGENT')
+GROUP BY 1""",
+)
+def tpch_q22_idle_customers(spark, sf_dir):
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    ).select("o_custkey")
+    pos = c.filter(F.col("c_acctbal") > 0.0)
+    stats = pos.agg(
+        F.sum(F.round(F.col("c_acctbal") * 100).cast("bigint")).alias("s"),
+        F.count(F.lit(1)).alias("n"),
+    ).first()
+    s_cents, n = int(stats["s"]), int(stats["n"])
+    rich = c.filter(
+        F.round(F.col("c_acctbal") * 100).cast("bigint") * n > s_cents
+    )
+    idle = rich.join(o, rich.c_custkey == o.o_custkey, "left_anti")
+    return idle.groupBy("c_nationkey").agg(
+        F.count(F.lit(1)).alias("numcust"),
+        F.sum(F.round(F.col("c_acctbal") * 100).cast("bigint")).alias(
+            "totacctbal_cents"
+        ),
+    )

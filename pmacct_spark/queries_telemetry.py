@@ -136,7 +136,7 @@ def bgp_peer_src_as_map(spark, sf_dir):
 #     logic mis-dispatched it. Decode -> JSON metrics + GPB counts per
 #     device vs the direct oracle over events.
 @register(
-    "telemetry_cisco_mdt_loop",
+    "telemetry_cisco_mdt_wire_loop",
     """
 SELECT event_type AS device,
        CAST(SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS k_sum,

@@ -266,10 +266,12 @@ def test_no_forced_broadcast_of_sf_linear_tables(spark):
         / "pmacct_spark"
         / "queries_relational.py"
     )
+    # allowlist: nation/region and their aliased slices (sn/cn are the
+    # supplier-/customer-side nation copies in Q7) — all fixed-size
     bad = [
         v
         for v in re.findall(r"F\.broadcast\((\w+)\)", src.read_text())
-        if v not in ("n", "r")
+        if v not in ("n", "r", "sn", "cn")
     ]
     assert not bad, f"forced broadcast of SF-linear var(s): {bad}"
 
