@@ -10,8 +10,8 @@ Reset Query.
 
 Spark shape mirrors the BGP/BMP TcpSpool sources: the socket thread
 does NO table maintenance — every received prefix PDU is appended to
-a parquet spool as a (seq, afi, flags, prefix, prefix6, masklen,
-maxlen, asn) row and :func:`roa_state` compacts the announce/withdraw
+a parquet spool as a (seq, epoch, afi, flags, prefix, prefix6,
+masklen, maxlen, asn) row and :func:`roa_state` compacts the announce/withdraw
 stream into the current ROA table with one window (latest flag per
 ROA key wins), exactly the rib_state shape. The daemon re-reads the
 compaction per drain/tick, so a route's validation status flips as
@@ -46,8 +46,8 @@ FLAG_WITHDRAW = 0
 FLAG_ANNOUNCE = 1
 
 ROA_EVENT_DDL = (
-    "seq long, afi int, flags int, prefix long, prefix6 string, "
-    "masklen int, maxlen int, asn long"
+    "seq long, epoch long, afi int, flags int, prefix long, "
+    "prefix6 string, masklen int, maxlen int, asn long"
 )
 
 
@@ -92,20 +92,23 @@ class RtrClient:
     query exchange, spools every prefix PDU to parquet."""
 
     def __init__(self, host: str, port: int, spool_dir: str | None = None,
-                 version: int = 1):
+                 version: int = 1, reconnect_secs: float = 1.0):
         self.host = host
         self.port = port
         self.version = version
+        self.reconnect_secs = reconnect_secs
         self.spool_dir = spool_dir or tempfile.mkdtemp(prefix="rtr_spool_")
         self.session_id = 0
         self.serial = 0
         self.eods_received = 0
         self.pdus_received = 0
+        self.reconnects = 0
         self.last_error: Exception | None = None
         self._sock: socket.socket | None = None
         self._thread: threading.Thread | None = None
         self._stop = threading.Event()
         self._seq = 0
+        self._epoch = 1
         self._nfile = 0
         self._buf: list[tuple] = []
 
@@ -141,20 +144,53 @@ class RtrClient:
 
     # -- socket thread ------------------------------------------------
     def _loop(self) -> None:
+        """Receive loop with the reference's reconnect behavior
+        (rpki_rtr_connect retry, src/rpki/rpki_msg.c:357): a dropped
+        cache session reconnects after ``reconnect_secs`` and starts
+        over with a Reset Query — the full set replays and the
+        latest-wins compaction in :func:`roa_state` absorbs it."""
         buf = b""
         while not self._stop.is_set():
             try:
                 chunk = self._sock.recv(65536)
                 if not chunk:
-                    break
+                    raise ConnectionResetError("cache closed the session")
                 buf += chunk
             except socket.timeout:
                 continue
             except OSError as exc:
                 self.last_error = exc
-                break
+                self._flush()
+                buf = b""
+                if not self._reconnect():
+                    break
+                continue
             buf = self._consume(buf)
         self._flush()
+
+    def _reconnect(self) -> bool:
+        while not self._stop.is_set():
+            self._stop.wait(self.reconnect_secs)
+            if self._stop.is_set():
+                return False
+            try:
+                old, self._sock = self._sock, socket.create_connection(
+                    (self.host, self.port), timeout=10
+                )
+                try:
+                    old.close()
+                except OSError:
+                    pass
+                self._sock.settimeout(0.2)
+                self._epoch += 1  # full replay: see PDU_CACHE_RESET
+                self._sock.sendall(
+                    encode_pdu(PDU_RESET_QUERY, version=self.version)
+                )
+                self.reconnects += 1
+                return True
+            except OSError as exc:
+                self.last_error = exc
+        return False
 
     def _consume(self, buf: bytes) -> bytes:
         while len(buf) >= 8:
@@ -174,12 +210,16 @@ class RtrClient:
                 flags, ml, mx = body[0], body[1], body[2]
                 pfx = int.from_bytes(body[4:8], "big")
                 asn = int.from_bytes(body[8:12], "big")
-                self._emit((self._seq, 1, flags, pfx, None, ml, mx, asn))
+                self._emit(
+                    (self._seq, self._epoch, 1, flags, pfx, None, ml, mx, asn)
+                )
             elif ptype == PDU_IPV6_PREFIX and len(body) >= 24:
                 flags, ml, mx = body[0], body[1], body[2]
                 p6 = _v6_str(body[4:20])
                 asn = int.from_bytes(body[20:24], "big")
-                self._emit((self._seq, 2, flags, None, p6, ml, mx, asn))
+                self._emit(
+                    (self._seq, self._epoch, 2, flags, None, p6, ml, mx, asn)
+                )
             elif ptype == PDU_END_OF_DATA and len(body) >= 4:
                 self.serial = int.from_bytes(body[0:4], "big")
                 self.eods_received += 1
@@ -195,7 +235,10 @@ class RtrClient:
                     )
                 )
             elif ptype == PDU_CACHE_RESET:
-                # cache can't serve the delta: start over
+                # cache can't serve the delta: full replay under a NEW
+                # epoch, so entries removed during the gap cannot
+                # survive as stale spool rows
+                self._epoch += 1
                 self._send(encode_pdu(PDU_RESET_QUERY, version=self.version))
             elif ptype == PDU_ERROR_REPORT:
                 self.last_error = RuntimeError(f"RTR error report: {body[:64]!r}")
@@ -222,13 +265,14 @@ class RtrClient:
         table = pa.table(
             {
                 "seq": pa.array([r[0] for r in rows], pa.int64()),
-                "afi": pa.array([r[1] for r in rows], pa.int32()),
-                "flags": pa.array([r[2] for r in rows], pa.int32()),
-                "prefix": pa.array([r[3] for r in rows], pa.int64()),
-                "prefix6": pa.array([r[4] for r in rows], pa.string()),
-                "masklen": pa.array([r[5] for r in rows], pa.int32()),
-                "maxlen": pa.array([r[6] for r in rows], pa.int32()),
-                "asn": pa.array([r[7] for r in rows], pa.int64()),
+                "epoch": pa.array([r[1] for r in rows], pa.int64()),
+                "afi": pa.array([r[2] for r in rows], pa.int32()),
+                "flags": pa.array([r[3] for r in rows], pa.int32()),
+                "prefix": pa.array([r[4] for r in rows], pa.int64()),
+                "prefix6": pa.array([r[5] for r in rows], pa.string()),
+                "masklen": pa.array([r[6] for r in rows], pa.int32()),
+                "maxlen": pa.array([r[7] for r in rows], pa.int32()),
+                "asn": pa.array([r[8] for r in rows], pa.int64()),
             }
         )
         tmp = os.path.join(self.spool_dir, f"._r{self._nfile:08d}.tmp")
@@ -256,10 +300,16 @@ class RtrClient:
 
 def roa_state(events: DataFrame) -> DataFrame:
     """Compact the announce/withdraw stream into the current ROA
-    table: latest flag per (afi, prefix, prefix6, masklen, maxlen,
-    asn) wins, withdrawals tombstone — the rib_state shape. Output
-    columns match the ``roa`` dim contract of operators/rpki
-    (net_int, masklen, maxlen, asn) for v4; v6 rows keep prefix6."""
+    table: only the LATEST EPOCH counts (each session reset replays
+    the full set under a new epoch, so entries removed while the
+    session was down cannot survive as stale rows), then the latest
+    flag per (afi, prefix, prefix6, masklen, maxlen, asn) wins and
+    withdrawals tombstone — the rib_state shape. Output columns match
+    the ``roa`` dim contract of operators/rpki (net_int, masklen,
+    maxlen, asn) for v4; v6 rows keep prefix6."""
+    events = events.withColumn(
+        "__emax", F.max("epoch").over(Window.partitionBy())
+    ).filter(F.col("epoch") == F.col("__emax")).drop("__emax")
     w = Window.partitionBy(
         "afi", "prefix", "prefix6", "masklen", "maxlen", "asn"
     ).orderBy(F.desc("seq"))
@@ -267,5 +317,5 @@ def roa_state(events: DataFrame) -> DataFrame:
         events.withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") == 1)
         .filter(F.col("flags") == FLAG_ANNOUNCE)
-        .drop("__rn", "flags", "seq")
+        .drop("__rn", "flags", "seq", "epoch")
     )

@@ -927,6 +927,7 @@ def test_rtr_pdu_consume_and_state(spark):
     cl.eods_received = 0
     cl.pdus_received = 0
     cl._seq = 0
+    cl._epoch = 1
     cl._buf = []
     cl._nfile = 0
     cl.last_error = None
@@ -951,3 +952,76 @@ def test_rtr_pdu_consume_and_state(spark):
         (1, 0x0A000000, None, 65001),
         (2, None, "2001:0000:0000:0000:0000:0000:0000:0000", 65002),
     }
+
+
+def test_rtr_reconnect_replays_under_new_epoch(spark, tmp_path):
+    """A dropped RTR session reconnects (reference rpki_rtr_connect
+    retry) and the full-set replay lands under a NEW epoch — an entry
+    the cache removed during the outage cannot survive as a stale
+    spool row."""
+    import socket as _sock
+    import threading as _th
+
+    from pmacct_spark.sources import rtr as R
+
+    srv = _sock.socket(_sock.AF_INET, _sock.SOCK_STREAM)
+    srv.setsockopt(_sock.SOL_SOCKET, _sock.SO_REUSEADDR, 1)
+    srv.bind(("127.0.0.1", 0))
+    srv.listen(2)
+    port = srv.getsockname()[1]
+    sessions = {"n": 0}
+
+    def cache():
+        # two sequential sessions: the first serves {A, B} then dies;
+        # the second serves only {A} (B was removed during the outage)
+        for n in (1, 2):
+            conn, _ = srv.accept()
+            conn.settimeout(20)
+            sessions["n"] = n
+            buf = b""
+            try:
+                while True:
+                    chunk = conn.recv(4096)
+                    if not chunk:
+                        break
+                    buf += chunk
+                    if len(buf) >= 8 and buf[1] == R.PDU_RESET_QUERY:
+                        buf = b""
+                        pdus = R.encode_pdu(R.PDU_CACHE_RESPONSE, session_id=n)
+                        pdus += R.encode_ipv4_prefix(0x0A000000, 8, 8, 65001)
+                        if n == 1:
+                            pdus += R.encode_ipv4_prefix(
+                                0x0B000000, 8, 8, 65002
+                            )
+                        pdus += R.encode_pdu(
+                            R.PDU_END_OF_DATA, n.to_bytes(4, "big"),
+                            session_id=n,
+                        )
+                        conn.sendall(pdus)
+                        if n == 1:
+                            conn.close()  # simulate the cache dying
+                            break
+            except OSError:
+                pass
+        # keep the second session open until the test ends
+        import time as _t
+
+        _t.sleep(5)
+
+    t = _th.Thread(target=cache, daemon=True)
+    t.start()
+    cl = R.RtrClient("127.0.0.1", port, reconnect_secs=0.2,
+                     spool_dir=str(tmp_path / "rtrspool"))
+    try:
+        cl.start()
+        assert cl.wait_eod(2, timeout=20), (
+            f"eods={cl.eods_received} reconnects={cl.reconnects} "
+            f"err={cl.last_error}"
+        )
+        assert cl.reconnects == 1
+        state = {r["prefix"] for r in R.roa_state(cl.batch(spark)).collect()}
+    finally:
+        cl.stop()
+        srv.close()
+    # B (0x0B...) was only in the dead session's epoch: gone
+    assert state == {0x0A000000}
