@@ -324,3 +324,44 @@ def text_repetition_metrics(spark, sf_dir):
     return feats.filter(
         "dup_line_pm >= 100 OR top_bigram_pm >= 100 OR doc_id % 7 = 0"
     ).select("doc_id", "n_lines", "dup_line_pm", "top_bigram_pm")
+
+
+# --- tokenizer-prep: BPE first-iteration pair statistics — the
+#     merge-candidate table a byte-pair-encoding trainer computes each
+#     round (count adjacent symbol pairs within words across the
+#     corpus). Pure JVM HOFs: split -> explode -> per-word bigram
+#     transform -> one shuffle on the pair key. Top-50 with
+#     deterministic tiebreak so the hash is stable.
+@register(
+    "bpe_pair_counts",
+    """
+WITH words AS (
+  SELECT unnest(string_split(lower(text), ' ')) AS w
+  FROM documents
+),
+pairs AS (
+  SELECT substring(w, CAST(i AS INT), 2) AS pair
+  FROM words, UNNEST(range(1, length(w))) AS t(i)
+  WHERE length(w) >= 2
+)
+SELECT pair, COUNT(*) AS n FROM pairs
+GROUP BY 1 ORDER BY n DESC, pair ASC LIMIT 50""",
+)
+def bpe_pair_counts(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    words = docs.select(
+        F.explode(F.split(F.lower("text"), " ")).alias("w")
+    ).filter(F.length("w") >= 2)
+    pairs = words.select(
+        F.explode(
+            F.expr(
+                "transform(sequence(1, length(w) - 1), i -> substring(w, i, 2))"
+            )
+        ).alias("pair")
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), F.asc("pair"))
+        .limit(50)
+    )
