@@ -682,12 +682,17 @@ def encode_bgp_update6(
     std_comm: str = "",
     ext_comm: str = "",
     lrg_comm: str = "",
+    path_id: int | None = None,
 ) -> bytes:
     """One BGP UPDATE carrying an IPv6 route as MP_REACH_NLRI (or a
     withdrawal as MP_UNREACH_NLRI), RFC 4760 — the reference's BGP
     IPv6 path (tests/300/302/501/502 families, src/bgp/bgp_msg.c
-    MP attribute handling)."""
+    MP attribute handling). ``path_id`` prepends the RFC 7911 4-byte
+    identifier inside the MP NLRI — only valid when the session's OPEN
+    advertised ADD-PATH for afi 2 / safi 1."""
     nlri = bytes([masklen]) + _v6_prefix_bytes(prefix6, masklen)
+    if path_id is not None:
+        nlri = int(path_id).to_bytes(4, "big") + nlri
     if withdraw:
         mp = b"\x00\x02\x01" + nlri  # afi 2, safi 1
         attrs = _encode_attr(0x80, 15, mp)

@@ -210,3 +210,40 @@ def test_live_bgp_addpath_session(spark, tmp_path):
     assert bp[0x0A000000]["local_pref"] == 100
     assert bp[0x0A010000]["as_path"] == "65000 65200"
     assert bp[0x0A010000]["local_pref"] == 100
+
+
+def test_bgp_addpath_v6_mp_nlri(spark):
+    """ADD-PATH for the v6 MP AFI: OPEN negotiates (2,1); MP_REACH /
+    MP_UNREACH NLRI entries carry the 4-byte path-id; per-path RIB
+    rows with v6 prefixes; best-path collapse."""
+    from pmacct_spark.streaming.bmp import (
+        best_path,
+        encode_bgp_open,
+        encode_bgp_update6,
+        learn_bgp_caps,
+    )
+
+    stream = (
+        encode_bgp_open(addpath=[(2, 1, 3)])
+        + encode_bgp_update6("2001:0db8:", 32, "64999 65001",
+                             local_pref=90, path_id=1)
+        + encode_bgp_update6("2001:0db8:", 32, "65001",
+                             local_pref=100, path_id=2)
+        # withdraw the decoy path only: the best path must survive
+        + encode_bgp_update6("2001:0db8:", 32, "", withdraw=True, path_id=1)
+    )
+    dg = spark.createDataFrame(
+        [("198.51.100.1", 0, bytearray(stream))],
+        "exporter_ip string, seqno long, payload binary",
+    )
+    sess = dg.select("exporter_ip", "seqno", "payload")
+    rib = rib_state(
+        decode_bgp(sess, session_caps=learn_bgp_caps(sess)), peer_down=False
+    )
+    rows = {r["path_id"]: r for r in rib.collect()}
+    # path 1 withdrawn per-path; path 2 remains
+    assert set(rows) == {2}
+    assert rows[2]["prefix6"].startswith("2001:0db8")
+    assert rows[2]["as_path"] == "65001"
+    bp = best_path(rib).collect()
+    assert len(bp) == 1 and bp[0]["local_pref"] == 100
