@@ -243,8 +243,13 @@ def sflow_wire_loop_renorm(spark, sf_dir):
         "ip_src_i", "ip_dst_i", "port_src", "port_dst", "ip_proto",
         "tos", "tcp_flags", "bytes", "iface_in", "iface_out",
     )
+    # spread encode+decode across tasks (the flows view coalesces to
+    # one partition otherwise — same fix as tunnel_wire_loop; sFlow
+    # decode is stateless per datagram, so any partitioning is safe)
     back = decode_sflow5(
-        encode_sflow5(fl, sampling_rate=64).select("exporter_ip", "payload")
+        encode_sflow5(fl.repartition(8), sampling_rate=64).select(
+            "exporter_ip", "payload"
+        )
     )
     return (
         back.withColumn("bytes", F.expr("bytes * sampling_rate"))

@@ -182,7 +182,9 @@ def telemetry_cisco_mdt_loop(spark, sf_dir):
                 out, columns=["exporter_ip", "seqno", "payload"]
             )
 
-    dg = ev.mapInPandas(enc, "exporter_ip string, seqno long, payload binary")
+    dg = ev.repartition(8).mapInPandas(
+        enc, "exporter_ip string, seqno long, payload binary"
+    )
     msgs = decode_cisco_mdt(dg, version=1)
     return msgs.groupBy(F.col("exporter_ip").alias("device")).agg(
         F.sum(
