@@ -54,7 +54,8 @@ def main() -> int:
     # (the plan-diversity twin of the BLAS cosine path: interpreted JVM
     # higher-order folds, deliberately not the scale path; ~3.5 s at
     # sf0.1). Rounds 3-4 excluded it from the headline; round 5 benches
-    # all 128 so the bench and the correctness gate cover the same set.
+    # the complete gated set so bench and correctness gate cover the
+    # same queries.
     only = os.environ.get("SPARK_GRAFT_BENCH_ONLY")
     if only:
         keep = set(only.split(","))

@@ -21,6 +21,7 @@ cluster running the same channel queries over the union.
 
 from __future__ import annotations
 
+import threading
 from dataclasses import dataclass, field
 from dataclasses import replace as _replace
 
@@ -68,6 +69,11 @@ class Daemon:
     bgp_spool: object | None = None  # TcpSpool when bgp_daemon is on
     bmp_spool: object | None = None  # TcpSpool when bmp_daemon is on
     rtr_client: object | None = None  # RtrClient when rpki_rtr_cache is set
+    # created eagerly: N replan threads share it — a lazily-created
+    # lock is itself a race (two threads can each mint their own)
+    _compact_lock: threading.Lock = field(
+        default_factory=threading.Lock, repr=False
+    )
 
     @classmethod
     def from_conf(
@@ -179,12 +185,20 @@ class Daemon:
             sess = latest_session_only(
                 self.bgp_spool.batch(self.spark)
             ).select("exporter_ip", "seqno", "payload")
+            # two-phase: a session's OPEN chunk and its UPDATE chunks
+            # may land in different spool files, so the ADD-PATH
+            # capability set is learned in a pre-pass — cached per
+            # spool generation (OPEN caps are static per session;
+            # re-walking every session byte on every replan tick would
+            # double the per-tick decode work for nothing)
+            gen = getattr(self.bgp_spool, "_nfile", None)
+            cached = getattr(self, "_bgp_caps_cache", None)
+            if cached is None or cached[0] != gen:
+                cached = (gen, learn_bgp_caps(sess))
+                self._bgp_caps_cache = cached
             parts.append(
                 rib_state(
-                    # two-phase: a session's OPEN chunk and its UPDATE
-                    # chunks may land in different spool files, so the
-                    # ADD-PATH capability set is learned in a pre-pass
-                    decode_bgp(sess, session_caps=learn_bgp_caps(sess)),
+                    decode_bgp(sess, session_caps=cached[1]),
                     peer_down=False,  # BGP sessions only carry UPDATEs
                 )
             )
@@ -277,10 +291,6 @@ class Daemon:
         decode+enrich them once, append the flow rows (and any decoded
         options-data rows, which later renormalize passes still need)
         to the compacted side tables. Returns files retired."""
-        import threading as _th
-
-        if not hasattr(self, "_compact_lock"):
-            self._compact_lock = _th.Lock()
         with self._compact_lock:
             live = self._live_spool_files()
             victims = live[:-keep_files] if keep_files else live

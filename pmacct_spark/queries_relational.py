@@ -703,11 +703,14 @@ def tpch_q15_top_supplier(spark, sf_dir):
     from pmacct_spark.operators.staging import stage
 
     revenue = stage(revenue)  # read twice: scalar max + the join
-    mx = revenue.agg(F.max("total_cents")).first()[0]
+    # the scalar max rides the plan as a 1-row broadcast cross join —
+    # no driver-side action, the whole query stays lazy
+    mx = revenue.agg(F.max("total_cents").alias("__mx"))
     s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
     return (
         s.join(revenue, s.s_suppkey == revenue.supplier_no)
-        .filter(F.col("total_cents") == F.lit(mx))
+        .crossJoin(F.broadcast(mx))
+        .filter(F.col("total_cents") == F.col("__mx"))
         .select("s_suppkey", "s_name", "total_cents")
     )
 
@@ -816,13 +819,15 @@ def tpch_q22_idle_customers(spark, sf_dir):
         F.col("o_orderpriority") == "1-URGENT"
     ).select("o_custkey")
     pos = c.filter(F.col("c_acctbal") > 0.0)
+    # 1-row aggregate cross-joined (no driver action): the exact
+    # integer cross-multiplication cents*n > s is evaluated per row
     stats = pos.agg(
-        F.sum(F.round(F.col("c_acctbal") * 100).cast("bigint")).alias("s"),
-        F.count(F.lit(1)).alias("n"),
-    ).first()
-    s_cents, n = int(stats["s"]), int(stats["n"])
-    rich = c.filter(
-        F.round(F.col("c_acctbal") * 100).cast("bigint") * n > s_cents
+        F.sum(F.round(F.col("c_acctbal") * 100).cast("bigint")).alias("__s"),
+        F.count(F.lit(1)).alias("__n"),
+    )
+    rich = c.crossJoin(F.broadcast(stats)).filter(
+        F.round(F.col("c_acctbal") * 100).cast("bigint") * F.col("__n")
+        > F.col("__s")
     )
     idle = rich.join(o, rich.c_custkey == o.o_custkey, "left_anti")
     return idle.groupBy("c_nationkey").agg(

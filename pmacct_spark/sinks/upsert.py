@@ -168,15 +168,26 @@ class DuckDBSqlTable:
     def _sql_literal(v) -> str:
         """Render one value as a SQL literal for the multi-values
         INSERT path (the reference composes the VALUES string the same
-        way, src/sql_common.c multi-values buffer)."""
+        way, src/sql_common.c multi-values buffer). Non-finite floats
+        and binary need explicit casts — bare ``nan``/``inf``/``b'..'``
+        are not SQL."""
         import datetime as _dt
+        import math as _math
 
         if v is None:
             return "NULL"
         if isinstance(v, bool):
             return "TRUE" if v else "FALSE"
-        if isinstance(v, (int, float)):
+        if isinstance(v, float):
+            if _math.isnan(v):
+                return "CAST('nan' AS DOUBLE)"
+            if _math.isinf(v):
+                return f"CAST('{'-' if v < 0 else ''}inf' AS DOUBLE)"
             return repr(v)
+        if isinstance(v, int):
+            return repr(v)
+        if isinstance(v, (bytes, bytearray)):
+            return f"from_hex('{bytes(v).hex()}')"
         if isinstance(v, _dt.datetime):
             return f"TIMESTAMP '{v.isoformat(sep=' ')}'"
         s = str(v).replace("'", "''")
@@ -292,7 +303,12 @@ class DuckDBSqlTable:
             )
             ts_lit = f"TIMESTAMP '{stamp_updated}'"
             if use_copy:
-                # COPY: spool chunk rows as delimited text, bulk-load
+                # COPY: spool chunk rows as delimited text, bulk-load.
+                # A dedicated NULL sentinel keeps '' (a real empty
+                # string, e.g. std_comm='') distinct from SQL NULL —
+                # the CSV default would load unquoted empties as NULL
+                # and split one accumulator key into two.
+                nullstr = "\\N"
                 fd, path = _tmp.mkstemp(suffix=".csv")
                 try:
                     n = 0
@@ -301,13 +317,16 @@ class DuckDBSqlTable:
                         for row in batch.toLocalIterator(
                             prefetchPartitions=True
                         ):
-                            w.writerow(list(row) + [stamp_updated])
+                            w.writerow(
+                                [nullstr if v is None else v for v in row]
+                                + [stamp_updated]
+                            )
                             n += 1
                     if n:
                         con.execute(
                             f"COPY {self.table} FROM '{path}' "
                             f"(FORMAT CSV, DELIMITER '{delimiter}', "
-                            f"HEADER FALSE)"
+                            f"HEADER FALSE, NULL '{nullstr}')"
                         )
                 finally:
                     _os.unlink(path)

@@ -160,13 +160,30 @@ class RtrClient:
                 continue
             except OSError as exc:
                 self.last_error = exc
-                self._flush()
+                # RFC 6810: changes apply only at End of Data. Rows
+                # buffered since the last EoD belong to an INCOMPLETE
+                # delta/replay — discard them (the reconnect's fresh
+                # Reset Query replays the full set under a new epoch);
+                # flushing them would serve a half-applied ROA table.
+                self._buf.clear()
                 buf = b""
                 if not self._reconnect():
                     break
                 continue
-            buf = self._consume(buf)
-        self._flush()
+            out = self._consume(buf)
+            if out is None:  # framing corruption: drop the session
+                self.last_error = RuntimeError("RTR framing desync")
+                self._buf.clear()
+                buf = b""
+                try:
+                    self._sock.close()
+                except OSError:
+                    pass
+                if not self._reconnect():
+                    break
+                continue
+            buf = out
+        self._buf.clear()  # never expose a partial (un-EoD'd) delta
 
     def _reconnect(self) -> bool:
         while not self._stop.is_set():
@@ -192,13 +209,18 @@ class RtrClient:
                 self.last_error = exc
         return False
 
-    def _consume(self, buf: bytes) -> bytes:
+    def _consume(self, buf: bytes) -> bytes | None:
+        """Returns the unconsumed tail, or None on framing corruption
+        (the caller drops the SESSION — parsing on from an arbitrary
+        byte offset would emit garbage ROAs; the reference closes the
+        session on framing errors too, rpki_rtr_parse_msg default
+        arm)."""
         while len(buf) >= 8:
             _ver, ptype = buf[0], buf[1]
             sess = int.from_bytes(buf[2:4], "big")
             plen = int.from_bytes(buf[4:8], "big")
             if plen < 8 or plen > 1 << 20:
-                return b""  # corrupt framing: drop the buffer
+                return None
             if len(buf) < plen:
                 break
             body = buf[8:plen]
@@ -258,7 +280,8 @@ class RtrClient:
         if not self._buf:
             return
         import pyarrow as pa
-        import pyarrow.parquet as pq
+
+        from pmacct_spark.sources.spoolio import write_spool_file
 
         rows = self._buf
         self._buf = []
@@ -275,11 +298,7 @@ class RtrClient:
                 "asn": pa.array([r[8] for r in rows], pa.int64()),
             }
         )
-        tmp = os.path.join(self.spool_dir, f"._r{self._nfile:08d}.tmp")
-        pq.write_table(table, tmp)
-        os.rename(
-            tmp, os.path.join(self.spool_dir, f"r{self._nfile:08d}.parquet")
-        )
+        write_spool_file(self.spool_dir, f"r{self._nfile:08d}.parquet", table)
         self._nfile += 1
 
     def wait_eod(self, n: int = 1, timeout: float = 15.0) -> bool:

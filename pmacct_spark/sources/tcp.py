@@ -59,24 +59,13 @@ def complete_prefix_jsonl(buf: bytes) -> int:
     return i + 1 if i >= 0 else 0
 
 
-def complete_prefix_cisco_v0(buf: bytes) -> int:
-    """Cisco MDT dial-out v0 framing ([type u32][flags u32][len u32] +
-    payload, reference struct telemetry_cisco_hdr_v0
-    src/telemetry/telemetry.h:99-103, length read
-    src/telemetry/telemetry_util.c:71-79)."""
-    off = 0
-    while off + 12 <= len(buf):
-        plen = int.from_bytes(buf[off + 8 : off + 12], "big")
-        if off + 12 + plen > len(buf):
-            break
-        off += 12 + plen
-    return off
-
-
-def complete_prefix_cisco_v1(buf: bytes) -> int:
-    """Cisco MDT dial-out v1 framing ([type u16][encap u16][version
-    u16][flags u16][len u32] + payload, reference
-    telemetry_cisco_hdr_v1 src/telemetry/telemetry.h:105-111)."""
+def complete_prefix_cisco(buf: bytes) -> int:
+    """Cisco MDT dial-out framing, v0 AND v1: both headers are 12
+    bytes with the payload length as a u32 at offset 8 (reference
+    telemetry_cisco_hdr_v0/_v1 src/telemetry/telemetry.h:99-111,
+    length reads src/telemetry/telemetry_util.c:71-99), so one walker
+    serves both framings — only the leading type/encap fields differ,
+    which the decoder (not the framer) interprets."""
     off = 0
     while off + 12 <= len(buf):
         plen = int.from_bytes(buf[off + 8 : off + 12], "big")
@@ -90,8 +79,8 @@ _FRAMERS = {
     "bgp": complete_prefix_bgp,
     "bmp": complete_prefix_bmp,
     "jsonl": complete_prefix_jsonl,
-    "cisco_v0": complete_prefix_cisco_v0,
-    "cisco_v1": complete_prefix_cisco_v1,
+    "cisco_v0": complete_prefix_cisco,
+    "cisco_v1": complete_prefix_cisco,
 }
 
 
@@ -312,7 +301,8 @@ class TcpSpool:
 
     def _emit(self, peer: str, payload: bytes, epoch: int = 1) -> None:
         import pyarrow as pa
-        import pyarrow.parquet as pq
+
+        from pmacct_spark.sources.spoolio import write_spool_file
 
         with self._lock:
             seq, nfile = self._seq, self._nfile
@@ -327,11 +317,7 @@ class TcpSpool:
                 "payload": pa.array([payload], pa.binary()),
             }
         )
-        tmp = os.path.join(self.spool_dir, f"._s{nfile:08d}.tmp")
-        pq.write_table(table, tmp)
-        os.rename(
-            tmp, os.path.join(self.spool_dir, f"s{nfile:08d}.parquet")
-        )
+        write_spool_file(self.spool_dir, f"s{nfile:08d}.parquet", table)
 
     def flush(self, timeout: float = 5.0) -> None:
         """Ask every live session to emit its complete-message prefix

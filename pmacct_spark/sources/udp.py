@@ -170,7 +170,6 @@ class UdpSpool:
 
     def _flush(self, rows: list[tuple[str, int, bytes]]) -> None:
         import pyarrow as pa
-        import pyarrow.parquet as pq
 
         table = pa.table(
             {
@@ -179,13 +178,9 @@ class UdpSpool:
                 "payload": pa.array([r[2] for r in rows], pa.binary()),
             }
         )
-        # write-then-rename so the streaming file source never lists a
-        # half-written file
-        tmp = os.path.join(self.spool_dir, f"._b{self._nfile:08d}.tmp")
-        pq.write_table(table, tmp)
-        os.rename(
-            tmp, os.path.join(self.spool_dir, f"b{self._nfile:08d}.parquet")
-        )
+        from pmacct_spark.sources.spoolio import write_spool_file
+
+        write_spool_file(self.spool_dir, f"b{self._nfile:08d}.parquet", table)
         self._nfile += 1
 
     # -- Spark surfaces -----------------------------------------------

@@ -210,7 +210,12 @@ def test_no_collect_in_timed_query_paths():
     offenders = []
     for f in sorted(root.glob("queries_*.py")):
         for i, line in enumerate(f.read_text().splitlines(), 1):
-            if re.search(r"\.collect\(\)|\.toPandas\(\)", line):
+            # .first()/.head() are the same driver roundtrip spelled
+            # differently (scalar subqueries belong in the plan as a
+            # 1-row cross join, as q15/q22 do)
+            if re.search(
+                r"\.collect\(\)|\.toPandas\(\)|\.first\(\)|\.head\(", line
+            ):
                 offenders.append(f"{f.name}:{i}: {line.strip()}")
     assert not offenders, "\n".join(offenders)
 
@@ -267,11 +272,12 @@ def test_no_forced_broadcast_of_sf_linear_tables(spark):
         / "queries_relational.py"
     )
     # allowlist: nation/region and their aliased slices (sn/cn are the
-    # supplier-/customer-side nation copies in Q7) — all fixed-size
+    # supplier-/customer-side nation copies in Q7), plus the 1-row
+    # scalar aggregates q15/q22 cross-join (mx/stats) — all fixed-size
     bad = [
         v
         for v in re.findall(r"F\.broadcast\((\w+)\)", src.read_text())
-        if v not in ("n", "r", "sn", "cn")
+        if v not in ("n", "r", "sn", "cn", "mx", "stats")
     ]
     assert not bad, f"forced broadcast of SF-linear var(s): {bad}"
 
@@ -285,6 +291,17 @@ def test_no_forced_broadcast_of_sf_linear_tables(spark):
     for name in rel:
         analyzed = q[name](spark, SF_DIR)._jdf.queryExecution().analyzed().toString()
         for sub in _broadcast_hint_subtrees(analyzed):
+            # a GLOBAL (ungrouped) aggregate emits exactly one row —
+            # broadcasting it is bounded at any SF even though its
+            # subtree scans an SF-linear table (q15's max, q22's
+            # sum/count). A GROUPED aggregate's cardinality can scale
+            # with SF and stays forbidden (Q18's qualifier set).
+            head = next(
+                (ln.lstrip(":+- ") for ln in sub.splitlines() if ln.strip()),
+                "",
+            )
+            if head.startswith("Aggregate [") and "], [" not in head:
+                continue
             for table, marker in _SF_LINEAR_MARKERS.items():
                 assert marker not in sub, (
                     f"{name}: broadcast hint covers SF-linear table "

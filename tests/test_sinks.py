@@ -424,8 +424,10 @@ def test_sql_multi_values_and_copy_paths_match_insert(spark, tmp_path):
     rows = [
         ("10.0.0.1", "o'hara,x", 100, 1),
         ("10.0.0.2", "plain", 250, 2),
-        ("10.0.0.3", None, 50, 3),
-        ("10.0.0.4", "d,e,f", 75, 4),
+        ("10.0.0.3", None, 50, 3),      # NULL key: must stay NULL
+        ("10.0.0.4", "d,e,f", 75, 4),   # delimiter inside the value
+        ("10.0.0.5", "", 10, 5),        # empty string: must NOT -> NULL
+        ("10.0.0.6", 'quo"te', 20, 6),  # CSV quote char
     ]
     batch = spark.createDataFrame(
         rows, "ip string, label string, bytes long, packets long"
@@ -444,7 +446,10 @@ def test_sql_multi_values_and_copy_paths_match_insert(spark, tmp_path):
         cols, got = t.read_rows()
         results[mode] = (cols, got)
     assert results["insert"] == results["multi"] == results["copy"]
-    assert len(results["insert"][1]) == 4
+    assert len(results["insert"][1]) == 6
+    # the empty string survived as '' (not NULL) on every path
+    labels = {r[0]: r[1] for r in results["copy"][1]}
+    assert labels["10.0.0.5"] == "" and labels["10.0.0.3"] is None
     # guard: fast paths without sql_dont_try_update must refuse
     import pytest as _pytest
 
