@@ -206,3 +206,62 @@ def telemetry_cisco_mdt_loop(spark, sf_dir):
             F.when(F.col("decoder") == "gpb_compact", 1).otherwise(0)
         ).cast("bigint").alias("n_gpb"),
     )
+
+
+# --- UDP-Notif transport (RFC 9742; reference tests/800 YANG push,
+#     unyte collector src/telemetry/telemetry.c:468-504): every event
+#     ships as one notification; every 5th is SEGMENTED across two
+#     datagrams (the option the transport exists for) and must
+#     reassemble byte-exact before the JSON parse.
+@register(
+    "telemetry_udp_notif_loop",
+    """
+SELECT CAST(user_id % 4 AS BIGINT) AS observation_domain,
+       CAST(SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS k_sum,
+       COUNT(*) AS n_notifications
+FROM events GROUP BY 1""",
+)
+def telemetry_udp_notif_loop(spark, sf_dir):
+    from pmacct_spark.streaming.telemetry import (
+        decode_udp_notif,
+        encode_udp_notif,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "props"
+    )
+
+    def enc(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            out = []
+            for r in pdf.itertuples(index=False):
+                od = int(r.user_id) % 4
+                mid = int(r.event_id)
+                body = str(r.props).encode()
+                if mid % 5 == 0 and len(body) > 2:
+                    cut = len(body) // 2
+                    out.append(("203.0.113.9", mid, encode_udp_notif(
+                        body[:cut], od, mid, segment=(0, False))))
+                    out.append(("203.0.113.9", mid, encode_udp_notif(
+                        body[cut:], od, mid, segment=(1, True))))
+                else:
+                    out.append(("203.0.113.9", mid,
+                                encode_udp_notif(body, od, mid)))
+            yield pd.DataFrame(
+                out, columns=["exporter_ip", "seqno", "payload"]
+            )
+
+    dg = ev.repartition(8).mapInPandas(
+        enc, "exporter_ip string, seqno long, payload binary"
+    )
+    msgs = decode_udp_notif(dg)
+    return msgs.groupBy(
+        F.col("observation_domain").cast("bigint").alias("observation_domain")
+    ).agg(
+        F.sum(
+            F.from_json("payload_json", "k BIGINT").getField("k")
+        ).alias("k_sum"),
+        F.count(F.lit(1)).alias("n_notifications"),
+    )

@@ -126,3 +126,25 @@ def zmq_pipe_unpack(buffers: DataFrame) -> DataFrame:
             yield pd.DataFrame(out, columns=["seq", "topic", "payload"])
 
     return buffers.select("buffer").mapInPandas(gen, schema)
+
+
+def zmq_frames_to_datagrams(
+    frames: DataFrame, exporter_prefix: str = "zmq"
+) -> DataFrame:
+    """The consumer half of the ZMQ seam: map received (topic,
+    payload) frames to the universal datagram contract every decoder
+    and the telemetry pipeline accept (reference consumes telemetry
+    over a ZMQ PULL the same way — including the gRPC bridge's local
+    socket, src/telemetry/telemetry.c:468-504). The 1-byte topic keys
+    the stream identity; per-topic arrival order is the seqno (the
+    row_number mirrors Kafka's per-partition offset contract in
+    sources/kafka.py)."""
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("topic").orderBy(F.monotonically_increasing_id())
+    return frames.select(
+        F.concat(F.lit(f"{exporter_prefix}:"), F.col("topic").cast("string"))
+        .alias("exporter_ip"),
+        (F.row_number().over(w) - 1).cast("long").alias("seqno"),
+        F.col("payload").cast("binary").alias("payload"),
+    )

@@ -143,3 +143,109 @@ def decode_gpb_payload(raw: bytes):  # pragma: no cover - capability guard
         "GPB telemetry payload decode requires protobuf bindings; "
         "payload_raw carries the intact message bytes"
     )
+
+
+# --- UDP-Notif (RFC 9742 / draft-ietf-netconf-udp-notif; the
+#     reference's tests/800 YANG push transport, consumed via the
+#     unyte collector src/telemetry/telemetry.c:112,468-504 and
+#     constrained to the JSON decoder :258-262) -----------------------
+
+UDP_NOTIF_MEDIA_JSON = 1
+_UDP_NOTIF_OPT_SEGMENT = 1
+
+UDP_NOTIF_SCHEMA = T.StructType(
+    [
+        T.StructField("exporter_ip", T.StringType()),
+        T.StructField("observation_domain", T.LongType()),
+        T.StructField("message_id", T.LongType()),
+        T.StructField("media_type", T.IntegerType()),
+        T.StructField("payload_json", T.StringType()),
+    ]
+)
+
+
+def encode_udp_notif(
+    payload: bytes,
+    observation_domain: int = 1,
+    message_id: int = 0,
+    media_type: int = UDP_NOTIF_MEDIA_JSON,
+    segment: tuple[int, bool] | None = None,
+) -> bytes:
+    """One UDP-Notif datagram. ``segment=(number, is_last)`` adds the
+    segmentation option (15-bit segment number + L flag)."""
+    opts = b""
+    if segment is not None:
+        num, last = segment
+        opts = bytes([_UDP_NOTIF_OPT_SEGMENT, 4]) + (
+            (num << 1) | (1 if last else 0)
+        ).to_bytes(2, "big")
+    hlen = 12 + len(opts)
+    header = (
+        bytes([(1 << 5) | (media_type & 0x0F), hlen])
+        + (hlen + len(payload)).to_bytes(2, "big")
+        + int(observation_domain).to_bytes(4, "big")
+        + int(message_id).to_bytes(4, "big")
+        + opts
+    )
+    return header + payload
+
+
+def decode_udp_notif(datagrams: DataFrame) -> DataFrame:
+    """Decode UDP-Notif datagrams into per-message rows, reassembling
+    segmented messages per (exporter, observation domain, message id)
+    — segments of one message share the id and carry the segmentation
+    option; the L-flagged segment closes it. Non-segmented messages
+    pass straight through. Incomplete messages (missing segments) are
+    dropped, as the unyte collector does."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = [f.name for f in UDP_NOTIF_SCHEMA.fields]
+        # per-partition reassembly state, keyed like the reference's
+        # per-peer message bookkeeping
+        pending: dict[tuple, dict] = {}
+        for pdf in batches:
+            rows = []
+            for exporter, payload in zip(pdf["exporter_ip"], pdf["payload"]):
+                b = bytes(payload)
+                if len(b) < 12:
+                    continue
+                ver = b[0] >> 5
+                media = b[0] & 0x0F
+                hlen = b[1]
+                mlen = int.from_bytes(b[2:4], "big")
+                if ver != 1 or hlen < 12 or mlen > len(b):
+                    continue  # malformed: drop the datagram
+                od = int.from_bytes(b[4:8], "big")
+                mid = int.from_bytes(b[8:12], "big")
+                seg_num, seg_last = None, False
+                p = 12
+                while p + 2 <= hlen:
+                    ot, ol = b[p], b[p + 1]
+                    if ol < 2 or p + ol > hlen:
+                        break
+                    if ot == _UDP_NOTIF_OPT_SEGMENT and ol >= 4:
+                        v = int.from_bytes(b[p + 2 : p + 4], "big")
+                        seg_num, seg_last = v >> 1, bool(v & 1)
+                    p += ol
+                body = b[hlen:mlen]
+                if seg_num is None:
+                    rows.append((str(exporter), od, mid, media,
+                                 body.decode("utf-8", "replace")))
+                    continue
+                key = (str(exporter), od, mid)
+                st = pending.setdefault(key, {"parts": {}, "last": None})
+                st["parts"][seg_num] = body
+                if seg_last:
+                    st["last"] = seg_num
+                if st["last"] is not None and all(
+                    i in st["parts"] for i in range(st["last"] + 1)
+                ):
+                    whole = b"".join(
+                        st["parts"][i] for i in range(st["last"] + 1)
+                    )
+                    rows.append((key[0], od, mid, media,
+                                 whole.decode("utf-8", "replace")))
+                    del pending[key]
+            yield pd.DataFrame(rows, columns=cols)
+
+    return datagrams.mapInPandas(gen, UDP_NOTIF_SCHEMA)
