@@ -205,12 +205,20 @@ class Daemon:
         if self.bmp_spool is not None:
             from pyspark.sql import Window
 
+            from pmacct_spark.streaming.bmp import learn_bmp_caps
+
+            bmp_sess = latest_session_only(
+                self.bmp_spool.batch(self.spark)
+            ).select("exporter_ip", "seqno", "payload")
+            # ADD-PATH caps from Peer Up OPENs, cached per spool
+            # generation (mirror of the BGP branch above)
+            bgen = getattr(self.bmp_spool, "_nfile", None)
+            bcached = getattr(self, "_bmp_caps_cache", None)
+            if bcached is None or bcached[0] != bgen:
+                bcached = (bgen, learn_bmp_caps(bmp_sess))
+                self._bmp_caps_cache = bcached
             bmp_rib = rib_state(  # BMP streams carry Peer Down purges
-                decode_bmp(
-                    latest_session_only(
-                        self.bmp_spool.batch(self.spark)
-                    ).select("exporter_ip", "seqno", "payload")
-                )
+                decode_bmp(bmp_sess, session_caps=bcached[1])
             )
             # Flow correlation keys on the MONITORED ROUTER (the BMP
             # sender), not the remote BGP neighbor: the flow's exporter

@@ -256,7 +256,12 @@ def _parse_attrs(
     return attrs
 
 
-def _bmp_rows(exporter: str, payload: bytes, seq0: int) -> list[dict]:
+def _bmp_rows(
+    exporter: str,
+    payload: bytes,
+    seq0: int,
+    session_caps: dict[tuple[str, str], set] | None = None,
+) -> list[dict]:
     out: list[dict] = []
     off = 0
     seq = seq0
@@ -307,8 +312,39 @@ def _bmp_rows(exporter: str, payload: bytes, seq0: int) -> list[dict]:
                 "peer_as": peer_as, "peer_type": peer_type, "rd": rd,
                 "ts_s": ts_s, "msg_type": mtype,
             }
+            caps_key = (exporter, peer_ip)
+            caps = (
+                session_caps.get(caps_key, set())
+                if session_caps is not None
+                else set()
+            )
+            if mtype == 3 and session_caps is not None and len(body) >= 62:
+                # Peer Up carries BOTH session OPENs (local-sent +
+                # remote-received) after local addr(16)+ports(4) —
+                # the reference runs bgp_parse_open_msg on each
+                # (src/bmp/bmp_msg.c:382-438), recording ADD-PATH for
+                # the monitored session; RM NLRI then parses per-path.
+                q = 42 + 16 + 4
+                learned: set = set()
+                for _ in range(2):
+                    if q + 19 > len(body) or body[q : q + 16] != _BGP_MARKER:
+                        break
+                    mlen = int.from_bytes(body[q + 16 : q + 18], "big")
+                    if mlen < 19 or q + mlen > len(body):
+                        break
+                    learned |= _parse_open_caps(body[q : q + mlen])
+                    q += mlen
+                session_caps[caps_key] = learned
+            if mtype == 2 and session_caps is not None:
+                # Peer Down ends the monitored session: its negotiated
+                # capabilities die with it
+                session_caps.pop(caps_key, None)
             if mtype == 0:
-                withdrawn, nlri, attrs = _parse_update(body[42:])
+                withdrawn, nlri, attrs = _parse_update(
+                    body[42:],
+                    addpath_v4=(1, 1) in caps,
+                    addpath_v6=(2, 1) in caps,
+                )
                 seq = _emit_update_rows(out, base, withdrawn, nlri, attrs, seq)
             elif mtype == 1 and len(body) >= 46:
                 # Stats Report (RFC 7854 §4.8): count + [type len value]
@@ -389,12 +425,49 @@ def _emit_update_rows(
     return seq
 
 
-def decode_bmp(datagrams: DataFrame) -> DataFrame:
-    """Decode BMP streams (exporter-sharded like decode_v9)."""
+def learn_bmp_caps(datagrams: DataFrame) -> dict[tuple[str, str], set]:
+    """Two-phase pre-pass for BMP (mirror of :func:`learn_bgp_caps`):
+    scan Peer Up messages for session OPENs and return
+    {(exporter, peer_ip): {(afi, safi), ...}} ADD-PATH capabilities —
+    a Peer Up chunk and its RM chunks may land in different spool
+    files/partitions. Peer Down revokes within the scan order of one
+    chunk; cross-chunk ordering is reconciled by the caller re-learning
+    per spool generation."""
+    schema = "exporter_ip string, peer_ip string, afi int, safi int"
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            caps: dict[tuple[str, str], set] = {}
+            for exporter, payload in zip(pdf["exporter_ip"], pdf["payload"]):
+                _bmp_rows(str(exporter), bytes(payload), 0, caps)
+            for (exp, peer), st in caps.items():
+                for afi, safi in st:
+                    out.append((exp, peer, afi, safi))
+            yield pd.DataFrame(
+                out, columns=["exporter_ip", "peer_ip", "afi", "safi"]
+            )
+
+    caps: dict[tuple[str, str], set] = {}
+    for r in datagrams.mapInPandas(gen, schema).collect():
+        caps.setdefault((r["exporter_ip"], r["peer_ip"]), set()).add(
+            (r["afi"], r["safi"])
+        )
+    return caps
+
+
+def decode_bmp(
+    datagrams: DataFrame,
+    session_caps: dict[tuple[str, str], set] | None = None,
+) -> DataFrame:
+    """Decode BMP streams (exporter-sharded like decode_v9). Pass
+    ``session_caps`` from :func:`learn_bmp_caps` when a session's
+    Peer Up and Route Monitoring chunks may span partitions."""
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         cols = [f.name for f in BMP_EVENT_SCHEMA.fields]
         seq = 0
+        caps0 = {k: set(v) for k, v in (session_caps or {}).items()}
         for pdf in batches:
             rows: list[dict] = []
             seqnos = pdf["seqno"] if "seqno" in pdf.columns else None
@@ -410,7 +483,7 @@ def decode_bmp(datagrams: DataFrame) -> DataFrame:
                 # more routes than the stride
                 if seqnos is not None:
                     seq = int(seqnos.iloc[i]) << 24
-                new = _bmp_rows(exporter, bytes(payload), seq)
+                new = _bmp_rows(exporter, bytes(payload), seq, caps0)
                 rows.extend(new)
                 seq += len(new)
             yield pd.DataFrame([[r.get(c) for c in cols] for r in rows], columns=cols)
@@ -885,6 +958,23 @@ def _bmp_frame(
     )
     body = peer_hdr + pdu
     return bytes([3]) + (6 + len(body)).to_bytes(4, "big") + bytes([mtype]) + body
+
+
+def encode_bmp_peer_up(
+    peer_ip: str,
+    peer_as: int = 64500,
+    addpath: list[tuple[int, int, int]] | None = None,
+) -> bytes:
+    """A BMP Peer Up message CARRYING THE SESSION OPENs (RFC 7854
+    §4.10: local address 16 + local/remote ports 4 + sent OPEN +
+    received OPEN) — the frames the reference walks for capabilities
+    (src/bmp/bmp_msg.c:382-438). ``addpath`` goes into both OPENs, as
+    a session that negotiated RFC 7911 would show."""
+    opens = encode_bgp_open(addpath=addpath) + encode_bgp_open(
+        addpath=addpath
+    )
+    body = b"\x00" * 16 + (179).to_bytes(2, "big") * 2 + opens
+    return _bmp_frame(3, peer_ip, peer_as, body)
 
 
 def encode_bmp_streams(rib: DataFrame, peer_as: int = 64500) -> DataFrame:

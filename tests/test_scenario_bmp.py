@@ -89,3 +89,66 @@ def test_withdrawn_prefix_absent_from_rib(spark):
     # the /8 and the re-announced /16 survive for peer A, one route for B
     assert rib.filter("peer_ip = '192.0.2.5'").count() == 2
     assert rib.filter("peer_ip = '192.0.2.6'").count() == 1
+
+
+def test_bmp_addpath_from_peer_up_opens(spark):
+    """ADD-PATH over BMP (reference parses the session OPENs inside
+    Peer Up, src/bmp/bmp_msg.c:382-438): RM NLRI for that peer parses
+    per-path, the RIB keys per (peer, prefix, path_id), and a Peer
+    Down ends the capability — a session re-established WITHOUT
+    ADD-PATH parses plain NLRI again."""
+    from pmacct_spark.streaming.bmp import (
+        _bmp_frame,
+        best_path,
+        decode_bmp,
+        encode_bgp_update,
+        encode_bmp_peer_up,
+        learn_bmp_caps,
+        rib_state,
+    )
+
+    peer = "10.9.9.1"
+    stream = (
+        encode_bmp_peer_up(peer, addpath=[(1, 1, 3)])
+        + _bmp_frame(0, peer, 64500, encode_bgp_update(
+            0x0A000000, 8, "64999 65001", local_pref=90, path_id=1))
+        + _bmp_frame(0, peer, 64500, encode_bgp_update(
+            0x0A000000, 8, "65001", local_pref=100, path_id=2))
+        + _bmp_frame(2, peer, 64500)  # peer down: caps die, RIB purges
+        + encode_bmp_peer_up(peer)    # re-up WITHOUT add-path
+        + _bmp_frame(0, peer, 64500, encode_bgp_update(
+            0x0B000000, 8, "65002", local_pref=50))
+    )
+    dg = spark.createDataFrame(
+        [("192.0.2.77", 0, bytearray(stream))],
+        "exporter_ip string, seqno long, payload binary",
+    )
+    sess = dg.select("exporter_ip", "seqno", "payload")
+    rib = rib_state(decode_bmp(sess))
+    rows = {(r["prefix"], r["path_id"]): r for r in rib.collect()}
+    # peer down purged the multi-path prefix; the post-down plain
+    # announcement decoded WITHOUT the 4-byte shift
+    assert set(rows) == {(0x0B000000, None)}
+    assert rows[(0x0B000000, None)]["as_path"] == "65002"
+
+    # without the peer down, both path entries survive per-path
+    stream2 = (
+        encode_bmp_peer_up(peer, addpath=[(1, 1, 3)])
+        + _bmp_frame(0, peer, 64500, encode_bgp_update(
+            0x0A000000, 8, "64999 65001", local_pref=90, path_id=1))
+        + _bmp_frame(0, peer, 64500, encode_bgp_update(
+            0x0A000000, 8, "65001", local_pref=100, path_id=2))
+    )
+    dg2 = spark.createDataFrame(
+        [("192.0.2.77", 0, bytearray(stream2))],
+        "exporter_ip string, seqno long, payload binary",
+    )
+    sess2 = dg2.select("exporter_ip", "seqno", "payload")
+    # the pre-pass must learn the same caps (spool-spanning sessions)
+    caps = learn_bmp_caps(sess2)
+    assert caps == {("192.0.2.77", peer): {(1, 1)}}
+    rib2 = rib_state(decode_bmp(sess2, session_caps=caps))
+    per_path = {r["path_id"] for r in rib2.collect()}
+    assert per_path == {1, 2}
+    bp = best_path(rib2).collect()
+    assert len(bp) == 1 and bp[0]["local_pref"] == 100
