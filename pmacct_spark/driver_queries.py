@@ -81,8 +81,11 @@ _DRIVER_WINDOW = [
     # §2.10 streaming state
     "stream_v5_wire_decode", "stream_v9_stateful_decode",
     "stream_hist_5m_proto",
-    # telemetry + custom primitives
-    "telemetry_json_metrics", "custom_primitive_agg",
+    # telemetry + custom primitives (r5: the UDP-Notif wire loop
+    # supersedes plain JSON metrics in the window — same JSON parse
+    # PLUS RFC 9742 framing/segmentation; the plain query keeps local
+    # parity)
+    "telemetry_udp_notif_loop", "custom_primitive_agg",
     # LLM data pipeline
     "dedup_exact", "dedup_minhash_lsh", "dedup_cc_clusters",
     "decontaminate_benchmark_overlap", "ann_ivf_topk",
