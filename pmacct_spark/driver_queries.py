@@ -85,7 +85,7 @@ _DRIVER_WINDOW = [
     # supersedes plain JSON metrics in the window — same JSON parse
     # PLUS RFC 9742 framing/segmentation; the plain query keeps local
     # parity)
-    "telemetry_udp_notif_loop", "custom_primitive_agg",
+    "telemetry_udp_notif_wire_loop", "custom_primitive_agg",
     # LLM data pipeline
     "dedup_exact", "dedup_minhash_lsh", "dedup_cc_clusters",
     "decontaminate_benchmark_overlap", "ann_ivf_topk",

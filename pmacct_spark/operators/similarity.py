@@ -598,3 +598,228 @@ SELECT {block_col}, id_a, id_b FROM pairs
 WHERE dot >= 0 AND CAST(dot * dot AS DOUBLE) * 1000000.0
       >= {t2}.0 * CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)
 """
+
+
+# --- IVF-PQ building block: product quantization with ADC ------------
+#
+# The remaining piece of the modern ANN index family (IVF coarse cells
+# are ivf_topk above; PQ compresses residual/item vectors to M small
+# codes and queries score candidates through a per-query lookup table
+# — asymmetric distance computation). Codebooks here are deterministic
+# medoid stand-ins like IVF_CENTROID_PRED (real PQ trains offline with
+# k-means; the SERVING plan — codebook as literal, map-side code
+# assignment, broadcast query tables, top-R ADC then exact re-rank —
+# is identical).
+
+PQ_TRAIN_PRED = "{id} % 29 = 3 AND {id} < 300"
+PQ_M = 8       # subspaces (64-dim embeddings -> 8 dims each)
+PQ_SUB = 8     # dims per subspace
+
+
+def _pq_codebook(base: DataFrame, id_col: str) -> list[list[list[int]]]:
+    """cb[m][j] = j-th code vector of subspace m (K = number of
+    training rows, ordered by id so code ids are stable)."""
+    rows = (
+        base.filter(F.expr(PQ_TRAIN_PRED.format(id=id_col)))
+        .select(id_col, "qv")
+        .collect()
+    )
+    rows.sort(key=lambda r: r[0])
+    return [
+        [list(r["qv"][m * PQ_SUB : (m + 1) * PQ_SUB]) for r in rows]
+        for m in range(PQ_M)
+    ]
+
+
+def _pq_code_expr(cb_m: list[list[int]], m: int) -> str:
+    """Map-side argmin code for subspace ``m``: exact integer L2 to
+    each code vector, strict < with code ids ascending == lowest-id
+    tie-break (matches the oracle's ORDER BY d, j)."""
+    structs = ", ".join(
+        "named_struct('j', {j}L, 'c', array({arr}))".format(
+            j=j, arr=", ".join(f"{v}L" for v in c)
+        )
+        for j, c in enumerate(cb_m)
+    )
+    dist = (
+        f"aggregate(zip_with(slice(qv, {m * PQ_SUB + 1}, {PQ_SUB}), s.c, "
+        f"(x, y) -> (x - y) * (x - y)), 0L, (a, v) -> a + v)"
+    )
+    return f"""
+aggregate(
+  transform(array({structs}), s -> named_struct('j', s.j, 'd', {dist})),
+  named_struct('bj', CAST(-1 AS BIGINT), 'bd', CAST(NULL AS BIGINT)),
+  (acc, e) -> CASE WHEN acc.bd IS NULL OR e.d < acc.bd
+                   THEN named_struct('bj', e.j, 'bd', e.d) ELSE acc END,
+  acc -> acc.bj)"""
+
+
+def pq_adc_topk(
+    items: DataFrame,
+    k: int = 3,
+    refine: int = 3,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    query_pred: str = "vec_id < 10",
+) -> DataFrame:
+    """PQ/ADC approximate top-k with exact re-rank:
+
+      1. items get M integer codes map-side (codebook is a literal —
+         the item table never shuffles for the index);
+      2. each query precomputes its M x K dot-product table (qtab);
+      3. candidate approx score = sum of qtab lookups on the item's
+         codes (no per-pair vector math), top refine*k kept;
+      4. the survivors re-rank with the EXACT quantized dot.
+
+    The shuffles are the two per-query windows over candidate rows —
+    the item table itself is touched map-side only."""
+    base = quantize(items.select(id_col, emb_col), emb_col, "qv")
+    base = base.withColumn("nrm", F.expr(_norm_sq("qv"))).drop(emb_col)
+    cb = _pq_codebook(base, id_col)
+    K = len(cb[0])
+    codes = base
+    code_exprs = ", ".join(_pq_code_expr(cb[m], m) for m in range(PQ_M))
+    codes = codes.withColumn("codes", F.expr(f"array({code_exprs})"))
+
+    # per-query ADC table, flattened m-major (index m*K + j, 1-based
+    # element_at): dot(query subvector m, cb[m][j]) — exact integers
+    qtab_terms = ", ".join(
+        f"aggregate(zip_with(slice(qv, {m * PQ_SUB + 1}, {PQ_SUB}), "
+        f"array({', '.join(str(v) + 'L' for v in cb[m][j])}), "
+        f"(x, y) -> x * y), 0L, (a, v) -> a + v)"
+        for m in range(PQ_M)
+        for j in range(K)
+    )
+    qs = (
+        base.filter(F.expr(query_pred))
+        .withColumn("qtab", F.expr(f"array({qtab_terms})"))
+        .select(
+            F.col(id_col).alias("query_id"),
+            F.col("qv").alias("qq"),
+            F.col("nrm").alias("nq"),
+            "qtab",
+        )
+    )
+    adot = (
+        f"aggregate(sequence(0, {PQ_M - 1}), 0L, (a, m) -> "
+        f"a + element_at(qtab, CAST(m * {K} + element_at(codes, m + 1) + 1 AS INT)))"
+    )
+    cand = (
+        codes.join(F.broadcast(qs), F.col(id_col) != F.col("query_id"))
+        .withColumn("adot", F.expr(adot))
+        .withColumn(
+            "as_m",
+            F.expr(
+                f"{_SIGNED_SQ.format(d='adot')}"
+                " / (CAST(nrm AS DOUBLE) * CAST(nq AS DOUBLE))"
+            ),
+        )
+    )
+    wa = Window.partitionBy("query_id").orderBy(F.desc("as_m"), F.asc(id_col))
+    refined = (
+        cand.withColumn("ar", F.row_number().over(wa))
+        .filter(F.col("ar") <= refine * k)
+        .withColumn("dot", F.expr(_dot("qv", "qq")))
+        .withColumn(
+            "sim_m",
+            F.expr(
+                f"{_SIGNED_SQ.format(d='dot')}"
+                " / (CAST(nrm AS DOUBLE) * CAST(nq AS DOUBLE))"
+            ),
+        )
+    )
+    wr = Window.partitionBy("query_id").orderBy(F.desc("sim_m"), F.asc(id_col))
+    return (
+        refined.withColumn("rank", F.row_number().over(wr))
+        .filter(F.col("rank") <= k)
+        .select("query_id", F.col(id_col).alias("neighbor_id"), "rank")
+    )
+
+
+def pq_adc_topk_duck(
+    source: str = "embeddings",
+    k: int = 3,
+    refine: int = 3,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    query_pred: str = "vec_id < 10",
+) -> str:
+    """Self-contained SQL replay of :func:`pq_adc_topk`: codebooks
+    derived from the same training predicate, integer-exact codes and
+    ADC terms, identical tie-breaks."""
+    q = _QUANT_DUCK.format(col=emb_col, q=QUANT)
+    pred = PQ_TRAIN_PRED.format(id=id_col)
+    ssq = (
+        "CASE WHEN {d} >= 0 THEN CAST({d} * {d} AS DOUBLE)"
+        " ELSE -CAST({d} * {d} AS DOUBLE) END"
+    )
+    return f"""
+WITH base AS (
+  SELECT {id_col}, {q} AS qv,
+         CAST(list_sum(list_transform({q}, x -> x * x)) AS BIGINT) AS nrm
+  FROM {source}
+),
+train AS (
+  SELECT ROW_NUMBER() OVER (ORDER BY {id_col}) - 1 AS j, qv AS tq
+  FROM base WHERE {pred}
+),
+dists AS (
+  SELECT b.{id_col} AS vid, m.m, t.j,
+         CAST(list_sum(list_transform(
+           list_slice(b.qv, m.m * {PQ_SUB} + 1, (m.m + 1) * {PQ_SUB}),
+           (x, i) -> (x - t.tq[m.m * {PQ_SUB} + i])
+                   * (x - t.tq[m.m * {PQ_SUB} + i]))) AS BIGINT) AS d
+  FROM base b, range(0, {PQ_M}) m(m), train t
+),
+codes AS (
+  SELECT vid, m, j FROM (
+    SELECT vid, m, j,
+           ROW_NUMBER() OVER (PARTITION BY vid, m ORDER BY d ASC, j ASC) rn
+    FROM dists) WHERE rn = 1
+),
+qs AS (
+  SELECT {id_col} AS query_id, qv AS qq, nrm AS nq
+  FROM base WHERE {query_pred}
+),
+terms AS (
+  SELECT qs.query_id, qs.nq, c.vid AS item_id,
+         CAST(list_sum(list_transform(
+           list_slice(qs.qq, c.m * {PQ_SUB} + 1, (c.m + 1) * {PQ_SUB}),
+           (x, i) -> x * t.tq[c.m * {PQ_SUB} + i])) AS BIGINT) AS term
+  FROM qs JOIN codes c ON c.vid <> qs.query_id
+  JOIN train t ON t.j = c.j
+),
+approx AS (
+  SELECT query_id, item_id, ANY_VALUE(nq) AS nq,
+         CAST(SUM(term) AS BIGINT) AS adot
+  FROM terms GROUP BY 1, 2
+),
+cand AS (
+  SELECT a.query_id, a.item_id, a.nq, b.nrm, b.qv,
+         ROW_NUMBER() OVER (
+           PARTITION BY a.query_id
+           ORDER BY ({ssq.format(d='a.adot')}
+                     / (CAST(b.nrm AS DOUBLE) * CAST(a.nq AS DOUBLE))) DESC,
+                    a.item_id ASC) AS ar
+  FROM approx a JOIN base b ON b.{id_col} = a.item_id
+),
+refined AS (
+  SELECT c.query_id, c.item_id,
+         CAST(list_sum(list_transform(c.qv, (x, i) -> x * qs.qq[i]))
+              AS BIGINT) AS dot,
+         c.nrm, c.nq
+  FROM cand c JOIN qs ON qs.query_id = c.query_id
+  WHERE c.ar <= {refine * k}
+),
+ranked AS (
+  SELECT query_id, item_id,
+         ROW_NUMBER() OVER (
+           PARTITION BY query_id
+           ORDER BY ({ssq.format(d='dot')}
+                     / (CAST(nrm AS DOUBLE) * CAST(nq AS DOUBLE))) DESC,
+                    item_id ASC) AS rank
+  FROM refined
+)
+SELECT query_id, item_id AS neighbor_id, CAST(rank AS BIGINT) AS rank
+FROM ranked WHERE rank <= {k}
+"""

@@ -365,3 +365,14 @@ def bpe_pair_counts(spark, sf_dir):
         .orderBy(F.desc("n"), F.asc("pair"))
         .limit(50)
     )
+
+
+# --- ANN: PQ/ADC top-3 with exact re-rank — the product-quantization
+#     building block of an IVF-PQ index: items carry M integer codes
+#     (map-side, codebook literal), queries precompute their ADC
+#     lookup tables, candidates score through table lookups only, and
+#     the top refine*k re-rank exactly.
+@register("ann_pq_adc_topk", similarity.pq_adc_topk_duck())
+def ann_pq_adc_topk(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.pq_adc_topk(emb, k=3, refine=3)

@@ -214,14 +214,14 @@ def telemetry_cisco_mdt_loop(spark, sf_dir):
 #     datagrams (the option the transport exists for) and must
 #     reassemble byte-exact before the JSON parse.
 @register(
-    "telemetry_udp_notif_loop",
+    "telemetry_udp_notif_wire_loop",
     """
 SELECT CAST(user_id % 4 AS BIGINT) AS observation_domain,
        CAST(SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS k_sum,
        COUNT(*) AS n_notifications
 FROM events GROUP BY 1""",
 )
-def telemetry_udp_notif_loop(spark, sf_dir):
+def telemetry_udp_notif_wire_loop(spark, sf_dir):
     from pmacct_spark.streaming.telemetry import (
         decode_udp_notif,
         encode_udp_notif,
