@@ -86,12 +86,17 @@ _DRIVER_WINDOW = [
     # PLUS RFC 9742 framing/segmentation; the plain query keeps local
     # parity)
     "telemetry_udp_notif_wire_loop", "custom_primitive_agg",
-    # LLM data pipeline
-    "dedup_exact", "dedup_minhash_lsh", "dedup_cc_clusters",
+    # LLM data pipeline (r5 swap: ann_pq_adc_topk — the PQ/ADC half of
+    # an IVF-PQ index — replaces dedup_exact, whose family stays
+    # sampled by minhash_lsh + cc_clusters; dedup_exact keeps local
+    # parity)
+    "ann_pq_adc_topk", "dedup_minhash_lsh", "dedup_cc_clusters",
     "decontaminate_benchmark_overlap", "ann_ivf_topk",
     "text_quality_features", "multimodal_decode_features",
-    # relational / TPC-H
-    "tpch_q1_pricing", "window_rank_users",
+    # relational / TPC-H (r5 swap: q21 — EXISTS/NOT-EXISTS self-join
+    # pair, the hardest of the seven shapes that completed the family
+    # at 22/22 — replaces q1, which keeps local parity)
+    "tpch_q21_waiting_orders", "window_rank_users",
 ]
 
 

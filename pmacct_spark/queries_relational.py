@@ -836,3 +836,438 @@ def tpch_q22_idle_customers(spark, sf_dir):
             "totacctbal_cents"
         ),
     )
+
+
+# --- TPC-H Q2-shaped: minimum-cost supplier — the correlated-min
+#     subquery. The fixture has no partsupp table, so the part-supplier
+#     relation (and its "supply cost" = cheapest observed line price,
+#     exact cents) is derived from lineitem; the correlated min is a
+#     per-part window so the part side is scanned once.
+@register(
+    "tpch_q2_min_cost_supplier",
+    """
+WITH partsupp AS (
+  SELECT l_partkey, l_suppkey,
+         CAST(MIN(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+           AS cost_cents
+  FROM lineitem GROUP BY 1, 2
+),
+eligible AS (
+  SELECT ps.l_partkey, ps.cost_cents, s.s_name, s.s_acctbal, n.n_name
+  FROM partsupp ps
+  JOIN supplier s ON ps.l_suppkey = s.s_suppkey
+  JOIN nation n ON s.s_nationkey = n.n_nationkey
+  JOIN region r ON n.n_regionkey = r.r_regionkey
+  JOIN part p ON ps.l_partkey = p.p_partkey
+  WHERE r.r_name = 'EUROPE' AND p.p_type = 'LARGE'
+    AND p.p_size BETWEEN 10 AND 20
+),
+ranked AS (
+  SELECT *, MIN(cost_cents) OVER (PARTITION BY l_partkey) AS min_cost
+  FROM eligible
+)
+SELECT CAST(ROUND(s_acctbal * 100) AS BIGINT) AS s_acctbal_cents,
+       s_name, n_name AS nation, l_partkey AS p_partkey, cost_cents
+FROM ranked WHERE cost_cents = min_cost
+ORDER BY s_acctbal_cents DESC, nation, s_name, p_partkey LIMIT 100""",
+)
+def tpch_q2_min_cost_supplier(spark, sf_dir):
+    from pyspark.sql.window import Window
+
+    li = load_table(spark, sf_dir, "lineitem")
+    ps = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.min(F.round(F.col("l_extendedprice") * 100).cast("bigint")).alias(
+            "cost_cents"
+        )
+    )
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    p = load_table(spark, sf_dir, "part").filter(
+        (F.col("p_type") == "LARGE") & F.col("p_size").between(10, 20)
+    ).select("p_partkey")
+    eligible = (
+        # supplier/part are SF-linear: AQE picks the join strategy;
+        # only the fixed-size nation/region dims are hinted.
+        ps.join(s, ps.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .join(p, ps.l_partkey == p.p_partkey)
+        .select("l_partkey", "cost_cents", "s_name", "s_acctbal", "n_name")
+    )
+    w = Window.partitionBy("l_partkey")
+    return (
+        eligible.withColumn("min_cost", F.min("cost_cents").over(w))
+        .filter(F.col("cost_cents") == F.col("min_cost"))
+        .select(
+            F.round(F.col("s_acctbal") * 100).cast("bigint").alias(
+                "s_acctbal_cents"
+            ),
+            "s_name",
+            F.col("n_name").alias("nation"),
+            F.col("l_partkey").alias("p_partkey"),
+            "cost_cents",
+        )
+        .orderBy(F.desc("s_acctbal_cents"), "nation", "s_name", "p_partkey")
+        .limit(100)
+    )
+
+
+# --- TPC-H Q8-shaped: national market share — the two-nation-role join
+#     (customer's nation filters the market region, supplier's nation is
+#     the share numerator), ratio as integer per-mille like Q14.
+@register(
+    "tpch_q8_market_share",
+    """
+WITH j AS (
+  SELECT CAST(YEAR(o.o_orderdate) AS BIGINT) AS o_year,
+         CAST(ROUND(l.l_extendedprice * (1 - l.l_discount) * 100) AS BIGINT)
+           AS v,
+         sn.n_name AS supp_nation
+  FROM lineitem l
+  JOIN orders o ON l.l_orderkey = o.o_orderkey
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN nation cn ON c.c_nationkey = cn.n_nationkey
+  JOIN region r ON cn.n_regionkey = r.r_regionkey
+  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+  JOIN nation sn ON s.s_nationkey = sn.n_nationkey
+  JOIN part p ON l.l_partkey = p.p_partkey
+  WHERE r.r_name = 'AMERICA' AND p.p_type = 'STANDARD'
+    AND o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+    AND o.o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+)
+SELECT o_year,
+       CAST(SUM(CASE WHEN supp_nation = 'NATION_3' THEN v ELSE 0 END) * 1000
+            // SUM(v) AS BIGINT) AS mkt_share_pm,
+       CAST(SUM(v) AS BIGINT) AS volume_cents
+FROM j GROUP BY 1""",
+)
+def tpch_q8_market_share(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp_ntz"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01 00:00:00").cast("timestamp_ntz"))
+    ).select("o_orderkey", "o_custkey", "o_orderdate")
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "AMERICA")
+    p = load_table(spark, sf_dir, "part").filter(
+        F.col("p_type") == "STANDARD"
+    ).select("p_partkey")
+    cn = n.select(F.col("n_nationkey").alias("cn_key"), F.col("n_regionkey").alias("cn_region"))
+    sn = n.select(F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation"))
+    v = F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100).cast(
+        "bigint"
+    )
+    j = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(cn), F.col("c_nationkey") == F.col("cn_key"))
+        .join(F.broadcast(r), F.col("cn_region") == F.col("r_regionkey"))
+        .join(s, li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(sn), F.col("s_nationkey") == F.col("sn_key"))
+        .join(p, li.l_partkey == p.p_partkey)
+    )
+    return (
+        j.groupBy(F.year("o_orderdate").cast("bigint").alias("o_year"))
+        .agg(
+            F.sum(
+                F.when(F.col("supp_nation") == "NATION_3", v).otherwise(0)
+            ).alias("__num"),
+            F.sum(v).alias("__den"),
+        )
+        .select(
+            "o_year",
+            F.expr("__num * 1000 DIV __den").cast("bigint").alias("mkt_share_pm"),
+            F.col("__den").cast("bigint").alias("volume_cents"),
+        )
+    )
+
+
+# --- TPC-H Q9-shaped: product-type profit — per-nation-per-year profit
+#     where cost uses p_retailprice (the fixture carries no
+#     ps_supplycost); amount is exact integer cents on both sides.
+@register(
+    "tpch_q9_product_profit",
+    """
+SELECT sn.n_name AS nation,
+       CAST(YEAR(o.o_orderdate) AS BIGINT) AS o_year,
+       CAST(SUM(CAST(ROUND(l.l_extendedprice * (1 - l.l_discount) * 100)
+                     AS BIGINT)
+                - CAST(ROUND(p.p_retailprice * 100) AS BIGINT)
+                  * CAST(l.l_quantity AS BIGINT)) AS BIGINT) AS profit_cents
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+JOIN nation sn ON s.s_nationkey = sn.n_nationkey
+JOIN part p ON l.l_partkey = p.p_partkey
+WHERE p.p_name LIKE '%widget'
+GROUP BY 1, 2""",
+)
+def tpch_q9_product_profit(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = load_table(spark, sf_dir, "nation")
+    p = load_table(spark, sf_dir, "part").filter(
+        F.col("p_name").endswith("widget")
+    ).select("p_partkey", "p_retailprice")
+    amount = (
+        F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100).cast(
+            "bigint"
+        )
+        - F.round(F.col("p_retailprice") * 100).cast("bigint")
+        * F.col("l_quantity").cast("bigint")
+    )
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(p, li.l_partkey == p.p_partkey)
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("bigint").alias("o_year"),
+        )
+        .agg(F.sum(amount).cast("bigint").alias("profit_cents"))
+    )
+
+
+# --- TPC-H Q11-shaped: important stock — per-part value share over a
+#     region's suppliers with the global-total scalar subquery as a
+#     1-row broadcast (exact integer cross-multiplication, like Q22).
+@register(
+    "tpch_q11_important_stock",
+    """
+WITH vals AS (
+  SELECT l.l_partkey, CAST(ROUND(l.l_extendedprice * 100) AS BIGINT) AS v
+  FROM lineitem l
+  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+  JOIN nation n ON s.s_nationkey = n.n_nationkey
+  JOIN region r ON n.n_regionkey = r.r_regionkey
+  WHERE r.r_name = 'EUROPE'
+),
+parts AS (
+  SELECT l_partkey, CAST(SUM(v) AS BIGINT) AS value_cents
+  FROM vals GROUP BY 1
+),
+tot AS (SELECT CAST(SUM(value_cents) AS BIGINT) AS t FROM parts)
+SELECT p.l_partkey, p.value_cents
+FROM parts p, tot WHERE p.value_cents * 2000 > tot.t""",
+)
+def tpch_q11_important_stock(spark, sf_dir):
+    from pmacct_spark.operators.staging import stage
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey", "l_extendedprice"
+    )
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    vals = (
+        li.join(s, li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+        .select(
+            "l_partkey",
+            F.round(F.col("l_extendedprice") * 100).cast("bigint").alias("v"),
+        )
+    )
+    parts = stage(  # read twice: the scalar total + the filter
+        vals.groupBy("l_partkey").agg(
+            F.sum("v").cast("bigint").alias("value_cents")
+        )
+    )
+    tot = parts.agg(F.sum("value_cents").cast("bigint").alias("__t"))
+    return (
+        parts.crossJoin(F.broadcast(tot))
+        .filter(F.col("value_cents") * 2000 > F.col("__t"))
+        .select("l_partkey", "value_cents")
+    )
+
+
+# --- TPC-H Q16-shaped: parts/supplier relationship — distinct-supplier
+#     counts per (brand, type, size) with a NOT-IN supplier exclusion
+#     (negative account balance stands in for the complaints filter);
+#     the part-supplier relation is derived from lineitem.
+@register(
+    "tpch_q16_supplier_relationship",
+    """
+WITH rel AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem)
+SELECT p.p_brand, p.p_type, p.p_size,
+       CAST(COUNT(DISTINCT r.l_suppkey) AS BIGINT) AS supplier_cnt
+FROM rel r JOIN part p ON r.l_partkey = p.p_partkey
+WHERE p.p_brand <> 'Brand#23' AND p.p_type <> 'PROMO'
+  AND p.p_size IN (1, 4, 7, 10, 13, 16, 19, 22, 25)
+  AND r.l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY 1, 2, 3""",
+)
+def tpch_q16_supplier_relationship(spark, sf_dir):
+    rel = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_partkey", "l_suppkey")
+        .distinct()
+    )
+    p = load_table(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#23")
+        & (F.col("p_type") != "PROMO")
+        & F.col("p_size").isin(1, 4, 7, 10, 13, 16, 19, 22, 25)
+    ).select("p_partkey", "p_brand", "p_type", "p_size")
+    bad = load_table(spark, sf_dir, "supplier").filter(
+        F.col("s_acctbal") < 0
+    ).select("s_suppkey")
+    return (
+        rel.join(bad, rel.l_suppkey == bad.s_suppkey, "left_anti")
+        .join(p, F.col("l_partkey") == p.p_partkey)
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").cast("bigint").alias("supplier_cnt"))
+    )
+
+
+# --- TPC-H Q20-shaped: potential part promotion — suppliers holding a
+#     dominant share (> 1/4) of a filtered part's annual volume; the
+#     availqty comparison becomes an exact integer share test over the
+#     lineitem-derived supply relation.
+@register(
+    "tpch_q20_part_promotion",
+    """
+WITH qty_sup AS (
+  SELECT l_suppkey, l_partkey,
+         CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS q
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+    AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+  GROUP BY 1, 2
+),
+qty_part AS (
+  SELECT l_partkey, CAST(SUM(q) AS BIGINT) AS t FROM qty_sup GROUP BY 1
+),
+dominant AS (
+  SELECT DISTINCT qs.l_suppkey
+  FROM qty_sup qs
+  JOIN qty_part qp ON qs.l_partkey = qp.l_partkey
+  JOIN part p ON p.p_partkey = qs.l_partkey
+  WHERE p.p_name LIKE 'red %' AND qs.q * 4 > qp.t
+)
+SELECT s.s_suppkey, s.s_name
+FROM supplier s
+JOIN nation n ON s.s_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+WHERE r.r_name = 'ASIA'
+  AND s.s_suppkey IN (SELECT l_suppkey FROM dominant)""",
+)
+def tpch_q20_part_promotion(spark, sf_dir):
+    from pmacct_spark.operators.staging import stage
+
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp_ntz"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01 00:00:00").cast("timestamp_ntz"))
+    )
+    qty_sup = stage(  # read twice: per-part totals + the share test
+        li.groupBy("l_suppkey", "l_partkey").agg(
+            F.sum(F.col("l_quantity").cast("bigint")).cast("bigint").alias("q")
+        )
+    )
+    qty_part = qty_sup.groupBy(F.col("l_partkey").alias("qp_partkey")).agg(
+        F.sum("q").cast("bigint").alias("t")
+    )
+    p = load_table(spark, sf_dir, "part").filter(
+        F.col("p_name").startswith("red ")
+    ).select("p_partkey")
+    dominant = (
+        qty_sup.join(qty_part, F.col("l_partkey") == F.col("qp_partkey"))
+        .join(p, F.col("l_partkey") == F.col("p_partkey"))
+        .filter(F.col("q") * 4 > F.col("t"))
+        .select("l_suppkey")
+        .distinct()
+    )
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    return (
+        s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .join(dominant, s.s_suppkey == dominant.l_suppkey, "left_semi")
+        .select("s_suppkey", "s_name")
+    )
+
+
+# --- TPC-H Q21-shaped: suppliers who kept orders waiting — the
+#     EXISTS / NOT-EXISTS lineitem self-join pair: the supplier was late
+#     on a multi-supplier finished order where no OTHER supplier was
+#     late. The fixture has no commit/receipt dates, so "late" =
+#     shipped more than 90 days after the order date.
+@register(
+    "tpch_q21_waiting_orders",
+    """
+WITH lo AS (
+  SELECT l.l_orderkey, l.l_suppkey,
+         l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY AS late
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+  WHERE o.o_orderstatus = 'F'
+)
+SELECT s.s_name, COUNT(*) AS numwait
+FROM lo l1
+JOIN supplier s ON l1.l_suppkey = s.s_suppkey
+JOIN nation n ON s.s_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+WHERE r.r_name = 'AFRICA' AND l1.late
+  AND EXISTS (SELECT 1 FROM lo l2 WHERE l2.l_orderkey = l1.l_orderkey
+              AND l2.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (SELECT 1 FROM lo l3 WHERE l3.l_orderkey = l1.l_orderkey
+                  AND l3.l_suppkey <> l1.l_suppkey AND l3.late)
+GROUP BY 1
+ORDER BY numwait DESC, s_name LIMIT 20""",
+)
+def tpch_q21_waiting_orders(spark, sf_dir):
+    from pmacct_spark.operators.staging import stage
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate"
+    )
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderstatus") == "F"
+    ).select("o_orderkey", "o_orderdate")
+    lo = stage(  # read three times: l1, the EXISTS, the NOT EXISTS
+        li.join(o, li.l_orderkey == o.o_orderkey).select(
+            "l_orderkey",
+            "l_suppkey",
+            (F.col("l_shipdate") > F.expr("o_orderdate + INTERVAL 90 DAY")).alias(
+                "late"
+            ),
+        )
+    )
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "AFRICA")
+    l1 = (
+        lo.filter("late")
+        .join(s, F.col("l_suppkey") == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .select("l_orderkey", "l_suppkey", "s_name")
+    )
+    l2 = lo.select(
+        F.col("l_orderkey").alias("o2"), F.col("l_suppkey").alias("s2")
+    )
+    l3 = lo.filter("late").select(
+        F.col("l_orderkey").alias("o3"), F.col("l_suppkey").alias("s3")
+    )
+    return (
+        l1.join(
+            l2,
+            (F.col("l_orderkey") == F.col("o2"))
+            & (F.col("l_suppkey") != F.col("s2")),
+            "left_semi",
+        )
+        .join(
+            l3,
+            (F.col("l_orderkey") == F.col("o3"))
+            & (F.col("l_suppkey") != F.col("s3")),
+            "left_anti",
+        )
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.desc("numwait"), "s_name")
+        .limit(20)
+    )

@@ -272,12 +272,13 @@ def test_no_forced_broadcast_of_sf_linear_tables(spark):
         / "queries_relational.py"
     )
     # allowlist: nation/region and their aliased slices (sn/cn are the
-    # supplier-/customer-side nation copies in Q7), plus the 1-row
-    # scalar aggregates q15/q22 cross-join (mx/stats) — all fixed-size
+    # supplier-/customer-side nation copies in Q7/Q8), plus the 1-row
+    # scalar aggregates cross-joined in q15/q22/q11 (mx/stats/tot) —
+    # all fixed-size at any SF
     bad = [
         v
         for v in re.findall(r"F\.broadcast\((\w+)\)", src.read_text())
-        if v not in ("n", "r", "sn", "cn", "mx", "stats")
+        if v not in ("n", "r", "sn", "cn", "mx", "stats", "tot")
     ]
     assert not bad, f"forced broadcast of SF-linear var(s): {bad}"
 
