@@ -86,11 +86,11 @@ _DRIVER_WINDOW = [
     # PLUS RFC 9742 framing/segmentation; the plain query keeps local
     # parity)
     "telemetry_udp_notif_wire_loop", "custom_primitive_agg",
-    # LLM data pipeline (r5 swap: ann_pq_adc_topk — the PQ/ADC half of
-    # an IVF-PQ index — replaces dedup_exact, whose family stays
-    # sampled by minhash_lsh + cc_clusters; dedup_exact keeps local
-    # parity)
-    "ann_pq_adc_topk", "dedup_minhash_lsh", "dedup_cc_clusters",
+    # LLM data pipeline (r5 swap: ann_ivf_pq_topk — the composed
+    # IVF-PQ index, strictly a superset of the PQ/ADC-only shape —
+    # replaces dedup_exact, whose family stays sampled by minhash_lsh
+    # + cc_clusters; dedup_exact and ann_pq_adc_topk keep local parity)
+    "ann_ivf_pq_topk", "dedup_minhash_lsh", "dedup_cc_clusters",
     "decontaminate_benchmark_overlap", "ann_ivf_topk",
     "text_quality_features", "multimodal_decode_features",
     # relational / TPC-H (r5 swap: q21 — EXISTS/NOT-EXISTS self-join

@@ -823,3 +823,234 @@ ranked AS (
 SELECT query_id, item_id AS neighbor_id, CAST(rank AS BIGINT) AS rank
 FROM ranked WHERE rank <= {k}
 """
+
+
+def ivf_pq_topk(
+    items: DataFrame,
+    k: int = 3,
+    refine: int = 3,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    query_pred: str = "vec_id < 10",
+) -> DataFrame:
+    """The composed IVF-PQ index — coarse cells prune the candidate
+    set, PQ/ADC scores what's left, the top survivors re-rank exactly:
+
+      1. every item gets its IVF cell (literal-centroid fold) AND its
+         M PQ codes (literal-codebook argmin) in ONE map-side
+         projection — the item table never shuffles for the index;
+      2. queries probe their ``nprobe`` nearest cells and precompute
+         their M x K ADC tables;
+      3. candidates = items in probed cells only (broadcast hash join
+         on the cell key), scored via table lookups, top refine*k kept;
+      4. exact quantized-dot re-rank of the survivors.
+
+    Codes are over raw vectors, not cell residuals (IVFPQ with
+    by_residual=false) — the plan shape is identical and the arithmetic
+    stays integer-exact cross-engine."""
+    base = quantize(items.select(id_col, emb_col), emb_col, "qv")
+    base = base.withColumn("nrm", F.expr(_norm_sq("qv"))).drop(emb_col)
+    cents_df = base.filter(F.expr(IVF_CENTROID_PRED.format(id=id_col))).select(
+        F.col(id_col).alias("cid"), F.col("qv").alias("qc"), F.col("nrm").alias("nc")
+    )
+    cents = [(r["cid"], list(r["qc"]), r["nc"]) for r in cents_df.collect()]
+    cb = _pq_codebook(base, id_col)
+    K = len(cb[0])
+    code_exprs = ", ".join(_pq_code_expr(cb[m], m) for m in range(PQ_M))
+    items_idx = base.withColumn(
+        "cell", F.expr(_ivf_assign_expr(cents, "qv", "nrm"))
+    ).withColumn("codes", F.expr(f"array({code_exprs})"))
+
+    qtab_terms = ", ".join(
+        f"aggregate(zip_with(slice(qv, {m * PQ_SUB + 1}, {PQ_SUB}), "
+        f"array({', '.join(str(v) + 'L' for v in cb[m][j])}), "
+        f"(x, y) -> x * y), 0L, (a, v) -> a + v)"
+        for m in range(PQ_M)
+        for j in range(K)
+    )
+    qs = (
+        base.filter(F.expr(query_pred))
+        .withColumn("qtab", F.expr(f"array({qtab_terms})"))
+        .select(
+            F.col(id_col).alias("query_id"),
+            F.col("qv").alias("qq"),
+            F.col("nrm").alias("nq"),
+            "qtab",
+        )
+    )
+    wp = Window.partitionBy("query_id").orderBy(F.desc("ps"), F.asc("cid"))
+    probes = (
+        qs.crossJoin(F.broadcast(cents_df))
+        .withColumn("d", F.expr(_dot("qq", "qc")))
+        .withColumn(
+            "ps",
+            F.expr(
+                f"{_SIGNED_SQ.format(d='d')}"
+                " / (CAST(nq AS DOUBLE) * CAST(nc AS DOUBLE))"
+            ),
+        )
+        .withColumn("rn", F.row_number().over(wp))
+        .filter(F.col("rn") <= nprobe)
+        .select("query_id", "qq", "nq", "qtab", F.col("cid").alias("cell"))
+    )
+    adot = (
+        f"aggregate(sequence(0, {PQ_M - 1}), 0L, (a, m) -> "
+        f"a + element_at(qtab, CAST(m * {K} + element_at(codes, m + 1) + 1 AS INT)))"
+    )
+    cand = (
+        items_idx.join(F.broadcast(probes), "cell")
+        .filter(F.col(id_col) != F.col("query_id"))
+        .withColumn("adot", F.expr(adot))
+        .withColumn(
+            "as_m",
+            F.expr(
+                f"{_SIGNED_SQ.format(d='adot')}"
+                " / (CAST(nrm AS DOUBLE) * CAST(nq AS DOUBLE))"
+            ),
+        )
+    )
+    wa = Window.partitionBy("query_id").orderBy(F.desc("as_m"), F.asc(id_col))
+    refined = (
+        cand.withColumn("ar", F.row_number().over(wa))
+        .filter(F.col("ar") <= refine * k)
+        .withColumn("dot", F.expr(_dot("qv", "qq")))
+        .withColumn(
+            "sim_m",
+            F.expr(
+                f"{_SIGNED_SQ.format(d='dot')}"
+                " / (CAST(nrm AS DOUBLE) * CAST(nq AS DOUBLE))"
+            ),
+        )
+    )
+    wr = Window.partitionBy("query_id").orderBy(F.desc("sim_m"), F.asc(id_col))
+    return (
+        refined.withColumn("rank", F.row_number().over(wr))
+        .filter(F.col("rank") <= k)
+        .select("query_id", F.col(id_col).alias("neighbor_id"), "rank")
+    )
+
+
+def ivf_pq_topk_duck(
+    source: str = "embeddings",
+    k: int = 3,
+    refine: int = 3,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    query_pred: str = "vec_id < 10",
+) -> str:
+    """SQL replay of :func:`ivf_pq_topk`: IVF assignment and probes
+    exactly as :func:`ivf_topk_duck`, PQ codes/ADC exactly as
+    :func:`pq_adc_topk_duck`, candidates restricted to probed cells."""
+    q = _QUANT_DUCK.format(col=emb_col, q=QUANT)
+    cpred = IVF_CENTROID_PRED.format(id=id_col)
+    tpred = PQ_TRAIN_PRED.format(id=id_col)
+    dot_bc = "CAST(list_sum(list_transform(b.qv, (x, i) -> x * c.qc[i])) AS BIGINT)"
+    dot_qc = "CAST(list_sum(list_transform(q.qq, (x, i) -> x * c.qc[i])) AS BIGINT)"
+    sgn = _SIGNED_SQ
+    ssq = (
+        "CASE WHEN {d} >= 0 THEN CAST({d} * {d} AS DOUBLE)"
+        " ELSE -CAST({d} * {d} AS DOUBLE) END"
+    )
+    return f"""
+WITH base AS (
+  SELECT {id_col}, {q} AS qv,
+         CAST(list_sum(list_transform({q}, x -> x * x)) AS BIGINT) AS nrm
+  FROM {source}
+),
+cents AS (
+  SELECT {id_col} AS cid, qv AS qc, nrm AS nc FROM base WHERE {cpred}
+),
+assign AS (
+  SELECT {id_col}, cid AS cell FROM (
+    SELECT b.{id_col}, c.cid,
+           ROW_NUMBER() OVER (
+             PARTITION BY b.{id_col}
+             ORDER BY ({sgn.format(d=dot_bc)}
+                       / (CAST(b.nrm AS DOUBLE) * CAST(c.nc AS DOUBLE))) DESC,
+                      c.cid ASC) AS rn
+    FROM base b, cents c) WHERE rn = 1
+),
+train AS (
+  SELECT ROW_NUMBER() OVER (ORDER BY {id_col}) - 1 AS j, qv AS tq
+  FROM base WHERE {tpred}
+),
+dists AS (
+  SELECT b.{id_col} AS vid, m.m, t.j,
+         CAST(list_sum(list_transform(
+           list_slice(b.qv, m.m * {PQ_SUB} + 1, (m.m + 1) * {PQ_SUB}),
+           (x, i) -> (x - t.tq[m.m * {PQ_SUB} + i])
+                   * (x - t.tq[m.m * {PQ_SUB} + i]))) AS BIGINT) AS d
+  FROM base b, range(0, {PQ_M}) m(m), train t
+),
+codes AS (
+  SELECT vid, m, j FROM (
+    SELECT vid, m, j,
+           ROW_NUMBER() OVER (PARTITION BY vid, m ORDER BY d ASC, j ASC) rn
+    FROM dists) WHERE rn = 1
+),
+qs AS (
+  SELECT {id_col} AS query_id, qv AS qq, nrm AS nq FROM base WHERE {query_pred}
+),
+probes AS (
+  SELECT query_id, cell FROM (
+    SELECT q.query_id, c.cid AS cell,
+           ROW_NUMBER() OVER (
+             PARTITION BY q.query_id
+             ORDER BY ({sgn.format(d=dot_qc)}
+                       / (CAST(q.nq AS DOUBLE) * CAST(c.nc AS DOUBLE))) DESC,
+                      c.cid ASC) AS rn
+    FROM qs q, cents c) WHERE rn <= {nprobe}
+),
+cand AS (
+  SELECT p.query_id, a.{id_col} AS item_id
+  FROM probes p JOIN assign a ON a.cell = p.cell
+  JOIN qs ON qs.query_id = p.query_id
+  WHERE a.{id_col} <> p.query_id
+),
+terms AS (
+  SELECT cd.query_id, cd.item_id,
+         CAST(list_sum(list_transform(
+           list_slice(qs.qq, c.m * {PQ_SUB} + 1, (c.m + 1) * {PQ_SUB}),
+           (x, i) -> x * t.tq[c.m * {PQ_SUB} + i])) AS BIGINT) AS term
+  FROM cand cd
+  JOIN qs ON qs.query_id = cd.query_id
+  JOIN codes c ON c.vid = cd.item_id
+  JOIN train t ON t.j = c.j
+),
+approx AS (
+  SELECT query_id, item_id, CAST(SUM(term) AS BIGINT) AS adot
+  FROM terms GROUP BY 1, 2
+),
+ranked_a AS (
+  SELECT a.query_id, a.item_id, b.qv, b.nrm, qs.nq,
+         ROW_NUMBER() OVER (
+           PARTITION BY a.query_id
+           ORDER BY ({ssq.format(d='a.adot')}
+                     / (CAST(b.nrm AS DOUBLE) * CAST(qs.nq AS DOUBLE))) DESC,
+                    a.item_id ASC) AS ar
+  FROM approx a
+  JOIN base b ON b.{id_col} = a.item_id
+  JOIN qs ON qs.query_id = a.query_id
+),
+refined AS (
+  SELECT r.query_id, r.item_id,
+         CAST(list_sum(list_transform(r.qv, (x, i) -> x * qs.qq[i]))
+              AS BIGINT) AS dot,
+         r.nrm, r.nq
+  FROM ranked_a r JOIN qs ON qs.query_id = r.query_id
+  WHERE r.ar <= {refine * k}
+),
+ranked AS (
+  SELECT query_id, item_id,
+         ROW_NUMBER() OVER (
+           PARTITION BY query_id
+           ORDER BY ({ssq.format(d='dot')}
+                     / (CAST(nrm AS DOUBLE) * CAST(nq AS DOUBLE))) DESC,
+                    item_id ASC) AS rank
+  FROM refined
+)
+SELECT query_id, item_id AS neighbor_id, CAST(rank AS BIGINT) AS rank
+FROM ranked WHERE rank <= {k}
+"""

@@ -376,3 +376,12 @@ def bpe_pair_counts(spark, sf_dir):
 def ann_pq_adc_topk(spark, sf_dir):
     emb = load_table(spark, sf_dir, "embeddings")
     return similarity.pq_adc_topk(emb, k=3, refine=3)
+
+
+# --- ANN: the composed IVF-PQ index — coarse cells prune candidates
+#     (map-side assignment, item table never shuffles), PQ/ADC scores
+#     the probed cells via lookup tables, top refine*k re-rank exactly.
+@register("ann_ivf_pq_topk", similarity.ivf_pq_topk_duck())
+def ann_ivf_pq_topk(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.ivf_pq_topk(emb, k=3, refine=3, nprobe=2)

@@ -166,8 +166,12 @@ def test_lpm6_and_ivf_keep_fact_side_broadcast(spark):
     lookup; the sole hash exchanges allowed are the tiny per-query
     ranking windows (IVF) or the final aggregation (LPM)."""
     q = entrymod.queries()
+    # (ann_pq_adc_topk is absent by design: its candidate join is a
+    # deliberate BroadcastNestedLoop — items x |queries| with no equi
+    # key; the composed ann_ivf_pq_topk adds the cell equi key and so
+    # must hash-join)
     for name in ("lpm6_networks_src_as", "ann_ivf_topk",
-                 "bgp6_wire_rib_lookup"):
+                 "ann_ivf_pq_topk", "bgp6_wire_rib_lookup"):
         plan = _plan(q[name](spark, SF_DIR))
         assert "BroadcastHashJoin" in plan, f"{name}: no broadcast join"
         assert "SortMergeJoin" not in plan, f"{name}: fact-side shuffle join"

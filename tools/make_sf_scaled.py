@@ -60,6 +60,44 @@ def main(src: str, dst: str, k: int) -> None:
             f"TO '{dst}/{t}.parquet' (FORMAT PARQUET)"
         )
 
+    # Non-relational families (wire loops derive datagrams from events;
+    # ANN/dedup/text run over embeddings/documents). Same disjoint-key
+    # replication. Replicated embeddings deliberately do NOT extend the
+    # centroid/PQ-train/query id sets (all bounded predicates on low
+    # vec_ids) — the index stays fixed while the item side grows K×,
+    # which is exactly the serving-scale shape.
+    for t, keys in [
+        ("events", ["event_id", "user_id"]),
+        ("documents", ["doc_id"]),
+        ("embeddings", ["vec_id"]),
+    ]:
+        path = f"{src}/{t}.parquet"
+        if not os.path.exists(path):
+            continue
+        span = {
+            k2: con.execute(
+                f"SELECT MAX({k2}) FROM read_parquet('{path}')"
+            ).fetchone()[0]
+            for k2 in keys
+        }
+        cols = [r[0] for r in con.execute(
+            f"DESCRIBE SELECT * FROM read_parquet('{path}')"
+        ).fetchall()]
+        sel = ", ".join(
+            (f"{c} + @I * {span[c]} AS {c}" if c in span else c)
+            for c in cols
+        )
+        parts = " UNION ALL ".join(
+            f"SELECT {sel.replace('@I', str(i))} FROM read_parquet('{path}')"
+            for i in range(k)
+        )
+        con.execute(
+            f"COPY ({parts}) TO '{dst}/{t}.parquet' (FORMAT PARQUET)"
+        )
+        print(t, con.execute(
+            f"SELECT COUNT(*) FROM read_parquet('{dst}/{t}.parquet')"
+        ).fetchone()[0])
+
 
 if __name__ == "__main__":
     main(sys.argv[1], sys.argv[2], int(sys.argv[3]))
