@@ -15,6 +15,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from pmacct_spark.driver_queries import register
+from pmacct_spark.functions import hashing
 from pmacct_spark.operators import dedup, similarity, text
 from pmacct_spark.sources.tables import load_table
 
@@ -385,3 +386,144 @@ def ann_pq_adc_topk(spark, sf_dir):
 def ann_ivf_pq_topk(spark, sf_dir):
     emb = load_table(spark, sf_dir, "embeddings")
     return similarity.ivf_pq_topk(emb, k=3, refine=3, nprobe=2)
+
+
+# --- document chunking: fixed-token windows with overlap (chunk = 64
+#     tokens, stride 48) — the context-window prep step between
+#     curation and tokenization. Chunk identity is the portable
+#     polynomial hash of the re-joined chunk text, so the explode,
+#     the slice bounds, and the overlap arithmetic are all
+#     value-checked cross-engine.
+_CHUNK, _STRIDE = 64, 48
+
+
+@register(
+    "doc_chunking",
+    f"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '\\s+'),
+                     t -> t <> '') AS tk
+  FROM documents
+),
+sized AS (
+  SELECT doc_id, tk, len(tk) AS n,
+         CASE WHEN len(tk) <= {_CHUNK} THEN 1
+              ELSE ((len(tk) - {_CHUNK} + {_STRIDE - 1}) // {_STRIDE}) + 1
+         END AS nc
+  FROM toks
+),
+chunks AS (
+  SELECT doc_id, CAST(unnest(range(nc)) AS BIGINT) AS chunk_id, tk
+  FROM sized
+),
+txt AS (
+  SELECT doc_id, chunk_id,
+         list_slice(tk, chunk_id * {_STRIDE} + 1,
+                    chunk_id * {_STRIDE} + {_CHUNK}) AS ch
+  FROM chunks
+),
+strs AS (
+  SELECT doc_id, chunk_id, CAST(len(ch) AS BIGINT) AS chunk_tokens,
+         array_to_string(ch, ' ') AS ch_str
+  FROM txt
+)
+SELECT doc_id, chunk_id, chunk_tokens,
+       {hashing.poly_hash_duck_sql('ch_str')} AS chunk_fp
+FROM strs""",
+)
+def doc_chunking(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = docs.select(
+        "doc_id",
+        F.expr("filter(split(lower(text), '\\\\s+'), t -> t <> '')").alias("tk"),
+    )
+    sized = toks.withColumn("n", F.size("tk")).withColumn(
+        "nc",
+        F.when(F.col("n") <= _CHUNK, F.lit(1)).otherwise(
+            F.expr(f"((n - {_CHUNK} + {_STRIDE - 1}) DIV {_STRIDE}) + 1")
+        ),
+    )
+    # sequence+explode is a Generate node: tk/nc materialize at its
+    # boundary, so the per-chunk slice + hash below never re-tokenize
+    # (the projection-collapsing trap documented in operators/text.py)
+    chunks = sized.select(
+        "doc_id", "tk", F.expr("explode(sequence(0, nc - 1))").alias("chunk_id")
+    )
+    return (
+        chunks.withColumn(
+            "ch", F.expr(f"slice(tk, chunk_id * {_STRIDE} + 1, {_CHUNK})")
+        )
+        .select(
+            "doc_id",
+            F.col("chunk_id").cast("bigint").alias("chunk_id"),
+            F.size("ch").cast("bigint").alias("chunk_tokens"),
+            F.expr(hashing.poly_hash_spark_sql("array_join(ch, ' ')")).alias(
+                "chunk_fp"
+            ),
+        )
+    )
+
+
+# --- retrieval fusion: reciprocal-rank fusion of two ANN strategies
+#     (exact brute-force + IVF) — the standard way production retrieval
+#     merges heterogeneous rankers. Scores are integer
+#     1e6 DIV (60 + rank) so the fusion is exact cross-engine.
+@register(
+    "ann_rrf_fusion",
+    f"""
+WITH b AS ({similarity.brute_force_topk_duck(k=10)}),
+v AS ({similarity.ivf_topk_duck(k=10, nprobe=2)}),
+sc AS (
+  SELECT COALESCE(b.query_id, v.query_id) AS query_id,
+         COALESCE(b.neighbor_id, v.neighbor_id) AS neighbor_id,
+         COALESCE(1000000 // (60 + b.rank), 0)
+         + COALESCE(1000000 // (60 + v.rank), 0) AS score
+  FROM b FULL OUTER JOIN v
+    ON b.query_id = v.query_id AND b.neighbor_id = v.neighbor_id
+)
+SELECT query_id, neighbor_id, CAST(score AS BIGINT) AS score,
+       CAST(ROW_NUMBER() OVER (
+         PARTITION BY query_id
+         ORDER BY score DESC, neighbor_id ASC) AS BIGINT) AS fused_rank
+FROM sc QUALIFY fused_rank <= 5""",
+)
+def ann_rrf_fusion(spark, sf_dir):
+    from pyspark.sql.window import Window
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    b = similarity.brute_force_topk(emb, emb.filter("vec_id < 10"), k=10)
+    v = similarity.ivf_topk(emb, k=10, nprobe=2)
+    bb = b.select(
+        F.col("query_id").alias("bq"),
+        F.col("neighbor_id").alias("bn"),
+        F.col("rank").alias("br"),
+    )
+    vv = v.select(
+        F.col("query_id").alias("vq"),
+        F.col("neighbor_id").alias("vn"),
+        F.col("rank").alias("vr"),
+    )
+    sc = (
+        bb.join(
+            vv,
+            (F.col("bq") == F.col("vq")) & (F.col("bn") == F.col("vn")),
+            "full_outer",
+        )
+        .select(
+            F.coalesce("bq", "vq").alias("query_id"),
+            F.coalesce("bn", "vn").alias("neighbor_id"),
+            (
+                F.coalesce(F.expr("1000000 DIV (60 + br)"), F.lit(0))
+                + F.coalesce(F.expr("1000000 DIV (60 + vr)"), F.lit(0))
+            ).alias("score"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("score"), F.asc("neighbor_id")
+    )
+    return (
+        sc.withColumn("fused_rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("fused_rank") <= 5)
+        .select("query_id", "neighbor_id", F.col("score").cast("bigint").alias("score"), "fused_rank")
+    )

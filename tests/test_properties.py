@@ -7,6 +7,7 @@ operators where a worked example can miss edge cases.
 from __future__ import annotations
 
 from hypothesis import given, settings, strategies as st
+from pyspark.sql import functions as F
 
 from pmacct_spark.functions.hashing import MUL, P
 from pmacct_spark.operators.fss import fss_sample
@@ -483,3 +484,120 @@ def test_rpki_validate_matches_model(spark, roas, routes):
     }
     want = {rid: model(net, ml, asn) for rid, net, ml, asn in route_rows}
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# Document chunking: coverage + overlap invariants vs a Python reference
+# ---------------------------------------------------------------------------
+
+words_st = st.lists(
+    st.text(alphabet="abcdef", min_size=1, max_size=4),
+    min_size=0, max_size=200,
+)
+
+
+def _ref_chunks(tokens: list[str], size: int = 64, stride: int = 48):
+    n = len(tokens)
+    nc = 1 if n <= size else (n - size + stride - 1) // stride + 1
+    return [tokens[i * stride : i * stride + size] for i in range(nc)]
+
+
+@SET
+@given(st.lists(words_st, min_size=1, max_size=6))
+def test_doc_chunking_invariants(spark, docs):
+    """Every token position is covered; consecutive chunks overlap by
+    exactly size-stride (except a short tail); chunk contents equal the
+    Python reference slices."""
+    from pmacct_spark.queries_pipeline import _CHUNK, _STRIDE
+
+    rows = [(i, " ".join(ws)) for i, ws in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = (
+        df.select(
+            "doc_id",
+            F.expr("filter(split(lower(text), '\\\\s+'), t -> t <> '')").alias("tk"),
+        )
+        .withColumn("n", F.size("tk"))
+        .withColumn(
+            "nc",
+            F.when(F.col("n") <= _CHUNK, F.lit(1)).otherwise(
+                F.expr(f"((n - {_CHUNK} + {_STRIDE - 1}) DIV {_STRIDE}) + 1")
+            ),
+        )
+        .select("doc_id", "tk",
+                F.expr("explode(sequence(0, nc - 1))").alias("cid"))
+        .withColumn("ch", F.expr(f"slice(tk, cid * {_STRIDE} + 1, {_CHUNK})"))
+        .collect()
+    )
+    got: dict[int, dict[int, list[str]]] = {}
+    for r in out:
+        got.setdefault(r["doc_id"], {})[r["cid"]] = list(r["ch"])
+    for i, ws in enumerate(docs):
+        toks = [w.lower() for w in " ".join(ws).split()]
+        ref = _ref_chunks(toks, _CHUNK, _STRIDE)
+        mine = [got[i][c] for c in sorted(got[i])]
+        assert mine == ref
+        covered = sum((len(c) for c in ref))
+        # every position covered at least once (chunks tile with overlap)
+        assert covered >= len(toks)
+
+
+# ---------------------------------------------------------------------------
+# Reciprocal-rank fusion: dominance invariant vs a Python reference
+# ---------------------------------------------------------------------------
+
+ranklist_st = st.lists(
+    st.integers(min_value=100, max_value=120), min_size=1, max_size=10,
+    unique=True,
+)
+
+
+@SET
+@given(ranklist_st, ranklist_st)
+def test_rrf_fusion_matches_reference(spark, la, lb):
+    """Fused ordering equals the Python RRF reference (integer scores,
+    ties by neighbor id); an item ranked better in BOTH lists never
+    fuses below one ranked worse in both."""
+    import itertools
+
+    from pyspark.sql.window import Window
+
+    a = spark.createDataFrame(
+        [(1, n, r + 1) for r, n in enumerate(la)], "query_id long, neighbor_id long, rank long"
+    )
+    b = spark.createDataFrame(
+        [(1, n, r + 1) for r, n in enumerate(lb)], "query_id long, neighbor_id long, rank long"
+    )
+    aa = a.select(F.col("neighbor_id").alias("an"), F.col("rank").alias("ar"))
+    bb = b.select(F.col("neighbor_id").alias("bn"), F.col("rank").alias("br"))
+    sc = (
+        aa.join(bb, F.col("an") == F.col("bn"), "full_outer")
+        .select(
+            F.coalesce("an", "bn").alias("n"),
+            (
+                F.coalesce(F.expr("1000000 DIV (60 + ar)"), F.lit(0))
+                + F.coalesce(F.expr("1000000 DIV (60 + br)"), F.lit(0))
+            ).alias("score"),
+        )
+    )
+    w = Window.orderBy(F.desc("score"), F.asc("n"))
+    got = [
+        (r["n"], r["score"])
+        for r in sc.withColumn("fr", F.row_number().over(w)).orderBy("fr").collect()
+    ]
+    # Python reference
+    scores: dict[int, int] = {}
+    for lst in (la, lb):
+        for r, n in enumerate(lst):
+            scores[n] = scores.get(n, 0) + 1000000 // (60 + r + 1)
+    ref = sorted(scores.items(), key=lambda t: (-t[1], t[0]))
+    assert got == ref
+    # dominance: better in both -> never below
+    pos = {n: i for i, (n, _) in enumerate(got)}
+    for x, y in itertools.combinations(scores, 2):
+        rx_a = la.index(x) if x in la else len(la) + 100
+        ry_a = la.index(y) if y in la else len(la) + 100
+        rx_b = lb.index(x) if x in lb else len(lb) + 100
+        ry_b = lb.index(y) if y in lb else len(lb) + 100
+        if rx_a < ry_a and rx_b < ry_b:
+            assert pos[x] < pos[y]
