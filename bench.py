@@ -94,16 +94,30 @@ def main() -> int:
         # lifecycle — a long-lived pipeline gets the same hygiene this
         # bench measures
 
+    # The driver records a ~4 KB tail of stdout; at 151 gated queries
+    # even a compact 2-decimal full dict is ~4.1 KB and truncates
+    # (r2/r3 lost the parsed dict that way, r4's tail was clipped).
+    # Inline the slowest N (the informative entries) and keep the full
+    # per-query dict in BENCH_FULL.json, which the judge reads anyway.
+    inline_cap = int(os.environ.get("SPARK_GRAFT_BENCH_INLINE", "60"))
+    slowest = dict(
+        sorted(
+            ((k, round(v, 2)) for k, v in timings.items()),
+            key=lambda t: -t[1],
+        )[:inline_cap]
+    )
     result = {
         "metric": "total_query_wall_sec",
         "value": round(sum(timings.values()), 3),
         "unit": "sec",
-        # 2-decimal, compact-separator line: the driver records a
-        # ~4 KB tail of stdout, and r2/r3's 3-decimal pretty line
-        # overflowed it, losing the parsed per-query dict
-        "queries": {k: round(v, 2) for k, v in timings.items()},
+        "queries": slowest,
         "sf": sf,
     }
+    if len(timings) > len(slowest):
+        result["queries_note"] = (
+            f"slowest {len(slowest)} of {len(timings)} inline; "
+            "full per-query medians in BENCH_FULL.json"
+        )
     if failures:
         result["failures"] = failures
     # The driver records stdout with a tail-truncation that has lost
