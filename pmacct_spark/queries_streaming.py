@@ -904,3 +904,78 @@ def options_vrf_wire_enrich(spark, sf_dir):
         F.sum("bytes").cast("bigint").alias("bytes"),
         F.count(F.lit(1)).alias("n_records"),
     )
+
+
+# --- streaming exact dedup with CROSS-BATCH state: incremental corpus
+#     ingest (the LLM-pipeline shape — documents keep arriving; a
+#     duplicate of something seen hours ago must still be dropped).
+#     pmacct's closest analogue is the long-lived flow/template caches
+#     (src/ip_flow.c:47-77) — state that outlives any one buffer.
+@register(
+    "stream_dedup_exact",
+    """
+SELECT md5(text) AS digest, CAST(doc_id AS BIGINT) AS survivor_id
+FROM documents""",
+)
+def stream_dedup_exact(spark, sf_dir):
+    """Exact dedup as a STREAMING query: the corpus arrives in two
+    micro-batches (maxFilesPerTrigger=1) — the originals first,
+    byte-exact duplicates under shifted ids second — and streaming
+    ``dropDuplicates`` on the content digest must suppress every
+    batch-2 row FROM THE STATE STORE, not intra-batch grouping. A
+    stateless per-batch dedup emits 2x the rows; the oracle (originals
+    only) catches exactly that. Production note: bound the state with
+    ``withWatermark`` + ``dropDuplicatesWithinWatermark`` when the
+    dedup horizon is finite; the cross-corpus band join
+    (dedup_cross_corpus) is the unbounded-horizon batch path."""
+    import os
+    import tempfile
+
+    from pmacct_spark.session import apply_runtime_confs
+    from pmacct_spark.sources.tables import load_table
+
+    apply_runtime_confs(spark)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    corpus = docs.withColumn("b", F.lit(1)).unionByName(
+        docs.select(
+            (F.col("doc_id") + 1000000).alias("doc_id"), "text"
+        ).withColumn("b", F.lit(2))
+    )
+    d = tempfile.mkdtemp(prefix="stream_dedup_")
+    # distributed 2-file split, one Spark job (no driver collect)
+    corpus.repartition("b").write.partitionBy("b").parquet(
+        os.path.join(d, "w")
+    )
+    src = os.path.join(d, "src")
+    os.makedirs(src)
+    for i in (1, 2):
+        bdir = os.path.join(d, "w", f"b={i}")
+        parts = [f for f in os.listdir(bdir) if f.endswith(".parquet")]
+        assert len(parts) == 1, parts  # repartition("b") -> 1 file per b
+        dst = os.path.join(src, f"b{i}.parquet")
+        os.rename(os.path.join(bdir, parts[0]), dst)
+        # FileStreamSource orders files by modification time
+        os.utime(dst, (1_700_000_000 + i, 1_700_000_000 + i))
+    schema = spark.read.parquet(src).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    dedup = (
+        stream.select(
+            F.md5("text").alias("digest"),
+            F.col("doc_id").cast("bigint").alias("survivor_id"),
+        )
+        .dropDuplicates(["digest"])
+    )
+    q = (
+        dedup.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("q_stream_dedup_exact")
+        .option("checkpointLocation", os.path.join(d, "_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table("q_stream_dedup_exact")
