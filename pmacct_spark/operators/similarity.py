@@ -654,6 +654,36 @@ aggregate(
   acc -> acc.bj)"""
 
 
+def _pq_code_array_expr(cb: list[list[list[int]]]) -> str:
+    """The item-side M-code array (one map-side projection)."""
+    return "array({})".format(
+        ", ".join(_pq_code_expr(cb[m], m) for m in range(PQ_M))
+    )
+
+
+def _pq_qtab_terms(cb: list[list[list[int]]]) -> str:
+    """Per-query ADC table terms, flattened m-major (index m*K + j,
+    1-based element_at): dot(query subvector m, cb[m][j]) — exact
+    integers. Shared by the PQ-only and IVF-PQ plans so their
+    arithmetic is provably identical."""
+    K = len(cb[0])
+    return ", ".join(
+        f"aggregate(zip_with(slice(qv, {m * PQ_SUB + 1}, {PQ_SUB}), "
+        f"array({', '.join(str(v) + 'L' for v in cb[m][j])}), "
+        f"(x, y) -> x * y), 0L, (a, v) -> a + v)"
+        for m in range(PQ_M)
+        for j in range(K)
+    )
+
+
+def _pq_adot_expr(K: int) -> str:
+    """Candidate ADC score: M table lookups, no per-pair vector math."""
+    return (
+        f"aggregate(sequence(0, {PQ_M - 1}), 0L, (a, m) -> "
+        f"a + element_at(qtab, CAST(m * {K} + element_at(codes, m + 1) + 1 AS INT)))"
+    )
+
+
 def pq_adc_topk(
     items: DataFrame,
     k: int = 3,
@@ -677,22 +707,11 @@ def pq_adc_topk(
     base = base.withColumn("nrm", F.expr(_norm_sq("qv"))).drop(emb_col)
     cb = _pq_codebook(base, id_col)
     K = len(cb[0])
-    codes = base
-    code_exprs = ", ".join(_pq_code_expr(cb[m], m) for m in range(PQ_M))
-    codes = codes.withColumn("codes", F.expr(f"array({code_exprs})"))
+    codes = base.withColumn("codes", F.expr(_pq_code_array_expr(cb)))
 
-    # per-query ADC table, flattened m-major (index m*K + j, 1-based
-    # element_at): dot(query subvector m, cb[m][j]) — exact integers
-    qtab_terms = ", ".join(
-        f"aggregate(zip_with(slice(qv, {m * PQ_SUB + 1}, {PQ_SUB}), "
-        f"array({', '.join(str(v) + 'L' for v in cb[m][j])}), "
-        f"(x, y) -> x * y), 0L, (a, v) -> a + v)"
-        for m in range(PQ_M)
-        for j in range(K)
-    )
     qs = (
         base.filter(F.expr(query_pred))
-        .withColumn("qtab", F.expr(f"array({qtab_terms})"))
+        .withColumn("qtab", F.expr(f"array({_pq_qtab_terms(cb)})"))
         .select(
             F.col(id_col).alias("query_id"),
             F.col("qv").alias("qq"),
@@ -700,13 +719,9 @@ def pq_adc_topk(
             "qtab",
         )
     )
-    adot = (
-        f"aggregate(sequence(0, {PQ_M - 1}), 0L, (a, m) -> "
-        f"a + element_at(qtab, CAST(m * {K} + element_at(codes, m + 1) + 1 AS INT)))"
-    )
     cand = (
         codes.join(F.broadcast(qs), F.col(id_col) != F.col("query_id"))
-        .withColumn("adot", F.expr(adot))
+        .withColumn("adot", F.expr(_pq_adot_expr(K)))
         .withColumn(
             "as_m",
             F.expr(
@@ -736,30 +751,13 @@ def pq_adc_topk(
     )
 
 
-def pq_adc_topk_duck(
-    source: str = "embeddings",
-    k: int = 3,
-    refine: int = 3,
-    id_col: str = "vec_id",
-    emb_col: str = "embedding",
-    query_pred: str = "vec_id < 10",
-) -> str:
-    """Self-contained SQL replay of :func:`pq_adc_topk`: codebooks
-    derived from the same training predicate, integer-exact codes and
-    ADC terms, identical tie-breaks."""
-    q = _QUANT_DUCK.format(col=emb_col, q=QUANT)
+def _pq_codes_ctes_duck(id_col: str) -> str:
+    """``train``/``dists``/``codes`` CTE text (DuckDB): the PQ codebook
+    derived from PQ_TRAIN_PRED plus every row's M argmin codes —
+    shared by the PQ-only and IVF-PQ oracles so their code assignment
+    is provably identical. Expects a ``base`` CTE in scope."""
     pred = PQ_TRAIN_PRED.format(id=id_col)
-    ssq = (
-        "CASE WHEN {d} >= 0 THEN CAST({d} * {d} AS DOUBLE)"
-        " ELSE -CAST({d} * {d} AS DOUBLE) END"
-    )
-    return f"""
-WITH base AS (
-  SELECT {id_col}, {q} AS qv,
-         CAST(list_sum(list_transform({q}, x -> x * x)) AS BIGINT) AS nrm
-  FROM {source}
-),
-train AS (
+    return f"""train AS (
   SELECT ROW_NUMBER() OVER (ORDER BY {id_col}) - 1 AS j, qv AS tq
   FROM base WHERE {pred}
 ),
@@ -776,7 +774,29 @@ codes AS (
     SELECT vid, m, j,
            ROW_NUMBER() OVER (PARTITION BY vid, m ORDER BY d ASC, j ASC) rn
     FROM dists) WHERE rn = 1
+)"""
+
+
+def pq_adc_topk_duck(
+    source: str = "embeddings",
+    k: int = 3,
+    refine: int = 3,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    query_pred: str = "vec_id < 10",
+) -> str:
+    """Self-contained SQL replay of :func:`pq_adc_topk`: codebooks
+    derived from the same training predicate, integer-exact codes and
+    ADC terms, identical tie-breaks."""
+    q = _QUANT_DUCK.format(col=emb_col, q=QUANT)
+    ssq = _SIGNED_SQ
+    return f"""
+WITH base AS (
+  SELECT {id_col}, {q} AS qv,
+         CAST(list_sum(list_transform({q}, x -> x * x)) AS BIGINT) AS nrm
+  FROM {source}
 ),
+{_pq_codes_ctes_duck(id_col)},
 qs AS (
   SELECT {id_col} AS query_id, qv AS qq, nrm AS nq
   FROM base WHERE {query_pred}
@@ -857,21 +877,13 @@ def ivf_pq_topk(
     cents = [(r["cid"], list(r["qc"]), r["nc"]) for r in cents_df.collect()]
     cb = _pq_codebook(base, id_col)
     K = len(cb[0])
-    code_exprs = ", ".join(_pq_code_expr(cb[m], m) for m in range(PQ_M))
     items_idx = base.withColumn(
         "cell", F.expr(_ivf_assign_expr(cents, "qv", "nrm"))
-    ).withColumn("codes", F.expr(f"array({code_exprs})"))
+    ).withColumn("codes", F.expr(_pq_code_array_expr(cb)))
 
-    qtab_terms = ", ".join(
-        f"aggregate(zip_with(slice(qv, {m * PQ_SUB + 1}, {PQ_SUB}), "
-        f"array({', '.join(str(v) + 'L' for v in cb[m][j])}), "
-        f"(x, y) -> x * y), 0L, (a, v) -> a + v)"
-        for m in range(PQ_M)
-        for j in range(K)
-    )
     qs = (
         base.filter(F.expr(query_pred))
-        .withColumn("qtab", F.expr(f"array({qtab_terms})"))
+        .withColumn("qtab", F.expr(f"array({_pq_qtab_terms(cb)})"))
         .select(
             F.col(id_col).alias("query_id"),
             F.col("qv").alias("qq"),
@@ -894,14 +906,10 @@ def ivf_pq_topk(
         .filter(F.col("rn") <= nprobe)
         .select("query_id", "qq", "nq", "qtab", F.col("cid").alias("cell"))
     )
-    adot = (
-        f"aggregate(sequence(0, {PQ_M - 1}), 0L, (a, m) -> "
-        f"a + element_at(qtab, CAST(m * {K} + element_at(codes, m + 1) + 1 AS INT)))"
-    )
     cand = (
         items_idx.join(F.broadcast(probes), "cell")
         .filter(F.col(id_col) != F.col("query_id"))
-        .withColumn("adot", F.expr(adot))
+        .withColumn("adot", F.expr(_pq_adot_expr(K)))
         .withColumn(
             "as_m",
             F.expr(
@@ -945,14 +953,10 @@ def ivf_pq_topk_duck(
     :func:`pq_adc_topk_duck`, candidates restricted to probed cells."""
     q = _QUANT_DUCK.format(col=emb_col, q=QUANT)
     cpred = IVF_CENTROID_PRED.format(id=id_col)
-    tpred = PQ_TRAIN_PRED.format(id=id_col)
     dot_bc = "CAST(list_sum(list_transform(b.qv, (x, i) -> x * c.qc[i])) AS BIGINT)"
     dot_qc = "CAST(list_sum(list_transform(q.qq, (x, i) -> x * c.qc[i])) AS BIGINT)"
     sgn = _SIGNED_SQ
-    ssq = (
-        "CASE WHEN {d} >= 0 THEN CAST({d} * {d} AS DOUBLE)"
-        " ELSE -CAST({d} * {d} AS DOUBLE) END"
-    )
+    ssq = _SIGNED_SQ
     return f"""
 WITH base AS (
   SELECT {id_col}, {q} AS qv,
@@ -972,24 +976,7 @@ assign AS (
                       c.cid ASC) AS rn
     FROM base b, cents c) WHERE rn = 1
 ),
-train AS (
-  SELECT ROW_NUMBER() OVER (ORDER BY {id_col}) - 1 AS j, qv AS tq
-  FROM base WHERE {tpred}
-),
-dists AS (
-  SELECT b.{id_col} AS vid, m.m, t.j,
-         CAST(list_sum(list_transform(
-           list_slice(b.qv, m.m * {PQ_SUB} + 1, (m.m + 1) * {PQ_SUB}),
-           (x, i) -> (x - t.tq[m.m * {PQ_SUB} + i])
-                   * (x - t.tq[m.m * {PQ_SUB} + i]))) AS BIGINT) AS d
-  FROM base b, range(0, {PQ_M}) m(m), train t
-),
-codes AS (
-  SELECT vid, m, j FROM (
-    SELECT vid, m, j,
-           ROW_NUMBER() OVER (PARTITION BY vid, m ORDER BY d ASC, j ASC) rn
-    FROM dists) WHERE rn = 1
-),
+{_pq_codes_ctes_duck(id_col)},
 qs AS (
   SELECT {id_col} AS query_id, qv AS qq, nrm AS nq FROM base WHERE {query_pred}
 ),
@@ -1006,7 +993,6 @@ probes AS (
 cand AS (
   SELECT p.query_id, a.{id_col} AS item_id
   FROM probes p JOIN assign a ON a.cell = p.cell
-  JOIN qs ON qs.query_id = p.query_id
   WHERE a.{id_col} <> p.query_id
 ),
 terms AS (

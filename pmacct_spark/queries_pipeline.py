@@ -397,6 +397,31 @@ def ann_ivf_pq_topk(spark, sf_dir):
 _CHUNK, _STRIDE = 64, 48
 
 
+def chunk_documents(docs):
+    """(doc_id, text) -> (doc_id, chunk_id, ch): the tokenize/window
+    transform behind ``doc_chunking``, exposed so the hypothesis
+    property exercises THIS code rather than a copy."""
+    toks = docs.select(
+        "doc_id",
+        F.expr("filter(split(lower(text), '\\\\s+'), t -> t <> '')").alias("tk"),
+    )
+    sized = toks.withColumn("n", F.size("tk")).withColumn(
+        "nc",
+        F.when(F.col("n") <= _CHUNK, F.lit(1)).otherwise(
+            F.expr(f"((n - {_CHUNK} + {_STRIDE - 1}) DIV {_STRIDE}) + 1")
+        ),
+    )
+    # sequence+explode is a Generate node: tk/nc materialize at its
+    # boundary, so the per-chunk slice + hash below never re-tokenize
+    # (the projection-collapsing trap documented in operators/text.py)
+    chunks = sized.select(
+        "doc_id", "tk", F.expr("explode(sequence(0, nc - 1))").alias("chunk_id")
+    )
+    return chunks.withColumn(
+        "ch", F.expr(f"slice(tk, chunk_id * {_STRIDE} + 1, {_CHUNK})")
+    ).select("doc_id", "chunk_id", "ch")
+
+
 @register(
     "doc_chunking",
     f"""
@@ -434,26 +459,8 @@ FROM strs""",
 )
 def doc_chunking(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    toks = docs.select(
-        "doc_id",
-        F.expr("filter(split(lower(text), '\\\\s+'), t -> t <> '')").alias("tk"),
-    )
-    sized = toks.withColumn("n", F.size("tk")).withColumn(
-        "nc",
-        F.when(F.col("n") <= _CHUNK, F.lit(1)).otherwise(
-            F.expr(f"((n - {_CHUNK} + {_STRIDE - 1}) DIV {_STRIDE}) + 1")
-        ),
-    )
-    # sequence+explode is a Generate node: tk/nc materialize at its
-    # boundary, so the per-chunk slice + hash below never re-tokenize
-    # (the projection-collapsing trap documented in operators/text.py)
-    chunks = sized.select(
-        "doc_id", "tk", F.expr("explode(sequence(0, nc - 1))").alias("chunk_id")
-    )
     return (
-        chunks.withColumn(
-            "ch", F.expr(f"slice(tk, chunk_id * {_STRIDE} + 1, {_CHUNK})")
-        )
+        chunk_documents(docs)
         .select(
             "doc_id",
             F.col("chunk_id").cast("bigint").alias("chunk_id"),

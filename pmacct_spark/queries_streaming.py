@@ -21,6 +21,7 @@ from pmacct_spark.streaming.jobs import (
     flows_stream,
     run_to_memory,
     stream_aggregation,
+    two_microbatch_source,
 )
 
 _H5M = History.parse("5m")
@@ -122,7 +123,7 @@ def stream_v9_stateful_decode(spark, sf_dir):
     stateless per-batch decoder would silently drop every record after
     batch one; the oracle (all flows) catches exactly that."""
     import os
-    import tempfile
+    import shutil
 
     from pmacct_spark.driver_queries import flows as flows_view_fn
     from pmacct_spark.sinks.nfprobe import encode_v9
@@ -139,32 +140,16 @@ def stream_v9_stateful_decode(spark, sf_dir):
     # (same exporter/source-id/layout), so learning any copy in batch 1
     # unlocks every later batch; templates carry seqno 0
     dgrams = encode_v9(fl.repartition(spark.sparkContext.defaultParallelism))
-    d = tempfile.mkdtemp(prefix="v9_stream_")
     # split into two micro-batch files DISTRIBUTED, one Spark job (no
     # driver-side collect — VERDICT r3 what's-wrong #1: at 100x the
     # row set would OOM the driver): templates (seqno 0) and odd data
     # seqnos land in batch 1, even data seqnos in batch 2 — so batch 2
     # has data but NO templates and decodes only if the state store
     # carried the template across micro-batches.
-    dgrams.withColumn(
-        "b", F.expr("CASE WHEN seqno = 0 OR seqno % 2 = 1 THEN 1 ELSE 2 END")
-    ).repartition("b").write.partitionBy("b").parquet(os.path.join(d, "w"))
-    src = os.path.join(d, "src")
-    os.makedirs(src)
-    for i in (1, 2):
-        bdir = os.path.join(d, "w", f"b={i}")
-        parts = [f for f in os.listdir(bdir) if f.endswith(".parquet")]
-        assert len(parts) == 1, parts  # repartition("b") -> 1 file per b
-        dst = os.path.join(src, f"b{i}.parquet")
-        os.rename(os.path.join(bdir, parts[0]), dst)
-        # FileStreamSource orders files by modification time: make the
-        # batch order deterministic
-        os.utime(dst, (1_700_000_000 + i, 1_700_000_000 + i))
-    schema = spark.read.parquet(src).schema
-    stream = (
-        spark.readStream.schema(schema)
-        .option("maxFilesPerTrigger", 1)
-        .parquet(src)
+    stream, d = two_microbatch_source(
+        dgrams.withColumn(
+            "b", F.expr("CASE WHEN seqno = 0 OR seqno % 2 = 1 THEN 1 ELSE 2 END")
+        )
     )
     decoded = decode_v9_stream(stream)
     q = (
@@ -177,6 +162,8 @@ def stream_v9_stateful_decode(spark, sf_dir):
     )
     q.awaitTermination()
     back = spark.table("q_stream_v9_stateful")
+    # memory-sink rows live on the session, not in the scratch files
+    shutil.rmtree(d, ignore_errors=True)
     return back.groupBy(F.col("ip_proto").cast("int").alias("proto")).agg(
         F.sum("bytes").alias("bytes"),
         F.sum("packets").alias("packets"),
@@ -929,7 +916,7 @@ def stream_dedup_exact(spark, sf_dir):
     dedup horizon is finite; the cross-corpus band join
     (dedup_cross_corpus) is the unbounded-horizon batch path."""
     import os
-    import tempfile
+    import shutil
 
     from pmacct_spark.session import apply_runtime_confs
     from pmacct_spark.sources.tables import load_table
@@ -941,27 +928,7 @@ def stream_dedup_exact(spark, sf_dir):
             (F.col("doc_id") + 1000000).alias("doc_id"), "text"
         ).withColumn("b", F.lit(2))
     )
-    d = tempfile.mkdtemp(prefix="stream_dedup_")
-    # distributed 2-file split, one Spark job (no driver collect)
-    corpus.repartition("b").write.partitionBy("b").parquet(
-        os.path.join(d, "w")
-    )
-    src = os.path.join(d, "src")
-    os.makedirs(src)
-    for i in (1, 2):
-        bdir = os.path.join(d, "w", f"b={i}")
-        parts = [f for f in os.listdir(bdir) if f.endswith(".parquet")]
-        assert len(parts) == 1, parts  # repartition("b") -> 1 file per b
-        dst = os.path.join(src, f"b{i}.parquet")
-        os.rename(os.path.join(bdir, parts[0]), dst)
-        # FileStreamSource orders files by modification time
-        os.utime(dst, (1_700_000_000 + i, 1_700_000_000 + i))
-    schema = spark.read.parquet(src).schema
-    stream = (
-        spark.readStream.schema(schema)
-        .option("maxFilesPerTrigger", 1)
-        .parquet(src)
-    )
+    stream, d = two_microbatch_source(corpus)
     dedup = (
         stream.select(
             F.md5("text").alias("digest"),
@@ -978,4 +945,7 @@ def stream_dedup_exact(spark, sf_dir):
         .start()
     )
     q.awaitTermination()
-    return spark.table("q_stream_dedup_exact")
+    out = spark.table("q_stream_dedup_exact")
+    # memory-sink rows live on the session, not in the scratch files
+    shutil.rmtree(d, ignore_errors=True)
+    return out

@@ -193,3 +193,38 @@ def run_to_memory(
     )
     q.awaitTermination()
     return stream_df.sparkSession.table(name)
+
+
+def two_microbatch_source(df, batch_col: str = "b"):
+    """Stage ``df`` (``batch_col`` holding micro-batch index 1/2) as two
+    single-file parquet batches ordered by modification time, and
+    return ``(streaming_df, scratch_dir)`` with maxFilesPerTrigger=1 so
+    the files replay as two micro-batches. The write is distributed
+    (repartition on the batch key -> exactly one file per batch), no
+    driver-side collect. Callers should remove the scratch dir once
+    their query terminates (it also hosts their checkpoint)."""
+    import os
+    import tempfile
+
+    spark = df.sparkSession
+    d = tempfile.mkdtemp(prefix="stream2b_")
+    df.repartition(batch_col).write.partitionBy(batch_col).parquet(
+        os.path.join(d, "w")
+    )
+    src = os.path.join(d, "src")
+    os.makedirs(src)
+    for i in (1, 2):
+        bdir = os.path.join(d, "w", f"{batch_col}={i}")
+        parts = [f for f in os.listdir(bdir) if f.endswith(".parquet")]
+        assert len(parts) == 1, parts  # repartition(batch_col) -> 1 file
+        dst = os.path.join(src, f"b{i}.parquet")
+        os.rename(os.path.join(bdir, parts[0]), dst)
+        # FileStreamSource orders files by modification time: pin it
+        os.utime(dst, (1_700_000_000 + i, 1_700_000_000 + i))
+    schema = spark.read.parquet(src).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    return stream, d

@@ -508,30 +508,14 @@ def test_doc_chunking_invariants(spark, docs):
     """Every token position is covered; consecutive chunks overlap by
     exactly size-stride (except a short tail); chunk contents equal the
     Python reference slices."""
-    from pmacct_spark.queries_pipeline import _CHUNK, _STRIDE
+    from pmacct_spark.queries_pipeline import _CHUNK, _STRIDE, chunk_documents
 
     rows = [(i, " ".join(ws)) for i, ws in enumerate(docs)]
     df = spark.createDataFrame(rows, "doc_id long, text string")
-    out = (
-        df.select(
-            "doc_id",
-            F.expr("filter(split(lower(text), '\\\\s+'), t -> t <> '')").alias("tk"),
-        )
-        .withColumn("n", F.size("tk"))
-        .withColumn(
-            "nc",
-            F.when(F.col("n") <= _CHUNK, F.lit(1)).otherwise(
-                F.expr(f"((n - {_CHUNK} + {_STRIDE - 1}) DIV {_STRIDE}) + 1")
-            ),
-        )
-        .select("doc_id", "tk",
-                F.expr("explode(sequence(0, nc - 1))").alias("cid"))
-        .withColumn("ch", F.expr(f"slice(tk, cid * {_STRIDE} + 1, {_CHUNK})"))
-        .collect()
-    )
+    out = chunk_documents(df).collect()  # the PRODUCT transform, not a copy
     got: dict[int, dict[int, list[str]]] = {}
     for r in out:
-        got.setdefault(r["doc_id"], {})[r["cid"]] = list(r["ch"])
+        got.setdefault(r["doc_id"], {})[r["chunk_id"]] = list(r["ch"])
     for i, ws in enumerate(docs):
         toks = [w.lower() for w in " ".join(ws).split()]
         ref = _ref_chunks(toks, _CHUNK, _STRIDE)

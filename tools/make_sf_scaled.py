@@ -22,12 +22,16 @@ import duckdb
 def main(src: str, dst: str, k: int) -> None:
     os.makedirs(dst, exist_ok=True)
     con = duckdb.connect()
-    # Key spans per table, used as offsets per replica.
+    # Key spans per table, used as offsets per replica. Span = MAX+1:
+    # fixture ids are 0-based, so offsetting by MAX alone would collide
+    # copy i's highest id with copy i+1's lowest at every seam
+    # (duplicate keys -> join fan-out, breaking the referential-
+    # integrity invariant this tool promises).
     spans = {}
     for t, key in [("customer", "c_custkey"), ("orders", "o_orderkey"),
                    ("supplier", "s_suppkey"), ("part", "p_partkey")]:
         spans[t] = con.execute(
-            f"SELECT MAX({key}) FROM read_parquet('{src}/{t}.parquet')"
+            f"SELECT MAX({key}) + 1 FROM read_parquet('{src}/{t}.parquet')"
         ).fetchone()[0]
 
     def rep(table: str, remap: dict[str, str]) -> None:
@@ -76,10 +80,20 @@ def main(src: str, dst: str, k: int) -> None:
             continue
         span = {
             k2: con.execute(
-                f"SELECT MAX({k2}) FROM read_parquet('{path}')"
+                f"SELECT MAX({k2}) + 1 FROM read_parquet('{path}')"
             ).fetchone()[0]
             for k2 in keys
         }
+        if t == "embeddings" and span["vec_id"] <= 1000:
+            # the fixed-index claim holds only when every replica id
+            # clears the centroid/PQ-train/query predicates
+            # (vec_id < 1000 / < 300 / < 10 — operators/similarity.py)
+            print(
+                f"WARNING: source max vec_id {span['vec_id'] - 1} <= 1000;"
+                " replicated ids fall inside the ANN index predicates,"
+                " so the index does NOT stay fixed at this scale-up",
+                file=sys.stderr,
+            )
         cols = [r[0] for r in con.execute(
             f"DESCRIBE SELECT * FROM read_parquet('{path}')"
         ).fetchall()]
