@@ -1,0 +1,483 @@
+"""Kafka WIRE protocol (legacy v0) over real loopback sockets: the
+broker half the sandbox lacks, implemented from the public protocol
+spec so the engine's Kafka framing is exercised end-to-end through a
+genuine TCP byte stream instead of only as DataFrame contracts.
+
+Reference mapping: the reference daemons speak Kafka through
+librdkafka — producer setup/produce loop ``src/kafka_common.c``
+(p_kafka_init_host, p_kafka_produce_data) and the kafka plugin purge
+``src/kafka_plugin.c:384``; consumers for nfacctd_kafka/telemetry ride
+the same library. This module implements the OTHER side of those
+conversations — Metadata (api 3 v0), Produce (api 0 v0) and Fetch
+(api 1 v0) with v0 MessageSets (CRC32-checked) — plus a minimal
+producer/consumer client pair, so tests drive the exact frames a real
+broker would see:
+
+- :class:`MiniKafkaBroker` — threaded TCP server, per-(topic,
+  partition) in-memory logs, offset assignment, CRC verification.
+- :func:`produce_frames` — DISTRIBUTED producer: each partition of a
+  (key, value, topic) frame DataFrame (sinks/kafka.kafka_frame) opens
+  its own socket and produces, exactly how per-executor librdkafka
+  instances behave on a cluster. No driver-side collect.
+- :func:`fetch_records` — consumer half: Metadata discovery + Fetch
+  loop -> rows shaped like Spark's Kafka source (key, value, topic,
+  partition, offset), ready for sources/kafka.frames_to_datagrams.
+
+Honest scope note: this is OUR broker speaking the public wire format,
+not Apache Kafka — broker-internal behavior (replication, consumer
+groups, idempotence) is out of scope. What it proves that the frame
+contracts alone could not: length-prefixed framing, request/response
+correlation, v0 MessageSet layout and CRC, key-hash partition routing
+and per-partition offset ordering all survive a real socket.
+"""
+
+from __future__ import annotations
+
+import socket
+import struct
+import threading
+import zlib
+from dataclasses import dataclass, field
+
+# --- primitive codecs (big-endian, per the Kafka protocol guide) -----
+
+
+def _i8(v: int) -> bytes:
+    return struct.pack(">b", v)
+
+
+def _i16(v: int) -> bytes:
+    return struct.pack(">h", v)
+
+
+def _i32(v: int) -> bytes:
+    return struct.pack(">i", v)
+
+
+def _i64(v: int) -> bytes:
+    return struct.pack(">q", v)
+
+
+def _string(s: str | None) -> bytes:
+    if s is None:
+        return _i16(-1)
+    b = s.encode()
+    return _i16(len(b)) + b
+
+
+def _bytes(b: bytes | None) -> bytes:
+    if b is None:
+        return _i32(-1)
+    return _i32(len(b)) + b
+
+
+class _Reader:
+    def __init__(self, buf: bytes):
+        self.buf = buf
+        self.off = 0
+
+    def i8(self) -> int:
+        (v,) = struct.unpack_from(">b", self.buf, self.off)
+        self.off += 1
+        return v
+
+    def i16(self) -> int:
+        (v,) = struct.unpack_from(">h", self.buf, self.off)
+        self.off += 2
+        return v
+
+    def i32(self) -> int:
+        (v,) = struct.unpack_from(">i", self.buf, self.off)
+        self.off += 4
+        return v
+
+    def i64(self) -> int:
+        (v,) = struct.unpack_from(">q", self.buf, self.off)
+        self.off += 8
+        return v
+
+    def string(self) -> str | None:
+        n = self.i16()
+        if n < 0:
+            return None
+        v = self.buf[self.off : self.off + n].decode()
+        self.off += n
+        return v
+
+    def nbytes(self) -> bytes | None:
+        n = self.i32()
+        if n < 0:
+            return None
+        v = self.buf[self.off : self.off + n]
+        self.off += n
+        return v
+
+    def raw(self, n: int) -> bytes:
+        v = self.buf[self.off : self.off + n]
+        self.off += n
+        return v
+
+
+# --- v0 message / message-set codec ----------------------------------
+
+
+def encode_message(key: bytes | None, value: bytes | None) -> bytes:
+    """Kafka v0 Message: crc32(magic..value) + magic(0) + attrs(0) +
+    key BYTES + value BYTES."""
+    body = _i8(0) + _i8(0) + _bytes(key) + _bytes(value)
+    return _i32(zlib.crc32(body) & 0x7FFFFFFF) + body
+
+
+def encode_message_set(msgs: list[tuple[int, bytes]]) -> bytes:
+    """[(offset, encoded_message)] -> ON-WIRE message set."""
+    out = b""
+    for off, m in msgs:
+        out += _i64(off) + _i32(len(m)) + m
+    return out
+
+
+def decode_message_set(buf: bytes) -> list[tuple[int, bytes | None, bytes | None]]:
+    """ON-WIRE message set -> [(offset, key, value)]; CRC verified."""
+    out = []
+    r = _Reader(buf)
+    while r.off + 12 <= len(buf):
+        off = r.i64()
+        sz = r.i32()
+        if r.off + sz > len(buf):  # truncated trailing message
+            break
+        m = _Reader(r.raw(sz))
+        crc = m.i32()
+        body = m.buf[m.off :]
+        if (zlib.crc32(body) & 0x7FFFFFFF) != crc:
+            raise ValueError(f"message CRC mismatch at offset {off}")
+        m.i8()  # magic
+        m.i8()  # attributes
+        key = m.nbytes()
+        value = m.nbytes()
+        out.append((off, key, value))
+    return out
+
+
+# --- the broker ------------------------------------------------------
+
+
+@dataclass
+class MiniKafkaBroker:
+    """In-process threaded Kafka broker (v0 APIs) on a loopback port.
+
+    Topics auto-create on first produce/metadata with ``npartitions``
+    partitions. Logs are per-(topic, partition) lists of (key, value);
+    offsets are assignment order — the per-partition total order the
+    stateful decoders key their ``seqno`` on.
+    """
+
+    npartitions: int = 2
+    host: str = "127.0.0.1"
+    port: int = 0
+    logs: dict = field(default_factory=dict)  # (topic, part) -> [(k, v)]
+    _srv: socket.socket | None = None
+    _lock: threading.Lock = field(default_factory=threading.Lock)
+
+    def start(self) -> "MiniKafkaBroker":
+        self._srv = socket.socket(socket.AF_INET, socket.SOCK_STREAM)
+        self._srv.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
+        self._srv.bind((self.host, self.port))
+        self.port = self._srv.getsockname()[1]
+        self._srv.listen(16)
+        threading.Thread(target=self._accept_loop, daemon=True).start()
+        return self
+
+    def stop(self) -> None:
+        try:
+            if self._srv:
+                self._srv.close()
+        except OSError:
+            pass
+
+    def _topic(self, topic: str) -> None:
+        with self._lock:
+            for p in range(self.npartitions):
+                self.logs.setdefault((topic, p), [])
+
+    def _accept_loop(self) -> None:
+        while True:
+            try:
+                conn, _ = self._srv.accept()
+            except OSError:
+                return
+            threading.Thread(
+                target=self._serve, args=(conn,), daemon=True
+            ).start()
+
+    def _recv_exact(self, conn: socket.socket, n: int) -> bytes | None:
+        buf = b""
+        while len(buf) < n:
+            chunk = conn.recv(n - len(buf))
+            if not chunk:
+                return None
+            buf += chunk
+        return buf
+
+    def _serve(self, conn: socket.socket) -> None:
+        with conn:
+            while True:
+                hdr = self._recv_exact(conn, 4)
+                if hdr is None:
+                    return
+                (size,) = struct.unpack(">i", hdr)
+                body = self._recv_exact(conn, size)
+                if body is None:
+                    return
+                r = _Reader(body)
+                api_key, api_version = r.i16(), r.i16()
+                corr = r.i32()
+                r.string()  # client_id
+                if api_version != 0:
+                    return  # v0-only broker: drop the session
+                if api_key == 3:
+                    resp = self._metadata(r)
+                elif api_key == 0:
+                    resp = self._produce(r)
+                elif api_key == 1:
+                    resp = self._fetch(r)
+                else:
+                    return
+                out = _i32(corr) + resp
+                conn.sendall(_i32(len(out)) + out)
+
+    def _metadata(self, r: _Reader) -> bytes:
+        n = r.i32()
+        topics = [r.string() for _ in range(n)]
+        with self._lock:
+            known = sorted({t for (t, _p) in self.logs})
+        if topics:
+            for t in topics:
+                self._topic(t)
+            known = topics
+        out = _i32(1) + _i32(0) + _string(self.host) + _i32(self.port)
+        out += _i32(len(known))
+        for t in known:
+            parts = b"".join(
+                _i16(0) + _i32(p) + _i32(0) + _i32(1) + _i32(0) + _i32(1) + _i32(0)
+                for p in range(self.npartitions)
+            )
+            out += _i16(0) + _string(t) + _i32(self.npartitions) + parts
+        return out
+
+    def _produce(self, r: _Reader) -> bytes:
+        r.i16()  # acks
+        r.i32()  # timeout
+        ntopics = r.i32()
+        out_topics = b""
+        for _ in range(ntopics):
+            topic = r.string()
+            self._topic(topic)
+            nparts = r.i32()
+            out_parts = b""
+            for _ in range(nparts):
+                part = r.i32()
+                msgset = r.raw(r.i32())
+                msgs = decode_message_set(msgset)
+                with self._lock:
+                    log = self.logs[(topic, part)]
+                    base = len(log)
+                    log.extend((k, v) for (_o, k, v) in msgs)
+                out_parts += _i32(part) + _i16(0) + _i64(base)
+            out_topics += _string(topic) + _i32(nparts) + out_parts
+        return _i32(ntopics) + out_topics
+
+    def _fetch(self, r: _Reader) -> bytes:
+        r.i32()  # replica_id
+        r.i32()  # max_wait
+        r.i32()  # min_bytes
+        ntopics = r.i32()
+        out_topics = b""
+        for _ in range(ntopics):
+            topic = r.string()
+            nparts = r.i32()
+            out_parts = b""
+            for _ in range(nparts):
+                part = r.i32()
+                offset = r.i64()
+                r.i32()  # max_bytes
+                with self._lock:
+                    log = list(self.logs.get((topic, part), []))
+                msgs = [
+                    (i, encode_message(k, v))
+                    for i, (k, v) in enumerate(log)
+                    if i >= offset
+                ]
+                ms = encode_message_set(msgs)
+                out_parts += (
+                    _i32(part) + _i16(0) + _i64(len(log)) + _i32(len(ms)) + ms
+                )
+            out_topics += _string(topic) + _i32(nparts) + out_parts
+        return _i32(ntopics) + out_topics
+
+
+# --- client half -----------------------------------------------------
+
+
+class KafkaWireClient:
+    """Minimal v0 client: one socket, correlated request/response."""
+
+    def __init__(self, host: str, port: int, client_id: str = "pmacct-spark"):
+        self.sock = socket.create_connection((host, port), timeout=10)
+        self.client_id = client_id
+        self._corr = 0
+
+    def close(self) -> None:
+        self.sock.close()
+
+    def _roundtrip(self, api_key: int, body: bytes) -> _Reader:
+        self._corr += 1
+        req = (
+            _i16(api_key) + _i16(0) + _i32(self._corr)
+            + _string(self.client_id) + body
+        )
+        self.sock.sendall(_i32(len(req)) + req)
+        hdr = self._recv_exact(4)
+        (size,) = struct.unpack(">i", hdr)
+        resp = _Reader(self._recv_exact(size))
+        corr = resp.i32()
+        if corr != self._corr:
+            raise ValueError(f"correlation mismatch {corr} != {self._corr}")
+        return resp
+
+    def _recv_exact(self, n: int) -> bytes:
+        buf = b""
+        while len(buf) < n:
+            chunk = self.sock.recv(n - len(buf))
+            if not chunk:
+                raise ConnectionError("broker closed the connection")
+            buf += chunk
+        return buf
+
+    def metadata(self, topics: list[str]) -> dict[str, list[int]]:
+        body = _i32(len(topics)) + b"".join(_string(t) for t in topics)
+        r = self._roundtrip(3, body)
+        nb = r.i32()
+        for _ in range(nb):
+            r.i32(), r.string(), r.i32()
+        out: dict[str, list[int]] = {}
+        nt = r.i32()
+        for _ in range(nt):
+            r.i16()
+            t = r.string()
+            nparts = r.i32()
+            parts = []
+            for _ in range(nparts):
+                r.i16()
+                parts.append(r.i32())
+                r.i32()  # leader
+                for _ in range(r.i32()):
+                    r.i32()  # replicas
+                for _ in range(r.i32()):
+                    r.i32()  # isr
+            out[t] = parts
+        return out
+
+    def produce(
+        self, topic: str, part: int, msgs: list[tuple[bytes | None, bytes]]
+    ) -> int:
+        ms = encode_message_set(
+            [(0, encode_message(k, v)) for (k, v) in msgs]
+        )
+        body = (
+            _i16(1) + _i32(10_000) + _i32(1) + _string(topic) + _i32(1)
+            + _i32(part) + _i32(len(ms)) + ms
+        )
+        r = self._roundtrip(0, body)
+        r.i32(), r.string(), r.i32(), r.i32()  # 1 topic/1 part echoes
+        err = r.i16()
+        if err:
+            raise ValueError(f"produce error {err}")
+        return r.i64()
+
+    def fetch(
+        self, topic: str, part: int, offset: int = 0
+    ) -> list[tuple[int, bytes | None, bytes | None]]:
+        body = (
+            _i32(-1) + _i32(100) + _i32(1) + _i32(1) + _string(topic)
+            + _i32(1) + _i32(part) + _i64(offset) + _i32(1 << 24)
+        )
+        r = self._roundtrip(1, body)
+        r.i32(), r.string(), r.i32(), r.i32()  # 1 topic/1 part echoes
+        err = r.i16()
+        if err:
+            raise ValueError(f"fetch error {err}")
+        r.i64()  # high watermark
+        return decode_message_set(r.raw(r.i32()))
+
+
+def _partition_for(key: str | None, nparts: int) -> int:
+    """Deterministic key-hash routing (murmur-free stand-in: the
+    engine's portable polynomial hash keeps tests engine-checkable;
+    librdkafka's default is similarly hash(key) % nparts)."""
+    if key is None or nparts <= 1:
+        return 0
+    h = 0
+    for ch in key:
+        h = (h * 131 + ord(ch)) % 1_000_000_007
+    return h % nparts
+
+
+def produce_frames(frames, host: str, port: int, nparts: int = 2) -> None:
+    """DISTRIBUTED producer: ship a (key, value, topic) frame DataFrame
+    (sinks/kafka.kafka_frame output) through the wire protocol. Each
+    DataFrame partition opens its own client — the per-executor
+    connection pattern of librdkafka — so no rows ever pass through
+    the driver."""
+
+    def _send(rows) -> None:
+        cli = None
+        try:
+            for row in rows:
+                if cli is None:
+                    cli = KafkaWireClient(host, port)
+                key = row["key"]
+                cli.produce(
+                    row["topic"],
+                    _partition_for(key, nparts),
+                    [(
+                        key.encode() if key is not None else None,
+                        row["value"].encode()
+                        if isinstance(row["value"], str)
+                        else bytes(row["value"]),
+                    )],
+                )
+        finally:
+            if cli is not None:
+                cli.close()
+
+    frames.select("key", "value", "topic").foreachPartition(_send)
+
+
+def fetch_records(
+    spark, host: str, port: int, topics: list[str]
+):
+    """Consumer half: Metadata discovery + Fetch from offset 0 on every
+    partition -> a DataFrame shaped like Spark's Kafka source (key,
+    value, topic, partition, offset), ready for
+    :func:`pmacct_spark.sources.kafka.frames_to_datagrams`."""
+    cli = KafkaWireClient(host, port)
+    try:
+        meta = cli.metadata(topics)
+        rows = []
+        for t, parts in meta.items():
+            for p in parts:
+                for off, key, value in cli.fetch(t, p, 0):
+                    rows.append(
+                        (
+                            key.decode() if key is not None else None,
+                            bytearray(value if value is not None else b""),
+                            t,
+                            p,
+                            off,
+                        )
+                    )
+    finally:
+        cli.close()
+    return spark.createDataFrame(
+        rows, "key string, value binary, topic string, partition int, offset long"
+    )

@@ -1,0 +1,156 @@
+"""LIVE Kafka wire-protocol tests: an in-process broker speaking the
+public v0 APIs (Metadata/Produce/Fetch, CRC-checked v0 MessageSets)
+over a REAL loopback TCP socket, driven by the engine's own frame
+shapers — the broker half of the reference's Kafka transport
+(src/kafka_common.c, src/kafka_plugin.c:384) exercised as far as the
+sandbox allows (see the honest-scope note in sources/kafka_wire.py).
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from pmacct_spark.sinks.kafka import kafka_frame
+from pmacct_spark.sources.kafka import frames_to_datagrams
+from pmacct_spark.sources.kafka_wire import (
+    KafkaWireClient,
+    MiniKafkaBroker,
+    decode_message_set,
+    encode_message,
+    encode_message_set,
+    fetch_records,
+    produce_frames,
+)
+
+
+@pytest.fixture()
+def broker():
+    b = MiniKafkaBroker(npartitions=2).start()
+    yield b
+    b.stop()
+
+
+def test_wire_roundtrip_frames(spark, broker):
+    """kafka_frame output -> socket Produce -> socket Fetch: payloads,
+    keys and topics survive byte-exact; offsets are dense and ordered
+    per partition."""
+    agg = spark.createDataFrame(
+        [(i, f"host{i % 3}", i * 100) for i in range(30)],
+        "rec_id long, peer string, bytes long",
+    )
+    frames = kafka_frame(agg, topic="acct", key_cols=["peer"])
+    produce_frames(frames, broker.host, broker.port, nparts=2)
+
+    back = fetch_records(spark, broker.host, broker.port, ["acct"])
+    rows = back.collect()
+    assert len(rows) == 30
+    sent = {
+        (r["key"], r["value"]) for r in frames.collect()
+    }
+    got = {(r["key"], bytes(r["value"]).decode()) for r in rows}
+    assert got == sent
+    # same key -> same partition; offsets dense per partition
+    bypart: dict[int, list[int]] = {}
+    keypart: dict[str, set[int]] = {}
+    for r in rows:
+        bypart.setdefault(r["partition"], []).append(r["offset"])
+        keypart.setdefault(r["key"], set()).add(r["partition"])
+    for offs in bypart.values():
+        assert sorted(offs) == list(range(len(offs)))
+    assert all(len(parts) == 1 for parts in keypart.values())
+
+
+def test_kafka_wire_flow_pipeline(spark):
+    """The full nfacctd_kafka loop over a real socket: flows ->
+    encode_v5 datagrams -> Produce (exporter ip as partition key) ->
+    Fetch -> frames_to_datagrams -> decode_v5 -> aggregate equals the
+    direct aggregation of the same flows."""
+    from conftest import SF_DIR
+
+    from pmacct_spark.driver_queries import flows as flows_view_fn
+    from pmacct_spark.sinks.nfprobe import encode_v5
+    from pmacct_spark.streaming.decode import decode_v5
+
+    b = MiniKafkaBroker(npartitions=2).start()
+    try:
+        fl = flows_view_fn(spark, SF_DIR).limit(600).selectExpr(
+            "ip_src_i", "ip_dst_i", "iface_in", "iface_out", "packets",
+            "bytes", "unix_micros(CAST(ts AS TIMESTAMP)) DIV 1000 AS ts_ms",
+            "unix_micros(CAST(end_ts AS TIMESTAMP)) DIV 1000 AS end_ts_ms",
+            "port_src", "port_dst", "tcp_flags", "ip_proto", "tos",
+            "as_src", "as_dst",
+        )
+        from pmacct_spark.operators.staging import stage
+
+        fl = stage(fl)  # read twice: through the wire AND directly
+        dgrams = encode_v5(fl)
+        frames = dgrams.select(
+            F.col("exporter_ip").alias("key"),
+            F.col("payload").alias("value"),
+            F.lit("nfacct").alias("topic"),
+        )
+        produce_frames(frames, b.host, b.port, nparts=2)
+
+        consumed = fetch_records(spark, b.host, b.port, ["nfacct"])
+        back = decode_v5(
+            frames_to_datagrams(consumed).select("exporter_ip", "payload")
+        )
+        got = {
+            (r["proto"], r["bytes"], r["packets"])
+            for r in back.groupBy(F.col("ip_proto").cast("int").alias("proto"))
+            .agg(F.sum("bytes").alias("bytes"), F.sum("packets").alias("packets"))
+            .collect()
+        }
+        want = {
+            (r["proto"], r["bytes"], r["packets"])
+            for r in fl.groupBy(F.col("ip_proto").cast("int").alias("proto"))
+            .agg(F.sum("bytes").alias("bytes"), F.sum("packets").alias("packets"))
+            .collect()
+        }
+        assert got == want and got
+    finally:
+        b.stop()
+
+
+def test_telemetry_json_rides_kafka_wire(spark, broker):
+    """A telemetry payload is one Kafka value frame: JSON notifications
+    produced through the socket come back byte-exact for the metrics
+    pipeline (the reference's pmtelemetryd-over-Kafka consumer path)."""
+    payloads = [
+        ('{"node":"r%d","metrics":{"k":%d}}' % (i % 4, i)).encode()
+        for i in range(20)
+    ]
+    cli = KafkaWireClient(broker.host, broker.port)
+    try:
+        for i, p in enumerate(payloads):
+            cli.produce("telemetry", i % 2, [(b"10.0.0.1", p)])
+        got = []
+        for part in (0, 1):
+            got += [v for (_o, _k, v) in cli.fetch("telemetry", part, 0)]
+    finally:
+        cli.close()
+    assert sorted(got) == sorted(payloads)
+
+
+def test_message_crc_is_verified():
+    ms = encode_message_set([(0, encode_message(b"k", b"hello"))])
+    corrupted = ms[:-1] + bytes([ms[-1] ^ 0xFF])
+    with pytest.raises(ValueError, match="CRC"):
+        decode_message_set(corrupted)
+    # and the clean set round-trips
+    [(off, key, value)] = decode_message_set(ms)
+    assert (off, key, value) == (0, b"k", b"hello")
+
+
+def test_fetch_from_offset_resumes(broker):
+    """Fetch(offset=n) returns only the tail — the consumer-resume
+    contract frames_to_datagrams' seqno ordering relies on."""
+    cli = KafkaWireClient(broker.host, broker.port)
+    try:
+        for i in range(5):
+            cli.produce("resume", 0, [(None, b"m%d" % i)])
+        tail = cli.fetch("resume", 0, 3)
+        assert [(o, v) for (o, _k, v) in tail] == [(3, b"m3"), (4, b"m4")]
+    finally:
+        cli.close()
