@@ -88,9 +88,27 @@ class Daemon:
             flavor, port = "sflow", int(conf.get("sfacctd_port") or 0)
         else:
             flavor, port = "netflow", int(conf.get("nfacctd_port", default=0) or 0)
-        spool = UdpSpool(
-            host=host, port=port, spool_dir=spool_dir, flush_secs=0.2
-        ).start()
+        kafka_topic = conf.get(f"{'sfacctd' if flavor == 'sflow' else 'nfacctd'}_kafka_topic")
+        if kafka_topic:
+            # Kafka collector transport (reference nfacctd_kafka_broker_*
+            # keys, consumer src/kafka_common.c): same spool contract as
+            # the UDP socket, fed by the wire-protocol consumer.
+            from pmacct_spark.sources.kafka_wire import KafkaSpool
+
+            prefix = "sfacctd" if flavor == "sflow" else "nfacctd"
+            spool = KafkaSpool(
+                host=str(
+                    conf.get(f"{prefix}_kafka_broker_host", default="127.0.0.1")
+                    or "127.0.0.1"
+                ),
+                port=int(conf.get(f"{prefix}_kafka_broker_port", default=0) or 0),
+                topic=str(kafka_topic),
+                spool_dir=spool_dir,
+            ).start()
+        else:
+            spool = UdpSpool(
+                host=host, port=port, spool_dir=spool_dir, flush_secs=0.2
+            ).start()
         bgp_spool = bmp_spool = None
         if conf.getbool("bgp_daemon"):
             from pmacct_spark.sources.tcp import TcpSpool

@@ -1,0 +1,509 @@
+"""AMQP 0-9-1 WIRE protocol over real loopback sockets: the broker
+half of the reference's RabbitMQ plugin conversations, implemented
+from the public protocol spec so `sinks/amqp.amqp_frame` output is
+exercised end-to-end through a genuine TCP byte stream.
+
+Reference mapping: the reference publishes through rabbitmq-c —
+connection/channel setup and basic.publish in ``src/amqp_common.c``
+(p_amqp_connect_to_publish, p_amqp_publish_string) driven by the amqp
+plugin purge (``src/amqp_plugin.c:880``): declare a direct exchange,
+publish one JSON blob per record under a routing key, delivery-mode 2
+when ``amqp_persistent_msg`` is set. This module implements the other
+side of exactly those frames:
+
+- :class:`MiniAmqpBroker` — threaded TCP server speaking the 0-9-1
+  handshake (protocol header, Connection.Start/Tune/Open), channels,
+  Exchange.Declare / Queue.Declare / Queue.Bind, Basic.Publish
+  (method + content-header + body frames, direct-exchange routing)
+  and Basic.Get for consumption.
+- :class:`AmqpWireClient` — the publisher/consumer client.
+- :func:`publish_frames` — DISTRIBUTED publisher: each partition of an
+  ``amqp_frame`` DataFrame opens its own connection (the
+  per-executor rabbitmq-c pattern), declares the exchange
+  idempotently, and publishes. No driver-side collect.
+
+Honest scope note: this is OUR broker speaking the public 0-9-1
+format, not RabbitMQ — acknowledgements/confirms, consumer flows and
+clustering are out of scope. What it proves beyond the frame
+contracts: the three-part publish (method, content header with
+property flags, body), delivery-mode/content-type property encoding,
+direct-exchange routing-key semantics and the full handshake all
+survive a real socket.
+"""
+
+from __future__ import annotations
+
+import socket
+import struct
+import threading
+from dataclasses import dataclass, field
+
+FRAME_METHOD, FRAME_HEADER, FRAME_BODY = 1, 2, 3
+FRAME_END = 0xCE
+PROTO_HEADER = b"AMQP\x00\x00\x09\x01"
+
+# property flags (basic class, MSB first)
+_FLAG_CONTENT_TYPE = 1 << 15
+_FLAG_DELIVERY_MODE = 1 << 12
+
+
+def _shortstr(s: str) -> bytes:
+    b = s.encode()
+    return bytes([len(b)]) + b
+
+
+def _longstr(b: bytes) -> bytes:
+    return struct.pack(">I", len(b)) + b
+
+
+def _frame(ftype: int, channel: int, payload: bytes) -> bytes:
+    return (
+        bytes([ftype])
+        + struct.pack(">HI", channel, len(payload))
+        + payload
+        + bytes([FRAME_END])
+    )
+
+
+def _method(class_id: int, method_id: int, args: bytes = b"") -> bytes:
+    return struct.pack(">HH", class_id, method_id) + args
+
+
+class _Conn:
+    """Buffered frame reader/writer over a socket."""
+
+    def __init__(self, sock: socket.socket):
+        self.sock = sock
+
+    def _recv_exact(self, n: int) -> bytes:
+        buf = b""
+        while len(buf) < n:
+            chunk = self.sock.recv(n - len(buf))
+            if not chunk:
+                raise ConnectionError("peer closed")
+            buf += chunk
+        return buf
+
+    def read_frame(self) -> tuple[int, int, bytes]:
+        hdr = self._recv_exact(7)
+        ftype, channel, size = struct.unpack(">BHI", hdr)
+        payload = self._recv_exact(size)
+        if self._recv_exact(1)[0] != FRAME_END:
+            raise ValueError("missing frame-end octet")
+        return ftype, channel, payload
+
+    def send_frame(self, ftype: int, channel: int, payload: bytes) -> None:
+        self.sock.sendall(_frame(ftype, channel, payload))
+
+
+class _Args:
+    def __init__(self, buf: bytes, off: int = 0):
+        self.buf = buf
+        self.off = off
+
+    def octet(self) -> int:
+        v = self.buf[self.off]
+        self.off += 1
+        return v
+
+    def short(self) -> int:
+        (v,) = struct.unpack_from(">H", self.buf, self.off)
+        self.off += 2
+        return v
+
+    def long(self) -> int:
+        (v,) = struct.unpack_from(">I", self.buf, self.off)
+        self.off += 4
+        return v
+
+    def longlong(self) -> int:
+        (v,) = struct.unpack_from(">Q", self.buf, self.off)
+        self.off += 8
+        return v
+
+    def shortstr(self) -> str:
+        n = self.octet()
+        v = self.buf[self.off : self.off + n].decode()
+        self.off += n
+        return v
+
+    def longstr(self) -> bytes:
+        n = self.long()
+        v = self.buf[self.off : self.off + n]
+        self.off += n
+        return v
+
+    def table(self) -> bytes:  # opaque skip (empty tables in practice)
+        return self.longstr()
+
+
+@dataclass
+class MiniAmqpBroker:
+    """In-process threaded AMQP 0-9-1 broker on a loopback port.
+
+    Direct-exchange model (the reference's amqp_exchange_type
+    default): ``bindings[(exchange, routing_key)] -> queue``; messages
+    published to an unbound key are dropped (no ``mandatory``
+    handling — the reference publishes non-mandatory)."""
+
+    host: str = "127.0.0.1"
+    port: int = 0
+    exchanges: dict = field(default_factory=dict)  # name -> type
+    bindings: dict = field(default_factory=dict)  # (exch, rk) -> queue
+    queues: dict = field(default_factory=dict)  # name -> [message dicts]
+    _srv: socket.socket | None = None
+    _lock: threading.Lock = field(default_factory=threading.Lock)
+
+    def start(self) -> "MiniAmqpBroker":
+        self._srv = socket.socket(socket.AF_INET, socket.SOCK_STREAM)
+        self._srv.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
+        self._srv.bind((self.host, self.port))
+        self.port = self._srv.getsockname()[1]
+        self._srv.listen(16)
+        threading.Thread(target=self._accept_loop, daemon=True).start()
+        return self
+
+    def stop(self) -> None:
+        try:
+            if self._srv:
+                self._srv.close()
+        except OSError:
+            pass
+
+    def _accept_loop(self) -> None:
+        while True:
+            try:
+                sock, _ = self._srv.accept()
+            except OSError:
+                return
+            threading.Thread(
+                target=self._serve, args=(sock,), daemon=True
+            ).start()
+
+    def _serve(self, sock: socket.socket) -> None:
+        with sock:
+            c = _Conn(sock)
+            try:
+                if c._recv_exact(8) != PROTO_HEADER:
+                    return
+                # Connection.Start: ver 0.9, empty server-props,
+                # PLAIN mechanisms, en_US locales
+                c.send_frame(
+                    FRAME_METHOD, 0,
+                    _method(10, 10, bytes([0, 9]) + _longstr(b"")
+                            + _longstr(b"PLAIN") + _longstr(b"en_US")),
+                )
+                self._expect(c, 10, 11)  # StartOk
+                c.send_frame(
+                    FRAME_METHOD, 0,
+                    _method(10, 30, struct.pack(">HIH", 0, 131072, 0)),
+                )
+                self._expect(c, 10, 31)  # TuneOk
+                self._expect(c, 10, 40)  # Connection.Open
+                c.send_frame(FRAME_METHOD, 0, _method(10, 41, _shortstr("")))
+                pending = None  # (channel, exchange, rk, props, need, got)
+                while True:
+                    ftype, channel, payload = c.read_frame()
+                    if ftype == FRAME_METHOD:
+                        pending = self._on_method(c, channel, payload)
+                    elif ftype == FRAME_HEADER and pending is not None:
+                        a = _Args(payload)
+                        a.short()  # class
+                        a.short()  # weight
+                        need = a.longlong()
+                        flags = a.short()
+                        props = {}
+                        if flags & _FLAG_CONTENT_TYPE:
+                            props["content_type"] = a.shortstr()
+                        if flags & _FLAG_DELIVERY_MODE:
+                            props["delivery_mode"] = a.octet()
+                        pending.update(need=need, got=b"", props=props)
+                        if need == 0:
+                            self._route(pending)
+                            pending = None
+                    elif ftype == FRAME_BODY and pending is not None:
+                        pending["got"] += payload
+                        if len(pending["got"]) >= pending["need"]:
+                            self._route(pending)
+                            pending = None
+            except (ConnectionError, ValueError):
+                return
+
+    def _expect(self, c: _Conn, class_id: int, method_id: int) -> _Args:
+        while True:
+            ftype, _ch, payload = c.read_frame()
+            if ftype != FRAME_METHOD:
+                continue
+            a = _Args(payload)
+            cid, mid = a.short(), a.short()
+            if (cid, mid) == (class_id, method_id):
+                return a
+
+    def _on_method(self, c: _Conn, channel: int, payload: bytes):
+        a = _Args(payload)
+        cid, mid = a.short(), a.short()
+        if (cid, mid) == (20, 10):  # Channel.Open
+            c.send_frame(FRAME_METHOD, channel, _method(20, 11, _longstr(b"")))
+        elif (cid, mid) == (40, 10):  # Exchange.Declare
+            a.short()
+            name, etype = a.shortstr(), a.shortstr()
+            with self._lock:
+                self.exchanges[name] = etype
+            c.send_frame(FRAME_METHOD, channel, _method(40, 11))
+        elif (cid, mid) == (50, 10):  # Queue.Declare
+            a.short()
+            qname = a.shortstr()
+            with self._lock:
+                self.queues.setdefault(qname, [])
+            c.send_frame(
+                FRAME_METHOD, channel,
+                _method(50, 11, _shortstr(qname) + struct.pack(">II", 0, 0)),
+            )
+        elif (cid, mid) == (50, 20):  # Queue.Bind
+            a.short()
+            qname, exch, rk = a.shortstr(), a.shortstr(), a.shortstr()
+            with self._lock:
+                self.bindings[(exch, rk)] = qname
+                self.queues.setdefault(qname, [])
+            c.send_frame(FRAME_METHOD, channel, _method(50, 21))
+        elif (cid, mid) == (60, 40):  # Basic.Publish
+            a.short()
+            exch, rk = a.shortstr(), a.shortstr()
+            return {"exchange": exch, "routing_key": rk}
+        elif (cid, mid) == (60, 70):  # Basic.Get
+            a.short()
+            qname = a.shortstr()
+            with self._lock:
+                msgs = self.queues.get(qname, [])
+                msg = msgs.pop(0) if msgs else None
+                depth = len(msgs)
+            if msg is None:
+                c.send_frame(
+                    FRAME_METHOD, channel, _method(60, 72, _shortstr(""))
+                )
+            else:
+                c.send_frame(
+                    FRAME_METHOD, channel,
+                    _method(
+                        60, 71,
+                        struct.pack(">QB", 1, 0)
+                        + _shortstr(msg["exchange"])
+                        + _shortstr(msg["routing_key"])
+                        + struct.pack(">I", depth),
+                    ),
+                )
+                flags = 0
+                props = b""
+                if "content_type" in msg["props"]:
+                    flags |= _FLAG_CONTENT_TYPE
+                    props += _shortstr(msg["props"]["content_type"])
+                if "delivery_mode" in msg["props"]:
+                    flags |= _FLAG_DELIVERY_MODE
+                    props += bytes([msg["props"]["delivery_mode"]])
+                body = msg["body"]
+                c.send_frame(
+                    FRAME_HEADER, channel,
+                    struct.pack(">HHQH", 60, 0, len(body), flags) + props,
+                )
+                c.send_frame(FRAME_BODY, channel, body)
+        elif (cid, mid) in ((10, 50), (20, 40)):  # Close
+            c.send_frame(
+                FRAME_METHOD, 0 if cid == 10 else channel,
+                _method(cid, 51),
+            )
+        return None
+
+    def _route(self, pending: dict) -> None:
+        with self._lock:
+            qname = self.bindings.get(
+                (pending["exchange"], pending["routing_key"])
+            )
+            if qname is not None:
+                self.queues[qname].append(
+                    {
+                        "exchange": pending["exchange"],
+                        "routing_key": pending["routing_key"],
+                        "props": pending["props"],
+                        "body": pending["got"],
+                    }
+                )
+
+
+class AmqpWireClient:
+    """Minimal 0-9-1 publisher/consumer: one connection, channel 1."""
+
+    def __init__(self, host: str, port: int):
+        self.c = _Conn(socket.create_connection((host, port), timeout=10))
+        self.c.sock.sendall(PROTO_HEADER)
+        self._expect(10, 10)  # Start
+        self.c.send_frame(
+            FRAME_METHOD, 0,
+            _method(
+                10, 11,
+                _longstr(b"") + _shortstr("PLAIN")
+                + _longstr(b"\x00guest\x00guest") + _shortstr("en_US"),
+            ),
+        )
+        self._expect(10, 30)  # Tune
+        self.c.send_frame(
+            FRAME_METHOD, 0, _method(10, 31, struct.pack(">HIH", 0, 131072, 0))
+        )
+        self.c.send_frame(
+            FRAME_METHOD, 0,
+            _method(10, 40, _shortstr("/") + _shortstr("") + bytes([0])),
+        )
+        self._expect(10, 41)  # OpenOk
+        self.c.send_frame(FRAME_METHOD, 1, _method(20, 10, _shortstr("")))
+        self._expect(20, 11)  # Channel.OpenOk
+
+    def close(self) -> None:
+        self.c.sock.close()
+
+    def _expect(self, class_id: int, method_id: int) -> _Args:
+        while True:
+            ftype, _ch, payload = self.c.read_frame()
+            if ftype != FRAME_METHOD:
+                continue
+            a = _Args(payload)
+            cid, mid = a.short(), a.short()
+            if (cid, mid) == (class_id, method_id):
+                return a
+            if mid == 51 or (cid, mid) in ((10, 50), (20, 40)):
+                raise ConnectionError("broker closed channel")
+
+    def exchange_declare(self, name: str, etype: str = "direct") -> None:
+        self.c.send_frame(
+            FRAME_METHOD, 1,
+            _method(
+                40, 10,
+                struct.pack(">H", 0) + _shortstr(name) + _shortstr(etype)
+                + bytes([0]) + _longstr(b""),
+            ),
+        )
+        self._expect(40, 11)
+
+    def queue_declare(self, name: str) -> None:
+        self.c.send_frame(
+            FRAME_METHOD, 1,
+            _method(
+                50, 10,
+                struct.pack(">H", 0) + _shortstr(name) + bytes([0])
+                + _longstr(b""),
+            ),
+        )
+        self._expect(50, 11)
+
+    def queue_bind(self, queue: str, exchange: str, routing_key: str) -> None:
+        self.c.send_frame(
+            FRAME_METHOD, 1,
+            _method(
+                50, 20,
+                struct.pack(">H", 0) + _shortstr(queue) + _shortstr(exchange)
+                + _shortstr(routing_key) + bytes([0]) + _longstr(b""),
+            ),
+        )
+        self._expect(50, 21)
+
+    def publish(
+        self,
+        exchange: str,
+        routing_key: str,
+        body: bytes,
+        delivery_mode: int = 1,
+        content_type: str = "application/json",
+    ) -> None:
+        self.c.send_frame(
+            FRAME_METHOD, 1,
+            _method(
+                60, 40,
+                struct.pack(">H", 0) + _shortstr(exchange)
+                + _shortstr(routing_key) + bytes([0]),
+            ),
+        )
+        flags = _FLAG_CONTENT_TYPE | _FLAG_DELIVERY_MODE
+        props = _shortstr(content_type) + bytes([delivery_mode])
+        self.c.send_frame(
+            FRAME_HEADER, 1,
+            struct.pack(">HHQH", 60, 0, len(body), flags) + props,
+        )
+        self.c.send_frame(FRAME_BODY, 1, body)
+
+    def get(self, queue: str):
+        """Basic.Get: None when empty, else a dict with exchange,
+        routing_key, delivery_mode, content_type, body."""
+        self.c.send_frame(
+            FRAME_METHOD, 1,
+            _method(60, 70, struct.pack(">H", 0) + _shortstr(queue) + bytes([1])),
+        )
+        while True:
+            ftype, _ch, payload = self.c.read_frame()
+            if ftype != FRAME_METHOD:
+                continue
+            a = _Args(payload)
+            cid, mid = a.short(), a.short()
+            if (cid, mid) == (60, 72):
+                return None
+            if (cid, mid) == (60, 71):
+                a.longlong()  # delivery tag
+                a.octet()  # redelivered
+                exch, rk = a.shortstr(), a.shortstr()
+                a.long()  # message count
+                ftype, _ch, hdr = self.c.read_frame()
+                h = _Args(hdr)
+                h.short(), h.short()
+                need = h.longlong()
+                flags = h.short()
+                content_type = (
+                    h.shortstr() if flags & _FLAG_CONTENT_TYPE else None
+                )
+                delivery_mode = (
+                    h.octet() if flags & _FLAG_DELIVERY_MODE else None
+                )
+                body = b""
+                while len(body) < need:
+                    ftype, _ch, chunk = self.c.read_frame()
+                    body += chunk
+                return {
+                    "exchange": exch,
+                    "routing_key": rk,
+                    "delivery_mode": delivery_mode,
+                    "content_type": content_type,
+                    "body": body,
+                }
+
+
+def publish_frames(frames, host: str, port: int) -> None:
+    """DISTRIBUTED publisher: ship an ``amqp_frame`` DataFrame through
+    the wire protocol — each partition opens its own connection (the
+    per-executor rabbitmq-c pattern), declares the exchange
+    idempotently, publishes one message per record. No driver-side
+    collect."""
+
+    def _send(rows) -> None:
+        cli = None
+        declared: set[tuple[str, str]] = set()
+        try:
+            for row in rows:
+                if cli is None:
+                    cli = AmqpWireClient(host, port)
+                ek = (row["exchange"], row["exchange_type"])
+                if ek not in declared:
+                    cli.exchange_declare(*ek)
+                    declared.add(ek)
+                cli.publish(
+                    row["exchange"],
+                    row["routing_key"],
+                    row["body"].encode()
+                    if isinstance(row["body"], str)
+                    else bytes(row["body"]),
+                    delivery_mode=row["delivery_mode"],
+                    content_type=row["content_type"],
+                )
+        finally:
+            if cli is not None:
+                cli.close()
+
+    frames.select(
+        "exchange", "exchange_type", "routing_key", "body",
+        "delivery_mode", "content_type",
+    ).foreachPartition(_send)

@@ -481,3 +481,135 @@ def fetch_records(
     return spark.createDataFrame(
         rows, "key string, value binary, topic string, partition int, offset long"
     )
+
+
+class KafkaSpool:
+    """UdpSpool twin over the Kafka wire protocol: the reference's
+    Kafka collector transport (``nfacctd_kafka_broker_host`` /
+    ``nfacctd_kafka_topic``, consumer setup src/kafka_common.c) with
+    the identical downstream contract — a background poller Fetches
+    from the last consumed offset per partition and spools
+    (exporter_ip, seqno, payload) parquet batches that ``batch()`` /
+    ``stream()`` serve exactly like the UDP socket spool. exporter_ip
+    comes from the record key (falling back to a stable synthetic
+    ``kafka:<topic>/<partition>`` identity), so template scoping and
+    stateful decode work unchanged."""
+
+    def __init__(
+        self,
+        host: str,
+        port: int,
+        topic: str,
+        spool_dir: str | None = None,
+        poll_secs: float = 0.1,
+    ):
+        import tempfile
+
+        self.host, self.port, self.topic = host, port, topic
+        self.spool_dir = spool_dir or tempfile.mkdtemp(prefix="kafka_spool_")
+        self.poll_secs = poll_secs
+        self.datagrams_received = 0
+        self._cli: KafkaWireClient | None = None
+        self._offsets: dict[int, int] = {}
+        self._seq = 0
+        self._nfile = 0
+        self._stop = threading.Event()
+        self._thread: threading.Thread | None = None
+        self._lock = threading.Lock()  # one socket: serialize all use
+
+    def start(self) -> "KafkaSpool":
+        import os
+
+        os.makedirs(self.spool_dir, exist_ok=True)
+        self._cli = KafkaWireClient(self.host, self.port)
+        self._offsets = {
+            p: 0 for p in self._cli.metadata([self.topic])[self.topic]
+        }
+        self._stop.clear()
+        self._thread = threading.Thread(
+            target=self._loop, name=f"kafka-spool-{self.topic}", daemon=True
+        )
+        self._thread.start()
+        return self
+
+    def stop(self) -> None:
+        self._stop.set()
+        if self._thread is not None:
+            self._thread.join(timeout=10)
+            self._thread = None
+        if self._cli is not None:
+            self._cli.close()
+            self._cli = None
+
+    def _loop(self) -> None:
+        import time
+
+        while not self._stop.is_set():
+            try:
+                self._poll_once()
+            except (ConnectionError, ValueError, OSError):
+                return  # broker went away: stop polling, keep spool
+            time.sleep(self.poll_secs)
+
+    def _poll_once(self) -> None:
+        with self._lock:
+            if self._cli is None:
+                return
+            rows: list[tuple[str, int, bytes]] = []
+            for p in sorted(self._offsets):
+                for off, key, value in self._cli.fetch(
+                    self.topic, p, self._offsets[p]
+                ):
+                    self._offsets[p] = off + 1
+                    rows.append(
+                        (
+                            key.decode()
+                            if key is not None
+                            else f"kafka:{self.topic}/{p}",
+                            self._seq,
+                            value if value is not None else b"",
+                        )
+                    )
+                    self._seq += 1
+            if rows:
+                self._write(rows)
+                self.datagrams_received += len(rows)
+
+    def flush(self, timeout: float = 5.0) -> None:
+        """Synchronously drain the broker up to its current high
+        watermark into the spool — readers call this before draining,
+        mirroring UdpSpool.flush."""
+        self._poll_once()
+
+    def _write(self, rows: list[tuple[str, int, bytes]]) -> None:
+        import os
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        table = pa.table(
+            {
+                "exporter_ip": [r[0] for r in rows],
+                "seqno": pa.array([r[1] for r in rows], pa.int64()),
+                "payload": pa.array([r[2] for r in rows], pa.binary()),
+            }
+        )
+        path = os.path.join(self.spool_dir, f"batch-{self._nfile:08d}.parquet")
+        pq.write_table(table, path + ".tmp")
+        os.rename(path + ".tmp", path)
+        self._nfile += 1
+
+    def batch(self, spark):
+        """Everything spooled so far, as a batch DataFrame."""
+        from pmacct_spark.sources.udp import DATAGRAM_DDL
+
+        return spark.read.schema(DATAGRAM_DDL).parquet(self.spool_dir)
+
+    def stream(self, spark, max_files_per_trigger: int | None = None):
+        """A Structured Streaming DataFrame tailing the spool."""
+        from pmacct_spark.sources.udp import DATAGRAM_DDL
+
+        r = spark.readStream.schema(DATAGRAM_DDL)
+        if max_files_per_trigger is not None:
+            r = r.option("maxFilesPerTrigger", max_files_per_trigger)
+        return r.parquet(self.spool_dir)

@@ -154,3 +154,65 @@ def test_fetch_from_offset_resumes(broker):
         assert [(o, v) for (o, _k, v) in tail] == [(3, b"m3"), (4, b"m4")]
     finally:
         cli.close()
+
+
+def test_daemon_over_kafka_transport(spark, tmp_path):
+    """The reference's Kafka collector transport (nfacctd_kafka_*):
+    v5 datagrams PRODUCED to the wire broker (exporter address as the
+    record key) are consumed by the daemon's KafkaSpool and flow
+    through the same channels as UDP datagrams — the channel output
+    matches the hand-computed golden from the UDP twin test."""
+    import time
+
+    from pmacct_spark.daemon import Daemon
+    from tests.test_streaming import _v5_datagram
+
+    b = MiniKafkaBroker(npartitions=2).start()
+    try:
+        cli = KafkaWireClient(b.host, b.port)
+        try:
+            recs1 = [
+                {"src": 0x0A000001, "dst": 0x0B000001, "pkts": 10,
+                 "bytes": 1000, "sport": 1234, "dport": 443, "proto": 6},
+                {"src": 0x0A000002, "dst": 0x0B000001, "pkts": 2,
+                 "bytes": 200, "sport": 53, "dport": 53, "proto": 17},
+            ]
+            recs2 = [
+                {"src": 0x0A000001, "dst": 0x0B000001, "pkts": 5,
+                 "bytes": 500, "sport": 1235, "dport": 443, "proto": 6},
+            ]
+            cli.produce(
+                "nfacct", 0, [(b"127.0.0.1", _v5_datagram(1, recs1))]
+            )
+            cli.produce(
+                "nfacct", 1, [(b"127.0.0.1", _v5_datagram(2, recs2))]
+            )
+        finally:
+            cli.close()
+
+        conf = f"""
+nfacctd_kafka_broker_host: {b.host}
+nfacctd_kafka_broker_port: {b.port}
+nfacctd_kafka_topic: nfacct
+plugins: print[files]
+aggregate[files]: proto
+print_history[files]: 5m
+print_output[files]: csv
+"""
+        d = Daemon.from_conf(spark, conf, spool_dir=str(tmp_path / "kspool"))
+        try:
+            t0 = time.monotonic()
+            while d.spool.datagrams_received < 2 and time.monotonic() - t0 < 15:
+                time.sleep(0.05)
+            assert d.spool.datagrams_received == 2
+            out = d.run_available()["files"]
+            got = {
+                int(r["proto"]): (int(r["bytes"]), int(r["packets"]),
+                                  int(r["flows"]))
+                for r in out.collect()
+            }
+        finally:
+            d.stop()
+        assert got == {6: (1500, 15, 2), 17: (200, 2, 1)}
+    finally:
+        b.stop()
