@@ -534,3 +534,52 @@ def ann_rrf_fusion(spark, sf_dir):
         .filter(F.col("fused_rank") <= 5)
         .select("query_id", "neighbor_id", F.col("score").cast("bigint").alias("score"), "fused_rank")
     )
+
+
+# --- corpus-frequency rarity score: two-pass vocabulary rank join —
+#     the frequency-based noise filter (rare-token-heavy docs score
+#     high) that complements the per-doc quality features. The global
+#     rank window runs on the VOCABULARY (bounded, sublinear in corpus
+#     size), never on the corpus itself.
+@register(
+    "text_rarity_score",
+    """
+WITH toks AS (
+  SELECT doc_id,
+         unnest(string_split_regex(lower(text), '\\s+')) AS tok
+  FROM documents
+),
+vocab AS (SELECT tok, COUNT(*) AS n FROM toks GROUP BY 1),
+ranked AS (
+  SELECT tok, ROW_NUMBER() OVER (ORDER BY n DESC, tok ASC) AS rnk
+  FROM vocab
+)
+SELECT t.doc_id, COUNT(*) AS n_tokens,
+       CAST(SUM(r.rnk) // COUNT(*) AS BIGINT) AS avg_rank
+FROM toks t JOIN ranked r ON r.tok = t.tok
+GROUP BY 1""",
+)
+def text_rarity_score(spark, sf_dir):
+    from pyspark.sql.window import Window
+
+    from pmacct_spark.operators.staging import stage
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = stage(  # read twice: vocabulary build + the rank join
+        docs.select(
+            "doc_id", F.explode(text.tokens_expr("text")).alias("tok")
+        )
+    )
+    vocab = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("n"))
+    ranked = vocab.withColumn(
+        "rnk",
+        F.row_number().over(Window.orderBy(F.desc("n"), F.asc("tok"))),
+    ).select("tok", "rnk")
+    return (
+        toks.join(ranked, "tok")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.expr("SUM(rnk) DIV COUNT(*)").cast("bigint").alias("avg_rank"),
+        )
+    )
