@@ -1,0 +1,289 @@
+"""ZMTP 3.0 (the ZeroMQ wire protocol) over real loopback sockets:
+the socket half of the reference's ZMQ transports, implemented from
+the public spec so the engine's (topic, payload) frames are exercised
+end-to-end through genuine TCP byte streams.
+
+Reference mapping: the reference uses ZeroMQ in two roles —
+(a) telemetry ingest: pmtelemetryd binds a PULL socket that the
+    external gRPC collector PUSHes de-marshalled JSON into
+    (src/telemetry/telemetry.c:115-135, zmq_bind + PULL), and
+(b) Kafka-less pub/sub delivery: plugins PUBlish records under a
+    single-byte topic, consumers SUBscribe with a topic filter
+    (src/zmq_common.c:56 p_zmq_set_topic, :348-358 PUB/PUSH setup,
+    :482 subscriber filter).
+This module implements both conversations at the ZMTP 3.0 level:
+64-byte greeting, NULL-mechanism READY handshake with Socket-Type
+metadata (peer compatibility checked), short/long message framing,
+and 3.0 PUB/SUB subscription messages (\\x01 topic / \\x00 topic).
+
+Honest scope note: this is OUR ZMTP implementation, not libzmq —
+reconnection, HWM back-pressure and multi-part routing envelopes are
+out of scope. What it proves beyond the frame contracts: the
+handshake, socket-type compatibility rules, message framing and
+PUB-side topic-prefix filtering all survive a real socket.
+"""
+
+from __future__ import annotations
+
+import socket
+import struct
+import threading
+
+_GREETING = (
+    b"\xff" + b"\x00" * 8 + b"\x7f"  # signature
+    + b"\x03\x00"  # version 3.0
+    + b"NULL" + b"\x00" * 16  # mechanism
+    + b"\x00"  # as-server
+    + b"\x00" * 31  # filler
+)
+
+_COMPATIBLE = {
+    "PUSH": {"PULL"},
+    "PULL": {"PUSH"},
+    "PUB": {"SUB"},
+    "SUB": {"PUB"},
+}
+
+
+def _recv_exact(sock: socket.socket, n: int) -> bytes:
+    buf = b""
+    while len(buf) < n:
+        chunk = sock.recv(n - len(buf))
+        if not chunk:
+            raise ConnectionError("peer closed")
+        buf += chunk
+    return buf
+
+
+def _send_frame(
+    sock: socket.socket, body: bytes, command: bool = False, more: bool = False
+) -> None:
+    flags = (4 if command else 0) | (1 if more else 0)
+    if len(body) <= 255:
+        sock.sendall(bytes([flags, len(body)]) + body)
+    else:
+        sock.sendall(bytes([flags | 2]) + struct.pack(">Q", len(body)) + body)
+
+
+def _recv_frame(sock: socket.socket) -> tuple[int, bytes]:
+    flags = _recv_exact(sock, 1)[0]
+    if flags & 2:  # LONG
+        (size,) = struct.unpack(">Q", _recv_exact(sock, 8))
+    else:
+        size = _recv_exact(sock, 1)[0]
+    return flags, _recv_exact(sock, size)
+
+
+def _ready_command(socket_type: str) -> bytes:
+    name = b"READY"
+    prop = b"Socket-Type"
+    val = socket_type.encode()
+    return (
+        bytes([len(name)]) + name
+        + bytes([len(prop)]) + prop
+        + struct.pack(">I", len(val)) + val
+    )
+
+
+def _parse_ready(body: bytes) -> str:
+    nlen = body[0]
+    name = body[1 : 1 + nlen]
+    if name != b"READY":
+        raise ValueError(f"expected READY, got {name!r}")
+    off = 1 + nlen
+    while off < len(body):
+        plen = body[off]
+        pname = body[off + 1 : off + 1 + plen]
+        off += 1 + plen
+        (vlen,) = struct.unpack_from(">I", body, off)
+        val = body[off + 4 : off + 4 + vlen]
+        off += 4 + vlen
+        if pname.lower() == b"socket-type":
+            return val.decode()
+    raise ValueError("READY carried no Socket-Type")
+
+
+def _handshake(sock: socket.socket, socket_type: str) -> None:
+    sock.sendall(_GREETING)
+    greeting = _recv_exact(sock, 64)
+    if greeting[0] != 0xFF or greeting[9] != 0x7F:
+        raise ValueError("bad ZMTP signature")
+    if greeting[12:16] != b"NULL":
+        raise ValueError("only the NULL mechanism is implemented")
+    _send_frame(sock, _ready_command(socket_type), command=True)
+    flags, body = _recv_frame(sock)
+    if not flags & 4:
+        raise ValueError("expected READY command")
+    peer_type = _parse_ready(body)
+    if peer_type not in _COMPATIBLE[socket_type]:
+        raise ValueError(
+            f"socket-type mismatch: {socket_type} peer is {peer_type}"
+        )
+
+
+class ZmtpPushClient:
+    """PUSH half of the telemetry seam (the external collector's role,
+    reference telemetry.c:115-135)."""
+
+    def __init__(self, host: str, port: int):
+        self.sock = socket.create_connection((host, port), timeout=10)
+        _handshake(self.sock, "PUSH")
+
+    def send(self, payload: bytes) -> None:
+        _send_frame(self.sock, payload)
+
+    def close(self) -> None:
+        self.sock.close()
+
+
+class ZmtpPullServer:
+    """PULL bind (pmtelemetryd's role): accepts PUSH peers, collects
+    every message into ``received`` (thread-safe drain())."""
+
+    def __init__(self, host: str = "127.0.0.1", port: int = 0):
+        self.host, self.port = host, port
+        self.received: list[bytes] = []
+        self._lock = threading.Lock()
+        self._srv: socket.socket | None = None
+
+    def start(self) -> "ZmtpPullServer":
+        self._srv = socket.socket(socket.AF_INET, socket.SOCK_STREAM)
+        self._srv.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
+        self._srv.bind((self.host, self.port))
+        self.port = self._srv.getsockname()[1]
+        self._srv.listen(8)
+        threading.Thread(target=self._accept_loop, daemon=True).start()
+        return self
+
+    def stop(self) -> None:
+        try:
+            if self._srv:
+                self._srv.close()
+        except OSError:
+            pass
+
+    def drain(self) -> list[bytes]:
+        with self._lock:
+            out, self.received = self.received, []
+        return out
+
+    def _accept_loop(self) -> None:
+        while True:
+            try:
+                conn, _ = self._srv.accept()
+            except OSError:
+                return
+            threading.Thread(
+                target=self._serve, args=(conn,), daemon=True
+            ).start()
+
+    def _serve(self, conn: socket.socket) -> None:
+        with conn:
+            try:
+                _handshake(conn, "PULL")
+                while True:
+                    flags, body = _recv_frame(conn)
+                    if flags & 4:
+                        continue  # ignore further commands
+                    with self._lock:
+                        self.received.append(body)
+            except (ConnectionError, ValueError):
+                return
+
+
+class ZmtpPubServer:
+    """PUB bind (the plugin's Kafka-less delivery role): tracks each
+    subscriber's topic-prefix filters from 3.0 subscription messages
+    (\\x01 topic) and forwards only matching messages — the broker-side
+    behavior p_zmq_set_topic relies on (src/zmq_common.c:482)."""
+
+    def __init__(self, host: str = "127.0.0.1", port: int = 0):
+        self.host, self.port = host, port
+        self._subs: list[tuple[socket.socket, list[bytes]]] = []
+        self._lock = threading.Lock()
+        self._srv: socket.socket | None = None
+
+    def start(self) -> "ZmtpPubServer":
+        self._srv = socket.socket(socket.AF_INET, socket.SOCK_STREAM)
+        self._srv.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
+        self._srv.bind((self.host, self.port))
+        self.port = self._srv.getsockname()[1]
+        self._srv.listen(8)
+        threading.Thread(target=self._accept_loop, daemon=True).start()
+        return self
+
+    def stop(self) -> None:
+        try:
+            if self._srv:
+                self._srv.close()
+        except OSError:
+            pass
+
+    def publish(self, message: bytes) -> None:
+        """Forward to every subscriber whose filter prefix-matches."""
+        with self._lock:
+            for conn, filters in list(self._subs):
+                if any(message.startswith(f) for f in filters):
+                    try:
+                        _send_frame(conn, message)
+                    except OSError:
+                        self._subs.remove((conn, filters))
+
+    def _accept_loop(self) -> None:
+        while True:
+            try:
+                conn, _ = self._srv.accept()
+            except OSError:
+                return
+            threading.Thread(
+                target=self._serve, args=(conn,), daemon=True
+            ).start()
+
+    def _serve(self, conn: socket.socket) -> None:
+        try:
+            _handshake(conn, "PUB")
+        except (ConnectionError, ValueError):
+            conn.close()
+            return
+        filters: list[bytes] = []
+        with self._lock:
+            self._subs.append((conn, filters))
+        try:
+            while True:
+                flags, body = _recv_frame(conn)
+                if flags & 4:
+                    continue
+                # 3.0 subscription messages ride the message channel
+                if body[:1] == b"\x01":
+                    with self._lock:
+                        filters.append(body[1:])
+                elif body[:1] == b"\x00":
+                    with self._lock:
+                        if body[1:] in filters:
+                            filters.remove(body[1:])
+        except (ConnectionError, ValueError):
+            with self._lock:
+                if (conn, filters) in self._subs:
+                    self._subs.remove((conn, filters))
+            conn.close()
+
+
+class ZmtpSubClient:
+    """SUB connect: sends the 3.0 subscription message for each topic
+    prefix, then receives matching messages."""
+
+    def __init__(self, host: str, port: int, topics: list[bytes]):
+        self.sock = socket.create_connection((host, port), timeout=10)
+        _handshake(self.sock, "SUB")
+        for t in topics:
+            _send_frame(self.sock, b"\x01" + t)
+
+    def recv(self, timeout: float = 5.0) -> bytes:
+        self.sock.settimeout(timeout)
+        while True:
+            flags, body = _recv_frame(self.sock)
+            if not flags & 4:
+                return body
+
+    def close(self) -> None:
+        self.sock.close()
