@@ -101,7 +101,12 @@ class Daemon:
                     conf.get(f"{prefix}_kafka_broker_host", default="127.0.0.1")
                     or "127.0.0.1"
                 ),
-                port=int(conf.get(f"{prefix}_kafka_broker_port", default=0) or 0),
+                # the reference's kafka_broker_port defaults to 9092 —
+                # a topic+host config with no port is valid
+                port=int(
+                    conf.get(f"{prefix}_kafka_broker_port", default=9092)
+                    or 9092
+                ),
                 topic=str(kafka_topic),
                 spool_dir=spool_dir,
             ).start()

@@ -38,6 +38,8 @@ import struct
 import threading
 from dataclasses import dataclass, field
 
+from pmacct_spark.sources.sockio import recv_exact
+
 FRAME_METHOD, FRAME_HEADER, FRAME_BODY = 1, 2, 3
 FRAME_END = 0xCE
 PROTO_HEADER = b"AMQP\x00\x00\x09\x01"
@@ -76,13 +78,7 @@ class _Conn:
         self.sock = sock
 
     def _recv_exact(self, n: int) -> bytes:
-        buf = b""
-        while len(buf) < n:
-            chunk = self.sock.recv(n - len(buf))
-            if not chunk:
-                raise ConnectionError("peer closed")
-            buf += chunk
-        return buf
+        return recv_exact(self.sock, n)
 
     def read_frame(self) -> tuple[int, int, bytes]:
         hdr = self._recv_exact(7)
@@ -306,11 +302,10 @@ class MiniAmqpBroker:
                     struct.pack(">HHQH", 60, 0, len(body), flags) + props,
                 )
                 c.send_frame(FRAME_BODY, channel, body)
-        elif (cid, mid) in ((10, 50), (20, 40)):  # Close
-            c.send_frame(
-                FRAME_METHOD, 0 if cid == 10 else channel,
-                _method(cid, 51),
-            )
+        elif (cid, mid) == (10, 50):  # Connection.Close -> CloseOk
+            c.send_frame(FRAME_METHOD, 0, _method(10, 51))
+        elif (cid, mid) == (20, 40):  # Channel.Close -> Channel.CloseOk
+            c.send_frame(FRAME_METHOD, channel, _method(20, 41))
         return None
 
     def _route(self, pending: dict) -> None:
@@ -357,6 +352,23 @@ class AmqpWireClient:
         self._expect(20, 11)  # Channel.OpenOk
 
     def close(self) -> None:
+        """Connection.Close handshake before closing the socket: the
+        broker processes frames in order, so awaiting CloseOk
+        guarantees every previously published message has been routed
+        — the synchronization point publish_frames relies on (AMQP
+        publish itself is fire-and-forget)."""
+        try:
+            self.c.send_frame(
+                FRAME_METHOD, 0,
+                _method(
+                    10, 50,
+                    struct.pack(">H", 200) + _shortstr("bye")
+                    + struct.pack(">HH", 0, 0),
+                ),
+            )
+            self._expect(10, 51)
+        except (ConnectionError, ValueError, OSError):
+            pass
         self.c.sock.close()
 
     def _expect(self, class_id: int, method_id: int) -> _Args:

@@ -35,6 +35,8 @@ import socket
 import struct
 import threading
 
+from pmacct_spark.sources.sockio import recv_exact as _recv_exact
+
 _CLIENT_PROTOCOL_41 = 0x0200
 _CAPS = 0x0200 | 0x0001 | 0x0008  # PROTOCOL_41 | LONG_PASSWORD | CONNECT_WITH_DB
 
@@ -62,16 +64,6 @@ def _read_lenenc(buf: bytes, off: int) -> tuple[int, int]:
     if first == 0xFD:
         return int.from_bytes(buf[off + 1 : off + 4], "little"), off + 4
     return struct.unpack_from("<Q", buf, off + 1)[0], off + 9
-
-
-def _recv_exact(sock: socket.socket, n: int) -> bytes:
-    buf = b""
-    while len(buf) < n:
-        chunk = sock.recv(n - len(buf))
-        if not chunk:
-            raise ConnectionError("peer closed")
-        buf += chunk
-    return buf
 
 
 def _read_packet(sock: socket.socket) -> tuple[int, bytes]:
@@ -134,9 +126,9 @@ class MiniMySqlServer:
                     + bytes([0x21])  # charset utf8
                     + struct.pack("<H", 2)  # status: autocommit
                     + struct.pack("<H", (_CAPS >> 16) & 0xFFFF)
-                    + bytes([21])  # auth data len
+                    + bytes([21])  # auth data len: 8 + 13
                     + b"\x00" * 10
-                    + b"90123456789012\x00"  # auth-data-2 (13)
+                    + b"901234567890\x00"  # auth-data-2: 13 incl. NUL
                     + b"mysql_native_password\x00"
                 )
                 _send_packet(sock, 0, greeting)

@@ -38,6 +38,8 @@ import struct
 import tempfile
 import threading
 
+from pmacct_spark.sources.sockio import recv_exact as _recv_exact
+
 _SSL_REQUEST = 80877103
 _PROTO_V3 = 196608
 
@@ -48,16 +50,6 @@ def _msg(type_byte: bytes, payload: bytes) -> bytes:
 
 def _cstr(s: str) -> bytes:
     return s.encode() + b"\x00"
-
-
-def _recv_exact(sock: socket.socket, n: int) -> bytes:
-    buf = b""
-    while len(buf) < n:
-        chunk = sock.recv(n - len(buf))
-        if not chunk:
-            raise ConnectionError("peer closed")
-        buf += chunk
-    return buf
 
 
 def _read_message(sock: socket.socket) -> tuple[bytes, bytes]:

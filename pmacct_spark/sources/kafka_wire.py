@@ -39,6 +39,8 @@ import threading
 import zlib
 from dataclasses import dataclass, field
 
+from pmacct_spark.sources.sockio import recv_exact
+
 # --- primitive codecs (big-endian, per the Kafka protocol guide) -----
 
 
@@ -123,9 +125,11 @@ class _Reader:
 
 def encode_message(key: bytes | None, value: bytes | None) -> bytes:
     """Kafka v0 Message: crc32(magic..value) + magic(0) + attrs(0) +
-    key BYTES + value BYTES."""
+    key BYTES + value BYTES. The CRC is the full unsigned CRC-32
+    stored in the int32 slot (two's complement on the wire), exactly
+    as the spec and librdkafka produce it."""
     body = _i8(0) + _i8(0) + _bytes(key) + _bytes(value)
-    return _i32(zlib.crc32(body) & 0x7FFFFFFF) + body
+    return struct.pack(">I", zlib.crc32(body) & 0xFFFFFFFF) + body
 
 
 def encode_message_set(msgs: list[tuple[int, bytes]]) -> bytes:
@@ -136,8 +140,13 @@ def encode_message_set(msgs: list[tuple[int, bytes]]) -> bytes:
     return out
 
 
-def decode_message_set(buf: bytes) -> list[tuple[int, bytes | None, bytes | None]]:
-    """ON-WIRE message set -> [(offset, key, value)]; CRC verified."""
+def decode_message_set(
+    buf: bytes, strict: bool = True
+) -> list[tuple[int, bytes | None, bytes | None]]:
+    """ON-WIRE message set -> [(offset, key, value)]; CRC verified
+    (full unsigned CRC-32 read back from the int32 slot). With
+    ``strict=False`` a corrupt message is skipped instead of raising —
+    the poisoned-record resilience the long-running spool needs."""
     out = []
     r = _Reader(buf)
     while r.off + 12 <= len(buf):
@@ -146,10 +155,12 @@ def decode_message_set(buf: bytes) -> list[tuple[int, bytes | None, bytes | None
         if r.off + sz > len(buf):  # truncated trailing message
             break
         m = _Reader(r.raw(sz))
-        crc = m.i32()
+        crc = m.i32() & 0xFFFFFFFF
         body = m.buf[m.off :]
-        if (zlib.crc32(body) & 0x7FFFFFFF) != crc:
-            raise ValueError(f"message CRC mismatch at offset {off}")
+        if (zlib.crc32(body) & 0xFFFFFFFF) != crc:
+            if strict:
+                raise ValueError(f"message CRC mismatch at offset {off}")
+            continue
         m.i8()  # magic
         m.i8()  # attributes
         key = m.nbytes()
@@ -209,24 +220,14 @@ class MiniKafkaBroker:
                 target=self._serve, args=(conn,), daemon=True
             ).start()
 
-    def _recv_exact(self, conn: socket.socket, n: int) -> bytes | None:
-        buf = b""
-        while len(buf) < n:
-            chunk = conn.recv(n - len(buf))
-            if not chunk:
-                return None
-            buf += chunk
-        return buf
-
     def _serve(self, conn: socket.socket) -> None:
         with conn:
             while True:
-                hdr = self._recv_exact(conn, 4)
-                if hdr is None:
-                    return
-                (size,) = struct.unpack(">i", hdr)
-                body = self._recv_exact(conn, size)
-                if body is None:
+                try:
+                    hdr = recv_exact(conn, 4)
+                    (size,) = struct.unpack(">i", hdr)
+                    body = recv_exact(conn, size)
+                except (ConnectionError, OSError):
                     return
                 r = _Reader(body)
                 api_key, api_version = r.i16(), r.i16()
@@ -301,15 +302,18 @@ class MiniKafkaBroker:
                 offset = r.i64()
                 r.i32()  # max_bytes
                 with self._lock:
-                    log = list(self.logs.get((topic, part), []))
+                    # copy only the tail: a 100 ms poller must be
+                    # O(new records), not O(everything ever produced)
+                    log = self.logs.get((topic, part), [])
+                    hw = len(log)
+                    tail = log[offset:]
                 msgs = [
-                    (i, encode_message(k, v))
-                    for i, (k, v) in enumerate(log)
-                    if i >= offset
+                    (offset + i, encode_message(k, v))
+                    for i, (k, v) in enumerate(tail)
                 ]
                 ms = encode_message_set(msgs)
                 out_parts += (
-                    _i32(part) + _i16(0) + _i64(len(log)) + _i32(len(ms)) + ms
+                    _i32(part) + _i16(0) + _i64(hw) + _i32(len(ms)) + ms
                 )
             out_topics += _string(topic) + _i32(nparts) + out_parts
         return _i32(ntopics) + out_topics
@@ -345,13 +349,7 @@ class KafkaWireClient:
         return resp
 
     def _recv_exact(self, n: int) -> bytes:
-        buf = b""
-        while len(buf) < n:
-            chunk = self.sock.recv(n - len(buf))
-            if not chunk:
-                raise ConnectionError("broker closed the connection")
-            buf += chunk
-        return buf
+        return recv_exact(self.sock, n)
 
     def metadata(self, topics: list[str]) -> dict[str, list[int]]:
         body = _i32(len(topics)) + b"".join(_string(t) for t in topics)
@@ -395,7 +393,7 @@ class KafkaWireClient:
         return r.i64()
 
     def fetch(
-        self, topic: str, part: int, offset: int = 0
+        self, topic: str, part: int, offset: int = 0, strict: bool = True
     ) -> list[tuple[int, bytes | None, bytes | None]]:
         body = (
             _i32(-1) + _i32(100) + _i32(1) + _i32(1) + _string(topic)
@@ -407,7 +405,7 @@ class KafkaWireClient:
         if err:
             raise ValueError(f"fetch error {err}")
         r.i64()  # high watermark
-        return decode_message_set(r.raw(r.i32()))
+        return decode_message_set(r.raw(r.i32()), strict=strict)
 
 
 def _partition_for(key: str | None, nparts: int) -> int:
@@ -509,6 +507,8 @@ class KafkaSpool:
         self.spool_dir = spool_dir or tempfile.mkdtemp(prefix="kafka_spool_")
         self.poll_secs = poll_secs
         self.datagrams_received = 0
+        self.datagrams_dropped = 0  # rows lost to failed writes
+        self.last_error: Exception | None = None
         self._cli: KafkaWireClient | None = None
         self._offsets: dict[int, int] = {}
         self._seq = 0
@@ -547,7 +547,8 @@ class KafkaSpool:
         while not self._stop.is_set():
             try:
                 self._poll_once()
-            except (ConnectionError, ValueError, OSError):
+            except (ConnectionError, OSError) as exc:
+                self.last_error = exc
                 return  # broker went away: stop polling, keep spool
             time.sleep(self.poll_secs)
 
@@ -556,30 +557,47 @@ class KafkaSpool:
             if self._cli is None:
                 return
             rows: list[tuple[str, int, bytes]] = []
+            # tentative per-partition positions: offsets COMMIT only
+            # after the spool write lands, so a failed write re-fetches
+            # the same records next tick instead of losing them
+            # (corrupt records are skipped by the non-strict decode —
+            # the UDP twin's poison resilience)
+            new_offsets = dict(self._offsets)
+            seq = self._seq
             for p in sorted(self._offsets):
                 for off, key, value in self._cli.fetch(
-                    self.topic, p, self._offsets[p]
+                    self.topic, p, self._offsets[p], strict=False
                 ):
-                    self._offsets[p] = off + 1
+                    new_offsets[p] = off + 1
                     rows.append(
                         (
                             key.decode()
                             if key is not None
                             else f"kafka:{self.topic}/{p}",
-                            self._seq,
+                            seq,
                             value if value is not None else b"",
                         )
                     )
-                    self._seq += 1
+                    seq += 1
             if rows:
-                self._write(rows)
-                self.datagrams_received += len(rows)
+                try:
+                    self._write(rows)
+                except Exception as exc:  # disk full, dir removed, ...
+                    self.last_error = exc
+                    return  # offsets NOT committed: re-fetched next tick
+            self._offsets = new_offsets
+            self._seq = seq
+            self.datagrams_received += len(rows)
 
     def flush(self, timeout: float = 5.0) -> None:
         """Synchronously drain the broker up to its current high
         watermark into the spool — readers call this before draining,
-        mirroring UdpSpool.flush."""
-        self._poll_once()
+        mirroring UdpSpool.flush (and like it, NEVER raises: a dead
+        broker must not crash a drain of already-spooled data)."""
+        try:
+            self._poll_once()
+        except (ConnectionError, OSError, ValueError) as exc:
+            self.last_error = exc
 
     def _write(self, rows: list[tuple[str, int, bytes]]) -> None:
         import os

@@ -29,6 +29,8 @@ import socket
 import struct
 import threading
 
+from pmacct_spark.sources.sockio import recv_exact as _recv_exact
+
 _GREETING = (
     b"\xff" + b"\x00" * 8 + b"\x7f"  # signature
     + b"\x03\x00"  # version 3.0
@@ -43,16 +45,6 @@ _COMPATIBLE = {
     "PUB": {"SUB"},
     "SUB": {"PUB"},
 }
-
-
-def _recv_exact(sock: socket.socket, n: int) -> bytes:
-    buf = b""
-    while len(buf) < n:
-        chunk = sock.recv(n - len(buf))
-        if not chunk:
-            raise ConnectionError("peer closed")
-        buf += chunk
-    return buf
 
 
 def _send_frame(

@@ -138,9 +138,56 @@ def test_message_crc_is_verified():
     corrupted = ms[:-1] + bytes([ms[-1] ^ 0xFF])
     with pytest.raises(ValueError, match="CRC"):
         decode_message_set(corrupted)
+    # non-strict (the long-running spool's mode): the poisoned record
+    # is skipped, good neighbors survive
+    both = corrupted + encode_message_set([(1, encode_message(b"k2", b"ok"))])
+    assert decode_message_set(both, strict=False) == [(1, b"k2", b"ok")]
     # and the clean set round-trips
     [(off, key, value)] = decode_message_set(ms)
     assert (off, key, value) == (0, b"k", b"hello")
+    # full unsigned CRC-32 (high bit set) must verify — the spec form
+    # librdkafka produces; the old 31-bit mask rejected ~half of all
+    # real messages
+    import zlib
+
+    for payload in (b"a", b"b", b"c", b"hello", b"x" * 100):
+        m = encode_message(None, payload)
+        body = m[4:]
+        assert decode_message_set(
+            encode_message_set([(0, m)])
+        ) == [(0, None, payload)]
+        if zlib.crc32(body) & 0x80000000:
+            break
+    else:
+        raise AssertionError("no test payload exercised a high-bit CRC")
+
+
+def test_kafka_spool_survives_broker_death(spark, tmp_path):
+    """flush() after the broker dies must NOT raise — a drain of
+    already-spooled data cannot be crashed by a dead transport
+    (UdpSpool's contract)."""
+    import time
+
+    from pmacct_spark.sources.kafka_wire import KafkaSpool
+
+    b = MiniKafkaBroker(npartitions=1).start()
+    cli = KafkaWireClient(b.host, b.port)
+    cli.produce("t", 0, [(b"10.0.0.1", b"payload-1")])
+    cli.produce("t", 0, [(b"10.0.0.1", b"payload-2")])
+    cli.close()
+    spool = KafkaSpool(b.host, b.port, "t", spool_dir=str(tmp_path / "ks"))
+    spool.start()
+    try:
+        t0 = time.monotonic()
+        while spool.datagrams_received < 2 and time.monotonic() - t0 < 10:
+            time.sleep(0.05)
+        assert spool.datagrams_received == 2
+        b.stop()
+        time.sleep(0.3)
+        spool.flush()  # dead broker: records error, does not raise
+        assert spool.batch(spark).count() == 2
+    finally:
+        spool.stop()
 
 
 def test_fetch_from_offset_resumes(broker):
