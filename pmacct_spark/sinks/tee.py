@@ -48,3 +48,39 @@ def route(df: DataFrame, receivers: list[TeeReceiver]) -> dict[str, DataFrame]:
             part = part.withColumn("endpoint", endpoint)
         out[r.receiver_id] = part
     return out
+
+
+def emit_udp(routed: DataFrame, default_endpoint: str | None = None) -> None:
+    """Transmit routed datagrams to their receivers over REAL UDP
+    sockets — the tee daemon's replication loop (reference
+    src/tee_plugin/tee_plugin.c:274-293 sends each datagram to every
+    selected receiver with sendto). DISTRIBUTED: each partition opens
+    one socket and sends its rows (per-executor fan-out, no driver
+    collect). Rows need ``payload`` (binary) and either an
+    ``endpoint`` column ("host:port", from a balanced pool) or the
+    ``default_endpoint``."""
+
+    def _send(rows) -> None:
+        import socket as _socket
+
+        sock = None
+        try:
+            for row in rows:
+                if sock is None:
+                    sock = _socket.socket(
+                        _socket.AF_INET, _socket.SOCK_DGRAM
+                    )
+                ep = row["endpoint"] if "endpoint" in row else None
+                ep = ep or default_endpoint
+                if not ep:
+                    raise ValueError("no endpoint for datagram")
+                host, _, port = ep.rpartition(":")
+                sock.sendto(bytes(row["payload"]), (host, int(port)))
+        finally:
+            if sock is not None:
+                sock.close()
+
+    cols = ["payload"] + (
+        ["endpoint"] if "endpoint" in routed.columns else []
+    )
+    routed.select(*cols).foreachPartition(_send)

@@ -459,3 +459,50 @@ def test_sql_multi_values_and_copy_paths_match_insert(spark, tmp_path):
     )
     with _pytest.raises(ValueError):
         t.purge(batch, "2026-01-02 03:04:05", multi_values=100)
+
+
+def test_tee_emit_udp_live(spark):
+    """The tee daemon's replication loop over REAL UDP sockets
+    (src/tee_plugin/tee_plugin.c:274-293): datagrams tag-route to two
+    live UdpSpool receivers; each receives exactly its share,
+    byte-exact, sent distributed (per-partition sockets)."""
+    import time
+
+    from pmacct_spark.sinks.tee import emit_udp
+    from pmacct_spark.sources.udp import UdpSpool
+
+    rx_a = UdpSpool().start()
+    rx_b = UdpSpool().start()
+    try:
+        dgrams = spark.createDataFrame(
+            [
+                ("10.0.0.1", i, bytearray(b"payload-%d" % i), i % 2)
+                for i in range(10)
+            ],
+            "exporter_ip string, seqno long, payload binary, tag int",
+        )
+        recv = [
+            TeeReceiver("even", tags=[0]),
+            TeeReceiver("odd", tags=[1]),
+        ]
+        parts = route(dgrams, recv)
+        emit_udp(parts["even"], default_endpoint=f"127.0.0.1:{rx_a.port}")
+        emit_udp(parts["odd"], default_endpoint=f"127.0.0.1:{rx_b.port}")
+        t0 = time.monotonic()
+        while (
+            rx_a.datagrams_received < 5 or rx_b.datagrams_received < 5
+        ) and time.monotonic() - t0 < 10:
+            time.sleep(0.05)
+        rx_a.flush()
+        rx_b.flush()
+        got_a = {
+            bytes(r["payload"]) for r in rx_a.batch(spark).collect()
+        }
+        got_b = {
+            bytes(r["payload"]) for r in rx_b.batch(spark).collect()
+        }
+        assert got_a == {b"payload-%d" % i for i in range(0, 10, 2)}
+        assert got_b == {b"payload-%d" % i for i in range(1, 10, 2)}
+    finally:
+        rx_a.stop()
+        rx_b.stop()
