@@ -1025,3 +1025,58 @@ def test_rtr_reconnect_replays_under_new_epoch(spark, tmp_path):
         srv.close()
     # B (0x0B...) was only in the dead session's epoch: gone
     assert state == {0x0A000000}
+
+
+def test_nfprobe_reexport_chains_into_second_daemon(spark, tmp_path):
+    """The pmacct-to-pmacct chain over a REAL socket: flows encoded by
+    the nfprobe exporter (v5 datagrams) transmit through emit_udp to a
+    SECOND collector daemon's UDP socket; that daemon's channel
+    aggregate equals the direct aggregation of the same flows — the
+    reference's nfacctd -> nfprobe -> nfacctd deployment as one test."""
+    from pmacct_spark.driver_queries import flows as flows_view_fn
+    from pmacct_spark.sinks.nfprobe import encode_v5
+    from pmacct_spark.sinks.tee import emit_udp
+    from pmacct_spark.operators.staging import stage
+
+    conf = """
+nfacctd_port: 0
+plugins: print[files]
+aggregate[files]: proto
+print_history[files]: 5m
+print_output[files]: csv
+"""
+    d = Daemon.from_conf(spark, conf, spool_dir=str(tmp_path / "chain"))
+    try:
+        fl = stage(
+            flows_view_fn(spark, "/root/testdata/sf0.001").limit(300).selectExpr(
+                "ip_src_i", "ip_dst_i", "iface_in", "iface_out", "packets",
+                "bytes", "unix_micros(CAST(ts AS TIMESTAMP)) DIV 1000 AS ts_ms",
+                "unix_micros(CAST(end_ts AS TIMESTAMP)) DIV 1000 AS end_ts_ms",
+                "port_src", "port_dst", "tcp_flags", "ip_proto", "tos",
+                "as_src", "as_dst",
+            )
+        )
+        dgrams = encode_v5(fl)
+        n_dgrams = dgrams.count()
+        emit_udp(dgrams, default_endpoint=f"127.0.0.1:{d.port}")
+        t0 = time.monotonic()
+        while d.spool.datagrams_received < n_dgrams and time.monotonic() - t0 < 15:
+            time.sleep(0.05)
+        assert d.spool.datagrams_received == n_dgrams
+        out = d.run_available()["files"]
+        # the channel emits one row per (5m bucket, proto): fold the
+        # buckets back together before comparing totals
+        got: dict[int, tuple[int, int]] = {}
+        for r in out.collect():
+            p = int(r["proto"])
+            b, k = got.get(p, (0, 0))
+            got[p] = (b + int(r["bytes"]), k + int(r["packets"]))
+    finally:
+        d.stop()
+    want = {
+        r["proto"]: (r["bytes"], r["packets"])
+        for r in fl.groupBy(F.col("ip_proto").cast("int").alias("proto"))
+        .agg(F.sum("bytes").alias("bytes"), F.sum("packets").alias("packets"))
+        .collect()
+    }
+    assert got == want and got
