@@ -250,3 +250,165 @@ SELECT * EXCLUDE (__t, __lines, __bg),
      )) * 1000 // (len(__t) - 1) ELSE 0 END AS INT) AS top_bigram_pm
 FROM __bgx
 """
+
+
+# --- BM25 ranked keyword retrieval -----------------------------------
+#
+# Real BM25 machinery (postings, document frequency, length
+# normalization, top-k per query) with one cross-engine twist: the
+# scoring function is BM25's exact RATIONAL form. With k1 = 6/5 and
+# b = 3/4, the term gain tf*(k1+1) / (tf + k1*(1 - b + b*dl/avgdl))
+# equals 44*tf*avgdl / (20*tf*avgdl + 6*avgdl + 18*dl) exactly, and the
+# Robertson idf odds (N - df + 0.5)/(df + 0.5) equals
+# (2N - 2df + 1)/(2df + 1) exactly — so the per-term score is a ratio
+# of int64s, evaluated in 1e-6 fixed point with integer DIV. That keeps
+# the oracle hash-exact (no ln(), no float summation order), while the
+# ranking machinery is the production shape: the idf ln() is monotone
+# per term, so single-term rankings are identical to textbook BM25 and
+# multi-term rankings differ only in how term contributions weigh
+# against each other.
+#
+# Scale shape (100 TB corpus): the corpus is scanned ONCE; query terms
+# are applied as an array filter BEFORE the explode, so only matching
+# postings ever shuffle; df and the global (N, avgdl) aggregate are
+# tiny and broadcast. One shuffle builds postings, one ranks top-k.
+
+BM25_QUERIES: list[tuple[int, list[str]]] = [
+    (0, ["hash", "join"]),
+    (1, ["window", "sort"]),
+    (2, ["spark", "batch", "merge"]),
+    (3, ["table", "scan"]),
+]
+
+_BM25_FP = 1_000_000
+
+# exact-rational BM25 per-term gain at k1=6/5, b=3/4 (see block comment)
+_BM25_TERM = (
+    "((2 * n_docs - 2 * df + 1) * 44 * tf * avgdl * {fp}) DIV "
+    "((2 * df + 1) * (20 * tf * avgdl + 6 * avgdl + 18 * dl))"
+)
+
+
+def bm25_topk(
+    docs: DataFrame,
+    queries: list[tuple[int, list[str]]] = BM25_QUERIES,
+    k: int = 10,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(query_id, doc_id, score, rank): BM25 top-k docs per query."""
+    from pyspark.sql.window import Window
+
+    spark = docs.sparkSession
+    terms = sorted({t for _, ts in queries for t in ts})
+    term_list = ", ".join(f"'{t}'" for t in terms)
+    qdf = spark.createDataFrame(
+        [(qid, t) for qid, ts in queries for t in ts],
+        "query_id BIGINT, tok STRING",
+    )
+    from pmacct_spark.operators.staging import stage
+
+    # ONE corpus scan: stage the slim (doc_id, dl, matched-tokens)
+    # projection — dl for every doc feeds the global stats, the
+    # query-term-filtered token array feeds the postings. Staging this
+    # row-linear-but-narrow projection (~tens of bytes/doc) is far
+    # cheaper than re-scanning and re-tokenizing the full text for the
+    # stats pass.
+    slim = stage(
+        docs.select(
+            F.col(id_col).alias("doc_id"), tokens_expr(text_col).alias("tk")
+        ).select(
+            "doc_id",
+            F.size("tk").cast("bigint").alias("dl"),
+            # drop non-query tokens BEFORE the explode: at corpus scale
+            # this is the difference between shuffling every token and
+            # shuffling only the handful of matching postings
+            F.expr(f"filter(tk, t -> t IN ({term_list}))").alias("mt"),
+        )
+    )
+    # global corpus stats: one row, broadcast onto the postings
+    stats = slim.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.expr("SUM(dl) DIV COUNT(*)").cast("bigint").alias("avgdl"),
+    )
+    postings = (
+        slim.select("doc_id", "dl", F.explode("mt").alias("tok"))
+        .groupBy("doc_id", "dl", "tok")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("tf"))
+    )
+    dfreq = postings.groupBy("tok").agg(
+        F.count_distinct("doc_id").cast("bigint").alias("df")
+    )
+    scored = (
+        postings.join(F.broadcast(qdf), "tok")
+        .join(F.broadcast(dfreq), "tok")
+        .join(F.broadcast(stats))
+        .withColumn("term_fp", F.expr(_BM25_TERM.format(fp=_BM25_FP)))
+        .groupBy("query_id", "doc_id")
+        .agg(F.sum("term_fp").cast("bigint").alias("score"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("score"), F.asc("doc_id")
+    )
+    return (
+        scored.withColumn(
+            "rank", F.row_number().over(w).cast("bigint")
+        )
+        .filter(F.col("rank") <= k)
+        .select("query_id", "doc_id", "score", "rank")
+    )
+
+
+def bm25_topk_duck(
+    queries: list[tuple[int, list[str]]] = BM25_QUERIES,
+    k: int = 10,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    source: str = "documents",
+) -> str:
+    """DuckDB replay of :func:`bm25_topk` (same fixed-point rational)."""
+    qvals = ", ".join(
+        f"({qid}, '{t}')" for qid, ts in queries for t in ts
+    )
+    terms = sorted({t for _, ts in queries for t in ts})
+    term_list = ", ".join(f"'{t}'" for t in terms)
+    term = _BM25_TERM.format(fp=_BM25_FP).replace(" DIV ", " // ")
+    return f"""
+WITH q(query_id, tok) AS (VALUES {qvals}),
+base AS (
+  SELECT {id_col} AS doc_id,
+         string_split_regex(lower({text_col}), '\\s+') AS tk
+  FROM {source}
+),
+stats AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(len(tk)) // COUNT(*) AS BIGINT) AS avgdl
+  FROM base
+),
+ex AS (
+  SELECT doc_id, CAST(len(tk) AS BIGINT) AS dl, unnest(tk) AS tok
+  FROM base
+),
+postings AS (
+  SELECT doc_id, dl, tok, CAST(COUNT(*) AS BIGINT) AS tf
+  FROM ex WHERE tok IN ({term_list}) GROUP BY 1, 2, 3
+),
+dfreq AS (
+  SELECT tok, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df
+  FROM postings GROUP BY 1
+),
+scored AS (
+  SELECT CAST(q.query_id AS BIGINT) AS query_id, p.doc_id,
+         CAST(SUM({term}) AS BIGINT) AS score
+  FROM postings p
+  JOIN q ON q.tok = p.tok
+  JOIN dfreq d ON d.tok = p.tok
+  CROSS JOIN stats
+  GROUP BY 1, 2
+)
+SELECT query_id, doc_id, score,
+       CAST(ROW_NUMBER() OVER (
+         PARTITION BY query_id
+         ORDER BY score DESC, doc_id ASC) AS BIGINT) AS rank
+FROM scored QUALIFY rank <= {k}
+"""

@@ -583,3 +583,87 @@ def text_rarity_score(spark, sf_dir):
             F.expr("SUM(rnk) DIV COUNT(*)").cast("bigint").alias("avg_rank"),
         )
     )
+
+
+# --- BM25 ranked keyword retrieval: the keyword-search baseline every
+#     retrieval stack starts from. Exact-rational fixed-point scoring
+#     (see operators/text.py) keeps the oracle hash-exact; query terms
+#     filter the corpus BEFORE the explode so only matching postings
+#     shuffle.
+@register("bm25_keyword_topk", text.bm25_topk_duck())
+def bm25_keyword_topk(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return text.bm25_topk(docs)
+
+
+# --- hybrid retrieval: BM25 keyword ranking fused with cosine vector
+#     ranking by reciprocal-rank fusion — the standard production
+#     hybrid-search stack (sparse + dense, RRF on integer ranks).
+#     Query ids 0..3 are both a term list (BM25 side) and the
+#     embedding row with vec_id == query_id (vector side; brute-force
+#     cosine excludes the self-match, BM25 does not — deterministic in
+#     both engines).
+@register(
+    "hybrid_bm25_vector_rrf",
+    f"""
+WITH kw AS ({text.bm25_topk_duck()}),
+vec AS ({similarity.brute_force_topk_duck(k=10, query_pred="vec_id < 4")}),
+sc AS (
+  SELECT COALESCE(kw.query_id, vec.query_id) AS query_id,
+         COALESCE(kw.doc_id, vec.neighbor_id) AS doc_id,
+         COALESCE(1000000 // (60 + kw.rank), 0)
+         + COALESCE(1000000 // (60 + vec.rank), 0) AS score
+  FROM kw FULL OUTER JOIN vec
+    ON kw.query_id = vec.query_id AND kw.doc_id = vec.neighbor_id
+)
+SELECT query_id, doc_id, CAST(score AS BIGINT) AS score,
+       CAST(ROW_NUMBER() OVER (
+         PARTITION BY query_id
+         ORDER BY score DESC, doc_id ASC) AS BIGINT) AS fused_rank
+FROM sc QUALIFY fused_rank <= 5""",
+)
+def hybrid_bm25_vector_rrf(spark, sf_dir):
+    from pyspark.sql.window import Window
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    emb = load_table(spark, sf_dir, "embeddings")
+    kw = text.bm25_topk(docs).select(
+        F.col("query_id").alias("kq"),
+        F.col("doc_id").alias("kd"),
+        F.col("rank").alias("kr"),
+    )
+    vec = similarity.brute_force_topk(
+        emb, emb.filter("vec_id < 4"), k=10
+    ).select(
+        F.col("query_id").cast("bigint").alias("vq"),
+        F.col("neighbor_id").cast("bigint").alias("vd"),
+        F.col("rank").alias("vr"),
+    )
+    sc = (
+        kw.join(
+            vec,
+            (F.col("kq") == F.col("vq")) & (F.col("kd") == F.col("vd")),
+            "full_outer",
+        )
+        .select(
+            F.coalesce("kq", "vq").alias("query_id"),
+            F.coalesce("kd", "vd").alias("doc_id"),
+            (
+                F.coalesce(F.expr("1000000 DIV (60 + kr)"), F.lit(0))
+                + F.coalesce(F.expr("1000000 DIV (60 + vr)"), F.lit(0))
+            ).alias("score"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("score"), F.asc("doc_id")
+    )
+    return (
+        sc.withColumn("fused_rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("fused_rank") <= 5)
+        .select(
+            "query_id",
+            "doc_id",
+            F.col("score").cast("bigint").alias("score"),
+            "fused_rank",
+        )
+    )

@@ -223,3 +223,50 @@ class TestCosineBlockCap:
         assert {(r["id_a"], r["id_b"]) for r in a.collect()} == {
             (r["id_a"], r["id_b"]) for r in b.collect()
         }
+
+
+class TestBM25:
+    """Hand-computed BM25 fixture: pins the exact-rational fixed-point
+    arithmetic (k1=6/5, b=3/4, odds-ratio idf) and the two behaviors
+    that make BM25 BM25 — term-frequency gain saturation and document-
+    length normalization."""
+
+    def _docs(self, spark):
+        return spark.createDataFrame(
+            [
+                (0, "cat dog"),
+                (1, "cat cat cat fish"),
+                (2, "bird bird"),
+                (3, "cat"),
+            ],
+            "doc_id BIGINT, text STRING",
+        )
+
+    def test_hand_computed_scores_and_ranking(self, spark):
+        from pmacct_spark.operators.text import bm25_topk
+
+        # N=4, avgdl=(2+4+2+1)//4=2, df(cat)=3 -> idf odds 3/7
+        # gain = 88*tf / (40*tf + 12 + 18*dl); score = (3*gain_num*1e6)
+        #        // (7*gain_den), all-integer
+        out = bm25_topk(self._docs(spark), queries=[(0, ["cat"])], k=10)
+        rows = {r["doc_id"]: (r["score"], r["rank"]) for r in out.collect()}
+        # d1: tf=3,dl=4 -> 792e6 // 1428 = 554621  (tf dominates)
+        # d3: tf=1,dl=1 -> 264e6 // 490  = 538775  (short doc beats...)
+        # d0: tf=1,dl=2 -> 264e6 // 616  = 428571  (...the longer one)
+        assert rows == {
+            1: (554621, 1),
+            3: (538775, 2),
+            0: (428571, 3),
+        }
+
+    def test_absent_term_contributes_nothing(self, spark):
+        from pmacct_spark.operators.text import bm25_topk
+
+        out = bm25_topk(
+            self._docs(spark), queries=[(1, ["dog", "unicorn"])], k=10
+        )
+        rows = out.collect()
+        # only d0 contains 'dog'; 'unicorn' matches nothing and must
+        # not produce rows or shift scores
+        assert [r["doc_id"] for r in rows] == [0]
+        assert rows[0]["rank"] == 1
