@@ -184,6 +184,43 @@ class Daemon:
             (name, ptype) for ptype, name in self.conf.plugins
         ) or {"default": "memory"}
 
+    def _bgp_event_stream(self) -> DataFrame:
+        """Decoded live BGP session events (BMP_EVENT_SCHEMA rows).
+        Two-phase: a session's OPEN chunk and its UPDATE chunks may
+        land in different spool files, so the ADD-PATH capability set
+        is learned in a pre-pass — cached per spool generation (OPEN
+        caps are static per session; re-walking every session byte on
+        every replan tick would double the per-tick decode work for
+        nothing)."""
+        from pmacct_spark.sources.tcp import latest_session_only
+        from pmacct_spark.streaming.bmp import decode_bgp, learn_bgp_caps
+
+        sess = latest_session_only(
+            self.bgp_spool.batch(self.spark)
+        ).select("exporter_ip", "seqno", "payload")
+        gen = getattr(self.bgp_spool, "_nfile", None)
+        cached = getattr(self, "_bgp_caps_cache", None)
+        if cached is None or cached[0] != gen:
+            cached = (gen, learn_bgp_caps(sess))
+            self._bgp_caps_cache = cached
+        return decode_bgp(sess, session_caps=cached[1])
+
+    def _bmp_event_stream(self) -> DataFrame:
+        """Decoded live BMP events; ADD-PATH caps from Peer Up OPENs,
+        cached per spool generation (mirror of the BGP pre-pass)."""
+        from pmacct_spark.sources.tcp import latest_session_only
+        from pmacct_spark.streaming.bmp import decode_bmp, learn_bmp_caps
+
+        bmp_sess = latest_session_only(
+            self.bmp_spool.batch(self.spark)
+        ).select("exporter_ip", "seqno", "payload")
+        bgen = getattr(self.bmp_spool, "_nfile", None)
+        bcached = getattr(self, "_bmp_caps_cache", None)
+        if bcached is None or bcached[0] != bgen:
+            bcached = (bgen, learn_bmp_caps(bmp_sess))
+            self._bmp_caps_cache = bcached
+        return decode_bmp(bmp_sess, session_caps=bcached[1])
+
     def rib(self, for_lookup: bool = True) -> DataFrame:
         """Current RIB state from the live BGP and/or BMP sessions
         (latest-wins compaction — the in-memory table the reference
@@ -194,54 +231,24 @@ class Daemon:
         double-count flows through the join). ``for_lookup=False``
         (table dumps) keeps per-path entries, as the reference dump
         does (src/bgp/bgp_logdump.c path_id handling)."""
-        from pmacct_spark.sources.tcp import latest_session_only
-        from pmacct_spark.streaming.bmp import (
-            decode_bgp,
-            decode_bmp,
-            learn_bgp_caps,
-            rib_state,
-        )
+        from pmacct_spark.streaming.bmp import rib_state
 
         parts = []
         if self.bgp_spool is not None:
-            # a reconnecting peer's old session is obsolete
-            sess = latest_session_only(
-                self.bgp_spool.batch(self.spark)
-            ).select("exporter_ip", "seqno", "payload")
-            # two-phase: a session's OPEN chunk and its UPDATE chunks
-            # may land in different spool files, so the ADD-PATH
-            # capability set is learned in a pre-pass — cached per
-            # spool generation (OPEN caps are static per session;
-            # re-walking every session byte on every replan tick would
-            # double the per-tick decode work for nothing)
-            gen = getattr(self.bgp_spool, "_nfile", None)
-            cached = getattr(self, "_bgp_caps_cache", None)
-            if cached is None or cached[0] != gen:
-                cached = (gen, learn_bgp_caps(sess))
-                self._bgp_caps_cache = cached
             parts.append(
                 rib_state(
-                    decode_bgp(sess, session_caps=cached[1]),
-                    peer_down=False,  # BGP sessions only carry UPDATEs
+                    self._bgp_event_stream(),
+                    # NOTIFICATION surfaces as a peer-down event; the
+                    # purge clears the Adj-RIB-In exactly as the
+                    # reference's session close does
+                    peer_down=True,
                 )
             )
         if self.bmp_spool is not None:
             from pyspark.sql import Window
 
-            from pmacct_spark.streaming.bmp import learn_bmp_caps
-
-            bmp_sess = latest_session_only(
-                self.bmp_spool.batch(self.spark)
-            ).select("exporter_ip", "seqno", "payload")
-            # ADD-PATH caps from Peer Up OPENs, cached per spool
-            # generation (mirror of the BGP branch above)
-            bgen = getattr(self.bmp_spool, "_nfile", None)
-            bcached = getattr(self, "_bmp_caps_cache", None)
-            if bcached is None or bcached[0] != bgen:
-                bcached = (bgen, learn_bmp_caps(bmp_sess))
-                self._bmp_caps_cache = bcached
             bmp_rib = rib_state(  # BMP streams carry Peer Down purges
-                decode_bmp(bmp_sess, session_caps=bcached[1])
+                self._bmp_event_stream()
             )
             # Flow correlation keys on the MONITORED ROUTER (the BMP
             # sender), not the remote BGP neighbor: the flow's exporter
@@ -734,6 +741,7 @@ class Daemon:
                     write_print(out, path, fmt=fmt)
             results[name] = out
         self.dump_rib_if_configured()
+        self.write_msglog_if_configured()
         return results
 
     def dump_rib_if_configured(self) -> str | None:
@@ -760,6 +768,61 @@ class Daemon:
             refresh_secs=refresh, time_slots=slots,
         )
         return path
+
+    def write_msglog_if_configured(self) -> list[str]:
+        """Per-event BGP/BMP message log (reference bgp_daemon_msglog_*
+        / bmp_daemon_msglog_*, src/bgp/bgp_logdump.c): when
+        ``bgp_daemon_msglog_file`` / ``bmp_daemon_msglog_file`` is
+        set, render the session's full event log (log_init / log /
+        log_close, per-peer seq) as JSON lines under the path; when
+        ``*_msglog_kafka_topic`` is set (with
+        ``*_msglog_kafka_broker_host``/``_port``), ship the same
+        frames through the live Kafka wire producer. Returns the
+        sinks written."""
+        wrote: list[str] = []
+        for family, spool, events in (
+            ("bgp_daemon_msglog", self.bgp_spool, self._bgp_event_stream),
+            ("bmp_daemon_msglog", self.bmp_spool, self._bmp_event_stream),
+        ):
+            if spool is None:
+                continue
+            path = self.conf.get(f"{family}_file")
+            topic = self.conf.get(f"{family}_kafka_topic")
+            if not path and not topic:
+                continue
+            ev = events()
+            if path:
+                from pmacct_spark.sinks.msglog import write_msglog
+
+                write_msglog(ev, path)
+                wrote.append(path)
+            if topic:
+                from pmacct_spark.sinks.msglog import msglog_kafka_frames
+                from pmacct_spark.sources.kafka_wire import produce_frames
+
+                host = self.conf.get(
+                    f"{family}_kafka_broker_host", default="127.0.0.1"
+                )
+                port = int(
+                    self.conf.get(f"{family}_kafka_broker_port", default=9092)
+                    or 9092
+                )
+                produce_frames(
+                    msglog_kafka_frames(ev, topic), host, port
+                )
+                wrote.append(f"kafka://{host}:{port}/{topic}")
+        # sFlow counter log (sfacctd_counter_file, src/sfacctd.c:2366):
+        # counter samples ride the same UDP spool as the flow samples
+        cpath = self.conf.get("sfacctd_counter_file")
+        if cpath and self.flavor == "sflow":
+            from pmacct_spark.sinks.msglog import write_counter_log
+            from pmacct_spark.streaming.decode import decode_sflow_counters
+
+            write_counter_log(
+                decode_sflow_counters(self._spool_batch()), cpath
+            )
+            wrote.append(cpath)
+        return wrote
 
     def run_continuous(self, trigger_secs: float = 1.0) -> "ContinuousRun":
         """Start every windowed channel LIVE, serving its aggregate

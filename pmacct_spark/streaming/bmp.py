@@ -555,13 +555,38 @@ def _bgp_stream_rows(
             break
         msg = payload[off : off + mlen]  # _parse_update wants the full
         off += mlen                      # message incl. the BGP header
-        if mtype == 1 and session_caps is not None:
-            # OPEN: learn the session's ADD-PATH AFI/SAFI set (a
-            # re-OPEN after session reset replaces it)
-            caps = _parse_open_caps(msg)
-            session_caps[exporter] = caps
+        if mtype == 1:
+            if session_caps is not None:
+                # OPEN: learn the session's ADD-PATH AFI/SAFI set (a
+                # re-OPEN after session reset replaces it)
+                caps = _parse_open_caps(msg)
+                session_caps[exporter] = caps
+            # session established: surface a peer-up event (msg_type 3,
+            # the BMP event model) — the reference calls
+            # bgp_peer_log_init here (src/bgp/bgp_packet.c OPEN path),
+            # so the msglog sink sees BGP sessions too
+            out.append(
+                {
+                    "exporter_ip": exporter, "peer_ip": exporter,
+                    "peer_as": 0, "ts_s": 0, "msg_type": 3, "seq": seq,
+                }
+            )
+            seq += 1
             continue
-        if mtype != 2:  # NOTIFICATION/KEEPALIVE: session plumbing
+        if mtype == 3:
+            # NOTIFICATION terminates the session: peer-down event
+            # (msg_type 2) — reference bgp_peer_log_close; rib_state's
+            # peer_down purge then clears the Adj-RIB-In exactly as the
+            # reference's session close does
+            out.append(
+                {
+                    "exporter_ip": exporter, "peer_ip": exporter,
+                    "peer_as": 0, "ts_s": 0, "msg_type": 2, "seq": seq,
+                }
+            )
+            seq += 1
+            continue
+        if mtype != 2:  # KEEPALIVE/other: session plumbing
             continue
         withdrawn, nlri, attrs = _parse_update(
             msg, addpath_v4=(1, 1) in caps, addpath_v6=(2, 1) in caps

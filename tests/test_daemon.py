@@ -1080,3 +1080,59 @@ print_output[files]: csv
         .collect()
     }
     assert got == want and got
+
+
+def test_daemon_bgp_msglog_file(spark, tmp_path):
+    """bgp_daemon_msglog_file: the serve cycle writes the per-event
+    session log (log_init / log / log_close with per-peer seq;
+    reference src/bgp/bgp_logdump.c msglog path) — live end-to-end:
+    OPEN + UPDATEs + NOTIFICATION over a real socket."""
+    import glob as _glob
+    import json as _json
+    import socket as _sock
+
+    from pmacct_spark.streaming.bmp import encode_bgp_open, encode_bgp_update
+
+    log_dir = str(tmp_path / "msglog")
+    conf = f"""
+nfacctd_port: 0
+bgp_daemon: true
+bgp_daemon_port: 0
+bgp_daemon_msglog_file: {log_dir}
+plugins: memory[routes]
+aggregate[routes]: as_path
+"""
+    d = Daemon.from_conf(spark, conf, spool_dir=str(tmp_path / "spool_ml"))
+    try:
+        notification = (
+            b"\xff" * 16 + (21).to_bytes(2, "big") + bytes([3, 6, 2])
+        )
+        session = (
+            encode_bgp_open()
+            + encode_bgp_update(0x0A000000, 8, "65000 65100")
+            + encode_bgp_update(0x0B000000, 8, "65000 65200")
+            + notification
+        )
+        c = _sock.socket(_sock.AF_INET, _sock.SOCK_STREAM)
+        c.connect(("127.0.0.1", d.bgp_port))
+        c.sendall(session)
+        c.close()
+        t0 = time.monotonic()
+        while d.bgp_spool.messages_spooled < 4 and time.monotonic() - t0 < 15:
+            time.sleep(0.05)
+        time.sleep(0.3)
+        assert d.write_msglog_if_configured() == [log_dir]
+    finally:
+        d.stop()
+    lines = []
+    for f in _glob.glob(f"{log_dir}/**/*.txt", recursive=True):
+        with open(f) as fh:
+            lines += [_json.loads(ln) for ln in fh if ln.strip()]
+    lines.sort(key=lambda r: r["seq"])
+    assert [r["event_type"] for r in lines] == [
+        "log_init", "log", "log", "log_close",
+    ]
+    assert lines[1]["ip_prefix"] == "10.0.0.0/8"
+    assert lines[2]["as_path"] == "65000 65200"
+    # the peer's address keys the log — the $peer_src_ip analog
+    assert all(r["peer_ip_src"] == "127.0.0.1" for r in lines)

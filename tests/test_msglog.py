@@ -1,0 +1,276 @@
+"""BGP/BMP per-event message log (sinks/msglog.py) — the reference's
+bgp_daemon_msglog_* / bmp_daemon_msglog_* surface: log_init / log /
+log_close framing per peer, per-peer monotonic seq, reference JSON
+field names, the per-peer file sink, and the live Kafka transport."""
+
+import json
+import pathlib
+
+import pytest
+from pyspark.sql import SparkSession
+
+from tests.test_streaming import _bgp_update, _bmp_msg
+
+
+@pytest.fixture(scope="module")
+def spark():
+    s = (
+        SparkSession.builder.master("local[4]")
+        .config("spark.sql.shuffle.partitions", "4")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+    yield s
+
+
+def _bmp_session_events(spark):
+    """peer up -> announce 10.1/16 -> withdraw 10.2/16 -> peer down."""
+    from pmacct_spark.streaming.bmp import decode_bmp
+
+    peer = 0xC0000205  # 192.0.2.5
+    msgs = (
+        _bmp_msg(3, peer, 64500)
+        + _bmp_msg(0, peer, 64500, _bgp_update([], [(0x0A010000, 16)]))
+        + _bmp_msg(0, peer, 64500, _bgp_update([(0x0A020000, 16)], []))
+        + _bmp_msg(2, peer, 64500)
+    )
+    dg = spark.createDataFrame(
+        [("203.0.113.9", bytearray(msgs))],
+        "exporter_ip string, payload binary",
+    )
+    return decode_bmp(dg)
+
+
+def test_msglog_event_framing(spark):
+    """The reference's per-peer lifecycle: log_init on session up, one
+    'log' per route with log_type update|withdraw, log_close on
+    session down — seq monotonic from 1 within the peer."""
+    from pmacct_spark.sinks.msglog import msglog_events
+
+    out = (
+        msglog_events(_bmp_session_events(spark))
+        .orderBy("msglog_seq")
+        .collect()
+    )
+    assert [r["event_type"] for r in out] == [
+        "log_init", "log", "log", "log_close",
+    ]
+    assert [r["msglog_seq"] for r in out] == [1, 2, 3, 4]
+    assert [r["log_type"] for r in out] == [None, "update", "withdraw", None]
+    upd = out[1]
+    assert upd["ip_prefix"] == "10.1.0.0/16"
+    assert upd["bgp_nexthop"] == "10.0.0.254"
+    assert upd["afi"] == 1 and upd["safi"] == 1
+    wd = out[2]
+    assert wd["ip_prefix"] == "10.2.0.0/16"
+    # a withdraw carries no path attributes
+    assert wd["bgp_nexthop"] is None and wd["as_path"] is None
+
+
+def test_msglog_rd_instance_routes_are_safi_128(spark):
+    """RD-instance peers (BMP peer type 1) log L3VPN routes: safi 128
+    and the rd field present (reference logs the route's table)."""
+    from pmacct_spark.sinks.msglog import msglog_events
+    from pmacct_spark.streaming.bmp import decode_bmp
+
+    peer = 0xC0000206
+    rd = b"\x00\x00" + (1).to_bytes(2, "big") + (7).to_bytes(4, "big")
+    msgs = _bmp_msg(
+        0, peer, 64500, _bgp_update([], [(0x0A030000, 16)]), ptype=1, rd=rd
+    )
+    dg = spark.createDataFrame(
+        [("203.0.113.9", bytearray(msgs))],
+        "exporter_ip string, payload binary",
+    )
+    row = msglog_events(decode_bmp(dg)).collect()[0]
+    assert row["safi"] == 128 and row["rd"] == "0:1:7"
+
+
+def test_msglog_json_reference_field_names_nulls_omitted(spark):
+    """JSON rows use the reference's field names (peer_ip_src, seq,
+    ip_prefix, bgp_nexthop, comms...) and omit null fields the way
+    the reference conditionally writes them."""
+    from pmacct_spark.sinks.msglog import msglog_json
+
+    rows = {
+        r["msglog_seq"]: json.loads(r["json"])
+        for r in msglog_json(_bmp_session_events(spark)).collect()
+    }
+    init = rows[1]
+    assert init["event_type"] == "log_init"
+    assert init["peer_ip_src"] == "192.0.2.5"
+    # no route fields on a session event
+    assert "ip_prefix" not in init and "as_path" not in init
+    upd = rows[2]
+    assert upd["log_type"] == "update"
+    assert upd["ip_prefix"] == "10.1.0.0/16"
+    assert upd["bgp_nexthop"] == "10.0.0.254"
+    assert upd["as_path"] == "64496 65001"
+    assert upd["local_pref"] == 150 and upd["med"] == 20
+    assert upd["seq"] == 2 and upd["timestamp"] == 1_700_000_000
+
+
+def test_msglog_file_sink_one_dir_per_peer(spark, tmp_path):
+    """bgp_daemon_msglog_file's $peer_src_ip dynamic filename becomes
+    a peer=<ip> partition directory; lines in a peer's log are in seq
+    order."""
+    from pmacct_spark.sinks.msglog import write_msglog
+
+    path = str(tmp_path / "msglog")
+    write_msglog(_bmp_session_events(spark), path)
+    peer_dir = (
+        pathlib.Path(path) / "exporter=203.0.113.9" / "peer=192.0.2.5"
+    )
+    assert peer_dir.is_dir()
+    lines = []
+    for f in sorted(peer_dir.glob("*.txt")):
+        lines += [
+            json.loads(ln)
+            for ln in f.read_text().splitlines()
+            if ln.strip()
+        ]
+    assert [ln["seq"] for ln in lines] == [1, 2, 3, 4]
+    assert lines[0]["event_type"] == "log_init"
+    assert lines[-1]["event_type"] == "log_close"
+
+
+def test_msglog_rides_kafka_wire_live(spark):
+    """bgp_daemon_msglog_kafka_topic: msglog frames produced through
+    the LIVE wire-protocol broker come back intact and peer-keyed."""
+    from pmacct_spark.sinks.msglog import msglog_kafka_frames
+    from pmacct_spark.sources.kafka_wire import (
+        MiniKafkaBroker,
+        fetch_records,
+        produce_frames,
+    )
+
+    b = MiniKafkaBroker(npartitions=2).start()
+    try:
+        frames = msglog_kafka_frames(
+            _bmp_session_events(spark), topic="pmacct.bgp.msglog"
+        )
+        produce_frames(frames, b.host, b.port, nparts=2)
+        back = fetch_records(
+            spark, b.host, b.port, ["pmacct.bgp.msglog"]
+        ).collect()
+    finally:
+        b.stop()
+    assert len(back) == 4
+    assert {r["key"] for r in back} == {"192.0.2.5"}
+    types = sorted(
+        json.loads(r["value"])["event_type"] for r in back
+    )
+    assert types == ["log", "log", "log_close", "log_init"]
+
+
+def test_msglog_live_bgp_session(spark, tmp_path):
+    """The BGP daemon half over a REAL socket: OPEN (log_init), two
+    UPDATEs (log), NOTIFICATION (log_close) — the lifecycle the
+    reference's bgp_daemon_msglog_file records for a peering
+    session."""
+    import socket
+    import time
+
+    from pmacct_spark.sinks.msglog import msglog_events
+    from pmacct_spark.sources.tcp import TcpSpool
+    from pmacct_spark.streaming.bmp import (
+        decode_bgp,
+        encode_bgp_open,
+        encode_bgp_update,
+    )
+
+    notification = b"\xff" * 16 + (21).to_bytes(2, "big") + bytes([3, 6, 2])
+    stream = (
+        encode_bgp_open()
+        + encode_bgp_update(0x0A000000, 8, "65000 65100")
+        + encode_bgp_update(0x0A010000, 16, "65000 65200")
+        + notification
+    )
+    with TcpSpool(
+        framing="bgp", spool_dir=str(tmp_path / "bgp_msglog")
+    ) as sp:
+        c = socket.socket(socket.AF_INET, socket.SOCK_STREAM)
+        c.connect(("127.0.0.1", sp.port))
+        c.sendall(stream)
+        c.close()
+        t0 = time.monotonic()
+        while sp.messages_spooled < 4 and time.monotonic() - t0 < 15:
+            time.sleep(0.05)
+        time.sleep(0.3)
+        dg = sp.batch(spark)
+    out = (
+        msglog_events(
+            decode_bgp(dg.select("exporter_ip", "seqno", "payload"))
+        )
+        .orderBy("msglog_seq")
+        .collect()
+    )
+    assert [r["event_type"] for r in out] == [
+        "log_init", "log", "log", "log_close",
+    ]
+    assert [r["msglog_seq"] for r in out] == [1, 2, 3, 4]
+    assert out[1]["ip_prefix"] == "10.0.0.0/8"
+    assert out[2]["as_path"] == "65000 65200"
+
+
+def test_daemon_sflow_counter_log_file(spark, tmp_path):
+    """sfacctd_counter_file (reference src/sfacctd.c:2366
+    sf_cnt_log_msg): counter samples arriving on the LIVE sfacctd UDP
+    socket are logged as per-agent JSON records with the reference's
+    generic-interface-counter field names and a monotonic seq."""
+    import socket
+    import time
+
+    from pmacct_spark.daemon import Daemon
+    from pmacct_spark.sinks.sfprobe import encode_sflow_counters
+
+    log_dir = str(tmp_path / "ctrlog")
+    conf = f"""
+sfacctd_port: 0
+sfacctd_counter_file: {log_dir}
+plugins: memory[ifaces]
+aggregate[ifaces]: proto
+"""
+    rows = spark.createDataFrame(
+        [
+            (5, 6, 10**9, 1, 1111, 11, 0, 2222, 22, 1),
+            (7, 6, 10**9, 1, 3333, 33, 2, 4444, 44, 3),
+        ],
+        "if_index LONG, if_type LONG, if_speed LONG, if_status LONG, "
+        "if_in_octets LONG, if_in_ucast LONG, if_in_errors LONG, "
+        "if_out_octets LONG, if_out_ucast LONG, if_out_errors LONG",
+    )
+    payloads = [
+        bytes(r["payload"])
+        for r in encode_sflow_counters(rows).select("payload").collect()
+    ]
+    d = Daemon.from_conf(spark, conf, spool_dir=str(tmp_path / "sp_ctr"))
+    try:
+        s = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
+        for p in payloads:
+            s.sendto(p, ("127.0.0.1", d.port))
+        s.close()
+        t0 = time.monotonic()
+        while (
+            d.spool.datagrams_received < len(payloads)
+            and time.monotonic() - t0 < 15
+        ):
+            time.sleep(0.05)
+        d.spool.flush()
+        assert d.write_msglog_if_configured() == [log_dir]
+    finally:
+        d.stop()
+    lines = []
+    for f in pathlib.Path(log_dir).rglob("*.txt"):
+        lines += [
+            json.loads(ln)
+            for ln in f.read_text().splitlines()
+            if ln.strip()
+        ]
+    lines.sort(key=lambda r: r["ifIndex"])
+    assert len(lines) == 2
+    assert [ln["ifIndex"] for ln in lines] == [5, 7]
+    assert lines[0]["ifInOctets"] == 1111
+    assert lines[1]["ifOutUcastPkts"] == 44
+    assert {ln["event_type"] for ln in lines} == {"log"}
+    assert sorted(ln["seq"] for ln in lines) == [1, 2]
