@@ -84,7 +84,12 @@ class Daemon:
         spool_dir: str | None = None,
     ) -> "Daemon":
         conf = conffile.parse_conf(conf_text)
-        if conf.get("sfacctd_port") is not None:
+        if conf.get("telemetry_daemon_port_udp") is not None:
+            # the pmtelemetryd flavor: collect + log/dump, no
+            # accounting channels (reference src/pmtelemetryd.c)
+            flavor = "telemetry"
+            port = int(conf.get("telemetry_daemon_port_udp") or 0)
+        elif conf.get("sfacctd_port") is not None:
             flavor, port = "sflow", int(conf.get("sfacctd_port") or 0)
         else:
             flavor, port = "netflow", int(conf.get("nfacctd_port", default=0) or 0)
@@ -143,7 +148,11 @@ class Daemon:
             ).start()
         return cls(
             spark=spark, conf=conf, spool=spool,
-            channels=conffile.channels(conf), flavor=flavor,
+            # pmtelemetryd collects + logs/dumps; it runs no
+            # accounting channels (reference src/pmtelemetryd.c has no
+            # plugin loop)
+            channels={} if flavor == "telemetry" else conffile.channels(conf),
+            flavor=flavor,
             bgp_spool=bgp_spool, bmp_spool=bmp_spool,
             rtr_client=rtr_client,
         )
@@ -822,6 +831,24 @@ class Daemon:
                 decode_sflow_counters(self._spool_batch()), cpath
             )
             wrote.append(cpath)
+        # telemetry msglog (telemetry_daemon_msglog_file,
+        # src/telemetry/telemetry_logdump.c): the pmtelemetryd flavor
+        # wraps each received message in the ietf-telemetry-message
+        # envelope
+        tpath = self.conf.get("telemetry_daemon_msglog_file")
+        if tpath and self.flavor == "telemetry":
+            from pmacct_spark.sinks.msglog import write_telemetry_log
+
+            write_telemetry_log(
+                self._spool_batch(),
+                tpath,
+                proc_name=str(
+                    self.conf.get("core_proc_name", default="default")
+                    or "default"
+                ),
+                export_port=self.port,
+            )
+            wrote.append(tpath)
         return wrote
 
     def run_continuous(self, trigger_secs: float = 1.0) -> "ContinuousRun":

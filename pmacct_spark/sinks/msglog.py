@@ -221,3 +221,82 @@ def counter_log_kafka_frames(counters: DataFrame, topic: str) -> DataFrame:
         F.col("json").alias("value"),
         F.lit(topic).alias("topic"),
     )
+
+
+# --- telemetry msglog (telemetry_daemon_msglog_*) --------------------
+#
+# Reference src/telemetry/telemetry_logdump.c telemetry_log_msg: each
+# telemetry message is wrapped in the draft ietf-telemetry-message
+# envelope — telemetry-message-metadata (notification-event,
+# session-protocol, a labels list carrying the seq, collection
+# timestamp, export address/port), network-operator-metadata (the
+# serialization label), data-collection-manifest (collector identity),
+# and the decoded message itself under "payload". The payload is
+# already JSON, so the envelope is composed around it verbatim (the
+# reference embeds the parsed object the same way).
+
+
+def telemetry_log_json(
+    msgs: DataFrame,
+    proc_name: str = "nfacctd",
+    export_port: int = 0,
+) -> DataFrame:
+    """(exporter_ip, log_seq, json) from telemetry datagram rows
+    (exporter_ip, seqno, payload) whose payload is a JSON document."""
+    w = Window.partitionBy("exporter_ip").orderBy("seqno")
+    shaped = msgs.withColumn(
+        "log_seq", F.row_number().over(w).cast("bigint")
+    ).withColumn("payload_str", F.col("payload").cast("string"))
+    meta = F.to_json(
+        F.struct(
+            F.lit("update").alias("notification-event"),
+            F.lit("telemetry").alias("session-protocol"),
+            F.array(
+                F.struct(
+                    F.lit("seq").alias("name"),
+                    F.col("log_seq").alias("number-value"),
+                )
+            ).alias("labels"),
+            F.col("exporter_ip").alias("export-address"),
+            F.lit(export_port).alias("export-port"),
+        )
+    )
+    netop = (
+        '{"labels": [{"name": "serialization",'
+        ' "string-value": "json-string"}]}'
+    )
+    manifest = F.to_json(
+        F.struct(
+            F.lit("pmacct").alias("vendor"),
+            F.lit(proc_name).alias("name"),
+            F.lit("pmacct_spark").alias("software-version"),
+            F.lit("spark").alias("software-flavor"),
+        )
+    )
+    envelope = F.concat(
+        F.lit('{"ietf-telemetry-message:message": '
+              '{"telemetry-message-metadata": '),
+        meta,
+        F.lit(', "network-operator-metadata": ' + netop),
+        F.lit(', "data-collection-manifest": '),
+        manifest,
+        F.lit(', "payload": '),
+        F.col("payload_str"),
+        F.lit("}}"),
+    )
+    return shaped.select(
+        "exporter_ip", "log_seq", envelope.alias("json")
+    )
+
+
+def write_telemetry_log(msgs: DataFrame, path: str, **kw) -> None:
+    """telemetry_daemon_msglog_file: JSON lines per telemetry node."""
+    (
+        telemetry_log_json(msgs, **kw)
+        .repartition("exporter_ip")
+        .sortWithinPartitions("exporter_ip", "log_seq")
+        .select(F.col("exporter_ip").alias("node"), "json")
+        .write.partitionBy("node")
+        .mode("overwrite")
+        .text(path)
+    )
