@@ -1,0 +1,208 @@
+"""BGP Looking Glass — the reference's pmbgpd LG service
+(src/bgp/bgp_lg.c: ``bgp_lg_daemon``, config keys bgp_daemon_lg /
+bgp_daemon_lg_ip / bgp_daemon_lg_port; client examples/lg/pmbgp.py).
+
+Protocol (reference bgp_lg_daemon_worker_json): a ZMQ REQ client
+sends a JSON query header ``{"query_type": t, "queries": n}`` plus,
+for ip_lookup, a data part ``{"ip_prefix": ..., "rd": ...}``; the
+daemon replies with a results header ``{"results": N, "query_type":
+t}`` (plus ``"text"`` on errors) followed by one JSON part per
+matching route or peer. Routes are rendered with the same field
+vocabulary as the msglog/dump events (the reference routes all three
+through bgp_peer_log_msg, event_type "lglass").
+
+Spark-side shape: the LG serves the daemon's live RIB — a bounded
+dimension table (the same table every enrichment broadcast-joins), so
+collecting it at the serving edge is the IMT-server pattern, not a
+distributed-operator violation. Lookups walk the collected RIB with
+plain longest-prefix matching per peer.
+
+Transport: the ZMTP 3.0 ROUTER/REQ conversation over a real TCP
+socket (sources/zmtp.py) — greeting, NULL READY handshake with
+Socket-Type compatibility, empty-delimiter request/reply envelopes.
+"""
+
+from __future__ import annotations
+
+import json
+
+BGP_LG_QT_UNKNOWN = 0
+BGP_LG_QT_IP_LOOKUP = 1
+BGP_LG_QT_GET_PEERS = 2
+
+
+def _v4_int(s: str) -> int:
+    a, b, c, d = (int(x) for x in s.split("."))
+    return (a << 24) | (b << 16) | (c << 8) | d
+
+
+def _v4_str(i: int) -> str:
+    return f"{(i >> 24) & 255}.{(i >> 16) & 255}.{(i >> 8) & 255}.{i & 255}"
+
+
+def _route_json(row) -> bytes:
+    """Render one RIB row with the msglog field vocabulary
+    (event_type lglass, reference bgp_logdump.c:64)."""
+    obj: dict = {"event_type": "lglass"}
+    if row["prefix"] is not None:
+        obj["ip_prefix"] = f"{_v4_str(int(row['prefix']))}/{row['masklen']}"
+    elif row["prefix6"] is not None:
+        obj["ip_prefix"] = f"{row['prefix6']}/{row['masklen']}"
+    obj["peer_ip_src"] = row["peer_ip"]
+    for src, dst in (
+        ("as_path", "as_path"),
+        ("std_comm", "comms"),
+        ("ext_comm", "ecomms"),
+        ("lrg_comm", "lcomms"),
+        ("local_pref", "local_pref"),
+        ("med", "med"),
+        ("rd", "rd"),
+        ("path_id", "as_path_id"),
+    ):
+        if src in row.__fields__ and row[src] is not None:
+            obj[dst] = row[src]
+    if row["next_hop"] is not None:
+        obj["bgp_nexthop"] = _v4_str(int(row["next_hop"]))
+    elif "next_hop6" in row.__fields__ and row["next_hop6"] is not None:
+        obj["bgp_nexthop"] = row["next_hop6"]
+    return json.dumps(obj).encode()
+
+
+class LookingGlass:
+    """ROUTER-bound LG service over a live RIB provider (a callable
+    returning the daemon's RIB DataFrame, per-path entries kept)."""
+
+    def __init__(self, rib_provider, host: str = "127.0.0.1", port: int = 0):
+        from pmacct_spark.sources.zmtp import ZmtpRouterServer
+
+        self._provider = rib_provider
+        self._srv = ZmtpRouterServer(self._handle, host=host, port=port)
+
+    def start(self) -> "LookingGlass":
+        self._srv.start()
+        self.port = self._srv.port
+        return self
+
+    def stop(self) -> None:
+        self._srv.stop()
+
+    # --- request handling ------------------------------------------
+    def _handle(self, parts: list[bytes]) -> list[bytes]:
+        try:
+            hdr = json.loads(parts[0])
+            qt = int(hdr.get("query_type", BGP_LG_QT_UNKNOWN))
+        except (ValueError, IndexError, TypeError):
+            qt = BGP_LG_QT_UNKNOWN
+        if qt == BGP_LG_QT_IP_LOOKUP and len(parts) >= 2:
+            return self._ip_lookup(parts[1])
+        if qt == BGP_LG_QT_GET_PEERS:
+            return self._get_peers()
+        return [
+            json.dumps(
+                {"results": 0, "query_type": qt, "text": "unsupported"}
+            ).encode()
+        ]
+
+    def _rows(self):
+        return self._provider().collect()
+
+    def _ip_lookup(self, data: bytes) -> list[bytes]:
+        try:
+            q = json.loads(data)
+            addr_s = str(q["ip_prefix"]).split("/")[0]
+            addr = _v4_int(addr_s)
+        except (ValueError, KeyError, TypeError):
+            return [
+                json.dumps(
+                    {
+                        "results": 0,
+                        "query_type": BGP_LG_QT_IP_LOOKUP,
+                        "text": "lookup error",
+                    }
+                ).encode()
+            ]
+        rd = q.get("rd")
+        best: dict[str, object] = {}  # peer -> row, longest masklen wins
+        for r in self._rows():
+            if r["prefix"] is None:
+                continue  # v4 lookup walks the v4 table
+            if rd is not None and r["rd"] != rd:
+                continue
+            ml = int(r["masklen"])
+            if (addr >> (32 - ml)) != (int(r["prefix"]) >> (32 - ml)):
+                continue
+            cur = best.get(r["peer_ip"])
+            if cur is None or ml > int(cur["masklen"]):
+                best[r["peer_ip"]] = r
+        if not best:
+            return [
+                json.dumps(
+                    {
+                        "results": 0,
+                        "query_type": BGP_LG_QT_IP_LOOKUP,
+                        "text": "prefix not found",
+                    }
+                ).encode()
+            ]
+        routes = [
+            _route_json(best[p]) for p in sorted(best)
+        ]
+        head = json.dumps(
+            {"results": len(routes), "query_type": BGP_LG_QT_IP_LOOKUP}
+        ).encode()
+        return [head] + routes
+
+    def _get_peers(self) -> list[bytes]:
+        peers = sorted(
+            {
+                (r["peer_ip"], int(r["peer_as"] or 0))
+                for r in self._rows()
+            }
+        )
+        head = json.dumps(
+            {"results": len(peers), "query_type": BGP_LG_QT_GET_PEERS}
+        ).encode()
+        return [head] + [
+            json.dumps(
+                {"peer_ip_src": ip, "peer_id": ip, "peer_as": asn}
+            ).encode()
+            for ip, asn in peers
+        ]
+
+
+class LookingGlassClient:
+    """The reference LG client's conversation (examples/lg/pmbgp.py):
+    REQ over ZMTP, header + optional data part, header + N results
+    back."""
+
+    def __init__(self, host: str, port: int):
+        from pmacct_spark.sources.zmtp import ZmtpReqClient
+
+        self._req = ZmtpReqClient(host, port)
+
+    def ip_lookup(self, ip_prefix: str, rd: str | None = None):
+        data: dict = {"ip_prefix": ip_prefix}
+        if rd is not None:
+            data["rd"] = rd
+        parts = self._req.request(
+            [
+                json.dumps(
+                    {"query_type": BGP_LG_QT_IP_LOOKUP, "queries": 1}
+                ).encode(),
+                json.dumps(data).encode(),
+            ]
+        )
+        return [json.loads(p) for p in parts]
+
+    def get_peers(self):
+        parts = self._req.request(
+            [
+                json.dumps(
+                    {"query_type": BGP_LG_QT_GET_PEERS, "queries": 1}
+                ).encode()
+            ]
+        )
+        return [json.loads(p) for p in parts]
+
+    def close(self) -> None:
+        self._req.close()

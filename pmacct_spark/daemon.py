@@ -69,6 +69,7 @@ class Daemon:
     bgp_spool: object | None = None  # TcpSpool when bgp_daemon is on
     bmp_spool: object | None = None  # TcpSpool when bmp_daemon is on
     rtr_client: object | None = None  # RtrClient when rpki_rtr_cache is set
+    lg: object | None = None  # LookingGlass when bgp_daemon_lg is on
     # created eagerly: N replan threads share it — a lazily-created
     # lock is itself a race (two threads can each mint their own)
     _compact_lock: threading.Lock = field(
@@ -146,7 +147,7 @@ class Daemon:
                     conf.get("rpki_rtr_cache_version", default=1) or 1
                 ),
             ).start()
-        return cls(
+        d = cls(
             spark=spark, conf=conf, spool=spool,
             # pmtelemetryd collects + logs/dumps; it runs no
             # accounting channels (reference src/pmtelemetryd.c has no
@@ -156,6 +157,18 @@ class Daemon:
             bgp_spool=bgp_spool, bmp_spool=bmp_spool,
             rtr_client=rtr_client,
         )
+        if conf.getbool("bgp_daemon_lg") and bgp_spool is not None:
+            # the Looking Glass service (reference src/bgp/bgp_lg.c,
+            # keys bgp_daemon_lg / _ip / _port): ZMTP ROUTER answering
+            # ip_lookup / get_peers against the live RIB
+            from pmacct_spark.client.lg import LookingGlass
+
+            d.lg = LookingGlass(
+                lambda: d.rib(for_lookup=False),
+                host=str(conf.get("bgp_daemon_lg_ip", default=host) or host),
+                port=int(conf.get("bgp_daemon_lg_port", default=0) or 0),
+            ).start()
+        return d
 
     @property
     def port(self) -> int:
@@ -171,7 +184,7 @@ class Daemon:
 
     def stop(self) -> None:
         self.spool.stop()
-        for sp in (self.bgp_spool, self.bmp_spool, self.rtr_client):
+        for sp in (self.bgp_spool, self.bmp_spool, self.rtr_client, self.lg):
             if sp is not None:
                 sp.stop()
         from pmacct_spark.operators.staging import release
@@ -786,8 +799,10 @@ class Daemon:
         log_close, per-peer seq) as JSON lines under the path; when
         ``*_msglog_kafka_topic`` is set (with
         ``*_msglog_kafka_broker_host``/``_port``), ship the same
-        frames through the live Kafka wire producer. Returns the
-        sinks written."""
+        frames through the live Kafka wire producer; when
+        ``*_msglog_amqp_routing_key`` is set, publish them on the
+        AMQP exchange over the live 0-9-1 wire. Returns the sinks
+        written."""
         wrote: list[str] = []
         for family, spool, events in (
             ("bgp_daemon_msglog", self.bgp_spool, self._bgp_event_stream),
@@ -797,7 +812,8 @@ class Daemon:
                 continue
             path = self.conf.get(f"{family}_file")
             topic = self.conf.get(f"{family}_kafka_topic")
-            if not path and not topic:
+            amqp_key = self.conf.get(f"{family}_amqp_routing_key")
+            if not path and not topic and not amqp_key:
                 continue
             ev = events()
             if path:
@@ -820,6 +836,28 @@ class Daemon:
                     msglog_kafka_frames(ev, topic), host, port
                 )
                 wrote.append(f"kafka://{host}:{port}/{topic}")
+            rkey = self.conf.get(f"{family}_amqp_routing_key")
+            if rkey:
+                from pmacct_spark.sinks.amqp_wire import publish_frames
+                from pmacct_spark.sinks.msglog import msglog_amqp_frames
+
+                ahost = str(
+                    self.conf.get(f"{family}_amqp_host", default="127.0.0.1")
+                    or "127.0.0.1"
+                )
+                aport = int(
+                    self.conf.get(f"{family}_amqp_port", default=5672) or 5672
+                )
+                exch = str(
+                    self.conf.get(f"{family}_amqp_exchange", default="pmacct")
+                    or "pmacct"
+                )
+                publish_frames(
+                    msglog_amqp_frames(ev, str(rkey), exchange=exch),
+                    ahost,
+                    aport,
+                )
+                wrote.append(f"amqp://{ahost}:{aport}/{exch}/{rkey}")
         # sFlow counter log (sfacctd_counter_file, src/sfacctd.c:2366):
         # counter samples ride the same UDP spool as the flow samples
         cpath = self.conf.get("sfacctd_counter_file")
@@ -831,6 +869,30 @@ class Daemon:
                 decode_sflow_counters(self._spool_batch()), cpath
             )
             wrote.append(cpath)
+        ctopic = self.conf.get("sfacctd_counter_kafka_topic")
+        if ctopic and self.flavor == "sflow":
+            from pmacct_spark.sinks.msglog import counter_log_kafka_frames
+            from pmacct_spark.sources.kafka_wire import produce_frames
+            from pmacct_spark.streaming.decode import decode_sflow_counters
+
+            khost = str(
+                self.conf.get(
+                    "sfacctd_counter_kafka_broker_host", default="127.0.0.1"
+                )
+                or "127.0.0.1"
+            )
+            kport = int(
+                self.conf.get("sfacctd_counter_kafka_broker_port", default=9092)
+                or 9092
+            )
+            produce_frames(
+                counter_log_kafka_frames(
+                    decode_sflow_counters(self._spool_batch()), str(ctopic)
+                ),
+                khost,
+                kport,
+            )
+            wrote.append(f"kafka://{khost}:{kport}/{ctopic}")
         # telemetry msglog (telemetry_daemon_msglog_file,
         # src/telemetry/telemetry_logdump.c): the pmtelemetryd flavor
         # wraps each received message in the ietf-telemetry-message

@@ -300,3 +300,24 @@ def write_telemetry_log(msgs: DataFrame, path: str, **kw) -> None:
         .mode("overwrite")
         .text(path)
     )
+
+
+def msglog_amqp_frames(
+    events: DataFrame,
+    routing_key: str,
+    exchange: str = "pmacct",
+    exchange_type: str = "direct",
+) -> DataFrame:
+    """AMQP sink half (bgp_daemon_msglog_amqp_routing_key /
+    _amqp_exchange, reference src/bgp/bgp_logdump.c amqp branches):
+    the msglog JSON lines shaped into the publish contract for
+    sinks/amqp_wire.publish_frames — one persistent-delivery message
+    per event on the configured exchange/key."""
+    return msglog_json(events).select(
+        F.lit(exchange).alias("exchange"),
+        F.lit(exchange_type).alias("exchange_type"),
+        F.lit(routing_key).alias("routing_key"),
+        F.col("json").alias("body"),
+        F.lit(2).alias("delivery_mode"),  # the reference logs durably
+        F.lit("application/json").alias("content_type"),
+    )

@@ -44,6 +44,8 @@ _COMPATIBLE = {
     "PULL": {"PUSH"},
     "PUB": {"SUB"},
     "SUB": {"PUB"},
+    "REQ": {"REP", "ROUTER"},
+    "ROUTER": {"REQ", "DEALER"},
 }
 
 
@@ -279,3 +281,99 @@ class ZmtpSubClient:
 
     def close(self) -> None:
         self.sock.close()
+
+
+def _recv_message(sock: socket.socket) -> list[bytes]:
+    """Read one full multipart message (frames until MORE clears),
+    skipping interleaved commands."""
+    parts: list[bytes] = []
+    while True:
+        flags, body = _recv_frame(sock)
+        if flags & 4:
+            continue
+        parts.append(body)
+        if not flags & 1:
+            return parts
+
+
+def _send_message(sock: socket.socket, parts: list[bytes]) -> None:
+    for i, p in enumerate(parts):
+        _send_frame(sock, p, more=(i < len(parts) - 1))
+
+
+class ZmtpReqClient:
+    """REQ half of the Looking Glass seam (the reference LG client's
+    role, examples/lg/pmbgp.py over libzmq REQ). On the wire a
+    REQ<->ROUTER exchange brackets each message with an empty
+    delimiter frame; the router identity is connection-local and never
+    appears on the wire."""
+
+    def __init__(self, host: str, port: int):
+        self.sock = socket.create_connection((host, port))
+        _handshake(self.sock, "REQ")
+
+    def request(self, parts: list[bytes]) -> list[bytes]:
+        _send_frame(self.sock, b"", more=True)  # REQ envelope delimiter
+        _send_message(self.sock, parts)
+        reply = _recv_message(self.sock)
+        if reply and reply[0] == b"":
+            reply = reply[1:]
+        return reply
+
+    def close(self) -> None:
+        try:
+            self.sock.close()
+        except OSError:
+            pass
+
+
+class ZmtpRouterServer:
+    """ROUTER bind (the reference LG daemon's role,
+    src/bgp/bgp_lg.c:67 p_zmq_router_setup): per-connection sessions;
+    each inbound multipart request (delimiter stripped) is answered by
+    ``handler(parts) -> reply parts`` under the same envelope."""
+
+    def __init__(self, handler, host: str = "127.0.0.1", port: int = 0):
+        self.handler = handler
+        self.host, self.port = host, port
+        self._srv: socket.socket | None = None
+
+    def start(self) -> "ZmtpRouterServer":
+        self._srv = socket.socket(socket.AF_INET, socket.SOCK_STREAM)
+        self._srv.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
+        self._srv.bind((self.host, self.port))
+        self.port = self._srv.getsockname()[1]
+        self._srv.listen(8)
+        threading.Thread(target=self._accept_loop, daemon=True).start()
+        return self
+
+    def stop(self) -> None:
+        try:
+            if self._srv:
+                self._srv.close()
+        except OSError:
+            pass
+
+    def _accept_loop(self) -> None:
+        while True:
+            try:
+                conn, _ = self._srv.accept()
+            except OSError:
+                return
+            threading.Thread(
+                target=self._serve, args=(conn,), daemon=True
+            ).start()
+
+    def _serve(self, conn: socket.socket) -> None:
+        with conn:
+            try:
+                _handshake(conn, "ROUTER")
+                while True:
+                    parts = _recv_message(conn)
+                    if parts and parts[0] == b"":
+                        parts = parts[1:]
+                    reply = self.handler(parts)
+                    _send_frame(conn, b"", more=True)
+                    _send_message(conn, reply)
+            except (ConnectionError, ValueError):
+                return

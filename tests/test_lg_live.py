@@ -1,0 +1,158 @@
+"""BGP Looking Glass over LIVE ZMTP REQ/ROUTER sockets — the
+reference's pmbgpd LG service (src/bgp/bgp_lg.c) and its client
+conversation (examples/lg/pmbgp.py): JSON query header (+ data part),
+results header + one JSON part per route/peer."""
+
+import json
+import socket
+import time
+
+import pytest
+from pyspark.sql import SparkSession
+
+
+@pytest.fixture(scope="module")
+def spark():
+    s = (
+        SparkSession.builder.master("local[4]")
+        .config("spark.sql.shuffle.partitions", "4")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+    yield s
+
+
+def test_req_router_multipart_roundtrip():
+    """Transport level: REQ<->ROUTER over a real socket — handshake,
+    empty-delimiter envelopes, multipart framing both directions."""
+    from pmacct_spark.sources.zmtp import ZmtpReqClient, ZmtpRouterServer
+
+    srv = ZmtpRouterServer(
+        lambda parts: [b"echo:" + p for p in parts]
+    ).start()
+    try:
+        cli = ZmtpReqClient("127.0.0.1", srv.port)
+        reply = cli.request([b"one", b"two", b"three"])
+        assert reply == [b"echo:one", b"echo:two", b"echo:three"]
+        # a second request on the same session (REQ alternation)
+        assert cli.request([b"x"]) == [b"echo:x"]
+        cli.close()
+    finally:
+        srv.stop()
+
+
+def test_router_rejects_incompatible_socket_type():
+    """Socket-Type compatibility is enforced on the READY handshake: a
+    PUSH peer cannot talk to a ROUTER bind."""
+    from pmacct_spark.sources.zmtp import ZmtpPushClient, ZmtpRouterServer
+
+    srv = ZmtpRouterServer(lambda parts: parts).start()
+    try:
+        with pytest.raises((ValueError, ConnectionError)):
+            ZmtpPushClient("127.0.0.1", srv.port)
+    finally:
+        srv.stop()
+
+
+def _fixture_rib(spark):
+    from pmacct_spark.streaming.bmp import BMP_EVENT_SCHEMA
+
+    rows = [
+        # peer A: 10.0.0.0/8 and the more-specific 10.1.0.0/16
+        {"exporter_ip": "192.0.2.1", "peer_ip": "192.0.2.1",
+         "peer_as": 65001, "prefix": 0x0A000000, "masklen": 8,
+         "as_path": "65000 65100", "next_hop": 0x0A0000FE,
+         "local_pref": 100, "seq": 1, "msg_type": 0,
+         "is_withdrawal": False},
+        {"exporter_ip": "192.0.2.1", "peer_ip": "192.0.2.1",
+         "peer_as": 65001, "prefix": 0x0A010000, "masklen": 16,
+         "as_path": "65000 65200", "next_hop": 0x0A0000FE,
+         "local_pref": 200, "seq": 2, "msg_type": 0,
+         "is_withdrawal": False},
+        # peer B: only the /8
+        {"exporter_ip": "192.0.2.2", "peer_ip": "192.0.2.2",
+         "peer_as": 65002, "prefix": 0x0A000000, "masklen": 8,
+         "as_path": "65000 65300", "next_hop": 0x0A0000FD,
+         "local_pref": 100, "seq": 3, "msg_type": 0,
+         "is_withdrawal": False},
+    ]
+    cols = [f.name for f in BMP_EVENT_SCHEMA.fields]
+    data = [tuple(r.get(c) for c in cols) for r in rows]
+    return spark.createDataFrame(data, BMP_EVENT_SCHEMA)
+
+
+def test_lg_ip_lookup_and_get_peers(spark):
+    """LG semantics against a fixture RIB: longest-prefix match per
+    peer, reference reply framing (results header first), route
+    fields in the msglog vocabulary, prefix-not-found text, and the
+    get_peers listing."""
+    from pmacct_spark.client.lg import LookingGlass, LookingGlassClient
+
+    rib = _fixture_rib(spark)
+    lg = LookingGlass(lambda: rib).start()
+    try:
+        cli = LookingGlassClient("127.0.0.1", lg.port)
+        # 10.1.2.3 matches /16 on peer A (longest), /8 on peer B
+        head, *routes = cli.ip_lookup("10.1.2.3/32")
+        assert head == {"results": 2, "query_type": 1}
+        by_peer = {r["peer_ip_src"]: r for r in routes}
+        assert by_peer["192.0.2.1"]["ip_prefix"] == "10.1.0.0/16"
+        assert by_peer["192.0.2.1"]["as_path"] == "65000 65200"
+        assert by_peer["192.0.2.1"]["event_type"] == "lglass"
+        assert by_peer["192.0.2.2"]["ip_prefix"] == "10.0.0.0/8"
+        assert by_peer["192.0.2.2"]["bgp_nexthop"] == "10.0.0.253"
+        # no covering route
+        (miss,) = cli.ip_lookup("192.168.0.1/32")
+        assert miss["results"] == 0 and miss["text"] == "prefix not found"
+        # peers
+        phead, *peers = cli.get_peers()
+        assert phead == {"results": 2, "query_type": 2}
+        assert [(p["peer_ip_src"], p["peer_as"]) for p in peers] == [
+            ("192.0.2.1", 65001), ("192.0.2.2", 65002),
+        ]
+        cli.close()
+    finally:
+        lg.stop()
+
+
+def test_daemon_looking_glass_live(spark, tmp_path):
+    """End-to-end: a BGP session announces routes over a real TCP
+    socket into the daemon (bgp_daemon_lg: true); a REQ client asks
+    the daemon's Looking Glass and sees the live RIB."""
+    from pmacct_spark.client.lg import LookingGlassClient
+    from pmacct_spark.daemon import Daemon
+    from pmacct_spark.streaming.bmp import encode_bgp_update
+
+    conf = """
+nfacctd_port: 0
+bgp_daemon: true
+bgp_daemon_port: 0
+bgp_daemon_lg: true
+bgp_daemon_lg_port: 0
+plugins: memory[routes]
+aggregate[routes]: as_path
+"""
+    d = Daemon.from_conf(spark, conf, spool_dir=str(tmp_path / "lgspool"))
+    try:
+        session = encode_bgp_update(
+            0x0A000000, 8, "65000 65100"
+        ) + encode_bgp_update(0xC0A80000, 16, "65000 65400")
+        c = socket.socket(socket.AF_INET, socket.SOCK_STREAM)
+        c.connect(("127.0.0.1", d.bgp_port))
+        c.sendall(session)
+        c.close()
+        t0 = time.monotonic()
+        while d.bgp_spool.messages_spooled < 2 and time.monotonic() - t0 < 15:
+            time.sleep(0.05)
+        time.sleep(0.3)
+        cli = LookingGlassClient("127.0.0.1", d.lg.port)
+        head, *routes = cli.ip_lookup("192.168.1.1/32")
+        assert head["results"] == 1
+        assert routes[0]["ip_prefix"] == "192.168.0.0/16"
+        assert routes[0]["as_path"] == "65000 65400"
+        phead, *peers = cli.get_peers()
+        assert phead["results"] == 1
+        assert peers[0]["peer_ip_src"] == "127.0.0.1"
+        cli.close()
+    finally:
+        d.stop()

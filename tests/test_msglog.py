@@ -378,3 +378,133 @@ core_proc_name: pmtelemetryd
     meta = msgs[0]["telemetry-message-metadata"]
     assert meta["export-address"] == "127.0.0.1"
     assert msgs[0]["data-collection-manifest"]["name"] == "pmtelemetryd"
+
+
+def test_daemon_bmp_msglog_amqp_live(spark, tmp_path):
+    """bmp_daemon_msglog_amqp_routing_key: the daemon publishes the
+    per-event log through the LIVE AMQP 0-9-1 broker; a consumer
+    bound to the exchange/key sees the session's full lifecycle."""
+    import socket
+    import time
+
+    from pmacct_spark.daemon import Daemon
+    from pmacct_spark.sinks.amqp_wire import AmqpWireClient, MiniAmqpBroker
+
+    broker = MiniAmqpBroker().start()
+    try:
+        # bind the consumer queue BEFORE the daemon publishes
+        sub = AmqpWireClient("127.0.0.1", broker.port)
+        sub.exchange_declare("pmacct", "direct")
+        sub.queue_declare("bmplog")
+        sub.queue_bind("bmplog", "pmacct", "bmp.msglog")
+        conf = f"""
+nfacctd_port: 0
+bmp_daemon: true
+bmp_daemon_port: 0
+bmp_daemon_msglog_amqp_routing_key: bmp.msglog
+bmp_daemon_msglog_amqp_port: {broker.port}
+plugins: memory[routes]
+aggregate[routes]: as_path
+"""
+        d = Daemon.from_conf(
+            spark, conf, spool_dir=str(tmp_path / "amqp_ml")
+        )
+        try:
+            peer = 0xC0000205
+            msgs = (
+                _bmp_msg(3, peer, 64500)
+                + _bmp_msg(0, peer, 64500, _bgp_update([], [(0x0A010000, 16)]))
+                + _bmp_msg(2, peer, 64500)
+            )
+            c = socket.socket(socket.AF_INET, socket.SOCK_STREAM)
+            c.connect(("127.0.0.1", d.bmp_port))
+            c.sendall(msgs)
+            c.close()
+            t0 = time.monotonic()
+            while (
+                d.bmp_spool.messages_spooled < 3
+                and time.monotonic() - t0 < 15
+            ):
+                time.sleep(0.05)
+            time.sleep(0.3)
+            wrote = d.write_msglog_if_configured()
+            assert wrote == [
+                f"amqp://127.0.0.1:{broker.port}/pmacct/bmp.msglog"
+            ]
+        finally:
+            d.stop()
+        got = []
+        while True:
+            msg = sub.get("bmplog")
+            if msg is None:
+                break
+            got.append(json.loads(msg["body"]))
+        sub.close()
+    finally:
+        broker.stop()
+    types = sorted(g["event_type"] for g in got)
+    assert types == ["log", "log_close", "log_init"]
+    upd = next(g for g in got if g["event_type"] == "log")
+    assert upd["ip_prefix"] == "10.1.0.0/16"
+
+
+def test_daemon_sflow_counter_log_kafka_live(spark, tmp_path):
+    """sfacctd_counter_kafka_topic: counter records stream through the
+    LIVE Kafka wire broker, agent-keyed."""
+    import socket
+    import time
+
+    from pmacct_spark.daemon import Daemon
+    from pmacct_spark.sinks.sfprobe import encode_sflow_counters
+    from pmacct_spark.sources.kafka_wire import (
+        MiniKafkaBroker,
+        fetch_records,
+    )
+
+    b = MiniKafkaBroker(npartitions=2).start()
+    try:
+        conf = f"""
+sfacctd_port: 0
+sfacctd_counter_kafka_topic: sflow.counters
+sfacctd_counter_kafka_broker_port: {b.port}
+plugins: memory[ifaces]
+aggregate[ifaces]: proto
+"""
+        rows = spark.createDataFrame(
+            [(9, 6, 10**9, 1, 555, 5, 0, 666, 6, 0)],
+            "if_index LONG, if_type LONG, if_speed LONG, if_status LONG, "
+            "if_in_octets LONG, if_in_ucast LONG, if_in_errors LONG, "
+            "if_out_octets LONG, if_out_ucast LONG, if_out_errors LONG",
+        )
+        payloads = [
+            bytes(r["payload"])
+            for r in encode_sflow_counters(rows).select("payload").collect()
+        ]
+        d = Daemon.from_conf(spark, conf, spool_dir=str(tmp_path / "ck"))
+        try:
+            s = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
+            for p in payloads:
+                s.sendto(p, ("127.0.0.1", d.port))
+            s.close()
+            t0 = time.monotonic()
+            while (
+                d.spool.datagrams_received < 1
+                and time.monotonic() - t0 < 15
+            ):
+                time.sleep(0.05)
+            d.spool.flush()
+            wrote = d.write_msglog_if_configured()
+            assert wrote == [
+                f"kafka://127.0.0.1:{b.port}/sflow.counters"
+            ]
+        finally:
+            d.stop()
+        back = fetch_records(
+            spark, "127.0.0.1", b.port, ["sflow.counters"]
+        ).collect()
+    finally:
+        b.stop()
+    assert len(back) == 1
+    rec = json.loads(back[0]["value"])
+    assert rec["ifIndex"] == 9 and rec["ifInOctets"] == 555
+    assert back[0]["key"] == "127.0.0.1"
