@@ -90,8 +90,11 @@ _DRIVER_WINDOW = [
     # IVF-PQ index, strictly a superset of the PQ/ADC-only shape —
     # replaces dedup_exact, whose family stays sampled by minhash_lsh
     # + cc_clusters; dedup_exact and ann_pq_adc_topk keep local parity)
+    # (r5 late swap: hybrid_bm25_vector_rrf — sparse BM25 + dense
+    # cosine fused by RRF — replaces ann_ivf_topk, whose family stays
+    # sampled by the ivf_pq superset; ann_ivf_topk keeps local parity)
     "ann_ivf_pq_topk", "dedup_minhash_lsh", "dedup_cc_clusters",
-    "decontaminate_benchmark_overlap", "ann_ivf_topk",
+    "decontaminate_benchmark_overlap", "hybrid_bm25_vector_rrf",
     "text_quality_features", "multimodal_decode_features",
     # relational / TPC-H (r5 swap: q21 — EXISTS/NOT-EXISTS self-join
     # pair, the hardest of the seven shapes that completed the family

@@ -34,9 +34,6 @@ from pyspark.sql import functions as F
 
 from pmacct_spark.functions.addr import ipv4_ntoa
 
-#: msg_type -> reference event_type (src/bgp/bgp_logdump.c:917,1158)
-_EVENT_BY_TYPE = {3: "log_init", 2: "log_close", 0: "log"}
-
 
 def msglog_events(events: DataFrame) -> DataFrame:
     """Shape decoded BGP/BMP events into the reference msglog event
@@ -244,9 +241,14 @@ def telemetry_log_json(
     """(exporter_ip, log_seq, json) from telemetry datagram rows
     (exporter_ip, seqno, payload) whose payload is a JSON document."""
     w = Window.partitionBy("exporter_ip").orderBy("seqno")
-    shaped = msgs.withColumn(
-        "log_seq", F.row_number().over(w).cast("bigint")
-    ).withColumn("payload_str", F.col("payload").cast("string"))
+    shaped = (
+        msgs.withColumn("payload_str", F.col("payload").cast("string"))
+        # the reference validates each message's JSON before logging
+        # (telemetry_msg.c decoder); a poison datagram must not
+        # corrupt the envelope stream
+        .filter(F.try_parse_json("payload_str").isNotNull())
+        .withColumn("log_seq", F.row_number().over(w).cast("bigint"))
+    )
     meta = F.to_json(
         F.struct(
             F.lit("update").alias("notification-event"),

@@ -308,8 +308,9 @@ class ZmtpReqClient:
     delimiter frame; the router identity is connection-local and never
     appears on the wire."""
 
-    def __init__(self, host: str, port: int):
-        self.sock = socket.create_connection((host, port))
+    def __init__(self, host: str, port: int, timeout: float = 30.0):
+        # generous timeout: an LG reply may wait on a RIB recompute
+        self.sock = socket.create_connection((host, port), timeout=timeout)
         _handshake(self.sock, "REQ")
 
     def request(self, parts: list[bytes]) -> list[bytes]:

@@ -508,3 +508,56 @@ aggregate[ifaces]: proto
     rec = json.loads(back[0]["value"])
     assert rec["ifIndex"] == 9 and rec["ifInOctets"] == 555
     assert back[0]["key"] == "127.0.0.1"
+
+
+def test_telemetry_msglog_skips_poison_payloads(spark):
+    """A non-JSON datagram must not corrupt the envelope stream (the
+    reference validates each message before logging); seq stays
+    contiguous over the surviving messages."""
+    from pmacct_spark.sinks.msglog import telemetry_log_json
+
+    msgs = spark.createDataFrame(
+        [
+            ("10.0.0.1", 1, bytearray(b'{"k": 1}')),
+            ("10.0.0.1", 2, bytearray(b"\xff\xfenot json")),
+            ("10.0.0.1", 3, bytearray(b'{"k": 3}')),
+        ],
+        "exporter_ip string, seqno long, payload binary",
+    )
+    rows = telemetry_log_json(msgs).orderBy("log_seq").collect()
+    assert [r["log_seq"] for r in rows] == [1, 2]
+    ks = [
+        json.loads(r["json"])["ietf-telemetry-message:message"]["payload"]["k"]
+        for r in rows
+    ]
+    assert ks == [1, 3]
+
+
+def test_bgp_notification_purges_rib_until_reopen(spark):
+    """A NOTIFICATION terminates the BGP session and clears its
+    Adj-RIB-In (reference session close); routes announced after the
+    re-OPEN survive. The decoder's session events + rib_state's
+    peer-down purge compose to the reference behavior."""
+    from pmacct_spark.streaming.bmp import (
+        decode_bgp,
+        encode_bgp_open,
+        encode_bgp_update,
+        rib_state,
+    )
+
+    notif = b"\xff" * 16 + (21).to_bytes(2, "big") + bytes([3, 6, 2])
+    stream = (
+        encode_bgp_open()
+        + encode_bgp_update(0x0A000000, 8, "65000 1")
+        + notif
+        + encode_bgp_open()
+        + encode_bgp_update(0x0B000000, 8, "65000 2")
+    )
+    dg = spark.createDataFrame(
+        [("9.9.9.9", 5, bytearray(stream))],
+        "exporter_ip string, seqno long, payload binary",
+    )
+    rib = rib_state(decode_bgp(dg), peer_down=True).collect()
+    assert [(r["prefix"], r["as_path"]) for r in rib] == [
+        (0x0B000000, "65000 2")
+    ]
