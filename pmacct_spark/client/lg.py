@@ -122,11 +122,16 @@ class LookingGlass:
                 ).encode()
             ]
         rd = q.get("rd")
+        # the reference requires peer_ip_src (bgp_lg.c:240); without
+        # it this LG answers across all peers (documented superset)
+        peer = q.get("peer_ip_src")
         best: dict[str, object] = {}  # peer -> row, longest masklen wins
         for r in self._rows():
             if r["prefix"] is None:
                 continue  # v4 lookup walks the v4 table
             if rd is not None and r["rd"] != rd:
+                continue
+            if peer is not None and r["peer_ip"] != peer:
                 continue
             ml = int(r["masklen"])
             if (addr >> (32 - ml)) != (int(r["prefix"]) >> (32 - ml)):
@@ -180,10 +185,17 @@ class LookingGlassClient:
 
         self._req = ZmtpReqClient(host, port)
 
-    def ip_lookup(self, ip_prefix: str, rd: str | None = None):
+    def ip_lookup(
+        self,
+        ip_prefix: str,
+        rd: str | None = None,
+        peer_ip_src: str | None = None,
+    ):
         data: dict = {"ip_prefix": ip_prefix}
         if rd is not None:
             data["rd"] = rd
+        if peer_ip_src is not None:
+            data["peer_ip_src"] = peer_ip_src
         parts = self._req.request(
             [
                 json.dumps(
@@ -206,3 +218,62 @@ class LookingGlassClient:
 
     def close(self) -> None:
         self._req.close()
+
+
+def main(argv: list[str]) -> int:
+    """The reference LG client's CLI surface (examples/lg/pmbgp.py):
+    ``python -m pmacct_spark.client.lg -a 10.0.0.1/32 [-r peer]
+    [-d rd] [-z host] [-Z port]`` or ``-g`` for get-peers. Prints one
+    JSON document per reply part."""
+    import getopt
+
+    try:
+        opts, _args = getopt.getopt(
+            argv,
+            "ha:d:r:z:Z:g",
+            ["help", "prefix=", "rd=", "peer=", "zmq-host=",
+             "zmq-port=", "get-peers"],
+        )
+    except getopt.GetoptError as err:
+        print(str(err))
+        return 2
+    host, port = "127.0.0.1", 17900
+    prefix = rd = peer = None
+    get_peers = False
+    for o, a in opts:
+        if o in ("-h", "--help"):
+            print(main.__doc__)
+            return 0
+        elif o in ("-a", "--prefix"):
+            prefix = a
+        elif o in ("-d", "--rd"):
+            rd = a
+        elif o in ("-r", "--peer"):
+            peer = a
+        elif o in ("-z", "--zmq-host"):
+            host = a
+        elif o in ("-Z", "--zmq-port"):
+            port = int(a)
+        elif o in ("-g", "--get-peers"):
+            get_peers = True
+    if not get_peers and prefix is None:
+        print("one of --prefix or --get-peers is required")
+        return 2
+    cli = LookingGlassClient(host, port)
+    try:
+        parts = (
+            cli.get_peers()
+            if get_peers
+            else cli.ip_lookup(prefix, rd=rd, peer_ip_src=peer)
+        )
+    finally:
+        cli.close()
+    for p in parts:
+        print(json.dumps(p))
+    return 0
+
+
+if __name__ == "__main__":  # pragma: no cover - thin argv shim
+    import sys
+
+    raise SystemExit(main(sys.argv[1:]))

@@ -530,3 +530,70 @@ def bgp6_wire_rib_lookup(spark, sf_dir):
         F.min("local_pref").cast("bigint").alias("min_local_pref"),
         F.max("med").cast("bigint").alias("max_med"),
     )
+
+
+# --- msglog event stream GATED: the fixture RIB rides the BGP wire
+#     (one UPDATE per route, per-peer sessions in deterministic wire
+#     order) -> decode_bgp -> sinks/msglog event shaping. The oracle
+#     rebuilds the identical event log straight from the fixture, so
+#     any error in event typing, per-peer seq assignment, prefix /
+#     next-hop presentation, or attribute passthrough breaks the
+#     value hash (reference src/bgp/bgp_logdump.c bgp_peer_log_msg).
+@register(
+    "bgp_msglog_stream",
+    f"""
+WITH rib AS ({BGP_RIB_DUCK}),
+q AS (
+  SELECT peer_ip AS peer_ip_src,
+         ROW_NUMBER() OVER (
+           PARTITION BY peer_ip ORDER BY net_int, masklen
+         ) AS msglog_seq,
+         'log' AS event_type, 'update' AS log_type,
+         CAST(1 AS INT) AS afi, CAST(1 AS INT) AS safi,
+         CAST(net_int // 16777216 AS VARCHAR) || '.'
+           || CAST((net_int // 65536) % 256 AS VARCHAR) || '.'
+           || CAST((net_int // 256) % 256 AS VARCHAR) || '.'
+           || CAST(net_int % 256 AS VARCHAR) || '/'
+           || CAST(masklen AS VARCHAR) AS ip_prefix,
+         CAST(net_int // 16777216 AS VARCHAR) || '.'
+           || CAST((net_int // 65536) % 256 AS VARCHAR) || '.'
+           || CAST((net_int // 256) % 256 AS VARCHAR) || '.'
+           || CAST(net_int % 256 AS VARCHAR) AS bgp_nexthop,
+         as_path, NULLIF(std_comm, '') AS comms,
+         NULLIF(ext_comm, '') AS ecomms,
+         NULLIF(lrg_comm, '') AS lcomms,
+         local_pref, med
+  FROM rib
+)
+SELECT * FROM q""",
+)
+def bgp_msglog_stream(spark, sf_dir):
+    from pmacct_spark.sinks.msglog import msglog_events
+    from pmacct_spark.streaming.bmp import decode_bgp, encode_bgp_updates
+
+    rib = bgp_rib_dim(spark, sf_dir)
+    # one partition per peer, wire order (net_int, masklen): decode's
+    # intra-partition seq then reproduces a deterministic per-peer
+    # arrival order the oracle can state as a window
+    ordered = rib.repartition("peer_ip").sortWithinPartitions(
+        "peer_ip", "net_int", "masklen"
+    )
+    ev = decode_bgp(
+        encode_bgp_updates(ordered).select("exporter_ip", "payload")
+    )
+    return msglog_events(ev).select(
+        F.col("peer_ip").alias("peer_ip_src"),
+        "msglog_seq",
+        "event_type",
+        "log_type",
+        "afi",
+        "safi",
+        "ip_prefix",
+        "bgp_nexthop",
+        "as_path",
+        F.col("std_comm").alias("comms"),
+        F.col("ext_comm").alias("ecomms"),
+        F.col("lrg_comm").alias("lcomms"),
+        "local_pref",
+        "med",
+    )

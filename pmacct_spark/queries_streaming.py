@@ -949,3 +949,80 @@ def stream_dedup_exact(spark, sf_dir):
     # memory-sink rows live on the session, not in the scratch files
     shutil.rmtree(d, ignore_errors=True)
     return out
+
+
+# --- sFlow counter LOG gated (the logdump family's sfacctd_counter
+#     path, reference src/sfacctd.c:2366 sf_cnt_log_msg): counter
+#     samples ride the v5 wire -> decode -> counter_log_events
+#     shaping (per-agent monotonic log_seq, source identity, the
+#     generic counter block). The oracle rebuilds the identical log
+#     from the fixture, so seq assignment or identity/counter
+#     passthrough errors break the value hash.
+@register(
+    "sflow_counter_log_stream",
+    f"""{FLOWS_DUCK_CTE},
+if_agg AS (
+  SELECT iface_in AS if_index,
+         CAST(SUM(bytes) AS BIGINT) AS if_in_octets,
+         CAST(SUM(packets) AS BIGINT) AS if_in_ucast
+  FROM flows GROUP BY 1
+)
+SELECT CAST(ROW_NUMBER() OVER (ORDER BY if_index) AS BIGINT) AS log_seq,
+       '127.0.0.1' AS peer_ip_src,
+       CAST(if_index AS BIGINT) AS source_id_index,
+       CAST(5 AS INT) AS sflow_version,
+       CAST(if_index AS BIGINT) AS if_index,
+       CAST(6 AS BIGINT) AS if_type,
+       CAST(1000000000 AS BIGINT) AS if_speed,
+       CAST(3 AS BIGINT) AS if_status,
+       if_in_octets, if_in_ucast,
+       CAST(if_index % 3 AS BIGINT) AS if_in_errors,
+       CAST(if_in_octets * 2 + if_index AS BIGINT) AS if_out_octets,
+       CAST(if_in_ucast + 1 AS BIGINT) AS if_out_ucast,
+       CAST(0 AS BIGINT) AS if_out_errors
+FROM if_agg""",
+)
+def sflow_counter_log_stream(spark, sf_dir):
+    from pmacct_spark.driver_queries import flows as flows_view_fn
+    from pmacct_spark.sinks.msglog import counter_log_events
+    from pmacct_spark.sinks.sfprobe import encode_sflow_counters
+    from pmacct_spark.streaming.decode import decode_sflow_counters
+
+    base = (
+        flows_view_fn(spark, sf_dir)
+        .groupBy(F.col("iface_in").alias("if_index"))
+        .agg(
+            F.sum("bytes").alias("if_in_octets"),
+            F.sum("packets").alias("if_in_ucast"),
+        )
+        .selectExpr(
+            "if_index",
+            "CAST(6 AS BIGINT) AS if_type",
+            "CAST(1000000000 AS BIGINT) AS if_speed",
+            "CAST(3 AS BIGINT) AS if_status",
+            "if_in_octets", "if_in_ucast",
+            "if_index % 3 AS if_in_errors",
+            "if_in_octets * 2 + if_index AS if_out_octets",
+            "if_in_ucast + 1 AS if_out_ucast",
+            "CAST(0 AS BIGINT) AS if_out_errors",
+        )
+        # one partition in if_index order: the encoder's per-partition
+        # datagram seq then increases with if_index, making the
+        # per-agent log_seq the oracle can state as a window
+        .coalesce(1)
+        .sortWithinPartitions("if_index")
+    )
+    back = decode_sflow_counters(
+        encode_sflow_counters(base, version=5).select(
+            "exporter_ip", "payload"
+        )
+    )
+    return counter_log_events(back).select(
+        "log_seq",
+        F.col("exporter_ip").alias("peer_ip_src"),
+        F.col("source_id").cast("bigint").alias("source_id_index"),
+        "sflow_version",
+        "if_index", "if_type", "if_speed", "if_status",
+        "if_in_octets", "if_in_ucast", "if_in_errors",
+        "if_out_octets", "if_out_ucast", "if_out_errors",
+    )

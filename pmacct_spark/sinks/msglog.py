@@ -168,12 +168,18 @@ def msglog_kafka_frames(events: DataFrame, topic: str) -> DataFrame:
 # names (readCounters_generic, src/sfv5_module.c).
 
 
-def counter_log_json(counters: DataFrame) -> DataFrame:
-    """(exporter_ip, log_seq, json) from decode_sflow_counters rows."""
+def counter_log_events(counters: DataFrame) -> DataFrame:
+    """decode_sflow_counters rows + the per-agent monotonic log_seq
+    (the reference's bms->log_seq counter, one stream per agent)."""
     w = Window.partitionBy("exporter_ip").orderBy("seqno", "if_index")
-    shaped = counters.withColumn(
+    return counters.withColumn(
         "log_seq", F.row_number().over(w).cast("bigint")
     )
+
+
+def counter_log_json(counters: DataFrame) -> DataFrame:
+    """(exporter_ip, log_seq, json) from decode_sflow_counters rows."""
+    shaped = counter_log_events(counters)
     payload = F.to_json(
         F.struct(
             F.col("log_seq").alias("seq"),

@@ -23,6 +23,11 @@ from pmacct_spark.sources.tables import nano_ts_fields
 from pmacct_spark.views.flows import flows_select_exprs
 
 
+# symlink scratch dirs for file-as-directory streaming sources,
+# one per source file (see flows_stream)
+_FLOWS_SCRATCH: dict = {}
+
+
 def flows_stream(spark, sf_dir: str, path: str | None = None) -> DataFrame:
     """The flows view as a STREAMING DataFrame (file source over the
     events parquet — the stand-in for the UDP/Kafka live feed)."""
@@ -37,9 +42,16 @@ def flows_stream(spark, sf_dir: str, path: str | None = None) -> DataFrame:
     schema = spark.read.parquet(p).schema
     if os.path.isfile(p):
         # the file streaming source wants a directory: expose the file
-        # through a scratch dir (symlink, no copy)
-        d = tempfile.mkdtemp(prefix="flows_stream_")
-        os.symlink(os.path.abspath(p), os.path.join(d, os.path.basename(p)))
+        # through a scratch dir (symlink, no copy). One dir per source
+        # file, cached for the process lifetime — a fresh mkdtemp per
+        # call leaked hundreds of scratch dirs over a long session,
+        # and the dir must outlive any stream still reading it, so
+        # per-call cleanup isn't an option.
+        d = _FLOWS_SCRATCH.get(os.path.abspath(p))
+        if d is None or not os.path.isdir(d):
+            d = tempfile.mkdtemp(prefix="flows_stream_")
+            os.symlink(os.path.abspath(p), os.path.join(d, os.path.basename(p)))
+            _FLOWS_SCRATCH[os.path.abspath(p)] = d
         p = d
     raw = spark.readStream.schema(schema).parquet(p)
     for col in nano_ts_fields(src_file):

@@ -156,3 +156,38 @@ aggregate[routes]: as_path
         cli.close()
     finally:
         d.stop()
+
+
+def test_lg_peer_filter_and_cli(spark, capsys):
+    """The reference client's surface: -r/--peer narrows ip_lookup to
+    one peer (bgp_lg.c peer_ip_src element), and the pmbgp-style CLI
+    prints one JSON document per reply part."""
+    from pmacct_spark.client.lg import LookingGlass, LookingGlassClient
+    from pmacct_spark.client.lg import main as lg_main
+
+    rib = _fixture_rib(spark)
+    lg = LookingGlass(lambda: rib).start()
+    try:
+        cli = LookingGlassClient("127.0.0.1", lg.port)
+        head, *routes = cli.ip_lookup("10.1.2.3/32", peer_ip_src="192.0.2.2")
+        assert head["results"] == 1
+        assert routes[0]["peer_ip_src"] == "192.0.2.2"
+        cli.close()
+        # CLI: get-peers against the live socket
+        rc = lg_main(["-g", "-z", "127.0.0.1", "-Z", str(lg.port)])
+        assert rc == 0
+        out = [json.loads(ln) for ln in capsys.readouterr().out.splitlines()]
+        assert out[0]["results"] == 2
+        assert {p["peer_ip_src"] for p in out[1:]} == {
+            "192.0.2.1", "192.0.2.2",
+        }
+        rc = lg_main(
+            ["-a", "10.1.2.3/32", "-r", "192.0.2.1",
+             "-z", "127.0.0.1", "-Z", str(lg.port)]
+        )
+        assert rc == 0
+        out = [json.loads(ln) for ln in capsys.readouterr().out.splitlines()]
+        assert out[0]["results"] == 1
+        assert out[1]["ip_prefix"] == "10.1.0.0/16"
+    finally:
+        lg.stop()
