@@ -585,3 +585,107 @@ def test_rrf_fusion_matches_reference(spark, la, lb):
         ry_b = lb.index(y) if y in lb else len(lb) + 100
         if rx_a < ry_a and rx_b < ry_b:
             assert pos[x] < pos[y]
+
+
+# ---------------------------------------------------------------------------
+# BM25 vs a direct Python reference (exact-rational fixed point)
+# ---------------------------------------------------------------------------
+
+doc_st = st.lists(
+    st.sampled_from(["cat", "dog", "fish", "bird", "ant"]),
+    min_size=1,
+    max_size=6,
+)
+
+
+def _ref_bm25(docs: list[list[str]], terms: list[str], fp=1_000_000):
+    n = len(docs)
+    avgdl = sum(len(d) for d in docs) // n
+    df = {t: sum(1 for d in docs if t in d) for t in terms}
+    out = {}
+    for i, d in enumerate(docs):
+        dl = len(d)
+        s = 0
+        for t in terms:
+            tf = d.count(t)
+            if not tf:
+                continue
+            num = (2 * n - 2 * df[t] + 1) * 44 * tf * avgdl * fp
+            den = (2 * df[t] + 1) * (20 * tf * avgdl + 6 * avgdl + 18 * dl)
+            s += num // den
+        if s:
+            out[i] = s
+    return out
+
+
+@SET
+@given(st.lists(doc_st, min_size=1, max_size=10))
+def test_bm25_matches_python_reference(spark, docs):
+    """The fixed-point rational BM25 equals a direct per-doc Python
+    evaluation for arbitrary tiny corpora — corpus-level stats (df,
+    avgdl), saturation and length normalization all agree, and the
+    result is independent of row order (exact integer arithmetic, no
+    float summation-order hazard)."""
+    from pmacct_spark.operators.text import bm25_topk
+
+    terms = ["cat", "dog"]
+    rows = [(i, " ".join(d)) for i, d in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id BIGINT, text STRING")
+    got = {
+        r["doc_id"]: r["score"]
+        for r in bm25_topk(
+            df, queries=[(0, terms)], k=len(docs)
+        ).collect()
+    }
+    assert got == _ref_bm25(docs, terms)
+
+
+# ---------------------------------------------------------------------------
+# msglog seq contiguity per peer for arbitrary event interleavings
+# ---------------------------------------------------------------------------
+
+ev_st = st.tuples(
+    st.sampled_from(["p1", "p2", "p3"]),  # peer
+    st.sampled_from([0, 2, 3]),  # msg_type: route / down / up
+)
+
+
+@SET
+@given(st.lists(ev_st, min_size=1, max_size=20))
+def test_msglog_seq_contiguous_per_peer(spark, events):
+    """For ANY interleaving of route/up/down events across peers, the
+    per-peer msglog seq is exactly 1..n in stream order (the property
+    the reference's bms->log_seq counter provides per logging
+    stream)."""
+    from pmacct_spark.sinks.msglog import msglog_events
+    from pmacct_spark.streaming.bmp import BMP_EVENT_SCHEMA
+
+    cols = [f.name for f in BMP_EVENT_SCHEMA.fields]
+    rows = []
+    for i, (peer, mtype) in enumerate(events):
+        r = {
+            "exporter_ip": "x", "peer_ip": peer, "peer_as": 1,
+            "msg_type": mtype, "seq": i, "ts_s": 0,
+        }
+        if mtype == 0:
+            r.update(
+                prefix=0x0A000000 + i, masklen=24, is_withdrawal=False
+            )
+        rows.append(tuple(r.get(c) for c in cols))
+    df = spark.createDataFrame(rows, BMP_EVENT_SCHEMA).repartition(4)
+    got = (
+        msglog_events(df)
+        .select("peer_ip", "msglog_seq", "seq")
+        .collect()
+    )
+    by_peer: dict = {}
+    for r in sorted(got, key=lambda r: r["seq"]):
+        by_peer.setdefault(r["peer_ip"], []).append(r["msglog_seq"])
+    want = {}
+    for i, (peer, _t) in enumerate(events):
+        want.setdefault(peer, []).append(None)
+    for peer, seqs in by_peer.items():
+        assert seqs == list(range(1, len(seqs) + 1)), (peer, seqs)
+    assert {p: len(v) for p, v in by_peer.items()} == {
+        p: len(v) for p, v in want.items()
+    }
