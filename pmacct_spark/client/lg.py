@@ -72,11 +72,24 @@ class LookingGlass:
     """ROUTER-bound LG service over a live RIB provider (a callable
     returning the daemon's RIB DataFrame, per-path entries kept)."""
 
-    def __init__(self, rib_provider, host: str = "127.0.0.1", port: int = 0):
+    def __init__(
+        self,
+        rib_provider,
+        host: str = "127.0.0.1",
+        port: int = 0,
+        credentials: tuple[str, str] | None = None,
+    ):
         from pmacct_spark.sources.zmtp import ZmtpRouterServer
 
         self._provider = rib_provider
-        self._srv = ZmtpRouterServer(self._handle, host=host, port=port)
+        # bgp_lg_user / bgp_lg_passwd: the ZMTP PLAIN credential check
+        # (reference ZAP flow, src/zmq_common.c p_zmq_set_username)
+        verify = (
+            (lambda u, p: (u, p) == credentials) if credentials else None
+        )
+        self._srv = ZmtpRouterServer(
+            self._handle, host=host, port=port, verify=verify
+        )
 
     def start(self) -> "LookingGlass":
         self._srv.start()
@@ -180,10 +193,22 @@ class LookingGlassClient:
     REQ over ZMTP, header + optional data part, header + N results
     back."""
 
-    def __init__(self, host: str, port: int):
+    def __init__(
+        self,
+        host: str,
+        port: int,
+        username: str | None = None,
+        password: str | None = None,
+    ):
         from pmacct_spark.sources.zmtp import ZmtpReqClient
 
-        self._req = ZmtpReqClient(host, port)
+        self._req = ZmtpReqClient(
+            host,
+            port,
+            credentials=(
+                (username, password or "") if username is not None else None
+            ),
+        )
 
     def ip_lookup(
         self,
@@ -230,15 +255,15 @@ def main(argv: list[str]) -> int:
     try:
         opts, _args = getopt.getopt(
             argv,
-            "ha:d:r:z:Z:g",
+            "ha:d:r:z:Z:u:p:g",
             ["help", "prefix=", "rd=", "peer=", "zmq-host=",
-             "zmq-port=", "get-peers"],
+             "zmq-port=", "zmq-user=", "zmq-passwd=", "get-peers"],
         )
     except getopt.GetoptError as err:
         print(str(err))
         return 2
     host, port = "127.0.0.1", 17900
-    prefix = rd = peer = None
+    prefix = rd = peer = user = passwd = None
     get_peers = False
     for o, a in opts:
         if o in ("-h", "--help"):
@@ -254,12 +279,16 @@ def main(argv: list[str]) -> int:
             host = a
         elif o in ("-Z", "--zmq-port"):
             port = int(a)
+        elif o in ("-u", "--zmq-user"):
+            user = a
+        elif o in ("-p", "--zmq-passwd"):
+            passwd = a
         elif o in ("-g", "--get-peers"):
             get_peers = True
     if not get_peers and prefix is None:
         print("one of --prefix or --get-peers is required")
         return 2
-    cli = LookingGlassClient(host, port)
+    cli = LookingGlassClient(host, port, username=user, password=passwd)
     try:
         parts = (
             cli.get_peers()

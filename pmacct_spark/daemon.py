@@ -163,10 +163,19 @@ class Daemon:
             # ip_lookup / get_peers against the live RIB
             from pmacct_spark.client.lg import LookingGlass
 
+            lg_user = conf.get("bgp_daemon_lg_user")
             d.lg = LookingGlass(
                 lambda: d.rib(for_lookup=False),
                 host=str(conf.get("bgp_daemon_lg_ip", default=host) or host),
                 port=int(conf.get("bgp_daemon_lg_port", default=0) or 0),
+                credentials=(
+                    (
+                        str(lg_user),
+                        str(conf.get("bgp_daemon_lg_passwd", default="") or ""),
+                    )
+                    if lg_user
+                    else None
+                ),
             ).start()
         return d
 

@@ -578,8 +578,16 @@ def bgp_msglog_stream(spark, sf_dir):
     ordered = rib.repartition("peer_ip").sortWithinPartitions(
         "peer_ip", "net_int", "masklen"
     )
-    ev = decode_bgp(
-        encode_bgp_updates(ordered).select("exporter_ip", "payload")
+    from pmacct_spark.operators.staging import stage
+
+    # staged barrier: the decoded event table is materialized once, so
+    # the per-peer seq window (and anything downstream) reads compact
+    # parquet instead of re-running the wire decode — the same shape
+    # the other bgp_wire queries use
+    ev = stage(
+        decode_bgp(
+            encode_bgp_updates(ordered).select("exporter_ip", "payload")
+        )
     )
     return msglog_events(ev).select(
         F.col("peer_ip").alias("peer_ip_src"),

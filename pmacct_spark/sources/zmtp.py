@@ -13,12 +13,14 @@ Reference mapping: the reference uses ZeroMQ in two roles —
     :482 subscriber filter).
 This module implements both conversations at the ZMTP 3.0 level:
 64-byte greeting, NULL-mechanism READY handshake with Socket-Type
-metadata (peer compatibility checked), short/long message framing,
+metadata (peer compatibility checked), the PLAIN mechanism
+(HELLO/WELCOME/INITIATE/READY credential flow, spec 24 — the
+reference's ZAP user/passwd surface), short/long message framing,
 and 3.0 PUB/SUB subscription messages (\\x01 topic / \\x00 topic).
 
 Honest scope note: this is OUR ZMTP implementation, not libzmq —
-reconnection, HWM back-pressure and multi-part routing envelopes are
-out of scope. What it proves beyond the frame contracts: the
+reconnection, HWM back-pressure and CURVE encryption are out of
+scope. What it proves beyond the frame contracts: the
 handshake, socket-type compatibility rules, message framing and
 PUB-side topic-prefix filtering all survive a real socket.
 """
@@ -31,13 +33,18 @@ import threading
 
 from pmacct_spark.sources.sockio import recv_exact as _recv_exact
 
-_GREETING = (
-    b"\xff" + b"\x00" * 8 + b"\x7f"  # signature
-    + b"\x03\x00"  # version 3.0
-    + b"NULL" + b"\x00" * 16  # mechanism
-    + b"\x00"  # as-server
-    + b"\x00" * 31  # filler
-)
+def _greeting(mechanism: str = "NULL", as_server: bool = False) -> bytes:
+    mech = mechanism.encode().ljust(20, b"\x00")
+    return (
+        b"\xff" + b"\x00" * 8 + b"\x7f"  # signature
+        + b"\x03\x00"  # version 3.0
+        + mech
+        + (b"\x01" if as_server else b"\x00")  # as-server
+        + b"\x00" * 31  # filler
+    )
+
+
+_GREETING = _greeting()
 
 _COMPATIBLE = {
     "PUSH": {"PULL"},
@@ -97,21 +104,122 @@ def _parse_ready(body: bytes) -> str:
     raise ValueError("READY carried no Socket-Type")
 
 
-def _handshake(sock: socket.socket, socket_type: str) -> None:
-    sock.sendall(_GREETING)
-    greeting = _recv_exact(sock, 64)
-    if greeting[0] != 0xFF or greeting[9] != 0x7F:
-        raise ValueError("bad ZMTP signature")
-    if greeting[12:16] != b"NULL":
-        raise ValueError("only the NULL mechanism is implemented")
-    _send_frame(sock, _ready_command(socket_type), command=True)
+def _command(name: bytes, data: bytes = b"") -> bytes:
+    return bytes([len(name)]) + name + data
+
+
+def _split_command(body: bytes) -> tuple[bytes, bytes]:
+    n = body[0]
+    return body[1 : 1 + n], body[1 + n :]
+
+
+def _metadata(socket_type: str) -> bytes:
+    prop = b"Socket-Type"
+    val = socket_type.encode()
+    return (
+        bytes([len(prop)]) + prop + struct.pack(">I", len(val)) + val
+    )
+
+
+def _parse_metadata(data: bytes) -> str:
+    off = 0
+    while off < len(data):
+        plen = data[off]
+        pname = data[off + 1 : off + 1 + plen]
+        off += 1 + plen
+        (vlen,) = struct.unpack_from(">I", data, off)
+        val = data[off + 4 : off + 4 + vlen]
+        off += 4 + vlen
+        if pname.lower() == b"socket-type":
+            return val.decode()
+    raise ValueError("metadata carried no Socket-Type")
+
+
+def _recv_command(sock: socket.socket, expect: bytes) -> bytes:
     flags, body = _recv_frame(sock)
     if not flags & 4:
-        raise ValueError("expected READY command")
-    peer_type = _parse_ready(body)
+        raise ValueError(f"expected {expect.decode()} command")
+    name, data = _split_command(body)
+    if name == b"ERROR":
+        raise ValueError(f"peer ERROR: {data[1 : 1 + data[0]].decode()}")
+    if name != expect:
+        raise ValueError(f"expected {expect.decode()}, got {name.decode()}")
+    return data
+
+
+def _check_peer_type(socket_type: str, peer_type: str) -> None:
     if peer_type not in _COMPATIBLE[socket_type]:
         raise ValueError(
             f"socket-type mismatch: {socket_type} peer is {peer_type}"
+        )
+
+
+def _handshake(
+    sock: socket.socket,
+    socket_type: str,
+    credentials: tuple[str, str] | None = None,
+    as_server: bool = False,
+    verify=None,
+) -> None:
+    """ZMTP 3.0 handshake. NULL mechanism (default): exchange READY
+    commands carrying Socket-Type. PLAIN mechanism (spec 24, the ZAP
+    credential flow the reference drives through bgp_lg_user/_passwd
+    and p_zmq_set_username): client HELLO(user, passwd) -> server
+    WELCOME -> client INITIATE(metadata) -> server READY(metadata);
+    a failed check answers ERROR. ``credentials`` on a client /
+    ``verify`` on a server select PLAIN."""
+    plain = credentials is not None or verify is not None
+    mech = "PLAIN" if plain else "NULL"
+    sock.sendall(_greeting(mech, as_server=as_server))
+    greeting = _recv_exact(sock, 64)
+    if greeting[0] != 0xFF or greeting[9] != 0x7F:
+        raise ValueError("bad ZMTP signature")
+    peer_mech = greeting[12:32].rstrip(b"\x00").decode()
+    if peer_mech != mech:
+        raise ValueError(
+            f"mechanism mismatch: ours {mech}, peer {peer_mech}"
+        )
+    if not plain:
+        _send_frame(sock, _ready_command(socket_type), command=True)
+        flags, body = _recv_frame(sock)
+        if not flags & 4:
+            raise ValueError("expected READY command")
+        _check_peer_type(socket_type, _parse_ready(body))
+        return
+    if as_server:
+        data = _recv_command(sock, b"HELLO")
+        ulen = data[0]
+        user = data[1 : 1 + ulen].decode()
+        plen = data[1 + ulen]
+        passwd = data[2 + ulen : 2 + ulen + plen].decode()
+        if not verify(user, passwd):
+            reason = b"Invalid username or password"
+            _send_frame(
+                sock,
+                _command(b"ERROR", bytes([len(reason)]) + reason),
+                command=True,
+            )
+            raise ValueError("PLAIN authentication failed")
+        _send_frame(sock, _command(b"WELCOME"), command=True)
+        _check_peer_type(
+            socket_type, _parse_metadata(_recv_command(sock, b"INITIATE"))
+        )
+        _send_frame(
+            sock, _command(b"READY", _metadata(socket_type)), command=True
+        )
+    else:
+        user, passwd = credentials
+        hello = (
+            bytes([len(user.encode())]) + user.encode()
+            + bytes([len(passwd.encode())]) + passwd.encode()
+        )
+        _send_frame(sock, _command(b"HELLO", hello), command=True)
+        _recv_command(sock, b"WELCOME")
+        _send_frame(
+            sock, _command(b"INITIATE", _metadata(socket_type)), command=True
+        )
+        _check_peer_type(
+            socket_type, _parse_metadata(_recv_command(sock, b"READY"))
         )
 
 
@@ -308,10 +416,16 @@ class ZmtpReqClient:
     delimiter frame; the router identity is connection-local and never
     appears on the wire."""
 
-    def __init__(self, host: str, port: int, timeout: float = 30.0):
+    def __init__(
+        self,
+        host: str,
+        port: int,
+        timeout: float = 30.0,
+        credentials: tuple[str, str] | None = None,
+    ):
         # generous timeout: an LG reply may wait on a RIB recompute
         self.sock = socket.create_connection((host, port), timeout=timeout)
-        _handshake(self.sock, "REQ")
+        _handshake(self.sock, "REQ", credentials=credentials)
 
     def request(self, parts: list[bytes]) -> list[bytes]:
         _send_frame(self.sock, b"", more=True)  # REQ envelope delimiter
@@ -334,8 +448,11 @@ class ZmtpRouterServer:
     each inbound multipart request (delimiter stripped) is answered by
     ``handler(parts) -> reply parts`` under the same envelope."""
 
-    def __init__(self, handler, host: str = "127.0.0.1", port: int = 0):
+    def __init__(
+        self, handler, host: str = "127.0.0.1", port: int = 0, verify=None
+    ):
         self.handler = handler
+        self.verify = verify  # (user, passwd) -> bool selects PLAIN
         self.host, self.port = host, port
         self._srv: socket.socket | None = None
 
@@ -368,7 +485,11 @@ class ZmtpRouterServer:
     def _serve(self, conn: socket.socket) -> None:
         with conn:
             try:
-                _handshake(conn, "ROUTER")
+                _handshake(
+                    conn, "ROUTER",
+                    as_server=self.verify is not None,
+                    verify=self.verify,
+                )
                 while True:
                     parts = _recv_message(conn)
                     if parts and parts[0] == b"":

@@ -191,3 +191,57 @@ def test_lg_peer_filter_and_cli(spark, capsys):
         assert out[1]["ip_prefix"] == "10.1.0.0/16"
     finally:
         lg.stop()
+
+
+def test_lg_plain_auth_live(spark, tmp_path):
+    """bgp_daemon_lg_user/_passwd: the ZMTP 3.0 PLAIN mechanism (spec
+    24 — HELLO/WELCOME/INITIATE/READY, the reference's ZAP credential
+    flow) over a real socket. Good credentials converse; a bad
+    password gets the ERROR command; a NULL-mechanism client is
+    rejected at the greeting."""
+    import socket as _sock
+
+    from pmacct_spark.client.lg import LookingGlassClient
+    from pmacct_spark.daemon import Daemon
+    from pmacct_spark.streaming.bmp import encode_bgp_update
+
+    conf = """
+nfacctd_port: 0
+bgp_daemon: true
+bgp_daemon_port: 0
+bgp_daemon_lg: true
+bgp_daemon_lg_port: 0
+bgp_daemon_lg_user: lguser
+bgp_daemon_lg_passwd: s3cret
+plugins: memory[routes]
+aggregate[routes]: as_path
+"""
+    d = Daemon.from_conf(spark, conf, spool_dir=str(tmp_path / "lgauth"))
+    try:
+        c = _sock.socket(_sock.AF_INET, _sock.SOCK_STREAM)
+        c.connect(("127.0.0.1", d.bgp_port))
+        c.sendall(encode_bgp_update(0x0A000000, 8, "65000 65100"))
+        c.close()
+        t0 = time.monotonic()
+        while d.bgp_spool.messages_spooled < 1 and time.monotonic() - t0 < 15:
+            time.sleep(0.05)
+        time.sleep(0.3)
+        # good credentials
+        cli = LookingGlassClient(
+            "127.0.0.1", d.lg.port, username="lguser", password="s3cret"
+        )
+        head, *routes = cli.ip_lookup("10.1.1.1/32")
+        assert head["results"] == 1
+        assert routes[0]["as_path"] == "65000 65100"
+        cli.close()
+        # wrong password: server answers the ERROR command
+        with pytest.raises(ValueError, match="ERROR|auth"):
+            LookingGlassClient(
+                "127.0.0.1", d.lg.port, username="lguser", password="wrong"
+            )
+        # NULL-mechanism client against a PLAIN server: greeting
+        # mechanism mismatch
+        with pytest.raises((ValueError, ConnectionError)):
+            LookingGlassClient("127.0.0.1", d.lg.port)
+    finally:
+        d.stop()
