@@ -769,7 +769,10 @@ class Daemon:
                 path = self.conf.get("print_output_file", name)
                 fmt = self.conf.get("print_output", name, "csv")
                 if path:
-                    write_print(out, path, fmt=fmt)
+                    write_print(
+                        out, path, fmt=fmt,
+                        latest_file=self.conf.get("print_latest_file", name),
+                    )
             results[name] = out
         self.dump_rib_if_configured()
         self.write_msglog_if_configured()

@@ -51,6 +51,7 @@ def write_print(
     fmt: str = "csv",
     name_spec: str | None = None,
     mode: str = "overwrite",
+    latest_file: str | None = None,
 ) -> None:
     """Write aggregates the way the print plugin purges its cache.
 
@@ -105,3 +106,39 @@ def write_print(
             write_container(out, path)
     else:
         raise ValueError(f"unknown print format {fmt!r}")
+    if latest_file:
+        _update_latest_pointer(path, latest_file)
+
+
+def _update_latest_pointer(path: str, latest_file: str) -> None:
+    """print_latest_file (reference src/print_plugin.c link_latest_file,
+    CONFIG-KEYS:1244): keep a pointer to the latest purged output. The
+    partitioned-write analog: a symlink to the most recently modified
+    leaf under ``path`` (the newest dynamic-name partition directory,
+    or the write root itself when the print is unpartitioned),
+    replaced atomically on every purge."""
+    import os
+
+    target = path
+    newest, newest_m = None, -1.0
+    for root, dirs, _files in os.walk(path):
+        for d in dirs:
+            full = os.path.join(root, d)
+            if "=" not in d:  # only dynamic-name partition dirs
+                continue
+            m = os.path.getmtime(full)
+            if m > newest_m:
+                newest, newest_m = full, m
+    if newest is not None:
+        target = newest
+    os.makedirs(os.path.dirname(latest_file) or ".", exist_ok=True)
+    tmp = f"{latest_file}.tmp.{os.getpid()}"
+    try:
+        os.symlink(os.path.abspath(target), tmp)
+        os.replace(tmp, latest_file)
+    except OSError:
+        try:
+            os.unlink(tmp)
+        except OSError:
+            pass
+        raise

@@ -506,3 +506,37 @@ def test_tee_emit_udp_live(spark):
     finally:
         rx_a.stop()
         rx_b.stop()
+
+
+def test_print_latest_file_pointer(spark, tmp_path):
+    """print_latest_file (reference src/print_plugin.c
+    link_latest_file): after every purge a pointer names the latest
+    output — here a symlink to the newest dynamic-name partition
+    directory, replaced atomically across purges."""
+    import os
+
+    import time as _time
+
+    agg = _agg(spark, history="1d")
+    out = str(tmp_path / "prints")
+    latest = str(tmp_path / "flows-latest")
+    write_print(
+        agg, out, fmt="csv", name_spec="flows-%Y%m%d", latest_file=latest
+    )
+    assert os.path.islink(latest)
+    first = os.readlink(latest)
+    assert os.path.isdir(first) and "=" in os.path.basename(first)
+    # a later purge with a new dynamic name moves the pointer to the
+    # freshly written partition
+    from pyspark.sql import functions as F
+
+    shifted = agg.withColumn(
+        "stamp_inserted", F.expr("stamp_inserted + INTERVAL 400 DAYS")
+    )
+    _time.sleep(1.1)  # distinct mtime for the new partition dirs
+    write_print(
+        shifted, out, fmt="csv", name_spec="flows-%Y%m%d",
+        mode="append", latest_file=latest,
+    )
+    second = os.readlink(latest)
+    assert os.path.isdir(second) and second != first
