@@ -667,3 +667,40 @@ def hybrid_bm25_vector_rrf(spark, sf_dir):
             "fused_rank",
         )
     )
+
+
+# --- deterministic epoch shuffle + shard assignment: the data-loading
+#     step between curation and training. Each document gets a
+#     pseudo-random but REPRODUCIBLE position from a seeded integer
+#     hash (Lehmer-style, pure int64 arithmetic so both engines agree
+#     bit-for-bit); shard = hash mod n_shards, position = rank of the
+#     hash within the shard. A different seed yields a different
+#     epoch order without materializing anything. Scale shape: one
+#     map-side hash projection, ONE shuffle (the per-shard rank
+#     window) — exactly the work a sharded epoch writer does.
+_EPOCH_SEED, _EPOCH_SHARDS = 7, 8
+_EPOCH_HASH = f"(doc_id * 48271 + {_EPOCH_SEED} * 16807) % 2147483647"
+
+
+@register(
+    "epoch_shard_shuffle",
+    f"""
+SELECT doc_id,
+       CAST(({_EPOCH_HASH}) % {_EPOCH_SHARDS} AS INT) AS shard,
+       CAST(ROW_NUMBER() OVER (
+         PARTITION BY ({_EPOCH_HASH}) % {_EPOCH_SHARDS}
+         ORDER BY {_EPOCH_HASH}, doc_id) AS BIGINT) AS shuffle_pos
+FROM documents""",
+)
+def epoch_shard_shuffle(spark, sf_dir):
+    from pyspark.sql.window import Window
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    h = F.expr(_EPOCH_HASH)
+    shard = (h % _EPOCH_SHARDS).cast("int")
+    w = Window.partitionBy(shard).orderBy(h, F.col("doc_id"))
+    return docs.select(
+        "doc_id",
+        shard.alias("shard"),
+        F.row_number().over(w).cast("bigint").alias("shuffle_pos"),
+    )
