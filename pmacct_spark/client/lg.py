@@ -78,10 +78,17 @@ class LookingGlass:
         host: str = "127.0.0.1",
         port: int = 0,
         credentials: tuple[str, str] | None = None,
+        version_provider=None,
     ):
         from pmacct_spark.sources.zmtp import ZmtpRouterServer
 
         self._provider = rib_provider
+        # flat-cost serving: the RIB recompute+collect runs once per
+        # DATA GENERATION (version_provider, e.g. the spool's file
+        # count), not once per request — a busy LG otherwise re-decodes
+        # the session history for every query
+        self._version_provider = version_provider
+        self._cache: tuple[object, list] | None = None
         # bgp_lg_user / bgp_lg_passwd: the ZMTP PLAIN credential check
         # (reference ZAP flow, src/zmq_common.c p_zmq_set_username)
         verify = (
@@ -117,7 +124,12 @@ class LookingGlass:
         ]
 
     def _rows(self):
-        return self._provider().collect()
+        if self._version_provider is None:
+            return self._provider().collect()
+        ver = self._version_provider()
+        if self._cache is None or self._cache[0] != ver:
+            self._cache = (ver, self._provider().collect())
+        return self._cache[1]
 
     def _ip_lookup(self, data: bytes) -> list[bytes]:
         try:

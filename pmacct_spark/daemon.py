@@ -166,6 +166,7 @@ class Daemon:
             lg_user = conf.get("bgp_daemon_lg_user")
             d.lg = LookingGlass(
                 lambda: d.rib(for_lookup=False),
+                version_provider=lambda: getattr(bgp_spool, "_nfile", None),
                 host=str(conf.get("bgp_daemon_lg_ip", default=host) or host),
                 port=int(conf.get("bgp_daemon_lg_port", default=0) or 0),
                 credentials=(
@@ -827,6 +828,16 @@ class Daemon:
             amqp_key = self.conf.get(f"{family}_amqp_routing_key")
             if not path and not topic and not amqp_key:
                 continue
+            # flat tick cost: the log render replays the SESSION
+            # HISTORY (per-peer seq needs the full stream), so only
+            # rewrite when new data arrived — the serve loop's cadence
+            # must not multiply an O(history) render per tick
+            gen = getattr(spool, "_nfile", None)
+            seen = getattr(self, "_msglog_gen", {})
+            if seen.get(family) == gen:
+                continue
+            seen[family] = gen
+            self._msglog_gen = seen
             ev = events()
             if path:
                 from pmacct_spark.sinks.msglog import write_msglog

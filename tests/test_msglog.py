@@ -561,3 +561,48 @@ def test_bgp_notification_purges_rib_until_reopen(spark):
     assert [(r["prefix"], r["as_path"]) for r in rib] == [
         (0x0B000000, "65000 2")
     ]
+
+
+def test_msglog_tick_skips_when_no_new_data(spark, tmp_path):
+    """The serve loop must not multiply an O(session-history) log
+    render per tick: with no new session data, the msglog hook is a
+    no-op; new data triggers exactly one rewrite."""
+    import socket
+    import time
+
+    from pmacct_spark.daemon import Daemon
+    from pmacct_spark.streaming.bmp import encode_bgp_open, encode_bgp_update
+
+    log_dir = str(tmp_path / "mlskip")
+    conf = f"""
+nfacctd_port: 0
+bgp_daemon: true
+bgp_daemon_port: 0
+bgp_daemon_msglog_file: {log_dir}
+plugins: memory[routes]
+aggregate[routes]: as_path
+"""
+    d = Daemon.from_conf(spark, conf, spool_dir=str(tmp_path / "sp_skip"))
+    try:
+        def send(stream, want):
+            c = socket.socket(socket.AF_INET, socket.SOCK_STREAM)
+            c.connect(("127.0.0.1", d.bgp_port))
+            c.sendall(stream)
+            c.close()
+            t0 = time.monotonic()
+            while (
+                d.bgp_spool.messages_spooled < want
+                and time.monotonic() - t0 < 15
+            ):
+                time.sleep(0.05)
+            time.sleep(0.3)
+
+        send(encode_bgp_open() + encode_bgp_update(0x0A000000, 8, "65000 1"), 2)
+        assert d.write_msglog_if_configured() == [log_dir]
+        # same data: a second tick skips the O(history) render
+        assert d.write_msglog_if_configured() == []
+        # new data: exactly one rewrite
+        send(encode_bgp_update(0x0B000000, 8, "65000 2"), 3)
+        assert d.write_msglog_if_configured() == [log_dir]
+    finally:
+        d.stop()
