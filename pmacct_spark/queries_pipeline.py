@@ -704,3 +704,52 @@ def epoch_shard_shuffle(spark, sf_dir):
         shard.alias("shard"),
         F.row_number().over(w).cast("bigint").alias("shuffle_pos"),
     )
+
+
+# --- corpus n-gram frequency table (LM-data staple): top-k bigrams by
+#     corpus count. One corpus scan; the shuffle and the global rank
+#     run over the BIGRAM VOCABULARY (bounded, sublinear in corpus
+#     size), the same discipline as the rarity score's vocab rank.
+@register(
+    "corpus_bigram_topk",
+    """
+WITH toks AS (
+  SELECT string_split_regex(lower(text), '\\s+') AS t FROM documents
+),
+bg AS (
+  SELECT unnest(list_transform(range(1, len(t)),
+                               i -> t[i] || ' ' || t[i + 1])) AS bigram
+  FROM toks WHERE len(t) >= 2
+),
+counted AS (
+  SELECT bigram, COUNT(*) AS n FROM bg GROUP BY 1
+)
+SELECT bigram, CAST(n AS BIGINT) AS n,
+       CAST(ROW_NUMBER() OVER (ORDER BY n DESC, bigram ASC) AS BIGINT)
+         AS rank
+FROM counted QUALIFY rank <= 20""",
+)
+def corpus_bigram_topk(spark, sf_dir):
+    from pyspark.sql.window import Window
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    bg = docs.select(
+        F.explode(
+            F.expr(
+                "CASE WHEN size(split(lower(text), '\\\\s+')) >= 2 THEN "
+                "zip_with(slice(split(lower(text), '\\\\s+'), 1, "
+                "         size(split(lower(text), '\\\\s+')) - 1), "
+                "         slice(split(lower(text), '\\\\s+'), 2, "
+                "         size(split(lower(text), '\\\\s+')) - 1), "
+                "         (a, b) -> concat(a, ' ', b)) "
+                "ELSE array() END"
+            )
+        ).alias("bigram")
+    )
+    counted = bg.groupBy("bigram").agg(F.count(F.lit(1)).alias("n"))
+    w = Window.orderBy(F.desc("n"), F.asc("bigram"))
+    return (
+        counted.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter("rank <= 20")
+        .select("bigram", F.col("n").cast("bigint").alias("n"), "rank")
+    )

@@ -289,7 +289,7 @@ class ZmtpPullServer:
                         continue  # ignore further commands
                     with self._lock:
                         self.received.append(body)
-            except (ConnectionError, ValueError):
+            except (ConnectionError, ValueError, IndexError, struct.error):
                 return
 
 
@@ -344,7 +344,7 @@ class ZmtpPubServer:
     def _serve(self, conn: socket.socket) -> None:
         try:
             _handshake(conn, "PUB")
-        except (ConnectionError, ValueError):
+        except (ConnectionError, ValueError, IndexError, struct.error):
             conn.close()
             return
         filters: list[bytes] = []
@@ -363,7 +363,7 @@ class ZmtpPubServer:
                     with self._lock:
                         if body[1:] in filters:
                             filters.remove(body[1:])
-        except (ConnectionError, ValueError):
+        except (ConnectionError, ValueError, IndexError, struct.error):
             with self._lock:
                 if (conn, filters) in self._subs:
                     self._subs.remove((conn, filters))
@@ -497,5 +497,5 @@ class ZmtpRouterServer:
                     reply = self.handler(parts)
                     _send_frame(conn, b"", more=True)
                     _send_message(conn, reply)
-            except (ConnectionError, ValueError):
+            except (ConnectionError, ValueError, IndexError, struct.error):
                 return

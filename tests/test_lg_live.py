@@ -245,3 +245,34 @@ aggregate[routes]: as_path
             LookingGlassClient("127.0.0.1", d.lg.port)
     finally:
         d.stop()
+
+
+def test_router_survives_malformed_handshake_bytes():
+    """A poison peer (garbage greeting / truncated HELLO) drops its
+    own connection; the ROUTER keeps serving well-formed peers."""
+    import socket as _sock
+
+    from pmacct_spark.sources.zmtp import ZmtpReqClient, ZmtpRouterServer
+
+    srv = ZmtpRouterServer(
+        lambda parts: parts, verify=lambda u, p: (u, p) == ("a", "b")
+    ).start()
+    try:
+        # garbage greeting
+        c = _sock.create_connection(("127.0.0.1", srv.port))
+        c.sendall(b"\x00" * 64)
+        c.close()
+        # valid greeting, truncated HELLO command body
+        c = _sock.create_connection(("127.0.0.1", srv.port))
+        from pmacct_spark.sources.zmtp import _greeting
+
+        c.sendall(_greeting("PLAIN", as_server=False))
+        c.recv(64)
+        c.sendall(bytes([4, 6]) + b"\x05HELLO")  # name only, no creds
+        c.close()
+        # the server still answers an authenticated client
+        cli = ZmtpReqClient("127.0.0.1", srv.port, credentials=("a", "b"))
+        assert cli.request([b"ok"]) == [b"ok"]
+        cli.close()
+    finally:
+        srv.stop()
