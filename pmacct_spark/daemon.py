@@ -352,8 +352,10 @@ class Daemon:
 
             self._compact_flows_dir = _tmp.mkdtemp(prefix="pmacct_compact_fl_")
             self._compact_opts_dir = _tmp.mkdtemp(prefix="pmacct_compact_op_")
+            self._compact_ctrs_dir = _tmp.mkdtemp(prefix="pmacct_compact_ct_")
             self._n_compacted_flow_files = 0
             self._n_compacted_opt_files = 0
+            self._n_compacted_ctr_files = 0
         return self._compact_flows_dir, self._compact_opts_dir
 
     def compact_spool(self, keep_files: int = 4) -> int:
@@ -378,6 +380,19 @@ class Daemon:
                 opts = decode_options(dg.select("exporter_ip", "payload"))
                 opts.write.mode("append").parquet(opts_dir)
                 self._n_compacted_opt_files += 1
+            elif self.flavor == "sflow":
+                # counter samples ride the same datagrams as the flow
+                # samples: without this, retiring a spool file would
+                # silently drop its counter history from the
+                # sfacctd_counter_* log (the counter path decodes only
+                # the live tail)
+                from pmacct_spark.streaming.decode import (
+                    decode_sflow_counters,
+                )
+
+                ctrs = decode_sflow_counters(dg)
+                ctrs.write.mode("append").parquet(self._compact_ctrs_dir)
+                self._n_compacted_ctr_files += 1
             retired = getattr(self, "_retired_files", set())
             retired.update(victims)
             self._retired_files = retired
@@ -405,6 +420,26 @@ class Daemon:
             return None
         return self.spark.read.parquet(self._compact_opts_dir)
 
+    def _compacted_counters(self) -> DataFrame | None:
+        if not getattr(self, "_n_compacted_ctr_files", 0):
+            return None
+        return self.spark.read.parquet(self._compact_ctrs_dir)
+
+    def _sflow_counters(self) -> DataFrame:
+        """Full counter-sample history: live spool tail decoded fresh,
+        unioned with counters preserved at compaction time. Snapshot
+        taken under the compact lock so a concurrent compaction can't
+        retire-and-append the same file between the two reads."""
+        from pmacct_spark.streaming.decode import decode_sflow_counters
+
+        with self._compact_lock:
+            live = self._spool_batch()
+            comp = self._compacted_counters()
+        ctrs = decode_sflow_counters(live)
+        if comp is not None:
+            ctrs = ctrs.unionByName(comp, allowMissingColumns=True)
+        return ctrs
+
     def _enrich_datagrams(self, dg: DataFrame, streaming: bool) -> DataFrame:
         from pmacct_spark.streaming.decode import decode_any, decode_sflow_any
 
@@ -420,8 +455,15 @@ class Daemon:
             return self._enrich_datagrams(
                 self.spool.stream(self.spark), streaming=True
             )
-        df = self._enrich_datagrams(self._spool_batch(), streaming=False)
-        comp = self._compacted_flows()
+        # snapshot the live file list AND the compacted side table
+        # under one lock: a concurrent tick's maybe_compact_spool could
+        # otherwise retire a file after it was listed and append its
+        # compacted copy before the union runs — double-counting that
+        # file's flows for one drain
+        with self._compact_lock:
+            live = self._spool_batch()
+            comp = self._compacted_flows()
+        df = self._enrich_datagrams(live, streaming=False)
         if comp is not None:
             df = df.unionByName(comp, allowMissingColumns=True)
         return df
@@ -836,8 +878,6 @@ class Daemon:
             seen = getattr(self, "_msglog_gen", {})
             if seen.get(family) == gen:
                 continue
-            seen[family] = gen
-            self._msglog_gen = seen
             ev = events()
             if path:
                 from pmacct_spark.sinks.msglog import write_msglog
@@ -881,22 +921,24 @@ class Daemon:
                     aport,
                 )
                 wrote.append(f"amqp://{ahost}:{aport}/{exch}/{rkey}")
+            # record the generation only once every configured sink
+            # for the family succeeded: a failed publish (broker down,
+            # disk full) must retry on the next call, not be skipped
+            # until new spool data bumps the generation
+            seen[family] = gen
+            self._msglog_gen = seen
         # sFlow counter log (sfacctd_counter_file, src/sfacctd.c:2366):
         # counter samples ride the same UDP spool as the flow samples
         cpath = self.conf.get("sfacctd_counter_file")
         if cpath and self.flavor == "sflow":
             from pmacct_spark.sinks.msglog import write_counter_log
-            from pmacct_spark.streaming.decode import decode_sflow_counters
 
-            write_counter_log(
-                decode_sflow_counters(self._spool_batch()), cpath
-            )
+            write_counter_log(self._sflow_counters(), cpath)
             wrote.append(cpath)
         ctopic = self.conf.get("sfacctd_counter_kafka_topic")
         if ctopic and self.flavor == "sflow":
             from pmacct_spark.sinks.msglog import counter_log_kafka_frames
             from pmacct_spark.sources.kafka_wire import produce_frames
-            from pmacct_spark.streaming.decode import decode_sflow_counters
 
             khost = str(
                 self.conf.get(
@@ -909,9 +951,7 @@ class Daemon:
                 or 9092
             )
             produce_frames(
-                counter_log_kafka_frames(
-                    decode_sflow_counters(self._spool_batch()), str(ctopic)
-                ),
+                counter_log_kafka_frames(self._sflow_counters(), str(ctopic)),
                 khost,
                 kport,
             )

@@ -48,58 +48,52 @@ def register(name: str, oracle: str | None = None):
 # curation/dedup/ANN pipeline, and TPC-H relational — instead of the
 # registration order, which front-loaded agg/hist/client.
 _DRIVER_WINDOW = [
-    # §2.5 aggregation primitives
-    "agg_host_pairs", "agg_tcpflags_bitor", "agg_stitching",
-    "agg_none_total", "preprocess_having",
-    # §2.6 windows / time / sessions
-    "hist_5m_proto", "hist_month", "hist_5m_prorate",
-    "hist_sliding_10m_5m", "sessionize_tcp_close",
-    # §2.7 sort / client surface
-    "topn_bytes",
-    # §2.3 filters / maps
-    "aggregate_filter_tcp443", "pretag_rules", "ports_dictionary",
-    "sampling_map_renorm",
-    # §2.4 enrichment joins (r5: rpki_overlap_validation supersedes
-    # rpki_roa_validation in the window — same per-route rule PLUS the
-    # o/O follow-default walk; the plain variant keeps local parity)
-    "lpm_networks_src_as", "lpm6_networks_src_as", "geoip_country",
-    "bgp6_wire_rib_lookup", "rpki_overlap_validation",
-    "as_of_sampling_rate", "conntrack_correlate",
-    # §2.5 advanced agg
-    "fss_smart_sampling", "salted_skew_agg",
-    # §2.1 wire-format loops (decode + §2.2 probe re-export; r5 swaps:
-    # tunnel_wire_loop driver-gates the regression-fixed compiled
-    # l2sid path — plain v9 stays covered by twophase/custom/srv6)
-    "v5_wire_loop_agg", "tunnel_wire_loop", "v6_wire_loop_agg",
-    "v9_wire_loop_twophase", "mixed_wire_loop_agg",
-    "sflow_wire_loop_renorm", "sflow_counter_samples",
-    "sampling_options_wire_loop", "custom_wire_loop", "srv6_wire_loop",
-    # BGP/BMP wire -> RIB -> lookup (incl. peer-down purge; r5:
-    # addpath variant supersedes bgp_wire_rib_lookup — same session
-    # decode PLUS RFC 7911 capability/per-path keying/best-path)
-    "bgp_addpath_rib_lookup", "bmp_wire_peer_down_rib",
-    # §2.10 streaming state
-    "stream_v5_wire_decode", "stream_v9_stateful_decode",
-    "stream_hist_5m_proto",
-    # telemetry + custom primitives (r5: the UDP-Notif wire loop
-    # supersedes plain JSON metrics in the window — same JSON parse
-    # PLUS RFC 9742 framing/segmentation; the plain query keeps local
-    # parity)
-    "telemetry_udp_notif_wire_loop", "custom_primitive_agg",
-    # LLM data pipeline (r5 swap: ann_ivf_pq_topk — the composed
-    # IVF-PQ index, strictly a superset of the PQ/ADC-only shape —
-    # replaces dedup_exact, whose family stays sampled by minhash_lsh
-    # + cc_clusters; dedup_exact and ann_pq_adc_topk keep local parity)
-    # (r5 late swap: hybrid_bm25_vector_rrf — sparse BM25 + dense
-    # cosine fused by RRF — replaces ann_ivf_topk, whose family stays
-    # sampled by the ivf_pq superset; ann_ivf_topk keeps local parity)
-    "ann_ivf_pq_topk", "dedup_minhash_lsh", "dedup_cc_clusters",
-    "decontaminate_benchmark_overlap", "hybrid_bm25_vector_rrf",
-    "text_quality_features", "multimodal_decode_features",
-    # relational / TPC-H (r5 swap: q21 — EXISTS/NOT-EXISTS self-join
-    # pair, the hardest of the seven shapes that completed the family
-    # at 22/22 — replaces q1, which keeps local parity)
-    "tpch_q21_waiting_orders", "window_rank_users",
+    # ROUND-6 ROTATION (VERDICT r5 "Next round #2"): 70 of the 159
+    # gated queries had never been driver-sampled after five rounds —
+    # this window swaps in 44 first-time names (every one already green
+    # under the identical value-hash check in tests/test_oracle_parity
+    # and the local driver sim), keeping 6 anchors for continuity with
+    # r1–r5. Everything rotated OUT keeps local parity coverage.
+    #
+    # anchors (sampled in prior rounds; one per always-on family)
+    "agg_host_pairs", "v5_wire_loop_agg", "bgp_addpath_rib_lookup",
+    "dedup_minhash_lsh", "stream_hist_5m_proto",
+    "multimodal_decode_features",
+    # NEW this round: calendar-month pro-rating (the one semantic hole
+    # VERDICT r5 carried — month buckets with exact 28/29/30/31-day
+    # overlap weights)
+    "hist_month_prorate",
+    # relational / TPC-H — the 20 shapes that had never been sampled
+    # (q1 was r1–r4, q21 was r5)
+    "tpch_q2_min_cost_supplier", "tpch_q3_shipping_priority",
+    "tpch_q4_order_priority", "tpch_q5_local_supplier",
+    "tpch_q6_forecast_revenue", "tpch_q7_volume_shipping",
+    "tpch_q8_market_share", "tpch_q9_product_profit",
+    "tpch_q10_returned_items", "tpch_q11_important_stock",
+    "tpch_q12_priority_by_status", "tpch_q13_customer_distribution",
+    "tpch_q14_promo_revenue", "tpch_q15_top_supplier",
+    "tpch_q16_supplier_relationship", "tpch_q17_small_quantity",
+    "tpch_q18_large_orders", "tpch_q19_disjunctive",
+    "tpch_q20_part_promotion", "tpch_q22_idle_customers",
+    # retrieval / tokenization / curation first-timers
+    "bm25_keyword_topk", "corpus_bigram_topk", "bpe_pair_counts",
+    "epoch_shard_shuffle", "ann_pq_adc_topk", "stream_dedup_exact",
+    "dedup_simhash", "dedup_ngram_jaccard", "dedup_cross_corpus",
+    # text-analysis family (quality_features was sampled r3–r5; these
+    # five never were)
+    "text_lang_id", "text_token_counts", "text_fingerprint",
+    "text_rarity_score", "text_repetition_metrics",
+    # logdump family (r5 additions, never sampled)
+    "bgp_msglog_stream", "sflow_counter_log_stream",
+    # wire-format loops never sampled (l2/v6 MAC-render + NAT/MPLS
+    # paths — also the r5 bench-regression pair, so the driver now
+    # value-checks them directly)
+    "l2_wire_loop", "mpls_wire_loop", "nat_wire_loop", "sflow_v6_loop",
+    "options_vrf_wire_enrich",
+    # telemetry: Cisco MDT framing (UDP-Notif was sampled r5)
+    "telemetry_cisco_mdt_wire_loop",
+    # BGP/BMP: the dump-accounting join (msglog + RIB families above)
+    "bmp_wire_dump_accounting",
 ]
 
 

@@ -88,14 +88,23 @@ def explode_prorate(
     bucket — deterministic and oracle-reproducible. Spark shape:
     ``sequence()`` + ``explode()`` (no shuffle; the later groupBy
     re-shuffles on (bucket, keys) anyway).
-    """
-    if hist.calendar:
-        raise NotImplementedError("pro-rating over calendar months: use linear buckets")
-    n_us = hist.seconds * 1_000_000
 
+    Calendar months (``1M``, reference src/plugin_common.c:256-271 with
+    ``sql_history: 1M``): buckets have no fixed width, so the step is
+    ``INTERVAL 1 MONTH`` and each bucket's width is computed as
+    ``next_month_start - bucket_start`` in epoch microseconds — the
+    overlap weights are month-length-exact (28/29/30/31 days) by
+    construction.
+    """
     start_bucket = bucket_expr(ts_col, hist, roundoff)
     end_bucket = bucket_expr(end_col, hist, roundoff)
-    step = F.expr(f"INTERVAL {hist.seconds} SECOND")
+    if hist.calendar:
+        step = F.expr("INTERVAL 1 MONTH")
+        bucket_end_us = f"unix_micros(CAST({out} + INTERVAL 1 MONTH AS TIMESTAMP))"
+    else:
+        n_us = hist.seconds * 1_000_000
+        step = F.expr(f"INTERVAL {hist.seconds} SECOND")
+        bucket_end_us = f"({_us(out)} + {n_us})"
     df = df.withColumn(
         out,
         F.explode(
@@ -108,7 +117,7 @@ def explode_prorate(
     w_us = _us(out)
     ts_us, end_us = _us(ts_col), _us(end_col)
     overlap = (
-        f"(LEAST({end_us}, {w_us} + {n_us}) - GREATEST({ts_us}, {w_us}))"
+        f"(LEAST({end_us}, {bucket_end_us}) - GREATEST({ts_us}, {w_us}))"
     )
     duration = f"({end_us} - {ts_us})"
     for c in counters:
@@ -152,11 +161,17 @@ def duck_prorate_cte(
     """DuckDB subquery matching :func:`explode_prorate`: per spanned
     bucket, pro-rated counters. ``key_exprs`` is the passthrough select
     list."""
-    n_us = hist.seconds * 1_000_000
     b0 = duck_bucket_sql(ts_expr, hist)
     b1 = duck_bucket_sql(end_expr, hist)
+    if hist.calendar:
+        step = "INTERVAL 1 MONTH"
+        bucket_end_us = "epoch_us(stamp_inserted + INTERVAL 1 MONTH)"
+    else:
+        n_us = hist.seconds * 1_000_000
+        step = f"INTERVAL {hist.seconds} SECOND"
+        bucket_end_us = f"(epoch_us(stamp_inserted) + {n_us})"
     overlap = (
-        f"(LEAST(epoch_us({end_expr}), epoch_us(stamp_inserted) + {n_us}) "
+        f"(LEAST(epoch_us({end_expr}), {bucket_end_us}) "
         f"- GREATEST(epoch_us({ts_expr}), epoch_us(stamp_inserted)))"
     )
     duration = f"(epoch_us({end_expr}) - epoch_us({ts_expr}))"
@@ -171,7 +186,7 @@ def duck_prorate_cte(
     return (
         f"SELECT {select} FROM ("
         f"SELECT *, unnest(generate_series({b0}, {b1}, "
-        f"INTERVAL {hist.seconds} SECOND)) AS stamp_inserted FROM {source})"
+        f"{step})) AS stamp_inserted FROM {source})"
     )
 
 

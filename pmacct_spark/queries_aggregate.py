@@ -175,6 +175,36 @@ def hist_5m_prorate(spark, sf_dir):
     return build_aggregation(flows(spark, sf_dir), cfg)
 
 
+# --- calendar-month pro-rating (sql_history: 1M + acct_v_..., reference
+#     src/plugin_common.c:256-271 bucket loop over COUNT_MONTHLY months,
+#     month round-off src/sql_common.c:289). Buckets have no fixed
+#     width: each spanned month weighs by its exact epoch-us length
+#     (28/29/30/31 days). The test corpus is single-month, so the query
+#     stretches every flow to 20 days — late-January flows then split
+#     across the Jan/Feb boundary and the weights discriminate.
+_PRORATE_MONTH_INNER = duck_prorate_cte(
+    History.parse("1M"),
+    ["bytes", "packets", "flows"],
+    key_exprs="ip_proto",
+    source="(SELECT * REPLACE (ts + INTERVAL 20 DAY AS end_ts) FROM flows)",
+)
+@register(
+    "hist_month_prorate",
+    f"""{FLOWS_DUCK_CTE}
+SELECT ip_proto AS proto, stamp_inserted,
+       {_sums('bytes', 'packets', 'flows')}
+FROM ({_PRORATE_MONTH_INNER}) GROUP BY 1, 2""",
+)
+def hist_month_prorate(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    cfg = PluginConfig(aggregate=["proto"], history="1M", pro_rating=True)
+    df = flows(spark, sf_dir).withColumn(
+        "end_ts", F.expr("CAST(ts + INTERVAL 20 DAYS AS TIMESTAMP_NTZ)")
+    )
+    return build_aggregation(df, cfg)
+
+
 # --- stitching: timestamp_min/timestamp_max per group
 #     (pkt_stitching, src/network.h:543-546)
 @register(

@@ -229,22 +229,36 @@ class MiniKafkaBroker:
                     body = recv_exact(conn, size)
                 except (ConnectionError, OSError):
                     return
-                r = _Reader(body)
-                api_key, api_version = r.i16(), r.i16()
-                corr = r.i32()
-                r.string()  # client_id
-                if api_version != 0:
-                    return  # v0-only broker: drop the session
-                if api_key == 3:
-                    resp = self._metadata(r)
-                elif api_key == 0:
-                    resp = self._produce(r)
-                elif api_key == 1:
-                    resp = self._fetch(r)
-                else:
+                # malformed-peer hardening (same discipline as the
+                # ZMTP servers): a request body that fails to parse —
+                # bad string length, CRC-failing message set, truncated
+                # struct — closes THIS session cleanly instead of
+                # raising uncaught in the connection thread
+                try:
+                    r = _Reader(body)
+                    api_key, api_version = r.i16(), r.i16()
+                    corr = r.i32()
+                    r.string()  # client_id
+                    if api_version != 0:
+                        return  # v0-only broker: drop the session
+                    if api_key == 3:
+                        resp = self._metadata(r)
+                    elif api_key == 0:
+                        resp = self._produce(r)
+                    elif api_key == 1:
+                        resp = self._fetch(r)
+                    else:
+                        return
+                    out = _i32(corr) + resp
+                    conn.sendall(_i32(len(out)) + out)
+                except (
+                    ValueError,
+                    struct.error,
+                    IndexError,
+                    KeyError,
+                    OSError,
+                ):
                     return
-                out = _i32(corr) + resp
-                conn.sendall(_i32(len(out)) + out)
 
     def _metadata(self, r: _Reader) -> bytes:
         n = r.i32()

@@ -322,14 +322,30 @@ class ZmtpPubServer:
             pass
 
     def publish(self, message: bytes) -> None:
-        """Forward to every subscriber whose filter prefix-matches."""
+        """Forward to every subscriber whose filter prefix-matches.
+
+        The send happens OUTSIDE the server lock: one stalled
+        subscriber (full TCP buffer) must not block other publishes or
+        subscription updates. Dead connections are pruned in a second
+        locked pass."""
         with self._lock:
-            for conn, filters in list(self._subs):
-                if any(message.startswith(f) for f in filters):
-                    try:
-                        _send_frame(conn, message)
-                    except OSError:
-                        self._subs.remove((conn, filters))
+            targets = [
+                (conn, filters)
+                for conn, filters in self._subs
+                if any(message.startswith(f) for f in filters)
+            ]
+        dead = []
+        for conn, filters in targets:
+            try:
+                conn.settimeout(5.0)
+                _send_frame(conn, message)
+            except OSError:
+                dead.append((conn, filters))
+        if dead:
+            with self._lock:
+                for entry in dead:
+                    if entry in self._subs:
+                        self._subs.remove(entry)
 
     def _accept_loop(self) -> None:
         while True:

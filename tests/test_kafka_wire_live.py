@@ -263,3 +263,49 @@ print_output[files]: csv
         assert got == {6: (1500, 15, 2), 17: (200, 2, 1)}
     finally:
         b.stop()
+
+
+def test_broker_survives_malformed_request_body(spark):
+    """ADVICE r5: a request whose BODY fails to parse (bad string
+    length, truncated struct) must close that session cleanly — the
+    broker keeps serving other clients, matching the malformed-peer
+    hardening of the ZMTP servers."""
+    import socket
+    import struct as _struct
+
+    from pmacct_spark.sources.kafka_wire import (
+        MiniKafkaBroker,
+        fetch_records,
+        produce_frames,
+    )
+
+    b = MiniKafkaBroker().start()
+    try:
+        # valid size prefix, garbage body: api_key parse / dispatch
+        # must not raise uncaught in the connection thread
+        for body in (
+            b"\xff",                       # truncated header
+            _struct.pack(">hhi", 0, 0, 1) + b"\xff\xff\xff",  # bad string len
+            _struct.pack(">hhih", 0, 0, 2, -1) + _struct.pack(">hiih", 1, 0, 1, 3)
+            + b"zzz" + _struct.pack(">ii", 0, 999) + b"\x00" * 4,  # bad msgset
+        ):
+            c = socket.create_connection((b.host, b.port), timeout=5)
+            c.sendall(_struct.pack(">i", len(body)) + body)
+            # the broker either answers (leniently parsed) or drops
+            # the session (EOF) — either way no hang, no thread crash
+            c.settimeout(5)
+            try:
+                c.recv(4096)
+            except (ConnectionError, TimeoutError):
+                pass
+            c.close()
+        # a well-formed client still works end-to-end
+        frames = spark.createDataFrame(
+            [("k1", b"v1", "alive.topic")],
+            "key string, value binary, topic string",
+        )
+        produce_frames(frames, b.host, b.port, nparts=1)
+        back = fetch_records(spark, b.host, b.port, ["alive.topic"]).collect()
+        assert [bytes(r["value"]) for r in back] == [b"v1"]
+    finally:
+        b.stop()

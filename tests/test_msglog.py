@@ -606,3 +606,143 @@ aggregate[routes]: as_path
         assert d.write_msglog_if_configured() == [log_dir]
     finally:
         d.stop()
+
+
+def test_sflow_counter_log_survives_compaction(spark, tmp_path):
+    """ADVICE r5 (medium): spool compaction must not drop counter
+    history from the sfacctd_counter_* log. Counter samples ride the
+    same datagrams as flow samples; when a spool file retires, its
+    decoded counters are preserved in a compacted side table and
+    unioned back into the counter-log path."""
+    import socket
+    import time
+
+    from pmacct_spark.daemon import Daemon
+    from pmacct_spark.sinks.sfprobe import encode_sflow_counters
+
+    log_dir = str(tmp_path / "ctrlog_c")
+    conf = f"""
+sfacctd_port: 0
+sfacctd_counter_file: {log_dir}
+plugins: memory[ifaces]
+aggregate[ifaces]: proto
+"""
+    d = Daemon.from_conf(spark, conf, spool_dir=str(tmp_path / "sp_ctr_c"))
+    try:
+        sent = 0
+        # three bursts -> three spool files (flush per burst)
+        for burst in ([5, 7], [9], [11]):
+            rows = spark.createDataFrame(
+                [
+                    (i, 6, 10**9, 1, 100 * i, 10, 0, 200 * i, 20, 1)
+                    for i in burst
+                ],
+                "if_index LONG, if_type LONG, if_speed LONG, if_status LONG, "
+                "if_in_octets LONG, if_in_ucast LONG, if_in_errors LONG, "
+                "if_out_octets LONG, if_out_ucast LONG, if_out_errors LONG",
+            )
+            payloads = [
+                bytes(r["payload"])
+                for r in encode_sflow_counters(rows).select("payload").collect()
+            ]
+            s = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
+            for p in payloads:
+                s.sendto(p, ("127.0.0.1", d.port))
+            s.close()
+            sent += len(payloads)
+            t0 = time.monotonic()
+            while (
+                d.spool.datagrams_received < sent
+                and time.monotonic() - t0 < 15
+            ):
+                time.sleep(0.05)
+            d.spool.flush()
+        n_live = len(d._live_spool_files())
+        assert n_live >= 2
+        # retire everything but the newest file, then render the log
+        assert d.compact_spool(keep_files=1) == n_live - 1
+        assert d.write_msglog_if_configured() == [log_dir]
+    finally:
+        d.stop()
+    lines = []
+    for f in pathlib.Path(log_dir).rglob("*.txt"):
+        lines += [
+            json.loads(ln)
+            for ln in f.read_text().splitlines()
+            if ln.strip()
+        ]
+    # ALL four samples survive — including the ones whose spool files
+    # were retired — and the per-agent seq covers the full history
+    assert sorted(ln["ifIndex"] for ln in lines) == [5, 7, 9, 11]
+    assert sorted(ln["seq"] for ln in lines) == [1, 2, 3, 4]
+    by_if = {ln["ifIndex"]: ln for ln in lines}
+    assert by_if[5]["ifInOctets"] == 500
+    assert by_if[11]["ifOutOctets"] == 2200
+
+
+def test_msglog_gen_retry_after_sink_failure(spark, tmp_path):
+    """ADVICE r5: a failed msglog publish (broker down) must NOT mark
+    the spool generation as handled — the next call with unchanged
+    data retries instead of silently dropping the events until new
+    data arrives."""
+    import socket
+    import time
+
+    from pmacct_spark.daemon import Daemon
+    from pmacct_spark.sources.kafka_wire import MiniKafkaBroker, fetch_records
+
+    # reserve a port the broker will come up on LATER
+    probe = socket.socket(socket.AF_INET, socket.SOCK_STREAM)
+    probe.bind(("127.0.0.1", 0))
+    kport = probe.getsockname()[1]
+    probe.close()
+
+    conf = f"""
+nfacctd_port: 0
+bmp_daemon: true
+bmp_daemon_port: 0
+bmp_daemon_msglog_kafka_topic: bmp.retry
+bmp_daemon_msglog_kafka_broker_port: {kport}
+plugins: memory[routes]
+aggregate[routes]: as_path
+"""
+    d = Daemon.from_conf(spark, conf, spool_dir=str(tmp_path / "sp_retry"))
+    try:
+        peer = 0xC0000205
+        msgs = (
+            _bmp_msg(3, peer, 64500)
+            + _bmp_msg(0, peer, 64500, _bgp_update([], [(0x0A010000, 16)]))
+        )
+        c = socket.socket(socket.AF_INET, socket.SOCK_STREAM)
+        c.connect(("127.0.0.1", d.bmp_port))
+        c.sendall(msgs)
+        c.close()
+        t0 = time.monotonic()
+        while d.bmp_spool.messages_spooled < 2 and time.monotonic() - t0 < 15:
+            time.sleep(0.05)
+        time.sleep(0.3)
+        # broker down: the publish raises (ConnectionRefused surfaces
+        # through the Spark job) and the generation must stay
+        # unrecorded
+        with pytest.raises(Exception, match="(?i)connection.?refused"):
+            d.write_msglog_if_configured()
+        broker = MiniKafkaBroker(port=kport).start()
+        try:
+            # same spool generation, broker now up: the retry delivers
+            wrote = d.write_msglog_if_configured()
+            assert wrote == [f"kafka://127.0.0.1:{kport}/bmp.retry"]
+            got = [
+                json.loads(bytes(r["value"]).decode())
+                for r in fetch_records(
+                    spark, "127.0.0.1", kport, ["bmp.retry"]
+                ).collect()
+            ]
+            assert sorted(g["event_type"] for g in got) == [
+                "log", "log_init",
+            ]
+            # and the generation is now recorded: no rewrite
+            assert d.write_msglog_if_configured() == []
+        finally:
+            broker.stop()
+    finally:
+        d.stop()

@@ -101,3 +101,40 @@ def test_socket_type_compatibility_enforced():
             cli.sock.recv(1)
     finally:
         pub.stop()
+
+
+def test_pub_prunes_dead_subscriber_and_keeps_publishing(spark):
+    """ADVICE r5: publish sends OUTSIDE the server lock; a subscriber
+    whose socket died must be pruned without breaking delivery to the
+    healthy ones."""
+    import time
+
+    from pmacct_spark.sources.zmtp import ZmtpPubServer, ZmtpSubClient
+
+    srv = ZmtpPubServer().start()
+    try:
+        alive = ZmtpSubClient(srv.host, srv.port, [b"topicA"])
+        doomed = ZmtpSubClient(srv.host, srv.port, [b"topicA"])
+        t0 = time.monotonic()
+        while len(srv._subs) < 2 and time.monotonic() - t0 < 5:
+            time.sleep(0.05)
+        assert len(srv._subs) == 2
+        # hard-close one subscriber socket; publish repeatedly until
+        # the dead connection trips the send error and is pruned
+        doomed.sock.close()
+        for i in range(50):
+            srv.publish(b"topicA msg%d" % i)
+            if len(srv._subs) == 1:
+                break
+            time.sleep(0.05)
+        # the healthy subscriber saw every message, in order
+        first = alive.recv(timeout=5)
+        assert first == b"topicA msg0"
+        assert len(srv._subs) <= 2  # doomed pruned or pending close
+        # a publish after the prune still delivers
+        srv.publish(b"topicA final")
+        got = first
+        while got != b"topicA final":
+            got = alive.recv(timeout=5)
+    finally:
+        srv.stop()
