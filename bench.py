@@ -94,6 +94,48 @@ def main() -> int:
         # lifecycle — a long-lived pipeline gets the same hygiene this
         # bench measures
 
+    # DuckDB oracle side (VERDICT r5 #8): time each query's oracle SQL
+    # on the same parquet so the spark-vs-single-node-oracle ratio
+    # table regenerates mechanically from BENCH_FULL.json every round
+    # (previously recorded ad hoc in BASELINE.md). Median of the same
+    # rep count; skippable via SPARK_GRAFT_BENCH_ORACLE=0.
+    duck_timings: dict[str, float] = {}
+    if os.environ.get("SPARK_GRAFT_BENCH_ORACLE", "1") != "0" and not only:
+        try:
+            import duckdb
+
+            con = duckdb.connect()
+            for t in (
+                "region nation customer supplier part orders lineitem "
+                "events documents embeddings"
+            ).split():
+                con.execute(
+                    f"CREATE VIEW {t} AS SELECT * FROM "
+                    f"read_parquet('{sf_dir}/{t}.parquet')"
+                )
+            oracles = entry_mod.oracle_sql()
+            for name in sorted(timings):
+                sql = oracles.get(name)
+                if not sql:
+                    continue
+                runs = []
+                try:
+                    for _ in range(reps):
+                        t0 = time.time()
+                        con.execute(sql).fetchall()
+                        runs.append(round(time.time() - t0, 3))
+                    runs.sort()
+                    duck_timings[name] = runs[len(runs) // 2]
+                except Exception as exc:  # noqa: BLE001 - keep going
+                    log(f"  oracle {name}: FAILED {type(exc).__name__}: {exc}")
+            con.close()
+            log(
+                f"oracle total: {sum(duck_timings.values()):.1f}s over "
+                f"{len(duck_timings)} queries"
+            )
+        except Exception as exc:  # noqa: BLE001 - oracle side is best-effort
+            log(f"oracle pass skipped: {type(exc).__name__}: {exc}")
+
     # The driver records a ~4 KB tail of stdout; at 151 gated queries
     # even a compact 2-decimal full dict is ~4.1 KB and truncates
     # (r2/r3 lost the parsed dict that way, r4's tail was clipped).
@@ -131,6 +173,10 @@ def main() -> int:
         reps=reps,
         runs=spreads,
     )
+    if duck_timings:
+        full["duckdb"] = duck_timings
+        full["duckdb_total_sec"] = round(sum(duck_timings.values()), 3)
+        result["duckdb_total_sec"] = full["duckdb_total_sec"]
     if only:
         # a filtered run must not clobber the full-suite medians
         log("BENCH_FULL.json not rewritten (SPARK_GRAFT_BENCH_ONLY set)")

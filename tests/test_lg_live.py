@@ -276,3 +276,182 @@ def test_router_survives_malformed_handshake_bytes():
         cli.close()
     finally:
         srv.stop()
+
+
+def test_plain_auth_negative_paths_server_survives():
+    """VERDICT r5 #7: PLAIN auth failure breadth. A wrong-credential
+    HELLO gets the spec-24 ERROR command (with the reason string) on
+    ITS connection; a truncated INITIATE after a good HELLO drops only
+    that session. After each abuse — including a hammering loop — the
+    ROUTER still serves authenticated clients."""
+    import socket as _sock
+    import struct as _struct
+
+    from pmacct_spark.sources.zmtp import (
+        ZmtpReqClient,
+        ZmtpRouterServer,
+        _command,
+        _greeting,
+        _recv_frame,
+        _send_frame,
+    )
+
+    srv = ZmtpRouterServer(
+        lambda parts: parts, verify=lambda u, p: (u, p) == ("lg", "pw")
+    ).start()
+
+    def hello(user: bytes, passwd: bytes) -> _sock.socket:
+        c = _sock.create_connection(("127.0.0.1", srv.port), timeout=5)
+        c.sendall(_greeting("PLAIN", as_server=False))
+        assert c.recv(64)[0] == 0xFF
+        body = bytes([len(user)]) + user + bytes([len(passwd)]) + passwd
+        _send_frame(c, _command(b"HELLO", body), command=True)
+        return c
+
+    try:
+        # 1. wrong password: the server answers the ERROR command with
+        #    its reason string, then closes
+        c = hello(b"lg", b"wrong")
+        flags, data = _recv_frame(c)
+        assert flags & 4, "expected a command frame"
+        assert data[1:6] == b"ERROR"
+        reason = data[7 : 7 + data[6]]
+        assert reason == b"Invalid username or password"
+        assert c.recv(64) == b""  # server closed the failed session
+        c.close()
+        # 2. good HELLO, truncated INITIATE: only this session drops
+        c = hello(b"lg", b"pw")
+        flags, data = _recv_frame(c)
+        assert data[1:8] == b"WELCOME"
+        c.sendall(bytes([4, 9]) + b"\x08INITIATE")  # no metadata, cut short
+        c.close()
+        # 3. hammering loop of bad credentials
+        for i in range(10):
+            c = hello(b"lg", b"nope%d" % i)
+            flags, data = _recv_frame(c)
+            assert data[1:6] == b"ERROR"
+            c.close()
+        # the server still serves an authenticated client
+        cli = ZmtpReqClient("127.0.0.1", srv.port, credentials=("lg", "pw"))
+        assert cli.request([b"still", b"alive"]) == [b"still", b"alive"]
+        cli.close()
+    finally:
+        srv.stop()
+
+
+def test_lg_msglog_flat_latency_under_concurrent_load(spark, tmp_path):
+    """VERDICT r5 #5: the flat-cost serving claims, multi-client. Three
+    spool generations grow the session history; during each, FOUR
+    concurrent REQ clients hammer ip_lookup while the msglog tick
+    renders the growing event log. Every reply must be correct, and the
+    p95 reply latency of the last (largest-history) generation must
+    stay in the same band as the first — per-generation RIB caching
+    means requests never pay an O(history) recompute."""
+    import pathlib
+    import socket as _sock
+    import threading
+
+    from pmacct_spark.client.lg import LookingGlassClient
+    from pmacct_spark.daemon import Daemon
+    from pmacct_spark.streaming.bmp import encode_bgp_open, encode_bgp_update
+
+    log_dir = str(tmp_path / "lgload_msglog")
+    conf = f"""
+nfacctd_port: 0
+bgp_daemon: true
+bgp_daemon_port: 0
+bgp_daemon_lg: true
+bgp_daemon_lg_port: 0
+bgp_daemon_msglog_file: {log_dir}
+plugins: memory[routes]
+aggregate[routes]: as_path
+"""
+    d = Daemon.from_conf(spark, conf, spool_dir=str(tmp_path / "lgload"))
+    p95s = []
+    # ONE long-lived BGP session (the event stream is
+    # latest-session-only, mirroring the reference's per-session RIB):
+    # each generation grows the same session's history
+    peer = _sock.socket(_sock.AF_INET, _sock.SOCK_STREAM)
+    try:
+        peer.connect(("127.0.0.1", d.bgp_port))
+        spooled = 0
+
+        def announce(gen: int, n: int = 8):
+            nonlocal spooled
+            stream = b"" if gen else encode_bgp_open()
+            for i in range(n):
+                # distinct /24s per generation: 10.<gen>.<i>.0/24
+                stream += encode_bgp_update(
+                    (10 << 24) | (gen << 16) | (i << 8), 24, f"65000 {65100 + gen}"
+                )
+            peer.sendall(stream)
+            spooled += n + (0 if gen else 1)
+            t0 = time.monotonic()
+            while (
+                d.bgp_spool.messages_spooled < spooled
+                and time.monotonic() - t0 < 15
+            ):
+                time.sleep(0.05)
+            d.bgp_spool.flush()
+
+        for gen in range(3):
+            announce(gen)
+            # msglog tick on the grown history (one O(history) render
+            # per generation, never per request)
+            assert d.write_msglog_if_configured() == [log_dir]
+            # prime the per-generation RIB cache once (the first lookup
+            # after a generation bump legitimately pays the collect)
+            prime = LookingGlassClient("127.0.0.1", d.lg.port)
+            head, *_ = prime.ip_lookup(f"10.{gen}.0.1/32")
+            assert head["results"] == 1
+            prime.close()
+
+            lat: list[float] = []
+            errors: list[str] = []
+            lock = threading.Lock()
+
+            def worker(wid: int, gen: int = gen):
+                try:
+                    cli = LookingGlassClient("127.0.0.1", d.lg.port)
+                    for k in range(8):
+                        tgt = (wid * 8 + k) % 8
+                        t0 = time.monotonic()
+                        head, *routes = cli.ip_lookup(f"10.{gen}.{tgt}.9/32")
+                        dt = time.monotonic() - t0
+                        with lock:
+                            lat.append(dt)
+                        if head["results"] != 1 or routes[0]["as_path"] != (
+                            f"65000 {65100 + gen}"
+                        ):
+                            with lock:
+                                errors.append(f"gen{gen} w{wid} {head}")
+                    cli.close()
+                except Exception as e:  # noqa: BLE001
+                    with lock:
+                        errors.append(f"gen{gen} w{wid} {type(e).__name__}: {e}")
+
+            threads = [
+                threading.Thread(target=worker, args=(w,)) for w in range(4)
+            ]
+            for t in threads:
+                t.start()
+            for t in threads:
+                t.join(timeout=60)
+            assert errors == [], errors
+            assert len(lat) == 32
+            lat.sort()
+            p95s.append(lat[int(len(lat) * 0.95) - 1])
+    finally:
+        peer.close()
+        d.stop()
+    # flat across generations: the largest-history generation's p95
+    # stays in the first generation's band (generous 4x + absolute
+    # floor for host jitter; an O(history) recompute per request would
+    # be seconds, orders of magnitude beyond this bound)
+    assert p95s[2] <= max(4 * p95s[0], 0.25), p95s
+    # msglog accumulated all three generations
+    lines = []
+    for f in pathlib.Path(log_dir).rglob("*.txt"):
+        lines += [json.loads(ln) for ln in f.read_text().splitlines() if ln.strip()]
+    got_paths = {ln.get("as_path") for ln in lines if ln.get("event_type") == "log"}
+    assert {"65000 65100", "65000 65101", "65000 65102"} <= got_paths
