@@ -70,6 +70,7 @@ class Daemon:
     bmp_spool: object | None = None  # TcpSpool when bmp_daemon is on
     rtr_client: object | None = None  # RtrClient when rpki_rtr_cache is set
     lg: object | None = None  # LookingGlass when bgp_daemon_lg is on
+    grpc: object | None = None  # GrpcDialoutServer (telemetry dial-out)
     # created eagerly: N replan threads share it — a lazily-created
     # lock is itself a race (two threads can each mint their own)
     _compact_lock: threading.Lock = field(
@@ -85,7 +86,10 @@ class Daemon:
         spool_dir: str | None = None,
     ) -> "Daemon":
         conf = conffile.parse_conf(conf_text)
-        if conf.get("telemetry_daemon_port_udp") is not None:
+        if (
+            conf.get("telemetry_daemon_port_udp") is not None
+            or conf.get("telemetry_daemon_grpc_port") is not None
+        ):
             # the pmtelemetryd flavor: collect + log/dump, no
             # accounting channels (reference src/pmtelemetryd.c)
             flavor = "telemetry"
@@ -157,6 +161,22 @@ class Daemon:
             bgp_spool=bgp_spool, bmp_spool=bmp_spool,
             rtr_client=rtr_client,
         )
+        if conf.get("telemetry_daemon_grpc_port") is not None:
+            # gRPC dial-out collection (reference bridges an external
+            # mdt-dialout-collector over ZMQ PULL,
+            # src/telemetry/telemetry.c:120-134 +
+            # telemetry_grpc_collector_conf src/cfg_handlers.c:8203;
+            # here the in-process HTTP/2 server IS the collector):
+            # received MdtDialoutArgs payloads are injected into the
+            # same spool the UDP telemetry socket feeds, so gRPC rides
+            # the identical decode/msglog/metrics path
+            from pmacct_spark.sources.grpc_wire import GrpcDialoutServer
+
+            d.grpc = GrpcDialoutServer(
+                deliver=lambda peer, data, _rid: d.spool.inject(peer, data),
+                host=host,
+                port=int(conf.get("telemetry_daemon_grpc_port") or 0),
+            ).start()
         if conf.getbool("bgp_daemon_lg") and bgp_spool is not None:
             # the Looking Glass service (reference src/bgp/bgp_lg.c,
             # keys bgp_daemon_lg / _ip / _port): ZMTP ROUTER answering
@@ -194,7 +214,10 @@ class Daemon:
 
     def stop(self) -> None:
         self.spool.stop()
-        for sp in (self.bgp_spool, self.bmp_spool, self.rtr_client, self.lg):
+        for sp in (
+            self.bgp_spool, self.bmp_spool, self.rtr_client, self.lg,
+            self.grpc,
+        ):
             if sp is not None:
                 sp.stop()
         from pmacct_spark.operators.staging import release

@@ -78,7 +78,12 @@ _DRIVER_WINDOW = [
     # retrieval / tokenization / curation first-timers
     "bm25_keyword_topk", "corpus_bigram_topk", "bpe_pair_counts",
     "epoch_shard_shuffle", "ann_pq_adc_topk", "stream_dedup_exact",
-    "dedup_simhash", "dedup_ngram_jaccard", "dedup_cross_corpus",
+    "dedup_simhash", "dedup_ngram_jaccard",
+    # NEW this round: gRPC dial-out message layer (MdtDialoutArgs over
+    # gRPC framing — the HTTP/2 transport is tested live); replaces
+    # dedup_cross_corpus in the window, whose family is sampled by
+    # four siblings (cross_corpus keeps local parity)
+    "telemetry_grpc_dialout_wire_loop",
     # text-analysis family (quality_features was sampled r3–r5; these
     # five never were)
     "text_lang_id", "text_token_counts", "text_fingerprint",

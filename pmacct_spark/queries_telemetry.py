@@ -208,6 +208,80 @@ def telemetry_cisco_mdt_loop(spark, sf_dir):
     )
 
 
+# --- gRPC dial-out message layer (the mdt_dialout.MdtDialout stream;
+#     reference bridges an external collector over ZMQ,
+#     src/telemetry/telemetry.c:120-134 — the repo's HTTP/2 transport
+#     lives in sources/grpc_wire.py and is tested live; this loop
+#     gates the in-plan message layer): every event rides one
+#     gRPC-framed MdtDialoutArgs with req_id = event_id and the JSON
+#     props as data; every 7th event adds a GPB (non-JSON) message
+#     exercising the decoder dispatch, every 13th carries the errors
+#     field (reference field 3).
+@register(
+    "telemetry_grpc_dialout_wire_loop",
+    """
+SELECT event_type AS device,
+       CAST(SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS k_sum,
+       COUNT(*) AS n_json,
+       CAST(SUM(CASE WHEN event_id % 7 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_gpb,
+       CAST(SUM(event_id) AS BIGINT) AS req_id_sum,
+       CAST(SUM(CASE WHEN event_id % 13 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_errors
+FROM events GROUP BY 1""",
+)
+def telemetry_grpc_dialout_loop(spark, sf_dir):
+    from pmacct_spark.sources.grpc_wire import (
+        encode_mdt_dialout_args,
+        grpc_frame,
+    )
+    from pmacct_spark.streaming.telemetry import decode_grpc_dialout
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "props"
+    )
+
+    def enc(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            out = []
+            for r in pdf.itertuples(index=False):
+                eid = int(r.event_id)
+                errors = "collector overrun" if eid % 13 == 0 else ""
+                chunk = grpc_frame(
+                    encode_mdt_dialout_args(
+                        eid, str(r.props).encode(), errors
+                    )
+                )
+                if eid % 7 == 0:
+                    chunk += grpc_frame(
+                        encode_mdt_dialout_args(eid, b"\x0a\x03gpb")
+                    )
+                out.append((str(r.event_type), chunk))
+            yield pd.DataFrame(out, columns=["exporter_ip", "payload"])
+
+    dg = ev.repartition(8).mapInPandas(
+        enc, "exporter_ip string, payload binary"
+    )
+    msgs = decode_grpc_dialout(dg)
+    is_json = F.col("decoder") == "json"
+    k = F.from_json("payload_json", "k BIGINT").getField("k")
+    return msgs.groupBy(F.col("exporter_ip").alias("device")).agg(
+        F.sum(F.when(is_json, k)).alias("k_sum"),
+        F.sum(F.when(is_json, 1).otherwise(0)).cast("bigint").alias("n_json"),
+        F.sum(F.when(F.col("decoder") == "gpb", 1).otherwise(0)).cast(
+            "bigint"
+        ).alias("n_gpb"),
+        F.sum(F.when(is_json, F.col("req_id"))).cast("bigint").alias(
+            "req_id_sum"
+        ),
+        F.sum(
+            F.when(is_json & F.col("errors").isNotNull(), 1).otherwise(0)
+        ).cast("bigint").alias("n_errors"),
+    )
+
+
 # --- UDP-Notif transport (RFC 9742; reference tests/800 YANG push,
 #     unyte collector src/telemetry/telemetry.c:468-504): every event
 #     ships as one notification; every 5th is SEGMENTED across two

@@ -71,6 +71,11 @@ class UdpSpool:
         self.datagrams_dropped = 0  # rows lost to failed flushes
         self.last_error: Exception | None = None
         self._flush_req = threading.Event()
+        # non-UDP transports (e.g. the gRPC dial-out server) hand
+        # payloads in here; the socket thread drains them into the
+        # same spool batches so every transport rides one decode path
+        self._injected: list[tuple[str, bytes]] = []
+        self._inject_lock = threading.Lock()
 
     # -- lifecycle ----------------------------------------------------
     def start(self) -> "UdpSpool":
@@ -102,6 +107,13 @@ class UdpSpool:
     def __exit__(self, *exc) -> None:
         self.stop()
 
+    # -- non-socket ingest --------------------------------------------
+    def inject(self, addr: str, payload: bytes) -> None:
+        """Thread-safe enqueue from another transport's thread (gRPC
+        dial-out delivers here); spooled on the next loop iteration."""
+        with self._inject_lock:
+            self._injected.append((addr, bytes(payload)))
+
     # -- socket thread ------------------------------------------------
     def _loop(self) -> None:
         buf: list[tuple[str, int, bytes]] = []
@@ -114,6 +126,13 @@ class UdpSpool:
                 self.datagrams_received += 1
             except socket.timeout:
                 pass
+            if self._injected:
+                with self._inject_lock:
+                    injected, self._injected = self._injected, []
+                for addr, payload in injected:
+                    buf.append((addr, self._seq, payload))
+                    self._seq += 1
+                    self.datagrams_received += 1
             if self._flush_req.is_set():
                 # drain the KERNEL queue before honoring the flush: a
                 # caller who just sent a burst expects every datagram

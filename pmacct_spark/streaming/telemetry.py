@@ -249,3 +249,75 @@ def decode_udp_notif(datagrams: DataFrame) -> DataFrame:
             yield pd.DataFrame(rows, columns=cols)
 
     return datagrams.mapInPandas(gen, UDP_NOTIF_SCHEMA)
+
+
+# --------------------------------------------------------------------
+# gRPC dial-out (the mdt_dialout.MdtDialout stream — transport in
+# sources/grpc_wire.py; this is the in-plan message layer)
+# --------------------------------------------------------------------
+
+GRPC_DIALOUT_SCHEMA = T.StructType(
+    [
+        T.StructField("exporter_ip", T.StringType()),
+        T.StructField("req_id", T.LongType()),
+        T.StructField("errors", T.StringType()),
+        # 'json' when the bridged payload is a JSON document (the
+        # reference's collector-emits-JSON shape), else 'gpb' opaque
+        T.StructField("decoder", T.StringType()),
+        T.StructField("payload_json", T.StringType()),
+        T.StructField("payload_raw", T.BinaryType()),
+    ]
+)
+
+
+def decode_grpc_dialout(datagrams: DataFrame) -> DataFrame:
+    """Decode per-row byte chunks of gRPC-framed MdtDialoutArgs
+    messages (``[0][len][protobuf]``, the exact bytes a dial-out
+    stream's DATA frames carry) into per-message rows. JSON payloads
+    surface as strings, anything else as opaque GPB bytes — the same
+    dispatch honesty as :func:`decode_cisco_mdt` (reference consumes
+    these via the ZMQ bridge, src/telemetry/telemetry.c:120-134)."""
+    import json as _json
+
+    from pmacct_spark.sources.grpc_wire import (
+        parse_grpc_messages,
+        parse_mdt_dialout_args,
+    )
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = [f.name for f in GRPC_DIALOUT_SCHEMA.fields]
+        for pdf in batches:
+            rows = []
+            for exporter, payload in zip(pdf["exporter_ip"], pdf["payload"]):
+                msgs, tail = parse_grpc_messages(bytes(payload))
+                if tail:
+                    raise ValueError(
+                        f"trailing {len(tail)} bytes after last gRPC frame"
+                    )
+                for m in msgs:
+                    args = parse_mdt_dialout_args(m)
+                    data = args["data"]
+                    decoder, pj, pr = "gpb", None, data
+                    if data[:1] == b"{":
+                        try:
+                            _json.loads(data)
+                            decoder, pj, pr = (
+                                "json", data.decode("utf-8"), None,
+                            )
+                        except (ValueError, UnicodeDecodeError):
+                            pass
+                    rows.append(
+                        {
+                            "exporter_ip": str(exporter),
+                            "req_id": int(args["req_id"]),
+                            "errors": args["errors"] or None,
+                            "decoder": decoder,
+                            "payload_json": pj,
+                            "payload_raw": pr,
+                        }
+                    )
+            yield pd.DataFrame(
+                [[r.get(c) for c in cols] for r in rows], columns=cols
+            )
+
+    return datagrams.mapInPandas(gen, GRPC_DIALOUT_SCHEMA)
