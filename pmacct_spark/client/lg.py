@@ -36,6 +36,25 @@ def _v4_int(s: str) -> int:
     return (a << 24) | (b << 16) | (c << 8) | d
 
 
+def _v6_int(s: str) -> int:
+    """128-bit int of a v6 literal (compressed or full), for
+    user-supplied query addresses."""
+    import socket as _s
+
+    return int.from_bytes(_s.inet_pton(_s.AF_INET6, s), "big")
+
+
+def _v6_net_int(s: str) -> int:
+    """128-bit int of the RIB's prefix6 rendering: masked hex nibbles
+    grouped by 4 with ':' separators, possibly ending in a partial
+    group or trailing ':' (the decoder renders only the masklen-covered
+    nibbles). Remaining low bits are zero by construction."""
+    nib = s.replace(":", "")
+    if not nib:
+        return 0
+    return int(nib, 16) << (4 * (32 - len(nib)))
+
+
 def _v4_str(i: int) -> str:
     return f"{(i >> 24) & 255}.{(i >> 16) & 255}.{(i >> 8) & 255}.{i & 255}"
 
@@ -132,11 +151,15 @@ class LookingGlass:
         return self._cache[1]
 
     def _ip_lookup(self, data: bytes) -> list[bytes]:
+        """Both address families, like the reference's str_to_addr
+        dispatch (bgp_lg.c -> bgp_node_match per family): a v6 query
+        walks the prefix6 rows, a v4 query the v4 rows."""
         try:
             q = json.loads(data)
             addr_s = str(q["ip_prefix"]).split("/")[0]
-            addr = _v4_int(addr_s)
-        except (ValueError, KeyError, TypeError):
+            v6 = ":" in addr_s
+            addr = _v6_int(addr_s) if v6 else _v4_int(addr_s)
+        except (ValueError, KeyError, TypeError, OSError):
             return [
                 json.dumps(
                     {
@@ -150,16 +173,26 @@ class LookingGlass:
         # the reference requires peer_ip_src (bgp_lg.c:240); without
         # it this LG answers across all peers (documented superset)
         peer = q.get("peer_ip_src")
+        bits = 128 if v6 else 32
         best: dict[str, object] = {}  # peer -> row, longest masklen wins
         for r in self._rows():
-            if r["prefix"] is None:
-                continue  # v4 lookup walks the v4 table
+            if v6:
+                if r["prefix6"] is None:
+                    continue  # v6 lookup walks the v6 table
+                try:
+                    net = _v6_net_int(str(r["prefix6"]))
+                except ValueError:
+                    continue  # unparseable row must not kill the reply
+            else:
+                if r["prefix"] is None:
+                    continue  # v4 lookup walks the v4 table
+                net = int(r["prefix"])
             if rd is not None and r["rd"] != rd:
                 continue
             if peer is not None and r["peer_ip"] != peer:
                 continue
             ml = int(r["masklen"])
-            if (addr >> (32 - ml)) != (int(r["prefix"]) >> (32 - ml)):
+            if (addr >> (bits - ml)) != (net >> (bits - ml)):
                 continue
             cur = best.get(r["peer_ip"])
             if cur is None or ml > int(cur["masklen"]):

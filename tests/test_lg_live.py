@@ -455,3 +455,68 @@ aggregate[routes]: as_path
         lines += [json.loads(ln) for ln in f.read_text().splitlines() if ln.strip()]
     got_paths = {ln.get("as_path") for ln in lines if ln.get("event_type") == "log"}
     assert {"65000 65100", "65000 65101", "65000 65102"} <= got_paths
+
+
+def test_lg_ip_lookup_ipv6_live(spark, tmp_path):
+    """IPv6 Looking Glass lookups (reference bgp_lg.c dispatches both
+    families through str_to_addr + bgp_node_match): a v6 route
+    announced as MP_REACH_NLRI over the live session answers a v6
+    query with longest-prefix semantics; v4 queries keep walking the
+    v4 table."""
+    import socket as _sock
+
+    from pmacct_spark.client.lg import LookingGlassClient
+    from pmacct_spark.daemon import Daemon
+    from pmacct_spark.streaming.bmp import (
+        encode_bgp_update,
+        encode_bgp_update6,
+    )
+
+    conf = """
+nfacctd_port: 0
+bgp_daemon: true
+bgp_daemon_port: 0
+bgp_daemon_lg: true
+bgp_daemon_lg_port: 0
+plugins: memory[routes]
+aggregate[routes]: as_path
+"""
+    d = Daemon.from_conf(spark, conf, spool_dir=str(tmp_path / "lg6"))
+    try:
+        # the encoder takes full-form (uncompressed) groups — the wire
+        # NLRI carries masklen-covered bytes of exactly these nibbles
+        session = (
+            encode_bgp_update6("2001:0db8:0000:0000:0000:0000:0000:0000",
+                               32, "65000 65501")
+            + encode_bgp_update6("2001:0db8:aaaa:0000:0000:0000:0000:0000",
+                                 48, "65000 65502")
+            + encode_bgp_update(0x0A000000, 8, "65000 65100")
+        )
+        c = _sock.socket(_sock.AF_INET, _sock.SOCK_STREAM)
+        c.connect(("127.0.0.1", d.bgp_port))
+        c.sendall(session)
+        c.close()
+        t0 = time.monotonic()
+        while d.bgp_spool.messages_spooled < 3 and time.monotonic() - t0 < 15:
+            time.sleep(0.05)
+        time.sleep(0.3)
+        cli = LookingGlassClient("127.0.0.1", d.lg.port)
+        # inside the /48: the more-specific wins
+        head, *routes = cli.ip_lookup("2001:db8:aaaa::1/128")
+        assert head["results"] == 1
+        assert routes[0]["ip_prefix"].endswith("/48")
+        assert routes[0]["as_path"] == "65000 65502"
+        # inside the /32 but outside the /48
+        head, *routes = cli.ip_lookup("2001:db8:bbbb::1/128")
+        assert head["results"] == 1
+        assert routes[0]["as_path"] == "65000 65501"
+        # v6 miss
+        (miss,) = cli.ip_lookup("2001:dead::1/128")
+        assert miss["results"] == 0 and miss["text"] == "prefix not found"
+        # the v4 table still answers v4 queries
+        head, *routes = cli.ip_lookup("10.1.1.1/32")
+        assert head["results"] == 1
+        assert routes[0]["as_path"] == "65000 65100"
+        cli.close()
+    finally:
+        d.stop()
