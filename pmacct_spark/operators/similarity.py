@@ -1040,3 +1040,186 @@ ranked AS (
 SELECT query_id, item_id AS neighbor_id, CAST(rank AS BIGINT) AS rank
 FROM ranked WHERE rank <= {k}
 """
+
+
+# --- SemDeDup: cluster-then-prune semantic deduplication -------------
+#
+# The SemDeDup recipe (Abbas et al. 2023, "SemDeDup: Data-efficient
+# learning at web-scale through semantic deduplication", arXiv
+# 2303.09540): cluster the embedding space, find intra-cluster
+# semantic-duplicate pairs, and within each duplicate relation KEEP
+# the example with the LOWEST cosine similarity to the cluster
+# centroid (it is the most "marginal", hence most informative,
+# representative). At 100 TB this composes two bounded pieces the
+# module already proves out: pair generation never leaves a
+# (sub-)block, and the centroid table is one row per cluster —
+# broadcast-joined, the corpus never shuffles for it. The final stats
+# joins key on vec_id over the (small) pair set.
+
+
+def semdedup_prune(
+    items: DataFrame,
+    threshold_milli: int = 400,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    block_col: str = "label",
+    max_block_rows: int = 65_536,
+) -> DataFrame:
+    """(block, pruned_id) — the vectors SemDeDup removes: for every
+    intra-cluster near-dup pair (cos >= t), the member CLOSER to the
+    cluster centroid is pruned (exact integer-quantized comparison;
+    ties prune the higher id). Survivors = corpus minus this set."""
+    base = quantize(items.select(id_col, emb_col, block_col), emb_col, "qv")
+    base = base.withColumn("nrm", F.expr(_norm_sq("qv")))
+    # exact integer centroid (sum vector) per cluster: cos(x, sum) is
+    # order-independent and scale-free, so the un-divided sum IS the
+    # centroid for comparison purposes
+    cent = (
+        base.select(block_col, F.posexplode("qv").alias("pos", "v"))
+        .groupBy(block_col, "pos")
+        .agg(F.sum("v").alias("cv"))
+        .groupBy(block_col)
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "cv"))),
+                lambda s: s["cv"],
+            ).alias("cent")
+        )
+    )
+    stats = (
+        base.join(F.broadcast(cent), block_col)
+        .withColumn("dotc", F.expr(_dot("qv", "cent")))
+        .select(id_col, "dotc", "nrm")
+    )
+    pairs = cosine_near_dup_pairs_np(
+        items, threshold_milli, id_col, emb_col, block_col, max_block_rows
+    )
+    p = (
+        pairs.join(
+            stats.select(
+                F.col(id_col).alias("id_a"),
+                F.col("dotc").alias("ca"),
+                F.col("nrm").alias("sna"),
+            ),
+            "id_a",
+        )
+        .join(
+            stats.select(
+                F.col(id_col).alias("id_b"),
+                F.col("dotc").alias("cb"),
+                F.col("nrm").alias("snb"),
+            ),
+            "id_b",
+        )
+    )
+    # exact "cos(a,c) vs cos(b,c)" on quantized ints: nc is common, so
+    # compare dot/sqrt(n) with sign dispatch + cross-multiplied squares
+    # (exactly-derived doubles, identical expression both engines)
+    a_higher = (
+        "(ca >= 0 AND cb < 0) OR "
+        "(ca >= 0 AND cb >= 0 AND "
+        " CAST(ca AS DOUBLE) * CAST(ca AS DOUBLE) * CAST(snb AS DOUBLE) > "
+        " CAST(cb AS DOUBLE) * CAST(cb AS DOUBLE) * CAST(sna AS DOUBLE)) OR "
+        "(ca < 0 AND cb < 0 AND "
+        " CAST(ca AS DOUBLE) * CAST(ca AS DOUBLE) * CAST(snb AS DOUBLE) < "
+        " CAST(cb AS DOUBLE) * CAST(cb AS DOUBLE) * CAST(sna AS DOUBLE))"
+    )
+    tie = (
+        "NOT (" + a_higher + ") AND NOT ("
+        "(cb >= 0 AND ca < 0) OR "
+        "(cb >= 0 AND ca >= 0 AND "
+        " CAST(cb AS DOUBLE) * CAST(cb AS DOUBLE) * CAST(sna AS DOUBLE) > "
+        " CAST(ca AS DOUBLE) * CAST(ca AS DOUBLE) * CAST(snb AS DOUBLE)) OR "
+        "(cb < 0 AND ca < 0 AND "
+        " CAST(cb AS DOUBLE) * CAST(cb AS DOUBLE) * CAST(sna AS DOUBLE) < "
+        " CAST(ca AS DOUBLE) * CAST(ca AS DOUBLE) * CAST(snb AS DOUBLE)))"
+    )
+    return (
+        p.withColumn(
+            "pruned_id",
+            F.expr(
+                f"CASE WHEN {a_higher} THEN id_a "
+                f"WHEN {tie} THEN GREATEST(id_a, id_b) "
+                f"ELSE id_b END"
+            ),
+        )
+        .select(F.col(block_col), F.col("pruned_id"))
+        .distinct()
+    )
+
+
+def semdedup_prune_duck(
+    source: str = "embeddings",
+    threshold_milli: int = 400,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    block_col: str = "label",
+) -> str:
+    q = _QUANT_DUCK.format(col=emb_col, q=QUANT)
+    t2 = threshold_milli * threshold_milli
+    a_higher = (
+        "(ca >= 0 AND cb < 0) OR "
+        "(ca >= 0 AND cb >= 0 AND "
+        " CAST(ca AS DOUBLE) * CAST(ca AS DOUBLE) * CAST(snb AS DOUBLE) > "
+        " CAST(cb AS DOUBLE) * CAST(cb AS DOUBLE) * CAST(sna AS DOUBLE)) OR "
+        "(ca < 0 AND cb < 0 AND "
+        " CAST(ca AS DOUBLE) * CAST(ca AS DOUBLE) * CAST(snb AS DOUBLE) < "
+        " CAST(cb AS DOUBLE) * CAST(cb AS DOUBLE) * CAST(sna AS DOUBLE))"
+    )
+    b_higher = (
+        "(cb >= 0 AND ca < 0) OR "
+        "(cb >= 0 AND ca >= 0 AND "
+        " CAST(cb AS DOUBLE) * CAST(cb AS DOUBLE) * CAST(sna AS DOUBLE) > "
+        " CAST(ca AS DOUBLE) * CAST(ca AS DOUBLE) * CAST(snb AS DOUBLE)) OR "
+        "(cb < 0 AND ca < 0 AND "
+        " CAST(cb AS DOUBLE) * CAST(cb AS DOUBLE) * CAST(sna AS DOUBLE) < "
+        " CAST(ca AS DOUBLE) * CAST(ca AS DOUBLE) * CAST(snb AS DOUBLE))"
+    )
+    return f"""
+WITH base AS (
+  SELECT {id_col}, {block_col},
+         {q} AS qv,
+         CAST(list_sum(list_transform({q}, x -> x * x)) AS BIGINT) AS nrm
+  FROM {source}
+),
+cent_dims AS (
+  SELECT {block_col}, i, CAST(SUM(qv[i]) AS BIGINT) AS cv
+  FROM base, unnest(range(1, 1 + len(qv))) AS t(i)
+  GROUP BY 1, 2
+),
+cents AS (
+  SELECT {block_col}, list(cv ORDER BY i) AS cent FROM cent_dims GROUP BY 1
+),
+stats AS (
+  SELECT b.{id_col},
+         CAST(list_sum(list_transform(b.qv, (x, i) -> x * c.cent[i]))
+              AS BIGINT) AS dotc,
+         b.nrm
+  FROM base b JOIN cents c USING ({block_col})
+),
+pairs AS (
+  SELECT a.{block_col} AS {block_col}, a.{id_col} AS id_a, b.{id_col} AS id_b,
+         CAST(list_sum(list_transform(a.qv, (x, i) -> x * b.qv[i]))
+              AS BIGINT) AS dot,
+         a.nrm AS na, b.nrm AS nb
+  FROM base a JOIN base b
+    ON a.{block_col} = b.{block_col} AND a.{id_col} < b.{id_col}
+),
+nd AS (
+  SELECT {block_col}, id_a, id_b FROM pairs
+  WHERE dot >= 0 AND CAST(dot * dot AS DOUBLE) * 1000000.0
+        >= {t2}.0 * CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)
+),
+scored AS (
+  SELECT nd.{block_col}, nd.id_a, nd.id_b,
+         sa.dotc AS ca, sa.nrm AS sna, sb.dotc AS cb, sb.nrm AS snb
+  FROM nd
+  JOIN stats sa ON sa.{id_col} = nd.id_a
+  JOIN stats sb ON sb.{id_col} = nd.id_b
+)
+SELECT DISTINCT {block_col},
+       CASE WHEN {a_higher} THEN id_a
+            WHEN NOT ({b_higher}) THEN GREATEST(id_a, id_b)
+            ELSE id_b END AS pruned_id
+FROM scored
+"""

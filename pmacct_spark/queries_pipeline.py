@@ -127,6 +127,19 @@ def dedup_embedding_cosine(spark, sf_dir):
     return similarity.cosine_near_dup_pairs_np(emb)
 
 
+
+# --- SemDeDup (Abbas et al. 2023, arXiv 2303.09540): cluster-then-
+#     prune semantic dedup — within each cluster's near-dup relation,
+#     prune the member CLOSER to the cluster centroid (the marginal
+#     example survives). Composes the bounded pair join with a
+#     broadcast one-row-per-cluster centroid table: the corpus never
+#     shuffles for the centroid step.
+@register("dedup_semdedup_prune", similarity.semdedup_prune_duck())
+def dedup_semdedup_prune(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.semdedup_prune(emb)
+
+
 # same oracle, pure-JVM strategy: HOF folds, no Python worker — both
 # physical plans must agree with the one SQL oracle
 @register("dedup_embedding_cosine_hof", similarity.cosine_near_dup_duck())

@@ -309,3 +309,20 @@ def test_month_prorate_exact_leap_weights(spark):
     zz = explode_prorate(z, History.parse("1M"), ["bytes"]).collect()
     assert len(zz) == 1 and zz[0]["bytes"] == 100
     assert str(zz[0]["stamp_inserted"].date()) == "2024-02-01"
+
+
+def test_semdedup_prunes_centroid_nearest(spark):
+    """SemDeDup keeps the member FARTHEST from the cluster centroid.
+    Cluster of 3 unit-ish vectors: a=[1,0] and b=[.98,.20] are the only
+    near-dup pair (cos ~.98); c=[0,1] pulls the centroid toward +y, so
+    b (cos-to-centroid ~.94) is closer than a (~.86) -> b is pruned."""
+    df = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0], 7),
+            (2, [0.98, 0.20], 7),
+            (3, [0.0, 1.0], 7),
+        ],
+        "vec_id bigint, embedding array<float>, label bigint",
+    )
+    out = similarity.semdedup_prune(df).collect()
+    assert [(r.label, r.pruned_id) for r in out] == [(7, 2)]
