@@ -228,3 +228,157 @@ def temperature_mix(
         .filter(F.col("smp_rank") <= F.col("__quota"))
         .drop("smp_rank", "__quota")
     )
+
+
+# ---------------------------------------------------------------------------
+# DSIR: data selection with importance resampling (Xie et al. 2023,
+# arXiv 2302.03169)
+# ---------------------------------------------------------------------------
+#
+# DSIR scores each raw document by how target-like its hashed n-gram
+# feature distribution is: score(x) = sum_f c_f(x) * log(p_target(f) /
+# p_raw(f)) with add-1-smoothed bucket probabilities over B hashed
+# bigram features. This implementation keeps the exact-rational
+# discipline of the gated suite (no ln(), no float sums): the log-ratio
+# weight is replaced by the signed fixed-point LINEAR ratio deviation
+# lam_f = FP * p_t(f)/p_r(f) - FP, computed with integer DIV — monotone
+# in the true log weight per feature, so single-feature orderings are
+# identical and multi-feature scores differ only in how features weigh
+# against each other (the same substitution the BM25 idf uses,
+# operators/text.py:262).
+#
+# Scale shape (100 TB): bigram hashes come from the SAME per-token fold
+# states the dedup family uses (one tokenize pass, map-side); per-doc
+# bucket counts are one shuffle on (id, bucket) — mostly map-side since
+# a doc's windows are colocated; the bucket-stat table is B rows
+# (constant!), so the lambda table BROADCASTS and the corpus never
+# shuffles again. Int64 stays exact up to ~3e9 total feature windows
+# with FP=1e6; beyond that lift the lambda arithmetic to DECIMAL(38,0)
+# / HUGEINT (the per-doc score stays int64 either way).
+
+
+def dsir_importance(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    target_pred: str = "lang = 'en'",
+    n_buckets: int = 1024,
+    fp: int = 1_000_000,
+) -> DataFrame:
+    """(id, n_features, dsir_score_fp, selected): fixed-point DSIR
+    importance score per document against the ``target_pred`` subset;
+    ``selected`` flags docs whose feature mix is more target-like than
+    raw (score > 0)."""
+    from pmacct_spark.operators.dedup import (
+        _token_states_spark,
+        _window_hashes_from_states,
+    )
+    from pmacct_spark.operators.staging import stage
+
+    base = df.select(
+        id_col,
+        F.expr(f"CASE WHEN {target_pred} THEN 1 ELSE 0 END")
+        .cast("bigint")
+        .alias("tgt"),
+        F.expr(_token_states_spark(text_col)).alias("_ts"),
+    )
+    feat = base.select(
+        id_col,
+        "tgt",
+        F.explode(F.expr(_window_hashes_from_states("_ts", 2))).alias("hv"),
+    ).withColumn("bkt", F.expr(f"hv % {n_buckets}").cast("bigint"))
+    # staged: feeds both the bucket-stat aggregate and the score join
+    per = stage(
+        feat.groupBy(id_col, "tgt", "bkt").agg(
+            F.count(F.lit(1)).cast("bigint").alias("c")
+        )
+    )
+    g = per.groupBy("bkt").agg(
+        F.sum(F.expr("CASE WHEN tgt = 1 THEN c ELSE 0 END"))
+        .cast("bigint")
+        .alias("tb"),
+        F.sum("c").cast("bigint").alias("rb"),
+    )
+    tot = g.agg(
+        F.sum("tb").cast("bigint").alias("tt"),
+        F.sum("rb").cast("bigint").alias("rr"),
+    )
+    lam = (
+        g.crossJoin(F.broadcast(tot))
+        .withColumn(
+            "lam",
+            F.expr(
+                f"CAST(LEAST(((tb + 1) * (rr + {n_buckets}) * {fp}) DIV "
+                f"((rb + 1) * (tt + {n_buckets})), {fp} * 1000) AS BIGINT) "
+                f"- {fp}"
+            ),
+        )
+        .select("bkt", "lam")
+    )
+    return (
+        per.join(F.broadcast(lam), "bkt")
+        .groupBy(id_col)
+        .agg(
+            F.sum("c").cast("bigint").alias("n_features"),
+            F.sum(F.expr("c * lam")).cast("bigint").alias("dsir_score_fp"),
+        )
+        .withColumn(
+            "selected",
+            F.expr("CASE WHEN dsir_score_fp > 0 THEN 1 ELSE 0 END").cast(
+                "bigint"
+            ),
+        )
+    )
+
+
+def dsir_importance_duck(
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    target_pred: str = "lang = 'en'",
+    n_buckets: int = 1024,
+    fp: int = 1_000_000,
+    source: str = "documents",
+) -> str:
+    from pmacct_spark.operators.dedup import (
+        _window_hash_duck,
+        _window_states_duck,
+    )
+
+    th, pp = _window_states_duck(text_col)
+    return f"""
+WITH states AS (
+  SELECT {id_col},
+         CAST(CASE WHEN {target_pred} THEN 1 ELSE 0 END AS BIGINT) AS tgt,
+         {th} AS th, {pp} AS pp
+  FROM {source}
+),
+win AS (
+  SELECT {id_col}, tgt, ({_window_hash_duck(2)}) % {n_buckets} AS bkt
+  FROM states, unnest(range(1, greatest(len(th) - 1, 0) + 1)) AS t(i)
+),
+per AS (
+  SELECT {id_col}, tgt, bkt, CAST(COUNT(*) AS BIGINT) AS c
+  FROM win GROUP BY 1, 2, 3
+),
+g AS (
+  SELECT bkt,
+         CAST(SUM(CASE WHEN tgt = 1 THEN c ELSE 0 END) AS BIGINT) AS tb,
+         CAST(SUM(c) AS BIGINT) AS rb
+  FROM per GROUP BY 1
+),
+tot AS (
+  SELECT CAST(SUM(tb) AS BIGINT) AS tt, CAST(SUM(rb) AS BIGINT) AS rr FROM g
+),
+lam AS (
+  SELECT bkt,
+         CAST(LEAST(((tb + 1) * (rr + {n_buckets}) * {fp}) //
+              ((rb + 1) * (tt + {n_buckets})), {fp} * 1000) AS BIGINT)
+           - {fp} AS lam
+  FROM g, tot
+)
+SELECT {id_col}, CAST(SUM(c) AS BIGINT) AS n_features,
+       CAST(SUM(c * lam) AS BIGINT) AS dsir_score_fp,
+       CAST(CASE WHEN SUM(c * lam) > 0 THEN 1 ELSE 0 END AS BIGINT)
+         AS selected
+FROM per JOIN lam USING (bkt) GROUP BY 1
+"""

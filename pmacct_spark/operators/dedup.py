@@ -474,3 +474,131 @@ ver AS (
 SELECT new_id, ref_id, CAST(jaccard_pm AS BIGINT) AS jaccard_pm
 FROM ver WHERE jaccard_pm >= {threshold_pm}
 """
+
+
+# ---------------------------------------------------------------------------
+# exact-substring duplication (Lee et al. 2021, "Deduplicating Training
+# Data Makes Language Models Better", arXiv 2107.06499)
+# ---------------------------------------------------------------------------
+#
+# The ExactSubstr criterion: a length-W token window that occurs more
+# than once in the corpus is duplicated text. The paper builds a suffix
+# array; the distributed re-expression is rolling-hash W-grams — every
+# window position hashes in O(1) from the per-token fold states (the
+# same combination MinHash shingles use), so the corpus is tokenized
+# and hashed ONCE, map-side. Per doc we report the duplicated-window
+# fraction, the signal the paper cuts on.
+#
+# Scale shape (100 TB): explode is W-gram-positional but narrow
+# (doc_id + int64); groupBy(doc_id, hv) combines map-side (a doc's
+# windows are colocated in its input split), the global hash-count
+# table is one row per DISTINCT window (sublinear under duplication),
+# and the join back is hash-partitioned on hv with AQE free to pick
+# the strategy. No suffix array, no sort, no quadratic anything.
+
+
+def _window_hashes_from_states(st: str, n: int) -> str:
+    """Positional (non-distinct) W-gram hashes from token fold states:
+    one hash per window start, hash identical to polyhash of the
+    space-joined window string (see :func:`_shingle_hash_from_states`)."""
+    from pmacct_spark.functions.hashing import MUL
+
+    h = f"element_at({st}, CAST(i AS INT)).h"
+    for j in range(1, n):
+        e = f"element_at({st}, CAST(i + {j} AS INT))"
+        h = f"((({h} * {MUL} + 32) % {P}) * {e}.p + {e}.h) % {P}"
+    return (
+        f"CASE WHEN size({st}) >= {n} THEN "
+        f"transform(sequence(1, size({st}) - {n - 1}), i -> {h}) "
+        f"ELSE CAST(array() AS ARRAY<BIGINT>) END"
+    )
+
+
+def exact_substring_stats(
+    df: DataFrame, id_col: str, text_col: str, w: int = 5
+) -> DataFrame:
+    """(id, n_windows, n_dup_windows, dup_permille): per-doc fraction of
+    length-``w`` token windows whose content occurs >= 2 times anywhere
+    in the corpus (including elsewhere in the same doc, per the paper)."""
+    wh = (
+        df.withColumn("_ts", F.expr(_token_states_spark(text_col)))
+        .select(
+            id_col,
+            F.explode(F.expr(_window_hashes_from_states("_ts", w))).alias("hv"),
+        )
+    )
+    from pmacct_spark.operators.staging import stage
+
+    # stage the narrow (id, hv, c) projection: it feeds BOTH the global
+    # hash-count aggregate and the join back — without the barrier the
+    # per-token fold (the expensive interpreted-HOF pass) runs twice
+    per = stage(
+        wh.groupBy(id_col, "hv").agg(
+            F.count(F.lit(1)).cast("bigint").alias("c")
+        )
+    )
+    tot = per.groupBy("hv").agg(F.sum("c").cast("bigint").alias("tot"))
+    return (
+        per.join(tot, "hv")
+        .groupBy(id_col)
+        .agg(
+            F.sum("c").cast("bigint").alias("n_windows"),
+            F.sum(F.when(F.col("tot") >= 2, F.col("c")).otherwise(F.lit(0)))
+            .cast("bigint")
+            .alias("n_dup_windows"),
+        )
+        .withColumn(
+            "dup_permille",
+            F.expr("(1000 * n_dup_windows) DIV n_windows").cast("bigint"),
+        )
+    )
+
+
+def _window_states_duck(text_col: str) -> tuple[str, str]:
+    """DuckDB per-token fold states as two parallel lists (th = token
+    polyhash, pp = 131^len(token) mod P), mirroring
+    :func:`_token_states_spark`."""
+    from pmacct_spark.functions.hashing import MUL
+
+    tk = f"string_split_regex(lower({text_col}), '\\s+')"
+    th = f"list_transform({tk}, t -> {poly_hash_duck_sql('t', idx='j')})"
+    pp = (
+        f"list_transform({tk}, t -> list_reduce(list_prepend("
+        f"CAST(1 AS BIGINT), list_transform(range(1, length(t) + 1), "
+        f"j -> CAST(0 AS BIGINT))), (acc, z) -> (acc * {MUL}) % {P}))"
+    )
+    return th, pp
+
+
+def _window_hash_duck(n: int) -> str:
+    from pmacct_spark.functions.hashing import MUL
+
+    h = "th[i]"
+    for j in range(1, n):
+        h = f"((({h} * {MUL} + 32) % {P}) * pp[i + {j}] + th[i + {j}]) % {P}"
+    return h
+
+
+def exact_substring_duck(
+    id_col: str, text_col: str, w: int = 5, source: str = "documents"
+) -> str:
+    th, pp = _window_states_duck(text_col)
+    return f"""
+WITH states AS (
+  SELECT {id_col}, {th} AS th, {pp} AS pp FROM {source}
+),
+win AS (
+  SELECT {id_col}, {_window_hash_duck(w)} AS hv
+  FROM states, unnest(range(1, greatest(len(th) - {w - 1}, 0) + 1)) AS t(i)
+),
+per AS (
+  SELECT {id_col}, hv, CAST(COUNT(*) AS BIGINT) AS c FROM win GROUP BY 1, 2
+),
+tot AS (SELECT hv, CAST(SUM(c) AS BIGINT) AS tot FROM per GROUP BY 1)
+SELECT {id_col}, CAST(SUM(c) AS BIGINT) AS n_windows,
+       CAST(SUM(CASE WHEN tot >= 2 THEN c ELSE 0 END) AS BIGINT)
+         AS n_dup_windows,
+       CAST((1000 * SUM(CASE WHEN tot >= 2 THEN c ELSE 0 END)) // SUM(c)
+         AS BIGINT) AS dup_permille
+FROM per JOIN tot USING (hv) GROUP BY 1
+"""

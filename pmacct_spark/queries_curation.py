@@ -428,3 +428,17 @@ def dedup_cross_corpus(spark, sf_dir):
         "doc_id",
         "text",
     )
+
+
+# --- DSIR importance resampling (Xie et al. 2023, arXiv 2302.03169):
+#     hashed-bigram importance score of every raw doc against the
+#     target subset (lang='en'), fixed-point linear-ratio weights (see
+#     operators/curation.py for the exact-rational substitution). The
+#     lambda table is B=1024 rows broadcast onto per-doc bucket counts
+#     — the corpus shuffles once.
+@register("dsir_importance_weights", curation.dsir_importance_duck())
+def dsir_importance_weights(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "lang"
+    )
+    return curation.dsir_importance(docs)

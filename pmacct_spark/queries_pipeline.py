@@ -50,6 +50,20 @@ def dedup_minhash_lsh(spark, sf_dir):
     return dedup.minhash_dedup_pairs(docs, "doc_id", "text")
 
 
+# --- exact-substring duplication (Lee et al. 2021, arXiv 2107.06499):
+#     per-doc fraction of 5-token windows whose content occurs >= 2
+#     times anywhere in the corpus. Rolling-hash W-grams from per-token
+#     fold states (the suffix-array criterion re-expressed as one
+#     tokenize pass + two bounded shuffles — see operators/dedup.py).
+@register(
+    "dedup_exact_substring",
+    dedup.exact_substring_duck("doc_id", "text"),
+)
+def dedup_exact_substring(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return dedup.exact_substring_stats(docs, "doc_id", "text")
+
+
 # --- SimHash fingerprints (16-bit)
 @register("dedup_simhash", dedup.simhash_duck())
 def dedup_simhash(spark, sf_dir):

@@ -326,3 +326,54 @@ def test_semdedup_prunes_centroid_nearest(spark):
     )
     out = similarity.semdedup_prune(df).collect()
     assert [(r.label, r.pruned_id) for r in out] == [(7, 2)]
+
+
+def test_exact_substring_planted_duplication(spark):
+    """Docs 1 and 2 share an exact 6-token run; with w=5 that yields 2
+    duplicated window positions in each; doc 3 shares nothing."""
+    shared = "the quick brown fox jumps high"
+    rows = [
+        (1, shared + " alpha beta gamma delta"),
+        (2, "prefix words here " + shared),
+        (3, "totally different content with no overlap at all ok"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    out = {
+        r.doc_id: r
+        for r in dedup.exact_substring_stats(df, "doc_id", "text").collect()
+    }
+    # 6-token shared run -> windows at 2 start positions are duplicated
+    assert out[1].n_dup_windows == 2 and out[2].n_dup_windows == 2
+    assert out[3].n_dup_windows == 0 and out[3].dup_permille == 0
+    # n_windows = n_tokens - 4
+    assert out[1].n_windows == 10 - 4
+    assert out[2].n_windows == 9 - 4
+    # a doc repeating ITS OWN 5-gram counts too (corpus-wide criterion)
+    df2 = spark.createDataFrame(
+        [(9, "a b c d e a b c d e")], "doc_id bigint, text string"
+    )
+    r9 = dedup.exact_substring_stats(df2, "doc_id", "text").collect()[0]
+    assert r9.n_dup_windows == 2  # 'a b c d e' at positions 1 and 6
+
+
+def test_dsir_scores_target_like_docs_higher(spark):
+    """Raw docs written in the target subset's vocabulary must outscore
+    raw docs written in a disjoint vocabulary."""
+    from pmacct_spark.operators import curation
+
+    tgt_text = "alpha beta gamma alpha beta gamma alpha beta"
+    rows = (
+        [(i, tgt_text, "en") for i in range(6)]  # the target subset
+        + [(10, "alpha beta gamma alpha beta delta", "de")]  # target-like
+        + [(11, "zz yy xx ww vv uu tt ss", "de")]  # raw-only vocab
+    )
+    df = spark.createDataFrame(rows, "doc_id bigint, text string, lang string")
+    # n_buckets sized to the corpus: add-1 smoothing over B buckets
+    # must not dominate the handful of counts in this toy corpus
+    out = {
+        r.doc_id: r
+        for r in curation.dsir_importance(df, n_buckets=16).collect()
+    }
+    assert out[10].dsir_score_fp > out[11].dsir_score_fp
+    assert out[10].selected == 1
+    assert out[11].selected == 0
