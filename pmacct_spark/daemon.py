@@ -71,6 +71,7 @@ class Daemon:
     rtr_client: object | None = None  # RtrClient when rpki_rtr_cache is set
     lg: object | None = None  # LookingGlass when bgp_daemon_lg is on
     grpc: object | None = None  # GrpcDialoutServer (telemetry dial-out)
+    grpc_dialin: object | None = None  # GrpcDialinCollector
     # created eagerly: N replan threads share it — a lazily-created
     # lock is itself a race (two threads can each mint their own)
     _compact_lock: threading.Lock = field(
@@ -89,6 +90,7 @@ class Daemon:
         if (
             conf.get("telemetry_daemon_port_udp") is not None
             or conf.get("telemetry_daemon_grpc_port") is not None
+            or conf.get("telemetry_daemon_grpc_dialin") is not None
         ):
             # the pmtelemetryd flavor: collect + log/dump, no
             # accounting channels (reference src/pmtelemetryd.c)
@@ -177,6 +179,24 @@ class Daemon:
                 host=host,
                 port=int(conf.get("telemetry_daemon_grpc_port") or 0),
             ).start()
+        if conf.get("telemetry_daemon_grpc_dialin") is not None:
+            # gRPC dial-in collection: the collector CALLS the router's
+            # CreateSubs rpc (reference bridges this via the same
+            # external helper as dial-out, src/telemetry/telemetry.c:
+            # 120-134); received CreateSubsReply payloads ride the
+            # identical spool -> decode -> msglog/metrics path.
+            # Key format: "host:port,subidstr"
+            from pmacct_spark.sources.grpc_wire import GrpcDialinCollector
+
+            spec = str(conf.get("telemetry_daemon_grpc_dialin"))
+            hostport, _, subid = spec.partition(",")
+            h, _, prt = hostport.rpartition(":")
+            d.grpc_dialin = GrpcDialinCollector(
+                h or "127.0.0.1",
+                int(prt),
+                subid.strip(),
+                deliver=lambda peer, data, _rid: d.spool.inject(peer, data),
+            ).start()
         if conf.getbool("bgp_daemon_lg") and bgp_spool is not None:
             # the Looking Glass service (reference src/bgp/bgp_lg.c,
             # keys bgp_daemon_lg / _ip / _port): ZMTP ROUTER answering
@@ -216,7 +236,7 @@ class Daemon:
         self.spool.stop()
         for sp in (
             self.bgp_spool, self.bmp_spool, self.rtr_client, self.lg,
-            self.grpc,
+            self.grpc, self.grpc_dialin,
         ):
             if sp is not None:
                 sp.stop()

@@ -339,3 +339,76 @@ def telemetry_udp_notif_wire_loop(spark, sf_dir):
         ).alias("k_sum"),
         F.count(F.lit(1)).alias("n_notifications"),
     )
+
+
+# --- gRPC dial-in message layer (IOS-XR gRPCConfigOper.CreateSubs
+#     server-streaming replies; collector-as-client transport lives in
+#     sources/grpc_wire.py:GrpcDialinCollector and is tested live —
+#     this loop gates the in-plan CreateSubsReply message layer):
+#     every event rides one gRPC-framed CreateSubsReply with
+#     res_req_id = event_id and the JSON props as data; every 5th
+#     event adds a GPB (non-JSON) reply exercising the decoder
+#     dispatch, every 11th carries the errors field.
+@register(
+    "telemetry_grpc_dialin_wire_loop",
+    """
+SELECT event_type AS router,
+       CAST(SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS k_sum,
+       COUNT(*) AS n_json,
+       CAST(SUM(CASE WHEN event_id % 5 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_gpb,
+       CAST(SUM(event_id) AS BIGINT) AS res_req_id_sum,
+       CAST(SUM(CASE WHEN event_id % 11 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_errors
+FROM events GROUP BY 1""",
+)
+def telemetry_grpc_dialin_loop(spark, sf_dir):
+    from pmacct_spark.sources.grpc_wire import (
+        encode_create_subs_reply,
+        grpc_frame,
+    )
+    from pmacct_spark.streaming.telemetry import decode_grpc_dialin
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "props"
+    )
+
+    def enc(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            out = []
+            for r in pdf.itertuples(index=False):
+                eid = int(r.event_id)
+                errors = "subscription lagging" if eid % 11 == 0 else ""
+                chunk = grpc_frame(
+                    encode_create_subs_reply(
+                        eid, str(r.props).encode(), errors
+                    )
+                )
+                if eid % 5 == 0:
+                    chunk += grpc_frame(
+                        encode_create_subs_reply(eid, b"\x0a\x03gpb")
+                    )
+                out.append((str(r.event_type), chunk))
+            yield pd.DataFrame(out, columns=["exporter_ip", "payload"])
+
+    dg = ev.repartition(8).mapInPandas(
+        enc, "exporter_ip string, payload binary"
+    )
+    msgs = decode_grpc_dialin(dg)
+    is_json = F.col("decoder") == "json"
+    k = F.from_json("payload_json", "k BIGINT").getField("k")
+    return msgs.groupBy(F.col("router_ip").alias("router")).agg(
+        F.sum(F.when(is_json, k)).alias("k_sum"),
+        F.sum(F.when(is_json, 1).otherwise(0)).cast("bigint").alias("n_json"),
+        F.sum(F.when(F.col("decoder") == "gpb", 1).otherwise(0)).cast(
+            "bigint"
+        ).alias("n_gpb"),
+        F.sum(F.when(is_json, F.col("res_req_id"))).cast("bigint").alias(
+            "res_req_id_sum"
+        ),
+        F.sum(
+            F.when(is_json & F.col("errors").isNotNull(), 1).otherwise(0)
+        ).cast("bigint").alias("n_errors"),
+    )

@@ -648,3 +648,385 @@ class GrpcDialoutClient:
             self.sock.close()
         except OSError:
             pass
+
+
+# --------------------------------------------------------------------
+# Cisco MDT dial-in: IOS-XR gRPCConfigOper.CreateSubs
+# --------------------------------------------------------------------
+#
+# Dial-in inverts the roles: the COLLECTOR is the gRPC client, calling
+# the router's CreateSubs server-streaming rpc (public
+# mdt_grpc_dialin.proto: ``CreateSubsArgs { int64 ReqId = 1; int64
+# encode = 2; string subidstr = 3; }`` -> ``stream CreateSubsReply {
+# int64 ResReqId = 1; bytes data = 2; string errors = 3; }``; encode
+# 2=gpb, 3=gpbkv, 4=json). The reference consumes dial-in through the
+# same external-helper ZMQ bridge as dial-out
+# (src/telemetry/telemetry.c:120-134); here the collector speaks the
+# protocol itself over the shared HTTP/2 stack above, and an
+# in-process router serves live tests.
+
+DIALIN_PATH = "/IOSXRExtensibleManagabilityService.gRPCConfigOper/CreateSubs"
+ENC_GPB, ENC_GPBKV, ENC_JSON = 2, 3, 4
+
+
+def encode_create_subs_args(
+    req_id: int, encoding: int = ENC_JSON, subidstr: str = ""
+) -> bytes:
+    out = b"\x08" + encode_varint(req_id)  # field 1, varint
+    out += b"\x10" + encode_varint(encoding)  # field 2, varint
+    sb = subidstr.encode()
+    out += b"\x1a" + encode_varint(len(sb)) + sb  # field 3, string
+    return out
+
+
+def parse_create_subs_args(buf: bytes) -> dict:
+    req_id, encoding, subidstr = 0, 0, ""
+    p = 0
+    while p < len(buf):
+        key, p = decode_varint(buf, p)
+        field, wt = key >> 3, key & 7
+        if wt == 0:
+            v, p = decode_varint(buf, p)
+            if field == 1:
+                req_id = v
+            elif field == 2:
+                encoding = v
+        elif wt == 2:
+            ln, p = decode_varint(buf, p)
+            if p + ln > len(buf):
+                raise ValueError("truncated length-delimited field")
+            chunk = buf[p : p + ln]
+            p += ln
+            if field == 3:
+                subidstr = chunk.decode("utf-8", "replace")
+        elif wt == 5:
+            p += 4
+        elif wt == 1:
+            p += 8
+        else:
+            raise ValueError(f"unsupported protobuf wire type {wt}")
+    return {"req_id": req_id, "encoding": encoding, "subidstr": subidstr}
+
+
+def encode_create_subs_reply(
+    res_req_id: int, data: bytes, errors: str = ""
+) -> bytes:
+    # identical wire shape to MdtDialoutArgs (int64=1, bytes=2, str=3)
+    return encode_mdt_dialout_args(res_req_id, data, errors)
+
+
+def parse_create_subs_reply(buf: bytes) -> dict:
+    a = parse_mdt_dialout_args(buf)
+    return {
+        "res_req_id": a["req_id"],
+        "data": a["data"],
+        "errors": a["errors"],
+    }
+
+
+class GrpcDialinRouter:
+    """The router side for live tests: serves CreateSubs — one request
+    in, a stream of CreateSubsReply DATA frames out, honoring the
+    collector's flow-control windows. ``subscriptions`` maps
+    subidstr -> list of telemetry payload bytes; unknown subscription
+    ids answer grpc-status 5 (NOT_FOUND), wrong paths answer 12
+    (UNIMPLEMENTED). Malformed peers drop their own connection; the
+    router keeps serving."""
+
+    def __init__(
+        self,
+        subscriptions: dict[str, list[bytes]],
+        host: str = "127.0.0.1",
+        port: int = 0,
+        path: str = DIALIN_PATH,
+    ):
+        self.subscriptions = subscriptions
+        self.host, self.port, self.path = host, port, path
+        self._srv: socket.socket | None = None
+        self.streams_served = 0
+
+    def start(self) -> "GrpcDialinRouter":
+        self._srv = socket.socket(socket.AF_INET, socket.SOCK_STREAM)
+        self._srv.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
+        self._srv.bind((self.host, self.port))
+        self.port = self._srv.getsockname()[1]
+        self._srv.listen(16)
+        threading.Thread(target=self._accept_loop, daemon=True).start()
+        return self
+
+    def stop(self) -> None:
+        try:
+            if self._srv:
+                self._srv.close()
+        except OSError:
+            pass
+
+    def _accept_loop(self) -> None:
+        while True:
+            try:
+                conn, _ = self._srv.accept()
+            except OSError:
+                return
+            threading.Thread(
+                target=self._serve, args=(conn,), daemon=True
+            ).start()
+
+    def _send_flow(self, conn, win: dict, sid: int, body: bytes) -> None:
+        """Send one DATA frame, first draining WINDOW_UPDATE (and any
+        PING/SETTINGS) frames while either window is too small. Safe to
+        pump inline: replies only flow after the collector half-closed,
+        so no request DATA can interleave."""
+        while win["conn"] < len(body) or win.get(sid, DEFAULT_WINDOW) < len(
+            body
+        ):
+            ftype, flags, fsid, payload = _read_frame(conn)
+            if ftype == F_WINDOW:
+                (inc,) = struct.unpack(">I", payload)
+                if fsid == 0:
+                    win["conn"] += inc
+                else:
+                    win[fsid] = win.get(fsid, DEFAULT_WINDOW) + inc
+            elif ftype == F_SETTINGS and not flags & FLAG_ACK:
+                conn.sendall(_frame(F_SETTINGS, FLAG_ACK, 0, b""))
+            elif ftype == F_PING and not flags & FLAG_ACK:
+                conn.sendall(_frame(F_PING, FLAG_ACK, 0, payload))
+            elif ftype == F_GOAWAY:
+                raise ConnectionError("collector GOAWAY")
+        win["conn"] -= len(body)
+        win[sid] = win.get(sid, DEFAULT_WINDOW) - len(body)
+        conn.sendall(_frame(F_DATA, 0, sid, body))
+
+    def _serve(self, conn: socket.socket) -> None:
+        with conn:
+            try:
+                if _recv_exact(conn, len(PREFACE)) != PREFACE:
+                    return
+                conn.sendall(_frame(F_SETTINGS, 0, 0, b""))
+                dec, enc = HpackCodec(), HpackCodec()
+                streams: dict[int, dict] = {}
+                win = {"conn": DEFAULT_WINDOW}
+                while True:
+                    ftype, flags, sid, payload = _read_frame(conn)
+                    if ftype == F_SETTINGS:
+                        if not flags & FLAG_ACK:
+                            conn.sendall(_frame(F_SETTINGS, FLAG_ACK, 0, b""))
+                        continue
+                    if ftype == F_PING:
+                        if not flags & FLAG_ACK:
+                            conn.sendall(_frame(F_PING, FLAG_ACK, 0, payload))
+                        continue
+                    if ftype == F_GOAWAY:
+                        return
+                    if ftype == F_WINDOW:
+                        (inc,) = struct.unpack(">I", payload)
+                        if sid == 0:
+                            win["conn"] += inc
+                        else:
+                            win[sid] = win.get(sid, DEFAULT_WINDOW) + inc
+                        continue
+                    if ftype == F_RST:
+                        streams.pop(sid, None)
+                        continue
+                    if ftype == F_HEADERS:
+                        headers = dict(
+                            dec.decode(_strip_padding(flags, payload))
+                        )
+                        ok = (
+                            headers.get(":method") == "POST"
+                            and headers.get(":path") == self.path
+                        )
+                        if not ok:
+                            trailers = enc.encode(
+                                [(":status", "200"),
+                                 ("content-type", "application/grpc"),
+                                 ("grpc-status", "12"),
+                                 ("grpc-message", "unimplemented")]
+                            )
+                            conn.sendall(
+                                _frame(
+                                    F_HEADERS,
+                                    FLAG_END_HEADERS | FLAG_END_STREAM,
+                                    sid, trailers,
+                                )
+                            )
+                            continue
+                        streams[sid] = {"buf": b""}
+                        continue
+                    if ftype == F_DATA:
+                        st = streams.get(sid)
+                        if st is None:
+                            continue
+                        st["buf"] += _strip_padding(flags, payload)
+                        if not flags & FLAG_END_STREAM:
+                            continue
+                        msgs, tail = parse_grpc_messages(st["buf"])
+                        streams.pop(sid, None)
+                        if tail or not msgs:
+                            raise ValueError("malformed CreateSubs request")
+                        args = parse_create_subs_args(msgs[0])
+                        resp = enc.encode(
+                            [(":status", "200"),
+                             ("content-type", "application/grpc")]
+                        )
+                        conn.sendall(
+                            _frame(F_HEADERS, FLAG_END_HEADERS, sid, resp)
+                        )
+                        payloads = self.subscriptions.get(args["subidstr"])
+                        if payloads is None:
+                            trailers = enc.encode(
+                                [("grpc-status", "5"),
+                                 ("grpc-message", "subscription not found")]
+                            )
+                        else:
+                            for pl in payloads:
+                                body = grpc_frame(
+                                    encode_create_subs_reply(
+                                        args["req_id"], pl
+                                    )
+                                )
+                                self._send_flow(conn, win, sid, body)
+                            trailers = enc.encode(
+                                [("grpc-status", "0"), ("grpc-message", "")]
+                            )
+                            self.streams_served += 1
+                        conn.sendall(
+                            _frame(
+                                F_HEADERS,
+                                FLAG_END_HEADERS | FLAG_END_STREAM,
+                                sid, trailers,
+                            )
+                        )
+                        continue
+                    # unknown frame types: ignore (RFC 7540 §4.1)
+            except (
+                ConnectionError,
+                ValueError,
+                IndexError,
+                KeyError,
+                struct.error,
+                OSError,
+            ):
+                return
+
+
+class GrpcDialinCollector:
+    """The engine side of dial-in: connects to the router, sends one
+    CreateSubsArgs request, half-closes, then streams CreateSubsReply
+    messages — each ``data`` payload goes to ``deliver(router_ip,
+    data, res_req_id)`` (the daemon points this at the telemetry
+    spool's inject, so dial-in rides the same decode/msglog path as
+    UDP/TCP/dial-out). Replenishes flow-control windows as DATA
+    arrives so the router can stream past the 64 KiB defaults."""
+
+    def __init__(
+        self,
+        host: str,
+        port: int,
+        subidstr: str,
+        deliver,
+        encoding: int = ENC_JSON,
+        req_id: int = 1,
+        path: str = DIALIN_PATH,
+    ):
+        self.host, self.port = host, port
+        self.subidstr, self.encoding = subidstr, encoding
+        self.req_id, self.path = req_id, path
+        self.deliver = deliver
+        self.messages_received = 0
+        self.grpc_status: int | None = None
+        self._sock: socket.socket | None = None
+        self._thread: threading.Thread | None = None
+        self._done = threading.Event()
+
+    def start(self) -> "GrpcDialinCollector":
+        self._thread = threading.Thread(target=self._run, daemon=True)
+        self._thread.start()
+        return self
+
+    def wait(self, timeout: float = 30.0) -> bool:
+        return self._done.wait(timeout)
+
+    def stop(self) -> None:
+        try:
+            if self._sock:
+                self._sock.close()
+        except OSError:
+            pass
+
+    def _run(self) -> None:
+        try:
+            self._sock = socket.create_connection(
+                (self.host, self.port), timeout=30
+            )
+            sock = self._sock
+            enc, dec = HpackCodec(), HpackCodec()
+            sock.sendall(PREFACE + _frame(F_SETTINGS, 0, 0, b""))
+            sid = 1
+            block = enc.encode(
+                [
+                    (":method", "POST"),
+                    (":scheme", "http"),
+                    (":path", self.path),
+                    (":authority", "router"),
+                    ("content-type", "application/grpc"),
+                    ("te", "trailers"),
+                ]
+            )
+            sock.sendall(_frame(F_HEADERS, FLAG_END_HEADERS, sid, block))
+            req = grpc_frame(
+                encode_create_subs_args(
+                    self.req_id, self.encoding, self.subidstr
+                )
+            )
+            sock.sendall(_frame(F_DATA, FLAG_END_STREAM, sid, req))
+            buf = b""
+            while True:
+                ftype, flags, fsid, payload = _read_frame(sock)
+                if ftype == F_SETTINGS:
+                    if not flags & FLAG_ACK:
+                        sock.sendall(_frame(F_SETTINGS, FLAG_ACK, 0, b""))
+                    continue
+                if ftype == F_PING:
+                    if not flags & FLAG_ACK:
+                        sock.sendall(_frame(F_PING, FLAG_ACK, 0, payload))
+                    continue
+                if ftype == F_GOAWAY:
+                    return
+                if ftype == F_DATA and fsid == sid:
+                    buf += _strip_padding(flags, payload)
+                    msgs, buf = parse_grpc_messages(buf)
+                    for m in msgs:
+                        reply = parse_create_subs_reply(m)
+                        self.messages_received += 1
+                        self.deliver(
+                            self.host, reply["data"], reply["res_req_id"]
+                        )
+                    if len(payload):
+                        inc = struct.pack(">I", len(payload))
+                        sock.sendall(
+                            _frame(F_WINDOW, 0, 0, inc)
+                            + _frame(F_WINDOW, 0, sid, inc)
+                        )
+                    continue
+                if ftype == F_HEADERS and fsid == sid:
+                    hdrs = dict(dec.decode(_strip_padding(flags, payload)))
+                    if "grpc-status" in hdrs:
+                        self.grpc_status = int(hdrs["grpc-status"])
+                    if flags & FLAG_END_STREAM:
+                        return
+        except (
+            ConnectionError,
+            ValueError,
+            IndexError,
+            KeyError,
+            struct.error,
+            OSError,
+        ):
+            return
+        finally:
+            self._done.set()
+            try:
+                if self._sock:
+                    self._sock.close()
+            except OSError:
+                pass

@@ -321,3 +321,66 @@ def decode_grpc_dialout(datagrams: DataFrame) -> DataFrame:
             )
 
     return datagrams.mapInPandas(gen, GRPC_DIALOUT_SCHEMA)
+
+
+GRPC_DIALIN_SCHEMA = T.StructType(
+    [
+        T.StructField("router_ip", T.StringType()),
+        T.StructField("res_req_id", T.LongType()),
+        T.StructField("errors", T.StringType()),
+        T.StructField("decoder", T.StringType()),
+        T.StructField("payload_json", T.StringType()),
+        T.StructField("payload_raw", T.BinaryType()),
+    ]
+)
+
+
+def decode_grpc_dialin(datagrams: DataFrame) -> DataFrame:
+    """Decode per-row byte chunks of gRPC-framed CreateSubsReply
+    messages (the DATA-frame bytes a dial-in subscription streams back)
+    into per-message rows — the dial-in twin of
+    :func:`decode_grpc_dialout`, same JSON-vs-opaque-GPB dispatch."""
+    import json as _json
+
+    from pmacct_spark.sources.grpc_wire import (
+        parse_create_subs_reply,
+        parse_grpc_messages,
+    )
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = [f.name for f in GRPC_DIALIN_SCHEMA.fields]
+        for pdf in batches:
+            rows = []
+            for router, payload in zip(pdf["exporter_ip"], pdf["payload"]):
+                msgs, tail = parse_grpc_messages(bytes(payload))
+                if tail:
+                    raise ValueError(
+                        f"trailing {len(tail)} bytes after last gRPC frame"
+                    )
+                for m in msgs:
+                    reply = parse_create_subs_reply(m)
+                    data = reply["data"]
+                    decoder, pj, pr = "gpb", None, data
+                    if data[:1] == b"{":
+                        try:
+                            _json.loads(data)
+                            decoder, pj, pr = (
+                                "json", data.decode("utf-8"), None,
+                            )
+                        except (ValueError, UnicodeDecodeError):
+                            pass
+                    rows.append(
+                        {
+                            "router_ip": str(router),
+                            "res_req_id": int(reply["res_req_id"]),
+                            "errors": reply["errors"] or None,
+                            "decoder": decoder,
+                            "payload_json": pj,
+                            "payload_raw": pr,
+                        }
+                    )
+            yield pd.DataFrame(
+                [[r.get(c) for c in cols] for r in rows], columns=cols
+            )
+
+    return datagrams.mapInPandas(gen, GRPC_DIALIN_SCHEMA)
