@@ -78,7 +78,15 @@ _DRIVER_WINDOW = [
     # retrieval / tokenization / curation first-timers
     "bm25_keyword_topk", "corpus_bigram_topk", "bpe_pair_counts",
     "epoch_shard_shuffle", "ann_pq_adc_topk", "stream_dedup_exact",
-    "dedup_simhash", "dedup_ngram_jaccard",
+    # NEW round 6: SemDeDup cluster-then-prune and ExactSubstr
+    # duplicated-window fraction + DSIR importance resampling — the
+    # three curation operators added this round, driver-checked on
+    # arrival (replacing dedup_simhash / dedup_ngram_jaccard /
+    # text_fingerprint, never-sampled but with window siblings
+    # covering their families: minhash + stream_dedup_exact for
+    # dedup, four text-family entries below; all keep local parity)
+    "dedup_semdedup_prune", "dedup_exact_substring",
+    "dsir_importance_weights",
     # NEW this round: gRPC dial-out message layer (MdtDialoutArgs over
     # gRPC framing — the HTTP/2 transport is tested live); replaces
     # dedup_cross_corpus in the window, whose family is sampled by
@@ -86,7 +94,7 @@ _DRIVER_WINDOW = [
     "telemetry_grpc_dialout_wire_loop",
     # text-analysis family (quality_features was sampled r3–r5; these
     # five never were)
-    "text_lang_id", "text_token_counts", "text_fingerprint",
+    "text_lang_id", "text_token_counts",
     "text_rarity_score", "text_repetition_metrics",
     # logdump family (r5 additions, never sampled)
     "bgp_msglog_stream", "sflow_counter_log_stream",
@@ -94,7 +102,11 @@ _DRIVER_WINDOW = [
     # paths — also the r5 bench-regression pair, so the driver now
     # value-checks them directly)
     "l2_wire_loop", "mpls_wire_loop", "nat_wire_loop", "sflow_v6_loop",
-    "options_vrf_wire_enrich",
+    # NEW round 6: gRPC dial-in message layer (CreateSubsReply stream;
+    # transport tested live) — replaces options_vrf_wire_enrich, whose
+    # options family was driver-sampled r4/r5 (sampling_options);
+    # vrf keeps local parity
+    "telemetry_grpc_dialin_wire_loop",
     # telemetry: Cisco MDT framing (UDP-Notif was sampled r5)
     "telemetry_cisco_mdt_wire_loop",
     # BGP/BMP: the dump-accounting join (msglog + RIB families above)

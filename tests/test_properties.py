@@ -762,3 +762,217 @@ def test_lpm6_join_matches_bit_reference(spark, case):
         assert got[i] == _ref_lpm6(ip, canon), (
             f"ip={_v6_str(ip)} want={_ref_lpm6(ip, canon)} got={got[i]}"
         )
+
+
+# ---------------------------------------------------------------------------
+# exact-substring window stats vs a direct string-multiset reference
+# ---------------------------------------------------------------------------
+
+_doc_st = st.lists(
+    st.text(
+        alphabet=st.characters(min_codepoint=33, max_codepoint=126),
+        min_size=1,
+        max_size=5,
+    ),
+    min_size=1,
+    max_size=10,
+)
+
+
+@SET
+@given(st.lists(_doc_st, min_size=1, max_size=8))
+def test_exact_substring_matches_reference(spark, docs):
+    """The rolling-hash window pipeline must agree with a direct
+    count-the-window-strings model (collision-free at these sizes)."""
+    from collections import Counter
+
+    from pmacct_spark.operators.dedup import exact_substring_stats
+
+    w = 3
+    rows = [(i, " ".join(toks)) for i, toks in enumerate(docs)]
+    got = {
+        r[0]: (r[1], r[2], r[3])
+        for r in exact_substring_stats(
+            spark.createDataFrame(rows, "doc_id long, text string"),
+            "doc_id",
+            "text",
+            w=w,
+        ).collect()
+    }
+    all_windows: Counter = Counter()
+    per_doc: dict[int, list[str]] = {}
+    for i, toks in enumerate(docs):
+        toks = [t.lower() for t in toks]
+        wins = [
+            " ".join(toks[j : j + w]) for j in range(len(toks) - w + 1)
+        ]
+        per_doc[i] = wins
+        all_windows.update(wins)
+    for i, wins in per_doc.items():
+        if not wins:
+            assert i not in got  # <w tokens -> no windows -> no row
+            continue
+        ndup = sum(1 for s in wins if all_windows[s] >= 2)
+        assert got[i] == (
+            len(wins),
+            ndup,
+            1000 * ndup // len(wins),
+        )
+
+
+# ---------------------------------------------------------------------------
+# DSIR fixed-point score vs a direct integer reference
+# ---------------------------------------------------------------------------
+
+
+@SET
+@given(
+    st.lists(
+        st.tuples(_doc_st, st.booleans()),  # (tokens, is_target)
+        min_size=2,
+        max_size=8,
+    )
+)
+def test_dsir_matches_reference(spark, corpus):
+    """The staged/broadcast DSIR plan must reproduce the exact integer
+    arithmetic of a direct Python model (same add-1 smoothing, same
+    fixed-point DIV, same bucket hashing)."""
+    from collections import Counter
+
+    from pmacct_spark.operators.curation import dsir_importance
+
+    nb, fp = 16, 1_000_000
+    rows = [
+        (i, " ".join(toks), "en" if tgt else "de")
+        for i, (toks, tgt) in enumerate(corpus)
+    ]
+    got = {
+        r[0]: (r[1], r[2], r[3])
+        for r in dsir_importance(
+            spark.createDataFrame(
+                rows, "doc_id long, text string, lang string"
+            ),
+            n_buckets=nb,
+            fp=fp,
+        ).collect()
+    }
+    # reference: bigram bucket counts per doc, global target/raw stats
+    buckets: dict[int, Counter] = {}
+    for i, (toks, _tgt) in enumerate(corpus):
+        toks = [t.lower() for t in toks]
+        c: Counter = Counter()
+        for j in range(len(toks) - 1):
+            c[_poly(" ".join(toks[j : j + 2])) % nb] += 1
+        buckets[i] = c
+    tb: Counter = Counter()
+    rb: Counter = Counter()
+    for i, (_toks, tgt) in enumerate(corpus):
+        for b, c in buckets[i].items():
+            rb[b] += c
+            if tgt:
+                tb[b] += c
+    tt, rr = sum(tb.values()), sum(rb.values())
+    for i, (_toks, _tgt) in enumerate(corpus):
+        if not buckets[i]:
+            assert i not in got  # <2 tokens -> no bigrams -> no row
+            continue
+        score = 0
+        for b, c in buckets[i].items():
+            lam = min(
+                ((tb[b] + 1) * (rr + nb) * fp)
+                // ((rb[b] + 1) * (tt + nb)),
+                fp * 1000,
+            ) - fp
+            score += c * lam
+        assert got[i] == (
+            sum(buckets[i].values()),
+            score,
+            1 if score > 0 else 0,
+        )
+
+
+# ---------------------------------------------------------------------------
+# SemDeDup prune choice vs a direct integer reference
+# ---------------------------------------------------------------------------
+
+_vec_st = st.lists(
+    st.integers(min_value=-100, max_value=100).map(lambda v: v / 100.0),
+    min_size=4,
+    max_size=4,
+)
+
+
+@SET
+@given(
+    st.lists(
+        st.tuples(_vec_st, st.integers(min_value=0, max_value=1)),
+        min_size=2,
+        max_size=10,
+    )
+)
+def test_semdedup_matches_reference(spark, items):
+    """semdedup_prune must reproduce a direct Python model: quantize,
+    per-cluster integer centroid sum, near-dup pairs at cos >= 0.4,
+    prune the member with higher cos-to-centroid (exact sign dispatch +
+    cross-multiplied squares, ties -> greater id)."""
+    import math
+
+    from pmacct_spark.operators.similarity import QUANT, semdedup_prune
+
+    rows = [(i, vec, blk) for i, (vec, blk) in enumerate(items)]
+    got = {
+        (r.label, r.pruned_id)
+        for r in semdedup_prune(
+            spark.createDataFrame(
+                rows, "vec_id long, embedding array<float>, label long"
+            )
+        ).collect()
+    }
+
+    def q(vec):
+        # float32 column: quantize after the same float cast the engine
+        # applies (DOUBLE of a float32 value)
+        import struct as _struct
+
+        f32 = [_struct.unpack("f", _struct.pack("f", v))[0] for v in vec]
+        return [math.floor(v * QUANT) for v in f32]
+
+    qs = {i: q(vec) for i, (vec, _b) in enumerate(items)}
+    nrm = {i: sum(x * x for x in v) for i, v in qs.items()}
+    cent: dict[int, list[int]] = {}
+    for i, (_v, blk) in enumerate(items):
+        c = cent.setdefault(blk, [0, 0, 0, 0])
+        for k, x in enumerate(qs[i]):
+            c[k] += x
+    dotc = {
+        i: sum(x * c for x, c in zip(qs[i], cent[blk]))
+        for i, (_v, blk) in enumerate(items)
+    }
+
+    def higher(a, b):  # cos(a, cent) > cos(b, cent), exact
+        ca, cb, sna, snb = dotc[a], dotc[b], nrm[a], nrm[b]
+        if ca >= 0 and cb < 0:
+            return True
+        if ca >= 0 and cb >= 0:
+            return float(ca) * ca * snb > float(cb) * cb * sna
+        if ca < 0 and cb < 0:
+            return float(ca) * ca * snb < float(cb) * cb * sna
+        return False
+
+    want = set()
+    t2 = 400 * 400
+    for a in range(len(items)):
+        for b in range(a + 1, len(items)):
+            if items[a][1] != items[b][1]:
+                continue
+            dot = sum(x * y for x, y in zip(qs[a], qs[b]))
+            if dot < 0 or float(dot) * dot * 1_000_000 < float(t2) * nrm[a] * nrm[b]:
+                continue
+            if higher(a, b):
+                pruned = a
+            elif higher(b, a):
+                pruned = b
+            else:
+                pruned = max(a, b)
+            want.add((items[a][1], pruned))
+    assert got == want
