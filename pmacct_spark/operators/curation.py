@@ -382,3 +382,158 @@ SELECT {id_col}, CAST(SUM(c) AS BIGINT) AS n_features,
          AS selected
 FROM per JOIN lam USING (bkt) GROUP BY 1
 """
+
+
+# ---------------------------------------------------------------------------
+# UniMax: fairer multilingual sampling with per-language epoch caps
+# (Chung et al. 2023, arXiv 2304.09151)
+# ---------------------------------------------------------------------------
+#
+# UniMax allocates a total example budget B across languages so that
+# every language is sampled as uniformly as possible without repeating
+# any language more than E epochs: process languages by ascending cap
+# (cap_l = n_l * E); a language whose cap fits within an equal share of
+# the remaining budget is fully capped, the rest split the remainder
+# evenly. The sequential water-filling has a closed form over cumulative
+# sums, so the allocation is ONE window pass over the per-language
+# count table — no loop, no driver-side iteration. Integer arithmetic
+# throughout (equal split by DIV, remainder to the smallest-cap
+# languages first), so the oracle replays it exactly.
+#
+# Scale shape (100 TB): the corpus is touched once for the per-language
+# counts (map-side combined); everything after runs on a table with one
+# row per LANGUAGE (constant-sized; the single-partition window is on
+# that tiny table, never on the corpus).
+
+
+def unimax_allocate(
+    df: DataFrame,
+    lang_col: str = "lang",
+    total_budget_expr: str = "(3 * total) DIV 2",
+    epochs: int = 2,
+) -> DataFrame:
+    """(lang, n_docs, cap, allocated, full_epochs, partial_docs):
+    UniMax budget allocation. ``total_budget_expr`` may reference
+    ``total`` (the corpus row count) so the budget scales with the
+    data; the default 1.5N with E=2 leaves small languages capped and
+    large ones budget-limited."""
+    from pyspark.sql.window import Window
+
+    counts = df.groupBy(F.col(lang_col).alias("lang")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    tot = counts.agg(F.sum("n").cast("bigint").alias("total"))
+    c = (
+        counts.crossJoin(F.broadcast(tot))
+        .withColumn("cap", F.expr(f"n * {epochs}").cast("bigint"))
+        .withColumn("budget", F.expr(total_budget_expr).cast("bigint"))
+    )
+    asc = Window.orderBy("cap", "lang")
+    run = asc.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    allr = Window.partitionBy().rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    o = (
+        c.withColumn("i", F.row_number().over(asc).cast("bigint"))
+        .withColumn("L", F.count(F.lit(1)).over(allr).cast("bigint"))
+        .withColumn("cum", F.sum("cap").over(run).cast("bigint"))
+        # fits: this language's cap is within an equal share of what
+        # remains if every smaller language took its full cap
+        .withColumn(
+            "fits",
+            F.expr(
+                "CASE WHEN cap * (L - i + 1) <= budget - (cum - cap) "
+                "THEN 1 ELSE 0 END"
+            ),
+        )
+    )
+    g = (
+        o.withColumn("capped", F.min("fits").over(run))
+        .withColumn(
+            "capped_sum",
+            F.sum(F.expr("CASE WHEN capped = 1 THEN cap ELSE 0 END")).over(
+                allr
+            ),
+        )
+        .withColumn("m", F.sum(F.expr("1 - capped")).over(allr))
+        .withColumn(
+            "uidx",
+            F.sum(F.expr("CASE WHEN capped = 0 THEN 1 ELSE 0 END")).over(run),
+        )
+    )
+    return g.select(
+        "lang",
+        F.col("n").alias("n_docs"),
+        "cap",
+        F.expr(
+            "CAST(CASE WHEN capped = 1 THEN cap ELSE "
+            "(budget - capped_sum) DIV m + "
+            "CASE WHEN uidx <= (budget - capped_sum) % m THEN 1 ELSE 0 END "
+            "END AS BIGINT)"
+        ).alias("allocated"),
+    ).select(
+        "lang",
+        "n_docs",
+        "cap",
+        "allocated",
+        F.expr("allocated DIV n_docs").cast("bigint").alias("full_epochs"),
+        F.expr("allocated % n_docs").cast("bigint").alias("partial_docs"),
+    )
+
+
+def unimax_allocate_duck(
+    lang_col: str = "lang",
+    total_budget_expr: str = "(3 * total) // 2",
+    epochs: int = 2,
+    source: str = "documents",
+) -> str:
+    return f"""
+WITH counts AS (
+  SELECT {lang_col} AS lang, CAST(COUNT(*) AS BIGINT) AS n
+  FROM {source} GROUP BY 1
+),
+tot AS (SELECT CAST(SUM(n) AS BIGINT) AS total FROM counts),
+c AS (
+  SELECT lang, n, CAST(n * {epochs} AS BIGINT) AS cap,
+         CAST({total_budget_expr} AS BIGINT) AS budget
+  FROM counts, tot
+),
+o AS (
+  SELECT *, CAST(ROW_NUMBER() OVER (ORDER BY cap, lang) AS BIGINT) AS i,
+         CAST(COUNT(*) OVER () AS BIGINT) AS L,
+         CAST(SUM(cap) OVER (ORDER BY cap, lang
+              ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+  FROM c
+),
+f AS (
+  SELECT *, CASE WHEN cap * (L - i + 1) <= budget - (cum - cap)
+                 THEN 1 ELSE 0 END AS fits
+  FROM o
+),
+g AS (
+  SELECT *, MIN(fits) OVER (ORDER BY i ROWS UNBOUNDED PRECEDING) AS capped
+  FROM f
+),
+s AS (
+  SELECT *,
+         SUM(CASE WHEN capped = 1 THEN cap ELSE 0 END) OVER () AS capped_sum,
+         SUM(1 - capped) OVER () AS m,
+         SUM(CASE WHEN capped = 0 THEN 1 ELSE 0 END)
+           OVER (ORDER BY i ROWS UNBOUNDED PRECEDING) AS uidx
+  FROM g
+)
+SELECT lang, n AS n_docs, cap,
+       CAST(CASE WHEN capped = 1 THEN cap ELSE
+            (budget - capped_sum) // m +
+            CASE WHEN uidx <= (budget - capped_sum) % m THEN 1 ELSE 0 END
+            END AS BIGINT) AS allocated,
+       CAST(CASE WHEN capped = 1 THEN cap ELSE
+            (budget - capped_sum) // m +
+            CASE WHEN uidx <= (budget - capped_sum) % m THEN 1 ELSE 0 END
+            END // n AS BIGINT) AS full_epochs,
+       CAST(CASE WHEN capped = 1 THEN cap ELSE
+            (budget - capped_sum) // m +
+            CASE WHEN uidx <= (budget - capped_sum) % m THEN 1 ELSE 0 END
+            END % n AS BIGINT) AS partial_docs
+FROM s
+"""

@@ -442,3 +442,15 @@ def dsir_importance_weights(spark, sf_dir):
         "doc_id", "text", "lang"
     )
     return curation.dsir_importance(docs)
+
+
+# --- UniMax multilingual budget allocation (Chung et al. 2023, arXiv
+#     2304.09151): total budget 1.5N split across languages as
+#     uniformly as possible with a 2-epoch per-language cap —
+#     closed-form water-filling over cumulative sums, one window pass
+#     on the per-language count table (constant-sized; the corpus is
+#     touched once for the counts).
+@register("unimax_lang_budget", curation.unimax_allocate_duck())
+def unimax_lang_budget(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents").select("lang")
+    return curation.unimax_allocate(docs)

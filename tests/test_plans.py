@@ -97,7 +97,14 @@ def test_pipeline_ops_also_jvm_side(spark):
     Arrow-vectorized (per-block numpy kernels where N² folds can't
     compete; each is paired with a pure-JVM strategy sharing its
     oracle)."""
-    arrow_vectorized = {"dedup_embedding_cosine", "multimodal_decode_features"}
+    arrow_vectorized = {
+        "dedup_embedding_cosine",
+        "multimodal_decode_features",
+        # pair stage rides the same per-block BLAS kernel as
+        # dedup_embedding_cosine (the declared 100 TB path; the
+        # HOF strategy shares its oracle family)
+        "dedup_semdedup_prune",
+    }
     q = {
         n: f
         for n, f in entrymod.queries().items()

@@ -976,3 +976,64 @@ def test_semdedup_matches_reference(spark, items):
                 pruned = max(a, b)
             want.add((items[a][1], pruned))
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# UniMax allocation vs a sequential water-filling reference
+# ---------------------------------------------------------------------------
+
+
+def _ref_unimax(counts: dict[str, int], budget: int, epochs: int):
+    """Direct sequential water-filling: ascending caps; a language
+    whose cap fits an equal share of the remaining budget is capped,
+    the rest split the remainder (DIV; +1 to the first R%m)."""
+    order = sorted(counts, key=lambda g: (counts[g] * epochs, g))
+    alloc: dict[str, int] = {}
+    rem, left = budget, len(order)
+    for idx, g in enumerate(order):
+        cap = counts[g] * epochs
+        if cap * left <= rem:
+            alloc[g] = cap
+            rem -= cap
+            left -= 1
+        else:
+            base, extra = rem // left, rem % left
+            for j, h in enumerate(order[idx:]):
+                alloc[h] = base + (1 if j < extra else 0)
+            break
+    return alloc
+
+
+@SET
+@given(
+    st.dictionaries(
+        st.sampled_from(["en", "de", "fr", "es", "zh", "ja"]),
+        st.integers(min_value=1, max_value=500),
+        min_size=1,
+        max_size=6,
+    ),
+    st.integers(min_value=1, max_value=4000),
+    st.integers(min_value=1, max_value=3),
+)
+def test_unimax_matches_reference(spark, counts, budget, epochs):
+    from pmacct_spark.operators.curation import unimax_allocate
+
+    rows = [(g,) for g, n in counts.items() for _ in range(n)]
+    got = {
+        r.lang: (r.n_docs, r.cap, r.allocated, r.full_epochs, r.partial_docs)
+        for r in unimax_allocate(
+            spark.createDataFrame(rows, "lang string"),
+            total_budget_expr=str(budget),
+            epochs=epochs,
+        ).collect()
+    }
+    want = _ref_unimax(counts, budget, epochs)
+    assert set(got) == set(counts)
+    for g, n in counts.items():
+        a = want[g]
+        assert got[g] == (n, n * epochs, a, a // n, a % n)
+    # invariants: never above cap; fully spent unless caps bind first
+    total_alloc = sum(a for _n, _c, a, _f, _p in got.values())
+    caps = sum(n * epochs for n in counts.values())
+    assert all(a <= c for _n, c, a, _f, _p in got.values())
+    assert total_alloc == min(budget, caps)
