@@ -1223,3 +1223,178 @@ SELECT DISTINCT {block_col},
             ELSE id_b END AS pruned_id
 FROM scored
 """
+
+
+# --- IVF codebook training: spherical k-means -------------------------
+#
+# §12's IVF/PQ queries consume a FIXED codebook (medoid stand-ins via
+# IVF_CENTROID_PRED); this trains one — the missing lifecycle step. The
+# distributed shape is classic Lloyd with the codebook-as-literal
+# pattern this module already uses everywhere: per round, assignment is
+# a map-side expression against the k-centroid literal (zero shuffle),
+# and the update is ONE shuffle keyed by (cell, dim) for the exact
+# integer per-cell mean. The driver only ever holds the k×d codebook
+# (tiny), never data. Spherical variant: cosine assignment (the same
+# exact signed-square/cross-norm test the IVF queries use) with the
+# elementwise floor-mean as the new centroid direction — integer-exact
+# in both engines, so the DuckDB oracle replays every round verbatim.
+
+
+def ivf_train_kmeans(
+    items: DataFrame,
+    k: int = 8,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+) -> DataFrame:
+    """(cell, pos, c_val, n_members): the trained codebook after
+    ``iters`` Lloyd rounds (one row per centroid dimension, 1-based
+    ``pos``) plus each cell's population under the final assignment.
+    Init = first ``k`` rows by the deterministic LCG rank (replayable);
+    a cell that empties keeps its previous centroid."""
+    from pmacct_spark.operators.curation import sample_rank_sql
+    from pmacct_spark.operators.staging import stage
+
+    spark = items.sparkSession
+    base = stage(
+        quantize(items.select(id_col, emb_col), emb_col, "qv")
+        .withColumn("nrm", F.expr(_norm_sq("qv")))
+        .drop(emb_col)
+    )
+    seeds = (
+        base.withColumn("r", F.expr(sample_rank_sql(id_col)))
+        .orderBy("r", id_col)
+        .limit(k)
+        .collect()
+    )
+    cents = [
+        (i, [int(v) for v in row.qv], int(row.nrm))
+        for i, row in enumerate(seeds)
+    ]
+    for _ in range(iters):
+        assigned = base.withColumn(
+            "cell", F.expr(_ivf_assign_expr(cents, "qv", "nrm"))
+        )
+        rows = (
+            assigned.select("cell", F.posexplode("qv").alias("pos", "v"))
+            .groupBy("cell", "pos")
+            .agg(
+                F.expr("SUM(v) DIV COUNT(*)").cast("bigint").alias("m"),
+            )
+            .collect()
+        )
+        upd: dict[int, dict[int, int]] = {}
+        for r in rows:
+            upd.setdefault(int(r.cell), {})[int(r.pos)] = int(r.m)
+        cents = [
+            (
+                cid,
+                nqc := (
+                    [upd[cid][p] for p in range(len(qc))]
+                    if cid in upd
+                    else qc  # empty cell: keep previous centroid
+                ),
+                sum(v * v for v in nqc),
+            )
+            for cid, qc, _nc in cents
+        ]
+    assigned = base.withColumn(
+        "cell", F.expr(_ivf_assign_expr(cents, "qv", "nrm"))
+    )
+    members = assigned.groupBy("cell").agg(
+        F.count(F.lit(1)).cast("bigint").alias("nm")
+    )
+    cdf = spark.createDataFrame(
+        [
+            (cid, pos + 1, v)
+            for cid, qc, _nc in cents
+            for pos, v in enumerate(qc)
+        ],
+        "cell bigint, pos bigint, c_val bigint",
+    )
+    return cdf.join(F.broadcast(members), "cell", "left").select(
+        "cell",
+        "pos",
+        "c_val",
+        F.coalesce(F.col("nm"), F.lit(0)).cast("bigint").alias("n_members"),
+    )
+
+
+def ivf_train_kmeans_duck(
+    source: str = "embeddings",
+    k: int = 8,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+) -> str:
+    """Unrolled-CTE replay of :func:`ivf_train_kmeans`: init by LCG
+    rank, then per round the identical argmax assignment and exact
+    floor-mean update (empty cells carried over via LEFT JOIN)."""
+    from pmacct_spark.operators.curation import sample_rank_sql
+
+    q = _QUANT_DUCK.format(col=emb_col, q=QUANT)
+    sgn = _SIGNED_SQ
+    dot = "CAST(list_sum(list_transform(b.qv, (x, i) -> x * c.qc[i])) AS BIGINT)"
+
+    def assign(cents: str, out: str) -> str:
+        return f"""
+{out} AS (
+  SELECT {id_col}, cid AS cell FROM (
+    SELECT b.{id_col}, c.cid,
+           ROW_NUMBER() OVER (
+             PARTITION BY b.{id_col}
+             ORDER BY ({sgn.format(d=dot)}
+                       / (CAST(b.nrm AS DOUBLE) * CAST(c.nc AS DOUBLE))) DESC,
+                      c.cid ASC) AS rn
+    FROM base b, {cents} c) WHERE rn = 1
+)"""
+
+    def update(assign_t: str, prev: str, out: str) -> str:
+        return f"""
+{out}_dims AS (
+  SELECT a.cell, i AS pos, CAST(SUM(b.qv[i]) // COUNT(*) AS BIGINT) AS m
+  FROM {assign_t} a JOIN base b USING ({id_col}),
+       unnest(range(1, 1 + len(b.qv))) AS t(i)
+  GROUP BY 1, 2
+),
+{out}_new AS (
+  SELECT cell AS cid, list(m ORDER BY pos) AS qc,
+         CAST(list_sum(list_transform(list(m ORDER BY pos), x -> x * x))
+              AS BIGINT) AS nc
+  FROM {out}_dims GROUP BY 1
+),
+{out} AS (
+  SELECT o.cid, COALESCE(n.qc, o.qc) AS qc, COALESCE(n.nc, o.nc) AS nc
+  FROM {prev} o LEFT JOIN {out}_new n ON n.cid = o.cid
+)"""
+
+    parts = [
+        f"""base AS (
+  SELECT {id_col}, {q} AS qv,
+         CAST(list_sum(list_transform({q}, x -> x * x)) AS BIGINT) AS nrm
+  FROM {source}
+),
+c0 AS (
+  SELECT CAST(ROW_NUMBER() OVER (ORDER BY ({sample_rank_sql(id_col)}),
+              {id_col}) - 1 AS BIGINT) AS cid,
+         qv AS qc, nrm AS nc
+  FROM base QUALIFY cid < {k}
+)"""
+    ]
+    prev = "c0"
+    for t in range(1, iters + 1):
+        parts.append(assign(prev, f"a{t}"))
+        parts.append(update(f"a{t}", prev, f"c{t}"))
+        prev = f"c{t}"
+    parts.append(assign(prev, "afinal"))
+    body = ",\n".join(p.strip() for p in parts)
+    return f"""
+WITH {body},
+members AS (
+  SELECT cell, CAST(COUNT(*) AS BIGINT) AS nm FROM afinal GROUP BY 1
+)
+SELECT c.cid AS cell, CAST(i AS BIGINT) AS pos, c.qc[i] AS c_val,
+       CAST(COALESCE(m.nm, 0) AS BIGINT) AS n_members
+FROM {prev} c LEFT JOIN members m ON m.cell = c.cid,
+     unnest(range(1, 1 + len(c.qc))) AS t(i)
+"""

@@ -780,3 +780,15 @@ def corpus_bigram_topk(spark, sf_dir):
         .filter("rank <= 20")
         .select("bigram", F.col("n").cast("bigint").alias("n"), "rank")
     )
+
+
+# --- IVF codebook TRAINING (spherical k-means, 2 Lloyd rounds): the
+#     lifecycle step the fixed-codebook ANN queries consume. Map-side
+#     assignment against the k-centroid literal each round; ONE shuffle
+#     per round for the exact integer per-cell mean; the driver holds
+#     only the k x d codebook. Oracle replays every round via unrolled
+#     CTEs (see operators/similarity.py).
+@register("ann_ivf_train_kmeans", similarity.ivf_train_kmeans_duck())
+def ann_ivf_train_kmeans(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.ivf_train_kmeans(emb)

@@ -377,3 +377,36 @@ def test_dsir_scores_target_like_docs_higher(spark):
     assert out[10].dsir_score_fp > out[11].dsir_score_fp
     assert out[10].selected == 1
     assert out[11].selected == 0
+
+
+def test_ivf_kmeans_recovers_planted_clusters(spark):
+    """With one LCG-rank seed per planted direction cluster (ids 0/2/4
+    have the three smallest ranks among 0..8), two Lloyd rounds must
+    put every member in its cluster's cell with the right population."""
+    import numpy as np
+
+    a, b, c = [1.0, 0.05], [0.05, 1.0], [-1.0, 0.9]
+    def jig(v, eps):
+        return [v[0] + eps, v[1] - eps]
+    rows = [
+        (0, a), (1, jig(a, 0.02)), (3, jig(a, -0.03)),
+        (2, b), (5, jig(b, 0.02)), (7, jig(b, -0.03)),
+        (4, c), (6, jig(c, 0.02)), (8, jig(c, -0.03)),
+    ]
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in rows],
+        "vec_id bigint, embedding array<float>",
+    )
+    out = similarity.ivf_train_kmeans(df, k=3, iters=2).collect()
+    assert len(out) == 3 * 2  # k cells x 2 dims
+    pops = {r.cell: r.n_members for r in out}
+    assert sorted(pops.values()) == [3, 3, 3]
+    # each cell's centroid direction matches one planted direction
+    cents = {}
+    for r in out:
+        cents.setdefault(r.cell, [0, 0])[r.pos - 1] = r.c_val
+    dirs = [np.array(v) / np.linalg.norm(v) for v in (a, b, c)]
+    for cell, cv in cents.items():
+        cvn = np.array(cv, dtype=float)
+        cvn /= np.linalg.norm(cvn)
+        assert max(float(cvn @ d) for d in dirs) > 0.99
