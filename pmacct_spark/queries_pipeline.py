@@ -792,3 +792,73 @@ def corpus_bigram_topk(spark, sf_dir):
 def ann_ivf_train_kmeans(spark, sf_dir):
     emb = load_table(spark, sf_dir, "embeddings")
     return similarity.ivf_train_kmeans(emb)
+
+
+# --- hard-negative mining for retrieval training (the standard recipe
+#     for embedding-model finetuning data, e.g. DPR/Karpukhin et al.
+#     2020: lexical candidates that the dense ranker does NOT consider
+#     relevant make the hardest negatives): BM25 top-10 is the
+#     candidate pool, brute-force-cosine top-3 the positive set; every
+#     candidate is labeled and negatives get their own mining rank.
+#     Both sides are bounded top-k lists — the join never touches the
+#     corpus.
+@register(
+    "retrieval_hard_negatives",
+    f"""
+WITH kw AS ({text.bm25_topk_duck()}),
+vec AS ({similarity.brute_force_topk_duck(k=3, query_pred="vec_id < 4")}),
+lab AS (
+  SELECT kw.query_id, kw.doc_id, kw.rank AS bm25_rank,
+         CASE WHEN vec.neighbor_id IS NULL THEN 1 ELSE 0 END AS hard_negative
+  FROM kw LEFT JOIN vec
+    ON kw.query_id = vec.query_id AND kw.doc_id = vec.neighbor_id
+)
+SELECT query_id, doc_id, CAST(bm25_rank AS BIGINT) AS bm25_rank,
+       CAST(hard_negative AS BIGINT) AS hard_negative,
+       CAST(CASE WHEN hard_negative = 1 THEN ROW_NUMBER() OVER (
+         PARTITION BY query_id, hard_negative
+         ORDER BY bm25_rank, doc_id) ELSE 0 END AS BIGINT) AS neg_rank
+FROM lab""",
+)
+def retrieval_hard_negatives(spark, sf_dir):
+    from pyspark.sql.window import Window
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    emb = load_table(spark, sf_dir, "embeddings")
+    kw = text.bm25_topk(docs).select(
+        "query_id", "doc_id", F.col("rank").alias("bm25_rank")
+    )
+    vec = similarity.brute_force_topk(
+        emb, emb.filter("vec_id < 4"), k=3
+    ).select(
+        F.col("query_id").cast("bigint").alias("vq"),
+        F.col("neighbor_id").cast("bigint").alias("vd"),
+    )
+    lab = kw.join(
+        vec,
+        (F.col("query_id") == F.col("vq")) & (F.col("doc_id") == F.col("vd")),
+        "left",
+    ).select(
+        "query_id",
+        "doc_id",
+        "bm25_rank",
+        F.expr("CASE WHEN vd IS NULL THEN 1 ELSE 0 END")
+        .cast("bigint")
+        .alias("hard_negative"),
+    )
+    w = Window.partitionBy("query_id", "hard_negative").orderBy(
+        "bm25_rank", "doc_id"
+    )
+    return lab.select(
+        "query_id",
+        "doc_id",
+        F.col("bm25_rank").cast("bigint").alias("bm25_rank"),
+        "hard_negative",
+    ).withColumn(
+        "neg_rank",
+        F.when(
+            F.col("hard_negative") == 1, F.row_number().over(w)
+        )
+        .otherwise(F.lit(0))
+        .cast("bigint"),
+    )
