@@ -87,6 +87,16 @@ _DRIVER_WINDOW = [
     # dedup, four text-family entries below; all keep local parity)
     "dedup_semdedup_prune", "dedup_exact_substring",
     "dsir_importance_weights",
+    # NEW round 6 (late additions): UniMax budget allocation, the IVF
+    # k-means codebook trainer, and DPR-style hard-negative mining —
+    # driver-checked on arrival (replacing text_token_counts /
+    # text_rarity_score — family keeps lang_id + repetition in the
+    # window and quality_features history from r3-r5 — and
+    # sflow_v6_loop, whose family keeps sflow_counter_log_stream in
+    # the window and sflow_wire_loop_renorm history from r4-r5; all
+    # three rotated-out names keep local parity)
+    "unimax_lang_budget", "ann_ivf_train_kmeans",
+    "retrieval_hard_negatives",
     # NEW this round: gRPC dial-out message layer (MdtDialoutArgs over
     # gRPC framing — the HTTP/2 transport is tested live); replaces
     # dedup_cross_corpus in the window, whose family is sampled by
@@ -94,14 +104,13 @@ _DRIVER_WINDOW = [
     "telemetry_grpc_dialout_wire_loop",
     # text-analysis family (quality_features was sampled r3–r5; these
     # five never were)
-    "text_lang_id", "text_token_counts",
-    "text_rarity_score", "text_repetition_metrics",
+    "text_lang_id", "text_repetition_metrics",
     # logdump family (r5 additions, never sampled)
     "bgp_msglog_stream", "sflow_counter_log_stream",
     # wire-format loops never sampled (l2/v6 MAC-render + NAT/MPLS
     # paths — also the r5 bench-regression pair, so the driver now
     # value-checks them directly)
-    "l2_wire_loop", "mpls_wire_loop", "nat_wire_loop", "sflow_v6_loop",
+    "l2_wire_loop", "mpls_wire_loop", "nat_wire_loop",
     # NEW round 6: gRPC dial-in message layer (CreateSubsReply stream;
     # transport tested live) — replaces options_vrf_wire_enrich, whose
     # options family was driver-sampled r4/r5 (sampling_options);
