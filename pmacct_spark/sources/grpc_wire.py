@@ -916,7 +916,14 @@ class GrpcDialinCollector:
     data, res_req_id)`` (the daemon points this at the telemetry
     spool's inject, so dial-in rides the same decode/msglog path as
     UDP/TCP/dial-out). Replenishes flow-control windows as DATA
-    arrives so the router can stream past the 64 KiB defaults."""
+    arrives so the router can stream past the 64 KiB defaults.
+
+    Honest scope: one subscription stream per collector instance (a
+    production router holds the CreateSubs stream open indefinitely;
+    when it does end, re-subscription is the operator's restart policy
+    — start a fresh collector — rather than an internal retry loop
+    with backoff state this sandbox could not meaningfully test
+    against a real router's session semantics)."""
 
     def __init__(
         self,

@@ -107,3 +107,20 @@ def test_registered_flow_columns_exist_in_flow_view():
         and p.column not in enrichment_cols
     ]
     assert not dangling, f"registry columns with no source: {dangling}"
+
+
+def test_every_gated_query_has_an_oracle():
+    """The suite's claim is 100% DuckDB-oracled: every queries() entry
+    must carry an oracle_sql() twin (the driver downgrades missing ones
+    to a weaker rows-only check — this pins that none silently appear),
+    and the driver window must name exactly 50 registered queries."""
+    import __spark_entry__ as entrymod
+
+    from pmacct_spark.driver_queries import _DRIVER_WINDOW
+
+    qs, oracles = entrymod.queries(), entrymod.oracle_sql()
+    missing = sorted(set(qs) - set(oracles))
+    assert missing == [], f"queries without oracles: {missing}"
+    assert len(_DRIVER_WINDOW) == 50
+    assert len(set(_DRIVER_WINDOW)) == 50
+    assert all(n in qs for n in _DRIVER_WINDOW)
