@@ -515,18 +515,43 @@ def _window_hashes_from_states(st: str, n: int) -> str:
 
 
 def exact_substring_stats(
-    df: DataFrame, id_col: str, text_col: str, w: int = 5
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    w: int = 5,
+    fast: bool = False,
 ) -> DataFrame:
     """(id, n_windows, n_dup_windows, dup_permille): per-doc fraction of
     length-``w`` token windows whose content occurs >= 2 times anywhere
-    in the corpus (including elsewhere in the same doc, per the paper)."""
-    wh = (
-        df.withColumn("_ts", F.expr(_token_states_spark(text_col)))
-        .select(
-            id_col,
-            F.explode(F.expr(_window_hashes_from_states("_ts", w))).alias("hv"),
+    in the corpus (including elsewhere in the same doc, per the paper).
+
+    ``fast=True`` hashes windows with ``xxhash64`` (one JVM intrinsic
+    per window instead of per-character folds — the production path,
+    ~same convention as MinHash ``fast``); the default portable hash is
+    what the DuckDB oracle replays."""
+    if fast:
+        toks = f"split(lower({text_col}), '\\\\s+')"
+        parts = ", ' ', ".join(
+            f"element_at(tk, CAST(i + {j} AS INT))" for j in range(w)
         )
-    )
+        expr = (
+            f"CASE WHEN size({toks}) >= {w} THEN "
+            f"transform(array({toks}), tk -> "
+            f"transform(sequence(1, size(tk) - {w - 1}), "
+            f"i -> pmod(xxhash64(concat({parts})), {P})))[0] "
+            f"ELSE CAST(array() AS ARRAY<BIGINT>) END"
+        )
+        wh = df.select(id_col, F.explode(F.expr(expr)).alias("hv"))
+    else:
+        wh = (
+            df.withColumn("_ts", F.expr(_token_states_spark(text_col)))
+            .select(
+                id_col,
+                F.explode(
+                    F.expr(_window_hashes_from_states("_ts", w))
+                ).alias("hv"),
+            )
+        )
     from pmacct_spark.operators.staging import stage
 
     # stage the narrow (id, hv, c) projection: it feeds BOTH the global

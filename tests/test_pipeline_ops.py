@@ -410,3 +410,23 @@ def test_ivf_kmeans_recovers_planted_clusters(spark):
         cvn = np.array(cv, dtype=float)
         cvn /= np.linalg.norm(cvn)
         assert max(float(cvn @ d) for d in dirs) > 0.99
+
+
+def test_exact_substring_fast_path_identical(spark, docs):
+    """The xxhash64 production path must produce IDENTICAL per-doc
+    stats to the portable-hash path: duplicated-window counts depend
+    only on hash equality classes, which any collision-free hash
+    preserves."""
+    slow = {
+        r[0]: (r[1], r[2], r[3])
+        for r in dedup.exact_substring_stats(
+            docs.select("doc_id", "text"), "doc_id", "text"
+        ).collect()
+    }
+    fast = {
+        r[0]: (r[1], r[2], r[3])
+        for r in dedup.exact_substring_stats(
+            docs.select("doc_id", "text"), "doc_id", "text", fast=True
+        ).collect()
+    }
+    assert fast == slow
