@@ -539,3 +539,21 @@ def median_bytes_by_proto(spark, sf_dir):
         F.expr("CAST(2 * percentile(packets, 0.5) AS BIGINT)").alias("packets_med2x"),
         F.count(F.lit(1)).alias("n"),
     )
+
+
+# --- count-min sketch heavy hitters (Cormode & Muthukrishnan 2005):
+#     the bounded-memory top-talkers answer — a constant d x w counter
+#     grid with the one-sided estimate >= truth guarantee, hash rows
+#     drawn from the frozen universal family so the sketch replays
+#     exactly in the oracle. The batch query reports exact truth beside
+#     each estimate; in a streaming deployment the sketch updates
+#     map-side with d*w state (sums commute) — see operators/sketch.py.
+from pmacct_spark.operators import sketch as _sketch
+
+
+@register(
+    "heavy_hitters_countmin",
+    _sketch.countmin_heavy_hitters_duck(FLOWS_DUCK_CTE),
+)
+def heavy_hitters_countmin(spark, sf_dir):
+    return _sketch.countmin_heavy_hitters(flows(spark, sf_dir))

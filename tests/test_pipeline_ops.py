@@ -430,3 +430,23 @@ def test_exact_substring_fast_path_identical(spark, docs):
         ).collect()
     }
     assert fast == slow
+
+
+def test_countmin_one_sided_guarantee(spark):
+    """Count-min estimates are NEVER below the truth (collisions only
+    add), and with w >> keys every estimate is exact."""
+    from pmacct_spark.operators.sketch import countmin_heavy_hitters
+
+    rows = [(f"10.0.0.{i}", (i + 1) * 100) for i in range(30)]
+    df = spark.createDataFrame(rows, "ip_dst string, bytes bigint")
+    # tiny grid: collisions guaranteed -> overestimates allowed, never under
+    out = countmin_heavy_hitters(df, d=2, w=8, k=30).collect()
+    assert len(out) == 30
+    assert all(r.overestimate >= 0 for r in out)
+    assert any(r.overestimate > 0 for r in out)  # 30 keys in 8 buckets
+    # generous grid: no collisions -> estimate == truth for every key
+    exact = countmin_heavy_hitters(df, d=4, w=4096, k=30).collect()
+    assert all(r.overestimate == 0 for r in exact)
+    # ranking is by estimate desc: truth's heaviest key must surface
+    top = min(out, key=lambda r: r.rank)
+    assert top.est_bytes >= 3000  # >= the true maximum (one-sided)
