@@ -115,8 +115,11 @@ def test_pub_prunes_dead_subscriber_and_keeps_publishing(spark):
     try:
         alive = ZmtpSubClient(srv.host, srv.port, [b"topicA"])
         doomed = ZmtpSubClient(srv.host, srv.port, [b"topicA"])
+        # generous waits: under a fully-loaded test host the handshake
+        # threads can take several seconds to schedule (observed flaky
+        # at 5 s during a 14-min full-suite run)
         t0 = time.monotonic()
-        while len(srv._subs) < 2 and time.monotonic() - t0 < 5:
+        while len(srv._subs) < 2 and time.monotonic() - t0 < 20:
             time.sleep(0.05)
         assert len(srv._subs) == 2
         # hard-close one subscriber socket; publish repeatedly until
@@ -128,13 +131,13 @@ def test_pub_prunes_dead_subscriber_and_keeps_publishing(spark):
                 break
             time.sleep(0.05)
         # the healthy subscriber saw every message, in order
-        first = alive.recv(timeout=5)
+        first = alive.recv(timeout=20)
         assert first == b"topicA msg0"
         assert len(srv._subs) <= 2  # doomed pruned or pending close
         # a publish after the prune still delivers
         srv.publish(b"topicA final")
         got = first
         while got != b"topicA final":
-            got = alive.recv(timeout=5)
+            got = alive.recv(timeout=20)
     finally:
         srv.stop()
