@@ -30,6 +30,7 @@ from __future__ import annotations
 import socket
 import struct
 import threading
+import time
 
 from pmacct_spark.sources.sockio import recv_exact as _recv_exact
 
@@ -299,9 +300,14 @@ class ZmtpPubServer:
     (\\x01 topic) and forwards only matching messages — the broker-side
     behavior p_zmq_set_topic relies on (src/zmq_common.c:482)."""
 
+    # per-entry: (conn, filter list, per-connection send lock) — the
+    # send lock serializes concurrent publish() callers on one socket
+    # so interleaved _send_frame writes can't corrupt ZMTP framing
     def __init__(self, host: str = "127.0.0.1", port: int = 0):
         self.host, self.port = host, port
-        self._subs: list[tuple[socket.socket, list[bytes]]] = []
+        self._subs: list[
+            tuple[socket.socket, list[bytes], threading.Lock]
+        ] = []
         self._lock = threading.Lock()
         self._srv: socket.socket | None = None
 
@@ -321,31 +327,65 @@ class ZmtpPubServer:
         except OSError:
             pass
 
+    def subscriptions(self) -> list[tuple[bytes, ...]]:
+        """Snapshot of each connected subscriber's filter prefixes.
+
+        ZMTP's slow-joiner window is real: a subscriber's SUBSCRIBE
+        command rides the message channel AFTER the handshake, so
+        "connection registered" does not mean "filter registered" and
+        a publish in between is silently prefix-filtered away (the
+        same behavior libzmq documents for PUB/SUB). Callers that need
+        delivery guarantees wait on THIS — filter presence — not on
+        connection count."""
+        with self._lock:
+            return [tuple(filters) for _, filters, _ in self._subs]
+
+    def wait_subscribed(self, n: int, timeout: float = 20.0) -> bool:
+        """Block until >= n subscribers each have >= 1 filter
+        registered. Returns True on success, False on timeout."""
+        deadline = time.monotonic() + timeout
+        while True:
+            if sum(1 for f in self.subscriptions() if f) >= n:
+                return True
+            if time.monotonic() >= deadline:
+                return False
+            time.sleep(0.01)
+
     def publish(self, message: bytes) -> None:
         """Forward to every subscriber whose filter prefix-matches.
 
         The send happens OUTSIDE the server lock: one stalled
         subscriber (full TCP buffer) must not block other publishes or
-        subscription updates. Dead connections are pruned in a second
-        locked pass."""
+        subscription updates. Each connection's send is serialized by
+        its own small lock so concurrent publishers can't interleave
+        frame bytes. The socket-level timeout is never touched here —
+        the per-subscriber _serve thread is concurrently recv-blocking
+        on the same socket, and a send-side SO_SNDTIMEO (set once at
+        accept) bounds a stalled send without poisoning that recv.
+        Dead connections are pruned in a second locked pass."""
         with self._lock:
             targets = [
-                (conn, filters)
-                for conn, filters in self._subs
-                if any(message.startswith(f) for f in filters)
+                entry
+                for entry in self._subs
+                if any(message.startswith(f) for f in entry[1])
             ]
         dead = []
-        for conn, filters in targets:
+        for entry in targets:
+            conn, _filters, sendlock = entry
             try:
-                conn.settimeout(5.0)
-                _send_frame(conn, message)
+                with sendlock:
+                    _send_frame(conn, message)
             except OSError:
-                dead.append((conn, filters))
+                dead.append(entry)
         if dead:
             with self._lock:
                 for entry in dead:
                     if entry in self._subs:
                         self._subs.remove(entry)
+                    try:
+                        entry[0].close()
+                    except OSError:
+                        pass
 
     def _accept_loop(self) -> None:
         while True:
