@@ -48,79 +48,49 @@ def register(name: str, oracle: str | None = None):
 # curation/dedup/ANN pipeline, and TPC-H relational — instead of the
 # registration order, which front-loaded agg/hist/client.
 _DRIVER_WINDOW = [
-    # ROUND-6 ROTATION (VERDICT r5 "Next round #2"): 70 of the 159
-    # gated queries had never been driver-sampled after five rounds —
-    # this window swaps in 44 first-time names (every one already green
-    # under the identical value-hash check in tests/test_oracle_parity
-    # and the local driver sim), keeping 6 anchors for continuity with
-    # r1–r5. Everything rotated OUT keeps local parity coverage.
+    # ROUND-8 ROTATION (VERDICT r7 "Next round #2"): after r7, 36 of
+    # the 169 gated queries had never earned a driver-side CORRECTNESS
+    # row (they pass the identical value-hash check locally in
+    # tests/test_oracle_parity.py, but the driver's sf0.01 run is the
+    # hard signal). This window swaps ALL 36 in at once, keeping 12
+    # anchors — one per always-on family — for continuity with r1–r7.
+    # Everything rotated out keeps local parity coverage.
     #
-    # anchors (sampled in prior rounds; one per always-on family)
-    "agg_host_pairs", "v5_wire_loop_agg", "bgp_addpath_rib_lookup",
-    "dedup_minhash_lsh", "stream_hist_5m_proto",
-    "multimodal_decode_features",
-    # NEW this round: calendar-month pro-rating (the one semantic hole
-    # VERDICT r5 carried — month buckets with exact 28/29/30/31-day
-    # overlap weights)
-    "hist_month_prorate",
-    # relational / TPC-H — the 20 shapes that had never been sampled
-    # (q1 was r1–r4, q21 was r5)
-    "tpch_q2_min_cost_supplier", "tpch_q3_shipping_priority",
-    "tpch_q4_order_priority", "tpch_q5_local_supplier",
-    "tpch_q6_forecast_revenue", "tpch_q7_volume_shipping",
-    "tpch_q8_market_share", "tpch_q9_product_profit",
-    "tpch_q10_returned_items", "tpch_q11_important_stock",
-    "tpch_q12_priority_by_status", "tpch_q13_customer_distribution",
-    "tpch_q14_promo_revenue", "tpch_q15_top_supplier",
-    "tpch_q16_supplier_relationship", "tpch_q17_small_quantity",
-    "tpch_q18_large_orders", "tpch_q19_disjunctive",
-    "tpch_q20_part_promotion", "tpch_q22_idle_customers",
-    # retrieval / tokenization / curation first-timers
-    "bm25_keyword_topk", "corpus_bigram_topk", "bpe_pair_counts",
-    "epoch_shard_shuffle", "ann_pq_adc_topk", "stream_dedup_exact",
-    # NEW round 6: SemDeDup cluster-then-prune and ExactSubstr
-    # duplicated-window fraction + DSIR importance resampling — the
-    # three curation operators added this round, driver-checked on
-    # arrival (replacing dedup_simhash / dedup_ngram_jaccard /
-    # text_fingerprint, never-sampled but with window siblings
-    # covering their families: minhash + stream_dedup_exact for
-    # dedup, four text-family entries below; all keep local parity)
-    "dedup_semdedup_prune", "dedup_exact_substring",
-    "dsir_importance_weights",
-    # NEW round 6 (late additions): UniMax budget allocation, the IVF
-    # k-means codebook trainer, and DPR-style hard-negative mining —
-    # driver-checked on arrival (replacing text_token_counts /
-    # text_rarity_score — family keeps lang_id + repetition in the
-    # window and quality_features history from r3-r5 — and
-    # sflow_v6_loop, whose family keeps sflow_counter_log_stream in
-    # the window and sflow_wire_loop_renorm history from r4-r5; all
-    # three rotated-out names keep local parity)
-    "unimax_lang_budget", "ann_ivf_train_kmeans",
-    "retrieval_hard_negatives",
-    # NEW this round: gRPC dial-out message layer (MdtDialoutArgs over
-    # gRPC framing — the HTTP/2 transport is tested live); replaces
-    # dedup_cross_corpus in the window, whose family is sampled by
-    # four siblings (cross_corpus keeps local parity)
-    "telemetry_grpc_dialout_wire_loop",
-    # text-analysis family (quality_features was sampled r3–r5; these
-    # five never were)
-    "text_lang_id", "text_repetition_metrics",
-    # logdump family (r5 additions, never sampled)
-    "bgp_msglog_stream", "sflow_counter_log_stream",
-    # wire-format loops never sampled (l2/v6 MAC-render + NAT/MPLS
-    # paths — also the r5 bench-regression pair, so the driver now
-    # value-checks them directly)
-    "l2_wire_loop", "mpls_wire_loop", "nat_wire_loop",
-    # NEW round 6: gRPC dial-in message layer (CreateSubsReply stream;
-    # transport tested live) — replaces options_vrf_wire_enrich, whose
-    # options family was driver-sampled r4/r5 (sampling_options);
-    # vrf keeps local parity
-    "telemetry_grpc_dialin_wire_loop",
-    # telemetry: Cisco MDT framing (UDP-Notif was sampled r5)
-    "telemetry_cisco_mdt_wire_loop",
-    # BGP/BMP: the dump-accounting join (msglog + RIB families above)
-    "bmp_wire_dump_accounting",
+    # anchors (driver-sampled in prior rounds; one per family)
+    "agg_host_pairs",            # core aggregation
+    "v5_wire_loop_agg",          # NetFlow wire decode
+    "stream_hist_5m_proto",      # structured-streaming windows
+    "bgp_addpath_rib_lookup",    # BGP RIB + LPM
+    "bmp_wire_dump_accounting",  # BMP dump join
+    "dedup_minhash_lsh",         # LSH near-dup
+    "stream_dedup_exact",        # streaming state-store dedup
+    "multimodal_decode_features",  # Arrow mapInPandas plumbing
+    "hist_month_prorate",        # calendar pro-rating
+    "telemetry_cisco_mdt_wire_loop",  # MDT framing (+ r8 gpb_kv)
+    "bm25_keyword_topk",         # retrieval
+    "tpch_q6_forecast_revenue",  # TPC-H relational
+    # NEW round 8: IPv6 fragment reassembly (RFC 8200 ext-chain walk +
+    # (src128, dst128, ident)-keyed assembly — reference
+    # src/ip_frag.c:302-315), driver-checked on arrival
+    "ipfrag6_reassembly",
+    # the 36 never-driver-sampled queries (VERDICT r7 list, complete)
+    "ann_brute_force_topk", "ann_lsh_bucketed_topk", "ann_rrf_fusion",
+    "anti_join_parts_never_shipped", "bgp_comm_roa", "bgp_lookup_attrs",
+    "bgp_peer_src_as_map", "bgp_src_lookup", "dedup_cross_corpus",
+    "dedup_embedding_cosine", "dedup_embedding_cosine_hof",
+    "dedup_ngram_jaccard", "dedup_simhash", "distinct_hosts_per_proto",
+    "doc_chunking", "embedding_centroids_per_label",
+    "fsrc_priority_sampling", "grouping_sets_channels",
+    "heavy_hitters_countmin", "join_lineitem_orders_filtered",
+    "join_revenue_by_nation", "label_render", "networks_filter_zero",
+    "options_vrf_wire_enrich", "post_tag_override",
+    "presentation_render", "semi_join_suppliers",
+    "sessionize_user_events", "set_ops_ports", "sflow_v6_loop",
+    "stream_hist_5m_peer", "temperature_mix_sampling",
+    "text_fingerprint", "text_rarity_score", "text_token_counts",
+    "union_event_sources",
 ]
+
 
 
 def queries() -> dict[str, QueryFn]:

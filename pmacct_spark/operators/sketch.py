@@ -86,10 +86,16 @@ def countmin_heavy_hitters(
         .groupBy("key", "wsum")
         .agg(F.min("cnt").cast("bigint").alias("est"))
     )
+    # Top-k via orderBy().limit(k): Spark plans TakeOrderedAndProject —
+    # a per-partition bounded heap plus a k-row merge on the driver —
+    # instead of funnelling every per-key estimate through one
+    # partition for a global-Window sort. The rank Window below runs
+    # AFTER the limit, over <= k rows, so its single partition is
+    # constant-size regardless of key cardinality.
+    topk = est.orderBy(F.desc("est"), F.asc("key")).limit(k)
     win = Window.orderBy(F.desc("est"), F.asc("key"))
     return (
-        est.withColumn("rank", F.row_number().over(win).cast("bigint"))
-        .filter(F.col("rank") <= k)
+        topk.withColumn("rank", F.row_number().over(win).cast("bigint"))
         .select(
             F.col("key").alias("host"),
             F.col("est").alias("est_bytes"),

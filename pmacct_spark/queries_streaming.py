@@ -1026,3 +1026,77 @@ def sflow_counter_log_stream(spark, sf_dir):
         "if_in_octets", "if_in_ucast", "if_in_errors",
         "if_out_octets", "if_out_ucast", "if_out_errors",
     )
+
+
+@register(
+    "ipfrag6_reassembly",
+    f"""{FLOWS_DUCK_CTE}
+SELECT CAST(ip_proto AS BIGINT) AS ip_proto,
+       COUNT(*) AS datagrams,
+       CAST(SUM(24 + (event_id % 5) * 8) AS BIGINT) AS total_bytes,
+       CAST(SUM((24 + (event_id % 5) * 8 + 15) // 16) AS BIGINT) AS n_frags
+FROM flows
+WHERE event_id % 3 = 0 AND event_id % 11 <> 0
+GROUP BY 1""",
+)
+def ipfrag6_reassembly(spark, sf_dir):
+    """IPv6 fragment reassembly on the wire, oracle-gated (reference
+    src/ip_frag.c:302-315 ip6_fragment_handler + src/nl.c ip6_handler
+    extension-chain walk): flows -> per-fragment RFC 8200 packets
+    (fixed header + hop-by-hop + destination-options + Fragment
+    header, offsets in 8-octet units, M bit) -> pure-JVM chain walk
+    (ip6_parse_fragments) -> (src128, dst128, ident)-keyed reassembly
+    (ip6_defrag) -> per-protocol accounting of complete datagrams.
+    Chains whose tail fragment never arrives (event_id % 11 = 0 —
+    the tail is filtered out before 'transmission') must be dropped,
+    mirroring the reference's timeout discard; the oracle excludes
+    them arithmetically."""
+    from pmacct_spark.driver_queries import flows as flows_view_fn
+    from pmacct_spark.operators.ipfrag import (
+        ip6_defrag,
+        ip6_parse_fragments,
+    )
+
+    fl = flows_view_fn(spark, sf_dir).filter("event_id % 3 = 0").selectExpr(
+        "event_id", "ip_src_i", "ip_dst_i", "ip_proto",
+        "24 + (event_id % 5) * 8 AS L",
+    )
+    frag = (
+        fl.selectExpr("*", "CAST((L + 15) DIV 16 AS INT) AS nchunks")
+        .selectExpr("*", "explode(sequence(0, nchunks - 1)) AS i")
+        .filter("NOT (event_id % 11 = 0 AND i = nchunks - 1)")
+        .selectExpr(
+            "event_id", "ip_src_i", "ip_dst_i", "ip_proto",
+            "CAST(least(16, L - i * 16) AS INT) AS chunk_len",
+            "i * 16 AS off",
+            "i < nchunks - 1 AS mf",
+        )
+    )
+    # RFC 8200 packet per fragment: 40-byte fixed header (nh = 0,
+    # hop-by-hop), 8-byte hop-by-hop (next = 60), 8-byte dest-options
+    # (next = 44), 8-byte Fragment header (next = the real protocol;
+    # 16-bit field = byte-offset | M since offsets are 8-octet
+    # multiples), then the chunk bytes. All JVM-side concat/unhex.
+    pkt = frag.selectExpr(
+        "concat("
+        " X'60000000',"
+        " unhex(lpad(hex(24 + chunk_len), 4, '0')),"
+        " X'0040',"
+        " unhex(lpad(hex(ip_src_i), 32, '0')),"
+        " unhex(lpad(hex(ip_dst_i), 32, '0')),"
+        " X'3C00000000000000',"
+        " X'2C00000000000000',"
+        " unhex(lpad(hex(ip_proto), 2, '0')), X'00',"
+        " unhex(lpad(hex(off + IF(mf, 1, 0)), 4, '0')),"
+        " unhex(lpad(hex(event_id % 4294967296), 8, '0')),"
+        " CAST(repeat(chr(65 + event_id % 26), chunk_len) AS BINARY)"
+        ") AS pkt"
+    )
+    asm = ip6_defrag(ip6_parse_fragments(pkt))
+    return asm.groupBy(
+        F.col("ip_proto").cast("bigint").alias("ip_proto")
+    ).agg(
+        F.count(F.lit(1)).alias("datagrams"),
+        F.sum("total_len").cast("bigint").alias("total_bytes"),
+        F.sum("n_frags").cast("bigint").alias("n_frags"),
+    )

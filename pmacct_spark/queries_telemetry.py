@@ -143,16 +143,30 @@ SELECT event_type AS device,
        CAST(MAX(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS k_max,
        COUNT(*) AS n_json,
        CAST(SUM(CASE WHEN event_id % 7 = 0 THEN 1 ELSE 0 END) AS BIGINT)
-         AS n_gpb
+         AS n_gpb,
+       CAST(SUM(CASE WHEN event_id % 5 = 0
+                     THEN CAST(json_extract(props, '$.k') AS BIGINT)
+                     ELSE 0 END) AS BIGINT) AS kv_sum,
+       CAST(SUM(CASE WHEN event_id % 5 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_kv
 FROM events GROUP BY 1""",
 )
 def telemetry_cisco_mdt_loop(spark, sf_dir):
+    """Extended round 8: every 5th event also ships a SELF-DESCRIBING
+    KV GPB frame (Telemetry/TelemetryField tree — the reference's
+    gpb_kv dispatch, src/telemetry/telemetry_msg.c:150-246) whose
+    content/k leaf is decoded by the pure-Python varint/tag walker
+    (streaming/telemetry.py decode_gpb_kv) and value-checked against
+    the oracle — GPB-KV is no longer surfaced as opaque bytes."""
     from pmacct_spark.streaming.telemetry import (
         CISCO_GPB_COMPACT,
+        CISCO_GPB_KV,
         CISCO_JSON,
         CISCO_RESET_COMPRESSOR,
         decode_cisco_mdt,
+        decode_gpb_kv_fields,
         encode_cisco_frame,
+        encode_gpb_kv,
     )
 
     ev = load_table(spark, sf_dir, "events").select(
@@ -177,6 +191,19 @@ def telemetry_cisco_mdt_loop(spark, sf_dir):
                     chunk += encode_cisco_frame(
                         CISCO_GPB_COMPACT, b"\x0a\x03gpb"
                     )
+                if int(r.event_id) % 5 == 0:
+                    import json as _json
+
+                    k = int(_json.loads(r.props)["k"])
+                    chunk += encode_cisco_frame(
+                        CISCO_GPB_KV,
+                        encode_gpb_kv(
+                            str(r.event_type),
+                            "Cisco-IOS-XR:stats",
+                            {"k": k},
+                            msg_timestamp=int(r.event_id),
+                        ),
+                    )
                 out.append((str(r.event_type), int(r.event_id), chunk))
             yield pd.DataFrame(
                 out, columns=["exporter_ip", "seqno", "payload"]
@@ -186,7 +213,18 @@ def telemetry_cisco_mdt_loop(spark, sf_dir):
         enc, "exporter_ip string, seqno long, payload binary"
     )
     msgs = decode_cisco_mdt(dg, version=1)
-    return msgs.groupBy(F.col("exporter_ip").alias("device")).agg(
+    # KV leaves: the walker names them content/<field>; per-device sum
+    # of the decoded k proves value-level (not just framing) parity
+    kv = (
+        decode_gpb_kv_fields(msgs.filter(F.col("decoder") == "gpb_kv"))
+        .filter(F.col("name") == "content/k")
+        .groupBy(F.col("exporter_ip").alias("device"))
+        .agg(
+            F.sum("uval").cast("bigint").alias("kv_sum"),
+            F.count(F.lit(1)).alias("n_kv"),
+        )
+    )
+    agg = msgs.groupBy(F.col("exporter_ip").alias("device")).agg(
         F.sum(
             F.when(
                 F.col("decoder") == "json",
@@ -205,6 +243,13 @@ def telemetry_cisco_mdt_loop(spark, sf_dir):
         F.sum(
             F.when(F.col("decoder") == "gpb_compact", 1).otherwise(0)
         ).cast("bigint").alias("n_gpb"),
+    )
+    # devices are few (event_type cardinality), kv agg is tiny:
+    # broadcast the joined side; devices with no %5 event get 0s
+    return agg.join(F.broadcast(kv), "device", "left").select(
+        "device", "k_sum", "k_max", "n_json", "n_gpb",
+        F.coalesce("kv_sum", F.lit(0)).cast("bigint").alias("kv_sum"),
+        F.coalesce("n_kv", F.lit(0)).cast("bigint").alias("n_kv"),
     )
 
 

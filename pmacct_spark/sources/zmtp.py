@@ -382,10 +382,11 @@ class ZmtpPubServer:
                 for entry in dead:
                     if entry in self._subs:
                         self._subs.remove(entry)
-                    try:
-                        entry[0].close()
-                    except OSError:
-                        pass
+            for entry in dead:
+                try:
+                    entry[0].close()
+                except OSError:
+                    pass
 
     def _accept_loop(self) -> None:
         while True:
@@ -403,9 +404,19 @@ class ZmtpPubServer:
         except (ConnectionError, ValueError, IndexError, struct.error):
             conn.close()
             return
+        # SO_SNDTIMEO bounds a stalled publish-side sendall() (full TCP
+        # buffer on one slow subscriber) without poisoning this thread's
+        # concurrent recv on the same socket — a socket-object
+        # settimeout() would apply to both directions.
+        conn.setsockopt(
+            socket.SOL_SOCKET,
+            socket.SO_SNDTIMEO,
+            struct.pack("ll", 5, 0),
+        )
         filters: list[bytes] = []
+        entry = (conn, filters, threading.Lock())
         with self._lock:
-            self._subs.append((conn, filters))
+            self._subs.append(entry)
         try:
             while True:
                 flags, body = _recv_frame(conn)
@@ -421,8 +432,8 @@ class ZmtpPubServer:
                             filters.remove(body[1:])
         except (ConnectionError, ValueError, IndexError, struct.error):
             with self._lock:
-                if (conn, filters) in self._subs:
-                    self._subs.remove((conn, filters))
+                if entry in self._subs:
+                    self._subs.remove(entry)
             conn.close()
 
 

@@ -25,6 +25,7 @@ Implemented here, Spark-first:
 
 from __future__ import annotations
 
+import struct
 from collections.abc import Iterator
 
 import pandas as pd
@@ -135,12 +136,228 @@ def decode_cisco_mdt(datagrams: DataFrame, version: int = 1) -> DataFrame:
     return datagrams.mapInPandas(gen, TELEMETRY_MSG_SCHEMA)
 
 
-def decode_gpb_payload(raw: bytes):  # pragma: no cover - capability guard
-    """Real GPB (compact or self-describing KV) decode requires the
-    platform's protobuf bindings, absent in this environment. The
-    framing/dispatch above is complete; plug a generated decoder here."""
+# --- GPB self-describing KV (Cisco MDT telemetry "big.proto":
+#     Telemetry / TelemetryField, public cisco-ie/cisco-proto; the
+#     reference dispatches gpb/gpb_kv payloads in
+#     src/telemetry/telemetry_msg.c:150-246). The KV flavor is
+#     SELF-DESCRIBING — every field carries its own name and value
+#     type — so a generic varint/tag walker decodes it completely
+#     without generated bindings. Only gpb_compact (positional fields
+#     against a per-path .proto) genuinely needs platform schemas.
+
+
+def _pb_read_varint(b: bytes, off: int) -> tuple[int, int]:
+    x = s = 0
+    while True:
+        c = b[off]
+        off += 1
+        x |= (c & 0x7F) << s
+        if not c & 0x80:
+            return x, off
+        s += 7
+
+
+def _pb_walk(b: bytes):
+    """Yield (field_no, wire_type, value) over one message's bytes.
+    wt 0 -> int, wt 1/5 -> 8/4 raw bytes, wt 2 -> bytes."""
+    off, n = 0, len(b)
+    while off < n:
+        key, off = _pb_read_varint(b, off)
+        fno, wt = key >> 3, key & 7
+        if wt == 0:
+            val, off = _pb_read_varint(b, off)
+        elif wt == 1:
+            val, off = b[off : off + 8], off + 8
+        elif wt == 2:
+            ln, off = _pb_read_varint(b, off)
+            val, off = b[off : off + ln], off + ln
+        elif wt == 5:
+            val, off = b[off : off + 4], off + 4
+        else:
+            raise ValueError(f"unsupported protobuf wire type {wt}")
+        yield fno, wt, val
+
+
+def _kv_leaves(buf: bytes, prefix: tuple[str, ...]) -> list[tuple[str, object]]:
+    """Flatten one TelemetryField subtree to [(joined_name, value)].
+    Field numbers per the public big.proto: 2 name; 4 bytes / 5 string
+    / 6 bool / 7 uint32 / 8 uint64 / 9 sint32 / 10 sint64 / 11 double
+    / 12 float (the value_by_type oneof); 15 nested fields."""
+    name = ""
+    value: object | None = None
+    children: list[bytes] = []
+    for fno, wt, val in _pb_walk(buf):
+        if fno == 2 and wt == 2:
+            name = val.decode("utf-8", "replace")
+        elif fno == 4 and wt == 2:
+            value = bytes(val)
+        elif fno == 5 and wt == 2:
+            value = val.decode("utf-8", "replace")
+        elif fno == 6 and wt == 0:
+            value = bool(val)
+        elif fno in (7, 8) and wt == 0:
+            value = int(val)
+        elif fno in (9, 10) and wt == 0:  # zigzag
+            value = (val >> 1) ^ -(val & 1)
+        elif fno == 11 and wt == 1:
+            value = struct.unpack("<d", val)[0]
+        elif fno == 12 and wt == 5:
+            value = struct.unpack("<f", val)[0]
+        elif fno == 15 and wt == 2:
+            children.append(val)
+    path = prefix + ((name,) if name else ())
+    if children:
+        out: list[tuple[str, object]] = []
+        for c in children:
+            out.extend(_kv_leaves(c, path))
+        return out
+    if value is None:
+        return []
+    return [("/".join(path), value)]
+
+
+def decode_gpb_kv(raw: bytes) -> dict:
+    """Parse one self-describing-KV Telemetry message: header strings
+    (node_id_str=1, subscription_id_str=3, encoding_path=6,
+    msg_timestamp=10) plus the data_gpbkv (11) trees flattened to
+    (slash-joined name, typed value) leaves."""
+    out: dict = {
+        "node_id": None,
+        "subscription_id": None,
+        "encoding_path": None,
+        "msg_timestamp": None,
+        "fields": [],
+    }
+    for fno, wt, val in _pb_walk(raw):
+        if fno == 1 and wt == 2:
+            out["node_id"] = val.decode("utf-8", "replace")
+        elif fno == 3 and wt == 2:
+            out["subscription_id"] = val.decode("utf-8", "replace")
+        elif fno == 6 and wt == 2:
+            out["encoding_path"] = val.decode("utf-8", "replace")
+        elif fno == 10 and wt == 0:
+            out["msg_timestamp"] = int(val)
+        elif fno == 11 and wt == 2:
+            out["fields"].extend(_kv_leaves(val, ()))
+    return out
+
+
+def _pb_varint(x: int) -> bytes:
+    out = bytearray()
+    while True:
+        b7 = x & 0x7F
+        x >>= 7
+        if x:
+            out.append(b7 | 0x80)
+        else:
+            out.append(b7)
+            return bytes(out)
+
+
+def _pb_field(fno: int, wt: int, payload: bytes | int) -> bytes:
+    key = _pb_varint((fno << 3) | wt)
+    if wt == 0:
+        return key + _pb_varint(int(payload))
+    if wt == 2:
+        return key + _pb_varint(len(payload)) + payload
+    return key + payload  # wt 1 / 5: caller passes fixed-width bytes
+
+
+def _encode_kv_field(name: str, value) -> bytes:
+    """One TelemetryField: leaf for scalars, nested tree for dicts."""
+    body = _pb_field(2, 2, name.encode())
+    if isinstance(value, dict):
+        for k, v in value.items():
+            body += _pb_field(15, 2, _encode_kv_field(k, v))
+    elif isinstance(value, bool):
+        body += _pb_field(6, 0, int(value))
+    elif isinstance(value, int):
+        if value >= 0:
+            body += _pb_field(8, 0, value)  # uint64_value
+        else:  # sint64_value, zigzag
+            body += _pb_field(10, 0, ((value << 1) ^ (value >> 63)) & ((1 << 64) - 1))
+    elif isinstance(value, float):
+        body += _pb_field(11, 1, struct.pack("<d", value))
+    elif isinstance(value, bytes):
+        body += _pb_field(4, 2, value)
+    else:
+        body += _pb_field(5, 2, str(value).encode())
+    return body
+
+
+def encode_gpb_kv(
+    node_id: str,
+    encoding_path: str,
+    kv: dict,
+    msg_timestamp: int = 0,
+    subscription_id: str = "sub0",
+) -> bytes:
+    """One self-describing-KV Telemetry message (test/export side)."""
+    msg = (
+        _pb_field(1, 2, node_id.encode())
+        + _pb_field(3, 2, subscription_id.encode())
+        + _pb_field(6, 2, encoding_path.encode())
+        + _pb_field(10, 0, msg_timestamp)
+        + _pb_field(11, 2, _encode_kv_field("keys", {}))
+        + _pb_field(11, 2, _encode_kv_field("content", kv))
+    )
+    return msg
+
+
+GPB_KV_SCHEMA = T.StructType(
+    [
+        T.StructField("exporter_ip", T.StringType()),
+        T.StructField("seqno", T.LongType()),
+        T.StructField("node_id", T.StringType()),
+        T.StructField("encoding_path", T.StringType()),
+        T.StructField("name", T.StringType()),
+        T.StructField("uval", T.LongType()),
+        T.StructField("sval", T.StringType()),
+    ]
+)
+
+
+def decode_gpb_kv_fields(msgs: DataFrame) -> DataFrame:
+    """Explode decoder='gpb_kv' messages into one row per KV leaf —
+    integer-family values in ``uval``, everything else rendered to
+    ``sval``. Arrow-batched; non-KV rows pass through untouched
+    upstream (filter on decoder first to prune the scan)."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = [f.name for f in GPB_KV_SCHEMA.fields]
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                if r.decoder != "gpb_kv" or r.payload_raw is None:
+                    continue
+                t = decode_gpb_kv(bytes(r.payload_raw))
+                for name, v in t["fields"]:
+                    is_int = isinstance(v, (bool, int))
+                    rows.append(
+                        (
+                            str(r.exporter_ip),
+                            int(r.seqno),
+                            t["node_id"],
+                            t["encoding_path"],
+                            name,
+                            int(v) if is_int else None,
+                            None if is_int else str(v),
+                        )
+                    )
+            yield pd.DataFrame(rows, columns=cols)
+
+    return msgs.mapInPandas(gen, GPB_KV_SCHEMA)
+
+
+def decode_gpb_payload(raw: bytes, kind: str = "gpb_kv"):
+    """Self-describing KV decodes natively (``decode_gpb_kv`` — no
+    bindings needed). Only compact GPB, whose fields are positional
+    against a per-encoding-path generated schema, still requires
+    platform .proto bindings absent in this environment."""
+    if kind == "gpb_kv":
+        return decode_gpb_kv(raw)
     raise NotImplementedError(
-        "GPB telemetry payload decode requires protobuf bindings; "
+        "compact GPB decode requires the per-path generated schema; "
         "payload_raw carries the intact message bytes"
     )
 

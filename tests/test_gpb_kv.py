@@ -1,0 +1,110 @@
+"""GPB self-describing-KV walker (Cisco MDT Telemetry/TelemetryField,
+public big.proto; reference dispatch src/telemetry/telemetry_msg.c:
+150-246): pure-Python varint/tag walk, every value_by_type branch,
+nested trees, zigzag, and the Arrow-batched DataFrame explode."""
+
+from __future__ import annotations
+
+import struct
+
+from hypothesis import given, settings, strategies as st
+
+from pmacct_spark.streaming.telemetry import (
+    _pb_field,
+    decode_gpb_kv,
+    decode_gpb_kv_fields,
+    encode_gpb_kv,
+)
+
+
+def test_all_value_types_roundtrip():
+    kv = {
+        "u64": 2**53,
+        "neg": -(2**40),
+        "flag": True,
+        "s": "hello",
+        "raw": b"\x00\xff",
+        "d": 2.5,
+    }
+    t = decode_gpb_kv(encode_gpb_kv("n1", "p/a:b", kv, msg_timestamp=7))
+    assert t["node_id"] == "n1"
+    assert t["encoding_path"] == "p/a:b"
+    assert t["subscription_id"] == "sub0"
+    assert t["msg_timestamp"] == 7
+    leaves = dict(t["fields"])
+    assert leaves == {
+        "content/u64": 2**53,
+        "content/neg": -(2**40),
+        "content/flag": True,
+        "content/s": "hello",
+        "content/raw": b"\x00\xff",
+        "content/d": 2.5,
+    }
+
+
+def test_nested_tree_flattens_with_slash_paths():
+    kv = {"iface": {"ge0": {"in": 10, "out": 20}, "ge1": {"in": 1}}}
+    leaves = dict(
+        decode_gpb_kv(encode_gpb_kv("n", "p", kv))["fields"]
+    )
+    assert leaves == {
+        "content/iface/ge0/in": 10,
+        "content/iface/ge0/out": 20,
+        "content/iface/ge1/in": 1,
+    }
+
+
+def test_float_fixed32_and_unknown_fields_skipped():
+    # hand-build a TelemetryField with float_value (12, wt 5) plus an
+    # unknown field number the walker must skip without derailing
+    body = (
+        _pb_field(2, 2, b"load")
+        + _pb_field(12, 5, struct.pack("<f", 0.5))
+        + _pb_field(19, 0, 9)  # unknown varint field
+    )
+    msg = _pb_field(1, 2, b"n") + _pb_field(11, 2, body)
+    assert dict(decode_gpb_kv(msg)["fields"]) == {"load": 0.5}
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    st.dictionaries(
+        st.text(
+            alphabet=st.characters(min_codepoint=33, max_codepoint=126),
+            min_size=1,
+            max_size=8,
+        ),
+        st.one_of(
+            st.integers(min_value=-(2**63), max_value=2**64 - 1),
+            st.booleans(),
+            st.text(max_size=16),
+        ),
+        max_size=6,
+    )
+)
+def test_kv_roundtrip_property(kv):
+    leaves = dict(decode_gpb_kv(encode_gpb_kv("n", "p", kv))["fields"])
+    assert leaves == {f"content/{k}": v for k, v in kv.items()}
+
+
+def test_decode_gpb_kv_fields_dataframe(spark):
+    from pmacct_spark.streaming.telemetry import TELEMETRY_MSG_SCHEMA
+
+    msgs = spark.createDataFrame(
+        [
+            ("10.0.0.1", 1, "gpb_kv", None,
+             bytearray(encode_gpb_kv("r1", "p", {"k": 5, "s": "x"}))),
+            ("10.0.0.1", 2, "json", '{"k": 9}', None),  # passed over
+            ("10.0.0.2", 3, "gpb_kv", None,
+             bytearray(encode_gpb_kv("r2", "p", {"k": 7}))),
+        ],
+        TELEMETRY_MSG_SCHEMA,
+    )
+    rows = decode_gpb_kv_fields(msgs).collect()
+    got = {(r["exporter_ip"], r["name"]): (r["node_id"], r["uval"], r["sval"])
+           for r in rows}
+    assert got == {
+        ("10.0.0.1", "content/k"): ("r1", 5, None),
+        ("10.0.0.1", "content/s"): ("r1", None, "x"),
+        ("10.0.0.2", "content/k"): ("r2", 7, None),
+    }

@@ -319,3 +319,21 @@ def test_no_forced_broadcast_of_sf_linear_tables(spark):
                     f"{name}: broadcast hint covers SF-linear table "
                     f"'{table}' (marker column {marker})"
                 )
+
+
+def test_countmin_topk_avoids_global_window_sort(spark):
+    """heavy_hitters_countmin's top-k must plan TakeOrderedAndProject
+    (per-partition bounded heap + k-row driver merge), not a global
+    single-partition Window sort over the SF-linear per-key estimate
+    table. The rank Window is allowed only ABOVE the k-row limit."""
+    df = entrymod.queries()["heavy_hitters_countmin"](spark, SF_DIR)
+    plan = _plan(df)
+    assert "TakeOrderedAndProject" in plan, plan
+    # any Window node must sit above the bounded top-k, i.e. the plan
+    # orders as ...Window... -> ...TakeOrderedAndProject... (formatted
+    # explain lists operators top-down, consumer first)
+    tree = plan.split("\n\n")[0]  # tree only; drop per-operator details
+    lines = tree.splitlines()
+    win_idx = [i for i, ln in enumerate(lines) if " Window" in ln]
+    top_idx = [i for i, ln in enumerate(lines) if "TakeOrderedAndProject" in ln]
+    assert all(w < min(top_idx) for w in win_idx), plan

@@ -97,13 +97,19 @@ def test_telemetry_cisco_dialout_live(spark, tmp_path):
         CISCO_JSON,
         CISCO_RESET_COMPRESSOR,
         decode_cisco_mdt,
+        decode_gpb_kv,
         encode_cisco_frame,
+        encode_gpb_kv,
     )
 
+    kv_msg = encode_gpb_kv(
+        "rtrA", "Cisco-IOS-XR:ifstats", {"in_octets": 1234, "if": "ge0"},
+        msg_timestamp=99,
+    )
     stream = (
         encode_cisco_frame(CISCO_JSON, b'{"k": 5, "path": "ifmib"}')
         + encode_cisco_frame(CISCO_RESET_COMPRESSOR, b"")
-        + encode_cisco_frame(CISCO_GPB_KV, b"\x0a\x02kv")
+        + encode_cisco_frame(CISCO_GPB_KV, kv_msg)
         + encode_cisco_frame(CISCO_JSON, b'{"k": 7, "path": "qos"}')
     )
     with TcpSpool(
@@ -127,7 +133,15 @@ def test_telemetry_cisco_dialout_live(spark, tmp_path):
     by_seq = sorted(rows, key=lambda r: r["seqno"])
     assert [r["decoder"] for r in by_seq] == ["json", "gpb_kv", "json"]
     assert '"k": 5' in by_seq[0]["payload_json"]
-    assert bytes(by_seq[1]["payload_raw"]) == b"\x0a\x02kv"
+    # the gpb_kv payload survived the live session byte-exact AND
+    # decodes through the self-describing-KV walker (round 8 — no
+    # longer opaque: src/telemetry/telemetry_msg.c:150-246 dispatch)
+    assert bytes(by_seq[1]["payload_raw"]) == kv_msg
+    t = decode_gpb_kv(bytes(by_seq[1]["payload_raw"]))
+    assert t["node_id"] == "rtrA" and t["msg_timestamp"] == 99
+    leaves = dict(t["fields"])
+    assert leaves["content/in_octets"] == 1234
+    assert leaves["content/if"] == "ge0"
     assert '"k": 7' in by_seq[2]["payload_json"]
 
 

@@ -64,7 +64,9 @@ def test_pub_sub_topic_filtering(spark):
     try:
         sub5 = ZmtpSubClient(pub.host, pub.port, [bytes([5])])
         suball = ZmtpSubClient(pub.host, pub.port, [b""])  # match-all
-        time.sleep(0.1)  # let subscriptions land before publishing
+        # slow-joiner guard: wait for both FILTERS to land, not just the
+        # connections — a publish in between is silently dropped
+        assert pub.wait_subscribed(2)
 
         agg = spark.createDataFrame(
             [(i, i * 10) for i in range(6)], "rec_id long, bytes long"
@@ -115,13 +117,9 @@ def test_pub_prunes_dead_subscriber_and_keeps_publishing(spark):
     try:
         alive = ZmtpSubClient(srv.host, srv.port, [b"topicA"])
         doomed = ZmtpSubClient(srv.host, srv.port, [b"topicA"])
-        # generous waits: under a fully-loaded test host the handshake
-        # threads can take several seconds to schedule (observed flaky
-        # at 5 s during a 14-min full-suite run)
-        t0 = time.monotonic()
-        while len(srv._subs) < 2 and time.monotonic() - t0 < 20:
-            time.sleep(0.05)
-        assert len(srv._subs) == 2
+        # slow-joiner guard: wait until both subscribers' FILTERS are
+        # registered (connection count alone races the SUBSCRIBE frame)
+        assert srv.wait_subscribed(2)
         # hard-close one subscriber socket; publish repeatedly until
         # the dead connection trips the send error and is pruned
         doomed.sock.close()
