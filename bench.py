@@ -25,6 +25,34 @@ def log(msg: str) -> None:
     print(msg, file=sys.stderr, flush=True)
 
 
+def calibrate(duration: float = 1.0) -> dict:
+    """Contention self-flagging (VERDICT r6/r7): a fixed single-thread
+    arithmetic loop timed for ~``duration`` seconds plus the 1/5/15-min
+    load averages. On a quiet host the score is stable run-to-run; a
+    noisy neighbor (steal, other suites) depresses it and inflates
+    loadavg, so a hot-looking bench artifact carries its own evidence
+    (r6's udp_notif 15.1 s outlier was host contamination)."""
+    t_end = time.time() + duration
+    iters = 0
+    x = 1
+    while time.time() < t_end:
+        for _ in range(10000):
+            x = (x * 1103515245 + 12345) % (1 << 31)
+        iters += 10000
+    elapsed = duration + (time.time() - t_end)
+    try:
+        la1, la5, la15 = os.getloadavg()
+    except OSError:  # pragma: no cover
+        la1 = la5 = la15 = -1.0
+    return {
+        "ops_per_sec": round(iters / elapsed),
+        "loadavg_1m": round(la1, 2),
+        "loadavg_5m": round(la5, 2),
+        "loadavg_15m": round(la15, 2),
+        "cpus": os.cpu_count(),
+    }
+
+
 def main() -> int:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
@@ -32,6 +60,9 @@ def main() -> int:
     sf = float(m.group(1)) if m else -1.0
 
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+    cal_pre = calibrate()
+    log(f"calibration (pre): {cal_pre}")
 
     from pyspark.sql import SparkSession
 
@@ -148,12 +179,32 @@ def main() -> int:
             key=lambda t: -t[1],
         )[:inline_cap]
     )
+    cal_post = calibrate()
+    log(f"calibration (post): {cal_post}")
+    # >25% single-thread slowdown between fences, or a loadavg far
+    # above this process's plausible share, marks the run suspect
+    ratio = (
+        cal_post["ops_per_sec"] / cal_pre["ops_per_sec"]
+        if cal_pre["ops_per_sec"]
+        else 1.0
+    )
+    contended = ratio < 0.75 or (
+        cal_pre["cpus"]
+        and max(cal_pre["loadavg_1m"], cal_post["loadavg_1m"])
+        > 1.5 * cal_pre["cpus"]
+    )
     result = {
         "metric": "total_query_wall_sec",
         "value": round(sum(timings.values()), 3),
         "unit": "sec",
         "queries": slowest,
         "sf": sf,
+        "calibration": {
+            "pre": cal_pre,
+            "post": cal_post,
+            "post_over_pre": round(ratio, 3),
+            "contention_suspect": bool(contended),
+        },
     }
     if len(timings) > len(slowest):
         result["queries_note"] = (

@@ -328,9 +328,11 @@ def read_container(path: str) -> list[dict]:
 # register the writer schema under "<topic>-value", then prefix every
 # datum with the 5-byte Confluent frame [magic 0x00][schema id, 4-byte
 # big-endian] so consumers resolve the schema by id. The framing and
-# the registration protocol are implemented here; the HTTP transport is
-# a client object (stubbed in-sandbox — there is no registry to POST
-# to) with the exact subject/versions semantics a real client has.
+# the registration protocol are implemented here; the HTTP transport
+# is pluggable — StubSchemaRegistry below for in-memory use, or the
+# live-socket HTTP/1.1 pair in pmacct_spark/sinks/registry.py
+# (SchemaRegistryServer / HttpSchemaRegistryClient, same two-method
+# surface) exercised in tests/test_avro.py.
 
 REGISTRY_MAGIC = 0
 
