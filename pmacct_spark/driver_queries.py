@@ -68,6 +68,7 @@ _DRIVER_WINDOW = [
     "hist_month_prorate",        # calendar pro-rating
     "telemetry_cisco_mdt_wire_loop",  # MDT framing (+ r8 gpb_kv)
     "bm25_keyword_topk",         # retrieval
+    "dsir_importance_weights",   # curation / importance resampling
     "tpch_q6_forecast_revenue",  # TPC-H relational
     # NEW round 8: IPv6 fragment reassembly (RFC 8200 ext-chain walk +
     # (src128, dst128, ident)-keyed assembly — reference

@@ -3,12 +3,13 @@ internal core->plugin pipe and its Kafka-less pub/sub delivery:
 single-byte topic frame set via p_zmq_set_topic src/zmq_common.c:56,
 PUB/PUSH sockets :348-358, subscriber topic filter :482).
 
-As with sinks/kafka.py and sinks/amqp.py, no broker/socket runs in
-this container, so the testable surface is the wire frame itself:
-a (topic: 1-byte, payload: JSON) pair per record, plus the plugin-pipe
-variant that frames a whole microbatch as one length-prefixed buffer
-(the ring-buffer batching the reference uses between core and plugin,
-docs/INTERNALS:96-125).
+The frame contract is a (topic: 1-byte, payload: JSON) pair per
+record, plus the plugin-pipe variant that frames a whole microbatch as
+one length-prefixed buffer (the ring-buffer batching the reference
+uses between core and plugin, docs/INTERNALS:96-125). Since round 8
+``write_zmq`` publishes over the repo's NATIVE ZMTP 3.0 stack
+(sources/zmtp.ZmtpPubServer) on real sockets — no libzmq required —
+with live subscriber tests in tests/test_zmtp_wire_live.py.
 """
 
 from __future__ import annotations
@@ -73,22 +74,35 @@ def zmq_pipe_buffers(
     return frame.mapInPandas(gen, schema)
 
 
-def write_zmq(frame: DataFrame, endpoint: str) -> None:
-    """Publish via pyzmq (unavailable in this container; the frame is
-    the tested contract)."""
-    try:
-        import zmq  # noqa: F401
-    except ImportError as exc:  # pragma: no cover - no broker in sandbox
-        raise NotImplementedError(
-            "pyzmq is not installed in this environment; zmq_frame() is "
-            "the testable publish contract"
-        ) from exc
-    ctx = zmq.Context()  # pragma: no cover
-    sock = ctx.socket(zmq.PUB)  # pragma: no cover
-    sock.bind(endpoint)  # pragma: no cover
-    for r in frame.toLocalIterator():  # pragma: no cover
-        sock.send(bytes([r["topic"]]) + r["payload"].encode("utf-8"))
-    sock.close()  # pragma: no cover
+def write_zmq(
+    frame: DataFrame, endpoint: str | None = None, server=None
+):
+    """Publish a :func:`zmq_frame` DataFrame over ZMTP 3.0 PUB using
+    the repo's native wire stack (``sources/zmtp.ZmtpPubServer`` — a
+    real loopback-tested implementation of the public protocol, so no
+    libzmq is needed; a libzmq SUB can connect to it). Binds
+    ``endpoint`` (``tcp://host:port``, port 0 = ephemeral) or reuses a
+    caller-started ``server``; sends [topic byte][payload] per record,
+    matching the reference's single-byte topic frame
+    (src/zmq_common.c:56; subscribers prefix-filter :482).
+
+    Driver-side iteration is intentional: the reference's ZMQ plugin
+    is likewise a single-process publisher fed by the core pipe — the
+    socket is the bottleneck, not the iteration. For distributed
+    fan-out use the Kafka/AMQP sinks (foreachPartition producers).
+    Returns the server so callers control its lifetime (stop()).
+    """
+    from pmacct_spark.sources.zmtp import ZmtpPubServer
+
+    if server is None:
+        if endpoint is None:
+            raise ValueError("write_zmq needs an endpoint or a server")
+        hostport = endpoint.removeprefix("tcp://")
+        host, _, port = hostport.rpartition(":")
+        server = ZmtpPubServer(host or "127.0.0.1", int(port)).start()
+    for r in frame.toLocalIterator():
+        server.publish(bytes([r["topic"]]) + r["payload"].encode("utf-8"))
+    return server
 
 
 def zmq_pipe_unpack(buffers: DataFrame) -> DataFrame:

@@ -349,16 +349,63 @@ def decode_gpb_kv_fields(msgs: DataFrame) -> DataFrame:
     return msgs.mapInPandas(gen, GPB_KV_SCHEMA)
 
 
-def decode_gpb_payload(raw: bytes, kind: str = "gpb_kv"):
+def decode_gpb_compact(raw: bytes, fields: dict) -> dict:
+    """Declarative compact-GPB decode — the schema the platform would
+    generate from the per-encoding-path .proto, supplied as data:
+    ``fields`` maps field_no -> (name, kind) with kind in {'uint',
+    'sint', 'bool', 'string', 'bytes', 'double', 'float'}, or
+    field_no -> (name, nested_fields_dict) for a sub-message (decoded
+    recursively; repeated sub-messages accumulate into a list). The
+    same declarative-schema-as-config idea as CustomIE for IPFIX
+    enterprise IEs. Unknown field numbers are skipped, as protobuf
+    requires."""
+    out: dict = {}
+    for fno, wt, val in _pb_walk(raw):
+        spec = fields.get(fno)
+        if spec is None:
+            continue
+        name, kind = spec
+        if isinstance(kind, dict):
+            child = decode_gpb_compact(val, kind)
+            if name in out:
+                prev = out[name]
+                out[name] = (prev if isinstance(prev, list) else [prev])
+                out[name].append(child)
+            else:
+                out[name] = child
+        elif kind == "uint":
+            out[name] = int(val)
+        elif kind == "sint":
+            out[name] = (val >> 1) ^ -(val & 1)
+        elif kind == "bool":
+            out[name] = bool(val)
+        elif kind == "string":
+            out[name] = val.decode("utf-8", "replace")
+        elif kind == "bytes":
+            out[name] = bytes(val)
+        elif kind == "double":
+            out[name] = struct.unpack("<d", val)[0]
+        elif kind == "float":
+            out[name] = struct.unpack("<f", val)[0]
+        else:
+            raise ValueError(f"unknown gpb field kind: {kind!r}")
+    return out
+
+
+def decode_gpb_payload(raw: bytes, kind: str = "gpb_kv", fields: dict | None = None):
     """Self-describing KV decodes natively (``decode_gpb_kv`` — no
-    bindings needed). Only compact GPB, whose fields are positional
-    against a per-encoding-path generated schema, still requires
-    platform .proto bindings absent in this environment."""
+    bindings needed). Compact GPB decodes when the per-path schema is
+    supplied declaratively (``fields`` — see ``decode_gpb_compact``);
+    without a schema the payload stays opaque by protobuf's nature
+    (positional fields carry no names or value types)."""
     if kind == "gpb_kv":
         return decode_gpb_kv(raw)
+    if fields is not None:
+        return decode_gpb_compact(raw, fields)
     raise NotImplementedError(
-        "compact GPB decode requires the per-path generated schema; "
-        "payload_raw carries the intact message bytes"
+        "compact GPB decode requires the per-path schema (pass "
+        "fields={field_no: (name, kind)}); payload_raw carries the "
+        "intact message bytes"
     )
 
 

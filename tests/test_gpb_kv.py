@@ -108,3 +108,45 @@ def test_decode_gpb_kv_fields_dataframe(spark):
         ("10.0.0.1", "content/s"): ("r1", None, "x"),
         ("10.0.0.2", "content/k"): ("r2", 7, None),
     }
+
+
+def test_compact_gpb_declarative_schema():
+    """decode_gpb_compact: positional fields decoded against a
+    schema-as-data map, nested + repeated sub-messages, unknowns
+    skipped — the CustomIE idea applied to compact MDT."""
+    from pmacct_spark.streaming.telemetry import (
+        decode_gpb_compact,
+        decode_gpb_payload,
+    )
+
+    row = (
+        _pb_field(1, 2, b"ge0")
+        + _pb_field(2, 0, 1000)
+        + _pb_field(9, 0, 1)  # unknown -> skipped
+    )
+    msg = (
+        _pb_field(1, 2, b"rtr1")
+        + _pb_field(2, 2, row)
+        + _pb_field(2, 2, _pb_field(1, 2, b"ge1") + _pb_field(2, 0, 2000))
+        + _pb_field(3, 1, struct.pack("<d", 0.25))
+    )
+    spec = {
+        1: ("node", "string"),
+        2: ("rows", {1: ("iface", "string"), 2: ("octets", "uint")}),
+        3: ("load", "double"),
+    }
+    got = decode_gpb_compact(msg, spec)
+    assert got == {
+        "node": "rtr1",
+        "rows": [
+            {"iface": "ge0", "octets": 1000},
+            {"iface": "ge1", "octets": 2000},
+        ],
+        "load": 0.25,
+    }
+    # dispatch: kv still walks; compact without schema stays guarded
+    assert decode_gpb_payload(msg, "gpb_compact", fields=spec) == got
+    import pytest as _pytest
+
+    with _pytest.raises(NotImplementedError):
+        decode_gpb_payload(msg, "gpb_compact")

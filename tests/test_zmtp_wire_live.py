@@ -139,3 +139,39 @@ def test_pub_prunes_dead_subscriber_and_keeps_publishing(spark):
             got = alive.recv(timeout=20)
     finally:
         srv.stop()
+
+
+def test_write_zmq_publishes_over_native_zmtp(spark):
+    """write_zmq (round 8: native ZMTP PUB, no libzmq) delivers the
+    zmq_frame contract to live subscribers with prefix filtering."""
+    from pmacct_spark.sinks.zmq import write_zmq, zmq_frame
+    from pmacct_spark.sources.zmtp import ZmtpPubServer, ZmtpSubClient
+
+    srv = ZmtpPubServer().start()
+    try:
+        sub9 = ZmtpSubClient(srv.host, srv.port, [bytes([9])])
+        assert srv.wait_subscribed(1)
+        df = spark.createDataFrame(
+            [(1, 100), (2, 200)], "rec_id long, bytes long"
+        )
+        ret = write_zmq(zmq_frame(df, topic=9), server=srv)
+        assert ret is srv
+        got = sorted(sub9.recv() for _ in range(2))
+        assert all(m[0] == 9 for m in got)
+        payloads = sorted(m[1:].decode() for m in got)
+        assert '"rec_id":1' in payloads[0].replace(" ", "")
+        sub9.close()
+    finally:
+        srv.stop()
+
+
+def test_write_zmq_binds_endpoint(spark):
+    """endpoint form binds its own server and returns it."""
+    from pmacct_spark.sinks.zmq import write_zmq, zmq_frame
+
+    df = spark.createDataFrame([(1, 10)], "rec_id long, bytes long")
+    srv = write_zmq(zmq_frame(df, topic=3), endpoint="tcp://127.0.0.1:0")
+    try:
+        assert srv.port > 0  # bound ephemeral; no subscribers -> no-op
+    finally:
+        srv.stop()
