@@ -159,6 +159,35 @@ def ip6_parse_fragments(
     )
 
 
+def ip4_parse_fragments(
+    pkts: DataFrame, packet_col: str = "pkt"
+) -> DataFrame:
+    """Extract fragment rows from raw IPv4 packets, pure-JVM (the
+    dissection src/nl.c ip_handler performs before src/ip_frag.c's
+    table): IHL-aware header walk, 13-bit fragment offset in 8-octet
+    units, MF flag (0x2000), payload bounded by total_length. Emits
+    the v4 fragment-table key (src, dst, id, proto) + offset/MF/bytes
+    — rows feed :func:`ip_defrag` directly; unfragmented packets come
+    through as their own complete (offset 0, MF=0) chains."""
+    p = packet_col
+    ihl = f"(({_u(p, '1', 1)} % 16) * 4)"
+    fo = _u(p, "7", 2)  # flags(3) | fragment offset(13), 1-based bytes 7-8
+    return pkts.select(
+        F.expr(_u(p, "13", 4)).alias("ip_src_i"),
+        F.expr(_u(p, "17", 4)).alias("ip_dst_i"),
+        F.expr(f"CAST({_u(p, '5', 2)} AS INT)").alias("ip_id"),
+        F.expr(f"CAST({_u(p, '10', 1)} AS INT)").alias("ip_proto"),
+        F.expr(f"CAST(({fo} % 8192) * 8 AS BIGINT)").alias("frag_offset"),
+        F.expr(f"CAST(shiftright({fo}, 13) % 2 AS INT) = 1").alias(
+            "more_frags"
+        ),
+        F.expr(
+            f"substring({p}, CAST({ihl} + 1 AS INT), "
+            f"CAST({_u(p, '3', 2)} - {ihl} AS INT))"
+        ).alias("payload"),
+    )
+
+
 def ip6_defrag(frags: DataFrame) -> DataFrame:
     """Reassemble ``ip6_parse_fragments`` rows: keyed (src, dst, id)
     like the reference's v6 table, protocol carried from the offset-0

@@ -412,3 +412,145 @@ SELECT query_id, doc_id, score,
          ORDER BY score DESC, doc_id ASC) AS BIGINT) AS rank
 FROM scored QUALIFY rank <= {k}
 """
+
+
+# ---------------------------------------------------------------------------
+# BPE merge training (Sennrich et al. 2016) — the iterative loop whose
+# per-round candidate table `bpe_pair_counts` already computes
+# ---------------------------------------------------------------------------
+
+
+def bpe_train_merges(
+    docs: DataFrame, text_col: str = "text", n_merges: int = 5
+) -> DataFrame:
+    """Train the first ``n_merges`` BPE merges over a corpus: per
+    round, count adjacent symbol pairs across the (count-weighted)
+    word vocabulary, pick the most frequent pair (ties: lexicographic),
+    and merge it left-to-right non-overlapping in every word.
+
+    Returns (merge_rank, lhs, rhs, merged, pair_count) — the ordered
+    merge table a tokenizer ships.
+
+    Scale shape: the corpus is scanned ONCE (word histogram — one
+    shuffle on the word key, vocabulary-bounded output); every round
+    after that runs on the vocabulary table, not the corpus, exactly
+    like a real BPE trainer. Per round: one vocabulary-bounded
+    aggregation + a 1-row argmax pulled to the driver as a literal
+    (the codebook-as-literal pattern of the IVF k-means trainer) + a
+    map-side rewrite. Token strings carry each symbol as "(sym)", so
+    the merge is a plain string replace — per-token delimiters make
+    left-to-right replace exactly BPE's non-overlapping merge
+    ("(a)(a)(a)" -> "(aa)(a)", never "(aa)(aa)" from shared
+    boundaries; the zipped pair count still sees "aaa" as two (a,a)
+    candidates, matching the reference algorithm).
+    """
+    spark = docs.sparkSession
+    words = (
+        docs.select(
+            F.explode(
+                F.split(F.lower(F.col(text_col)), "[^a-z]+")
+            ).alias("w")
+        )
+        .filter("w <> ''")
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    )
+    cur = words.select(
+        "cnt",
+        F.expr(
+            "concat_ws('', transform(sequence(1, length(w)), "
+            "i -> concat('(', substring(w, i, 1), ')')))"
+        ).alias("ts"),
+    )
+    merges: list[tuple] = []
+    for rank in range(1, n_merges + 1):
+        # bind the token array ONCE as a lambda var (projection-
+        # collapse guard), guard 1-token words from sequence(1, 0)
+        pairs = cur.select(
+            "cnt",
+            F.explode(
+                F.expr(
+                    "transform(array(split(replace(substring(ts, 2, "
+                    "length(ts) - 2), ')(', ' '), ' ')), tk -> "
+                    "CASE WHEN size(tk) < 2 THEN "
+                    "  CAST(array() AS array<struct<l: string, r: string>>) "
+                    "ELSE transform(sequence(1, size(tk) - 1), "
+                    "  i -> struct(element_at(tk, i) AS l, "
+                    "              element_at(tk, i + 1) AS r)) END)[0]"
+                )
+            ).alias("p"),
+        )
+        best = (
+            pairs.groupBy("p.l", "p.r")
+            .agg(F.sum("cnt").cast("bigint").alias("c"))
+            .orderBy(F.desc("c"), F.asc("l"), F.asc("r"))
+            .limit(1)
+            .collect()
+        )
+        if not best:
+            break
+        lhs, rhs, c = best[0]["l"], best[0]["r"], int(best[0]["c"])
+        merges.append((rank, lhs, rhs, lhs + rhs, c))
+        cur = cur.select(
+            "cnt",
+            F.expr(
+                f"replace(ts, '({lhs})({rhs})', '({lhs}{rhs})')"
+            ).alias("ts"),
+        )
+    return spark.createDataFrame(
+        merges,
+        "merge_rank bigint, lhs string, rhs string, "
+        "merged string, pair_count bigint",
+    )
+
+
+def bpe_train_merges_duck(
+    n_merges: int = 5, source: str = "documents", text_col: str = "text"
+) -> str:
+    """Unrolled-CTE replay of :func:`bpe_train_merges` (the k-means-
+    trainer oracle pattern): identical histogram, pair count, argmax
+    tiebreak, and per-token-delimited replace per round."""
+    parts = [
+        f"""words AS (
+  SELECT w, CAST(COUNT(*) AS BIGINT) AS cnt FROM (
+    SELECT unnest(string_split_regex(lower({text_col}), '[^a-z]+')) AS w
+    FROM {source}) WHERE w <> '' GROUP BY 1
+),
+t0 AS (
+  SELECT cnt, array_to_string(list_transform(range(1, length(w) + 1),
+         i -> '(' || substr(w, i, 1) || ')'), '') AS ts
+  FROM words
+)"""
+    ]
+    for r in range(n_merges):
+        parts.append(
+            f"""tk{r} AS (
+  SELECT cnt,
+         string_split(replace(substr(ts, 2, length(ts) - 2), ')(', ' '),
+                      ' ') AS tk
+  FROM t{r}
+),
+pc{r} AS (
+  SELECT tk[i] AS l, tk[i + 1] AS r, CAST(SUM(cnt) AS BIGINT) AS c
+  FROM tk{r}, unnest(range(1, len(tk))) AS u(i) GROUP BY 1, 2
+),
+b{r} AS (SELECT l, r, c FROM pc{r} ORDER BY c DESC, l ASC, r ASC LIMIT 1),
+t{r + 1} AS (
+  SELECT cnt, replace(ts, '(' || b.l || ')(' || b.r || ')',
+                      '(' || b.l || b.r || ')') AS ts
+  FROM t{r}, b{r} AS b
+)"""
+        )
+    sel = " UNION ALL ".join(
+        f"SELECT {r + 1} AS merge_rank, l AS lhs, r AS rhs, "
+        f"l || r AS merged, c AS pair_count FROM b{r}"
+        for r in range(n_merges)
+    )
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f"""
+SELECT CAST(merge_rank AS BIGINT) AS merge_rank, lhs, rhs, merged,
+       pair_count
+FROM ({sel})"""
+    )

@@ -862,3 +862,15 @@ def retrieval_hard_negatives(spark, sf_dir):
         .otherwise(F.lit(0))
         .cast("bigint"),
     )
+
+
+# --- tokenizer-prep: the full BPE merge LOOP (Sennrich et al. 2016) —
+#     bpe_pair_counts is one round's candidate table; this trains the
+#     first 5 merges end-to-end. Corpus scanned once into a vocabulary
+#     histogram; each round is vocabulary-bounded (pair count + 1-row
+#     argmax-as-literal + map-side merge), the shape a real trainer
+#     has at any corpus size. Oracle: unrolled CTE replay.
+@register("bpe_train_merges", text.bpe_train_merges_duck())
+def bpe_train_merges(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    return text.bpe_train_merges(docs, n_merges=5)

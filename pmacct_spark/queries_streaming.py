@@ -1100,3 +1100,76 @@ def ipfrag6_reassembly(spark, sf_dir):
         F.sum("total_len").cast("bigint").alias("total_bytes"),
         F.sum("n_frags").cast("bigint").alias("n_frags"),
     )
+
+
+@register(
+    "ipfrag4_reassembly",
+    f"""{FLOWS_DUCK_CTE}
+SELECT CAST(ip_proto AS BIGINT) AS ip_proto,
+       COUNT(*) AS datagrams,
+       CAST(SUM(20 + (event_id % 6) * 8) AS BIGINT) AS total_bytes,
+       CAST(SUM((20 + (event_id % 6) * 8 + 15) // 16) AS BIGINT) AS n_frags
+FROM flows
+WHERE event_id % 3 = 0 AND event_id % 13 <> 0
+GROUP BY 1""",
+)
+def ipfrag4_reassembly(spark, sf_dir):
+    """IPv4 fragment reassembly on the wire, oracle-gated (reference
+    src/nl.c ip_handler dissection feeding src/ip_frag.c's
+    (src, dst, id, proto) table): flows -> per-fragment IPv4 packets
+    (IHL=5 header, 13-bit offset in 8-octet units, MF=0x2000) ->
+    pure-JVM header parse (ip4_parse_fragments) -> ip_defrag -> per-
+    protocol accounting. Chains missing their tail (event_id % 13 = 0)
+    are dropped like the reference's timeout discard. Address/ident
+    derivation packs event_id bits across (src, dst, ip_id) so full
+    keys stay unique to 2^40 events — the 16-bit ident alone would
+    collide at sf >= 1."""
+    from pmacct_spark.driver_queries import flows as flows_view_fn
+    from pmacct_spark.operators.ipfrag import (
+        ip4_parse_fragments,
+        ip_defrag,
+    )
+
+    fl = flows_view_fn(spark, sf_dir).filter("event_id % 3 = 0").selectExpr(
+        "event_id", "ip_proto",
+        "20 + (event_id % 6) * 8 AS L",
+        # low 20 bits -> src, next 20 -> dst, low 16 -> ident: any two
+        # events colliding on (src, id) differ in dst up to 2^40
+        "167772160 + (event_id % 1048576) AS src_i",
+        "167772160 + ((event_id DIV 1048576) % 1048576) AS dst_i",
+        "event_id % 65536 AS ident",
+    )
+    frag = (
+        fl.selectExpr("*", "CAST((L + 15) DIV 16 AS INT) AS nchunks")
+        .selectExpr("*", "explode(sequence(0, nchunks - 1)) AS i")
+        .filter("NOT (event_id % 13 = 0 AND i = nchunks - 1)")
+        .selectExpr(
+            "event_id", "src_i", "dst_i", "ident", "ip_proto",
+            "CAST(least(16, L - i * 16) AS INT) AS chunk_len",
+            "i * 16 AS off",
+            "i < nchunks - 1 AS mf",
+        )
+    )
+    # IHL=5 header: ver/ihl 0x45, tos 0, total_len, id, flags|off
+    # (MF = 0x2000; offset field = bytes/8), ttl 0x40, proto, zero
+    # checksum (not validated on this path), src, dst, then the chunk
+    pkt = frag.selectExpr(
+        "concat("
+        " X'4500',"
+        " unhex(lpad(hex(20 + chunk_len), 4, '0')),"
+        " unhex(lpad(hex(ident), 4, '0')),"
+        " unhex(lpad(hex(IF(mf, 8192, 0) + off DIV 8), 4, '0')),"
+        " X'40', unhex(lpad(hex(ip_proto), 2, '0')), X'0000',"
+        " unhex(lpad(hex(src_i), 8, '0')),"
+        " unhex(lpad(hex(dst_i), 8, '0')),"
+        " CAST(repeat(chr(97 + event_id % 26), chunk_len) AS BINARY)"
+        ") AS pkt"
+    )
+    asm = ip_defrag(ip4_parse_fragments(pkt))
+    return asm.groupBy(
+        F.col("ip_proto").cast("bigint").alias("ip_proto")
+    ).agg(
+        F.count(F.lit(1)).alias("datagrams"),
+        F.sum("total_len").cast("bigint").alias("total_bytes"),
+        F.sum("n_frags").cast("bigint").alias("n_frags"),
+    )

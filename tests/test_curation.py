@@ -91,3 +91,59 @@ def test_decontaminate_plan_broadcasts_benchmark(spark):
         sets.filter("doc_id >= 5"), sets.filter("doc_id < 5")
     )._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan, plan
+
+
+def test_bpe_train_merges_matches_reference_loop(spark):
+    """The Spark BPE trainer reproduces a straight-Python Sennrich
+    loop: count-weighted pair stats, lexicographic tiebreak, and
+    left-to-right NON-OVERLAPPING merges ('aaa' -> ['aa','a'], never
+    ['aa','aa'] from shared boundaries)."""
+    from collections import Counter
+
+    from pmacct_spark.operators.text import bpe_train_merges
+
+    texts = [
+        "aaa banana aaa",
+        "banana bandana",
+        "aaa aaa naan",
+    ]
+
+    def ref_merges(texts, n):
+        import re
+
+        vocab = Counter()
+        for t in texts:
+            for w in re.split("[^a-z]+", t.lower()):
+                if w:
+                    vocab[w] += 1
+        seqs = {w: list(w) for w in vocab}
+        out = []
+        for rank in range(1, n + 1):
+            pc = Counter()
+            for w, toks in seqs.items():
+                for a, b in zip(toks, toks[1:]):
+                    pc[(a, b)] += vocab[w]
+            if not pc:
+                break
+            (l, r), c = min(pc.items(), key=lambda kv: (-kv[1], kv[0]))
+            out.append((rank, l, r, l + r, c))
+            for w, toks in seqs.items():
+                merged, i = [], 0
+                while i < len(toks):
+                    if i + 1 < len(toks) and toks[i] == l and toks[i + 1] == r:
+                        merged.append(l + r)
+                        i += 2
+                    else:
+                        merged.append(toks[i])
+                        i += 1
+                seqs[w] = merged
+        return out
+
+    docs = spark.createDataFrame([(i, t) for i, t in enumerate(texts)],
+                                 "doc_id long, text string")
+    got = [
+        (r["merge_rank"], r["lhs"], r["rhs"], r["merged"], r["pair_count"])
+        for r in bpe_train_merges(docs, n_merges=4)
+        .orderBy("merge_rank").collect()
+    ]
+    assert got == ref_merges(texts, 4)

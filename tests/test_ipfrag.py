@@ -201,3 +201,55 @@ def test_ip6_roundtrip_property(spark, chunks, tail, rng):
     got = ip6_defrag(ip6_parse_fragments(_v6_rows(spark, pkts))).collect()
     assert len(got) == 1
     assert bytes(got[0]["payload"]) == b"".join(all_chunks)
+
+
+# ---------------------------------------------------------------------------
+# IPv4 wire parse (src/nl.c ip_handler dissection feeding ip_frag.c)
+# ---------------------------------------------------------------------------
+
+from pmacct_spark.operators.ipfrag import ip4_parse_fragments
+
+
+def _v4_packet(ident, proto, off, mf, chunk, src=0x0A000001,
+               dst=0x0A000002, opts=b""):
+    import struct as _s
+
+    ihl = 5 + len(opts) // 4
+    fo = (0x2000 if mf else 0) | (off // 8)
+    hdr = _s.pack(
+        "!BBHHHBBHII", (4 << 4) | ihl, 0, ihl * 4 + len(chunk),
+        ident, fo, 64, proto, 0, src, dst,
+    )
+    return hdr + opts + chunk
+
+
+def test_ip4_wire_parse_and_reassemble(spark):
+    pkts = [
+        _v4_packet(7, 17, 0, True, b"A" * 16),
+        _v4_packet(7, 17, 16, False, b"B" * 4),
+        # IHL > 5 (4 bytes of options) must still find the payload
+        _v4_packet(9, 6, 0, False, b"solo", opts=b"\x01\x01\x01\x01"),
+    ]
+    df = spark.createDataFrame([(bytearray(p),) for p in pkts], "pkt binary")
+    rows = {
+        (r["ip_id"], r["frag_offset"]): r
+        for r in ip4_parse_fragments(df).collect()
+    }
+    assert rows[(7, 0)]["more_frags"] and not rows[(7, 16)]["more_frags"]
+    assert bytes(rows[(9, 0)]["payload"]) == b"solo"
+    asm = {
+        r["ip_id"]: (bytes(r["payload"]), r["n_frags"])
+        for r in ip_defrag(ip4_parse_fragments(df)).collect()
+    }
+    assert asm == {7: (b"A" * 16 + b"B" * 4, 2), 9: (b"solo", 1)}
+
+
+def test_ip4_wire_parse_stays_jvm_side(spark):
+    df = spark.createDataFrame(
+        [(bytearray(_v4_packet(1, 6, 0, False, b"x")),)], "pkt binary"
+    )
+    out = ip_defrag(ip4_parse_fragments(df))
+    plan = out._sc._jvm.PythonSQLUtils.explainString(
+        out._jdf.queryExecution(), "formatted"
+    )
+    assert "EvalPython" not in plan and "InPandas" not in plan
