@@ -554,3 +554,109 @@ SELECT CAST(merge_rank AS BIGINT) AS merge_rank, lhs, rhs, merged,
        pair_count
 FROM ({sel})"""
     )
+
+
+def bpe_apply_token_counts(
+    docs: DataFrame,
+    merges: list[tuple[str, str]],
+    text_col: str = "text",
+) -> DataFrame:
+    """Tokenize every document with an already-trained ordered BPE
+    merge list: per doc, words wrap as "(c)(h)(a)(r)" strings joined
+    by spaces (the space breaks "(l)(r)" patterns at word boundaries,
+    so merges never cross words), then the merges apply as a CHAIN of
+    plain string replaces in training order — each replace IS the
+    left-to-right non-overlapping merge (see bpe_train_merges). Token
+    count falls out as the count of '(' delimiters. Pure JVM, zero
+    shuffles: tokenization is embarrassingly parallel, which is the
+    whole point at 100 TB — the merge table is driver-side literals
+    exactly like a shipped tokenizer's vocab file."""
+    wrapped = (
+        "concat_ws(' ', transform("
+        f"  filter(split(lower({text_col}), '[^a-z]+'), w -> w <> ''), "
+        "  w -> concat_ws('', transform(sequence(1, length(w)), "
+        "       i -> concat('(', substring(w, i, 1), ')')))))"
+    )
+    applied = wrapped
+    for lhs, rhs in merges:
+        applied = f"replace({applied}, '({lhs})({rhs})', '({lhs}{rhs})')"
+
+    # bind each string once as a lambda var: the '(' count reads it
+    # twice and inlining the whole replace chain per read would double
+    # the work (the projection-collapse trap)
+    def count_tokens(expr: str) -> str:
+        return (
+            f"transform(array({expr}), "
+            "s -> length(s) - length(replace(s, '(', '')))[0]"
+        )
+
+    return docs.withColumn(
+        "n_tokens", F.expr(count_tokens(applied)).cast("bigint")
+    ).withColumn(
+        "n_base_tokens", F.expr(count_tokens(wrapped)).cast("bigint")
+    )
+
+
+def bpe_train_apply_counts(
+    docs: DataFrame,
+    text_col: str = "text",
+    n_merges: int = 5,
+    group_col: str = "lang",
+) -> DataFrame:
+    """Train ``n_merges`` BPE merges, then tokenize the corpus with
+    them: per ``group_col``, document count, post-merge token count
+    and base (character) token count — the compression a tokenizer
+    evaluation reports. The merge table is tiny driver-side state
+    (it already materialized during training); the apply pass is one
+    map-side scan."""
+    mdf = bpe_train_merges(docs, text_col=text_col, n_merges=n_merges)
+    merges = [
+        (r["lhs"], r["rhs"]) for r in mdf.orderBy("merge_rank").collect()
+    ]
+    tok = bpe_apply_token_counts(docs, merges, text_col=text_col)
+    return tok.groupBy(group_col).agg(
+        F.count(F.lit(1)).alias("docs"),
+        F.sum("n_tokens").cast("bigint").alias("n_tokens"),
+        F.sum("n_base_tokens").cast("bigint").alias("n_base_tokens"),
+    )
+
+
+def bpe_apply_duck(
+    n_merges: int = 5,
+    source: str = "documents",
+    text_col: str = "text",
+    group_col: str = "lang",
+) -> str:
+    """Unrolled replay of :func:`bpe_train_apply_counts`: the training
+    CTEs of :func:`bpe_train_merges_duck` plus a chained-replace apply
+    over per-word wrapped token strings."""
+    train = bpe_train_merges_duck(n_merges, source, text_col)
+    ctes = train[len("WITH ") : train.rindex("\nSELECT ")]
+    wrapped = (
+        "array_to_string(list_transform("
+        f"  list_filter(string_split_regex(lower({text_col}), '[^a-z]+'),"
+        "   w -> w <> ''), "
+        "  w -> array_to_string(list_transform(range(1, length(w) + 1), "
+        "       i -> '(' || substr(w, i, 1) || ')'), '')), ' ')"
+    )
+    applied = wrapped
+    for r in range(n_merges):
+        applied = (
+            f"replace({applied}, "
+            f"'(' || b{r}.l || ')(' || b{r}.r || ')', "
+            f"'(' || b{r}.l || b{r}.r || ')')"
+        )
+    joins = ", ".join(f"b{r}" for r in range(n_merges))
+    return f"""WITH {ctes},
+doc_tok AS (
+  SELECT {group_col},
+         {applied} AS ts,
+         {wrapped} AS base_ts
+  FROM {source}, {joins}
+)
+SELECT {group_col}, COUNT(*) AS docs,
+       CAST(SUM(length(ts) - length(replace(ts, '(', ''))) AS BIGINT)
+         AS n_tokens,
+       CAST(SUM(length(base_ts) - length(replace(base_ts, '(', '')))
+         AS BIGINT) AS n_base_tokens
+FROM doc_tok GROUP BY 1"""

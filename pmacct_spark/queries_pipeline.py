@@ -874,3 +874,13 @@ def retrieval_hard_negatives(spark, sf_dir):
 def bpe_train_merges(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
     return text.bpe_train_merges(docs, n_merges=5)
+
+
+# --- tokenizer end-to-end: train the 5 BPE merges, then tokenize the
+#     whole corpus with them (chained per-token-delimited replaces —
+#     map-side, zero shuffles in the apply pass) and report per-lang
+#     token compression vs base characters.
+@register("bpe_apply_token_counts", text.bpe_apply_duck())
+def bpe_apply_token_counts(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    return text.bpe_train_apply_counts(docs, n_merges=5)
