@@ -56,9 +56,11 @@ _DRIVER_WINDOW = [
     # anchors — one per always-on family — for continuity with r1–r7.
     # Everything rotated out keeps local parity coverage.
     #
-    # anchors (driver-sampled in prior rounds; one per family)
-    "agg_host_pairs",            # core aggregation
-    "v5_wire_loop_agg",          # NetFlow wire decode
+    # anchors (driver-sampled in prior rounds; one per family).
+    # agg_host_pairs / v5_wire_loop_agg / dsir_importance_weights were
+    # anchors earlier this round but ceded their slots to the three
+    # late r8 additions below (they carry r1–r7 driver history and
+    # local parity; new-on-arrival beats anchor redundancy).
     "stream_hist_5m_proto",      # structured-streaming windows
     "bgp_addpath_rib_lookup",    # BGP RIB + LPM
     "bmp_wire_dump_accounting",  # BMP dump join
@@ -68,12 +70,14 @@ _DRIVER_WINDOW = [
     "hist_month_prorate",        # calendar pro-rating
     "telemetry_cisco_mdt_wire_loop",  # MDT framing (+ r8 gpb_kv)
     "bm25_keyword_topk",         # retrieval
-    "dsir_importance_weights",   # curation / importance resampling
     "tpch_q6_forecast_revenue",  # TPC-H relational
-    # NEW round 8: IPv6 fragment reassembly (RFC 8200 ext-chain walk +
-    # (src128, dst128, ident)-keyed assembly — reference
-    # src/ip_frag.c:302-315), driver-checked on arrival
+    # NEW round 8, driver-checked on arrival: IPv4/IPv6 wire-level
+    # fragment reassembly (reference src/ip_frag.c + src/nl.c) and the
+    # BPE tokenizer loop (train + corpus-scale apply)
+    "ipfrag4_reassembly",
     "ipfrag6_reassembly",
+    "bpe_train_merges",
+    "bpe_apply_token_counts",
     # the 36 never-driver-sampled queries (VERDICT r7 list, complete)
     "ann_brute_force_topk", "ann_lsh_bucketed_topk", "ann_rrf_fusion",
     "anti_join_parts_never_shipped", "bgp_comm_roa", "bgp_lookup_attrs",

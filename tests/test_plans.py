@@ -337,3 +337,16 @@ def test_countmin_topk_avoids_global_window_sort(spark):
     win_idx = [i for i, ln in enumerate(lines) if " Window" in ln]
     top_idx = [i for i, ln in enumerate(lines) if "TakeOrderedAndProject" in ln]
     assert all(w < min(top_idx) for w in win_idx), plan
+
+
+def test_bpe_apply_is_mapside_jvm(spark):
+    """bpe_apply_token_counts' apply pass must be pure-JVM map work:
+    no Python stage anywhere, and exactly TWO exchanges in the whole
+    train+apply plan tree returned to the driver (the vocabulary
+    histogram feeds training; the final per-lang agg) — the chained
+    merge replaces themselves must not shuffle."""
+    df = entrymod.queries()["bpe_apply_token_counts"](spark, SF_DIR)
+    plan = _plan(df)
+    assert "EvalPython" not in plan and "InPandas" not in plan
+    tree = plan.split("\n\n")[0]
+    assert sum("Exchange" in ln for ln in tree.splitlines()) <= 2, tree
