@@ -140,3 +140,182 @@ SELECT key AS host, est AS est_bytes, wsum AS exact_bytes,
        CAST(ROW_NUMBER() OVER (ORDER BY est DESC, key ASC) AS BIGINT) AS rank
 FROM est QUALIFY rank <= {k}
 """
+
+
+# ---------------------------------------------------------------------------
+# HyperLogLog distinct-count sketch (Flajolet et al. 2007) — the
+# cardinality sibling of the count-min grid above: m=256 registers of
+# constant size whatever the key cardinality, mergeable map-side
+# (max commutes), the structure approx_count_distinct uses internally.
+# Here the registers derive from the engine's frozen portable hash
+# family, so every register — and therefore the estimate — replays
+# EXACTLY in the DuckDB oracle (the built-in HLL++ sketches of Spark
+# and DuckDB hash differently and can never hash-match).
+# ---------------------------------------------------------------------------
+
+HLL_M = 256  # registers (b=8 bucket bits); rel. error ~1.04/sqrt(m) = 6.5%
+# geometric-part width: the rho source must be uniform over a POWER-OF-
+# TWO range or the leading-zero distribution skews (a [0, P^2) value
+# has Pr[rho=1] = 43% instead of 50% and the estimate biases +30%).
+# Equally important: the mixes must be NON-LINEAR in the poly hash — an
+# affine rehash maps the arithmetic-progression structure of sequential
+# keys ("host-1", "host-2", ...) straight into the geometric part and
+# the estimate biases +25-30%; two quadratic universal mixes
+# (g = h^2+a*h+b) break the progressions (measured: within ~5% at
+# n/m from 0.15 to 200, matching a cryptographic hash). mod 2^24 on a
+# prime-modulus value keeps a ~1.7% wrap bias — inside the envelope —
+# and caps estimable cardinality at ~m * 2^24 = 4e9 per group.
+_HLL_WBITS = 24
+
+
+def _hll_code_expr(hash_expr: str, one_indexed: bool = False) -> str:
+    """ONE bigint per row packing (bucket, rho) as bucket*64 + rho.
+    Every intermediate is bound exactly once as a lambda variable
+    (the projection-collapse guard), so the expensive poly-hash fold
+    evaluates once per reference however the caller groups on it.
+    Renders for Spark (``transform``, 0-indexed [0]) or DuckDB
+    (``list_transform``, 1-indexed [1])."""
+    t = "list_transform" if one_indexed else "transform"
+    ix = "[1]" if one_indexed else "[0]"
+    arr = (lambda e: f"[{e}]") if one_indexed else (lambda e: f"array({e})")
+    wb = _HLL_WBITS + 1
+    g = f"((hv * hv + {MINHASH_A[0]} * hv + {MINHASH_B[0]}) % {P})"
+    g2w = f"(((gv * gv + {MINHASH_A[1]} * gv + {MINHASH_B[1]}) % {P}) % {1 << _HLL_WBITS})"
+    rho = f"CASE WHEN wv = 0 THEN {wb} ELSE {wb} - length(bin(wv)) END"
+    return (
+        f"{t}({arr(hash_expr)}, hv -> "
+        f"{t}({arr(g)}, gv -> "
+        f"{t}({arr(g2w)}, wv -> "
+        f"(gv % {HLL_M}) * 64 + {rho}"
+        f"){ix}){ix}){ix}"
+    )
+
+
+def hll_distinct(
+    flows: DataFrame,
+    group_col: str = "ip_proto",
+    value_col: str = "ip_src",
+    m: int = HLL_M,
+) -> DataFrame:
+    """(group, est_distinct, exact_distinct, err_pm, v_empty): HLL
+    estimate per group beside the exact truth. Two bounded shuffles:
+    (group, bucket) register max — output <= m rows per group however
+    many values stream through; grouping on code DIV 64 (the bucket)
+    with max(code) gives max(rho) in one pass because the bucket bits
+    are constant within a group and max commutes, so the heavy fold
+    happens map-side (partial_max) and per-partition state is <= m
+    rows — then the per-group register fold. The exact count (for the
+    comparison column only) is its own aggregate, broadcast back. The
+    estimate arithmetic stays in exact bigints until two final IEEE
+    ops (one correctly-rounded divide / log), identical cross-engine."""
+    from pmacct_spark.operators.staging import stage
+
+    code = _hll_code_expr(poly_hash_spark_sql("v"))
+    pk = stage(
+        flows.select(
+            F.col(group_col).alias("grp"), F.col(value_col).alias("v")
+        )
+    )
+    regs = (
+        pk.select("grp", F.expr(code).alias("code"))
+        .groupBy("grp", F.expr("code DIV 64").alias("bucket"))
+        .agg(F.expr("max(code) % 64").cast("int").alias("r"))
+    )
+    wb = _HLL_WBITS + 1
+    per = regs.groupBy("grp").agg(
+        F.count(F.lit(1)).alias("present"),
+        F.sum(F.expr(f"shiftleft(CAST(1 AS BIGINT), {wb} - r)"))
+        .cast("bigint")
+        .alias("denom_p"),
+    )
+    alpha = "(0.7213 / (1 + 1.079 / 256))"
+    est = per.select(
+        "grp",
+        F.expr(f"CAST({m} - present AS BIGINT)").alias("v_empty"),
+        F.expr(
+            f"denom_p + ({m} - present) * shiftleft(CAST(1 AS BIGINT), {wb})"
+        ).alias("denom"),
+    ).select(
+        "grp",
+        "v_empty",
+        F.expr(
+            f"CAST(FLOOR({alpha} * {m} * {m} * "
+            f"CAST(shiftleft(CAST(1 AS BIGINT), {wb}) AS DOUBLE) "
+            f"/ CAST(denom AS DOUBLE)) AS BIGINT)"
+        ).alias("raw_est"),
+    ).select(
+        "grp",
+        "v_empty",
+        F.expr(
+            f"CASE WHEN raw_est <= {(5 * m) // 2} AND v_empty > 0 "
+            f"THEN CAST(FLOOR({m} * ln(CAST({m} AS DOUBLE) "
+            f"/ CAST(v_empty AS DOUBLE))) AS BIGINT) "
+            "ELSE raw_est END"
+        ).alias("est_distinct"),
+    )
+    exact = pk.groupBy("grp").agg(
+        F.countDistinct("v").cast("bigint").alias("exact_distinct")
+    )
+    return (
+        est.join(F.broadcast(exact), "grp")
+        .select(
+            F.col("grp").alias(group_col),
+            "est_distinct",
+            "exact_distinct",
+            F.expr(
+                "CAST(abs(est_distinct - exact_distinct) * 1000 "
+                "DIV exact_distinct AS BIGINT)"
+            ).alias("err_pm"),
+            "v_empty",
+        )
+    )
+
+
+def hll_distinct_duck(
+    flows_cte: str,
+    group_col: str = "ip_proto",
+    value_col: str = "ip_src",
+    m: int = HLL_M,
+) -> str:
+    code = _hll_code_expr(poly_hash_duck_sql("v"), one_indexed=True)
+    wb = _HLL_WBITS + 1
+    alpha = "(0.7213 / (1 + 1.079 / 256))"
+    return f"""{flows_cte},
+pk AS (SELECT {group_col} AS grp, {value_col} AS v FROM flows),
+codes AS (SELECT grp, {code} AS code FROM pk),
+regs AS (
+  SELECT grp, code // 64 AS bucket, CAST(MAX(code) % 64 AS INT) AS r
+  FROM codes GROUP BY 1, 2
+),
+per AS (
+  SELECT grp, COUNT(*) AS present,
+         CAST(SUM(CAST(1 AS BIGINT) << ({wb} - r)) AS BIGINT) AS denom_p
+  FROM regs GROUP BY 1
+),
+est AS (
+  SELECT grp, CAST({m} - present AS BIGINT) AS v_empty,
+         CAST(FLOOR({alpha} * {m} * {m} *
+              CAST(CAST(1 AS BIGINT) << {wb} AS DOUBLE) /
+              CAST(denom_p + ({m} - present) *
+                   (CAST(1 AS BIGINT) << {wb}) AS DOUBLE))
+              AS BIGINT) AS raw_est
+  FROM per
+),
+fin AS (
+  SELECT grp, v_empty,
+         CASE WHEN raw_est <= {(5 * m) // 2} AND v_empty > 0
+              THEN CAST(FLOOR({m} * ln(CAST({m} AS DOUBLE)
+                   / CAST(v_empty AS DOUBLE))) AS BIGINT)
+              ELSE raw_est END AS est_distinct
+  FROM est
+),
+ex AS (
+  SELECT {group_col} AS grp,
+         CAST(COUNT(DISTINCT {value_col}) AS BIGINT) AS exact_distinct
+  FROM flows GROUP BY 1
+)
+SELECT f.grp AS {group_col}, f.est_distinct, x.exact_distinct,
+       CAST(abs(f.est_distinct - x.exact_distinct) * 1000
+            // x.exact_distinct AS BIGINT) AS err_pm,
+       f.v_empty
+FROM fin f JOIN ex x USING (grp)"""

@@ -557,3 +557,16 @@ from pmacct_spark.operators import sketch as _sketch
 )
 def heavy_hitters_countmin(spark, sf_dir):
     return _sketch.countmin_heavy_hitters(flows(spark, sf_dir))
+
+
+# --- HyperLogLog distinct sources per protocol: the bounded-memory
+#     answer to "how many unique talkers" at 100 TB (256 registers per
+#     group, max-mergeable map-side), with registers drawn from the
+#     frozen portable hash family so the DuckDB oracle replays every
+#     register and the estimate EXACTLY — see operators/sketch.py.
+@register(
+    "approx_distinct_hll",
+    _sketch.hll_distinct_duck(FLOWS_DUCK_CTE),
+)
+def approx_distinct_hll(spark, sf_dir):
+    return _sketch.hll_distinct(flows(spark, sf_dir))

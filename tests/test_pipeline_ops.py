@@ -450,3 +450,39 @@ def test_countmin_one_sided_guarantee(spark):
     # ranking is by estimate desc: truth's heaviest key must surface
     top = min(out, key=lambda r: r.rank)
     assert top.est_bytes >= 3000  # >= the true maximum (one-sided)
+
+
+def test_hll_distinct_accuracy_and_register_bound(spark):
+    """HLL (m=256): the estimate lands within the sketch's error
+    envelope on cardinalities spanning the linear-counting and raw
+    regimes, and the register table is bounded at m rows per group
+    regardless of input size."""
+    from pmacct_spark.operators.sketch import HLL_M, hll_distinct
+
+    rows = []
+    for n, grp in ((40, 1), (800, 2), (5000, 3)):  # lc / crossover / raw
+        rows += [(grp, f"host-{grp}-{i % n}") for i in range(n * 2)]
+    df = spark.createDataFrame(rows, "ip_proto int, ip_src string")
+    got = {r["ip_proto"]: r for r in hll_distinct(df).collect()}
+    assert set(got) == {1, 2, 3}
+    for grp, n in ((1, 40), (2, 800), (3, 5000)):
+        r = got[grp]
+        assert r["exact_distinct"] == n
+        # 3-sigma-ish envelope: 1.04/sqrt(256) = 6.5% per sigma
+        assert r["err_pm"] <= 200, (grp, dict(r.asDict()))
+        assert 0 <= r["v_empty"] <= HLL_M
+
+
+def test_hll_registers_partial_aggregate_before_exchange(spark):
+    """The register fold must map-side combine (max commutes): the
+    plan carries partial_max upstream of the (grp, bucket) exchange —
+    the property that makes the sketch constant-state per partition."""
+    import __spark_entry__ as entrymod
+    from tests.conftest import SF_DIR
+
+    df = entrymod.queries()["approx_distinct_hll"](spark, SF_DIR)
+    plan = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+    assert "partial_max" in plan, plan.split("\n\n")[0]
+    assert "EvalPython" not in plan and "InPandas" not in plan
