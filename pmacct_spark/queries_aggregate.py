@@ -570,3 +570,17 @@ def heavy_hitters_countmin(spark, sf_dir):
 )
 def approx_distinct_hll(spark, sf_dir):
     return _sketch.hll_distinct(flows(spark, sf_dir))
+
+
+# --- HDR-histogram byte-size percentiles per protocol: the
+#     bounded-memory quantile answer (<= 64*32 integer counters per
+#     group, add-mergeable map-side, <= 3.1% relative error by
+#     construction) with deterministic log-bucketing, so the oracle
+#     replays every counter and estimate — percentile_approx's sketch
+#     is implementation-defined and could never hash-match.
+@register(
+    "hdr_quantiles_bytes",
+    _sketch.hdr_quantiles_duck(FLOWS_DUCK_CTE),
+)
+def hdr_quantiles_bytes(spark, sf_dir):
+    return _sketch.hdr_quantiles(flows(spark, sf_dir))

@@ -486,3 +486,61 @@ def test_hll_registers_partial_aggregate_before_exchange(spark):
     )
     assert "partial_max" in plan, plan.split("\n\n")[0]
     assert "EvalPython" not in plan and "InPandas" not in plan
+
+
+def test_hdr_quantiles_error_bound(spark):
+    """HDR estimates stay within the structure's 2^-5 relative error
+    of numpy's exact discrete quantiles on a long-tailed sample, and
+    the histogram stays bounded."""
+    import numpy as np
+
+    from pmacct_spark.operators.sketch import hdr_quantiles
+
+    rng = np.random.default_rng(7)
+    vals = np.concatenate([
+        rng.integers(40, 1500, 4000),          # body
+        rng.integers(10_000, 5_000_000, 400),  # tail
+    ])
+    df = spark.createDataFrame(
+        [(1, int(v)) for v in vals], "ip_proto int, bytes long"
+    )
+    got = {r["q_pm"]: r for r in hdr_quantiles(df).collect()}
+    assert set(got) == {500, 950, 990}
+    for q_pm, r in got.items():
+        exact = float(np.quantile(vals, q_pm / 1000, method="inverted_cdf"))
+        est = r["est"]
+        assert r["n"] == len(vals)
+        # lower bound of the containing bucket: est <= exact and
+        # within one bucket width (2^-5 relative) below it
+        assert est <= exact + 1e-9, (q_pm, est, exact)
+        assert est >= exact * (1 - 2 ** -5) - 1, (q_pm, est, exact)
+
+
+def test_hdr_code_monotone_and_invertible():
+    """Bucket codes are monotone in the value and the rendered lower
+    bound is exact for sub-64 values, within 3.1% above."""
+    import duckdb
+
+    from pmacct_spark.operators.sketch import _hdr_code, _hdr_lower
+
+    con = duckdb.connect()
+    code = _hdr_code("v").replace(" DIV ", " // ")
+    lower = _hdr_lower("c").replace(" DIV ", " // ")
+    rows = con.execute(
+        f"SELECT v, {code} AS c FROM (SELECT unnest(["
+        + ",".join(str(v) for v in
+                   list(range(0, 130)) + [10**3, 10**6, 10**9, 2**40])
+        + "]) AS v)"
+    ).fetchall()
+    codes = [c for _, c in rows]
+    assert codes == sorted(codes)
+    lo = con.execute(
+        f"SELECT v, c, {lower} AS lo FROM (SELECT unnest(["
+        + ",".join(str(v) for v, _ in rows) + "]) AS v, unnest(["
+        + ",".join(str(c) for _, c in rows) + "]) AS c)"
+    ).fetchall()
+    for v, _, l in lo:
+        if v < 64:
+            assert l == v
+        else:
+            assert l <= v and l >= v * (1 - 2 ** -5) - 1
