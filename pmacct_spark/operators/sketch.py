@@ -221,6 +221,30 @@ def hll_distinct(
         .groupBy("grp", F.expr("code DIV 64").alias("bucket"))
         .agg(F.expr("max(code) % 64").cast("int").alias("r"))
     )
+    est = hll_finalize(regs, m)
+    exact = pk.groupBy("grp").agg(
+        F.countDistinct("v").cast("bigint").alias("exact_distinct")
+    )
+    return (
+        est.join(F.broadcast(exact), "grp")
+        .select(
+            F.col("grp").alias(group_col),
+            "est_distinct",
+            "exact_distinct",
+            F.expr(
+                "CAST(abs(est_distinct - exact_distinct) * 1000 "
+                "DIV exact_distinct AS BIGINT)"
+            ).alias("err_pm"),
+            "v_empty",
+        )
+    )
+
+
+def hll_finalize(regs: DataFrame, m: int = HLL_M) -> DataFrame:
+    """(grp, v_empty, est_distinct) from a (grp, bucket, r) register
+    table — the render stage, separated so a STREAMING register fold
+    (the sketch state lives in the stream; max merges across
+    micro-batches) finalizes identically to the batch path."""
     wb = _HLL_WBITS + 1
     per = regs.groupBy("grp").agg(
         F.count(F.lit(1)).alias("present"),
@@ -253,22 +277,7 @@ def hll_distinct(
             "ELSE raw_est END"
         ).alias("est_distinct"),
     )
-    exact = pk.groupBy("grp").agg(
-        F.countDistinct("v").cast("bigint").alias("exact_distinct")
-    )
-    return (
-        est.join(F.broadcast(exact), "grp")
-        .select(
-            F.col("grp").alias(group_col),
-            "est_distinct",
-            "exact_distinct",
-            F.expr(
-                "CAST(abs(est_distinct - exact_distinct) * 1000 "
-                "DIV exact_distinct AS BIGINT)"
-            ).alias("err_pm"),
-            "v_empty",
-        )
-    )
+    return est
 
 
 def hll_distinct_duck(

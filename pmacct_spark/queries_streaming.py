@@ -16,6 +16,7 @@ from pyspark.sql import functions as F
 from pmacct_spark.config import PluginConfig
 from pmacct_spark.driver_queries import FLOWS_DUCK_CTE, register
 from pmacct_spark.operators.windows import duck_bucket_sql
+from pmacct_spark.operators import sketch as _sketch_mod
 from pmacct_spark.config import History
 from pmacct_spark.streaming.jobs import (
     flows_stream,
@@ -1172,4 +1173,49 @@ def ipfrag4_reassembly(spark, sf_dir):
         F.count(F.lit(1)).alias("datagrams"),
         F.sum("total_len").cast("bigint").alias("total_bytes"),
         F.sum("n_frags").cast("bigint").alias("n_frags"),
+    )
+
+
+@register(
+    "stream_approx_distinct_hll",
+    _sketch_mod.hll_distinct_duck(FLOWS_DUCK_CTE),
+)
+def stream_approx_distinct_hll(spark, sf_dir):
+    """The HLL register fold executed as a STREAMING query: the
+    (grp, bucket) -> max(rho) state is the whole sketch — constant
+    m rows per group in the state store however many flows stream
+    through, and max merges across micro-batches — then the estimate
+    renders batch-side from the drained register table, exactly as the
+    batch path does (operators/sketch.hll_finalize). availableNow
+    replay must equal the batch plan's oracle bit-for-bit; the exact
+    count (comparison column) comes from the batch view."""
+    from pyspark.sql import functions as F
+
+    from pmacct_spark.driver_queries import flows as flows_view_fn
+    from pmacct_spark.functions.hashing import poly_hash_spark_sql
+    from pmacct_spark.operators.sketch import _hll_code_expr, hll_finalize
+
+    code = _hll_code_expr(poly_hash_spark_sql("v"))
+    src = flows_stream(spark, sf_dir).selectExpr(
+        "ip_proto AS grp", "ip_src AS v"
+    )
+    regs_stream = (
+        src.select("grp", F.expr(code).alias("code"))
+        .groupBy("grp", F.expr("code DIV 64").alias("bucket"))
+        .agg(F.expr("max(code) % 64").cast("int").alias("r"))
+    )
+    regs = run_to_memory(regs_stream, "q_stream_hll_regs")
+    est = hll_finalize(regs)
+    exact = flows_view_fn(spark, sf_dir).groupBy(
+        F.col("ip_proto").alias("grp")
+    ).agg(F.countDistinct("ip_src").cast("bigint").alias("exact_distinct"))
+    return est.join(F.broadcast(exact), "grp").select(
+        F.col("grp").alias("ip_proto"),
+        "est_distinct",
+        "exact_distinct",
+        F.expr(
+            "CAST(abs(est_distinct - exact_distinct) * 1000 "
+            "DIV exact_distinct AS BIGINT)"
+        ).alias("err_pm"),
+        "v_empty",
     )
