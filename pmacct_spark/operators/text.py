@@ -444,8 +444,15 @@ def bpe_train_merges(
     boundaries; the zipped pair count still sees "aaa" as two (a,a)
     candidates, matching the reference algorithm).
     """
+    from pmacct_spark.operators.staging import stage
+
     spark = docs.sparkSession
-    words = (
+    # STAGED: each merge round triggers its own action, and without a
+    # materialization barrier every round's lazy lineage would re-run
+    # the corpus scan + histogram shuffle (round r would cost r extra
+    # corpus passes). Staging the vocabulary-bounded histogram makes
+    # "corpus scanned once" true across the whole loop.
+    words = stage(
         docs.select(
             F.explode(
                 F.split(F.lower(F.col(text_col)), "[^a-z]+")
