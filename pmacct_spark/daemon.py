@@ -483,11 +483,68 @@ class Daemon:
             ctrs = ctrs.unionByName(comp, allowMissingColumns=True)
         return ctrs
 
+    def _templates_seed(self) -> dict | None:
+        """nfacctd_templates_file startup side (reference
+        CONFIG-KEYS:2040, load_templates_from_file
+        src/nfv9_template.c:1334): templates persisted by a previous
+        run seed every decode, so data records arriving before the
+        exporters' next template refresh decode instead of dropping."""
+        if not hasattr(self, "_tmpl_seed"):
+            path = (
+                self.conf.get("nfacctd_templates_file")
+                if self.flavor != "sflow"
+                else None
+            )
+            from pmacct_spark.streaming.decode import load_templates_file
+
+            self._tmpl_path = str(path) if path else None
+            self._tmpl_seed = (
+                load_templates_file(self._tmpl_path) if path else None
+            )
+        return self._tmpl_seed
+
+    def _persist_templates(self, live: DataFrame) -> None:
+        """Steady-state side: fold templates seen in the spool into the
+        file (save_template / update_template_in_file
+        src/nfv9_template.c:255,1230-1235). Rewrites only when a new
+        or changed definition appeared; atomic replace in the saver."""
+        import json
+
+        self._templates_seed()
+        if not self._tmpl_path:
+            return
+        from pmacct_spark.streaming.decode import (
+            learn_template_cache,
+            save_templates_file,
+        )
+
+        try:
+            learned = learn_template_cache(live)
+        except ValueError:
+            return  # conflicting redefinitions: the ordered path owns them
+        # JSON-normalize so tuple-vs-list shape can't force rewrites
+        learned = {
+            k: json.loads(json.dumps(v)) for k, v in learned.items()
+        }
+        merged = {**(self._tmpl_seed or {}), **learned}
+        if merged != (self._tmpl_seed or {}):
+            save_templates_file(merged, self._tmpl_path)
+            self._tmpl_seed = merged
+
     def _enrich_datagrams(self, dg: DataFrame, streaming: bool) -> DataFrame:
         from pmacct_spark.streaming.decode import decode_any, decode_sflow_any
 
-        decode = decode_sflow_any if self.flavor == "sflow" else decode_any
-        df = canonical_flows(decode(dg.select("exporter_ip", "payload")))
+        if self.flavor == "sflow":
+            df = canonical_flows(
+                decode_sflow_any(dg.select("exporter_ip", "payload"))
+            )
+        else:
+            df = canonical_flows(
+                decode_any(
+                    dg.select("exporter_ip", "payload"),
+                    seed_templates=self._templates_seed(),
+                )
+            )
         df = self._maps(df)
         if self.bgp_spool is not None or self.bmp_spool is not None:
             df = self._bgp_enrich(df, streaming=streaming)
@@ -506,6 +563,7 @@ class Daemon:
         with self._compact_lock:
             live = self._spool_batch()
             comp = self._compacted_flows()
+        self._persist_templates(live)
         df = self._enrich_datagrams(live, streaming=False)
         if comp is not None:
             df = df.unionByName(comp, allowMissingColumns=True)

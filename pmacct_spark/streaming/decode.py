@@ -1018,6 +1018,53 @@ def learn_template_cache(datagrams: DataFrame) -> dict:
     return cache
 
 
+def save_templates_file(cache: dict, path: str) -> None:
+    """Persist a template cache as JSON — the reference's
+    nfacctd_templates_file steady-state side (CONFIG-KEYS:2040;
+    save_template / update_template_in_file src/nfv9_template.c:255,
+    1230-1235). Keys flatten to "exporter|source_id|template_id".
+    Atomic replace, so a crashed write can't truncate the cache a
+    restarting collector depends on."""
+    import json
+    import os
+    import tempfile
+
+    data = {"|".join(map(str, k)): v for k, v in cache.items()}
+    d = os.path.dirname(os.path.abspath(path)) or "."
+    fd, tmp = tempfile.mkstemp(dir=d, prefix=".tmpl.")
+    try:
+        with os.fdopen(fd, "w") as fh:
+            json.dump(data, fh)
+        os.replace(tmp, path)
+    except BaseException:
+        try:
+            os.unlink(tmp)
+        except OSError:
+            pass
+        raise
+
+
+def load_templates_file(path: str) -> dict:
+    """Load a template cache saved by :func:`save_templates_file`; a
+    missing or unreadable file yields {} (the reference logs and
+    skips, src/nfv9_template.c:1334-1344)."""
+    import json
+    import os
+
+    if not os.path.exists(path):
+        return {}
+    try:
+        with open(path) as fh:
+            data = json.load(fh)
+    except (OSError, ValueError):
+        return {}
+    out = {}
+    for k, spec in data.items():
+        exporter, sid, tid = k.rsplit("|", 2)
+        out[(exporter, int(sid), int(tid))] = spec
+    return out
+
+
 def _despec(spec):
     """JSON round trip turns tuples into lists; normalize a spec back
     into the walker's shape (nested lists unpack identically)."""
@@ -1025,14 +1072,23 @@ def _despec(spec):
 
 
 def decode_any_twophase(
-    datagrams: DataFrame, parallelism: int | None = None
+    datagrams: DataFrame,
+    parallelism: int | None = None,
+    seed_templates: dict | None = None,
+    templates_file: str | None = None,
 ) -> DataFrame:
     """Version-dispatch decode with a pre-learned broadcast template
     cache: no partitioning contract, parallelism = input partitions
     (or ``parallelism`` round-robin if given). v5 needs no templates
-    and rides along unchanged."""
+    and rides along unchanged.
+
+    ``seed_templates`` merges under the capture's own definitions
+    (in-capture wins); ``templates_file`` persists the merged cache
+    after learning — together the nfacctd_templates_file cycle."""
     spark = datagrams.sparkSession
-    cache = learn_template_cache(datagrams)
+    cache = {**(seed_templates or {}), **learn_template_cache(datagrams)}
+    if templates_file:
+        save_templates_file(cache, templates_file)
     bc = spark.sparkContext.broadcast(cache)
     if parallelism:
         datagrams = datagrams.repartition(parallelism)
@@ -1227,13 +1283,29 @@ def _v10_packet(
     return out
 
 
-def decode_any(datagrams: DataFrame) -> DataFrame:
+def decode_any(
+    datagrams: DataFrame, seed_templates: dict | None = None
+) -> DataFrame:
     """Version-dispatch decoder: v5 / v9 / IPFIX datagrams mixed on one
     socket (reference src/nfacctd.c:1649-1654). Same partition contract
-    as decode_v9."""
+    as decode_v9.
+
+    ``seed_templates`` pre-populates every partition's template cache
+    (broadcast) — the restart path of the reference's
+    nfacctd_templates_file (CONFIG-KEYS:2040): data records whose
+    templates were learned in a PREVIOUS run decode immediately
+    instead of dropping until the next template refresh. In-stream
+    definitions still overwrite seeds (fresher wins)."""
+    bc = (
+        datagrams.sparkSession.sparkContext.broadcast(seed_templates)
+        if seed_templates
+        else None
+    )
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        templates: dict[tuple[str, int, int], list[tuple[int, int]]] = {}
+        templates: dict[tuple[str, int, int], list[tuple[int, int]]] = (
+            {tuple(k): v for k, v in bc.value.items()} if bc else {}
+        )
         compiled: dict = {}
         cols = [f.name for f in FLOW_SCHEMA.fields]
         for pdf in batches:

@@ -961,3 +961,88 @@ def test_stream_batch_parity_multiwindow(spark):
     gs = [tuple(r) for r in got.select(*want.columns).collect()]
     ws = [tuple(r) for r in want.collect()]
     assert gs == ws and len(gs) > 0
+
+
+def test_templates_file_restart_cycle(spark, tmp_path):
+    """nfacctd_templates_file (reference CONFIG-KEYS:2040,
+    src/nfv9_template.c:255,1334): run 1 learns templates from a
+    template+data capture and persists them; run 2 — a fresh decoder
+    fed DATA-ONLY datagrams, the post-restart reality before the
+    exporter's next template refresh — decodes every record via the
+    seeded cache where an unseeded decoder drops them all."""
+    from pmacct_spark.sinks.nfprobe import encode_v9
+    from pmacct_spark.streaming.decode import (
+        decode_any,
+        decode_any_twophase,
+        load_templates_file,
+    )
+
+    path = str(tmp_path / "templates.json")
+    rows = encode_v9(_mk_flows(spark, 40).coalesce(1)).collect()
+    dg = spark.createDataFrame(
+        rows, "exporter_ip string, seqno long, payload binary"
+    ).select("exporter_ip", "payload")
+
+    # run 1: decode + persist
+    out1 = decode_any_twophase(dg, templates_file=path).collect()
+    assert len(out1) == 40
+
+    # run 2: data-only datagrams (drop the template datagram — it is
+    # the first one encode_v9 emits)
+    data_only = spark.createDataFrame(
+        rows[1:], "exporter_ip string, seqno long, payload binary"
+    ).select("exporter_ip", "payload")
+    assert decode_any(data_only).count() == 0  # unseeded: all dropped
+    seed = load_templates_file(path)
+    assert seed  # templates survived the "restart"
+    out2 = decode_any(data_only, seed_templates=seed).collect()
+    assert sorted(map(tuple, out2)) == sorted(map(tuple, out1))
+
+    # in-capture definitions overwrite stale seeds (fresher wins)
+    out3 = decode_any_twophase(dg, seed_templates=seed).collect()
+    assert len(out3) == 40
+
+    # missing file loads empty, not an error
+    assert load_templates_file(str(tmp_path / "nope.json")) == {}
+
+
+def test_daemon_templates_file_seeds_restart(spark, tmp_path):
+    """Daemon-level cycle: a first daemon drains a capture and writes
+    nfacctd_templates_file; a SECOND daemon (fresh process state) fed
+    only data datagrams decodes them from the seeded file."""
+    from pmacct_spark.daemon import Daemon
+    from pmacct_spark.sinks.nfprobe import encode_v9
+
+    path = str(tmp_path / "tpl.json")
+    rows = encode_v9(_mk_flows(spark, 30).coalesce(1)).collect()
+
+    # exercise the daemon's seed/persist methods directly on a
+    # Daemon-shaped conf (the socket/spool machinery is orthogonal and
+    # has its own live tests)
+    import types
+
+    from pmacct_spark.streaming.decode import load_templates_file
+
+    d = Daemon.__new__(Daemon)
+    d.conf = types.SimpleNamespace(
+        get=lambda k, default=None: {
+            "nfacctd_templates_file": path
+        }.get(k, default)
+    )
+    d.flavor = "netflow"
+    live = spark.createDataFrame(
+        rows, "exporter_ip string, seqno long, payload binary"
+    ).select("exporter_ip", "payload")
+    d._persist_templates(live)
+    assert load_templates_file(path)
+
+    d2 = Daemon.__new__(Daemon)
+    d2.conf = d.conf
+    d2.flavor = "netflow"
+    from pmacct_spark.streaming.decode import decode_any
+
+    data_only = spark.createDataFrame(
+        rows[1:], "exporter_ip string, seqno long, payload binary"
+    ).select("exporter_ip", "payload")
+    out = decode_any(data_only, seed_templates=d2._templates_seed())
+    assert out.count() == 30
