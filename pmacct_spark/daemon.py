@@ -531,6 +531,59 @@ class Daemon:
             save_templates_file(merged, self._tmpl_path)
             self._tmpl_seed = merged
 
+    def _forward_templates(self, live: DataFrame) -> None:
+        """nfacctd_templates_receiver (reference CONFIG-KEYS): forward
+        every datagram carrying a template/options-template set to the
+        configured replicator — the clustered-SO_REUSEPORT helper. A
+        per-exporter seqno watermark keeps each datagram forwarded
+        once across drains; the send itself is the tee plugin's
+        distributed per-partition UDP path (sinks/tee.emit_udp)."""
+        dest = (
+            self.conf.get("nfacctd_templates_receiver")
+            if self.flavor != "sflow"
+            else None
+        )
+        if not dest:
+            return
+        import pandas as pd
+
+        from pmacct_spark.sinks.tee import emit_udp
+        from pmacct_spark.streaming.decode import has_template_set
+
+        wm: dict[str, int] = getattr(self, "_tmpl_fwd_wm", {})
+        spark = live.sparkSession
+        if wm:
+            wm_df = spark.createDataFrame(
+                list(wm.items()), "exporter_ip string, __wm long"
+            )
+            fresh = (
+                live.join(F.broadcast(wm_df), "exporter_ip", "left")
+                .filter(F.expr("seqno > coalesce(__wm, -1)"))
+                .select("exporter_ip", "seqno", "payload")
+            )
+        else:
+            fresh = live.select("exporter_ip", "seqno", "payload")
+
+        def keep_templates(batches):
+            for pdf in batches:
+                mask = pdf["payload"].map(
+                    lambda p: has_template_set(bytes(p))
+                )
+                yield pdf[mask]
+
+        tmpl = fresh.mapInPandas(
+            keep_templates, "exporter_ip string, seqno long, payload binary"
+        )
+        emit_udp(tmpl, default_endpoint=str(dest))
+        new_wm = {
+            r["exporter_ip"]: int(r["mx"])
+            for r in fresh.groupBy("exporter_ip")
+            .agg(F.max("seqno").alias("mx"))
+            .collect()
+        }
+        wm.update(new_wm)
+        self._tmpl_fwd_wm = wm
+
     def _enrich_datagrams(self, dg: DataFrame, streaming: bool) -> DataFrame:
         from pmacct_spark.streaming.decode import decode_any, decode_sflow_any
 
@@ -564,6 +617,7 @@ class Daemon:
             live = self._spool_batch()
             comp = self._compacted_flows()
         self._persist_templates(live)
+        self._forward_templates(live)
         df = self._enrich_datagrams(live, streaming=False)
         if comp is not None:
             df = df.unionByName(comp, allowMissingColumns=True)

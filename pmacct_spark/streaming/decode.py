@@ -1881,3 +1881,30 @@ def decode_sflow5(datagrams: DataFrame) -> DataFrame:
             )
 
     return datagrams.mapInPandas(gen, SFLOW_SCHEMA)
+
+
+def has_template_set(b: bytes) -> bool:
+    """True when a v9/IPFIX datagram carries at least one template or
+    options-template set (v9 set ids 0/1, IPFIX 2/3) — the datagrams
+    nfacctd_templates_receiver forwards to a replicator (reference
+    CONFIG-KEYS nfacctd_templates_receiver). Bounded set walk; v5 and
+    malformed datagrams are False."""
+    if len(b) < 4:
+        return False
+    ver = int.from_bytes(b[:2], "big")
+    if ver == 9:
+        off, tmpl_ids = 20, (0, 1)
+    elif ver == 10:
+        off, tmpl_ids = 16, (2, 3)
+    else:
+        return False
+    n = len(b)
+    while off + 4 <= n:
+        set_id = int.from_bytes(b[off : off + 2], "big")
+        set_len = int.from_bytes(b[off + 2 : off + 4], "big")
+        if set_len < 4:
+            return False
+        if set_id in tmpl_ids:
+            return True
+        off += set_len
+    return False

@@ -1046,3 +1046,50 @@ def test_daemon_templates_file_seeds_restart(spark, tmp_path):
     ).select("exporter_ip", "payload")
     out = decode_any(data_only, seed_templates=d2._templates_seed())
     assert out.count() == 30
+
+
+def test_templates_receiver_forwards_template_datagrams_once(spark):
+    """nfacctd_templates_receiver: template-set datagrams (and ONLY
+    those) forward to the replicator over live UDP; the per-exporter
+    seqno watermark keeps re-drains from re-sending."""
+    import socket
+    import time as _t
+    import types
+
+    from pmacct_spark.daemon import Daemon
+    from pmacct_spark.sinks.nfprobe import encode_v9
+    from pmacct_spark.streaming.decode import has_template_set
+
+    rx = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
+    rx.bind(("127.0.0.1", 0))
+    rx.settimeout(5)
+    port = rx.getsockname()[1]
+
+    rows = encode_v9(_mk_flows(spark, 30).coalesce(1)).collect()
+    # exactly one datagram in this capture carries the template set
+    assert sum(has_template_set(bytes(r["payload"])) for r in rows) == 1
+    live = spark.createDataFrame(
+        rows, "exporter_ip string, seqno long, payload binary"
+    )
+
+    d = Daemon.__new__(Daemon)
+    d.conf = types.SimpleNamespace(
+        get=lambda k, default=None: {
+            "nfacctd_templates_receiver": f"127.0.0.1:{port}"
+        }.get(k, default)
+    )
+    d.flavor = "netflow"
+    d._forward_templates(live)
+
+    got = rx.recv(65535)
+    assert has_template_set(got)
+    # data datagrams must NOT arrive, and a re-drain sends nothing new
+    d._forward_templates(live)
+    rx.settimeout(0.8)
+    try:
+        extra = rx.recv(65535)
+        raise AssertionError(f"unexpected datagram: {extra[:20]!r}")
+    except socket.timeout:
+        pass
+    finally:
+        rx.close()
