@@ -398,3 +398,17 @@ def parse_roas_file(text: str) -> list[dict]:
             }
         )
     return out
+
+
+def parse_allow_file(text: str) -> list[str]:
+    """[ns]facctd_allow_file: one allowed exporter per line — a plain
+    address or a v4 CIDR prefix (reference CONFIG-KEYS; the check is
+    src/nfacctd.c's allow-list test on the datagram source). Comments
+    (!, #) and blanks skipped, like every reference map."""
+    out: list[str] = []
+    for line in text.splitlines():
+        line = line.strip()
+        if not line or line.startswith(("!", "#")):
+            continue
+        out.append(line)
+    return out

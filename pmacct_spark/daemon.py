@@ -69,6 +69,7 @@ class Daemon:
     bgp_spool: object | None = None  # TcpSpool when bgp_daemon is on
     bmp_spool: object | None = None  # TcpSpool when bmp_daemon is on
     rtr_client: object | None = None  # RtrClient when rpki_rtr_cache is set
+    tmpl_spool: object | None = None  # UdpSpool on nfacctd_templates_port
     lg: object | None = None  # LookingGlass when bgp_daemon_lg is on
     grpc: object | None = None  # GrpcDialoutServer (telemetry dial-out)
     grpc_dialin: object | None = None  # GrpcDialinCollector
@@ -126,6 +127,20 @@ class Daemon:
             spool = UdpSpool(
                 host=host, port=port, spool_dir=spool_dir, flush_secs=0.2
             ).start()
+        tmpl_spool = None
+        if flavor == "netflow" and conf.get("nfacctd_templates_port") is not None:
+            # nfacctd_templates_port (reference CONFIG-KEYS): a second
+            # UDP bind receiving REPLICATED templates (from a peer's
+            # nfacctd_templates_receiver); datagrams here feed only
+            # the template cache and are never re-forwarded (the
+            # receiver watermark covers only the main spool), which is
+            # the reference's infinite-loop guard.
+            tmpl_spool = UdpSpool(
+                host=host,
+                port=int(conf.get("nfacctd_templates_port") or 0),
+                spool_dir=(spool_dir + "_tmpl") if spool_dir else None,
+                flush_secs=0.2,
+            ).start()
         bgp_spool = bmp_spool = None
         if conf.getbool("bgp_daemon"):
             from pmacct_spark.sources.tcp import TcpSpool
@@ -161,7 +176,7 @@ class Daemon:
             channels={} if flavor == "telemetry" else conffile.channels(conf),
             flavor=flavor,
             bgp_spool=bgp_spool, bmp_spool=bmp_spool,
-            rtr_client=rtr_client,
+            rtr_client=rtr_client, tmpl_spool=tmpl_spool,
         )
         if conf.get("telemetry_daemon_grpc_port") is not None:
             # gRPC dial-out collection (reference bridges an external
@@ -236,7 +251,7 @@ class Daemon:
         self.spool.stop()
         for sp in (
             self.bgp_spool, self.bmp_spool, self.rtr_client, self.lg,
-            self.grpc, self.grpc_dialin,
+            self.grpc, self.grpc_dialin, self.tmpl_spool,
         ):
             if sp is not None:
                 sp.stop()
@@ -531,6 +546,77 @@ class Daemon:
             save_templates_file(merged, self._tmpl_path)
             self._tmpl_seed = merged
 
+    def _ingest_replicated_templates(self) -> None:
+        """nfacctd_templates_port drain side: templates received on
+        the dedicated replication socket merge into the decode seed
+        (and ONLY the seed — these datagrams carry no data sets worth
+        accounting and are never re-forwarded, the reference's
+        infinite-loop guard)."""
+        if self.tmpl_spool is None:
+            return
+        import json
+
+        from pmacct_spark.streaming.decode import learn_template_cache
+
+        self._templates_seed()
+        dg = self.tmpl_spool.batch(self.spark).select(
+            "exporter_ip", "payload"
+        )
+        try:
+            learned = learn_template_cache(dg)
+        except ValueError:
+            return
+        if learned:
+            learned = {
+                k: json.loads(json.dumps(v)) for k, v in learned.items()
+            }
+            self._tmpl_seed = {**(self._tmpl_seed or {}), **learned}
+
+    def _exporter_allow_filter(self, dg: DataFrame) -> DataFrame:
+        """nfacctd_allow_file / sfacctd_allow_file (reference
+        CONFIG-KEYS, src/nfacctd.c check_allow): datagrams whose
+        source address is not in the allow list are DROPPED before
+        decode. Entries are plain addresses or v4 CIDR prefixes;
+        SIGUSR2-reload class (parsed once per daemon like ports_file)."""
+        key = (
+            "sfacctd_allow_file"
+            if self.flavor == "sflow"
+            else "nfacctd_allow_file"
+        )
+        if not hasattr(self, "_allow_cache"):
+            path = self.conf.get(key)
+            if not path:
+                self._allow_cache = None
+            else:
+                with open(path) as fh:
+                    self._allow_cache = conffile.parse_allow_file(
+                        fh.read()
+                    )
+        entries = self._allow_cache
+        if entries is None:
+            return dg
+        from pmacct_spark.functions.addr import ipv4_aton
+
+        exact = [e for e in entries if "/" not in e]
+        conds = None
+        if exact:
+            conds = F.col("exporter_ip").isin(exact)
+        for e in entries:
+            if "/" not in e:
+                continue
+            net, _, ln = e.partition("/")
+            ln = int(ln)
+            div = 1 << (32 - ln) if ln < 32 else 1
+            net_i = sum(
+                int(o) << (8 * (3 - i))
+                for i, o in enumerate(net.split("."))
+            )
+            c = (ipv4_aton("exporter_ip") / div).cast("bigint") == (
+                net_i // div
+            )
+            conds = c if conds is None else (conds | c)
+        return dg.filter(conds) if conds is not None else dg.filter(F.lit(False))
+
     def _forward_templates(self, live: DataFrame) -> None:
         """nfacctd_templates_receiver (reference CONFIG-KEYS): forward
         every datagram carrying a template/options-template set to the
@@ -587,6 +673,7 @@ class Daemon:
     def _enrich_datagrams(self, dg: DataFrame, streaming: bool) -> DataFrame:
         from pmacct_spark.streaming.decode import decode_any, decode_sflow_any
 
+        dg = self._exporter_allow_filter(dg)
         if self.flavor == "sflow":
             df = canonical_flows(
                 decode_sflow_any(dg.select("exporter_ip", "payload"))
@@ -618,6 +705,7 @@ class Daemon:
             comp = self._compacted_flows()
         self._persist_templates(live)
         self._forward_templates(live)
+        self._ingest_replicated_templates()
         df = self._enrich_datagrams(live, streaming=False)
         if comp is not None:
             df = df.unionByName(comp, allowMissingColumns=True)
@@ -753,13 +841,39 @@ class Daemon:
             ).drop("origin_as")
             attrs["roa_status"] = "dst_roa"  # the registry primitive
             defaults["dst_roa"] = "u"  # off-RIB traffic: unknown
-        return lpm_join(
+        out = lpm_join(
             df, rib, "ip_dst_i", attrs, default=defaults,
             extra_keys={"peer_ip_src": "peer_ip"},
             # live queries must not freeze the masklen set at
             # .start() time (see lpm_join docstring)
             masklens=list(range(32, -1, -1)) if streaming else None,
         )
+        radius = self.conf.get("bgp_aspath_radius")
+        if radius:
+            # bgp_aspath_radius (reference CONFIG-KEYS, bgp_util.c):
+            # cut the rendered AS-path after N hops — aggregation-key
+            # cardinality control for as_path channels
+            out = out.withColumn(
+                "as_path",
+                F.expr(
+                    "array_join(slice(split(as_path, ' '), 1, "
+                    f"{int(radius)}), ' ')"
+                ),
+            )
+        pat = self.conf.get("bgp_stdcomm_pattern")
+        if pat:
+            # bgp_stdcomm_pattern: keep only standard communities
+            # matching the pattern ('*' wildcards either 16-bit half),
+            # the reference's evaluate_comm_patterns filter
+            like = str(pat).replace("*", "%")
+            out = out.withColumn(
+                "std_comm",
+                F.expr(
+                    "array_join(filter(split(std_comm, ' '), "
+                    f"c -> c LIKE '{like}'), ' ')"
+                ),
+            )
+        return out
 
     def _maps(self, df: DataFrame) -> DataFrame:
         """Apply the configured maps, exactly as the reference's

@@ -1136,3 +1136,113 @@ aggregate[routes]: as_path
     assert lines[2]["as_path"] == "65000 65200"
     # the peer's address keys the log — the $peer_src_ip analog
     assert all(r["peer_ip_src"] == "127.0.0.1" for r in lines)
+
+
+def test_daemon_allow_file_drops_unlisted_exporters(spark, tmp_path):
+    """nfacctd_allow_file: only datagrams from listed sources (exact
+    address or v4 CIDR) are accounted; everything else drops BEFORE
+    decode. The live socket always reports 127.0.0.1, so the check
+    exercises both branches by allowing/excluding that address."""
+    allow = tmp_path / "allow.lst"
+    allow.write_text("! test allow list\n192.0.2.0/24\n127.0.0.1\n")
+    conf = (
+        CONF + f"nfacctd_allow_file: {allow}\n"
+    ).replace("plugins: memory[imt], print[files]", "plugins: memory[imt]")
+    conf = "\n".join(
+        ln for ln in conf.splitlines() if "[files]" not in ln
+    )
+    d = Daemon.from_conf(spark, conf, spool_dir=str(tmp_path / "spool_af"))
+    try:
+        _fire(d.port)
+        t0 = time.monotonic()
+        while d.spool.datagrams_received < 2 and time.monotonic() - t0 < 15:
+            time.sleep(0.05)
+        assert d.run_available()["imt"].count() == 2  # 127.0.0.1 allowed
+    finally:
+        d.stop()
+
+    deny = tmp_path / "deny.lst"
+    deny.write_text("192.0.2.0/24\n10.9.9.9\n")  # 127.0.0.1 NOT listed
+    conf2 = conf.replace(str(allow), str(deny))
+    d2 = Daemon.from_conf(spark, conf2, spool_dir=str(tmp_path / "spool_af2"))
+    try:
+        _fire(d2.port)
+        t0 = time.monotonic()
+        while d2.spool.datagrams_received < 2 and time.monotonic() - t0 < 15:
+            time.sleep(0.05)
+        assert d2.run_available()["imt"].count() == 0  # all dropped
+    finally:
+        d2.stop()
+
+
+def test_daemon_templates_port_seeds_decode(spark, tmp_path):
+    """nfacctd_templates_port: a v9 template replicated to the
+    dedicated socket decodes data-only datagrams arriving on the MAIN
+    socket (the clustered-SO_REUSEPORT shape the key exists for)."""
+    from pmacct_spark.sinks.nfprobe import encode_v9
+    from pmacct_spark.sources.udp import send_datagrams
+    from tests.test_streaming import _mk_flows
+
+    rows = encode_v9(_mk_flows(spark, 20).coalesce(1)).collect()
+    tmpl_dg = bytes(rows[0]["payload"])  # template datagram
+    data_dgs = [bytes(r["payload"]) for r in rows[1:]]
+
+    conf = """
+nfacctd_ip: 127.0.0.1
+nfacctd_port: 0
+nfacctd_templates_port: 0
+plugins: memory[imt]
+aggregate[imt]: proto
+"""
+    d = Daemon.from_conf(spark, conf, spool_dir=str(tmp_path / "spool_tp"))
+    try:
+        assert d.tmpl_spool is not None
+        send_datagrams([tmpl_dg], "127.0.0.1", d.tmpl_spool.port)
+        send_datagrams(data_dgs, "127.0.0.1", d.port)
+        t0 = time.monotonic()
+        while (
+            d.spool.datagrams_received < len(data_dgs)
+            or d.tmpl_spool.datagrams_received < 1
+        ) and time.monotonic() - t0 < 15:
+            time.sleep(0.05)
+        out = d.run_available()["imt"]
+        assert out.agg(F.sum("flows")).first()[0] == 20
+    finally:
+        d.stop()
+
+
+def test_bgp_aspath_radius_and_stdcomm_pattern(spark):
+    """bgp_aspath_radius trims the rendered AS-path to N hops;
+    bgp_stdcomm_pattern keeps only communities matching the wildcard
+    pattern — both applied after the RIB lookup, like the reference's
+    render-side filters."""
+    import types
+
+    from pmacct_spark.daemon import Daemon
+
+    d = Daemon.__new__(Daemon)
+    d.conf = types.SimpleNamespace(
+        get=lambda k, default=None: {
+            "bgp_aspath_radius": "2",
+            "bgp_stdcomm_pattern": "65000:*",
+        }.get(k, default)
+    )
+    d.flavor = "netflow"
+    d.rib = lambda: spark.createDataFrame(
+        [
+            ("127.0.0.1", 0x0B000000, 24,
+             "65001 65002 65003 65004", 100, 0,
+             "65000:1 64999:7 65000:22"),
+        ],
+        "peer_ip string, prefix long, masklen int, as_path string, "
+        "local_pref long, med long, std_comm string",
+    )
+    d._roa_table = lambda: None
+    flows_df = spark.createDataFrame(
+        [("127.0.0.1", 0x0B000001, 100)],
+        "peer_ip_src string, ip_dst_i long, bytes long",
+    )
+    out = d._bgp_enrich(flows_df).collect()
+    assert len(out) == 1
+    assert out[0]["as_path"] == "65001 65002"
+    assert out[0]["std_comm"] == "65000:1 65000:22"
