@@ -1077,6 +1077,20 @@ class Daemon:
                         self._drain_stages = stages
                 out = build_aggregation(batch_df, cfg)
             ptype = ptype_by_name.get(name, "memory")
+            wid = self.conf.get("writer_id_string", name)
+            if wid:
+                # writer_id_string (reference CONFIG-KEYS): stamp every
+                # emitted record with the writer's identity —
+                # $proc_name renders as plugin/type, $writer_pid as
+                # this process id, matching the reference's tokens
+                import os as _os
+
+                rendered = (
+                    str(wid)
+                    .replace("$proc_name", f"{name}/{ptype}")
+                    .replace("$writer_pid", str(_os.getpid()))
+                )
+                out = out.withColumn("writer_id", F.lit(rendered))
             if ptype == "print":
                 path = self.conf.get("print_output_file", name)
                 fmt = self.conf.get("print_output", name, "csv")
@@ -1084,6 +1098,9 @@ class Daemon:
                     write_print(
                         out, path, fmt=fmt,
                         latest_file=self.conf.get("print_latest_file", name),
+                        markers=bool(
+                            self.conf.get("print_markers", name)
+                        ),
                     )
             results[name] = out
         self.dump_rib_if_configured()

@@ -52,6 +52,7 @@ def write_print(
     name_spec: str | None = None,
     mode: str = "overwrite",
     latest_file: str | None = None,
+    markers: bool = False,
 ) -> None:
     """Write aggregates the way the print plugin purges its cache.
 
@@ -92,8 +93,14 @@ def write_print(
             _shutil.rmtree(path)  # match the writer's overwrite
         _os.makedirs(path, exist_ok=True)
         with open(_os.path.join(path, "part-00000.txt"), "w") as fh:
+            if markers:
+                # print_markers (reference src/print_plugin.c:525,1437):
+                # purge delimiters for stream-parsing consumers
+                fh.write(f"--START ({_os.getpid()})--\n")
             fh.write(render(out, "formatted"))
             fh.write("\n")
+            if markers:
+                fh.write(f"--END ({_os.getpid()})--\n")
     elif fmt == "avro":
         try:
             writer.format("avro").save(path)

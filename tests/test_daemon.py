@@ -1246,3 +1246,28 @@ def test_bgp_aspath_radius_and_stdcomm_pattern(spark):
     assert len(out) == 1
     assert out[0]["as_path"] == "65001 65002"
     assert out[0]["std_comm"] == "65000:1 65000:22"
+
+
+def test_writer_id_string_stamps_output(spark, tmp_path):
+    """writer_id_string: every emitted record carries the rendered
+    writer identity ($proc_name -> plugin/type, $writer_pid -> pid)."""
+    import os
+
+    conf = """
+nfacctd_ip: 127.0.0.1
+nfacctd_port: 0
+plugins: memory[imt]
+aggregate[imt]: proto
+writer_id_string[imt]: w-$proc_name-$writer_pid
+"""
+    d = Daemon.from_conf(spark, conf, spool_dir=str(tmp_path / "spool_wid"))
+    try:
+        _fire(d.port)
+        t0 = time.monotonic()
+        while d.spool.datagrams_received < 2 and time.monotonic() - t0 < 15:
+            time.sleep(0.05)
+        out = d.run_available()["imt"]
+        vals = {r["writer_id"] for r in out.collect()}
+        assert vals == {f"w-imt/memory-{os.getpid()}"}
+    finally:
+        d.stop()

@@ -540,3 +540,22 @@ def test_print_latest_file_pointer(spark, tmp_path):
     )
     second = os.readlink(latest)
     assert os.path.isdir(second) and second != first
+
+
+def test_print_markers_wrap_formatted_purge(spark, tmp_path):
+    """print_markers (reference src/print_plugin.c:525,1437): the
+    formatted purge is wrapped in --START (pid)-- / --END (pid)--
+    delimiters for stream-parsing consumers."""
+    import os
+    import re
+
+    from pmacct_spark.sinks.files import write_print
+
+    df = spark.createDataFrame([(6, 100)], "proto int, bytes long")
+    out = str(tmp_path / "marked")
+    write_print(df, out, fmt="formatted", markers=True)
+    text = open(os.path.join(out, "part-00000.txt")).read()
+    lines = text.splitlines()
+    assert re.fullmatch(r"--START \(\d+\)--", lines[0])
+    assert re.fullmatch(r"--END \(\d+\)--", lines[-1])
+    assert any("100" in ln for ln in lines[1:-1])
