@@ -71,3 +71,87 @@ def tcp_flags_str_sql(col: str) -> str:
         f"COALESCE(array_to_string("
         f"list_filter([{parts}], x -> x IS NOT NULL), '+'), '')"
     )
+
+
+# --- encode-as toggles (reference CONFIG-KEYS tos_encode_as_dscp,
+#     fwd_status_encode_as_string, mpls_label_stack_encode_as_array,
+#     bgp_comms_encode_as_array + bgp_comms_num,
+#     as_path_encode_as_array; JSON handlers
+#     src/plugin_cmn_json.c:374-392) -----------------------------------
+
+# RFC 7270 forwardingStatus reason codes, the reference's table
+# (src/plugin_common.c:1204-1244 fwd_status_to_linked_list)
+FWD_STATUS_NAMES = {
+    64: "FORWARDED Unknown", 65: "FORWARDED Fragmented",
+    66: "FORWARDED Not Fragmented",
+    128: "DROPPED Unknown", 129: "DROPPED ACL deny",
+    130: "DROPPED ACL drop", 131: "DROPPED Unroutable",
+    132: "DROPPED Adjacency", 133: "DROPPED Fragmentation and DF set",
+    134: "DROPPED Bad header checksum", 135: "DROPPED Bad total Length",
+    136: "DROPPED Bad header length", 137: "DROPPED bad TTL",
+    138: "DROPPED Policer", 139: "DROPPED WRED", 140: "DROPPED RPF",
+    141: "DROPPED For us", 142: "DROPPED Bad output interface",
+    143: "DROPPED Hardware",
+    192: "CONSUMED Unknown", 193: "CONSUMED Punt Adjacency",
+    194: "CONSUMED Incomplete Adjacency", 195: "CONSUMED For us",
+}
+
+
+def tos_dscp_sql(col: str) -> str:
+    """tos_encode_as_dscp: the 6 DSCP bits (tos >> 2) — identical
+    integer expression in both engines."""
+    return f"CAST({col} AS BIGINT) // 4".replace("//", "DIV")
+
+
+def tos_dscp_duck(col: str) -> str:
+    return f"CAST({col} AS BIGINT) // 4"
+
+
+def _fwd_whens() -> str:
+    return " ".join(
+        f"WHEN {v} THEN '{n}'" for v, n in FWD_STATUS_NAMES.items()
+    )
+
+
+def fwd_status_str_sql(col: str) -> str:
+    """fwd_status_encode_as_string: RFC 7270 reason-code names; codes
+    outside the table render as the decimal value (the same fallback
+    proto_name uses)."""
+    return (
+        f"CASE {col} {_fwd_whens()} "
+        f"ELSE CAST({col} AS STRING) END"
+    )
+
+
+def fwd_status_str_duck(col: str) -> str:
+    return (
+        f"CASE {col} {_fwd_whens()} "
+        f"ELSE CAST({col} AS VARCHAR) END"
+    )
+
+
+def comms_array_sql(col: str, num: int | None = None) -> str:
+    """bgp_comms_encode_as_array (+ bgp_comms_num cap): the
+    space-separated community string as an array, optionally truncated
+    to the first ``num`` entries. Empty string -> empty array."""
+    base = f"filter(split({col}, ' '), x -> x <> '')"
+    return f"slice({base}, 1, {int(num)})" if num else base
+
+
+def comms_array_duck(col: str, num: int | None = None) -> str:
+    base = f"list_filter(string_split({col}, ' '), x -> x <> '')"
+    return f"{base}[1:{int(num)}]" if num else base
+
+
+def mpls_stack_array_sql(col: str) -> str:
+    """mpls_label_stack_encode_as_array: '_'-separated label stack (the
+    reference's separator, src/plugin_cmn_json.c
+    compose_json_array_mpls_label_stack) as a bigint array."""
+    return f"transform(split({col}, '_'), x -> CAST(x AS BIGINT))"
+
+
+def mpls_stack_array_duck(col: str) -> str:
+    return (
+        f"list_transform(string_split({col}, '_'), "
+        f"x -> CAST(x AS BIGINT))"
+    )

@@ -1271,3 +1271,85 @@ def tpch_q21_waiting_orders(spark, sf_dir):
         .orderBy(F.desc("numwait"), "s_name")
         .limit(20)
     )
+
+
+# --- encode-as output toggles (tos_encode_as_dscp,
+#     fwd_status_encode_as_string, mpls_label_stack_encode_as_array,
+#     bgp_comms_encode_as_array + bgp_comms_num,
+#     as_path_encode_as_array; reference JSON handler dispatch
+#     src/plugin_cmn_json.c:374-392, RFC 7270 table
+#     src/plugin_common.c:1204-1244). Arrays are proven by size +
+#     element access + join-back (cross-engine array stringification
+#     differs, so the hashable columns are scalars).
+from pmacct_spark.functions.presentation import (  # noqa: E402
+    comms_array_duck,
+    comms_array_sql,
+    fwd_status_str_duck,
+    fwd_status_str_sql,
+    mpls_stack_array_duck,
+    mpls_stack_array_sql,
+    tos_dscp_duck,
+    tos_dscp_sql,
+)
+
+_FWD_DERIVE = (
+    "CASE event_id % 5 WHEN 0 THEN 64 WHEN 1 THEN 129 "
+    "WHEN 2 THEN 192 WHEN 3 THEN 143 ELSE 7 END"
+)
+_COMMS_DERIVE = (
+    "'65000:' || CAST(event_id % 3 AS {S}) || ' 64999:' || "
+    "CAST(event_id % 5 AS {S}) || ' 65001:' || CAST(event_id % 7 AS {S})"
+)
+_PATH_DERIVE = "CAST(as_src AS {S}) || ' ' || CAST(as_dst AS {S})"
+
+
+@register(
+    "presentation_encode_toggles",
+    f"""{FLOWS_DUCK_CTE},
+shaped AS (
+  SELECT {tos_dscp_duck('tos')} AS dscp,
+         {fwd_status_str_duck(_FWD_DERIVE)} AS fwd_str,
+         {mpls_stack_array_duck('mpls_label_stack')} AS stack,
+         {comms_array_duck(_COMMS_DERIVE.format(S='VARCHAR'), num=2)} AS comms,
+         {comms_array_duck(_PATH_DERIVE.format(S='VARCHAR'))} AS apath,
+         bytes
+  FROM flows
+)
+SELECT dscp, fwd_str,
+       CAST(len(stack) AS BIGINT) AS n_labels,
+       CAST(stack[1] % 16 AS BIGINT) AS top_label_mod,
+       CAST(len(comms) AS BIGINT) AS n_comms,
+       MIN(array_to_string(comms, ',')) AS comms_min,
+       CAST(len(apath) AS BIGINT) AS n_hops,
+       COUNT(*) AS n,
+       CAST(SUM(bytes) AS BIGINT) AS bytes
+FROM shaped GROUP BY 1, 2, 3, 4, 5, 7""",
+)
+def presentation_encode_toggles(spark, sf_dir):
+    f = flows(spark, sf_dir)
+    shaped = f.selectExpr(
+        f"{tos_dscp_sql('tos')} AS dscp",
+        f"{fwd_status_str_sql(_FWD_DERIVE)} AS fwd_str",
+        f"{mpls_stack_array_sql('mpls_label_stack')} AS stack",
+        f"{comms_array_sql(_COMMS_DERIVE.format(S='STRING'), num=2)} AS comms",
+        f"{comms_array_sql(_PATH_DERIVE.format(S='STRING'))} AS apath",
+        "bytes",
+    )
+    return shaped.selectExpr(
+        "dscp", "fwd_str",
+        "CAST(size(stack) AS BIGINT) AS n_labels",
+        "CAST(element_at(stack, 1) % 16 AS BIGINT) AS top_label_mod",
+        "CAST(size(comms) AS BIGINT) AS n_comms",
+        "array_join(comms, ',') AS comms_str",
+        "CAST(size(apath) AS BIGINT) AS n_hops",
+        "bytes",
+    ).groupBy(
+        "dscp", "fwd_str", "n_labels", "top_label_mod", "n_comms", "n_hops"
+    ).agg(
+        F.min("comms_str").alias("comms_min"),
+        F.count(F.lit(1)).alias("n"),
+        F.sum("bytes").cast("bigint").alias("bytes"),
+    ).select(
+        "dscp", "fwd_str", "n_labels", "top_label_mod", "n_comms",
+        "comms_min", "n_hops", "n", "bytes",
+    )
