@@ -1219,3 +1219,43 @@ def stream_approx_distinct_hll(spark, sf_dir):
         ).alias("err_pm"),
         "v_empty",
     )
+
+
+@register(
+    "nexthop_wire_loop",
+    f"""{FLOWS_DUCK_CTE}
+SELECT '10.' || CAST((ip_dst_i * 13) % 224 AS VARCHAR) || '.0.1'
+         AS peer_dst_ip,
+       CAST(SUM(bytes) AS BIGINT) AS bytes,
+       COUNT(*) AS n_records
+FROM flows GROUP BY 1""",
+)
+def nexthop_wire_loop(spark, sf_dir):
+    """use_ip_next_hop on the wire, oracle-gated (reference
+    CONFIG-KEYS use_ip_next_hop; NF9_NEXT_HOP / IE 15 in the reference
+    IE table): flows with a synthetic IP next hop -> encode IPFIX with
+    ipNextHopIPv4Address -> decode_any_ext (IE 15 now in the extended
+    uint family) -> peer_dst_ip rendered FROM THE NEXT HOP (the
+    reference repurposes the BGP-next-hop primitive when the key is
+    set) -> per-next-hop accounting vs the arithmetic oracle."""
+    from pmacct_spark.driver_queries import flows as flows_view_fn
+    from pmacct_spark.functions.addr import ipv4_ntoa
+    from pmacct_spark.sinks.nfprobe import encode_ipfix_nexthop
+    from pmacct_spark.streaming.decode import decode_any_ext
+
+    fl = flows_view_fn(spark, sf_dir).selectExpr(
+        # next hop in 10.X.0.1, X bounded so the string render is exact
+        "167772160 + (((ip_dst_i * 13) % 224) * 65536) + 1 AS ip_nexthop_i",
+        "ip_src_i", "ip_dst_i", "bytes", "packets", "ip_proto",
+    ).repartition(spark.sparkContext.defaultParallelism)
+    back = decode_any_ext(
+        encode_ipfix_nexthop(fl).select("exporter_ip", "payload")
+    )
+    return (
+        back.withColumn("peer_dst_ip", ipv4_ntoa("ip_nexthop_i"))
+        .groupBy("peer_dst_ip")
+        .agg(
+            F.sum("bytes").cast("bigint").alias("bytes"),
+            F.count(F.lit(1)).alias("n_records"),
+        )
+    )

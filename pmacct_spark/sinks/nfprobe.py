@@ -886,3 +886,83 @@ def encode_options_names(maps: DataFrame) -> DataFrame:
             )
 
     return maps.mapInPandas(gen, DATAGRAM_SCHEMA)
+
+
+NEXTHOP_TEMPLATE_ID = 276
+NEXTHOP_EXPORT_FIELDS = [
+    (15, 4),  # ipNextHopIPv4Address
+    (8, 4), (12, 4), (1, 4), (2, 4), (4, 1),
+]
+
+
+def encode_ipfix_nexthop(
+    flows: DataFrame, exporter_ip: str = "127.0.0.1", domain: int = 11
+) -> DataFrame:
+    """Pack rows carrying the IP next hop (IE 15 — the
+    use_ip_next_hop source field) into IPFIX. ``flows`` needs:
+    ip_nexthop_i, ip_src_i, ip_dst_i, bytes, packets, ip_proto."""
+    import struct as _struct
+
+    from collections.abc import Iterator as _Iterator
+
+    import pandas as _pd
+
+    def gen(batches):
+        import numpy as np
+
+        dt = np.dtype(
+            [
+                ("nh", ">u4"), ("src", ">u4"), ("dst", ">u4"),
+                ("octets", ">u4"), ("pkts", ">u4"), ("proto", "u1"),
+            ]
+        )
+        assert dt.itemsize == sum(ln for _, ln in NEXTHOP_EXPORT_FIELDS)
+        tmpl_body = _struct.pack(
+            "!HH", NEXTHOP_TEMPLATE_ID, len(NEXTHOP_EXPORT_FIELDS)
+        ) + b"".join(
+            _struct.pack("!HH", ie, ln) for ie, ln in NEXTHOP_EXPORT_FIELDS
+        )
+        tmpl_set = _struct.pack("!HH", 2, 4 + len(tmpl_body)) + tmpl_body
+        seqno, sent_template = 0, False
+
+        def msg(sets: bytes, seq: int) -> bytes:
+            return _struct.pack(
+                "!HHIII", 10, 16 + len(sets), 0, seq, domain
+            ) + sets
+
+        for pdf in batches:
+            n = len(pdf)
+            out = []
+            if not sent_template and n:
+                out.append((exporter_ip, seqno, msg(tmpl_set, seqno)))
+                sent_template = True
+                seqno += 1
+            if n:
+                rec = np.zeros(n, dtype=dt)
+                rec["nh"] = pdf["ip_nexthop_i"].to_numpy()
+                rec["src"] = pdf["ip_src_i"].to_numpy()
+                rec["dst"] = pdf["ip_dst_i"].to_numpy()
+                rec["octets"] = pdf["bytes"].to_numpy()
+                rec["pkts"] = pdf["packets"].to_numpy()
+                rec["proto"] = pdf["ip_proto"].to_numpy()
+                blob = rec.tobytes()
+                sz = dt.itemsize
+                for lo in range(0, n, V9_MAX_RECORDS):
+                    hi = min(lo + V9_MAX_RECORDS, n)
+                    body = blob[lo * sz : hi * sz]
+                    pad = (-len(body)) % 4
+                    ds = (
+                        _struct.pack(
+                            "!HH", NEXTHOP_TEMPLATE_ID, 4 + len(body) + pad
+                        )
+                        + body + b"\x00" * pad
+                    )
+                    out.append((exporter_ip, seqno, msg(ds, seqno)))
+                    seqno += 1
+            yield _pd.DataFrame(
+                out, columns=["exporter_ip", "seqno", "payload"]
+            )
+
+    return flows.mapInPandas(
+        gen, "exporter_ip string, seqno long, payload binary"
+    )

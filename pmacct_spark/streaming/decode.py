@@ -237,6 +237,7 @@ V9_HEADER = struct.Struct(V9_HEADER_FMT)
 #     record length, 255 escape -> 2-byte length), e.g. vrfName 236
 V6_ADDR_IES = {27: "ip6_src", 28: "ip6_dst", 62: "ip6_nexthop"}
 EXT_UINT_IES = {
+    15: "ip_nexthop_i",  # ipNextHopIPv4Address (use_ip_next_hop source)
     29: "mask6_src",
     30: "mask6_dst",
     31: "flow_label",
@@ -1348,6 +1349,7 @@ FLOW6_SCHEMA = T.StructType(
         T.StructField("ip6_src", T.StringType()),
         T.StructField("ip6_dst", T.StringType()),
         T.StructField("ip6_nexthop", T.StringType()),
+        T.StructField("ip_nexthop_i", T.LongType()),
         T.StructField("mask6_src", T.IntegerType()),
         T.StructField("mask6_dst", T.IntegerType()),
         T.StructField("flow_label", T.LongType()),
