@@ -593,7 +593,11 @@ class Daemon:
                         fh.read()
                     )
         entries = self._allow_cache
-        if entries is None:
+        # An allow file that parses to ZERO entries accepts everything:
+        # the reference only consults the table when it is non-empty
+        # (src/nfacctd.c:1582 `if (allow.num) allowed = check_allow`),
+        # so an empty or comments-only file must not drop all traffic.
+        if not entries:
             return dg
         from pmacct_spark.functions.addr import ipv4_aton
 
@@ -800,6 +804,22 @@ class Daemon:
             live = live.unionByName(self._roa_df)
         return live
 
+    def _agent_map_entries(self) -> list[dict]:
+        """Parse-once cache of bgp_agent_map / bmp_agent_map (the
+        SIGUSR2-reload class, like allow/ports files)."""
+        if not hasattr(self, "_agent_map_cache"):
+            path = self.conf.get("bgp_agent_map") or self.conf.get(
+                "bmp_agent_map"
+            )
+            if not path:
+                self._agent_map_cache = []
+            else:
+                with open(path) as fh:
+                    self._agent_map_cache = conffile.parse_bgp_agent_map(
+                        fh.read()
+                    )
+        return self._agent_map_cache
+
     def _bgp_enrich(self, df: DataFrame, streaming: bool = False) -> DataFrame:
         """Peer-then-LPM flow correlation against the live RIB
         (bgp_srcdst_lookup, reference src/bgp/bgp_lookup.c:33-210):
@@ -815,6 +835,16 @@ class Daemon:
         stream-static relations re-read every micro-batch."""
         from pmacct_spark.operators.lpm import lpm_join
 
+        amap = self._agent_map_entries()
+        if amap:
+            # bgp_agent_map / bmp_agent_map (CONFIG-KEYS:2986): the
+            # correlation peer is the MAPPED session address, not the
+            # exporter address — loopback-peered / RR / NAT-traversal
+            # topologies. One map-side CASE, first match wins;
+            # unmatched exporters get NULL = no RIB association.
+            from pmacct_spark.operators.agentmap import apply_bgp_agent_map
+
+            df = apply_bgp_agent_map(df, amap)
         rib = self.rib().withColumnRenamed("prefix", "net_int")
         attrs = {
             "as_path": "as_path", "local_pref": "local_pref",
@@ -864,8 +894,18 @@ class Daemon:
         if pat:
             # bgp_stdcomm_pattern: keep only standard communities
             # matching the pattern ('*' wildcards either 16-bit half),
-            # the reference's evaluate_comm_patterns filter
-            like = str(pat).replace("*", "%")
+            # the reference's evaluate_comm_patterns filter. Only '*'
+            # is a wildcard in the config syntax: literal % / _ must
+            # not act as LIKE metacharacters, and a quote in the value
+            # must not break out of the SQL string literal.
+            like = (
+                str(pat)
+                .replace("\\", "\\\\")
+                .replace("%", "\\%")
+                .replace("_", "\\_")
+                .replace("'", "''")
+                .replace("*", "%")
+            )
             out = out.withColumn(
                 "std_comm",
                 F.expr(
@@ -1098,9 +1138,7 @@ class Daemon:
                     write_print(
                         out, path, fmt=fmt,
                         latest_file=self.conf.get("print_latest_file", name),
-                        markers=bool(
-                            self.conf.get("print_markers", name)
-                        ),
+                        markers=self.conf.getbool("print_markers", name),
                     )
             results[name] = out
         self.dump_rib_if_configured()

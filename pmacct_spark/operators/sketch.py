@@ -168,7 +168,22 @@ HLL_M = 256  # registers (b=8 bucket bits); rel. error ~1.04/sqrt(m) = 6.5%
 _HLL_WBITS = 24
 
 
-def _hll_code_expr(hash_expr: str, one_indexed: bool = False) -> str:
+def _hll_alpha_sql(m: int) -> str:
+    """The standard HLL bias-correction constant as a SQL literal,
+    derived from the register count (Flajolet et al. 2007 §4):
+    fixed constants below m=128, the asymptotic formula above."""
+    if m == 16:
+        return "0.673"
+    if m == 32:
+        return "0.697"
+    if m == 64:
+        return "0.709"
+    return f"(0.7213 / (1 + 1.079 / {m}))"
+
+
+def _hll_code_expr(
+    hash_expr: str, one_indexed: bool = False, m: int = HLL_M
+) -> str:
     """ONE bigint per row packing (bucket, rho) as bucket*64 + rho.
     Every intermediate is bound exactly once as a lambda variable
     (the projection-collapse guard), so the expensive poly-hash fold
@@ -186,7 +201,7 @@ def _hll_code_expr(hash_expr: str, one_indexed: bool = False) -> str:
         f"{t}({arr(hash_expr)}, hv -> "
         f"{t}({arr(g)}, gv -> "
         f"{t}({arr(g2w)}, wv -> "
-        f"(gv % {HLL_M}) * 64 + {rho}"
+        f"(gv % {m}) * 64 + {rho}"
         f"){ix}){ix}){ix}"
     )
 
@@ -210,7 +225,7 @@ def hll_distinct(
     ops (one correctly-rounded divide / log), identical cross-engine."""
     from pmacct_spark.operators.staging import stage
 
-    code = _hll_code_expr(poly_hash_spark_sql("v"))
+    code = _hll_code_expr(poly_hash_spark_sql("v"), m=m)
     pk = stage(
         flows.select(
             F.col(group_col).alias("grp"), F.col(value_col).alias("v")
@@ -252,7 +267,7 @@ def hll_finalize(regs: DataFrame, m: int = HLL_M) -> DataFrame:
         .cast("bigint")
         .alias("denom_p"),
     )
-    alpha = "(0.7213 / (1 + 1.079 / 256))"
+    alpha = _hll_alpha_sql(m)
     est = per.select(
         "grp",
         F.expr(f"CAST({m} - present AS BIGINT)").alias("v_empty"),
@@ -286,9 +301,9 @@ def hll_distinct_duck(
     value_col: str = "ip_src",
     m: int = HLL_M,
 ) -> str:
-    code = _hll_code_expr(poly_hash_duck_sql("v"), one_indexed=True)
+    code = _hll_code_expr(poly_hash_duck_sql("v"), one_indexed=True, m=m)
     wb = _HLL_WBITS + 1
-    alpha = "(0.7213 / (1 + 1.079 / 256))"
+    alpha = _hll_alpha_sql(m)
     return f"""{flows_cte},
 pk AS (SELECT {group_col} AS grp, {value_col} AS v FROM flows),
 codes AS (SELECT grp, {code} AS code FROM pk),

@@ -243,6 +243,15 @@ def decode_gpb_kv(raw: bytes) -> dict:
 
 
 def _pb_varint(x: int) -> bytes:
+    # Varints encode UNSIGNED 64-bit values; negatives must arrive
+    # pre-masked (two's complement) or zigzag-encoded by the caller —
+    # `x >>= 7` on a negative Python int never reaches 0 and would
+    # spin forever, so reject instead of hanging the executor.
+    if x < 0:
+        raise ValueError(
+            f"_pb_varint requires a non-negative int, got {x}; "
+            "mask to 64 bits (x & (1<<64)-1) or zigzag-encode first"
+        )
     out = bytearray()
     while True:
         b7 = x & 0x7F
@@ -257,7 +266,10 @@ def _pb_varint(x: int) -> bytes:
 def _pb_field(fno: int, wt: int, payload: bytes | int) -> bytes:
     key = _pb_varint((fno << 3) | wt)
     if wt == 0:
-        return key + _pb_varint(int(payload))
+        # int64/uint64 varint semantics: a negative int64 goes on the
+        # wire as its 64-bit two's complement (10-byte varint), the
+        # same bytes protoc emits for e.g. msg_timestamp = -1.
+        return key + _pb_varint(int(payload) & ((1 << 64) - 1))
     if wt == 2:
         return key + _pb_varint(len(payload)) + payload
     return key + payload  # wt 1 / 5: caller passes fixed-width bytes

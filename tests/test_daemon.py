@@ -1271,3 +1271,83 @@ writer_id_string[imt]: w-$proc_name-$writer_pid
         assert vals == {f"w-imt/memory-{os.getpid()}"}
     finally:
         d.stop()
+
+
+def test_allow_file_zero_entries_accepts_all(spark):
+    """An allow file that parses to ZERO entries (empty or
+    comments-only) accepts every exporter — the reference consults
+    the table only when allow.num > 0 (src/nfacctd.c:1582), so a
+    comments-only file must not drop all traffic (ADVICE r8)."""
+    from pmacct_spark import conffile
+
+    assert conffile.parse_allow_file("! nothing here\n\n") == []
+    d = Daemon.__new__(Daemon)
+    d.flavor = "netflow"
+    d._allow_cache = []
+    dg = spark.createDataFrame([("10.0.0.1",), ("127.0.0.1",)],
+                               "exporter_ip string")
+    assert d._exporter_allow_filter(dg).count() == 2
+
+
+def test_print_markers_false_string_disables_markers(spark, tmp_path):
+    """`print_markers: false` in the conf DISABLES markers — config
+    values are strings, so a bare bool('false') would wrongly enable
+    them (ADVICE r8); the key must go through getbool."""
+    import glob as _glob
+
+    out_dir = tmp_path / "pm_out"
+    conf = f"""
+nfacctd_ip: 127.0.0.1
+nfacctd_port: 0
+plugins: print[files]
+aggregate[files]: proto
+print_output[files]: formatted
+print_output_file[files]: {out_dir}
+print_markers[files]: false
+"""
+    d = Daemon.from_conf(spark, conf, spool_dir=str(tmp_path / "spool_pmf"))
+    try:
+        _fire(d.port)
+        t0 = time.monotonic()
+        while d.spool.datagrams_received < 2 and time.monotonic() - t0 < 15:
+            time.sleep(0.05)
+        d.run_available()
+        text = "".join(
+            open(p).read()
+            for p in _glob.glob(str(out_dir) + "/part-*.txt")
+        )
+        assert text.strip()
+        assert "--START" not in text and "--END" not in text
+    finally:
+        d.stop()
+
+
+def test_stdcomm_pattern_literal_metachars_not_wildcards(spark):
+    """Only '*' wildcards in bgp_stdcomm_pattern; a literal '_' (or
+    '%') in the config value must match itself, not any character
+    (ADVICE r8: unescaped interpolation into SQL LIKE)."""
+    import types
+
+    d = Daemon.__new__(Daemon)
+    d.conf = types.SimpleNamespace(
+        get=lambda k, default=None: {
+            "bgp_stdcomm_pattern": "6_000:*",
+        }.get(k, default)
+    )
+    d.flavor = "netflow"
+    d.rib = lambda: spark.createDataFrame(
+        [
+            ("127.0.0.1", 0x0B000000, 24, "65001", 100, 0,
+             "65000:1 64999:7"),
+        ],
+        "peer_ip string, prefix long, masklen int, as_path string, "
+        "local_pref long, med long, std_comm string",
+    )
+    d._roa_table = lambda: None
+    flows_df = spark.createDataFrame(
+        [("127.0.0.1", 0x0B000001, 100)],
+        "peer_ip_src string, ip_dst_i long, bytes long",
+    )
+    out = d._bgp_enrich(flows_df).collect()
+    # pre-fix, '_' acted as LIKE any-char and matched 65000:1
+    assert out[0]["std_comm"] == ""

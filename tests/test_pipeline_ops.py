@@ -544,3 +544,41 @@ def test_hdr_code_monotone_and_invertible():
             assert l == v
         else:
             assert l <= v and l >= v * (1 - 2 ** -5) - 1
+
+
+def test_hll_distinct_honors_m_parameter(spark):
+    """The m parameter actually drives the sketch (ADVICE r8): with
+    m=64 the register table is bounded at 64 rows per group, v_empty
+    never exceeds 64, and the estimate still lands inside the wider
+    1.04/sqrt(64) = 13% envelope — and the DuckDB oracle rendered at
+    the same m hash-matches the Spark side value for value."""
+    import duckdb
+
+    from pmacct_spark.operators.sketch import hll_distinct, hll_distinct_duck
+
+    rows = [(1, f"host-1-{i % 600}") for i in range(1200)]
+    rows += [(2, f"host-2-{i % 30}") for i in range(90)]
+    df = spark.createDataFrame(rows, "ip_proto int, ip_src string")
+    got = {r["ip_proto"]: r for r in hll_distinct(df, m=64).collect()}
+    for grp, n in ((1, 600), (2, 30)):
+        r = got[grp]
+        assert r["exact_distinct"] == n
+        assert r["err_pm"] <= 400, (grp, dict(r.asDict()))
+        assert 0 <= r["v_empty"] <= 64
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW flows AS SELECT * FROM (VALUES "
+        + ", ".join(f"({g}, '{v}')" for g, v in rows)
+        + ") t(ip_proto, ip_src)"
+    )
+    sql = hll_distinct_duck("WITH _unused AS (SELECT 1)", m=64)
+    oracle = {
+        r[0]: (r[1], r[2], r[3], r[4])
+        for r in con.execute(sql).fetchall()
+    }
+    for grp in (1, 2):
+        r = got[grp]
+        assert oracle[grp] == (
+            r["est_distinct"], r["exact_distinct"], r["err_pm"], r["v_empty"]
+        ), (grp, oracle[grp], dict(r.asDict()))
