@@ -412,3 +412,45 @@ def parse_allow_file(text: str) -> list[str]:
             continue
         out.append(line)
     return out
+
+
+def parse_bgp_agent_map(text: str) -> list[dict]:
+    """bgp_agent_map / bmp_agent_map (reference CONFIG-KEYS:2986,
+    examples/bgp_agent.map.example): map a flow exporter to the BGP/BMP
+    peer whose RIB should enrich its flows. Per line: ``bgp_ip=<peer>``
+    (SET; ``bmp_ip`` is an alias) plus MATCH keys ``ip=<addr|prefix>``,
+    ``in=<ifindex>``, ``out=<ifindex>``, optional ``bgp_port=<n>`` and
+    ``filter='ip|ip6'`` (family discrimination only — the reference
+    accepts arbitrary libpcap here but documents the v4/v6 split as
+    the use case). First full match wins, like the reference's linear
+    map walk (src/pretag.c find_id loop)."""
+    entries: list[dict] = []
+    for raw in text.splitlines():
+        line = raw.split("!", 1)[0].split("#", 1)[0].strip()
+        if not line:
+            continue
+        e: dict = {"bgp_ip": None, "bgp_port": None, "ip": "0.0.0.0/0",
+                   "in": None, "out": None, "family": None}
+        # filter values are quoted and may contain spaces: cut them
+        # out before the whitespace token split
+        import re as _re
+
+        m = _re.search(r"filter='([^']*)'", line)
+        if m:
+            e["family"] = 6 if "ip6" in m.group(1) else 4
+            line = line[: m.start()] + line[m.end():]
+        for token in line.split():
+            if "=" not in token:
+                continue
+            k, v = token.split("=", 1)
+            if k in ("bgp_ip", "bmp_ip"):
+                e["bgp_ip"] = v
+            elif k == "ip":
+                e["ip"] = v
+            elif k == "bgp_port":
+                e["bgp_port"] = int(v)
+            elif k in ("in", "out"):
+                e[k] = int(v)
+        if e["bgp_ip"]:
+            entries.append(e)
+    return entries

@@ -138,6 +138,106 @@ def bgp_lookup_attrs(spark, sf_dir):
     )
 
 
+# --- bgp_agent_map: the correlation peer is NOT the exporter — the
+#     map redirects each exporter (by prefix, narrowed by input
+#     ifindex) to a loopback-peered BGP session address before the
+#     peer-then-LPM lookup (reference CONFIG-KEYS:2986,
+#     examples/bgp_agent.map.example; required by src/pmacctd.c:1125
+#     for pmacctd+BGP). The fixture peers the RIB on 10.255.255.x
+#     loopbacks while exporters stay 192.0.2.x, so an engine assuming
+#     exporter==peer equality enriches NOTHING here.
+_AGENT_MAP_TEXT = """!
+! exporter .1 flows ingressing ifindex 3 correlate to loopback .1;
+! its other ifaces fall through to the /31 entry (first match wins)
+bgp_ip=10.255.255.1  ip=192.0.2.1/32  in=3
+bgp_ip=10.255.255.0  ip=192.0.2.0/31
+bgp_ip=10.255.255.2  ip=192.0.2.2/32
+bgp_ip=10.255.255.3  ip=0.0.0.0/0
+"""
+
+_DUCK_EXP_ATON = (
+    "(CAST(split_part(peer_ip_src, '.', 1) AS BIGINT) * 16777216"
+    " + CAST(split_part(peer_ip_src, '.', 2) AS BIGINT) * 65536"
+    " + CAST(split_part(peer_ip_src, '.', 3) AS BIGINT) * 256"
+    " + CAST(split_part(peer_ip_src, '.', 4) AS BIGINT))"
+)
+
+
+def _agent_map_entries():
+    from pmacct_spark.conffile import parse_bgp_agent_map
+
+    return parse_bgp_agent_map(_AGENT_MAP_TEXT)
+
+
+def _agent_map_duck_case() -> str:
+    from pmacct_spark.operators.agentmap import agent_map_case_sql
+
+    return agent_map_case_sql(
+        _agent_map_entries(),
+        exp_int=_DUCK_EXP_ATON,
+        exp_str="peer_ip_src",
+        in_col="iface_in",
+        out_col="iface_out",
+    ).replace(" DIV ", " // ")
+
+
+@register(
+    "bgp_agent_map_lookup",
+    f"""{FLOWS_DUCK_CTE},
+rib0 AS ({BGP_RIB_DUCK}),
+rib AS (
+  SELECT * REPLACE ('10.255.255.' || split_part(peer_ip, '.', 4)
+                    AS peer_ip)
+  FROM rib0
+),
+mapped AS (
+  SELECT event_id, bytes, ip_dst_i,
+         {_agent_map_duck_case()} AS bgp_peer
+  FROM flows
+),
+cand AS (
+  SELECT m.event_id, m.bytes, m.bgp_peer, r.as_path, r.peer_dst_as,
+         ROW_NUMBER() OVER (
+           PARTITION BY m.event_id ORDER BY r.masklen DESC) AS rn
+  FROM mapped m JOIN rib r
+    ON m.bgp_peer = r.peer_ip
+   AND (m.ip_dst_i // (CAST(1 AS BIGINT) << (32 - r.masklen)))
+     = (r.net_int // (CAST(1 AS BIGINT) << (32 - r.masklen)))
+)
+SELECT bgp_peer, as_path, peer_dst_as,
+       CAST(SUM(bytes) AS BIGINT) AS bytes, COUNT(*) AS flows
+FROM cand WHERE rn = 1 GROUP BY 1, 2, 3""",
+)
+def bgp_agent_map_lookup(spark, sf_dir):
+    from pmacct_spark.operators.agentmap import apply_bgp_agent_map
+
+    fl = flows(spark, sf_dir).select(
+        "event_id", "peer_ip_src", "iface_in", "iface_out",
+        "ip_dst_i", "bytes",
+    )
+    fl = apply_bgp_agent_map(fl, _agent_map_entries())
+    rib = bgp_rib_dim(spark, sf_dir).withColumn(
+        "peer_ip",
+        F.concat(
+            F.lit("10.255.255."),
+            F.element_at(F.split("peer_ip", r"\."), -1),
+        ),
+    )
+    enriched = lpm_join(
+        fl,
+        rib,
+        "ip_dst_i",
+        {"as_path": "as_path", "peer_dst_as": "peer_dst_as"},
+        extra_keys={"peer_ip_src": "peer_ip"},
+    )
+    return enriched.groupBy(
+        F.col("peer_ip_src").alias("bgp_peer"), "as_path", "peer_dst_as"
+    ).agg(
+        F.sum("bytes").cast("bigint").alias("bytes"),
+        F.count(F.lit(1)).alias("flows"),
+    )
+
+
 # --- BGP communities + ROA validation state through the same
 #     peer-then-LPM lookup (std_comm/lrg_comm/dst_roa primitives;
 #     blackhole/community handling src/bgp/bgp_blackhole.c, ROA

@@ -1351,3 +1351,54 @@ def test_stdcomm_pattern_literal_metachars_not_wildcards(spark):
     out = d._bgp_enrich(flows_df).collect()
     # pre-fix, '_' acted as LIKE any-char and matched 65000:1
     assert out[0]["std_comm"] == ""
+
+
+def test_daemon_live_bgp_agent_map_loopback_peering(spark, tmp_path):
+    """bgp_agent_map (reference CONFIG-KEYS:2986): the BGP session
+    arrives from 127.0.0.2 (a loopback alias — the RR / loopback-
+    peering shape) while flow datagrams come from 127.0.0.1, so the
+    default exporter==peer correlation finds NOTHING; the map entry
+    redirects the exporter onto the 127.0.0.2 session and the flows
+    enrich. Fully live: both sockets, real map file."""
+    import socket as _sock
+
+    from pmacct_spark.streaming.bmp import encode_bgp_update
+
+    amap = tmp_path / "agent.map"
+    amap.write_text(
+        "! loopback-peered exporter\n"
+        "bgp_ip=127.0.0.2  ip=127.0.0.1/32\n"
+    )
+    conf = f"""
+nfacctd_port: 0
+bgp_daemon: true
+bgp_daemon_port: 0
+bgp_agent_map: {amap}
+plugins: memory[routes]
+aggregate[routes]: as_path
+sql_history[routes]: 5m
+"""
+    d = Daemon.from_conf(spark, conf, spool_dir=str(tmp_path / "spool_am"))
+    try:
+        session = encode_bgp_update(0x0A000000, 8, "65000 65100")
+        c = _sock.socket(_sock.AF_INET, _sock.SOCK_STREAM)
+        c.bind(("127.0.0.2", 0))  # peer_ip = 127.0.0.2 != exporter
+        c.connect(("127.0.0.1", d.bgp_port))
+        c.sendall(session)
+        c.close()
+        t0 = time.monotonic()
+        while d.bgp_spool.messages_spooled < 1 and time.monotonic() - t0 < 15:
+            time.sleep(0.05)
+
+        recs = [{"src": 1, "dst": 0x0A010101, "pkts": 2, "bytes": 300,
+                 "sport": 1, "dport": 2}]
+        send_datagrams([_v5_datagram(1, recs)], "127.0.0.1", d.port)
+        t0 = time.monotonic()
+        while d.spool.datagrams_received < 1 and time.monotonic() - t0 < 15:
+            time.sleep(0.05)
+        out = d.run_available()["routes"]
+        got = {r["as_path"]: r["bytes"] for r in out.collect()}
+    finally:
+        d.stop()
+    # without the map this is {"": 300} (no peer named 127.0.0.1)
+    assert got == {"65000 65100": 300}
