@@ -70,18 +70,31 @@ def decode_features(
     out_col: str = "features",
     fake: bool = False,
     batch_partitions: int | None = None,
+    dim: int = FEATURE_DIM,
 ) -> DataFrame:
     """Decode + feature-extract over Arrow batches.
 
-    Adds ``out_col: array<float>``. With ``fake=False`` this raises at
-    executor time (codec libs absent here) — the plumbing is what this
-    module ships.
+    Adds ``out_col: array<float>`` of length ``dim`` (a real decoder
+    resizes to the requested grid — e.g. the 9x8 = 72-cell grayscale
+    grid dHash wants; the stub samples the payload at stride ``dim``,
+    same total byte work whatever the dim). With ``fake=False`` this
+    raises at executor time (codec libs absent here) — the plumbing is
+    what this module ships.
     """
     if not fake:
         raise NotImplementedError(
             "real media decode requires PIL/ffmpeg (not in this container); "
             "pass fake=True for the deterministic stub"
         )
+    # the kernel references module-level code: make the package
+    # importable on executor Python workers regardless of which query
+    # ran first on this context
+    from pmacct_spark.session import ship_package
+
+    try:
+        ship_package(df.sparkSession)
+    except Exception:
+        pass
     schema = StructType(
         df.schema.fields + [StructField(out_col, ArrayType(FloatType()))]
     )
@@ -91,7 +104,7 @@ def decode_features(
         for pdf in batches:
             pdf = pdf.copy()
             pdf[out_col] = [
-                _fake_features(bytes(p)) if p is not None else None
+                _fake_features(bytes(p), dim) if p is not None else None
                 for p in pdf[payload_col]
             ]
             yield pdf
@@ -161,4 +174,114 @@ def media_table_from_documents(docs: DataFrame) -> DataFrame:
             "'duration_ms', CAST(n_chars * 10 AS BIGINT), "
             "'sample_rate', CAST(0 AS INT))"
         ).alias("media"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Perceptual-hash near-duplicate detection (the multimodal sibling of
+# the text near-dup family in operators/dedup.py): dHash row-gradient
+# bits over the decoded feature grid, then a banded Hamming-LSH join.
+# A real deploy feeds this from PIL's 9x8 grayscale resize; here the
+# grid comes from decode_features(dim=72)'s deterministic stub, so the
+# DuckDB oracle replays every bit (same frozen-hash-family discipline
+# as minhash / HLL).
+# ---------------------------------------------------------------------------
+
+DHASH_ROWS = 8
+DHASH_COLS = 9  # 8 horizontal gradients per row -> 64-bit hash
+PHASH_BANDS = 8  # 8-bit slices; complete for Hamming <= 7 (pigeonhole)
+
+
+def _quant(features_col: str, i: int) -> str:
+    """Grid cell as the exact integer the stub derived it from —
+    comparing ints keeps Spark and the SQL oracle bit-identical
+    (float32 order happens to match, but why rely on it)."""
+    return (
+        f"CAST(round(element_at({features_col}, {i + 1}) * 1000003) "
+        "AS BIGINT)"
+    )
+
+
+def dhash64(
+    df: DataFrame,
+    features_col: str = "features",
+    out_col: str = "phash",
+    rows: int = DHASH_ROWS,
+    cols: int = DHASH_COLS,
+) -> DataFrame:
+    """dHash: bit (r*(cols-1)+c) set iff grid[r][c] > grid[r][c+1] —
+    row gradients of the rows x cols feature grid (features flattened
+    row-major). Pure JVM column expression; one 64-bit integer per
+    item, whatever the media size."""
+    bits = []
+    for r in range(rows):
+        for c in range(cols - 1):
+            i = r * cols + c
+            bit = r * (cols - 1) + c
+            bits.append(
+                f"IF({_quant(features_col, i)} > {_quant(features_col, i + 1)}, "
+                f"shiftleft(CAST(1 AS BIGINT), {bit}), CAST(0 AS BIGINT))"
+            )
+        # NB: no cross-row comparison — (r, cols-1) vs (r+1, 0) is not
+        # a spatial gradient
+    return df.withColumn(out_col, F.expr(" + ".join(bits)))
+
+
+def phash_near_dup_pairs(
+    hashed: DataFrame,
+    id_col: str = "content_id",
+    hash_col: str = "phash",
+    bands: int = PHASH_BANDS,
+    max_hamming: int = PHASH_BANDS - 1,
+) -> DataFrame:
+    """(doc_a, doc_b, hamming): pairs within ``max_hamming`` bits.
+
+    Scale shape — same as the minhash band join (dedup.py): slice the
+    64-bit hash into ``bands`` equal bit-fields; a pair with Hamming
+    distance <= bands-1 differs in at most bands-1 slices, so at least
+    one slice MATCHES (pigeonhole) — the banded equi-self-join is
+    provably COMPLETE for max_hamming <= bands-1, costs ONE shuffle on
+    (band_idx, band_value), and never goes all-pairs. Candidates then
+    pass the exact bit_count(xor) filter."""
+    if max_hamming > bands - 1:
+        raise ValueError(
+            f"banded join is only complete for max_hamming <= bands-1 "
+            f"({bands - 1}), got {max_hamming}"
+        )
+    # materialization barrier: both sides of the banded self-join
+    # would otherwise recompute the upstream lineage — which here is
+    # the Arrow DECODE kernel, the single expensive stage. Staging the
+    # 2-column (id, hash) table runs the decode ONCE; the join reads
+    # staged parquet twice (operators/staging.py rationale).
+    from pmacct_spark.operators.staging import stage
+
+    hashed = stage(hashed.select(id_col, hash_col))
+    width = 64 // bands
+    mask = (1 << width) - 1
+    slices = ", ".join(
+        f"shiftright({hash_col}, {b * width}) & {mask}" for b in range(bands)
+    )
+    bl = hashed.select(
+        F.col(id_col),
+        F.col(hash_col),
+        F.posexplode(F.expr(f"array({slices})")).alias("bidx", "bval"),
+    )
+    left = bl.select(
+        F.col(id_col).alias("doc_a"), F.col(hash_col).alias("ha"),
+        "bidx", "bval",
+    )
+    right = bl.select(
+        F.col(id_col).alias("doc_b"), F.col(hash_col).alias("hb"),
+        "bidx", "bval",
+    )
+    return (
+        left.join(right, ["bidx", "bval"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select(
+            "doc_a",
+            "doc_b",
+            F.expr("CAST(bit_count(ha ^ hb) AS BIGINT)").alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .distinct()
     )

@@ -263,11 +263,12 @@ def text_fingerprint(spark, sf_dir):
 #     extraction (operators/multimodal.py) -> quantized features. The
 #     oracle replays the rolling byte-fold in SQL, so the Python kernel,
 #     the Arrow batch plumbing, and the schema are all value-checked.
-def _mm_acc_duck(j: int) -> str:
-    # rolling (acc*31 + byte) % 1000003 over 1-indexed chars j+1, j+9, ...
+def _mm_acc_duck(j: int, dim: int = 8) -> str:
+    # rolling (acc*31 + byte) % 1000003 over 1-indexed chars j+1,
+    # j+1+dim, ... — the decode stub's per-cell fold at stride dim
     return (
         f"list_reduce(list_prepend(CAST(0 AS BIGINT), "
-        f"list_transform(range({j + 1}, length(text) + 1, 8), "
+        f"list_transform(range({j + 1}, length(text) + 1, {dim}), "
         f"i -> CAST(ascii(text[i]) AS BIGINT))), "
         f"(a, b) -> (a * 31 + b) % 1000003)"
     )
@@ -297,6 +298,71 @@ def multimodal_decode_features(spark, sf_dir):
             for j in range(8)
         ],
     )
+
+
+# --- multimodal near-dup: dHash row-gradient bits over the decoded
+#     9x8 feature grid + a banded Hamming-LSH self-join (complete for
+#     Hamming <= bands-1 by pigeonhole) — the perceptual-hash sibling
+#     of the text near-dup family; VERDICT r8 "What's missing #5".
+#     Short items (< 2 payload samples per grid cell) are excluded:
+#     their tail cells fold zero bytes, collapsing unrelated items
+#     onto one hash.
+def _phash_duck() -> str:
+    fs = ", ".join(_mm_acc_duck(j, 72) for j in range(72))
+    terms = []
+    for r in range(8):
+        for c in range(8):
+            i = r * 9 + c
+            bit = r * 8 + c
+            # DuckDB overflow-checks 1 << 63; the sign bit is its
+            # two's-complement literal (the value Spark's shiftleft
+            # wraps to)
+            val = (
+                "(-9223372036854775807 - 1)"
+                if bit == 63
+                else f"(CAST(1 AS BIGINT) << {bit})"
+            )
+            terms.append(
+                f"CASE WHEN fs[{i + 1}] > fs[{i + 2}] "
+                f"THEN {val} ELSE CAST(0 AS BIGINT) END"
+            )
+    phash = " + ".join(terms)
+    return f"""WITH feats AS (
+  SELECT doc_id AS content_id, [{fs}] AS fs
+  FROM documents WHERE length(text) >= 144
+),
+hashed AS (
+  SELECT content_id, {phash} AS phash FROM feats
+),
+bands AS (
+  SELECT content_id, phash, CAST(b AS BIGINT) AS bidx,
+         (phash >> (CAST(b AS INT) * 8)) & 255 AS bval
+  FROM hashed, unnest(range(0, 8)) AS t(b)
+)
+SELECT DISTINCT a.content_id AS doc_a, b.content_id AS doc_b,
+       CAST(bit_count(xor(a.phash, b.phash)) AS BIGINT) AS hamming
+FROM bands a JOIN bands b
+  ON a.bidx = b.bidx AND a.bval = b.bval
+ AND a.content_id < b.content_id
+WHERE bit_count(xor(a.phash, b.phash)) <= 7"""
+
+
+@register("dedup_multimodal_phash", _phash_duck())
+def dedup_multimodal_phash(spark, sf_dir):
+    from pmacct_spark.operators.multimodal import (
+        decode_features,
+        dhash64,
+        media_table_from_documents,
+        phash_near_dup_pairs,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.length("text") >= 144
+    )
+    media = media_table_from_documents(docs)
+    feats = decode_features(media, fake=True, dim=72)
+    hashed = dhash64(feats).select("content_id", "phash")
+    return phash_near_dup_pairs(hashed)
 
 
 # --- per-label embedding centroid components (the k-means "update"
