@@ -81,8 +81,21 @@ def countmin_heavy_hitters(
     sketch = ex.groupBy("row", "bucket").agg(
         F.sum("wsum").cast("bigint").alias("cnt")
     )
+    return countmin_estimate_topk(ex, sketch, k)
+
+
+def countmin_estimate_topk(
+    per_key_buckets: DataFrame, sketch: DataFrame, k: int = 20
+) -> DataFrame:
+    """Render (host, est_bytes, exact_bytes, overestimate, rank) from
+    a (key, wsum, row, bucket) bucket table and a (row, bucket, cnt)
+    counter grid — shared by the batch path above and the STREAMING
+    twin (where the grid is drained from the state store). The grid
+    is <= d*w rows, so it broadcasts."""
+    from pyspark.sql.window import Window
+
     est = (
-        ex.join(F.broadcast(sketch), ["row", "bucket"])
+        per_key_buckets.join(F.broadcast(sketch), ["row", "bucket"])
         .groupBy("key", "wsum")
         .agg(F.min("cnt").cast("bigint").alias("est"))
     )

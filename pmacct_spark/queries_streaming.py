@@ -1222,6 +1222,56 @@ def stream_approx_distinct_hll(spark, sf_dir):
 
 
 @register(
+    "stream_heavy_hitters_countmin",
+    _sketch_mod.countmin_heavy_hitters_duck(FLOWS_DUCK_CTE),
+)
+def stream_heavy_hitters_countmin(spark, sf_dir):
+    """The count-min counter grid folded as STREAMING state (VERDICT
+    r8 #6, mirroring what r8 did for HLL): each flow posexplodes to
+    its d bucket rows map-side and the (row, bucket) -> sum(bytes)
+    aggregation IS the state store — a constant d*w = 4096 counters
+    however many flows stream through, merging by addition across
+    micro-batches. The drained grid then renders estimates through
+    the same countmin_estimate_topk join the batch path uses, so
+    availableNow replay equals the batch oracle bit-for-bit. The
+    per-key truth column (exact_bytes) comes from the batch view —
+    it exists for the comparison, not the sketch."""
+    from pmacct_spark.driver_queries import flows as flows_view_fn
+    from pmacct_spark.functions.hashing import poly_hash_spark_sql
+    from pmacct_spark.operators.sketch import (
+        D_ROWS,
+        W_BUCKETS,
+        _bucket_exprs,
+        countmin_estimate_topk,
+    )
+
+    buckets = _bucket_exprs(poly_hash_spark_sql("key"), D_ROWS, W_BUCKETS)
+    arr = "array(" + ", ".join(buckets) + ")"
+    src = flows_stream(spark, sf_dir).selectExpr(
+        "ip_dst AS key", "bytes"
+    )
+    sketch_stream = (
+        src.select(
+            F.posexplode(F.expr(arr)).alias("row", "bucket"), "bytes"
+        )
+        .groupBy("row", "bucket")
+        .agg(F.sum("bytes").cast("bigint").alias("cnt"))
+    )
+    sketch = run_to_memory(sketch_stream, "q_stream_cm_sketch")
+    per_key = (
+        flows_view_fn(spark, sf_dir)
+        .groupBy(F.col("ip_dst").alias("key"))
+        .agg(F.sum("bytes").cast("bigint").alias("wsum"))
+    )
+    ex = per_key.select(
+        "key",
+        "wsum",
+        F.posexplode(F.expr(arr)).alias("row", "bucket"),
+    )
+    return countmin_estimate_topk(ex, sketch)
+
+
+@register(
     "nexthop_wire_loop",
     f"""{FLOWS_DUCK_CTE}
 SELECT '10.' || CAST((ip_dst_i * 13) % 224 AS VARCHAR) || '.0.1'
