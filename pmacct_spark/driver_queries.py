@@ -48,52 +48,46 @@ def register(name: str, oracle: str | None = None):
 # curation/dedup/ANN pipeline, and TPC-H relational — instead of the
 # registration order, which front-loaded agg/hist/client.
 _DRIVER_WINDOW = [
-    # ROUND-8 ROTATION (VERDICT r7 "Next round #2"): after r7, 36 of
-    # the 169 gated queries had never earned a driver-side CORRECTNESS
-    # row (they pass the identical value-hash check locally in
-    # tests/test_oracle_parity.py, but the driver's sf0.01 run is the
-    # hard signal). This window swaps ALL 36 in at once, keeping 12
-    # anchors — one per always-on family — for continuity with r1–r7.
-    # Everything rotated out keeps local parity coverage.
-    #
-    # anchors (driver-sampled in prior rounds; one per family).
-    # agg_host_pairs / v5_wire_loop_agg / dsir_importance_weights were
-    # anchors earlier this round but ceded their slots to the three
-    # late r8 additions below (they carry r1–r7 driver history and
-    # local parity; new-on-arrival beats anchor redundancy).
+    # ROUND-9 ROTATION (VERDICT r8 "Next round #1"): the 5 queries
+    # that landed after r8's window was set and have never had a
+    # driver-side CORRECTNESS row. Once these sample green, every
+    # gated query in the suite's history has a driver sf0.01 row.
+    "approx_distinct_hll",
+    "hdr_quantiles_bytes",
+    "stream_approx_distinct_hll",
+    "nexthop_wire_loop",
+    "presentation_encode_toggles",
+    # NEW round 9, driver-checked on arrival (VERDICT r8 #2/#4/#6)
+    "bgp_agent_map_lookup",
+    "dedup_multimodal_phash",
+    "stream_heavy_hitters_countmin",
+    # anchors (one per always-on family, all driver-green r08)
     "stream_hist_5m_proto",      # structured-streaming windows
     "bgp_addpath_rib_lookup",    # BGP RIB + LPM
     "bmp_wire_dump_accounting",  # BMP dump join
     "dedup_minhash_lsh",         # LSH near-dup
     "stream_dedup_exact",        # streaming state-store dedup
     "multimodal_decode_features",  # Arrow mapInPandas plumbing
-    "hist_month_prorate",        # calendar pro-rating
-    "telemetry_cisco_mdt_wire_loop",  # MDT framing (+ r8 gpb_kv)
+    "telemetry_cisco_mdt_wire_loop",  # MDT framing + GPB-KV
     "bm25_keyword_topk",         # retrieval
     "tpch_q6_forecast_revenue",  # TPC-H relational
-    # NEW round 8, driver-checked on arrival: IPv4/IPv6 wire-level
-    # fragment reassembly (reference src/ip_frag.c + src/nl.c) and the
-    # BPE tokenizer loop (train + corpus-scale apply)
-    "ipfrag4_reassembly",
-    "ipfrag6_reassembly",
-    "bpe_train_merges",
-    "bpe_apply_token_counts",
-    # the 36 never-driver-sampled queries (VERDICT r7 list, complete)
-    "ann_brute_force_topk", "ann_lsh_bucketed_topk", "ann_rrf_fusion",
-    "anti_join_parts_never_shipped", "bgp_comm_roa", "bgp_lookup_attrs",
-    "bgp_peer_src_as_map", "bgp_src_lookup", "dedup_cross_corpus",
-    "dedup_embedding_cosine", "dedup_embedding_cosine_hof",
-    "dedup_ngram_jaccard", "dedup_simhash", "distinct_hosts_per_proto",
-    "doc_chunking", "embedding_centroids_per_label",
-    "fsrc_priority_sampling", "grouping_sets_channels",
-    "heavy_hitters_countmin", "join_lineitem_orders_filtered",
-    "join_revenue_by_nation", "label_render", "networks_filter_zero",
-    "options_vrf_wire_enrich", "post_tag_override",
-    "presentation_render", "semi_join_suppliers",
-    "sessionize_user_events", "set_ops_ports", "sflow_v6_loop",
-    "stream_hist_5m_peer", "temperature_mix_sampling",
-    "text_fingerprint", "text_rarity_score", "text_token_counts",
-    "union_event_sources",
+    "ipfrag6_reassembly",        # wire-level defrag
+    # stale-refresh: the 32 queries whose newest driver row is oldest
+    # (r2–r3 era) — re-confirmed under the current engine. Everything
+    # rotated out keeps local sf0.001 parity in test_oracle_parity.py.
+    "geoip_pocode_coords",
+    "agg_extended_primitives", "agg_mpls_path_delay", "agg_nat_events",
+    "agg_renormalize", "agg_stitching_secs", "agg_sum_host",
+    "agg_sum_port", "agg_test100_set", "agg_tunnel_outer",
+    "blackhole_membership", "client_counters_only",
+    "client_match_orlist", "client_match_sum", "client_sum_matches",
+    "client_topn_packets", "corpus_curation_pipeline",
+    "dedup_survivor_selection", "flow_to_rd_map", "hist_1d_roundoff_w",
+    "hist_5m_multiwindow", "hist_arrival_time", "lpm_range_strategy",
+    "median_bytes_by_proto", "pack_token_batches", "pii_redaction",
+    "preprocess_actions", "pretag_filter_routing",
+    "quality_rules_filter", "quota_sample_per_source",
+    "seqno_monitoring", "train_val_test_split",
 ]
 
 
