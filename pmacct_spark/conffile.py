@@ -414,6 +414,61 @@ def parse_allow_file(text: str) -> list[str]:
     return out
 
 
+def parse_bgp_xconnect_map(text: str) -> list[dict]:
+    """bgp_daemon_xconnect_map (reference CONFIG-KEYS:3265,
+    examples/bgp_xconnects.map.example): ``bgp_dst=<ip:port>`` SET (the
+    collector to cross-connect to; v6 as ``[addr]:port``) +
+    ``bgp_src=<addr|prefix>`` MATCH (the edge router's session source
+    address — NOT its Router ID). First match wins."""
+    import ipaddress
+
+    entries: list[dict] = []
+    for raw in text.splitlines():
+        line = raw.split("!", 1)[0].split("#", 1)[0].strip()
+        if not line:
+            continue
+        dst = src = None
+        for token in line.split():
+            if "=" not in token:
+                continue
+            k, v = token.split("=", 1)
+            if k == "bgp_dst":
+                dst = v
+            elif k == "bgp_src":
+                src = v
+        if not dst or not src:
+            continue
+        if dst.startswith("["):  # [v6]:port
+            h, _, p = dst.rpartition("]:")
+            host = h.lstrip("[")
+        else:
+            host, _, p = dst.rpartition(":")
+        entries.append(
+            {
+                "src": ipaddress.ip_network(src, strict=False),
+                "dst_host": host,
+                "dst_port": int(p),
+            }
+        )
+    return entries
+
+
+def parse_bgp_md5_file(text: str) -> dict[str, bytes]:
+    """bgp_daemon_md5_file (reference CONFIG-KEYS:3079,
+    examples/bgp_md5.lst.example): CSV lines ``<peer ip>, <md5 key>``;
+    peers not listed use no key."""
+    keys: dict[str, bytes] = {}
+    for raw in text.splitlines():
+        line = raw.split("!", 1)[0].strip()
+        if not line or "," not in line:
+            continue
+        peer, _, key = line.partition(",")
+        peer, key = peer.strip(), key.strip()
+        if peer and key:
+            keys[peer] = key.encode()
+    return keys
+
+
 def parse_bgp_agent_map(text: str) -> list[dict]:
     """bgp_agent_map / bmp_agent_map (reference CONFIG-KEYS:2986,
     examples/bgp_agent.map.example): map a flow exporter to the BGP/BMP

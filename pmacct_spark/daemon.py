@@ -73,6 +73,9 @@ class Daemon:
     lg: object | None = None  # LookingGlass when bgp_daemon_lg is on
     grpc: object | None = None  # GrpcDialoutServer (telemetry dial-out)
     grpc_dialin: object | None = None  # GrpcDialinCollector
+    # BgpXconnectProxy when bgp_daemon_xconnect_map is set (BGP
+    # proxying — no local RIB; sessions forward 1:1 to collectors)
+    bgp_xconnect: object | None = None
     # created eagerly: N replan threads share it — a lazily-created
     # lock is itself a race (two threads can each mint their own)
     _compact_lock: threading.Lock = field(
@@ -141,13 +144,44 @@ class Daemon:
                 spool_dir=(spool_dir + "_tmpl") if spool_dir else None,
                 flush_secs=0.2,
             ).start()
-        bgp_spool = bmp_spool = None
-        if conf.getbool("bgp_daemon"):
+        bgp_spool = bmp_spool = bgp_xconnect = None
+        xcs_path = conf.get("bgp_daemon_xconnect_map")
+        if xcs_path:
+            # BGP proxying (CONFIG-KEYS:3265): the daemon cross-connects
+            # inbound edge-router sessions 1:1 to collectors and never
+            # decodes locally — mutually exclusive with any BGP msglog /
+            # dump method (reference src/bgp/bgp.c:298)
+            for k in ("bgp_daemon_msglog_file", "bgp_daemon_msglog_kafka_topic",
+                      "bgp_daemon_msglog_amqp_routing_key", "bgp_table_dump_file",
+                      "bgp_table_dump_kafka_topic"):
+                if conf.get(k):
+                    raise ValueError(
+                        "bgp_daemon_xconnect_map is mutually exclusive with "
+                        f"any BGP msglog and dump method (got {k})"
+                    )
+            from pmacct_spark.sources.xconnect import BgpXconnectProxy
+
+            with open(str(xcs_path)) as f:
+                xcs_entries = conffile.parse_bgp_xconnect_map(f.read())
+            bgp_xconnect = BgpXconnectProxy(
+                xcs_entries, host=host,
+                port=int(conf.get("bgp_daemon_port", default=0) or 0),
+            ).start()
+        elif conf.getbool("bgp_daemon"):
             from pmacct_spark.sources.tcp import TcpSpool
 
+            md5_keys = None
+            md5_path = conf.get("bgp_daemon_md5_file")
+            if md5_path:
+                # TCP-MD5 (RFC 2385, CONFIG-KEYS:3079): keys register on
+                # the listener; the kernel drops unsigned segments from
+                # listed peers before the daemon ever sees the session
+                with open(str(md5_path)) as f:
+                    md5_keys = conffile.parse_bgp_md5_file(f.read())
             bgp_spool = TcpSpool(
                 framing="bgp", host=host,
                 port=int(conf.get("bgp_daemon_port", default=0) or 0),
+                md5_keys=md5_keys,
             ).start()
         if conf.getbool("bmp_daemon"):  # the pmbmpd flavor
             from pmacct_spark.sources.tcp import TcpSpool
@@ -177,6 +211,7 @@ class Daemon:
             flavor=flavor,
             bgp_spool=bgp_spool, bmp_spool=bmp_spool,
             rtr_client=rtr_client, tmpl_spool=tmpl_spool,
+            bgp_xconnect=bgp_xconnect,
         )
         if conf.get("telemetry_daemon_grpc_port") is not None:
             # gRPC dial-out collection (reference bridges an external
@@ -241,6 +276,8 @@ class Daemon:
 
     @property
     def bgp_port(self) -> int:
+        if self.bgp_xconnect is not None:
+            return self.bgp_xconnect.port
         return self.bgp_spool.port if self.bgp_spool else 0
 
     @property
@@ -252,6 +289,7 @@ class Daemon:
         for sp in (
             self.bgp_spool, self.bmp_spool, self.rtr_client, self.lg,
             self.grpc, self.grpc_dialin, self.tmpl_spool,
+            self.bgp_xconnect,
         ):
             if sp is not None:
                 sp.stop()

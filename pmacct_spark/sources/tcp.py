@@ -22,6 +22,48 @@ import time
 
 _BGP_MARKER = b"\xff" * 16
 
+# TCP-MD5 (RFC 2385) via the kernel's TCP_MD5SIG socket option —
+# reference bgp_daemon_md5_file (CONFIG-KEYS:3079): the kernel signs /
+# verifies every segment of the session; a peer with the wrong (or no)
+# key never completes the handshake and the application sees nothing,
+# exactly as the reference documents ("logs will be empty of any
+# errors"). Linux-specific, like the reference's implementation
+# (src/bgp/bgp.c my_md5sig setsockopt path).
+TCP_MD5SIG = 14
+TCP_MD5SIG_MAXKEYLEN = 80
+
+
+def set_tcp_md5(sock: socket.socket, peer_ip: str, key: bytes) -> None:
+    """Register ``key`` for segments to/from ``peer_ip`` on ``sock``
+    (a listener registers one key per configured peer; connected
+    sockets register their remote). struct tcp_md5sig layout per
+    linux/tcp.h: sockaddr_storage(128) + flags u8 + prefixlen u8 +
+    keylen u16 + pad u32 + key[80]."""
+    import ipaddress
+    import struct
+
+    if len(key) > TCP_MD5SIG_MAXKEYLEN:
+        raise ValueError("TCP-MD5 key exceeds 80 bytes")
+    addr = ipaddress.ip_address(peer_ip)
+    if addr.version == 4:
+        sa = (
+            struct.pack("H", socket.AF_INET)
+            + struct.pack("!H", 0)
+            + addr.packed
+        )
+    else:
+        sa = (
+            struct.pack("H", socket.AF_INET6)
+            + struct.pack("!HI", 0, 0)
+            + addr.packed
+            + struct.pack("I", 0)
+        )
+    sa = sa.ljust(128, b"\x00")
+    val = sa + struct.pack("BBHI", 0, 0, len(key), 0) + key.ljust(
+        TCP_MD5SIG_MAXKEYLEN, b"\x00"
+    )
+    sock.setsockopt(socket.IPPROTO_TCP, TCP_MD5SIG, val)
+
 
 def complete_prefix_bgp(buf: bytes) -> int:
     """Length of the longest prefix of ``buf`` holding only complete
@@ -101,8 +143,13 @@ class TcpSpool:
         spool_dir: str | None = None,
         flush_secs: float = 0.2,
         max_buffer: int = 4 << 20,
+        md5_keys: dict[str, bytes] | None = None,
     ):
         self._prefix = _FRAMERS[framing]
+        # peer ip -> TCP-MD5 key (bgp_daemon_md5_file); registered on
+        # the listener at start() so the kernel drops unsigned /
+        # mis-signed segments from those peers before accept()
+        self.md5_keys = md5_keys or {}
         self.host = host
         self.port = port
         self.spool_dir = spool_dir or tempfile.mkdtemp(prefix="tcp_spool_")
@@ -140,6 +187,8 @@ class TcpSpool:
         self._srv.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
         self._srv.bind((self.host, self.port))
         self.port = self._srv.getsockname()[1]
+        for peer, key in self.md5_keys.items():
+            set_tcp_md5(self._srv, peer, key)
         self._srv.listen(16)
         # short accept poll: flush()'s backlog barrier waits two
         # passes, so this bounds flush latency (~0.1 s), not 0.4 s

@@ -247,3 +247,47 @@ def test_refresh_time_resolves_per_channel(spark):
     )
     assert _typed(conf, "p1", "refresh_time", "print") == "30"
     assert _typed(conf, "s1", "refresh_time", "sql") == "300"
+
+
+def test_parse_bgp_xconnect_map():
+    from pmacct_spark.conffile import parse_bgp_xconnect_map
+
+    e = parse_bgp_xconnect_map(
+        "! comment\n"
+        "bgp_dst=10.0.0.1:17901\tbgp_src=192.168.0.1\n"
+        "bgp_dst=10.0.0.1:17910\tbgp_src=192.168.10.0/24\n"
+        "bgp_dst=[2001:db8::1]:179 bgp_src=2001:db8:f::/48\n"
+        "bgp_src=1.2.3.4\n"  # no SET key: skipped
+    )
+    assert len(e) == 3
+    assert e[0]["dst_host"] == "10.0.0.1" and e[0]["dst_port"] == 17901
+    assert str(e[1]["src"]) == "192.168.10.0/24"
+    assert e[2]["dst_host"] == "2001:db8::1" and e[2]["dst_port"] == 179
+
+
+def test_parse_bgp_md5_file():
+    from pmacct_spark.conffile import parse_bgp_md5_file
+
+    keys = parse_bgp_md5_file(
+        "!\n! Sample BGP MD5 map\n!\n"
+        "192.168.1.1, arealsmartpwd\n"
+        "192.168.1.2, TestTest\n"
+        "! trailing comment\n"
+    )
+    assert keys == {
+        "192.168.1.1": b"arealsmartpwd",
+        "192.168.1.2": b"TestTest",
+    }
+
+
+def test_match_xconnect_first_match_wins():
+    from pmacct_spark.conffile import parse_bgp_xconnect_map
+    from pmacct_spark.sources.xconnect import match_xconnect
+
+    e = parse_bgp_xconnect_map(
+        "bgp_dst=10.0.0.1:1 bgp_src=192.168.0.1\n"
+        "bgp_dst=10.0.0.1:2 bgp_src=192.168.0.0/24\n"
+    )
+    assert match_xconnect(e, "192.168.0.1")["dst_port"] == 1
+    assert match_xconnect(e, "192.168.0.7")["dst_port"] == 2
+    assert match_xconnect(e, "10.9.9.9") is None

@@ -247,3 +247,122 @@ def test_bgp_addpath_v6_mp_nlri(spark):
     assert rows[2]["as_path"] == "65001"
     bp = best_path(rib).collect()
     assert len(bp) == 1 and bp[0]["local_pref"] == 100
+
+
+def test_xconnect_proxy_forwards_session_to_collector(spark, tmp_path):
+    """bgp_daemon_xconnect_map (reference CONFIG-KEYS:3265): an edge
+    router peers with the PROXY; its raw session bytes cross-connect
+    1:1 to the collector, whose RIB must decode them exactly as if
+    directly peered. Also pins the reference's refusal semantics: a
+    second session from an xconnected peer IP is refused
+    (src/bgp/bgp.c:948), an unmapped peer is dropped
+    (src/bgp/bgp_util.c:837)."""
+    from pmacct_spark.conffile import parse_bgp_xconnect_map
+    from pmacct_spark.sources.xconnect import BgpXconnectProxy
+
+    with TcpSpool(
+        framing="bgp", spool_dir=str(tmp_path / "far_spool")
+    ) as collector:
+        entries = parse_bgp_xconnect_map(
+            f"! edge routers on loopback net\n"
+            f"bgp_dst=127.0.0.1:{collector.port}  bgp_src=127.0.0.0/31\n"
+        )
+        with BgpXconnectProxy(entries) as proxy:
+            c = socket.socket(socket.AF_INET, socket.SOCK_STREAM)
+            c.connect(("127.0.0.1", proxy.port))
+            msg = encode_bgp_update(0x0A000000, 8, "65000 65100")
+            # split mid-message: the proxy must NOT reframe — the far
+            # collector's boundary walker handles it
+            c.sendall(msg[:11])
+            time.sleep(0.3)
+            c.sendall(msg[11:])
+            assert _wait(lambda: collector.messages_spooled >= 1)
+
+            # second session from the same peer IP: refused
+            c2 = socket.socket(socket.AF_INET, socket.SOCK_STREAM)
+            c2.connect(("127.0.0.1", proxy.port))
+            assert _wait(lambda: proxy.refused_existing >= 1)
+            assert c2.recv(1) == b""  # closed by the proxy
+            c2.close()
+            c.close()
+
+            rib = rib_state(decode_bgp(collector.batch(spark)))
+            rows = rib.collect()
+            assert len(rows) == 1
+            assert rows[0]["as_path"] == "65000 65100"
+
+        # unmapped peer: no entry covers 127.0.0.2 -> dropped
+        with BgpXconnectProxy(
+            parse_bgp_xconnect_map(
+                f"bgp_dst=127.0.0.1:{collector.port} bgp_src=127.0.0.2/32"
+            )
+        ) as proxy2:
+            c3 = socket.socket(socket.AF_INET, socket.SOCK_STREAM)
+            c3.connect(("127.0.0.1", proxy2.port))
+            assert _wait(lambda: proxy2.refused_unmapped >= 1)
+            assert c3.recv(1) == b""
+            c3.close()
+            assert proxy2.sessions_started == 0
+
+
+def test_xconnect_proxy_pumps_collector_to_peer(tmp_path):
+    """The cross-connect is BIDIRECTIONAL (src/bgp/bgp.c:1003-1009
+    reads the xconnect_fd side too): bytes the collector sends — e.g.
+    its OPEN/KEEPALIVE half of the FSM — must reach the edge router."""
+    from pmacct_spark.conffile import parse_bgp_xconnect_map
+    from pmacct_spark.sources.xconnect import BgpXconnectProxy
+
+    srv = socket.socket(socket.AF_INET, socket.SOCK_STREAM)
+    srv.bind(("127.0.0.1", 0))
+    srv.listen(1)
+    entries = parse_bgp_xconnect_map(
+        f"bgp_dst=127.0.0.1:{srv.getsockname()[1]} bgp_src=127.0.0.1"
+    )
+    with BgpXconnectProxy(entries) as proxy:
+        c = socket.socket(socket.AF_INET, socket.SOCK_STREAM)
+        c.connect(("127.0.0.1", proxy.port))
+        far, _ = srv.accept()
+        c.sendall(b"to-collector")
+        got = far.recv(64)
+        assert got == b"to-collector"
+        far.sendall(b"to-peer")
+        c.settimeout(5)
+        assert c.recv(64) == b"to-peer"
+        c.close()
+        far.close()
+    srv.close()
+
+
+def test_tcp_md5_listener_accepts_keyed_rejects_unkeyed(spark, tmp_path):
+    """bgp_daemon_md5_file (reference CONFIG-KEYS:3079, RFC 2385):
+    with a key registered for 127.0.0.1, a client signing with the
+    same key completes the session and its UPDATE spools; a client
+    with no key never completes the TCP handshake — the kernel drops
+    its unsigned SYNs, so the application sees NOTHING (exactly the
+    failure mode the reference documents). Live kernel TCP_MD5SIG on
+    both ends."""
+    from pmacct_spark.sources.tcp import set_tcp_md5
+
+    with TcpSpool(
+        framing="bgp",
+        spool_dir=str(tmp_path / "md5_spool"),
+        md5_keys={"127.0.0.1": b"arealsmartpwd"},
+    ) as sp:
+        good = socket.socket(socket.AF_INET, socket.SOCK_STREAM)
+        set_tcp_md5(good, "127.0.0.1", b"arealsmartpwd")
+        good.connect(("127.0.0.1", sp.port))
+        good.sendall(encode_bgp_update(0x0A000000, 8, "65000"))
+        assert _wait(lambda: sp.messages_spooled >= 1)
+        good.close()
+
+        bad = socket.socket(socket.AF_INET, socket.SOCK_STREAM)
+        bad.settimeout(1.5)
+        try:
+            bad.connect(("127.0.0.1", sp.port))
+            connected = True
+        except OSError:
+            connected = False
+        bad.close()
+        assert not connected
+        rib = rib_state(decode_bgp(sp.batch(spark)))
+        assert {r["as_path"] for r in rib.collect()} == {"65000"}
