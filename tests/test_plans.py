@@ -353,3 +353,25 @@ def test_bpe_apply_is_mapside_jvm(spark):
     assert "EvalPython" not in plan and "InPandas" not in plan
     tree = plan.split("\n\n")[0]
     assert sum("Exchange" in ln for ln in tree.splitlines()) <= 2, tree
+
+
+def test_hdr_quantiles_single_pass(spark):
+    """hdr_quantiles computes ALL requested quantiles in one pass
+    (VERDICT r8 #7): one parquet scan, one Exchange for the (grp,code)
+    hist aggregation and one for the per-grp window — however many
+    quantiles are asked. The old shape unioned a filter+groupBy branch
+    per quantile."""
+    import re
+
+    from pmacct_spark.operators.sketch import hdr_quantiles
+
+    fl = flows(spark, SF_DIR)
+    for qs_tuple in ((500,), (250, 500, 750, 900, 950, 990, 999)):
+        # tree section only: the detail section repeats operator names
+        tree = _plan(hdr_quantiles(fl, qs=qs_tuple)).split("\n\n")[0]
+        assert tree.count("Scan parquet") == 1, f"qs={qs_tuple}"
+        real = len(re.findall(r"\bExchange\b", tree)) - tree.count(
+            "ReusedExchange"
+        )
+        assert real == 2, f"qs={qs_tuple}: {real} exchanges"
+        assert "Union" not in tree
