@@ -189,7 +189,14 @@ def media_table_from_documents(docs: DataFrame) -> DataFrame:
 
 DHASH_ROWS = 8
 DHASH_COLS = 9  # 8 horizontal gradients per row -> 64-bit hash
-PHASH_BANDS = 8  # 8-bit slices; complete for Hamming <= 7 (pigeonhole)
+# 16-bit slices; complete for Hamming <= 3 (pigeonhole). Band WIDTH is
+# the scale lever: 8-bit bands (8 of them, complete to Hamming 7) have
+# only 256 bucket values, so RANDOM-hash collisions alone grow as
+# n^2/256 — measured 12.6x at a 10x scale-up. 16-bit bands make the
+# bucket space 65536 and the same measurement linear; corpora past
+# ~10^8 items should widen the hash itself (e.g. a 256-bit grid in 4
+# bigint words, 32-bit bands) rather than narrow the bands.
+PHASH_BANDS = 4
 
 
 def _quant(features_col: str, i: int) -> str:

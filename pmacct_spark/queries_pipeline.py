@@ -336,15 +336,15 @@ hashed AS (
 ),
 bands AS (
   SELECT content_id, phash, CAST(b AS BIGINT) AS bidx,
-         (phash >> (CAST(b AS INT) * 8)) & 255 AS bval
-  FROM hashed, unnest(range(0, 8)) AS t(b)
+         (phash >> (CAST(b AS INT) * 16)) & 65535 AS bval
+  FROM hashed, unnest(range(0, 4)) AS t(b)
 )
 SELECT DISTINCT a.content_id AS doc_a, b.content_id AS doc_b,
        CAST(bit_count(xor(a.phash, b.phash)) AS BIGINT) AS hamming
 FROM bands a JOIN bands b
   ON a.bidx = b.bidx AND a.bval = b.bval
  AND a.content_id < b.content_id
-WHERE bit_count(xor(a.phash, b.phash)) <= 7"""
+WHERE bit_count(xor(a.phash, b.phash)) <= 3"""
 
 
 @register("dedup_multimodal_phash", _phash_duck())
