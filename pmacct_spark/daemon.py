@@ -163,9 +163,17 @@ class Daemon:
 
             with open(str(xcs_path)) as f:
                 xcs_entries = conffile.parse_bgp_xconnect_map(f.read())
+            xcs_md5 = None
+            md5_path = conf.get("bgp_daemon_md5_file")
+            if md5_path:
+                # TCP-MD5 applies to the proxy's INBOUND sessions only
+                # (CONFIG-KEYS:3272) — outbound legs stay unsigned
+                with open(str(md5_path)) as f:
+                    xcs_md5 = conffile.parse_bgp_md5_file(f.read())
             bgp_xconnect = BgpXconnectProxy(
                 xcs_entries, host=host,
                 port=int(conf.get("bgp_daemon_port", default=0) or 0),
+                md5_keys=xcs_md5,
             ).start()
         elif conf.getbool("bgp_daemon"):
             from pmacct_spark.sources.tcp import TcpSpool
@@ -189,6 +197,10 @@ class Daemon:
             bmp_spool = TcpSpool(
                 framing="bmp", host=host,
                 port=int(conf.get("bmp_daemon_port", default=0) or 0),
+                # bmp_daemon_parse_proxy_header: behind a TCP load
+                # balancer the PROXY v1/v2 header carries the router's
+                # real address — it becomes the peer identity
+                proxy_header=conf.getbool("bmp_daemon_parse_proxy_header"),
             ).start()
         rtr_client = None
         cache = conf.get("rpki_rtr_cache")

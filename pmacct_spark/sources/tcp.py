@@ -22,6 +22,53 @@ import time
 
 _BGP_MARKER = b"\xff" * 16
 
+# PROXY protocol (haproxy.org spec) — bmp_daemon_parse_proxy_header
+# (reference CONFIG-KEYS, parser src/network.c:33 parse_proxy_header):
+# when a TCP load balancer fronts the collector, the first bytes of
+# the connection carry the REAL client address; it replaces the peer
+# identity obtained from the socket.
+PROXY_V2_SIG = b"\x0d\x0a\x0d\x0a\x00\x0d\x0a\x51\x55\x49\x54\x0a"
+
+
+def parse_proxy_header(buf: bytes) -> tuple[int, str | None, bool]:
+    """``(consumed, src_ip, need_more)`` for the PROXY v1/v2 header at
+    the start of ``buf``. ``src_ip`` is None when the header is absent
+    (keep the socket address — reference "Not Proxy Protocol" branch),
+    malformed, for the v2 LOCAL command (health check) and unsupported
+    families (header consumed, address kept — src/network.c:126-133).
+    ``need_more=True`` means the split point fell inside the header:
+    read more bytes and retry."""
+    import ipaddress
+
+    if buf[: min(len(buf), 12)] == PROXY_V2_SIG[: min(len(buf), 12)]:
+        if len(buf) < 16:
+            return 0, None, True
+        ver_cmd, fam = buf[12], buf[13]
+        size = 16 + int.from_bytes(buf[14:16], "big")
+        if len(buf) < size:
+            return 0, None, True
+        if (ver_cmd & 0xF0) == 0x20 and (ver_cmd & 0x0F) == 0x01:
+            if fam == 0x11 and size >= 16 + 12:  # TCP over IPv4
+                return size, str(ipaddress.IPv4Address(buf[16:20])), False
+            if fam == 0x21 and size >= 16 + 36:  # TCP over IPv6
+                return size, str(ipaddress.IPv6Address(buf[16:32])), False
+        # LOCAL command / unsupported family: consume, keep socket addr
+        return size, None, False
+    if buf[: min(len(buf), 5)] == b"PROXY"[: min(len(buf), 5)]:
+        end = buf.find(b"\r\n")
+        if end < 0:
+            # v1 header is at most 107 bytes; anything longer without
+            # CRLF is not a header
+            return (0, None, True) if len(buf) < 108 else (0, None, False)
+        parts = buf[:end].decode("ascii", "replace").split(" ")
+        # PROXY TCP4|TCP6 <src> <dst> <sport> <dport> ; "PROXY UNKNOWN"
+        # keeps the socket address
+        if len(parts) >= 6 and parts[1] in ("TCP4", "TCP6"):
+            return end + 2, parts[2], False
+        return end + 2, None, False
+    return 0, None, False
+
+
 # TCP-MD5 (RFC 2385) via the kernel's TCP_MD5SIG socket option —
 # reference bgp_daemon_md5_file (CONFIG-KEYS:3079): the kernel signs /
 # verifies every segment of the session; a peer with the wrong (or no)
@@ -144,8 +191,12 @@ class TcpSpool:
         flush_secs: float = 0.2,
         max_buffer: int = 4 << 20,
         md5_keys: dict[str, bytes] | None = None,
+        proxy_header: bool = False,
     ):
         self._prefix = _FRAMERS[framing]
+        # bmp_daemon_parse_proxy_header: strip a PROXY v1/v2 header off
+        # the first bytes and take the peer identity from it
+        self.proxy_header = proxy_header
         # peer ip -> TCP-MD5 key (bgp_daemon_md5_file); registered on
         # the listener at start() so the kernel drops unsigned /
         # mis-signed segments from those peers before accept()
@@ -258,6 +309,9 @@ class TcpSpool:
     ) -> None:
         conn.settimeout(0.2)
         buf = b""
+        # PROXY protocol: resolve the real peer identity from the
+        # first bytes before anything is spooled under the LB's address
+        proxy_pending = self.proxy_header
         last_flush = time.monotonic()
         if key == 0:  # direct callers (tests): self-register
             with self._lock:
@@ -274,6 +328,13 @@ class TcpSpool:
                     buf += chunk
                 except socket.timeout:
                     pass
+                if proxy_pending and buf:
+                    consumed, src, need_more = parse_proxy_header(buf)
+                    if not need_more:
+                        if src is not None:
+                            peer = src
+                        buf = buf[consumed:]
+                        proxy_pending = False
                 now = time.monotonic()
                 # snapshot the generation BEFORE emitting: acking a
                 # re-read gen would satisfy a flush() that arrived
@@ -319,7 +380,7 @@ class TcpSpool:
                             conn.settimeout(0.2)
                         except OSError:
                             pass
-                if buf and (
+                if buf and not proxy_pending and (
                     closed
                     or now - last_flush >= self.flush_secs
                     or flush_wanted

@@ -52,10 +52,16 @@ class BgpXconnectProxy:
         entries: list[dict],
         host: str = "127.0.0.1",
         port: int = 0,
+        md5_keys: dict[str, bytes] | None = None,
     ):
         self.entries = entries
         self.host = host
         self.port = port
+        # TCP-MD5 on INBOUND sessions to the proxy, never outbound —
+        # exactly the reference's support matrix (CONFIG-KEYS:3272:
+        # "TCP-MD5 is supported on inbound sessions to the proxy
+        # (via bgp_daemon_md5_file) but not on outbound ones")
+        self.md5_keys = md5_keys or {}
         self._srv: socket.socket | None = None
         self._accept_thread: threading.Thread | None = None
         self._threads: list[threading.Thread] = []
@@ -76,6 +82,11 @@ class BgpXconnectProxy:
         self._srv.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
         self._srv.bind((self.host, self.port))
         self.port = self._srv.getsockname()[1]
+        if self.md5_keys:
+            from pmacct_spark.sources.tcp import set_tcp_md5
+
+            for peer, key in self.md5_keys.items():
+                set_tcp_md5(self._srv, peer, key)
         self._srv.listen(16)
         self._srv.settimeout(0.05)
         self._stop.clear()

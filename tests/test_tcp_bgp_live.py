@@ -366,3 +366,135 @@ def test_tcp_md5_listener_accepts_keyed_rejects_unkeyed(spark, tmp_path):
         assert not connected
         rib = rib_state(decode_bgp(sp.batch(spark)))
         assert {r["as_path"] for r in rib.collect()} == {"65000"}
+
+
+def test_parse_proxy_header_unit():
+    """PROXY v1/v2 parse shapes (reference src/network.c:33): v2
+    PROXY/LOCAL commands, v1 TCP4/UNKNOWN, absent header, and a read
+    boundary falling inside the header."""
+    import socket as _s
+
+    from pmacct_spark.sources.tcp import PROXY_V2_SIG, parse_proxy_header
+
+    v2 = (
+        PROXY_V2_SIG + bytes([0x21, 0x11]) + (12).to_bytes(2, "big")
+        + _s.inet_aton("192.0.2.99") + _s.inet_aton("10.0.0.1")
+        + (34567).to_bytes(2, "big") + (5000).to_bytes(2, "big")
+    )
+    assert parse_proxy_header(v2 + b"tail") == (len(v2), "192.0.2.99", False)
+    # LOCAL command (health check): consume, keep socket address
+    local = PROXY_V2_SIG + bytes([0x20, 0x00]) + (0).to_bytes(2, "big")
+    assert parse_proxy_header(local + b"x") == (16, None, False)
+    # v1 text form
+    v1 = b"PROXY TCP4 198.51.100.7 10.0.0.1 4711 5000\r\n"
+    assert parse_proxy_header(v1 + b"rest") == (len(v1), "198.51.100.7", False)
+    assert parse_proxy_header(b"PROXY UNKNOWN\r\nrest") == (15, None, False)
+    # absent header: BMP version byte 3 first
+    assert parse_proxy_header(b"\x03\x00\x00\x00\x06\x00") == (0, None, False)
+    # split inside the header: need more bytes
+    assert parse_proxy_header(v2[:9]) == (0, None, True)
+    assert parse_proxy_header(v1[:20]) == (0, None, True)
+
+
+def test_proxy_header_replaces_peer_identity_live(spark, tmp_path):
+    """bmp_daemon_parse_proxy_header live: a 'load balancer' client
+    prepends a PROXY v2 header naming the real router 192.0.2.99 —
+    the spooled session must carry THAT identity, not the socket's
+    127.0.0.1; a v1 header and a headerless session interleave on the
+    same listener."""
+    import socket as _s
+
+    from pmacct_spark.sources.tcp import PROXY_V2_SIG
+
+    bmp_msg = bytes([3]) + (7).to_bytes(4, "big") + bytes([0]) + b"\x01"
+    with TcpSpool(
+        framing="bmp",
+        spool_dir=str(tmp_path / "px_spool"),
+        proxy_header=True,
+    ) as sp:
+        v2 = (
+            PROXY_V2_SIG + bytes([0x21, 0x11]) + (12).to_bytes(2, "big")
+            + _s.inet_aton("192.0.2.99") + _s.inet_aton("10.0.0.1")
+            + (34567).to_bytes(2, "big") + (5000).to_bytes(2, "big")
+        )
+        c = _s.socket(_s.AF_INET, _s.SOCK_STREAM)
+        c.connect(("127.0.0.1", sp.port))
+        # split INSIDE the proxy header to exercise need_more
+        c.sendall(v2[:9])
+        time.sleep(0.3)
+        c.sendall(v2[9:] + bmp_msg)
+        c.close()
+
+        c2 = _s.socket(_s.AF_INET, _s.SOCK_STREAM)
+        c2.connect(("127.0.0.1", sp.port))
+        c2.sendall(b"PROXY TCP4 198.51.100.7 10.0.0.1 4711 5000\r\n" + bmp_msg)
+        c2.close()
+
+        c3 = _s.socket(_s.AF_INET, _s.SOCK_STREAM)
+        c3.connect(("127.0.0.1", sp.port))
+        c3.sendall(bmp_msg)  # no header: socket identity stays
+        c3.close()
+        assert _wait(lambda: sp.messages_spooled >= 3)
+        rows = sp.batch(spark).select("exporter_ip").collect()
+    got = sorted(r["exporter_ip"] for r in rows)
+    assert got == ["127.0.0.1", "192.0.2.99", "198.51.100.7"]
+
+
+def test_daemon_wires_bmp_proxy_header_flag(spark, tmp_path):
+    from pmacct_spark.daemon import Daemon
+
+    d = Daemon.from_conf(
+        spark,
+        """
+nfacctd_port: 0
+bmp_daemon: true
+bmp_daemon_port: 0
+bmp_daemon_parse_proxy_header: true
+""",
+        spool_dir=str(tmp_path / "spool_px"),
+    )
+    try:
+        assert d.bmp_spool.proxy_header is True
+    finally:
+        d.stop()
+
+
+def test_xconnect_inbound_md5_outbound_clear(spark, tmp_path):
+    """The reference's exact TCP-MD5 support matrix for BGP proxying
+    (CONFIG-KEYS:3272): inbound sessions to the proxy are signed via
+    bgp_daemon_md5_file, the outbound leg to the collector is NOT.
+    Live: keyed edge router -> MD5 proxy -> plain collector; an
+    unkeyed edge router can't even connect."""
+    import socket as _s
+
+    from pmacct_spark.conffile import parse_bgp_xconnect_map
+    from pmacct_spark.sources.tcp import set_tcp_md5
+    from pmacct_spark.sources.xconnect import BgpXconnectProxy
+
+    with TcpSpool(
+        framing="bgp", spool_dir=str(tmp_path / "xmd5_spool")
+    ) as collector:
+        entries = parse_bgp_xconnect_map(
+            f"bgp_dst=127.0.0.1:{collector.port} bgp_src=127.0.0.1"
+        )
+        with BgpXconnectProxy(
+            entries, md5_keys={"127.0.0.1": b"proxypwd"}
+        ) as proxy:
+            bad = _s.socket(_s.AF_INET, _s.SOCK_STREAM)
+            bad.settimeout(1.0)
+            refused = False
+            try:
+                bad.connect(("127.0.0.1", proxy.port))
+            except OSError:
+                refused = True
+            bad.close()
+            assert refused
+
+            good = _s.socket(_s.AF_INET, _s.SOCK_STREAM)
+            set_tcp_md5(good, "127.0.0.1", b"proxypwd")
+            good.connect(("127.0.0.1", proxy.port))
+            good.sendall(encode_bgp_update(0x0A000000, 8, "65000 65123"))
+            assert _wait(lambda: collector.messages_spooled >= 1)
+            good.close()
+            rib = rib_state(decode_bgp(collector.batch(spark)))
+            assert {r["as_path"] for r in rib.collect()} == {"65000 65123"}
