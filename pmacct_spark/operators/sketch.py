@@ -358,6 +358,182 @@ SELECT f.grp AS {group_col}, f.est_distinct, x.exact_distinct,
 FROM fin f JOIN ex x USING (grp)"""
 
 
+def hll_setops(
+    flows: DataFrame,
+    group_col: str = "ip_proto",
+    value_col: str = "ip_src",
+    m: int = HLL_M,
+) -> DataFrame:
+    """(grp_a, grp_b, est_a, est_b, est_union, est_intersect,
+    exact_union, exact_intersect) for every pair of groups.
+
+    Register MAX-MERGE is the point of this query: |A ∪ B| needs no
+    re-scan of raw data — the two groups' m-register sketches merge
+    bucket-wise (max commutes and is idempotent), which is exactly the
+    property that lets per-shard / per-day / per-datacenter sketches
+    roll up at 100 TB as constant-size summaries. |A ∩ B| follows by
+    inclusion-exclusion (the standard HLL intersection; its relative
+    error grows with |A∪B| / |A∩B|, which is why the exact truth rides
+    beside it). Everything after the pk scan operates on register
+    tables bounded by groups x m rows."""
+    from pmacct_spark.operators.staging import stage
+
+    code = _hll_code_expr(poly_hash_spark_sql("v"), m=m)
+    pk = stage(
+        flows.select(
+            F.col(group_col).alias("grp"), F.col(value_col).alias("v")
+        )
+    )
+    regs = stage(
+        pk.select("grp", F.expr(code).alias("code"))
+        .groupBy("grp", F.expr("code DIV 64").alias("bucket"))
+        .agg(F.expr("max(code) % 64").cast("int").alias("r"))
+    )
+    sing = hll_finalize(regs, m).select(
+        "grp", F.col("est_distinct").alias("est")
+    )
+    groups = regs.select("grp").distinct()
+    pairs = (
+        groups.alias("a")
+        .join(groups.alias("b"), F.expr("a.grp < b.grp"))
+        .select(F.col("a.grp").alias("ga"), F.col("b.grp").alias("gb"))
+    )
+    # union registers: bucket-wise max over the two groups' sketches
+    # (tiny x tiny theta join — both sides bounded by groups x m)
+    uregs = (
+        pairs.join(regs, F.expr("grp = ga OR grp = gb"))
+        .groupBy(
+            F.concat_ws("|", "ga", "gb").alias("grp"), F.col("bucket")
+        )
+        .agg(F.max("r").alias("r"))
+    )
+    uest = hll_finalize(uregs, m).select(
+        F.split("grp", r"\|")[0].alias("ga"),
+        F.split("grp", r"\|")[1].alias("gb"),
+        F.col("est_distinct").alias("est_union"),
+    )
+    dv = pk.distinct()
+    exact = dv.groupBy("grp").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    inter = (
+        dv.alias("x")
+        .join(dv.alias("y"), F.expr("x.v = y.v AND x.grp < y.grp"))
+        .groupBy(F.col("x.grp").alias("ga"), F.col("y.grp").alias("gb"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("exact_intersect"))
+    )
+    out = (
+        pairs.withColumn("ga", F.col("ga").cast("string"))
+        .withColumn("gb", F.col("gb").cast("string"))
+        .join(sing.select(F.col("grp").cast("string").alias("ga"),
+                          F.col("est").alias("est_a")), "ga")
+        .join(sing.select(F.col("grp").cast("string").alias("gb"),
+                          F.col("est").alias("est_b")), "gb")
+        .join(uest, ["ga", "gb"])
+        .join(exact.select(F.col("grp").cast("string").alias("ga"),
+                           F.col("n").alias("n_a")), "ga")
+        .join(exact.select(F.col("grp").cast("string").alias("gb"),
+                           F.col("n").alias("n_b")), "gb")
+        .join(
+            inter.select(F.col("ga").cast("string").alias("ga"),
+                         F.col("gb").cast("string").alias("gb"),
+                         "exact_intersect"),
+            ["ga", "gb"],
+            "left",
+        )
+        .fillna(0, ["exact_intersect"])
+    )
+    return out.select(
+        F.col("ga").alias("grp_a"),
+        F.col("gb").alias("grp_b"),
+        "est_a",
+        "est_b",
+        "est_union",
+        F.expr(
+            "greatest(est_a + est_b - est_union, CAST(0 AS BIGINT))"
+        ).alias("est_intersect"),
+        F.expr("n_a + n_b - exact_intersect").alias("exact_union"),
+        "exact_intersect",
+    )
+
+
+def hll_setops_duck(
+    flows_cte: str,
+    group_col: str = "ip_proto",
+    value_col: str = "ip_src",
+    m: int = HLL_M,
+) -> str:
+    code = _hll_code_expr(poly_hash_duck_sql("v"), one_indexed=True, m=m)
+    wb = _HLL_WBITS + 1
+    alpha = _hll_alpha_sql(m)
+
+    def fin(regs: str, keys: str, out: str) -> str:
+        """per -> raw -> linear-counting chain over a register CTE."""
+        return f"""
+{regs}_per AS (
+  SELECT {keys}, COUNT(*) AS present,
+         CAST(SUM(CAST(1 AS BIGINT) << ({wb} - r)) AS BIGINT) AS denom_p
+  FROM {regs} GROUP BY ALL
+),
+{regs}_est AS (
+  SELECT {keys}, CAST({m} - present AS BIGINT) AS v_empty,
+         CAST(FLOOR({alpha} * {m} * {m} *
+              CAST(CAST(1 AS BIGINT) << {wb} AS DOUBLE) /
+              CAST(denom_p + ({m} - present) *
+                   (CAST(1 AS BIGINT) << {wb}) AS DOUBLE))
+              AS BIGINT) AS raw_est
+  FROM {regs}_per
+),
+{regs}_fin AS (
+  SELECT {keys},
+         CASE WHEN raw_est <= {(5 * m) // 2} AND v_empty > 0
+              THEN CAST(FLOOR({m} * ln(CAST({m} AS DOUBLE)
+                   / CAST(v_empty AS DOUBLE))) AS BIGINT)
+              ELSE raw_est END AS {out}
+  FROM {regs}_est
+)"""
+
+    return f"""{flows_cte},
+pk AS (SELECT {group_col} AS grp, {value_col} AS v FROM flows),
+codes AS (SELECT grp, {code} AS code FROM pk),
+regs AS (
+  SELECT grp, code // 64 AS bucket, CAST(MAX(code) % 64 AS INT) AS r
+  FROM codes GROUP BY 1, 2
+),{fin("regs", "grp", "est")},
+pairs AS (
+  SELECT a.grp AS ga, b.grp AS gb
+  FROM (SELECT DISTINCT grp FROM regs) a
+  JOIN (SELECT DISTINCT grp FROM regs) b ON a.grp < b.grp
+),
+uregs AS (
+  SELECT ga, gb, bucket, MAX(r) AS r
+  FROM pairs JOIN regs ON grp = ga OR grp = gb
+  GROUP BY 1, 2, 3
+),{fin("uregs", "ga, gb", "est_union")},
+dv AS (SELECT DISTINCT grp, v FROM pk),
+ex AS (SELECT grp, CAST(COUNT(*) AS BIGINT) AS n FROM dv GROUP BY 1),
+ix AS (
+  SELECT x.grp AS ga, y.grp AS gb,
+         CAST(COUNT(*) AS BIGINT) AS exact_intersect
+  FROM dv x JOIN dv y ON x.v = y.v AND x.grp < y.grp
+  GROUP BY 1, 2
+)
+SELECT CAST(p.ga AS VARCHAR) AS grp_a, CAST(p.gb AS VARCHAR) AS grp_b,
+       sa.est AS est_a, sb.est AS est_b, u.est_union,
+       greatest(sa.est + sb.est - u.est_union, CAST(0 AS BIGINT))
+         AS est_intersect,
+       CAST(xa.n + xb.n - coalesce(i.exact_intersect, 0) AS BIGINT)
+         AS exact_union,
+       CAST(coalesce(i.exact_intersect, 0) AS BIGINT) AS exact_intersect
+FROM pairs p
+JOIN regs_fin sa ON sa.grp = p.ga
+JOIN regs_fin sb ON sb.grp = p.gb
+JOIN uregs_fin u ON u.ga = p.ga AND u.gb = p.gb
+JOIN ex xa ON xa.grp = p.ga
+JOIN ex xb ON xb.grp = p.gb
+LEFT JOIN ix i ON i.ga = p.ga AND i.gb = p.gb"""
+
+
 # ---------------------------------------------------------------------------
 # HDR-histogram quantiles (High Dynamic Range histogram, Tene) — the
 # bounded-memory percentile structure operations systems standardize

@@ -572,6 +572,22 @@ def approx_distinct_hll(spark, sf_dir):
     return _sketch.hll_distinct(flows(spark, sf_dir))
 
 
+# --- HLL set operations: per-pair |A ∪ B| by register MAX-MERGE and
+#     |A ∩ B| by inclusion-exclusion. The merge is the query's point —
+#     per-shard/per-day sketches roll up at 100 TB as constant-size
+#     register tables without rescanning raw data; everything past the
+#     scan is bounded by groups x m rows.
+#     ip_dst (not ip_src) as the value: destinations OVERLAP across
+#     protocols in the fixture, so exact_intersect is non-zero and the
+#     inclusion-exclusion path is value-checked, not just exercised.
+@register(
+    "approx_distinct_hll_setops",
+    _sketch.hll_setops_duck(FLOWS_DUCK_CTE, value_col="ip_dst"),
+)
+def approx_distinct_hll_setops(spark, sf_dir):
+    return _sketch.hll_setops(flows(spark, sf_dir), value_col="ip_dst")
+
+
 # --- HDR-histogram byte-size percentiles per protocol: the
 #     bounded-memory quantile answer (<= 64*32 integer counters per
 #     group, add-mergeable map-side, <= 3.1% relative error by

@@ -100,9 +100,10 @@ def test_pipeline_ops_also_jvm_side(spark):
     arrow_vectorized = {
         "dedup_embedding_cosine",
         "multimodal_decode_features",
-        # dHash grid comes from the decode kernel (the ONLY Python
-        # stage); the hash + banded Hamming join above it are JVM
-        "dedup_multimodal_phash",
+        # NB: dedup_multimodal_phash is NOT exempted — its decode
+        # kernel runs once behind the staging barrier, so the final
+        # plan must be pure JVM (staged parquet scan + banded join)
+        # and the default no-Python assertion below is exactly right
         # pair stage rides the same per-block BLAS kernel as
         # dedup_embedding_cosine (the declared 100 TB path; the
         # HOF strategy shares its oracle family)
