@@ -61,6 +61,8 @@ _DRIVER_WINDOW = [
     "bgp_agent_map_lookup",
     "dedup_multimodal_phash",
     "stream_heavy_hitters_countmin",
+    "approx_distinct_hll_setops",
+    "dedup_exact_substring_removal",
     # anchors (one per always-on family, all driver-green r08)
     "stream_hist_5m_proto",      # structured-streaming windows
     "bgp_addpath_rib_lookup",    # BGP RIB + LPM
@@ -78,8 +80,8 @@ _DRIVER_WINDOW = [
     "geoip_pocode_coords",
     "agg_extended_primitives", "agg_mpls_path_delay", "agg_nat_events",
     "agg_renormalize", "agg_stitching_secs", "agg_sum_host",
-    "agg_sum_port", "agg_test100_set", "agg_tunnel_outer",
-    "blackhole_membership", "client_counters_only",
+    "agg_sum_port", "agg_tunnel_outer",
+    "blackhole_membership",
     "client_match_orlist", "client_match_sum", "client_sum_matches",
     "client_topn_packets", "corpus_curation_pipeline",
     "dedup_survivor_selection", "flow_to_rd_map", "hist_1d_roundoff_w",

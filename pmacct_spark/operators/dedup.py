@@ -579,6 +579,113 @@ def exact_substring_stats(
     )
 
 
+def exact_substring_remove(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    w: int = 5,
+) -> DataFrame:
+    """(id, n_tokens, n_removed, cleaned): the REMOVAL half of Lee et
+    al. 2021 (``exact_substring_stats`` is the measurement half) —
+    every token covered by a length-``w`` window whose content occurs
+    >= 2 times anywhere in the corpus is cut, overlapping duplicated
+    spans merging naturally; ``cleaned`` is the surviving token stream
+    (lowercased / whitespace-normalized, the operator's tokenization).
+
+    Scale shape: one tokenize+hash pass (staged — it feeds both the
+    global duplicate set and the position join), the duplicate-hash
+    aggregate is one row per distinct window, and the cut itself is a
+    per-doc HOF over (tokens, sorted duplicate starts) — map-side
+    after ONE join back on the doc id. The per-doc exists() scan is
+    O(tokens x dup_starts) worst case; dup_starts is bounded by tokens
+    and in real corpora by the duplicated fraction."""
+    from pmacct_spark.operators.staging import stage
+
+    wpos = stage(
+        df.withColumn("_ts", F.expr(_token_states_spark(text_col)))
+        .select(
+            id_col,
+            F.posexplode(
+                F.expr(_window_hashes_from_states("_ts", w))
+            ).alias("p0", "hv"),
+        )
+        .select(id_col, F.expr("p0 + 1").alias("p"), "hv")
+    )
+    dups = (
+        wpos.groupBy("hv")
+        .agg(F.count(F.lit(1)).alias("tot"))
+        .filter("tot >= 2")
+        .select("hv")
+    )
+    starts = (
+        wpos.join(dups, "hv")
+        .groupBy(id_col)
+        .agg(F.array_sort(F.collect_list("p")).alias("ss"))
+    )
+    covered = f"exists(ss, s -> s <= t AND t <= s + {w - 1})"
+    return (
+        df.select(
+            id_col,
+            F.expr(f"split(lower({text_col}), '\\\\s+')").alias("tk"),
+        )
+        .join(starts, id_col, "left")
+        .select(
+            id_col,
+            F.expr("CAST(size(tk) AS BIGINT)").alias("n_tokens"),
+            F.expr(
+                f"CAST(size(filter(sequence(1, size(tk)), "
+                f"t -> {covered})) AS BIGINT)"
+            ).alias("n_removed"),
+            F.expr(
+                f"concat_ws(' ', filter(transform(sequence(1, size(tk)), "
+                f"t -> IF({covered}, NULL, element_at(tk, CAST(t AS INT)))), "
+                "x -> x IS NOT NULL))"
+            ).alias("cleaned"),
+        )
+        .fillna({"n_removed": 0})
+    )
+
+
+def exact_substring_remove_duck(
+    id_col: str, text_col: str, w: int = 5, source: str = "documents"
+) -> str:
+    """DuckDB replay of :func:`exact_substring_remove` (element-wise
+    list ops only — no list_reduce struct folds, whose field aliasing
+    differs across versions)."""
+    th, pp = _window_states_duck(text_col)
+    covered = f"len(list_filter(ss, s -> s <= t AND t <= s + {w - 1})) > 0"
+    return f"""
+WITH states AS (
+  SELECT {id_col}, {th} AS th, {pp} AS pp FROM {source}
+),
+win AS (
+  SELECT {id_col}, CAST(i AS BIGINT) AS p, {_window_hash_duck(w)} AS hv
+  FROM states, unnest(range(1, greatest(len(th) - {w - 1}, 0) + 1)) AS t(i)
+),
+dups AS (SELECT hv FROM win GROUP BY 1 HAVING COUNT(*) >= 2),
+st AS (
+  SELECT {id_col}, list_sort(list(p)) AS ss
+  FROM win JOIN dups USING (hv) GROUP BY 1
+),
+tk AS (
+  SELECT {id_col},
+         string_split_regex(lower({text_col}), '\\s+') AS tk
+  FROM {source}
+),
+j AS (
+  SELECT tk.{id_col}, tk.tk,
+         coalesce(st.ss, CAST([] AS BIGINT[])) AS ss
+  FROM tk LEFT JOIN st USING ({id_col})
+)
+SELECT {id_col}, CAST(len(tk) AS BIGINT) AS n_tokens,
+  CAST(len(list_filter(range(1, len(tk) + 1), t -> {covered}))
+    AS BIGINT) AS n_removed,
+  coalesce(array_to_string(list_transform(
+    list_filter(range(1, len(tk) + 1), t -> NOT ({covered})),
+    t -> tk[CAST(t AS INT)]), ' '), '') AS cleaned
+FROM j"""
+
+
 def _window_states_duck(text_col: str) -> tuple[str, str]:
     """DuckDB per-token fold states as two parallel lists (th = token
     polyhash, pp = 131^len(token) mod P), mirroring

@@ -64,6 +64,22 @@ def dedup_exact_substring(spark, sf_dir):
     return dedup.exact_substring_stats(docs, "doc_id", "text")
 
 
+# --- exact-substring REMOVAL (the other half of Lee et al. 2021:
+#     the paper's pipeline doesn't just measure duplication, it CUTS
+#     the duplicated spans and emits the cleaned corpus). Every token
+#     covered by a 5-token window occurring >= 2 times corpus-wide is
+#     removed; overlapping spans merge. The cleaned token stream is
+#     value-hashed whole, so tokenization, the global duplicate set,
+#     the span union, and the reconstruction are all oracle-checked.
+@register(
+    "dedup_exact_substring_removal",
+    dedup.exact_substring_remove_duck("doc_id", "text"),
+)
+def dedup_exact_substring_removal(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return dedup.exact_substring_remove(docs, "doc_id", "text")
+
+
 # --- SimHash fingerprints (16-bit)
 @register("dedup_simhash", dedup.simhash_duck())
 def dedup_simhash(spark, sf_dir):
