@@ -188,6 +188,9 @@ class MiniKafkaBroker:
     logs: dict = field(default_factory=dict)  # (topic, part) -> [(k, v)]
     _srv: socket.socket | None = None
     _lock: threading.Lock = field(default_factory=threading.Lock)
+    _conns: list = field(default_factory=list)  # live accepted sockets
+    _stopping: threading.Event = field(default_factory=threading.Event)
+    _accept_thread: threading.Thread | None = None
 
     def start(self) -> "MiniKafkaBroker":
         self._srv = socket.socket(socket.AF_INET, socket.SOCK_STREAM)
@@ -195,15 +198,49 @@ class MiniKafkaBroker:
         self._srv.bind((self.host, self.port))
         self.port = self._srv.getsockname()[1]
         self._srv.listen(16)
-        threading.Thread(target=self._accept_loop, daemon=True).start()
+        # polling accept: a thread BLOCKED in accept() pins the kernel
+        # listener open past close() (the in-flight syscall holds the
+        # open file description), which kept the port LISTENing after
+        # stop() and broke same-port restarts
+        self._srv.settimeout(0.1)
+        self._stopping.clear()
+        self._accept_thread = threading.Thread(
+            target=self._accept_loop, daemon=True
+        )
+        self._accept_thread.start()
         return self
 
     def stop(self) -> None:
+        self._stopping.set()
+        if self._accept_thread is not None:
+            self._accept_thread.join(timeout=5)
+            self._accept_thread = None
         try:
             if self._srv:
                 self._srv.close()
         except OSError:
             pass
+        # a dead broker kills its SESSIONS too, not just the listener —
+        # connected consumers must see the loss (and the port must free
+        # for a same-port restart in the connection-loss tests)
+        with self._lock:
+            conns, self._conns = self._conns, []
+        for c in conns:
+            try:
+                # SO_LINGER(0): close sends RST and destroys the socket
+                # immediately — no FIN_WAIT_2 half-closed remnant holds
+                # the port against a same-port restart (accepted sockets
+                # do not inherit the listener's SO_REUSEADDR)
+                c.setsockopt(
+                    socket.SOL_SOCKET, socket.SO_LINGER,
+                    struct.pack("ii", 1, 0),
+                )
+            except OSError:
+                pass
+            try:
+                c.close()
+            except OSError:
+                pass
 
     def _topic(self, topic: str) -> None:
         with self._lock:
@@ -211,11 +248,21 @@ class MiniKafkaBroker:
                 self.logs.setdefault((topic, p), [])
 
     def _accept_loop(self) -> None:
-        while True:
+        while not self._stopping.is_set():
             try:
                 conn, _ = self._srv.accept()
+            except socket.timeout:
+                continue
             except OSError:
                 return
+            # accepted sockets inherit the listener's poll timeout:
+            # restore blocking mode (stop() closes them with RST, which
+            # wakes any blocked recv)
+            conn.settimeout(None)
+            with self._lock:
+                self._conns = [
+                    c for c in self._conns if c.fileno() >= 0
+                ] + [conn]
             threading.Thread(
                 target=self._serve, args=(conn,), daemon=True
             ).start()
@@ -407,8 +454,13 @@ class KafkaWireClient:
         return r.i64()
 
     def fetch(
-        self, topic: str, part: int, offset: int = 0, strict: bool = True
-    ) -> list[tuple[int, bytes | None, bytes | None]]:
+        self,
+        topic: str,
+        part: int,
+        offset: int = 0,
+        strict: bool = True,
+        with_hwm: bool = False,
+    ):
         body = (
             _i32(-1) + _i32(100) + _i32(1) + _i32(1) + _string(topic)
             + _i32(1) + _i32(part) + _i64(offset) + _i32(1 << 24)
@@ -418,8 +470,9 @@ class KafkaWireClient:
         err = r.i16()
         if err:
             raise ValueError(f"fetch error {err}")
-        r.i64()  # high watermark
-        return decode_message_set(r.raw(r.i32()), strict=strict)
+        hwm = r.i64()  # high watermark
+        recs = decode_message_set(r.raw(r.i32()), strict=strict)
+        return (hwm, recs) if with_hwm else recs
 
 
 def _partition_for(key: str | None, nparts: int) -> int:
@@ -522,6 +575,8 @@ class KafkaSpool:
         self.poll_secs = poll_secs
         self.datagrams_received = 0
         self.datagrams_dropped = 0  # rows lost to failed writes
+        self.reconnects = 0  # successful re-dials after broker loss
+        self.rewinds = 0  # partitions reset after log truncation
         self.last_error: Exception | None = None
         self._cli: KafkaWireClient | None = None
         self._offsets: dict[int, int] = {}
@@ -562,9 +617,43 @@ class KafkaSpool:
             try:
                 self._poll_once()
             except (ConnectionError, OSError) as exc:
+                # broker went away (reference test 900-kafka-
+                # connection-loss, librdkafka's automatic recovery):
+                # keep the spool intact, RE-DIAL with backoff, resume
+                # from the committed offsets
                 self.last_error = exc
-                return  # broker went away: stop polling, keep spool
+                if not self._reconnect():
+                    return  # stop() arrived during backoff
             time.sleep(self.poll_secs)
+
+    def _reconnect(self) -> bool:
+        import time
+
+        backoff = 0.1
+        while not self._stop.is_set():
+            try:
+                with self._lock:
+                    if self._cli is not None:
+                        try:
+                            self._cli.close()
+                        except OSError:
+                            pass
+                        self._cli = None
+                    cli = KafkaWireClient(self.host, self.port)
+                    parts = cli.metadata([self.topic])[self.topic]
+                    # keep committed positions for surviving
+                    # partitions; new partitions start at 0
+                    self._offsets = {
+                        p: self._offsets.get(p, 0) for p in parts
+                    }
+                    self._cli = cli
+                self.reconnects += 1
+                return True
+            except (ConnectionError, OSError) as exc:
+                self.last_error = exc
+                time.sleep(backoff)
+                backoff = min(backoff * 2, 1.0)
+        return False
 
     def _poll_once(self) -> None:
         with self._lock:
@@ -579,9 +668,20 @@ class KafkaSpool:
             new_offsets = dict(self._offsets)
             seq = self._seq
             for p in sorted(self._offsets):
-                for off, key, value in self._cli.fetch(
-                    self.topic, p, self._offsets[p], strict=False
-                ):
+                hwm, recs = self._cli.fetch(
+                    self.topic, p, self._offsets[p], strict=False,
+                    with_hwm=True,
+                )
+                if hwm < self._offsets[p]:
+                    # the log is SHORTER than our position: the broker
+                    # restarted with truncated state — rewind to the
+                    # earliest available offset or every record
+                    # produced after the restart would be skipped
+                    # (the auto.offset.reset=earliest analogue)
+                    new_offsets[p] = 0
+                    self.rewinds += 1
+                    continue
+                for off, key, value in recs:
                     new_offsets[p] = off + 1
                     rows.append(
                         (

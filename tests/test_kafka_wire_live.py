@@ -309,3 +309,111 @@ def test_broker_survives_malformed_request_body(spark):
         assert [bytes(r["value"]) for r in back] == [b"v1"]
     finally:
         b.stop()
+
+
+def test_daemon_survives_kafka_connection_loss(spark, tmp_path):
+    """Reference test 900-kafka-connection-loss: the broker dies mid-
+    collection and comes back; the daemon must keep everything already
+    spooled, RECONNECT, resume from its committed offsets, and account
+    records produced after recovery — librdkafka's automatic-recovery
+    behavior, live over the wire protocol."""
+    import time
+
+    from pmacct_spark.daemon import Daemon
+    from tests.test_streaming import _v5_datagram
+
+    b = MiniKafkaBroker(npartitions=1).start()
+    port = b.port
+    d = None
+    try:
+        recs1 = [{"src": 0x0A000001, "dst": 0x0B000001, "pkts": 10,
+                  "bytes": 1000, "sport": 1, "dport": 443, "proto": 6}]
+        recs2 = [{"src": 0x0A000002, "dst": 0x0B000001, "pkts": 2,
+                  "bytes": 200, "sport": 53, "dport": 53, "proto": 17}]
+        dg1, dg2 = _v5_datagram(1, recs1), _v5_datagram(2, recs2)
+        cli = KafkaWireClient(b.host, port)
+        cli.produce("nfacct", 0, [(b"127.0.0.1", dg1)])
+        cli.close()
+
+        d = Daemon.from_conf(
+            spark,
+            f"""
+nfacctd_kafka_broker_host: 127.0.0.1
+nfacctd_kafka_broker_port: {port}
+nfacctd_kafka_topic: nfacct
+plugins: memory[acct]
+aggregate[acct]: proto
+sql_history[acct]: 5m
+""",
+            spool_dir=str(tmp_path / "kspool900"),
+        )
+        t0 = time.monotonic()
+        while d.spool.datagrams_received < 1 and time.monotonic() - t0 < 15:
+            time.sleep(0.05)
+        assert d.spool.datagrams_received == 1
+
+        # CONNECTION LOSS: broker down while the consumer polls
+        b.stop()
+        time.sleep(0.5)
+
+        # broker returns on the SAME port with its log intact (the
+        # durable-broker shape of tests/900): replay the old record,
+        # add a new one — the consumer's committed offset (1) must
+        # skip the replay and pick up exactly the new record
+        b = MiniKafkaBroker(npartitions=1, port=port).start()
+        cli = KafkaWireClient(b.host, port)
+        cli.produce("nfacct", 0, [(b"127.0.0.1", dg1),
+                                  (b"127.0.0.1", dg2)])
+        cli.close()
+        t0 = time.monotonic()
+        while d.spool.datagrams_received < 2 and time.monotonic() - t0 < 20:
+            time.sleep(0.05)
+        assert d.spool.datagrams_received == 2, d.spool.last_error
+        assert d.spool.reconnects >= 1
+        out = d.run_available()["acct"]
+        got = {int(r["proto"]): int(r["bytes"]) for r in out.collect()}
+        # dg1 accounted ONCE (pre-loss spool + offset resume), dg2 once
+        assert got == {6: 1000, 17: 200}
+    finally:
+        if d is not None:
+            d.stop()
+        b.stop()
+
+
+def test_kafka_spool_rewinds_after_log_truncation():
+    """If the broker returns with a SHORTER log than the consumer's
+    position (state lost on restart), the spool rewinds to earliest —
+    the auto.offset.reset analogue — instead of silently skipping
+    every record produced after the restart."""
+    import time
+
+    from pmacct_spark.sources.kafka_wire import KafkaSpool
+
+    b = MiniKafkaBroker(npartitions=1).start()
+    port = b.port
+    sp = None
+    try:
+        cli = KafkaWireClient(b.host, port)
+        cli.produce("t", 0, [(b"a", b"m0"), (b"a", b"m1"), (b"a", b"m2")])
+        cli.close()
+        sp = KafkaSpool("127.0.0.1", port, "t").start()
+        t0 = time.monotonic()
+        while sp.datagrams_received < 3 and time.monotonic() - t0 < 10:
+            time.sleep(0.05)
+        assert sp.datagrams_received == 3
+
+        b.stop()
+        time.sleep(0.3)
+        b = MiniKafkaBroker(npartitions=1, port=port).start()  # empty log
+        cli = KafkaWireClient(b.host, port)
+        cli.produce("t", 0, [(b"a", b"m-new")])  # offset 0 < consumer's 3
+        cli.close()
+        t0 = time.monotonic()
+        while sp.datagrams_received < 4 and time.monotonic() - t0 < 20:
+            time.sleep(0.05)
+        assert sp.datagrams_received == 4, sp.last_error
+        assert sp.rewinds >= 1 and sp.reconnects >= 1
+    finally:
+        if sp is not None:
+            sp.stop()
+        b.stop()
