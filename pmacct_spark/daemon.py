@@ -127,8 +127,14 @@ class Daemon:
                 spool_dir=spool_dir,
             ).start()
         else:
+            # nfacctd_ip / sfacctd_ip / telemetry_daemon_ip (reference
+            # CONFIG-KEYS): the address to bind the listening socket to
+            ip_key = {
+                "sflow": "sfacctd_ip", "telemetry": "telemetry_daemon_ip",
+            }.get(flavor, "nfacctd_ip")
             spool = UdpSpool(
-                host=host, port=port, spool_dir=spool_dir, flush_secs=0.2
+                host=str(conf.get(ip_key, default=host) or host),
+                port=port, spool_dir=spool_dir, flush_secs=0.2,
             ).start()
         tmpl_spool = None
         if flavor == "netflow" and conf.get("nfacctd_templates_port") is not None:
@@ -186,17 +192,23 @@ class Daemon:
                 # listed peers before the daemon ever sees the session
                 with open(str(md5_path)) as f:
                     md5_keys = conffile.parse_bgp_md5_file(f.read())
+            mp = conf.get("bgp_daemon_max_peers")
             bgp_spool = TcpSpool(
-                framing="bgp", host=host,
+                framing="bgp",
+                host=str(conf.get("bgp_daemon_ip", default=host) or host),
                 port=int(conf.get("bgp_daemon_port", default=0) or 0),
                 md5_keys=md5_keys,
+                max_peers=int(mp) if mp else None,
             ).start()
         if conf.getbool("bmp_daemon"):  # the pmbmpd flavor
             from pmacct_spark.sources.tcp import TcpSpool
 
+            mp = conf.get("bmp_daemon_max_peers")
             bmp_spool = TcpSpool(
-                framing="bmp", host=host,
+                framing="bmp",
+                host=str(conf.get("bmp_daemon_ip", default=host) or host),
                 port=int(conf.get("bmp_daemon_port", default=0) or 0),
+                max_peers=int(mp) if mp else None,
                 # bmp_daemon_parse_proxy_header: behind a TCP load
                 # balancer the PROXY v1/v2 header carries the router's
                 # real address — it becomes the peer identity

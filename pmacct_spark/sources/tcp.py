@@ -192,7 +192,14 @@ class TcpSpool:
         max_buffer: int = 4 << 20,
         md5_keys: dict[str, bytes] | None = None,
         proxy_header: bool = False,
+        max_peers: int | None = None,
     ):
+        # bgp_daemon_max_peers / bmp_daemon_max_peers (CONFIG-KEYS:
+        # 2787): hard cap on CONCURRENT peer sessions; connections
+        # beyond it are refused (closed on accept), like the
+        # reference's full-peers-table path
+        self.max_peers = max_peers
+        self.peers_refused = 0
         self._prefix = _FRAMERS[framing]
         # bmp_daemon_parse_proxy_header: strip a PROXY v1/v2 header off
         # the first bytes and take the peer identity from it
@@ -280,6 +287,15 @@ class TcpSpool:
                 continue
             except OSError:
                 break
+            if (
+                self.max_peers is not None
+                and len(self._flush_acks) >= self.max_peers
+            ):
+                # peers table full: refuse (ack slots track live
+                # sessions 1:1 — registered at accept, popped at close)
+                self.peers_refused += 1
+                conn.close()
+                continue
             with self._lock:
                 self._epochs[peer] = self._epochs.get(peer, 0) + 1
                 epoch = self._epochs[peer]

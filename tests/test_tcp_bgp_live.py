@@ -498,3 +498,76 @@ def test_xconnect_inbound_md5_outbound_clear(spark, tmp_path):
             good.close()
             rib = rib_state(decode_bgp(collector.batch(spark)))
             assert {r["as_path"] for r in rib.collect()} == {"65000 65123"}
+
+
+def test_bgp_max_peers_refuses_excess_sessions(spark, tmp_path):
+    """bgp_daemon_max_peers (reference CONFIG-KEYS:2787): sessions
+    beyond the cap are refused; closing one frees a slot."""
+    with TcpSpool(
+        framing="bgp",
+        spool_dir=str(tmp_path / "mp_spool"),
+        max_peers=2,
+    ) as sp:
+        c1 = socket.socket(socket.AF_INET, socket.SOCK_STREAM)
+        c1.connect(("127.0.0.1", sp.port))
+        c1.sendall(encode_bgp_update(0x0A000000, 8, "65001"))
+        c2 = socket.socket(socket.AF_INET, socket.SOCK_STREAM)
+        c2.connect(("127.0.0.1", sp.port))
+        c2.sendall(encode_bgp_update(0x0A010000, 16, "65002"))
+        assert _wait(lambda: sp.messages_spooled >= 2)
+
+        c3 = socket.socket(socket.AF_INET, socket.SOCK_STREAM)
+        c3.connect(("127.0.0.1", sp.port))
+        assert _wait(lambda: sp.peers_refused >= 1)
+        assert c3.recv(1) == b""  # closed by the listener
+        c3.close()
+
+        c1.close()  # frees a slot
+        assert _wait(lambda: len(sp._flush_acks) < 2)
+        c4 = socket.socket(socket.AF_INET, socket.SOCK_STREAM)
+        c4.connect(("127.0.0.1", sp.port))
+        c4.sendall(encode_bgp_update(0x0A020000, 16, "65004"))
+        assert _wait(lambda: sp.messages_spooled >= 3)
+        c4.close()
+        c2.close()
+        rib = rib_state(decode_bgp(sp.batch(spark)))
+        assert {r["as_path"] for r in rib.collect()} == {
+            "65001", "65002", "65004"
+        }
+
+
+def test_daemon_bind_address_keys(spark, tmp_path):
+    """nfacctd_ip / bgp_daemon_ip (reference CONFIG-KEYS): the
+    listeners bind the configured address — datagrams and sessions to
+    127.0.0.2 arrive, and the spools report that bind."""
+    conf = """
+nfacctd_ip: 127.0.0.2
+nfacctd_port: 0
+bgp_daemon: true
+bgp_daemon_ip: 127.0.0.2
+bgp_daemon_port: 0
+bgp_daemon_max_peers: 8
+plugins: memory[acct]
+aggregate[acct]: proto
+sql_history[acct]: 5m
+"""
+    from pmacct_spark.daemon import Daemon
+    from pmacct_spark.sources.udp import send_datagrams
+    from tests.test_streaming import _v5_datagram
+
+    d = Daemon.from_conf(spark, conf, spool_dir=str(tmp_path / "bind_spool"))
+    try:
+        assert d.spool.host == "127.0.0.2"
+        assert d.bgp_spool.host == "127.0.0.2"
+        assert d.bgp_spool.max_peers == 8
+        c = socket.socket(socket.AF_INET, socket.SOCK_STREAM)
+        c.connect(("127.0.0.2", d.bgp_port))
+        c.sendall(encode_bgp_update(0x0A000000, 8, "65000"))
+        c.close()
+        recs = [{"src": 1, "dst": 2, "pkts": 1, "bytes": 99,
+                 "sport": 1, "dport": 2, "proto": 6}]
+        send_datagrams([_v5_datagram(1, recs)], "127.0.0.2", d.port)
+        assert _wait(lambda: d.spool.datagrams_received >= 1)
+        assert _wait(lambda: d.bgp_spool.messages_spooled >= 1)
+    finally:
+        d.stop()
