@@ -63,6 +63,7 @@ _DRIVER_WINDOW = [
     "stream_heavy_hitters_countmin",
     "approx_distinct_hll_setops",
     "dedup_exact_substring_removal",
+    "stream_hdr_quantiles_bytes",
     # anchors (one per always-on family, all driver-green r08)
     "stream_hist_5m_proto",      # structured-streaming windows
     "bgp_addpath_rib_lookup",    # BGP RIB + LPM
@@ -82,7 +83,7 @@ _DRIVER_WINDOW = [
     "agg_renormalize", "agg_stitching_secs", "agg_sum_host",
     "agg_sum_port", "agg_tunnel_outer",
     "blackhole_membership",
-    "client_match_orlist", "client_match_sum", "client_sum_matches",
+    "client_match_sum", "client_sum_matches",
     "client_topn_packets", "corpus_curation_pipeline",
     "dedup_survivor_selection", "flow_to_rd_map", "hist_1d_roundoff_w",
     "hist_5m_multiwindow", "hist_arrival_time", "lpm_range_strategy",

@@ -590,8 +590,6 @@ def hdr_quantiles(
     quantile definition), within 3.1% of the true value by
     construction. One shuffle to the bounded (group, code) counter
     table; the cumulative walk runs on <= 2048 rows per group."""
-    from pyspark.sql.window import Window
-
     hist = (
         flows.select(
             F.col(group_col).alias("grp"),
@@ -600,6 +598,19 @@ def hdr_quantiles(
         .groupBy("grp", "code")
         .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
     )
+    return hdr_finalize(hist, qs, group_col)
+
+
+def hdr_finalize(
+    hist: DataFrame,
+    qs: tuple[int, ...] = (500, 950, 990),
+    group_col: str = "ip_proto",
+) -> DataFrame:
+    """The quantile render over a (grp, code, c) counter table —
+    separated so a STREAMING counter fold (the histogram lives in the
+    state store; counts merge by addition across micro-batches)
+    finalizes identically to the batch path."""
+    from pyspark.sql.window import Window
     w = (
         Window.partitionBy("grp")
         .orderBy("code")

@@ -1222,6 +1222,35 @@ def stream_approx_distinct_hll(spark, sf_dir):
 
 
 @register(
+    "stream_hdr_quantiles_bytes",
+    _sketch_mod.hdr_quantiles_duck(FLOWS_DUCK_CTE),
+)
+def stream_hdr_quantiles_bytes(spark, sf_dir):
+    """The HDR histogram folded as STREAMING state — the third leg of
+    the sketch-as-state triad (HLL max-merge, count-min sum-merge, HDR
+    sum-merge): the (grp, code) -> count aggregation IS the state
+    store, <= 64*32 counters per group however many rows stream
+    through, merging by addition across micro-batches. The drained
+    counter table renders through the same hdr_finalize as the batch
+    path, so availableNow replay equals the batch oracle
+    bit-for-bit."""
+    from pyspark.sql import functions as F
+
+    from pmacct_spark.operators.sketch import _hdr_code, hdr_finalize
+
+    src = flows_stream(spark, sf_dir).selectExpr(
+        "ip_proto AS grp", "bytes"
+    )
+    hist_stream = (
+        src.select("grp", F.expr(_hdr_code("bytes")).alias("code"))
+        .groupBy("grp", "code")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    )
+    hist = run_to_memory(hist_stream, "q_stream_hdr_hist")
+    return hdr_finalize(hist)
+
+
+@register(
     "stream_heavy_hitters_countmin",
     _sketch_mod.countmin_heavy_hitters_duck(FLOWS_DUCK_CTE),
 )
