@@ -443,13 +443,19 @@ def parse_bgp_xconnect_map(text: str) -> list[dict]:
             host = h.lstrip("[")
         else:
             host, _, p = dst.rpartition(":")
-        entries.append(
-            {
-                "src": ipaddress.ip_network(src, strict=False),
-                "dst_host": host,
-                "dst_port": int(p),
-            }
-        )
+        # a malformed line (missing/non-integer port, bad src prefix)
+        # skips THAT entry, consistent with the skip-on-missing-keys
+        # behavior above — it must not crash daemon startup
+        try:
+            entries.append(
+                {
+                    "src": ipaddress.ip_network(src, strict=False),
+                    "dst_host": host,
+                    "dst_port": int(p),
+                }
+            )
+        except ValueError:
+            continue
     return entries
 
 
@@ -499,6 +505,14 @@ def parse_bgp_agent_map(text: str) -> list[dict]:
                 continue
             k, v = token.split("=", 1)
             if k in ("bgp_ip", "bmp_ip"):
+                # must parse as an address: the value is interpolated
+                # into SQL downstream, and the reference rejects
+                # non-address bgp_ip values at map load too
+                try:
+                    ipaddress.ip_address(v)
+                except ValueError:
+                    e["bgp_ip"] = None
+                    break
                 e["bgp_ip"] = v
             elif k == "ip":
                 e["ip"] = v

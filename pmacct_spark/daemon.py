@@ -177,7 +177,10 @@ class Daemon:
                 with open(str(md5_path)) as f:
                     xcs_md5 = conffile.parse_bgp_md5_file(f.read())
             bgp_xconnect = BgpXconnectProxy(
-                xcs_entries, host=host,
+                xcs_entries,
+                # same bind-address key the plain bgp_daemon branch
+                # honors (CONFIG-KEYS bgp_daemon_ip)
+                host=str(conf.get("bgp_daemon_ip", default=host) or host),
                 port=int(conf.get("bgp_daemon_port", default=0) or 0),
                 md5_keys=xcs_md5,
             ).start()

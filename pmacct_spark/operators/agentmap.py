@@ -51,7 +51,11 @@ def agent_map_case_sql(
                 div = 1 << (32 - net.prefixlen)
                 base = int(net.network_address) // div
                 conds.append(f"(({exp_int}) DIV {div}) = {base}")
-            # /0 (catch-all): no address condition
+            else:
+                # 0.0.0.0/0 is a v4 catch-all, not an any-family one —
+                # it must not capture IPv6 exporters (the reference
+                # matches per address family, src/pretag.c)
+                conds.append(f"({exp_str}) NOT LIKE '%:%'")
         else:
             if net.prefixlen == 128:
                 conds.append(f"({exp_str}) = '{net.network_address}'")
@@ -60,6 +64,8 @@ def agent_map_case_sql(
                     "v6 agent-map entries support host addresses or "
                     f"::/0 catch-all, got {ip}"
                 )
+            else:
+                conds.append(f"({exp_str}) LIKE '%:%'")
         fam = e.get("family")
         if fam is not None:
             if family_expr is None:
@@ -74,7 +80,11 @@ def agent_map_case_sql(
                     raise ValueError(f"entry matches {key}= but no column")
                 conds.append(f"{col} = {int(e[key])}")
         cond = " AND ".join(conds) if conds else "TRUE"
-        whens.append(f"WHEN {cond} THEN '{e['bgp_ip']}'")
+        # bgp_ip is interpolated into a SQL string literal: escape
+        # quotes so a malformed config value can't break out of it
+        # (the same class fixed for bgp_stdcomm_pattern)
+        bgp_ip = str(e["bgp_ip"]).replace("'", "''")
+        whens.append(f"WHEN {cond} THEN '{bgp_ip}'")
     return "CASE " + " ".join(whens) + " ELSE NULL END"
 
 

@@ -639,8 +639,17 @@ class KafkaSpool:
                         except OSError:
                             pass
                         self._cli = None
-                    cli = KafkaWireClient(self.host, self.port)
+                # dial + metadata OUTSIDE the lock: while the broker is
+                # down the connect can block up to its 10s timeout, and
+                # reader-side flush()/_poll_once callers only need the
+                # already-spooled data — they must not wait on the dial
+                cli = KafkaWireClient(self.host, self.port)
+                try:
                     parts = cli.metadata([self.topic])[self.topic]
+                except BaseException:
+                    cli.close()
+                    raise
+                with self._lock:
                     # keep committed positions for surviving
                     # partitions; new partitions start at 0
                     self._offsets = {
