@@ -290,6 +290,49 @@ def parse_networks_file(text: str) -> list[dict]:
     return out
 
 
+# IANA assigned-internet-protocol-numbers names the reference accepts
+# in protos_file (its name table mirrors the registry,
+# src/pmacct-data.h:152 `_protocols[]`); numbers are always accepted.
+IP_PROTOCOL_NAMES: dict[str, int] = {
+    "icmp": 1, "igmp": 2, "ggp": 3, "ipencap": 4, "tcp": 6, "egp": 8,
+    "igp": 9, "udp": 17, "mux": 18, "ipv6": 41, "ipv6-route": 43,
+    "ipv6-frag": 44, "rsvp": 46, "gre": 47, "esp": 50, "ah": 51,
+    "mobile": 55, "tlsp": 56, "ipv6-icmp": 58, "ipv6-nonxt": 59,
+    "ipv6-opts": 60, "iso-ip": 80, "vines": 83, "eigrp": 88,
+    "ospf": 89, "larp": 91, "ax.25": 93, "ipip": 94, "encap": 98,
+    "pnni": 102, "pim": 103, "ipcomp": 108, "ipx-in-ip": 111,
+    "vrrp": 112, "l2tp": 115, "isis": 124, "sctp": 132, "fc": 133,
+    "ethernet": 143,
+}
+
+
+def parse_protos_file(text: str) -> list[int]:
+    """protos_file / tos_file: one protocol (name or number) or ToS
+    value per line (``load_protos`` / ``load_tos``, reference
+    src/plugin_common.c:1328,1481). Valid range is 0..254 — 255 is the
+    reserved 'others' bucket and is excluded; invalid rows warn and
+    skip (the reference logs 'invalid protocol specified')."""
+    out = []
+    for raw in text.splitlines():
+        line = raw.split("!", 1)[0].strip()
+        if not line:
+            continue
+        if line.isdigit():
+            v = int(line)
+        else:
+            v = IP_PROTOCOL_NAMES.get(line.lower(), -1)
+        if 0 <= v < 255:
+            out.append(v)
+        else:
+            import sys as _sys
+
+            print(
+                f"protos_file: skipping invalid entry {line!r}",
+                file=_sys.stderr,
+            )
+    return sorted(set(out))
+
+
 def parse_ports_file(text: str) -> list[int]:
     """ports_file: one port per line (``load_ports``,
     reference src/plugin_common.c:1419)."""

@@ -792,6 +792,21 @@ class Daemon:
                     self._ports_cache = conffile.parse_ports_file(fh.read())
         return self._ports_cache
 
+    def _bucket_dict(self, key: str) -> list[int] | None:
+        """Parse protos_file / tos_file once per daemon (the
+        SIGUSR2-reload class, like _ports_allowlist)."""
+        cache = getattr(self, "_bucket_cache", None)
+        if cache is None:
+            cache = self._bucket_cache = {}
+        if key not in cache:
+            path = self.conf.get(key)
+            if not path:
+                cache[key] = None
+            else:
+                with open(path) as fh:
+                    cache[key] = conffile.parse_protos_file(fh.read())
+        return cache[key]
+
     def _networks_table(self):
         """Parse networks_file once per daemon; returns (DataFrame,
         masklens) or None. The masklen list rides along so the per-call
@@ -998,6 +1013,15 @@ class Daemon:
             for c in ("port_src", "port_dst"):
                 if c in df.columns:
                     df = apply_allowlist(df, c, allowed)
+        for key, col in (("protos_file", "ip_proto"), ("tos_file", "tos")):
+            # protos_file / tos_file bucket unlisted values as 255
+            # 'others' (load_protos/load_tos,
+            # src/plugin_common.c:1328,1481) — aggregators, not filters
+            vals = self._bucket_dict(key)
+            if vals is not None and col in df.columns:
+                from pmacct_spark.operators.dicts import apply_bucket_others
+
+                df = apply_bucket_others(df, col, vals)
         nets = self._networks_table()
         if nets is not None:
             # networks_file overrides the export's AS numbers with the

@@ -23,6 +23,24 @@ def apply_allowlist(df: DataFrame, col: str, allowed: list[int]) -> DataFrame:
     )
 
 
+def apply_bucket_others(
+    df: DataFrame, col: str, allowed: list[int], others: int = 255
+) -> DataFrame:
+    """Bucket ``col`` values NOT in ``allowed`` as ``others`` (=255,
+    the IANA reserved value) — protos_file / tos_file semantics: an
+    aggregator, not a filter (records kept, unlisted protocols/ToS
+    collapse into one 'others' group; reference
+    src/plugin_common.c:1328 load_protos + the per-plugin
+    ``if (!prt.table[proto]) proto = PM_IP_PROTO_OTHERS`` rewrite,
+    e.g. src/print_plugin.c:358,362). Differs from ports_file
+    (:func:`apply_allowlist`), which zeroes instead. Literal ``isin``
+    keeps it inside codegen — no join."""
+    return df.withColumn(
+        col,
+        F.when(F.col(col).isin(allowed), F.col(col)).otherwise(F.lit(others)),
+    )
+
+
 def seqno_monitor(
     df: DataFrame,
     exporter_col: str = "peer_ip_src",

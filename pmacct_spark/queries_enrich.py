@@ -180,6 +180,43 @@ def ports_dictionary(spark, sf_dir):
 
 
 @register(
+    "protos_dictionary",
+    f"""{FLOWS_DUCK_CTE}
+SELECT CASE WHEN ip_proto IN (1, 6) THEN ip_proto ELSE 255 END AS proto,
+       {_SUM}
+FROM flows GROUP BY 1""",
+)
+def protos_dictionary(spark, sf_dir):
+    """protos_file: IP protocols outside the list bucket as 255
+    ('others') — an aggregator, not a filter (reference
+    src/plugin_common.c:1328 load_protos; the fixture's udp(17)
+    traffic collapses into the others group while icmp/tcp survive)."""
+    from pmacct_spark.operators.dicts import apply_bucket_others
+
+    f = flows(spark, sf_dir)
+    f = apply_bucket_others(f, "ip_proto", [1, 6])
+    return build_aggregation(f, PluginConfig(aggregate=["proto"]))
+
+
+@register(
+    "tos_dictionary",
+    f"""{FLOWS_DUCK_CTE}
+SELECT CASE WHEN tos IN (0, 32) THEN tos ELSE 255 END AS tos,
+       {_SUM}
+FROM flows GROUP BY 1""",
+)
+def tos_dictionary(spark, sf_dir):
+    """tos_file: ToS values outside the list bucket as 255 ('others')
+    (reference src/plugin_common.c:1481 load_tos = load_protos on the
+    same table; fixture tos values {{0,32,64,96}} -> 64/96 collapse)."""
+    from pmacct_spark.operators.dicts import apply_bucket_others
+
+    f = flows(spark, sf_dir)
+    f = apply_bucket_others(f, "tos", [0, 32])
+    return build_aggregation(f, PluginConfig(aggregate=["tos"]))
+
+
+@register(
     "sampling_map_renorm",
     f"""{FLOWS_DUCK_CTE},
 smap AS ({SAMPLING_MAP_DUCK})

@@ -147,6 +147,11 @@ def test_parse_networks_file_and_lpm(spark):
 def test_parse_ports_sampling_customs():
     assert conffile.parse_ports_file("! c\n22\n443\n22\n") == [22, 443]
 
+    # protos_file: names and numbers; 255 ('others') and garbage skip
+    assert conffile.parse_protos_file(
+        "! keep\ntcp\nUDP\n1\n255\nnotaproto\nospf\n"
+    ) == [1, 6, 17, 89]
+
     smap = conffile.parse_sampling_map(
         "id=64 ip=192.0.2.31/32\nid=1024 ip=192.0.2.32 in=9\n"
     )

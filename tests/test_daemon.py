@@ -682,6 +682,46 @@ aggregate[m]: src_as, dst_as, dst_port
     }
 
 
+def test_daemon_protos_file_and_tos_file(spark, tmp_path):
+    """protos_file buckets unlisted IP protocols as 255 'others'
+    (names AND numbers accepted); tos_file does the same for ToS —
+    both live through the UDP socket (load_protos/load_tos,
+    reference src/plugin_common.c:1328,1481)."""
+    protos = tmp_path / "protos.lst"
+    protos.write_text("! keep tcp by name, icmp by number\ntcp\n1\n")
+    tosf = tmp_path / "tos.lst"
+    tosf.write_text("32\n")  # v5 records carry tos 0 -> others
+    conf = f"""
+nfacctd_port: 0
+protos_file: {protos}
+tos_file: {tosf}
+plugins: memory[m]
+aggregate[m]: proto, tos
+"""
+    d = Daemon.from_conf(spark, conf, spool_dir=str(tmp_path / "spoolPT"))
+    try:
+        send_datagrams(
+            [_v5_datagram(1, [
+                {"src": 0x0A010101, "dst": 0x0B020202, "pkts": 1,
+                 "bytes": 100, "sport": 5, "dport": 443, "proto": 6},
+                {"src": 0x0A010102, "dst": 0x0B020203, "pkts": 1,
+                 "bytes": 50, "sport": 53, "dport": 53, "proto": 17},
+            ])],
+            "127.0.0.1", d.port,
+        )
+        t0 = time.monotonic()
+        while d.spool.datagrams_received < 1 and time.monotonic() - t0 < 15:
+            time.sleep(0.05)
+        out = d.run_available()["m"].collect()
+    finally:
+        d.stop()
+    got = {(r["proto"], r["tos"]): r["bytes"] for r in out}
+    assert got == {
+        (6, 255): 100,    # tcp listed by name; tos 0 unlisted -> others
+        (255, 255): 50,   # udp unlisted -> proto others
+    }
+
+
 def test_daemon_continuous_options_renorm_after_start(spark, tmp_path):
     """ADVICE r4: options-learned sampling rates are a LIVE dimension.
     A streaming plan pins the rates dim's file listing at .start()
