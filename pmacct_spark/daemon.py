@@ -792,6 +792,77 @@ class Daemon:
                     self._ports_cache = conffile.parse_ports_file(fh.read())
         return self._ports_cache
 
+    def _acct_mode(self, kind: str) -> str:
+        """The daemon's ``<flavor>_as`` / ``<flavor>_net`` mode key.
+        Prefer the key matching this daemon's flavor (the reference
+        daemon reads only its own key): a shared conf setting
+        nfacctd_as alongside sfacctd_as must not have the netflow key
+        decide for an sflow daemon."""
+        own = "sfacctd" if self.flavor == "sflow" else "nfacctd"
+        daemons = [own] + [
+            d for d in ("nfacctd", "sfacctd", "pmacctd", "uacctd")
+            if d != own
+        ]
+        return next(
+            (
+                str(v).lower()
+                for v in (self.conf.get(f"{d}_{kind}") for d in daemons)
+                if v is not None
+            ),
+            "netflow",
+        )
+
+    def _net_funcs(self, df: DataFrame, nets) -> DataFrame:
+        """Derive net_src/net_dst + mask_src/mask_dst — the reference's
+        net_funcs chain (set_net_funcs, src/net_aggr.c:552-700):
+
+        - networks_mask N (static mode): mask = N applied
+          systematically (src/net_aggr.c:558);
+        - networks_file: mask = the matched prefix's length (the
+          decoded records carry no export mask, so the file match IS
+          the mask — the reference's 'file' net mode);
+        - networks_no_mask_if_zero: zero-mask records keep the host
+          address instead of collapsing to net 0 (CONFIG-KEYS:1087).
+
+        Pure map-side column derivations; Catalyst prunes them when no
+        channel aggregates on net/mask primitives."""
+        static_mask = self.conf.get("networks_mask")
+        net_file = (
+            nets is not None
+            and self._acct_mode("net") in ("file", "longest")
+        )
+        # networks_mask alone implies static net mode (the reference
+        # sets NF_NET_STATIC when the key is present, src/nfacctd.c:588)
+        if static_mask is None and not net_file:
+            return df
+        from pmacct_spark.operators.lpm import lpm_join, net_addr_sql
+
+        nmiz = self.conf.getbool("networks_no_mask_if_zero")
+        for ip_col, net_col, mask_col in (
+            ("ip_src_i", "net_src", "mask_src"),
+            ("ip_dst_i", "net_dst", "mask_dst"),
+        ):
+            if ip_col not in df.columns:
+                continue
+            if static_mask is not None:
+                df = df.withColumn(
+                    mask_col, F.lit(int(static_mask)).cast("int")
+                )
+            else:
+                nets_df, masklens = nets
+                df = lpm_join(
+                    df, nets_df, ip_col, {"masklen": "__nf_mask"},
+                    masklens=masklens,
+                )
+                df = df.withColumn(
+                    mask_col, F.coalesce("__nf_mask", F.lit(0)).cast("int")
+                ).drop("__nf_mask")
+            net_i = net_addr_sql(
+                ip_col, mask_col, no_mask_if_zero=nmiz, div_op="DIV"
+            )
+            df = df.withColumn(net_col, ipv4_ntoa(F.expr(net_i)))
+        return df
+
     def _bucket_dict(self, key: str) -> list[int] | None:
         """Parse protos_file / tos_file once per daemon (the
         SIGUSR2-reload class, like _ports_allowlist)."""
@@ -811,30 +882,17 @@ class Daemon:
         """Parse networks_file once per daemon; returns (DataFrame,
         masklens) or None. The masklen list rides along so the per-call
         lpm_join needs no driver-side distinct().collect() per tick.
-        Active only when the daemon's *_as key asks for file/longest
-        (reference default is 'netflow': trust the export)."""
+        Active only when the daemon's *_as or *_net key asks for
+        file/longest (reference default is 'netflow': trust the
+        export) — the AS-override and net-derivation call sites gate
+        on their own key via :meth:`_acct_mode`."""
         if not hasattr(self, "_networks_cache"):
             cache = None
             nets_path = self.conf.get("networks_file")
-            # prefer the key matching this daemon's flavor (the
-            # reference daemon reads only its own *_as key): a shared
-            # conf setting nfacctd_as alongside sfacctd_as must not
-            # have the netflow key decide for an sflow daemon
-            own = "sfacctd" if self.flavor == "sflow" else "nfacctd"
-            daemons = [own] + [
-                d
-                for d in ("nfacctd", "sfacctd", "pmacctd", "uacctd")
-                if d != own
-            ]
-            as_mode = next(
-                (
-                    str(v).lower()
-                    for v in (self.conf.get(f"{d}_as") for d in daemons)
-                    if v is not None
-                ),
-                "netflow",
-            )
-            if nets_path and as_mode in ("file", "longest"):
+            if nets_path and (
+                self._acct_mode("as") in ("file", "longest")
+                or self._acct_mode("net") in ("file", "longest")
+            ):
                 with open(nets_path) as fh:
                     rows = [
                         r for r in conffile.parse_networks_file(fh.read())
@@ -1023,22 +1081,31 @@ class Daemon:
 
                 df = apply_bucket_others(df, col, vals)
         nets = self._networks_table()
-        if nets is not None:
+        if nets is not None and self._acct_mode("as") in ("file", "longest"):
             # networks_file overrides the export's AS numbers with the
             # operator's own table (<daemon>_as: file / longest,
             # reference src/net_aggr.c) — LPM per address, asn wins
-            # over whatever the exporter put in the record
+            # over whatever the exporter put in the record. With
+            # networks_file_no_lpm (CONFIG-KEYS:1062) the override
+            # applies ONLY where the file matched: unmatched records
+            # keep the export's AS instead of being zeroed
+            # (search_src_as, src/net_aggr.c:1070-1078 `if (mask)`)
             from pmacct_spark.operators.lpm import lpm_join
 
+            no_lpm = self.conf.getbool("networks_file_no_lpm")
             nets_df, masklens = nets
-            df = lpm_join(
-                df, nets_df, "ip_src_i", {"asn": "as_src"},
-                default={"as_src": 0}, masklens=masklens,
-            )
-            df = lpm_join(
-                df, nets_df, "ip_dst_i", {"asn": "as_dst"},
-                default={"as_dst": 0}, masklens=masklens,
-            )
+            for ip_col, as_col in (
+                ("ip_src_i", "as_src"), ("ip_dst_i", "as_dst")
+            ):
+                df = lpm_join(
+                    df, nets_df, ip_col, {"asn": "__nf_as"},
+                    masklens=masklens,
+                )
+                keep = F.col(as_col) if no_lpm else F.lit(0)
+                df = df.withColumn(
+                    as_col, F.coalesce(F.col("__nf_as"), keep)
+                ).drop("__nf_as")
+        df = self._net_funcs(df, nets)
         smap = self.conf.get("sampling_map")
         if not smap and self.conf.getbool("nfacctd_renormalize") and (
             self.flavor == "netflow"

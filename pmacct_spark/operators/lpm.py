@@ -93,6 +93,53 @@ def lpm_join(
     return out
 
 
+def net_mask_merge_sql(
+    export_mask: str, file_mask: str, *, no_lpm: bool = False
+) -> str:
+    """The nmask merge of the reference's fallback ('longest') mode
+    (search_src_nmask / search_dst_nmask, src/net_aggr.c:975-1035):
+
+    - default: the networks_file match wins only if LONGER than the
+      mask already known from the export (``mask > nmask``);
+    - ``networks_file_no_lpm=true`` (CONFIG-KEYS:1062): a file match
+      wins whenever it matched at all (``if (mask)``) — even if not
+      the longest. A masklen-0 match (default route) counts as no
+      match, exactly like the reference's ``if (mask)`` test.
+
+    Returns a dialect-neutral SQL expression (pure CASE — renders
+    identically in Spark and DuckDB)."""
+    if no_lpm:
+        return (
+            f"(CASE WHEN ({file_mask}) > 0 THEN ({file_mask}) "
+            f"ELSE ({export_mask}) END)"
+        )
+    return (
+        f"(CASE WHEN ({file_mask}) > ({export_mask}) THEN ({file_mask}) "
+        f"ELSE ({export_mask}) END)"
+    )
+
+
+def net_addr_sql(
+    ip: str, mask: str, *, no_mask_if_zero: bool = False, div_op: str = "{DIV}"
+) -> str:
+    """The v4 net-address masking step (mask_src_ipaddr,
+    src/net_aggr.c:755-815): net = ip & maskbits(mask), as exact
+    integer arithmetic. ``networks_no_mask_if_zero=true``
+    (CONFIG-KEYS:1087) treats a zero mask as full length — unknown
+    prefixes keep the host address instead of collapsing to 0.
+
+    pow(2, n) is IEEE-exact for n in 0..32, so the expression renders
+    bit-identically in Spark and DuckDB; integer division is the only
+    dialect split (`` DIV `` vs ``//``), exposed via ``div_op``."""
+    eff = (
+        f"(CASE WHEN ({mask}) = 0 THEN 32 ELSE ({mask}) END)"
+        if no_mask_if_zero
+        else f"({mask})"
+    )
+    pw = f"CAST(pow(2, 32 - {eff}) AS BIGINT)"
+    return f"((({ip}) {div_op} {pw}) * {pw})"
+
+
 def lpm_join_range(
     flows: DataFrame,
     networks: DataFrame,

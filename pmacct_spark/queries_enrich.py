@@ -179,6 +179,99 @@ def ports_dictionary(spark, sf_dir):
     return build_aggregation(f, PluginConfig(aggregate=["src_port", "dst_port"]))
 
 
+# --- networks_file behavior knobs (CONFIG-KEYS:1062-1103; semantics
+# src/net_aggr.c:455-490,558,762,975-1035): networks_file_no_lpm,
+# networks_no_mask_if_zero, networks_mask. The fixture slice keeps only
+# the /24s + default route so unmatched flows exist; a derived export
+# mask {0, 28, 8} exercises every merge branch.
+_EXPORT_MASK = "CASE event_id % 3 WHEN 0 THEN 0 WHEN 1 THEN 28 ELSE 8 END"
+
+
+def _knobs_exprs(div_op: str) -> dict[str, str]:
+    from pmacct_spark.operators.lpm import net_addr_sql, net_mask_merge_sql
+
+    mask_default = net_mask_merge_sql("export_mask", "file_mask")
+    mask_no_lpm = net_mask_merge_sql("export_mask", "file_mask", no_lpm=True)
+    return {
+        "mask_default": mask_default,
+        "mask_no_lpm": mask_no_lpm,
+        # nets masked by the default-mode nmask: zero masks collapse
+        # to 0 unless networks_no_mask_if_zero keeps the host address
+        "net_zeroed": net_addr_sql("ip_src_i", mask_default, div_op=div_op),
+        "net_kept": net_addr_sql(
+            "ip_src_i", mask_default, no_mask_if_zero=True, div_op=div_op
+        ),
+        # networks_mask: 22 — static mask applied systematically
+        # (src/net_aggr.c:558 mask_static_src_ipaddr)
+        "net_static": net_addr_sql("ip_src_i", "22", div_op=div_op),
+    }
+
+
+_KNOBS_DUCK_EXPRS = _knobs_exprs("//")
+
+_DUCK_KNOBS = f"""
+WITH flows AS ({flows_sql('duck')}),
+networks AS (SELECT * FROM ({NETWORKS_DUCK}) WHERE masklen IN (0, 24)),
+matched AS (
+  SELECT f.event_id, f.ip_src_i, f.bytes,
+         {_EXPORT_MASK} AS export_mask,
+         COALESCE(arg_max(n.masklen, n.masklen), 0) AS file_mask
+  FROM flows f LEFT JOIN networks n
+    ON (f.ip_src_i // (CAST(1 AS BIGINT) << (32 - n.masklen)))
+     = (n.net_int // (CAST(1 AS BIGINT) << (32 - n.masklen)))
+  GROUP BY 1, 2, 3, 4
+),
+derived AS (
+  SELECT bytes,
+         {_KNOBS_DUCK_EXPRS['mask_default']} AS mask_default,
+         {_KNOBS_DUCK_EXPRS['mask_no_lpm']} AS mask_no_lpm,
+         {_KNOBS_DUCK_EXPRS['net_zeroed']} AS net_zeroed,
+         {_KNOBS_DUCK_EXPRS['net_kept']} AS net_kept,
+         {_KNOBS_DUCK_EXPRS['net_static']} AS net_static
+  FROM matched
+)
+SELECT mask_default, mask_no_lpm,
+       CAST(SUM(bytes) AS BIGINT) AS bytes,
+       COUNT(DISTINCT net_zeroed) AS nets_zeroed,
+       COUNT(DISTINCT net_kept) AS nets_kept,
+       COUNT(DISTINCT net_static) AS nets_static
+FROM derived GROUP BY 1, 2
+"""
+
+
+@register("lpm_networks_knobs", _DUCK_KNOBS)
+def lpm_networks_knobs(spark, sf_dir):
+    """networks_file behavior knobs, all three in one gated query:
+
+    - networks_file_no_lpm: a file match wins over the export's mask
+      whenever it matched, not only when longer — mask_no_lpm differs
+      from mask_default exactly on (export 28, file 24) rows;
+    - networks_no_mask_if_zero: zero-mask rows keep the host address
+      (nets_kept) instead of collapsing to net 0 (nets_zeroed);
+    - networks_mask: the static /22 mask applied systematically.
+
+    Reference: CONFIG-KEYS:1062-1103, src/net_aggr.c:558,762,975-1035.
+    Chained-broadcast LPM; everything after the probe is map-side."""
+    f = flows(spark, sf_dir).select("event_id", "ip_src_i", "bytes")
+    f = f.withColumn("export_mask", F.expr(_EXPORT_MASK))
+    nets = networks_dim(spark, sf_dir).filter("masklen IN (0, 24)")
+    enriched = lpm_join(
+        f, nets, "ip_src_i", {"masklen": "file_mask"},
+        default={"file_mask": 0},
+    )
+    ex = _knobs_exprs("DIV")
+    derived = enriched.select(
+        "bytes",
+        *[F.expr(sql).alias(name) for name, sql in ex.items()],
+    )
+    return derived.groupBy("mask_default", "mask_no_lpm").agg(
+        F.sum("bytes").alias("bytes"),
+        F.countDistinct("net_zeroed").alias("nets_zeroed"),
+        F.countDistinct("net_kept").alias("nets_kept"),
+        F.countDistinct("net_static").alias("nets_static"),
+    )
+
+
 @register(
     "protos_dictionary",
     f"""{FLOWS_DUCK_CTE}

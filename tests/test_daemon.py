@@ -682,6 +682,84 @@ aggregate[m]: src_as, dst_as, dst_port
     }
 
 
+def test_daemon_networks_knobs(spark, tmp_path):
+    """networks_file_no_lpm keeps the export's AS where the file did
+    NOT match (instead of zeroing); nfacctd_net: file derives
+    src_net/src_mask from the file LPM with networks_no_mask_if_zero
+    keeping host addresses on zero-mask rows; networks_mask applies a
+    static mask (second daemon). Reference CONFIG-KEYS:1062-1103,
+    src/net_aggr.c:558,762,1070."""
+    nets = tmp_path / "networks.lst"
+    nets.write_text("65100,10.1.1.0/24\n")
+    conf = f"""
+nfacctd_port: 0
+nfacctd_as: file
+nfacctd_net: file
+networks_file: {nets}
+networks_file_no_lpm: true
+networks_no_mask_if_zero: true
+plugins: memory[a], memory[n]
+aggregate[a]: src_as
+aggregate[n]: src_net, src_mask
+"""
+    d = Daemon.from_conf(spark, conf, spool_dir=str(tmp_path / "spoolK1"))
+    try:
+        send_datagrams(
+            [_v5_datagram(1, [
+                {"src": 0x0A010105, "dst": 0x0B020202, "pkts": 1,
+                 "bytes": 100, "sport": 5, "dport": 443},
+                {"src": 0x0C000001, "dst": 0x0B020202, "pkts": 1,
+                 "bytes": 50, "sport": 5, "dport": 443},
+            ])],
+            "127.0.0.1", d.port,
+        )
+        t0 = time.monotonic()
+        while d.spool.datagrams_received < 1 and time.monotonic() - t0 < 15:
+            time.sleep(0.05)
+        outs = d.run_available()
+        as_rows = {r["src_as"]: r["bytes"] for r in outs["a"].collect()}
+        net_rows = {
+            (r["src_net"], r["src_mask"]): r["bytes"]
+            for r in outs["n"].collect()
+        }
+    finally:
+        d.stop()
+    # no_lpm: matched -> file AS; unmatched KEEPS export AS (64500),
+    # where the default path would have zeroed it
+    assert as_rows == {65100: 100, 64500: 50}
+    # net: matched -> the /24's net; unmatched mask 0 + no_mask_if_zero
+    # -> host address kept instead of net 0.0.0.0
+    assert net_rows == {("10.1.1.0", 24): 100, ("12.0.0.1", 0): 50}
+
+    conf2 = f"""
+nfacctd_port: 0
+networks_mask: 16
+plugins: memory[s]
+aggregate[s]: src_net, src_mask
+"""
+    d2 = Daemon.from_conf(spark, conf2, spool_dir=str(tmp_path / "spoolK2"))
+    try:
+        send_datagrams(
+            [_v5_datagram(1, [
+                {"src": 0x0A010105, "dst": 0x0B020202, "pkts": 1,
+                 "bytes": 100, "sport": 5, "dport": 443},
+                {"src": 0x0C000001, "dst": 0x0B020202, "pkts": 1,
+                 "bytes": 50, "sport": 5, "dport": 443},
+            ])],
+            "127.0.0.1", d2.port,
+        )
+        t0 = time.monotonic()
+        while d2.spool.datagrams_received < 1 and time.monotonic() - t0 < 15:
+            time.sleep(0.05)
+        static_rows = {
+            (r["src_net"], r["src_mask"]): r["bytes"]
+            for r in d2.run_available()["s"].collect()
+        }
+    finally:
+        d2.stop()
+    assert static_rows == {("10.1.0.0", 16): 100, ("12.0.0.0", 16): 50}
+
+
 def test_daemon_protos_file_and_tos_file(spark, tmp_path):
     """protos_file buckets unlisted IP protocols as 255 'others'
     (names AND numbers accepted); tos_file does the same for ToS —
