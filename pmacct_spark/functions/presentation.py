@@ -155,3 +155,98 @@ def mpls_stack_array_duck(col: str) -> str:
         f"list_transform(string_split({col}, '_'), "
         f"x -> CAST(x AS BIGINT))"
     )
+
+
+# --- tcpflags_encode_as_array (CONFIG-KEYS:1727; tcpflags_to_linked_list
+#     src/plugin_common.c:1167-1203 + compose_tcpflags_json_data
+#     src/plugin_cmn_json.c:1742): set flags as a string array in
+#     URG,ACK,PSH,RST,SYN,FIN (high-bit-first) order. The reference
+#     bit-decomposes only decimals in 1..63 — 0 and anything carrying
+#     bits >= 64 (ECE/CWR) render as the EMPTY array (the tests/100
+#     golden shows "tcp_flags": []).
+
+_TCP_ARRAY_ORDER = [(32, "URG"), (16, "ACK"), (8, "PSH"), (4, "RST"),
+                    (2, "SYN"), (1, "FIN")]
+
+
+def tcp_flags_array_sql(col: str) -> str:
+    parts = ", ".join(
+        f"CASE WHEN ({col} & {bit}) <> 0 THEN '{name}' END"
+        for bit, name in _TCP_ARRAY_ORDER
+    )
+    return (
+        f"CASE WHEN {col} > 0 AND {col} < 64 THEN "
+        f"filter(array({parts}), x -> x IS NOT NULL) "
+        f"ELSE array() END"
+    )
+
+
+def tcp_flags_array_duck(col: str) -> str:
+    parts = ", ".join(
+        f"CASE WHEN ({col} & {bit}) <> 0 THEN '{name}' END"
+        for bit, name in _TCP_ARRAY_ORDER
+    )
+    return (
+        f"CASE WHEN {col} > 0 AND {col} < 64 THEN "
+        f"list_filter([{parts}], x -> x IS NOT NULL) "
+        f"ELSE [] END"
+    )
+
+
+# --- timestamps_utc / timestamps_rfc9557 (CONFIG-KEYS:1698-1711;
+#     compose_timestamp src/util.c:2550-2583): the engine's stored
+#     timestamps are naive-UTC instants. timestamps_utc renders the
+#     wall time as-is (gmtime); utc=false converts to the collector's
+#     zone first (localtime_r — ``tz`` names it explicitly so the
+#     render is deterministic, not host-dependent). timestamps_rfc9557
+#     switches to the 'T' separator and appends the numeric zone
+#     offset (+00:00 for UTC; DST-aware for named zones).
+
+def _ts_wall(col: str, dialect: str, utc: bool, tz: str | None) -> str:
+    if utc:
+        return col
+    assert tz, "utc=False requires an explicit zone name"
+    if dialect == "spark":
+        # TIMESTAMP_NTZ in, TIMESTAMP_NTZ out: wall time in ``tz``
+        return f"convert_timezone('UTC', '{tz}', {col})"
+    # DuckDB: naive-as-UTC -> timestamptz -> naive wall time in tz
+    return f"timezone('{tz}', {col} AT TIME ZONE 'UTC')"
+
+
+def timestamp_render_sql(
+    col: str, *, rfc9557: bool = False, utc: bool = True,
+    tz: str | None = None,
+) -> str:
+    wall = _ts_wall(col, "spark", utc, tz)
+    if not rfc9557:
+        return f"date_format({wall}, 'yyyy-MM-dd HH:mm:ss')"
+    base = f"date_format({wall}, 'yyyy-MM-dd\\'T\\'HH:mm:ss')"
+    if utc:
+        return f"{base} || '+00:00'"
+    # zone offset at that instant as exact integer minutes: pure
+    # wall-clock difference (timestampdiff on NTZ never consults the
+    # session zone, so no session-DST edge can skew it)
+    mins = f"CAST(timestampdiff(MINUTE, {col}, {wall}) AS BIGINT)"
+    return (
+        f"{base} || CASE WHEN {mins} < 0 THEN '-' ELSE '+' END || "
+        f"lpad(CAST(abs({mins}) DIV 60 AS STRING), 2, '0') || ':' || "
+        f"lpad(CAST(abs({mins}) % 60 AS STRING), 2, '0')"
+    )
+
+
+def timestamp_render_duck(
+    col: str, *, rfc9557: bool = False, utc: bool = True,
+    tz: str | None = None,
+) -> str:
+    wall = _ts_wall(col, "duck", utc, tz)
+    if not rfc9557:
+        return f"strftime({wall}, '%Y-%m-%d %H:%M:%S')"
+    base = f"strftime({wall}, '%Y-%m-%dT%H:%M:%S')"
+    if utc:
+        return f"{base} || '+00:00'"
+    mins = f"CAST(date_diff('minute', {col}, {wall}) AS BIGINT)"
+    return (
+        f"{base} || CASE WHEN ({mins}) < 0 THEN '-' ELSE '+' END || "
+        f"lpad(CAST(abs({mins}) // 60 AS VARCHAR), 2, '0') || ':' || "
+        f"lpad(CAST(abs({mins}) % 60 AS VARCHAR), 2, '0')"
+    )

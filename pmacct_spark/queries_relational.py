@@ -1288,6 +1288,10 @@ from pmacct_spark.functions.presentation import (  # noqa: E402
     fwd_status_str_sql,
     mpls_stack_array_duck,
     mpls_stack_array_sql,
+    tcp_flags_array_duck,
+    tcp_flags_array_sql,
+    timestamp_render_duck,
+    timestamp_render_sql,
     tos_dscp_duck,
     tos_dscp_sql,
 )
@@ -1352,4 +1356,56 @@ def presentation_encode_toggles(spark, sf_dir):
     ).select(
         "dscp", "fwd_str", "n_labels", "top_label_mod", "n_comms",
         "comms_min", "n_hops", "n", "bytes",
+    )
+
+
+# tcp_flags derivation carrying bits >= 64 on some rows: the reference
+# bit-decomposes only decimals 1..63 — ECE/CWR-carrying values render
+# as the EMPTY array (tcpflags_to_linked_list, plugin_common.c:1178)
+_XFLAGS_DERIVE = "tcp_flags + CASE WHEN event_id % 11 = 0 THEN 64 ELSE 0 END"
+
+
+@register(
+    "presentation_tcpflags_timestamps",
+    f"""{FLOWS_DUCK_CTE},
+shaped AS (
+  SELECT COALESCE(array_to_string(
+             {tcp_flags_array_duck(f'({_XFLAGS_DERIVE})')}, ','), '')
+           AS flags_csv,
+         CAST(len({tcp_flags_array_duck(f'({_XFLAGS_DERIVE})')}) AS BIGINT)
+           AS n_flags,
+         {timestamp_render_duck('ts')} AS ts_plain,
+         {timestamp_render_duck('ts', rfc9557=True)} AS ts_rfc,
+         bytes
+  FROM flows
+)
+SELECT flags_csv, n_flags,
+       MIN(ts_plain) AS ts_plain_min,
+       MIN(ts_rfc) AS ts_rfc_min,
+       COUNT(*) AS n,
+       CAST(SUM(bytes) AS BIGINT) AS bytes
+FROM shaped GROUP BY 1, 2""",
+)
+def presentation_tcpflags_timestamps(spark, sf_dir):
+    """tcpflags_encode_as_array + timestamps_utc/timestamps_rfc9557
+    (CONFIG-KEYS:1698-1734): set TCP flags as a URG..FIN-ordered string
+    array — 0 and >=64 (ECE/CWR) values render EMPTY like the
+    reference's 1..63 guard (src/plugin_common.c:1167-1203, tests/100
+    golden) — and timestamps rendered plain-UTC vs RFC 9557
+    ('T' separator + numeric offset; compose_timestamp
+    src/util.c:2550-2583). Arrays serialized to CSV for hashing."""
+    f = flows(spark, sf_dir)
+    arr = tcp_flags_array_sql(f"({_XFLAGS_DERIVE})")
+    shaped = f.selectExpr(
+        f"array_join({arr}, ',') AS flags_csv",
+        f"CAST(size({arr}) AS BIGINT) AS n_flags",
+        f"{timestamp_render_sql('ts')} AS ts_plain",
+        f"{timestamp_render_sql('ts', rfc9557=True)} AS ts_rfc",
+        "bytes",
+    )
+    return shaped.groupBy("flags_csv", "n_flags").agg(
+        F.min("ts_plain").alias("ts_plain_min"),
+        F.min("ts_rfc").alias("ts_rfc_min"),
+        F.count(F.lit(1)).alias("n"),
+        F.sum("bytes").cast("bigint").alias("bytes"),
     )

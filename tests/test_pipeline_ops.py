@@ -582,3 +582,81 @@ def test_hll_distinct_honors_m_parameter(spark):
         assert oracle[grp] == (
             r["est_distinct"], r["exact_distinct"], r["err_pm"], r["v_empty"]
         ), (grp, oracle[grp], dict(r.asDict()))
+
+
+def test_timestamp_render_zone_and_dst(spark, duck):
+    """timestamps_utc=false renders in the collector's named zone;
+    timestamps_rfc9557 appends the DST-aware numeric offset — Spark
+    and DuckDB agree bit-for-bit across a DST boundary
+    (compose_timestamp, reference src/util.c:2550-2583)."""
+    from pmacct_spark.functions.presentation import (
+        timestamp_render_duck,
+        timestamp_render_sql,
+    )
+
+    instants = ["2024-01-15 12:00:00", "2024-07-15 12:00:00"]
+    kw = {"rfc9557": True, "utc": False, "tz": "America/New_York"}
+    expr = timestamp_render_sql("ts", **kw)
+    got_spark = [
+        r[0]
+        for r in spark.sql(
+            "SELECT "
+            + expr.replace(
+                "ts", "CAST(v AS TIMESTAMP_NTZ)"
+            )
+            + " FROM VALUES "
+            + ", ".join(f"('{v}')" for v in instants)
+            + " AS t(v) ORDER BY v"
+        ).collect()
+    ]
+    dexpr = timestamp_render_duck("ts", **kw)
+    got_duck = [
+        r[0]
+        for r in duck.execute(
+            "SELECT "
+            + dexpr.replace("ts", "CAST(v AS TIMESTAMP)")
+            + " FROM (SELECT UNNEST(["
+            + ", ".join(f"'{v}'" for v in instants)
+            + "]) AS v) ORDER BY v"
+        ).fetchall()
+    ]
+    expected = ["2024-01-15T07:00:00-05:00", "2024-07-15T08:00:00-04:00"]
+    assert got_spark == expected
+    assert got_duck == expected
+
+
+def test_tcp_flags_array_guard_and_order(spark, duck):
+    """tcpflags array: URG..FIN order, 0 and >=64 render EMPTY
+    (tcpflags_to_linked_list, reference src/plugin_common.c:1167)."""
+    from pmacct_spark.functions.presentation import (
+        tcp_flags_array_duck,
+        tcp_flags_array_sql,
+    )
+
+    vals = [0, 2, 18, 63, 64, 80]
+    expected = [
+        [],
+        ["SYN"],
+        ["ACK", "SYN"],
+        ["URG", "ACK", "PSH", "RST", "SYN", "FIN"],
+        [],
+        [],
+    ]
+    got_spark = [
+        list(r[0])
+        for r in spark.sql(
+            f"SELECT {tcp_flags_array_sql('v')} FROM VALUES "
+            + ", ".join(f"({v})" for v in vals)
+            + " AS t(v) ORDER BY v"
+        ).collect()
+    ]
+    got_duck = [
+        list(r[0])
+        for r in duck.execute(
+            f"SELECT {tcp_flags_array_duck('v')}, v FROM (SELECT UNNEST(["
+            + ", ".join(str(v) for v in vals)
+            + "]) AS v) ORDER BY v"
+        ).fetchall()
+    ]
+    assert got_spark == expected
+    assert got_duck == expected
