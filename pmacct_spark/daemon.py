@@ -76,6 +76,9 @@ class Daemon:
     # BgpXconnectProxy when bgp_daemon_xconnect_map is set (BGP
     # proxying — no local RIB; sessions forward 1:1 to collectors)
     bgp_xconnect: object | None = None
+    # RedisPresence when redis_host is set (cluster membership keys,
+    # reference src/redis_common.c)
+    redis: object | None = None
     # created eagerly: N replan threads share it — a lazily-created
     # lock is itself a race (two threads can each mint their own)
     _compact_lock: threading.Lock = field(
@@ -295,6 +298,50 @@ class Daemon:
                     else None
                 ),
             ).start()
+        redis_host = conf.get("redis_host")
+        if redis_host:
+            # redis cluster-membership presence (reference
+            # src/redis_common.c; keys redis_host / redis_db /
+            # redis_passwd / cluster_name / cluster_id). The reference
+            # exits when cluster_name is missing (p_redis_init,
+            # src/redis_common.c:66-84) — same contract here.
+            cluster = conf.get("cluster_name")
+            if not cluster:
+                raise ValueError(
+                    "redis_host requires cluster_name to be specified"
+                )
+            from pmacct_spark.sources.redis_wire import (
+                PM_REDIS_DEFAULT_PORT,
+                RedisPresence,
+            )
+
+            rhost, _, rport = str(redis_host).rpartition(":")
+            daemon_type = {
+                "netflow": "nfacctd", "sflow": "sfacctd",
+                "telemetry": "pmtelemetryd",
+            }.get(flavor, "nfacctd")
+            extras = []
+            if conf.getbool("bgp_daemon") or conf.get(
+                "bgp_daemon_xconnect_map"
+            ):
+                extras.append("bgp")
+            if conf.getbool("bmp_daemon"):
+                extras.append("bmp")
+            if flavor == "telemetry":
+                extras.append("telemetry")
+            d.redis = RedisPresence(
+                host=rhost or str(redis_host),
+                port=int(rport) if rport else PM_REDIS_DEFAULT_PORT,
+                cluster_name=str(cluster),
+                cluster_id=int(conf.get("cluster_id", default=0) or 0),
+                name=str(conf.get("core_proc_name", default="default")
+                         or "default"),
+                ptype="core",
+                daemon_type=daemon_type,
+                extras=tuple(extras),
+                db=int(conf.get("redis_db", default=0) or 0),
+                passwd=conf.get("redis_passwd"),
+            ).start()
         return d
 
     @property
@@ -316,7 +363,7 @@ class Daemon:
         for sp in (
             self.bgp_spool, self.bmp_spool, self.rtr_client, self.lg,
             self.grpc, self.grpc_dialin, self.tmpl_spool,
-            self.bgp_xconnect,
+            self.bgp_xconnect, self.redis,
         ):
             if sp is not None:
                 sp.stop()

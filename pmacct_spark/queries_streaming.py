@@ -952,6 +952,117 @@ def stream_dedup_exact(spark, sf_dir):
     return out
 
 
+# --- MinHash-LSH near-dup dedup as STREAMING state (the near-dup twin
+#     of the sketch-as-state triad): the banded bucket table IS the
+#     state store — (band_idx, bucket_key) -> min(doc_id) merges across
+#     micro-batches, so an incremental corpus ingest dedups against
+#     everything already seen without rescanning. min() is mergeable
+#     state like HLL's max and count-min's sum: the drained owner
+#     table is order-independent, so availableNow replay equals the
+#     batch LSH computation bit-for-bit. Semantics: doc is a duplicate
+#     iff ANY of its bands is owned by a smaller doc_id (pure banded
+#     candidate dedup — the batch minhash_dedup_lsh adds the Jaccard
+#     verify; state-side verification would need the full hash sets in
+#     state, which is exactly what the bounded band table avoids).
+def _minhash_stream_duck() -> str:
+    from pmacct_spark.operators.dedup import (
+        DEFAULT_BANDS,
+        _band_cols_duck_sql,
+        _mins_duck_sql,
+        shingle_hashes_duck,
+    )
+
+    bl = "\nUNION ALL\n".join(
+        f"SELECT doc_id, bch, {i} AS bidx, band{i} AS bk FROM bands"
+        for i in range(DEFAULT_BANDS)
+    )
+    return f"""
+WITH corpus AS (
+  SELECT doc_id, text, 1 AS bch FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000, text || ' near duplicate tail', 2
+  FROM documents
+),
+sh AS (SELECT doc_id, bch, {shingle_hashes_duck('text')} AS hvs FROM corpus),
+tok AS (SELECT doc_id, bch, unnest(hvs) AS hv FROM sh),
+sig AS (SELECT doc_id, bch, {_mins_duck_sql()} FROM tok GROUP BY 1, 2),
+bands AS (SELECT doc_id, bch, {_band_cols_duck_sql(DEFAULT_BANDS)} FROM sig),
+bl AS ({bl}),
+owners AS (SELECT bidx, bk, MIN(doc_id) AS owner FROM bl GROUP BY 1, 2),
+flags AS (
+  SELECT bl.doc_id, bl.bch, MIN(o.owner) AS min_owner
+  FROM bl JOIN owners o ON bl.bidx = o.bidx AND bl.bk = o.bk
+  GROUP BY 1, 2
+)
+SELECT CAST(bch AS INT) AS b,
+       COUNT(*) AS docs,
+       CAST(SUM(CASE WHEN min_owner < doc_id THEN 1 ELSE 0 END) AS BIGINT)
+         AS dups,
+       CAST(SUM(CASE WHEN min_owner < doc_id THEN 0 ELSE 1 END) AS BIGINT)
+         AS survivors,
+       CAST(SUM(CASE WHEN min_owner < doc_id THEN 0 ELSE doc_id END)
+            AS BIGINT) AS survivor_id_sum
+FROM flags GROUP BY 1
+"""
+
+
+@register("stream_dedup_minhash", _minhash_stream_duck())
+def stream_dedup_minhash(spark, sf_dir):
+    """NEAR-duplicate dedup as a streaming query: originals arrive in
+    micro-batch 1, slightly-mutated variants (appended tail, shifted
+    ids) in micro-batch 2 — the (band, bucket) -> min(doc_id) streaming
+    aggregation is the cross-batch state that suppresses them. The
+    per-batch rollup (docs/dups/survivors + survivor id checksum) is
+    value-hashed against the full DuckDB replay of the banded LSH.
+    Reference analogue: the long-lived dedup horizon of ip_flow.c's
+    flow cache, applied to the LLM-corpus ingest shape."""
+    import shutil
+
+    from pmacct_spark.operators.dedup import band_keys_rowwise
+    from pmacct_spark.session import apply_runtime_confs
+    from pmacct_spark.sources.tables import load_table
+
+    apply_runtime_confs(spark)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    variants = docs.select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.concat("text", F.lit(" near duplicate tail")).alias("text"),
+    )
+    corpus = docs.withColumn("b", F.lit(1)).unionByName(
+        variants.withColumn("b", F.lit(2))
+    )
+    stream, d = two_microbatch_source(corpus)
+    owners_stream = (
+        band_keys_rowwise(stream, "doc_id", "text")
+        .groupBy("bidx", "bk")
+        .agg(F.min("doc_id").alias("owner"))
+    )
+    owners = run_to_memory(owners_stream, "q_stream_minhash_owners")
+    shutil.rmtree(d, ignore_errors=True)
+    corpus_batch = docs.unionByName(variants)
+    flags = (
+        band_keys_rowwise(corpus_batch, "doc_id", "text")
+        .join(F.broadcast(owners), ["bidx", "bk"])
+        .groupBy("doc_id")
+        .agg(F.min("owner").alias("min_owner"))
+    )
+    dup = F.col("min_owner") < F.col("doc_id")
+    return (
+        flags.withColumn(
+            "b", F.when(F.col("doc_id") >= 1000000, 2).otherwise(1)
+        )
+        .groupBy("b")
+        .agg(
+            F.count(F.lit(1)).alias("docs"),
+            F.sum(dup.cast("bigint")).alias("dups"),
+            F.sum((~dup).cast("bigint")).alias("survivors"),
+            F.sum(
+                F.when(dup, F.lit(0)).otherwise(F.col("doc_id"))
+            ).alias("survivor_id_sum"),
+        )
+    )
+
+
 # --- sFlow counter LOG gated (the logdump family's sfacctd_counter
 #     path, reference src/sfacctd.c:2366 sf_cnt_log_msg): counter
 #     samples ride the v5 wire -> decode -> counter_log_events

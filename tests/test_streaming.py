@@ -1093,3 +1093,21 @@ def test_templates_receiver_forwards_template_datagrams_once(spark):
         pass
     finally:
         rx.close()
+
+
+def test_stream_dedup_minhash_suppresses_later_batch(spark):
+    """Near-duplicates arriving in the SECOND micro-batch are
+    suppressed by the (band, bucket) -> min(doc_id) STATE built from
+    the first — every batch-2 variant must be flagged, which a
+    stateless per-batch dedup cannot do (its batch-2 buckets would be
+    owned by the variants themselves)."""
+    from pmacct_spark.driver_queries import queries
+
+    out = {
+        r["b"]: r
+        for r in queries()["stream_dedup_minhash"](spark, SF_DIR).collect()
+    }
+    assert out[2]["dups"] == out[2]["docs"] > 0
+    assert out[2]["survivors"] == 0
+    # originals: only genuine intra-corpus near-dups flagged
+    assert 0 < out[1]["survivors"] <= out[1]["docs"]
