@@ -48,49 +48,45 @@ def register(name: str, oracle: str | None = None):
 # curation/dedup/ANN pipeline, and TPC-H relational — instead of the
 # registration order, which front-loaded agg/hist/client.
 _DRIVER_WINDOW = [
-    # ROUND-9 ROTATION (VERDICT r8 "Next round #1"): the 5 queries
-    # that landed after r8's window was set and have never had a
-    # driver-side CORRECTNESS row. Once these sample green, every
-    # gated query in the suite's history has a driver sf0.01 row.
-    "approx_distinct_hll",
-    "hdr_quantiles_bytes",
-    "stream_approx_distinct_hll",
-    "nexthop_wire_loop",
-    "presentation_encode_toggles",
-    # NEW round 9, driver-checked on arrival (VERDICT r8 #2/#4/#6)
-    "bgp_agent_map_lookup",
-    "dedup_multimodal_phash",
-    "stream_heavy_hitters_countmin",
-    "approx_distinct_hll_setops",
-    "dedup_exact_substring_removal",
-    "stream_hdr_quantiles_bytes",
-    # anchors (one per always-on family, all driver-green r08)
-    "stream_hist_5m_proto",      # structured-streaming windows
-    "bgp_addpath_rib_lookup",    # BGP RIB + LPM
-    "bmp_wire_dump_accounting",  # BMP dump join
-    "dedup_minhash_lsh",         # LSH near-dup
-    "stream_dedup_exact",        # streaming state-store dedup
-    "multimodal_decode_features",  # Arrow mapInPandas plumbing
-    "telemetry_cisco_mdt_wire_loop",  # MDT framing + GPB-KV
-    "bm25_keyword_topk",         # retrieval
-    "tpch_q6_forecast_revenue",  # TPC-H relational
-    "ipfrag6_reassembly",        # wire-level defrag
-    # stale-refresh: the 32 queries whose newest driver row is oldest
-    # (r2–r3 era) — re-confirmed under the current engine. Everything
-    # rotated out keeps local sf0.001 parity in test_oracle_parity.py.
-    "geoip_pocode_coords",
-    "agg_extended_primitives", "agg_mpls_path_delay", "agg_nat_events",
-    "agg_renormalize", "agg_stitching_secs", "agg_sum_host",
-    "agg_sum_port", "agg_tunnel_outer",
-    "blackhole_membership",
-    "client_match_sum", "client_sum_matches",
-    "client_topn_packets", "corpus_curation_pipeline",
-    "dedup_survivor_selection", "flow_to_rd_map", "hist_1d_roundoff_w",
-    "hist_5m_multiwindow", "hist_arrival_time", "lpm_range_strategy",
-    "median_bytes_by_proto", "pack_token_batches", "pii_redaction",
-    "preprocess_actions", "pretag_filter_routing",
-    "quality_rules_filter", "quota_sample_per_source",
-    "seqno_monitoring", "train_val_test_split",
+    # NEW round 10, driver-checked on arrival (VERDICT r9 #3/#4/#5/#6)
+    "lpm_networks_knobs",
+    "protos_dictionary",
+    "tos_dictionary",
+    "presentation_tcpflags_timestamps",
+    "stream_dedup_minhash",
+    # ROUND-10 ROTATION (VERDICT r9 "Next round #1"): fill the window
+    # with the STALE TAIL — every query whose newest driver row is r3
+    # or r4, plus as many of the 44 r5-era queries as fit. After this
+    # round no gated query's most-recent driver sample predates r5.
+    # r3-era:
+    "agg_test100_set", "client_counters_only", "client_match_orlist",
+    # r4-era:
+    "ann_ivf_topk", "bgp_wire_rib_lookup", "dedup_exact",
+    "rpki_roa_validation", "telemetry_json_metrics", "tpch_q1_pricing",
+    "v9_wire_loop_agg",
+    # r5-era (35 of 44; the 9 left at r5 are those whose operator is
+    # also sampled by a same-family r9/r10 row: agg_stitching ->
+    # agg_stitching_secs, geoip_country -> geoip_pocode_coords,
+    # lpm_networks_src_as -> lpm_networks_knobs + lpm_range_strategy,
+    # hist_5m_proto -> stream_hist_5m_proto + hist_5m_multiwindow,
+    # hist_month -> hist_1d_roundoff_w, topn_bytes ->
+    # client_topn_packets, custom_primitive_agg -> custom_wire_loop,
+    # preprocess_having -> preprocess_actions, window_rank_users ->
+    # salted_skew_agg's window family):
+    "agg_none_total", "agg_tcpflags_bitor", "aggregate_filter_tcp443",
+    "ann_ivf_pq_topk", "as_of_sampling_rate", "bgp6_wire_rib_lookup",
+    "bmp_wire_peer_down_rib", "conntrack_correlate", "custom_wire_loop",
+    "decontaminate_benchmark_overlap", "dedup_cc_clusters",
+    "fss_smart_sampling", "hist_5m_prorate", "hist_sliding_10m_5m",
+    "hybrid_bm25_vector_rrf", "lpm6_networks_src_as",
+    "mixed_wire_loop_agg", "ports_dictionary", "pretag_rules",
+    "rpki_overlap_validation", "salted_skew_agg", "sampling_map_renorm",
+    "sampling_options_wire_loop", "sessionize_tcp_close",
+    "sflow_counter_samples", "sflow_wire_loop_renorm", "srv6_wire_loop",
+    "stream_v5_wire_decode", "stream_v9_stateful_decode",
+    "telemetry_udp_notif_wire_loop", "text_quality_features",
+    "tpch_q21_waiting_orders", "tunnel_wire_loop", "v6_wire_loop_agg",
+    "v9_wire_loop_twophase",
 ]
 
 

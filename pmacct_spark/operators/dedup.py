@@ -217,59 +217,6 @@ def band_keys_long(
     )
 
 
-def band_keys_rowwise(
-    df: DataFrame,
-    id_col: str,
-    text_col: str,
-    n: int = 3,
-    bands: int = DEFAULT_BANDS,
-    extra_cols: tuple[str, ...] = (),
-) -> DataFrame:
-    """(id, bidx, bk) — the SAME band keys as band_keys_long, computed
-    as one PURE per-row projection: no groupBy, no staging barrier, so
-    the plan is legal inside a streaming query (stream_dedup_minhash's
-    state store is the bucket->min(id) aggregation downstream of this,
-    and Structured Streaming allows exactly one stateful operator
-    there).
-
-    The hvs array is bound ONCE per row as a lambda variable
-    (``transform(array(<hvs>), hvs -> ...)``): subscripting a helper
-    column instead would let Catalyst inline the shingle-set
-    computation into every one of the K array_min HOFs (the measured
-    O(n^2) projection-collapsing trap, see _signature_from_sets).
-    Cost: K interpreted HOF passes per doc — row-linear, shuffle-free,
-    and identical output to the codegen batch path by construction
-    (same MINHASH_A/B family, same '-'-joined rows-per-band key)."""
-    rows = K // bands
-    a_arr = f"array({', '.join(str(a) for a in MINHASH_A)})"
-    b_arr = f"array({', '.join(str(b) for b in MINHASH_B)})"
-    band_key = (
-        f"concat_ws('-', transform(sequence(0, {rows - 1}), r -> "
-        f"CAST(array_min(transform(hvs, x -> "
-        f"(element_at({a_arr}, b * {rows} + r + 1) * x "
-        f"+ element_at({b_arr}, b * {rows} + r + 1)) % {P})) AS STRING)))"
-    )
-    # reuse the exact shingle-hash expression of the default path so
-    # streaming and batch band keys can never drift
-    inner = _shingle_hash_from_states("_tok_states", n)
-    return (
-        df.withColumn("_tok_states", F.expr(_token_states_spark(text_col)))
-        .select(
-            id_col,
-            *extra_cols,
-            F.expr(
-                f"element_at(transform(array({inner}), hvs -> "
-                f"transform(sequence(0, {bands - 1}), b -> {band_key})), 1)"
-            ).alias("_bks"),
-        )
-        .select(
-            id_col,
-            *extra_cols,
-            F.posexplode("_bks").alias("bidx", "bk"),
-        )
-    )
-
-
 def lsh_candidate_pairs(
     bands_long: DataFrame, id_col: str
 ) -> DataFrame:
