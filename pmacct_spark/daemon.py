@@ -79,6 +79,9 @@ class Daemon:
     # RedisPresence when redis_host is set (cluster membership keys,
     # reference src/redis_common.c)
     redis: object | None = None
+    # BmpBgpHa when bgp_daemon_ha / bmp_daemon_ha is set (active/
+    # standby election over redis, reference src/ha.c)
+    ha: object | None = None
     # created eagerly: N replan threads share it — a lazily-created
     # lock is itself a race (two threads can each mint their own)
     _compact_lock: threading.Lock = field(
@@ -342,6 +345,45 @@ class Daemon:
                 db=int(conf.get("redis_db", default=0) or 0),
                 passwd=conf.get("redis_passwd"),
             ).start()
+        if conf.getbool("bmp_daemon_ha") or conf.getbool("bgp_daemon_ha"):
+            # BMP/BGP high availability (reference src/ha.c +
+            # docs/README_BGP_BMP_HA.md, tests 206/303/402): collectors
+            # sharing <ha_cluster_name, ha_cluster_id> elect the
+            # OLDEST-started one active via redis startup-timestamp
+            # keys; standbys collect but hold their msglog/dump
+            # emission, and on takeover replay the session history
+            # (write_msglog_if_configured gates on ha.forwarding).
+            from pmacct_spark.sources.redis_wire import (
+                PM_REDIS_DEFAULT_PORT,
+                BmpBgpHa,
+            )
+
+            fam = "bmp" if conf.getbool("bmp_daemon_ha") else "bgp"
+            cluster = conf.get(f"{fam}_daemon_ha_cluster_name")
+            if not cluster:
+                raise ValueError(
+                    f"{fam}_daemon_ha requires "
+                    f"{fam}_daemon_ha_cluster_name (reference src/ha.c "
+                    "exits without it)"
+                )
+            rh = conf.get("redis_host")
+            if not rh:
+                raise ValueError(
+                    f"{fam}_daemon_ha runs its election over redis_host "
+                    "— set it"
+                )
+            hhost, _, hport = str(rh).rpartition(":")
+            d.ha = BmpBgpHa(
+                host=hhost or str(rh),
+                port=int(hport) if hport else PM_REDIS_DEFAULT_PORT,
+                cluster_name=str(cluster),
+                cluster_id=int(
+                    conf.get(f"{fam}_daemon_ha_cluster_id", default=0) or 0
+                ),
+                name=str(conf.get("core_proc_name", default="default")
+                         or "default"),
+                passwd=conf.get("redis_passwd"),
+            ).start()
         return d
 
     @property
@@ -363,7 +405,7 @@ class Daemon:
         for sp in (
             self.bgp_spool, self.bmp_spool, self.rtr_client, self.lg,
             self.grpc, self.grpc_dialin, self.tmpl_spool,
-            self.bgp_xconnect, self.redis,
+            self.bgp_xconnect, self.redis, self.ha,
         ):
             if sp is not None:
                 sp.stop()
@@ -1386,6 +1428,14 @@ class Daemon:
         AMQP exchange over the live 0-9-1 wire. Returns the sinks
         written."""
         wrote: list[str] = []
+        if self.ha is not None and not self.ha.forwarding:
+            # HA STANDBY (reference src/ha.c bmp_bgp_forwarding): hold
+            # all msglog emission. The per-family generation marker is
+            # NOT advanced, so the first call after takeover replays
+            # the session's FULL history from the spool — the queue
+            # dump of src/ha.c:222-266 with unlimited retention
+            # (test 206 scenario-01), the consumer misses nothing.
+            return wrote
         for family, spool, events in (
             ("bgp_daemon_msglog", self.bgp_spool, self._bgp_event_stream),
             ("bmp_daemon_msglog", self.bmp_spool, self._bmp_event_stream),

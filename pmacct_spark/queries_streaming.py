@@ -1046,18 +1046,26 @@ def stream_dedup_minhash(spark, sf_dir):
     )
     stream, d = two_microbatch_source(corpus)
     versions: list[str] = []
+    band_paths: list[str] = []
 
     def upsert_owners(batch_df, batch_id: int) -> None:
-        # codegen band pipeline per micro-batch, then min-merge into
-        # the compacted owner table (read-prev -> union -> min ->
-        # write-next: an atomic versioned swap, the MERGE shape)
-        bands = band_keys_long(
+        # codegen band pipeline ONCE per micro-batch: the batch's band
+        # table lands as parquet (the near-dup index a production
+        # ingest keeps anyway), is read back for the owner min-merge
+        # (read-prev -> union -> min -> write-next: an atomic
+        # versioned swap, the MERGE shape), and later feeds the flags
+        # join — no second signature pass over the corpus
+        spark_b = batch_df.sparkSession
+        bp = os.path.join(d, f"bands_v{batch_id}")
+        band_keys_long(
             minhash_signature(batch_df, "doc_id", "text"), "doc_id"
-        ).select(F.col("doc_id").alias("owner"), "bidx", "bk")
+        ).write.mode("overwrite").parquet(bp)
+        band_paths.append(bp)
+        bands = spark_b.read.parquet(bp).select(
+            F.col("doc_id").alias("owner"), "bidx", "bk"
+        )
         if versions:
-            bands = bands.unionByName(
-                batch_df.sparkSession.read.parquet(versions[-1])
-            )
+            bands = bands.unionByName(spark_b.read.parquet(versions[-1]))
         merged = bands.groupBy("bidx", "bk").agg(
             F.min("owner").alias("owner")
         )
@@ -1072,15 +1080,13 @@ def stream_dedup_minhash(spark, sf_dir):
         .start()
     )
     q.awaitTermination()
-    # lift the final state out of the scratch dir before removing it
+    # lift the final state + band index out of the scratch dir before
+    # removing it
     owners = stage(spark.read.parquet(versions[-1]))
+    all_bands = stage(spark.read.parquet(*band_paths))
     shutil.rmtree(d, ignore_errors=True)
-    corpus_batch = docs.unionByName(variants)
     flags = (
-        band_keys_long(
-            minhash_signature(corpus_batch, "doc_id", "text"), "doc_id"
-        )
-        .join(F.broadcast(owners), ["bidx", "bk"])
+        all_bands.join(F.broadcast(owners), ["bidx", "bk"])
         .groupBy("doc_id")
         .agg(F.min("owner").alias("min_owner"))
     )

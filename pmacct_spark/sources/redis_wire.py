@@ -419,3 +419,182 @@ class RedisPresence:
                         f"reply='{exc}'"
                     )
             self._stop.wait(self.refresh_secs)
+
+
+class BmpBgpHa:
+    """BMP/BGP high-availability election over redis (reference
+    src/ha.c + docs/README_BGP_BMP_HA.md; tests 206/303/402): every
+    collector in <cluster_name, cluster_id> publishes its STARTUP
+    timestamp (microseconds) under
+    ``{cluster}+{id}+{name}+ha_daemon_startup_time`` with a short TTL
+    every second; a daemon is ACTIVE iff no peer advertises a SMALLER
+    (older) timestamp — oldest collector wins, and when it dies its
+    key expires so the next-oldest takes over within ~TTL seconds
+    (bmp_bgp_ha_redis_check_daemon_state, src/ha.c:269-289).
+
+    Signal surface mirrored as methods: set_to_active / set_to_standby
+    (forced mode — election suspended, src/ha.c:365-376), set_to_normal
+    (back to timestamp-based), regenerate_timestamp (re-stamp NOW, i.e.
+    voluntarily yield leadership, src/ha.c:358).
+
+    Redis outage is non-fatal: the last elected state holds, a WARN is
+    recorded, and the dial retries at 1/s (the daemon never stops
+    collecting — reference test 901 semantics apply here too).
+
+    ``on_activate`` fires on every standby->active transition — the
+    engine's analogue of the reference's queue dump (src/ha.c:222-266):
+    the daemon's msglog render replays the full session history from
+    the spool, so the new active re-emits everything the consumer
+    might have missed (the reference's scenario-01 'unlimited queue'
+    retention shape)."""
+
+    KEY_ID = "ha_daemon_startup_time"
+
+    def __init__(
+        self,
+        host: str,
+        port: int,
+        cluster_name: str,
+        cluster_id: int = 0,
+        name: str = "default",
+        startup_us: int | None = None,
+        exp_time: int = PM_REDIS_DEFAULT_EXP_TIME,
+        refresh_secs: float = PM_REDIS_DEFAULT_REFRESH_TIME,
+        passwd: str | None = None,
+        on_activate=None,
+    ):
+        self.host, self.port = host, port
+        self.cluster_name, self.cluster_id = cluster_name, int(cluster_id)
+        self.name = name
+        self.startup_us = (
+            int(time.time() * 1_000_000) if startup_us is None
+            else int(startup_us)
+        )
+        self.exp_time, self.refresh_secs = int(exp_time), float(refresh_secs)
+        self.passwd = passwd
+        self.on_activate = on_activate
+        self.forwarding = False  # elected state (bmp_bgp_forwarding)
+        self.forced_mode = False
+        self.transitions = 0
+        self.warnings: list[str] = []
+        self.last_error: Exception | None = None
+        self._cli: RespClient | None = None
+        self._last_dial = 0.0
+        self._stop = threading.Event()
+        self._thread: threading.Thread | None = None
+
+    # --- the reference's signal handlers, as methods ----------------
+    def set_to_active(self) -> None:
+        self.forced_mode = True
+        self._set_state(True)
+
+    def set_to_standby(self) -> None:
+        self.forced_mode = True
+        self._set_state(False)
+
+    def set_to_normal(self) -> None:
+        self.forced_mode = False
+
+    def regenerate_timestamp(self) -> None:
+        self.startup_us = int(time.time() * 1_000_000)
+
+    def start(self) -> "BmpBgpHa":
+        self._thread = threading.Thread(target=self._loop, daemon=True)
+        self._thread.start()
+        return self
+
+    def stop(self) -> None:
+        self._stop.set()
+        if self._thread is not None:
+            self._thread.join(timeout=10)
+            self._thread = None
+        if self._cli is not None:
+            self._cli.close()
+            self._cli = None
+
+    def _set_state(self, active: bool) -> None:
+        if active and not self.forwarding:
+            self.transitions += 1
+            if self.on_activate is not None:
+                self.on_activate()
+        self.forwarding = active
+
+    def _key(self) -> str:
+        s = PM_REDIS_DEFAULT_SEP
+        return (
+            f"{self.cluster_name}{s}{self.cluster_id}{s}"
+            f"{self.name}{s}{self.KEY_ID}"
+        )
+
+    def _pattern(self) -> str:
+        s = PM_REDIS_DEFAULT_SEP
+        return f"{self.cluster_name}{s}{self.cluster_id}{s}*{self.KEY_ID}"
+
+    def _dial(self) -> bool:
+        now = time.monotonic()
+        if now - self._last_dial < PM_REDIS_DEFAULT_CONN_RETRY:
+            return False
+        self._last_dial = now
+        try:
+            cli = RespClient(self.host, self.port, timeout=3.0)
+            if self.passwd:
+                cli.command("AUTH", self.passwd)
+            cli.command("PING")
+        except (ConnectionError, OSError, RedisReplyError) as exc:
+            self.last_error = exc
+            self.warnings.append(
+                f"WARN ( {self.name}/ha/redis ): "
+                f"Can't connect to redis server: {exc}"
+            )
+            return False
+        if self._cli is not None:
+            self._cli.close()
+        self._cli = cli
+        return True
+
+    def _tick(self) -> None:
+        cli = self._cli
+        if cli is None:
+            return
+        cli.command(
+            "SETEX", self._key(), self.exp_time, str(self.startup_us)
+        )
+        if self.forced_mode:
+            return
+        keys = cli.command("KEYS", self._pattern()) or []
+        active = True
+        for k in keys:
+            v = cli.command("GET", k)
+            if v is None:
+                continue
+            try:
+                ts = int(v)
+            except ValueError:
+                continue
+            if ts < self.startup_us:
+                active = False  # an older daemon owns the cluster
+                break
+        self._set_state(active)
+
+    def _loop(self) -> None:
+        while not self._stop.is_set():
+            if self._cli is None:
+                self._dial()
+            if self._cli is not None:
+                try:
+                    self._tick()
+                except (ConnectionError, OSError) as exc:
+                    # outage: hold the last elected state (the
+                    # reference keeps daemon_state), warn, re-dial
+                    self.last_error = exc
+                    self.warnings.append(
+                        f"WARN ( {self.name}/ha/redis ): "
+                        f"Can't connect to redis server: {exc}"
+                    )
+                    self._cli.close()
+                    self._cli = None
+                except RedisReplyError as exc:
+                    self.warnings.append(
+                        f"WARN ( {self.name}/ha/redis ): reply='{exc}'"
+                    )
+            self._stop.wait(self.refresh_secs)

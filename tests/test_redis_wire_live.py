@@ -155,3 +155,130 @@ aggregate[acct]: proto
         if d is not None:
             d.stop()
         srv.stop()
+
+
+def test_ha_election_oldest_wins_and_failover():
+    """BMP/BGP HA (reference src/ha.c): the oldest-started collector
+    in the cluster is ACTIVE; when it dies its timestamp key expires
+    and the next-oldest takes over within ~TTL; forced modes suspend
+    the election."""
+    srv = MiniRedisServer().start()
+    a = b = None
+    try:
+        from pmacct_spark.sources.redis_wire import BmpBgpHa
+
+        a = BmpBgpHa(srv.host, srv.port, "ha-clu", 0, name="colA",
+                     startup_us=1_000, refresh_secs=0.1,
+                     exp_time=1).start()
+        b = BmpBgpHa(srv.host, srv.port, "ha-clu", 0, name="colB",
+                     startup_us=2_000, refresh_secs=0.1,
+                     exp_time=1).start()
+        assert _wait(lambda: a.forwarding and not b.forwarding, timeout=5)
+        # forced standby on A -> does NOT hand over (B still sees A's
+        # smaller timestamp; forcing is per-daemon, src/ha.c:371)
+        a.set_to_standby()
+        time.sleep(0.3)
+        assert not a.forwarding and not b.forwarding
+        a.set_to_normal()
+        assert _wait(lambda: a.forwarding, timeout=5)
+        # failover: A dies -> its key expires -> B elected
+        a.stop()
+        a = None
+        assert _wait(lambda: b.forwarding, timeout=10)
+        assert b.transitions >= 1
+    finally:
+        for x in (a, b):
+            if x is not None:
+                x.stop()
+        srv.stop()
+
+
+def test_daemon_bmp_ha_standby_holds_then_replays(spark, tmp_path):
+    """Reference test 206 (BMP high availability): two collectors fed
+    the same BMP session; only the ACTIVE one emits msglog; when it
+    dies the standby takes over and its FIRST emission replays the
+    session history received while standby — the queue-dump
+    continuity of src/ha.c:222-266 (scenario-01 unlimited
+    retention)."""
+    import json
+    import socket
+
+    from pmacct_spark.daemon import Daemon
+    from tests.test_msglog import _bgp_update, _bmp_msg
+
+    srv = MiniRedisServer().start()
+    da = db = None
+    try:
+        def mk(tag: str) -> Daemon:
+            return Daemon.from_conf(
+                spark,
+                f"""
+nfacctd_port: 0
+bmp_daemon: true
+bmp_daemon_port: 0
+bmp_daemon_ha: true
+bmp_daemon_ha_cluster_name: nfacctd-bmp-ha
+redis_host: 127.0.0.1:{srv.port}
+cluster_name: nfacctd-bmp-loc-{tag}
+core_proc_name: {tag}
+bmp_daemon_msglog_file: {tmp_path / (tag + ".log")}
+plugins: memory[routes]
+aggregate[routes]: as_path
+""",
+                spool_dir=str(tmp_path / f"spool_{tag}"),
+            )
+
+        da = mk("colA")
+        da.ha.refresh_secs = 0.1
+        db = mk("colB")
+        db.ha.refresh_secs = 0.1
+        assert _wait(lambda: da.ha.forwarding and not db.ha.forwarding,
+                     timeout=10)
+
+        # routers dual-feed both collectors (the reference topology)
+        peer = 0xC0000205
+        msgs = (
+            _bmp_msg(3, peer, 64500)
+            + _bmp_msg(0, peer, 64500, _bgp_update([], [(0x0A010000, 16)]))
+            + _bmp_msg(2, peer, 64500)
+        )
+        for port in (da.bmp_port, db.bmp_port):
+            c = socket.socket(socket.AF_INET, socket.SOCK_STREAM)
+            c.connect(("127.0.0.1", port))
+            c.sendall(msgs)
+            c.close()
+        # messages_spooled counts flush units, not messages: one TCP
+        # segment can land as a single flush — wait for any spool
+        # activity on both, then settle
+        assert _wait(lambda: da.bmp_spool.messages_spooled >= 1
+                     and db.bmp_spool.messages_spooled >= 1)
+        time.sleep(1.0)
+        assert da.write_msglog_if_configured() != []   # ACTIVE emits
+        assert db.write_msglog_if_configured() == []   # STANDBY holds
+        assert not (tmp_path / "colB.log").exists()
+
+        # ACTIVE dies -> standby takes over within ~TTL
+        da.stop()
+        da = None
+        assert _wait(lambda: db.ha.forwarding, timeout=15)
+        assert db.write_msglog_if_configured() != []
+        import pathlib
+
+        events = []
+        for f in pathlib.Path(tmp_path / "colB.log").rglob("*.txt"):
+            events += [
+                json.loads(ln)
+                for ln in f.read_text().splitlines()
+                if ln.strip()
+            ]
+        types = sorted(e["event_type"] for e in events)
+        # full session replay: peer-up AND the route received while
+        # standby (+ log_close if the tcp session ended)
+        assert "log_init" in types and "log" in types
+        upd = next(e for e in events if e["event_type"] == "log")
+        assert upd["ip_prefix"] == "10.1.0.0/16"
+    finally:
+        for x in (da, db):
+            if x is not None:
+                x.stop()
+        srv.stop()
