@@ -1160,6 +1160,11 @@ class Daemon:
             for c in ("port_src", "port_dst"):
                 if c in df.columns:
                     df = apply_allowlist(df, c, allowed)
+        if self.conf.getbool("tos_encode_as_dscp") and "tos" in df.columns:
+            # tos_encode_as_dscp (CONFIG-KEYS): carry the 6 DSCP bits
+            # as the tos primitive — tos_file then lists DSCP values
+            # (its documented interplay)
+            df = df.withColumn("tos", F.expr("tos DIV 4"))
         for key, col in (("protos_file", "ip_proto"), ("tos_file", "tos")):
             # protos_file / tos_file bucket unlisted values as 255
             # 'others' (load_protos/load_tos,
@@ -1380,8 +1385,29 @@ class Daemon:
                 path = self.conf.get("print_output_file", name)
                 fmt = self.conf.get("print_output", name, "csv")
                 if path:
+                    emit = out
+                    if self.conf.getbool("timestamps_rfc9557", name):
+                        # timestamps_rfc9557 (+ timestamps_utc implied
+                        # for this engine's naive-UTC timestamps,
+                        # CONFIG-KEYS:1698): render every timestamp
+                        # column 'T'-separated with the numeric zone
+                        # offset (compose_timestamp, src/util.c:2550)
+                        from pmacct_spark.functions.presentation import (
+                            timestamp_render_sql,
+                        )
+
+                        for fld in emit.schema.fields:
+                            if str(fld.dataType).startswith("Timestamp"):
+                                emit = emit.withColumn(
+                                    fld.name,
+                                    F.expr(
+                                        timestamp_render_sql(
+                                            fld.name, rfc9557=True
+                                        )
+                                    ),
+                                )
                     write_print(
-                        out, path, fmt=fmt,
+                        emit, path, fmt=fmt,
                         latest_file=self.conf.get("print_latest_file", name),
                         markers=self.conf.getbool("print_markers", name),
                     )

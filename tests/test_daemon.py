@@ -768,11 +768,14 @@ def test_daemon_protos_file_and_tos_file(spark, tmp_path):
     protos = tmp_path / "protos.lst"
     protos.write_text("! keep tcp by name, icmp by number\ntcp\n1\n")
     tosf = tmp_path / "tos.lst"
-    tosf.write_text("32\n")  # v5 records carry tos 0 -> others
+    # tos_encode_as_dscp: the list holds DSCP values (CONFIG-KEYS
+    # interplay) — 46 = EF keeps wire tos 184; wire tos 0 -> others
+    tosf.write_text("46\n")
     conf = f"""
 nfacctd_port: 0
 protos_file: {protos}
 tos_file: {tosf}
+tos_encode_as_dscp: true
 plugins: memory[m]
 aggregate[m]: proto, tos
 """
@@ -781,7 +784,8 @@ aggregate[m]: proto, tos
         send_datagrams(
             [_v5_datagram(1, [
                 {"src": 0x0A010101, "dst": 0x0B020202, "pkts": 1,
-                 "bytes": 100, "sport": 5, "dport": 443, "proto": 6},
+                 "bytes": 100, "sport": 5, "dport": 443, "proto": 6,
+                 "tos": 184},  # EF: DSCP 46, listed -> kept as 46
                 {"src": 0x0A010102, "dst": 0x0B020203, "pkts": 1,
                  "bytes": 50, "sport": 53, "dport": 53, "proto": 17},
             ])],
@@ -795,8 +799,8 @@ aggregate[m]: proto, tos
         d.stop()
     got = {(r["proto"], r["tos"]): r["bytes"] for r in out}
     assert got == {
-        (6, 255): 100,    # tcp listed by name; tos 0 unlisted -> others
-        (255, 255): 50,   # udp unlisted -> proto others
+        (6, 46): 100,     # tcp listed by name; DSCP 46 listed -> kept
+        (255, 255): 50,   # udp unlisted -> others; DSCP 0 -> others
     }
 
 
@@ -1658,3 +1662,47 @@ sql_history[routes]: 5m
     finally:
         d.stop()
     assert got == {"65000 65088": 111}
+
+
+def test_daemon_print_timestamps_rfc9557(spark, tmp_path):
+    """timestamps_rfc9557 (CONFIG-KEYS:1698): print-plugin timestamp
+    columns render 'T'-separated with the numeric zone offset
+    (compose_timestamp, reference src/util.c:2550-2583)."""
+    import csv as _csv
+    import pathlib
+    import re
+
+    out_dir = tmp_path / "rfc9557_csv"
+    conf = f"""
+nfacctd_port: 0
+timestamps_rfc9557: true
+plugins: print[p]
+aggregate[p]: proto
+print_history[p]: 5m
+print_output[p]: csv
+print_output_file[p]: {out_dir}
+"""
+    d = Daemon.from_conf(spark, conf, spool_dir=str(tmp_path / "spool9557"))
+    try:
+        send_datagrams(
+            [_v5_datagram(1, [
+                {"src": 0x0A010101, "dst": 0x0B020202, "pkts": 1,
+                 "bytes": 100, "sport": 5, "dport": 443, "proto": 6},
+            ])],
+            "127.0.0.1", d.port,
+        )
+        t0 = time.monotonic()
+        while d.spool.datagrams_received < 1 and time.monotonic() - t0 < 15:
+            time.sleep(0.05)
+        d.run_available()
+    finally:
+        d.stop()
+    rows = []
+    for f in pathlib.Path(out_dir).glob("*.csv"):
+        with open(f) as fh:
+            rows += list(_csv.DictReader(fh))
+    assert rows, "print csv missing"
+    stamp = rows[0]["stamp_inserted"]
+    assert re.fullmatch(
+        r"\d{4}-\d{2}-\d{2}T\d{2}:\d{2}:\d{2}\+00:00", stamp
+    ), stamp

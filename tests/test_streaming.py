@@ -119,7 +119,7 @@ def _v5_datagram(seqno: int, recs: list[dict]) -> bytes:
             r["src"], r["dst"], 0, 1, 2, r["pkts"], r["bytes"],
             sysuptime - 5000, sysuptime - 1000,
             r["sport"], r["dport"], 0, r.get("flags", 16), r.get("proto", 6),
-            0, 64500, 64501, 24, 24, 0,
+            r.get("tos", 0), 64500, 64501, 24, 24, 0,
         )
     return hdr + body
 
