@@ -54,6 +54,7 @@ _DRIVER_WINDOW = [
     "tos_dictionary",
     "presentation_tcpflags_timestamps",
     "stream_dedup_minhash",
+    "ann_recall_ivfpq_vs_brute",
     # ROUND-10 ROTATION (VERDICT r9 "Next round #1"): fill the window
     # with the STALE TAIL — every query whose newest driver row is r3
     # or r4, plus as many of the 44 r5-era queries as fit. After this
@@ -64,20 +65,21 @@ _DRIVER_WINDOW = [
     "ann_ivf_topk", "bgp_wire_rib_lookup", "dedup_exact",
     "rpki_roa_validation", "telemetry_json_metrics", "tpch_q1_pricing",
     "v9_wire_loop_agg",
-    # r5-era (35 of 44; the 9 left at r5 are those whose operator is
+    # r5-era (34 of 44; the 10 left at r5 are those whose operator is
     # also sampled by a same-family r9/r10 row: agg_stitching ->
     # agg_stitching_secs, geoip_country -> geoip_pocode_coords,
     # lpm_networks_src_as -> lpm_networks_knobs + lpm_range_strategy,
     # hist_5m_proto -> stream_hist_5m_proto + hist_5m_multiwindow,
-    # hist_month -> hist_1d_roundoff_w, topn_bytes ->
-    # client_topn_packets, custom_primitive_agg -> custom_wire_loop,
-    # preprocess_having -> preprocess_actions, window_rank_users ->
-    # salted_skew_agg's window family):
+    # hist_month -> hist_1d_roundoff_w, hist_sliding_10m_5m ->
+    # hist_5m_prorate, topn_bytes -> client_topn_packets,
+    # custom_primitive_agg -> custom_wire_loop, preprocess_having ->
+    # preprocess_actions, window_rank_users -> salted_skew_agg's
+    # window family):
     "agg_none_total", "agg_tcpflags_bitor", "aggregate_filter_tcp443",
     "ann_ivf_pq_topk", "as_of_sampling_rate", "bgp6_wire_rib_lookup",
     "bmp_wire_peer_down_rib", "conntrack_correlate", "custom_wire_loop",
     "decontaminate_benchmark_overlap", "dedup_cc_clusters",
-    "fss_smart_sampling", "hist_5m_prorate", "hist_sliding_10m_5m",
+    "fss_smart_sampling", "hist_5m_prorate",
     "hybrid_bm25_vector_rrf", "lpm6_networks_src_as",
     "mixed_wire_loop_agg", "ports_dictionary", "pretag_rules",
     "rpki_overlap_validation", "salted_skew_agg", "sampling_map_renorm",
