@@ -1085,8 +1085,12 @@ def stream_dedup_minhash(spark, sf_dir):
     owners = stage(spark.read.parquet(versions[-1]))
     all_bands = stage(spark.read.parquet(*band_paths))
     shutil.rmtree(d, ignore_errors=True)
+    # no broadcast hint: the owner table grows with the corpus's
+    # distinct band buckets (<= 8/doc) — AQE broadcasts it while it
+    # fits and degrades to a shuffle join when it doesn't (the same
+    # no-SF-linear-broadcast rule as the relational queries)
     flags = (
-        all_bands.join(F.broadcast(owners), ["bidx", "bk"])
+        all_bands.join(owners, ["bidx", "bk"])
         .groupBy("doc_id")
         .agg(F.min("owner").alias("min_owner"))
     )
