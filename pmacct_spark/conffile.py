@@ -130,7 +130,18 @@ def channels(conf: Conf) -> dict[str, PluginConfig]:
     for _ptype, name in conf.plugins or [("memory", "default")]:
         agg = conf.get("aggregate", name, "")
         cfg = PluginConfig(
-            aggregate=[a.strip() for a in agg.split(",") if a.strip()],
+            # the reference's `aggregate` token for the TCP-flags
+            # primitive is `tcpflags`; the registry (like the JSON
+            # output vocabulary) uses tcp_flags — translate here so
+            # reference configs work verbatim
+            aggregate=[
+                {"tcpflags": "tcp_flags",
+                 "tunnel_tcpflags": "tunnel_tcpflags"}.get(
+                    a.strip(), a.strip()
+                )
+                for a in agg.split(",")
+                if a.strip()
+            ],
             history=_typed(conf, name, "history", _ptype),
             history_roundoff=_typed(conf, name, "history_roundoff", _ptype),
             pro_rating=_daemon_bool("pro_rating", name),

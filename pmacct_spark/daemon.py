@@ -1386,6 +1386,11 @@ class Daemon:
                 fmt = self.conf.get("print_output", name, "csv")
                 if path:
                     emit = out
+                    if fmt in ("json", "avro"):
+                        # encode-as toggles apply to JSON/Avro only
+                        # (CONFIG-KEYS: "no effects for other
+                        # encodings", e.g. tcpflags_encode_as_array)
+                        emit = self._apply_encode_toggles(emit, name)
                     if self.conf.getbool("timestamps_rfc9557", name):
                         # timestamps_rfc9557 (+ timestamps_utc implied
                         # for this engine's naive-UTC timestamps,
@@ -1408,6 +1413,15 @@ class Daemon:
                                 )
                     write_print(
                         emit, path, fmt=fmt,
+                        # print_output_file_append (CONFIG-KEYS): purges
+                        # accumulate instead of replacing the file set
+                        mode=(
+                            "append"
+                            if self.conf.getbool(
+                                "print_output_file_append", name
+                            )
+                            else "overwrite"
+                        ),
                         latest_file=self.conf.get("print_latest_file", name),
                         markers=self.conf.getbool("print_markers", name),
                     )
@@ -1415,6 +1429,56 @@ class Daemon:
         self.dump_rib_if_configured()
         self.write_msglog_if_configured()
         return results
+
+    def _apply_encode_toggles(self, df: DataFrame, plugin: str) -> DataFrame:
+        """The encode-as output toggles (CONFIG-KEYS; JSON handlers
+        src/plugin_cmn_json.c:365-392): rewrite the affected columns
+        for JSON/Avro sinks when the corresponding key is set. Pure
+        per-row expressions from functions/presentation — the same
+        dual-rendered builders the gated presentation queries hash."""
+        from pmacct_spark.functions.presentation import (
+            comms_array_sql,
+            fwd_status_str_sql,
+            mpls_stack_array_sql,
+            tcp_flags_array_sql,
+        )
+
+        def on(key: str) -> bool:
+            return self.conf.getbool(key, plugin)
+
+        toggles: list[tuple[str, str, str]] = []
+        if on("tcpflags_encode_as_array"):
+            toggles.append(
+                ("tcp_flags", "tcp_flags", tcp_flags_array_sql("tcp_flags"))
+            )
+        if on("fwd_status_encode_as_string"):
+            toggles.append(
+                ("fwd_status", "fwd_status", fwd_status_str_sql("fwd_status"))
+            )
+        if on("mpls_label_stack_encode_as_array"):
+            toggles.append(
+                (
+                    "mpls_label_stack",
+                    "mpls_label_stack",
+                    mpls_stack_array_sql("mpls_label_stack"),
+                )
+            )
+        # (tos_encode_as_dscp is applied at the PRIMITIVE level in
+        # _maps — before aggregation and the tos_file dictionary — so
+        # the output already carries DSCP; re-shifting here would
+        # double-apply)
+        if on("bgp_comms_encode_as_array"):
+            num = self.conf.get("bgp_comms_num", plugin)
+            for c in ("std_comm", "ext_comm", "lrg_comm"):
+                toggles.append(
+                    (c, c, comms_array_sql(c, int(num) if num else None))
+                )
+        if on("as_path_encode_as_array"):
+            toggles.append(("as_path", "as_path", comms_array_sql("as_path")))
+        for col, out_col, sql in toggles:
+            if col in df.columns:
+                df = df.withColumn(out_col, F.expr(sql))
+        return df
 
     def dump_rib_if_configured(self) -> str | None:
         """Write a periodic RIB table dump when bgp_table_dump_file is

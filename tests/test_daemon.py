@@ -1706,3 +1706,47 @@ print_output_file[p]: {out_dir}
     assert re.fullmatch(
         r"\d{4}-\d{2}-\d{2}T\d{2}:\d{2}:\d{2}\+00:00", stamp
     ), stamp
+
+
+def test_daemon_print_json_encode_toggles(spark, tmp_path):
+    """tcpflags_encode_as_array on the print JSON path (CONFIG-KEYS:
+    1727 — array for JSON/Avro encodings only; golden example
+    tests/100 'tcp_flags': []): the aggregated bit-OR renders as the
+    URG..FIN-ordered name array; print_output_file_append accumulates
+    across purges instead of replacing."""
+    import json as _json
+    import pathlib
+
+    out_dir = tmp_path / "enc_json"
+    conf = f"""
+nfacctd_port: 0
+tcpflags_encode_as_array: true
+plugins: print[p]
+aggregate[p]: proto, tcpflags
+print_history[p]: 5m
+print_output[p]: json
+print_output_file[p]: {out_dir}
+print_output_file_append[p]: true
+"""
+    d = Daemon.from_conf(spark, conf, spool_dir=str(tmp_path / "spoolENC"))
+    try:
+        send_datagrams(
+            [_v5_datagram(1, [
+                {"src": 0x0A010101, "dst": 0x0B020202, "pkts": 1,
+                 "bytes": 100, "sport": 5, "dport": 443, "proto": 6,
+                 "flags": 18},  # SYN+ACK
+            ])],
+            "127.0.0.1", d.port,
+        )
+        t0 = time.monotonic()
+        while d.spool.datagrams_received < 1 and time.monotonic() - t0 < 15:
+            time.sleep(0.05)
+        d.run_available()
+        d.run_available()  # append mode: second purge accumulates
+    finally:
+        d.stop()
+    rows = []
+    for f in pathlib.Path(out_dir).glob("*.json"):
+        rows += [_json.loads(ln) for ln in f.read_text().splitlines()]
+    assert len(rows) == 2  # append kept both purges
+    assert all(r["tcp_flags"] == ["ACK", "SYN"] for r in rows)
