@@ -202,12 +202,24 @@ class Daemon:
                 with open(str(md5_path)) as f:
                     md5_keys = conffile.parse_bgp_md5_file(f.read())
             mp = conf.get("bgp_daemon_max_peers")
+            las = conf.get("bgp_daemon_as")
             bgp_spool = TcpSpool(
                 framing="bgp",
                 host=str(conf.get("bgp_daemon_ip", default=host) or host),
                 port=int(conf.get("bgp_daemon_port", default=0) or 0),
                 md5_keys=md5_keys,
                 max_peers=int(mp) if mp else None,
+                # passive speaker side (reference src/bgp/bgp_msg.c):
+                # OPEN reply mirrors the peer's AS unless bgp_daemon_as
+                # pins one; Router-ID from bgp_daemon_id, else
+                # bgp_daemon_ip, else 1.2.3.4
+                speaker={
+                    "local_as": int(las) if las else None,
+                    "router_id": conf.get(
+                        "bgp_daemon_id",
+                        default=conf.get("bgp_daemon_ip"),
+                    ),
+                },
             ).start()
         if conf.getbool("bmp_daemon"):  # the pmbmpd flavor
             from pmacct_spark.sources.tcp import TcpSpool

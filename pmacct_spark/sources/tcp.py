@@ -164,6 +164,120 @@ def complete_prefix_cisco(buf: bytes) -> int:
     return off
 
 
+_BGP_MARKER = b"\xff" * 16
+_BGP_KEEPALIVE = _BGP_MARKER + (19).to_bytes(2, "big") + b"\x04"
+
+
+class BgpSpeaker:
+    """The collector's passive BGP speaker side (reference
+    src/bgp/bgp_msg.c bgp_parse_msg: OPEN -> OPEN reply + KEEPALIVE,
+    KEEPALIVE -> KEEPALIVE reply; CONFIG-KEYS bgp_daemon_as /
+    bgp_daemon_id):
+
+    - the OPEN reply mirrors the peer's AS (iBGP) unless ``local_as``
+      (bgp_daemon_as) pins an explicit Local AS (eBGP);
+    - Router-ID is ``router_id`` (bgp_daemon_id) when a valid IPv4,
+      else the listener address, else the reference's "1.2.3.4";
+    - capabilities are the SAME-OR-SUBSET echo: MP-BGP (1) and
+      ADD-PATH (69) copied from the peer, 4-byte-AS (65) rewritten to
+      carry OUR AS, anything else dropped;
+    - holdtime echoes the peer's.
+
+    Stateless per-connection scanner: ``feed(chunk)`` returns the
+    reply frames to send. It never consumes the session buffer the
+    spool walks — it keeps its own."""
+
+    def __init__(self, local_as: int | None = None,
+                 router_id: str | None = None, fallback_ip: str = ""):
+        import ipaddress as _ip
+
+        self.local_as = int(local_as) if local_as else None
+        rid = None
+        for cand in (router_id, fallback_ip, "1.2.3.4"):
+            try:
+                a = _ip.ip_address(str(cand))
+                if a.version == 4 and int(a):
+                    rid = a
+                    break
+            except ValueError:
+                continue
+        self.router_id = rid.packed
+        self.sent_open = False
+        self._buf = b""
+
+    def feed(self, chunk: bytes) -> list[bytes]:
+        self._buf += chunk
+        out: list[bytes] = []
+        while len(self._buf) >= 19:
+            if self._buf[:16] != _BGP_MARKER:
+                self._buf = b""  # desynced: stop replying, keep spooling
+                break
+            ln = int.from_bytes(self._buf[16:18], "big")
+            if ln < 19 or len(self._buf) < ln:
+                break
+            mtype = self._buf[18]
+            body = self._buf[19:ln]
+            if mtype == 1 and not self.sent_open:
+                out.append(self._open_reply(body))
+                out.append(_BGP_KEEPALIVE)
+                self.sent_open = True
+            elif mtype == 4:
+                out.append(_BGP_KEEPALIVE)
+            self._buf = self._buf[ln:]
+        return out
+
+    def _open_reply(self, peer_open_body: bytes) -> bytes:
+        peer_as = holdtime = 0
+        caps: list[tuple[int, bytes]] = []
+        if len(peer_open_body) >= 10:
+            peer_as = int.from_bytes(peer_open_body[1:3], "big")
+            holdtime = int.from_bytes(peer_open_body[3:5], "big")
+            optlen = peer_open_body[9]
+            opts = peer_open_body[10:10 + optlen]
+            i = 0
+            while i + 2 <= len(opts):
+                ptype, plen = opts[i], opts[i + 1]
+                pval = opts[i + 2:i + 2 + plen]
+                i += 2 + plen
+                if ptype != 2:  # capabilities only
+                    continue
+                j = 0
+                while j + 2 <= len(pval):
+                    code, clen = pval[j], pval[j + 1]
+                    caps.append((code, pval[j + 2:j + 2 + clen]))
+                    j += 2 + clen
+            # the peer may carry AS_TRANS in the header with the real
+            # AS in capability 65
+            for code, val in caps:
+                if code == 65 and len(val) == 4 and peer_as == 23456:
+                    peer_as = int.from_bytes(val, "big")
+        my_as = self.local_as if self.local_as is not None else (
+            peer_as or 23456
+        )
+        out_caps = b""
+        sent_as4 = False
+        for code, val in caps:
+            if code == 65:
+                val = my_as.to_bytes(4, "big")
+                sent_as4 = True
+            elif code not in (1, 69):  # MP-BGP / ADD-PATH echoed
+                continue
+            out_caps += bytes([code, len(val)]) + val
+        if not sent_as4 and my_as > 65535:
+            out_caps += bytes([65, 4]) + my_as.to_bytes(4, "big")
+        opt = bytes([2, len(out_caps)]) + out_caps if out_caps else b""
+        body = (
+            bytes([4])
+            + (my_as if my_as < 65536 else 23456).to_bytes(2, "big")
+            + holdtime.to_bytes(2, "big")
+            + self.router_id
+            + bytes([len(opt)])
+            + opt
+        )
+        ln = 19 + len(body)
+        return _BGP_MARKER + ln.to_bytes(2, "big") + b"\x01" + body
+
+
 _FRAMERS = {
     "bgp": complete_prefix_bgp,
     "bmp": complete_prefix_bmp,
@@ -193,7 +307,12 @@ class TcpSpool:
         md5_keys: dict[str, bytes] | None = None,
         proxy_header: bool = False,
         max_peers: int | None = None,
+        speaker: dict | None = None,
     ):
+        # BGP speaker side (OPEN reply + KEEPALIVEs, bgp_daemon_as /
+        # bgp_daemon_id): kwargs for a per-connection BgpSpeaker;
+        # None = receive-only (BMP, tests)
+        self.speaker_conf = speaker
         # bgp_daemon_max_peers / bmp_daemon_max_peers (CONFIG-KEYS:
         # 2787): hard cap on CONCURRENT peer sessions; connections
         # beyond it are refused (closed on accept), like the
@@ -325,6 +444,11 @@ class TcpSpool:
     ) -> None:
         conn.settimeout(0.2)
         buf = b""
+        speaker = (
+            BgpSpeaker(fallback_ip=self.host, **self.speaker_conf)
+            if self.speaker_conf is not None
+            else None
+        )
         # PROXY protocol: resolve the real peer identity from the
         # first bytes before anything is spooled under the LB's address
         proxy_pending = self.proxy_header
@@ -342,6 +466,14 @@ class TcpSpool:
                     if not chunk:
                         closed = True
                     buf += chunk
+                    if speaker is not None and chunk:
+                        try:
+                            for reply in speaker.feed(chunk):
+                                conn.sendall(reply)
+                        except OSError:
+                            # peer closed its read side: keep spooling
+                            # what it already sent, stop replying
+                            speaker = None
                 except socket.timeout:
                     pass
                 if proxy_pending and buf:

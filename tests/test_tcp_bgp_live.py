@@ -571,3 +571,82 @@ sql_history[acct]: 5m
         assert _wait(lambda: d.bgp_spool.messages_spooled >= 1)
     finally:
         d.stop()
+
+
+def test_bgp_open_reply_and_keepalive(spark, tmp_path):
+    """The collector's passive speaker side (reference
+    src/bgp/bgp_msg.c; CONFIG-KEYS bgp_daemon_as / bgp_daemon_id): on
+    the peer's OPEN it replies OPEN + KEEPALIVE — Local AS pinned by
+    bgp_daemon_as (eBGP), Router-ID from bgp_daemon_id, the peer's
+    4-byte-AS capability rewritten to carry OUR AS — and echoes
+    KEEPALIVEs so a real router holds the session up."""
+    import socket
+    import struct
+
+    from pmacct_spark.daemon import Daemon
+
+    conf = """
+nfacctd_port: 0
+bgp_daemon: true
+bgp_daemon_port: 0
+bgp_daemon_as: 65099
+bgp_daemon_id: 10.9.9.9
+plugins: memory[m]
+aggregate[m]: proto
+"""
+    d = Daemon.from_conf(spark, conf, spool_dir=str(tmp_path / "spoolSPK"))
+    try:
+        c = socket.create_connection(("127.0.0.1", d.bgp_port), timeout=5)
+        # peer OPEN: AS 65001, holdtime 90, router-id 10.0.0.1, caps:
+        # MP-BGP v4-unicast (1) + 4-byte-AS (65)
+        caps = bytes([1, 4, 0, 1, 0, 1]) + bytes([65, 4]) + struct.pack(
+            "!I", 65001
+        )
+        opt = bytes([2, len(caps)]) + caps
+        body = (
+            bytes([4]) + struct.pack("!HH", 65001, 90)
+            + socket.inet_aton("10.0.0.1") + bytes([len(opt)]) + opt
+        )
+        marker = b"\xff" * 16
+        c.sendall(marker + struct.pack("!H", 19 + len(body)) + b"\x01" + body)
+
+        def read_msg(sock):
+            hdr = b""
+            while len(hdr) < 19:
+                got = sock.recv(19 - len(hdr))
+                assert got, "collector closed without replying"
+                hdr += got
+            assert hdr[:16] == marker
+            ln = struct.unpack("!H", hdr[16:18])[0]
+            rest = b""
+            while len(rest) < ln - 19:
+                rest += sock.recv(ln - 19 - len(rest))
+            return hdr[18], rest
+
+        mtype, rbody = read_msg(c)
+        assert mtype == 1  # OPEN reply
+        ver, my_as, hold = rbody[0], *struct.unpack("!HH", rbody[1:5])
+        rid = socket.inet_ntoa(rbody[5:9])
+        assert (ver, my_as, hold, rid) == (4, 65099, 90, "10.9.9.9")
+        # the echoed caps carry OUR AS in capability 65
+        optlen = rbody[9]
+        opts = rbody[10:10 + optlen]
+        assert opts[0] == 2
+        cap_blob = opts[2:]
+        as4 = None
+        j = 0
+        while j + 2 <= len(cap_blob):
+            code, clen = cap_blob[j], cap_blob[j + 1]
+            if code == 65:
+                as4 = struct.unpack("!I", cap_blob[j + 2:j + 6])[0]
+            j += 2 + clen
+        assert as4 == 65099
+        mtype, _ = read_msg(c)
+        assert mtype == 4  # KEEPALIVE follows the OPEN
+        # peer KEEPALIVE -> echoed
+        c.sendall(marker + struct.pack("!H", 19) + b"\x04")
+        mtype, _ = read_msg(c)
+        assert mtype == 4
+        c.close()
+    finally:
+        d.stop()
