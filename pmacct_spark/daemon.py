@@ -220,6 +220,9 @@ class Daemon:
                         default=conf.get("bgp_daemon_ip"),
                     ),
                 },
+                # bgp_neighbors_file (CONFIG-KEYS:3066): live peer
+                # list, one per line — SNMP auto-discovery hook
+                neighbors_file=conf.get("bgp_neighbors_file"),
             ).start()
         if conf.getbool("bmp_daemon"):  # the pmbmpd flavor
             from pmacct_spark.sources.tcp import TcpSpool

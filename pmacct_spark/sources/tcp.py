@@ -308,11 +308,18 @@ class TcpSpool:
         proxy_header: bool = False,
         max_peers: int | None = None,
         speaker: dict | None = None,
+        neighbors_file: str | None = None,
     ):
         # BGP speaker side (OPEN reply + KEEPALIVEs, bgp_daemon_as /
         # bgp_daemon_id): kwargs for a per-connection BgpSpeaker;
         # None = receive-only (BMP, tests)
         self.speaker_conf = speaker
+        # bgp_neighbors_file / bmp_neighbors_file (CONFIG-KEYS:3066,
+        # write_neighbors_file src/bgp/bgp_util.c:1193): the live
+        # peer list, one address per line, rewritten on every session
+        # open/close — the SNMP auto-discovery hook
+        self.neighbors_file = neighbors_file
+        self._live_peers: dict[int, str] = {}
         # bgp_daemon_max_peers / bmp_daemon_max_peers (CONFIG-KEYS:
         # 2787): hard cap on CONCURRENT peer sessions; connections
         # beyond it are refused (closed on accept), like the
@@ -452,6 +459,8 @@ class TcpSpool:
         # PROXY protocol: resolve the real peer identity from the
         # first bytes before anything is spooled under the LB's address
         proxy_pending = self.proxy_header
+        if not proxy_pending:
+            self._register_neighbor(key, peer)
         last_flush = time.monotonic()
         if key == 0:  # direct callers (tests): self-register
             with self._lock:
@@ -483,6 +492,7 @@ class TcpSpool:
                             peer = src
                         buf = buf[consumed:]
                         proxy_pending = False
+                        self._register_neighbor(key, peer)
                 now = time.monotonic()
                 # snapshot the generation BEFORE emitting: acking a
                 # re-read gen would satisfy a flush() that arrived
@@ -555,7 +565,27 @@ class TcpSpool:
                 self._emit(peer, buf[:n], epoch)
             with self._lock:
                 self._flush_acks.pop(key, None)
+                self._live_peers.pop(key, None)
+            if self.neighbors_file:
+                self._write_neighbors()
             conn.close()
+
+    def _register_neighbor(self, key: int, peer: str) -> None:
+        with self._lock:
+            self._live_peers[key] = peer
+        if self.neighbors_file:
+            self._write_neighbors()
+
+    def _write_neighbors(self) -> None:
+        """Rewrite the established-neighbor list (write_neighbors_file,
+        reference src/bgp/bgp_util.c:1193): one address per line,
+        whole-file replace on every session change."""
+        with self._lock:
+            peers = sorted(set(self._live_peers.values()))
+        tmp = f"{self.neighbors_file}.tmp"
+        with open(tmp, "w") as fh:
+            fh.writelines(f"{p}\n" for p in peers)
+        os.replace(tmp, self.neighbors_file)
 
     def _emit(self, peer: str, payload: bytes, epoch: int = 1) -> None:
         import pyarrow as pa

@@ -650,3 +650,41 @@ aggregate[m]: proto
         c.close()
     finally:
         d.stop()
+
+
+def test_bgp_neighbors_file_tracks_sessions(spark, tmp_path):
+    """bgp_neighbors_file (CONFIG-KEYS:3066, write_neighbors_file
+    src/bgp/bgp_util.c:1193): the live peer list, one address per
+    line, rewritten on session open AND close."""
+    import socket
+    import time as _t
+
+    from pmacct_spark.daemon import Daemon
+
+    nf = tmp_path / "neighbors.lst"
+    conf = f"""
+nfacctd_port: 0
+bgp_daemon: true
+bgp_daemon_port: 0
+bgp_neighbors_file: {nf}
+plugins: memory[m]
+aggregate[m]: proto
+"""
+    d = Daemon.from_conf(spark, conf, spool_dir=str(tmp_path / "spoolNF"))
+    try:
+        c = socket.create_connection(("127.0.0.1", d.bgp_port), timeout=5)
+        t0 = _t.monotonic()
+        while _t.monotonic() - t0 < 10:
+            if nf.exists() and nf.read_text().strip():
+                break
+            _t.sleep(0.05)
+        assert nf.read_text().splitlines() == ["127.0.0.1"]
+        c.close()
+        t0 = _t.monotonic()
+        while _t.monotonic() - t0 < 10:
+            if nf.exists() and not nf.read_text().strip():
+                break
+            _t.sleep(0.05)
+        assert nf.read_text().strip() == ""  # session gone -> list empty
+    finally:
+        d.stop()
