@@ -1561,6 +1561,34 @@ class Daemon:
             if seen.get(family) == gen:
                 continue
             ev = events()
+            # bgp_daemon_tag_map / bmp_daemon_tag_map (CONFIG-KEYS:
+            # the pre_tag_map equivalent for the BGP/BMP threads —
+            # only ip MATCH + set_tag/set_label SET): tag each event
+            # by its peer address before logging
+            tag_map = self.conf.get(family.replace("_msglog", "_tag_map"))
+            if tag_map:
+                from pmacct_spark.operators.pretag import apply_pretag
+
+                with open(tag_map) as fh:
+                    tag_rules = conffile.parse_pretag_map(fh.read())
+                # ip= matches the SESSION peer (the router whose
+                # BGP/BMP connection this is — exporter_ip in the
+                # event schema), like the reference's per-thread
+                # find_id against the peer's address
+                ev = apply_pretag(
+                    ev.withColumn("peer_src_ip", F.col("exporter_ip")),
+                    tag_rules,
+                    label_out="label",
+                ).drop("peer_src_ip", "tag2")
+            lf = self.conf.get(f"{family}_label_filter")
+            if lf:
+                # *_msglog_label_filter: log only events whose label
+                # matches one of the comma-separated values (OR)
+                labels = [x.strip() for x in str(lf).split(",") if x.strip()]
+                if "label" in ev.columns:
+                    ev = ev.filter(F.col("label").isin(labels))
+                else:  # no tag map -> nothing carries a label
+                    ev = ev.filter(F.lit(False))
             if path:
                 from pmacct_spark.sinks.msglog import write_msglog
 

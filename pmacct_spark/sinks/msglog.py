@@ -98,8 +98,21 @@ def msglog_json(events: DataFrame) -> DataFrame:
     the reference's conditional field writes; ``peer_ip_src`` is the
     peering address, ``seq`` the per-peer monotonic counter."""
     shaped = msglog_events(events)
+    # tag/label ride along when a *_daemon_tag_map tagged the events
+    # (reference pretag for BGP/BMP threads); to_json omits nulls so
+    # untagged rows stay clean
+    extras = []
+    if "tag" in events.columns:
+        extras.append(
+            F.when(F.col("tag") != 0, F.col("tag")).alias("tag")
+        )
+    if "label" in events.columns:
+        extras.append(
+            F.when(F.col("label") != "", F.col("label")).alias("label")
+        )
     payload = F.to_json(
         F.struct(
+            *extras,
             F.col("msglog_seq").alias("seq"),
             F.col("ts_s").alias("timestamp"),
             F.col("peer_ip").alias("peer_ip_src"),

@@ -746,3 +746,73 @@ aggregate[routes]: as_path
             broker.stop()
     finally:
         d.stop()
+
+
+def test_daemon_bmp_tag_map_and_label_filter(spark, tmp_path):
+    """bmp_daemon_tag_map (pre_tag_map for the BMP thread — ip MATCH,
+    set_tag/set_label SET) tags msglog events by peer address;
+    bmp_daemon_msglog_label_filter keeps only matching labels
+    (comma-OR). Reference CONFIG-KEYS + src/pretag.c find_id on the
+    daemon threads."""
+    import socket
+    import time
+
+    from pmacct_spark.daemon import Daemon
+
+    tmap = tmp_path / "bmp_tag.map"
+    tmap.write_text("set_tag=7 set_label=edge ip=127.0.0.1\n")
+
+    def run_one(tag: str, label_filter: str | None):
+        log_dir = tmp_path / f"ml_{tag}"
+        conf = f"""
+nfacctd_port: 0
+bmp_daemon: true
+bmp_daemon_port: 0
+bmp_daemon_tag_map: {tmap}
+bmp_daemon_msglog_file: {log_dir}
+plugins: memory[routes]
+aggregate[routes]: as_path
+"""
+        if label_filter:
+            conf += f"bmp_daemon_msglog_label_filter: {label_filter}\n"
+        d = Daemon.from_conf(
+            spark, conf, spool_dir=str(tmp_path / f"spool_{tag}")
+        )
+        try:
+            peer = 0xC0000205
+            msgs = (
+                _bmp_msg(3, peer, 64500)
+                + _bmp_msg(0, peer, 64500,
+                           _bgp_update([], [(0x0A010000, 16)]))
+                + _bmp_msg(2, peer, 64500)
+            )
+            c = socket.socket(socket.AF_INET, socket.SOCK_STREAM)
+            c.connect(("127.0.0.1", d.bmp_port))
+            c.sendall(msgs)
+            c.close()
+            t0 = time.monotonic()
+            while (
+                d.bmp_spool.messages_spooled < 1
+                and time.monotonic() - t0 < 15
+            ):
+                time.sleep(0.05)
+            time.sleep(0.5)
+            d.write_msglog_if_configured()
+        finally:
+            d.stop()
+        lines = []
+        for f in pathlib.Path(log_dir).rglob("*.txt"):
+            lines += [
+                json.loads(ln)
+                for ln in f.read_text().splitlines()
+                if ln.strip()
+            ]
+        return lines
+
+    tagged = run_one("tagged", None)
+    assert tagged and all(
+        e["tag"] == 7 and e["label"] == "edge" for e in tagged
+    )
+    # label filter matching -> events kept; non-matching -> none
+    assert run_one("kept", "edge,core")
+    assert run_one("dropped", "other") == []
