@@ -1674,6 +1674,11 @@ class Daemon:
         if tpath and self.flavor == "telemetry":
             from pmacct_spark.sinks.msglog import write_telemetry_log
 
+            ttag = self.conf.get("telemetry_daemon_tag_map")
+            tag_rules = None
+            if ttag:
+                with open(ttag) as fh:
+                    tag_rules = conffile.parse_pretag_map(fh.read())
             write_telemetry_log(
                 self._spool_batch(),
                 tpath,
@@ -1682,6 +1687,7 @@ class Daemon:
                     or "default"
                 ),
                 export_port=self.port,
+                tag_rules=tag_rules,
             )
             wrote.append(tpath)
         return wrote

@@ -256,9 +256,18 @@ def telemetry_log_json(
     msgs: DataFrame,
     proc_name: str = "nfacctd",
     export_port: int = 0,
+    tag_rules: list | None = None,
 ) -> DataFrame:
     """(exporter_ip, log_seq, json) from telemetry datagram rows
-    (exporter_ip, seqno, payload) whose payload is a JSON document."""
+    (exporter_ip, seqno, payload) whose payload is a JSON document.
+
+    ``tag_rules`` (telemetry_daemon_tag_map, the pre_tag_map
+    equivalent for the telemetry thread): the matched tag — or,
+    tag-less, the label — joins the envelope's metadata ``labels``
+    array as ``{"name": "tag", "number-value": N}`` /
+    ``{"name": "label", "string-value": S}``
+    (telemetry_tag_print_json, reference
+    src/telemetry/telemetry_logdump.c:768)."""
     w = Window.partitionBy("exporter_ip").orderBy("seqno")
     shaped = (
         msgs.withColumn("payload_str", F.col("payload").cast("string"))
@@ -268,16 +277,54 @@ def telemetry_log_json(
         .filter(F.try_parse_json("payload_str").isNotNull())
         .withColumn("log_seq", F.row_number().over(w).cast("bigint"))
     )
+    if tag_rules:
+        from pmacct_spark.operators.pretag import apply_pretag
+
+        shaped = apply_pretag(
+            shaped.withColumn("peer_src_ip", F.col("exporter_ip")),
+            tag_rules,
+            label_out="label",
+        ).drop("peer_src_ip", "tag2")
+
+        def _entry(name, num, strv):
+            return F.struct(
+                name.alias("name"),
+                num.cast("bigint").alias("number-value"),
+                strv.cast("string").alias("string-value"),
+            )
+
+        null_i = F.lit(None).cast("bigint")
+        null_s = F.lit(None).cast("string")
+        labels = F.concat(
+            F.array(_entry(F.lit("seq"), F.col("log_seq"), null_s)),
+            # tag wins over label, like the reference's exit_lane
+            F.when(
+                F.col("tag") != 0,
+                F.array(_entry(F.lit("tag"), F.col("tag"), null_s)),
+            )
+            .when(
+                F.col("label") != "",
+                F.array(_entry(F.lit("label"), null_i, F.col("label"))),
+            )
+            .otherwise(
+                F.array().cast(
+                    "array<struct<name:string,`number-value`:bigint,"
+                    "`string-value`:string>>"
+                )
+            ),
+        )
+    else:
+        labels = F.array(
+            F.struct(
+                F.lit("seq").alias("name"),
+                F.col("log_seq").alias("number-value"),
+            )
+        )
     meta = F.to_json(
         F.struct(
             F.lit("update").alias("notification-event"),
             F.lit("telemetry").alias("session-protocol"),
-            F.array(
-                F.struct(
-                    F.lit("seq").alias("name"),
-                    F.col("log_seq").alias("number-value"),
-                )
-            ).alias("labels"),
+            labels.alias("labels"),
             F.col("exporter_ip").alias("export-address"),
             F.lit(export_port).alias("export-port"),
         )

@@ -816,3 +816,54 @@ aggregate[routes]: as_path
     # label filter matching -> events kept; non-matching -> none
     assert run_one("kept", "edge,core")
     assert run_one("dropped", "other") == []
+
+
+def test_daemon_telemetry_tag_map(spark, tmp_path):
+    """telemetry_daemon_tag_map: the matched tag joins the envelope's
+    metadata labels array as {"name": "tag", "number-value": N}
+    (telemetry_tag_print_json, reference
+    src/telemetry/telemetry_logdump.c:768); tag wins over label."""
+    import socket
+    import time
+
+    from pmacct_spark.daemon import Daemon
+
+    tmap = tmp_path / "tele_tag.map"
+    tmap.write_text("set_tag=42 set_label=lab ip=127.0.0.1\n")
+    log_dir = str(tmp_path / "ttaglog")
+    conf = f"""
+telemetry_daemon_port_udp: 0
+telemetry_daemon_msglog_file: {log_dir}
+telemetry_daemon_tag_map: {tmap}
+core_proc_name: pmtelemetryd
+"""
+    d = Daemon.from_conf(spark, conf, spool_dir=str(tmp_path / "ttagspool"))
+    try:
+        s = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
+        s.sendto(
+            json.dumps({"k": 1, "sensor_path": "cpu"}).encode(),
+            ("127.0.0.1", d.port),
+        )
+        s.close()
+        t0 = time.monotonic()
+        while d.spool.datagrams_received < 1 and time.monotonic() - t0 < 15:
+            time.sleep(0.05)
+        d.spool.flush()
+        assert d.write_msglog_if_configured() == [log_dir]
+    finally:
+        d.stop()
+    lines = []
+    for f in pathlib.Path(log_dir).rglob("*.txt"):
+        lines += [
+            json.loads(ln)
+            for ln in f.read_text().splitlines()
+            if ln.strip()
+        ]
+    assert len(lines) == 1
+    labels = lines[0]["ietf-telemetry-message:message"][
+        "telemetry-message-metadata"
+    ]["labels"]
+    by_name = {e["name"]: e for e in labels}
+    assert by_name["tag"]["number-value"] == 42
+    assert "label" not in by_name  # tag wins (reference exit_lane)
+    assert by_name["seq"]["number-value"] == 1
