@@ -1426,6 +1426,20 @@ class Daemon:
                                         )
                                     ),
                                 )
+                    schema_out = self.conf.get(
+                        "avro_schema_output_file", name
+                    )
+                    if schema_out and fmt == "avro":
+                        # avro_schema_output_file (CONFIG-KEYS): dump
+                        # the record schema so consumers can decode
+                        # without a registry (build_avro_schema,
+                        # reference src/plugin_cmn_avro.c:47)
+                        import json as _json
+
+                        from pmacct_spark.sinks.avro import avro_schema_of
+
+                        with open(str(schema_out), "w") as fh:
+                            _json.dump(avro_schema_of(emit.schema), fh)
                     write_print(
                         emit, path, fmt=fmt,
                         # print_output_file_append (CONFIG-KEYS): purges

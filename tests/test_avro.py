@@ -236,3 +236,46 @@ def test_registry_frames_register_once_on_driver(spark):
         assert srv.requests_served == served_after_first
     finally:
         srv.stop()
+
+
+def test_daemon_avro_schema_output_file(spark, tmp_path):
+    """avro_schema_output_file (CONFIG-KEYS): the daemon dumps the
+    print plugin's Avro record schema to the given path on purge, so
+    a consumer can decode the containers without a registry
+    (build_avro_schema, reference src/plugin_cmn_avro.c:47)."""
+    import json
+    import time
+
+    from pmacct_spark.daemon import Daemon
+    from tests.test_daemon import send_datagrams
+    from tests.test_streaming import _v5_datagram
+
+    schema_file = tmp_path / "acct.avsc"
+    conf = f"""
+nfacctd_port: 0
+plugins: print[a]
+aggregate[a]: proto
+print_history[a]: 5m
+print_output[a]: avro
+print_output_file[a]: {tmp_path / "avro_out"}
+avro_schema_output_file[a]: {schema_file}
+"""
+    d = Daemon.from_conf(spark, conf, spool_dir=str(tmp_path / "spoolAS"))
+    try:
+        send_datagrams(
+            [_v5_datagram(1, [
+                {"src": 0x0A010101, "dst": 0x0B020202, "pkts": 1,
+                 "bytes": 100, "sport": 5, "dport": 443, "proto": 6},
+            ])],
+            "127.0.0.1", d.port,
+        )
+        t0 = time.monotonic()
+        while d.spool.datagrams_received < 1 and time.monotonic() - t0 < 15:
+            time.sleep(0.05)
+        d.run_available()
+    finally:
+        d.stop()
+    schema = json.loads(schema_file.read_text())
+    assert schema["type"] == "record"
+    fields = {f["name"] for f in schema["fields"]}
+    assert {"proto", "bytes", "packets"} <= fields
