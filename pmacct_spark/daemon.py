@@ -223,6 +223,7 @@ class Daemon:
                 # bgp_neighbors_file (CONFIG-KEYS:3066): live peer
                 # list, one per line — SNMP auto-discovery hook
                 neighbors_file=conf.get("bgp_neighbors_file"),
+                allow=cls._tcp_allow(conf, "bgp"),
             ).start()
         if conf.getbool("bmp_daemon"):  # the pmbmpd flavor
             from pmacct_spark.sources.tcp import TcpSpool
@@ -237,6 +238,7 @@ class Daemon:
                 # balancer the PROXY v1/v2 header carries the router's
                 # real address — it becomes the peer identity
                 proxy_header=conf.getbool("bmp_daemon_parse_proxy_header"),
+                allow=cls._tcp_allow(conf, "bmp"),
             ).start()
         rtr_client = None
         cache = conf.get("rpki_rtr_cache")
@@ -400,6 +402,18 @@ class Daemon:
                 passwd=conf.get("redis_passwd"),
             ).start()
         return d
+
+    @staticmethod
+    def _tcp_allow(conf, fam: str) -> list[str] | None:
+        """bgp_daemon_allow_file / bmp_daemon_allow_file
+        (CONFIG-KEYS:3073): parse-once allow list for the TCP
+        listener; empty file = accept everything (the reference only
+        consults a non-empty table)."""
+        path = conf.get(f"{fam}_daemon_allow_file")
+        if not path:
+            return None
+        with open(str(path)) as fh:
+            return conffile.parse_allow_file(fh.read()) or None
 
     @property
     def port(self) -> int:

@@ -309,7 +309,20 @@ class TcpSpool:
         max_peers: int | None = None,
         speaker: dict | None = None,
         neighbors_file: str | None = None,
+        allow: list[str] | None = None,
     ):
+        # bgp_daemon_allow_file / bmp_daemon_allow_file (CONFIG-KEYS:
+        # 3073): sessions from peers not in the list are REFUSED at
+        # accept. Empty/None = accept everything (the reference only
+        # consults a non-empty table). Entries: addresses or CIDRs.
+        import ipaddress as _ip
+
+        self.allow_nets = (
+            [_ip.ip_network(e, strict=False) for e in allow]
+            if allow
+            else None
+        )
+        self.sessions_refused_by_allow = 0
         # BGP speaker side (OPEN reply + KEEPALIVEs, bgp_daemon_as /
         # bgp_daemon_id): kwargs for a per-connection BgpSpeaker;
         # None = receive-only (BMP, tests)
@@ -413,6 +426,22 @@ class TcpSpool:
                 continue
             except OSError:
                 break
+            if self.allow_nets is not None:
+                import ipaddress as _ip
+
+                try:
+                    addr = _ip.ip_address(peer)
+                except ValueError:
+                    addr = None
+                if addr is None or not any(
+                    addr in n for n in self.allow_nets
+                    if n.version == addr.version
+                ):
+                    # not in the allow list: refuse like the reference
+                    # closes un-allowed BGP/BMP sessions
+                    self.sessions_refused_by_allow += 1
+                    conn.close()
+                    continue
             if (
                 self.max_peers is not None
                 and len(self._flush_acks) >= self.max_peers

@@ -688,3 +688,52 @@ aggregate[m]: proto
         assert nf.read_text().strip() == ""  # session gone -> list empty
     finally:
         d.stop()
+
+
+def test_bgp_daemon_allow_file_refuses_unlisted(spark, tmp_path):
+    """bgp_daemon_allow_file (CONFIG-KEYS:3073): sessions from peers
+    not in the list are refused at accept; listed peers establish.
+    The loopback peer is tested both ways via two daemons."""
+    import socket
+    import time as _t
+
+    from pmacct_spark.daemon import Daemon
+
+    def run_one(tag: str, entries: str) -> tuple[bool, int]:
+        af = tmp_path / f"allow_{tag}.lst"
+        af.write_text(entries)
+        conf = f"""
+nfacctd_port: 0
+bgp_daemon: true
+bgp_daemon_port: 0
+bgp_daemon_allow_file: {af}
+plugins: memory[m]
+aggregate[m]: proto
+"""
+        d = Daemon.from_conf(
+            spark, conf, spool_dir=str(tmp_path / f"spoolAL{tag}")
+        )
+        try:
+            c = socket.create_connection(
+                ("127.0.0.1", d.bgp_port), timeout=5
+            )
+            c.settimeout(2)
+            _t.sleep(0.3)
+            try:
+                # a refused session is closed immediately: recv sees
+                # EOF; an accepted one just times out (nothing to read
+                # until we speak)
+                alive = c.recv(1) != b""
+            except TimeoutError:
+                alive = True
+            c.close()
+            return alive, d.bgp_spool.sessions_refused_by_allow
+        finally:
+            d.stop()
+
+    alive, refused = run_one("listed", "127.0.0.1\n")
+    assert alive and refused == 0
+    alive, refused = run_one("cidr", "127.0.0.0/8\n")
+    assert alive and refused == 0
+    alive, refused = run_one("unlisted", "192.0.2.0/24\n")
+    assert not alive and refused == 1
