@@ -55,6 +55,7 @@ _DRIVER_WINDOW = [
     "presentation_tcpflags_timestamps",
     "stream_dedup_minhash",
     "ann_recall_ivfpq_vs_brute",
+    "quality_lm_surprisal",
     # ROUND-10 ROTATION (VERDICT r9 "Next round #1"): fill the window
     # with the STALE TAIL — every query whose newest driver row is r3
     # or r4, plus as many of the 44 r5-era queries as fit. After this
@@ -65,7 +66,7 @@ _DRIVER_WINDOW = [
     "ann_ivf_topk", "bgp_wire_rib_lookup", "dedup_exact",
     "rpki_roa_validation", "telemetry_json_metrics", "tpch_q1_pricing",
     "v9_wire_loop_agg",
-    # r5-era (34 of 44; the 10 left at r5 are those whose operator is
+    # r5-era (33 of 44; the 11 left at r5 are those whose operator is
     # also sampled by a same-family r9/r10 row: agg_stitching ->
     # agg_stitching_secs, geoip_country -> geoip_pocode_coords,
     # lpm_networks_src_as -> lpm_networks_knobs + lpm_range_strategy,
@@ -74,7 +75,8 @@ _DRIVER_WINDOW = [
     # hist_5m_prorate, topn_bytes -> client_topn_packets,
     # custom_primitive_agg -> custom_wire_loop, preprocess_having ->
     # preprocess_actions, window_rank_users -> salted_skew_agg's
-    # window family):
+    # window family, sampling_map_renorm -> as_of_sampling_rate +
+    # sampling_options_wire_loop):
     "agg_none_total", "agg_tcpflags_bitor", "aggregate_filter_tcp443",
     "ann_ivf_pq_topk", "as_of_sampling_rate", "bgp6_wire_rib_lookup",
     "bmp_wire_peer_down_rib", "conntrack_correlate", "custom_wire_loop",
@@ -82,7 +84,7 @@ _DRIVER_WINDOW = [
     "fss_smart_sampling", "hist_5m_prorate",
     "hybrid_bm25_vector_rrf", "lpm6_networks_src_as",
     "mixed_wire_loop_agg", "ports_dictionary", "pretag_rules",
-    "rpki_overlap_validation", "salted_skew_agg", "sampling_map_renorm",
+    "rpki_overlap_validation", "salted_skew_agg",
     "sampling_options_wire_loop", "sessionize_tcp_close",
     "sflow_counter_samples", "sflow_wire_loop_renorm", "srv6_wire_loop",
     "stream_v5_wire_decode", "stream_v9_stateful_decode",

@@ -1034,3 +1034,114 @@ def ann_recall_ivfpq_vs_brute(spark, sf_dir):
         F.count(F.lit(1)).alias("n_queries"),
         F.sum("query_id").alias("qid_sum"),
     )
+
+
+# --- bigram LM surprisal quality (the CCNet recipe, Wenzek 2019: a
+#     language model trained on a REFERENCE slice scores every
+#     document; too-low surprisal = boilerplate, too-high = gibberish,
+#     the keep-the-middle filter). The "LM" is the ref slice's bigram
+#     conditional table; surprisal uses the exact integer-log2
+#     surrogate bits(w1, w2) = floor(log2(c(w1)/c(w1 w2))) — the same
+#     exact-rational substitution BM25's idf uses, so Spark and DuckDB
+#     agree bit-for-bit (floor-log2 via length(bin(x)) - 1, never
+#     float log). Unseen bigram of a known w1 smooths to
+#     floor(log2(c(w1))) + 1; unknown w1 costs a flat 20 bits.
+#     Scale shape: two vocab-bounded count tables (Heaps-sublinear),
+#     corpus shuffles once on the bigram hash join + once for the
+#     per-doc fold; joins on int64 poly-hashes, never on strings.
+_LM_UNK_BITS = 20
+
+
+def _lm_bigrams_spark(text_col: str) -> str:
+    toks = f"filter(split(lower({text_col}), '\\\\s+'), t -> t <> '')"
+    return (
+        f"element_at(transform(array({toks}), t -> "
+        f"CASE WHEN size(t) >= 2 THEN transform(sequence(1, size(t) - 1), "
+        f"i -> struct(element_at(t, CAST(i AS INT)) AS w1, "
+        f"concat(element_at(t, CAST(i AS INT)), ' ', "
+        f"element_at(t, CAST(i + 1 AS INT))) AS pair)) "
+        f"ELSE array() END), 1)"
+    )
+
+
+_LM_BIGRAMS_DUCK = """
+SELECT doc_id,
+       unnest(list_transform(range(1, len(t)), i -> t[i])) AS w1,
+       unnest(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1]))
+         AS pair
+FROM (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '')
+           AS t
+  FROM documents
+)
+"""
+
+_LM_SURPRISAL_DUCK = f"""
+WITH bg AS ({_LM_BIGRAMS_DUCK}),
+ref1 AS (
+  SELECT w1, COUNT(*) AS c1 FROM bg WHERE doc_id % 3 = 0 GROUP BY 1
+),
+ref2 AS (
+  SELECT pair, COUNT(*) AS c2 FROM bg WHERE doc_id % 3 = 0 GROUP BY 1
+),
+scored AS (
+  SELECT bg.doc_id,
+         CASE
+           WHEN r2.c2 IS NOT NULL
+             THEN length(bin(greatest(r1.c1 // r2.c2, 1))) - 1
+           WHEN r1.c1 IS NOT NULL
+             THEN length(bin(r1.c1)) - 1 + 1
+           ELSE {_LM_UNK_BITS}
+         END AS bits
+  FROM bg
+  LEFT JOIN ref2 r2 ON bg.pair = r2.pair
+  LEFT JOIN ref1 r1 ON bg.w1 = r1.w1
+)
+SELECT doc_id,
+       COUNT(*) AS n_bigrams,
+       CAST(SUM(bits) AS BIGINT) AS sum_bits,
+       CAST(SUM(bits) * 1000 // COUNT(*) AS BIGINT) AS avg_surprisal_mbits
+FROM scored GROUP BY 1
+"""
+
+
+@register("quality_lm_surprisal", _LM_SURPRISAL_DUCK)
+def quality_lm_surprisal(spark, sf_dir):
+    from pmacct_spark.operators.staging import stage
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    # bigram stream read three times (ref unigram table, ref bigram
+    # table, the scored corpus): staged once
+    bg = stage(
+        docs.select(
+            "doc_id",
+            F.explode(F.expr(_lm_bigrams_spark("text"))).alias("b"),
+        ).select("doc_id", F.col("b.w1").alias("w1"), F.col("b.pair").alias("pair"))
+    )
+    ref = bg.filter("doc_id % 3 = 0")
+    ref1 = ref.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
+    ref2 = ref.groupBy("pair").agg(F.count(F.lit(1)).alias("c2"))
+    scored = (
+        bg.join(ref2, "pair", "left")
+        .join(ref1, "w1", "left")
+        .withColumn(
+            "bits",
+            F.expr(
+                f"""CASE
+                  WHEN c2 IS NOT NULL
+                    THEN length(bin(greatest(c1 DIV c2, 1))) - 1
+                  WHEN c1 IS NOT NULL
+                    THEN length(bin(c1))
+                  ELSE {_LM_UNK_BITS}
+                END"""
+            ),
+        )
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        F.sum("bits").cast("bigint").alias("sum_bits"),
+        F.expr("SUM(bits) * 1000 DIV COUNT(*)")
+        .cast("bigint")
+        .alias("avg_surprisal_mbits"),
+    )
