@@ -1633,9 +1633,44 @@ class Daemon:
                     self.conf.get(f"{family}_kafka_broker_port", default=9092)
                     or 9092
                 )
-                produce_frames(
-                    msglog_kafka_frames(ev, topic), host, port
-                )
+                out_fmt = str(
+                    self.conf.get(f"{family}_output", default="json")
+                    or "json"
+                ).lower()
+                if out_fmt == "avro":
+                    # bgp/bmp_daemon_msglog_output: avro (+ optional
+                    # *_kafka_avro_schema_registry Confluent framing and
+                    # *_avro_schema_file dump) — the reference test
+                    # 203's serdes combo, over the live wire encoders
+                    from pmacct_spark.sinks.msglog import (
+                        msglog_avro_kafka_frames,
+                    )
+
+                    reg = None
+                    reg_url = self.conf.get(
+                        f"{family}_kafka_avro_schema_registry"
+                    )
+                    if reg_url:
+                        from pmacct_spark.sinks.registry import (
+                            HttpSchemaRegistryClient,
+                        )
+
+                        hp = str(reg_url).split("//", 1)[-1].rstrip("/")
+                        rh, _, rp = hp.rpartition(":")
+                        reg = HttpSchemaRegistryClient(
+                            rh or hp, int(rp) if rp else 8081
+                        )
+                    frames = msglog_avro_kafka_frames(
+                        ev,
+                        str(topic),
+                        registry=reg,
+                        schema_file=self.conf.get(
+                            f"{family}_avro_schema_file"
+                        ),
+                    )
+                else:
+                    frames = msglog_kafka_frames(ev, topic)
+                produce_frames(frames, host, port)
                 wrote.append(f"kafka://{host}:{port}/{topic}")
             rkey = self.conf.get(f"{family}_amqp_routing_key")
             if rkey:

@@ -171,6 +171,76 @@ def msglog_kafka_frames(events: DataFrame, topic: str) -> DataFrame:
     )
 
 
+def msglog_event_rows(events: DataFrame) -> DataFrame:
+    """The msglog payload as STRUCTURED columns (one per field the
+    JSON encoder emits, same names) — the record the Avro output path
+    serializes (bgp/bmp_daemon_msglog_output: avro, reference
+    src/bgp/bgp_logdump.c avro branches). ``peer_ip`` rides along for
+    Kafka keying and is dropped by the framer."""
+    shaped = msglog_events(events)
+    cols = [
+        F.col("msglog_seq").alias("seq"),
+        F.col("ts_s").alias("timestamp"),
+        F.col("peer_ip").alias("peer_ip_src"),
+        F.col("event_type"),
+        F.col("log_type"),
+        F.col("afi"),
+        F.col("safi"),
+        F.col("ip_prefix"),
+        F.col("path_id").alias("as_path_id"),
+        F.col("bgp_nexthop"),
+        F.col("as_path"),
+        F.col("std_comm").alias("comms"),
+        F.col("ext_comm").alias("ecomms"),
+        F.col("lrg_comm").alias("lcomms"),
+        F.col("local_pref"),
+        F.col("med"),
+        F.col("rd"),
+    ]
+    if "tag" in events.columns:
+        cols.append(F.col("tag"))
+    if "label" in events.columns:
+        cols.append(F.col("label"))
+    return shaped.select(*cols, F.col("peer_ip"))
+
+
+def msglog_avro_kafka_frames(
+    events: DataFrame,
+    topic: str,
+    registry=None,
+    schema_file: str | None = None,
+) -> DataFrame:
+    """(key, value, topic) frames with Avro-encoded values —
+    ``*_daemon_msglog_output: avro`` (+ optional
+    ``*_msglog_kafka_avro_schema_registry``: values carry the
+    Confluent 5-byte registry frame, schema registered ONCE driver-
+    side under ``<topic>-value``; and ``*_msglog_avro_schema_file``:
+    the record schema dumped for registry-less consumers). Reference:
+    the serdes branches of src/bgp/bgp_logdump.c + test
+    tests/203-BMP-HUAWEI-dump's conf."""
+    import json as _json
+
+    from pmacct_spark.sinks.avro import (
+        avro_frames,
+        avro_registry_frames,
+        avro_schema_of,
+    )
+
+    record = msglog_event_rows(events).drop("peer_ip")
+    if schema_file:
+        with open(schema_file, "w") as fh:
+            _json.dump(avro_schema_of(record.schema), fh)
+    # key by peer address like the JSON path (same-peer ordering);
+    # peer_ip_src IS a record field, so the datum stays clean
+    if registry is not None:
+        frames = avro_registry_frames(
+            record, registry, topic, key_cols=["peer_ip_src"]
+        )
+    else:
+        frames = avro_frames(record, key_cols=["peer_ip_src"])
+    return frames.select("key", "value", F.lit(topic).alias("topic"))
+
+
 # --- sFlow counter log (the same logdump family) ---------------------
 #
 # sfacctd_counter_file / _kafka_topic (reference src/sfacctd.c:2366

@@ -867,3 +867,84 @@ core_proc_name: pmtelemetryd
     assert by_name["tag"]["number-value"] == 42
     assert "label" not in by_name  # tag wins (reference exit_lane)
     assert by_name["seq"]["number-value"] == 1
+
+
+def test_daemon_bmp_msglog_avro_kafka_registry_live(spark, tmp_path):
+    """The reference test-203 sink combo live end-to-end:
+    bmp_daemon_msglog_output: avro + Kafka topic + Confluent schema
+    registry + avro_schema_file — BMP events ride the wire broker as
+    registry-framed Avro datums a FRESH registry client can decode,
+    and the record schema lands in the .avsc file."""
+    import socket
+    import time
+
+    from pmacct_spark.daemon import Daemon
+    from pmacct_spark.sinks import avro as A
+    from pmacct_spark.sinks.registry import (
+        HttpSchemaRegistryClient,
+        SchemaRegistryServer,
+    )
+    from pmacct_spark.sources.kafka_wire import (
+        KafkaWireClient,
+        MiniKafkaBroker,
+    )
+
+    broker = MiniKafkaBroker(npartitions=1).start()
+    reg_srv = SchemaRegistryServer().start()
+    d = None
+    try:
+        avsc = tmp_path / "bmp_msglog.avsc"
+        conf = f"""
+nfacctd_port: 0
+bmp_daemon: true
+bmp_daemon_port: 0
+bmp_daemon_msglog_kafka_topic: daisy.bmp
+bmp_daemon_msglog_kafka_broker_port: {broker.port}
+bmp_daemon_msglog_output: avro
+bmp_daemon_msglog_kafka_avro_schema_registry: http://127.0.0.1:{reg_srv.port}
+bmp_daemon_msglog_avro_schema_file: {avsc}
+plugins: memory[routes]
+aggregate[routes]: as_path
+"""
+        d = Daemon.from_conf(spark, conf, spool_dir=str(tmp_path / "avroml"))
+        peer = 0xC0000205
+        msgs = (
+            _bmp_msg(3, peer, 64500)
+            + _bmp_msg(0, peer, 64500, _bgp_update([], [(0x0A010000, 16)]))
+            + _bmp_msg(2, peer, 64500)
+        )
+        c = socket.socket(socket.AF_INET, socket.SOCK_STREAM)
+        c.connect(("127.0.0.1", d.bmp_port))
+        c.sendall(msgs)
+        c.close()
+        t0 = time.monotonic()
+        while d.bmp_spool.messages_spooled < 1 and time.monotonic() - t0 < 15:
+            time.sleep(0.05)
+        time.sleep(0.5)
+        wrote = d.write_msglog_if_configured()
+        assert wrote == [f"kafka://127.0.0.1:{broker.port}/daisy.bmp"]
+        # consume and decode with a FRESH client (schema over HTTP)
+        cli = KafkaWireClient("127.0.0.1", broker.port)
+        _, recs = cli.fetch("daisy.bmp", 0, 0, with_hwm=True)
+        cli.close()
+        fresh = HttpSchemaRegistryClient("127.0.0.1", reg_srv.port)
+        events = [
+            A.read_registry_frame(bytes(v), fresh)[1]
+            for (_off, _k, v) in recs
+        ]
+        types = sorted(e["event_type"] for e in events)
+        assert types == ["log", "log_close", "log_init"]
+        upd = next(e for e in events if e["event_type"] == "log")
+        assert upd["ip_prefix"] == "10.1.0.0/16"
+        assert upd["peer_ip_src"] == "192.0.2.5"
+        # the schema file is a decodable Avro record schema
+        schema = json.loads(avsc.read_text())
+        assert schema["type"] == "record"
+        assert {"seq", "event_type", "ip_prefix"} <= {
+            f["name"] for f in schema["fields"]
+        }
+    finally:
+        if d is not None:
+            d.stop()
+        reg_srv.stop()
+        broker.stop()
