@@ -1532,21 +1532,54 @@ class Daemon:
         prefix = "bgp_table_dump"  # key family matching the path key
         if not path:
             path, prefix = self.conf.get("bmp_dump_file"), "bmp_dump"
-        if not path or (self.bgp_spool is None and self.bmp_spool is None):
+        topic = None
+        if not path:
+            for p in ("bgp_table_dump", "bmp_dump"):
+                t = self.conf.get(f"{p}_kafka_topic")
+                if t:
+                    topic, prefix = str(t), p
+                    break
+        if (path is None and topic is None) or (
+            self.bgp_spool is None and self.bmp_spool is None
+        ):
             return None
         import time as _time
 
-        from pmacct_spark.sinks.dump import write_rib_dump
+        from pmacct_spark.sinks.dump import rib_dump_events, write_rib_dump
 
         refresh = int(
             self.conf.get(f"{prefix}_refresh_time", default=60) or 60
         )
         slots = int(self.conf.get(f"{prefix}_time_slots", default=1) or 1)
-        write_rib_dump(
-            self.rib(for_lookup=False), path, dump_ts=int(_time.time()),
-            refresh_secs=refresh, time_slots=slots,
+        if path:
+            write_rib_dump(
+                self.rib(for_lookup=False), path, dump_ts=int(_time.time()),
+                refresh_secs=refresh, time_slots=slots,
+            )
+            return path
+        # bgp_table_dump_kafka_topic / bmp_dump_kafka_topic
+        # (src/bgp/bgp_logdump.c kafka branches): the same dump event
+        # stream shipped through the live wire producer, keyed by peer
+        # so per-peer event order holds within a partition
+        from pmacct_spark.sources.kafka_wire import produce_frames
+
+        khost = self.conf.get(
+            f"{prefix}_kafka_broker_host", default="127.0.0.1"
         )
-        return path
+        kport = int(
+            self.conf.get(f"{prefix}_kafka_broker_port", default=9092)
+            or 9092
+        )
+        events = rib_dump_events(
+            self.rib(for_lookup=False), int(_time.time()), refresh, slots
+        )
+        frames = events.select(
+            F.col("peer_ip").alias("key"),
+            F.to_json(F.struct(*[c for c in events.columns])).alias("value"),
+            F.lit(topic).alias("topic"),
+        )
+        produce_frames(frames, str(khost), kport)
+        return f"kafka://{khost}:{kport}/{topic}"
 
     def write_msglog_if_configured(self) -> list[str]:
         """Per-event BGP/BMP message log (reference bgp_daemon_msglog_*

@@ -79,3 +79,68 @@ def test_write_rib_dump_files(spark, tmp_path):
     assert sum(r["event_type"] == "dump" for r in rows) == 3
     closes = [r for r in rows if r["event_type"] == "dump_close"]
     assert sorted(c["entries"] for c in closes) == [1, 2]
+
+
+def test_daemon_bmp_dump_kafka_topic_live(spark, tmp_path):
+    """bmp_dump_kafka_topic (src/bgp/bgp_logdump.c kafka branches):
+    the dump event stream ships through the LIVE wire broker keyed by
+    peer — dump_init/dump/dump_close per peer with the route rows."""
+    import json
+    import socket
+    import time
+
+    from pmacct_spark.daemon import Daemon
+    from pmacct_spark.sources.kafka_wire import (
+        KafkaWireClient,
+        MiniKafkaBroker,
+    )
+    from tests.test_msglog import _bgp_update, _bmp_msg
+
+    broker = MiniKafkaBroker(npartitions=1).start()
+    d = None
+    try:
+        conf = f"""
+nfacctd_port: 0
+bmp_daemon: true
+bmp_daemon_port: 0
+bmp_dump_kafka_topic: daisy.bmp.dump
+bmp_dump_kafka_broker_port: {broker.port}
+plugins: memory[routes]
+aggregate[routes]: as_path
+"""
+        d = Daemon.from_conf(
+            spark, conf, spool_dir=str(tmp_path / "dumpk")
+        )
+        peer = 0xC0000205
+        msgs = (
+            _bmp_msg(3, peer, 64500)
+            + _bmp_msg(0, peer, 64500, _bgp_update([], [(0x0A010000, 16)]))
+        )
+        c = socket.socket(socket.AF_INET, socket.SOCK_STREAM)
+        c.connect(("127.0.0.1", d.bmp_port))
+        c.sendall(msgs)
+        c.close()
+        t0 = time.monotonic()
+        while d.bmp_spool.messages_spooled < 1 and time.monotonic() - t0 < 15:
+            time.sleep(0.05)
+        time.sleep(0.5)
+        wrote = d.dump_rib_if_configured()
+        assert wrote == f"kafka://127.0.0.1:{broker.port}/daisy.bmp.dump"
+        cli = KafkaWireClient("127.0.0.1", broker.port)
+        _, recs = cli.fetch("daisy.bmp.dump", 0, 0, with_hwm=True)
+        cli.close()
+        events = [json.loads(bytes(v)) for (_o, _k, v) in recs]
+        types = sorted(e["event_type"] for e in events)
+        assert types == ["dump", "dump_close", "dump_init"]
+        route = next(e for e in events if e["event_type"] == "dump")
+        assert (route["prefix"], route["masklen"]) == (0x0A010000, 16)
+        close = next(e for e in events if e["event_type"] == "dump_close")
+        assert close["entries"] == 1
+        # frames are keyed by the event's peer identity (per-peer
+        # ordering within a partition)
+        keys = {k.decode() for (_o, k, _v) in recs}
+        assert keys == {e["peer_ip"] for e in events}
+    finally:
+        if d is not None:
+            d.stop()
+        broker.stop()
