@@ -455,17 +455,51 @@ def parse_roas_file(text: str) -> list[dict]:
 
 
 def parse_allow_file(text: str) -> list[str]:
-    """[ns]facctd_allow_file: one allowed exporter per line — a plain
-    address or a v4 CIDR prefix (reference CONFIG-KEYS; the check is
-    src/nfacctd.c's allow-list test on the datagram source). Comments
-    (!, #) and blanks skipped, like every reference map."""
+    """[ns]facctd_allow_file / bgp|bmp_daemon_allow_file: one allowed
+    exporter per line — a plain address or a CIDR prefix (reference
+    CONFIG-KEYS; the check is src/util.c check_allow on the datagram /
+    session source). Comments (!, #) and blanks skipped; malformed
+    addresses are warned and skipped like the reference's "Bad IP
+    address ... Ignored." path (src/util.c:2026). NOTE: an empty (or
+    comments-only) file means DENY ALL — load_allow_file sets num=-1
+    (src/util.c:2033) so check_allow's loop matches nothing; callers
+    must distinguish [] (deny all) from no-file (accept all)."""
+    import ipaddress
+    import logging
+
     out: list[str] = []
     for line in text.splitlines():
         line = line.strip()
         if not line or line.startswith(("!", "#")):
             continue
+        try:
+            ipaddress.ip_network(line, strict=False)
+        except ValueError:
+            logging.getLogger("pmacct_spark").warning(
+                "allow_file: Bad IP address '%s'. Ignored.", line
+            )
+            continue
         out.append(line)
     return out
+
+
+def split_host_port(
+    spec: str, default_port: int
+) -> tuple[str, int]:
+    """Split a ``host[:port]`` config value without misparsing bare
+    IPv6 addresses ('::1' is a HOST, not host ':' + port 1). Rules:
+    ``[v6]:port`` / ``[v6]`` bracket syntax; otherwise split on the
+    last ':' only when the tail is all digits and the head contains
+    no further ':'; anything else is a plain host."""
+    s = str(spec).strip()
+    if s.startswith("["):
+        host, _, rest = s[1:].partition("]")
+        rest = rest.lstrip(":")
+        return host, int(rest) if rest.isdigit() else default_port
+    head, sep, tail = s.rpartition(":")
+    if sep and tail.isdigit() and ":" not in head:
+        return head, int(tail)
+    return s, default_port
 
 
 def parse_bgp_xconnect_map(text: str) -> list[dict]:

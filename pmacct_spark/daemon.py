@@ -245,9 +245,11 @@ class Daemon:
         if cache:  # live ROA feed from a validator cache (RFC 6810)
             from pmacct_spark.sources.rtr import RtrClient
 
-            chost, _, cport = str(cache).rpartition(":")
+            chost, cport = conffile.split_host_port(
+                str(cache), 323  # RFC 6810 rpki-rtr well-known port
+            )
             rtr_client = RtrClient(
-                host=chost or "127.0.0.1", port=int(cport),
+                host=chost or "127.0.0.1", port=cport,
                 version=int(
                     conf.get("rpki_rtr_cache_version", default=1) or 1
                 ),
@@ -290,10 +292,10 @@ class Daemon:
 
             spec = str(conf.get("telemetry_daemon_grpc_dialin"))
             hostport, _, subid = spec.partition(",")
-            h, _, prt = hostport.rpartition(":")
+            h, prt = conffile.split_host_port(hostport, 57400)
             d.grpc_dialin = GrpcDialinCollector(
                 h or "127.0.0.1",
-                int(prt),
+                prt,
                 subid.strip(),
                 deliver=lambda peer, data, _rid: d.spool.inject(peer, data),
             ).start()
@@ -335,7 +337,9 @@ class Daemon:
                 RedisPresence,
             )
 
-            rhost, _, rport = str(redis_host).rpartition(":")
+            rhost, rport = conffile.split_host_port(
+                str(redis_host), PM_REDIS_DEFAULT_PORT
+            )
             daemon_type = {
                 "netflow": "nfacctd", "sflow": "sfacctd",
                 "telemetry": "pmtelemetryd",
@@ -350,8 +354,8 @@ class Daemon:
             if flavor == "telemetry":
                 extras.append("telemetry")
             d.redis = RedisPresence(
-                host=rhost or str(redis_host),
-                port=int(rport) if rport else PM_REDIS_DEFAULT_PORT,
+                host=rhost,
+                port=rport,
                 cluster_name=str(cluster),
                 cluster_id=int(conf.get("cluster_id", default=0) or 0),
                 name=str(conf.get("core_proc_name", default="default")
@@ -389,10 +393,12 @@ class Daemon:
                     f"{fam}_daemon_ha runs its election over redis_host "
                     "— set it"
                 )
-            hhost, _, hport = str(rh).rpartition(":")
+            hhost, hport = conffile.split_host_port(
+                str(rh), PM_REDIS_DEFAULT_PORT
+            )
             d.ha = BmpBgpHa(
-                host=hhost or str(rh),
-                port=int(hport) if hport else PM_REDIS_DEFAULT_PORT,
+                host=hhost,
+                port=hport,
                 cluster_name=str(cluster),
                 cluster_id=int(
                     conf.get(f"{fam}_daemon_ha_cluster_id", default=0) or 0
@@ -407,13 +413,16 @@ class Daemon:
     def _tcp_allow(conf, fam: str) -> list[str] | None:
         """bgp_daemon_allow_file / bmp_daemon_allow_file
         (CONFIG-KEYS:3073): parse-once allow list for the TCP
-        listener; empty file = accept everything (the reference only
-        consults a non-empty table)."""
+        listener. An allow file that parses to ZERO entries means
+        DENY ALL — load_allow_file sets num=-1 for an empty file
+        (src/util.c:2033, 'distinguish between no map and empty map')
+        so check_allow matches nothing; only a MISSING key accepts
+        everything. Returning [] (not None) carries that through."""
         path = conf.get(f"{fam}_daemon_allow_file")
         if not path:
             return None
         with open(str(path)) as fh:
-            return conffile.parse_allow_file(fh.read()) or None
+            return conffile.parse_allow_file(fh.read())
 
     @property
     def port(self) -> int:
@@ -776,12 +785,15 @@ class Daemon:
                         fh.read()
                     )
         entries = self._allow_cache
-        # An allow file that parses to ZERO entries accepts everything:
-        # the reference only consults the table when it is non-empty
-        # (src/nfacctd.c:1582 `if (allow.num) allowed = check_allow`),
-        # so an empty or comments-only file must not drop all traffic.
-        if not entries:
+        if entries is None:  # no allow file configured: accept all
             return dg
+        # An allow file that parses to ZERO entries DENIES everything:
+        # load_allow_file sets num=-1 for an empty file
+        # (src/util.c:2033) which is truthy at src/nfacctd.c:1582
+        # `if (allow.num) allowed = check_allow`, and check_allow's
+        # 0-iteration loop returns FALSE for every source.
+        if not entries:
+            return dg.filter(F.lit(False))
         from pmacct_spark.functions.addr import ipv4_aton
 
         exact = [e for e in entries if "/" not in e]
@@ -1689,9 +1701,8 @@ class Daemon:
                         )
 
                         hp = str(reg_url).split("//", 1)[-1].rstrip("/")
-                        rh, _, rp = hp.rpartition(":")
                         reg = HttpSchemaRegistryClient(
-                            rh or hp, int(rp) if rp else 8081
+                            *conffile.split_host_port(hp, 8081)
                         )
                     frames = msglog_avro_kafka_frames(
                         ev,

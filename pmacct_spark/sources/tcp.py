@@ -313,15 +313,27 @@ class TcpSpool:
     ):
         # bgp_daemon_allow_file / bmp_daemon_allow_file (CONFIG-KEYS:
         # 3073): sessions from peers not in the list are REFUSED at
-        # accept. Empty/None = accept everything (the reference only
-        # consults a non-empty table). Entries: addresses or CIDRs.
+        # accept. None = no file = accept everything; an EMPTY list =
+        # empty file = DENY ALL (load_allow_file src/util.c:2033 sets
+        # num=-1 so check_allow matches nothing). Malformed entries are
+        # warned and skipped like src/util.c:2026, never fatal.
         import ipaddress as _ip
+        import logging as _logging
 
-        self.allow_nets = (
-            [_ip.ip_network(e, strict=False) for e in allow]
-            if allow
-            else None
-        )
+        self.allow_nets: list | None
+        if allow is None:
+            self.allow_nets = None
+        else:
+            self.allow_nets = []
+            for e in allow:
+                try:
+                    self.allow_nets.append(
+                        _ip.ip_network(e, strict=False)
+                    )
+                except ValueError:
+                    _logging.getLogger("pmacct_spark").warning(
+                        "allow_file: Bad IP address '%s'. Ignored.", e
+                    )
         self.sessions_refused_by_allow = 0
         # BGP speaker side (OPEN reply + KEEPALIVEs, bgp_daemon_as /
         # bgp_daemon_id): kwargs for a per-connection BgpSpeaker;
@@ -609,12 +621,15 @@ class TcpSpool:
         """Rewrite the established-neighbor list (write_neighbors_file,
         reference src/bgp/bgp_util.c:1193): one address per line,
         whole-file replace on every session change."""
+        # Hold the lock across snapshot + tmp write + rename: two
+        # session threads sharing one '<file>.tmp' could otherwise
+        # interleave writes and publish a truncated/mixed file.
         with self._lock:
             peers = sorted(set(self._live_peers.values()))
-        tmp = f"{self.neighbors_file}.tmp"
-        with open(tmp, "w") as fh:
-            fh.writelines(f"{p}\n" for p in peers)
-        os.replace(tmp, self.neighbors_file)
+            tmp = f"{self.neighbors_file}.tmp"
+            with open(tmp, "w") as fh:
+                fh.writelines(f"{p}\n" for p in peers)
+            os.replace(tmp, self.neighbors_file)
 
     def _emit(self, peer: str, payload: bytes, epoch: int = 1) -> None:
         import pyarrow as pa

@@ -1395,20 +1395,55 @@ writer_id_string[imt]: w-$proc_name-$writer_pid
         d.stop()
 
 
-def test_allow_file_zero_entries_accepts_all(spark):
+def test_allow_file_zero_entries_denies_all(spark):
     """An allow file that parses to ZERO entries (empty or
-    comments-only) accepts every exporter — the reference consults
-    the table only when allow.num > 0 (src/nfacctd.c:1582), so a
-    comments-only file must not drop all traffic (ADVICE r8)."""
+    comments-only) DENIES every exporter: load_allow_file sets
+    num=-1 for an empty file (src/util.c:2033, 'distinguish between
+    no map and empty map'), which is truthy at src/nfacctd.c:1582 so
+    check_allow runs — and its 0-iteration loop returns FALSE.
+    CONFIG-KEYS:2007: 'if an allow file is specified but its content
+    is empty, that means deny all'. Only a MISSING key accepts all.
+    (ADVICE r10 — the r8 version of this test asserted fail-open.)"""
     from pmacct_spark import conffile
 
     assert conffile.parse_allow_file("! nothing here\n\n") == []
-    d = Daemon.__new__(Daemon)
-    d.flavor = "netflow"
-    d._allow_cache = []
     dg = spark.createDataFrame([("10.0.0.1",), ("127.0.0.1",)],
                                "exporter_ip string")
-    assert d._exporter_allow_filter(dg).count() == 2
+    d = Daemon.__new__(Daemon)
+    d.flavor = "netflow"
+    d._allow_cache = []  # empty file -> deny all
+    assert d._exporter_allow_filter(dg).count() == 0
+    d2 = Daemon.__new__(Daemon)
+    d2.flavor = "netflow"
+    d2._allow_cache = None  # no file -> accept all
+    assert d2._exporter_allow_filter(dg).count() == 2
+
+
+def test_allow_file_malformed_line_skipped():
+    """A malformed allow-file line is warned and skipped, never fatal
+    (src/util.c:2026 'Bad IP address ... Ignored.'); valid entries on
+    other lines still load."""
+    from pmacct_spark import conffile
+
+    got = conffile.parse_allow_file(
+        "10.0.0.1\nnot-an-address\n192.0.2.0/24\n"
+    )
+    assert got == ["10.0.0.1", "192.0.2.0/24"]
+
+
+def test_split_host_port_v6_and_bare():
+    """split_host_port must not misparse bare IPv6 ('::1' is a host,
+    not host '::' + port 1); bracket syntax carries an explicit port;
+    a bare hostname takes the default (ADVICE r10)."""
+    from pmacct_spark.conffile import split_host_port
+
+    assert split_host_port("::1", 6379) == ("::1", 6379)
+    assert split_host_port("[::1]:7000", 6379) == ("::1", 7000)
+    assert split_host_port("[fe80::2]", 6379) == ("fe80::2", 6379)
+    assert split_host_port("myhost", 6379) == ("myhost", 6379)
+    assert split_host_port("myhost:7000", 6379) == ("myhost", 7000)
+    assert split_host_port("127.0.0.1:1234", 6379) == (
+        "127.0.0.1", 1234)
 
 
 def test_print_markers_false_string_disables_markers(spark, tmp_path):

@@ -737,3 +737,12 @@ aggregate[m]: proto
     assert alive and refused == 0
     alive, refused = run_one("unlisted", "192.0.2.0/24\n")
     assert not alive and refused == 1
+    # EMPTY allow file = DENY ALL (src/util.c:2033 num=-1;
+    # CONFIG-KEYS:2007 'empty ... means deny all') — fail-closed, not
+    # fail-open (ADVICE r10 high)
+    alive, refused = run_one("empty", "! comments only\n\n")
+    assert not alive and refused == 1
+    # malformed line is skipped with a warning (src/util.c:2026), the
+    # valid entry still admits the peer — startup must not crash
+    alive, refused = run_one("badline", "bogus-addr\n127.0.0.1\n")
+    assert alive and refused == 0
