@@ -1146,6 +1146,36 @@ class Daemon:
             # .start() time (see lpm_join docstring)
             masklens=list(range(32, -1, -1)) if streaming else None,
         )
+        fnh = self.conf.get("bgp_follow_nexthop")
+        if fnh and not streaming:
+            # bgp_follow_nexthop (+_external) — recursive next-hop
+            # resolution for peer_dst_ip (bgp_follow_nexthop_lookup
+            # src/bgp/bgp_lookup.c:480; CONFIG-KEYS:3040-3055). Live
+            # serving rides the daemon's per-tick replan (the dim-side
+            # depth/masklen probes re-run each tick), so the streaming
+            # path — whose plan would freeze them at .start() — keeps
+            # the plain first-lookup next-hop instead.
+            from pmacct_spark.functions.addr import ipv4_ntoa
+            from pmacct_spark.operators.lpm import follow_nexthop_join
+
+            nh_rib = rib.filter(
+                F.col("next_hop").isNotNull() & (F.col("next_hop") > 0)
+            ).select(
+                "peer_ip", "net_int", "masklen",
+                ipv4_ntoa("next_hop").alias("nexthop"),
+            )
+            prefixes = [
+                p.strip() for p in str(fnh).split(",") if p.strip()
+            ]
+            out = follow_nexthop_join(
+                out, nh_rib, "ip_dst_i", "peer_ip_src", prefixes,
+                out_col="__fnh_follow", external_col="__fnh_ext",
+            )
+            ext = self.conf.getbool("bgp_follow_nexthop_external")
+            out = out.withColumn(
+                "peer_dst_ip",
+                F.col("__fnh_ext" if ext else "__fnh_follow"),
+            ).drop("__fnh_follow", "__fnh_ext")
         radius = self.conf.get("bgp_aspath_radius")
         if radius:
             # bgp_aspath_radius (reference CONFIG-KEYS, bgp_util.c):

@@ -93,6 +93,176 @@ def lpm_join(
     return out
 
 
+def follow_nexthop_join(
+    flows: DataFrame,
+    rib: DataFrame,
+    ip_col: str,
+    peer_col: str,
+    follow: list[str],
+    out_col: str = "peer_dst_ip",
+    external_col: str | None = None,
+    max_hops: int = 20,
+    max_self: int = 1,
+) -> DataFrame:
+    """bgp_follow_nexthop / bgp_follow_nexthop_external (reference
+    bgp_follow_nexthop_lookup src/bgp/bgp_lookup.c:480-666;
+    CONFIG-KEYS:3040-3055): recursive BGP next-hop resolution. The
+    flow's destination is LPM-looked-up in the RIB of the exporter
+    peer; while the resulting NEXT_HOP matches one of the ``follow``
+    prefixes, that next-hop becomes the peer for the next lookup —
+    "using each next-hop as BGP source-address for the next BGP RIB
+    lookup". ``out_col`` gets the LAST next-hop inside the follow set
+    (the routing-domain exit point); ``external_col``, if given, gets
+    the _external variant — the next-hop from the routing table OF the
+    last in-set node (the first hop OUTSIDE the set). When the FIRST
+    lookup's next-hop is already outside the set, both collapse to it
+    (bgp_nexthop_info stays NULL and peer_dst_ip falls back to
+    bgp_dst_info's next-hop, src/pkt_handlers.c:1463-1466).
+
+    Loop protection mirrors the reference exactly: at most
+    ``max_hops`` recursions (MAX_HOPS_FOLLOW_NH=20, src/bgp/bgp.h:89)
+    and ``max_self`` self-references — a next-hop equal to the peer
+    just looked up decrements the budget, and once it is exhausted NO
+    further following happens at all (the `self > 0` guard,
+    src/bgp/bgp_lookup.c:592) (MAX_NH_SELF_REFERENCES=1).
+
+    Physical shape: the recursion depth is bounded DIM-side — a
+    driver-walk of the peer->nexthop graph (RIB-sized, the same class
+    of driver probe as lpm_join's masklen discovery) caps the number
+    of unrolled lookups, and each lookup is a chained-broadcast
+    :func:`lpm_join`, so the fact table NEVER shuffles: the whole
+    resolution is K_masklens x depth map-side broadcast probes.
+
+    ``rib`` columns: ``peer_ip`` (string), ``net_int``, ``masklen``,
+    ``nexthop`` (string). ``peer_col``/``ip_col`` name the flow-side
+    exporter address (string) and dst (uint32-in-bigint) columns.
+    """
+    import ipaddress
+
+    from pmacct_spark.functions.addr import ipv4_aton
+
+    follow_nets = [
+        ipaddress.ip_network(p, strict=False) for p in follow
+    ]
+
+    def _in_follow_col(nh):
+        conds = None
+        nh_int = ipv4_aton(nh)
+        for net in follow_nets:
+            div = 1 << (32 - net.prefixlen)
+            c = (nh_int - (nh_int % div)) == int(net.network_address)
+            conds = c if conds is None else (conds | c)
+        return conds if conds is not None else F.lit(False)
+
+    # dim-side depth bound: longest simple path in the follow graph
+    # (edges peer -> nexthop where nexthop is in the follow set and is
+    # itself a peer) + the self-reference budget + the terminal lookup
+    edges_rows = (
+        rib.select("peer_ip", "nexthop").distinct().collect()
+    )
+    peers = {r["peer_ip"] for r in edges_rows}
+
+    def _in_follow_py(addr: str) -> bool:
+        try:
+            a = ipaddress.ip_address(addr)
+        except ValueError:
+            return False
+        return any(a in n for n in follow_nets)
+
+    adj: dict[str, set[str]] = {}
+    for r in edges_rows:
+        nh = r["nexthop"]
+        if nh and nh != r["peer_ip"] and nh in peers and _in_follow_py(nh):
+            adj.setdefault(r["peer_ip"], set()).add(nh)
+
+    def _depth(p: str, seen: frozenset) -> int:
+        best = 0
+        for q in adj.get(p, ()):  # cycles cut by the visited set;
+            if q in seen:         # real routing loops are bounded by
+                continue          # max_hops anyway
+            best = max(best, 1 + _depth(q, seen | {q}))
+        return best
+
+    longest = max((_depth(p, frozenset({p})) for p in peers), default=0)
+    lookups = min(max_hops, longest + max_self) + 1
+
+    masklens = sorted(
+        (r[0] for r in rib.select("masklen").distinct().collect()),
+        reverse=True,
+    )
+
+    out = (
+        flows.withColumn("__fnh_sa", F.col(peer_col))
+        .withColumn("__fnh_saved", F.lit(None).cast("string"))
+        .withColumn("__fnh_saved_ext", F.lit(None).cast("string"))
+        .withColumn("__fnh_first", F.lit(None).cast("string"))
+        .withColumn("__fnh_self", F.lit(max_self))
+    )
+    for i in range(lookups):
+        out = lpm_join(
+            out,
+            rib,
+            ip_col,
+            {"nexthop": "__fnh_nh"},
+            extra_keys={"__fnh_sa": "peer_ip"},
+            masklens=masklens,
+        )
+        nh = F.col("__fnh_nh")
+        sa = F.col("__fnh_sa")
+        saved = F.col("__fnh_saved")
+        saved_ext = F.col("__fnh_saved_ext")
+        selfb = F.col("__fnh_self")
+        active = sa.isNotNull()
+        # matched && self > 0 && ttl > 0: after the self budget is
+        # spent following stops entirely; a follow at lookup i is the
+        # (i+1)-th recursion, so ttl>0 means i < max_hops
+        can_follow = (
+            active
+            & nh.isNotNull()
+            & _in_follow_col(nh)
+            & (selfb > 0)
+            & F.lit(i < max_hops)
+        )
+        stop_with_info = active & nh.isNotNull() & ~can_follow
+        out = (
+            out.withColumn(
+                "__fnh_first",
+                F.col("__fnh_first") if i else nh,
+            )
+            .withColumn(
+                "__fnh_saved", F.when(can_follow, nh).otherwise(saved)
+            )
+            .withColumn(
+                "__fnh_saved_ext",
+                F.when(can_follow | stop_with_info, nh).otherwise(
+                    saved_ext
+                ),
+            )
+            .withColumn(
+                "__fnh_self",
+                F.when(can_follow & (nh == sa), selfb - 1).otherwise(
+                    selfb
+                ),
+            )
+            .withColumn(
+                "__fnh_sa", F.when(can_follow, nh).otherwise(F.lit(None))
+            )
+            .drop("__fnh_nh")
+        )
+    out = out.withColumn(
+        out_col, F.coalesce(F.col("__fnh_saved"), F.col("__fnh_first"))
+    )
+    if external_col is not None:
+        out = out.withColumn(
+            external_col,
+            F.coalesce(F.col("__fnh_saved_ext"), F.col("__fnh_first")),
+        )
+    return out.drop(
+        "__fnh_sa", "__fnh_saved", "__fnh_saved_ext", "__fnh_first",
+        "__fnh_self",
+    )
+
+
 def net_mask_merge_sql(
     export_mask: str, file_mask: str, *, no_lpm: bool = False
 ) -> str:

@@ -7,14 +7,20 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from pmacct_spark.driver_queries import flows, register
-from pmacct_spark.operators.lpm import lpm_join
+from pmacct_spark.operators.lpm import follow_nexthop_join, lpm_join
 from pmacct_spark.operators.sessionize import (
     session_stats,
     sessionize,
     sessionize_duck,
 )
 from pmacct_spark.sources.tables import load_table
-from pmacct_spark.views.dims import BGP6_RIB_DUCK, BGP_RIB_DUCK, bgp_rib_dim
+from pmacct_spark.views.dims import (
+    BGP6_RIB_DUCK,
+    BGP_NH_RIB_DUCK,
+    BGP_RIB_DUCK,
+    bgp_nh_rib_dim,
+    bgp_rib_dim,
+)
 from pmacct_spark.views.flows import FLOWS_DUCK_CTE, flows_sql
 
 
@@ -311,6 +317,83 @@ def bgp_src_lookup(spark, sf_dir):
         F.sum("bytes").cast("bigint").alias("bytes"),
         F.count(F.lit(1)).alias("flows"),
         F.min("src_local_pref").cast("bigint").alias("min_src_local_pref"),
+    )
+
+
+# --- bgp_follow_nexthop (+ _external): recursive next-hop resolution
+#     (bgp_follow_nexthop_lookup src/bgp/bgp_lookup.c:480-666;
+#     CONFIG-KEYS:3040-3055). The flow dst is LPM-resolved in the
+#     exporter's RIB; while the NEXT_HOP lands in the follow set
+#     (172.16.0.0/16 here) it becomes the peer for the next lookup.
+#     peer_dst_ip = last in-set next-hop (the routing-domain exit
+#     point); peer_dst_ip_ext = the _external variant (first next-hop
+#     OUTSIDE the set, i.e. from the last in-set node's table). The
+#     oracle unrolls the fixture's max depth (3 lookups) as correlated
+#     LPM subqueries; the follow-set test 'LIKE 172.16.%' is the
+#     string form of the 172.16.0.0/16 prefix match. Self-references
+#     (n%5==0 reflector rows) burn the MAX_NH_SELF_REFERENCES=1
+#     budget and pin both outputs to the reflector address.
+_NH_LPM = """(SELECT r.nexthop FROM rib r WHERE r.peer_ip = {peer}
+       AND ({dst} // (CAST(1 AS BIGINT) << (32 - r.masklen)))
+         = (r.net_int // (CAST(1 AS BIGINT) << (32 - r.masklen)))
+     ORDER BY r.masklen DESC LIMIT 1)"""
+
+
+@register(
+    "bgp_follow_nexthop_lookup",
+    f"""{FLOWS_DUCK_CTE},
+rib AS ({BGP_NH_RIB_DUCK}),
+h1 AS (
+  SELECT f.bytes, f.ip_dst_i,
+         {_NH_LPM.format(peer="f.peer_ip_src", dst="f.ip_dst_i")} AS nh1
+  FROM flows f
+),
+h2 AS (
+  SELECT bytes, ip_dst_i, nh1,
+         {_NH_LPM.format(peer="h1.nh1", dst="h1.ip_dst_i")} AS nh2
+  FROM h1
+),
+h3 AS (
+  SELECT bytes, nh1, nh2,
+         {_NH_LPM.format(peer="h2.nh2", dst="h2.ip_dst_i")} AS nh3
+  FROM h2
+),
+res AS (
+  SELECT bytes,
+         CASE WHEN nh1 IS NULL THEN NULL
+              WHEN nh1 NOT LIKE '172.16.%' THEN nh1
+              WHEN nh2 = nh1 THEN nh1
+              WHEN nh2 NOT LIKE '172.16.%' THEN nh1
+              ELSE nh2 END AS peer_dst_ip,
+         CASE WHEN nh1 IS NULL THEN NULL
+              WHEN nh1 NOT LIKE '172.16.%' THEN nh1
+              WHEN nh2 = nh1 THEN nh1
+              WHEN nh2 NOT LIKE '172.16.%' THEN nh2
+              ELSE nh3 END AS peer_dst_ip_ext
+  FROM h3
+)
+SELECT peer_dst_ip, peer_dst_ip_ext,
+       CAST(SUM(bytes) AS BIGINT) AS bytes, COUNT(*) AS flows
+FROM res GROUP BY 1, 2""",
+)
+def bgp_follow_nexthop_lookup(spark, sf_dir):
+    """Both output modes ride ONE columnar pass: the loop keeps a
+    follow-saved and an external-saved column, so the external
+    variant costs one extra CASE per hop, not a second resolution."""
+    fl = flows(spark, sf_dir).select("peer_ip_src", "ip_dst_i", "bytes")
+    rib = bgp_nh_rib_dim(spark, sf_dir)
+    resolved = follow_nexthop_join(
+        fl,
+        rib,
+        "ip_dst_i",
+        "peer_ip_src",
+        follow=["172.16.0.0/16"],
+        out_col="peer_dst_ip",
+        external_col="peer_dst_ip_ext",
+    )
+    return resolved.groupBy("peer_dst_ip", "peer_dst_ip_ext").agg(
+        F.sum("bytes").cast("bigint").alias("bytes"),
+        F.count(F.lit(1)).alias("flows"),
     )
 
 

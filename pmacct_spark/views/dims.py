@@ -205,6 +205,57 @@ GEOIP_DUCK = _GEOIP_SQL.replace("{STR}", "VARCHAR")
 SAMPLING_MAP_DUCK = _SAMPLING_MAP_SQL.replace("{STR}", "VARCHAR")
 NETWORKS6_DUCK = _NETWORKS6_SQL.replace("{HEX}", "to_hex")
 BGP_RIB_DUCK = _BGP_RIB_SQL.replace("{STR}", "VARCHAR")
+
+# Follow-nexthop RIB (bgp_follow_nexthop, reference
+# src/bgp/bgp_lookup.c:480 bgp_follow_nexthop_lookup; CONFIG-KEYS:3040):
+# a three-tier topology whose NEXT_HOP attributes chain through the
+# 172.16.0.0/16 follow set so peer_dst_ip resolution recurses:
+#   tier 1: edge peers 192.0.2.{r} (the flows' exporters). Per nation
+#           /16 the next-hop is a route reflector 172.16.1.{n%3} —
+#           except n%4==3, whose next-hop 203.0.113.{n} leaves the
+#           follow set immediately (no recursion, fallback path). A
+#           /20 more-specific per nation carries a DIFFERENT
+#           reflector (172.16.1.{(n+1)%3}) so hop-1 LPM is observable.
+#   tier 2: reflectors 172.16.1.{0,1,2}. n%5==0 rows SELF-REFERENCE
+#           (next-hop = the reflector itself) exercising the
+#           MAX_NH_SELF_REFERENCES=1 budget (src/bgp/bgp.h:90);
+#           others forward to an exit router 172.16.2.{n%2}.
+#   tier 3: exit routers 172.16.2.{0,1}; next-hops 198.51.100.{n}
+#           leave the follow set — where the recursion terminates.
+_NH_MIDS = "(SELECT 0 AS g UNION ALL SELECT 1 UNION ALL SELECT 2) mids"
+_NH_EXITS = "(SELECT 0 AS g UNION ALL SELECT 1) exits"
+
+_BGP_NH_RIB_SQL = f"""
+SELECT '192.0.2.' || CAST(r_regionkey AS {{STR}}) AS peer_ip,
+       CAST({_BASE} + n_nationkey * 65536 AS BIGINT) AS net_int,
+       16 AS masklen,
+       CASE WHEN n_nationkey % 4 = 3
+            THEN '203.0.113.' || CAST(n_nationkey AS {{STR}})
+            ELSE '172.16.1.' || CAST(n_nationkey % 3 AS {{STR}})
+       END AS nexthop
+FROM region CROSS JOIN nation
+UNION ALL
+SELECT '192.0.2.' || CAST(r_regionkey AS {{STR}}),
+       CAST({_BASE} + n_nationkey * 65536
+            + ((n_nationkey * 7) % 16) * 4096 AS BIGINT), 20,
+       '172.16.1.' || CAST((n_nationkey + 1) % 3 AS {{STR}})
+FROM region CROSS JOIN nation WHERE n_nationkey < 16
+UNION ALL
+SELECT '172.16.1.' || CAST(g AS {{STR}}),
+       CAST({_BASE} + n_nationkey * 65536 AS BIGINT), 16,
+       CASE WHEN n_nationkey % 5 = 0
+            THEN '172.16.1.' || CAST(g AS {{STR}})
+            ELSE '172.16.2.' || CAST(n_nationkey % 2 AS {{STR}})
+       END
+FROM nation CROSS JOIN {_NH_MIDS}
+UNION ALL
+SELECT '172.16.2.' || CAST(g AS {{STR}}),
+       CAST({_BASE} + n_nationkey * 65536 AS BIGINT), 16,
+       '198.51.100.' || CAST(n_nationkey AS {{STR}})
+FROM nation CROSS JOIN {_NH_EXITS}
+"""
+
+BGP_NH_RIB_DUCK = _BGP_NH_RIB_SQL.replace("{STR}", "VARCHAR")
 BGP6_RIB_DUCK = _BGP6_RIB_SQL.replace("{STR}", "VARCHAR").replace("{HEX}", "to_hex")
 ROA_DUCK = _ROA_SQL
 FLOW_TO_RD_DUCK = _FLOW_TO_RD_SQL.replace("{STR}", "VARCHAR")
@@ -239,6 +290,13 @@ def sampling_map_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
 def bgp_rib_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _run(
         spark, sf_dir, _BGP_RIB_SQL.replace("{STR}", "STRING"), ["region", "nation"]
+    )
+
+
+def bgp_nh_rib_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _run(
+        spark, sf_dir, _BGP_NH_RIB_SQL.replace("{STR}", "STRING"),
+        ["region", "nation"],
     )
 
 

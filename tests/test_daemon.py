@@ -1785,3 +1785,51 @@ print_output_file_append[p]: true
         rows += [_json.loads(ln) for ln in f.read_text().splitlines()]
     assert len(rows) == 2  # append kept both purges
     assert all(r["tcp_flags"] == ["ACK", "SYN"] for r in rows)
+
+
+def test_bgp_follow_nexthop_config_resolves_peer_dst_ip(spark):
+    """bgp_follow_nexthop / bgp_follow_nexthop_external (CONFIG-KEYS:
+    3040-3055, bgp_follow_nexthop_lookup src/bgp/bgp_lookup.c:480):
+    with the key set, peer_dst_ip resolves recursively through the
+    live RIB's NEXT_HOP chain; the _external toggle returns the first
+    next-hop OUTSIDE the supplied prefixes instead of the last one
+    inside them."""
+    from pmacct_spark import conffile
+
+    rib = spark.createDataFrame(
+        [
+            # edge peer's route -> reflector; reflector -> exit router;
+            # exit router's next-hop leaves 172.16/16
+            ("192.0.2.1", 0x0A010000, 16, "65000 65100", 100, 0, "",
+             0xAC100101),   # 172.16.1.1
+            ("172.16.1.1", 0x0A010000, 16, "65000 65100", 100, 0, "",
+             0xAC100201),   # 172.16.2.1
+            ("172.16.2.1", 0x0A010000, 16, "65000 65100", 100, 0, "",
+             0xC6336409),   # 198.51.100.9
+        ],
+        "peer_ip string, net_int long, masklen int, as_path string, "
+        "local_pref long, med long, std_comm string, next_hop long",
+    )
+    fl = spark.createDataFrame(
+        [("192.0.2.1", 0x0A010005, 100)],
+        "peer_ip_src string, ip_dst_i long, bytes long",
+    )
+
+    def make(conf_text):
+        d = Daemon.__new__(Daemon)
+        d.spark = spark
+        d.conf = conffile.parse_conf(conf_text)
+        d.rtr_client = None
+        d.rib = lambda: rib.withColumnRenamed("net_int", "prefix")
+        return d
+
+    d = make("bgp_daemon: true\nbgp_follow_nexthop: 172.16.0.0/16\n")
+    row = d._bgp_enrich(fl).collect()[0]
+    assert row["peer_dst_ip"] == "172.16.2.1"  # last in-set next-hop
+
+    d = make(
+        "bgp_daemon: true\nbgp_follow_nexthop: 172.16.0.0/16\n"
+        "bgp_follow_nexthop_external: true\n"
+    )
+    row = d._bgp_enrich(fl).collect()[0]
+    assert row["peer_dst_ip"] == "198.51.100.9"  # first out-of-set

@@ -180,3 +180,95 @@ def test_rpki_validation_empty_roa_table(spark):
         "rid string, net_int long, masklen int, origin_as long",
     )
     assert [r.roa_status for r in rpki_validate(routes, roa).collect()] == ["u"]
+
+
+# ---------------------------------------------------------------------------
+# bgp_follow_nexthop recursive resolution (bgp_follow_nexthop_lookup
+# src/bgp/bgp_lookup.c:480-666; MAX_HOPS_FOLLOW_NH / MAX_NH_SELF_REFERENCES
+# src/bgp/bgp.h:89-90)
+# ---------------------------------------------------------------------------
+
+def _nh_rib(spark):
+    # chain: edge(192.0.2.1) -> rr(172.16.1.1) -> exit(172.16.2.1)
+    #        -> 198.51.100.9 (outside set); plus a self-referencing
+    #        reflector 172.16.1.2 and a no-follow edge route
+    return spark.createDataFrame(
+        [
+            ("192.0.2.1", 0x0A010000, 16, "172.16.1.1"),
+            ("192.0.2.1", 0x0A020000, 16, "203.0.113.9"),  # not in set
+            ("192.0.2.1", 0x0A030000, 16, "172.16.1.2"),   # -> self rr
+            ("172.16.1.1", 0x0A010000, 16, "172.16.2.1"),
+            ("172.16.1.2", 0x0A030000, 16, "172.16.1.2"),  # self-ref
+            ("172.16.2.1", 0x0A010000, 16, "198.51.100.9"),
+        ],
+        "peer_ip string, net_int long, masklen int, nexthop string",
+    )
+
+
+def test_follow_nexthop_modes_and_self_budget(spark):
+    from pmacct_spark.operators.lpm import follow_nexthop_join
+
+    fl = spark.createDataFrame(
+        [
+            ("f1", "192.0.2.1", 0x0A010005),  # 2-hop chain
+            ("f2", "192.0.2.1", 0x0A020005),  # first nh outside set
+            ("f3", "192.0.2.1", 0x0A030005),  # self-referencing rr
+            ("f4", "192.0.2.1", 0x0BFF0005),  # no route at all
+        ],
+        "fid string, peer string, dst long",
+    )
+    out = follow_nexthop_join(
+        fl, _nh_rib(spark), "dst", "peer", ["172.16.0.0/16"],
+        out_col="pdi", external_col="pdi_ext",
+    )
+    got = {r.fid: (r.pdi, r.pdi_ext) for r in out.collect()}
+    # follow: last in-set nexthop; external: first OUT-of-set nexthop
+    assert got["f1"] == ("172.16.2.1", "198.51.100.9")
+    # no recursion: both collapse to the first lookup's nexthop
+    # (bgp_nexthop_info NULL -> bgp_dst_info, pkt_handlers.c:1463)
+    assert got["f2"] == ("203.0.113.9", "203.0.113.9")
+    # one self-reference allowed, then following stops entirely
+    assert got["f3"] == ("172.16.1.2", "172.16.1.2")
+    assert got["f4"] == (None, None)
+
+
+def test_follow_nexthop_max_hops_caps_chain(spark):
+    """A long in-set chain is cut at max_hops follows, like ttl=20."""
+    from pmacct_spark.operators.lpm import follow_nexthop_join
+
+    rows = [("192.0.2.1", 0x0A010000, 16, "172.16.0.0")]
+    rows += [
+        (f"172.16.0.{i}", 0x0A010000, 16, f"172.16.0.{i + 1}")
+        for i in range(6)
+    ]
+    rib = spark.createDataFrame(
+        rows, "peer_ip string, net_int long, masklen int, nexthop string"
+    )
+    fl = spark.createDataFrame(
+        [("f1", "192.0.2.1", 0x0A010005)],
+        "fid string, peer string, dst long",
+    )
+    out = follow_nexthop_join(
+        fl, rib, "dst", "peer", ["172.16.0.0/16"],
+        out_col="pdi", max_hops=3,
+    )
+    # lookups: edge, .0, .1, then cut -> last followed nexthop is .2
+    assert out.collect()[0].pdi == "172.16.0.2"
+
+
+def test_follow_nexthop_plan_is_broadcast_only(spark):
+    """Every unrolled hop must stay a broadcast probe: the fact table
+    never shuffles regardless of recursion depth."""
+    from pmacct_spark.operators.lpm import follow_nexthop_join
+
+    fl = spark.createDataFrame(
+        [("f1", "192.0.2.1", 0x0A010005)],
+        "fid string, peer string, dst long",
+    )
+    out = follow_nexthop_join(
+        fl, _nh_rib(spark), "dst", "peer", ["172.16.0.0/16"]
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "Exchange hashpartitioning" not in plan
