@@ -1188,28 +1188,85 @@ class Daemon:
                     f"{int(radius)}), ' ')"
                 ),
             )
-        pat = self.conf.get("bgp_stdcomm_pattern")
-        if pat:
-            # bgp_stdcomm_pattern: keep only standard communities
-            # matching the pattern ('*' wildcards either 16-bit half),
-            # the reference's evaluate_comm_patterns filter. Only '*'
-            # is a wildcard in the config syntax: literal % / _ must
-            # not act as LIKE metacharacters, and a quote in the value
-            # must not break out of the SQL string literal.
-            like = (
-                str(pat)
-                .replace("\\", "\\\\")
-                .replace("%", "\\%")
-                .replace("_", "\\_")
-                .replace("'", "''")
-                .replace("*", "%")
+        # bgp_stdcomm_pattern / bgp_extcomm_pattern /
+        # bgp_lrgcomm_pattern (CONFIG-KEYS:2872): substring matching
+        # with '.' single-character wildcards, multiple occurrences,
+        # comma-separated patterns — the reference's
+        # evaluate_comm_patterns (src/bgp/bgp_util.c:1014) reproduced
+        # as a JVM-side token fold (operators/comms.py).
+        from pmacct_spark.operators.comms import (
+            comm_pattern_sql,
+            comm_to_asn_cols,
+            split_patterns,
+        )
+
+        for key, col in (
+            ("bgp_stdcomm_pattern", "std_comm"),
+            ("bgp_extcomm_pattern", "ext_comm"),
+            ("bgp_lrgcomm_pattern", "lrg_comm"),
+        ):
+            pat = self.conf.get(key)
+            if not pat:
+                continue
+            if col not in out.columns:
+                # std_comm is always enriched; ext/lrg only matter
+                # when their pattern asks for them
+                out = lpm_join(
+                    out, rib, "ip_dst_i", {col: col}, default={col: ""},
+                    extra_keys={"peer_ip_src": "peer_ip"},
+                    masklens=(
+                        list(range(32, -1, -1)) if streaming else None
+                    ),
+                )
+            out = out.withColumn(
+                col,
+                F.expr(comm_pattern_sql(col, split_patterns(str(pat)))),
+            )
+        # bgp_stdcomm_pattern_to_asn / bgp_lrgcomm_pattern_to_asn
+        # (CONFIG-KEYS:2884, mutually exclusive per src/nfacctd.c:1041):
+        # when the AS-path yields no ASN (statics/connected
+        # redistributed in BGP), the first community matching the
+        # pattern maps Peer-AS:Origin-AS onto peer_dst_as / dst_as
+        # (copy_stdcomm_to_asn, src/pkt_handlers.c:5586-5615).
+        to_asn_std = self.conf.get("bgp_stdcomm_pattern_to_asn")
+        to_asn_lrg = self.conf.get("bgp_lrgcomm_pattern_to_asn")
+        if to_asn_std and to_asn_lrg:
+            raise ValueError(
+                "bgp_stdcomm_pattern_to_asn and bgp_lrgcomm_pattern_"
+                "to_asn are mutually exclusive (src/nfacctd.c:1041)"
+            )
+        if to_asn_std or to_asn_lrg:
+            src_col = "std_comm" if to_asn_std else "lrg_comm"
+            if src_col not in out.columns:
+                out = lpm_join(
+                    out, rib, "ip_dst_i", {src_col: src_col},
+                    default={src_col: ""},
+                    extra_keys={"peer_ip_src": "peer_ip"},
+                    masklens=(
+                        list(range(32, -1, -1)) if streaming else None
+                    ),
+                )
+            filt = comm_pattern_sql(
+                src_col, split_patterns(str(to_asn_std or to_asn_lrg))
+            )
+            peer_c, origin_c = comm_to_asn_cols(filt)
+            # dst_as falls back from the path's LAST hop
+            # (evaluate_last_asn), peer_dst_as from its FIRST
+            # (evaluate_first_asn) — src/pkt_handlers.c:5586, :5607
+            last_asn = F.expr(
+                "coalesce(try_cast(element_at(split(as_path, ' '), -1)"
+                " AS BIGINT), 0)"
+            )
+            first_asn = F.expr(
+                "coalesce(try_cast(element_at(split(as_path, ' '), 1)"
+                " AS BIGINT), 0)"
             )
             out = out.withColumn(
-                "std_comm",
-                F.expr(
-                    "array_join(filter(split(std_comm, ' '), "
-                    f"c -> c LIKE '{like}'), ' ')"
-                ),
+                "dst_as",
+                F.when(last_asn > 0, last_asn).otherwise(origin_c),
+            ).withColumn(
+                "peer_dst_as",
+                F.when(first_asn > 0, first_asn).otherwise(peer_c),
             )
         return out
 

@@ -397,6 +397,143 @@ def bgp_follow_nexthop_lookup(spark, sf_dir):
     )
 
 
+# --- bgp_stdcomm/extcomm/lrgcomm_pattern + *_pattern_to_asn
+#     (evaluate_comm_patterns src/bgp/bgp_util.c:1014,
+#     copy_stdcomm_to_asn :1156 / copy_lrgcomm_to_asn :1174;
+#     CONFIG-KEYS:2872-2894). Substring matching with '.' single-char
+#     wildcards; a dot-pattern tests only the FIRST occurrence of its
+#     literal prefix and gives up entirely if the length/mask test
+#     fails — the fixture's second std token makes that abort class
+#     observable (a naive per-token filter would still emit the third
+#     token). Spark runs the token fold as an aggregate() HOF (JVM
+#     codegen); the oracle is an independent DuckDB list_reduce of the
+#     same semantics (operators/comms.py).
+#     Community fixture (u = as_src - 64500, 0..19):
+#       std: '64496:<e%1000> 65100:<90+u if u<=4 else u> 65100:9<e%100>'
+#            patterns '64496:64,65100:9..' — substring-range class on
+#            token 1 (64, 640-649), abort class when token 2 starts
+#            with '65100:9' but fails the length test (u<=4 or u=9)
+#       ext: 'RT:64496:<e%200>', pattern 'RT:64496:1.' (passes only
+#            for two-digit values 10-19)
+#       lrg: '65020:<u*3%50>:<e%7> 64999:1:2', pattern '65020:4'
+_COMM_STD = (
+    "'64496:' || CAST(event_id % 1000 AS {STR}) || ' 65100:' || "
+    "CAST(CASE WHEN (as_src - 64500) <= 4 THEN 90 + (as_src - 64500) "
+    "ELSE (as_src - 64500) END AS {STR}) || ' 65100:9' || "
+    "lpad(CAST(event_id % 100 AS {STR}), 2, '0')"
+)
+_COMM_EXT = "'RT:64496:' || CAST(event_id % 200 AS {STR})"
+_COMM_LRG = (
+    "'65020:' || CAST(((as_src - 64500) * 3) % 50 AS {STR}) || ':' || "
+    "CAST(event_id % 7 AS {STR}) || ' 64999:1:2'"
+)
+_PAT_STD = ["64496:64", "65100:9.."]
+_PAT_EXT = ["RT:64496:1."]
+_PAT_LRG = ["65020:4"]
+
+
+def _comm_filter_oracle() -> str:
+    from pmacct_spark.operators.comms import comm_pattern_duck
+
+    std = _COMM_STD.replace("{STR}", "VARCHAR")
+    ext = _COMM_EXT.replace("{STR}", "VARCHAR")
+    lrg = _COMM_LRG.replace("{STR}", "VARCHAR")
+    return f"""{FLOWS_DUCK_CTE},
+comms AS (
+  SELECT bytes, {std} AS std_comm, {ext} AS ext_comm,
+         {lrg} AS lrg_comm
+  FROM flows
+)
+SELECT {comm_pattern_duck('std_comm', _PAT_STD)} AS std_f,
+       {comm_pattern_duck('ext_comm', _PAT_EXT)} AS ext_f,
+       {comm_pattern_duck('lrg_comm', _PAT_LRG)} AS lrg_f,
+       CAST(SUM(bytes) AS BIGINT) AS bytes, COUNT(*) AS flows
+FROM comms GROUP BY 1, 2, 3"""
+
+
+@register("bgp_comm_patterns_filter", _comm_filter_oracle())
+def bgp_comm_patterns_filter(spark, sf_dir):
+    from pmacct_spark.operators.comms import comm_pattern_sql
+
+    fl = flows(spark, sf_dir).select(
+        "bytes",
+        F.expr(_COMM_STD.replace("{STR}", "STRING")).alias("std_comm"),
+        F.expr(_COMM_EXT.replace("{STR}", "STRING")).alias("ext_comm"),
+        F.expr(_COMM_LRG.replace("{STR}", "STRING")).alias("lrg_comm"),
+    )
+    return (
+        fl.select(
+            "bytes",
+            F.expr(comm_pattern_sql("std_comm", _PAT_STD)).alias("std_f"),
+            F.expr(comm_pattern_sql("ext_comm", _PAT_EXT)).alias("ext_f"),
+            F.expr(comm_pattern_sql("lrg_comm", _PAT_LRG)).alias("lrg_f"),
+        )
+        .groupBy("std_f", "ext_f", "lrg_f")
+        .agg(
+            F.sum("bytes").cast("bigint").alias("bytes"),
+            F.count(F.lit(1)).alias("flows"),
+        )
+    )
+
+
+def _comm_to_asn_oracle() -> str:
+    from pmacct_spark.operators.comms import (
+        comm_pattern_duck,
+        comm_to_asn_duck,
+    )
+
+    std = _COMM_STD.replace("{STR}", "VARCHAR")
+    lrg = _COMM_LRG.replace("{STR}", "VARCHAR")
+    p_std, o_std = comm_to_asn_duck(comm_pattern_duck("std_comm", ["65100:"]))
+    p_lrg, o_lrg = comm_to_asn_duck(comm_pattern_duck("lrg_comm", ["65020:"]))
+    return f"""{FLOWS_DUCK_CTE},
+comms AS (
+  SELECT bytes, {std} AS std_comm, {lrg} AS lrg_comm FROM flows
+)
+SELECT {p_std} AS peer_as_std, {o_std} AS origin_as_std,
+       {p_lrg} AS peer_as_lrg, {o_lrg} AS origin_as_lrg,
+       CAST(SUM(bytes) AS BIGINT) AS bytes, COUNT(*) AS flows
+FROM comms GROUP BY 1, 2, 3, 4"""
+
+
+@register("bgp_comm_pattern_to_asn", _comm_to_asn_oracle())
+def bgp_comm_pattern_to_asn(spark, sf_dir):
+    """Peer-AS / Origin-AS extraction from the first pattern-matching
+    community, std and large variants side by side (the config keys
+    are mutually exclusive; the columns are not)."""
+    from pmacct_spark.operators.comms import (
+        comm_pattern_sql,
+        comm_to_asn_cols,
+    )
+
+    fl = flows(spark, sf_dir).select(
+        "bytes",
+        F.expr(_COMM_STD.replace("{STR}", "STRING")).alias("std_comm"),
+        F.expr(_COMM_LRG.replace("{STR}", "STRING")).alias("lrg_comm"),
+    )
+    p_std, o_std = comm_to_asn_cols(
+        comm_pattern_sql("std_comm", ["65100:"])
+    )
+    p_lrg, o_lrg = comm_to_asn_cols(
+        comm_pattern_sql("lrg_comm", ["65020:"])
+    )
+    return (
+        fl.select(
+            "bytes",
+            p_std.alias("peer_as_std"), o_std.alias("origin_as_std"),
+            p_lrg.alias("peer_as_lrg"), o_lrg.alias("origin_as_lrg"),
+        )
+        .groupBy(
+            "peer_as_std", "origin_as_std", "peer_as_lrg",
+            "origin_as_lrg",
+        )
+        .agg(
+            F.sum("bytes").cast("bigint").alias("bytes"),
+            F.count(F.lit(1)).alias("flows"),
+        )
+    )
+
+
 # --- BGP RIB built FROM THE WIRE: per-peer BGP UPDATE streams (AS4
 #     AS_PATH, NEXT_HOP, MED, LOCAL_PREF, all three community
 #     families) -> decode_bgp -> rib_state compaction -> the same

@@ -1335,9 +1335,11 @@ aggregate[imt]: proto
 
 def test_bgp_aspath_radius_and_stdcomm_pattern(spark):
     """bgp_aspath_radius trims the rendered AS-path to N hops;
-    bgp_stdcomm_pattern keeps only communities matching the wildcard
-    pattern — both applied after the RIB lookup, like the reference's
-    render-side filters."""
+    bgp_stdcomm_pattern keeps only communities matching the pattern —
+    SUBSTRING semantics with '.' single-char wildcards, the
+    reference's evaluate_comm_patterns (src/bgp/bgp_util.c:1014;
+    CONFIG-KEYS:2872 documents no '*' syntax) — both applied after
+    the RIB lookup, like the reference's render-side filters."""
     import types
 
     from pmacct_spark.daemon import Daemon
@@ -1346,7 +1348,7 @@ def test_bgp_aspath_radius_and_stdcomm_pattern(spark):
     d.conf = types.SimpleNamespace(
         get=lambda k, default=None: {
             "bgp_aspath_radius": "2",
-            "bgp_stdcomm_pattern": "65000:*",
+            "bgp_stdcomm_pattern": "65000:",
         }.get(k, default)
     )
     d.flavor = "netflow"
@@ -1368,6 +1370,81 @@ def test_bgp_aspath_radius_and_stdcomm_pattern(spark):
     assert len(out) == 1
     assert out[0]["as_path"] == "65001 65002"
     assert out[0]["std_comm"] == "65000:1 65000:22"
+
+
+def test_bgp_comm_pattern_families_and_to_asn(spark):
+    """bgp_extcomm_pattern / bgp_lrgcomm_pattern filter their own
+    community families; bgp_stdcomm_pattern_to_asn maps the first
+    matching community XXXXX:YYYYY onto Peer-AS / Origin-AS when the
+    AS-path yields none (CONFIG-KEYS:2884; copy_stdcomm_to_asn
+    src/bgp/bgp_util.c:1156, handlers src/pkt_handlers.c:5586/5607)."""
+    import types
+
+    from pmacct_spark.daemon import Daemon
+
+    def make(conf_map):
+        d = Daemon.__new__(Daemon)
+        d.conf = types.SimpleNamespace(
+            get=lambda k, default=None: conf_map.get(k, default)
+        )
+        d.flavor = "netflow"
+        d.rib = lambda: spark.createDataFrame(
+            [
+                # empty as_path: an iBGP/static redistribution
+                ("127.0.0.1", 0x0B000000, 24, "", 100, 0,
+                 "64999:7 65000:12",
+                 "RT:65010:1 RT:64999:9",
+                 "65020:1:7 64999:1:9"),
+            ],
+            "peer_ip string, prefix long, masklen int, as_path string,"
+            " local_pref long, med long, std_comm string,"
+            " ext_comm string, lrg_comm string",
+        )
+        d._roa_table = lambda: None
+        return d
+
+    flows_df = spark.createDataFrame(
+        [("127.0.0.1", 0x0B000001, 100)],
+        "peer_ip_src string, ip_dst_i long, bytes long",
+    )
+    d = make({
+        "bgp_extcomm_pattern": "RT:65010:",
+        "bgp_lrgcomm_pattern": "65020:",
+    })
+    row = d._bgp_enrich(flows_df).collect()[0]
+    assert row["ext_comm"] == "RT:65010:1"
+    assert row["lrg_comm"] == "65020:1:7"
+
+    d = make({"bgp_stdcomm_pattern_to_asn": "65000:"})
+    row = d._bgp_enrich(flows_df).collect()[0]
+    assert row["peer_dst_as"] == 65000 and row["dst_as"] == 12
+
+    # large variant: third field ignored (copy_lrgcomm_to_asn)
+    d = make({"bgp_lrgcomm_pattern_to_asn": "65020:"})
+    row = d._bgp_enrich(flows_df).collect()[0]
+    assert row["peer_dst_as"] == 65020 and row["dst_as"] == 1
+
+    # non-empty AS-path wins over the community mapping
+    d = make({"bgp_stdcomm_pattern_to_asn": "65000:"})
+    d.rib = lambda: spark.createDataFrame(
+        [("127.0.0.1", 0x0B000000, 24, "65001 65002", 100, 0,
+          "65000:12", "", "")],
+        "peer_ip string, prefix long, masklen int, as_path string,"
+        " local_pref long, med long, std_comm string,"
+        " ext_comm string, lrg_comm string",
+    )
+    row = d._bgp_enrich(flows_df).collect()[0]
+    assert row["peer_dst_as"] == 65001 and row["dst_as"] == 65002
+
+    # both to_asn keys together: config error (src/nfacctd.c:1041)
+    import pytest as _pytest
+
+    d = make({
+        "bgp_stdcomm_pattern_to_asn": "65000:",
+        "bgp_lrgcomm_pattern_to_asn": "65020:",
+    })
+    with _pytest.raises(ValueError):
+        d._bgp_enrich(flows_df)
 
 
 def test_writer_id_string_stamps_output(spark, tmp_path):
