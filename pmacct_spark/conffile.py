@@ -144,6 +144,9 @@ def channels(conf: Conf) -> dict[str, PluginConfig]:
             ],
             history=_typed(conf, name, "history", _ptype),
             history_roundoff=_typed(conf, name, "history_roundoff", _ptype),
+            history_offset=int(
+                _typed(conf, name, "history_offset", _ptype) or 0
+            ),
             pro_rating=_daemon_bool("pro_rating", name),
             stitching=_daemon_bool("stitching", name),
             renormalize=_daemon_bool("renormalize", name),

@@ -106,6 +106,7 @@ class PluginConfig:
     counters: list[str] = field(default_factory=lambda: ["bytes", "packets", "flows"])
     history: str | None = None  # e.g. '5m' -> tumbling buckets
     history_roundoff: str | None = None  # m|h|d|w|M align first bucket
+    history_offset: int = 0  # shift bucket origin by N seconds
     pro_rating: bool = False  # split counters across spanned buckets
     multi_window: bool = False  # insert whole counters into EVERY spanned bucket
     stitching: bool = False  # add timestamp_min/timestamp_max

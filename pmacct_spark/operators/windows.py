@@ -34,28 +34,51 @@ def _us(ts_expr: str) -> str:
     return f"unix_micros(CAST({ts_expr} AS TIMESTAMP))"
 
 
-def bucket_expr(ts_col: str, hist: History, roundoff: str | None = None) -> Column:
+def bucket_expr(
+    ts_col: str,
+    hist: History,
+    roundoff: str | None = None,
+    offset: int = 0,
+) -> Column:
     """Tumbling-bucket start for ``ts_col`` as TIMESTAMP_NTZ.
 
     Calendar histories (months) truncate; linear histories floor epoch
     time, optionally re-anchored at a calendar boundary (round-off).
-    """
+
+    ``offset`` (sql_history_offset family, CONFIG-KEYS:1413) shifts
+    the bucket origin by N seconds: the reference rewinds basetime by
+    ``timeslot + offset`` after round-off (src/plugin_common.c:959-966)
+    so boundaries land at ``k*timeslot - offset`` — a 30m history with
+    offset 900 bins at 10:15, 10:45, ... It must be < the timeslot
+    (the reference exits otherwise, :961) and has no meaning for
+    calendar months (no fixed timeslot to offset within)."""
     if hist.calendar:
         if hist.n != 1:
             raise ValueError("calendar buckets support N=1 (e.g. '1M') only")
+        if offset:
+            raise ValueError(
+                "history_offset is not supported with calendar months"
+            )
         return F.expr(f"CAST(date_trunc('month', {ts_col}) AS TIMESTAMP_NTZ)")
     n_us = hist.seconds * 1_000_000
+    off_us = int(offset) * 1_000_000
+    if off_us < 0 or off_us >= n_us:
+        raise ValueError(
+            "History offset (ie. sql_history_offset) must be >= 0 and "
+            "< history (ie. sql_history)"
+        )
     if roundoff:
         trunc = _CAL_TRUNC[roundoff]
         origin = f"unix_micros(CAST(date_trunc('{trunc}', {ts_col}) AS TIMESTAMP))"
         e = (
             f"CAST(timestamp_micros({origin} + "
-            f"((({_us(ts_col)}) - ({origin})) DIV {n_us}) * {n_us}) AS TIMESTAMP_NTZ)"
+            f"((({_us(ts_col)}) - ({origin}) + {off_us}) DIV {n_us}) * {n_us}"
+            f" - {off_us}) AS TIMESTAMP_NTZ)"
         )
     else:
         e = (
-            f"CAST(timestamp_micros((({_us(ts_col)}) DIV {n_us}) * {n_us}) "
-            f"AS TIMESTAMP_NTZ)"
+            f"CAST(timestamp_micros(((({_us(ts_col)}) + {off_us}) DIV {n_us})"
+            f" * {n_us} - {off_us}) AS TIMESTAMP_NTZ)"
         )
     return F.expr(e)
 
@@ -66,9 +89,10 @@ def assign_bucket(
     ts_col: str = "ts",
     roundoff: str | None = None,
     out: str = "stamp_inserted",
+    offset: int = 0,
 ) -> DataFrame:
     """Add the tumbling-bucket column (flow accounted to its start bucket)."""
-    return df.withColumn(out, bucket_expr(ts_col, hist, roundoff))
+    return df.withColumn(out, bucket_expr(ts_col, hist, roundoff, offset))
 
 
 def explode_prorate(
@@ -79,6 +103,7 @@ def explode_prorate(
     end_col: str = "end_ts",
     roundoff: str | None = None,
     out: str = "stamp_inserted",
+    offset: int = 0,
 ) -> DataFrame:
     """Pro-rating: explode each flow into one row per spanned bucket and
     split its counters proportional to overlap.
@@ -96,8 +121,8 @@ def explode_prorate(
     overlap weights are month-length-exact (28/29/30/31 days) by
     construction.
     """
-    start_bucket = bucket_expr(ts_col, hist, roundoff)
-    end_bucket = bucket_expr(end_col, hist, roundoff)
+    start_bucket = bucket_expr(ts_col, hist, roundoff, offset)
+    end_bucket = bucket_expr(end_col, hist, roundoff, offset)
     if hist.calendar:
         step = F.expr("INTERVAL 1 MONTH")
         bucket_end_us = f"unix_micros(CAST({out} + INTERVAL 1 MONTH AS TIMESTAMP))"
@@ -135,19 +160,29 @@ def explode_prorate(
 # DuckDB oracle renderers (kept adjacent so drift is caught by tests)
 # ---------------------------------------------------------------------------
 
-def duck_bucket_sql(ts_expr: str, hist: History, roundoff: str | None = None) -> str:
+def duck_bucket_sql(
+    ts_expr: str,
+    hist: History,
+    roundoff: str | None = None,
+    offset: int = 0,
+) -> str:
     """DuckDB expression matching :func:`bucket_expr`."""
     if hist.calendar:
         return f"date_trunc('month', {ts_expr})"
     n_us = hist.seconds * 1_000_000
+    off_us = int(offset) * 1_000_000
     if roundoff:
         trunc = _CAL_TRUNC[roundoff]
         origin = f"epoch_us(date_trunc('{trunc}', {ts_expr}))"
         return (
             f"make_timestamp({origin} + "
-            f"(((epoch_us({ts_expr})) - ({origin})) // {n_us}) * {n_us})"
+            f"(((epoch_us({ts_expr})) - ({origin}) + {off_us}) // {n_us})"
+            f" * {n_us} - {off_us})"
         )
-    return f"make_timestamp(((epoch_us({ts_expr})) // {n_us}) * {n_us})"
+    return (
+        f"make_timestamp((((epoch_us({ts_expr})) + {off_us}) // {n_us})"
+        f" * {n_us} - {off_us})"
+    )
 
 
 def duck_prorate_cte(

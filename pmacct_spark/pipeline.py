@@ -111,13 +111,20 @@ def build_aggregation(flows: DataFrame, cfg: PluginConfig) -> DataFrame:
                 hist,
                 [PRIMITIVES[c].column for c in counters if PRIMITIVES[c].agg == "sum"],
                 roundoff=cfg.history_roundoff,
+                offset=cfg.history_offset,
             )
         elif cfg.multi_window:
             # reference src/plugin_common.c:460-463 without pro-rating:
             # the flow lands WHOLE in every bucket it spans
-            df = explode_prorate(df, hist, [], roundoff=cfg.history_roundoff)
+            df = explode_prorate(
+                df, hist, [], roundoff=cfg.history_roundoff,
+                offset=cfg.history_offset,
+            )
         else:
-            df = assign_bucket(df, hist, roundoff=cfg.history_roundoff)
+            df = assign_bucket(
+                df, hist, roundoff=cfg.history_roundoff,
+                offset=cfg.history_offset,
+            )
         group_cols.append("stamp_inserted")
 
     # --- hash aggregation (reference src/acct.c:29-120 crc32-hash table

@@ -142,6 +142,28 @@ def hist_1d_roundoff_w(spark, sf_dir):
     return build_aggregation(flows(spark, sf_dir), cfg)
 
 
+# --- sql_history_offset (CONFIG-KEYS:1413, basetime rewind
+#     src/plugin_common.c:959-966): hourly buckets with hour round-off
+#     shifted back 900 s — boundaries at hh:45 instead of hh:00, so
+#     every bucket differs from the round-off-only path by exactly the
+#     offset phase
+@register(
+    "hist_1h_offset",
+    f"""{FLOWS_DUCK_CTE}
+SELECT ip_proto AS proto,
+       {duck_bucket_sql('ts', History.parse('1h'), 'h', 900)}
+         AS stamp_inserted,
+       {_sums('bytes', 'packets', 'flows')}
+FROM flows GROUP BY 1, 2""",
+)
+def hist_1h_offset(spark, sf_dir):
+    cfg = PluginConfig(
+        aggregate=["proto"], history="1h", history_roundoff="h",
+        history_offset=900,
+    )
+    return build_aggregation(flows(spark, sf_dir), cfg)
+
+
 # --- calendar-month buckets (COUNT_MONTHLY, src/pmacct-defines.h:424-429)
 @register(
     "hist_month",

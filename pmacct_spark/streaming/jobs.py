@@ -144,12 +144,23 @@ def stream_aggregation(
             df, hist,
             counters if cfg.pro_rating else [],
             roundoff=cfg.history_roundoff,
+            offset=cfg.history_offset,
         )
         out = df.groupBy("stamp_inserted", *[F.col(k) for k in keys]).agg(
             *aggs
         )
         return _post_agg(out, cfg)
-    win = F.window("__evt", f"{hist.seconds} seconds")
+    # sql_history_offset (CONFIG-KEYS:1413): boundaries sit at
+    # k*timeslot - offset; F.window's startTime expresses exactly that
+    # as (timeslot - offset) mod timeslot
+    start = (
+        f"{(hist.seconds - cfg.history_offset) % hist.seconds} seconds"
+        if cfg.history_offset
+        else None
+    )
+    win = F.window(
+        "__evt", f"{hist.seconds} seconds", startTime=start
+    ) if start else F.window("__evt", f"{hist.seconds} seconds")
     out = df.groupBy(win.alias("__w"), *[F.col(k) for k in keys]).agg(*aggs)
     out = out.select(
         F.col("__w.start").cast("timestamp_ntz").alias("stamp_inserted"),

@@ -1111,3 +1111,39 @@ def test_stream_dedup_minhash_suppresses_later_batch(spark):
     assert out[2]["survivors"] == 0
     # originals: only genuine intra-corpus near-dups flagged
     assert 0 < out[1]["survivors"] <= out[1]["docs"]
+
+
+def test_stream_batch_parity_history_offset(spark):
+    """sql_history_offset (CONFIG-KEYS:1413): boundaries shift to
+    k*timeslot - offset on BOTH the batch path (bucket_expr) and the
+    streaming path (F.window startTime), and every bucket lands at
+    minute 45 of the previous hour instead of :00."""
+    cfg = PluginConfig(
+        aggregate=["proto"], history="1h", history_offset=900
+    )
+    stream = stream_aggregation(flows_stream(spark, SF_DIR), cfg)
+    got = run_to_memory(stream, "t_offs").orderBy("stamp_inserted", "proto")
+    want = (
+        build_aggregation(flows(spark, SF_DIR), cfg)
+        .select("stamp_inserted", "proto", "bytes", "packets", "flows")
+        .orderBy("stamp_inserted", "proto")
+    )
+    got_rows = [tuple(r) for r in got.collect()]
+    assert got_rows == [tuple(r) for r in want.collect()]
+    assert got_rows, "fixture produced no buckets"
+    assert all(r[0].minute == 45 for r in got_rows)
+
+
+def test_history_offset_validation(spark):
+    """Offset >= timeslot is the reference's startup error
+    (src/plugin_common.c:960); calendar months have no timeslot to
+    offset within."""
+    import pytest
+
+    from pmacct_spark.config import History
+    from pmacct_spark.operators.windows import bucket_expr
+
+    with pytest.raises(ValueError):
+        bucket_expr("ts", History.parse("5m"), offset=300)
+    with pytest.raises(ValueError):
+        bucket_expr("ts", History.parse("1M"), offset=60)
