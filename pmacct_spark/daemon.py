@@ -1864,26 +1864,122 @@ class Daemon:
         # src/telemetry/telemetry_logdump.c): the pmtelemetryd flavor
         # wraps each received message in the ietf-telemetry-message
         # envelope
+        if self.flavor == "telemetry":
+            wrote += self._telemetry_logdump()
+        return wrote
+
+    def _telemetry_logdump(self) -> list[str]:
+        """telemetry_daemon_msglog_file/_kafka_topic and
+        telemetry_dump_file/_kafka_topic (reference
+        src/telemetry/telemetry_logdump.c): the ietf-envelope records
+        over file or Kafka, as JSON (telemetry_daemon_msglog_output /
+        telemetry_dump_output default) or Avro with optional Confluent
+        registry framing + schema-file dump — the BGP/BMP serdes combo
+        extended to the telemetry family. Dump records carry
+        notification-event "dump" (telemetry_logdump.c:86-94)."""
+        wrote: list[str] = []
+        ttag = self.conf.get("telemetry_daemon_tag_map")
+        tag_rules = None
+        if ttag:
+            with open(ttag) as fh:
+                tag_rules = conffile.parse_pretag_map(fh.read())
+        proc = str(
+            self.conf.get("core_proc_name", default="default") or "default"
+        )
         tpath = self.conf.get("telemetry_daemon_msglog_file")
-        if tpath and self.flavor == "telemetry":
+        if tpath:
             from pmacct_spark.sinks.msglog import write_telemetry_log
 
-            ttag = self.conf.get("telemetry_daemon_tag_map")
-            tag_rules = None
-            if ttag:
-                with open(ttag) as fh:
-                    tag_rules = conffile.parse_pretag_map(fh.read())
             write_telemetry_log(
                 self._spool_batch(),
                 tpath,
-                proc_name=str(
-                    self.conf.get("core_proc_name", default="default")
-                    or "default"
-                ),
+                proc_name=proc,
                 export_port=self.port,
                 tag_rules=tag_rules,
             )
             wrote.append(tpath)
+        for fam, etype in (
+            ("telemetry_daemon_msglog", "log"),
+            ("telemetry_dump", "dump"),
+        ):
+            topic = self.conf.get(f"{fam}_kafka_topic")
+            if fam == "telemetry_dump":
+                dpath = self.conf.get("telemetry_dump_file")
+                if dpath:
+                    from pmacct_spark.sinks.msglog import (
+                        write_telemetry_log,
+                    )
+
+                    write_telemetry_log(
+                        self._spool_batch(),
+                        dpath,
+                        proc_name=proc,
+                        export_port=self.port,
+                        tag_rules=tag_rules,
+                        event_type="dump",
+                    )
+                    wrote.append(dpath)
+            if not topic:
+                continue
+            host = str(
+                self.conf.get(f"{fam}_kafka_broker_host", default="127.0.0.1")
+                or "127.0.0.1"
+            )
+            port = int(
+                self.conf.get(f"{fam}_kafka_broker_port", default=9092)
+                or 9092
+            )
+            out_key = (
+                "telemetry_daemon_msglog_output"
+                if fam == "telemetry_daemon_msglog"
+                else "telemetry_dump_output"
+            )
+            out_fmt = str(
+                self.conf.get(out_key, default="json") or "json"
+            ).lower()
+            kw = dict(
+                proc_name=proc,
+                export_port=self.port,
+                tag_rules=tag_rules,
+                event_type=etype,
+            )
+            if out_fmt == "avro":
+                from pmacct_spark.sinks.msglog import (
+                    telemetry_msglog_avro_kafka_frames,
+                )
+
+                reg = None
+                reg_url = self.conf.get(
+                    f"{fam}_kafka_avro_schema_registry"
+                )
+                if reg_url:
+                    from pmacct_spark.sinks.registry import (
+                        HttpSchemaRegistryClient,
+                    )
+
+                    hp = str(reg_url).split("//", 1)[-1].rstrip("/")
+                    reg = HttpSchemaRegistryClient(
+                        *conffile.split_host_port(hp, 8081)
+                    )
+                frames = telemetry_msglog_avro_kafka_frames(
+                    self._spool_batch(),
+                    str(topic),
+                    registry=reg,
+                    schema_file=self.conf.get(f"{fam}_avro_schema_file"),
+                    **kw,
+                )
+            else:
+                from pmacct_spark.sinks.msglog import (
+                    telemetry_msglog_kafka_frames,
+                )
+
+                frames = telemetry_msglog_kafka_frames(
+                    self._spool_batch(), str(topic), **kw
+                )
+            from pmacct_spark.sources.kafka_wire import produce_frames
+
+            produce_frames(frames, host, port)
+            wrote.append(f"kafka://{host}:{port}/{topic}")
         return wrote
 
     def run_continuous(self, trigger_secs: float = 1.0) -> "ContinuousRun":

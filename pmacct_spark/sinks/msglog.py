@@ -322,22 +322,12 @@ def counter_log_kafka_frames(counters: DataFrame, topic: str) -> DataFrame:
 # reference embeds the parsed object the same way).
 
 
-def telemetry_log_json(
-    msgs: DataFrame,
-    proc_name: str = "nfacctd",
-    export_port: int = 0,
-    tag_rules: list | None = None,
+def _telemetry_shaped(
+    msgs: DataFrame, tag_rules: list | None = None
 ) -> DataFrame:
-    """(exporter_ip, log_seq, json) from telemetry datagram rows
-    (exporter_ip, seqno, payload) whose payload is a JSON document.
-
-    ``tag_rules`` (telemetry_daemon_tag_map, the pre_tag_map
-    equivalent for the telemetry thread): the matched tag — or,
-    tag-less, the label — joins the envelope's metadata ``labels``
-    array as ``{"name": "tag", "number-value": N}`` /
-    ``{"name": "label", "string-value": S}``
-    (telemetry_tag_print_json, reference
-    src/telemetry/telemetry_logdump.c:768)."""
+    """Common shaping for the telemetry logdump family: JSON-validated
+    payload string + per-node monotonic log_seq (+ tag/label when a
+    telemetry_daemon_tag_map is configured)."""
     w = Window.partitionBy("exporter_ip").orderBy("seqno")
     shaped = (
         msgs.withColumn("payload_str", F.col("payload").cast("string"))
@@ -355,6 +345,32 @@ def telemetry_log_json(
             tag_rules,
             label_out="label",
         ).drop("peer_src_ip", "tag2")
+    return shaped
+
+
+def telemetry_log_json(
+    msgs: DataFrame,
+    proc_name: str = "nfacctd",
+    export_port: int = 0,
+    tag_rules: list | None = None,
+    event_type: str = "log",
+) -> DataFrame:
+    """(exporter_ip, log_seq, json) from telemetry datagram rows
+    (exporter_ip, seqno, payload) whose payload is a JSON document.
+
+    ``tag_rules`` (telemetry_daemon_tag_map, the pre_tag_map
+    equivalent for the telemetry thread): the matched tag — or,
+    tag-less, the label — joins the envelope's metadata ``labels``
+    array as ``{"name": "tag", "number-value": N}`` /
+    ``{"name": "label", "string-value": S}``
+    (telemetry_tag_print_json, reference
+    src/telemetry/telemetry_logdump.c:768).
+
+    ``event_type``: msglog records render "update" in
+    notification-event, dump records render "dump"
+    (src/telemetry/telemetry_logdump.c:86-94)."""
+    shaped = _telemetry_shaped(msgs, tag_rules)
+    if tag_rules:
 
         def _entry(name, num, strv):
             return F.struct(
@@ -392,7 +408,9 @@ def telemetry_log_json(
         )
     meta = F.to_json(
         F.struct(
-            F.lit("update").alias("notification-event"),
+            F.lit(
+                "dump" if event_type == "dump" else "update"
+            ).alias("notification-event"),
             F.lit("telemetry").alias("session-protocol"),
             labels.alias("labels"),
             F.col("exporter_ip").alias("export-address"),
@@ -438,6 +456,73 @@ def write_telemetry_log(msgs: DataFrame, path: str, **kw) -> None:
         .mode("overwrite")
         .text(path)
     )
+
+
+def telemetry_msglog_kafka_frames(
+    msgs: DataFrame, topic: str, **kw
+) -> DataFrame:
+    """telemetry_daemon_msglog_kafka_topic / telemetry_dump_kafka_topic
+    (CONFIG-KEYS:961-962): one Kafka message per ietf-envelope record,
+    keyed by the exporting node for per-node ordering."""
+    return telemetry_log_json(msgs, **kw).select(
+        F.col("exporter_ip").alias("key"),
+        F.col("json").alias("value"),
+        F.lit(topic).alias("topic"),
+    )
+
+
+def telemetry_msglog_avro_kafka_frames(
+    msgs: DataFrame,
+    topic: str,
+    registry=None,
+    schema_file: str | None = None,
+    proc_name: str = "nfacctd",
+    export_port: int = 0,
+    tag_rules: list | None = None,
+    event_type: str = "log",
+) -> DataFrame:
+    """``telemetry_daemon_msglog_output: avro`` — the telemetry twin
+    of :func:`msglog_avro_kafka_frames`: the envelope's metadata
+    fields as a flat Avro record with the raw JSON message text in
+    ``payload`` (the reference caps the telemetry formats at json,
+    src/telemetry/telemetry.c:520; this extends the BGP/BMP avro
+    serdes — Confluent registry framing + schema-file dump — to the
+    telemetry family with the same record-building machinery)."""
+    import json as _json
+
+    from pmacct_spark.sinks.avro import (
+        avro_frames,
+        avro_registry_frames,
+        avro_schema_of,
+    )
+
+    shaped = _telemetry_shaped(msgs, tag_rules)
+    cols = [
+        F.lit("dump" if event_type == "dump" else "update").alias(
+            "notification_event"
+        ),
+        F.col("exporter_ip").alias("export_address"),
+        F.lit(int(export_port)).cast("bigint").alias("export_port"),
+        F.col("log_seq").alias("seq"),
+        F.lit(proc_name).alias("proc_name"),
+        F.col("payload_str").alias("payload"),
+    ]
+    if tag_rules:
+        cols[4:4] = [
+            F.col("tag").cast("bigint").alias("tag"),
+            F.col("label").cast("string").alias("label"),
+        ]
+    record = shaped.select(*cols)
+    if schema_file:
+        with open(schema_file, "w") as fh:
+            _json.dump(avro_schema_of(record.schema), fh)
+    if registry is not None:
+        frames = avro_registry_frames(
+            record, registry, topic, key_cols=["export_address"]
+        )
+    else:
+        frames = avro_frames(record, key_cols=["export_address"])
+    return frames.select("key", "value", F.lit(topic).alias("topic"))
 
 
 def msglog_amqp_frames(

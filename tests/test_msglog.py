@@ -948,3 +948,141 @@ aggregate[routes]: as_path
             d.stop()
         reg_srv.stop()
         broker.stop()
+
+
+def test_daemon_telemetry_msglog_avro_kafka_registry_live(spark, tmp_path):
+    """telemetry_daemon_msglog_output: avro — the BGP/BMP serdes combo
+    (Kafka topic + Confluent schema registry + avro_schema_file)
+    extended to the telemetry family: UDP telemetry notifications leave
+    the wire broker as registry-framed Avro datums a FRESH registry
+    client can decode, envelope metadata flattened into the record and
+    the raw JSON message under payload."""
+    import time
+
+    from pmacct_spark.daemon import Daemon
+    from pmacct_spark.sinks import avro as A
+    from pmacct_spark.sinks.registry import (
+        HttpSchemaRegistryClient,
+        SchemaRegistryServer,
+    )
+    from pmacct_spark.sources.kafka_wire import (
+        KafkaWireClient,
+        MiniKafkaBroker,
+    )
+    from pmacct_spark.sources.udp import send_datagrams
+
+    broker = MiniKafkaBroker(npartitions=1).start()
+    reg_srv = SchemaRegistryServer().start()
+    d = None
+    try:
+        avsc = tmp_path / "telemetry_msglog.avsc"
+        conf = f"""
+telemetry_daemon_port_udp: 0
+telemetry_daemon_msglog_kafka_topic: daisy.telemetry
+telemetry_daemon_msglog_kafka_broker_port: {broker.port}
+telemetry_daemon_msglog_output: avro
+telemetry_daemon_msglog_kafka_avro_schema_registry: http://127.0.0.1:{reg_srv.port}
+telemetry_daemon_msglog_avro_schema_file: {avsc}
+core_proc_name: pmtelemetryd
+"""
+        d = Daemon.from_conf(spark, conf, spool_dir=str(tmp_path / "tavro"))
+        assert d.flavor == "telemetry"
+        payloads = [
+            json.dumps({"k": 1, "sensor_path": "cpu"}).encode(),
+            json.dumps({"k": 2, "sensor_path": "ifstats"}).encode(),
+        ]
+        send_datagrams(payloads, "127.0.0.1", d.port)
+        t0 = time.monotonic()
+        while d.spool.datagrams_received < 2 and time.monotonic() - t0 < 15:
+            time.sleep(0.05)
+        d.spool.flush()
+        wrote = d.write_msglog_if_configured()
+        assert wrote == [f"kafka://127.0.0.1:{broker.port}/daisy.telemetry"]
+        cli = KafkaWireClient("127.0.0.1", broker.port)
+        _, recs = cli.fetch("daisy.telemetry", 0, 0, with_hwm=True)
+        cli.close()
+        fresh = HttpSchemaRegistryClient("127.0.0.1", reg_srv.port)
+        events = [
+            A.read_registry_frame(bytes(v), fresh)[1]
+            for (_off, _k, v) in recs
+        ]
+        assert sorted(e["seq"] for e in events) == [1, 2]
+        assert {e["notification_event"] for e in events} == {"update"}
+        assert {e["export_address"] for e in events} == {"127.0.0.1"}
+        payload_ks = sorted(json.loads(e["payload"])["k"] for e in events)
+        assert payload_ks == [1, 2]
+        schema = json.loads(avsc.read_text())
+        assert schema["type"] == "record"
+        assert {"seq", "export_address", "payload"} <= {
+            f["name"] for f in schema["fields"]
+        }
+    finally:
+        if d is not None:
+            d.stop()
+        reg_srv.stop()
+        broker.stop()
+
+
+def test_daemon_telemetry_dump_file_and_kafka_json(spark, tmp_path):
+    """telemetry_dump_file / telemetry_dump_kafka_topic: the dump twin
+    of the telemetry msglog — same ietf envelope with
+    notification-event 'dump' (src/telemetry/telemetry_logdump.c:599
+    event_type; :86-94 metadata rendering)."""
+    import time
+
+    from pmacct_spark.daemon import Daemon
+    from pmacct_spark.sources.kafka_wire import (
+        KafkaWireClient,
+        MiniKafkaBroker,
+    )
+    from pmacct_spark.sources.udp import send_datagrams
+
+    broker = MiniKafkaBroker(npartitions=1).start()
+    d = None
+    try:
+        dump_dir = str(tmp_path / "tdump")
+        conf = f"""
+telemetry_daemon_port_udp: 0
+telemetry_dump_file: {dump_dir}
+telemetry_dump_kafka_topic: daisy.tdump
+telemetry_dump_kafka_broker_port: {broker.port}
+core_proc_name: pmtelemetryd
+"""
+        d = Daemon.from_conf(spark, conf, spool_dir=str(tmp_path / "tdspool"))
+        send_datagrams(
+            [json.dumps({"k": 5}).encode()], "127.0.0.1", d.port
+        )
+        t0 = time.monotonic()
+        while d.spool.datagrams_received < 1 and time.monotonic() - t0 < 15:
+            time.sleep(0.05)
+        d.spool.flush()
+        wrote = d.write_msglog_if_configured()
+        assert wrote == [
+            dump_dir,
+            f"kafka://127.0.0.1:{broker.port}/daisy.tdump",
+        ]
+        lines = []
+        for f in pathlib.Path(dump_dir).rglob("*.txt"):
+            lines += [
+                json.loads(ln)
+                for ln in f.read_text().splitlines()
+                if ln.strip()
+            ]
+        assert len(lines) == 1
+        meta = lines[0]["ietf-telemetry-message:message"][
+            "telemetry-message-metadata"
+        ]
+        assert meta["notification-event"] == "dump"
+        cli = KafkaWireClient("127.0.0.1", broker.port)
+        _, recs = cli.fetch("daisy.tdump", 0, 0, with_hwm=True)
+        cli.close()
+        assert len(recs) == 1
+        ev = json.loads(bytes(recs[0][2]))
+        assert ev["ietf-telemetry-message:message"][
+            "telemetry-message-metadata"
+        ]["notification-event"] == "dump"
+        assert bytes(recs[0][1]) == b"127.0.0.1"  # keyed by node
+    finally:
+        if d is not None:
+            d.stop()
+        broker.stop()
