@@ -1617,6 +1617,14 @@ class Daemon:
                 )
         if on("as_path_encode_as_array"):
             toggles.append(("as_path", "as_path", comms_array_sql("as_path")))
+        if self.conf.getbool("pre_tag_label_encode_as_map"):
+            # pre_tag_label_encode_as_map (CONFIG-KEYS:2339): the
+            # label string "k1%v1,k2%v2" (set_label with the '%'
+            # delimiter) encodes as a map for JSON/Avro —
+            # "label": {"k1": "v1", "k2": "v2"}
+            toggles.append(
+                ("label", "label", "str_to_map(label, ',', '%')")
+            )
         for col, out_col, sql in toggles:
             if col in df.columns:
                 df = df.withColumn(out_col, F.expr(sql))
@@ -1650,11 +1658,37 @@ class Daemon:
             self.conf.get(f"{prefix}_refresh_time", default=60) or 60
         )
         slots = int(self.conf.get(f"{prefix}_time_slots", default=1) or 1)
+        ts_now = int(_time.time())
+        # bmp_dump_exclude_stats (CONFIG-KEYS:3217): Type-1 Stats
+        # Reports are cached for the dump by default; true = msglog
+        # only (src/bmp/bmp_msg.c:1124)
+        dump_stats = (
+            prefix == "bmp_dump"
+            and self.bmp_spool is not None
+            and not self.conf.getbool("bmp_dump_exclude_stats")
+        )
         if path:
             write_rib_dump(
-                self.rib(for_lookup=False), path, dump_ts=int(_time.time()),
+                self.rib(for_lookup=False), path, dump_ts=ts_now,
                 refresh_secs=refresh, time_slots=slots,
             )
+            if dump_stats:
+                from pmacct_spark.sinks.dump import write_bmp_stats_dump
+
+                write_bmp_stats_dump(
+                    self._bmp_event_stream(), path, dump_ts=ts_now,
+                    refresh_secs=refresh, time_slots=slots,
+                )
+            latest = self.conf.get(f"{prefix}_latest_file")
+            if latest:
+                # bgp_table_dump_latest_file / bmp_dump_latest_file
+                # (CONFIG-KEYS:3223): pointer to the newest dump leaf,
+                # updated by modification time like print_latest_file
+                from pmacct_spark.sinks.files import (
+                    _update_latest_pointer,
+                )
+
+                _update_latest_pointer(path, str(latest))
             return path
         # bgp_table_dump_kafka_topic / bmp_dump_kafka_topic
         # (src/bgp/bgp_logdump.c kafka branches): the same dump event
@@ -1670,13 +1704,28 @@ class Daemon:
             or 9092
         )
         events = rib_dump_events(
-            self.rib(for_lookup=False), int(_time.time()), refresh, slots
+            self.rib(for_lookup=False), ts_now, refresh, slots
         )
         frames = events.select(
             F.col("peer_ip").alias("key"),
             F.to_json(F.struct(*[c for c in events.columns])).alias("value"),
             F.lit(topic).alias("topic"),
         )
+        if dump_stats:
+            from pmacct_spark.sinks.dump import bmp_stats_dump_events
+
+            sev = bmp_stats_dump_events(
+                self._bmp_event_stream(), ts_now, refresh, slots
+            )
+            frames = frames.unionByName(
+                sev.select(
+                    F.col("peer_ip").alias("key"),
+                    F.to_json(
+                        F.struct(*[c for c in sev.columns])
+                    ).alias("value"),
+                    F.lit(topic).alias("topic"),
+                )
+            )
         produce_frames(frames, str(khost), kport)
         return f"kafka://{khost}:{kport}/{topic}"
 

@@ -876,13 +876,44 @@ def ivf_pq_topk(
     )
     cents = [(r["cid"], list(r["qc"]), r["nc"]) for r in cents_df.collect()]
     cb = _pq_codebook(base, id_col)
-    K = len(cb[0])
-    items_idx = base.withColumn(
+    items_idx = ivf_pq_assign(base, cents, cb)
+    return ivf_pq_query(
+        items_idx, base, cents_df, cb,
+        k=k, refine=refine, nprobe=nprobe,
+        id_col=id_col, query_pred=query_pred,
+    )
+
+
+def ivf_pq_assign(
+    base: DataFrame, cents: list, cb: list
+) -> DataFrame:
+    """Step 1 of :func:`ivf_pq_topk` in isolation: map-side IVF cell +
+    PQ code assignment against the broadcast (literal) codebook — the
+    per-batch ingest projection of a streaming index build. ``base``
+    carries (id, qv, nrm)."""
+    return base.withColumn(
         "cell", F.expr(_ivf_assign_expr(cents, "qv", "nrm"))
     ).withColumn("codes", F.expr(_pq_code_array_expr(cb)))
 
+
+def ivf_pq_query(
+    items_idx: DataFrame,
+    queries_base: DataFrame,
+    cents_df: DataFrame,
+    cb: list,
+    k: int = 3,
+    refine: int = 3,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    query_pred: str = "vec_id < 10",
+) -> DataFrame:
+    """Steps 2-4 of :func:`ivf_pq_topk` against an already-assigned
+    posting table ``items_idx`` (id, qv, nrm, cell, codes) — the
+    serving half, reusable over a posting table min-merged from
+    streaming micro-batches."""
+    K = len(cb[0])
     qs = (
-        base.filter(F.expr(query_pred))
+        queries_base.filter(F.expr(query_pred))
         .withColumn("qtab", F.expr(f"array({_pq_qtab_terms(cb)})"))
         .select(
             F.col(id_col).alias("query_id"),

@@ -1048,7 +1048,12 @@ def ann_recall_ivfpq_vs_brute(spark, sf_dir):
 #     floor(log2(c(w1))) + 1; unknown w1 costs a flat 20 bits.
 #     Scale shape: two vocab-bounded count tables (Heaps-sublinear),
 #     corpus shuffles once on the bigram hash join + once for the
-#     per-doc fold; joins on int64 poly-hashes, never on strings.
+#     per-doc fold. The joins key on the raw w1/pair STRINGS: the
+#     count tables are vocab-bounded and broadcast, so an int64
+#     poly-hash key would save nothing here while introducing
+#     collision semantics the oracle can't mirror; at a scale where
+#     the dims stop broadcasting, swap the key for a poly-hash and
+#     accept the (measurable) collision rate.
 _LM_UNK_BITS = 20
 
 

@@ -1111,6 +1111,92 @@ def stream_dedup_minhash(spark, sf_dir):
     )
 
 
+# --- incremental ANN index maintenance as STREAMING state (the ANN
+#     twin of stream_dedup_minhash; FAISS's add-after-train lifecycle):
+#     the coarse centroids + PQ codebook are trained ONCE offline and
+#     broadcast (as literal expressions); documents arriving in later
+#     micro-batches get map-side IVF cell + PQ code assignment and
+#     upsert into a compacted versioned posting table (read-prev ->
+#     union -> dedup-by-id -> write-next, the Delta/Iceberg MERGE
+#     shape). Batch 2 re-sends every 10th batch-1 vector, so the
+#     compaction's idempotent-replay property is observable: a naive
+#     append would duplicate candidates and corrupt the top-k ranks.
+#     The serving half (probes + ADC + exact re-rank) runs against the
+#     final state and must equal the BATCH index bit-for-bit — the
+#     oracle is ann_ivf_pq_topk's own DuckDB replay.
+def _ann_ingest_duck():
+    from pmacct_spark.operators import similarity
+
+    return similarity.ivf_pq_topk_duck()
+
+
+@register("stream_ann_ivf_ingest", _ann_ingest_duck())
+def stream_ann_ivf_ingest(spark, sf_dir):
+    import os
+    import shutil
+
+    from pmacct_spark.operators import similarity as S
+    from pmacct_spark.operators.staging import stage
+    from pmacct_spark.session import apply_runtime_confs
+    from pmacct_spark.sources.tables import load_table
+
+    apply_runtime_confs(spark)
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding"
+    )
+    base = S.quantize(emb, "embedding", "qv")
+    base = base.withColumn("nrm", F.expr(S._norm_sq("qv"))).drop(
+        "embedding"
+    )
+    # offline training: frozen before any ingest batch, like a real
+    # IVF-PQ deployment (FAISS train() then add())
+    cents_df = base.filter(
+        F.expr(S.IVF_CENTROID_PRED.format(id="vec_id"))
+    ).select(
+        F.col("vec_id").alias("cid"),
+        F.col("qv").alias("qc"),
+        F.col("nrm").alias("nc"),
+    )
+    cents = [(r["cid"], list(r["qc"]), r["nc"]) for r in cents_df.collect()]
+    cb = S._pq_codebook(base, "vec_id")
+    # two ingest batches split by id parity; every 10th even vector is
+    # RE-SENT in batch 2 (duplicate delivery)
+    corpus = base.withColumn(
+        "b", F.when(F.col("vec_id") % 2 == 0, 1).otherwise(2)
+    ).unionByName(
+        base.filter((F.col("vec_id") % 10) == 0).withColumn(
+            "b", F.lit(2)
+        )
+    )
+    stream, d = two_microbatch_source(corpus)
+    versions: list[str] = []
+
+    def ingest(batch_df, batch_id: int) -> None:
+        spark_b = batch_df.sparkSession
+        idx = S.ivf_pq_assign(batch_df.drop("b"), cents, cb)
+        if versions:
+            idx = idx.unionByName(spark_b.read.parquet(versions[-1]))
+        # compaction: one posting row per vec_id (rows for a re-sent
+        # id are bit-identical, so any survivor is correct)
+        merged = idx.dropDuplicates(["vec_id"])
+        path = os.path.join(d, f"postings_v{batch_id}")
+        merged.write.mode("overwrite").parquet(path)
+        versions.append(path)
+
+    q = (
+        stream.writeStream.foreachBatch(ingest)
+        .option("checkpointLocation", os.path.join(d, "_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    items_idx = stage(spark.read.parquet(versions[-1]))
+    shutil.rmtree(d, ignore_errors=True)
+    return S.ivf_pq_query(
+        items_idx, base, cents_df, cb, k=3, refine=3, nprobe=2
+    )
+
+
 # --- sFlow counter LOG gated (the logdump family's sfacctd_counter
 #     path, reference src/sfacctd.c:2366 sf_cnt_log_msg): counter
 #     samples ride the v5 wire -> decode -> counter_log_events

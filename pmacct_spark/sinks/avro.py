@@ -49,7 +49,9 @@ MAGIC = b"Obj\x01"
 SYNC = bytes(range(16))  # deterministic sync marker (tests diff files)
 
 
-def _avro_type(dt) -> str:
+def _avro_type(dt):
+    from pyspark.sql.types import ArrayType, MapType
+
     if isinstance(dt, (LongType, IntegerType)):
         return "long"
     if isinstance(dt, StringType):
@@ -62,6 +64,13 @@ def _avro_type(dt) -> str:
         return "bytes"
     if isinstance(dt, (TimestampType, TimestampNTZType)):
         return "timestamp"  # encoded as long micros
+    if isinstance(dt, MapType) and isinstance(dt.keyType, StringType):
+        # pre_tag_label_encode_as_map: "label": {"k": "v"} (Avro map,
+        # reference compose_label_avro_schema src/plugin_cmn_avro.c)
+        return {"type": "map", "values": _avro_type(dt.valueType)}
+    if isinstance(dt, ArrayType):
+        # the encode_as_array toggle family (tcpflags, comms, as_path)
+        return {"type": "array", "items": _avro_type(dt.elementType)}
     raise TypeError(f"unsupported Avro mapping for {dt}")
 
 
@@ -108,7 +117,24 @@ def _read_zigzag(buf: io.BytesIO) -> int:
     return (acc >> 1) ^ -(acc & 1)
 
 
-def _encode_value(v, t: str, out: bytearray) -> None:
+def _encode_value(v, t, out: bytearray) -> None:
+    if isinstance(t, dict) and t.get("type") == "map":
+        items = list(v.items())
+        if items:
+            out += _zigzag(len(items))
+            for k, mv in items:
+                _encode_value(k, "string", out)
+                _encode_value(mv, t["values"], out)
+        out += _zigzag(0)  # end of map blocks
+        return
+    if isinstance(t, dict) and t.get("type") == "array":
+        vals = list(v)
+        if vals:
+            out += _zigzag(len(vals))
+            for it in vals:
+                _encode_value(it, t["items"], out)
+        out += _zigzag(0)  # end of array blocks
+        return
     if t == "long" or t == "timestamp":
         out += _zigzag(int(v))
     elif t == "string":
@@ -252,6 +278,23 @@ def write_container(df: DataFrame, path: str) -> int:
 # --- reader (test harness) --------------------------------------------------
 
 def _decode_value(buf: io.BytesIO, t) -> Any:
+    if isinstance(t, dict) and t.get("type") == "map":
+        out = {}
+        n = _read_zigzag(buf)
+        while n:
+            for _ in range(abs(n)):
+                k = _decode_value(buf, "string")
+                out[k] = _decode_value(buf, t["values"])
+            n = _read_zigzag(buf)
+        return out
+    if isinstance(t, dict) and t.get("type") == "array":
+        out = []
+        n = _read_zigzag(buf)
+        while n:
+            for _ in range(abs(n)):
+                out.append(_decode_value(buf, t["items"]))
+            n = _read_zigzag(buf)
+        return out
     if isinstance(t, dict):
         t = t["type"]
     if t == "long":

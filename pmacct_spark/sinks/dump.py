@@ -122,3 +122,94 @@ def write_rib_dump(
         .partitionBy("dump_slot", "exporter_ip", "peer_ip")
         .json(path)
     )
+
+
+# RFC 7854 §4.8 counter vocabulary (reference bmp_stats_cnt_types,
+# src/bmp/bmp.h:222-241 — typos 'Abj' included verbatim so renderings
+# compare equal)
+BMP_STATS_CNT_TYPES = [
+    "Number of prefixes rejected by inbound policy",
+    "Number of (known) duplicate prefix advertisements",
+    "Number of (known) duplicate withdraws",
+    "Number of updates invalidated due to CLUSTER_LIST loop",
+    "Number of updates invalidated due to AS_PATH loop",
+    "Number of updates invalidated due to ORIGINATOR_ID",
+    "Number of updates invalidated due to AS_CONFED loop",
+    "Number of routes in Adj-RIBs-In",
+    "Number of routes in Loc-RIB",
+    "Number of routes in per-AFI/SAFI Abj-RIB-In",
+    "Number of routes in per-AFI/SAFI Loc-RIB",
+    "Number of updates subjected to treat-as-withdraw",
+    "Number of prefixes subjected to treat-as-withdraw",
+    "Number of duplicate update messages received",
+    "Number of routes in Adj-RIBs-Out Pre-Policy",
+    "Number of routes in Adj-RIBs-Out Post-Policy",
+    "Number of routes in per-AFI/SAFI Abj-RIB-Out Pre-Policy",
+    "Number of routes in per-AFI/SAFI Abj-RIB-Out Post-Policy",
+]
+
+
+def bmp_stats_dump_events(
+    events: DataFrame,
+    dump_ts: int,
+    refresh_secs: int = 60,
+    time_slots: int = 1,
+) -> DataFrame:
+    """BMP Stats Reports (Type 1) rendered as dump records —
+    bmp_dump's cached-stats path (bmp_dump_se_ll_append,
+    src/bmp/bmp_msg.c:1124; record fields counter_type /
+    counter_type_str / counter_value per bmp_log_msg_stats,
+    src/bmp/bmp_logdump.c:377-445). Skipped entirely when
+    ``bmp_dump_exclude_stats: true`` (CONFIG-KEYS:3217 — stats export
+    once in real time via msglog but are not cached for the dump)."""
+    st = events.filter(
+        (F.col("msg_type") == 1) & F.col("stat_type").isNotNull()
+    )
+    name_cases = " ".join(
+        f"WHEN {i} THEN '{n}'" for i, n in enumerate(BMP_STATS_CNT_TYPES)
+    )
+    slot = (
+        F.pmod(F.xxhash64(*[F.col(c) for c in _PEER_KEY]), F.lit(time_slots))
+        .cast("int")
+        .alias("dump_slot")
+    )
+    w = Window.partitionBy(*_PEER_KEY).orderBy("seq")
+    out = st.select(
+        "exporter_ip", "peer_ip",
+        F.lit("dump").alias("event_type"),
+        F.lit("stats").alias("bmp_msg_type"),
+        F.row_number().over(w).cast("bigint").alias("seq"),
+        F.col("stat_type").cast("int").alias("counter_type"),
+        F.expr(
+            f"CASE CAST(stat_type AS INT) {name_cases} "
+            "ELSE 'Unknown' END"
+        ).alias("counter_type_str"),
+        F.col("stat_value").cast("bigint").alias("counter_value"),
+    ).withColumn("dump_slot", slot)
+    sched = (
+        F.lit(dump_ts)
+        + F.col("dump_slot") * F.lit(refresh_secs // max(time_slots, 1))
+    ).cast("bigint")
+    return out.withColumn("scheduled_at", sched).withColumn(
+        "dump_ts", F.lit(dump_ts).cast("bigint")
+    )
+
+
+def write_bmp_stats_dump(
+    events: DataFrame,
+    path: str,
+    dump_ts: int,
+    refresh_secs: int = 60,
+    time_slots: int = 1,
+) -> None:
+    """Append the stats dump records into the same partition layout as
+    :func:`write_rib_dump` (per-peer JSON line files coexist with the
+    route stream, like the reference's interleaved dump lines)."""
+    ev = bmp_stats_dump_events(events, dump_ts, refresh_secs, time_slots)
+    (
+        ev.repartition("dump_slot", *_PEER_KEY)
+        .sortWithinPartitions("seq")
+        .write.mode("append")
+        .partitionBy("dump_slot", "exporter_ip", "peer_ip")
+        .json(path)
+    )

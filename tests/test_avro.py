@@ -279,3 +279,27 @@ avro_schema_output_file[a]: {schema_file}
     assert schema["type"] == "record"
     fields = {f["name"] for f in schema["fields"]}
     assert {"proto", "bytes", "packets"} <= fields
+
+
+def test_container_roundtrip_map_and_array(spark, tmp_path):
+    """Avro map (pre_tag_label_encode_as_map labels) and array (the
+    encode_as_array toggle family) columns survive the pure-Python
+    container encode/decode round trip."""
+    from pmacct_spark.sinks.avro import read_container, write_container
+
+    df = spark.createDataFrame(
+        [
+            (1, {"nkey": "abc", "pkey": "def"}, ["URG", "ACK"]),
+            (2, {}, []),
+            (3, None, None),
+        ],
+        "id long, label map<string,string>, flags array<string>",
+    )
+    path = str(tmp_path / "mapavro")
+    write_container(df, path)
+    got = {r["id"]: (r["label"], r["flags"]) for r in read_container(path)}
+    assert got == {
+        1: ({"nkey": "abc", "pkey": "def"}, ["URG", "ACK"]),
+        2: ({}, []),
+        3: (None, None),
+    }

@@ -1910,3 +1910,52 @@ def test_bgp_follow_nexthop_config_resolves_peer_dst_ip(spark):
     )
     row = d._bgp_enrich(fl).collect()[0]
     assert row["peer_dst_ip"] == "198.51.100.9"  # first out-of-set
+
+
+def test_pre_tag_label_encode_as_map(spark, tmp_path):
+    """pre_tag_label_encode_as_map (CONFIG-KEYS:2339): a set_label
+    composed with the '%' delimiter ("k1%v1,k2%v2") encodes as a JSON
+    object — "label": {"k1": "v1", "k2": "v2"} — on JSON/Avro sinks;
+    the default keeps the comma-separated string."""
+    import glob as _glob
+    import json as _json
+
+    def run_one(tag, encode):
+        ptm = tmp_path / f"ptm_{tag}.map"
+        ptm.write_text(
+            "set_tag=5 set_label=nkey%abc,pkey%def ip=0.0.0.0/0\n"
+        )
+        out_dir = tmp_path / f"lblmap_{tag}"
+        conf = f"""
+nfacctd_ip: 127.0.0.1
+nfacctd_port: 0
+pre_tag_map: {ptm}
+pre_tag_label_encode_as_map: {'true' if encode else 'false'}
+plugins: print[files]
+aggregate[files]: label
+print_output[files]: json
+print_output_file[files]: {out_dir}
+"""
+        d = Daemon.from_conf(
+            spark, conf, spool_dir=str(tmp_path / f"spoolLM{tag}")
+        )
+        try:
+            _fire(d.port)
+            t0 = time.monotonic()
+            while (
+                d.spool.datagrams_received < 2
+                and time.monotonic() - t0 < 15
+            ):
+                time.sleep(0.05)
+            d.run_available()
+        finally:
+            d.stop()
+        lines = []
+        for f in _glob.glob(str(out_dir / "*.json")):
+            with open(f) as fh:
+                lines += [_json.loads(ln) for ln in fh if ln.strip()]
+        assert len(lines) == 1
+        return lines[0]["label"]
+
+    assert run_one("map", True) == {"nkey": "abc", "pkey": "def"}
+    assert run_one("str", False) == "nkey%abc,pkey%def"

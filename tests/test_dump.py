@@ -144,3 +144,93 @@ aggregate[routes]: as_path
         if d is not None:
             d.stop()
         broker.stop()
+
+
+def _stats_pdu(entries):
+    """RFC 7854 §4.8 Stats Report body: count + [type len value] TLVs."""
+    out = len(entries).to_bytes(4, "big")
+    for st, ln, val in entries:
+        out += st.to_bytes(2, "big") + ln.to_bytes(2, "big")
+        out += val.to_bytes(ln, "big")
+    return out
+
+
+def test_bmp_dump_stats_records_and_exclude_toggle(spark, tmp_path):
+    """BMP Type-1 Stats Reports are cached into the dump by default
+    (bmp_dump_se_ll_append src/bmp/bmp_msg.c:1124) with the reference's
+    counter_type / counter_type_str / counter_value record fields
+    (bmp_log_msg_stats src/bmp/bmp_logdump.c:377-445);
+    bmp_dump_exclude_stats: true keeps them msglog-only
+    (CONFIG-KEYS:3217). bmp_dump_latest_file tracks the newest leaf."""
+    import socket
+    import time
+
+    from pmacct_spark.daemon import Daemon
+
+    def run_one(tag, exclude):
+        dump_dir = tmp_path / f"bmpdump_{tag}"
+        latest = tmp_path / f"bmpdump_latest_{tag}"
+        conf = f"""
+nfacctd_port: 0
+bmp_daemon: true
+bmp_daemon_port: 0
+bmp_dump_file: {dump_dir}
+bmp_dump_latest_file: {latest}
+bmp_dump_exclude_stats: {'true' if exclude else 'false'}
+plugins: memory[m]
+aggregate[m]: proto
+"""
+        d = Daemon.from_conf(
+            spark, conf, spool_dir=str(tmp_path / f"spoolSD{tag}")
+        )
+        try:
+            peer = 0xC0000205
+            msgs = (
+                _bmp_msg(3, peer, 64500)
+                + _bmp_msg(
+                    0, peer, 64500,
+                    _bgp_update([], [(0x0A010000, 16)], lp=100),
+                )
+                + _bmp_msg(
+                    1, peer, 64500,
+                    _stats_pdu([(0, 4, 12), (7, 8, 34567)]),
+                )
+            )
+            c = socket.socket(socket.AF_INET, socket.SOCK_STREAM)
+            c.connect(("127.0.0.1", d.bmp_port))
+            c.sendall(msgs)
+            c.close()
+            t0 = time.monotonic()
+            while (
+                d.bmp_spool.messages_spooled < 1
+                and time.monotonic() - t0 < 15
+            ):
+                time.sleep(0.05)
+            time.sleep(0.5)
+            assert d.dump_rib_if_configured() == str(dump_dir)
+        finally:
+            d.stop()
+        recs = []
+        for f in glob.glob(str(dump_dir / "**" / "*.json"),
+                           recursive=True):
+            with open(f) as fh:
+                recs += [json.loads(ln) for ln in fh if ln.strip()]
+        assert latest.is_symlink() or latest.exists()
+        return recs
+
+    recs = run_one("incl", exclude=False)
+    stats = [r for r in recs if r.get("bmp_msg_type") == "stats"]
+    assert {
+        (s["counter_type"], s["counter_value"]) for s in stats
+    } == {(0, 12), (7, 34567)}
+    s0 = next(s for s in stats if s["counter_type"] == 0)
+    assert s0["counter_type_str"] == (
+        "Number of prefixes rejected by inbound policy"
+    )
+    assert s0["event_type"] == "dump"
+    # route stream still intact alongside the stats lines
+    assert any(r.get("event_type") == "dump_init" for r in recs)
+
+    recs = run_one("excl", exclude=True)
+    assert not [r for r in recs if r.get("bmp_msg_type") == "stats"]
+    assert any(r.get("event_type") == "dump_init" for r in recs)

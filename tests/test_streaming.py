@@ -1147,3 +1147,40 @@ def test_history_offset_validation(spark):
         bucket_expr("ts", History.parse("5m"), offset=300)
     with pytest.raises(ValueError):
         bucket_expr("ts", History.parse("1M"), offset=60)
+
+
+def test_stream_ann_ivf_ingest_recall_matches_batch(spark):
+    """Drift guard for the incremental ANN index: the availableNow
+    replay's final posting table must serve the SAME top-k as the
+    batch-built index (set equality), hence identical recall@k against
+    the brute-force truth — an index drifting under incremental
+    ingest (lost batch, duplicate posting, stale compaction) shows up
+    here before it shows up in production recall."""
+    from pmacct_spark.operators import similarity
+    from pmacct_spark.queries_streaming import stream_ann_ivf_ingest
+    from pmacct_spark.sources.tables import load_table
+
+    inc = {
+        (r.query_id, r.neighbor_id, r.rank)
+        for r in stream_ann_ivf_ingest(spark, SF_DIR).collect()
+    }
+    emb = load_table(spark, SF_DIR, "embeddings")
+    bat = {
+        (r.query_id, r.neighbor_id, r.rank)
+        for r in similarity.ivf_pq_topk(
+            emb, k=3, refine=3, nprobe=2
+        ).collect()
+    }
+    assert inc == bat and inc
+    # recall@3 vs brute truth — equal by construction given the set
+    # equality above; computed through the r10 recall harness shape so
+    # a future divergence reports the recall delta, not just a diff
+    truth = {
+        (r.query_id, r.neighbor_id)
+        for r in similarity.brute_force_topk(
+            emb, emb.filter("vec_id < 10"), k=3
+        ).collect()
+    }
+    inc_pairs = {(q, n) for q, n, _ in inc}
+    bat_pairs = {(q, n) for q, n, _ in bat}
+    assert len(inc_pairs & truth) == len(bat_pairs & truth)
