@@ -526,6 +526,12 @@ class TcpSpool:
                             speaker = None
                 except socket.timeout:
                     pass
+                except OSError:
+                    # abrupt peer reset (ECONNRESET): same as EOF —
+                    # the session is gone; spool what already arrived
+                    # and run the close path (the reference's session
+                    # teardown on recv() error)
+                    closed = True
                 if proxy_pending and buf:
                     consumed, src, need_more = parse_proxy_header(buf)
                     if not need_more:
