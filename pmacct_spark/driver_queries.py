@@ -48,49 +48,43 @@ def register(name: str, oracle: str | None = None):
 # curation/dedup/ANN pipeline, and TPC-H relational — instead of the
 # registration order, which front-loaded agg/hist/client.
 _DRIVER_WINDOW = [
-    # NEW round 10, driver-checked on arrival (VERDICT r9 #3/#4/#5/#6)
-    "lpm_networks_knobs",
-    "protos_dictionary",
-    "tos_dictionary",
-    "presentation_tcpflags_timestamps",
-    "stream_dedup_minhash",
-    "ann_recall_ivfpq_vs_brute",
-    "quality_lm_surprisal",
-    # ROUND-10 ROTATION (VERDICT r9 "Next round #1"): fill the window
-    # with the STALE TAIL — every query whose newest driver row is r3
-    # or r4, plus as many of the 44 r5-era queries as fit. After this
-    # round no gated query's most-recent driver sample predates r5.
-    # r3-era:
-    "agg_test100_set", "client_counters_only", "client_match_orlist",
-    # r4-era:
-    "ann_ivf_topk", "bgp_wire_rib_lookup", "dedup_exact",
-    "rpki_roa_validation", "telemetry_json_metrics", "tpch_q1_pricing",
-    "v9_wire_loop_agg",
-    # r5-era (33 of 44; the 11 left at r5 are those whose operator is
-    # also sampled by a same-family r9/r10 row: agg_stitching ->
-    # agg_stitching_secs, geoip_country -> geoip_pocode_coords,
-    # lpm_networks_src_as -> lpm_networks_knobs + lpm_range_strategy,
-    # hist_5m_proto -> stream_hist_5m_proto + hist_5m_multiwindow,
-    # hist_month -> hist_1d_roundoff_w, hist_sliding_10m_5m ->
-    # hist_5m_prorate, topn_bytes -> client_topn_packets,
-    # custom_primitive_agg -> custom_wire_loop, preprocess_having ->
-    # preprocess_actions, window_rank_users -> salted_skew_agg's
-    # window family, sampling_map_renorm -> as_of_sampling_rate +
-    # sampling_options_wire_loop):
-    "agg_none_total", "agg_tcpflags_bitor", "aggregate_filter_tcp443",
-    "ann_ivf_pq_topk", "as_of_sampling_rate", "bgp6_wire_rib_lookup",
-    "bmp_wire_peer_down_rib", "conntrack_correlate", "custom_wire_loop",
-    "decontaminate_benchmark_overlap", "dedup_cc_clusters",
-    "fss_smart_sampling", "hist_5m_prorate",
-    "hybrid_bm25_vector_rrf", "lpm6_networks_src_as",
-    "mixed_wire_loop_agg", "ports_dictionary", "pretag_rules",
-    "rpki_overlap_validation", "salted_skew_agg",
-    "sampling_options_wire_loop", "sessionize_tcp_close",
-    "sflow_counter_samples", "sflow_wire_loop_renorm", "srv6_wire_loop",
-    "stream_v5_wire_decode", "stream_v9_stateful_decode",
-    "telemetry_udp_notif_wire_loop", "text_quality_features",
-    "tpch_q21_waiting_orders", "tunnel_wire_loop", "v6_wire_loop_agg",
-    "v9_wire_loop_twophase",
+    # NEW round 11, driver-checked on arrival (VERDICT r10 #1/#3/#4/#6)
+    "bgp_follow_nexthop_lookup",
+    "bgp_comm_patterns_filter",
+    "bgp_comm_pattern_to_asn",
+    "hist_1h_offset",
+    "stream_ann_ivf_ingest",
+    # ROUND-11 ROTATION (VERDICT r10 "Next round #8"): re-sample the
+    # stale tail. The 11 queries whose newest driver row is r5 (they
+    # were judge-rerun at sf0.01 in r10, but a driver row beats a
+    # judge note):
+    "agg_stitching", "custom_primitive_agg", "geoip_country",
+    "hist_5m_proto", "hist_month", "hist_sliding_10m_5m",
+    "lpm_networks_src_as", "preprocess_having", "sampling_map_renorm",
+    "topn_bytes", "window_rank_users",
+    # r7-era, all 21 non-TPC-H:
+    "agg_host_pairs", "ann_ivf_train_kmeans", "ann_pq_adc_topk",
+    "bgp_msglog_stream", "bpe_pair_counts", "corpus_bigram_topk",
+    "dedup_exact_substring", "dedup_semdedup_prune",
+    "dsir_importance_weights", "epoch_shard_shuffle", "l2_wire_loop",
+    "mpls_wire_loop", "nat_wire_loop", "retrieval_hard_negatives",
+    "sflow_counter_log_stream", "telemetry_grpc_dialin_wire_loop",
+    "telemetry_grpc_dialout_wire_loop", "text_lang_id",
+    "text_repetition_metrics", "unimax_lang_budget", "v5_wire_loop_agg",
+    # r7-era TPC-H, 13 of 19. The 6 left at r7 have their plan family
+    # sampled by an included or newer row: q4 (EXISTS semi-join ->
+    # tpch_q21 r10 + semi_join_suppliers), q12/q14 (two-table join +
+    # conditional agg -> tpch_q8 here), q15 (top-by-aggregate ->
+    # tpch_q2 here + client_topn_packets), q17 (correlated scalar
+    # aggregate -> tpch_q2/q20 here), q19 (disjunctive pushdown ->
+    # aggregate_filter_tcp443 r10 + tpch_q6 r9).
+    "tpch_q2_min_cost_supplier", "tpch_q3_shipping_priority",
+    "tpch_q5_local_supplier", "tpch_q7_volume_shipping",
+    "tpch_q8_market_share", "tpch_q9_product_profit",
+    "tpch_q10_returned_items", "tpch_q11_important_stock",
+    "tpch_q13_customer_distribution", "tpch_q16_supplier_relationship",
+    "tpch_q18_large_orders", "tpch_q20_part_promotion",
+    "tpch_q22_idle_customers",
 ]
 
 
