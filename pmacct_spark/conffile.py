@@ -505,6 +505,47 @@ def split_host_port(
     return s, default_port
 
 
+def parse_bgp_peer_src_as_map(text: str) -> list[dict]:
+    """bgp_peer_src_as_map (CONFIG-KEYS:2910,
+    examples/peers.map.example): ``id=<ASN|bgp>`` SET + MATCH keys
+    ip (address/prefix of the exporter), in (input ifIndex),
+    src_mac, vlan, bgp_nexthop. First match wins; ``id=bgp`` falls
+    through to the native RIB lookup (the exception-handling hook).
+    Malformed lines are warned and skipped like every reference map."""
+    import ipaddress
+    import logging
+
+    out: list[dict] = []
+    for line in text.splitlines():
+        line = line.strip()
+        if not line or line.startswith(("!", "#")):
+            continue
+        entry: dict = {}
+        try:
+            for tok in line.split():
+                k, _, v = tok.partition("=")
+                if k == "id":
+                    entry["id"] = "bgp" if v == "bgp" else int(v)
+                elif k == "ip":
+                    entry["ip"] = ipaddress.ip_network(v, strict=False)
+                elif k in ("in", "vlan"):
+                    entry[k] = int(v)
+                elif k in ("src_mac", "bgp_nexthop"):
+                    entry[k] = v.lower()
+                else:
+                    raise ValueError(f"unsupported key {k}")
+            if "id" not in entry:
+                raise ValueError("missing id")
+        except ValueError as e:
+            logging.getLogger("pmacct_spark").warning(
+                "bgp_peer_src_as_map: bad line %r (%s). Ignored.",
+                line, e,
+            )
+            continue
+        out.append(entry)
+    return out
+
+
 def parse_bgp_xconnect_map(text: str) -> list[dict]:
     """bgp_daemon_xconnect_map (reference CONFIG-KEYS:3265,
     examples/bgp_xconnects.map.example): ``bgp_dst=<ip:port>`` SET (the

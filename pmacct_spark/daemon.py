@@ -99,6 +99,7 @@ class Daemon:
         conf = conffile.parse_conf(conf_text)
         if (
             conf.get("telemetry_daemon_port_udp") is not None
+            or conf.get("telemetry_daemon_port_tcp") is not None
             or conf.get("telemetry_daemon_grpc_port") is not None
             or conf.get("telemetry_daemon_grpc_dialin") is not None
         ):
@@ -138,10 +139,37 @@ class Daemon:
             ip_key = {
                 "sflow": "sfacctd_ip", "telemetry": "telemetry_daemon_ip",
             }.get(flavor, "nfacctd_ip")
-            spool = UdpSpool(
-                host=str(conf.get(ip_key, default=host) or host),
-                port=port, spool_dir=spool_dir, flush_secs=0.2,
-            ).start()
+            tport = conf.get("telemetry_daemon_port_tcp")
+            if flavor == "telemetry" and tport is not None and (
+                conf.get("telemetry_daemon_port_udp") is None
+            ):
+                # telemetry_daemon_port_tcp (CONFIG-KEYS:3501): the
+                # Streaming Telemetry daemon over TCP sessions. The
+                # stream splits on the telemetry_daemon_decoder's
+                # framing (:3552): 'json' = newline-delimited
+                # documents, cisco_v0/v1 = the proprietary 12-byte
+                # headers the reference's decoders handle
+                from pmacct_spark.sources.tcp import TcpSpool
+
+                dec = str(
+                    conf.get("telemetry_daemon_decoder", default="json")
+                    or "json"
+                ).lower()
+                framing = {
+                    "json": "jsonl", "gpb": "jsonl",
+                    "cisco_v0": "cisco_v0", "cisco_v1": "cisco_v1",
+                }.get(dec, "jsonl")
+                spool = TcpSpool(
+                    framing=framing,
+                    host=str(conf.get(ip_key, default=host) or host),
+                    port=int(tport or 0), spool_dir=spool_dir,
+                    flush_secs=0.2,
+                ).start()
+            else:
+                spool = UdpSpool(
+                    host=str(conf.get(ip_key, default=host) or host),
+                    port=port, spool_dir=spool_dir, flush_secs=0.2,
+                ).start()
         tmpl_spool = None
         if flavor == "netflow" and conf.get("nfacctd_templates_port") is not None:
             # nfacctd_templates_port (reference CONFIG-KEYS): a second
@@ -219,7 +247,19 @@ class Daemon:
                         "bgp_daemon_id",
                         default=conf.get("bgp_daemon_ip"),
                     ),
+                    # bgp_daemon_add_path_ignore (CONFIG-KEYS:2858):
+                    # don't echo ADD-PATH, peers keep classic encoding
+                    "add_path_ignore": conf.getbool(
+                        "bgp_daemon_add_path_ignore"
+                    ),
+                    # tmp_bgp_daemon_route_refresh (CONFIG-KEYS:3734)
+                    "route_refresh": conf.getbool(
+                        "tmp_bgp_daemon_route_refresh"
+                    ),
                 },
+                router_id_check=not conf.getbool(
+                    "bgp_disable_router_id_check"
+                ),
                 # bgp_neighbors_file (CONFIG-KEYS:3066): live peer
                 # list, one per line — SNMP auto-discovery hook
                 neighbors_file=conf.get("bgp_neighbors_file"),
@@ -407,7 +447,38 @@ class Daemon:
                          or "default"),
                 passwd=conf.get("redis_passwd"),
             ).start()
+        if conf.getbool("maps_refresh"):
+            # maps_refresh (CONFIG-KEYS:2270): SIGUSR2 reloads every
+            # MAP-flagged file without a restart; with the key false
+            # the signal is silently discarded (reference semantics)
+            import signal as _signal
+
+            try:
+                _signal.signal(
+                    _signal.SIGUSR2, lambda *_: d.reload_maps()
+                )
+            except ValueError:
+                # not the main thread: signals undeliverable here —
+                # embedders call reload_maps() directly
+                pass
         return d
+
+    def reload_maps(self) -> None:
+        """Drop every parse-once map cache so the next drain re-reads
+        the files — the SIGUSR2 reload (load_networks/load_ports/
+        map reload dispatch in the reference's signal handler;
+        CONFIG-KEYS:2270 maps_refresh). pre_tag_map and the sampling
+        map are already re-read per drain; the RIB and live ROA feed
+        reload continuously by design."""
+        for attr in (
+            "_allow_cache",
+            "_ports_cache",
+            "_networks_cache",
+            "_agent_map_cache",
+            "_roa_df",
+        ):
+            if hasattr(self, attr):
+                delattr(self, attr)
 
     @staticmethod
     def _tcp_allow(conf, fam: str) -> list[str] | None:
@@ -887,6 +958,7 @@ class Daemon:
         df = self._maps(df)
         if self.bgp_spool is not None or self.bmp_spool is not None:
             df = self._bgp_enrich(df, streaming=streaming)
+        df = self._peer_as_enrich(df, streaming=streaming)
         return df
 
     def _decoded(self, streaming: bool) -> DataFrame:
@@ -1270,6 +1342,130 @@ class Daemon:
             )
         return out
 
+    def _peer_as_enrich(
+        self, df: DataFrame, streaming: bool = False
+    ) -> DataFrame:
+        """The source-peer-ASN method selectors + the [ns]facctd
+        peer-AS flip:
+
+        - ``nfacctd_peer_as`` / ``sfacctd_peer_as``
+          (CONFIG-KEYS:2561): the export's src_as/dst_as values
+          populate peer_src_as / peer_dst_as;
+        - ``bgp_peer_src_as_type: map`` (CONFIG-KEYS:2902) +
+          ``bgp_peer_src_as_map``: first-match-wins over ip (exporter
+          prefix), in (ifIndex), src_mac, vlan; ``id=bgp`` entries
+          fall through to the RIB lookup
+          (BPAS_map src/pretag_handlers.c:2851);
+        - ``bgp_peer_src_as_type: bgp``: native RIB lookup of the
+          flow's SOURCE address — peer_src_as = the first AS hop of
+          the src route's path (evaluate_first_asn,
+          src/pkt_handlers.c:5341);
+        - ``bgp_src_local_pref_type`` / ``bgp_src_med_type`` /
+          ``bgp_src_std|ext|lrg_comm_type`` / ``bgp_src_as_path_type``
+          = 'bgp' (CONFIG-KEYS:2921-2960): the src-side route
+          attributes from the same reverse lookup."""
+        own = "sfacctd" if self.flavor == "sflow" else "nfacctd"
+        if self.conf.getbool(f"{own}_peer_as"):
+            if "as_src" in df.columns:
+                df = df.withColumn(
+                    "peer_src_as", F.col("as_src").cast("bigint")
+                )
+            if "as_dst" in df.columns:
+                df = df.withColumn(
+                    "peer_dst_as", F.col("as_dst").cast("bigint")
+                )
+        psa_type = str(
+            self.conf.get("bgp_peer_src_as_type") or ""
+        ).lower()
+        src_attr_types = {
+            "as_path": "bgp_src_as_path_type",
+            "local_pref": "bgp_src_local_pref_type",
+            "med": "bgp_src_med_type",
+            "std_comm": "bgp_src_std_comm_type",
+            "ext_comm": "bgp_src_ext_comm_type",
+            "lrg_comm": "bgp_src_lrg_comm_type",
+        }
+        want_src_attrs = {
+            col: f"src_{col}"
+            for col, key in src_attr_types.items()
+            if str(self.conf.get(key) or "").lower() == "bgp"
+        }
+        has_rib = (
+            self.bgp_spool is not None or self.bmp_spool is not None
+        )
+        needs_lookup = has_rib and (
+            psa_type in ("map", "bgp") or want_src_attrs
+        )
+        if not needs_lookup:
+            return df
+        from pmacct_spark.operators.lpm import lpm_join
+
+        rib = self.rib().withColumnRenamed("prefix", "net_int")
+        attrs = dict(want_src_attrs)
+        if psa_type in ("map", "bgp"):
+            attrs["as_path"] = attrs.get("as_path", "__src_as_path")
+        map_rules = []
+        if psa_type == "map":
+            mpath = self.conf.get("bgp_peer_src_as_map")
+            if mpath:
+                with open(str(mpath)) as fh:
+                    map_rules = conffile.parse_bgp_peer_src_as_map(
+                        fh.read()
+                    )
+            if any(r.get("bgp_nexthop") for r in map_rules):
+                attrs["next_hop"] = "__src_next_hop"
+        df = lpm_join(
+            df, rib, "ip_src_i", attrs,
+            extra_keys={"peer_ip_src": "peer_ip"},
+            masklens=list(range(32, -1, -1)) if streaming else None,
+        )
+        ap_col = want_src_attrs.get("as_path", "__src_as_path")
+        bgp_val = F.expr(
+            f"coalesce(try_cast(element_at(split({ap_col}, ' '), 1) "
+            "AS BIGINT), 0)"
+        )
+        if psa_type == "bgp":
+            df = df.withColumn("peer_src_as", bgp_val)
+        elif psa_type == "map":
+            from pmacct_spark.functions.addr import (
+                ipv4_aton,
+                ipv4_ntoa,
+            )
+
+            expr = F.lit(None).cast("bigint")
+            for r in reversed(map_rules):  # earlier rule wins
+                cond = F.lit(True)
+                if "ip" in r and r["ip"].version == 4:
+                    div = 1 << (32 - r["ip"].prefixlen)
+                    a = ipv4_aton(F.col("peer_ip_src"))
+                    cond = cond & (
+                        (a - (a % div))
+                        == int(r["ip"].network_address)
+                    )
+                if "in" in r and "iface_in" in df.columns:
+                    cond = cond & (F.col("iface_in") == r["in"])
+                if "vlan" in r and "vlan" in df.columns:
+                    cond = cond & (F.col("vlan") == r["vlan"])
+                if "src_mac" in r and "mac_src" in df.columns:
+                    cond = cond & (
+                        F.lower(F.col("mac_src")) == r["src_mac"]
+                    )
+                if "bgp_nexthop" in r:
+                    cond = cond & (
+                        ipv4_ntoa(F.col("__src_next_hop"))
+                        == r["bgp_nexthop"]
+                    )
+                val = (
+                    bgp_val
+                    if r["id"] == "bgp"
+                    else F.lit(int(r["id"])).cast("bigint")
+                )
+                expr = F.when(cond, val).otherwise(expr)
+            df = df.withColumn(
+                "peer_src_as", F.coalesce(expr, F.lit(0))
+            )
+        return df.drop("__src_as_path", "__src_next_hop")
+
     def _maps(self, df: DataFrame) -> DataFrame:
         """Apply the configured maps, exactly as the reference's
         find_id / sampling-map passes tag and renormalize records
@@ -1385,6 +1581,23 @@ class Daemon:
                         cond = cond & (F.col(ic) == F.lit(r[ic]))
                 rate = F.when(cond, F.lit(r["rate"]).cast("long")).otherwise(rate)
             df = df.withColumn("sampling_rate", rate)
+        ext_rate = next(
+            (
+                self.conf.get(f"{d}_ext_sampling_rate")
+                for d in ("nfacctd", "sfacctd", "pmacctd", "uacctd")
+                if self.conf.get(f"{d}_ext_sampling_rate")
+            ),
+            None,
+        )
+        if ext_rate:
+            # [ns]facctd_ext_sampling_rate (CONFIG-KEYS:2422): flag a
+            # fixed external sampling rate — overrides agent-reported
+            # or map rates (sampling_rate_handler,
+            # src/pkt_handlers.c:2046: ext wins), feeding the same
+            # renormalize / sampling_rate primitives
+            df = df.withColumn(
+                "sampling_rate", F.lit(int(ext_rate)).cast("long")
+            )
         # guarantee the columns the channel configs reference even when
         # the producing map is absent (tag=0 untagged, rate=1 unsampled)
         # — otherwise build_aggregation's renormalize/pre_tag_filter
@@ -1514,6 +1727,19 @@ class Daemon:
                 fmt = self.conf.get("print_output", name, "csv")
                 if path:
                     emit = out
+                    if "proto" in emit.columns and not self.conf.getbool(
+                        "print_num_protos", name
+                    ):
+                        # print_num_protos (CONFIG-KEYS:1899): the
+                        # DEFAULT is to look protocol names up
+                        # (tcp/udp); true keeps numbers
+                        from pmacct_spark.functions.presentation import (
+                            proto_name,
+                        )
+
+                        emit = emit.withColumn(
+                            "proto", proto_name("proto")
+                        )
                     if fmt in ("json", "avro"):
                         # encode-as toggles apply to JSON/Avro only
                         # (CONFIG-KEYS: "no effects for other
@@ -1566,6 +1792,12 @@ class Daemon:
                         ),
                         latest_file=self.conf.get("print_latest_file", name),
                         markers=self.conf.getbool("print_markers", name),
+                        separator=self.conf.get(
+                            "print_output_separator", name
+                        ),
+                        write_empty=self.conf.getbool(
+                            "print_write_empty_file", name
+                        ),
                     )
             results[name] = out
         self.dump_rib_if_configured()
@@ -1850,6 +2082,13 @@ class Daemon:
                     )
                 else:
                     frames = msglog_kafka_frames(ev, topic)
+                rr = self.conf.get(f"{family}_kafka_topic_rr")
+                if rr:
+                    from pmacct_spark.sinks.msglog import apply_rr_suffix
+
+                    frames = apply_rr_suffix(
+                        frames, "topic", str(topic), int(rr)
+                    )
                 produce_frames(frames, host, port)
                 wrote.append(f"kafka://{host}:{port}/{topic}")
             rkey = self.conf.get(f"{family}_amqp_routing_key")
@@ -1868,11 +2107,15 @@ class Daemon:
                     self.conf.get(f"{family}_amqp_exchange", default="pmacct")
                     or "pmacct"
                 )
-                publish_frames(
-                    msglog_amqp_frames(ev, str(rkey), exchange=exch),
-                    ahost,
-                    aport,
-                )
+                aframes = msglog_amqp_frames(ev, str(rkey), exchange=exch)
+                rkr = self.conf.get(f"{family}_amqp_routing_key_rr")
+                if rkr:
+                    from pmacct_spark.sinks.msglog import apply_rr_suffix
+
+                    aframes = apply_rr_suffix(
+                        aframes, "routing_key", str(rkey), int(rkr)
+                    )
+                publish_frames(aframes, ahost, aport)
                 wrote.append(f"amqp://{ahost}:{aport}/{exch}/{rkey}")
             # record the generation only once every configured sink
             # for the family succeeded: a failed publish (broker down,
@@ -1917,6 +2160,33 @@ class Daemon:
             wrote += self._telemetry_logdump()
         return wrote
 
+    def _telemetry_msgs(self) -> DataFrame:
+        """Per-MESSAGE telemetry rows. Over UDP each datagram is one
+        message; over TCP (telemetry_daemon_port_tcp + the 'json'
+        decoder) a spooled chunk is a complete-prefix run of
+        newline-delimited documents — split it, keeping per-exporter
+        order (chunk seqno major, line position minor)."""
+        msgs = self._spool_batch()
+        if getattr(self.spool, "framing", None) == "jsonl":
+            msgs = (
+                msgs.select(
+                    "exporter_ip",
+                    "seqno",
+                    F.posexplode(
+                        F.split(F.col("payload").cast("string"), "\n")
+                    ).alias("pos", "line"),
+                )
+                .filter("line <> ''")
+                .select(
+                    "exporter_ip",
+                    (F.col("seqno") * 100000 + F.col("pos")).alias(
+                        "seqno"
+                    ),
+                    F.col("line").cast("binary").alias("payload"),
+                )
+            )
+        return msgs
+
     def _telemetry_logdump(self) -> list[str]:
         """telemetry_daemon_msglog_file/_kafka_topic and
         telemetry_dump_file/_kafka_topic (reference
@@ -1940,7 +2210,7 @@ class Daemon:
             from pmacct_spark.sinks.msglog import write_telemetry_log
 
             write_telemetry_log(
-                self._spool_batch(),
+                self._telemetry_msgs(),
                 tpath,
                 proc_name=proc,
                 export_port=self.port,
@@ -1960,7 +2230,7 @@ class Daemon:
                     )
 
                     write_telemetry_log(
-                        self._spool_batch(),
+                        self._telemetry_msgs(),
                         dpath,
                         proc_name=proc,
                         export_port=self.port,
@@ -2011,7 +2281,7 @@ class Daemon:
                         *conffile.split_host_port(hp, 8081)
                     )
                 frames = telemetry_msglog_avro_kafka_frames(
-                    self._spool_batch(),
+                    self._telemetry_msgs(),
                     str(topic),
                     registry=reg,
                     schema_file=self.conf.get(f"{fam}_avro_schema_file"),
@@ -2023,7 +2293,7 @@ class Daemon:
                 )
 
                 frames = telemetry_msglog_kafka_frames(
-                    self._spool_batch(), str(topic), **kw
+                    self._telemetry_msgs(), str(topic), **kw
                 )
             from pmacct_spark.sources.kafka_wire import produce_frames
 

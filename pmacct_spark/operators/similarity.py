@@ -871,17 +871,30 @@ def ivf_pq_topk(
     stays integer-exact cross-engine."""
     base = quantize(items.select(id_col, emb_col), emb_col, "qv")
     base = base.withColumn("nrm", F.expr(_norm_sq("qv"))).drop(emb_col)
-    cents_df = base.filter(F.expr(IVF_CENTROID_PRED.format(id=id_col))).select(
-        F.col(id_col).alias("cid"), F.col("qv").alias("qc"), F.col("nrm").alias("nc")
-    )
-    cents = [(r["cid"], list(r["qc"]), r["nc"]) for r in cents_df.collect()]
-    cb = _pq_codebook(base, id_col)
+    cents_df, cents, cb = ivf_pq_train(base, id_col)
     items_idx = ivf_pq_assign(base, cents, cb)
     return ivf_pq_query(
         items_idx, base, cents_df, cb,
         k=k, refine=refine, nprobe=nprobe,
         id_col=id_col, query_pred=query_pred,
     )
+
+
+def ivf_pq_train(base: DataFrame, id_col: str = "vec_id"):
+    """The offline train step (FAISS train()): coarse centroids as a
+    (DataFrame, literal list) pair + the PQ codebook, derived once and
+    broadcast as literals into every assignment/query plan. The
+    collect is DIM-sized (the medoid set), the same class as
+    lpm_join's masklen discovery."""
+    cents_df = base.filter(
+        F.expr(IVF_CENTROID_PRED.format(id=id_col))
+    ).select(
+        F.col(id_col).alias("cid"),
+        F.col("qv").alias("qc"),
+        F.col("nrm").alias("nc"),
+    )
+    cents = [(r["cid"], list(r["qc"]), r["nc"]) for r in cents_df.collect()]
+    return cents_df, cents, _pq_codebook(base, id_col)
 
 
 def ivf_pq_assign(

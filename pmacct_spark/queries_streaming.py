@@ -1150,15 +1150,7 @@ def stream_ann_ivf_ingest(spark, sf_dir):
     )
     # offline training: frozen before any ingest batch, like a real
     # IVF-PQ deployment (FAISS train() then add())
-    cents_df = base.filter(
-        F.expr(S.IVF_CENTROID_PRED.format(id="vec_id"))
-    ).select(
-        F.col("vec_id").alias("cid"),
-        F.col("qv").alias("qc"),
-        F.col("nrm").alias("nc"),
-    )
-    cents = [(r["cid"], list(r["qc"]), r["nc"]) for r in cents_df.collect()]
-    cb = S._pq_codebook(base, "vec_id")
+    cents_df, cents, cb = S.ivf_pq_train(base, "vec_id")
     # two ingest batches split by id parity; every 10th even vector is
     # RE-SENT in batch 2 (duplicate delivery)
     corpus = base.withColumn(

@@ -53,6 +53,8 @@ def write_print(
     mode: str = "overwrite",
     latest_file: str | None = None,
     markers: bool = False,
+    separator: str | None = None,
+    write_empty: bool = True,
 ) -> None:
     """Write aggregates the way the print plugin purges its cache.
 
@@ -63,6 +65,17 @@ def write_print(
     — format-conformant either way).
     """
     out = df
+    if not write_empty and out.isEmpty():
+        # print_write_empty_file default false (CONFIG-KEYS:1272): an
+        # empty purge produces no file at all, only the reference's
+        # "ET: X" log line
+        import logging
+
+        logging.getLogger("pmacct_spark").info(
+            "write_print: no data to output (print_write_empty_file "
+            "false) — ET: X"
+        )
+        return
     partition_cols: list[str] = []
     if name_spec:
         out, partition_cols = dynamic_partitions(df, name_spec)
@@ -70,7 +83,12 @@ def write_print(
     if partition_cols:
         writer = writer.partitionBy(*partition_cols)
     if fmt == "csv":
-        writer.option("header", "true").csv(path)
+        # print_output_separator (CONFIG-KEYS:1830): single char, with
+        # \t and \s spellings for tab and space
+        sep = {"\\t": "\t", "\\s": " "}.get(
+            separator, separator
+        ) if separator else ","
+        writer.option("header", "true").option("sep", sep).csv(path)
     elif fmt == "json":
         writer.json(path)
     elif fmt == "formatted":

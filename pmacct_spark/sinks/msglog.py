@@ -525,6 +525,31 @@ def telemetry_msglog_avro_kafka_frames(
     return frames.select("key", "value", F.lit(topic).alias("topic"))
 
 
+def apply_rr_suffix(
+    frames: DataFrame, col: str, base: str, n: int | None
+) -> DataFrame:
+    """[amqp_routing_key_rr | kafka_topic_rr] (CONFIG-KEYS:722 + the
+    msglog/dump family at :979): load-balance over ``<base>_0`` ..
+    ``<base>_{n-1}``. The reference round-robins a per-writer counter;
+    the distributed analog is a deterministic row hash — same uniform
+    spread, no cross-partition sequence point."""
+    if not n:
+        return frames
+    hash_cols = [
+        c for c in ("key", "value", "body") if c in frames.columns
+    ]
+    return frames.withColumn(
+        col,
+        F.concat(
+            F.lit(f"{base}_"),
+            (
+                F.abs(F.xxhash64(*[F.col(c) for c in hash_cols]))
+                % int(n)
+            ).cast("string"),
+        ),
+    )
+
+
 def msglog_amqp_frames(
     events: DataFrame,
     routing_key: str,

@@ -188,7 +188,10 @@ class BgpSpeaker:
     spool walks — it keeps its own."""
 
     def __init__(self, local_as: int | None = None,
-                 router_id: str | None = None, fallback_ip: str = ""):
+                 router_id: str | None = None, fallback_ip: str = "",
+                 add_path_ignore: bool = False,
+                 route_refresh: bool = False,
+                 on_open=None):
         import ipaddress as _ip
 
         self.local_as = int(local_as) if local_as else None
@@ -202,6 +205,20 @@ class BgpSpeaker:
             except ValueError:
                 continue
         self.router_id = rid.packed
+        # bgp_daemon_add_path_ignore (CONFIG-KEYS:2858): do not echo
+        # the ADD-PATH capability, so the peer never add-path-encodes
+        self.add_path_ignore = bool(add_path_ignore)
+        # tmp_bgp_daemon_route_refresh (CONFIG-KEYS:3734): present a
+        # Route Refresh capability back IF the peer set it; received
+        # ROUTE-REFRESH messages (type 5) are simply ignored
+        self.route_refresh = bool(route_refresh)
+        # OPEN-time hook (router-id duplicate check,
+        # bgp_router_id_check src/bgp/bgp_util.c:1685): called with
+        # the peer's 4-byte Router-ID; returning False refuses the
+        # session like the reference's "Refusing new connection from
+        # existing Router-ID"
+        self.on_open = on_open
+        self.refuse = False
         self.sent_open = False
         self._buf = b""
 
@@ -218,11 +235,17 @@ class BgpSpeaker:
             mtype = self._buf[18]
             body = self._buf[19:ln]
             if mtype == 1 and not self.sent_open:
+                if self.on_open is not None and len(body) >= 9:
+                    if not self.on_open(body[5:9]):
+                        self.refuse = True
+                        self._buf = b""
+                        break
                 out.append(self._open_reply(body))
                 out.append(_BGP_KEEPALIVE)
                 self.sent_open = True
             elif mtype == 4:
                 out.append(_BGP_KEEPALIVE)
+            # mtype 5 (ROUTE-REFRESH): ignored by design (:3738)
             self._buf = self._buf[ln:]
         return out
 
@@ -256,11 +279,14 @@ class BgpSpeaker:
         )
         out_caps = b""
         sent_as4 = False
+        echoed = {1, 69} if not self.add_path_ignore else {1}
+        if self.route_refresh:
+            echoed.add(2)  # Route Refresh (RFC 2918), echo-if-offered
         for code, val in caps:
             if code == 65:
                 val = my_as.to_bytes(4, "big")
                 sent_as4 = True
-            elif code not in (1, 69):  # MP-BGP / ADD-PATH echoed
+            elif code not in echoed:  # MP-BGP / ADD-PATH echoed
                 continue
             out_caps += bytes([code, len(val)]) + val
         if not sent_as4 and my_as > 65535:
@@ -310,6 +336,7 @@ class TcpSpool:
         speaker: dict | None = None,
         neighbors_file: str | None = None,
         allow: list[str] | None = None,
+        router_id_check: bool = True,
     ):
         # bgp_daemon_allow_file / bmp_daemon_allow_file (CONFIG-KEYS:
         # 3073): sessions from peers not in the list are REFUSED at
@@ -339,6 +366,12 @@ class TcpSpool:
         # bgp_daemon_id): kwargs for a per-connection BgpSpeaker;
         # None = receive-only (BMP, tests)
         self.speaker_conf = speaker
+        # duplicate-Router-ID refusal at OPEN (bgp_router_id_check
+        # src/bgp/bgp_util.c:1685); bgp_disable_router_id_check
+        # (CONFIG-KEYS:3059) turns it off
+        self.router_id_check = router_id_check
+        self._active_rids: dict[int, bytes] = {}
+        self.sessions_refused_by_rid = 0
         # bgp_neighbors_file / bmp_neighbors_file (CONFIG-KEYS:3066,
         # write_neighbors_file src/bgp/bgp_util.c:1193): the live
         # peer list, one address per line, rewritten on every session
@@ -351,6 +384,7 @@ class TcpSpool:
         # reference's full-peers-table path
         self.max_peers = max_peers
         self.peers_refused = 0
+        self.framing = framing
         self._prefix = _FRAMERS[framing]
         # bmp_daemon_parse_proxy_header: strip a PROXY v1/v2 header off
         # the first bytes and take the peer identity from it
@@ -492,8 +526,27 @@ class TcpSpool:
     ) -> None:
         conn.settimeout(0.2)
         buf = b""
+
+        def _claim_rid(rid: bytes, _key=key) -> bool:
+            # duplicate Router-ID refusal (bgp_router_id_check,
+            # src/bgp/bgp_util.c:1685) unless
+            # bgp_daemon_disable_router_id_check
+            with self._lock:
+                if not self.router_id_check:
+                    self._active_rids[_key] = rid
+                    return True
+                for k, other in self._active_rids.items():
+                    if k != _key and other == rid:
+                        self.sessions_refused_by_rid += 1
+                        return False
+                self._active_rids[_key] = rid
+                return True
+
         speaker = (
-            BgpSpeaker(fallback_ip=self.host, **self.speaker_conf)
+            BgpSpeaker(
+                fallback_ip=self.host, on_open=_claim_rid,
+                **self.speaker_conf,
+            )
             if self.speaker_conf is not None
             else None
         )
@@ -524,6 +577,12 @@ class TcpSpool:
                             # peer closed its read side: keep spooling
                             # what it already sent, stop replying
                             speaker = None
+                        if speaker is not None and speaker.refuse:
+                            # duplicate Router-ID at OPEN: refuse the
+                            # session, spool NOTHING from it
+                            buf = b""
+                            closed = True
+                            break
                 except socket.timeout:
                     pass
                 except OSError:
@@ -613,6 +672,7 @@ class TcpSpool:
             with self._lock:
                 self._flush_acks.pop(key, None)
                 self._live_peers.pop(key, None)
+                self._active_rids.pop(key, None)
             if self.neighbors_file:
                 self._write_neighbors()
             conn.close()

@@ -73,14 +73,17 @@ def test_daemon_conf_to_sinks(spark, tmp_path):
         ("10.0.0.2", "11.0.0.1"): (200, 2, 1),
     }
 
-    # print plugin: per-proto channel, CSV on disk with header
+    # print plugin: per-proto channel, CSV on disk with header; known
+    # protocols render as NAMES by default (print_num_protos false,
+    # CONFIG-KEYS:1899 'The default is to look protocol names up')
+    names = {6: "tcp", 17: "udp"}
     got = {
-        int(r["proto"]): (int(r["bytes"]), int(r["packets"]), int(r["flows"]))
+        r["proto"]: (int(r["bytes"]), int(r["packets"]), int(r["flows"]))
         for r in spark.read.option("header", "true")
         .csv(str(tmp_path / "out_csv"))
         .collect()
     }
-    assert got == golden
+    assert got == {names[k]: v for k, v in golden.items()}
 
 
 def test_daemon_batch_replay_equals_streaming(spark, tmp_path):
@@ -1959,3 +1962,174 @@ print_output_file[files]: {out_dir}
 
     assert run_one("map", True) == {"nkey": "abc", "pkey": "def"}
     assert run_one("str", False) == "nkey%abc,pkey%def"
+
+
+def test_peer_src_as_type_bgp_map_and_peer_as_flip(spark, tmp_path):
+    """The source-peer-ASN method family: bgp_peer_src_as_type 'bgp'
+    (RIB reverse lookup, first AS hop — evaluate_first_asn
+    src/pkt_handlers.c:5341) and 'map' (bgp_peer_src_as_map with
+    first-match-wins ip/in keys and the id=bgp fall-through,
+    examples/peers.map.example); nfacctd_peer_as populates
+    peer_src_as/peer_dst_as from the export's AS fields
+    (CONFIG-KEYS:2561); bgp_src_local_pref_type/bgp_src_med_type
+    'bgp' pull src-side route attributes (CONFIG-KEYS:2921)."""
+    import types
+
+    from pmacct_spark import conffile
+    from pmacct_spark.daemon import Daemon
+
+    rib = spark.createDataFrame(
+        [
+            ("127.0.0.1", 0x0A000000, 8, "65100 65200", 77, 12, "",
+             0xC0000299),
+        ],
+        "peer_ip string, net_int long, masklen int, as_path string, "
+        "local_pref long, med long, std_comm string, next_hop long",
+    )
+    fl = spark.createDataFrame(
+        [("127.0.0.1", 0x0A010005, 0x0B000001, 3, 64501, 64502, 100)],
+        "peer_ip_src string, ip_src_i long, ip_dst_i long, "
+        "iface_in long, as_src long, as_dst long, bytes long",
+    )
+
+    def make(conf_map):
+        d = Daemon.__new__(Daemon)
+        d.conf = types.SimpleNamespace(
+            get=lambda k, *a, **kw: conf_map.get(k, kw.get("default")),
+            getbool=lambda k, *a: str(conf_map.get(k, "")).lower()
+            in ("true", "1"),
+        )
+        d.flavor = "netflow"
+        d.bgp_spool = object()
+        d.bmp_spool = None
+        d.rib = lambda: rib.withColumnRenamed("net_int", "prefix")
+        return d
+
+    # native RIB reverse lookup: first hop of the src route's path
+    d = make({"bgp_peer_src_as_type": "bgp"})
+    row = d._peer_as_enrich(fl).collect()[0]
+    assert row["peer_src_as"] == 65100
+
+    # map method: ip+in match wins; id=bgp falls through to the RIB
+    mp = tmp_path / "peers.map"
+    mp.write_text(
+        "id=64999 ip=127.0.0.1/32 in=3\n"
+        "id=bgp ip=127.0.0.1/32\n"
+        "bogus line !\n"
+    )
+    d = make({
+        "bgp_peer_src_as_type": "map",
+        "bgp_peer_src_as_map": str(mp),
+    })
+    row = d._peer_as_enrich(fl).collect()[0]
+    assert row["peer_src_as"] == 64999
+    row = d._peer_as_enrich(
+        fl.withColumn("iface_in", F.lit(9))
+    ).collect()[0]
+    assert row["peer_src_as"] == 65100  # id=bgp fall-through
+
+    # [ns]facctd peer_as flip: export AS fields populate peer_*_as
+    d = make({"nfacctd_peer_as": "true"})
+    row = d._peer_as_enrich(fl).collect()[0]
+    assert (row["peer_src_as"], row["peer_dst_as"]) == (64501, 64502)
+
+    # src-side attribute selectors
+    d = make({
+        "bgp_src_local_pref_type": "bgp",
+        "bgp_src_med_type": "bgp",
+    })
+    row = d._peer_as_enrich(fl).collect()[0]
+    assert (row["src_local_pref"], row["src_med"]) == (77, 12)
+
+
+def test_maps_refresh_sigusr2_reloads_map_files(spark, tmp_path):
+    """maps_refresh (CONFIG-KEYS:2270): SIGUSR2 reloads every
+    MAP-flagged file without a restart — the networks_file edit takes
+    effect on the next drain after the signal; the parse-once caches
+    hold without it. ext_sampling_rate rides the same conf to prove
+    the fixed external rate override (CONFIG-KEYS:2422,
+    sampling_rate_handler src/pkt_handlers.c:2046)."""
+    import os
+    import signal
+
+    nets = tmp_path / "networks.lst"
+    nets.write_text("65100,10.0.0.0/8\n")
+    conf = f"""
+nfacctd_port: 0
+nfacctd_as: file
+networks_file: {nets}
+maps_refresh: true
+nfacctd_ext_sampling_rate: 64
+plugins: memory[m]
+aggregate[m]: src_as, sampling_rate
+"""
+    d = Daemon.from_conf(spark, conf, spool_dir=str(tmp_path / "spoolMR"))
+    try:
+        send_datagrams(
+            [_v5_datagram(1, [
+                {"src": 0x0A010101, "dst": 0x0B020202, "pkts": 1,
+                 "bytes": 100, "sport": 5, "dport": 443},
+            ])],
+            "127.0.0.1", d.port,
+        )
+        t0 = time.monotonic()
+        while d.spool.datagrams_received < 1 and time.monotonic() - t0 < 15:
+            time.sleep(0.05)
+        out = d.run_available()["m"].collect()
+        got = {(r["src_as"], r["sampling_rate"]) for r in out}
+        assert got == {(65100, 64)}
+
+        # edit the map; WITHOUT the signal the cache must hold
+        nets.write_text("64999,10.0.0.0/8\n")
+        out = d.run_available()["m"].collect()
+        assert {r["src_as"] for r in out} == {65100}
+
+        # SIGUSR2 -> next drain re-reads the file
+        os.kill(os.getpid(), signal.SIGUSR2)
+        time.sleep(0.2)
+        out = d.run_available()["m"].collect()
+        assert {r["src_as"] for r in out} == {64999}
+    finally:
+        d.stop()
+
+
+def test_print_num_protos_separator_and_empty_file(spark, tmp_path):
+    """print_num_protos: true keeps protocol numbers
+    (CONFIG-KEYS:1899); print_output_separator swaps the CSV delimiter
+    (:1830, \\t and \\s spellings allowed); print_write_empty_file
+    default false writes NO file on an empty purge, true restores the
+    pre-1.5.0 zero-length behavior (:1272)."""
+    import glob as _glob
+
+    out_dir = tmp_path / "numsep"
+    conf = f"""
+nfacctd_ip: 127.0.0.1
+nfacctd_port: 0
+plugins: print[p]
+aggregate[p]: proto
+print_output[p]: csv
+print_output_file[p]: {out_dir}
+print_num_protos[p]: true
+print_output_separator[p]: \\t
+"""
+    d = Daemon.from_conf(spark, conf, spool_dir=str(tmp_path / "spoolNS"))
+    try:
+        # FIRST purge with zero datagrams: no csv may appear
+        d.run_available()
+        assert not _glob.glob(str(out_dir / "*.csv"))
+        _fire(d.port)
+        t0 = time.monotonic()
+        while d.spool.datagrams_received < 2 and time.monotonic() - t0 < 15:
+            time.sleep(0.05)
+        d.run_available()
+    finally:
+        d.stop()
+    got = {}
+    for f in _glob.glob(str(out_dir / "*.csv")):
+        with open(f) as fh:
+            header = fh.readline().rstrip("\n").split("\t")
+            for ln in fh:
+                row = dict(zip(header, ln.rstrip("\n").split("\t")))
+                got[row["proto"]] = int(row["bytes"])
+    # numeric protos survive, tab-separated
+    assert got == {"6": 1500, "17": 200}

@@ -1086,3 +1086,122 @@ core_proc_name: pmtelemetryd
         if d is not None:
             d.stop()
         broker.stop()
+
+
+def test_daemon_msglog_kafka_topic_rr_and_amqp_rr_live(spark, tmp_path):
+    """bgp_daemon_msglog_kafka_topic_rr (CONFIG-KEYS:979; base
+    semantics :722): msglog messages load-balance over
+    <topic>_0..<topic>_{N-1} on the live broker — every event lands on
+    exactly one of the suffixed topics and nothing on the base one."""
+    import socket
+    import time
+
+    from pmacct_spark.daemon import Daemon
+    from pmacct_spark.sources.kafka_wire import (
+        KafkaWireClient,
+        MiniKafkaBroker,
+    )
+    from pmacct_spark.streaming.bmp import (
+        encode_bgp_open,
+        encode_bgp_update,
+    )
+
+    broker = MiniKafkaBroker(npartitions=1).start()
+    d = None
+    try:
+        conf = f"""
+nfacctd_port: 0
+bgp_daemon: true
+bgp_daemon_port: 0
+bgp_daemon_msglog_kafka_topic: daisy.rr
+bgp_daemon_msglog_kafka_topic_rr: 2
+bgp_daemon_msglog_kafka_broker_port: {broker.port}
+plugins: memory[m]
+aggregate[m]: proto
+"""
+        d = Daemon.from_conf(spark, conf, spool_dir=str(tmp_path / "rrspool"))
+        stream = encode_bgp_open()
+        for i in range(6):
+            stream += encode_bgp_update(
+                (10 << 24) | (i << 16), 16, f"65000 {65100 + i}"
+            )
+        c = socket.socket(socket.AF_INET, socket.SOCK_STREAM)
+        c.connect(("127.0.0.1", d.bgp_port))
+        c.sendall(stream)
+        c.close()
+        t0 = time.monotonic()
+        while d.bgp_spool.messages_spooled < 1 and time.monotonic() - t0 < 15:
+            time.sleep(0.05)
+        time.sleep(0.5)
+        wrote = d.write_msglog_if_configured()
+        assert wrote == [f"kafka://127.0.0.1:{broker.port}/daisy.rr"]
+        cli = KafkaWireClient("127.0.0.1", broker.port)
+        per_topic = {}
+        for t in ("daisy.rr", "daisy.rr_0", "daisy.rr_1"):
+            try:
+                _, recs = cli.fetch(t, 0, 0, with_hwm=True)
+            except Exception:
+                recs = []
+            per_topic[t] = len(recs)
+        cli.close()
+    finally:
+        if d is not None:
+            d.stop()
+        broker.stop()
+    assert per_topic["daisy.rr"] == 0  # base topic bypassed
+    # every event on exactly one suffix; both suffixes used (log_init
+    # + 6 updates spread by row hash)
+    assert per_topic["daisy.rr_0"] + per_topic["daisy.rr_1"] >= 7
+    assert per_topic["daisy.rr_0"] > 0 and per_topic["daisy.rr_1"] > 0
+
+
+def test_daemon_telemetry_tcp_sessions_msglog(spark, tmp_path):
+    """telemetry_daemon_port_tcp (CONFIG-KEYS:3501): pmtelemetryd over
+    LIVE TCP sessions — newline-delimited JSON documents (the default
+    'json' decoder framing, :3552) split into per-message envelope
+    records with per-node seq, even when several documents arrive in
+    one TCP segment."""
+    import socket
+    import time
+
+    from pmacct_spark.daemon import Daemon
+
+    log_dir = str(tmp_path / "ttcp_log")
+    conf = f"""
+telemetry_daemon_port_tcp: 0
+telemetry_daemon_msglog_file: {log_dir}
+core_proc_name: pmtelemetryd
+"""
+    d = Daemon.from_conf(spark, conf, spool_dir=str(tmp_path / "ttcp"))
+    try:
+        assert d.flavor == "telemetry"
+        c = socket.create_connection(("127.0.0.1", d.port), timeout=5)
+        # three documents over one session, two in a single segment
+        c.sendall(b'{"k": 1, "path": "cpu"}\n{"k": 2, "path": "mem"}\n')
+        time.sleep(0.4)
+        c.sendall(b'{"k": 3, "path": "ifstats"}\n')
+        c.close()
+        t0 = time.monotonic()
+        while d.spool.messages_spooled < 1 and time.monotonic() - t0 < 15:
+            time.sleep(0.05)
+        time.sleep(0.5)
+        assert d.write_msglog_if_configured() == [log_dir]
+    finally:
+        d.stop()
+    lines = []
+    for f in pathlib.Path(log_dir).rglob("*.txt"):
+        lines += [
+            json.loads(ln) for ln in f.read_text().splitlines() if ln.strip()
+        ]
+    assert len(lines) == 3
+    msgs = sorted(
+        (
+            ln["ietf-telemetry-message:message"]["telemetry-message-metadata"][
+                "labels"
+            ][0]["number-value"],
+            ln["ietf-telemetry-message:message"]["payload"]["k"],
+        )
+        for ln in lines
+    )
+    # per-node seq 1..3 in arrival order, one record per document
+    assert msgs == [(1, 1), (2, 2), (3, 3)]

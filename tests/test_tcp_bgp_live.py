@@ -746,3 +746,149 @@ aggregate[m]: proto
     # valid entry still admits the peer — startup must not crash
     alive, refused = run_one("badline", "bogus-addr\n127.0.0.1\n")
     assert alive and refused == 0
+
+
+def _open_msg(asn=65001, rid="10.0.0.1", caps=b""):
+    import socket as _s
+    import struct
+
+    opt = bytes([2, len(caps)]) + caps if caps else b""
+    body = (
+        bytes([4]) + struct.pack("!HH", asn, 90)
+        + _s.inet_aton(rid) + bytes([len(opt)]) + opt
+    )
+    return b"\xff" * 16 + struct.pack("!H", 19 + len(body)) + b"\x01" + body
+
+
+def _read_caps(sock):
+    """Read one BGP message off the socket, return (type, cap codes)."""
+    import struct
+
+    hdr = b""
+    while len(hdr) < 19:
+        got = sock.recv(19 - len(hdr))
+        if not got:
+            return None, set()
+        hdr += got
+    ln = struct.unpack("!H", hdr[16:18])[0]
+    rest = b""
+    while len(rest) < ln - 19:
+        rest += sock.recv(ln - 19 - len(rest))
+    codes = set()
+    if hdr[18] == 1:
+        optlen = rest[9]
+        blob = rest[10:10 + optlen]
+        if blob and blob[0] == 2:
+            cap = blob[2:]
+            j = 0
+            while j + 2 <= len(cap):
+                codes.add(cap[j])
+                j += 2 + cap[j + 1]
+    return hdr[18], codes
+
+
+def test_bgp_router_id_check_and_capability_knobs(spark, tmp_path):
+    """bgp_router_id_check (src/bgp/bgp_util.c:1685): a second session
+    presenting an ALREADY-ACTIVE Router-ID is refused at OPEN
+    ('Refusing new connection from existing Router-ID');
+    bgp_disable_router_id_check turns that off (CONFIG-KEYS:3059).
+    bgp_daemon_add_path_ignore withholds the ADD-PATH capability echo
+    (:2858); tmp_bgp_daemon_route_refresh echoes a Route Refresh
+    capability back when the peer offered one (:3734), and a received
+    ROUTE-REFRESH message is ignored, not a desync."""
+    import socket
+    import time as _t
+
+    from pmacct_spark.daemon import Daemon
+
+    def run(conf_extra, tag):
+        conf = f"""
+nfacctd_port: 0
+bgp_daemon: true
+bgp_daemon_port: 0
+{conf_extra}
+plugins: memory[m]
+aggregate[m]: proto
+"""
+        return Daemon.from_conf(
+            spark, conf, spool_dir=str(tmp_path / f"spoolRID{tag}")
+        )
+
+    addpath_cap = bytes([69, 4, 0, 1, 1, 3])
+    rr_cap = bytes([2, 0])
+    mp_cap = bytes([1, 4, 0, 1, 0, 1])
+
+    # 1. duplicate Router-ID refused by default; distinct one accepted
+    d = run("", "dflt")
+    try:
+        c1 = socket.create_connection(("127.0.0.1", d.bgp_port), timeout=5)
+        c1.sendall(_open_msg(rid="10.0.0.1", caps=mp_cap + addpath_cap))
+        t1, codes1 = _read_caps(c1)
+        assert t1 == 1 and 69 in codes1 and 2 not in codes1
+
+        c2 = socket.create_connection(("127.0.0.1", d.bgp_port), timeout=5)
+        c2.settimeout(3)
+        c2.sendall(_open_msg(rid="10.0.0.1"))
+        t2, _ = _read_caps(c2)
+        assert t2 is None  # refused: closed without an OPEN reply
+        t0 = _t.monotonic()
+        while (
+            d.bgp_spool.sessions_refused_by_rid < 1
+            and _t.monotonic() - t0 < 5
+        ):
+            _t.sleep(0.05)
+        assert d.bgp_spool.sessions_refused_by_rid == 1
+        c2.close()
+
+        c3 = socket.create_connection(("127.0.0.1", d.bgp_port), timeout=5)
+        c3.sendall(_open_msg(rid="10.0.0.2"))
+        t3, _ = _read_caps(c3)
+        assert t3 == 1
+        c1.close()
+        c3.close()
+    finally:
+        d.stop()
+
+    # 2. bgp_disable_router_id_check: both sessions accepted
+    d = run("bgp_disable_router_id_check: true", "off")
+    try:
+        c1 = socket.create_connection(("127.0.0.1", d.bgp_port), timeout=5)
+        c1.sendall(_open_msg(rid="10.0.0.1"))
+        assert _read_caps(c1)[0] == 1
+        c2 = socket.create_connection(("127.0.0.1", d.bgp_port), timeout=5)
+        c2.sendall(_open_msg(rid="10.0.0.1"))
+        assert _read_caps(c2)[0] == 1
+        assert d.bgp_spool.sessions_refused_by_rid == 0
+        c1.close()
+        c2.close()
+    finally:
+        d.stop()
+
+    # 3. add_path_ignore + route_refresh capability knobs
+    d = run(
+        "bgp_daemon_add_path_ignore: true\n"
+        "tmp_bgp_daemon_route_refresh: true",
+        "caps",
+    )
+    try:
+        c = socket.create_connection(("127.0.0.1", d.bgp_port), timeout=5)
+        c.sendall(_open_msg(caps=mp_cap + rr_cap + addpath_cap))
+        t, codes = _read_caps(c)
+        assert t == 1
+        assert 69 not in codes  # ADD-PATH withheld
+        assert 2 in codes       # Route Refresh echoed
+        # a ROUTE-REFRESH message is ignored: the session stays alive
+        # and still echoes KEEPALIVEs afterwards
+        rr_msg = b"\xff" * 16 + (23).to_bytes(2, "big") + bytes(
+            [5, 0, 1, 0, 1]
+        )
+        keepalive = b"\xff" * 16 + (19).to_bytes(2, "big") + b"\x04"
+        c.sendall(rr_msg + keepalive)
+        # skip the KEEPALIVE that followed our OPEN reply, then expect
+        # the echo of ours
+        t_k1, _ = _read_caps(c)
+        t_k2, _ = _read_caps(c)
+        assert (t_k1, t_k2) == (4, 4)
+        c.close()
+    finally:
+        d.stop()
