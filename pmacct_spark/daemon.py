@@ -949,10 +949,29 @@ class Daemon:
                 decode_sflow_any(dg.select("exporter_ip", "payload"))
             )
         else:
+            seed = self._templates_seed()
+            if not streaming:
+                # batch drains: pre-learn the spool's own templates and
+                # broadcast them (decode_any_twophase's shape) so a v9/
+                # IPFIX template and its data records decode even when
+                # the spool files land in different partitions — the
+                # per-partition in-stream cache alone needs co-located,
+                # ordered datagrams (decode_v9's contract). In-stream
+                # definitions still overwrite seeds (fresher wins).
+                from pmacct_spark.streaming.decode import (
+                    learn_template_cache,
+                )
+
+                try:
+                    learned = learn_template_cache(dg)
+                except ValueError:
+                    learned = {}  # conflicting redefinitions: in-stream
+                if learned:
+                    seed = {**(seed or {}), **learned}
             df = canonical_flows(
                 decode_any(
                     dg.select("exporter_ip", "payload"),
-                    seed_templates=self._templates_seed(),
+                    seed_templates=seed,
                 )
             )
         df = self._maps(df)
@@ -1798,6 +1817,55 @@ class Daemon:
                         write_empty=self.conf.getbool(
                             "print_write_empty_file", name
                         ),
+                    )
+            elif ptype in ("nfprobe", "sfprobe"):
+                # probe plugins (reference src/nfprobe_plugin /
+                # src/sfprobe_plugin): re-export the collector's flows
+                # over a real UDP socket to <ptype>_receiver, version
+                # per nfprobe_version (5 | 9 | 10 — CONFIG-KEYS:2585)
+                recv = self.conf.get(f"{ptype}_receiver", name)
+                if recv and batch_df is not None:
+                    from pmacct_spark.sinks.tee import emit_udp
+
+                    rhost, rport = conffile.split_host_port(
+                        str(recv), 2100 if ptype == "nfprobe" else 6343
+                    )
+                    src_ip = str(
+                        self.conf.get(
+                            f"{ptype}_source_ip", name,
+                            "127.0.0.1",
+                        )
+                        or "127.0.0.1"
+                    )
+                    if ptype == "nfprobe":
+                        from pmacct_spark.sinks import nfprobe as NP
+
+                        ver = int(
+                            self.conf.get("nfprobe_version", name, 5)
+                            or 5
+                        )
+                        enc = {
+                            5: NP.encode_v5,
+                            9: NP.encode_v9,
+                            10: NP.encode_ipfix,
+                        }.get(ver)
+                        if enc is None:
+                            raise ValueError(
+                                f"nfprobe_version {ver} unsupported "
+                                "(5, 9, 10)"
+                            )
+                        dgrams = enc(batch_df, exporter_ip=src_ip)
+                    else:
+                        from pmacct_spark.sinks.sfprobe import (
+                            encode_sflow5,
+                        )
+
+                        dgrams = encode_sflow5(
+                            batch_df, agent_ip=src_ip
+                        )
+                    emit_udp(
+                        dgrams,
+                        default_endpoint=f"{rhost}:{rport}",
                     )
             results[name] = out
         self.dump_rib_if_configured()

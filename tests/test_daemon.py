@@ -2133,3 +2133,51 @@ print_output_separator[p]: \\t
                 got[row["proto"]] = int(row["bytes"])
     # numeric protos survive, tab-separated
     assert got == {"6": 1500, "17": 200}
+
+
+def test_daemon_nfprobe_plugin_v9_chain(spark, tmp_path):
+    """plugins: nfprobe — the probe plugin wired by config: collector A
+    receives v5 flows, its nfprobe channel re-exports them as
+    NetFlow v9 (nfprobe_version: 9, CONFIG-KEYS:2585) over a real UDP
+    socket to collector B (nfprobe_receiver), whose per-proto channel
+    equals A's — the reference's nfacctd -> nfprobe -> nfacctd chain
+    driven purely from the conf."""
+    conf_b = """
+nfacctd_ip: 127.0.0.1
+nfacctd_port: 0
+plugins: memory[m]
+aggregate[m]: proto
+"""
+    db = Daemon.from_conf(spark, conf_b, spool_dir=str(tmp_path / "chainB"))
+    da = None
+    try:
+        conf_a = f"""
+nfacctd_ip: 127.0.0.1
+nfacctd_port: 0
+plugins: memory[m], nfprobe[x]
+aggregate[m]: proto
+nfprobe_receiver[x]: 127.0.0.1:{db.port}
+nfprobe_version[x]: 9
+"""
+        da = Daemon.from_conf(
+            spark, conf_a, spool_dir=str(tmp_path / "chainA")
+        )
+        golden = _fire(da.port)
+        t0 = time.monotonic()
+        while da.spool.datagrams_received < 2 and time.monotonic() - t0 < 15:
+            time.sleep(0.05)
+        a_out = da.run_available()["m"].collect()
+        assert {
+            r["proto"]: (r["bytes"], r["packets"]) for r in a_out
+        } == {k: v[:2] for k, v in golden.items()}
+        # B received the v9 re-export (template + data datagrams)
+        t0 = time.monotonic()
+        while db.spool.datagrams_received < 2 and time.monotonic() - t0 < 15:
+            time.sleep(0.05)
+        b_out = db.run_available()["m"].collect()
+    finally:
+        if da is not None:
+            da.stop()
+        db.stop()
+    got = {r["proto"]: (r["bytes"], r["packets"]) for r in b_out}
+    assert got == {k: v[:2] for k, v in golden.items()}
