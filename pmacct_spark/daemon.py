@@ -1818,6 +1818,148 @@ class Daemon:
                             "print_write_empty_file", name
                         ),
                     )
+            elif ptype == "kafka":
+                # the Kafka accounting plugin (reference
+                # src/kafka_plugin.c): every purge ships the channel's
+                # aggregate as JSON messages through the live wire
+                # producer — kafka_topic (+_rr), kafka_partition_key
+                # (key columns for per-key ordering), kafka_broker_*
+                topic = self.conf.get("kafka_topic", name)
+                if topic:
+                    from pmacct_spark.sinks.kafka import kafka_frame
+                    from pmacct_spark.sources.kafka_wire import (
+                        produce_frames,
+                    )
+
+                    pk = self.conf.get("kafka_partition_key", name)
+                    rr = self.conf.get("kafka_topic_rr", name)
+                    emit = out
+                    if "proto" in emit.columns and not self.conf.getbool(
+                        "kafka_num_protos", name
+                    ):
+                        from pmacct_spark.functions.presentation import (
+                            proto_name,
+                        )
+
+                        emit = emit.withColumn(
+                            "proto", proto_name("proto")
+                        )
+                    emit = self._apply_encode_toggles(emit, name)
+                    frames = kafka_frame(
+                        emit,
+                        str(topic),
+                        key_cols=(
+                            [c.strip() for c in str(pk).split(",")
+                             if c.strip()]
+                            if pk
+                            else None
+                        ),
+                        rr_topics=int(rr) if rr else None,
+                    )
+                    produce_frames(
+                        frames,
+                        str(
+                            self.conf.get(
+                                "kafka_broker_host", name, "127.0.0.1"
+                            )
+                            or "127.0.0.1"
+                        ),
+                        int(
+                            self.conf.get("kafka_broker_port", name, 9092)
+                            or 9092
+                        ),
+                    )
+            elif ptype == "amqp":
+                # the AMQP accounting plugin (reference
+                # src/amqp_plugin.c): publish the channel aggregate on
+                # the configured exchange/routing key over the live
+                # 0-9-1 wire — amqp_routing_key (+_rr), amqp_exchange,
+                # amqp_persistent_msg
+                rkey = self.conf.get("amqp_routing_key", name)
+                if rkey:
+                    from pmacct_spark.sinks.amqp import amqp_frame
+                    from pmacct_spark.sinks.amqp_wire import (
+                        publish_frames,
+                    )
+
+                    rr = self.conf.get("amqp_routing_key_rr", name)
+                    emit = self._apply_encode_toggles(out, name)
+                    frames = amqp_frame(
+                        emit,
+                        exchange=str(
+                            self.conf.get("amqp_exchange", name, "pmacct")
+                            or "pmacct"
+                        ),
+                        routing_key=str(rkey),
+                        rr=int(rr) if rr else None,
+                        exchange_type=str(
+                            self.conf.get(
+                                "amqp_exchange_type", name, "direct"
+                            )
+                            or "direct"
+                        ),
+                        persistent=self.conf.getbool(
+                            "amqp_persistent_msg", name
+                        ),
+                    )
+                    publish_frames(
+                        frames,
+                        str(
+                            self.conf.get("amqp_host", name, "127.0.0.1")
+                            or "127.0.0.1"
+                        ),
+                        int(
+                            self.conf.get("amqp_port", name, 5672) or 5672
+                        ),
+                    )
+            elif ptype in ("sql", "mysql", "pgsql", "sqlite3"):
+                # the SQL accounting plugins (reference
+                # src/sql_common.c statement cycle): every purge runs
+                # UPDATE-counters-then-INSERT against a real embedded
+                # SQL engine (DuckDB standing in for the sqlite3
+                # backend; the PG/MySQL WIRE conversations are covered
+                # by sinks/pgwire + mysql_wire) — sql_table + sql_db
+                # name the target, sql_dont_try_update flips
+                # append-only, stamps ride stamp_updated
+                table = self.conf.get("sql_table", name)
+                dbp = self.conf.get("sql_db", name)
+                if table and dbp:
+                    import datetime as _dt
+
+                    from pmacct_spark.sinks.upsert import DuckDBSqlTable
+
+                    counters = [
+                        c for c in ("bytes", "packets", "flows")
+                        if c in out.columns
+                    ]
+                    keys = [
+                        c for c in out.columns
+                        if c not in counters and c != "writer_id"
+                    ]
+                    cache = getattr(self, "_sql_tables", {})
+                    db = cache.get(name)
+                    if db is None:
+                        db = DuckDBSqlTable(
+                            str(dbp), str(table), keys, counters
+                        )
+                        cache[name] = db
+                        self._sql_tables = cache
+                    mv = self.conf.get("sql_multi_values", name)
+                    db.purge(
+                        out.select(*keys, *counters),
+                        stamp_updated=_dt.datetime.utcnow().strftime(
+                            "%Y-%m-%d %H:%M:%S"
+                        ),
+                        append_only=self.conf.getbool(
+                            "sql_dont_try_update", name
+                        ),
+                        multi_values=int(mv) if mv else 0,
+                        use_copy=self.conf.getbool("sql_use_copy", name),
+                        delimiter=str(
+                            self.conf.get("sql_delimiter", name, ",")
+                            or ","
+                        ),
+                    )
             elif ptype in ("nfprobe", "sfprobe"):
                 # probe plugins (reference src/nfprobe_plugin /
                 # src/sfprobe_plugin): re-export the collector's flows
