@@ -505,6 +505,50 @@ def split_host_port(
     return s, default_port
 
 
+def parse_tee_receivers(text: str) -> list[dict]:
+    """tee_receivers map (CONFIG-KEYS:3415,
+    examples/tee_receivers.lst.example): ``id=<pool>`` +
+    ``ip=<host:port>[,<host:port>...]`` receivers, optional
+    ``tag=<t1>[,<t2>...]`` filter and ``balance-alg=rr|hash``.
+    Malformed lines are warned and skipped like every reference map."""
+    import logging
+
+    out: list[dict] = []
+    for line in text.splitlines():
+        line = line.strip()
+        if not line or line.startswith(("!", "#")):
+            continue
+        entry: dict = {}
+        try:
+            for tok in line.split():
+                k, _, v = tok.partition("=")
+                if k == "id":
+                    entry["id"] = str(int(v))
+                elif k == "ip":
+                    entry["pool"] = [
+                        e.strip() for e in v.split(",") if e.strip()
+                    ]
+                elif k == "tag":
+                    entry["tags"] = [int(t) for t in v.split(",") if t]
+                elif k == "balance-alg":
+                    if v not in ("rr", "hash"):
+                        raise ValueError(f"balance-alg {v}")
+                    entry["balance"] = v
+                elif k == "src_port":
+                    entry["src_port"] = int(v)
+                else:
+                    raise ValueError(f"unsupported key {k}")
+            if "id" not in entry or not entry.get("pool"):
+                raise ValueError("id and ip are mandatory")
+        except ValueError as e:
+            logging.getLogger("pmacct_spark").warning(
+                "tee_receivers: bad line %r (%s). Ignored.", line, e
+            )
+            continue
+        out.append(entry)
+    return out
+
+
 def parse_bgp_peer_src_as_map(text: str) -> list[dict]:
     """bgp_peer_src_as_map (CONFIG-KEYS:2910,
     examples/peers.map.example): ``id=<ASN|bgp>`` SET + MATCH keys

@@ -1960,6 +1960,62 @@ class Daemon:
                             or ","
                         ),
                     )
+            elif ptype == "tee":
+                # the tee replicator plugin (reference
+                # src/tee_plugin/tee_plugin.c): RAW datagrams — not
+                # decoded flows — fan out to the receiver pools of the
+                # tee_receivers map, tag-filtered via pre_tag_map and
+                # balanced rr/hash within a pool, over real UDP sockets
+                rmap = self.conf.get("tee_receivers", name)
+                if rmap:
+                    from pmacct_spark.sinks.tee import (
+                        TeeReceiver,
+                        emit_udp,
+                        route,
+                    )
+
+                    with open(str(rmap)) as fh:
+                        entries = conffile.parse_tee_receivers(fh.read())
+                    dgrams = self._spool_batch().withColumn(
+                        "export_proto_seqno", F.col("seqno")
+                    )
+                    ptm = self.conf.get("pre_tag_map")
+                    if ptm:
+                        from pmacct_spark.operators.pretag import (
+                            apply_pretag,
+                        )
+
+                        with open(ptm) as fh:
+                            rules = conffile.parse_pretag_map(fh.read())
+                        dgrams = apply_pretag(
+                            dgrams.withColumn(
+                                "peer_src_ip", F.col("exporter_ip")
+                            ),
+                            rules,
+                        ).drop("peer_src_ip")
+                    else:
+                        dgrams = dgrams.withColumn(
+                            "tag", F.lit(0).cast("bigint")
+                        )
+                    receivers = [
+                        TeeReceiver(
+                            e["id"],
+                            tags=e.get("tags"),
+                            pool=e["pool"],
+                            balance=e.get("balance", "rr"),
+                            hash_cols=("exporter_ip",),
+                        )
+                        for e in entries
+                    ]
+                    by_id = {r.receiver_id: r for r in receivers}
+                    for rid, part in route(dgrams, receivers).items():
+                        if "endpoint" not in part.columns:
+                            # single-receiver pool: fixed endpoint
+                            part = part.withColumn(
+                                "endpoint",
+                                F.lit(by_id[rid].pool[0]),
+                            )
+                        emit_udp(part.select("payload", "endpoint"))
             elif ptype in ("nfprobe", "sfprobe"):
                 # probe plugins (reference src/nfprobe_plugin /
                 # src/sfprobe_plugin): re-export the collector's flows

@@ -380,8 +380,14 @@ def bgp_follow_nexthop_lookup(spark, sf_dir):
     """Both output modes ride ONE columnar pass: the loop keeps a
     follow-saved and an external-saved column, so the external
     variant costs one extra CASE per hop, not a second resolution."""
+    from pmacct_spark.operators.staging import stage
+
     fl = flows(spark, sf_dir).select("peer_ip_src", "ip_dst_i", "bytes")
-    rib = bgp_nh_rib_dim(spark, sf_dir)
+    # materialize the dim once: the resolver reads it twice driver-side
+    # (depth + masklen discovery) and broadcasts a filtered copy per
+    # (hop, masklen) — staged parquet beats re-running the fixture's
+    # cross-join SQL 16 times (the bgp_wire_rib_lookup pattern)
+    rib = stage(bgp_nh_rib_dim(spark, sf_dir))
     resolved = follow_nexthop_join(
         fl,
         rib,

@@ -2296,3 +2296,53 @@ sql_db[s]: {db_path}
         (p, b * 2, k * 2)
         for p, (b, k, _f) in sorted(golden.items())
     ]
+
+
+def test_daemon_tee_plugin_replicates_datagrams_live(spark, tmp_path):
+    """plugins: tee — the replicator wired by config: RAW datagrams
+    fan out to the tee_receivers pools over real UDP sockets
+    (src/tee_plugin/tee_plugin.c); a pre_tag_map tag filter selects
+    which exporters reach a tag-filtered pool
+    (examples/tee_receivers.lst.example 'tag' key)."""
+    from pmacct_spark.sources.udp import UdpSpool
+
+    ra = UdpSpool(spool_dir=str(tmp_path / "recvA"), flush_secs=0.2).start()
+    rb = UdpSpool(spool_dir=str(tmp_path / "recvB"), flush_secs=0.2).start()
+    d = None
+    try:
+        ptm = tmp_path / "tee_ptm.map"
+        ptm.write_text("set_tag=7 ip=127.0.0.1/32\n")
+        rmap = tmp_path / "tee_receivers.lst"
+        rmap.write_text(
+            f"id=1 ip=127.0.0.1:{ra.port}\n"
+            f"id=2 ip=127.0.0.1:{rb.port} tag=9\n"  # tag 9 never set
+            "bogus-line without mandatory keys\n"
+        )
+        conf = f"""
+nfacctd_ip: 127.0.0.1
+nfacctd_port: 0
+pre_tag_map: {ptm}
+plugins: tee[t]
+tee_receivers[t]: {rmap}
+"""
+        d = Daemon.from_conf(spark, conf, spool_dir=str(tmp_path / "teeD"))
+        _fire(d.port)
+        t0 = time.monotonic()
+        while d.spool.datagrams_received < 2 and time.monotonic() - t0 < 15:
+            time.sleep(0.05)
+        d.run_available()
+        t0 = time.monotonic()
+        while ra.datagrams_received < 2 and time.monotonic() - t0 < 15:
+            time.sleep(0.05)
+        time.sleep(0.3)
+    finally:
+        if d is not None:
+            d.stop()
+    # pool 1 (no tag filter) got byte-exact replicas of both datagrams
+    got = {bytes(r.payload) for r in ra.batch(spark).collect()}
+    want = {bytes(r.payload) for r in d._spool_batch().collect()}
+    ra.stop()
+    assert got == want and len(got) == 2
+    # pool 2 filters on tag 9, which nothing carries: empty
+    assert rb.datagrams_received == 0
+    rb.stop()
