@@ -1150,3 +1150,169 @@ def quality_lm_surprisal(spark, sf_dir):
         .cast("bigint")
         .alias("avg_surprisal_mbits"),
     )
+
+
+# --- MinHash-LSH detection-rate curve: the dedup twin of the ANN
+#     recall harness. Planted near-duplicate pairs at three controlled
+#     mutation strengths (2 / 8 / 24 appended tokens -> decreasing
+#     exact Jaccard) are probed through three banding arms of the SAME
+#     16-hash signature — 16x1 (loosest), 8x2 (the production
+#     default), 4x4 (strictest) — measuring, per (arm, strength),
+#     how many pairs share at least one band bucket. This is the
+#     accuracy instrumentation a production dedup deployment needs to
+#     pick (bands, rows): the S-curve trade-off is OBSERVED, not
+#     assumed. Exact per-pair Jaccard (integer per-mille over the
+#     hashed shingle sets) rides along so the curve is anchored to
+#     ground truth. Bounded by construction: candidates are the
+#     planted pairs only — no all-pairs blowup at any scale.
+_MH_ARMS = [4, 8, 16]  # bands (rows per band = 16 // bands)
+_MH_TAILS = {
+    1: " ".join(f"qz{i}" for i in range(2)),
+    2: " ".join(f"qz{i}" for i in range(8)),
+    3: " ".join(f"qz{i}" for i in range(24)),
+}
+
+
+def _mh_recall_duck() -> str:
+    from pmacct_spark.operators.dedup import (
+        _band_cols_duck_sql,
+        _mins_duck_sql,
+        shingle_hashes_duck,
+    )
+
+    variants = "\nUNION ALL\n".join(
+        f"SELECT doc_id * 10 + {k} AS key, {k} AS k, doc_id, "
+        f"text || ' {tail}' AS text FROM base"
+        for k, tail in _MH_TAILS.items()
+    )
+    arm_ctes = []
+    arm_selects = []
+    for b in _MH_ARMS:
+        cols = _band_cols_duck_sql(b)
+        ors = " OR ".join(f"v.band{i} = o.band{i}" for i in range(b))
+        arm_ctes.append(
+            f"bands{b} AS (SELECT key, {cols} FROM sig),\n"
+            f"det{b} AS (SELECT DISTINCT v.key FROM bands{b} v "
+            f"JOIN bands{b} o ON o.key = (v.key // 10) * 10 "
+            f"WHERE v.key % 10 <> 0 AND ({ors}))"
+        )
+        arm_selects.append(
+            f"SELECT {b} AS bands, p.k, COUNT(*) AS pairs, "
+            f"CAST(SUM(CASE WHEN d.key IS NOT NULL THEN 1 ELSE 0 END) "
+            f"AS BIGINT) AS detected, "
+            f"CAST(SUM(p.jaccard_pm) AS BIGINT) AS jpm_sum "
+            f"FROM pairs p LEFT JOIN det{b} d ON d.key = p.key "
+            f"GROUP BY 1, 2"
+        )
+    return f"""
+WITH base AS (
+  SELECT doc_id, text FROM documents WHERE doc_id % 5 = 0
+),
+corpus AS (
+  SELECT doc_id * 10 AS key, 0 AS k, doc_id, text FROM base
+  UNION ALL
+{variants}
+),
+sh AS (
+  SELECT key, doc_id, k, {shingle_hashes_duck('text')} AS hvs
+  FROM corpus
+),
+tok AS (SELECT key, unnest(hvs) AS hv FROM sh),
+sig AS (SELECT key, {_mins_duck_sql()} FROM tok GROUP BY key),
+pairs AS (
+  SELECT v.key, v.k,
+         len(list_intersect(o.hvs, v.hvs)) * 1000
+           // len(list_distinct(list_concat(o.hvs, v.hvs))) AS jaccard_pm
+  FROM sh v JOIN sh o ON o.key = (v.key // 10) * 10
+  WHERE v.k <> 0
+),
+{",".join(arm_ctes)}
+{" UNION ALL ".join(arm_selects)}"""
+
+
+@register("dedup_minhash_recall_curve", _mh_recall_duck())
+def dedup_minhash_recall_curve(spark, sf_dir):
+    from pmacct_spark.operators import dedup as D
+    from pmacct_spark.operators.staging import stage
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .filter("doc_id % 5 = 0")
+        .select("doc_id", "text")
+    )
+    parts = [
+        docs.select(
+            (F.col("doc_id") * 10).alias("key"),
+            F.lit(0).alias("k"),
+            "text",
+        )
+    ]
+    for k, tail in _MH_TAILS.items():
+        parts.append(
+            docs.select(
+                (F.col("doc_id") * 10 + k).alias("key"),
+                F.lit(k).alias("k"),
+                F.concat("text", F.lit(" " + tail)).alias("text"),
+            )
+        )
+    corpus = parts[0]
+    for p in parts[1:]:
+        corpus = corpus.unionByName(p)
+    # one staged shingle-set pass feeds BOTH the signatures and the
+    # exact-Jaccard anchor (the no-second-signature-pass discipline of
+    # stream_dedup_minhash)
+    sets = stage(D.shingle_hash_sets(corpus, "key", "text"))
+    sig = D._signature_from_sets(sets, "key")
+    orig_sets = sets.filter("key % 10 = 0").select(
+        F.expr("key DIV 10").alias("doc_id"),
+        F.col("hvs").alias("o_hvs"),
+    )
+    pairs = (
+        sets.filter("key % 10 <> 0")
+        .select(
+            "key",
+            F.expr("key DIV 10").alias("doc_id"),
+            F.expr("key % 10").alias("k"),
+            "hvs",
+        )
+        .join(orig_sets, "doc_id")
+        .select(
+            "key",
+            "k",
+            F.expr(
+                "size(array_intersect(o_hvs, hvs)) * 1000 DIV "
+                "size(array_distinct(concat(o_hvs, hvs)))"
+            ).alias("jaccard_pm"),
+        )
+    )
+    arms = []
+    for b in _MH_ARMS:
+        bl = D.band_keys_long(sig, "key", bands=b)
+        orig = bl.filter("key % 10 = 0").select(
+            F.expr("key DIV 10").alias("doc_id"), "bidx", "bk"
+        )
+        det = (
+            bl.filter("key % 10 <> 0")
+            .select("key", F.expr("key DIV 10").alias("doc_id"),
+                    "bidx", "bk")
+            .join(orig, ["doc_id", "bidx", "bk"])
+            .select("key")
+            .distinct()
+            .withColumn("hit", F.lit(1))
+        )
+        arms.append(
+            pairs.join(det, "key", "left")
+            .groupBy("k")
+            .agg(
+                F.count(F.lit(1)).alias("pairs"),
+                F.sum(F.coalesce(F.col("hit"), F.lit(0)))
+                .cast("bigint")
+                .alias("detected"),
+                F.sum("jaccard_pm").cast("bigint").alias("jpm_sum"),
+            )
+            .withColumn("bands", F.lit(b))
+        )
+    out = arms[0]
+    for a in arms[1:]:
+        out = out.unionByName(a)
+    return out.select("bands", "k", "pairs", "detected", "jpm_sum")
