@@ -946,7 +946,15 @@ class Daemon:
         dg = self._exporter_allow_filter(dg)
         if self.flavor == "sflow":
             df = canonical_flows(
-                decode_sflow_any(dg.select("exporter_ip", "payload"))
+                decode_sflow_any(
+                    dg.select("exporter_ip", "payload"),
+                    # sfacctd_ignore_exporter_address (CONFIG-KEYS:
+                    # 2213): Agent Address is the exporter identity by
+                    # default; true keeps the socket address
+                    use_agent=not self.conf.getbool(
+                        "sfacctd_ignore_exporter_address"
+                    ),
+                )
             )
         else:
             seed = self._templates_seed()

@@ -9,7 +9,15 @@ tos, tcp_flags, frame length and sampling_rate.
 
 from __future__ import annotations
 
+import socket
 import struct
+
+
+def _agent_u32(agent_ip: str) -> int:
+    """sFlow Agent Address field — the exporter identity every sFlow
+    implementation ships in the datagram header (sfacctd uses it by
+    default, CONFIG-KEYS:2213)."""
+    return int.from_bytes(socket.inet_aton(agent_ip), "big")
 from collections.abc import Iterator
 
 import pandas as pd
@@ -163,7 +171,7 @@ def encode_sflow5_v6(
             for lo in range(0, len(samples), SAMPLES_PER_DATAGRAM):
                 chunk = samples[lo : lo + SAMPLES_PER_DATAGRAM]
                 dgram = struct.pack(
-                    "!IIIIIII", 5, 1, 0x7F000001, 0, seqno + lo, 0, len(chunk)
+                    "!IIIIIII", 5, 1, _agent_u32(agent_ip), 0, seqno + lo, 0, len(chunk)
                 ) + b"".join(chunk)
                 out.append((agent_ip, seqno + lo, dgram))
             seqno += len(samples)
@@ -223,7 +231,7 @@ def encode_sflow_counters(
                         + blob
                     )
                     dgram = struct.pack(
-                        "!IIIIIII", 5, 1, 0x7F000001, 0, seqno, 0, 1
+                        "!IIIIIII", 5, 1, _agent_u32(agent_ip), 0, seqno, 0, 1
                     ) + struct.pack("!II", 2, len(body)) + body
                 else:  # v2/v4: no sub-agent, no sample length framing
                     sample = (
@@ -234,7 +242,7 @@ def encode_sflow_counters(
                         + blob
                     )
                     dgram = struct.pack(
-                        "!IIIIII", version, 1, 0x7F000001, seqno, 0, 1
+                        "!IIIIII", version, 1, _agent_u32(agent_ip), seqno, 0, 1
                     ) + sample
                 out.append((agent_ip, seqno, dgram))
                 seqno += 1
@@ -322,7 +330,7 @@ def encode_sflow5(
             for lo in range(0, n, SAMPLES_PER_DATAGRAM):
                 hi = min(lo + SAMPLES_PER_DATAGRAM, n)
                 dgram = struct.pack(
-                    "!IIIIIII", 5, 1, 0x7F000001, 0, seqno + lo, 0, hi - lo
+                    "!IIIIIII", 5, 1, _agent_u32(agent_ip), 0, seqno + lo, 0, hi - lo
                 ) + b"".join(sample_bytes[lo:hi])
                 out.append((agent_ip, seqno + lo, dgram))
             seqno += n

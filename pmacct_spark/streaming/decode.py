@@ -19,6 +19,7 @@ deployment uses).
 
 from __future__ import annotations
 
+import socket
 import struct
 from collections.abc import Iterator
 
@@ -1575,13 +1576,21 @@ def _sflow_parse_raw_header(hdr: bytes) -> dict | None:
     return rec
 
 
-def _sflow_datagram(exporter: str, payload: bytes) -> list[dict]:
+def _sflow_datagram(
+    exporter: str, payload: bytes, use_agent: bool = True
+) -> list[dict]:
     if len(payload) < 28:
         return []
     ver, ipver = struct.unpack_from("!II", payload, 0)
     if ver != 5 or ipver != 1:
         return []
     agent = struct.unpack_from("!I", payload, 8)[0]
+    if use_agent and agent:
+        # sFlow Agent Address IS the exporter identity by default
+        # (CONFIG-KEYS:2213: 'all sFlow implementations do send Agent
+        # Address and that is used by default');
+        # sfacctd_ignore_exporter_address keeps the socket address
+        exporter = socket.inet_ntoa(struct.pack("!I", agent))
     _sub, seqno, _uptime, nsamples = struct.unpack_from("!IIII", payload, 12)
     out: list[dict] = []
     off = 28
@@ -1632,7 +1641,6 @@ def _sflow_datagram(exporter: str, payload: bytes) -> list[dict]:
                 sampling_rate=rate,
             )
             out.append(parsed)
-    _ = agent
     return out
 
 
@@ -1730,7 +1738,7 @@ def _sflow_v5_counter_sample(
 
 
 def _sflow_v2v4_samples(
-    exporter: str, payload: bytes
+    exporter: str, payload: bytes, use_agent: bool = True
 ) -> tuple[list[dict], list[dict]]:
     """sFlow v2/v4 datagram walk (RFC 3176 layout; reference
     readv2v4FlowSample / readv2v4CountersSample, src/sfacctd.c:1578).
@@ -1743,6 +1751,9 @@ def _sflow_v2v4_samples(
     ver, ipver = struct.unpack_from("!II", payload, 0)
     if ver not in (2, 4) or ipver != 1:
         return flows, counters
+    agent = struct.unpack_from("!I", payload, 8)[0]
+    if use_agent and agent:
+        exporter = socket.inet_ntoa(struct.pack("!I", agent))
     seqno, _uptime, nsamples = struct.unpack_from("!III", payload, 12)
     off = 24
     for _ in range(nsamples):
@@ -1846,10 +1857,15 @@ def decode_sflow_counters(datagrams: DataFrame) -> DataFrame:
     return datagrams.mapInPandas(gen, SFLOW_COUNTER_SCHEMA)
 
 
-def decode_sflow_any(datagrams: DataFrame) -> DataFrame:
+def decode_sflow_any(
+    datagrams: DataFrame, use_agent: bool = True
+) -> DataFrame:
     """Flow samples from v2/v4/v5 sFlow datagrams (version dispatch,
     reference src/sfacctd.c:1438): v5 goes through the v5 walker, v2/v4
-    through the RFC 3176 walker. Same output schema as decode_sflow5."""
+    through the RFC 3176 walker. Same output schema as decode_sflow5.
+    ``use_agent=False`` is sfacctd_ignore_exporter_address
+    (CONFIG-KEYS:2213): keep the socket address instead of the sFlow
+    Agent Address."""
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         cols = [f.name for f in SFLOW_SCHEMA.fields]
@@ -1858,9 +1874,11 @@ def decode_sflow_any(datagrams: DataFrame) -> DataFrame:
             for exporter, payload in zip(pdf["exporter_ip"], pdf["payload"]):
                 b = bytes(payload)
                 if len(b) >= 4 and struct.unpack_from("!I", b, 0)[0] in (2, 4):
-                    rows.extend(_sflow_v2v4_samples(exporter, b)[0])
+                    rows.extend(
+                        _sflow_v2v4_samples(exporter, b, use_agent)[0]
+                    )
                 else:
-                    rows.extend(_sflow_datagram(exporter, b))
+                    rows.extend(_sflow_datagram(exporter, b, use_agent))
             yield pd.DataFrame(
                 [[r.get(c) for c in cols] for r in rows], columns=cols
             )

@@ -2346,3 +2346,50 @@ tee_receivers[t]: {rmap}
     # pool 2 filters on tag 9, which nothing carries: empty
     assert rb.datagrams_received == 0
     rb.stop()
+
+
+def test_sfacctd_agent_address_is_exporter_identity(spark, tmp_path):
+    """sFlow exporter identity: the datagram's Agent Address is used by
+    default — 'all sFlow implementations do send Agent Address and
+    that is used by default' (CONFIG-KEYS:2213) — so agents behind a
+    relay/NAT attribute correctly; sfacctd_ignore_exporter_address
+    keeps the socket address instead."""
+    from pmacct_spark.driver_queries import flows as flows_view_fn
+    from pmacct_spark.operators.staging import stage
+    from pmacct_spark.sinks.sfprobe import encode_sflow5
+    from pmacct_spark.sinks.tee import emit_udp
+
+    fl = stage(
+        flows_view_fn(spark, "/root/testdata/sf0.001").limit(40).selectExpr(
+            "ip_src_i", "ip_dst_i", "iface_in", "iface_out", "bytes",
+            "port_src", "port_dst", "tcp_flags", "ip_proto", "tos",
+        )
+    )
+    dgrams = encode_sflow5(fl, agent_ip="198.51.100.77")
+
+    def run_one(tag, ignore):
+        conf = f"""
+sfacctd_ip: 127.0.0.1
+sfacctd_port: 0
+sfacctd_ignore_exporter_address: {'true' if ignore else 'false'}
+plugins: memory[m]
+aggregate[m]: peer_src_ip
+"""
+        d = Daemon.from_conf(
+            spark, conf, spool_dir=str(tmp_path / f"sfa_{tag}")
+        )
+        try:
+            emit_udp(dgrams, default_endpoint=f"127.0.0.1:{d.port}")
+            t0 = time.monotonic()
+            while (
+                d.spool.datagrams_received < 1
+                and time.monotonic() - t0 < 15
+            ):
+                time.sleep(0.05)
+            out = d.run_available()["m"].collect()
+        finally:
+            d.stop()
+        return {r["peer_src_ip"] for r in out}
+
+    assert run_one("agent", ignore=False) == {"198.51.100.77"}
+    assert run_one("sock", ignore=True) == {"127.0.0.1"}
