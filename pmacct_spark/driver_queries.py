@@ -54,6 +54,7 @@ _DRIVER_WINDOW = [
     "bgp_comm_pattern_to_asn",
     "hist_1h_offset",
     "stream_ann_ivf_ingest",
+    "dedup_minhash_recall_curve",
     # ROUND-11 ROTATION (VERDICT r10 "Next round #8"): re-sample the
     # stale tail. The 11 queries whose newest driver row is r5 (they
     # were judge-rerun at sf0.01 in r10, but a driver row beats a
@@ -82,9 +83,11 @@ _DRIVER_WINDOW = [
     "tpch_q5_local_supplier", "tpch_q7_volume_shipping",
     "tpch_q8_market_share", "tpch_q9_product_profit",
     "tpch_q10_returned_items", "tpch_q11_important_stock",
-    "tpch_q13_customer_distribution", "tpch_q16_supplier_relationship",
+    "tpch_q16_supplier_relationship",
     "tpch_q18_large_orders", "tpch_q20_part_promotion",
     "tpch_q22_idle_customers",
+    # (q13 stays at r7: its left-join count-distribution family is
+    # sampled by q22's scalar-avg + anti-join row above)
 ]
 
 
