@@ -976,12 +976,57 @@ class Daemon:
                     learned = {}  # conflicting redefinitions: in-stream
                 if learned:
                     seed = {**(seed or {}), **learned}
-            df = canonical_flows(
-                decode_any(
-                    dg.select("exporter_ip", "payload"),
-                    seed_templates=seed,
-                )
+            decoded = decode_any(
+                dg.select("exporter_ip", "payload"),
+                seed_templates=seed,
             )
+            if not streaming and not self.conf.getbool(
+                "nfacctd_ignore_exporter_address"
+            ):
+                # exporterIPv4Address (IE 130) exposed via Options
+                # packets IS the exporter identity by default
+                # (CONFIG-KEYS:2213) — the IPFIX twin of the sFlow
+                # Agent Address; nfacctd_ignore_exporter_address
+                # keeps the socket address. Latest exposition per
+                # socket wins; tiny dim, broadcast.
+                from pyspark.sql import Window as _W
+
+                from pmacct_spark.functions.addr import ipv4_ntoa
+                from pmacct_spark.streaming.decode import decode_options
+
+                w_last = _W.partitionBy("exporter_ip").orderBy(
+                    F.desc("seqno")
+                )
+                ids = (
+                    decode_options(
+                        dg.select("exporter_ip", "payload")
+                    )
+                    .filter(
+                        F.col("exporter_v4").isNotNull()
+                        & (F.col("exporter_v4") > 0)
+                    )
+                    .withColumn("__rn", F.row_number().over(w_last))
+                    .filter("__rn = 1")
+                    .select(
+                        F.col("exporter_ip").alias("__sock"),
+                        ipv4_ntoa("exporter_v4").alias("__exp_id"),
+                    )
+                )
+                decoded = (
+                    decoded.join(
+                        F.broadcast(ids),
+                        decoded["exporter_ip"] == ids["__sock"],
+                        "left",
+                    )
+                    .withColumn(
+                        "exporter_ip",
+                        F.coalesce(
+                            F.col("__exp_id"), F.col("exporter_ip")
+                        ),
+                    )
+                    .drop("__sock", "__exp_id")
+                )
+            df = canonical_flows(decoded)
         df = self._maps(df)
         if self.bgp_spool is not None or self.bmp_spool is not None:
             df = self._bgp_enrich(df, streaming=streaming)

@@ -579,6 +579,11 @@ def _decode_ext_records(
 # FLOW_SAMPLER_* (48-50), SAMPLING_* (34-35), IPFIX selectorId /
 # samplingPacketInterval (302, 305).
 OPT_IE_COLUMNS = {
+    # exporterIPv4Address (IE 130): 'some IPFIX implementations do
+    # send IE #130 via Options packets ... and that is used by
+    # default' as the exporter identity (CONFIG-KEYS:2213,
+    # nfacctd_ignore_exporter_address)
+    130: "exporter_v4",
     48: "sampler_id",
     49: "sampler_mode",
     50: "sampling_rate",
@@ -601,6 +606,7 @@ OPTIONS_SCHEMA = T.StructType(
     [
         T.StructField("exporter_ip", T.StringType()),
         T.StructField("seqno", T.LongType()),
+        T.StructField("exporter_v4", T.LongType()),
         T.StructField("scope_type", T.IntegerType()),
         T.StructField("scope_value", T.LongType()),
         T.StructField("sampler_id", T.LongType()),

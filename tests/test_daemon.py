@@ -2393,3 +2393,57 @@ aggregate[m]: peer_src_ip
 
     assert run_one("agent", ignore=False) == {"198.51.100.77"}
     assert run_one("sock", ignore=True) == {"127.0.0.1"}
+
+
+def test_nfacctd_exporter_identity_from_ie130_options(spark, tmp_path):
+    """IPFIX/v9 exporterIPv4Address (IE 130) sent via Options packets
+    is the exporter identity by default (CONFIG-KEYS:2213) — flows
+    from that socket re-key to the advertised address;
+    nfacctd_ignore_exporter_address keeps the socket address."""
+    import struct as _struct
+
+    def options_dgram(exporter_v4: int) -> bytes:
+        # v9 options template (set 1): scope System(1,4B) +
+        # exporterIPv4Address(130, 4B), then one data record
+        tmpl_body = _struct.pack("!HHH", 500, 4, 4)
+        tmpl_body += _struct.pack("!HH", 1, 4)    # scope: System
+        tmpl_body += _struct.pack("!HH", 130, 4)  # exporterIPv4Address
+        tmpl_set = _struct.pack("!HH", 1, 4 + len(tmpl_body)) + tmpl_body
+        data_body = _struct.pack("!II", 1, exporter_v4)
+        data_set = _struct.pack("!HH", 500, 4 + len(data_body)) + data_body
+        hdr = _struct.pack("!HHIIII", 9, 2, 0, 0, 1, 1)
+        return hdr + tmpl_set + data_set
+
+    def run_one(tag, ignore):
+        conf = f"""
+nfacctd_ip: 127.0.0.1
+nfacctd_port: 0
+nfacctd_ignore_exporter_address: {'true' if ignore else 'false'}
+plugins: memory[m]
+aggregate[m]: peer_src_ip
+"""
+        d = Daemon.from_conf(
+            spark, conf, spool_dir=str(tmp_path / f"ie130_{tag}")
+        )
+        try:
+            send_datagrams(
+                [options_dgram(0xC6336407),  # 198.51.100.7
+                 _v5_datagram(1, [
+                     {"src": 0x0A010101, "dst": 0x0B020202, "pkts": 1,
+                      "bytes": 100, "sport": 5, "dport": 443},
+                 ])],
+                "127.0.0.1", d.port,
+            )
+            t0 = time.monotonic()
+            while (
+                d.spool.datagrams_received < 2
+                and time.monotonic() - t0 < 15
+            ):
+                time.sleep(0.05)
+            out = d.run_available()["m"].collect()
+        finally:
+            d.stop()
+        return {r["peer_src_ip"] for r in out}
+
+    assert run_one("id", ignore=False) == {"198.51.100.7"}
+    assert run_one("sock", ignore=True) == {"127.0.0.1"}
