@@ -166,9 +166,21 @@ class Daemon:
                     flush_secs=0.2,
                 ).start()
             else:
+                mg = conf.get(
+                    "sfacctd_mcast_groups"
+                    if flavor == "sflow"
+                    else "nfacctd_mcast_groups"
+                )
                 spool = UdpSpool(
                     host=str(conf.get(ip_key, default=host) or host),
                     port=port, spool_dir=spool_dir, flush_secs=0.2,
+                    # [ns]facctd_mcast_groups (CONFIG-KEYS:2190)
+                    mcast_groups=(
+                        [g.strip() for g in str(mg).split(",")
+                         if g.strip()]
+                        if mg
+                        else None
+                    ),
                 ).start()
         tmpl_spool = None
         if flavor == "netflow" and conf.get("nfacctd_templates_port") is not None:

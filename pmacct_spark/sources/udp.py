@@ -56,9 +56,17 @@ class UdpSpool:
         spool_dir: str | None = None,
         flush_datagrams: int = 1000,
         flush_secs: float = 1.0,
+        mcast_groups: list[str] | None = None,
     ):
         self.host = host
         self.port = port
+        # [ns]facctd_mcast_groups (CONFIG-KEYS:2190): multicast groups
+        # to join, max 20 per daemon instance like the reference
+        if mcast_groups and len(mcast_groups) > 20:
+            raise ValueError(
+                "a maximum of 20 multicast groups may be joined"
+            )
+        self.mcast_groups = list(mcast_groups or [])
         self.spool_dir = spool_dir or tempfile.mkdtemp(prefix="udp_spool_")
         self.flush_datagrams = flush_datagrams
         self.flush_secs = flush_secs
@@ -81,7 +89,27 @@ class UdpSpool:
     def start(self) -> "UdpSpool":
         os.makedirs(self.spool_dir, exist_ok=True)
         self._sock = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
-        self._sock.bind((self.host, self.port))
+        if self.mcast_groups:
+            # group-destined datagrams don't match a unicast bind:
+            # bind the wildcard and join each group on the configured
+            # interface (nfacctd_ip supplies it, CONFIG-KEYS:2193)
+            import struct as _struct
+
+            self._sock.setsockopt(
+                socket.SOL_SOCKET, socket.SO_REUSEADDR, 1
+            )
+            self._sock.bind(("0.0.0.0", self.port))
+            for grp in self.mcast_groups:
+                mreq = _struct.pack(
+                    "4s4s",
+                    socket.inet_aton(grp),
+                    socket.inet_aton(self.host or "0.0.0.0"),
+                )
+                self._sock.setsockopt(
+                    socket.IPPROTO_IP, socket.IP_ADD_MEMBERSHIP, mreq
+                )
+        else:
+            self._sock.bind((self.host, self.port))
         self.port = self._sock.getsockname()[1]
         # timeout bounds both the stop() latency and the flush cadence
         self._sock.settimeout(min(self.flush_secs, 0.2))

@@ -2447,3 +2447,41 @@ aggregate[m]: peer_src_ip
 
     assert run_one("id", ignore=False) == {"198.51.100.7"}
     assert run_one("sock", ignore=True) == {"127.0.0.1"}
+
+
+def test_nfacctd_mcast_groups_receive(spark, tmp_path):
+    """nfacctd_mcast_groups (CONFIG-KEYS:2190): the daemon joins the
+    supplied multicast groups and accounts flow datagrams sent to the
+    GROUP address, not to the collector's unicast address."""
+    import socket as _sock
+
+    conf = """
+nfacctd_ip: 127.0.0.1
+nfacctd_port: 0
+nfacctd_mcast_groups: 224.0.0.251
+plugins: memory[m]
+aggregate[m]: proto
+"""
+    d = Daemon.from_conf(spark, conf, spool_dir=str(tmp_path / "mcast"))
+    try:
+        s = _sock.socket(_sock.AF_INET, _sock.SOCK_DGRAM)
+        s.setsockopt(
+            _sock.IPPROTO_IP, _sock.IP_MULTICAST_IF,
+            _sock.inet_aton("127.0.0.1"),
+        )
+        s.setsockopt(_sock.IPPROTO_IP, _sock.IP_MULTICAST_LOOP, 1)
+        s.sendto(
+            _v5_datagram(1, [
+                {"src": 0x0A010101, "dst": 0x0B020202, "pkts": 3,
+                 "bytes": 333, "sport": 5, "dport": 443, "proto": 6},
+            ]),
+            ("224.0.0.251", d.port),
+        )
+        s.close()
+        t0 = time.monotonic()
+        while d.spool.datagrams_received < 1 and time.monotonic() - t0 < 15:
+            time.sleep(0.05)
+        out = d.run_available()["m"].collect()
+    finally:
+        d.stop()
+    assert {(r["proto"], r["bytes"]) for r in out} == {(6, 333)}
