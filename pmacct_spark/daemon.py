@@ -853,11 +853,10 @@ class Daemon:
         source address is not in the allow list are DROPPED before
         decode. Entries are plain addresses or v4 CIDR prefixes;
         SIGUSR2-reload class (parsed once per daemon like ports_file)."""
-        key = (
-            "sfacctd_allow_file"
-            if self.flavor == "sflow"
-            else "nfacctd_allow_file"
-        )
+        key = {
+            "sflow": "sfacctd_allow_file",
+            "telemetry": "telemetry_daemon_allow_file",
+        }.get(self.flavor, "nfacctd_allow_file")
         if not hasattr(self, "_allow_cache"):
             path = self.conf.get(key)
             if not path:
@@ -2496,8 +2495,12 @@ class Daemon:
         message; over TCP (telemetry_daemon_port_tcp + the 'json'
         decoder) a spooled chunk is a complete-prefix run of
         newline-delimited documents — split it, keeping per-exporter
-        order (chunk seqno major, line position minor)."""
-        msgs = self._spool_batch()
+        order (chunk seqno major, line position minor).
+
+        telemetry_daemon_allow_file (CONFIG-KEYS:3572) drops messages
+        from unlisted exporters first — empty file = deny all, like
+        every allow file (src/util.c:2033)."""
+        msgs = self._exporter_allow_filter(self._spool_batch())
         if getattr(self.spool, "framing", None) == "jsonl":
             msgs = (
                 msgs.select(

@@ -65,6 +65,12 @@ def write_print(
     — format-conformant either way).
     """
     out = df
+    if fmt in ("event_csv", "event_formatted"):
+        # the 'event' variants strip the bytes/packets counter fields
+        # (CONFIG-KEYS:1806) — the shape for event data (NAT logging,
+        # fw events) where volume counters carry no meaning
+        out = out.drop("bytes", "packets")
+        fmt = fmt[len("event_"):]
     if not write_empty and out.isEmpty():
         # print_write_empty_file default false (CONFIG-KEYS:1272): an
         # empty purge produces no file at all, only the reference's
@@ -78,7 +84,7 @@ def write_print(
         return
     partition_cols: list[str] = []
     if name_spec:
-        out, partition_cols = dynamic_partitions(df, name_spec)
+        out, partition_cols = dynamic_partitions(out, name_spec)
     writer = out.write.mode(mode)
     if partition_cols:
         writer = writer.partitionBy(*partition_cols)
@@ -119,6 +125,36 @@ def write_print(
             fh.write("\n")
             if markers:
                 fh.write(f"--END ({_os.getpid()})--\n")
+    elif fmt == "avro_json":
+        # JSON-encoded Avro objects (CONFIG-KEYS:1813,
+        # write_avro_json_record_to_file src/print_plugin.c:1410):
+        # the Avro JSON encoding wraps every non-null value of a
+        # nullable (union) field in a one-key object naming the
+        # branch type — {"bytes": {"long": 5}, "proto": {"string":
+        # "tcp"}} — so consumers can round-trip through the schema.
+        from pmacct_spark.sinks.avro import avro_schema_of
+
+        schema = avro_schema_of(out.schema)
+        wrapped = []
+        for fld, spec in zip(out.schema.fields, schema["fields"]):
+            t = spec["type"]
+            branch = t[1] if isinstance(t, list) else t
+            if isinstance(branch, dict):
+                branch = branch.get(
+                    "logicalType"
+                ) and "long" or branch.get("type", "record")
+            c = F.col(fld.name)
+            if str(fld.dataType).startswith("Timestamp"):
+                c = F.unix_micros(c.cast("timestamp"))
+            if isinstance(t, list):  # nullable union: wrap non-nulls
+                c = F.when(
+                    c.isNotNull(), F.struct(c.alias(str(branch)))
+                )
+            wrapped.append(c.alias(fld.name))
+        writer = out.select(*wrapped).write.mode(mode)
+        if partition_cols:
+            writer = writer.partitionBy(*partition_cols)
+        writer.json(path)
     elif fmt == "avro":
         try:
             writer.format("avro").save(path)

@@ -1205,3 +1205,44 @@ core_proc_name: pmtelemetryd
     )
     # per-node seq 1..3 in arrival order, one record per document
     assert msgs == [(1, 1), (2, 2), (3, 3)]
+
+
+def test_telemetry_daemon_allow_file(spark, tmp_path):
+    """telemetry_daemon_allow_file (CONFIG-KEYS:3572): messages from
+    unlisted exporters never reach the msglog; listed ones do."""
+    import time
+
+    from pmacct_spark.daemon import Daemon
+    from pmacct_spark.sources.udp import send_datagrams
+
+    af = tmp_path / "tallow.lst"
+    af.write_text("127.0.0.1\n")
+    log_dir = str(tmp_path / "tallow_log")
+    conf = f"""
+telemetry_daemon_port_udp: 0
+telemetry_daemon_allow_file: {af}
+telemetry_daemon_msglog_file: {log_dir}
+core_proc_name: pmtelemetryd
+"""
+    d = Daemon.from_conf(spark, conf, spool_dir=str(tmp_path / "tallow"))
+    try:
+        # inject one message under a spoofed unlisted exporter and one
+        # real datagram from loopback
+        d.spool.inject("203.0.113.50", json.dumps({"k": 99}).encode())
+        send_datagrams(
+            [json.dumps({"k": 1}).encode()], "127.0.0.1", d.port
+        )
+        t0 = time.monotonic()
+        while d.spool.datagrams_received < 2 and time.monotonic() - t0 < 15:
+            time.sleep(0.05)
+        d.spool.flush()
+        assert d.write_msglog_if_configured() == [log_dir]
+    finally:
+        d.stop()
+    lines = []
+    for f in pathlib.Path(log_dir).rglob("*.txt"):
+        lines += [json.loads(ln) for ln in f.read_text().splitlines() if ln.strip()]
+    ks = [
+        ln["ietf-telemetry-message:message"]["payload"]["k"] for ln in lines
+    ]
+    assert ks == [1]  # the unlisted exporter's message was dropped

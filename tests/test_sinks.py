@@ -559,3 +559,42 @@ def test_print_markers_wrap_formatted_purge(spark, tmp_path):
     assert re.fullmatch(r"--START \(\d+\)--", lines[0])
     assert re.fullmatch(r"--END \(\d+\)--", lines[-1])
     assert any("100" in ln for ln in lines[1:-1])
+
+
+def test_write_print_event_csv_and_avro_json(spark, tmp_path):
+    """print_output event_csv strips the bytes/packets counters
+    (CONFIG-KEYS:1806); avro_json writes Avro's JSON encoding — every
+    non-null value of a nullable field wrapped in a one-key object
+    naming the union branch (write_avro_json_record_to_file,
+    src/print_plugin.c:1410)."""
+    import csv as _csv
+    import glob as _glob
+    import json as _json
+
+    from pmacct_spark.sinks.files import write_print
+
+    df = spark.createDataFrame(
+        [("tcp", 100, 3, 1), (None, 50, 1, 1)],
+        "proto string, bytes long, packets long, flows long",
+    )
+    ev_dir = str(tmp_path / "ev")
+    write_print(df, ev_dir, fmt="event_csv")
+    rows = []
+    for f in _glob.glob(ev_dir + "/*.csv"):
+        with open(f) as fh:
+            rows += list(_csv.DictReader(fh))
+    assert rows and all(
+        set(r) == {"proto", "flows"} for r in rows
+    )  # counters stripped
+
+    aj_dir = str(tmp_path / "aj")
+    write_print(df, aj_dir, fmt="avro_json")
+    recs = []
+    for f in _glob.glob(aj_dir + "/*.json"):
+        with open(f) as fh:
+            recs += [_json.loads(ln) for ln in fh if ln.strip()]
+    tcp = next(r for r in recs if r.get("proto"))
+    assert tcp["proto"] == {"string": "tcp"}
+    assert tcp["bytes"] == {"long": 100}
+    noproto = next(r for r in recs if "proto" not in r or r["proto"] is None)
+    assert noproto["bytes"] == {"long": 50}
