@@ -1992,6 +1992,11 @@ class Daemon:
 
                     from pmacct_spark.sinks.upsert import DuckDBSqlTable
 
+                    # dynamic table names (CONFIG-KEYS sql_table:
+                    # strftime variables rendered at purge time, the
+                    # reference's per-period tables, e.g.
+                    # acct_%Y%m%d); a new rendering starts a new table
+                    table = _dt.datetime.utcnow().strftime(str(table))
                     counters = [
                         c for c in ("bytes", "packets", "flows")
                         if c in out.columns
@@ -2001,12 +2006,12 @@ class Daemon:
                         if c not in counters and c != "writer_id"
                     ]
                     cache = getattr(self, "_sql_tables", {})
-                    db = cache.get(name)
+                    db = cache.get((name, table))
                     if db is None:
                         db = DuckDBSqlTable(
                             str(dbp), str(table), keys, counters
                         )
-                        cache[name] = db
+                        cache[(name, table)] = db
                         self._sql_tables = cache
                     mv = self.conf.get("sql_multi_values", name)
                     db.purge(

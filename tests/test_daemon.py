@@ -2270,7 +2270,7 @@ nfacctd_ip: 127.0.0.1
 nfacctd_port: 0
 plugins: sqlite3[s]
 aggregate[s]: proto
-sql_table[s]: acct
+sql_table[s]: acct_%Y
 sql_db[s]: {db_path}
 """
     d = Daemon.from_conf(spark, conf, spool_dir=str(tmp_path / "spoolSQL"))
@@ -2286,8 +2286,12 @@ sql_db[s]: {db_path}
     import duckdb
 
     con = duckdb.connect(str(db_path))
+    import datetime as _dt
+
+    # dynamic sql_table: strftime tokens render at purge time
+    tbl = _dt.datetime.utcnow().strftime("acct_%Y")
     rows = con.execute(
-        "SELECT proto, bytes, packets FROM acct ORDER BY proto"
+        f"SELECT proto, bytes, packets FROM {tbl} ORDER BY proto"
     ).fetchall()
     con.close()
     # second purge re-accumulated the same aggregate: counters doubled
