@@ -426,7 +426,15 @@ class TcpSpool:
     # -- lifecycle ----------------------------------------------------
     def start(self) -> "TcpSpool":
         os.makedirs(self.spool_dir, exist_ok=True)
-        self._srv = socket.socket(socket.AF_INET, socket.SOCK_STREAM)
+        # v6 transport: a v6 bind address (bgp_daemon_ip: ::,
+        # bmp_daemon_ip: ::1, ...) opens an AF_INET6 listener — v6
+        # BGP/BMP peering is first-class in the reference
+        # (bgp_daemon_ipv6_only et al.); peer identity then renders
+        # in v6 presentation form
+        fam = (
+            socket.AF_INET6 if ":" in str(self.host) else socket.AF_INET
+        )
+        self._srv = socket.socket(fam, socket.SOCK_STREAM)
         self._srv.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
         self._srv.bind((self.host, self.port))
         self.port = self._srv.getsockname()[1]
@@ -467,7 +475,10 @@ class TcpSpool:
         while not self._stop.is_set():
             self._accept_iter += 1
             try:
-                conn, (peer, _port) = self._srv.accept()
+                # AF_INET6 accept returns (host, port, flowinfo,
+                # scopeid) — take the host either way
+                conn, addr = self._srv.accept()
+                peer = addr[0]
             except socket.timeout:
                 continue
             except OSError:

@@ -892,3 +892,35 @@ aggregate[m]: proto
         c.close()
     finally:
         d.stop()
+
+
+def test_bgp_session_over_ipv6_transport(spark, tmp_path):
+    """v6 BGP peering: bgp_daemon_ip: ::1 opens an AF_INET6 listener;
+    a session over the v6 loopback builds the same RIB, with the peer
+    identity in v6 presentation form."""
+    from pmacct_spark.daemon import Daemon
+
+    conf = """
+nfacctd_port: 0
+bgp_daemon: true
+bgp_daemon_ip: ::1
+bgp_daemon_port: 0
+plugins: memory[m]
+aggregate[m]: proto
+"""
+    d = Daemon.from_conf(spark, conf, spool_dir=str(tmp_path / "spool6T"))
+    try:
+        c = socket.socket(socket.AF_INET6, socket.SOCK_STREAM)
+        c.connect(("::1", d.bgp_port))
+        c.sendall(encode_bgp_update(0x0A000000, 8, "65000 65100"))
+        c.close()
+        t0 = time.time()
+        while d.bgp_spool.messages_spooled < 1 and time.time() - t0 < 15:
+            time.sleep(0.05)
+        time.sleep(0.3)
+        rib = d.rib().collect()
+    finally:
+        d.stop()
+    assert len(rib) == 1
+    assert rib[0]["as_path"] == "65000 65100"
+    assert rib[0]["peer_ip"] == "::1"
