@@ -459,10 +459,11 @@ class Daemon:
                          or "default"),
                 passwd=conf.get("redis_passwd"),
             ).start()
-        if conf.getbool("maps_refresh"):
-            # maps_refresh (CONFIG-KEYS:2270): SIGUSR2 reloads every
-            # MAP-flagged file without a restart; with the key false
-            # the signal is silently discarded (reference semantics)
+        if conf.getbool("maps_refresh", default=True):
+            # maps_refresh (CONFIG-KEYS:2270, default TRUE): SIGUSR2
+            # reloads every MAP-flagged file without a restart; only
+            # an explicit false discards the signal (reference
+            # semantics)
             import signal as _signal
 
             try:
@@ -999,7 +1000,13 @@ class Daemon:
                 # (CONFIG-KEYS:2213) — the IPFIX twin of the sFlow
                 # Agent Address; nfacctd_ignore_exporter_address
                 # keeps the socket address. Latest exposition per
-                # socket wins; tiny dim, broadcast.
+                # socket wins; tiny dim, broadcast. Batch-drain only,
+                # like bgp_follow_nexthop above: the latest-wins pick
+                # is a row_number window over the options stream,
+                # which a continuously-running streaming plan cannot
+                # express (it would freeze the dim at .start()) — the
+                # streaming path keeps the socket address, matching
+                # nfacctd_ignore_exporter_address=true behavior.
                 from pyspark.sql import Window as _W
 
                 from pmacct_spark.functions.addr import ipv4_ntoa
@@ -1355,6 +1362,30 @@ class Daemon:
             split_patterns,
         )
 
+        # *_pattern_to_asn must see the PRISTINE community string
+        # (the reference evaluates it against info->attr->community->
+        # str, src/pkt_handlers.c:5592, not the display-filtered
+        # copy) — snapshot before the display-filter loop below
+        # rewrites std_comm/lrg_comm in place.
+        to_asn_std = self.conf.get("bgp_stdcomm_pattern_to_asn")
+        to_asn_lrg = self.conf.get("bgp_lrgcomm_pattern_to_asn")
+        if to_asn_std and to_asn_lrg:
+            raise ValueError(
+                "bgp_stdcomm_pattern_to_asn and bgp_lrgcomm_pattern_"
+                "to_asn are mutually exclusive (src/nfacctd.c:1041)"
+            )
+        to_asn_col = "std_comm" if to_asn_std else "lrg_comm"
+        if to_asn_std or to_asn_lrg:
+            if to_asn_col not in out.columns:
+                out = lpm_join(
+                    out, rib, "ip_dst_i", {to_asn_col: to_asn_col},
+                    default={to_asn_col: ""},
+                    extra_keys={"peer_ip_src": "peer_ip"},
+                    masklens=(
+                        list(range(32, -1, -1)) if streaming else None
+                    ),
+                )
+            out = out.withColumn("__to_asn_src", F.col(to_asn_col))
         for key, col in (
             ("bgp_stdcomm_pattern", "std_comm"),
             ("bgp_extcomm_pattern", "ext_comm"),
@@ -1383,26 +1414,10 @@ class Daemon:
         # redistributed in BGP), the first community matching the
         # pattern maps Peer-AS:Origin-AS onto peer_dst_as / dst_as
         # (copy_stdcomm_to_asn, src/pkt_handlers.c:5586-5615).
-        to_asn_std = self.conf.get("bgp_stdcomm_pattern_to_asn")
-        to_asn_lrg = self.conf.get("bgp_lrgcomm_pattern_to_asn")
-        if to_asn_std and to_asn_lrg:
-            raise ValueError(
-                "bgp_stdcomm_pattern_to_asn and bgp_lrgcomm_pattern_"
-                "to_asn are mutually exclusive (src/nfacctd.c:1041)"
-            )
         if to_asn_std or to_asn_lrg:
-            src_col = "std_comm" if to_asn_std else "lrg_comm"
-            if src_col not in out.columns:
-                out = lpm_join(
-                    out, rib, "ip_dst_i", {src_col: src_col},
-                    default={src_col: ""},
-                    extra_keys={"peer_ip_src": "peer_ip"},
-                    masklens=(
-                        list(range(32, -1, -1)) if streaming else None
-                    ),
-                )
             filt = comm_pattern_sql(
-                src_col, split_patterns(str(to_asn_std or to_asn_lrg))
+                "__to_asn_src",
+                split_patterns(str(to_asn_std or to_asn_lrg)),
             )
             peer_c, origin_c = comm_to_asn_cols(filt)
             # dst_as falls back from the path's LAST hop
@@ -1422,7 +1437,7 @@ class Daemon:
             ).withColumn(
                 "peer_dst_as",
                 F.when(first_asn > 0, first_asn).otherwise(peer_c),
-            )
+            ).drop("__to_asn_src")
         return out
 
     def _peer_as_enrich(
@@ -2124,9 +2139,19 @@ class Daemon:
                         dgrams = enc(batch_df, exporter_ip=src_ip)
                     else:
                         from pmacct_spark.sinks.sfprobe import (
+                            _agent_u32,
                             encode_sflow5,
                         )
 
+                        try:  # config-time check, names the key
+                            _agent_u32(src_ip)
+                        except ValueError:
+                            raise ValueError(
+                                "sfprobe_source_ip must be IPv4 "
+                                f"(got {src_ip!r}): the sFlow v5 "
+                                "agent-address field we emit is "
+                                "type-1/IPv4"
+                            ) from None
                         dgrams = encode_sflow5(
                             batch_df, agent_ip=src_ip
                         )
@@ -2518,9 +2543,13 @@ class Daemon:
                 .filter("line <> ''")
                 .select(
                     "exporter_ip",
-                    (F.col("seqno") * 100000 + F.col("pos")).alias(
-                        "seqno"
-                    ),
+                    # seqno << 32 | pos: a 64-bit major/minor split so
+                    # a chunk with any realistic number of jsonl docs
+                    # can never overflow into the next chunk's range
+                    (
+                        F.shiftleft(F.col("seqno").cast("bigint"), 32)
+                        + F.col("pos")
+                    ).alias("seqno"),
                     F.col("line").cast("binary").alias("payload"),
                 )
             )

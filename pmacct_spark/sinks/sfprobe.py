@@ -16,8 +16,18 @@ import struct
 def _agent_u32(agent_ip: str) -> int:
     """sFlow Agent Address field — the exporter identity every sFlow
     implementation ships in the datagram header (sfacctd uses it by
-    default, CONFIG-KEYS:2213)."""
-    return int.from_bytes(socket.inet_aton(agent_ip), "big")
+    default, CONFIG-KEYS:2213). The v5 header we emit uses address
+    type 1 (IPv4); a non-IPv4 sfprobe_agentip is a config error, not
+    a purge-time crash."""
+    try:
+        return int.from_bytes(socket.inet_aton(agent_ip), "big")
+    except OSError:
+        raise ValueError(
+            "sfprobe agent ip must be IPv4 (got "
+            f"{agent_ip!r}); the emitted sFlow v5 agent-address "
+            "field is type-1/IPv4 — set sfprobe_agentip to an "
+            "IPv4 address"
+        ) from None
 from collections.abc import Iterator
 
 import pandas as pd

@@ -183,8 +183,10 @@ class BgpXconnectProxy:
         """One direction of the cross-connect: peer->collector or
         collector->peer, raw bytes, no reframing (the far end walks
         its own message boundaries exactly as if directly peered)."""
-        src.settimeout(0.2)
         try:
+            # the listener may close the socket under us at teardown —
+            # settimeout on a closed fd raises OSError
+            src.settimeout(0.2)
             while not self._stop.is_set():
                 try:
                     chunk = src.recv(65535)
@@ -199,6 +201,8 @@ class BgpXconnectProxy:
                 except OSError:
                     break
                 setattr(self, attr, getattr(self, attr) + len(chunk))
+        except OSError:
+            pass  # socket closed under us mid-teardown
         finally:
             # either side closing tears down the pair (the reference
             # closes both fds in bgp_peer_close)

@@ -1422,6 +1422,18 @@ def test_bgp_comm_pattern_families_and_to_asn(spark):
     row = d._bgp_enrich(flows_df).collect()[0]
     assert row["peer_dst_as"] == 65000 and row["dst_as"] == 12
 
+    # display filter + to_asn together: to_asn evaluates against the
+    # PRISTINE community string (info->attr->community->str,
+    # src/pkt_handlers.c:5592), not the filtered display copy
+    d = make({
+        "bgp_stdcomm_pattern": "64999:",
+        "bgp_stdcomm_pattern_to_asn": "65000:",
+    })
+    row = d._bgp_enrich(flows_df).collect()[0]
+    assert row["std_comm"] == "64999:7"  # display filtered
+    assert row["peer_dst_as"] == 65000 and row["dst_as"] == 12
+    assert "__to_asn_src" not in row.asDict()
+
     # large variant: third field ignored (copy_lrgcomm_to_asn)
     d = make({"bgp_lrgcomm_pattern_to_asn": "65020:"})
     row = d._bgp_enrich(flows_df).collect()[0]
