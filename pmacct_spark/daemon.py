@@ -1905,7 +1905,10 @@ class Daemon:
                 # (key columns for per-key ordering), kafka_broker_*
                 topic = self.conf.get("kafka_topic", name)
                 if topic:
-                    from pmacct_spark.sinks.kafka import kafka_frame
+                    from pmacct_spark.sinks.kafka import (
+                        kafka_frame,
+                        purge_marker_json,
+                    )
                     from pmacct_spark.sources.kafka_wire import (
                         produce_frames,
                     )
@@ -1935,19 +1938,57 @@ class Daemon:
                         ),
                         rr_topics=int(rr) if rr else None,
                     )
-                    produce_frames(
-                        frames,
-                        str(
-                            self.conf.get(
-                                "kafka_broker_host", name, "127.0.0.1"
-                            )
-                            or "127.0.0.1"
-                        ),
-                        int(
-                            self.conf.get("kafka_broker_port", name, 9092)
-                            or 9092
-                        ),
+                    bhost = str(
+                        self.conf.get(
+                            "kafka_broker_host", name, "127.0.0.1"
+                        )
+                        or "127.0.0.1"
                     )
+                    bport = int(
+                        self.conf.get("kafka_broker_port", name, 9092)
+                        or 9092
+                    )
+                    markers = self.conf.getbool("kafka_markers", name)
+                    if markers:
+                        # purge_init/purge_close delimiters around the
+                        # batch (kafka_markers CONFIG-KEYS:1791;
+                        # kafka_plugin.c:544,868) — driver-side single
+                        # messages on the base topic, like the writer
+                        # process in the reference
+                        import os as _os
+                        import time as _time
+
+                        from pmacct_spark.sources.kafka_wire import (
+                            KafkaWireClient,
+                        )
+
+                        wpid = _os.getpid()
+                        t0 = _time.time()
+                        n_rows = frames.count()
+                        cli = KafkaWireClient(bhost, bport)
+                        try:
+                            cli.produce(
+                                str(topic), 0,
+                                [(None, purge_marker_json(
+                                    "purge_init", name, wpid
+                                ).encode())],
+                            )
+                        finally:
+                            cli.close()
+                    produce_frames(frames, bhost, bport)
+                    if markers:
+                        cli = KafkaWireClient(bhost, bport)
+                        try:
+                            cli.produce(
+                                str(topic), 0,
+                                [(None, purge_marker_json(
+                                    "purge_close", name, wpid,
+                                    purged=n_rows, total=n_rows,
+                                    duration=int(_time.time() - t0),
+                                ).encode())],
+                            )
+                        finally:
+                            cli.close()
             elif ptype == "amqp":
                 # the AMQP accounting plugin (reference
                 # src/amqp_plugin.c): publish the channel aggregate on
@@ -1981,16 +2022,70 @@ class Daemon:
                             "amqp_persistent_msg", name
                         ),
                     )
-                    publish_frames(
-                        frames,
-                        str(
-                            self.conf.get("amqp_host", name, "127.0.0.1")
-                            or "127.0.0.1"
-                        ),
-                        int(
-                            self.conf.get("amqp_port", name, 5672) or 5672
-                        ),
+                    ahost = str(
+                        self.conf.get("amqp_host", name, "127.0.0.1")
+                        or "127.0.0.1"
                     )
+                    aport = int(
+                        self.conf.get("amqp_port", name, 5672) or 5672
+                    )
+                    amarkers = self.conf.getbool("amqp_markers", name)
+                    exch = str(
+                        self.conf.get("amqp_exchange", name, "pmacct")
+                        or "pmacct"
+                    )
+                    etype = str(
+                        self.conf.get(
+                            "amqp_exchange_type", name, "direct"
+                        )
+                        or "direct"
+                    )
+                    if amarkers:
+                        # amqp_markers (CONFIG-KEYS:1791): same
+                        # purge_init/purge_close delimiters as Kafka,
+                        # published on the channel's exchange +
+                        # routing key (amqp_plugin.c:517,~840)
+                        import os as _os
+                        import time as _time
+
+                        from pmacct_spark.sinks.amqp_wire import (
+                            AmqpWireClient,
+                        )
+                        from pmacct_spark.sinks.kafka import (
+                            purge_marker_json,
+                        )
+
+                        wpid = _os.getpid()
+                        t0 = _time.time()
+                        n_rows = frames.count()
+                        cli = AmqpWireClient(ahost, aport)
+                        try:
+                            cli.exchange_declare(exch, etype)
+                            cli.publish(
+                                exch, str(rkey),
+                                purge_marker_json(
+                                    "purge_init", name, wpid
+                                ).encode(),
+                                content_type="application/json",
+                            )
+                        finally:
+                            cli.close()
+                    publish_frames(frames, ahost, aport)
+                    if amarkers:
+                        cli = AmqpWireClient(ahost, aport)
+                        try:
+                            cli.exchange_declare(exch, etype)
+                            cli.publish(
+                                exch, str(rkey),
+                                purge_marker_json(
+                                    "purge_close", name, wpid,
+                                    purged=n_rows, total=n_rows,
+                                    duration=int(_time.time() - t0),
+                                ).encode(),
+                                content_type="application/json",
+                            )
+                        finally:
+                            cli.close()
             elif ptype in ("sql", "mysql", "pgsql", "sqlite3"):
                 # the SQL accounting plugins (reference
                 # src/sql_common.c statement cycle): every purge runs

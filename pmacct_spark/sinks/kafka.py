@@ -23,6 +23,35 @@ def compose_json_value(df: DataFrame, exclude: tuple[str, ...] = ()) -> Column:
     return F.to_json(F.struct(*[F.col(c) for c in cols]))
 
 
+def purge_marker_json(
+    event: str,
+    writer_name: str,
+    writer_pid: int,
+    purged: int | None = None,
+    total: int | None = None,
+    duration: int | None = None,
+) -> str:
+    """kafka_markers / amqp_markers (CONFIG-KEYS:1791): the purge_init /
+    purge_close delimiter messages framing every purge batch on the bus
+    (compose_purge_init_json / compose_purge_close_json, reference
+    src/plugin_cmn_json.c:1458-1486; emission kafka_plugin.c:544,868).
+    purge_close carries purged/total entry counts and wall duration so
+    consumers can validate batch completeness; with partitioned topics
+    it can arrive out of order — correlate by writer_id (the docs'
+    caveat)."""
+    import json
+
+    obj: dict = {
+        "event_type": event,
+        "writer_id": f"{writer_name}/{writer_pid}",
+    }
+    if event == "purge_close":
+        obj["purged_entries"] = int(purged or 0)
+        obj["total_entries"] = int(total or 0)
+        obj["duration"] = int(duration or 0)
+    return json.dumps(obj, separators=(", ", ": "))
+
+
 def kafka_frame(
     df: DataFrame,
     topic: str,

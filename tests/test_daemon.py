@@ -2270,6 +2270,86 @@ amqp_port[a]: {ab.port}
         kb.stop()
 
 
+def test_daemon_kafka_amqp_markers_live(spark, tmp_path):
+    """kafka_markers / amqp_markers (CONFIG-KEYS:1791): purge_init /
+    purge_close delimiter messages frame every purge batch on the bus
+    (compose_purge_init/close_json src/plugin_cmn_json.c:1458;
+    emission src/kafka_plugin.c:544,868, src/amqp_plugin.c:517).
+    purge_close carries purged/total entry counts + duration."""
+    import json as _json
+    import os as _os
+
+    from pmacct_spark.sinks.amqp_wire import AmqpWireClient, MiniAmqpBroker
+    from pmacct_spark.sources.kafka_wire import (
+        KafkaWireClient,
+        MiniKafkaBroker,
+    )
+
+    kb = MiniKafkaBroker(npartitions=2).start()
+    ab = MiniAmqpBroker().start()
+    d = None
+    try:
+        conf = f"""
+nfacctd_ip: 127.0.0.1
+nfacctd_port: 0
+plugins: kafka[k], amqp[a]
+aggregate[k]: proto
+kafka_topic[k]: daisy.acct
+kafka_markers[k]: true
+kafka_broker_port[k]: {kb.port}
+aggregate[a]: proto
+amqp_routing_key[a]: acct
+amqp_markers[a]: true
+amqp_port[a]: {ab.port}
+"""
+        d = Daemon.from_conf(spark, conf, spool_dir=str(tmp_path / "kmrk"))
+        setup = AmqpWireClient("127.0.0.1", ab.port)
+        setup.exchange_declare("pmacct", "direct")
+        setup.queue_declare("qa")
+        setup.queue_bind("qa", "pmacct", "acct")
+        setup.close()
+        _fire(d.port)
+        t0 = time.monotonic()
+        while d.spool.datagrams_received < 2 and time.monotonic() - t0 < 15:
+            time.sleep(0.05)
+        d.run_available()
+        # markers ride partition 0 of the base topic; data records
+        # spread by key — collect everything, check the framing
+        cli = KafkaWireClient("127.0.0.1", kb.port)
+        _, p0 = cli.fetch("daisy.acct", 0, 0, with_hwm=True)
+        _, p1 = cli.fetch("daisy.acct", 1, 0, with_hwm=True)
+        cli.close()
+        evs0 = [_json.loads(bytes(v)) for _o, _k, v in p0]
+        evs1 = [_json.loads(bytes(v)) for _o, _k, v in p1]
+        wid = f"k/{_os.getpid()}"
+        assert evs0[0] == {"event_type": "purge_init", "writer_id": wid}
+        close = evs0[-1]
+        assert close["event_type"] == "purge_close"
+        assert close["writer_id"] == wid
+        n_data = len(evs0) + len(evs1) - 2
+        assert close["purged_entries"] == n_data == 2
+        assert close["total_entries"] == 2 and close["duration"] >= 0
+        # AMQP: one routing key, strict init -> data -> close ordering
+        cli2 = AmqpWireClient("127.0.0.1", ab.port)
+        msgs = []
+        while True:
+            m = cli2.get("qa")
+            if m is None:
+                break
+            msgs.append(_json.loads(m["body"]))
+        cli2.close()
+        assert msgs[0]["event_type"] == "purge_init"
+        assert msgs[0]["writer_id"] == f"a/{_os.getpid()}"
+        assert msgs[-1]["event_type"] == "purge_close"
+        assert msgs[-1]["purged_entries"] == 2
+        assert {m["proto"] for m in msgs[1:-1]} == {6, 17}
+    finally:
+        if d is not None:
+            d.stop()
+        ab.stop()
+        kb.stop()
+
+
 def test_daemon_sql_plugin_upsert_live(spark, tmp_path):
     """plugins: sqlite3 — the SQL accounting plugin wired by config:
     each purge runs the reference's UPDATE-then-INSERT statement cycle
