@@ -536,9 +536,23 @@ def parse_tee_receivers(text: str) -> list[dict]:
                     entry["balance"] = v
                 elif k == "src_port":
                     entry["src_port"] = int(v)
+                elif k == "kafka_broker":
+                    # examples/tee_receivers.lst.example: route this
+                    # pool's replicated datagrams to a Kafka broker
+                    # ('host:port') instead of UDP receivers
+                    entry["kafka_broker"] = v
+                elif k == "kafka_topic":
+                    entry["kafka_topic"] = v
                 else:
                     raise ValueError(f"unsupported key {k}")
-            if "id" not in entry or not entry.get("pool"):
+            if "id" not in entry:
+                raise ValueError("id is mandatory")
+            if entry.get("kafka_broker"):
+                if not entry.get("kafka_topic"):
+                    # "Mandatory to specify when a kafka_broker is
+                    # defined" (tee_receivers.lst.example)
+                    raise ValueError("kafka_topic required with kafka_broker")
+            elif not entry.get("pool"):
                 raise ValueError("id and ip are mandatory")
         except ValueError as e:
             logging.getLogger("pmacct_spark").warning(
@@ -546,6 +560,30 @@ def parse_tee_receivers(text: str) -> list[dict]:
             )
             continue
         out.append(entry)
+    return out
+
+
+def parse_kafka_config_file(text: str) -> dict[str, dict[str, str]]:
+    """kafka_config_file (CONFIG-KEYS:851): CSV lines
+    ``<type>, <key>, <value>`` with type 'global' or 'topic'; the
+    value is passed through unparsed (it may itself contain commas),
+    so split on the FIRST TWO commas only. Comment/blank lines and
+    lines with an unknown type are warned and skipped."""
+    import logging
+
+    out: dict[str, dict[str, str]] = {"global": {}, "topic": {}}
+    for line in text.splitlines():
+        line = line.strip()
+        if not line or line.startswith(("!", "#")):
+            continue
+        parts = line.split(",", 2)
+        if len(parts) != 3 or parts[0].strip() not in ("global", "topic"):
+            logging.getLogger("pmacct_spark").warning(
+                "kafka_config_file: bad line %r. Ignored.", line
+            )
+            continue
+        scope, key, value = (p.strip() for p in parts)
+        out[scope][key] = value
     return out
 
 

@@ -1948,6 +1948,23 @@ class Daemon:
                         self.conf.get("kafka_broker_port", name, 9092)
                         or 9092
                     )
+                    kopts: dict = {}
+                    kcf = self.conf.get("kafka_config_file", name)
+                    if kcf:
+                        # kafka_config_file (CONFIG-KEYS:851): CSV
+                        # <type, key, value> librdkafka properties;
+                        # the wire producer honors acks/timeout/batch
+                        # and warns the rest inert
+                        from pmacct_spark.sources.kafka_wire import (
+                            wire_producer_options,
+                        )
+
+                        with open(str(kcf)) as fh:
+                            kopts = wire_producer_options(
+                                conffile.parse_kafka_config_file(
+                                    fh.read()
+                                )
+                            )
                     markers = self.conf.getbool("kafka_markers", name)
                     if markers:
                         # purge_init/purge_close delimiters around the
@@ -1975,7 +1992,7 @@ class Daemon:
                             )
                         finally:
                             cli.close()
-                    produce_frames(frames, bhost, bport)
+                    produce_frames(frames, bhost, bport, **kopts)
                     if markers:
                         cli = KafkaWireClient(bhost, bport)
                         try:
@@ -2176,18 +2193,51 @@ class Daemon:
                         dgrams = dgrams.withColumn(
                             "tag", F.lit(0).cast("bigint")
                         )
+                    kafka_entries = {
+                        e["id"]: e for e in entries if e.get("kafka_broker")
+                    }
                     receivers = [
                         TeeReceiver(
                             e["id"],
                             tags=e.get("tags"),
-                            pool=e["pool"],
+                            pool=e.get("pool", []),
                             balance=e.get("balance", "rr"),
                             hash_cols=("exporter_ip",),
                         )
                         for e in entries
                     ]
                     by_id = {r.receiver_id: r for r in receivers}
+                    kopts = None
+                    kcf = self.conf.get("tee_kafka_config_file", name)
+                    if kcf:
+                        # tee_kafka_config_file (CONFIG-KEYS:3463):
+                        # producer tuning for the Kafka-routed pools
+                        from pmacct_spark.sources.kafka_wire import (
+                            wire_producer_options,
+                        )
+
+                        with open(str(kcf)) as fh:
+                            kopts = wire_producer_options(
+                                conffile.parse_kafka_config_file(
+                                    fh.read()
+                                )
+                            )
                     for rid, part in route(dgrams, receivers).items():
+                        ke = kafka_entries.get(rid)
+                        if ke is not None:
+                            # Kafka-routed pool: raw datagrams ride
+                            # the bus byte-identical
+                            from pmacct_spark.sinks.tee import (
+                                emit_kafka,
+                            )
+
+                            emit_kafka(
+                                part.select("exporter_ip", "payload"),
+                                ke["kafka_broker"],
+                                ke["kafka_topic"],
+                                producer_opts=kopts,
+                            )
+                            continue
                         if "endpoint" not in part.columns:
                             # single-receiver pool: fixed endpoint
                             part = part.withColumn(

@@ -84,3 +84,31 @@ def emit_udp(routed: DataFrame, default_endpoint: str | None = None) -> None:
         ["endpoint"] if "endpoint" in routed.columns else []
     )
     routed.select(*cols).foreachPartition(_send)
+
+
+def emit_kafka(
+    routed: DataFrame,
+    broker: str,
+    topic: str,
+    producer_opts: dict | None = None,
+) -> None:
+    """Replicate raw datagrams to a Kafka broker instead of UDP
+    receivers — a tee_receivers pool with ``kafka_broker`` +
+    ``kafka_topic`` set (examples/tee_receivers.lst.example;
+    tee_kafka_config_file CONFIG-KEYS:3463 tunes the producer). The
+    datagram bytes ride as the message value UNCHANGED so a Kafka-fed
+    collector (nfacctd_kafka_topic) decodes them exactly as if
+    directly peered; the exporter address keys the message for
+    per-exporter ordering. DISTRIBUTED: per-partition producers, no
+    driver collect."""
+    from pmacct_spark.sources.kafka_wire import produce_frames
+
+    host, _, port = str(broker).rpartition(":")
+    frames = routed.select(
+        F.col("exporter_ip").cast("string").alias("key"),
+        F.col("payload").alias("value"),
+        F.lit(topic).alias("topic"),
+    )
+    produce_frames(
+        frames, host or "127.0.0.1", int(port), **(producer_opts or {})
+    )

@@ -296,6 +296,8 @@ class MiniKafkaBroker:
                         resp = self._fetch(r)
                     else:
                         return
+                    if resp is None:  # acks=0 produce: no response
+                        continue
                     out = _i32(corr) + resp
                     conn.sendall(_i32(len(out)) + out)
                 except (
@@ -326,8 +328,8 @@ class MiniKafkaBroker:
             out += _i16(0) + _string(t) + _i32(self.npartitions) + parts
         return out
 
-    def _produce(self, r: _Reader) -> bytes:
-        r.i16()  # acks
+    def _produce(self, r: _Reader) -> bytes | None:
+        acks = r.i16()
         r.i32()  # timeout
         ntopics = r.i32()
         out_topics = b""
@@ -346,6 +348,10 @@ class MiniKafkaBroker:
                     log.extend((k, v) for (_o, k, v) in msgs)
                 out_parts += _i32(part) + _i16(0) + _i64(base)
             out_topics += _string(topic) + _i32(nparts) + out_parts
+        if acks == 0:
+            # RequiredAcks=0: fire-and-forget, the broker MUST NOT
+            # respond (Kafka protocol v0 produce semantics)
+            return None
         return _i32(ntopics) + out_topics
 
     def _fetch(self, r: _Reader) -> bytes:
@@ -386,9 +392,18 @@ class MiniKafkaBroker:
 class KafkaWireClient:
     """Minimal v0 client: one socket, correlated request/response."""
 
-    def __init__(self, host: str, port: int, client_id: str = "pmacct-spark"):
+    def __init__(
+        self,
+        host: str,
+        port: int,
+        client_id: str = "pmacct-spark",
+        acks: int = 1,
+        timeout_ms: int = 10_000,
+    ):
         self.sock = socket.create_connection((host, port), timeout=10)
         self.client_id = client_id
+        self.acks = int(acks)
+        self.timeout_ms = int(timeout_ms)
         self._corr = 0
 
     def close(self) -> None:
@@ -443,9 +458,20 @@ class KafkaWireClient:
             [(0, encode_message(k, v)) for (k, v) in msgs]
         )
         body = (
-            _i16(1) + _i32(10_000) + _i32(1) + _string(topic) + _i32(1)
+            _i16(self.acks) + _i32(self.timeout_ms) + _i32(1)
+            + _string(topic) + _i32(1)
             + _i32(part) + _i32(len(ms)) + ms
         )
+        if self.acks == 0:
+            # fire-and-forget: the broker does not respond (protocol
+            # v0 RequiredAcks=0) — send the framed request directly
+            self._corr += 1
+            req = (
+                _i16(0) + _i16(0) + _i32(self._corr)
+                + _string(self.client_id) + body
+            )
+            self.sock.sendall(_i32(len(req)) + req)
+            return -1
         r = self._roundtrip(0, body)
         r.i32(), r.string(), r.i32(), r.i32()  # 1 topic/1 part echoes
         err = r.i16()
@@ -487,31 +513,89 @@ def _partition_for(key: str | None, nparts: int) -> int:
     return h % nparts
 
 
-def produce_frames(frames, host: str, port: int, nparts: int = 2) -> None:
+#: librdkafka properties the wire producer honors (kafka_config_file,
+#: CONFIG-KEYS:851). Everything else is accepted-but-inert with a
+#: warning — validation is intentionally NOT performed on key/value,
+#: matching the reference's pass-through contract.
+_WIRE_PROPS = {
+    ("global", "request.required.acks"): "acks",
+    ("global", "request.timeout.ms"): "timeout_ms",
+    ("global", "batch.num.messages"): "batch_messages",
+    ("topic", "request.required.acks"): "acks",
+}
+
+
+def wire_producer_options(cfg: dict[str, dict[str, str]]) -> dict:
+    """Map a parsed kafka_config_file ({'global': {...}, 'topic':
+    {...}}, conffile.parse_kafka_config_file) onto the wire producer's
+    parameters. Properties without a wire equivalent (compression,
+    TLS, SASL, ...) warn and no-op — the reference likewise hands
+    unknown keys to librdkafka unvalidated."""
+    import logging
+
+    out: dict = {}
+    for scope, props in cfg.items():
+        for key, value in props.items():
+            param = _WIRE_PROPS.get((scope, key))
+            if param is None:
+                logging.getLogger("pmacct_spark").warning(
+                    "kafka_config_file: %s property %r has no wire-"
+                    "producer equivalent here; ignored", scope, key
+                )
+                continue
+            out[param] = int(value)
+    return out
+
+
+def produce_frames(
+    frames,
+    host: str,
+    port: int,
+    nparts: int = 2,
+    acks: int = 1,
+    timeout_ms: int = 10_000,
+    batch_messages: int = 1,
+) -> None:
     """DISTRIBUTED producer: ship a (key, value, topic) frame DataFrame
     (sinks/kafka.kafka_frame output) through the wire protocol. Each
     DataFrame partition opens its own client — the per-executor
     connection pattern of librdkafka — so no rows ever pass through
-    the driver."""
+    the driver. ``acks`` / ``timeout_ms`` / ``batch_messages`` carry
+    the kafka_config_file properties the wire honors
+    (:func:`wire_producer_options`); batching groups consecutive
+    same-(topic, partition) messages into one produce request."""
 
     def _send(rows) -> None:
         cli = None
+        pend_tp: tuple[str, int] | None = None
+        pend: list[tuple[bytes | None, bytes]] = []
+
+        def _flush() -> None:
+            if cli is not None and pend_tp is not None and pend:
+                cli.produce(pend_tp[0], pend_tp[1], list(pend))
+                pend.clear()
+
         try:
             for row in rows:
                 if cli is None:
-                    cli = KafkaWireClient(host, port)
+                    cli = KafkaWireClient(
+                        host, port, acks=acks, timeout_ms=timeout_ms
+                    )
                 key = row["key"]
-                cli.produce(
-                    row["topic"],
-                    _partition_for(key, nparts),
-                    [(
-                        key.encode() if key is not None else None,
-                        row["value"].encode()
-                        if isinstance(row["value"], str)
-                        else bytes(row["value"]),
-                    )],
-                )
+                tp = (row["topic"], _partition_for(key, nparts))
+                if tp != pend_tp:
+                    _flush()
+                    pend_tp = tp
+                pend.append((
+                    key.encode() if key is not None else None,
+                    row["value"].encode()
+                    if isinstance(row["value"], str)
+                    else bytes(row["value"]),
+                ))
+                if len(pend) >= max(1, batch_messages):
+                    _flush()
         finally:
+            _flush()
             if cli is not None:
                 cli.close()
 

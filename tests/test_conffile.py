@@ -296,3 +296,59 @@ def test_match_xconnect_first_match_wins():
     assert match_xconnect(e, "192.168.0.1")["dst_port"] == 1
     assert match_xconnect(e, "192.168.0.7")["dst_port"] == 2
     assert match_xconnect(e, "10.9.9.9") is None
+
+
+def test_parse_kafka_config_file():
+    """kafka_config_file (CONFIG-KEYS:851): CSV <type, key, value>
+    lines, type in {global, topic}; the value field is NOT parsed so
+    it may contain commas; bad lines warn and skip."""
+    from pmacct_spark.conffile import parse_kafka_config_file
+
+    cfg = parse_kafka_config_file(
+        "! librdkafka tuning\n"
+        "topic, compression.codec, snappy\n"
+        "global, socket.keepalive.enable, true\n"
+        "global, request.required.acks, 0\n"
+        "global, metadata.broker.list, h1:9092,h2:9092\n"  # commas ok
+        "bogus line\n"
+        "neither, a, b\n"
+    )
+    assert cfg["topic"] == {"compression.codec": "snappy"}
+    assert cfg["global"]["request.required.acks"] == "0"
+    assert cfg["global"]["metadata.broker.list"] == "h1:9092,h2:9092"
+    assert "a" not in cfg["global"] and "a" not in cfg["topic"]
+
+
+def test_wire_producer_options_mapping():
+    """The wire producer honors acks/timeout/batch properties; the
+    rest are accepted-but-inert with a warning (pass-through contract
+    of the reference: no validation on key/value)."""
+    from pmacct_spark.conffile import parse_kafka_config_file
+    from pmacct_spark.sources.kafka_wire import wire_producer_options
+
+    opts = wire_producer_options(parse_kafka_config_file(
+        "global, request.required.acks, 0\n"
+        "global, request.timeout.ms, 2500\n"
+        "global, batch.num.messages, 64\n"
+        "topic, compression.codec, snappy\n"   # inert, warns
+        "global, sasl.mechanisms, PLAIN\n"     # inert, warns
+    ))
+    assert opts == {"acks": 0, "timeout_ms": 2500, "batch_messages": 64}
+
+
+def test_parse_tee_receivers_kafka_entries():
+    """tee_receivers kafka_broker/kafka_topic keys
+    (examples/tee_receivers.lst.example): a pool may route to a Kafka
+    broker instead of UDP receivers; kafka_topic is mandatory when
+    kafka_broker is set."""
+    from pmacct_spark.conffile import parse_tee_receivers
+
+    e = parse_tee_receivers(
+        "id=1 kafka_broker=127.0.0.1:9092 kafka_topic=tee.rx\n"
+        "id=2 ip=192.168.1.1:2100\n"
+        "id=3 kafka_broker=127.0.0.1:9092\n"  # missing topic: skipped
+    )
+    assert len(e) == 2
+    assert e[0]["kafka_broker"] == "127.0.0.1:9092"
+    assert e[0]["kafka_topic"] == "tee.rx"
+    assert e[1]["pool"] == ["192.168.1.1:2100"]

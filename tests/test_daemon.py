@@ -2444,6 +2444,127 @@ tee_receivers[t]: {rmap}
     rb.stop()
 
 
+def test_daemon_tee_kafka_receiver_live(spark, tmp_path):
+    """tee_receivers kafka_broker/kafka_topic entries route replicated
+    datagrams to a LIVE Kafka broker byte-identical (tee-to-Kafka,
+    examples/tee_receivers.lst.example), with tee_kafka_config_file
+    (CONFIG-KEYS:3463) tuning the producer — batch.num.messages maps
+    to wire batching, unknown properties warn inert. UDP pools in the
+    same map keep working alongside."""
+    from pmacct_spark.sources.kafka_wire import (
+        KafkaWireClient,
+        MiniKafkaBroker,
+    )
+    from pmacct_spark.sources.udp import UdpSpool
+
+    kb = MiniKafkaBroker(npartitions=2).start()
+    ru = UdpSpool(spool_dir=str(tmp_path / "recvU"), flush_secs=0.2).start()
+    d = None
+    try:
+        kcf = tmp_path / "tee_kafka.cfg"
+        kcf.write_text(
+            "global, batch.num.messages, 8\n"
+            "topic, compression.codec, snappy\n"  # inert, warns
+        )
+        rmap = tmp_path / "tee_receivers.lst"
+        rmap.write_text(
+            f"id=1 kafka_broker=127.0.0.1:{kb.port} kafka_topic=tee.rx\n"
+            f"id=2 ip=127.0.0.1:{ru.port}\n"
+        )
+        conf = f"""
+nfacctd_ip: 127.0.0.1
+nfacctd_port: 0
+plugins: tee[t]
+tee_receivers[t]: {rmap}
+tee_kafka_config_file[t]: {kcf}
+"""
+        d = Daemon.from_conf(spark, conf, spool_dir=str(tmp_path / "teeK"))
+        _fire(d.port)
+        t0 = time.monotonic()
+        while d.spool.datagrams_received < 2 and time.monotonic() - t0 < 15:
+            time.sleep(0.05)
+        d.run_available()
+        t0 = time.monotonic()
+        while ru.datagrams_received < 2 and time.monotonic() - t0 < 15:
+            time.sleep(0.05)
+        time.sleep(0.3)  # let the receiver spool flush to parquet
+        want = {bytes(r.payload) for r in d._spool_batch().collect()}
+        cli = KafkaWireClient("127.0.0.1", kb.port)
+        got = set()
+        keys = set()
+        for p in (0, 1):
+            _, rp = cli.fetch("tee.rx", p, 0, with_hwm=True)
+            for _off, k, v in rp:
+                got.add(bytes(v))
+                keys.add(bytes(k).decode())
+        cli.close()
+        # byte-identical replication onto the bus, keyed by exporter
+        assert got == want and len(got) == 2
+        assert keys == {"127.0.0.1"}
+        # the UDP pool alongside got the same replicas
+        u_got = {bytes(r.payload) for r in ru.batch(spark).collect()}
+        assert u_got == want
+    finally:
+        if d is not None:
+            d.stop()
+        ru.stop()
+        kb.stop()
+
+
+def test_kafka_config_file_acks_and_batching_live(spark, tmp_path):
+    """kafka_config_file on the accounting Kafka plugin: mapped
+    properties take effect on the wire — acks=0 produce is
+    fire-and-forget (the broker sends NO response, protocol v0) and
+    batched produce requests deliver every record."""
+    import json as _json
+
+    from pmacct_spark.sources.kafka_wire import (
+        KafkaWireClient,
+        MiniKafkaBroker,
+    )
+
+    kb = MiniKafkaBroker(npartitions=2).start()
+    d = None
+    try:
+        kcf = tmp_path / "kafka.cfg"
+        kcf.write_text(
+            "global, request.required.acks, 0\n"
+            "global, batch.num.messages, 16\n"
+        )
+        conf = f"""
+nfacctd_ip: 127.0.0.1
+nfacctd_port: 0
+plugins: kafka[k]
+aggregate[k]: proto
+kafka_topic[k]: acct.cfg
+kafka_config_file[k]: {kcf}
+kafka_broker_port[k]: {kb.port}
+"""
+        d = Daemon.from_conf(spark, conf, spool_dir=str(tmp_path / "kcfg"))
+        _fire(d.port)
+        t0 = time.monotonic()
+        while d.spool.datagrams_received < 2 and time.monotonic() - t0 < 15:
+            time.sleep(0.05)
+        d.run_available()
+        # acks=0 means no broker confirmation — poll for arrival
+        got = {}
+        t0 = time.monotonic()
+        while len(got) < 2 and time.monotonic() - t0 < 10:
+            cli = KafkaWireClient("127.0.0.1", kb.port)
+            for p in (0, 1):
+                _, rp = cli.fetch("acct.cfg", p, 0, with_hwm=True)
+                for _off, _k, v in rp:
+                    ev = _json.loads(bytes(v))
+                    got[ev["proto"]] = ev["bytes"]
+            cli.close()
+            time.sleep(0.1)
+        assert got == {"tcp": 1500, "udp": 200}
+    finally:
+        if d is not None:
+            d.stop()
+        kb.stop()
+
+
 def test_sfacctd_agent_address_is_exporter_identity(spark, tmp_path):
     """sFlow exporter identity: the datagram's Agent Address is used by
     default — 'all sFlow implementations do send Agent Address and
