@@ -48,46 +48,36 @@ def register(name: str, oracle: str | None = None):
 # curation/dedup/ANN pipeline, and TPC-H relational — instead of the
 # registration order, which front-loaded agg/hist/client.
 _DRIVER_WINDOW = [
-    # NEW round 11, driver-checked on arrival (VERDICT r10 #1/#3/#4/#6)
-    "bgp_follow_nexthop_lookup",
-    "bgp_comm_patterns_filter",
-    "bgp_comm_pattern_to_asn",
-    "hist_1h_offset",
-    "stream_ann_ivf_ingest",
-    "dedup_minhash_recall_curve",
-    # ROUND-11 ROTATION (VERDICT r10 "Next round #8"): re-sample the
-    # stale tail. The 11 queries whose newest driver row is r5 (they
-    # were judge-rerun at sf0.01 in r10, but a driver row beats a
-    # judge note):
-    "agg_stitching", "custom_primitive_agg", "geoip_country",
-    "hist_5m_proto", "hist_month", "hist_sliding_10m_5m",
-    "lpm_networks_src_as", "preprocess_having", "sampling_map_renorm",
-    "topn_bytes", "window_rank_users",
-    # r7-era, all 21 non-TPC-H:
-    "agg_host_pairs", "ann_ivf_train_kmeans", "ann_pq_adc_topk",
-    "bgp_msglog_stream", "bpe_pair_counts", "corpus_bigram_topk",
-    "dedup_exact_substring", "dedup_semdedup_prune",
-    "dsir_importance_weights", "epoch_shard_shuffle", "l2_wire_loop",
-    "mpls_wire_loop", "nat_wire_loop", "retrieval_hard_negatives",
-    "sflow_counter_log_stream", "telemetry_grpc_dialin_wire_loop",
-    "telemetry_grpc_dialout_wire_loop", "text_lang_id",
-    "text_repetition_metrics", "unimax_lang_budget", "v5_wire_loop_agg",
-    # r7-era TPC-H, 13 of 19. The 6 left at r7 have their plan family
-    # sampled by an included or newer row: q4 (EXISTS semi-join ->
-    # tpch_q21 r10 + semi_join_suppliers), q12/q14 (two-table join +
-    # conditional agg -> tpch_q8 here), q15 (top-by-aggregate ->
-    # tpch_q2 here + client_topn_packets), q17 (correlated scalar
-    # aggregate -> tpch_q2/q20 here), q19 (disjunctive pushdown ->
-    # aggregate_filter_tcp443 r10 + tpch_q6 r9).
-    "tpch_q2_min_cost_supplier", "tpch_q3_shipping_priority",
-    "tpch_q5_local_supplier", "tpch_q7_volume_shipping",
-    "tpch_q8_market_share", "tpch_q9_product_profit",
-    "tpch_q10_returned_items", "tpch_q11_important_stock",
-    "tpch_q16_supplier_relationship",
-    "tpch_q18_large_orders", "tpch_q20_part_promotion",
-    "tpch_q22_idle_customers",
-    # (q13 stays at r7: its left-join count-distribution family is
-    # sampled by q22's scalar-avg + anti-join row above)
+    # NEW round 12, driver-checked on arrival (VERDICT r11 #4/#5 +
+    # the advisor pristine-column to_asn fix, gated)
+    "stream_dedup_phash",
+    "stream_ann_ivf_delete",
+    "bgp_comm_pattern_combo",
+    # ROUND-12 ROTATION (VERDICT r11 "Next round #1"): after this
+    # round no gated query's newest driver sample is older than r8.
+    # The 7 TPC-H queries whose newest driver row is r7:
+    "tpch_q4_order_priority", "tpch_q12_priority_by_status",
+    "tpch_q13_customer_distribution", "tpch_q14_promo_revenue",
+    "tpch_q15_top_supplier", "tpch_q17_small_quantity",
+    "tpch_q19_disjunctive",
+    # ... and all 40 queries whose newest driver row is r8:
+    "ann_brute_force_topk", "ann_lsh_bucketed_topk", "ann_rrf_fusion",
+    "anti_join_parts_never_shipped", "bgp_comm_roa",
+    "bgp_lookup_attrs", "bgp_peer_src_as_map", "bgp_src_lookup",
+    "bpe_apply_token_counts", "bpe_train_merges", "dedup_cross_corpus",
+    "dedup_embedding_cosine", "dedup_embedding_cosine_hof",
+    "dedup_ngram_jaccard", "dedup_simhash", "distinct_hosts_per_proto",
+    "doc_chunking", "embedding_centroids_per_label",
+    "fsrc_priority_sampling", "grouping_sets_channels",
+    "heavy_hitters_countmin", "hist_month_prorate",
+    "ipfrag4_reassembly", "join_lineitem_orders_filtered",
+    "join_revenue_by_nation", "label_render", "networks_filter_zero",
+    "options_vrf_wire_enrich", "post_tag_override",
+    "presentation_render", "semi_join_suppliers",
+    "sessionize_user_events", "set_ops_ports", "sflow_v6_loop",
+    "stream_hist_5m_peer", "temperature_mix_sampling",
+    "text_fingerprint", "text_rarity_score", "text_token_counts",
+    "union_event_sources",
 ]
 
 

@@ -234,6 +234,29 @@ def dhash64(
     return df.withColumn(out_col, F.expr(" + ".join(bits)))
 
 
+def phash_band_keys(
+    hashed: DataFrame,
+    id_col: str = "content_id",
+    hash_col: str = "phash",
+    bands: int = PHASH_BANDS,
+) -> DataFrame:
+    """(id, hash, bidx, bval): the banded Hamming-LSH key table — the
+    64-bit hash sliced into ``bands`` equal bit-fields (pigeonhole-
+    complete for Hamming <= bands-1, see :func:`phash_near_dup_pairs`).
+    This is the per-batch index a streaming dedup persists and
+    min-merges into its owner state."""
+    width = 64 // bands
+    mask = (1 << width) - 1
+    slices = ", ".join(
+        f"shiftright({hash_col}, {b * width}) & {mask}" for b in range(bands)
+    )
+    return hashed.select(
+        F.col(id_col),
+        F.col(hash_col),
+        F.posexplode(F.expr(f"array({slices})")).alias("bidx", "bval"),
+    )
+
+
 def phash_near_dup_pairs(
     hashed: DataFrame,
     id_col: str = "content_id",

@@ -991,10 +991,15 @@ def ivf_pq_topk_duck(
     id_col: str = "vec_id",
     emb_col: str = "embedding",
     query_pred: str = "vec_id < 10",
+    item_pred: str = "TRUE",
 ) -> str:
     """SQL replay of :func:`ivf_pq_topk`: IVF assignment and probes
     exactly as :func:`ivf_topk_duck`, PQ codes/ADC exactly as
-    :func:`pq_adc_topk_duck`, candidates restricted to probed cells."""
+    :func:`pq_adc_topk_duck`, candidates restricted to probed cells.
+    ``item_pred`` (over alias ``a``) drops items from the CANDIDATE
+    set without touching training — the replay of a posting table
+    with tombstoned deletions (centroids/codebook stay frozen on the
+    pre-delete corpus, the FAISS remove_ids lifecycle)."""
     q = _QUANT_DUCK.format(col=emb_col, q=QUANT)
     cpred = IVF_CENTROID_PRED.format(id=id_col)
     dot_bc = "CAST(list_sum(list_transform(b.qv, (x, i) -> x * c.qc[i])) AS BIGINT)"
@@ -1037,7 +1042,7 @@ probes AS (
 cand AS (
   SELECT p.query_id, a.{id_col} AS item_id
   FROM probes p JOIN assign a ON a.cell = p.cell
-  WHERE a.{id_col} <> p.query_id
+  WHERE a.{id_col} <> p.query_id AND ({item_pred})
 ),
 terms AS (
   SELECT cd.query_id, cd.item_id,

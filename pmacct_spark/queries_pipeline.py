@@ -323,8 +323,10 @@ def multimodal_decode_features(spark, sf_dir):
 #     Short items (< 2 payload samples per grid cell) are excluded:
 #     their tail cells fold zero bytes, collapsing unrelated items
 #     onto one hash.
-def _phash_duck() -> str:
-    fs = ", ".join(_mm_acc_duck(j, 72) for j in range(72))
+def _phash_expr_duck() -> str:
+    """The dHash 64-bit sum over a 72-cell `fs` list — shared by the
+    batch pairs oracle below and the streaming owner-state oracle
+    (queries_streaming._phash_stream_duck)."""
     terms = []
     for r in range(8):
         for c in range(8):
@@ -342,7 +344,12 @@ def _phash_duck() -> str:
                 f"CASE WHEN fs[{i + 1}] > fs[{i + 2}] "
                 f"THEN {val} ELSE CAST(0 AS BIGINT) END"
             )
-    phash = " + ".join(terms)
+    return " + ".join(terms)
+
+
+def _phash_duck() -> str:
+    fs = ", ".join(_mm_acc_duck(j, 72) for j in range(72))
+    phash = _phash_expr_duck()
     return f"""WITH feats AS (
   SELECT doc_id AS content_id, [{fs}] AS fs
   FROM documents WHERE length(text) >= 144

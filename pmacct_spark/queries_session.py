@@ -540,6 +540,58 @@ def bgp_comm_pattern_to_asn(spark, sf_dir):
     )
 
 
+def _comm_combo_oracle() -> str:
+    from pmacct_spark.operators.comms import (
+        comm_pattern_duck,
+        comm_to_asn_duck,
+    )
+
+    std = _COMM_STD.replace("{STR}", "VARCHAR")
+    p, o = comm_to_asn_duck(comm_pattern_duck("std_comm", ["65100:"]))
+    return f"""{FLOWS_DUCK_CTE},
+comms AS (SELECT bytes, {std} AS std_comm FROM flows)
+SELECT {comm_pattern_duck('std_comm', _PAT_STD)} AS std_f,
+       {p} AS peer_as, {o} AS origin_as,
+       CAST(SUM(bytes) AS BIGINT) AS bytes, COUNT(*) AS flows
+FROM comms GROUP BY 1, 2, 3"""
+
+
+@register("bgp_comm_pattern_combo", _comm_combo_oracle())
+def bgp_comm_pattern_combo(spark, sf_dir):
+    """bgp_stdcomm_pattern AND bgp_stdcomm_pattern_to_asn configured
+    together: the display filter rewrites std_comm for output, but the
+    to_asn extraction evaluates against the PRISTINE community string
+    (the reference runs evaluate_comm_patterns on
+    info->attr->community->str, src/pkt_handlers.c:5592, not the
+    filtered copy) — the r12 daemon-fix semantics, gated. With
+    '65100:' extraction vs the '64496:64,65100:9..' display patterns,
+    rows whose display filter emits nothing still carry nonzero
+    peer/origin ASNs, which a filtered-column evaluation would
+    zero."""
+    from pmacct_spark.operators.comms import (
+        comm_pattern_sql,
+        comm_to_asn_cols,
+    )
+
+    fl = flows(spark, sf_dir).select(
+        "bytes",
+        F.expr(_COMM_STD.replace("{STR}", "STRING")).alias("std_comm"),
+    )
+    p, o = comm_to_asn_cols(comm_pattern_sql("std_comm", ["65100:"]))
+    return (
+        fl.select(
+            "bytes",
+            F.expr(comm_pattern_sql("std_comm", _PAT_STD)).alias("std_f"),
+            p.alias("peer_as"), o.alias("origin_as"),
+        )
+        .groupBy("std_f", "peer_as", "origin_as")
+        .agg(
+            F.sum("bytes").cast("bigint").alias("bytes"),
+            F.count(F.lit(1)).alias("flows"),
+        )
+    )
+
+
 # --- BGP RIB built FROM THE WIRE: per-peer BGP UPDATE streams (AS4
 #     AS_PATH, NEXT_HOP, MED, LOCAL_PREF, all three community
 #     families) -> decode_bgp -> rib_state compaction -> the same

@@ -1189,6 +1189,238 @@ def stream_ann_ivf_ingest(spark, sf_dir):
     )
 
 
+# --- posting-table DELETIONS as streaming state (the missing half of
+#     a real ingest pipeline: FAISS remove_ids / the Delta-Iceberg
+#     MERGE-with-deletes shape). Batches 1-2 ingest by id parity like
+#     stream_ann_ivf_ingest; batch 3 carries TOMBSTONES (op='d') for
+#     vec_id % 7 = 3 (queries vec_id < 10 stay), and the compaction
+#     anti-joins them out (read-prev -> union -> dedup-by-id ->
+#     anti-join tombstones -> write-next). Training stays frozen on
+#     the pre-delete corpus (centroids/codebook are NOT retrained on
+#     deletes — the reference lifecycle), so the oracle is the batch
+#     IVF-PQ replay with the deleted ids dropped from the CANDIDATE
+#     set only: deleted vectors must never surface in top-k.
+_ANN_DELETE_PRED = "vec_id >= 10 AND vec_id % 7 = 3"
+
+
+def _ann_delete_duck():
+    from pmacct_spark.operators import similarity
+
+    return similarity.ivf_pq_topk_duck(
+        item_pred="NOT ("
+        + _ANN_DELETE_PRED.replace("vec_id", "a.vec_id")
+        + ")"
+    )
+
+
+@register("stream_ann_ivf_delete", _ann_delete_duck())
+def stream_ann_ivf_delete(spark, sf_dir):
+    import os
+    import shutil
+
+    from pmacct_spark.operators import similarity as S
+    from pmacct_spark.operators.staging import stage
+    from pmacct_spark.session import apply_runtime_confs
+    from pmacct_spark.sources.tables import load_table
+
+    apply_runtime_confs(spark)
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding"
+    )
+    base = S.quantize(emb, "embedding", "qv")
+    base = base.withColumn("nrm", F.expr(S._norm_sq("qv"))).drop(
+        "embedding"
+    )
+    cents_df, cents, cb = S.ivf_pq_train(base, "vec_id")
+    upserts = base.withColumn(
+        "b", F.when(F.col("vec_id") % 2 == 0, 1).otherwise(2)
+    ).withColumn("op", F.lit("u"))
+    tombs = (
+        base.filter(F.expr(_ANN_DELETE_PRED))
+        .select(
+            "vec_id",
+            F.expr("CAST(NULL AS ARRAY<BIGINT>)").alias("qv"),
+            F.lit(None).cast("bigint").alias("nrm"),
+        )
+        .withColumn("b", F.lit(3))
+        .withColumn("op", F.lit("d"))
+    )
+    stream, d = two_microbatch_source(
+        upserts.unionByName(tombs), nbatches=3
+    )
+    versions: list[str] = []
+
+    def merge(batch_df, batch_id: int) -> None:
+        spark_b = batch_df.sparkSession
+        ups = batch_df.filter("op = 'u'").drop("b", "op")
+        dels = batch_df.filter("op = 'd'").select("vec_id")
+        idx = S.ivf_pq_assign(ups, cents, cb)
+        if versions:
+            idx = idx.unionByName(spark_b.read.parquet(versions[-1]))
+        merged = idx.dropDuplicates(["vec_id"]).join(
+            F.broadcast(dels), "vec_id", "left_anti"
+        )
+        path = os.path.join(d, f"postings_v{batch_id}")
+        merged.write.mode("overwrite").parquet(path)
+        versions.append(path)
+
+    q = (
+        stream.writeStream.foreachBatch(merge)
+        .option("checkpointLocation", os.path.join(d, "_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    items_idx = stage(spark.read.parquet(versions[-1]))
+    shutil.rmtree(d, ignore_errors=True)
+    return S.ivf_pq_query(
+        items_idx, base, cents_df, cb, k=3, refine=3, nprobe=2
+    )
+
+
+# --- perceptual-hash near-dup dedup as STREAMING state (the
+#     multimodal twin of stream_dedup_minhash, completing the
+#     batch+streaming dedup matrix for every modality): originals in
+#     micro-batch 1, re-ingested copies (shifted ids) in micro-batch
+#     2; each batch's dHash band table (operators/multimodal.py
+#     phash_band_keys: 4 x 16-bit Hamming-LSH slices) min-merges into
+#     the compacted owner state, which suppresses the later-batch
+#     duplicates. The oracle replays the full banded LSH in DuckDB —
+#     rolling-byte fake decode, dHash bits, band owners — so the Arrow
+#     decode kernel, the banding, and the owner MERGE are all
+#     value-hashed (availableNow replay == the batch
+#     dedup_multimodal_phash truth).
+def _phash_stream_duck() -> str:
+    from pmacct_spark.queries_pipeline import _mm_acc_duck, _phash_expr_duck
+
+    fs = ", ".join(_mm_acc_duck(j, 72) for j in range(72))
+    return f"""WITH corpus AS (
+  SELECT doc_id AS content_id, text, 1 AS bch
+  FROM documents WHERE length(text) >= 144
+  UNION ALL
+  SELECT doc_id + 1000000, text, 2
+  FROM documents WHERE length(text) >= 144
+),
+feats AS (SELECT content_id, bch, [{fs}] AS fs FROM corpus),
+hashed AS (
+  SELECT content_id, bch, {_phash_expr_duck()} AS phash FROM feats
+),
+bands AS (
+  SELECT content_id, bch, CAST(b AS BIGINT) AS bidx,
+         (phash >> (CAST(b AS INT) * 16)) & 65535 AS bval
+  FROM hashed, unnest(range(0, 4)) AS t(b)
+),
+owners AS (SELECT bidx, bval, MIN(content_id) AS owner FROM bands GROUP BY 1, 2),
+flags AS (
+  SELECT b.content_id, b.bch, MIN(o.owner) AS min_owner
+  FROM bands b JOIN owners o ON b.bidx = o.bidx AND b.bval = o.bval
+  GROUP BY 1, 2
+)
+SELECT CAST(bch AS INT) AS b,
+       COUNT(*) AS docs,
+       CAST(SUM(CASE WHEN min_owner < content_id THEN 1 ELSE 0 END) AS BIGINT)
+         AS dups,
+       CAST(SUM(CASE WHEN min_owner < content_id THEN 0 ELSE 1 END) AS BIGINT)
+         AS survivors,
+       CAST(SUM(CASE WHEN min_owner < content_id THEN 0 ELSE content_id END)
+            AS BIGINT) AS survivor_id_sum
+FROM flags GROUP BY 1"""
+
+
+@register("stream_dedup_phash", _phash_stream_duck())
+def stream_dedup_phash(spark, sf_dir):
+    import os
+    import shutil
+
+    from pmacct_spark.operators.multimodal import (
+        decode_features,
+        dhash64,
+        media_table_from_documents,
+        phash_band_keys,
+    )
+    from pmacct_spark.operators.staging import stage
+    from pmacct_spark.session import apply_runtime_confs
+    from pmacct_spark.sources.tables import load_table
+
+    apply_runtime_confs(spark)
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.length("text") >= 144
+    ).select("doc_id", "text", "n_chars")
+    copies = docs.select(
+        (F.col("doc_id") + 1000000).alias("doc_id"), "text", "n_chars"
+    )
+    corpus = docs.withColumn("b", F.lit(1)).unionByName(
+        copies.withColumn("b", F.lit(2))
+    )
+    stream, d = two_microbatch_source(corpus)
+    versions: list[str] = []
+    band_paths: list[str] = []
+
+    def upsert_owners(batch_df, batch_id: int) -> None:
+        # decode ONCE per micro-batch: the batch's band table lands as
+        # parquet (the perceptual index a production ingest keeps
+        # anyway), then min-merges into the compacted owner state —
+        # read-prev -> union -> min -> write-next, the same versioned
+        # MERGE as stream_dedup_minhash
+        spark_b = batch_df.sparkSession
+        hashed = dhash64(
+            decode_features(
+                media_table_from_documents(batch_df), fake=True, dim=72
+            )
+        ).select("content_id", "phash")
+        bp = os.path.join(d, f"bands_v{batch_id}")
+        phash_band_keys(hashed).write.mode("overwrite").parquet(bp)
+        band_paths.append(bp)
+        bands = spark_b.read.parquet(bp).select(
+            F.col("content_id").alias("owner"), "bidx", "bval"
+        )
+        if versions:
+            bands = bands.unionByName(spark_b.read.parquet(versions[-1]))
+        merged = bands.groupBy("bidx", "bval").agg(
+            F.min("owner").alias("owner")
+        )
+        path = os.path.join(d, f"owners_v{batch_id}")
+        merged.write.mode("overwrite").parquet(path)
+        versions.append(path)
+
+    q = (
+        stream.writeStream.foreachBatch(upsert_owners)
+        .option("checkpointLocation", os.path.join(d, "_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    owners = stage(spark.read.parquet(versions[-1]))
+    all_bands = stage(spark.read.parquet(*band_paths))
+    shutil.rmtree(d, ignore_errors=True)
+    # no broadcast hint: the owner table grows with distinct band
+    # buckets (<= 4/item) — AQE broadcasts while it fits (same
+    # no-SF-linear-broadcast rule as stream_dedup_minhash)
+    flags = (
+        all_bands.join(owners, ["bidx", "bval"])
+        .groupBy("content_id")
+        .agg(F.min("owner").alias("min_owner"))
+    )
+    dup = F.col("min_owner") < F.col("content_id")
+    return (
+        flags.withColumn(
+            "b",
+            F.when(F.col("content_id") >= 1000000, 2)
+            .otherwise(1)
+            .cast("int"),
+        )
+        .groupBy("b")
+        .agg(
+            F.count(F.lit(1)).alias("docs"),
+            F.sum(dup.cast("bigint")).alias("dups"),
+            F.sum((~dup).cast("bigint")).alias("survivors"),
+            F.sum(
+                F.when(dup, F.lit(0)).otherwise(F.col("content_id"))
+            ).alias("survivor_id_sum"),
+        )
+    )
+
+
 # --- sFlow counter LOG gated (the logdump family's sfacctd_counter
 #     path, reference src/sfacctd.c:2366 sf_cnt_log_msg): counter
 #     samples ride the v5 wire -> decode -> counter_log_events

@@ -232,14 +232,15 @@ def run_to_memory(
     return stream_df.sparkSession.table(name)
 
 
-def two_microbatch_source(df, batch_col: str = "b"):
-    """Stage ``df`` (``batch_col`` holding micro-batch index 1/2) as two
+def two_microbatch_source(df, batch_col: str = "b", nbatches: int = 2):
+    """Stage ``df`` (``batch_col`` holding micro-batch index 1..N) as N
     single-file parquet batches ordered by modification time, and
     return ``(streaming_df, scratch_dir)`` with maxFilesPerTrigger=1 so
-    the files replay as two micro-batches. The write is distributed
-    (repartition on the batch key -> exactly one file per batch), no
-    driver-side collect. Callers should remove the scratch dir once
-    their query terminates (it also hosts their checkpoint)."""
+    the files replay as N micro-batches (N=2 default — the historical
+    name sticks). The write is distributed (repartition on the batch
+    key -> exactly one file per batch), no driver-side collect.
+    Callers should remove the scratch dir once their query terminates
+    (it also hosts their checkpoint)."""
     import os
     import tempfile
 
@@ -250,7 +251,7 @@ def two_microbatch_source(df, batch_col: str = "b"):
     )
     src = os.path.join(d, "src")
     os.makedirs(src)
-    for i in (1, 2):
+    for i in range(1, nbatches + 1):
         bdir = os.path.join(d, "w", f"{batch_col}={i}")
         parts = [f for f in os.listdir(bdir) if f.endswith(".parquet")]
         assert len(parts) == 1, parts  # repartition(batch_col) -> 1 file

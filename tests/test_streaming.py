@@ -1184,3 +1184,51 @@ def test_stream_ann_ivf_ingest_recall_matches_batch(spark):
     inc_pairs = {(q, n) for q, n, _ in inc}
     bat_pairs = {(q, n) for q, n, _ in bat}
     assert len(inc_pairs & truth) == len(bat_pairs & truth)
+
+
+def test_stream_ann_ivf_delete_tombstones_drop_vectors(spark):
+    """Posting-table deletions (the MERGE-with-deletes shape): the
+    tombstone batch removes its vec_ids from the compacted state, so
+    deleted vectors NEVER surface in top-k, and the surviving index
+    serves exactly what a batch index built without those rows would
+    — ranks re-close over the survivors (FAISS remove_ids
+    semantics)."""
+    from pmacct_spark.queries_streaming import (
+        _ANN_DELETE_PRED,
+        stream_ann_ivf_delete,
+        stream_ann_ivf_ingest,
+    )
+
+    dele = {
+        (r.query_id, r.rank): r.neighbor_id
+        for r in stream_ann_ivf_delete(spark, SF_DIR).collect()
+    }
+    assert dele  # the serving half returned rows
+    # the deleted ids never surface
+    assert not [
+        n for n in dele.values() if n >= 10 and n % 7 == 3
+    ], _ANN_DELETE_PRED
+    # and the deletion is OBSERVABLE: the undeleted index ranked at
+    # least one to-be-deleted vector in its top-k (otherwise this
+    # test would pass vacuously)
+    ing = {
+        (r.query_id, r.rank): r.neighbor_id
+        for r in stream_ann_ivf_ingest(spark, SF_DIR).collect()
+    }
+    assert any(n >= 10 and n % 7 == 3 for n in ing.values())
+
+
+def test_stream_dedup_phash_suppresses_later_batch(spark):
+    """Perceptually identical media re-ingested in the SECOND
+    micro-batch is suppressed by the (band, bucket) -> min(content_id)
+    owner STATE built from the first — the multimodal twin of the
+    minhash suppression property."""
+    from pmacct_spark.driver_queries import queries
+
+    out = {
+        r["b"]: r
+        for r in queries()["stream_dedup_phash"](spark, SF_DIR).collect()
+    }
+    assert out[2]["dups"] == out[2]["docs"] > 0
+    assert out[2]["survivors"] == 0
+    assert 0 < out[1]["survivors"] <= out[1]["docs"]
