@@ -2124,6 +2124,33 @@ class Daemon:
                     # reference's per-period tables, e.g.
                     # acct_%Y%m%d); a new rendering starts a new table
                     table = _dt.datetime.utcnow().strftime(str(table))
+                    if ptype in ("mysql", "sqlite3") and self.conf.getbool(
+                        "sql_num_hosts", name
+                    ):
+                        # sql_num_hosts (CONFIG-KEYS:1911, MySQL/SQLite
+                        # only): host/net columns stored numerical in
+                        # network byte order — the reference wraps
+                        # every such value in INET6_ATON() server-side
+                        # (count_*_aton_handler src/sql_handlers.c:
+                        # 1241); the engine computes the same 4/16-byte
+                        # binary JVM-side instead
+                        from pmacct_spark.functions.addr import (
+                            inet6_aton,
+                        )
+
+                        for hc in (
+                            # the channel output vocabulary (registry
+                            # aggregate-key names; the reference's
+                            # aton-handler coverage set)
+                            "src_host", "dst_host", "src_net",
+                            "dst_net", "peer_src_ip", "peer_dst_ip",
+                            "post_nat_src_host", "post_nat_dst_host",
+                            "tunnel_src_host", "tunnel_dst_host",
+                        ):
+                            if hc in out.columns:
+                                out = out.withColumn(
+                                    hc, inet6_aton(F.col(hc))
+                                )
                     counters = [
                         c for c in ("bytes", "packets", "flows")
                         if c in out.columns

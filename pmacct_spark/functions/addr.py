@@ -60,3 +60,39 @@ def ipv6_canonical(col: str | Column) -> Column:
         ),
     )
     return F.array_join(stripped, ":")
+
+
+def inet6_aton(col: str | Column) -> Column:
+    """Address string -> network-byte-order BINARY: 4 bytes for IPv4,
+    16 for IPv6 — MySQL's INET6_ATON, which the reference's
+    sql_num_hosts statement cycle calls for EVERY host column
+    (count_*_aton_handler, src/sql_handlers.c:1241-1253 sets aton_v6
+    unconditionally; CONFIG-KEYS:1911). Pure JVM expression: the
+    engine computes the numeric form instead of asking the RDBMS to.
+    v6 accepts full and '::'-compressed hextet forms (the engine's own
+    canonical output; embedded-v4 tails are not emitted by it)."""
+    c = F.col(col) if isinstance(col, str) else col
+    v4 = F.unhex(F.lpad(F.hex(ipv4_aton(c)), 8, "0"))
+    parts = F.split(c, "::")
+    left = F.filter(
+        F.split(parts.getItem(0), ":"), lambda g: g != F.lit("")
+    )
+    right = F.filter(
+        F.split(F.coalesce(F.try_element_at(parts, F.lit(2)), F.lit("")), ":"),
+        lambda g: g != F.lit(""),
+    )
+
+    def hexcat(arr: Column) -> Column:
+        return F.aggregate(
+            arr,
+            F.lit(""),
+            lambda acc, g: F.concat(acc, F.lpad(g, 4, "0")),
+        )
+
+    nzero = (F.lit(8) - F.size(left) - F.size(right)).cast("int")
+    v6 = F.unhex(
+        F.concat(
+            hexcat(left), F.repeat(F.lit("0000"), nzero), hexcat(right)
+        )
+    )
+    return F.when(c.contains(":"), v6).otherwise(v4)

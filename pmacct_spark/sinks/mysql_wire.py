@@ -77,6 +77,31 @@ def _send_packet(sock: socket.socket, seq: int, payload: bytes) -> int:
     return seq + 1
 
 
+def _register_mysql_builtins(con) -> None:
+    """MySQL builtins the reference's sql_num_hosts statement cycle
+    assumes present in the RDBMS (CONFIG-KEYS:1911: 'assumes the
+    INET_ATON() and INET6_ATON() function are defined'): INET_ATON ->
+    u32 of a dotted quad, INET6_ATON -> 4/16-byte network-order
+    binary. Idempotent per-connection registration on the embedded
+    engine backing the wire server."""
+    import socket as _s
+
+    from duckdb.typing import BIGINT, BLOB, VARCHAR
+
+    def _inet_aton(ip: str) -> int:
+        return int.from_bytes(_s.inet_aton(ip), "big")
+
+    def _inet6_aton(ip: str) -> bytes:
+        fam = _s.AF_INET6 if ":" in ip else _s.AF_INET
+        return _s.inet_pton(fam, ip)
+
+    try:
+        con.create_function("INET_ATON", _inet_aton, [VARCHAR], BIGINT)
+        con.create_function("INET6_ATON", _inet6_aton, [VARCHAR], BLOB)
+    except Exception:
+        pass  # already registered on this database
+
+
 class MiniMySqlServer:
     """In-process MySQL-wire (protocol v10) server over the embedded
     engine."""
@@ -138,6 +163,7 @@ class MiniMySqlServer:
                     return
                 _send_packet(sock, 2, self._ok(0))  # auth OK
                 con = duckdb.connect(self.db_path)
+                _register_mysql_builtins(con)
                 while True:
                     _seq, cmd = _read_packet(sock)
                     if not cmd or cmd[0] == 0x01:  # COM_QUIT

@@ -2394,6 +2394,54 @@ sql_db[s]: {db_path}
     ]
 
 
+def test_daemon_sql_num_hosts_numeric_ip_columns(spark, tmp_path):
+    """sql_num_hosts (CONFIG-KEYS:1911, MySQL/SQLite plugins only):
+    host columns land NUMERICAL in network byte order — the
+    INET6_ATON form (4-byte binary for v4; the reference's aton
+    handlers call INET6_ATON unconditionally,
+    src/sql_handlers.c:1241). The upsert cycle keys on the binary
+    value: a second purge UPDATES in place."""
+    import socket as _s
+
+    import duckdb
+
+    db_path = tmp_path / "acctn.duckdb"
+    conf = f"""
+nfacctd_ip: 127.0.0.1
+nfacctd_port: 0
+plugins: sqlite3[s]
+aggregate[s]: src_host
+sql_table[s]: acct_num
+sql_db[s]: {db_path}
+sql_num_hosts[s]: true
+"""
+    d = Daemon.from_conf(spark, conf, spool_dir=str(tmp_path / "spoolN"))
+    try:
+        _fire(d.port)
+        t0 = time.monotonic()
+        while d.spool.datagrams_received < 2 and time.monotonic() - t0 < 15:
+            time.sleep(0.05)
+        d.run_available()
+        d.run_available()  # second purge: UPDATE branch on binary keys
+    finally:
+        d.stop()
+    con = duckdb.connect(str(db_path))
+    rows = con.execute(
+        "SELECT src_host, bytes FROM acct_num ORDER BY src_host"
+    ).fetchall()
+    typ = con.execute(
+        "SELECT data_type FROM information_schema.columns "
+        "WHERE table_name = 'acct_num' AND column_name = 'src_host'"
+    ).fetchone()[0]
+    con.close()
+    assert typ == "BLOB"
+    got = {bytes(ip): b for ip, b in rows}
+    assert got == {
+        _s.inet_aton("10.0.0.1"): 3000,  # 1500 x 2 purges, updated
+        _s.inet_aton("10.0.0.2"): 400,
+    }
+
+
 def test_daemon_tee_plugin_replicates_datagrams_live(spark, tmp_path):
     """plugins: tee — the replicator wired by config: RAW datagrams
     fan out to the tee_receivers pools over real UDP sockets

@@ -96,3 +96,47 @@ def test_error_keeps_session_usable(server):
         assert (affected, rows) == (0, [["42"]])
     finally:
         cli.close()
+
+
+def test_sql_num_hosts_inet6_aton_over_wire(server):
+    """sql_num_hosts statement shape over the live wire: the
+    reference wraps every host value in INET6_ATON() server-side
+    (count_src_host_aton_handler src/sql_handlers.c:1241;
+    CONFIG-KEYS:1911 'assumes the INET_ATON() and INET6_ATON()
+    function are defined in the RDBMS' — the wire server defines
+    them, like MySQL does natively). Numeric ip columns upsert:
+    UPDATE keys on the binary form, INSERT stores it."""
+    import socket as _s
+
+    cli = MySqlWireClient(server.host, server.port)
+    try:
+        cli.query(
+            "CREATE TABLE acct_n (ip_src BLOB, bytes BIGINT)"
+        )
+        for ip, byt in (
+            ("10.0.0.1", 1000), ("2001:db8::1", 700),
+            ("10.0.0.1", 500),  # same key again -> UPDATE branch
+        ):
+            affected, _ = cli.query(
+                f"UPDATE acct_n SET bytes = bytes + {byt}"
+                f" WHERE ip_src = INET6_ATON('{ip}')"
+            )
+            if affected == 0:
+                affected, _ = cli.query(
+                    "INSERT INTO acct_n VALUES "
+                    f"(INET6_ATON('{ip}'), {byt})"
+                )
+                assert affected == 1
+        # INET_ATON is defined too (the classic v4-only u32 form)
+        _a, aton = cli.query("SELECT INET_ATON('10.0.0.1')")
+        assert aton == [[str(0x0A000001)]]
+        _a, rows = cli.query(
+            "SELECT hex(ip_src), bytes FROM acct_n ORDER BY bytes DESC"
+        )
+        assert rows == [
+            [_s.inet_aton("10.0.0.1").hex().upper(), "1500"],
+            [_s.inet_pton(_s.AF_INET6, "2001:db8::1").hex().upper(),
+             "700"],
+        ]
+    finally:
+        cli.close()
