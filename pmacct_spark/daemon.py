@@ -1927,17 +1927,97 @@ class Daemon:
                             "proto", proto_name("proto")
                         )
                     emit = self._apply_encode_toggles(emit, name)
-                    frames = kafka_frame(
-                        emit,
-                        str(topic),
-                        key_cols=(
-                            [c.strip() for c in str(pk).split(",")
-                             if c.strip()]
-                            if pk
-                            else None
-                        ),
-                        rr_topics=int(rr) if rr else None,
+                    pk_cols = (
+                        [c.strip() for c in str(pk).split(",")
+                         if c.strip()]
+                        if pk
+                        else None
                     )
+                    out_fmt = str(
+                        self.conf.get("kafka_output", name, "json")
+                        or "json"
+                    ).lower()
+                    if out_fmt in ("avro", "avro_json"):
+                        # kafka_output: avro / avro_json
+                        # (CONFIG-KEYS:1854): binary Avro datums —
+                        # Confluent-framed when
+                        # kafka_avro_schema_registry is set — or
+                        # JSON-encoded Avro with union-branch
+                        # wrapping; avro_schema_file dumps the
+                        # record schema for registry-less consumers
+                        schema_out = self.conf.get(
+                            "avro_schema_file", name
+                        )
+                        if schema_out:
+                            import json as _json
+
+                            from pmacct_spark.sinks.avro import (
+                                avro_schema_of,
+                            )
+
+                            with open(str(schema_out), "w") as fh:
+                                _json.dump(
+                                    avro_schema_of(emit.schema), fh
+                                )
+                        if out_fmt == "avro_json":
+                            from pmacct_spark.sinks.avro import (
+                                avro_json_wrap,
+                            )
+
+                            frames = kafka_frame(
+                                avro_json_wrap(emit), str(topic),
+                                key_cols=pk_cols,
+                            )
+                        else:
+                            reg_url = self.conf.get(
+                                "kafka_avro_schema_registry", name
+                            )
+                            if reg_url:
+                                from pmacct_spark.sinks.kafka import (
+                                    kafka_avro_frame,
+                                )
+                                from pmacct_spark.sinks.registry import (
+                                    HttpSchemaRegistryClient,
+                                )
+
+                                hp = str(reg_url).split(
+                                    "//", 1
+                                )[-1].rstrip("/")
+                                frames = kafka_avro_frame(
+                                    emit, str(topic),
+                                    HttpSchemaRegistryClient(
+                                        *conffile.split_host_port(
+                                            hp, 8081
+                                        )
+                                    ),
+                                    key_cols=pk_cols,
+                                )
+                            else:
+                                from pmacct_spark.sinks.avro import (
+                                    avro_frames,
+                                )
+
+                                frames = avro_frames(
+                                    emit, key_cols=pk_cols
+                                ).select(
+                                    "key", "value",
+                                    F.lit(str(topic)).alias("topic"),
+                                )
+                        if rr:
+                            from pmacct_spark.sinks.msglog import (
+                                apply_rr_suffix,
+                            )
+
+                            frames = apply_rr_suffix(
+                                frames, "topic", str(topic), int(rr)
+                            )
+                    else:
+                        frames = kafka_frame(
+                            emit,
+                            str(topic),
+                            key_cols=pk_cols,
+                            rr_topics=int(rr) if rr else None,
+                        )
                     bhost = str(
                         self.conf.get(
                             "kafka_broker_host", name, "127.0.0.1"
@@ -2021,8 +2101,7 @@ class Daemon:
 
                     rr = self.conf.get("amqp_routing_key_rr", name)
                     emit = self._apply_encode_toggles(out, name)
-                    frames = amqp_frame(
-                        emit,
+                    frame_kw = dict(
                         exchange=str(
                             self.conf.get("amqp_exchange", name, "pmacct")
                             or "pmacct"
@@ -2039,6 +2118,67 @@ class Daemon:
                             "amqp_persistent_msg", name
                         ),
                     )
+                    a_fmt = str(
+                        self.conf.get("amqp_output", name, "json")
+                        or "json"
+                    ).lower()
+                    if a_fmt in ("avro", "avro_json"):
+                        # amqp_output: avro / avro_json
+                        # (CONFIG-KEYS:1854): same value encodings as
+                        # the Kafka twin — binary datums or
+                        # union-branch-wrapped Avro JSON; the registry
+                        # key is Kafka-only in the reference, so plain
+                        # datums here (avro_schema_file for consumers)
+                        from pmacct_spark.sinks.amqp import (
+                            amqp_body_frame,
+                        )
+
+                        schema_out = self.conf.get(
+                            "avro_schema_file", name
+                        )
+                        if schema_out:
+                            import json as _json
+
+                            from pmacct_spark.sinks.avro import (
+                                avro_schema_of,
+                            )
+
+                            with open(str(schema_out), "w") as fh:
+                                _json.dump(
+                                    avro_schema_of(emit.schema), fh
+                                )
+                        if a_fmt == "avro_json":
+                            from pmacct_spark.sinks.avro import (
+                                avro_json_wrap,
+                            )
+                            from pmacct_spark.sinks.kafka import (
+                                compose_json_value,
+                            )
+
+                            wrapped = avro_json_wrap(emit)
+                            bodies = wrapped.select(
+                                compose_json_value(wrapped).alias(
+                                    "body"
+                                )
+                            )
+                            frames = amqp_body_frame(
+                                bodies,
+                                content_type="application/json",
+                                **frame_kw,
+                            )
+                        else:
+                            from pmacct_spark.sinks.avro import (
+                                avro_frames,
+                            )
+
+                            frames = amqp_body_frame(
+                                avro_frames(emit).select(
+                                    F.col("value").alias("body")
+                                ),
+                                **frame_kw,
+                            )
+                    else:
+                        frames = amqp_frame(emit, **frame_kw)
                     ahost = str(
                         self.conf.get("amqp_host", name, "127.0.0.1")
                         or "127.0.0.1"

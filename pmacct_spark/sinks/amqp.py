@@ -64,6 +64,36 @@ def amqp_frame(
     )
 
 
+def amqp_body_frame(
+    bodies: DataFrame,
+    exchange: str,
+    routing_key: str,
+    rr: int | None = None,
+    exchange_type: str = "direct",
+    persistent: bool = False,
+    content_type: str = "application/octet-stream",
+) -> DataFrame:
+    """The publish contract over an ALREADY-ENCODED ``body`` column
+    (``amqp_output: avro / avro_json``, CONFIG-KEYS:1854 — binary Avro
+    datums or Avro-JSON strings instead of compose_json). Routing-key
+    round-robin hashes the body (the record identity at this stage)."""
+    if rr:
+        rk = F.concat(
+            F.lit(routing_key + "_"),
+            (F.abs(F.xxhash64(F.col("body"))) % rr).cast("string"),
+        )
+    else:
+        rk = F.lit(routing_key)
+    return bodies.select(
+        F.lit(exchange).alias("exchange"),
+        F.lit(exchange_type).alias("exchange_type"),
+        rk.alias("routing_key"),
+        F.col("body"),
+        F.lit(2 if persistent else 1).alias("delivery_mode"),
+        F.lit(content_type).alias("content_type"),
+    )
+
+
 def write_amqp(frame: DataFrame, amqp_url: str) -> None:
     """Publish a shaped frame via pika (foreachBatch-style driver-side
     fan-out; unavailable in this container — the frame is the tested

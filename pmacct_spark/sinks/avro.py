@@ -450,3 +450,31 @@ def read_registry_frame(frame: bytes, registry) -> tuple[int, dict]:
         raise ValueError(f"bad registry magic byte: {magic}")
     schema = registry.get_schema(schema_id)
     return schema_id, read_datum(io.BytesIO(frame[5:]), schema)
+
+
+def avro_json_wrap(df: "DataFrame") -> "DataFrame":
+    """Avro JSON encoding of every record
+    (write_avro_json_record_to_file, reference src/print_plugin.c:1410;
+    kafka_output/amqp_output: avro_json CONFIG-KEYS:1854): each
+    non-null value of a nullable (union) field is wrapped in a one-key
+    object naming the branch type — {"bytes": {"long": 5}} — so
+    consumers can round-trip through the schema. Shared by the print
+    avro_json writer and the bus sinks."""
+    from pyspark.sql import functions as F
+
+    schema = avro_schema_of(df.schema)
+    wrapped = []
+    for fld, spec in zip(df.schema.fields, schema["fields"]):
+        t = spec["type"]
+        branch = t[1] if isinstance(t, list) else t
+        if isinstance(branch, dict):
+            branch = branch.get(
+                "logicalType"
+            ) and "long" or branch.get("type", "record")
+        c = F.col(fld.name)
+        if str(fld.dataType).startswith("Timestamp"):
+            c = F.unix_micros(c.cast("timestamp"))
+        if isinstance(t, list):  # nullable union: wrap non-nulls
+            c = F.when(c.isNotNull(), F.struct(c.alias(str(branch))))
+        wrapped.append(c.alias(fld.name))
+    return df.select(*wrapped)

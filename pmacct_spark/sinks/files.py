@@ -128,30 +128,11 @@ def write_print(
     elif fmt == "avro_json":
         # JSON-encoded Avro objects (CONFIG-KEYS:1813,
         # write_avro_json_record_to_file src/print_plugin.c:1410):
-        # the Avro JSON encoding wraps every non-null value of a
-        # nullable (union) field in a one-key object naming the
-        # branch type — {"bytes": {"long": 5}, "proto": {"string":
-        # "tcp"}} — so consumers can round-trip through the schema.
-        from pmacct_spark.sinks.avro import avro_schema_of
+        # union-branch wrapping shared with the bus sinks
+        # (sinks/avro.avro_json_wrap)
+        from pmacct_spark.sinks.avro import avro_json_wrap
 
-        schema = avro_schema_of(out.schema)
-        wrapped = []
-        for fld, spec in zip(out.schema.fields, schema["fields"]):
-            t = spec["type"]
-            branch = t[1] if isinstance(t, list) else t
-            if isinstance(branch, dict):
-                branch = branch.get(
-                    "logicalType"
-                ) and "long" or branch.get("type", "record")
-            c = F.col(fld.name)
-            if str(fld.dataType).startswith("Timestamp"):
-                c = F.unix_micros(c.cast("timestamp"))
-            if isinstance(t, list):  # nullable union: wrap non-nulls
-                c = F.when(
-                    c.isNotNull(), F.struct(c.alias(str(branch)))
-                )
-            wrapped.append(c.alias(fld.name))
-        writer = out.select(*wrapped).write.mode(mode)
+        writer = avro_json_wrap(out).write.mode(mode)
         if partition_cols:
             writer = writer.partitionBy(*partition_cols)
         writer.json(path)

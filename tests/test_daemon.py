@@ -2270,6 +2270,111 @@ amqp_port[a]: {ab.port}
         kb.stop()
 
 
+def test_daemon_kafka_amqp_avro_outputs_live(spark, tmp_path):
+    """kafka_output / amqp_output: avro + avro_json
+    (CONFIG-KEYS:1854) on the ACCOUNTING plugins, wired by config:
+    Kafka values are Confluent-framed Avro datums resolvable through
+    the LIVE registry (kafka_avro_schema_registry) with the record
+    schema dumped to avro_schema_file; the AMQP twin publishes plain
+    binary datums (the registry key is Kafka-only) decodable with that
+    schema; avro_json wraps nullable unions in branch-naming objects
+    (write_avro_json_record_to_file src/print_plugin.c:1410)."""
+    import json as _json
+
+    from pmacct_spark.sinks import avro as A
+    from pmacct_spark.sinks.amqp_wire import AmqpWireClient, MiniAmqpBroker
+    from pmacct_spark.sinks.registry import (
+        HttpSchemaRegistryClient,
+        SchemaRegistryServer,
+    )
+    from pmacct_spark.sources.kafka_wire import (
+        KafkaWireClient,
+        MiniKafkaBroker,
+    )
+
+    kb = MiniKafkaBroker(npartitions=2).start()
+    ab = MiniAmqpBroker().start()
+    reg_srv = SchemaRegistryServer().start()
+    d = None
+    try:
+        schema_file = tmp_path / "acct.avsc"
+        schema_file_a = tmp_path / "acct_amqp.avsc"
+        conf = f"""
+nfacctd_ip: 127.0.0.1
+nfacctd_port: 0
+plugins: kafka[k], kafka[kj], amqp[a]
+aggregate[k]: proto
+kafka_topic[k]: acct.avro
+kafka_output[k]: avro
+kafka_avro_schema_registry[k]: http://127.0.0.1:{reg_srv.port}
+avro_schema_file[k]: {schema_file}
+kafka_broker_port[k]: {kb.port}
+aggregate[kj]: proto
+kafka_topic[kj]: acct.avroj
+kafka_output[kj]: avro_json
+kafka_broker_port[kj]: {kb.port}
+aggregate[a]: proto
+amqp_routing_key[a]: acct
+amqp_output[a]: avro
+avro_schema_file[a]: {schema_file_a}
+amqp_port[a]: {ab.port}
+"""
+        d = Daemon.from_conf(spark, conf, spool_dir=str(tmp_path / "kavro"))
+        setup = AmqpWireClient("127.0.0.1", ab.port)
+        setup.exchange_declare("pmacct", "direct")
+        setup.queue_declare("qa")
+        setup.queue_bind("qa", "pmacct", "acct")
+        setup.close()
+        _fire(d.port)
+        t0 = time.monotonic()
+        while d.spool.datagrams_received < 2 and time.monotonic() - t0 < 15:
+            time.sleep(0.05)
+        d.run_available()
+        # Kafka avro: Confluent-framed, registry-resolvable
+        reg = HttpSchemaRegistryClient("127.0.0.1", reg_srv.port)
+        cli = KafkaWireClient("127.0.0.1", kb.port)
+        got = {}
+        got_j = {}
+        for p in (0, 1):
+            _, rp = cli.fetch("acct.avro", p, 0, with_hwm=True)
+            for _off, _k, v in rp:
+                _sid, rec = A.read_registry_frame(bytes(v), reg)
+                got[rec["proto"]] = rec["bytes"]
+            _, rj = cli.fetch("acct.avroj", p, 0, with_hwm=True)
+            for _off, _k, v in rj:
+                got_j[len(got_j)] = _json.loads(bytes(v))
+        cli.close()
+        assert got == {"tcp": 1500, "udp": 200}
+        # avro_json: nullable fields ride union-branch objects
+        by_proto = {
+            e["proto"]["string"]: e["bytes"]["long"]
+            for e in got_j.values()
+        }
+        assert by_proto == {"tcp": 1500, "udp": 200}
+        # each channel dumps ITS OWN record schema (the kafka channel
+        # renders proto names; the amqp channel keeps numbers) — the
+        # amqp dump decodes the amqp datums
+        schema = _json.loads(schema_file_a.read_text())
+        cli2 = AmqpWireClient("127.0.0.1", ab.port)
+        a_got = {}
+        while True:
+            m = cli2.get("qa")
+            if m is None:
+                break
+            import io as _io
+
+            rec = A.read_datum(_io.BytesIO(m["body"]), schema)
+            a_got[rec["proto"]] = rec["bytes"]
+        cli2.close()
+        assert a_got == {6: 1500, 17: 200}
+    finally:
+        if d is not None:
+            d.stop()
+        reg_srv.stop()
+        ab.stop()
+        kb.stop()
+
+
 def test_daemon_kafka_amqp_markers_live(spark, tmp_path):
     """kafka_markers / amqp_markers (CONFIG-KEYS:1791): purge_init /
     purge_close delimiter messages frame every purge batch on the bus
