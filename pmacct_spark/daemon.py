@@ -2059,8 +2059,17 @@ class Daemon:
                             KafkaWireClient,
                         )
 
+                        from pmacct_spark.operators.staging import (
+                            release,
+                            stage,
+                        )
+
                         wpid = _os.getpid()
                         t0 = _time.time()
+                        # stage once: the close-marker count and the
+                        # produce both read the same materialized
+                        # frame instead of recomputing the aggregate
+                        frames = stage(frames)
                         n_rows = frames.count()
                         cli = KafkaWireClient(bhost, bport)
                         try:
@@ -2073,6 +2082,8 @@ class Daemon:
                         finally:
                             cli.close()
                     produce_frames(frames, bhost, bport, **kopts)
+                    if markers:
+                        release(frames)
                     if markers:
                         cli = KafkaWireClient(bhost, bport)
                         try:
@@ -2212,8 +2223,14 @@ class Daemon:
                             purge_marker_json,
                         )
 
+                        from pmacct_spark.operators.staging import (
+                            release,
+                            stage,
+                        )
+
                         wpid = _os.getpid()
                         t0 = _time.time()
+                        frames = stage(frames)  # count + publish, one compute
                         n_rows = frames.count()
                         cli = AmqpWireClient(ahost, aport)
                         try:
@@ -2229,6 +2246,7 @@ class Daemon:
                             cli.close()
                     publish_frames(frames, ahost, aport)
                     if amarkers:
+                        release(frames)
                         cli = AmqpWireClient(ahost, aport)
                         try:
                             cli.exchange_declare(exch, etype)
