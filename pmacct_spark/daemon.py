@@ -2111,7 +2111,21 @@ class Daemon:
                     )
 
                     rr = self.conf.get("amqp_routing_key_rr", name)
-                    emit = self._apply_encode_toggles(out, name)
+                    emit = out
+                    if "proto" in emit.columns and not self.conf.getbool(
+                        "amqp_num_protos", name
+                    ):
+                        # amqp_num_protos (CONFIG-KEYS:1899): protocol
+                        # NAMES by default, numbers only when true —
+                        # same contract as the print/kafka twins
+                        from pmacct_spark.functions.presentation import (
+                            proto_name,
+                        )
+
+                        emit = emit.withColumn(
+                            "proto", proto_name("proto")
+                        )
+                    emit = self._apply_encode_toggles(emit, name)
                     frame_kw = dict(
                         exchange=str(
                             self.conf.get("amqp_exchange", name, "pmacct")
@@ -2282,6 +2296,17 @@ class Daemon:
                     # reference's per-period tables, e.g.
                     # acct_%Y%m%d); a new rendering starts a new table
                     table = _dt.datetime.utcnow().strftime(str(table))
+                    if "proto" in out.columns and not self.conf.getbool(
+                        "sql_num_protos", name
+                    ):
+                        # sql_num_protos (CONFIG-KEYS:1899): protocol
+                        # NAMES by default in the SQL schema, numbers
+                        # only when true
+                        from pmacct_spark.functions.presentation import (
+                            proto_name,
+                        )
+
+                        out = out.withColumn("proto", proto_name("proto"))
                     if ptype in ("mysql", "sqlite3") and self.conf.getbool(
                         "sql_num_hosts", name
                     ):

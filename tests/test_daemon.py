@@ -2262,7 +2262,7 @@ amqp_port[a]: {ab.port}
             ev = _json.loads(msg["body"])
             a_got[ev["proto"]] = ev["bytes"]
         cli2.close()
-        assert a_got == {6: 1500, 17: 200}
+        assert a_got == {"tcp": 1500, "udp": 200}
     finally:
         if d is not None:
             d.stop()
@@ -2351,9 +2351,9 @@ amqp_port[a]: {ab.port}
             for e in got_j.values()
         }
         assert by_proto == {"tcp": 1500, "udp": 200}
-        # each channel dumps ITS OWN record schema (the kafka channel
-        # renders proto names; the amqp channel keeps numbers) — the
-        # amqp dump decodes the amqp datums
+        # each channel dumps ITS OWN record schema — the amqp dump
+        # decodes the amqp datums (both channels render proto names
+        # by default per CONFIG-KEYS:1899)
         schema = _json.loads(schema_file_a.read_text())
         cli2 = AmqpWireClient("127.0.0.1", ab.port)
         a_got = {}
@@ -2366,7 +2366,7 @@ amqp_port[a]: {ab.port}
             rec = A.read_datum(_io.BytesIO(m["body"]), schema)
             a_got[rec["proto"]] = rec["bytes"]
         cli2.close()
-        assert a_got == {6: 1500, 17: 200}
+        assert a_got == {"tcp": 1500, "udp": 200}
     finally:
         if d is not None:
             d.stop()
@@ -2447,7 +2447,7 @@ amqp_port[a]: {ab.port}
         assert msgs[0]["writer_id"] == f"a/{_os.getpid()}"
         assert msgs[-1]["event_type"] == "purge_close"
         assert msgs[-1]["purged_entries"] == 2
-        assert {m["proto"] for m in msgs[1:-1]} == {6, 17}
+        assert {m["proto"] for m in msgs[1:-1]} == {"tcp", "udp"}
     finally:
         if d is not None:
             d.stop()
@@ -2492,11 +2492,13 @@ sql_db[s]: {db_path}
     ).fetchall()
     con.close()
     # second purge re-accumulated the same aggregate: counters doubled
-    # through the UPDATE branch, keys unique
-    assert rows == [
-        (p, b * 2, k * 2)
-        for p, (b, k, _f) in sorted(golden.items())
-    ]
+    # through the UPDATE branch, keys unique; protocol NAMES by
+    # default (sql_num_protos, CONFIG-KEYS:1899)
+    names = {6: "tcp", 17: "udp"}
+    assert rows == sorted(
+        (names[p], b * 2, k * 2)
+        for p, (b, k, _f) in golden.items()
+    )
 
 
 def test_daemon_sql_num_hosts_numeric_ip_columns(spark, tmp_path):
