@@ -2211,6 +2211,29 @@ class Daemon:
                     aport = int(
                         self.conf.get("amqp_port", name, 5672) or 5672
                     )
+                    conn_kw = dict(
+                        user=str(
+                            self.conf.get("amqp_user", name, "guest")
+                            or "guest"
+                        ),
+                        passwd=str(
+                            self.conf.get("amqp_passwd", name, "guest")
+                            or "guest"
+                        ),
+                        vhost=str(
+                            self.conf.get("amqp_vhost", name, "/") or "/"
+                        ),
+                        frame_max=int(
+                            self.conf.get("amqp_frame_max", name, 131072)
+                            or 131072
+                        ),
+                        heartbeat=int(
+                            self.conf.get(
+                                "amqp_heartbeat_interval", name, 0
+                            )
+                            or 0
+                        ),
+                    )
                     amarkers = self.conf.getbool("amqp_markers", name)
                     exch = str(
                         self.conf.get("amqp_exchange", name, "pmacct")
@@ -2246,7 +2269,7 @@ class Daemon:
                         t0 = _time.time()
                         frames = stage(frames)  # count + publish, one compute
                         n_rows = frames.count()
-                        cli = AmqpWireClient(ahost, aport)
+                        cli = AmqpWireClient(ahost, aport, **conn_kw)
                         try:
                             cli.exchange_declare(exch, etype)
                             cli.publish(
@@ -2258,10 +2281,10 @@ class Daemon:
                             )
                         finally:
                             cli.close()
-                    publish_frames(frames, ahost, aport)
+                    publish_frames(frames, ahost, aport, **conn_kw)
                     if amarkers:
                         release(frames)
-                        cli = AmqpWireClient(ahost, aport)
+                        cli = AmqpWireClient(ahost, aport, **conn_kw)
                         try:
                             cli.exchange_declare(exch, etype)
                             cli.publish(

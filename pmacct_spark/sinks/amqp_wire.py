@@ -147,6 +147,12 @@ class MiniAmqpBroker:
     exchanges: dict = field(default_factory=dict)  # name -> type
     bindings: dict = field(default_factory=dict)  # (exch, rk) -> queue
     queues: dict = field(default_factory=dict)  # name -> [message dicts]
+    #: None = accept any credentials (the historical permissive mode);
+    #: set both to enforce PLAIN auth like a locked-down RabbitMQ
+    user: str | None = None
+    passwd: str | None = None
+    #: vhosts accepted on Connection.Open; None = any
+    vhosts: tuple | None = None
     _srv: socket.socket | None = None
     _lock: threading.Lock = field(default_factory=threading.Lock)
 
@@ -189,13 +195,46 @@ class MiniAmqpBroker:
                     _method(10, 10, bytes([0, 9]) + _longstr(b"")
                             + _longstr(b"PLAIN") + _longstr(b"en_US")),
                 )
-                self._expect(c, 10, 11)  # StartOk
+                sok = self._expect(c, 10, 11)  # StartOk
+                if self.user is not None:
+                    # PLAIN response: \0user\0passwd — enforce like a
+                    # credentialed RabbitMQ (amqp_user/amqp_passwd)
+                    sok.longstr()  # client-properties table (raw)
+                    sok.shortstr()  # mechanism
+                    resp = sok.longstr().split(b"\x00")
+                    if resp[1:] != [
+                        self.user.encode(),
+                        (self.passwd or "").encode(),
+                    ]:
+                        c.send_frame(
+                            FRAME_METHOD, 0,
+                            _method(
+                                10, 50,
+                                struct.pack(">H", 403)
+                                + _shortstr("ACCESS_REFUSED")
+                                + struct.pack(">HH", 0, 0),
+                            ),
+                        )
+                        return
                 c.send_frame(
                     FRAME_METHOD, 0,
                     _method(10, 30, struct.pack(">HIH", 0, 131072, 0)),
                 )
                 self._expect(c, 10, 31)  # TuneOk
-                self._expect(c, 10, 40)  # Connection.Open
+                copen = self._expect(c, 10, 40)  # Connection.Open
+                if self.vhosts is not None:
+                    vh = copen.shortstr()
+                    if vh not in self.vhosts:
+                        c.send_frame(
+                            FRAME_METHOD, 0,
+                            _method(
+                                10, 50,
+                                struct.pack(">H", 530)
+                                + _shortstr("NOT_ALLOWED")
+                                + struct.pack(">HH", 0, 0),
+                            ),
+                        )
+                        return
                 c.send_frame(FRAME_METHOD, 0, _method(10, 41, _shortstr("")))
                 pending = None  # (channel, exchange, rk, props, need, got)
                 while True:
@@ -325,27 +364,55 @@ class MiniAmqpBroker:
 
 
 class AmqpWireClient:
-    """Minimal 0-9-1 publisher/consumer: one connection, channel 1."""
+    """Minimal 0-9-1 publisher/consumer: one connection, channel 1.
 
-    def __init__(self, host: str, port: int):
+    ``user``/``passwd`` ride the PLAIN SASL response (amqp_user /
+    amqp_passwd, CONFIG-KEYS — reference defaults guest/guest),
+    ``vhost`` the Connection.Open virtual-host path (amqp_vhost),
+    ``frame_max`` the Tune-Ok negotiation (amqp_frame_max: bodies
+    larger than the negotiated payload split across FRAME_BODY
+    frames), ``heartbeat`` the Tune-Ok interval (amqp_heartbeat_
+    interval; FRAME_HEARTBEAT frames from the peer are tolerated on
+    every read path)."""
+
+    def __init__(
+        self,
+        host: str,
+        port: int,
+        user: str = "guest",
+        passwd: str = "guest",
+        vhost: str = "/",
+        frame_max: int = 131072,
+        heartbeat: int = 0,
+    ):
         self.c = _Conn(socket.create_connection((host, port), timeout=10))
         self.c.sock.sendall(PROTO_HEADER)
         self._expect(10, 10)  # Start
+        plain = b"\x00" + user.encode() + b"\x00" + passwd.encode()
         self.c.send_frame(
             FRAME_METHOD, 0,
             _method(
                 10, 11,
                 _longstr(b"") + _shortstr("PLAIN")
-                + _longstr(b"\x00guest\x00guest") + _shortstr("en_US"),
+                + _longstr(plain) + _shortstr("en_US"),
             ),
         )
-        self._expect(10, 30)  # Tune
+        tune = self._expect(10, 30)  # Tune
+        tune.short()  # channel-max
+        srv_frame_max = tune.long()
+        if srv_frame_max:
+            frame_max = min(int(frame_max), srv_frame_max)
+        self.frame_max = max(int(frame_max), 4096)  # spec minimum
         self.c.send_frame(
-            FRAME_METHOD, 0, _method(10, 31, struct.pack(">HIH", 0, 131072, 0))
+            FRAME_METHOD, 0,
+            _method(
+                10, 31,
+                struct.pack(">HIH", 0, self.frame_max, int(heartbeat)),
+            ),
         )
         self.c.send_frame(
             FRAME_METHOD, 0,
-            _method(10, 40, _shortstr("/") + _shortstr("") + bytes([0])),
+            _method(10, 40, _shortstr(vhost) + _shortstr("") + bytes([0])),
         )
         self._expect(10, 41)  # OpenOk
         self.c.send_frame(FRAME_METHOD, 1, _method(20, 10, _shortstr("")))
@@ -438,7 +505,11 @@ class AmqpWireClient:
             FRAME_HEADER, 1,
             struct.pack(">HHQH", 60, 0, len(body), flags) + props,
         )
-        self.c.send_frame(FRAME_BODY, 1, body)
+        # split at the negotiated frame_max (frame payload = frame_max
+        # minus the 8 framing octets) — rabbitmq-c's body chunking
+        chunk = max(getattr(self, "frame_max", 131072) - 8, 1)
+        for off in range(0, len(body), chunk):
+            self.c.send_frame(FRAME_BODY, 1, body[off:off + chunk])
 
     def get(self, queue: str):
         """Basic.Get: None when empty, else a dict with exchange,
@@ -484,12 +555,14 @@ class AmqpWireClient:
                 }
 
 
-def publish_frames(frames, host: str, port: int) -> None:
+def publish_frames(frames, host: str, port: int, **conn_kw) -> None:
     """DISTRIBUTED publisher: ship an ``amqp_frame`` DataFrame through
     the wire protocol — each partition opens its own connection (the
     per-executor rabbitmq-c pattern), declares the exchange
     idempotently, publishes one message per record. No driver-side
-    collect."""
+    collect. ``conn_kw`` carries the connection-level keys (user/
+    passwd/vhost/frame_max/heartbeat — amqp_user, amqp_passwd,
+    amqp_vhost, amqp_frame_max, amqp_heartbeat_interval)."""
 
     def _send(rows) -> None:
         cli = None
@@ -497,7 +570,7 @@ def publish_frames(frames, host: str, port: int) -> None:
         try:
             for row in rows:
                 if cli is None:
-                    cli = AmqpWireClient(host, port)
+                    cli = AmqpWireClient(host, port, **conn_kw)
                 ek = (row["exchange"], row["exchange_type"])
                 if ek not in declared:
                     cli.exchange_declare(*ek)

@@ -114,3 +114,50 @@ def test_distributed_publish_of_amqp_frames(spark, broker):
     # payloads are the compose_json records
     rec = json.loads(got[0])
     assert set(rec) == {"rec_id", "peer", "bytes"}
+
+
+def test_plain_auth_vhost_and_frame_max():
+    """Connection-level keys (amqp_user / amqp_passwd / amqp_vhost /
+    amqp_frame_max, CONFIG-KEYS): PLAIN credentials are enforced by a
+    credentialed broker (403 ACCESS_REFUSED on mismatch), the vhost
+    rides Connection.Open (530 NOT_ALLOWED when unknown), and a body
+    larger than the negotiated frame_max splits across FRAME_BODY
+    frames and reassembles byte-identical."""
+    import pytest as _pytest
+
+    from pmacct_spark.sinks.amqp_wire import AmqpWireClient, MiniAmqpBroker
+
+    b = MiniAmqpBroker(
+        user="daisy", passwd="s3cret", vhosts=("/pmacct",)
+    ).start()
+    try:
+        # wrong password: refused during the handshake
+        with _pytest.raises((ConnectionError, ValueError, OSError)):
+            AmqpWireClient(
+                "127.0.0.1", b.port, user="daisy", passwd="wrong",
+                vhost="/pmacct",
+            )
+        # wrong vhost: refused at Connection.Open
+        with _pytest.raises((ConnectionError, ValueError, OSError)):
+            AmqpWireClient(
+                "127.0.0.1", b.port, user="daisy", passwd="s3cret",
+                vhost="/other",
+            )
+        # right credentials + vhost; tiny frame_max (clamped to the
+        # 4096 spec minimum) forces body splitting
+        cli = AmqpWireClient(
+            "127.0.0.1", b.port, user="daisy", passwd="s3cret",
+            vhost="/pmacct", frame_max=4096,
+        )
+        assert cli.frame_max == 4096
+        cli.exchange_declare("pmacct", "direct")
+        cli.queue_declare("q")
+        cli.queue_bind("q", "pmacct", "rk")
+        body = bytes(range(256)) * 64  # 16 KiB > 4096-8 per frame
+        cli.publish("pmacct", "rk", body,
+                    content_type="application/octet-stream")
+        got = cli.get("q")
+        assert got is not None and got["body"] == body
+        cli.close()
+    finally:
+        b.stop()

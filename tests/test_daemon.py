@@ -2391,7 +2391,11 @@ def test_daemon_kafka_amqp_markers_live(spark, tmp_path):
     )
 
     kb = MiniKafkaBroker(npartitions=2).start()
-    ab = MiniAmqpBroker().start()
+    # credentialed broker: the daemon's amqp_user/amqp_passwd/
+    # amqp_vhost connection keys must carry the handshake
+    ab = MiniAmqpBroker(
+        user="pm", passwd="pw", vhosts=("/acct",)
+    ).start()
     d = None
     try:
         conf = f"""
@@ -2405,10 +2409,15 @@ kafka_broker_port[k]: {kb.port}
 aggregate[a]: proto
 amqp_routing_key[a]: acct
 amqp_markers[a]: true
+amqp_user[a]: pm
+amqp_passwd[a]: pw
+amqp_vhost[a]: /acct
 amqp_port[a]: {ab.port}
 """
         d = Daemon.from_conf(spark, conf, spool_dir=str(tmp_path / "kmrk"))
-        setup = AmqpWireClient("127.0.0.1", ab.port)
+        setup = AmqpWireClient(
+            "127.0.0.1", ab.port, user="pm", passwd="pw", vhost="/acct"
+        )
         setup.exchange_declare("pmacct", "direct")
         setup.queue_declare("qa")
         setup.queue_bind("qa", "pmacct", "acct")
@@ -2435,7 +2444,9 @@ amqp_port[a]: {ab.port}
         assert close["purged_entries"] == n_data == 2
         assert close["total_entries"] == 2 and close["duration"] >= 0
         # AMQP: one routing key, strict init -> data -> close ordering
-        cli2 = AmqpWireClient("127.0.0.1", ab.port)
+        cli2 = AmqpWireClient(
+            "127.0.0.1", ab.port, user="pm", passwd="pw", vhost="/acct"
+        )
         msgs = []
         while True:
             m = cli2.get("qa")
