@@ -2045,6 +2045,11 @@ class Daemon:
                                     fh.read()
                                 )
                             )
+                    kpart = self.conf.get("kafka_partition", name)
+                    if kpart is not None and int(kpart) >= 0:
+                        # kafka_partition (CONFIG-KEYS): a fixed
+                        # partition id (-1/unset = partitioner)
+                        kopts["partition"] = int(kpart)
                     markers = self.conf.getbool("kafka_markers", name)
                     if markers:
                         # purge_init/purge_close delimiters around the

@@ -555,6 +555,7 @@ def produce_frames(
     acks: int = 1,
     timeout_ms: int = 10_000,
     batch_messages: int = 1,
+    partition: int | None = None,
 ) -> None:
     """DISTRIBUTED producer: ship a (key, value, topic) frame DataFrame
     (sinks/kafka.kafka_frame output) through the wire protocol. Each
@@ -563,7 +564,10 @@ def produce_frames(
     the driver. ``acks`` / ``timeout_ms`` / ``batch_messages`` carry
     the kafka_config_file properties the wire honors
     (:func:`wire_producer_options`); batching groups consecutive
-    same-(topic, partition) messages into one produce request."""
+    same-(topic, partition) messages into one produce request.
+    ``partition`` pins every message to one partition id
+    (kafka_partition, CONFIG-KEYS: the fixed-partition fast path;
+    unset = key-hash routing, the kafka_partition_dynamic shape)."""
 
     def _send(rows) -> None:
         cli = None
@@ -582,7 +586,12 @@ def produce_frames(
                         host, port, acks=acks, timeout_ms=timeout_ms
                     )
                 key = row["key"]
-                tp = (row["topic"], _partition_for(key, nparts))
+                tp = (
+                    row["topic"],
+                    partition
+                    if partition is not None
+                    else _partition_for(key, nparts),
+                )
                 if tp != pend_tp:
                     _flush()
                     pend_tp = tp

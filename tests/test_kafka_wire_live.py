@@ -417,3 +417,45 @@ def test_kafka_spool_rewinds_after_log_truncation():
         if sp is not None:
             sp.stop()
         b.stop()
+
+
+def test_kafka_fixed_partition_and_batching(spark):
+    """kafka_partition (CONFIG-KEYS): a fixed partition id pins every
+    message to one partition instead of key-hash routing; batching
+    (batch.num.messages) groups them into fewer produce requests with
+    dense offsets preserved."""
+    from pmacct_spark.sources.kafka_wire import (
+        KafkaWireClient,
+        MiniKafkaBroker,
+        produce_frames,
+    )
+
+    b = MiniKafkaBroker(npartitions=4).start()
+    try:
+        rows = [(f"k{i}", f"v{i}", "fixed.t") for i in range(20)]
+        frames = spark.createDataFrame(
+            rows, "key string, value string, topic string"
+        )
+        produce_frames(
+            frames, "127.0.0.1", b.port,
+            partition=3, batch_messages=8,
+        )
+        cli = KafkaWireClient("127.0.0.1", b.port)
+        got = []
+        empty = 0
+        for p in range(4):
+            _, rp = cli.fetch("fixed.t", p, 0, with_hwm=True)
+            if not rp:
+                empty += 1
+            got += [
+                (off, bytes(k).decode(), bytes(v).decode())
+                for off, k, v in rp
+            ]
+        cli.close()
+        assert empty == 3  # everything landed on the pinned partition
+        assert sorted(v for _o, _k, v in got) == sorted(
+            v for _k, v, _t in rows
+        )
+        assert sorted(o for o, _k, _v in got) == list(range(20))
+    finally:
+        b.stop()
