@@ -2542,6 +2542,60 @@ class Daemon:
                         dgrams,
                         default_endpoint=f"{rhost}:{rport}",
                     )
+            trig = (
+                conffile._typed(self.conf, name, "trigger_exec", ptype)
+                if ptype in (
+                    "sql", "mysql", "pgsql", "sqlite3",
+                    "print", "kafka", "amqp",
+                )
+                else None
+            )
+            if trig:
+                # [sql|print|amqp|kafka]_trigger_exec (CONFIG-KEYS:
+                # 1955; P_trigger_exec src/plugin_common.c): spawn the
+                # executable after this channel's purge. SQL plugins
+                # export the docs/TRIGGER_VARS environment; non-SQL
+                # triggers run bare ("no environment variables are
+                # set"). *_trigger_exec_async runs detached.
+                import os as _os
+                import shlex as _shlex
+                import subprocess as _sp
+
+                env = dict(_os.environ)
+                if ptype in ("sql", "mysql", "pgsql", "sqlite3"):
+                    tbl = self.conf.get("sql_table", name)
+                    if tbl:
+                        import datetime as _dt
+
+                        env["SQL_TABLE"] = str(tbl)
+                        eff = _dt.datetime.utcnow().strftime(str(tbl))
+                        if eff != str(tbl):
+                            env["EFFECTIVE_SQL_TABLE"] = eff
+                    if self.conf.get("sql_db", name):
+                        env["SQL_DB"] = str(self.conf.get("sql_db", name))
+                    rt = conffile._typed(
+                        self.conf, name, "refresh_time", ptype
+                    )
+                    if rt:
+                        env["SQL_REFRESH_TIME"] = str(rt)
+                cmd = _shlex.split(str(trig))
+                t_async = str(
+                    conffile._typed(
+                        self.conf, name, "trigger_exec_async", ptype
+                    )
+                    or ""
+                ).lower() in ("true", "1", "yes")
+                try:
+                    if t_async:
+                        _sp.Popen(cmd, env=env)
+                    else:
+                        _sp.run(cmd, env=env, check=False, timeout=60)
+                except (OSError, _sp.TimeoutExpired) as exc:
+                    import logging
+
+                    logging.getLogger("pmacct_spark").warning(
+                        "%s_trigger_exec %r failed: %s", ptype, trig, exc
+                    )
             results[name] = out
         self.dump_rib_if_configured()
         self.write_msglog_if_configured()

@@ -2512,6 +2512,62 @@ sql_db[s]: {db_path}
     )
 
 
+def test_daemon_trigger_exec_runs_per_purge(spark, tmp_path):
+    """[sql|print]_trigger_exec (+_async) CONFIG-KEYS:1955 /
+    docs/TRIGGER_VARS: the executable spawns after each channel's
+    purge — SQL channels export SQL_DB/SQL_TABLE/EFFECTIVE_SQL_TABLE/
+    SQL_REFRESH_TIME, non-SQL triggers run with no trigger-specific
+    environment (the docs' 'simpler implementation')."""
+    import os
+    import stat
+
+    sql_log = tmp_path / "sql_trig.log"
+    prt_log = tmp_path / "prt_trig.log"
+    script = tmp_path / "trig.sh"
+    script.write_text(
+        "#!/bin/sh\n"
+        'echo "$1 db=$SQL_DB table=$SQL_TABLE eff=$EFFECTIVE_SQL_TABLE'
+        ' rt=$SQL_REFRESH_TIME" >> "$2"\n'
+    )
+    script.chmod(script.stat().st_mode | stat.S_IEXEC)
+    db_path = tmp_path / "t.duckdb"
+    conf = f"""
+nfacctd_ip: 127.0.0.1
+nfacctd_port: 0
+plugins: sqlite3[s], print[p]
+aggregate[s]: proto
+sql_table[s]: acct_%Y
+sql_db[s]: {db_path}
+sql_refresh_time[s]: 60
+sql_trigger_exec[s]: {script} sqlpurge {sql_log}
+aggregate[p]: proto
+print_output_file[p]: {tmp_path / 'out_csv'}
+print_trigger_exec[p]: {script} prtpurge {prt_log}
+"""
+    d = Daemon.from_conf(spark, conf, spool_dir=str(tmp_path / "trg"))
+    try:
+        _fire(d.port)
+        t0 = time.monotonic()
+        while d.spool.datagrams_received < 2 and time.monotonic() - t0 < 15:
+            time.sleep(0.05)
+        d.run_available()
+        d.run_available()  # a second purge fires the trigger again
+    finally:
+        d.stop()
+    import datetime as _dt
+
+    eff = _dt.datetime.utcnow().strftime("acct_%Y")
+    sql_lines = sql_log.read_text().splitlines()
+    assert len(sql_lines) == 2  # one spawn per purge
+    assert sql_lines[0] == (
+        f"sqlpurge db={db_path} table=acct_%Y eff={eff} rt=60"
+    )
+    prt_lines = prt_log.read_text().splitlines()
+    assert len(prt_lines) == 2
+    # non-SQL: no TRIGGER_VARS environment
+    assert prt_lines[0] == "prtpurge db= table= eff= rt="
+
+
 def test_daemon_sql_num_hosts_numeric_ip_columns(spark, tmp_path):
     """sql_num_hosts (CONFIG-KEYS:1911, MySQL/SQLite plugins only):
     host columns land NUMERICAL in network byte order — the
