@@ -2018,6 +2018,23 @@ class Daemon:
                             key_cols=pk_cols,
                             rr_topics=int(rr) if rr else None,
                         )
+                        mv = self.conf.get("kafka_multi_values", name)
+                        if mv and int(mv) > 0:
+                            # kafka_multi_values (CONFIG-KEYS:1519):
+                            # newline-separated JSON objects packed
+                            # into ~N-byte messages (JSON only; Avro
+                            # batches via avro_buffer_size)
+                            from pmacct_spark.sinks.kafka import (
+                                pack_multi_values,
+                            )
+
+                            frames = pack_multi_values(
+                                frames, int(mv)
+                            ).select(
+                                F.lit(None).cast("string").alias("key"),
+                                "value",
+                                "topic",
+                            )
                     bhost = str(
                         self.conf.get(
                             "kafka_broker_host", name, "127.0.0.1"
@@ -2209,6 +2226,25 @@ class Daemon:
                             )
                     else:
                         frames = amqp_frame(emit, **frame_kw)
+                        mv = self.conf.get("amqp_multi_values", name)
+                        if mv and int(mv) > 0:
+                            # amqp_multi_values: same newline packing
+                            # as the Kafka twin; mind amqp_frame_max
+                            # accommodating the packed body (docs)
+                            from pmacct_spark.sinks.kafka import (
+                                pack_multi_values,
+                            )
+
+                            frames = pack_multi_values(
+                                frames,
+                                int(mv),
+                                value_col="body",
+                                group_cols=(
+                                    "exchange", "exchange_type",
+                                    "routing_key", "delivery_mode",
+                                    "content_type",
+                                ),
+                            )
                     ahost = str(
                         self.conf.get("amqp_host", name, "127.0.0.1")
                         or "127.0.0.1"

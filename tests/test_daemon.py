@@ -2375,6 +2375,77 @@ amqp_port[a]: {ab.port}
         kb.stop()
 
 
+def test_daemon_multi_values_packs_bus_messages(spark, tmp_path):
+    """kafka_multi_values / amqp_multi_values (CONFIG-KEYS:1519): with
+    a budget large enough for the whole purge, ALL records ride ONE
+    bus message as newline-separated JSON objects."""
+    import json as _json
+
+    from pmacct_spark.sinks.amqp_wire import AmqpWireClient, MiniAmqpBroker
+    from pmacct_spark.sources.kafka_wire import (
+        KafkaWireClient,
+        MiniKafkaBroker,
+    )
+
+    kb = MiniKafkaBroker(npartitions=2).start()
+    ab = MiniAmqpBroker().start()
+    d = None
+    try:
+        conf = f"""
+nfacctd_ip: 127.0.0.1
+nfacctd_port: 0
+plugins: kafka[k], amqp[a]
+aggregate[k]: proto
+kafka_topic[k]: acct.mv
+kafka_multi_values[k]: 65536
+kafka_broker_port[k]: {kb.port}
+aggregate[a]: proto
+amqp_routing_key[a]: acct
+amqp_multi_values[a]: 65536
+amqp_port[a]: {ab.port}
+"""
+        d = Daemon.from_conf(spark, conf, spool_dir=str(tmp_path / "kmv"))
+        setup = AmqpWireClient("127.0.0.1", ab.port)
+        setup.exchange_declare("pmacct", "direct")
+        setup.queue_declare("qa")
+        setup.queue_bind("qa", "pmacct", "acct")
+        setup.close()
+        _fire(d.port)
+        t0 = time.monotonic()
+        while d.spool.datagrams_received < 2 and time.monotonic() - t0 < 15:
+            time.sleep(0.05)
+        d.run_available()
+        cli = KafkaWireClient("127.0.0.1", kb.port)
+        msgs = []
+        for p in (0, 1):
+            _, rp = cli.fetch("acct.mv", p, 0, with_hwm=True)
+            msgs += [bytes(v).decode() for _o, _k, v in rp]
+        cli.close()
+        assert len(msgs) == 1  # everything packed into one message
+        recs = [_json.loads(line) for line in msgs[0].split("\n")]
+        assert {r["proto"]: r["bytes"] for r in recs} == {
+            "tcp": 1500, "udp": 200,
+        }
+        cli2 = AmqpWireClient("127.0.0.1", ab.port)
+        bodies = []
+        while True:
+            m = cli2.get("qa")
+            if m is None:
+                break
+            bodies.append(m["body"].decode())
+        cli2.close()
+        assert len(bodies) == 1
+        recs = [_json.loads(line) for line in bodies[0].split("\n")]
+        assert {r["proto"]: r["bytes"] for r in recs} == {
+            "tcp": 1500, "udp": 200,
+        }
+    finally:
+        if d is not None:
+            d.stop()
+        ab.stop()
+        kb.stop()
+
+
 def test_daemon_kafka_amqp_markers_live(spark, tmp_path):
     """kafka_markers / amqp_markers (CONFIG-KEYS:1791): purge_init /
     purge_close delimiter messages frame every purge batch on the bus
