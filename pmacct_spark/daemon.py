@@ -1422,14 +1422,17 @@ class Daemon:
             peer_c, origin_c = comm_to_asn_cols(filt)
             # dst_as falls back from the path's LAST hop
             # (evaluate_last_asn), peer_dst_as from its FIRST
-            # (evaluate_first_asn) — src/pkt_handlers.c:5586, :5607
-            last_asn = F.expr(
-                "coalesce(try_cast(element_at(split(as_path, ' '), -1)"
-                " AS BIGINT), 0)"
+            # (evaluate_first_asn) — src/pkt_handlers.c:5586, :5607;
+            # bgp_peer_as_skip_subas skips confed sub-AS segments
+            from pmacct_spark.operators.comms import (
+                first_asn_sql,
+                last_asn_sql,
             )
+
+            skip_subas = self.conf.getbool("bgp_peer_as_skip_subas")
+            last_asn = F.expr(last_asn_sql("as_path"))
             first_asn = F.expr(
-                "coalesce(try_cast(element_at(split(as_path, ' '), 1)"
-                " AS BIGINT), 0)"
+                first_asn_sql("as_path", skip_subas=skip_subas)
             )
             out = out.withColumn(
                 "dst_as",
@@ -1518,9 +1521,13 @@ class Daemon:
             masklens=list(range(32, -1, -1)) if streaming else None,
         )
         ap_col = want_src_attrs.get("as_path", "__src_as_path")
+        from pmacct_spark.operators.comms import first_asn_sql
+
         bgp_val = F.expr(
-            f"coalesce(try_cast(element_at(split({ap_col}, ' '), 1) "
-            "AS BIGINT), 0)"
+            first_asn_sql(
+                ap_col,
+                skip_subas=self.conf.getbool("bgp_peer_as_skip_subas"),
+            )
         )
         if psa_type == "bgp":
             df = df.withColumn("peer_src_as", bgp_val)

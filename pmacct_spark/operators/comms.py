@@ -185,3 +185,45 @@ def comm_to_asn_duck(filtered: str) -> tuple[str, str]:
         f"coalesce(try_cast(split_part({tok}, ':', 1) AS BIGINT), 0)",
         f"coalesce(try_cast(split_part({tok}, ':', 2) AS BIGINT), 0)",
     )
+
+
+def first_asn_sql(col: str, skip_subas: bool = False) -> str:
+    """evaluate_first_asn (src/bgp/bgp_util.c:1087) as a SQL
+    expression: the peer-AS source (peer_src_as / peer_dst_as from the
+    path's first hop). strtoul semantics — leading digits of the first
+    token, a leading '(' (confed sub-AS) stripped, 0 when non-numeric
+    (an AS_SET '{...}' first segment yields 0, like the reference).
+
+    ``skip_subas`` replays bgp_peer_as_skip_subas (CONFIG-KEYS): the
+    first token NOT starting with '(' is reported — including the
+    reference's quirk that inside a multi-AS confed segment the
+    SECOND sub-AS (no leading paren on its token) satisfies the walk —
+    falling back to the first sub-AS when the whole path is
+    confederated or the candidate parses to 0."""
+    first_tok = f"try_element_at(split({col}, ' '), 1)"
+    first_num = (
+        f"coalesce(try_cast(regexp_extract({first_tok},"
+        " '^\\\\(?([0-9]+)', 1) AS BIGINT), 0)"
+    )
+    if not skip_subas:
+        return first_num
+    cand_tok = (
+        f"try_element_at(filter(split({col}, ' '),"
+        " t -> substring(t, 1, 1) <> '('), 1)"
+    )
+    cand = (
+        f"coalesce(try_cast(regexp_extract({cand_tok},"
+        " '^([0-9]+)', 1) AS BIGINT), 0)"
+    )
+    return f"CASE WHEN {cand} > 0 THEN {cand} ELSE {first_num} END"
+
+
+def last_asn_sql(col: str) -> str:
+    """evaluate_last_asn (src/bgp/bgp_util.c:1080): the origin AS —
+    the LAST ASN that appears anywhere in the rendered path (the
+    reference's last_as is updated across every segment type, so a
+    trailing '{64512,64513}' set yields 64513)."""
+    return (
+        f"coalesce(try_cast(regexp_extract({col},"
+        " '([0-9]+)[^0-9]*$', 1) AS BIGINT), 0)"
+    )

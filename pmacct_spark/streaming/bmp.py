@@ -190,17 +190,29 @@ def _parse_attrs(
         val = b[p : p + ln]
         p += ln
         if code == 2 and len(val) >= 2:  # AS_PATH (assume AS4 segments)
+            # segment rendering exactly as aspath_gettoken/make_str
+            # (src/bgp/bgp_aspath.c:324-596): AS_SEQUENCE plain
+            # space-separated, AS_SET {a,b}, AS_CONFED_SEQUENCE (a b),
+            # AS_CONFED_SET [a,b]; segments joined by single spaces
+            _delims = {1: ("{", "}", ","), 3: ("(", ")", " "),
+                       4: ("[", "]", ",")}
             segs = []
             q = 0
             while q + 2 <= len(val):
-                _stype, n = val[q], val[q + 1]
+                stype, n = val[q], val[q + 1]
                 q += 2
+                asns = []
                 for _ in range(n):
                     if q + 4 > len(val):
                         break
-                    segs.append(str(int.from_bytes(val[q : q + 4], "big")))
+                    asns.append(str(int.from_bytes(val[q : q + 4], "big")))
                     q += 4
-            attrs["as_path"] = " ".join(segs)
+                if stype in _delims:
+                    o, c, sep = _delims[stype]
+                    segs.append(o + sep.join(asns) + c)
+                else:  # AS_SEQUENCE (2) and anything unknown
+                    segs.append(" ".join(asns))
+            attrs["as_path"] = " ".join(s for s in segs if s)
         elif code == 3 and len(val) == 4:
             attrs["next_hop"] = int.from_bytes(val, "big")
         elif code == 4 and len(val) == 4:

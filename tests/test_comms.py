@@ -86,3 +86,62 @@ def test_split_patterns():
     assert split_patterns(" 64496:64, 65100:9.. ") == [
         "64496:64", "65100:9..",
     ]
+
+
+def test_first_last_asn_semantics(spark):
+    """evaluate_first_asn / evaluate_last_asn (src/bgp/bgp_util.c:1080)
+    replayed over every segment-rendering shape, including the
+    bgp_peer_as_skip_subas walk — and its reference quirk: inside a
+    multi-AS confed segment the second sub-AS token (no leading paren)
+    terminates the walk."""
+    from pmacct_spark.operators.comms import first_asn_sql, last_asn_sql
+
+    rows = [
+        # (path, first, first_skip_subas, last)
+        ("174 3356 65010", 174, 174, 65010),
+        ("(65001 65002) 174", 65001, 65002, 174),  # the C quirk
+        ("(65001) 174", 65001, 174, 174),
+        ("(65001 65002)", 65001, 65002, 65002),
+        ("(65001)", 65001, 65001, 65001),  # all-confed: first sub-AS
+        ("{64512,64513} 174", 0, 0, 174),  # AS_SET first: strtoul -> 0
+        ("174 {64512,64513}", 174, 174, 64513),  # last_as spans sets
+        ("", 0, 0, 0),
+    ]
+    df = spark.createDataFrame([(p,) for p, *_ in rows], "p string")
+    got = {
+        r["p"]: (r["f"], r["fs"], r["l"])
+        for r in df.selectExpr(
+            "p",
+            first_asn_sql("p") + " AS f",
+            first_asn_sql("p", skip_subas=True) + " AS fs",
+            last_asn_sql("p") + " AS l",
+        ).collect()
+    }
+    for p, f, fs, last in rows:
+        assert got[p] == (f, fs, last), p
+
+
+def test_aspath_segment_rendering_from_wire():
+    """AS_PATH segment delimiters (aspath_delimiter_char,
+    src/bgp/bgp_aspath.c:324): AS_SET {a,b}, AS_CONFED_SEQUENCE (a b),
+    AS_CONFED_SET [a,b], AS_SEQUENCE plain — decoded from real
+    UPDATE attribute bytes."""
+    from pmacct_spark.streaming.bmp import _parse_attrs
+
+    def seg(stype, asns):
+        out = bytes([stype, len(asns)])
+        for a in asns:
+            out += a.to_bytes(4, "big")
+        return out
+
+    val = (
+        seg(3, [65001, 65002])  # AS_CONFED_SEQUENCE
+        + seg(2, [174, 3356])   # AS_SEQUENCE
+        + seg(1, [64512, 64513])  # AS_SET
+        + seg(4, [64999])       # AS_CONFED_SET
+    )
+    attr = bytes([0x40, 2, len(val)]) + val  # well-known, AS_PATH
+    attrs = _parse_attrs(attr)
+    assert attrs["as_path"] == (
+        "(65001 65002) 174 3356 {64512,64513} [64999]"
+    )

@@ -1388,7 +1388,10 @@ def test_bgp_comm_pattern_families_and_to_asn(spark):
     def make(conf_map):
         d = Daemon.__new__(Daemon)
         d.conf = types.SimpleNamespace(
-            get=lambda k, default=None: conf_map.get(k, default)
+            get=lambda k, default=None: conf_map.get(k, default),
+            getbool=lambda k, default=False: str(
+                conf_map.get(k, default)
+            ).lower() in ("true", "1", "yes"),
         )
         d.flavor = "netflow"
         d.rib = lambda: spark.createDataFrame(
