@@ -1301,13 +1301,39 @@ class Daemon:
             ).drop("origin_as")
             attrs["roa_status"] = "dst_roa"  # the registry primitive
             defaults["dst_roa"] = "u"  # off-RIB traffic: unknown
+        fdef = int(self.conf.get("bgp_follow_default") or 0)
+        lookup_peer = "peer_ip_src"
+        if fdef and not streaming:
+            # bgp_follow_default (CONFIG-KEYS; bgp_lookup.c:403-476):
+            # default-only/partial-view peerings — when the exporter's
+            # RIB answer is its default route, the default gateway's
+            # RIB answers instead, recursively up to the budget.
+            # Batch-drain only, like bgp_follow_nexthop below (the
+            # dim-side probes re-run per daemon tick).
+            from pmacct_spark.functions.addr import ipv4_ntoa
+            from pmacct_spark.operators.lpm import follow_default_join
+
+            fd_rib = rib.select(
+                "peer_ip", "net_int", "masklen",
+                F.when(
+                    F.col("next_hop").isNotNull()
+                    & (F.col("next_hop") > 0),
+                    ipv4_ntoa("next_hop"),
+                ).alias("nexthop"),
+            )
+            df = follow_default_join(
+                df, fd_rib, "ip_dst_i", "peer_ip_src", fdef
+            )
+            lookup_peer = "__fd_peer"
         out = lpm_join(
             df, rib, "ip_dst_i", attrs, default=defaults,
-            extra_keys={"peer_ip_src": "peer_ip"},
+            extra_keys={lookup_peer: "peer_ip"},
             # live queries must not freeze the masklen set at
             # .start() time (see lpm_join docstring)
             masklens=list(range(32, -1, -1)) if streaming else None,
         )
+        if lookup_peer == "__fd_peer":
+            out = out.drop("__fd_peer")
         fnh = self.conf.get("bgp_follow_nexthop")
         if fnh and not streaming:
             # bgp_follow_nexthop (+_external) — recursive next-hop

@@ -263,6 +263,81 @@ def follow_nexthop_join(
     )
 
 
+def follow_default_join(
+    flows: DataFrame,
+    rib: DataFrame,
+    ip_col: str,
+    peer_col: str,
+    follow_default: int,
+    out_col: str = "__fd_peer",
+) -> DataFrame:
+    """bgp_follow_default (CONFIG-KEYS; the start_again_follow_default
+    recursion, reference src/bgp/bgp_lookup.c:87,403-476): when the
+    exporter's own RIB resolves the flow only through its DEFAULT
+    route (masklen 0), the default route's gateway (its NEXT_HOP)
+    becomes the agent for a whole new lookup, up to ``follow_default``
+    times — partial-view / default-only peerings resolve through the
+    router that actually holds the specific routes. When the budget
+    runs out the default-route match itself stands (the reference only
+    clears bgp_dst while ``follow_default`` is still positive).
+
+    This pre-pass resolves the EFFECTIVE lookup peer into ``out_col``;
+    the caller's attribute lpm_join then keys on it, so the whole
+    feature costs (follow_default + 1) chained broadcast probes and
+    the fact table never shuffles (the follow_nexthop_join shape).
+
+    ``rib`` columns: ``peer_ip``, ``net_int``, ``masklen``,
+    ``nexthop`` (string)."""
+    masklens = sorted(
+        (r[0] for r in rib.select("masklen").distinct().collect()),
+        reverse=True,
+    )
+    lookups = max(int(follow_default), 0) + 1
+    out = flows.withColumn("__fd_sa", F.col(peer_col)).withColumn(
+        "__fd_final", F.lit(None).cast("string")
+    )
+    for i in range(lookups):
+        out = lpm_join(
+            out,
+            rib,
+            ip_col,
+            {"masklen": "__fd_ml", "nexthop": "__fd_nh"},
+            extra_keys={"__fd_sa": "peer_ip"},
+            masklens=masklens,
+        )
+        sa = F.col("__fd_sa")
+        active = sa.isNotNull()
+        is_default = F.col("__fd_ml").isNotNull() & (
+            F.col("__fd_ml") == 0
+        )
+        follow = (
+            active
+            & is_default
+            & F.col("__fd_nh").isNotNull()
+            & (F.col("__fd_nh") != sa)  # self-gateway: stop
+            & F.lit(i < lookups - 1)  # budget left
+        )
+        stop = active & ~follow
+        out = (
+            out.withColumn(
+                "__fd_final",
+                F.coalesce(
+                    F.col("__fd_final"), F.when(stop, sa)
+                ),
+            )
+            .withColumn(
+                "__fd_sa",
+                F.when(follow, F.col("__fd_nh")).otherwise(
+                    F.lit(None)
+                ),
+            )
+            .drop("__fd_ml", "__fd_nh")
+        )
+    return out.withColumn(
+        out_col, F.coalesce(F.col("__fd_final"), F.col(peer_col))
+    ).drop("__fd_sa", "__fd_final")
+
+
 def net_mask_merge_sql(
     export_mask: str, file_mask: str, *, no_lpm: bool = False
 ) -> str:

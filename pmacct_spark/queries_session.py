@@ -15,6 +15,8 @@ from pmacct_spark.operators.sessionize import (
 )
 from pmacct_spark.sources.tables import load_table
 from pmacct_spark.views.dims import (
+    BGP_FD_RIB_DUCK,
+    bgp_fd_rib_dim,
     BGP6_RIB_DUCK,
     BGP_NH_RIB_DUCK,
     BGP_RIB_DUCK,
@@ -398,6 +400,87 @@ def bgp_follow_nexthop_lookup(spark, sf_dir):
         external_col="peer_dst_ip_ext",
     )
     return resolved.groupBy("peer_dst_ip", "peer_dst_ip_ext").agg(
+        F.sum("bytes").cast("bigint").alias("bytes"),
+        F.count(F.lit(1)).alias("flows"),
+    )
+
+
+# --- bgp_follow_default (the start_again_follow_default recursion,
+#     src/bgp/bgp_lookup.c:87,403-476): exporters with a DEFAULT-only
+#     BGP view resolve flows through the default route's gateway —
+#     recursively, budget-bounded. The fixture exercises all four
+#     outcomes: one-hop resolution (even exporters -> gw .9.0),
+#     two-hop (odd exporters -> gw .9.1 -> gw .9.2 for odd nations),
+#     gateway-local specifics (odd exporters, even nations), and the
+#     reference's budget-exhaustion rule (with the budget spent, the
+#     default route's own attributes stand — observable here as
+#     as_path 64501 rows under fdef=1, none under fdef=2).
+_FD_LPM = """
+  SELECT x.event_id, x.bytes, x.ip_dst_i, x.{p} AS peer,
+         r.masklen AS ml, r.nexthop AS nh, r.as_path
+  FROM {src} x JOIN rib r ON r.peer_ip = x.{p}
+   AND (x.ip_dst_i // (CAST(1 AS BIGINT) << (32 - r.masklen)))
+     = (r.net_int // (CAST(1 AS BIGINT) << (32 - r.masklen)))
+  QUALIFY ROW_NUMBER() OVER (
+    PARTITION BY x.event_id ORDER BY r.masklen DESC) = 1
+"""
+
+
+@register(
+    "bgp_follow_default_lookup",
+    f"""{FLOWS_DUCK_CTE},
+rib AS ({{FD_RIB}}),
+f0 AS (
+  SELECT event_id, bytes, ip_dst_i, peer_ip_src AS p0 FROM flows
+),
+l0 AS ({_FD_LPM.format(src='f0', p='p0')}),
+f1 AS (
+  SELECT event_id, bytes, ip_dst_i,
+         CASE WHEN ml = 0 AND nh IS NOT NULL AND nh <> peer
+              THEN nh ELSE peer END AS p1
+  FROM l0
+),
+l1 AS ({_FD_LPM.format(src='f1', p='p1')}),
+f2 AS (
+  SELECT event_id, bytes, ip_dst_i,
+         CASE WHEN ml = 0 AND nh IS NOT NULL AND nh <> peer
+              THEN nh ELSE peer END AS p2
+  FROM l1
+),
+fin AS ({_FD_LPM.format(src='f2', p='p2')})
+SELECT as_path, CAST(SUM(bytes) AS BIGINT) AS bytes,
+       COUNT(*) AS flows
+FROM fin GROUP BY 1""".replace("{FD_RIB}", BGP_FD_RIB_DUCK),
+)
+def bgp_follow_default_lookup(spark, sf_dir):
+    """Resolved columnar: follow_default_join pre-resolves the
+    EFFECTIVE lookup peer ((budget+1) chained broadcast probes, the
+    fact side never shuffles), then ONE attrs lpm_join keys on it —
+    the reference's whole-lookup restart becomes a peer-column
+    rewrite."""
+    from pmacct_spark.operators.lpm import follow_default_join
+    from pmacct_spark.operators.staging import stage
+
+    fl = flows(spark, sf_dir).select(
+        F.expr("event_id"), "peer_ip_src", "ip_dst_i", "bytes"
+    )
+    rib = stage(bgp_fd_rib_dim(spark, sf_dir))
+    fd = follow_default_join(
+        fl,
+        rib.select("peer_ip", "net_int", "masklen", "nexthop"),
+        "ip_dst_i",
+        "peer_ip_src",
+        follow_default=2,
+    )
+    enriched = lpm_join(
+        fd,
+        rib.withColumnRenamed("prefix", "net_int"),
+        "ip_dst_i",
+        {"as_path": "as_path"},
+        default={"as_path": ""},
+        extra_keys={"__fd_peer": "peer_ip"},
+    )
+    return enriched.groupBy("as_path").agg(
         F.sum("bytes").cast("bigint").alias("bytes"),
         F.count(F.lit(1)).alias("flows"),
     )

@@ -255,6 +255,43 @@ SELECT '172.16.2.' || CAST(g AS {{STR}}),
 FROM nation CROSS JOIN {_NH_EXITS}
 """
 
+# follow-default fixture (bgp_follow_default, bgp_lookup.c:403-476):
+# exporter peers carry ONLY a default route to a parity-chosen
+# gateway; gateway .9.0 holds every specific, gateway .9.1 holds only
+# EVEN-nation specifics plus its own default to the second-level
+# gateway .9.2 (which holds everything) — so depth 1 and depth 2
+# recursions, budget exhaustion, and plain specifics all occur.
+_BGP_FD_RIB_SQL = f"""
+SELECT '192.0.2.' || CAST(r_regionkey AS {{STR}}) AS peer_ip,
+       CAST(0 AS BIGINT) AS net_int, 0 AS masklen,
+       '172.16.9.' || CAST(r_regionkey % 2 AS {{STR}}) AS nexthop,
+       '64500' AS as_path
+FROM region
+UNION ALL
+SELECT '172.16.9.0', CAST({_BASE} + n_nationkey * 65536 AS BIGINT), 16,
+       CAST(NULL AS {{STR}}), '65000 ' || CAST(65100 + n_nationkey AS {{STR}})
+FROM nation
+UNION ALL
+SELECT '172.16.9.1', CAST({_BASE} + n_nationkey * 65536 AS BIGINT), 16,
+       CAST(NULL AS {{STR}}), '65001 ' || CAST(65200 + n_nationkey AS {{STR}})
+FROM nation WHERE n_nationkey % 2 = 0
+UNION ALL
+SELECT '172.16.9.1', CAST(0 AS BIGINT), 0, '172.16.9.2', '64501'
+UNION ALL
+SELECT '172.16.9.2', CAST({_BASE} + n_nationkey * 65536 AS BIGINT), 16,
+       CAST(NULL AS {{STR}}), '65002 ' || CAST(65300 + n_nationkey AS {{STR}})
+FROM nation
+"""
+
+
+def bgp_fd_rib_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _run(
+        spark, sf_dir, _BGP_FD_RIB_SQL.replace("{STR}", "STRING"),
+        ["region", "nation"],
+    )
+
+
+BGP_FD_RIB_DUCK = _BGP_FD_RIB_SQL.replace("{STR}", "VARCHAR")
 BGP_NH_RIB_DUCK = _BGP_NH_RIB_SQL.replace("{STR}", "VARCHAR")
 BGP6_RIB_DUCK = _BGP6_RIB_SQL.replace("{STR}", "VARCHAR").replace("{HEX}", "to_hex")
 ROA_DUCK = _ROA_SQL

@@ -272,3 +272,53 @@ def test_follow_nexthop_plan_is_broadcast_only(spark):
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
     assert "Exchange hashpartitioning" not in plan
+
+
+def test_follow_default_budget_and_self_gateway(spark):
+    """bgp_follow_default (bgp_lookup.c:403-476): the default-route
+    gateway answers recursively up to the budget; with the budget
+    spent the default route's own match STANDS (the reference clears
+    bgp_dst only while follow_default is positive); a self-referential
+    default gateway stops immediately."""
+    from pmacct_spark.operators.lpm import follow_default_join, lpm_join
+
+    rib = spark.createDataFrame(
+        [
+            # exporter: default only -> gw1
+            ("192.0.2.1", 0, 0, "10.9.9.1", "64500"),
+            # gw1: default only -> gw2
+            ("10.9.9.1", 0, 0, "10.9.9.2", "64501"),
+            # gw2: the specific
+            ("10.9.9.2", 0x0A000000, 8, None, "65010 65020"),
+            # exporter with a SELF default gateway: stops at itself
+            ("192.0.2.9", 0, 0, "192.0.2.9", "64509"),
+        ],
+        "peer_ip string, net_int long, masklen int, nexthop string,"
+        " as_path string",
+    )
+    fl = spark.createDataFrame(
+        [("192.0.2.1", 0x0A000001), ("192.0.2.9", 0x0A000001)],
+        "peer_ip_src string, ip_dst_i long",
+    )
+
+    def resolve(budget):
+        fd = follow_default_join(
+            fl, rib.select("peer_ip", "net_int", "masklen", "nexthop"),
+            "ip_dst_i", "peer_ip_src", budget,
+        )
+        got = lpm_join(
+            fd, rib, "ip_dst_i", {"as_path": "as_path"},
+            default={"as_path": ""}, extra_keys={"__fd_peer": "peer_ip"},
+        )
+        return {
+            r["peer_ip_src"]: r["as_path"] for r in got.collect()
+        }
+
+    # budget 2: exporter -> gw1 -> gw2's specific
+    assert resolve(2)["192.0.2.1"] == "65010 65020"
+    # budget 1: stops at gw1 — its default route's attrs stand
+    assert resolve(1)["192.0.2.1"] == "64501"
+    # budget 0: no following at all
+    assert resolve(0)["192.0.2.1"] == "64500"
+    # self-gateway never follows, any budget
+    assert resolve(2)["192.0.2.9"] == "64509"
