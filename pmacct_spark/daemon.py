@@ -1517,11 +1517,37 @@ class Daemon:
             for col, key in src_attr_types.items()
             if str(self.conf.get(key) or "").lower() == "bgp"
         }
+        # bgp_src_local_pref_map / bgp_src_med_map (CONFIG-KEYS;
+        # examples/lpref.map.example, med.map.example): hard-coded
+        # values matched on exporter ip / ifIndex / src_mac / vlan /
+        # bgp_nexthop, with id=bgp falling through to the reverse RIB
+        # lookup — the bgp_peer_src_as_map grammar applied to the
+        # src_local_pref / src_med primitives
+        src_map_rules: dict[str, list] = {}
+        for col, tkey, mkey in (
+            ("local_pref", "bgp_src_local_pref_type",
+             "bgp_src_local_pref_map"),
+            ("med", "bgp_src_med_type", "bgp_src_med_map"),
+        ):
+            if str(self.conf.get(tkey) or "").lower() != "map":
+                continue
+            mpath = self.conf.get(mkey)
+            if not mpath:
+                # the reference exits: "set to 'map' but no map
+                # defined" (src/nfacctd.c:1068)
+                raise ValueError(
+                    f"{tkey} set to 'map' but no {mkey} defined"
+                )
+            with open(str(mpath)) as fh:
+                src_map_rules[col] = conffile.parse_bgp_peer_src_as_map(
+                    fh.read()
+                )
         has_rib = (
             self.bgp_spool is not None or self.bmp_spool is not None
         )
         needs_lookup = has_rib and (
             psa_type in ("map", "bgp") or want_src_attrs
+            or src_map_rules
         )
         if not needs_lookup:
             return df
@@ -1539,8 +1565,15 @@ class Daemon:
                     map_rules = conffile.parse_bgp_peer_src_as_map(
                         fh.read()
                     )
-            if any(r.get("bgp_nexthop") for r in map_rules):
-                attrs["next_hop"] = "__src_next_hop"
+        for col in src_map_rules:
+            # the id=bgp fallback needs the RIB's own value
+            attrs.setdefault(col, f"__src_{col}_bgp")
+        if any(
+            r.get("bgp_nexthop")
+            for rules in ([map_rules] + list(src_map_rules.values()))
+            for r in rules
+        ):
+            attrs["next_hop"] = "__src_next_hop"
         df = lpm_join(
             df, rib, "ip_src_i", attrs,
             extra_keys={"peer_ip_src": "peer_ip"},
@@ -1555,16 +1588,15 @@ class Daemon:
                 skip_subas=self.conf.getbool("bgp_peer_as_skip_subas"),
             )
         )
-        if psa_type == "bgp":
-            df = df.withColumn("peer_src_as", bgp_val)
-        elif psa_type == "map":
-            from pmacct_spark.functions.addr import (
-                ipv4_aton,
-                ipv4_ntoa,
-            )
+        from pmacct_spark.functions.addr import ipv4_aton, ipv4_ntoa
 
+        def _rule_case(rules, bgp_fallback):
+            """First-match-wins CASE over the shared map grammar
+            (BPAS_map and friends, src/pretag_handlers.c:2851):
+            exporter ip prefix / ifIndex / vlan / src_mac /
+            bgp_nexthop matches; id=bgp falls through to the RIB."""
             expr = F.lit(None).cast("bigint")
-            for r in reversed(map_rules):  # earlier rule wins
+            for r in reversed(rules):  # earlier rule wins
                 cond = F.lit(True)
                 if "ip" in r and r["ip"].version == 4:
                     div = 1 << (32 - r["ip"].prefixlen)
@@ -1587,15 +1619,30 @@ class Daemon:
                         == r["bgp_nexthop"]
                     )
                 val = (
-                    bgp_val
+                    bgp_fallback
                     if r["id"] == "bgp"
                     else F.lit(int(r["id"])).cast("bigint")
                 )
                 expr = F.when(cond, val).otherwise(expr)
+            return expr
+
+        if psa_type == "bgp":
+            df = df.withColumn("peer_src_as", bgp_val)
+        elif psa_type == "map":
             df = df.withColumn(
-                "peer_src_as", F.coalesce(expr, F.lit(0))
+                "peer_src_as",
+                F.coalesce(_rule_case(map_rules, bgp_val), F.lit(0)),
             )
-        return df.drop("__src_as_path", "__src_next_hop")
+        for col, rules in src_map_rules.items():
+            rib_val = F.col(f"__src_{col}_bgp").cast("bigint")
+            df = df.withColumn(
+                f"src_{col}",
+                F.coalesce(_rule_case(rules, rib_val), F.lit(0)),
+            )
+        return df.drop(
+            "__src_as_path", "__src_next_hop",
+            *[f"__src_{c}_bgp" for c in src_map_rules],
+        )
 
     def _maps(self, df: DataFrame) -> DataFrame:
         """Apply the configured maps, exactly as the reference's

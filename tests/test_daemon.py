@@ -2056,6 +2056,37 @@ def test_peer_src_as_type_bgp_map_and_peer_as_flip(spark, tmp_path):
     row = d._peer_as_enrich(fl).collect()[0]
     assert (row["src_local_pref"], row["src_med"]) == (77, 12)
 
+    # bgp_src_local_pref_map / bgp_src_med_map (lpref.map.example /
+    # med.map.example): 'map' method — hard-coded values matched on
+    # exporter ip / ifIndex / bgp_nexthop, id=bgp falling through to
+    # the reverse RIB value
+    lp = tmp_path / "lpref.map"
+    lp.write_text(
+        "id=250 ip=127.0.0.1/32 in=3\n"
+        "id=bgp ip=127.0.0.1/32\n"
+    )
+    md = tmp_path / "med.map"
+    md.write_text("id=90 ip=127.0.0.1/32 bgp_nexthop=192.0.2.153\n")
+    d = make({
+        "bgp_src_local_pref_type": "map",
+        "bgp_src_local_pref_map": str(lp),
+        "bgp_src_med_type": "map",
+        "bgp_src_med_map": str(md),
+    })
+    row = d._peer_as_enrich(fl).collect()[0]
+    # iface 3 matches rule 1; next_hop 0xC0000299 = 192.0.2.153
+    assert (row["src_local_pref"], row["src_med"]) == (250, 90)
+    row = d._peer_as_enrich(
+        fl.withColumn("iface_in", F.lit(9))
+    ).collect()[0]
+    assert row["src_local_pref"] == 77  # id=bgp -> RIB local_pref
+    # 'map' without a map file: the reference's startup error
+    import pytest as _pytest
+
+    d = make({"bgp_src_local_pref_type": "map"})
+    with _pytest.raises(ValueError, match="no bgp_src_local_pref_map"):
+        d._peer_as_enrich(fl)
+
 
 def test_maps_refresh_sigusr2_reloads_map_files(spark, tmp_path):
     """maps_refresh (CONFIG-KEYS:2270): SIGUSR2 reloads every
