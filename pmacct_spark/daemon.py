@@ -2871,8 +2871,33 @@ class Daemon:
                     F.lit(topic).alias("topic"),
                 )
             )
-        produce_frames(frames, str(khost), kport)
+        produce_frames(
+            frames, str(khost), kport,
+            **self._kafka_wire_opts(prefix),
+        )
         return f"kafka://{khost}:{kport}/{topic}"
+
+    def _kafka_wire_opts(self, prefix: str) -> dict:
+        """``{prefix}_kafka_config_file`` (librdkafka property
+        passthrough, CONFIG-KEYS:851 family) and
+        ``{prefix}_kafka_partition`` (fixed partition id) resolved to
+        wire-producer options — shared by the msglog/dump/counter
+        Kafka emitters."""
+        opts: dict = {}
+        kcf = self.conf.get(f"{prefix}_kafka_config_file")
+        if kcf:
+            from pmacct_spark.sources.kafka_wire import (
+                wire_producer_options,
+            )
+
+            with open(str(kcf)) as fh:
+                opts = wire_producer_options(
+                    conffile.parse_kafka_config_file(fh.read())
+                )
+        kpart = self.conf.get(f"{prefix}_kafka_partition")
+        if kpart is not None and int(kpart) >= 0:
+            opts["partition"] = int(kpart)
+        return opts
 
     def write_msglog_if_configured(self) -> list[str]:
         """Per-event BGP/BMP message log (reference bgp_daemon_msglog_*
@@ -3002,7 +3027,10 @@ class Daemon:
                     frames = apply_rr_suffix(
                         frames, "topic", str(topic), int(rr)
                     )
-                produce_frames(frames, host, port)
+                produce_frames(
+                    frames, host, port,
+                    **self._kafka_wire_opts(family),
+                )
                 wrote.append(f"kafka://{host}:{port}/{topic}")
             rkey = self.conf.get(f"{family}_amqp_routing_key")
             if rkey:
@@ -3218,7 +3246,9 @@ class Daemon:
                 )
             from pmacct_spark.sources.kafka_wire import produce_frames
 
-            produce_frames(frames, host, port)
+            produce_frames(
+                frames, host, port, **self._kafka_wire_opts(fam)
+            )
             wrote.append(f"kafka://{host}:{port}/{topic}")
         return wrote
 

@@ -1246,3 +1246,49 @@ core_proc_name: pmtelemetryd
         ln["ietf-telemetry-message:message"]["payload"]["k"] for ln in lines
     ]
     assert ks == [1]  # the unlisted exporter's message was dropped
+
+
+def test_msglog_kafka_partition_and_config_file(spark, tmp_path):
+    """bgp_daemon_msglog_kafka_partition /
+    bgp_daemon_msglog_kafka_config_file (CONFIG-KEYS family): the
+    msglog emitter honors a fixed partition id and the config-file
+    producer properties, like the accounting plugin does."""
+    import types
+
+    from pmacct_spark.daemon import Daemon
+    from pmacct_spark.sources.kafka_wire import (
+        KafkaWireClient,
+        MiniKafkaBroker,
+    )
+
+    kcf = tmp_path / "ml_kafka.cfg"
+    kcf.write_text("global, batch.num.messages, 4\n")
+    conf_map = {
+        "bgp_daemon_msglog_kafka_partition": "1",
+        "bgp_daemon_msglog_kafka_config_file": str(kcf),
+    }
+    d = Daemon.__new__(Daemon)
+    d.conf = types.SimpleNamespace(
+        get=lambda k, *a, **kw: conf_map.get(k, kw.get("default"))
+    )
+    opts = d._kafka_wire_opts("bgp_daemon_msglog")
+    assert opts == {"partition": 1, "batch_messages": 4}
+    # live effect: every message lands on the pinned partition
+    from pmacct_spark.sinks.msglog import msglog_kafka_frames
+    from pmacct_spark.sources.kafka_wire import produce_frames
+
+    b = MiniKafkaBroker(npartitions=3).start()
+    try:
+        frames = msglog_kafka_frames(
+            _bmp_session_events(spark), topic="pin.msglog"
+        )
+        produce_frames(frames, b.host, b.port, nparts=3, **opts)
+        cli = KafkaWireClient(b.host, b.port)
+        counts = {}
+        for p in range(3):
+            _, rp = cli.fetch("pin.msglog", p, 0, with_hwm=True)
+            counts[p] = len(rp)
+        cli.close()
+    finally:
+        b.stop()
+    assert counts == {0: 0, 1: 4, 2: 0}
