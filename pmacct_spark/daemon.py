@@ -3091,6 +3091,7 @@ class Daemon:
                 counter_log_kafka_frames(self._sflow_counters(), str(ctopic)),
                 khost,
                 kport,
+                **self._kafka_wire_opts("sfacctd_counter"),
             )
             wrote.append(f"kafka://{khost}:{kport}/{ctopic}")
         # telemetry msglog (telemetry_daemon_msglog_file,
