@@ -2083,6 +2083,37 @@ class Daemon:
                                     "key", "value",
                                     F.lit(str(topic)).alias("topic"),
                                 )
+                                mv = self.conf.get(
+                                    "kafka_multi_values", name
+                                )
+                                if mv and int(mv) > 0:
+                                    # avro batching: multiple datums
+                                    # per message bounded by
+                                    # avro_buffer_size (CONFIG-KEYS:
+                                    # 1866 — "for Apache Avro see
+                                    # avro_buffer_size"); plain-datum
+                                    # output only, the Confluent
+                                    # frame is one-datum-per-message
+                                    from pmacct_spark.sinks.kafka import (
+                                        pack_multi_values,
+                                    )
+
+                                    buf = int(
+                                        self.conf.get(
+                                            "avro_buffer_size",
+                                            name, 8192,
+                                        )
+                                        or 8192
+                                    )
+                                    frames = pack_multi_values(
+                                        frames, buf, binary=True
+                                    ).select(
+                                        F.lit(None)
+                                        .cast("string")
+                                        .alias("key"),
+                                        "value",
+                                        "topic",
+                                    )
                         if rr:
                             from pmacct_spark.sinks.msglog import (
                                 apply_rr_suffix,

@@ -28,6 +28,7 @@ def pack_multi_values(
     budget: int,
     value_col: str = "value",
     group_cols: tuple[str, ...] = ("topic",),
+    binary: bool = False,
 ) -> DataFrame:
     """[kafka|amqp]_multi_values (CONFIG-KEYS:1519): newline-separated
     JSON objects packed into messages of ~``budget`` bytes ("preferred
@@ -38,14 +39,21 @@ def pack_multi_values(
     is JVM-side: a per-partition running byte sum assigns chunk ids,
     one aggregation concatenates — no Python, no driver collect. Keys
     are dropped (a multi-record message has no single record key, as
-    in the reference's buffered send)."""
+    in the reference's buffered send).
+
+    ``binary=True`` packs Avro datums instead (kafka_output: avro
+    with avro_buffer_size as the budget, CONFIG-KEYS:1866): datums
+    concatenate with NO separator — Avro binary is self-delimiting
+    under the schema, so a consumer reads them back sequentially."""
     from pyspark.sql import Window
 
     gcols = [c for c in group_cols if c in df.columns]
     work = (
         df.withColumn("__pid", F.spark_partition_id())
         .withColumn("__mid", F.monotonically_increasing_id())
-        .withColumn("__len", F.length(value_col) + 1)
+        .withColumn(
+            "__len", F.length(value_col) + (0 if binary else 1)
+        )
     )
     w = Window.partitionBy("__pid", *gcols).orderBy("__mid")
     chunked = work.withColumn(
@@ -55,26 +63,30 @@ def pack_multi_values(
             / F.lit(max(int(budget), 1))
         ),
     )
+    # collect_list order is not guaranteed post-shuffle: carry the
+    # row id and sort inside the aggregate
+    ordered = F.transform(
+        F.array_sort(
+            F.collect_list(
+                F.struct(
+                    F.col("__mid").alias("i"),
+                    F.col(value_col).alias("v"),
+                )
+            )
+        ),
+        lambda s: s["v"],
+    )
+    if binary:
+        packed = F.aggregate(
+            ordered,
+            F.lit(b""),
+            lambda acc, v: F.concat(acc, v),
+        )
+    else:
+        packed = F.array_join(ordered, "\n")
     return (
         chunked.groupBy("__pid", "__chunk", *gcols)
-        .agg(
-            # collect_list order is not guaranteed post-shuffle: carry
-            # the row id and sort inside the aggregate
-            F.array_join(
-                F.transform(
-                    F.array_sort(
-                        F.collect_list(
-                            F.struct(
-                                F.col("__mid").alias("i"),
-                                F.col(value_col).alias("v"),
-                            )
-                        )
-                    ),
-                    lambda s: s["v"],
-                ),
-                "\n",
-            ).alias(value_col)
-        )
+        .agg(packed.alias(value_col))
         .drop("__pid", "__chunk")
     )
 

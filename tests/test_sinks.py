@@ -624,3 +624,36 @@ def test_pack_multi_values_chunking(spark):
         # does (the reference's flush-on-overflow buffer)
         if len(parts) > 1:
             assert len(msg) <= budget + max(len(p) + 1 for p in parts)
+
+
+def test_pack_multi_values_binary_avro_datums(spark):
+    """avro_buffer_size batching (CONFIG-KEYS:1866): multiple Avro
+    datums per bus message, concatenated with NO separator — Avro
+    binary is self-delimiting under the schema, so sequential
+    read_datum calls recover every record."""
+    import io
+
+    from pmacct_spark.sinks.avro import (
+        avro_frames,
+        avro_schema_of,
+        read_datum,
+    )
+    from pmacct_spark.sinks.kafka import pack_multi_values
+
+    df = spark.createDataFrame(
+        [(i, f"name{i}") for i in range(30)], "k long, name string"
+    ).coalesce(1)
+    schema = avro_schema_of(df.schema)
+    frames = avro_frames(df).select(
+        "key", "value", F.lit("t").alias("topic")
+    )
+    packed = pack_multi_values(frames, 128, binary=True).collect()
+    assert 1 < len(packed) < 30  # actually batched, bounded
+    got = []
+    for r in packed:
+        buf = io.BytesIO(bytes(r["value"]))
+        end = len(bytes(r["value"]))
+        while buf.tell() < end:
+            got.append(read_datum(buf, schema))
+    assert sorted(d["k"] for d in got) == list(range(30))
+    assert all(d["name"] == f"name{d['k']}" for d in got)
