@@ -2106,7 +2106,8 @@ class Daemon:
                                         or 8192
                                     )
                                     frames = pack_multi_values(
-                                        frames, buf, binary=True
+                                        frames, buf, binary=True,
+                                        max_records=int(mv),
                                     ).select(
                                         F.lit(None)
                                         .cast("string")

@@ -29,6 +29,7 @@ def pack_multi_values(
     value_col: str = "value",
     group_cols: tuple[str, ...] = ("topic",),
     binary: bool = False,
+    max_records: int | None = None,
 ) -> DataFrame:
     """[kafka|amqp]_multi_values (CONFIG-KEYS:1519): newline-separated
     JSON objects packed into messages of ~``budget`` bytes ("preferred
@@ -44,7 +45,10 @@ def pack_multi_values(
     ``binary=True`` packs Avro datums instead (kafka_output: avro
     with avro_buffer_size as the budget, CONFIG-KEYS:1866): datums
     concatenate with NO separator — Avro binary is self-delimiting
-    under the schema, so a consumer reads them back sequentially."""
+    under the schema, so a consumer reads them back sequentially.
+    ``max_records`` additionally caps records per message — the Avro
+    docs' "number of records defined by [amqp|kafka]_multi_values"
+    flush rule, on top of the byte bound."""
     from pyspark.sql import Window
 
     gcols = [c for c in group_cols if c in df.columns]
@@ -63,6 +67,19 @@ def pack_multi_values(
             / F.lit(max(int(budget), 1))
         ),
     )
+    if max_records:
+        # secondary flush rule: at most N records per message
+        chunked = chunked.withColumn(
+            "__chunk",
+            F.concat_ws(
+                "/",
+                F.col("__chunk"),
+                F.floor(
+                    (F.row_number().over(w) - 1)
+                    / F.lit(max(int(max_records), 1))
+                ),
+            ),
+        )
     # collect_list order is not guaranteed post-shuffle: carry the
     # row id and sort inside the aggregate
     ordered = F.transform(

@@ -657,3 +657,22 @@ def test_pack_multi_values_binary_avro_datums(spark):
             got.append(read_datum(buf, schema))
     assert sorted(d["k"] for d in got) == list(range(30))
     assert all(d["name"] == f"name{d['k']}" for d in got)
+
+
+def test_pack_multi_values_max_records_cap(spark):
+    """The Avro flush rule caps records per message (multi_values
+    count) on top of the byte bound."""
+    from pmacct_spark.sinks.kafka import pack_multi_values
+
+    df = spark.createDataFrame(
+        [(None, f"v{i}", "t") for i in range(20)],
+        "key string, value string, topic string",
+    ).coalesce(1)
+    packed = [
+        r["value"]
+        for r in pack_multi_values(df, 10_000, max_records=4).collect()
+    ]
+    assert all(len(m.split("\n")) <= 4 for m in packed)
+    assert sorted(
+        v for m in packed for v in m.split("\n")
+    ) == sorted(f"v{i}" for i in range(20))
