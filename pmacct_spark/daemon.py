@@ -2007,6 +2007,20 @@ class Daemon:
                             "proto", proto_name("proto")
                         )
                     emit = self._apply_encode_toggles(emit, name)
+                    markers = self.conf.getbool("kafka_markers", name)
+                    if markers:
+                        # stage once: the close-marker entry count
+                        # and the frames both read the same
+                        # materialized aggregate instead of
+                        # recomputing it (and the count stays a
+                        # RECORD count even when multi_values packs
+                        # records into fewer messages)
+                        from pmacct_spark.operators.staging import (
+                            release,
+                            stage,
+                        )
+
+                        emit = stage(emit)
                     pk_cols = (
                         [c.strip() for c in str(pk).split(",")
                          if c.strip()]
@@ -2179,13 +2193,19 @@ class Daemon:
                         # kafka_partition (CONFIG-KEYS): a fixed
                         # partition id (-1/unset = partitioner)
                         kopts["partition"] = int(kpart)
-                    markers = self.conf.getbool("kafka_markers", name)
                     if markers:
                         # purge_init/purge_close delimiters around the
                         # batch (kafka_markers CONFIG-KEYS:1791;
                         # kafka_plugin.c:544,868) — driver-side single
                         # messages on the base topic, like the writer
-                        # process in the reference
+                        # process in the reference. avro output gets
+                        # the acct_init/acct_close Avro record datums
+                        # (compose_avro_acct_init/_close,
+                        # src/plugin_cmn_avro.c); JSON/avro_json get
+                        # the jansson objects. The staged `emit` keeps
+                        # purged_entries a RECORD count even when
+                        # multi_values packs records into fewer
+                        # messages.
                         import os as _os
                         import time as _time
 
@@ -2193,41 +2213,42 @@ class Daemon:
                             KafkaWireClient,
                         )
 
-                        from pmacct_spark.operators.staging import (
-                            release,
-                            stage,
-                        )
+                        if out_fmt == "avro":
+                            from pmacct_spark.sinks.kafka import (
+                                purge_marker_avro,
+                            )
+
+                            def _mk(*a, **kw) -> bytes:
+                                return purge_marker_avro(*a, **kw)
+                        else:
+                            def _mk(*a, **kw) -> bytes:
+                                return purge_marker_json(
+                                    *a, **kw
+                                ).encode()
 
                         wpid = _os.getpid()
                         t0 = _time.time()
-                        # stage once: the close-marker count and the
-                        # produce both read the same materialized
-                        # frame instead of recomputing the aggregate
-                        frames = stage(frames)
-                        n_rows = frames.count()
+                        n_rows = emit.count()
                         cli = KafkaWireClient(bhost, bport)
                         try:
                             cli.produce(
                                 str(topic), 0,
-                                [(None, purge_marker_json(
-                                    "purge_init", name, wpid
-                                ).encode())],
+                                [(None, _mk("purge_init", name, wpid))],
                             )
                         finally:
                             cli.close()
                     produce_frames(frames, bhost, bport, **kopts)
                     if markers:
-                        release(frames)
-                    if markers:
+                        release(emit)
                         cli = KafkaWireClient(bhost, bport)
                         try:
                             cli.produce(
                                 str(topic), 0,
-                                [(None, purge_marker_json(
+                                [(None, _mk(
                                     "purge_close", name, wpid,
                                     purged=n_rows, total=n_rows,
                                     duration=int(_time.time() - t0),
-                                ).encode())],
+                                ))],
                             )
                         finally:
                             cli.close()
@@ -2260,6 +2281,17 @@ class Daemon:
                             "proto", proto_name("proto")
                         )
                     emit = self._apply_encode_toggles(emit, name)
+                    amarkers = self.conf.getbool("amqp_markers", name)
+                    if amarkers:
+                        # staged once: entry count + frames share one
+                        # compute; count stays a RECORD count under
+                        # multi_values packing
+                        from pmacct_spark.operators.staging import (
+                            release,
+                            stage,
+                        )
+
+                        emit = stage(emit)
                     frame_kw = dict(
                         exchange=str(
                             self.conf.get("amqp_exchange", name, "pmacct")
@@ -2387,7 +2419,6 @@ class Daemon:
                             or 0
                         ),
                     )
-                    amarkers = self.conf.getbool("amqp_markers", name)
                     exch = str(
                         self.conf.get("amqp_exchange", name, "pmacct")
                         or "pmacct"
@@ -2402,7 +2433,9 @@ class Daemon:
                         # amqp_markers (CONFIG-KEYS:1791): same
                         # purge_init/purge_close delimiters as Kafka,
                         # published on the channel's exchange +
-                        # routing key (amqp_plugin.c:517,~840)
+                        # routing key (amqp_plugin.c:517,~840); avro
+                        # output carries the acct_init/acct_close
+                        # Avro record datums
                         import os as _os
                         import time as _time
 
@@ -2410,44 +2443,52 @@ class Daemon:
                             AmqpWireClient,
                         )
                         from pmacct_spark.sinks.kafka import (
+                            purge_marker_avro,
                             purge_marker_json,
                         )
 
-                        from pmacct_spark.operators.staging import (
-                            release,
-                            stage,
-                        )
+                        if a_fmt == "avro":
+                            def _amk(*a, **kw) -> tuple[bytes, str]:
+                                return (
+                                    purge_marker_avro(*a, **kw),
+                                    "application/octet-stream",
+                                )
+                        else:
+                            def _amk(*a, **kw) -> tuple[bytes, str]:
+                                return (
+                                    purge_marker_json(
+                                        *a, **kw
+                                    ).encode(),
+                                    "application/json",
+                                )
 
                         wpid = _os.getpid()
                         t0 = _time.time()
-                        frames = stage(frames)  # count + publish, one compute
-                        n_rows = frames.count()
+                        n_rows = emit.count()
+                        body, ctype = _amk("purge_init", name, wpid)
                         cli = AmqpWireClient(ahost, aport, **conn_kw)
                         try:
                             cli.exchange_declare(exch, etype)
                             cli.publish(
-                                exch, str(rkey),
-                                purge_marker_json(
-                                    "purge_init", name, wpid
-                                ).encode(),
-                                content_type="application/json",
+                                exch, str(rkey), body,
+                                content_type=ctype,
                             )
                         finally:
                             cli.close()
                     publish_frames(frames, ahost, aport, **conn_kw)
                     if amarkers:
-                        release(frames)
+                        release(emit)
+                        body, ctype = _amk(
+                            "purge_close", name, wpid,
+                            purged=n_rows, total=n_rows,
+                            duration=int(_time.time() - t0),
+                        )
                         cli = AmqpWireClient(ahost, aport, **conn_kw)
                         try:
                             cli.exchange_declare(exch, etype)
                             cli.publish(
-                                exch, str(rkey),
-                                purge_marker_json(
-                                    "purge_close", name, wpid,
-                                    purged=n_rows, total=n_rows,
-                                    duration=int(_time.time() - t0),
-                                ).encode(),
-                                content_type="application/json",
+                                exch, str(rkey), body,
+                                content_type=ctype,
                             )
                         finally:
                             cli.close()

@@ -297,7 +297,7 @@ def _decode_value(buf: io.BytesIO, t) -> Any:
         return out
     if isinstance(t, dict):
         t = t["type"]
-    if t == "long":
+    if t in ("long", "int"):  # same zigzag-varint encoding
         return _read_zigzag(buf)
     if t == "string":
         n = _read_zigzag(buf)

@@ -137,6 +137,62 @@ def purge_marker_json(
     return json.dumps(obj, separators=(", ", ": "))
 
 
+def purge_marker_avro(
+    event: str,
+    writer_name: str,
+    writer_pid: int,
+    purged: int | None = None,
+    total: int | None = None,
+    duration: int | None = None,
+) -> bytes:
+    """The Avro twins of the JSON purge markers — the acct_init /
+    acct_close record schemas (p_avro_schema_build_acct_init/_close,
+    reference src/plugin_cmn_avro.c; emission kafka_plugin.c:558-586):
+    plain (non-union) string/long fields, encoded as a single binary
+    datum. Avro int and long share the zigzag-varint encoding, so the
+    close record's 'duration: int' field is byte-identical through
+    the long encoder."""
+    from pmacct_spark.sinks.avro import encode_datum
+
+    row = {
+        "event_type": event,
+        "writer_id": f"{writer_name}/{writer_pid}",
+    }
+    types = [("event_type", "string", False), ("writer_id", "string", False)]
+    if event == "purge_close":
+        row.update(
+            purged_entries=int(purged or 0),
+            total_entries=int(total or 0),
+            duration=int(duration or 0),
+        )
+        types += [
+            ("purged_entries", "long", False),
+            ("total_entries", "long", False),
+            ("duration", "long", False),
+        ]
+    return encode_datum(row, types)
+
+
+#: the schemas consumers decode the Avro markers with
+ACCT_INIT_SCHEMA = {
+    "type": "record", "name": "acct_init",
+    "fields": [
+        {"name": "event_type", "type": "string"},
+        {"name": "writer_id", "type": "string"},
+    ],
+}
+ACCT_CLOSE_SCHEMA = {
+    "type": "record", "name": "acct_close",
+    "fields": [
+        {"name": "event_type", "type": "string"},
+        {"name": "writer_id", "type": "string"},
+        {"name": "purged_entries", "type": "long"},
+        {"name": "total_entries", "type": "long"},
+        {"name": "duration", "type": "int"},
+    ],
+}
+
+
 def kafka_frame(
     df: DataFrame,
     topic: str,

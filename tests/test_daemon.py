@@ -2340,6 +2340,7 @@ plugins: kafka[k], kafka[kj], amqp[a]
 aggregate[k]: proto
 kafka_topic[k]: acct.avro
 kafka_output[k]: avro
+kafka_markers[k]: true
 kafka_avro_schema_registry[k]: http://127.0.0.1:{reg_srv.port}
 avro_schema_file[k]: {schema_file}
 kafka_broker_port[k]: {kb.port}
@@ -2369,16 +2370,42 @@ amqp_port[a]: {ab.port}
         cli = KafkaWireClient("127.0.0.1", kb.port)
         got = {}
         got_j = {}
+        marker_evs = []
+        import io as _io2
+
+        from pmacct_spark.sinks.kafka import (
+            ACCT_CLOSE_SCHEMA,
+            ACCT_INIT_SCHEMA,
+        )
+
         for p in (0, 1):
             _, rp = cli.fetch("acct.avro", p, 0, with_hwm=True)
             for _off, _k, v in rp:
-                _sid, rec = A.read_registry_frame(bytes(v), reg)
+                raw = bytes(v)
+                if raw[:1] != b"\x00":  # not Confluent-framed: an
+                    # Avro MARKER datum (acct_init/acct_close records,
+                    # compose_avro_acct_init/_close)
+                    ev = A.read_datum(_io2.BytesIO(raw), ACCT_INIT_SCHEMA)
+                    if ev["event_type"] == "purge_close":
+                        ev = A.read_datum(
+                            _io2.BytesIO(raw), ACCT_CLOSE_SCHEMA
+                        )
+                    marker_evs.append(ev)
+                    continue
+                _sid, rec = A.read_registry_frame(raw, reg)
                 got[rec["proto"]] = rec["bytes"]
             _, rj = cli.fetch("acct.avroj", p, 0, with_hwm=True)
             for _off, _k, v in rj:
                 got_j[len(got_j)] = _json.loads(bytes(v))
         cli.close()
         assert got == {"tcp": 1500, "udp": 200}
+        # avro markers: acct_init + acct_close Avro records frame the
+        # batch; purged_entries counts RECORDS
+        assert [e["event_type"] for e in marker_evs] == [
+            "purge_init", "purge_close",
+        ]
+        assert marker_evs[1]["purged_entries"] == 2
+        assert marker_evs[1]["total_entries"] == 2
         # avro_json: nullable fields ride union-branch objects
         by_proto = {
             e["proto"]["string"]: e["bytes"]["long"]
