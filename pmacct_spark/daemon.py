@@ -2711,18 +2711,16 @@ class Daemon:
                         dgrams = enc(batch_df, exporter_ip=src_ip)
                     else:
                         from pmacct_spark.sinks.sfprobe import (
-                            _agent_u32,
+                            _agent_field,
                             encode_sflow5,
                         )
 
                         try:  # config-time check, names the key
-                            _agent_u32(src_ip)
+                            _agent_field(src_ip)
                         except ValueError:
                             raise ValueError(
-                                "sfprobe_source_ip must be IPv4 "
-                                f"(got {src_ip!r}): the sFlow v5 "
-                                "agent-address field we emit is "
-                                "type-1/IPv4"
+                                "sfprobe_source_ip must be a valid "
+                                f"IPv4/IPv6 address (got {src_ip!r})"
                             ) from None
                         dgrams = encode_sflow5(
                             batch_df, agent_ip=src_ip

@@ -13,20 +13,23 @@ import socket
 import struct
 
 
-def _agent_u32(agent_ip: str) -> int:
+def _agent_field(agent_ip: str) -> bytes:
     """sFlow Agent Address field — the exporter identity every sFlow
     implementation ships in the datagram header (sfacctd uses it by
-    default, CONFIG-KEYS:2213). The v5 header we emit uses address
-    type 1 (IPv4); a non-IPv4 sfprobe_agentip is a config error, not
-    a purge-time crash."""
+    default, CONFIG-KEYS:2213): address type 1 + 4 bytes for IPv4,
+    type 2 + 16 bytes for IPv6 (the reference's str_to_addr accepts
+    both). An unparseable sfprobe_source_ip is a config error, not a
+    purge-time crash."""
     try:
-        return int.from_bytes(socket.inet_aton(agent_ip), "big")
+        if ":" in agent_ip:
+            return struct.pack("!I", 2) + socket.inet_pton(
+                socket.AF_INET6, agent_ip
+            )
+        return struct.pack("!I", 1) + socket.inet_aton(agent_ip)
     except OSError:
         raise ValueError(
-            "sfprobe agent ip must be IPv4 (got "
-            f"{agent_ip!r}); the emitted sFlow v5 agent-address "
-            "field is type-1/IPv4 — set sfprobe_agentip to an "
-            "IPv4 address"
+            f"sfprobe agent ip {agent_ip!r} is not a valid IPv4/IPv6 "
+            "address — set sfprobe_source_ip to a real address"
         ) from None
 from collections.abc import Iterator
 
@@ -180,8 +183,9 @@ def encode_sflow5_v6(
                 samples.append(struct.pack("!II", 1, len(body)) + body)
             for lo in range(0, len(samples), SAMPLES_PER_DATAGRAM):
                 chunk = samples[lo : lo + SAMPLES_PER_DATAGRAM]
-                dgram = struct.pack(
-                    "!IIIIIII", 5, 1, _agent_u32(agent_ip), 0, seqno + lo, 0, len(chunk)
+                dgram = (
+                    struct.pack("!I", 5) + _agent_field(agent_ip)
+                    + struct.pack("!IIII", 0, seqno + lo, 0, len(chunk))
                 ) + b"".join(chunk)
                 out.append((agent_ip, seqno + lo, dgram))
             seqno += len(samples)
@@ -240,8 +244,9 @@ def encode_sflow_counters(
                         + struct.pack("!II", 1, len(blob))
                         + blob
                     )
-                    dgram = struct.pack(
-                        "!IIIIIII", 5, 1, _agent_u32(agent_ip), 0, seqno, 0, 1
+                    dgram = (
+                        struct.pack("!I", 5) + _agent_field(agent_ip)
+                        + struct.pack("!IIII", 0, seqno, 0, 1)
                     ) + struct.pack("!II", 2, len(body)) + body
                 else:  # v2/v4: no sub-agent, no sample length framing
                     sample = (
@@ -251,8 +256,10 @@ def encode_sflow_counters(
                         )
                         + blob
                     )
-                    dgram = struct.pack(
-                        "!IIIIII", version, 1, _agent_u32(agent_ip), seqno, 0, 1
+                    dgram = (
+                        struct.pack("!I", version)
+                        + _agent_field(agent_ip)
+                        + struct.pack("!III", seqno, 0, 1)
                     ) + sample
                 out.append((agent_ip, seqno, dgram))
                 seqno += 1
@@ -339,8 +346,9 @@ def encode_sflow5(
             out = []
             for lo in range(0, n, SAMPLES_PER_DATAGRAM):
                 hi = min(lo + SAMPLES_PER_DATAGRAM, n)
-                dgram = struct.pack(
-                    "!IIIIIII", 5, 1, _agent_u32(agent_ip), 0, seqno + lo, 0, hi - lo
+                dgram = (
+                    struct.pack("!I", 5) + _agent_field(agent_ip)
+                    + struct.pack("!IIII", 0, seqno + lo, 0, hi - lo)
                 ) + b"".join(sample_bytes[lo:hi])
                 out.append((agent_ip, seqno + lo, dgram))
             seqno += n

@@ -1582,24 +1582,48 @@ def _sflow_parse_raw_header(hdr: bytes) -> dict | None:
     return rec
 
 
+def _sflow_agent(payload: bytes, off: int = 4):
+    """sFlow header agent address: (ip_version, agent string or None,
+    offset past the address). Address type 1 = 4-byte IPv4, type 2 =
+    16-byte IPv6 (rendered canonically) — the reference's getAddress
+    walk (src/sfacctd.c)."""
+    ipver = struct.unpack_from("!I", payload, off)[0]
+    if ipver == 1:
+        b = payload[off + 4 : off + 8]
+        return ipver, (socket.inet_ntoa(b) if any(b) else None), off + 8
+    if ipver == 2:
+        b = payload[off + 4 : off + 20]
+        return (
+            ipver,
+            (socket.inet_ntop(socket.AF_INET6, b) if any(b) else None),
+            off + 20,
+        )
+    return ipver, None, off + 4
+
+
 def _sflow_datagram(
     exporter: str, payload: bytes, use_agent: bool = True
 ) -> list[dict]:
     if len(payload) < 28:
         return []
-    ver, ipver = struct.unpack_from("!II", payload, 0)
-    if ver != 5 or ipver != 1:
+    ver = struct.unpack_from("!I", payload, 0)[0]
+    if ver != 5:
         return []
-    agent = struct.unpack_from("!I", payload, 8)[0]
+    ipver, agent, base = _sflow_agent(payload, 4)
+    if ipver not in (1, 2) or len(payload) < base + 16:
+        return []
     if use_agent and agent:
         # sFlow Agent Address IS the exporter identity by default
         # (CONFIG-KEYS:2213: 'all sFlow implementations do send Agent
-        # Address and that is used by default');
-        # sfacctd_ignore_exporter_address keeps the socket address
-        exporter = socket.inet_ntoa(struct.pack("!I", agent))
-    _sub, seqno, _uptime, nsamples = struct.unpack_from("!IIII", payload, 12)
+        # Address and that is used by default'); type 2 carries an
+        # IPv6 agent; sfacctd_ignore_exporter_address keeps the
+        # socket address
+        exporter = agent
+    _sub, seqno, _uptime, nsamples = struct.unpack_from(
+        "!IIII", payload, base
+    )
     out: list[dict] = []
-    off = 28
+    off = base + 16
     for _ in range(nsamples):
         if off + 8 > len(payload):
             break
@@ -1754,14 +1778,16 @@ def _sflow_v2v4_samples(
     counters: list[dict] = []
     if len(payload) < 24:
         return flows, counters
-    ver, ipver = struct.unpack_from("!II", payload, 0)
-    if ver not in (2, 4) or ipver != 1:
+    ver = struct.unpack_from("!I", payload, 0)[0]
+    if ver not in (2, 4):
         return flows, counters
-    agent = struct.unpack_from("!I", payload, 8)[0]
+    ipver, agent, base = _sflow_agent(payload, 4)
+    if ipver not in (1, 2) or len(payload) < base + 12:
+        return flows, counters
     if use_agent and agent:
-        exporter = socket.inet_ntoa(struct.pack("!I", agent))
-    seqno, _uptime, nsamples = struct.unpack_from("!III", payload, 12)
-    off = 24
+        exporter = agent
+    seqno, _uptime, nsamples = struct.unpack_from("!III", payload, base)
+    off = base + 12
     for _ in range(nsamples):
         if off + 4 > len(payload):
             break
@@ -1827,12 +1853,13 @@ def _sflow_datagram_counters(exporter: str, payload: bytes) -> list[dict]:
         return _sflow_v2v4_samples(exporter, payload)[1]
     if ver != 5:
         return []
-    if len(payload) < 28 or struct.unpack_from("!I", payload, 4)[0] != 1:
+    ipver, _agent, base = _sflow_agent(payload, 4)
+    if ipver not in (1, 2) or len(payload) < base + 16:
         return []
-    seqno = struct.unpack_from("!I", payload, 16)[0]
-    nsamples = struct.unpack_from("!I", payload, 24)[0]
+    seqno = struct.unpack_from("!I", payload, base + 4)[0]
+    nsamples = struct.unpack_from("!I", payload, base + 12)[0]
     out: list[dict] = []
-    off = 28
+    off = base + 16
     for _ in range(nsamples):
         if off + 8 > len(payload):
             break

@@ -184,3 +184,28 @@ def test_sflow_v5_expanded_flow_sample(spark):
         0x0A000007, 0x0A000008, 53, 5353,
     )
     assert (r.bytes, r.sampling_rate, r.iface_in, r.iface_out) == (777, 256, 4, 9)
+
+
+def test_sflow_v6_agent_address_roundtrip(spark):
+    """sFlow agent-address type 2 (IPv6 agent): the v5 header carries
+    a 16-byte agent that becomes the exporter identity, exactly like
+    the v4 type-1 form (reference getAddress walk; sfprobe with an
+    IPv6 sfprobe_source_ip emits it)."""
+    from pmacct_spark.sinks.sfprobe import encode_sflow5
+    from pmacct_spark.streaming.decode import decode_sflow5
+
+    fl = spark.createDataFrame(
+        [(0x0A000001, 0x0B000001, 1, 2, 1500, 1234, 443, 0x18, 6, 0)],
+        "ip_src_i long, ip_dst_i long, iface_in long, iface_out long,"
+        " bytes long, port_src long, port_dst long, tcp_flags long,"
+        " ip_proto long, tos long",
+    )
+    agent = "2001:db8::17"
+    back = decode_sflow5(
+        encode_sflow5(fl, agent_ip=agent).select(
+            "exporter_ip", "payload"
+        )
+    ).collect()
+    assert len(back) == 1
+    assert back[0]["exporter_ip"] == agent  # v6 agent IS the identity
+    assert back[0]["port_dst"] == 443
