@@ -2970,6 +2970,48 @@ class Daemon:
             opts["partition"] = int(kpart)
         return opts
 
+    def _ha_replay_cutoff(self, spool, prefix: str) -> int | None:
+        """First spool chunk seqno the HA takeover replay may emit,
+        per the standby-queue bounds ({prefix}_ha_queue_message_timeout
+        seconds / {prefix}_ha_queue_max_size chunks, CONFIG-KEYS).
+        Chunk age comes from the spool FILE mtimes (file s<n>.parquet
+        holds chunk seqno n — seq and nfile advance in lockstep);
+        both bounds are loose in the reference too (1s cleanup
+        cadence). None = no bound configured."""
+        import os
+        import re
+        import time
+
+        timeout = self.conf.get(f"{prefix}_ha_queue_message_timeout")
+        max_size = self.conf.get(f"{prefix}_ha_queue_max_size")
+        if timeout is None and max_size is None:
+            return None
+        files: list[tuple[int, float]] = []
+        try:
+            for f in os.listdir(spool.spool_dir):
+                m = re.match(r"s(\d+)\.parquet$", f)
+                if m:
+                    files.append((
+                        int(m.group(1)),
+                        os.path.getmtime(
+                            os.path.join(spool.spool_dir, f)
+                        ),
+                    ))
+        except OSError:
+            return None
+        if not files:
+            return None
+        cut = 0
+        if timeout is not None and float(timeout) >= 0:
+            cutoff_t = time.time() - float(timeout)
+            expired = [n for n, mt in files if mt < cutoff_t]
+            if expired:
+                cut = max(cut, max(expired) + 1)
+        if max_size is not None and int(max_size) > 0:
+            top = max(n for n, _mt in files)
+            cut = max(cut, top - int(max_size) + 1)
+        return cut or None
+
     def write_msglog_if_configured(self) -> list[str]:
         """Per-event BGP/BMP message log (reference bgp_daemon_msglog_*
         / bmp_daemon_msglog_*, src/bgp/bgp_logdump.c): when
@@ -2990,7 +3032,13 @@ class Daemon:
             # the session's FULL history from the spool — the queue
             # dump of src/ha.c:222-266 with unlimited retention
             # (test 206 scenario-01), the consumer misses nothing.
+            self._ha_held = True
             return wrote
+        takeover = self.ha is not None and getattr(
+            self, "_ha_held", False
+        )
+        if takeover:
+            self._ha_held = False
         for family, spool, events in (
             ("bgp_daemon_msglog", self.bgp_spool, self._bgp_event_stream),
             ("bmp_daemon_msglog", self.bmp_spool, self._bmp_event_stream),
@@ -3011,6 +3059,20 @@ class Daemon:
             if seen.get(family) == gen:
                 continue
             ev = events()
+            if takeover:
+                # [bgp|bmp]_daemon_ha_queue_message_timeout /
+                # _ha_queue_max_size (CONFIG-KEYS; the standby queue
+                # cleanup thread, src/ha.c): bound what the takeover
+                # replays — messages older than the timeout or beyond
+                # the newest max_size chunks are discarded, exactly
+                # what the reference's 1s-interval pruner would have
+                # dropped. Unset keys keep the full-history replay
+                # (the scenario-01 unlimited-retention shape).
+                cut = self._ha_replay_cutoff(
+                    spool, family.replace("_msglog", "")
+                )
+                if cut:
+                    ev = ev.filter(F.expr(f"(seq >> 24) >= {cut}"))
             # bgp_daemon_tag_map / bmp_daemon_tag_map (CONFIG-KEYS:
             # the pre_tag_map equivalent for the BGP/BMP threads —
             # only ip MATCH + set_tag/set_label SET): tag each event

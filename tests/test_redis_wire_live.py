@@ -282,3 +282,82 @@ aggregate[routes]: as_path
             if x is not None:
                 x.stop()
         srv.stop()
+
+
+def test_daemon_bmp_ha_queue_timeout_bounds_replay(spark, tmp_path):
+    """bmp_daemon_ha_queue_message_timeout / _ha_queue_max_size
+    (CONFIG-KEYS): the standby queues messages before discarding them —
+    with a 0-second timeout everything received while standby has
+    expired by takeover, so the first post-takeover emission replays
+    NOTHING old (the src/ha.c cleanup-thread semantics); unset keys
+    keep the full-history replay (previous test)."""
+    import json
+    import pathlib
+    import socket
+
+    from pmacct_spark.daemon import Daemon
+    from tests.test_msglog import _bgp_update, _bmp_msg
+
+    srv = MiniRedisServer().start()
+    da = db = None
+    try:
+        def mk(tag: str, extra: str = "") -> Daemon:
+            return Daemon.from_conf(
+                spark,
+                f"""
+nfacctd_port: 0
+bmp_daemon: true
+bmp_daemon_port: 0
+bmp_daemon_ha: true
+bmp_daemon_ha_cluster_name: nfacctd-bmp-ha-qt
+redis_host: 127.0.0.1:{srv.port}
+cluster_name: nfacctd-bmp-qt-{tag}
+core_proc_name: {tag}
+bmp_daemon_msglog_file: {tmp_path / (tag + ".log")}
+{extra}
+plugins: memory[routes]
+aggregate[routes]: as_path
+""",
+                spool_dir=str(tmp_path / f"spool_{tag}"),
+            )
+
+        da = mk("qtA")
+        da.ha.refresh_secs = 0.1
+        db = mk("qtB", "bmp_daemon_ha_queue_message_timeout: 0\n")
+        db.ha.refresh_secs = 0.1
+        assert _wait(lambda: da.ha.forwarding and not db.ha.forwarding,
+                     timeout=10)
+        peer = 0xC0000207
+        msgs = (
+            _bmp_msg(3, peer, 64500)
+            + _bmp_msg(0, peer, 64500, _bgp_update([], [(0x0A020000, 16)]))
+        )
+        for port in (da.bmp_port, db.bmp_port):
+            c = socket.socket(socket.AF_INET, socket.SOCK_STREAM)
+            c.connect(("127.0.0.1", port))
+            c.sendall(msgs)
+            c.close()
+        assert _wait(lambda: da.bmp_spool.messages_spooled >= 1
+                     and db.bmp_spool.messages_spooled >= 1)
+        time.sleep(1.1)  # chunks age past the 0s timeout
+        assert db.write_msglog_if_configured() == []  # standby holds
+        da.stop()
+        da = None
+        assert _wait(lambda: db.ha.forwarding, timeout=15)
+        db.write_msglog_if_configured()
+        events = []
+        p = pathlib.Path(tmp_path / "qtB.log")
+        if p.exists():
+            for f in p.rglob("*.txt"):
+                events += [
+                    json.loads(ln)
+                    for ln in f.read_text().splitlines()
+                    if ln.strip()
+                ]
+        # everything received while standby expired before takeover
+        assert events == []
+    finally:
+        for x in (da, db):
+            if x is not None:
+                x.stop()
+        srv.stop()
