@@ -249,6 +249,11 @@ class Daemon:
                 port=int(conf.get("bgp_daemon_port", default=0) or 0),
                 md5_keys=md5_keys,
                 max_peers=int(mp) if mp else None,
+                batch=int(conf.get("bgp_daemon_batch", default=0) or 0),
+                batch_interval=int(
+                    conf.get("bgp_daemon_batch_interval", default=0)
+                    or 0
+                ),
                 # passive speaker side (reference src/bgp/bgp_msg.c):
                 # OPEN reply mirrors the peer's AS unless bgp_daemon_as
                 # pins one; Router-ID from bgp_daemon_id, else
@@ -286,6 +291,11 @@ class Daemon:
                 host=str(conf.get("bmp_daemon_ip", default=host) or host),
                 port=int(conf.get("bmp_daemon_port", default=0) or 0),
                 max_peers=int(mp) if mp else None,
+                batch=int(conf.get("bmp_daemon_batch", default=0) or 0),
+                batch_interval=int(
+                    conf.get("bmp_daemon_batch_interval", default=0)
+                    or 0
+                ),
                 # bmp_daemon_parse_proxy_header: behind a TCP load
                 # balancer the PROXY v1/v2 header carries the router's
                 # real address — it becomes the peer identity

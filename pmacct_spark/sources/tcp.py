@@ -337,7 +337,30 @@ class TcpSpool:
         neighbors_file: str | None = None,
         allow: list[str] | None = None,
         router_id_check: bool = True,
+        batch: int = 0,
+        batch_interval: int = 0,
     ):
+        # [bgp|bmp]_daemon_batch + _batch_interval (CONFIG-KEYS:2796):
+        # at most `batch` NEW peers per `batch_interval` seconds — the
+        # first peer of a batch sets its base time; throttled
+        # connections are accepted-then-dropped (the reference's
+        # close(fd) at src/bgp/bgp.c:864); a dropped session makes no
+        # room in the current batch, and ACL-denied peers never
+        # consume room (the batch_rollback net effect). Both keys must
+        # be set together, like the reference warns-and-disables.
+        if bool(batch) != bool(batch_interval):
+            import logging
+
+            logging.getLogger("pmacct_spark").warning(
+                "batch and batch_interval must be set together; "
+                "peer batching disabled"
+            )
+            batch = batch_interval = 0
+        self.peer_batch = int(batch)
+        self.peer_batch_interval = int(batch_interval)
+        self._batch_left = 0
+        self._batch_base = 0.0
+        self.sessions_throttled = 0
         # bgp_daemon_allow_file / bmp_daemon_allow_file (CONFIG-KEYS:
         # 3073): sessions from peers not in the list are REFUSED at
         # accept. None = no file = accept everything; an EMPTY list =
@@ -508,6 +531,24 @@ class TcpSpool:
                 self.peers_refused += 1
                 conn.close()
                 continue
+            if self.peer_batch:
+                import time as _time
+
+                now = _time.monotonic()
+                if (
+                    self._batch_left <= 0
+                    and now > self._batch_base + self.peer_batch_interval
+                ):
+                    # expired: start a new batch; its first peer sets
+                    # the base time (bgp_batch_reset)
+                    self._batch_left = self.peer_batch
+                    self._batch_base = now
+                if self._batch_left <= 0:
+                    # throttle: accept-then-drop
+                    self.sessions_throttled += 1
+                    conn.close()
+                    continue
+                self._batch_left -= 1
             with self._lock:
                 self._epochs[peer] = self._epochs.get(peer, 0) + 1
                 epoch = self._epochs[peer]

@@ -152,3 +152,60 @@ def test_kafka_live_source_is_feature_flagged(spark, monkeypatch):
     monkeypatch.delenv(KAFKA_FLAG, raising=False)
     with pytest.raises(RuntimeError, match="feature-flagged"):
         kafka_datagrams(spark, "broker:9092", "nf")
+
+
+def test_tcp_peer_batching_throttles_accepts():
+    """bgp_daemon_batch / _batch_interval (CONFIG-KEYS:2796): at most
+    N new peers per interval — the first peer of a batch sets its
+    base time, over-batch connections are accepted-then-dropped, and
+    a new batch opens once the interval expires."""
+    import socket
+    import time
+
+    from pmacct_spark.sources.tcp import TcpSpool
+
+    sp = TcpSpool(
+        framing="bmp", host="127.0.0.1", port=0,
+        batch=2, batch_interval=1,
+    ).start()
+    try:
+        def try_conn() -> bool:
+            c = socket.socket(socket.AF_INET, socket.SOCK_STREAM)
+            c.settimeout(3)
+            c.connect(("127.0.0.1", sp.port))
+            try:
+                # a throttled connection is closed by the listener;
+                # an admitted one stays open (no server data for BMP)
+                c.sendall(b"\x03")  # any byte
+                time.sleep(0.3)
+                c.setblocking(False)
+                try:
+                    data = c.recv(1)
+                    return data != b""  # b"" = orderly close
+                except BlockingIOError:
+                    return True  # still open: admitted
+                except ConnectionResetError:
+                    return False  # dropped by the throttle
+            finally:
+                c.close()
+
+        assert try_conn() is True
+        assert try_conn() is True
+        assert try_conn() is False  # batch of 2 exhausted
+        t0 = time.monotonic()
+        while sp.sessions_throttled < 1 and time.monotonic() - t0 < 5:
+            time.sleep(0.05)
+        assert sp.sessions_throttled == 1
+        time.sleep(1.1)  # interval expires: a new batch opens
+        assert try_conn() is True
+    finally:
+        sp.stop()
+
+
+def test_tcp_peer_batching_requires_both_keys():
+    """batch without batch_interval (or vice versa) disables the
+    feature with a warning, like the reference (src/bgp/bgp.c:442)."""
+    from pmacct_spark.sources.tcp import TcpSpool
+
+    sp = TcpSpool(framing="bmp", host="127.0.0.1", port=0, batch=5)
+    assert sp.peer_batch == 0 and sp.peer_batch_interval == 0
