@@ -737,3 +737,45 @@ def parse_bgp_agent_map(text: str) -> list[dict]:
         if e["bgp_ip"]:
             entries.append(e)
     return entries
+
+
+def parse_bgp_peer_dst_ip_map(text: str) -> list[dict]:
+    """bgp_peer_dst_ip_map (CONFIG-KEYS:3011; bpdi_map_dictionary
+    src/pretag-data.h:243): map RIB next-hops to other addresses —
+    RSVP-TE topologies where flows report the tunnel TAIL-END instead
+    of a BGP next-hop. Keys: ``id`` (the mapped address) +
+    ``bgp_nexthop`` (the RIB next-hop to remap); ``ip`` (exporter)
+    accepted and currently unrestricted. Malformed lines are warned
+    and skipped like every reference map."""
+    import ipaddress
+    import logging
+
+    out: list[dict] = []
+    for line in text.splitlines():
+        line = line.strip()
+        if not line or line.startswith(("!", "#")):
+            continue
+        entry: dict = {}
+        try:
+            for tok in line.split():
+                k, _, v = tok.partition("=")
+                if k == "id":
+                    ipaddress.ip_address(v)  # validate
+                    entry["id"] = v
+                elif k == "bgp_nexthop":
+                    ipaddress.ip_address(v)
+                    entry["bgp_nexthop"] = v
+                elif k == "ip":
+                    entry["ip"] = v
+                else:
+                    raise ValueError(f"unsupported key {k}")
+            if "id" not in entry or "bgp_nexthop" not in entry:
+                raise ValueError("id and bgp_nexthop are mandatory")
+        except ValueError as e:
+            logging.getLogger("pmacct_spark").warning(
+                "bgp_peer_dst_ip_map: bad line %r (%s). Ignored.",
+                line, e,
+            )
+            continue
+        out.append(entry)
+    return out

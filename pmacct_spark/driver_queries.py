@@ -50,9 +50,10 @@ def register(name: str, oracle: str | None = None):
 _DRIVER_WINDOW = [
     # NEW round 12, driver-checked on arrival (VERDICT r11 #4/#5 +
     # the advisor pristine-column to_asn fix, gated).
-    # NB: r12 also added `bgp_follow_default_lookup` — it does NOT fit
-    # this window (the 47 rotation-mandated queries + 3 arrivals fill
-    # all 50 slots); rotate it in first thing in r13.
+    # NB: r12 also added `bgp_follow_default_lookup` and
+    # `bgp_addpath_nexthop_disambig` — they do NOT fit this window
+    # (the 47 rotation-mandated queries + 3 arrivals fill all 50
+    # slots); rotate both in first thing in r13.
     "stream_dedup_phash",
     "stream_ann_ivf_delete",
     "bgp_comm_pattern_combo",

@@ -338,6 +338,90 @@ def follow_default_join(
     ).drop("__fd_sa", "__fd_final")
 
 
+def addpath_nexthop_join(
+    flows: DataFrame,
+    rib_paths: DataFrame,
+    ip_col: str,
+    peer_col: str,
+    nh_col: str,
+    attrs: dict[str, str],
+    default: dict | None = None,
+    bpdi: list[dict] | None = None,
+    masklens: list[int] | None = None,
+) -> DataFrame:
+    """ADD-PATH per-flow path disambiguation (the nmct2.peer_dst_ip
+    match, reference src/bgp/bgp_lookup.c:726-760): when the session
+    negotiated RFC 7911, a prefix carries MULTIPLE paths and the
+    flow's EXPORTED BGP next-hop (NF9_BGP_IPV4_NEXT_HOP / IE 18,
+    ``nh_col``) selects among them — path.next_hop must equal the
+    reported address for the path to match at that prefix.
+
+    ``bpdi`` replays bgp_peer_dst_ip_map (CONFIG-KEYS:3011;
+    BPDI_find_id src/util.c:2105): entries
+    ``{"id": <mapped-ip>, "bgp_nexthop": <rib-next-hop>}`` — for
+    RSVP-TE topologies where flows report the tunnel TAIL-END, a path
+    whose RIB next-hop maps to the reported address also matches.
+
+    Physical shape: each path contributes ONE candidate row keyed by
+    its own next-hop plus one per matching map entry (the map is a
+    bounded dim: a broadcast equi-join, no OR predicate); candidates
+    dedup per (peer, prefix, key) keeping the best local_pref (the
+    reference walks a node's info list and takes the first match);
+    then one chained-broadcast :func:`lpm_join` with the next-hop as
+    an extra equality key — the fact table never shuffles.
+
+    ``rib_paths`` columns: ``peer_ip``, ``net_int``, ``masklen``,
+    ``next_hop`` (bigint) + the attr columns."""
+    from pyspark.sql import Window
+
+    cand = rib_paths.withColumn("__nh_key", F.col("next_hop"))
+    if bpdi:
+        spark = rib_paths.sparkSession
+        mdf = spark.createDataFrame(
+            [
+                (
+                    int(ipaddress_v4(e["bgp_nexthop"])),
+                    int(ipaddress_v4(e["id"])),
+                )
+                for e in bpdi
+            ],
+            "__bpdi_nh long, __bpdi_id long",
+        )
+        mapped = (
+            rib_paths.join(
+                F.broadcast(mdf),
+                rib_paths["next_hop"] == mdf["__bpdi_nh"],
+            )
+            .withColumn("__nh_key", F.col("__bpdi_id"))
+            .drop("__bpdi_nh", "__bpdi_id")
+        )
+        cand = cand.unionByName(mapped)
+    w = Window.partitionBy(
+        "peer_ip", "net_int", "masklen", "__nh_key"
+    ).orderBy(F.desc_nulls_last("local_pref"))
+    cand = (
+        cand.withColumn("__rn", F.row_number().over(w))
+        .filter("__rn = 1")
+        .drop("__rn")
+    )
+    return lpm_join(
+        flows,
+        cand,
+        ip_col,
+        attrs,
+        default=default,
+        extra_keys={peer_col: "peer_ip", nh_col: "__nh_key"},
+        masklens=masklens,
+    )
+
+
+def ipaddress_v4(s: str) -> int:
+    """Dotted quad -> int (driver-side map parsing)."""
+    import ipaddress
+
+    return int(ipaddress.ip_address(s))
+
+
 def net_mask_merge_sql(
     export_mask: str, file_mask: str, *, no_lpm: bool = False
 ) -> str:

@@ -830,6 +830,107 @@ def bgp_addpath_rib_lookup(spark, sf_dir):
     )
 
 
+# --- ADD-PATH per-flow NEXT-HOP disambiguation + bgp_peer_dst_ip_map
+#     (the nmct2.peer_dst_ip match, src/bgp/bgp_lookup.c:726-760;
+#     BPDI_find_id src/util.c:2105; CONFIG-KEYS:3011): with RFC 7911
+#     negotiated, a prefix holds MULTIPLE paths and the flow's
+#     EXPORTED BGP next-hop selects among them. The fixture's path A
+#     is best-path BAIT (+5 local_pref): a best-path lookup gets every
+#     flow's attributes wrong for the B-selecting flows, and flows
+#     reporting an RSVP-TE tunnel TAIL-END only resolve through the
+#     bgp_peer_dst_ip_map remap of path B's next-hop.
+_AP_BASE = 167772160
+_AP_NHA = (172 << 24) + (16 << 16) + 1  # 172.16.<nk>.1
+_AP_NHB = (172 << 24) + (32 << 16) + 1  # 172.32.<nk>.1
+_AP_TAIL = (198 << 24) + (51 << 16) + 1  # 198.51.<nk>.1
+_AP_NK = f"((ip_dst_i - {_AP_BASE}) // 65536)"
+_AP_FNH = f"""CASE WHEN event_id % 5 = 0 THEN {_AP_TAIL} + {_AP_NK} * 256
+     WHEN event_id % 2 = 0 THEN {_AP_NHA} + {_AP_NK} * 256
+     ELSE {_AP_NHB} + {_AP_NK} * 256 END"""
+
+
+@register(
+    "bgp_addpath_nexthop_disambig",
+    f"""{FLOWS_DUCK_CTE},
+rib16 AS (
+  SELECT '192.0.2.' || CAST(r_regionkey AS VARCHAR) AS peer_ip,
+         CAST({_AP_BASE} + n_nationkey * 65536 AS BIGINT) AS net_int,
+         n_nationkey AS nk,
+         '64496 ' || CAST(65000 + n_nationkey AS VARCHAR) AS as_path,
+         CAST(100 + ((n_nationkey * 7 + r_regionkey) % 50) AS BIGINT)
+           AS local_pref
+  FROM region CROSS JOIN nation
+),
+paths AS (
+  SELECT peer_ip, net_int, '64701 ' || as_path AS as_path,
+         local_pref + 5 AS local_pref,
+         CAST({_AP_NHA} + nk * 256 AS BIGINT) AS nh_key
+  FROM rib16
+  UNION ALL
+  SELECT peer_ip, net_int, as_path, local_pref,
+         CAST({_AP_NHB} + nk * 256 AS BIGINT)
+  FROM rib16
+  UNION ALL
+  SELECT peer_ip, net_int, as_path, local_pref,
+         CAST({_AP_TAIL} + nk * 256 AS BIGINT)
+  FROM rib16
+)
+SELECT p.as_path, CAST(SUM(f.bytes) AS BIGINT) AS bytes,
+       COUNT(*) AS flows,
+       CAST(MIN(p.local_pref) AS BIGINT) AS min_local_pref
+FROM (SELECT event_id, bytes, peer_ip_src, ip_dst_i,
+             {_AP_FNH} AS fnh
+      FROM flows) f
+JOIN paths p
+  ON p.peer_ip = f.peer_ip_src
+ AND (f.ip_dst_i // 65536) = (p.net_int // 65536)
+ AND p.nh_key = f.fnh
+GROUP BY 1""",
+)
+def bgp_addpath_nexthop_disambig(spark, sf_dir):
+    """Wire-gated: the ADD-PATH OPEN, per-path RIB keying, the
+    per-flow next-hop equality (one extra equi key on the chained
+    broadcast — no OR predicate: the bpdi map contributes its own
+    candidate rows), and the map remap all have to be right or the
+    hash breaks — best-path-only would surface path A's 64701-prefixed
+    paths and +5 local_prefs for every B/tail-end flow."""
+    from pmacct_spark.operators.lpm import addpath_nexthop_join
+    from pmacct_spark.operators.staging import stage
+    from pmacct_spark.streaming.bmp import (
+        decode_bgp,
+        encode_bgp_updates_addpath_nh,
+        rib_state,
+    )
+
+    rib16 = bgp_rib_dim(spark, sf_dir).filter("masklen = 16")
+    streams = encode_bgp_updates_addpath_nh(rib16)
+    decoded = decode_bgp(streams.select("exporter_ip", "seqno", "payload"))
+    paths = stage(
+        rib_state(decoded, peer_down=False).selectExpr(
+            "peer_ip", "prefix AS net_int", "masklen",
+            "as_path", "local_pref", "next_hop",
+        )
+    )
+    fl = flows(spark, sf_dir).selectExpr(
+        "event_id", "peer_ip_src", "ip_dst_i", "bytes",
+        _AP_FNH.replace("//", "DIV") + " AS bgp_nexthop_i",
+    )
+    bpdi = [
+        {"id": f"198.51.{k}.1", "bgp_nexthop": f"172.32.{k}.1"}
+        for k in range(25)
+    ]
+    enriched = addpath_nexthop_join(
+        fl, paths, "ip_dst_i", "peer_ip_src", "bgp_nexthop_i",
+        {"as_path": "as_path", "local_pref": "local_pref"},
+        bpdi=bpdi,
+    )
+    return enriched.filter("as_path IS NOT NULL").groupBy("as_path").agg(
+        F.sum("bytes").cast("bigint").alias("bytes"),
+        F.count(F.lit(1)).alias("flows"),
+        F.min("local_pref").cast("bigint").alias("min_local_pref"),
+    )
+
+
 # --- BMP RIB built FROM THE WIRE with peer-down purge: the fixture
 #     RIB is packed into per-peer BMP v3 byte streams (Peer Up, one
 #     Route Monitoring message per route, then for even-numbered

@@ -976,6 +976,64 @@ def encode_bgp_updates_addpath(rib: DataFrame) -> DataFrame:
     return rib.mapInPandas(gen, schema)
 
 
+def encode_bgp_updates_addpath_nh(rib: DataFrame) -> DataFrame:
+    """ADD-PATH session streams where the TWO paths of every route
+    differ in NEXT_HOP — the multipath topology the reference
+    disambiguates per flow with the export's BGP next-hop
+    (nmct2.peer_dst_ip match, src/bgp/bgp_lookup.c:726-760):
+
+    - path_id 1 ('A'): next_hop 172.16.<nk>.1, as_path prefixed
+      64701, local_pref +5 — the BEST-path bait: pure best-path
+      selection would always pick it;
+    - path_id 2 ('B'): next_hop 172.32.<nk>.1 (0xAC20...), the
+      fixture attributes.
+
+    nk = the prefix's nation index ((net_int - 10.0.0.0) >> 16), so
+    the flow side can derive each path's next-hop arithmetically."""
+    schema = T.StructType(
+        [
+            T.StructField("exporter_ip", T.StringType()),
+            T.StructField("seqno", T.LongType()),
+            T.StructField("payload", T.BinaryType()),
+        ]
+    )
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        seq = 0
+        for pdf in batches:
+            out = []
+            opened: set[str] = set()
+            for r in pdf.itertuples(index=False):
+                peer = str(r.peer_ip)
+                if peer not in opened:
+                    opened.add(peer)
+                    out.append(
+                        (peer, seq,
+                         encode_bgp_open(addpath=[(1, 1, 3)]))
+                    )
+                    seq += 1
+                nk = (int(r.net_int) - 167772160) >> 16
+                a = encode_bgp_update(
+                    int(r.net_int), int(r.masklen),
+                    "64701 " + str(r.as_path or ""),
+                    next_hop=0xAC100001 + (nk << 8),
+                    local_pref=int(r.local_pref) + 5,
+                    med=int(r.med), path_id=1,
+                )
+                b = encode_bgp_update(
+                    int(r.net_int), int(r.masklen), str(r.as_path or ""),
+                    next_hop=0xAC200001 + (nk << 8),
+                    local_pref=int(r.local_pref),
+                    med=int(r.med), path_id=2,
+                )
+                out.append((peer, seq, a))
+                out.append((peer, seq + 1, b))
+                seq += 2
+            yield pd.DataFrame(out, columns=["exporter_ip", "seqno", "payload"])
+
+    return rib.mapInPandas(gen, schema)
+
+
 def _bmp_frame(
     mtype: int,
     peer_ip: str,

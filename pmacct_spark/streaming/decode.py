@@ -239,6 +239,9 @@ V9_HEADER = struct.Struct(V9_HEADER_FMT)
 V6_ADDR_IES = {27: "ip6_src", 28: "ip6_dst", 62: "ip6_nexthop"}
 EXT_UINT_IES = {
     15: "ip_nexthop_i",  # ipNextHopIPv4Address (use_ip_next_hop source)
+    18: "bgp_nexthop_i",  # bgpNextHopIPv4Address (NF9_BGP_IPV4_NEXT_HOP
+    #    src/nfv9_template.h — the ADD-PATH per-flow disambiguator,
+    #    nmct2.peer_dst_ip in src/bgp/bgp_lookup.c:726)
     29: "mask6_src",
     30: "mask6_dst",
     31: "flow_label",
@@ -1357,6 +1360,7 @@ FLOW6_SCHEMA = T.StructType(
         T.StructField("ip6_dst", T.StringType()),
         T.StructField("ip6_nexthop", T.StringType()),
         T.StructField("ip_nexthop_i", T.LongType()),
+        T.StructField("bgp_nexthop_i", T.LongType()),
         T.StructField("mask6_src", T.IntegerType()),
         T.StructField("mask6_dst", T.IntegerType()),
         T.StructField("flow_label", T.LongType()),

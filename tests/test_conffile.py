@@ -352,3 +352,20 @@ def test_parse_tee_receivers_kafka_entries():
     assert e[0]["kafka_broker"] == "127.0.0.1:9092"
     assert e[0]["kafka_topic"] == "tee.rx"
     assert e[1]["pool"] == ["192.168.1.1:2100"]
+
+
+def test_parse_bgp_peer_dst_ip_map():
+    """bgp_peer_dst_ip_map (CONFIG-KEYS:3011): id (mapped address) +
+    bgp_nexthop entries, bad lines skipped."""
+    from pmacct_spark.conffile import parse_bgp_peer_dst_ip_map
+
+    e = parse_bgp_peer_dst_ip_map(
+        "! RSVP-TE tail-ends\n"
+        "id=198.51.100.1 bgp_nexthop=172.32.0.1\n"
+        "id=198.51.100.2 bgp_nexthop=172.32.1.1 ip=192.0.2.1\n"
+        "id=not-an-ip bgp_nexthop=172.32.2.1\n"
+        "id=198.51.100.9\n"
+    )
+    assert len(e) == 2
+    assert e[0] == {"id": "198.51.100.1", "bgp_nexthop": "172.32.0.1"}
+    assert e[1]["ip"] == "192.0.2.1"
