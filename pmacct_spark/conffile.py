@@ -543,6 +543,10 @@ def parse_tee_receivers(text: str) -> list[dict]:
                     entry["kafka_broker"] = v
                 elif k == "kafka_topic":
                     entry["kafka_topic"] = v
+                elif k == "zmq_address":
+                    # tee_receivers.lst.example: route the pool's
+                    # replicated datagrams over ZeroMQ instead of UDP
+                    entry["zmq_address"] = v
                 else:
                     raise ValueError(f"unsupported key {k}")
             if "id" not in entry:
@@ -552,7 +556,7 @@ def parse_tee_receivers(text: str) -> list[dict]:
                     # "Mandatory to specify when a kafka_broker is
                     # defined" (tee_receivers.lst.example)
                     raise ValueError("kafka_topic required with kafka_broker")
-            elif not entry.get("pool"):
+            elif not entry.get("pool") and not entry.get("zmq_address"):
                 raise ValueError("id and ip are mandatory")
         except ValueError as e:
             logging.getLogger("pmacct_spark").warning(

@@ -2659,7 +2659,21 @@ class Daemon:
                                     fh.read()
                                 )
                             )
+                    zmq_entries = {
+                        e["id"]: e for e in entries if e.get("zmq_address")
+                    }
                     for rid, part in route(dgrams, receivers).items():
+                        ze = zmq_entries.get(rid)
+                        if ze is not None:
+                            # ZMQ-routed pool (zmq_address): raw
+                            # datagrams over ZMTP PUSH
+                            from pmacct_spark.sinks.tee import emit_zmq
+
+                            emit_zmq(
+                                part.select("payload"),
+                                ze["zmq_address"],
+                            )
+                            continue
                         ke = kafka_entries.get(rid)
                         if ke is not None:
                             # Kafka-routed pool: raw datagrams ride

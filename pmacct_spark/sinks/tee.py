@@ -86,6 +86,36 @@ def emit_udp(routed: DataFrame, default_endpoint: str | None = None) -> None:
     routed.select(*cols).foreachPartition(_send)
 
 
+def emit_zmq(routed: DataFrame, address: str) -> None:
+    """Replicate raw datagrams over ZMTP PUSH — a tee_receivers pool
+    with ``zmq_address`` set (examples/tee_receivers.lst.example;
+    reference Tee_init_zmq_host src/tee_plugin/tee_plugin.c:686).
+    Datagram bytes ride one message each, UNCHANGED, so a PULL-bound
+    consumer — e.g. another daemon's ZMQ ingest seam — receives them
+    exactly as if directly exported. DISTRIBUTED: per-partition PUSH
+    connections, no driver collect. (Direction note: the reference
+    BINDS its PUSH; this engine's ingest seams BIND their PULL, so the
+    tee CONNECTS — the same PUSH/PULL data path, composable with a
+    downstream collector out of the box.)"""
+    host, _, port = str(address).removeprefix("tcp://").rpartition(":")
+    h, p = host or "127.0.0.1", int(port)
+
+    def _send(rows) -> None:
+        from pmacct_spark.sources.zmtp import ZmtpPushClient
+
+        cli = None
+        try:
+            for row in rows:
+                if cli is None:
+                    cli = ZmtpPushClient(h, p)
+                cli.send(bytes(row["payload"]))
+        finally:
+            if cli is not None:
+                cli.close()
+
+    routed.select("payload").foreachPartition(_send)
+
+
 def emit_kafka(
     routed: DataFrame,
     broker: str,

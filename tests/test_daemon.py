@@ -2865,6 +2865,47 @@ tee_kafka_config_file[t]: {kcf}
         kb.stop()
 
 
+def test_daemon_tee_zmq_receiver_live(spark, tmp_path):
+    """tee_receivers zmq_address entries route replicated datagrams
+    over LIVE ZMTP PUSH byte-identical
+    (examples/tee_receivers.lst.example; Tee_init_zmq_host
+    src/tee_plugin/tee_plugin.c:686) — a PULL-bound consumer (the
+    shape of another daemon's ZMQ ingest seam) receives them exactly
+    as exported."""
+    from pmacct_spark.sources.zmtp import ZmtpPullServer
+
+    pull = ZmtpPullServer().start()
+    d = None
+    try:
+        rmap = tmp_path / "tee_receivers.lst"
+        rmap.write_text(
+            f"id=1 zmq_address=127.0.0.1:{pull.port}\n"
+        )
+        conf = f"""
+nfacctd_ip: 127.0.0.1
+nfacctd_port: 0
+plugins: tee[t]
+tee_receivers[t]: {rmap}
+"""
+        d = Daemon.from_conf(spark, conf, spool_dir=str(tmp_path / "teeZ"))
+        _fire(d.port)
+        t0 = time.monotonic()
+        while d.spool.datagrams_received < 2 and time.monotonic() - t0 < 15:
+            time.sleep(0.05)
+        d.run_available()
+        t0 = time.monotonic()
+        got: list[bytes] = []
+        while len(got) < 2 and time.monotonic() - t0 < 10:
+            got += pull.drain()
+            time.sleep(0.05)
+        want = {bytes(r.payload) for r in d._spool_batch().collect()}
+        assert set(got) == want and len(got) == 2
+    finally:
+        if d is not None:
+            d.stop()
+        pull.stop()
+
+
 def test_kafka_config_file_acks_and_batching_live(spark, tmp_path):
     """kafka_config_file on the accounting Kafka plugin: mapped
     properties take effect on the wire — acks=0 produce is
