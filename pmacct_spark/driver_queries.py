@@ -48,40 +48,38 @@ def register(name: str, oracle: str | None = None):
 # curation/dedup/ANN pipeline, and TPC-H relational — instead of the
 # registration order, which front-loaded agg/hist/client.
 _DRIVER_WINDOW = [
-    # NEW round 12, driver-checked on arrival (VERDICT r11 #4/#5 +
-    # the advisor pristine-column to_asn fix, gated).
-    # NB: r12 also added `bgp_follow_default_lookup` and
-    # `bgp_addpath_nexthop_disambig` — they do NOT fit this window
-    # (the 47 rotation-mandated queries + 3 arrivals fill all 50
-    # slots); rotate both in first thing in r13.
-    "stream_dedup_phash",
-    "stream_ann_ivf_delete",
-    "bgp_comm_pattern_combo",
-    # ROUND-12 ROTATION (VERDICT r11 "Next round #1"): after this
-    # round no gated query's newest driver sample is older than r8.
-    # The 7 TPC-H queries whose newest driver row is r7:
-    "tpch_q4_order_priority", "tpch_q12_priority_by_status",
-    "tpch_q13_customer_distribution", "tpch_q14_promo_revenue",
-    "tpch_q15_top_supplier", "tpch_q17_small_quantity",
-    "tpch_q19_disjunctive",
-    # ... and all 40 queries whose newest driver row is r8:
-    "ann_brute_force_topk", "ann_lsh_bucketed_topk", "ann_rrf_fusion",
-    "anti_join_parts_never_shipped", "bgp_comm_roa",
-    "bgp_lookup_attrs", "bgp_peer_src_as_map", "bgp_src_lookup",
-    "bpe_apply_token_counts", "bpe_train_merges", "dedup_cross_corpus",
-    "dedup_embedding_cosine", "dedup_embedding_cosine_hof",
-    "dedup_ngram_jaccard", "dedup_simhash", "distinct_hosts_per_proto",
-    "doc_chunking", "embedding_centroids_per_label",
-    "fsrc_priority_sampling", "grouping_sets_channels",
-    "heavy_hitters_countmin", "hist_month_prorate",
-    "ipfrag4_reassembly", "join_lineitem_orders_filtered",
-    "join_revenue_by_nation", "label_render", "networks_filter_zero",
-    "options_vrf_wire_enrich", "post_tag_override",
-    "presentation_render", "semi_join_suppliers",
-    "sessionize_user_events", "set_ops_ports", "sflow_v6_loop",
-    "stream_hist_5m_peer", "temperature_mix_sampling",
-    "text_fingerprint", "text_rarity_score", "text_token_counts",
-    "union_event_sources",
+    # ROUND-13 ROTATION (VERDICT r12 "Next round #1"). The two r12
+    # arrivals that have never had a driver row lead the window:
+    "bgp_follow_default_lookup",
+    "bgp_addpath_nexthop_disambig",
+    # ... then the r9-era tail: of the 50 gated queries whose newest
+    # driver sample is r9, 48 fit here. The 2 deferred to lead r14 —
+    # `bm25_keyword_topk`, `corpus_curation_pipeline` — are exactly
+    # the r9-era queries the r12 judge independently re-ran through
+    # the driver contract at sf0.01 this cycle (both hash-green, see
+    # VERDICT r12 headline), so their newest independent sample is
+    # effectively r12, not r9.
+    "agg_extended_primitives", "agg_mpls_path_delay", "agg_nat_events",
+    "agg_renormalize", "agg_stitching_secs", "agg_sum_host",
+    "agg_sum_port", "agg_tunnel_outer", "approx_distinct_hll",
+    "approx_distinct_hll_setops", "bgp_addpath_rib_lookup",
+    "bgp_agent_map_lookup", "blackhole_membership",
+    "bmp_wire_dump_accounting", "client_match_sum",
+    "client_sum_matches", "client_topn_packets",
+    "dedup_exact_substring_removal", "dedup_minhash_lsh",
+    "dedup_multimodal_phash", "dedup_survivor_selection",
+    "flow_to_rd_map", "geoip_pocode_coords", "hdr_quantiles_bytes",
+    "hist_1d_roundoff_w", "hist_5m_multiwindow", "hist_arrival_time",
+    "ipfrag6_reassembly", "lpm_range_strategy",
+    "median_bytes_by_proto", "multimodal_decode_features",
+    "nexthop_wire_loop", "pack_token_batches", "pii_redaction",
+    "preprocess_actions", "presentation_encode_toggles",
+    "pretag_filter_routing", "quality_rules_filter",
+    "quota_sample_per_source", "seqno_monitoring",
+    "stream_approx_distinct_hll", "stream_dedup_exact",
+    "stream_hdr_quantiles_bytes", "stream_heavy_hitters_countmin",
+    "stream_hist_5m_proto", "telemetry_cisco_mdt_wire_loop",
+    "tpch_q6_forecast_revenue", "train_val_test_split",
 ]
 
 

@@ -124,3 +124,36 @@ def test_every_gated_query_has_an_oracle():
     assert len(_DRIVER_WINDOW) == 50
     assert len(set(_DRIVER_WINDOW)) == 50
     assert all(n in qs for n in _DRIVER_WINDOW)
+
+
+def test_doc_gated_counts_match_registry():
+    """VERDICT r12 hygiene nit: README / COVERAGE / commit messages
+    disagreed on the gated-query total (200/201/202/203). The LATEST
+    round's COVERAGE.md headline and the README.md design-rules count
+    are now asserted equal to the live registry, so the docs cannot
+    drift from `len(queries())` again."""
+    import re
+    from pathlib import Path
+
+    import __spark_entry__ as entrymod
+
+    n = len(entrymod.queries())
+    root = Path(__file__).resolve().parent.parent
+
+    readme = (root / "README.md").read_text()
+    m = re.search(r"gated queries \((\d+) as of this round", readme)
+    assert m, "README.md lost its gated-query count sentence"
+    assert int(m.group(1)) == n, (
+        f"README.md says {m.group(1)} gated queries, registry has {n}"
+    )
+
+    cov = (root / "COVERAGE.md").read_text()
+    totals = re.findall(r"\*\*Round-(\d+) totals\*\*: (\d+) gated", cov)
+    assert totals, "COVERAGE.md lost its Round-N totals lines"
+    latest_round, latest_count = max(
+        ((int(r), int(c)) for r, c in totals), key=lambda t: t[0]
+    )
+    assert latest_count == n, (
+        f"COVERAGE.md round-{latest_round} headline says {latest_count}"
+        f" gated queries, registry has {n}"
+    )
