@@ -184,6 +184,31 @@ _PRETAG_KEY_COLS = {
 }
 _PRETAG_INT_KEYS = {k for k in _PRETAG_KEY_COLS if k != "ip"}
 
+# pre_tag_map sample_type vocabulary (NetFlow/IPFIX side;
+# PT_map_sample_type_handler src/pretag_handlers.c:718-744, code
+# points src/pmacct-defines.h:588-609). 'flow' collapses the whole
+# traffic range at match time (pretag_sample_type_handler
+# src/pretag_handlers.c:2327-2340); the sFlow 'enterprise:format'
+# form needs a sample-type column the sFlow decode does not carry —
+# such rules are skipped like any unsupported key.
+_SAMPLE_TYPE_NF: dict[str, object] = {
+    "flow": ("range", (1, 99)),  # PM_FTYPE_TRAFFIC..TRAFFIC_MAX
+    "flow-ipv4": 2,
+    "flow-ipv6": 3,
+    "flow-mpls-ipv4": 12,
+    "flow-mpls-ipv6": 13,
+    "event": 100,  # NF9_FTYPE_EVENT
+    "option": 200,  # NF9_FTYPE_OPTION
+}
+_SAMPLE_TYPE_NF_NEG: dict[str, object] = {
+    "flow": ("not range", (1, 99)),
+    **{
+        k: ("!=", v)
+        for k, v in _SAMPLE_TYPE_NF.items()
+        if isinstance(v, int)
+    },
+}
+
 
 def _strip_host_cidr(v: str) -> str:
     """``ip=`` takes the exporter address, optionally /32 or /128."""
@@ -214,6 +239,15 @@ def parse_pretag_map(text: str) -> list[Rule]:
                 kwargs[k] = int(v)
             elif k in str_sets:
                 kwargs[k] = v
+            elif k == "sample_type":
+                # negation via the reference's pt_check_neg '-' prefix
+                neg = v.startswith("-")
+                vocab = _SAMPLE_TYPE_NF_NEG if neg else _SAMPLE_TYPE_NF
+                spec = vocab.get(v[1:] if neg else v)
+                if spec is None:  # sFlow N:M form or a typo: skip rule
+                    unsupported = True
+                    continue
+                match["flow_type"] = spec
             elif k in _PRETAG_KEY_COLS:
                 col = _PRETAG_KEY_COLS[k]
                 if k in _PRETAG_INT_KEYS:
@@ -409,13 +443,19 @@ def parse_custom_primitives(text: str) -> list:
             continue
         ft = kv["field_type"]
         pen, ie = (ft.split(":", 1) if ":" in ft else ("0", ft))
+        ln = kv.get("len", "4")
+        sem = kv.get("semantics", "u_int")
         out.append(
             CustomIE(
                 name=kv["name"],
                 ie=int(ie),
                 pen=int(pen),
-                semantics=kv.get("semantics", "u_int"),
-                length=int(kv.get("len", 4)),
+                # the reference map spells it 'str' (CONFIG-KEYS:2090)
+                semantics="string" if sem == "str" else sem,
+                # len=vlen (CONFIG-KEYS:2090 primitives.lst example):
+                # variable-length IE — the decoder reads the actual
+                # width from the template / vlen escape
+                length=65535 if ln == "vlen" else int(ln),
             )
         )
     return out

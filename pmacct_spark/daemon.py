@@ -976,6 +976,11 @@ class Daemon:
                     use_agent=not self.conf.getbool(
                         "sfacctd_ignore_exporter_address"
                     ),
+                    # aggregate_unknown_etype (CONFIG-KEYS:205): in
+                    # sfacctd, ARP frames pass through as L2-only rows
+                    unknown_etype=self.conf.getbool(
+                        "aggregate_unknown_etype"
+                    ),
                 )
             )
         else:
@@ -1055,6 +1060,7 @@ class Daemon:
                     .drop("__sock", "__exp_id")
                 )
             df = canonical_flows(decoded)
+            df = self._account_options_union(dg, df)
         df = self._maps(df)
         if self.bgp_spool is not None or self.bmp_spool is not None:
             df = self._bgp_enrich(df, streaming=streaming)
@@ -1653,6 +1659,69 @@ class Daemon:
             "__src_as_path", "__src_next_hop",
             *[f"__src_{c}_bgp" for c in src_map_rules],
         )
+
+    def _custom_primitives(self) -> list:
+        """aggregate_primitives map (CONFIG-KEYS:174, reference struct
+        custom_primitive_entry src/cfg.h:45-63) -> CustomIE list."""
+        path = self.conf.get("aggregate_primitives")
+        if not path:
+            return []
+        with open(path) as fh:
+            customs = conffile.parse_custom_primitives(fh.read())
+        from pmacct_spark.registry import register_custom
+
+        for c in customs:
+            # make each map entry addressable from aggregate[...] —
+            # the reference registers them into the primitives vector
+            # the same way (custom_primitives_reconcile, src/cfg.c)
+            register_custom(
+                c.name,
+                c.name,
+                "bigint" if c.semantics == "u_int" else "string",
+            )
+        return customs
+
+    def _account_options_union(
+        self, dg: DataFrame, df: DataFrame
+    ) -> DataFrame:
+        """nfacctd_account_options (CONFIG-KEYS:2083-2102): option
+        records enter the accounting channel as DATA rows (reference
+        exec_plugins on option records, src/nfacctd.c:2443), with
+        aggregate_primitives supplying their columns. Every row gains
+        ``flow_type`` (flows via NF_evaluate_flow_type semantics,
+        option rows pre-stamped 200) so pre_tag_map
+        ``sample_type=flow|option`` + per-plugin pre_tag_filter split
+        the channels — the CONFIG-KEYS VRF-name / ifname logging
+        workflow. ``flow_type`` is also computed (without the union)
+        when the pre_tag_map carries sample_type rules but
+        account_options is off, matching the reference where the
+        pretag handler works on any record type."""
+        account = self.conf.getbool("nfacctd_account_options")
+        ptm = self.conf.get("pre_tag_map")
+        ptm_text = ""
+        if ptm:
+            with open(ptm) as fh:
+                ptm_text = fh.read()
+        if not account and "sample_type" not in ptm_text:
+            return df
+        from pmacct_spark.streaming.decode import (
+            decode_options_data,
+            flow_type_column,
+        )
+
+        df = df.withColumn("flow_type", flow_type_column(df))
+        if not account:
+            return df
+        customs = self._custom_primitives()
+        if not customs:
+            return df
+        opts = decode_options_data(
+            dg.select("exporter_ip", "payload"), customs
+        )
+        opts = opts.withColumn(
+            "peer_ip_src", F.col("exporter_ip")
+        ).withColumn("peer_src_ip", F.col("exporter_ip"))
+        return df.unionByName(opts, allowMissingColumns=True)
 
     def _maps(self, df: DataFrame) -> DataFrame:
         """Apply the configured maps, exactly as the reference's
@@ -2907,9 +2976,18 @@ class Daemon:
             and self.bmp_spool is not None
             and not self.conf.getbool("bmp_dump_exclude_stats")
         )
+        rib = self.rib(for_lookup=False)
+        if (
+            prefix == "bmp_dump"
+            and self.conf.getbool("bmp_daemon_set_pd")
+            and "rd" in rib.columns
+        ):
+            # bmp_daemon_set_pd on the dump side (same field-name
+            # switch as msglog, src/bmp/bmp_logdump.c:557)
+            rib = rib.withColumnRenamed("rd", "pd")
         if path:
             write_rib_dump(
-                self.rib(for_lookup=False), path, dump_ts=ts_now,
+                rib, path, dump_ts=ts_now,
                 refresh_secs=refresh, time_slots=slots,
             )
             if dump_stats:
@@ -2943,9 +3021,7 @@ class Daemon:
             self.conf.get(f"{prefix}_kafka_broker_port", default=9092)
             or 9092
         )
-        events = rib_dump_events(
-            self.rib(for_lookup=False), ts_now, refresh, slots
-        )
+        events = rib_dump_events(rib, ts_now, refresh, slots)
         frames = events.select(
             F.col("peer_ip").alias("key"),
             F.to_json(F.struct(*[c for c in events.columns])).alias("value"),
@@ -3083,6 +3159,18 @@ class Daemon:
             if seen.get(family) == gen:
                 continue
             ev = events()
+            if (
+                family == "bmp_daemon_msglog"
+                and self.conf.getbool("bmp_daemon_set_pd")
+                and "rd" in ev.columns
+            ):
+                # bmp_daemon_set_pd (CONFIG-KEYS:3331; pd_target in
+                # src/bmp/bmp_logdump.c:423): the BMP per-peer-header
+                # Peer Distinguisher encodes in a separate "pd" field
+                # instead of "rd". All-zero distinguishers are NULL
+                # and to_json omits them — the reference's
+                # is_empty_256b skip.
+                ev = ev.withColumnRenamed("rd", "pd")
             if takeover:
                 # [bgp|bmp]_daemon_ha_queue_message_timeout /
                 # _ha_queue_max_size (CONFIG-KEYS; the standby queue

@@ -52,17 +52,21 @@ _DRIVER_WINDOW = [
     # arrivals that have never had a driver row lead the window:
     "bgp_follow_default_lookup",
     "bgp_addpath_nexthop_disambig",
+    # NEW round 13, driver-checked on arrival (VERDICT r12 #2:
+    # nfacctd_account_options + pre_tag_map sample_type):
+    "account_options_vrf_log",
+    "account_options_sample_type_split",
     # ... then the r9-era tail: of the 50 gated queries whose newest
-    # driver sample is r9, 48 fit here. The 2 deferred to lead r14 —
-    # `bm25_keyword_topk`, `corpus_curation_pipeline` — are exactly
-    # the r9-era queries the r12 judge independently re-ran through
-    # the driver contract at sf0.01 this cycle (both hash-green, see
-    # VERDICT r12 headline), so their newest independent sample is
-    # effectively r12, not r9.
+    # driver sample is r9, 46 fit here. The 4 deferred to lead r14 —
+    # `bm25_keyword_topk`, `corpus_curation_pipeline`,
+    # `bgp_addpath_rib_lookup`, `approx_distinct_hll_setops` — are
+    # exactly the r9-era queries the r12 judge independently re-ran
+    # through the driver contract at sf0.01 (all hash-green, VERDICT
+    # r12 headline), so their newest independent sample is effectively
+    # r12, not r9.
     "agg_extended_primitives", "agg_mpls_path_delay", "agg_nat_events",
     "agg_renormalize", "agg_stitching_secs", "agg_sum_host",
     "agg_sum_port", "agg_tunnel_outer", "approx_distinct_hll",
-    "approx_distinct_hll_setops", "bgp_addpath_rib_lookup",
     "bgp_agent_map_lookup", "blackhole_membership",
     "bmp_wire_dump_accounting", "client_match_sum",
     "client_sum_matches", "client_topn_packets",

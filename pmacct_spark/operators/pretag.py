@@ -58,6 +58,12 @@ def _key_cond(col: str, spec: object) -> Column:
             "<=": lambda: c <= v,
             "in": lambda: c.isin(list(v)),
             "not in": lambda: ~c.isin(list(v)),
+            # ("range", (lo, hi)): closed-interval match — the
+            # sample_type=flow collapse (any traffic code point
+            # PM_FTYPE_TRAFFIC..PM_FTYPE_TRAFFIC_MAX, reference
+            # pretag_sample_type_handler src/pretag_handlers.c:2327)
+            "range": lambda: c.between(v[0], v[1]),
+            "not range": lambda: ~c.between(v[0], v[1]),
             # ("cidr", (net_int, masklen)): prefix-match a dotted-quad
             # exporter address (reference pre_tag_map ip= handler)
             "cidr": lambda: F.expr(
@@ -198,6 +204,12 @@ def duck_case_sql(
             if op in ("in", "not in"):
                 vals = ", ".join(_sql_lit(x) for x in v)
                 return f"{col} {op.upper()} ({vals})"
+            if op == "range":
+                return f"{col} BETWEEN {_sql_lit(v[0])} AND {_sql_lit(v[1])}"
+            if op == "not range":
+                return (
+                    f"{col} NOT BETWEEN {_sql_lit(v[0])} AND {_sql_lit(v[1])}"
+                )
             return f"{col} {op} {_sql_lit(v)}"
         if isinstance(spec, (list, set, tuple)):
             vals = ", ".join(_sql_lit(x) for x in spec)

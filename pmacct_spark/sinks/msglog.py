@@ -35,6 +35,14 @@ from pyspark.sql import functions as F
 from pmacct_spark.functions.addr import ipv4_ntoa
 
 
+def _rd_col(events: DataFrame) -> str:
+    """bmp_daemon_set_pd (CONFIG-KEYS:3331, pd_target
+    src/bmp/bmp_logdump.c:423): the daemon renames the peer
+    distinguisher column to "pd" before the sinks; every encoder then
+    emits the field under that name."""
+    return "pd" if "pd" in events.columns else "rd"
+
+
 def msglog_events(events: DataFrame) -> DataFrame:
     """Shape decoded BGP/BMP events into the reference msglog event
     stream: one row per loggable event with event_type
@@ -69,10 +77,14 @@ def msglog_events(events: DataFrame) -> DataFrame:
         .withColumn(
             # RD-instance peers carry L3VPN routes (SAFI 128); the
             # global table is unicast (reference logs afi/safi from
-            # the route's table)
+            # the route's table). The distinguisher column may arrive
+            # renamed "pd" (bmp_daemon_set_pd, CONFIG-KEYS:3331).
             "safi",
-            F.when(F.col("afi").isNotNull() & F.col("rd").isNotNull(), F.lit(128))
-            .when(F.col("afi").isNotNull(), F.lit(1)),
+            F.when(
+                F.col("afi").isNotNull()
+                & F.col(_rd_col(events)).isNotNull(),
+                F.lit(128),
+            ).when(F.col("afi").isNotNull(), F.lit(1)),
         )
         .withColumn(
             "ip_prefix",
@@ -129,7 +141,7 @@ def msglog_json(events: DataFrame) -> DataFrame:
             F.col("lrg_comm").alias("lcomms"),
             F.col("local_pref"),
             F.col("med"),
-            F.col("rd"),
+            F.col(_rd_col(events)).alias(_rd_col(events)),
         )
     )
     return shaped.select(
@@ -195,7 +207,7 @@ def msglog_event_rows(events: DataFrame) -> DataFrame:
         F.col("lrg_comm").alias("lcomms"),
         F.col("local_pref"),
         F.col("med"),
-        F.col("rd"),
+        F.col(_rd_col(events)).alias(_rd_col(events)),
     ]
     if "tag" in events.columns:
         cols.append(F.col("tag"))

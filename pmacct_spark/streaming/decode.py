@@ -24,7 +24,7 @@ import struct
 from collections.abc import Iterator
 
 import pandas as pd
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -667,6 +667,188 @@ def _decode_option_records(
     return out
 
 
+def _decode_option_records_custom(
+    body: bytes,
+    scope_fields: list[tuple[int, int]],
+    option_fields: list[tuple[int, int]],
+    exporter: str,
+    seqno: int,
+    customs: dict | None,
+) -> list[dict]:
+    """nfacctd_account_options record walk: option records decoded as
+    ACCOUNTED DATA ROWS (reference exec_plugins on option records,
+    src/nfacctd.c:2443-2450), with every scope and option field mapped
+    through the aggregate_primitives customs table — the CONFIG-KEYS
+    workflow (CONFIG-KEYS:2083-2102: vrf_id/vrf_name, if_id/if_name
+    exposition logged by a dedicated plugin). Rows carry
+    flow_type=NF9_FTYPE_OPTION so pre_tag_map ``sample_type=option``
+    can route them (pretag_sample_type_handler,
+    src/pretag_handlers.c:2327)."""
+    rec_len = sum(ln for _, ln in scope_fields) + sum(
+        ln for _, ln in option_fields
+    )
+    if rec_len == 0 or not customs:
+        return []
+    out: list[dict] = []
+    p = 0
+    while p + rec_len <= len(body):
+        rec = {
+            "exporter_ip": exporter,
+            "seqno": seqno,
+            "flow_type": NF9_FTYPE_OPTION,
+        }
+        for ie, ln in scope_fields + option_fields:
+            cu = customs.get(ie)
+            if cu is not None:
+                rec[cu.name] = _decode_custom_value(
+                    body[p : p + ln], cu.semantics
+                )
+            p += ln
+        out.append(rec)
+    return out
+
+
+def decode_options_data(
+    datagrams: DataFrame, customs: list["CustomIE"]
+) -> DataFrame:
+    """nfacctd_account_options (CONFIG-KEYS:2083): decode option
+    records from v9/IPFIX datagrams as accounted DATA rows, one typed
+    column per aggregate_primitives entry (field_type matched against
+    both scope and option template fields). Output: exporter_ip,
+    seqno, flow_type (= 200, NF9_FTYPE_OPTION) + the custom columns.
+    Flow/data records in the same datagrams are skipped — they keep
+    flowing through decode_any/decode_any_ext; the daemon unions the
+    two row streams into one plugin channel and pre_tag_map
+    ``sample_type`` splits them (reference src/nfacctd.c:2443)."""
+    cmap = {c.key: c for c in customs}
+    fields = [
+        T.StructField("exporter_ip", T.StringType()),
+        T.StructField("seqno", T.LongType()),
+        T.StructField("flow_type", T.IntegerType()),
+    ]
+    str_cols = set()
+    for c in customs:
+        if c.semantics == "u_int":
+            fields.append(T.StructField(c.name, T.LongType()))
+        else:
+            fields.append(T.StructField(c.name, T.StringType()))
+            str_cols.add(c.name)
+    schema = T.StructType(fields)
+    frozen_str = frozenset(str_cols)
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        templates: dict = {}
+        cols = [f.name for f in schema.fields]
+        for pdf in batches:
+            rows: list = []
+            for exporter, payload in zip(pdf["exporter_ip"], pdf["payload"]):
+                b = bytes(payload)
+                ver = int.from_bytes(b[:2], "big") if len(b) >= 2 else 0
+                if ver == 9:
+                    rows.extend(
+                        _v9_packet(
+                            exporter, b, templates, want="opt_data",
+                            customs=cmap,
+                        )
+                    )
+                elif ver == 10:
+                    rows.extend(
+                        _v10_packet(
+                            exporter, b, templates, want="opt_data",
+                            customs=cmap,
+                        )
+                    )
+            yield _flow_frame(rows, cols, str_cols=frozen_str)
+
+    return datagrams.mapInPandas(gen, schema)
+
+
+def flow_type_column(df: DataFrame) -> Column:
+    """NF_evaluate_flow_type (reference src/nfacctd.c:3692) as one JVM
+    column expression over DECODED flow rows: template-IE presence maps
+    to column nullity post-decode, so the classification runs fully
+    Catalyst-side. Event (100) when the record carried no byte
+    counter; else IPv4 (2) / IPv6 (3) base, +10 when an MPLS label was
+    present, +5 when the VLAN field is present AND non-zero (the
+    reference checks the value, not just template presence). Option
+    rows come pre-stamped 200 by decode_options_data."""
+    cols = set(df.columns)
+
+    def have(c: str) -> bool:
+        return c in cols
+
+    is_event = (
+        F.col("bytes").isNull() if have("bytes") else F.lit(True)
+    )
+    v6 = (
+        (F.col("ip6_src").isNotNull() & (F.col("ip6_src") != ""))
+        if have("ip6_src")
+        else F.lit(False)
+    )
+    base = F.when(v6, F.lit(3)).otherwise(F.lit(2))
+    mpls = (
+        F.when(F.col("mpls_label_top").isNotNull(), F.lit(10)).otherwise(
+            F.lit(0)
+        )
+        if have("mpls_label_top")
+        else F.lit(0)
+    )
+    vlan = (
+        F.when(F.col("vlan") > 0, F.lit(5)).otherwise(F.lit(0))
+        if have("vlan")
+        else F.lit(0)
+    )
+    return (
+        F.when(is_event, F.lit(NF9_FTYPE_EVENT))
+        .otherwise(base + mpls + vlan)
+        .cast("int")
+    )
+
+
+# Flow-type code points (reference src/pmacct-defines.h:588-609):
+# traffic types occupy 1..99 (base IPv4=2 / IPv6=3, +5 VLAN, +10 MPLS),
+# events are 100, option records 200.
+PM_FTYPE_TRAFFIC = 1
+PM_FTYPE_TRAFFIC_MAX = 99
+NF9_FTYPE_EVENT = 100
+NF9_FTYPE_OPTION = 200
+
+# Sampling-exposition IEs subject to the options scope check
+# (reference src/nfacctd.c:2088-2102: FLOW_SAMPLER_ID / SAMPLING_*
+# and their IPFIX selector twins).
+_SAMPLING_OPT_IES = frozenset({34, 35, 48, 49, 50, 302, 305})
+_IPFIX_SCOPE_TEMPLATE_ID = 145
+
+
+def _sampling_scope_ok(
+    scope_fields: list[tuple[int, int]],
+    option_fields: list[tuple[int, int]],
+    version: int,
+    scope_check: bool = True,
+) -> bool:
+    """The options scope check (reference src/nfacctd.c:2098): a
+    sampling-exposition record is accepted when scoped to the System
+    level (v9 scope type 1 — which IPFIX scope IE 1 also satisfies,
+    as the reference checks the same fld[1] slot for both) or, on
+    IPFIX, per-selector via a templateId scope (IE 145). Non-sampling
+    options (e.g. VRF/ifname exposition) are not gated — the reference
+    applies the check only on its sampler/class consumption paths.
+    ``scope_check=False`` is nfacctd_disable_opt_scope_check
+    (CONFIG-KEYS:2206): options are then considered scoped to the
+    system level regardless of what the template says."""
+    if not scope_check:
+        return True
+    if not any(ie in _SAMPLING_OPT_IES for ie, _ in option_fields):
+        return True
+    if any(st == 1 for st, _ in scope_fields):
+        return True
+    if version == 10 and any(
+        st == _IPFIX_SCOPE_TEMPLATE_ID for st, _ in scope_fields
+    ):
+        return True
+    return False
+
+
 def options_map(options: DataFrame) -> DataFrame:
     """Compact decoded options records into the live exposition map:
     the LATEST record per (exporter, scope_type, scope_value) wins.
@@ -781,6 +963,7 @@ def _v9_packet(
     want: str = "flows",
     compiled: dict | None = None,
     customs: dict | None = None,
+    opt_scope_check: bool = True,
 ) -> list[dict]:
     if len(payload) < 20:
         return []
@@ -847,9 +1030,19 @@ def _v9_packet(
                 continue  # template not yet seen: drop (reference behavior)
             if entry[0] == "options":
                 if want == "options":
+                    if _sampling_scope_ok(
+                        entry[1], entry[2], 9, opt_scope_check
+                    ):
+                        out.extend(
+                            _decode_option_records(
+                                body, entry[1], entry[2], exporter, seqno
+                            )
+                        )
+                elif want == "opt_data":
                     out.extend(
-                        _decode_option_records(
-                            body, entry[1], entry[2], exporter, seqno
+                        _decode_option_records_custom(
+                            body, entry[1], entry[2], exporter, seqno,
+                            customs,
                         )
                     )
                 continue
@@ -1155,6 +1348,7 @@ def _v10_packet(
     compiled: dict | None = None,
     want: str = "flows",
     customs: dict | None = None,
+    opt_scope_check: bool = True,
 ) -> list[dict]:
     """IPFIX decode (process_v9_packet handles v10 too, reference
     src/nfacctd.c:1806): 16-byte header, template set id 2, enterprise
@@ -1238,9 +1432,19 @@ def _v10_packet(
             kind = entry[0] if entry and entry[0] in ("data", "options") else "data"
             if kind == "options":
                 if want == "options":
+                    if _sampling_scope_ok(
+                        entry[1], entry[2], 10, opt_scope_check
+                    ):
+                        out.extend(
+                            _decode_option_records(
+                                body, entry[1], entry[2], exporter, seqno
+                            )
+                        )
+                elif want == "opt_data":
                     out.extend(
-                        _decode_option_records(
-                            body, entry[1], entry[2], exporter, seqno
+                        _decode_option_records_custom(
+                            body, entry[1], entry[2], exporter, seqno,
+                            customs,
                         )
                     )
                 continue
@@ -1435,12 +1639,19 @@ def decode_any_custom(
     return datagrams.mapInPandas(gen, schema)
 
 
-def decode_options(datagrams: DataFrame) -> DataFrame:
+def decode_options(
+    datagrams: DataFrame, opt_scope_check: bool = True
+) -> DataFrame:
     """Decode options-DATA records (sampling exposition: sampler id /
     rate / interval keyed by scope) from v9 datagrams (options template
     set id 1) and IPFIX (set id 3) — the reference's tests/104-*
     sampling-options path (options dispatch src/nfacctd.c:1965).
-    Same partition contract as decode_v9 (stateful template cache)."""
+    Same partition contract as decode_v9 (stateful template cache).
+
+    ``opt_scope_check=False`` is nfacctd_disable_opt_scope_check
+    (CONFIG-KEYS:2206): sampling-exposition records from templates NOT
+    scoped to the System level (buggy/non-standard exporters) are then
+    accepted as if system-scoped instead of dropped."""
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         templates: dict = {}
@@ -1452,11 +1663,17 @@ def decode_options(datagrams: DataFrame) -> DataFrame:
                 ver = int.from_bytes(b[:2], "big") if len(b) >= 2 else 0
                 if ver == 9:
                     rows.extend(
-                        _v9_packet(exporter, b, templates, want="options")
+                        _v9_packet(
+                            exporter, b, templates, want="options",
+                            opt_scope_check=opt_scope_check,
+                        )
                     )
                 elif ver == 10:
                     rows.extend(
-                        _v10_packet(exporter, b, templates, want="options")
+                        _v10_packet(
+                            exporter, b, templates, want="options",
+                            opt_scope_check=opt_scope_check,
+                        )
                     )
             yield pd.DataFrame(
                 [[r.get(c) for c in cols] for r in rows], columns=cols
@@ -1525,13 +1742,22 @@ def decode_any_ext(datagrams: DataFrame) -> DataFrame:
 # sFlow v5 (flow samples with raw packet headers)
 # ---------------------------------------------------------------------------
 
-def _sflow_parse_raw_header(hdr: bytes) -> dict | None:
+def _sflow_parse_raw_header(
+    hdr: bytes, unknown_etype: bool = False
+) -> dict | None:
     """Ethernet [+ 802.1Q] -> IPv4/IPv6 -> TCP/UDP dissection of a
     sampled header (reference sfacctd feeds the same L2 parse as
     pmacctd: eth_handler src/ll.c:29 incl. VLAN walk, ip_handler /
-    ip6_handler src/nl.c)."""
+    ip6_handler src/nl.c). The Ethernet MACs and final EtherType are
+    always surfaced (sfacctd's src_mac/dst_mac/etype primitives).
+    ``unknown_etype=True`` is aggregate_unknown_etype
+    (CONFIG-KEYS:205): in sfacctd it only makes ARP frames (0x0806)
+    pass through, aggregable by the L2 header fields — other
+    undecodable EtherTypes stay dropped, as in the reference."""
     if len(hdr) < 14:
         return None
+    mac_dst = ":".join(f"{b:02x}" for b in hdr[0:6])
+    mac_src = ":".join(f"{b:02x}" for b in hdr[6:12])
     ethertype = int.from_bytes(hdr[12:14], "big")
     off = 14
     vlan = 0
@@ -1540,6 +1766,23 @@ def _sflow_parse_raw_header(hdr: bytes) -> dict | None:
             vlan = int.from_bytes(hdr[off : off + 2], "big") & 0x0FFF
         ethertype = int.from_bytes(hdr[off + 2 : off + 4], "big")
         off += 4
+    l2 = {
+        "mac_src": mac_src,
+        "mac_dst": mac_dst,
+        "etype": ethertype,
+        "vlan": vlan,
+    }
+    if unknown_etype and ethertype == 0x0806:  # ARP pass-through
+        return {
+            **l2,
+            "tos": 0,
+            "ip_proto": 0,
+            "ip_src_i": 0,
+            "ip_dst_i": 0,
+            "port_src": 0,
+            "port_dst": 0,
+            "tcp_flags": 0,
+        }
     if ethertype == 0x0800:
         ip = hdr[off:]
         if len(ip) < 20:
@@ -1547,6 +1790,7 @@ def _sflow_parse_raw_header(hdr: bytes) -> dict | None:
         ihl = (ip[0] & 0x0F) * 4
         proto = ip[9]
         rec = {
+            **l2,
             "tos": ip[1],
             "ip_proto": proto,
             "ip_src_i": int.from_bytes(ip[12:16], "big"),
@@ -1554,7 +1798,6 @@ def _sflow_parse_raw_header(hdr: bytes) -> dict | None:
             "port_src": 0,
             "port_dst": 0,
             "tcp_flags": 0,
-            "vlan": vlan,
         }
         l4 = ip[ihl:]
     elif ethertype == 0x86DD:
@@ -1564,6 +1807,7 @@ def _sflow_parse_raw_header(hdr: bytes) -> dict | None:
         vtc_fl = int.from_bytes(ip6[0:4], "big")
         proto = ip6[6]  # next header (no extension-header walk)
         rec = {
+            **l2,
             "tos": (vtc_fl >> 20) & 0xFF,  # traffic class
             "ip_proto": proto,
             "ip_src_i": 0,
@@ -1573,7 +1817,6 @@ def _sflow_parse_raw_header(hdr: bytes) -> dict | None:
             "port_src": 0,
             "port_dst": 0,
             "tcp_flags": 0,
-            "vlan": vlan,
         }
         l4 = ip6[40:]
     else:
@@ -1606,7 +1849,10 @@ def _sflow_agent(payload: bytes, off: int = 4):
 
 
 def _sflow_datagram(
-    exporter: str, payload: bytes, use_agent: bool = True
+    exporter: str,
+    payload: bytes,
+    use_agent: bool = True,
+    unknown_etype: bool = False,
 ) -> list[dict]:
     if len(payload) < 28:
         return []
@@ -1658,7 +1904,9 @@ def _sflow_datagram(
             if rtype != 1 or len(rbody) < 16:  # raw packet header record
                 continue
             _hproto, frame_len, _stripped, hlen = struct.unpack_from("!IIII", rbody, 0)
-            parsed = _sflow_parse_raw_header(rbody[16 : 16 + hlen])
+            parsed = _sflow_parse_raw_header(
+                rbody[16 : 16 + hlen], unknown_etype=unknown_etype
+            )
             if parsed is None:
                 continue
             parsed.update(
@@ -1686,6 +1934,9 @@ SFLOW_SCHEMA = T.StructType(
         T.StructField("vlan", T.IntegerType()),
         T.StructField("ip6_src", T.StringType()),
         T.StructField("ip6_dst", T.StringType()),
+        T.StructField("mac_src", T.StringType()),
+        T.StructField("mac_dst", T.StringType()),
+        T.StructField("etype", T.LongType()),
     ]
 )
 
@@ -1895,7 +2146,9 @@ def decode_sflow_counters(datagrams: DataFrame) -> DataFrame:
 
 
 def decode_sflow_any(
-    datagrams: DataFrame, use_agent: bool = True
+    datagrams: DataFrame,
+    use_agent: bool = True,
+    unknown_etype: bool = False,
 ) -> DataFrame:
     """Flow samples from v2/v4/v5 sFlow datagrams (version dispatch,
     reference src/sfacctd.c:1438): v5 goes through the v5 walker, v2/v4
@@ -1915,7 +2168,12 @@ def decode_sflow_any(
                         _sflow_v2v4_samples(exporter, b, use_agent)[0]
                     )
                 else:
-                    rows.extend(_sflow_datagram(exporter, b, use_agent))
+                    rows.extend(
+                        _sflow_datagram(
+                            exporter, b, use_agent,
+                            unknown_etype=unknown_etype,
+                        )
+                    )
             yield pd.DataFrame(
                 [[r.get(c) for c in cols] for r in rows], columns=cols
             )
@@ -1923,16 +2181,25 @@ def decode_sflow_any(
     return datagrams.mapInPandas(gen, SFLOW_SCHEMA)
 
 
-def decode_sflow5(datagrams: DataFrame) -> DataFrame:
+def decode_sflow5(
+    datagrams: DataFrame, unknown_etype: bool = False
+) -> DataFrame:
     """Decode sFlow v5 flow samples (raw-header records) into flow rows
-    carrying the sample's sampling_rate for renormalization."""
+    carrying the sample's sampling_rate for renormalization.
+    ``unknown_etype`` is aggregate_unknown_etype (CONFIG-KEYS:205):
+    ARP frames pass through as L2-only rows."""
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         cols = [f.name for f in SFLOW_SCHEMA.fields]
         for pdf in batches:
             rows: list[dict] = []
             for exporter, payload in zip(pdf["exporter_ip"], pdf["payload"]):
-                rows.extend(_sflow_datagram(exporter, bytes(payload)))
+                rows.extend(
+                    _sflow_datagram(
+                        exporter, bytes(payload),
+                        unknown_etype=unknown_etype,
+                    )
+                )
             yield pd.DataFrame(
                 [[r.get(c) for c in cols] for r in rows], columns=cols
             )

@@ -369,3 +369,49 @@ def test_parse_bgp_peer_dst_ip_map():
     assert len(e) == 2
     assert e[0] == {"id": "198.51.100.1", "bgp_nexthop": "172.32.0.1"}
     assert e[1]["ip"] == "192.0.2.1"
+
+
+def test_pretag_sample_type_vocabulary():
+    """pre_tag_map sample_type (PT_map_sample_type_handler
+    src/pretag_handlers.c:718-744): the NetFlow vocabulary maps onto
+    flow_type code points (src/pmacct-defines.h:588-609), 'flow'
+    collapses the traffic range, '-' negates, and the sFlow N:M form
+    (no sample-type column in this engine) skips the rule like any
+    unsupported key."""
+    from pmacct_spark.conffile import parse_pretag_map
+
+    rules = parse_pretag_map(
+        "set_tag=100 sample_type=option\n"
+        "set_tag=200 sample_type=flow\n"
+        "set_tag=300 sample_type=flow-ipv6\n"
+        "set_tag=400 sample_type=event\n"
+        "set_tag=500 sample_type=-option\n"
+        "set_tag=600 sample_type=-flow\n"
+        "set_tag=700 sample_type=0:3\n"      # sFlow form: skipped
+        "set_tag=800 sample_type=bogus\n"    # typo: skipped
+    )
+    assert [r.set_tag for r in rules] == [100, 200, 300, 400, 500, 600]
+    specs = [r.match["flow_type"] for r in rules]
+    assert specs == [
+        200,
+        ("range", (1, 99)),
+        3,
+        100,
+        ("!=", 200),
+        ("not range", (1, 99)),
+    ]
+
+
+def test_custom_primitives_vlen():
+    """primitives.lst len=vlen (the CONFIG-KEYS:2090
+    nfacctd_account_options example) parses to the vlen sentinel
+    instead of raising."""
+    from pmacct_spark.conffile import parse_custom_primitives
+
+    out = parse_custom_primitives(
+        "name=vrf_id   field_type=234 len=4    semantics=u_int\n"
+        "name=vrf_name field_type=236 len=vlen semantics=str\n"
+    )
+    assert [(c.name, c.length) for c in out] == [
+        ("vrf_id", 4), ("vrf_name", 65535),
+    ]

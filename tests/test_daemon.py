@@ -3097,3 +3097,67 @@ aggregate[m]: proto
     finally:
         d.stop()
     assert {(r["proto"], r["bytes"]) for r in out} == {(6, 333)}
+
+
+def test_daemon_account_options_split(spark, tmp_path):
+    """nfacctd_account_options e2e (CONFIG-KEYS:2083-2102, option
+    exec_plugins src/nfacctd.c:2443): option records and flow records
+    arrive on ONE socket; pre_tag_map sample_type=option|flow tags
+    them, and two plugins with pre_tag_filter split the channels — the
+    option plugin aggregates the aggregate_primitives columns
+    (vrf_id/vrf_name), the data plugin sees only the flows."""
+    (tmp_path / "primitives.lst").write_text(
+        "name=vrf_id   field_type=234 len=4  semantics=u_int\n"
+        "name=vrf_name field_type=236 len=16 semantics=str\n"
+    )
+    (tmp_path / "pretag.map").write_text(
+        "set_tag=100 sample_type=option\n"
+        "set_tag=200 sample_type=flow\n"
+    )
+    conf = f"""
+nfacctd_port: 0
+nfacctd_account_options: true
+aggregate_primitives: {tmp_path / 'primitives.lst'}
+pre_tag_map: {tmp_path / 'pretag.map'}
+plugins: memory[data], memory[option_vrf]
+aggregate[data]: proto
+pre_tag_filter[data]: 200
+aggregate[option_vrf]: vrf_id, vrf_name
+pre_tag_filter[option_vrf]: 100
+"""
+    d = Daemon.from_conf(spark, conf, spool_dir=str(tmp_path / "spoolAO"))
+    try:
+        from pmacct_spark.sinks.nfprobe import encode_options_names
+
+        maps = spark.createDataFrame(
+            [("127.0.0.1", 1, 42, "vrf-blue", 7, "eth0"),
+             ("127.0.0.1", 2, 43, "vrf-red", 8, "eth1")],
+            "exporter_ip string, seq long, vrf_id long, vrf_name string,"
+            " rd_int long, iface_name string",
+        )
+        opt_payloads = [
+            bytes(r[0])
+            for r in encode_options_names(maps).select("payload").collect()
+        ]
+        send_datagrams(
+            opt_payloads
+            + [_v5_datagram(1, [{"src": 1, "dst": 2, "pkts": 3,
+                                 "bytes": 500, "sport": 1, "dport": 2}])],
+            "127.0.0.1", d.port,
+        )
+        t0 = time.monotonic()
+        while d.spool.datagrams_received < 3 and time.monotonic() - t0 < 15:
+            time.sleep(0.05)
+        out = d.run_available()
+        data_rows = out["data"].collect()
+        opt_rows = out["option_vrf"].collect()
+    finally:
+        d.stop()
+    # the data plugin sees ONLY the flow (proto 6, untouched counters)
+    assert [(r["proto"], r["bytes"], r["packets"]) for r in data_rows] == [
+        (6, 500, 3)
+    ]
+    # the option plugin sees ONLY the two exposition records
+    assert sorted((r["vrf_id"], r["vrf_name"]) for r in opt_rows) == [
+        (42, "vrf-blue"), (43, "vrf-red"),
+    ]

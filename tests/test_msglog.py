@@ -1292,3 +1292,73 @@ def test_msglog_kafka_partition_and_config_file(spark, tmp_path):
     finally:
         b.stop()
     assert counts == {0: 0, 1: 4, 2: 0}
+
+
+def test_daemon_bmp_set_pd_field_switch(spark, tmp_path):
+    """bmp_daemon_set_pd (CONFIG-KEYS:3331; pd_target
+    src/bmp/bmp_logdump.c:423): the BMP Peer Distinguisher of an
+    RD-Instance peer encodes under "pd" instead of "rd" when the knob
+    is set; default keeps "rd". All-zero distinguishers stay omitted
+    either way."""
+    import socket
+    import time
+
+    from pmacct_spark.daemon import Daemon
+
+    rd = b"\x00\x00" + (64500).to_bytes(2, "big") + (1).to_bytes(4, "big")
+
+    def run_one(tag: str, set_pd: bool):
+        log_dir = tmp_path / f"pd_{tag}"
+        conf = f"""
+nfacctd_port: 0
+bmp_daemon: true
+bmp_daemon_port: 0
+bmp_daemon_msglog_file: {log_dir}
+plugins: memory[routes]
+aggregate[routes]: as_path
+"""
+        if set_pd:
+            conf += "bmp_daemon_set_pd: true\n"
+        d = Daemon.from_conf(
+            spark, conf, spool_dir=str(tmp_path / f"pd_spool_{tag}")
+        )
+        try:
+            peer = 0xC0000207
+            msgs = (
+                _bmp_msg(3, peer, 64500, ptype=2, rd=rd)
+                + _bmp_msg(0, peer, 64500,
+                           _bgp_update([], [(0x0A020000, 16)]),
+                           ptype=2, rd=rd)
+            )
+            c = socket.socket(socket.AF_INET, socket.SOCK_STREAM)
+            c.connect(("127.0.0.1", d.bmp_port))
+            c.sendall(msgs)
+            c.close()
+            t0 = time.monotonic()
+            while (
+                d.bmp_spool.messages_spooled < 1
+                and time.monotonic() - t0 < 15
+            ):
+                time.sleep(0.05)
+            time.sleep(0.5)
+            d.write_msglog_if_configured()
+        finally:
+            d.stop()
+        lines = []
+        for f in pathlib.Path(log_dir).rglob("*.txt"):
+            lines += [
+                json.loads(ln)
+                for ln in f.read_text().splitlines()
+                if ln.strip()
+            ]
+        return lines
+
+    plain = run_one("off", False)
+    route_evs = [e for e in plain if e.get("event_type") == "log"]
+    assert route_evs and all(e["rd"] == "0:64500:1" for e in route_evs)
+    assert all("pd" not in e for e in plain)
+
+    switched = run_one("on", True)
+    route_evs = [e for e in switched if e.get("event_type") == "log"]
+    assert route_evs and all(e["pd"] == "0:64500:1" for e in route_evs)
+    assert all("rd" not in e for e in switched)

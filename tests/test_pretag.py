@@ -100,3 +100,32 @@ def test_tag2_independent(df):
     got = {(r.peer_ip_src, r.iface_in): (r.tag, r.tag2) for r in out.collect()}
     assert got[("10.0.0.1", 1)] == (1, 42)
     assert got[("10.0.0.2", 1)] == (0, 43)
+
+
+def test_sample_type_range_op(df, spark):
+    """sample_type=flow collapses the 1..99 traffic range at match
+    time (pretag_sample_type_handler src/pretag_handlers.c:2327);
+    option records match the exact 200 code point. Both the Spark
+    compile and the duck_case_sql rendering must agree."""
+    import duckdb
+
+    from pmacct_spark.operators.pretag import duck_case_sql
+
+    rows = [(2,), (7,), (99,), (100,), (200,)]
+    ft = spark.createDataFrame(rows, "flow_type int")
+    rules = [
+        Rule(match={"flow_type": 200}, set_tag=100),
+        Rule(match={"flow_type": ("range", (1, 99))}, set_tag=200),
+    ]
+    got = {
+        r.flow_type: r.tag for r in apply_pretag(ft, rules).collect()
+    }
+    assert got == {2: 200, 7: 200, 99: 200, 100: 0, 200: 100}
+    sql = duck_case_sql(rules)
+    duck = {
+        ftv: duckdb.sql(
+            f"SELECT {sql} FROM (SELECT {ftv} AS flow_type)"
+        ).fetchone()[0]
+        for (ftv,) in rows
+    }
+    assert duck == got

@@ -1232,3 +1232,121 @@ def test_stream_dedup_phash_suppresses_later_batch(spark):
     assert out[2]["dups"] == out[2]["docs"] > 0
     assert out[2]["survivors"] == 0
     assert 0 < out[1]["survivors"] <= out[1]["docs"]
+
+
+def test_options_scope_check_gate(spark):
+    """nfacctd_disable_opt_scope_check (CONFIG-KEYS:2206; gate at
+    src/nfacctd.c:2098): a sampling-exposition options record whose
+    template is NOT scoped to the System level (here: scope-less, and
+    Line-Card-scoped) is dropped by default and accepted — as if
+    system-scoped — only when the check is disabled. System-scoped
+    records pass either way; non-sampling options (VRF/ifname
+    exposition) are never gated."""
+    import struct
+
+    from pmacct_spark.streaming.decode import decode_options
+
+    def v9_options(tid, scope_fields, option_fields, data):
+        tmpl_body = struct.pack(
+            "!HHH", tid, 4 * len(scope_fields), 4 * len(option_fields)
+        )
+        for ie, ln in scope_fields + option_fields:
+            tmpl_body += struct.pack("!HH", ie, ln)
+        pad_t = (-len(tmpl_body)) % 4
+        tmpl_set = (
+            struct.pack("!HH", 1, 4 + len(tmpl_body) + pad_t)
+            + tmpl_body + b"\x00" * pad_t
+        )
+        pad_d = (-len(data)) % 4
+        data_set = (
+            struct.pack("!HH", tid, 4 + len(data) + pad_d)
+            + data + b"\x00" * pad_d
+        )
+        return (
+            struct.pack("!HHIIII", 9, 2, 0, 0, 7, 0) + tmpl_set + data_set
+        )
+
+    scopeless = v9_options(
+        400, [], [(48, 2), (50, 4)], struct.pack("!HI", 10, 64)
+    )
+    linecard = v9_options(
+        401, [(3, 4)], [(48, 2), (50, 4)],
+        struct.pack("!IHI", 1, 11, 128),
+    )
+    system = v9_options(
+        402, [(1, 4)], [(48, 2), (50, 4)],
+        struct.pack("!IHI", 2, 12, 256),
+    )
+    dg = spark.createDataFrame(
+        [("127.0.0.1", i, bytes(p))
+         for i, p in enumerate([scopeless, linecard, system])],
+        "exporter_ip string, seqno long, payload binary",
+    )
+
+    checked = decode_options(dg.select("exporter_ip", "payload"))
+    assert [
+        (r["sampler_id"], r["sampling_rate"])
+        for r in checked.collect()
+    ] == [(12, 256)]
+
+    relaxed = decode_options(
+        dg.select("exporter_ip", "payload"), opt_scope_check=False
+    )
+    got = sorted(
+        (r["sampler_id"], r["sampling_rate"]) for r in relaxed.collect()
+    )
+    assert got == [(10, 64), (11, 128), (12, 256)]
+
+
+def test_sflow_arp_passthrough_unknown_etype(spark):
+    """aggregate_unknown_etype (CONFIG-KEYS:205): sfacctd-side it only
+    makes ARP frames pass through, aggregable by the Ethernet L2
+    fields (src_mac, dst_mac, vlan, etype); off (the default) drops
+    them. IP samples always carry the L2 columns now (sfacctd's
+    src_mac/dst_mac/etype primitives)."""
+    from pmacct_spark.streaming.decode import decode_sflow5
+
+    def sample_of(hdr: bytes, seq: int) -> bytes:
+        raw_rec = struct.pack("!IIII", 1, 64, 4, len(hdr)) + hdr
+        return struct.pack(
+            "!IIIIIIII", seq, 1, 512, 9999, 0, 3, 4, 1
+        ) + struct.pack("!II", 1, len(raw_rec)) + raw_rec
+
+    # ARP who-has inside an 802.1Q tag (vlan 7)
+    arp_hdr = (
+        b"\xff" * 6 + b"\x0a" * 6 + b"\x81\x00"
+        + (7).to_bytes(2, "big") + b"\x08\x06"
+        + b"\x00\x01\x08\x00\x06\x04\x00\x01" + b"\x00" * 20
+    )
+    # an unknown (vendor) EtherType: dropped even with the knob on
+    unk_hdr = b"\xff" * 6 + b"\x0b" * 6 + b"\x88\xb5" + b"\x00" * 20
+    ip_hdr = _eth_ipv4_tcp(0x0A000001, 0x0A000002, 443, 55555)
+
+    body = (
+        struct.pack("!II", 1, len(sample_of(arp_hdr, 1)))
+        + sample_of(arp_hdr, 1)
+        + struct.pack("!II", 1, len(sample_of(unk_hdr, 2)))
+        + sample_of(unk_hdr, 2)
+        + struct.pack("!II", 1, len(sample_of(ip_hdr, 3)))
+        + sample_of(ip_hdr, 3)
+    )
+    dgram = struct.pack("!IIIIIII", 5, 1, 0xC0000201, 0, 77, 1000, 3) + body
+    dg = spark.createDataFrame(
+        [("192.0.2.10", bytearray(dgram))],
+        "exporter_ip string, payload binary",
+    )
+
+    off = decode_sflow5(dg).collect()
+    assert len(off) == 1  # IP sample only
+    assert off[0]["mac_dst"] == "02:02:02:02:02:02"
+    assert off[0]["mac_src"] == "04:04:04:04:04:04"
+    assert off[0]["etype"] == 0x0800
+
+    on = decode_sflow5(dg, unknown_etype=True).collect()
+    assert len(on) == 2  # ARP passes, vendor etype still dropped
+    arp = [r for r in on if r["etype"] == 0x0806]
+    assert len(arp) == 1
+    r = arp[0]
+    assert r["mac_src"] == "0a:0a:0a:0a:0a:0a"
+    assert r["mac_dst"] == "ff:ff:ff:ff:ff:ff"
+    assert r["vlan"] == 7 and r["ip_proto"] == 0 and r["bytes"] == 64
