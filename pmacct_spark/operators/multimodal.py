@@ -51,7 +51,10 @@ FEATURE_DIM = 8
 
 def _fake_features(payload: bytes, dim: int = FEATURE_DIM) -> list[float]:
     """Deterministic stand-in for a real decoder: cheap rolling stats
-    over the bytes. Replace with PIL/ffmpeg kernels in a full deploy."""
+    over the bytes. Replace with PIL/ffmpeg kernels in a full deploy.
+    Scalar REFERENCE implementation — the Arrow kernel runs
+    :func:`_fake_features_batch`, which must stay bit-identical (the
+    DuckDB oracles replay this hash family value-exactly)."""
     if not payload:
         return [0.0] * dim
     out = []
@@ -61,6 +64,43 @@ def _fake_features(payload: bytes, dim: int = FEATURE_DIM) -> list[float]:
         for i in range(j, n, dim):
             acc = (acc * 31 + payload[i]) % 1_000_003
         out.append(acc / 1_000_003.0)
+    return out
+
+
+def _fake_features_batch(payloads: list, dim: int = FEATURE_DIM) -> list:
+    """Vectorized :func:`_fake_features` over a whole Arrow batch: the
+    per-lane rolling hash acc = (acc*31 + byte) % p walks dim lanes in
+    lock-step across ALL documents at once (one [docs, dim] numpy op
+    per stride step, masked past each document's length — masking
+    preserves the scalar semantics exactly, a padded 0 byte never
+    touches the accumulator). The scalar path was the measured hot
+    spot of the streaming pHash state query (a per-byte interpreted
+    loop, ~0.3 ms/doc); this folds the same math into ~len/dim numpy
+    steps per batch. None payloads stay None; empty ones yield the
+    all-zero grid, both as in the scalar reference."""
+    import numpy as np
+
+    out: list = [None] * len(payloads)
+    live = [(k, p) for k, p in enumerate(payloads) if p is not None]
+    if not live:
+        return out
+    lens = np.array([len(p) for _, p in live], dtype=np.int64)
+    max_len = int(lens.max())
+    steps = max(1, (max_len + dim - 1) // dim)
+    buf = np.zeros((len(live), steps * dim), dtype=np.int64)
+    for r, (_, p) in enumerate(live):
+        if len(p):
+            buf[r, : len(p)] = np.frombuffer(p, dtype=np.uint8)
+    grid = buf.reshape(len(live), steps, dim)
+    acc = np.zeros((len(live), dim), dtype=np.int64)
+    lane = np.arange(dim, dtype=np.int64)
+    p_mod = 1_000_003
+    for t in range(steps):
+        mask = (t * dim + lane)[None, :] < lens[:, None]
+        np.copyto(acc, (acc * 31 + grid[:, t, :]) % p_mod, where=mask)
+    feats = acc / float(p_mod)
+    for r, (k, _p) in enumerate(live):
+        out[k] = feats[r]
     return out
 
 
@@ -103,10 +143,13 @@ def decode_features(
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             pdf = pdf.copy()
-            pdf[out_col] = [
-                _fake_features(bytes(p), dim) if p is not None else None
-                for p in pdf[payload_col]
-            ]
+            pdf[out_col] = _fake_features_batch(
+                [
+                    bytes(p) if p is not None else None
+                    for p in pdf[payload_col]
+                ],
+                dim,
+            )
             yield pdf
 
     if batch_partitions:
@@ -247,13 +290,22 @@ def phash_band_keys(
     min-merges into its owner state."""
     width = 64 // bands
     mask = (1 << width) - 1
-    slices = ", ".join(
-        f"shiftright({hash_col}, {b * width}) & {mask}" for b in range(bands)
+    # bind the hash ONCE as a lambda variable before slicing: when
+    # hash_col is itself a wide expression (dhash64's 64-term sum), a
+    # plain array(shiftright(h,0)&m, shiftright(h,16)&m, ...) lets
+    # Catalyst inline that producer into every slice + the output
+    # column (5 evaluations/row, interpreted under the generator) —
+    # the projection-collapsing trap. transform()'s lambda var
+    # evaluates it once.
+    slices = (
+        f"transform(array({hash_col}), ph -> transform("
+        f"sequence(0, {bands - 1}), "
+        f"b -> shiftright(ph, CAST(b AS INT) * {width}) & {mask}))[0]"
     )
     return hashed.select(
         F.col(id_col),
         F.col(hash_col),
-        F.posexplode(F.expr(f"array({slices})")).alias("bidx", "bval"),
+        F.posexplode(F.expr(slices)).alias("bidx", "bval"),
     )
 
 

@@ -46,6 +46,26 @@ def _bucket_exprs(hash_expr: str, d: int, w: int) -> list[str]:
     ]
 
 
+def _bucket_explode_sql(hash_expr: str, d: int, w: int) -> str:
+    """posexplode-ready d-bucket array with the base hash bound ONCE
+    per row via a transform lambda. ``hash_expr`` is the interpreted
+    char-folding HOF poly-hash — embedding it in each of the d bucket
+    expressions (the _bucket_exprs shape) evaluates it d times per
+    row, and on the STREAMING count-min path that's per flow record,
+    not per distinct key. Binding through array()+transform() keeps
+    one evaluation (the projection-collapse countermeasure the verify
+    notes describe). Same arithmetic, same values, 4x less hash work
+    at d=4."""
+    a = ", ".join(str(MINHASH_A[j]) for j in range(d))
+    b = ", ".join(str(MINHASH_B[j]) for j in range(d))
+    return (
+        f"transform(array({hash_expr}), h -> "
+        f"transform(sequence(0, {d - 1}), j -> "
+        f"((element_at(array({a}), CAST(j AS INT) + 1) * h + "
+        f"element_at(array({b}), CAST(j AS INT) + 1)) % {P}) % {w}))[0]"
+    )
+
+
 def countmin_heavy_hitters(
     flows: DataFrame,
     key_col: str = "ip_dst",
@@ -66,7 +86,6 @@ def countmin_heavy_hitters(
     per_key = flows.groupBy(F.col(key_col).alias("key")).agg(
         F.sum(weight_col).cast("bigint").alias("wsum")
     )
-    buckets = _bucket_exprs(poly_hash_spark_sql("key"), d, w)
     # staged: the per-key bucket rows feed BOTH the counter aggregate
     # and the estimate join
     ex = stage(
@@ -74,7 +93,7 @@ def countmin_heavy_hitters(
             "key",
             "wsum",
             F.posexplode(
-                F.expr("array(" + ", ".join(buckets) + ")")
+                F.expr(_bucket_explode_sql(poly_hash_spark_sql("key"), d, w))
             ).alias("row", "bucket"),
         )
     )

@@ -20,6 +20,7 @@ from pmacct_spark.operators import sketch as _sketch_mod
 from pmacct_spark.config import History
 from pmacct_spark.streaming.jobs import (
     flows_stream,
+    retain_scratch,
     run_to_memory,
     stream_aggregation,
     two_microbatch_source,
@@ -1160,10 +1161,8 @@ def stream_dedup_minhash(spark, sf_dir):
     banded LSH. Reference analogue: the long-lived dedup horizon of
     ip_flow.c's flow cache, applied to the LLM-corpus ingest shape."""
     import os
-    import shutil
 
     from pmacct_spark.operators.dedup import band_keys_long, minhash_signature
-    from pmacct_spark.operators.staging import stage
     from pmacct_spark.session import apply_runtime_confs
     from pmacct_spark.sources.tables import load_table
 
@@ -1212,11 +1211,12 @@ def stream_dedup_minhash(spark, sf_dir):
         .start()
     )
     q.awaitTermination()
-    # lift the final state + band index out of the scratch dir before
-    # removing it
-    owners = stage(spark.read.parquet(versions[-1]))
-    all_bands = stage(spark.read.parquet(*band_paths))
-    shutil.rmtree(d, ignore_errors=True)
+    # the per-batch MERGE already materialized these as parquet — read
+    # them in place and retain the scratch dir (re-staging was a
+    # redundant write+read on every run)
+    retain_scratch(d)
+    owners = spark.read.parquet(versions[-1])
+    all_bands = spark.read.parquet(*band_paths)
     # no broadcast hint: the owner table grows with the corpus's
     # distinct band buckets (<= 8/doc) — AQE broadcasts it while it
     # fits and degrades to a shuffle join when it doesn't (the same
@@ -1265,10 +1265,8 @@ def _ann_ingest_duck():
 @register("stream_ann_ivf_ingest", _ann_ingest_duck())
 def stream_ann_ivf_ingest(spark, sf_dir):
     import os
-    import shutil
 
     from pmacct_spark.operators import similarity as S
-    from pmacct_spark.operators.staging import stage
     from pmacct_spark.session import apply_runtime_confs
     from pmacct_spark.sources.tables import load_table
 
@@ -1314,8 +1312,11 @@ def stream_ann_ivf_ingest(spark, sf_dir):
         .start()
     )
     q.awaitTermination()
-    items_idx = stage(spark.read.parquet(versions[-1]))
-    shutil.rmtree(d, ignore_errors=True)
+    # read the final posting-table version in place (see
+    # retain_scratch: re-staging an already-materialized parquet was a
+    # redundant write+read per run)
+    retain_scratch(d)
+    items_idx = spark.read.parquet(versions[-1])
     return S.ivf_pq_query(
         items_idx, base, cents_df, cb, k=3, refine=3, nprobe=2
     )
@@ -1348,10 +1349,8 @@ def _ann_delete_duck():
 @register("stream_ann_ivf_delete", _ann_delete_duck())
 def stream_ann_ivf_delete(spark, sf_dir):
     import os
-    import shutil
 
     from pmacct_spark.operators import similarity as S
-    from pmacct_spark.operators.staging import stage
     from pmacct_spark.session import apply_runtime_confs
     from pmacct_spark.sources.tables import load_table
 
@@ -1403,8 +1402,11 @@ def stream_ann_ivf_delete(spark, sf_dir):
         .start()
     )
     q.awaitTermination()
-    items_idx = stage(spark.read.parquet(versions[-1]))
-    shutil.rmtree(d, ignore_errors=True)
+    # read the final posting-table version in place (see
+    # retain_scratch: re-staging an already-materialized parquet was a
+    # redundant write+read per run)
+    retain_scratch(d)
+    items_idx = spark.read.parquet(versions[-1])
     return S.ivf_pq_query(
         items_idx, base, cents_df, cb, k=3, refine=3, nprobe=2
     )
@@ -1462,7 +1464,6 @@ FROM flags GROUP BY 1"""
 @register("stream_dedup_phash", _phash_stream_duck())
 def stream_dedup_phash(spark, sf_dir):
     import os
-    import shutil
 
     from pmacct_spark.operators.multimodal import (
         decode_features,
@@ -1470,7 +1471,6 @@ def stream_dedup_phash(spark, sf_dir):
         media_table_from_documents,
         phash_band_keys,
     )
-    from pmacct_spark.operators.staging import stage
     from pmacct_spark.session import apply_runtime_confs
     from pmacct_spark.sources.tables import load_table
 
@@ -1522,9 +1522,13 @@ def stream_dedup_phash(spark, sf_dir):
         .start()
     )
     q.awaitTermination()
-    owners = stage(spark.read.parquet(versions[-1]))
-    all_bands = stage(spark.read.parquet(*band_paths))
-    shutil.rmtree(d, ignore_errors=True)
+    # the versioned owner/band tables are ALREADY materialized parquet
+    # (the per-batch MERGE wrote them) — re-staging them through
+    # operators/staging was a second write+read of the same rows, the
+    # bulk of this query's former fixed cost over its oracle
+    retain_scratch(d)
+    owners = spark.read.parquet(versions[-1])
+    all_bands = spark.read.parquet(*band_paths)
     # no broadcast hint: the owner table grows with distinct band
     # buckets (<= 4/item) — AQE broadcasts while it fits (same
     # no-SF-linear-broadcast rule as stream_dedup_minhash)
@@ -1871,12 +1875,16 @@ def stream_heavy_hitters_countmin(spark, sf_dir):
     from pmacct_spark.operators.sketch import (
         D_ROWS,
         W_BUCKETS,
-        _bucket_exprs,
+        _bucket_explode_sql,
         countmin_estimate_topk,
     )
 
-    buckets = _bucket_exprs(poly_hash_spark_sql("key"), D_ROWS, W_BUCKETS)
-    arr = "array(" + ", ".join(buckets) + ")"
+    # bind the char-folding poly-hash ONCE per record: the stream side
+    # buckets per FLOW (not per distinct key), so the d-fold inline of
+    # the interpreted HOF hash was this query's dominant cost
+    arr = _bucket_explode_sql(
+        poly_hash_spark_sql("key"), D_ROWS, W_BUCKETS
+    )
     src = flows_stream(spark, sf_dir).selectExpr(
         "ip_dst AS key", "bytes"
     )

@@ -41,6 +41,29 @@ def scratch_dir(prefix: str) -> str:
 # one per source file (see flows_stream)
 _FLOWS_SCRATCH: dict = {}
 
+# scratch dirs whose parquet a RETURNED DataFrame still reads from:
+# kept for the process lifetime, removed at exit. Re-staging those
+# files through operators/staging just to free the dir early was a
+# measurable second write+read on every stateful streaming query.
+_RETAINED_SCRATCH: list = []
+
+
+def retain_scratch(d: str) -> None:
+    """Keep a bounded-replay scratch dir alive until process exit (the
+    caller returns a DataFrame whose lineage reads parquet inside it —
+    tmpfs-resident, a few hundred KB per query at bench scale)."""
+    import atexit
+    import shutil
+
+    if not _RETAINED_SCRATCH:
+        atexit.register(
+            lambda: [
+                shutil.rmtree(x, ignore_errors=True)
+                for x in _RETAINED_SCRATCH
+            ]
+        )
+    _RETAINED_SCRATCH.append(d)
+
 
 def flows_stream(spark, sf_dir: str, path: str | None = None) -> DataFrame:
     """The flows view as a STREAMING DataFrame (file source over the
@@ -220,15 +243,29 @@ def run_to_memory(
 ) -> DataFrame:
     """Drain a streaming aggregate into an in-memory table with
     availableNow (process-everything-then-stop) and return the result —
-    the IMT plugin shape, and the test harness for batch/stream parity."""
+    the IMT plugin shape, and the test harness for batch/stream parity.
+
+    The checkpoint goes on tmpfs scratch: Spark's implicit temporary
+    checkpoint lands in java.io.tmpdir (disk here), and a stateful
+    query fsyncs one state-store delta per shuffle partition per
+    micro-batch there — a pure-overhead disk round for a bounded
+    replay whose result lives in the memory sink. Removed once the
+    query terminates."""
+    import shutil
+
+    d = scratch_dir("ckpt_")
     q = (
         stream_df.writeStream.outputMode(mode)
         .format("memory")
         .queryName(name)
+        .option("checkpointLocation", d)
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination()
+    try:
+        q.awaitTermination()
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
     return stream_df.sparkSession.table(name)
 
 

@@ -660,3 +660,28 @@ def test_tcp_flags_array_guard_and_order(spark, duck):
     ]
     assert got_spark == expected
     assert got_duck == expected
+
+
+def test_fake_features_batch_matches_scalar():
+    """The Arrow-batch feature kernel must replay the scalar reference
+    bit-for-bit (the DuckDB oracles are frozen on this hash family) —
+    including empty payloads, None rows, and lengths around the lane
+    boundary."""
+    import random
+
+    from pmacct_spark.operators.multimodal import (
+        _fake_features,
+        _fake_features_batch,
+    )
+
+    rng = random.Random(7)
+    payloads = [
+        bytes(rng.randrange(256) for _ in range(n))
+        for n in (0, 1, 71, 72, 73, 144, 1000, 2048)
+    ] + [None]
+    got = _fake_features_batch(payloads, 72)
+    for p, g in zip(payloads, got):
+        if p is None:
+            assert g is None
+        else:
+            assert list(g) == _fake_features(p, 72)

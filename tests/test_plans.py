@@ -82,9 +82,12 @@ def test_no_python_udf_in_relational_paths(spark):
     q = entrymod.queries()
     for name, fn in q.items():
         if name.startswith(
-            ("dedup", "ann_", "text_", "multimodal", "sflow_")
+            ("dedup", "ann_", "text_", "multimodal", "sflow_",
+             "account_options_")
         ) or "wire" in name:
-            continue  # pipeline/wire-format ops use Arrow kernels by design
+            continue  # pipeline/wire-format ops use Arrow kernels by
+            # design (account_options_* is an encode->decode wire loop
+            # like the *_wire_loop family)
         plan = _plan(fn(spark, SF_DIR))
         assert "EvalPython" not in plan and "MapInPandas" not in plan, (
             f"{name}: Python UDF in hot path"
@@ -112,7 +115,8 @@ def test_pipeline_ops_also_jvm_side(spark):
     q = {
         n: f
         for n, f in entrymod.queries().items()
-        if "wire" not in n and not n.startswith("sflow_")
+        if "wire" not in n
+        and not n.startswith(("sflow_", "account_options_"))
     }
     for name, fn in q.items():
         plan = _plan(fn(spark, SF_DIR))
