@@ -156,6 +156,13 @@ def channels(conf: Conf) -> dict[str, PluginConfig]:
         ptf = conf.get("pre_tag_filter", name)
         if ptf:
             cfg.pre_tag_filter = [int(x) for x in ptf.split(",")]
+        ptlf = conf.get("pre_tag_label_filter", name)
+        if ptlf:
+            # comma-OR label list; '-' negates, 'null' = unlabelled
+            # (CONFIG-KEYS:2327, NO_GLOBAL — per plugin)
+            cfg.pre_tag_label_filter = [
+                x.strip() for x in str(ptlf).split(",") if x.strip()
+            ]
         pt = conf.get("post_tag", name)
         if pt is not None:
             cfg.post_tag = int(pt)
@@ -545,12 +552,20 @@ def split_host_port(
     return s, default_port
 
 
-def parse_tee_receivers(text: str) -> list[dict]:
+def parse_tee_receivers(
+    text: str, max_pools: int = 128, max_receivers: int = 32
+) -> list[dict]:
     """tee_receivers map (CONFIG-KEYS:3415,
     examples/tee_receivers.lst.example): ``id=<pool>`` +
     ``ip=<host:port>[,<host:port>...]`` receivers, optional
     ``tag=<t1>[,<t2>...]`` filter and ``balance-alg=rr|hash``.
-    Malformed lines are warned and skipped like every reference map."""
+    Malformed lines are warned and skipped like every reference map.
+
+    ``max_pools`` / ``max_receivers`` are tee_max_receiver_pools /
+    tee_max_receivers (CONFIG-KEYS:3486,3492, reference defaults 128 /
+    32): pools beyond the cap and receivers beyond the per-pool cap
+    are warned and dropped — the reference's fixed allocation made
+    them hard limits, so honoring them keeps conf portability."""
     import logging
 
     out: list[dict] = []
@@ -601,6 +616,19 @@ def parse_tee_receivers(text: str) -> list[dict]:
         except ValueError as e:
             logging.getLogger("pmacct_spark").warning(
                 "tee_receivers: bad line %r (%s). Ignored.", line, e
+            )
+            continue
+        pool = entry.get("pool")
+        if pool and len(pool) > max_receivers:
+            logging.getLogger("pmacct_spark").warning(
+                "tee_receivers: pool %s exceeds tee_max_receivers=%d;"
+                " extra receivers dropped.", entry.get("id"), max_receivers,
+            )
+            entry["pool"] = pool[:max_receivers]
+        if len(out) >= max_pools:
+            logging.getLogger("pmacct_spark").warning(
+                "tee_receivers: more than tee_max_receiver_pools=%d"
+                " pools; line %r dropped.", max_pools, line,
             )
             continue
         out.append(entry)

@@ -113,6 +113,9 @@ class PluginConfig:
     renormalize: bool = False  # counters *= sampling_rate pre-agg
     aggregate_filter: str | None = None  # SQL predicate on the flow schema
     pre_tag_filter: list[int] | None = None  # keep only these tag values
+    # label routing (CONFIG-KEYS:2327 pre_tag_label_filter): ordered
+    # entries, '-' prefix negates, 'null' matches unlabelled records
+    pre_tag_label_filter: list[str] | None = None
     post_tag: int | None = None  # constant tag, overrides pre_tag_map
     post_tag2: int | None = None  # constant tag2, overrides pre_tag_map
     timestamps_secs: bool = False  # truncate timestamp primitives to seconds

@@ -102,11 +102,22 @@ class Daemon:
             or conf.get("telemetry_daemon_port_tcp") is not None
             or conf.get("telemetry_daemon_grpc_port") is not None
             or conf.get("telemetry_daemon_grpc_dialin") is not None
+            or conf.get("telemetry_daemon_udp_notif_port") is not None
         ):
             # the pmtelemetryd flavor: collect + log/dump, no
             # accounting channels (reference src/pmtelemetryd.c)
             flavor = "telemetry"
-            port = int(conf.get("telemetry_daemon_port_udp") or 0)
+            # telemetry_daemon_udp_notif_port (CONFIG-KEYS:3522, the
+            # reference's unyte-udp-notif library integration): the
+            # UDP-Notif transport (draft-ietf-netconf-udp-notif) on
+            # its own socket; datagrams then pass the segmentation-
+            # aware decode_udp_notif instead of being taken as whole
+            # JSON messages
+            port = int(
+                conf.get("telemetry_daemon_port_udp")
+                or conf.get("telemetry_daemon_udp_notif_port")
+                or 0
+            )
         elif conf.get("sfacctd_port") is not None:
             flavor, port = "sflow", int(conf.get("sfacctd_port") or 0)
         else:
@@ -139,6 +150,16 @@ class Daemon:
             ip_key = {
                 "sflow": "sfacctd_ip", "telemetry": "telemetry_daemon_ip",
             }.get(flavor, "nfacctd_ip")
+            if (
+                flavor == "telemetry"
+                and conf.get("telemetry_daemon_port_udp") is None
+                and conf.get("telemetry_daemon_udp_notif_port")
+                is not None
+                and conf.get("telemetry_daemon_udp_notif_ip") is not None
+            ):
+                # telemetry_daemon_udp_notif_ip: bind address for the
+                # UDP-Notif socket
+                ip_key = "telemetry_daemon_udp_notif_ip"
             tport = conf.get("telemetry_daemon_port_tcp")
             if flavor == "telemetry" and tport is not None and (
                 conf.get("telemetry_daemon_port_udp") is None
@@ -1006,6 +1027,12 @@ class Daemon:
             decoded = decode_any(
                 dg.select("exporter_ip", "payload"),
                 seed_templates=seed,
+                # nfacctd_pre_processing_checks (CONFIG-KEYS:2221):
+                # discard data flowsets with malformed (non-zero)
+                # trailing padding instead of best-effort decoding
+                pre_checks=self.conf.getbool(
+                    "nfacctd_pre_processing_checks"
+                ),
             )
             if not streaming and not self.conf.getbool(
                 "nfacctd_ignore_exporter_address"
@@ -1879,6 +1906,12 @@ class Daemon:
             df = df.filter(cfg.aggregate_filter)
         if cfg.pre_tag_filter is not None and "tag" in df.columns:
             df = df.filter(F.col("tag").isin(list(cfg.pre_tag_filter)))
+        if cfg.pre_tag_label_filter:
+            from pmacct_spark.operators.pretag import label_filter_keep
+
+            if "label" not in df.columns:  # unlabelled = 'null'
+                df = df.withColumn("label", F.lit(None).cast("string"))
+            df = df.filter(label_filter_keep(cfg.pre_tag_label_filter))
         # post_tag overrides AFTER the filter, mirroring
         # pipeline.build_aggregation — the batch and streaming paths
         # must produce identical aggregates for the same conf
@@ -2677,7 +2710,21 @@ class Daemon:
                     )
 
                     with open(str(rmap)) as fh:
-                        entries = conffile.parse_tee_receivers(fh.read())
+                        entries = conffile.parse_tee_receivers(
+                            fh.read(),
+                            max_pools=int(
+                                self.conf.get(
+                                    "tee_max_receiver_pools", name, 128
+                                )
+                                or 128
+                            ),
+                            max_receivers=int(
+                                self.conf.get(
+                                    "tee_max_receivers", name, 32
+                                )
+                                or 32
+                            ),
+                        )
                     dgrams = self._spool_batch().withColumn(
                         "export_proto_seqno", F.col("seqno")
                     )
@@ -2764,7 +2811,14 @@ class Daemon:
                                 "endpoint",
                                 F.lit(by_id[rid].pool[0]),
                             )
-                        emit_udp(part.select("payload", "endpoint"))
+                        emit_udp(
+                            part.select("payload", "endpoint"),
+                            # tee_source_ip (CONFIG-KEYS:3495): bind
+                            # the replicating socket's local address
+                            source_ip=self.conf.get(
+                                "tee_source_ip", name
+                            ),
+                        )
             elif ptype in ("nfprobe", "sfprobe"):
                 # probe plugins (reference src/nfprobe_plugin /
                 # src/sfprobe_plugin): re-export the collector's flows
@@ -2801,26 +2855,210 @@ class Daemon:
                                 f"nfprobe_version {ver} unsupported "
                                 "(5, 9, 10)"
                             )
-                        dgrams = enc(batch_df, exporter_ip=src_ip)
+                        kw: dict = {}
+                        # nfprobe_engine (CONFIG-KEYS:2550): v5 takes
+                        # 'type:id' (8-bit each) into header bytes
+                        # 20-21; v9/IPFIX take one 32-bit Source ID /
+                        # Obs Domain ID — the knob that keeps multiple
+                        # probe instances' sequencing and template
+                        # spaces apart at the collector
+                        eng = self.conf.get("nfprobe_engine", name)
+                        if eng is not None:
+                            if ver == 5:
+                                et, _, ei = str(eng).partition(":")
+                                kw["engine"] = (
+                                    int(et or 0), int(ei or 0)
+                                )
+                            elif ver == 9:
+                                kw["source_id"] = int(eng)
+                            else:
+                                kw["domain"] = int(eng)
+                        # nfprobe_direction (CONFIG-KEYS:2575):
+                        # in/out static or tag/tag2-derived (tag 1 ->
+                        # ingress, 2 -> egress); exported as
+                        # DIRECTION IE 61 on v9/IPFIX.
+                        # nfprobe_ifindex (:2586) + _override
+                        # (:2597): place a static or tag-derived
+                        # ifIndex on the direction's interface —
+                        # default only where the record carries none
+                        # (0), override replaces any non-zero compute
+                        dirn = self.conf.get(
+                            f"{ptype}_direction", name
+                        )
+                        if dirn and ver in (9, 10):
+                            dirn = str(dirn).strip().lower()
+                            dcol = {
+                                "in": F.lit(0),
+                                "out": F.lit(1),
+                            }.get(dirn)
+                            if dcol is None and dirn in (
+                                "tag", "tag2"
+                            ):
+                                dcol = (
+                                    F.when(F.col(dirn) == 1, 0)
+                                    .when(F.col(dirn) == 2, 1)
+                                    .otherwise(0)
+                                )
+                            if dcol is not None:
+                                kw["with_direction"] = True
+                                batch_df = batch_df.withColumn(
+                                    "direction", dcol.cast("int")
+                                )
+                        ifx = self.conf.get(f"{ptype}_ifindex", name)
+                        if ifx is not None:
+                            ifx = str(ifx).strip().lower()
+                            icol = (
+                                F.col(ifx).cast("long")
+                                if ifx in ("tag", "tag2")
+                                else F.lit(int(ifx)).cast("long")
+                            )
+                            override = self.conf.getbool(
+                                f"{ptype}_ifindex_override", name
+                            )
+
+                            def _place(cur):
+                                if override:
+                                    return F.when(
+                                        icol > 0, icol
+                                    ).otherwise(cur)
+                                return F.when(
+                                    F.coalesce(cur, F.lit(0)) == 0,
+                                    icol,
+                                ).otherwise(cur)
+
+                            # the value lands on the interface of the
+                            # RECORD's direction: per-row when tag-
+                            # derived, static for in/out
+                            if "direction" in batch_df.columns:
+                                batch_df = batch_df.withColumn(
+                                    "iface_in",
+                                    F.when(
+                                        F.col("direction") == 0,
+                                        _place(F.col("iface_in")),
+                                    ).otherwise(F.col("iface_in")),
+                                ).withColumn(
+                                    "iface_out",
+                                    F.when(
+                                        F.col("direction") == 1,
+                                        _place(F.col("iface_out")),
+                                    ).otherwise(F.col("iface_out")),
+                                )
+                            else:
+                                tgt = (
+                                    "iface_out"
+                                    if str(dirn).strip().lower()
+                                    == "out"
+                                    else "iface_in"
+                                )
+                                batch_df = batch_df.withColumn(
+                                    tgt, _place(F.col(tgt))
+                                )
+                        # nfprobe_tstamp_usec (CONFIG-KEYS:2613):
+                        # v9/IPFIX export IEs 154/155 (16-byte
+                        # sec+usec pairs) instead of epoch-ms
+                        if ver in (9, 10) and self.conf.getbool(
+                            "nfprobe_tstamp_usec", name
+                        ):
+                            kw["tstamp_usec"] = True
+                            batch_df = batch_df.withColumn(
+                                "ts_us",
+                                F.expr(
+                                    "unix_micros(CAST(ts AS TIMESTAMP))"
+                                ),
+                            ).withColumn(
+                                "end_ts_us",
+                                F.expr(
+                                    "unix_micros("
+                                    "CAST(end_ts AS TIMESTAMP))"
+                                ),
+                            )
+                        dgrams = enc(batch_df, exporter_ip=src_ip, **kw)
                     else:
                         from pmacct_spark.sinks.sfprobe import (
                             _agent_field,
                             encode_sflow5,
                         )
 
+                        # sfprobe_agentip (CONFIG-KEYS:2624): the
+                        # datagram header's agentIp field — distinct
+                        # from the transport source address
+                        # (sfprobe_source_ip); defaults to it like the
+                        # reference's 'localhost' fallback chain.
+                        # sfprobe_agentsubid (:2631): agentSubId,
+                        # reference default 1402.
+                        agent_ip = str(
+                            self.conf.get("sfprobe_agentip", name)
+                            or src_ip
+                        )
+                        subid = int(
+                            self.conf.get(
+                                "sfprobe_agentsubid", name, 1402
+                            )
+                            or 1402
+                        )
+                        bad_key = (
+                            "sfprobe_agentip"
+                            if agent_ip != src_ip
+                            else "sfprobe_source_ip"
+                        )
                         try:  # config-time check, names the key
-                            _agent_field(src_ip)
+                            _agent_field(agent_ip)
                         except ValueError:
                             raise ValueError(
-                                "sfprobe_source_ip must be a valid "
-                                f"IPv4/IPv6 address (got {src_ip!r})"
+                                f"{bad_key} must be a valid "
+                                f"IPv4/IPv6 address (got {agent_ip!r})"
                             ) from None
                         dgrams = encode_sflow5(
-                            batch_df, agent_ip=src_ip
+                            batch_df, agent_ip=agent_ip,
+                            agent_subid=subid,
                         )
+                        ifspeed = self.conf.get("sfprobe_ifspeed", name)
+                        if ifspeed and batch_df is not None:
+                            # sfprobe_ifspeed (CONFIG-KEYS:2635): the
+                            # agent also exports per-interface counter
+                            # samples; the static speed rides the
+                            # generic-counters block, and the octet/
+                            # packet counters are what this agent
+                            # accounted through each input interface
+                            # (the reference agent's accumulators)
+                            from pmacct_spark.sinks.sfprobe import (
+                                encode_sflow_counters,
+                            )
+
+                            ctrs = batch_df.groupBy(
+                                F.col("iface_in").alias("if_index")
+                            ).agg(
+                                F.sum("bytes").alias("if_in_octets"),
+                                F.sum("packets").alias("if_in_ucast"),
+                            ).selectExpr(
+                                "if_index",
+                                "CAST(6 AS BIGINT) AS if_type",
+                                f"CAST({int(ifspeed)} AS BIGINT)"
+                                " AS if_speed",
+                                "CAST(3 AS BIGINT) AS if_status",
+                                "if_in_octets", "if_in_ucast",
+                                "CAST(0 AS BIGINT) AS if_in_errors",
+                                "CAST(0 AS BIGINT) AS if_out_octets",
+                                "CAST(0 AS BIGINT) AS if_out_ucast",
+                                "CAST(0 AS BIGINT) AS if_out_errors",
+                            )
+                            dgrams = dgrams.unionByName(
+                                encode_sflow_counters(
+                                    ctrs, agent_ip=agent_ip,
+                                    agent_subid=subid,
+                                )
+                            )
+                    hop = self.conf.get(f"{ptype}_hoplimit", name)
                     emit_udp(
                         dgrams,
                         default_endpoint=f"{rhost}:{rport}",
+                        # bind the local address ONLY when the conf
+                        # set it explicitly (reference default: OS
+                        # selects the source address)
+                        source_ip=self.conf.get(
+                            f"{ptype}_source_ip", name
+                        ),
+                        ttl=int(hop) if hop else None,
                     )
             trig = (
                 conffile._typed(self.conf, name, "trigger_exec", ptype)
@@ -3358,6 +3596,26 @@ class Daemon:
         from unlisted exporters first — empty file = deny all, like
         every allow file (src/util.c:2033)."""
         msgs = self._exporter_allow_filter(self._spool_batch())
+        if (
+            self.conf.get("telemetry_daemon_port_udp") is None
+            and self.conf.get("telemetry_daemon_udp_notif_port")
+            is not None
+        ):
+            # UDP-Notif transport (telemetry_daemon_udp_notif_port):
+            # datagrams carry the draft-ietf-netconf-udp-notif header
+            # (+ optional segmentation) around each message — decode
+            # and reassemble, keyed (exporter, obs domain, message id)
+            from pmacct_spark.streaming.telemetry import (
+                decode_udp_notif,
+            )
+
+            return decode_udp_notif(
+                msgs.select("exporter_ip", "payload")
+            ).select(
+                "exporter_ip",
+                F.col("message_id").cast("bigint").alias("seqno"),
+                F.col("payload_json").cast("binary").alias("payload"),
+            )
         if getattr(self.spool, "framing", None) == "jsonl":
             msgs = (
                 msgs.select(

@@ -192,6 +192,49 @@ def apply_pretag(
     return df
 
 
+def label_filter_keep(entries: list[str], label_col: str = "label") -> Column:
+    """pre_tag_label_filter (CONFIG-KEYS:2327) as one boolean column —
+    a faithful compile of evaluate_labels_v2 (reference
+    src/util.c:2289, consulted from the plugin channel gate
+    src/plugin_hooks.c:452):
+
+      - the record's label is a comma-separated token SET; an entry
+        matches when any token equals it exactly;
+      - an unlabelled record evaluates as the single token 'null'
+        (so the documented 'null' keyword matches it);
+      - entries evaluate in order: a matching positive entry delivers;
+        the FIRST negated entry always decides (match -> drop,
+        non-match -> deliver — the reference returns on a negated
+        entry either way, making later entries unreachable);
+      - a filter exhausted without a decision drops the record.
+    """
+    eff = F.when(
+        F.col(label_col).isNull() | (F.col(label_col) == ""),
+        F.lit("null"),
+    ).otherwise(F.col(label_col))
+    tokens = F.split(eff, ",")
+    chain = None
+
+    def when(cond: Column, val: bool):
+        nonlocal chain
+        lit = F.lit(val)
+        chain = F.when(cond, lit) if chain is None else chain.when(cond, lit)
+
+    for raw in entries:
+        neg = raw.startswith("-")
+        val = raw[1:] if neg else raw
+        m = F.array_contains(tokens, val)
+        if neg:
+            when(m, False)
+            # a non-matching negated entry delivers immediately;
+            # later entries are unreachable in the reference walk
+            return chain.otherwise(F.lit(True))
+        when(m, True)
+    if chain is None:  # empty filter: routing disabled, deliver all
+        return F.lit(True)
+    return chain.otherwise(F.lit(False))
+
+
 def duck_case_sql(
     rules: list[Rule], getter_attr: str = "set_tag", default: int = 0
 ) -> str:

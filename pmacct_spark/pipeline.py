@@ -40,6 +40,17 @@ def build_aggregation(flows: DataFrame, cfg: PluginConfig) -> DataFrame:
         df = df.filter(cfg.aggregate_filter)
     if cfg.pre_tag_filter is not None:
         df = df.filter(F.col("tag").isin(list(cfg.pre_tag_filter)))
+    if cfg.pre_tag_label_filter:
+        # pre_tag_label_filter (CONFIG-KEYS:2327): label-value routing
+        # into the channel, evaluate_labels_v2 semantics. Without a
+        # pre_tag_map nothing carries a label: every record is
+        # unlabelled ('null'), exactly as the reference evaluates a
+        # NULL pt_label
+        from pmacct_spark.operators.pretag import label_filter_keep
+
+        if "label" not in df.columns:
+            df = df.withColumn("label", F.lit(None).cast("string"))
+        df = df.filter(label_filter_keep(cfg.pre_tag_label_filter))
 
     # --- post-tagging: constant tag/tag2 evaluated in the plugin,
     #     overriding any pre_tag_map value (CONFIG-KEYS:2350-2356)

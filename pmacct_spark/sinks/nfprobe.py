@@ -40,9 +40,15 @@ _COLS = (
 )
 
 
-def encode_v5(flows: DataFrame, exporter_ip: str = "127.0.0.1") -> DataFrame:
+def encode_v5(
+    flows: DataFrame,
+    exporter_ip: str = "127.0.0.1",
+    engine: tuple[int, int] = (0, 0),
+) -> DataFrame:
     """Pack flow rows into NetFlow v5 datagrams. ``flows`` needs the
-    decoder's column set (streaming.decode.FLOW_SCHEMA names)."""
+    decoder's column set (streaming.decode.FLOW_SCHEMA names).
+    ``engine`` is nfprobe_engine's v5 form (CONFIG-KEYS:2550):
+    (engine_type, engine_id), each 8-bit, header bytes 20-21."""
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as np
@@ -83,7 +89,8 @@ def encode_v5(flows: DataFrame, exporter_ip: str = "127.0.0.1") -> DataFrame:
                 chunk["last"] = end[lo:hi] - base_ms
                 hdr = hdr_st.pack(
                     5, hi - lo, 0, base_ms // 1000,
-                    (base_ms % 1000) * 1_000_000, seqno, 0, 0, 1,
+                    (base_ms % 1000) * 1_000_000, seqno,
+                    engine[0] & 0xFF, engine[1] & 0xFF, 1,
                 )
                 out.append((exporter_ip, seqno, hdr + chunk.tobytes()))
                 seqno += hi - lo
@@ -108,25 +115,59 @@ V9_EXPORT_FIELDS = (
 )
 
 
-def _v9_rec_dtype():
+def _v9_export_fields(
+    tstamp_usec: bool = False, with_direction: bool = False
+):
+    """nfprobe_tstamp_usec (CONFIG-KEYS:2613): IEs 154/155 at length
+    16 — two 8-byte values (seconds, then microseconds), exactly the
+    reference's encode (src/nfprobe_plugin/netflow9.c:1723-1736) —
+    replace the 8-byte epoch-ms 22/21 pair. ``with_direction``
+    (nfprobe_direction, :2575) appends DIRECTION (IE 61, 1 byte:
+    0=ingress, 1=egress), as the reference's template does when the
+    knob is configured."""
+    fields = V9_EXPORT_FIELDS
+    if tstamp_usec:
+        fields = tuple(
+            [(154, 16) if f == (22, 8) else (155, 16) if f == (21, 8)
+             else f for f in fields]
+        )
+    if with_direction:
+        fields = fields + ((61, 1),)
+    return fields
+
+
+def _v9_rec_dtype(tstamp_usec: bool = False, with_direction: bool = False):
     import numpy as np
 
+    time_fields = (
+        [("first_s", ">u8"), ("first_us", ">u8"),
+         ("last_s", ">u8"), ("last_us", ">u8")]
+        if tstamp_usec
+        else [("first", ">u8"), ("last", ">u8")]
+    )
     dt = np.dtype(
         [
             ("src", ">u4"), ("dst", ">u4"), ("inp", ">u4"), ("outp", ">u4"),
             ("pkts", ">u4"), ("octets", ">u4"),
-            ("first", ">u8"), ("last", ">u8"),
+            *time_fields,
             ("sport", ">u2"), ("dport", ">u2"),
             ("flags", "u1"), ("proto", "u1"), ("tos", "u1"),
             ("sas", ">u4"), ("das", ">u4"),
+            *([("dirn", "u1")] if with_direction else []),
         ]
     )
-    assert dt.itemsize == sum(ln for _, ln in V9_EXPORT_FIELDS)
+    assert dt.itemsize == sum(
+        ln for _, ln in _v9_export_fields(tstamp_usec, with_direction)
+    )
     return dt
 
 
 def encode_v9(
-    flows: DataFrame, exporter_ip: str = "127.0.0.1", source_id: int = 1
+    flows: DataFrame,
+    exporter_ip: str = "127.0.0.1",
+    source_id: int = 1,
+    tstamp_usec: bool = False,
+    with_direction: bool = False,
 ) -> DataFrame:
     """Pack flow rows into NetFlow v9: one template datagram first, then
     30-record data flowsets — the stateful-decode contract (template
@@ -136,11 +177,12 @@ def encode_v9(
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as np
 
-        dt = _v9_rec_dtype()
+        fields = _v9_export_fields(tstamp_usec, with_direction)
+        dt = _v9_rec_dtype(tstamp_usec, with_direction)
         hdr = struct.Struct("!HHIIII")  # V9_HEADER_FMT
         tmpl_body = struct.pack(
-            "!HH", V9_TEMPLATE_ID, len(V9_EXPORT_FIELDS)
-        ) + b"".join(struct.pack("!HH", ie, ln) for ie, ln in V9_EXPORT_FIELDS)
+            "!HH", V9_TEMPLATE_ID, len(fields)
+        ) + b"".join(struct.pack("!HH", ie, ln) for ie, ln in fields)
         tmpl_set = struct.pack("!HH", 0, 4 + len(tmpl_body)) + tmpl_body
         seqno = 0
         sent_template = False
@@ -165,8 +207,21 @@ def encode_v9(
                 rec["outp"] = pdf["iface_out"].to_numpy()
                 rec["pkts"] = pdf["packets"].to_numpy()
                 rec["octets"] = pdf["bytes"].to_numpy()
-                rec["first"] = pdf["ts_ms"].to_numpy().astype(np.uint64)
-                rec["last"] = pdf["end_ts_ms"].to_numpy().astype(np.uint64)
+                if tstamp_usec:
+                    # caller supplies epoch-microsecond columns
+                    tus = pdf["ts_us"].to_numpy().astype(np.uint64)
+                    eus = pdf["end_ts_us"].to_numpy().astype(np.uint64)
+                    rec["first_s"] = tus // 1_000_000
+                    rec["first_us"] = tus % 1_000_000
+                    rec["last_s"] = eus // 1_000_000
+                    rec["last_us"] = eus % 1_000_000
+                else:
+                    rec["first"] = pdf["ts_ms"].to_numpy().astype(
+                        np.uint64
+                    )
+                    rec["last"] = pdf["end_ts_ms"].to_numpy().astype(
+                        np.uint64
+                    )
                 rec["sport"] = pdf["port_src"].to_numpy()
                 rec["dport"] = pdf["port_dst"].to_numpy()
                 rec["flags"] = pdf["tcp_flags"].to_numpy().astype(np.int64) & 0xFF
@@ -174,6 +229,11 @@ def encode_v9(
                 rec["tos"] = pdf["tos"].to_numpy()
                 rec["sas"] = pdf["as_src"].to_numpy()
                 rec["das"] = pdf["as_dst"].to_numpy()
+                if with_direction:
+                    rec["dirn"] = (
+                        pdf["direction"].to_numpy().astype(np.int64)
+                        & 0xFF
+                    )
                 blob = rec.tobytes()
                 sz = dt.itemsize
                 for lo in range(0, n, V9_MAX_RECORDS):
@@ -776,7 +836,11 @@ def encode_options(
 
 
 def encode_ipfix(
-    flows: DataFrame, exporter_ip: str = "127.0.0.1", domain: int = 1
+    flows: DataFrame,
+    exporter_ip: str = "127.0.0.1",
+    domain: int = 1,
+    tstamp_usec: bool = False,
+    with_direction: bool = False,
 ) -> DataFrame:
     """Pack flow rows into IPFIX (v10) messages: 16-byte header,
     template set (id 2) first, then data sets — same vectorized record
@@ -785,10 +849,11 @@ def encode_ipfix(
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as np
 
-        dt = _v9_rec_dtype()
+        fields = _v9_export_fields(tstamp_usec, with_direction)
+        dt = _v9_rec_dtype(tstamp_usec, with_direction)
         tmpl_body = struct.pack(
-            "!HH", V9_TEMPLATE_ID, len(V9_EXPORT_FIELDS)
-        ) + b"".join(struct.pack("!HH", ie, ln) for ie, ln in V9_EXPORT_FIELDS)
+            "!HH", V9_TEMPLATE_ID, len(fields)
+        ) + b"".join(struct.pack("!HH", ie, ln) for ie, ln in fields)
         tmpl_set = struct.pack("!HH", 2, 4 + len(tmpl_body)) + tmpl_body
         seqno = 0
         sent_template = False
@@ -811,8 +876,21 @@ def encode_ipfix(
                 rec["outp"] = pdf["iface_out"].to_numpy()
                 rec["pkts"] = pdf["packets"].to_numpy()
                 rec["octets"] = pdf["bytes"].to_numpy()
-                rec["first"] = pdf["ts_ms"].to_numpy().astype(np.uint64)
-                rec["last"] = pdf["end_ts_ms"].to_numpy().astype(np.uint64)
+                if tstamp_usec:
+                    # caller supplies epoch-microsecond columns
+                    tus = pdf["ts_us"].to_numpy().astype(np.uint64)
+                    eus = pdf["end_ts_us"].to_numpy().astype(np.uint64)
+                    rec["first_s"] = tus // 1_000_000
+                    rec["first_us"] = tus % 1_000_000
+                    rec["last_s"] = eus // 1_000_000
+                    rec["last_us"] = eus % 1_000_000
+                else:
+                    rec["first"] = pdf["ts_ms"].to_numpy().astype(
+                        np.uint64
+                    )
+                    rec["last"] = pdf["end_ts_ms"].to_numpy().astype(
+                        np.uint64
+                    )
                 rec["sport"] = pdf["port_src"].to_numpy()
                 rec["dport"] = pdf["port_dst"].to_numpy()
                 rec["flags"] = pdf["tcp_flags"].to_numpy().astype(np.int64) & 0xFF
@@ -820,6 +898,11 @@ def encode_ipfix(
                 rec["tos"] = pdf["tos"].to_numpy()
                 rec["sas"] = pdf["as_src"].to_numpy()
                 rec["das"] = pdf["as_dst"].to_numpy()
+                if with_direction:
+                    rec["dirn"] = (
+                        pdf["direction"].to_numpy().astype(np.int64)
+                        & 0xFF
+                    )
                 blob = rec.tobytes()
                 sz = dt.itemsize
                 for lo in range(0, n, V9_MAX_RECORDS):

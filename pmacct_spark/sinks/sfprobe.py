@@ -122,7 +122,10 @@ def _v6_hdr_bytes(s: str) -> bytes:
 
 
 def encode_sflow5_v6(
-    flows: DataFrame, agent_ip: str = "127.0.0.1", sampling_rate: int = 1
+    flows: DataFrame,
+    agent_ip: str = "127.0.0.1",
+    sampling_rate: int = 1,
+    agent_subid: int = 1402,
 ) -> DataFrame:
     """Pack IPv6 flow rows into sFlow v5 datagrams whose sampled
     headers are eth + 802.1Q(vlan) + IPv6 + TCP/UDP. ``flows`` needs:
@@ -185,7 +188,9 @@ def encode_sflow5_v6(
                 chunk = samples[lo : lo + SAMPLES_PER_DATAGRAM]
                 dgram = (
                     struct.pack("!I", 5) + _agent_field(agent_ip)
-                    + struct.pack("!IIII", 0, seqno + lo, 0, len(chunk))
+                    + struct.pack(
+                        "!IIII", agent_subid, seqno + lo, 0, len(chunk)
+                    )
                 ) + b"".join(chunk)
                 out.append((agent_ip, seqno + lo, dgram))
             seqno += len(samples)
@@ -224,7 +229,10 @@ def _gen_counters_blob(r) -> bytes:
 
 
 def encode_sflow_counters(
-    ifaces: DataFrame, agent_ip: str = "127.0.0.1", version: int = 5
+    ifaces: DataFrame,
+    agent_ip: str = "127.0.0.1",
+    version: int = 5,
+    agent_subid: int = 1402,
 ) -> DataFrame:
     """Pack per-interface counter rows (``_CTR_COLS``) into sFlow
     counter-sample datagrams, one sample per row, in the chosen wire
@@ -246,7 +254,7 @@ def encode_sflow_counters(
                     )
                     dgram = (
                         struct.pack("!I", 5) + _agent_field(agent_ip)
-                        + struct.pack("!IIII", 0, seqno, 0, 1)
+                        + struct.pack("!IIII", agent_subid, seqno, 0, 1)
                     ) + struct.pack("!II", 2, len(body)) + body
                 else:  # v2/v4: no sub-agent, no sample length framing
                     sample = (
@@ -269,7 +277,10 @@ def encode_sflow_counters(
 
 
 def encode_sflow5(
-    flows: DataFrame, agent_ip: str = "127.0.0.1", sampling_rate: int = 1
+    flows: DataFrame,
+    agent_ip: str = "127.0.0.1",
+    sampling_rate: int = 1,
+    agent_subid: int = 1402,
 ) -> DataFrame:
     """Pack flow rows (decoder column set) into sFlow v5 datagrams.
 
@@ -348,7 +359,9 @@ def encode_sflow5(
                 hi = min(lo + SAMPLES_PER_DATAGRAM, n)
                 dgram = (
                     struct.pack("!I", 5) + _agent_field(agent_ip)
-                    + struct.pack("!IIII", 0, seqno + lo, 0, hi - lo)
+                    + struct.pack(
+                        "!IIII", agent_subid, seqno + lo, 0, hi - lo
+                    )
                 ) + b"".join(sample_bytes[lo:hi])
                 out.append((agent_ip, seqno + lo, dgram))
             seqno += n

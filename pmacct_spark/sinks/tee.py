@@ -50,7 +50,12 @@ def route(df: DataFrame, receivers: list[TeeReceiver]) -> dict[str, DataFrame]:
     return out
 
 
-def emit_udp(routed: DataFrame, default_endpoint: str | None = None) -> None:
+def emit_udp(
+    routed: DataFrame,
+    default_endpoint: str | None = None,
+    source_ip: str | None = None,
+    ttl: int | None = None,
+) -> None:
     """Transmit routed datagrams to their receivers over REAL UDP
     sockets — the tee daemon's replication loop (reference
     src/tee_plugin/tee_plugin.c:274-293 sends each datagram to every
@@ -58,7 +63,10 @@ def emit_udp(routed: DataFrame, default_endpoint: str | None = None) -> None:
     one socket and sends its rows (per-executor fan-out, no driver
     collect). Rows need ``payload`` (binary) and either an
     ``endpoint`` column ("host:port", from a balanced pool) or the
-    ``default_endpoint``."""
+    ``default_endpoint``. ``source_ip`` is tee_source_ip
+    (CONFIG-KEYS:3495): bind the sending socket to a configured local
+    address (ignored by the reference under transparent replication,
+    which is n/a here)."""
 
     def _send(rows) -> None:
         import socket as _socket
@@ -70,6 +78,14 @@ def emit_udp(routed: DataFrame, default_endpoint: str | None = None) -> None:
                     sock = _socket.socket(
                         _socket.AF_INET, _socket.SOCK_DGRAM
                     )
+                    if source_ip:
+                        sock.bind((source_ip, 0))
+                    if ttl:
+                        # nfprobe_hoplimit (CONFIG-KEYS:2508): IP TTL
+                        # on exported datagrams
+                        sock.setsockopt(
+                            _socket.IPPROTO_IP, _socket.IP_TTL, int(ttl)
+                        )
                 ep = row["endpoint"] if "endpoint" in row else None
                 ep = ep or default_endpoint
                 if not ep:

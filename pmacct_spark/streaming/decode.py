@@ -239,6 +239,10 @@ V9_HEADER = struct.Struct(V9_HEADER_FMT)
 V6_ADDR_IES = {27: "ip6_src", 28: "ip6_dst", 62: "ip6_nexthop"}
 EXT_UINT_IES = {
     15: "ip_nexthop_i",  # ipNextHopIPv4Address (use_ip_next_hop source)
+    # DIRECTION (0 ingress / 1 egress) — emitted when nfprobe_direction
+    # is configured (CONFIG-KEYS:2575, NF9_DIRECTION
+    # src/nfv9_template.h)
+    61: "direction",
     18: "bgp_nexthop_i",  # bgpNextHopIPv4Address (NF9_BGP_IPV4_NEXT_HOP
     #    src/nfv9_template.h — the ADD-PATH per-flow disambiguator,
     #    nmct2.peer_dst_ip in src/bgp/bgp_lookup.c:726)
@@ -268,6 +272,12 @@ MPLS_LABEL_IES = {70: "mpls_label_top", 71: "mpls_label_bottom"}
 # NF9_OUT_DST_MAC 57, src/nfv9_template.h:90-91); VLAN 58, etype 256
 MAC_IES = {56: "mac_src", 57: "mac_dst"}
 L2_UINT_IES = {58: "vlan", 256: "etype"}
+
+# nfprobe_tstamp_usec wire form (CONFIG-KEYS:2613; encode
+# src/nfprobe_plugin/netflow9.c:1723-1736): flowStartMicroseconds /
+# flowEndMicroseconds at LENGTH 16 — two 8-byte values, seconds then
+# microseconds. Decoded to epoch-microsecond columns.
+USEC_TS_IES = {154: "ts_us", 155: "end_ts_us"}
 
 
 # --- custom primitives decoded from the wire (aggregate_primitives
@@ -331,6 +341,7 @@ def _tmpl_is_ext(tmpl: list[tuple[int, int]]) -> bool:
     return any(
         ln == VLEN_SENTINEL
         or (ie in V6_ADDR_IES and ln == 16)
+        or (ie in USEC_TS_IES and ln == 16)
         or ie in EXT_UINT_IES
         or ie in VLEN_STR_IES
         or ie in MPLS_LABEL_IES
@@ -552,6 +563,15 @@ def _decode_ext_records(
                     rec[cu.name] = _decode_custom_value(raw, cu.semantics)
                 elif ie in V6_ADDR_IES and ln == 16:
                     rec[V6_ADDR_IES[ie]] = _fmt_v6(raw)
+                elif ie in USEC_TS_IES and ln == 16:
+                    us = _uint(raw[:8]) * 1_000_000 + _uint(raw[8:])
+                    rec[USEC_TS_IES[ie]] = us
+                    # collector-side: the ms columns every downstream
+                    # consumer (canonical_flows ts/end_ts) reads stay
+                    # populated at reduced resolution
+                    rec["ts_ms" if ie == 154 else "end_ts_ms"] = (
+                        us // 1000
+                    )
                 elif ie == L2_SEGMENT_IE and ln == 8:
                     val = _uint(raw)
                     sid_type, sid = val >> 56, val & 0xFFFFFF
@@ -626,6 +646,14 @@ OPTIONS_SCHEMA = T.StructType(
 
 def _uint(b: bytes) -> int:
     return int.from_bytes(b, "big")
+
+
+def _malformed_padding(body: bytes, rec_len: int) -> bool:
+    """True when the bytes left after the last whole record are not
+    all zero — RFC 7011 §3.3.1 padding must be zeroes; anything else
+    means the template doesn't match the data."""
+    tail = len(body) % rec_len
+    return bool(tail) and any(body[-tail:])
 
 
 def _decode_option_records(
@@ -964,6 +992,7 @@ def _v9_packet(
     compiled: dict | None = None,
     customs: dict | None = None,
     opt_scope_check: bool = True,
+    pre_checks: bool = False,
 ) -> list[dict]:
     if len(payload) < 20:
         return []
@@ -1062,6 +1091,13 @@ def _v9_packet(
                 continue
             rec_len = sum(ln for _, ln in tmpl)
             if rec_len == 0:
+                continue
+            if pre_checks and _malformed_padding(body, rec_len):
+                # nfacctd_pre_processing_checks (CONFIG-KEYS:2221;
+                # dry-run at src/nfacctd.c:2478-2520): a data flowset
+                # whose trailing padding holds non-zero bytes is
+                # garbage (wrong template / buggy router) — discard
+                # the WHOLE flowset rather than misparse it
                 continue
             if compiled is not None:
                 k3 = (exporter, source_id, set_id)
@@ -1280,6 +1316,7 @@ def decode_any_twophase(
     parallelism: int | None = None,
     seed_templates: dict | None = None,
     templates_file: str | None = None,
+    pre_checks: bool = False,
 ) -> DataFrame:
     """Version-dispatch decode with a pre-learned broadcast template
     cache: no partitioning contract, parallelism = input partitions
@@ -1312,11 +1349,17 @@ def decode_any_twophase(
                     acc.scan(exporter, b)
                 elif ver == 9:
                     items.extend(
-                        _v9_packet(exporter, b, templates, compiled=compiled)
+                        _v9_packet(
+                            exporter, b, templates, compiled=compiled,
+                            pre_checks=pre_checks,
+                        )
                     )
                 elif ver == 10:
                     items.extend(
-                        _v10_packet(exporter, b, templates, compiled=compiled)
+                        _v10_packet(
+                            exporter, b, templates, compiled=compiled,
+                            pre_checks=pre_checks,
+                        )
                     )
             frame = _flow_frame(items, cols)
             v5f = acc.frame(cols)
@@ -1349,6 +1392,7 @@ def _v10_packet(
     want: str = "flows",
     customs: dict | None = None,
     opt_scope_check: bool = True,
+    pre_checks: bool = False,
 ) -> list[dict]:
     """IPFIX decode (process_v9_packet handles v10 too, reference
     src/nfacctd.c:1806): 16-byte header, template set id 2, enterprise
@@ -1465,6 +1509,13 @@ def _v10_packet(
             rec_len = sum(ln for _, ln in tmpl)
             if rec_len == 0:
                 continue
+            if pre_checks and _malformed_padding(body, rec_len):
+                # nfacctd_pre_processing_checks (CONFIG-KEYS:2221;
+                # dry-run at src/nfacctd.c:2478-2520): a data flowset
+                # whose trailing padding holds non-zero bytes is
+                # garbage (wrong template / buggy router) — discard
+                # the WHOLE flowset rather than misparse it
+                continue
             if compiled is not None:
                 k3 = (exporter, domain, set_id)
                 comp = compiled.get(k3, "absent")
@@ -1499,7 +1550,9 @@ def _v10_packet(
 
 
 def decode_any(
-    datagrams: DataFrame, seed_templates: dict | None = None
+    datagrams: DataFrame,
+    seed_templates: dict | None = None,
+    pre_checks: bool = False,
 ) -> DataFrame:
     """Version-dispatch decoder: v5 / v9 / IPFIX datagrams mixed on one
     socket (reference src/nfacctd.c:1649-1654). Same partition contract
@@ -1533,11 +1586,17 @@ def decode_any(
                     acc.scan(exporter, b)
                 elif ver == 9:
                     items.extend(
-                        _v9_packet(exporter, b, templates, compiled=compiled)
+                        _v9_packet(
+                            exporter, b, templates, compiled=compiled,
+                            pre_checks=pre_checks,
+                        )
                     )
                 elif ver == 10:
                     items.extend(
-                        _v10_packet(exporter, b, templates, compiled=compiled)
+                        _v10_packet(
+                            exporter, b, templates, compiled=compiled,
+                            pre_checks=pre_checks,
+                        )
                     )
             frame = _flow_frame(items, cols)
             v5f = acc.frame(cols)
@@ -1583,6 +1642,9 @@ FLOW6_SCHEMA = T.StructType(
         T.StructField("vlan", T.LongType()),
         T.StructField("etype", T.LongType()),
         T.StructField("srv6_seg_ipv6_list", T.StringType()),
+        T.StructField("ts_us", T.LongType()),
+        T.StructField("end_ts_us", T.LongType()),
+        T.StructField("direction", T.IntegerType()),
     ]
 )
 

@@ -415,3 +415,22 @@ def test_custom_primitives_vlen():
     assert [(c.name, c.length) for c in out] == [
         ("vrf_id", 4), ("vrf_name", 65535),
     ]
+
+
+def test_tee_receiver_pool_caps():
+    """tee_max_receiver_pools / tee_max_receivers (CONFIG-KEYS:3486,
+    3492): pools beyond the cap drop whole, receivers beyond the
+    per-pool cap truncate — the reference's fixed allocations made
+    these hard limits."""
+    from pmacct_spark.conffile import parse_tee_receivers
+
+    text = (
+        "id=1 ip=10.0.0.1:2100,10.0.0.2:2100,10.0.0.3:2100\n"
+        "id=2 ip=10.0.1.1:2100\n"
+        "id=3 ip=10.0.2.1:2100\n"
+    )
+    out = parse_tee_receivers(text, max_pools=2, max_receivers=2)
+    assert [e["id"] for e in out] == ["1", "2"]
+    assert out[0]["pool"] == ["10.0.0.1:2100", "10.0.0.2:2100"]
+    # defaults keep everything
+    assert len(parse_tee_receivers(text)) == 3

@@ -3161,3 +3161,282 @@ pre_tag_filter[option_vrf]: 100
     assert sorted((r["vrf_id"], r["vrf_name"]) for r in opt_rows) == [
         (42, "vrf-blue"), (43, "vrf-red"),
     ]
+
+
+def test_daemon_pre_tag_label_filter_routing(spark, tmp_path):
+    """pre_tag_label_filter (CONFIG-KEYS:2327): per-plugin routing on
+    pre_tag_map labels — one channel takes 'edge'-labelled records,
+    one takes unlabelled via the 'null' keyword, batch and streaming
+    paths alike."""
+    (tmp_path / "pretag.map").write_text(
+        "set_label=edge ip=127.0.0.1 src_port=1\n"
+    )
+    conf = f"""
+nfacctd_port: 0
+pre_tag_map: {tmp_path / 'pretag.map'}
+plugins: memory[edge], memory[rest]
+aggregate[edge]: proto
+pre_tag_label_filter[edge]: edge
+aggregate[rest]: proto
+pre_tag_label_filter[rest]: null
+"""
+    d = Daemon.from_conf(spark, conf, spool_dir=str(tmp_path / "spoolLF"))
+    try:
+        send_datagrams(
+            [_v5_datagram(1, [{"src": 1, "dst": 2, "pkts": 3,
+                               "bytes": 100, "sport": 1, "dport": 2}]),
+             _v5_datagram(2, [{"src": 3, "dst": 4, "pkts": 5,
+                               "bytes": 200, "sport": 3, "dport": 4}])],
+            "127.0.0.1", d.port,
+        )
+        t0 = time.monotonic()
+        while d.spool.datagrams_received < 2 and time.monotonic() - t0 < 15:
+            time.sleep(0.05)
+        out = d.run_available()
+        edge = out["edge"].collect()
+        rest = out["rest"].collect()
+    finally:
+        d.stop()
+    # sport 1 -> labelled 'edge'; sport 3 -> unlabelled -> 'null'
+    assert [(r["proto"], r["bytes"]) for r in edge] == [(6, 100)]
+    assert [(r["proto"], r["bytes"]) for r in rest] == [(6, 200)]
+
+
+def test_daemon_sfprobe_agentip_subid_ifspeed_chain(spark, tmp_path):
+    """sfprobe_agentip / sfprobe_agentsubid / sfprobe_ifspeed
+    (CONFIG-KEYS:2624-2636): the re-export chain carries the
+    configured agentIp in the sFlow header (collector B accounts the
+    flows under THAT identity, not the transport source), the
+    agentSubId rides the header verbatim, and the agent also exports
+    per-interface counter samples whose ifSpeed is the static
+    configured value with octet counters equal to what it accounted."""
+    log_dir = str(tmp_path / "sfc_log")
+    conf_b = f"""
+sfacctd_port: 0
+sfacctd_counter_file: {log_dir}
+plugins: memory[m]
+aggregate[m]: peer_src_ip, proto
+"""
+    db = Daemon.from_conf(spark, conf_b, spool_dir=str(tmp_path / "sfB"))
+    da = None
+    try:
+        conf_a = f"""
+nfacctd_ip: 127.0.0.1
+nfacctd_port: 0
+plugins: sfprobe[x]
+sfprobe_receiver[x]: 127.0.0.1:{db.port}
+sfprobe_agentip[x]: 192.0.2.77
+sfprobe_agentsubid[x]: 7
+sfprobe_ifspeed[x]: 1000000000
+"""
+        da = Daemon.from_conf(spark, conf_a, spool_dir=str(tmp_path / "sfA"))
+        send_datagrams(
+            [_v5_datagram(1, [{"src": 1, "dst": 2, "pkts": 3,
+                               "bytes": 500, "sport": 1, "dport": 2}])],
+            "127.0.0.1", da.port,
+        )
+        t0 = time.monotonic()
+        while da.spool.datagrams_received < 1 and time.monotonic() - t0 < 15:
+            time.sleep(0.05)
+        da.run_available()
+        # B: flow sample (1 datagram) + counter sample (1 datagram)
+        t0 = time.monotonic()
+        while db.spool.datagrams_received < 2 and time.monotonic() - t0 < 15:
+            time.sleep(0.05)
+        b_out = db.run_available()["m"].collect()
+        # raw wire check: agentSubId field is the configured 7
+        import pathlib as _pl
+
+        subids = set()
+        for f in _pl.Path(db.spool.spool_dir).glob("*.parquet"):
+            for r in spark.read.parquet(str(f)).collect():
+                p = bytes(r["payload"])
+                # v5 header: ver(4) agent_type(4) agent_v4(4) subid(4)
+                subids.add(int.from_bytes(p[12:16], "big"))
+        db.spool.flush()
+        assert db.write_msglog_if_configured() == [log_dir]
+    finally:
+        if da is not None:
+            da.stop()
+        db.stop()
+    # flows accounted under the configured agentIp identity
+    assert [(r["peer_src_ip"], r["proto"], r["bytes"]) for r in b_out] == [
+        ("192.0.2.77", 6, 500)
+    ]
+    assert subids == {7}
+    # counter log carries the static ifSpeed + accounted octets
+    import json
+    import pathlib
+
+    lines = []
+    for f in pathlib.Path(log_dir).rglob("*.txt"):
+        lines += [
+            json.loads(ln)
+            for ln in f.read_text().splitlines()
+            if ln.strip()
+        ]
+    assert lines and all(ln["ifSpeed"] == 1000000000 for ln in lines)
+    assert any(ln.get("ifInOctets") == 500 for ln in lines)
+
+
+def test_daemon_nfprobe_engine_tstamp_usec_chain(spark, tmp_path):
+    """nfprobe_engine + nfprobe_tstamp_usec (CONFIG-KEYS:2550,2613)
+    wired from conf: collector A re-exports IPFIX with a configured
+    Observation Domain ID and usec-resolution timestamps (IEs 154/155,
+    16-byte sec+usec pairs); collector B accounts the flows with
+    timestamps intact, and the obs domain rides the message header."""
+    conf_b = """
+nfacctd_ip: 127.0.0.1
+nfacctd_port: 0
+plugins: memory[m]
+aggregate[m]: proto
+"""
+    db = Daemon.from_conf(spark, conf_b, spool_dir=str(tmp_path / "engB"))
+    da = None
+    try:
+        conf_a = f"""
+nfacctd_ip: 127.0.0.1
+nfacctd_port: 0
+plugins: nfprobe[x]
+nfprobe_receiver[x]: 127.0.0.1:{db.port}
+nfprobe_version[x]: 10
+nfprobe_engine[x]: 77
+nfprobe_tstamp_usec[x]: true
+"""
+        da = Daemon.from_conf(spark, conf_a, spool_dir=str(tmp_path / "engA"))
+        send_datagrams(
+            [_v5_datagram(1, [{"src": 1, "dst": 2, "pkts": 3,
+                               "bytes": 600, "sport": 1, "dport": 2}])],
+            "127.0.0.1", da.port,
+        )
+        t0 = time.monotonic()
+        while da.spool.datagrams_received < 1 and time.monotonic() - t0 < 15:
+            time.sleep(0.05)
+        da.run_available()
+        t0 = time.monotonic()
+        while db.spool.datagrams_received < 2 and time.monotonic() - t0 < 15:
+            time.sleep(0.05)
+        b_out = db.run_available()["m"].collect()
+        # raw wire: IPFIX header obs domain = the configured engine
+        import pathlib as _pl
+
+        domains = set()
+        for f in _pl.Path(db.spool.spool_dir).glob("*.parquet"):
+            for r in spark.read.parquet(str(f)).collect():
+                p = bytes(r["payload"])
+                if p[:2] == b"\x00\x0a":  # version 10
+                    domains.add(int.from_bytes(p[12:16], "big"))
+    finally:
+        if da is not None:
+            da.stop()
+        db.stop()
+    assert [(r["proto"], r["bytes"]) for r in b_out] == [(6, 600)]
+    assert domains == {77}
+
+
+def test_daemon_tee_source_ip_binds_sender(spark, tmp_path):
+    """tee_source_ip (CONFIG-KEYS:3495): replicated datagrams leave
+    from the configured local address — the receiver records the
+    replica under that exporter identity (the non-transparent mode's
+    only identity signal)."""
+    from pmacct_spark.sources.udp import UdpSpool
+
+    rx = UdpSpool(spool_dir=str(tmp_path / "recvS"), flush_secs=0.2).start()
+    d = None
+    try:
+        rmap = tmp_path / "tee_src.lst"
+        rmap.write_text(f"id=1 ip=127.0.0.1:{rx.port}\n")
+        conf = f"""
+nfacctd_ip: 127.0.0.1
+nfacctd_port: 0
+plugins: tee[t]
+tee_receivers[t]: {rmap}
+tee_source_ip[t]: 127.0.0.2
+"""
+        d = Daemon.from_conf(spark, conf, spool_dir=str(tmp_path / "teeS"))
+        send_datagrams(
+            [_v5_datagram(1, [{"src": 1, "dst": 2, "pkts": 3,
+                               "bytes": 100, "sport": 1, "dport": 2}])],
+            "127.0.0.1", d.port,
+        )
+        t0 = time.monotonic()
+        while d.spool.datagrams_received < 1 and time.monotonic() - t0 < 15:
+            time.sleep(0.05)
+        d.run_available()
+        t0 = time.monotonic()
+        while rx.datagrams_received < 1 and time.monotonic() - t0 < 15:
+            time.sleep(0.05)
+        time.sleep(0.3)
+    finally:
+        if d is not None:
+            d.stop()
+    rows = rx.batch(spark).collect()
+    rx.stop()
+    assert rows and all(r["exporter_ip"] == "127.0.0.2" for r in rows)
+
+
+def test_daemon_nfprobe_direction_ifindex(spark, tmp_path):
+    """nfprobe_direction / nfprobe_ifindex / nfprobe_ifindex_override
+    (CONFIG-KEYS:2575-2608): tag-derived direction rides the export as
+    DIRECTION (IE 61), and the configured ifIndex lands on the
+    direction's interface — replacing it only under _override, else
+    only where the record carried none."""
+    conf_b = """
+nfacctd_ip: 127.0.0.1
+nfacctd_port: 0
+plugins: memory[m]
+aggregate[m]: proto
+"""
+    db = Daemon.from_conf(spark, conf_b, spool_dir=str(tmp_path / "dirB"))
+    da = None
+    try:
+        ptm = tmp_path / "dir_ptm.map"
+        # everything from 127.0.0.1 tags 2 -> direction 'out'
+        ptm.write_text("set_tag=2 ip=127.0.0.1\n")
+        conf_a = f"""
+nfacctd_ip: 127.0.0.1
+nfacctd_port: 0
+pre_tag_map: {ptm}
+plugins: nfprobe[x]
+nfprobe_receiver[x]: 127.0.0.1:{db.port}
+nfprobe_version[x]: 10
+nfprobe_direction[x]: tag
+nfprobe_ifindex[x]: 4242
+nfprobe_ifindex_override[x]: true
+"""
+        da = Daemon.from_conf(spark, conf_a, spool_dir=str(tmp_path / "dirA"))
+        send_datagrams(
+            [_v5_datagram(1, [{"src": 1, "dst": 2, "pkts": 3,
+                               "bytes": 900, "sport": 1, "dport": 2}])],
+            "127.0.0.1", da.port,
+        )
+        t0 = time.monotonic()
+        while da.spool.datagrams_received < 1 and time.monotonic() - t0 < 15:
+            time.sleep(0.05)
+        da.run_available()
+        t0 = time.monotonic()
+        while db.spool.datagrams_received < 2 and time.monotonic() - t0 < 15:
+            time.sleep(0.05)
+        # decode B's raw spool through the EXTENDED decoder so the
+        # DIRECTION column is visible
+        db.spool.flush()
+        from pmacct_spark.streaming.decode import (
+            decode_any_ext,
+            prepare_datagrams,
+        )
+
+        rows = decode_any_ext(
+            prepare_datagrams(
+                db.spool.batch(spark), order_col="seqno"
+            ).select("exporter_ip", "payload")
+        ).collect()
+    finally:
+        if da is not None:
+            da.stop()
+        db.stop()
+    assert len(rows) == 1
+    r = rows[0]
+    # tag 2 -> egress (1); override places 4242 on the OUT interface
+    assert r["direction"] == 1
+    assert r["iface_out"] == 4242
+    assert r["bytes"] == 900

@@ -1362,3 +1362,58 @@ aggregate[routes]: as_path
     route_evs = [e for e in switched if e.get("event_type") == "log"]
     assert route_evs and all(e["pd"] == "0:64500:1" for e in route_evs)
     assert all("rd" not in e for e in switched)
+
+
+def test_daemon_udp_notif_transport_live(spark, tmp_path):
+    """telemetry_daemon_udp_notif_port / _ip (CONFIG-KEYS:3522, the
+    unyte UDP-Notif integration): the daemon collects
+    draft-ietf-netconf-udp-notif datagrams on a live socket, the
+    segmentation-aware decode reassembles split messages, and the
+    msglog carries the whole JSON payloads."""
+    import socket
+    import time
+
+    from pmacct_spark.daemon import Daemon
+    from pmacct_spark.streaming.telemetry import encode_udp_notif
+
+    log_dir = str(tmp_path / "unotif_log")
+    conf = f"""
+telemetry_daemon_udp_notif_port: 0
+telemetry_daemon_udp_notif_ip: 127.0.0.1
+telemetry_daemon_msglog_file: {log_dir}
+core_proc_name: pmtelemetryd
+"""
+    d = Daemon.from_conf(spark, conf, spool_dir=str(tmp_path / "unotif_sp"))
+    try:
+        assert d.flavor == "telemetry"
+        whole = json.dumps({"k": 1, "sensor_path": "cpu"}).encode()
+        split = json.dumps({"k": 2, "sensor_path": "mem"}).encode()
+        half = len(split) // 2
+        dgrams = [
+            encode_udp_notif(whole, observation_domain=9, message_id=5),
+            # message 6 arrives in two segments, out of order
+            encode_udp_notif(split[half:], observation_domain=9,
+                             message_id=6, segment=(1, True)),
+            encode_udp_notif(split[:half], observation_domain=9,
+                             message_id=6, segment=(0, False)),
+        ]
+        s = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
+        for p in dgrams:
+            s.sendto(p, ("127.0.0.1", d.port))
+        s.close()
+        t0 = time.monotonic()
+        while d.spool.datagrams_received < 3 and time.monotonic() - t0 < 15:
+            time.sleep(0.05)
+        d.spool.flush()
+        assert d.write_msglog_if_configured() == [log_dir]
+    finally:
+        d.stop()
+    lines = []
+    for f in pathlib.Path(log_dir).rglob("*.txt"):
+        lines += [
+            json.loads(ln)
+            for ln in f.read_text().splitlines()
+            if ln.strip()
+        ]
+    msgs = [ln["ietf-telemetry-message:message"] for ln in lines]
+    assert sorted(m["payload"]["k"] for m in msgs) == [1, 2]

@@ -129,3 +129,43 @@ def test_sample_type_range_op(df, spark):
         for (ftv,) in rows
     }
     assert duck == got
+
+
+def test_label_filter_keep_semantics(spark):
+    """pre_tag_label_filter compile vs evaluate_labels_v2 (reference
+    src/util.c:2289): token-set match on comma-separated labels, 'null'
+    for unlabelled, ordered evaluation where a matching positive entry
+    delivers, the FIRST negated entry always decides, and an exhausted
+    filter drops."""
+    from pmacct_spark.operators.pretag import label_filter_keep
+
+    rows = [
+        ("edge",), ("core,edge",), ("core",), (None,), ("",), ("edgy",),
+    ]
+    df = spark.createDataFrame(rows, "label string")
+
+    def kept(entries):
+        return sorted(
+            r["label"] or "<null>"
+            for r in df.filter(label_filter_keep(entries)).collect()
+        )
+
+    # positive OR list
+    assert kept(["edge"]) == ["core,edge", "edge"]
+    assert kept(["edge", "core"]) == ["core", "core,edge", "edge"]
+    # 'null' keyword matches unlabelled (NULL and empty both)
+    assert kept(["null"]) == ["<null>", "<null>"]
+    # negation: '-edge' drops edge-labelled, delivers everything else
+    # (a non-matching negated entry delivers immediately)
+    assert kept(["-edge"]) == ["<null>", "<null>", "core", "edgy"]
+    # positive before negated: 'core' delivers, then '-edge' decides
+    # the rest (edge rows drop, remainder delivers)
+    assert kept(["core", "-edge"]) == [
+        "<null>", "<null>", "core", "core,edge", "edgy",
+    ]
+    # exact token match, not substring: 'edgy' != 'edge'
+    assert kept(["edgy"]) == ["edgy"]
+    # empty filter = routing disabled
+    assert kept([]) == sorted(
+        r["label"] or "<null>" for r in df.collect()
+    )

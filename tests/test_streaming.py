@@ -1350,3 +1350,72 @@ def test_sflow_arp_passthrough_unknown_etype(spark):
     assert r["mac_src"] == "0a:0a:0a:0a:0a:0a"
     assert r["mac_dst"] == "ff:ff:ff:ff:ff:ff"
     assert r["vlan"] == 7 and r["ip_proto"] == 0 and r["bytes"] == 64
+
+
+def test_nfprobe_engine_and_tstamp_usec(spark):
+    """nfprobe_engine (CONFIG-KEYS:2550): v5 engine_type:engine_id in
+    header bytes 20-21; nfprobe_tstamp_usec (:2613): v9/IPFIX export
+    IEs 154/155 as 16-byte (seconds, microseconds) pairs — the
+    reference's exact record layout
+    (src/nfprobe_plugin/netflow9.c:1723-1736) — and the decoder
+    surfaces them as epoch-microsecond columns."""
+    from pmacct_spark.sinks.nfprobe import encode_ipfix, encode_v5
+    from pmacct_spark.streaming.decode import decode_any_ext
+
+    fl = spark.createDataFrame(
+        [
+            (0x0A000001, 0x0A000002, 1, 2, 3, 400,
+             1_700_000_000_123, 1_700_000_001_456,
+             1_700_000_000_123_456, 1_700_000_001_456_789,
+             10, 20, 16, 6, 0, 64500, 64501),
+        ],
+        "ip_src_i long, ip_dst_i long, iface_in long, iface_out long,"
+        " packets long, bytes long, ts_ms long, end_ts_ms long,"
+        " ts_us long, end_ts_us long, port_src int, port_dst int,"
+        " tcp_flags int, ip_proto int, tos int, as_src long, as_dst long",
+    )
+    # v5: engine fields land in header bytes 20-21
+    dg5 = encode_v5(fl, engine=(7, 9)).collect()
+    hdr = bytes(dg5[0]["payload"])
+    assert hdr[20] == 7 and hdr[21] == 9
+
+    # IPFIX with usec timestamps round-trips exactly
+    back = decode_any_ext(
+        encode_ipfix(fl, tstamp_usec=True).select("exporter_ip", "payload")
+    ).collect()
+    assert len(back) == 1
+    assert back[0]["ts_us"] == 1_700_000_000_123_456
+    assert back[0]["end_ts_us"] == 1_700_000_001_456_789
+    assert back[0]["bytes"] == 400 and back[0]["ip_proto"] == 6
+
+
+def test_pre_processing_checks_discard_malformed_padding(spark):
+    """nfacctd_pre_processing_checks (CONFIG-KEYS:2221; the dry-run at
+    src/nfacctd.c:2478): a v9 data flowset whose trailing padding
+    bytes are non-zero (wrong template / garbage) is discarded WHOLE
+    when the knob is on; default keeps the best-effort decode of the
+    whole records."""
+    from pmacct_spark.streaming.decode import decode_any
+
+    tid = 300
+    tmpl = _v9_packet(1, 1, [_v9_template(tid)])
+    # one good 17-byte record + 3 bytes of NON-ZERO "padding"
+    rec = struct.pack("!IIIIB", 0x0A000001, 0x0A000002, 500, 2, 6)
+    bad_fs = struct.pack("!HH", tid, 4 + len(rec) + 3) + rec + b"\xde\xad\x01"
+    bad = struct.pack("!HHIIII", 9, 1, 0, 1_700_000_000, 2, 1) + bad_fs
+    good = _v9_packet(
+        3, 1, [_v9_data(tid, [(0x0A000003, 0x0A000004, 700, 3, 17)])]
+    )
+    dg = spark.createDataFrame(
+        [("198.51.100.7", bytearray(p)) for p in (tmpl, bad, good)],
+        "exporter_ip string, payload binary",
+    ).coalesce(1)
+
+    default = decode_any(dg).orderBy("ip_src_i").collect()
+    assert [(r["bytes"]) for r in default] == [500, 700]
+
+    checked = decode_any(dg, pre_checks=True).collect()
+    # the malformed flowset is discarded whole; the clean one decodes
+    assert [(r["ip_src_i"], r["bytes"]) for r in checked] == [
+        (0x0A000003, 700)
+    ]
