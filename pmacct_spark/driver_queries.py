@@ -64,6 +64,9 @@ _DRIVER_WINDOW = [
     # through the driver contract at sf0.01 (all hash-green, VERDICT
     # r12 headline), so their newest independent sample is effectively
     # r12, not r9.
+    # NB: the late-r13 arrival `stream_bm25_index` does not fit this
+    # window (verified hash-green at sf0.01 via the driver-contract
+    # sim on arrival); rotate it in with the r14 leads.
     "agg_extended_primitives", "agg_mpls_path_delay", "agg_nat_events",
     "agg_renormalize", "agg_stitching_secs", "agg_sum_host",
     "agg_sum_port", "agg_tunnel_outer", "approx_distinct_hll",

@@ -297,15 +297,8 @@ def bm25_topk(
     text_col: str = "text",
 ) -> DataFrame:
     """(query_id, doc_id, score, rank): BM25 top-k docs per query."""
-    from pyspark.sql.window import Window
-
-    spark = docs.sparkSession
     terms = sorted({t for _, ts in queries for t in ts})
     term_list = ", ".join(f"'{t}'" for t in terms)
-    qdf = spark.createDataFrame(
-        [(qid, t) for qid, ts in queries for t in ts],
-        "query_id BIGINT, tok STRING",
-    )
     from pmacct_spark.operators.staging import stage
 
     # ONE corpus scan: stage the slim (doc_id, dl, matched-tokens)
@@ -335,6 +328,28 @@ def bm25_topk(
         slim.select("doc_id", "dl", F.explode("mt").alias("tok"))
         .groupBy("doc_id", "dl", "tok")
         .agg(F.count(F.lit(1)).cast("bigint").alias("tf"))
+    )
+    return bm25_score_postings(postings, stats, queries, k)
+
+
+def bm25_score_postings(
+    postings: DataFrame,
+    stats: DataFrame,
+    queries: list[tuple[int, list[str]]] = BM25_QUERIES,
+    k: int = 10,
+) -> DataFrame:
+    """Rank from a materialized postings table: (doc_id, dl, tok, tf)
+    + a one-row (n_docs, avgdl) stats frame -> (query_id, doc_id,
+    score, rank). Shared by the batch path above and the STREAMING
+    index (stream_bm25_index), whose foreachBatch MERGE maintains the
+    postings as versioned state — identical scoring, so the streaming
+    replay hits the same DuckDB oracle."""
+    from pyspark.sql.window import Window
+
+    spark = postings.sparkSession
+    qdf = spark.createDataFrame(
+        [(qid, t) for qid, ts in queries for t in ts],
+        "query_id BIGINT, tok STRING",
     )
     dfreq = postings.groupBy("tok").agg(
         F.count_distinct("doc_id").cast("bigint").alias("df")

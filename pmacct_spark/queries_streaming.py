@@ -1557,6 +1557,98 @@ def stream_dedup_phash(spark, sf_dir):
     )
 
 
+# --- BM25 retrieval index as STREAMING state: the keyword-retrieval
+#     twin of the ANN ingest pipeline (stream_ann_ivf_ingest). A
+#     production corpus keeps arriving; the inverted index and the
+#     global stats it scores against must accrete per micro-batch and
+#     the ranking over the accreted state must equal a from-scratch
+#     batch build. pmacct's closest analogue is again the long-lived
+#     caches (template/flow state outliving any one buffer).
+def _bm25_stream_duck() -> str:
+    from pmacct_spark.operators import text as _text
+
+    return _text.bm25_topk_duck()
+
+
+@register("stream_bm25_index", _bm25_stream_duck())
+def stream_bm25_index(spark, sf_dir):
+    """BM25 over an INCREMENTALLY built index, oracle-gated: the
+    corpus arrives in two micro-batches; foreachBatch maintains TWO
+    versioned state tables — the postings (doc_id, dl, tok, tf),
+    pre-filtered to query terms map-side exactly like the batch path,
+    and the per-doc length table feeding the global (n_docs, avgdl)
+    stats — with the same read-prev -> union -> write-next MERGE as
+    the dedup/ANN states. The final ranking runs the SHARED
+    bm25_score_postings over the accreted state, so the availableNow
+    replay hash-matches the from-scratch DuckDB oracle (the identical
+    SQL as batch bm25_keyword_topk). At 100 TB the per-increment cost
+    is the new documents' tokenization + one bounded-postings append —
+    never a corpus rescan; df/avgdl derive from the state tables."""
+    import os
+
+    from pmacct_spark.operators.text import (
+        BM25_QUERIES,
+        bm25_score_postings,
+        tokens_expr,
+    )
+    from pmacct_spark.session import apply_runtime_confs
+    from pmacct_spark.sources.tables import load_table
+
+    apply_runtime_confs(spark)
+    terms = sorted({t for _, ts in BM25_QUERIES for t in ts})
+    term_list = ", ".join(f"'{t}'" for t in terms)
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text"
+    )
+    corpus = docs.withColumn(
+        "b", (F.col("doc_id") % 2 + 1).cast("int")
+    )
+    stream, d = two_microbatch_source(corpus)
+    post_v: list[str] = []
+    dl_v: list[str] = []
+
+    def ingest(batch_df, batch_id: int) -> None:
+        spark_b = batch_df.sparkSession
+        slim = batch_df.select(
+            "doc_id", tokens_expr("text").alias("tk")
+        ).select(
+            "doc_id",
+            F.size("tk").cast("bigint").alias("dl"),
+            F.expr(f"filter(tk, t -> t IN ({term_list}))").alias("mt"),
+        )
+        post = (
+            slim.select("doc_id", "dl", F.explode("mt").alias("tok"))
+            .groupBy("doc_id", "dl", "tok")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("tf"))
+        )
+        if post_v:
+            post = post.unionByName(spark_b.read.parquet(post_v[-1]))
+        pp = os.path.join(d, f"postings_v{batch_id}")
+        post.write.mode("overwrite").parquet(pp)
+        post_v.append(pp)
+        dls = slim.select("doc_id", "dl")
+        if dl_v:
+            dls = dls.unionByName(spark_b.read.parquet(dl_v[-1]))
+        dp = os.path.join(d, f"doclen_v{batch_id}")
+        dls.write.mode("overwrite").parquet(dp)
+        dl_v.append(dp)
+
+    q = (
+        stream.writeStream.foreachBatch(ingest)
+        .option("checkpointLocation", os.path.join(d, "_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    retain_scratch(d)
+    postings = spark.read.parquet(post_v[-1])
+    stats = spark.read.parquet(dl_v[-1]).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.expr("SUM(dl) DIV COUNT(*)").cast("bigint").alias("avgdl"),
+    )
+    return bm25_score_postings(postings, stats, BM25_QUERIES, k=10)
+
+
 # --- sFlow counter LOG gated (the logdump family's sfacctd_counter
 #     path, reference src/sfacctd.c:2366 sf_cnt_log_msg): counter
 #     samples ride the v5 wire -> decode -> counter_log_events
