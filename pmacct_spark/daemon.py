@@ -1033,6 +1033,9 @@ class Daemon:
                 pre_checks=self.conf.getbool(
                     "nfacctd_pre_processing_checks"
                 ),
+                # nfacctd_time_secs (CONFIG-KEYS:2190): v5 header
+                # times in seconds rather than msecs
+                time_secs=self.conf.getbool("nfacctd_time_secs"),
             )
             if not streaming and not self.conf.getbool(
                 "nfacctd_ignore_exporter_address"
@@ -3551,6 +3554,18 @@ class Daemon:
         # counter samples ride the same UDP spool as the flow samples
         cpath = self.conf.get("sfacctd_counter_file")
         if cpath and self.flavor == "sflow":
+            # sfacctd_counter_output (CONFIG-KEYS:2196): json is the
+            # only format the reference supports too — reject typos
+            # instead of silently writing json under a wrong label
+            cfmt = str(
+                self.conf.get("sfacctd_counter_output", default="json")
+                or "json"
+            ).lower()
+            if cfmt != "json":
+                raise ValueError(
+                    f"sfacctd_counter_output {cfmt!r} unsupported "
+                    "(json only, as in the reference)"
+                )
             from pmacct_spark.sinks.msglog import write_counter_log
 
             write_counter_log(self._sflow_counters(), cpath)

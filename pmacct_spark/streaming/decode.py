@@ -117,14 +117,18 @@ def _v5_rows(exporter: str, payload: bytes) -> list[tuple]:
 
 class _V5Acc:
     """Per-batch accumulator for vectorized v5 decode (shared by
-    decode_v5 and the decode_any dispatch path)."""
+    decode_v5 and the decode_any dispatch path). ``time_secs`` is
+    nfacctd_time_secs (CONFIG-KEYS:2190): the v5 header's SysUptime
+    and the records' First/Last are in SECONDS instead of msecs
+    (non-standard exporters)."""
 
-    def __init__(self):
+    def __init__(self, time_secs: bool = False):
         import numpy as np
 
         self.np = np
         self.dt = _v5_rec_dtype()
         self.hdr = struct.Struct(V5_HEADER_FMT)
+        self.time_secs = time_secs
         self.parts = []
         self.exps: list[str] = []
         self.seqs: list[int] = []
@@ -147,7 +151,10 @@ class _V5Acc:
         )
         self.exps.append(exporter)
         self.seqs.append(seqno)
-        self.bases.append(secs * 1000 + nsecs // 1_000_000 - sysup)
+        self.bases.append(
+            secs * 1000 + nsecs // 1_000_000
+            - (sysup * 1000 if self.time_secs else sysup)
+        )
         return True
 
     def frame(self, cols: list[str]) -> "pd.DataFrame | None":
@@ -169,8 +176,12 @@ class _V5Acc:
                 "iface_out": rec["outp"].astype(np.int64),
                 "packets": rec["pkts"].astype(np.int64),
                 "bytes": rec["octets"].astype(np.int64),
-                "ts_ms": base + rec["first"].astype(np.int64),
-                "end_ts_ms": base + rec["last"].astype(np.int64),
+                "ts_ms": base
+                + rec["first"].astype(np.int64)
+                * (1000 if self.time_secs else 1),
+                "end_ts_ms": base
+                + rec["last"].astype(np.int64)
+                * (1000 if self.time_secs else 1),
                 "port_src": rec["sport"].astype(np.int32),
                 "port_dst": rec["dport"].astype(np.int32),
                 "tcp_flags": rec["flags"].astype(np.int32),
@@ -183,14 +194,16 @@ class _V5Acc:
         )
 
 
-def decode_v5(datagrams: DataFrame) -> DataFrame:
+def decode_v5(
+    datagrams: DataFrame, time_secs: bool = False
+) -> DataFrame:
     """Decode NetFlow v5 datagrams into flow rows (vectorized: one
     ``np.frombuffer`` per datagram, column assembly in numpy)."""
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         cols = [f.name for f in FLOW_SCHEMA.fields]
         for pdf in batches:
-            acc = _V5Acc()
+            acc = _V5Acc(time_secs=time_secs)
             for exporter, payload in zip(pdf["exporter_ip"], pdf["payload"]):
                 acc.scan(exporter, bytes(payload))
             frame = acc.frame(cols)
@@ -1553,6 +1566,7 @@ def decode_any(
     datagrams: DataFrame,
     seed_templates: dict | None = None,
     pre_checks: bool = False,
+    time_secs: bool = False,
 ) -> DataFrame:
     """Version-dispatch decoder: v5 / v9 / IPFIX datagrams mixed on one
     socket (reference src/nfacctd.c:1649-1654). Same partition contract
@@ -1578,7 +1592,7 @@ def decode_any(
         cols = [f.name for f in FLOW_SCHEMA.fields]
         for pdf in batches:
             items: list = []
-            acc = _V5Acc()
+            acc = _V5Acc(time_secs=time_secs)
             for exporter, payload in zip(pdf["exporter_ip"], pdf["payload"]):
                 b = bytes(payload)
                 ver = int.from_bytes(b[:2], "big") if len(b) >= 2 else 0

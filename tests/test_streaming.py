@@ -1419,3 +1419,26 @@ def test_pre_processing_checks_discard_malformed_padding(spark):
     assert [(r["ip_src_i"], r["bytes"]) for r in checked] == [
         (0x0A000003, 700)
     ]
+
+
+def test_v5_time_secs_header(spark):
+    """nfacctd_time_secs (CONFIG-KEYS:2190): the v5 header's SysUptime
+    and record First/Last interpreted as SECONDS — the same datagram
+    decodes to second-scaled timestamps only when the knob is set."""
+    from pmacct_spark.streaming.decode import decode_v5
+
+    # uptime 1000 s, first = 995 s after boot
+    hdr = V5_HEADER.pack(5, 1, 1000, 1_700_000_000, 0, 3, 0, 0, 1)
+    rec = V5_RECORD.pack(1, 2, 0, 1, 2, 3, 400, 995, 999, 1, 2, 0, 16,
+                         6, 0, 64500, 64501, 24, 24, 0)
+    dg = spark.createDataFrame(
+        [("198.51.100.1", bytearray(hdr + rec))],
+        "exporter_ip string, payload binary",
+    )
+    default = decode_v5(dg).collect()[0]
+    secs = decode_v5(dg, time_secs=True).collect()[0]
+    # default: ms math — base = secs*1000 - 1000, ts = base + 995
+    assert default["ts_ms"] == 1_700_000_000 * 1000 - 1000 + 995
+    # secs: base = secs*1000 - 1000*1000, ts = base + 995*1000
+    assert secs["ts_ms"] == 1_700_000_000 * 1000 - 1_000_000 + 995_000
+    assert secs["end_ts_ms"] - secs["ts_ms"] == 4000
