@@ -917,7 +917,7 @@ def _account_options_tagged(spark, sf_dir):
     )
     from pmacct_spark.sources.tables import load_table
     from pmacct_spark.streaming.decode import (
-        decode_any,
+        decode_any_twophase,
         decode_options_data,
         flow_type_column,
     )
@@ -945,7 +945,16 @@ def _account_options_tagged(spark, sf_dir):
         "port_src", "port_dst", "tcp_flags", "ip_proto", "tos",
         "as_src", "as_dst",
     )
-    mixed = (
+    from pmacct_spark.operators.staging import stage
+
+    # both the option-record and the flow decoder walk this stream:
+    # stage the encoded datagrams ONCE so the encode lineage doesn't
+    # re-run per consumer (the established two-consumer wire pattern);
+    # the flow side then decodes TWOPHASE (no partition-order
+    # contract — staging may re-split partitions), and the options
+    # side is order-free by construction (encode_options_names emits
+    # self-contained template+data datagrams)
+    mixed = stage(
         encode_options_names(reps)
         .unionByName(encode_ipfix(fl))
         .select("exporter_ip", "payload")
@@ -958,7 +967,7 @@ def _account_options_tagged(spark, sf_dir):
         "name=if_name  field_type=82  len=20 semantics=string\n"
     )
     opt_rows = decode_options_data(mixed, customs)
-    flow_rows = decode_any(mixed)
+    flow_rows = decode_any_twophase(mixed)
     flow_rows = flow_rows.withColumn(
         "flow_type", flow_type_column(flow_rows)
     )
