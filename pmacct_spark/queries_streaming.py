@@ -1617,13 +1617,22 @@ def stream_bm25_index(spark, sf_dir):
     dl_v: list[str] = []
 
     def ingest(batch_df, batch_id: int) -> None:
+        from pmacct_spark.operators.staging import stage
+
         spark_b = batch_df.sparkSession
-        slim = batch_df.select(
-            "doc_id", tokens_expr("text").alias("tk")
-        ).select(
-            "doc_id",
-            F.size("tk").cast("bigint").alias("dl"),
-            F.expr(f"filter(tk, t -> t IN ({term_list}))").alias("mt"),
+        # staged like the batch path: the slim (doc_id, dl, matched
+        # tokens) projection feeds BOTH state writes — without the
+        # barrier each write would re-tokenize the micro-batch
+        slim = stage(
+            batch_df.select(
+                "doc_id", tokens_expr("text").alias("tk")
+            ).select(
+                "doc_id",
+                F.size("tk").cast("bigint").alias("dl"),
+                F.expr(
+                    f"filter(tk, t -> t IN ({term_list}))"
+                ).alias("mt"),
+            )
         )
         post = (
             slim.select("doc_id", "dl", F.explode("mt").alias("tok"))
