@@ -1037,3 +1037,59 @@ def test_unimax_matches_reference(spark, counts, budget, epochs):
     caps = sum(n * epochs for n in counts.values())
     assert all(a <= c for _n, c, a, _f, _p in got.values())
     assert total_alloc == min(budget, caps)
+
+
+# ---------------------------------------------------------------------------
+# pre_tag_label_filter vs a literal port of evaluate_labels_v2
+# ---------------------------------------------------------------------------
+
+label_tok = st.sampled_from(["edge", "core", "null", "x", "edgy"])
+label_val = st.one_of(
+    st.none(),
+    st.lists(label_tok, min_size=1, max_size=3).map(",".join),
+)
+filter_entry = st.tuples(st.booleans(), label_tok).map(
+    lambda t: ("-" if t[0] else "") + t[1]
+)
+
+
+def _ref_labels_v2(entries: list[str], label: str | None) -> bool:
+    """Literal Python port of the reference walk (evaluate_labels_v2,
+    src/util.c:2289; caller gate src/plugin_hooks.c:452). Returns
+    True = DELIVER. The C function returns TRUE meaning 'filter out'
+    through its inverted caller; this port returns the delivery
+    decision directly."""
+    if not entries:
+        return True  # filter disabled
+    tokens = (label if label else "null").split(",")
+    for raw in entries:
+        neg = raw.startswith("-")
+        val = raw[1:] if neg else raw
+        matched = val in tokens
+        if matched:
+            return not neg
+        if neg:  # non-matching negated entry: deliver immediately
+            return True
+    return False
+
+
+@SET
+@given(
+    st.lists(filter_entry, min_size=0, max_size=4),
+    st.lists(label_val, min_size=1, max_size=8),
+)
+def test_label_filter_matches_reference(spark, entries, labels):
+    from pmacct_spark.operators.pretag import label_filter_keep
+
+    df = spark.createDataFrame(
+        [(i, lv) for i, lv in enumerate(labels)],
+        "row_id int, label string",
+    )
+    kept = {
+        r["row_id"]
+        for r in df.filter(label_filter_keep(entries)).collect()
+    }
+    want = {
+        i for i, lv in enumerate(labels) if _ref_labels_v2(entries, lv)
+    }
+    assert kept == want
