@@ -22,6 +22,7 @@ from pmacct_spark.streaming.jobs import (
     flows_stream,
     retain_scratch,
     run_to_memory,
+    scoped_stream_partitions,
     stream_aggregation,
     two_microbatch_source,
 )
@@ -154,15 +155,16 @@ def stream_v9_stateful_decode(spark, sf_dir):
         )
     )
     decoded = decode_v9_stream(stream)
-    q = (
-        decoded.writeStream.outputMode("append")
-        .format("memory")
-        .queryName("q_stream_v9_stateful")
-        .option("checkpointLocation", os.path.join(d, "_ckpt"))
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with scoped_stream_partitions(spark):
+        q = (
+            decoded.writeStream.outputMode("append")
+            .format("memory")
+            .queryName("q_stream_v9_stateful")
+            .option("checkpointLocation", os.path.join(d, "_ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     back = spark.table("q_stream_v9_stateful")
     # memory-sink rows live on the session, not in the scratch files
     shutil.rmtree(d, ignore_errors=True)
@@ -1079,15 +1081,16 @@ def stream_dedup_exact(spark, sf_dir):
         )
         .dropDuplicates(["digest"])
     )
-    q = (
-        dedup.writeStream.outputMode("append")
-        .format("memory")
-        .queryName("q_stream_dedup_exact")
-        .option("checkpointLocation", os.path.join(d, "_ckpt"))
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with scoped_stream_partitions(spark):
+        q = (
+            dedup.writeStream.outputMode("append")
+            .format("memory")
+            .queryName("q_stream_dedup_exact")
+            .option("checkpointLocation", os.path.join(d, "_ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     out = spark.table("q_stream_dedup_exact")
     # memory-sink rows live on the session, not in the scratch files
     shutil.rmtree(d, ignore_errors=True)
@@ -1213,13 +1216,14 @@ def stream_dedup_minhash(spark, sf_dir):
         merged.write.mode("overwrite").parquet(path)
         versions.append(path)
 
-    q = (
-        stream.writeStream.foreachBatch(upsert_owners)
-        .option("checkpointLocation", os.path.join(d, "_ckpt"))
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with scoped_stream_partitions(spark):
+        q = (
+            stream.writeStream.foreachBatch(upsert_owners)
+            .option("checkpointLocation", os.path.join(d, "_ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     # the per-batch MERGE already materialized these as parquet — read
     # them in place and retain the scratch dir (re-staging was a
     # redundant write+read on every run)
@@ -1314,13 +1318,14 @@ def stream_ann_ivf_ingest(spark, sf_dir):
         merged.write.mode("overwrite").parquet(path)
         versions.append(path)
 
-    q = (
-        stream.writeStream.foreachBatch(ingest)
-        .option("checkpointLocation", os.path.join(d, "_ckpt"))
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with scoped_stream_partitions(spark):
+        q = (
+            stream.writeStream.foreachBatch(ingest)
+            .option("checkpointLocation", os.path.join(d, "_ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     # read the final posting-table version in place (see
     # retain_scratch: re-staging an already-materialized parquet was a
     # redundant write+read per run)
@@ -1404,13 +1409,14 @@ def stream_ann_ivf_delete(spark, sf_dir):
         merged.write.mode("overwrite").parquet(path)
         versions.append(path)
 
-    q = (
-        stream.writeStream.foreachBatch(merge)
-        .option("checkpointLocation", os.path.join(d, "_ckpt"))
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with scoped_stream_partitions(spark):
+        q = (
+            stream.writeStream.foreachBatch(merge)
+            .option("checkpointLocation", os.path.join(d, "_ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     # read the final posting-table version in place (see
     # retain_scratch: re-staging an already-materialized parquet was a
     # redundant write+read per run)
@@ -1524,13 +1530,14 @@ def stream_dedup_phash(spark, sf_dir):
         merged.write.mode("overwrite").parquet(path)
         versions.append(path)
 
-    q = (
-        stream.writeStream.foreachBatch(upsert_owners)
-        .option("checkpointLocation", os.path.join(d, "_ckpt"))
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with scoped_stream_partitions(spark):
+        q = (
+            stream.writeStream.foreachBatch(upsert_owners)
+            .option("checkpointLocation", os.path.join(d, "_ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     # the versioned owner/band tables are ALREADY materialized parquet
     # (the per-batch MERGE wrote them) — re-staging them through
     # operators/staging was a second write+read of the same rows, the
@@ -1651,13 +1658,14 @@ def stream_bm25_index(spark, sf_dir):
         dls.write.mode("overwrite").parquet(dp)
         dl_v.append(dp)
 
-    q = (
-        stream.writeStream.foreachBatch(ingest)
-        .option("checkpointLocation", os.path.join(d, "_ckpt"))
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with scoped_stream_partitions(spark):
+        q = (
+            stream.writeStream.foreachBatch(ingest)
+            .option("checkpointLocation", os.path.join(d, "_ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     retain_scratch(d)
     postings = spark.read.parquet(post_v[-1])
     stats = spark.read.parquet(dl_v[-1]).agg(

@@ -1442,3 +1442,40 @@ def test_v5_time_secs_header(spark):
     # secs: base = secs*1000 - 1000*1000, ts = base + 995*1000
     assert secs["ts_ms"] == 1_700_000_000 * 1000 - 1_000_000 + 995_000
     assert secs["end_ts_ms"] - secs["ts_ms"] == 4000
+
+
+def test_stream_shuffle_partitions_scale_adaptive(spark):
+    """Guide §2: the streaming harness derives its shuffle/state
+    partition count from the replay's source bytes (streaming plans
+    ignore AQE coalescing), parameterised by conf with the derivation
+    clamped so production volumes ask for MORE than the local core
+    count, never a local-mode constant."""
+    from pmacct_spark.streaming import jobs as J
+
+    par = spark.sparkContext.defaultParallelism
+    # tiny replay -> 1 partition; huge replay -> clamped to 4x cores
+    assert J.stream_shuffle_partitions(spark, 3 << 20) == 1
+    assert J.stream_shuffle_partitions(spark, 10 << 40) == 4 * par
+    # linear in between at the 64 MB default target
+    assert J.stream_shuffle_partitions(spark, 640 << 20) == min(10, 4 * par)
+    # no hint (e.g. the daemon's spool stream) -> no override
+    assert J.stream_shuffle_partitions(spark, None) is None
+    # conf pin and kill-switch
+    spark.conf.set("spark.pmacct.stream.shufflePartitions", "7")
+    try:
+        assert J.stream_shuffle_partitions(spark, 3 << 20) == 7
+        spark.conf.set("spark.pmacct.stream.shufflePartitions", "off")
+        assert J.stream_shuffle_partitions(spark, 3 << 20) is None
+    finally:
+        spark.conf.unset("spark.pmacct.stream.shufflePartitions")
+    # the one-shot hint is consumed by the scope and the session value
+    # restored afterwards
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    J.note_stream_source_bytes(3 << 20)
+    with J.scoped_stream_partitions(spark):
+        assert spark.conf.get("spark.sql.shuffle.partitions") == "1"
+    assert spark.conf.get("spark.sql.shuffle.partitions") == old
+    assert not J._STREAM_SOURCE_BYTES
+    # consumed: a second scope without a fresh hint is a no-op
+    with J.scoped_stream_partitions(spark):
+        assert spark.conf.get("spark.sql.shuffle.partitions") == old
