@@ -880,6 +880,15 @@ def ivf_pq_topk(
     )
 
 
+def ivf_pq_base(
+    items: DataFrame, id_col: str = "vec_id", emb_col: str = "embedding"
+) -> DataFrame:
+    """The shared (id, qv, nrm) projection every IVF-PQ phase starts
+    from — one place instead of each caller re-deriving it."""
+    base = quantize(items.select(id_col, emb_col), emb_col, "qv")
+    return base.withColumn("nrm", F.expr(_norm_sq("qv"))).drop(emb_col)
+
+
 def ivf_pq_train(base: DataFrame, id_col: str = "vec_id"):
     """The offline train step (FAISS train()): coarse centroids as a
     (DataFrame, literal list) pair + the PQ codebook, derived once and
@@ -897,16 +906,107 @@ def ivf_pq_train(base: DataFrame, id_col: str = "vec_id"):
     return cents_df, cents, _pq_codebook(base, id_col)
 
 
+def ivf_pq_assign_expr(
+    base: DataFrame, cents: list, cb: list
+) -> DataFrame:
+    """The pure-JVM literal-fold assignment (the original strategy,
+    kept verbatim: ivf_topk and pq_adc_topk stay on this family as the
+    plan-diversity twins)."""
+    return base.withColumn(
+        "cell", F.expr(_ivf_assign_expr(cents, "qv", "nrm"))
+    ).withColumn("codes", F.expr(_pq_code_array_expr(cb)))
+
+
 def ivf_pq_assign(
     base: DataFrame, cents: list, cb: list
 ) -> DataFrame:
     """Step 1 of :func:`ivf_pq_topk` in isolation: map-side IVF cell +
-    PQ code assignment against the broadcast (literal) codebook — the
-    per-batch ingest projection of a streaming index build. ``base``
-    carries (id, qv, nrm)."""
-    return base.withColumn(
-        "cell", F.expr(_ivf_assign_expr(cents, "qv", "nrm"))
-    ).withColumn("codes", F.expr(_pq_code_array_expr(cb)))
+    PQ code assignment against the broadcast codebook — the per-batch
+    ingest projection of a streaming index build. ``base`` carries
+    (id, qv, nrm).
+
+    Arrow-batched numpy kernel (guide §4.2): the literal-fold
+    expressions (:func:`ivf_pq_assign_expr`) made every action re-parse
+    and constant-fold a ~30 KB expression tree and then evaluated
+    interpreted higher-order folds per row (~0.4 ms/row/core measured —
+    at index scale that is the whole ingest budget). The kernel computes
+    the SAME arithmetic vectorized: int64 dots, signed squared
+    similarity in float64 over exact-double norms with first-index
+    (lowest-cid) argmax — numpy's first-NaN argmax coincides with the
+    SQL fold's NaN-as-greatest first-NaN winner — and exact int64
+    subspace L2 with first-index (lowest-code) argmin. Only (qv, nrm)
+    cross the boundary beyond passthrough columns; the codebook rides
+    the task closure (dim-bounded, the same class as the literal
+    broadcast)."""
+    import numpy as np
+    from pyspark.sql.types import (
+        ArrayType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    scents = sorted(cents)
+    C = np.array([qc for _, qc, _ in scents], dtype=np.int64)
+    cids = np.array([cid for cid, _, _ in scents], dtype=np.int64)
+    # the SQL fold divides CAST(nrm AS DOUBLE) * CAST(nc AS DOUBLE)
+    ncn = np.array([nc for _, _, nc in scents], dtype=np.float64)
+    CB = np.array(cb, dtype=np.int64)  # (M, K, SUB)
+    M, _, SUB = CB.shape
+
+    def kernel(batches):
+        import pyarrow as pa
+
+        for rb in batches:
+            n = rb.num_rows
+            if n == 0:
+                continue
+            qi = rb.schema.get_field_index("qv")
+            q = np.asarray(
+                rb.column(qi).combine_chunks().flatten()
+                if isinstance(rb.column(qi), pa.ChunkedArray)
+                else rb.column(qi).flatten(),
+                dtype=np.int64,
+            ).reshape(n, -1)
+            nrm = np.asarray(
+                rb.column(rb.schema.get_field_index("nrm")),
+                dtype=np.float64,
+            )
+            d = q @ C.T
+            df64 = d.astype(np.float64)
+            p = df64 * df64
+            with np.errstate(divide="ignore", invalid="ignore"):
+                sim = np.where(d >= 0, p, -p) / (nrm[:, None] * ncn[None, :])
+            cell = cids[np.argmax(sim, axis=1)]
+            codes = np.empty((n, M), dtype=np.int64)
+            for m in range(M):
+                diff = q[:, m * SUB : (m + 1) * SUB][:, None, :] - CB[m][None]
+                codes[:, m] = np.argmin(
+                    np.einsum("nks,nks->nk", diff, diff), axis=1
+                )
+            cols = [rb.column(i) for i in range(rb.num_columns)]
+            cols.append(pa.array(cell, type=pa.int64()))
+            cols.append(
+                pa.ListArray.from_arrays(
+                    pa.array(
+                        np.arange(n + 1, dtype=np.int32) * M,
+                        type=pa.int32(),
+                    ),
+                    pa.array(codes.ravel(), type=pa.int64()),
+                )
+            )
+            yield pa.RecordBatch.from_arrays(
+                cols, names=list(rb.schema.names) + ["cell", "codes"]
+            )
+
+    out_schema = StructType(
+        list(base.schema.fields)
+        + [
+            StructField("cell", LongType()),
+            StructField("codes", ArrayType(LongType())),
+        ]
+    )
+    return base.mapInArrow(kernel, out_schema)
 
 
 def ivf_pq_query(
@@ -924,7 +1024,31 @@ def ivf_pq_query(
     posting table ``items_idx`` (id, qv, nrm, cell, codes) — the
     serving half, reusable over a posting table min-merged from
     streaming micro-batches."""
-    K = len(cb[0])
+    probes = ivf_pq_probes(
+        queries_base, cents_df, cb, nprobe, id_col=id_col,
+        query_pred=query_pred,
+    )
+    return ivf_pq_serve(
+        items_idx, probes, cb, k=k, refine=refine, id_col=id_col
+    )
+
+
+def ivf_pq_probes(
+    queries_base: DataFrame,
+    cents_df: DataFrame,
+    cb: list,
+    nprobe: int,
+    id_col: str = "vec_id",
+    query_pred: str = "vec_id < 10",
+    keep_rn: bool = False,
+) -> DataFrame:
+    """Step 2 of :func:`ivf_pq_topk` in isolation: each query's
+    ``nprobe`` nearest cells plus its precomputed ADC table. With
+    ``keep_rn`` the probe rank survives in the output, so one probe
+    table built at the LARGEST nprobe serves every smaller operating
+    point as a plain ``rn <= n`` filter (the probe set is a prefix of
+    the rank order — recall sweeps reuse one build instead of
+    re-deriving the qtab literal and re-ranking per arm)."""
     qs = (
         queries_base.filter(F.expr(query_pred))
         .withColumn("qtab", F.expr(f"array({_pq_qtab_terms(cb)})"))
@@ -936,7 +1060,7 @@ def ivf_pq_query(
         )
     )
     wp = Window.partitionBy("query_id").orderBy(F.desc("ps"), F.asc("cid"))
-    probes = (
+    return (
         qs.crossJoin(F.broadcast(cents_df))
         .withColumn("d", F.expr(_dot("qq", "qc")))
         .withColumn(
@@ -948,8 +1072,26 @@ def ivf_pq_query(
         )
         .withColumn("rn", F.row_number().over(wp))
         .filter(F.col("rn") <= nprobe)
-        .select("query_id", "qq", "nq", "qtab", F.col("cid").alias("cell"))
+        .select(
+            "query_id", "qq", "nq", "qtab", F.col("cid").alias("cell"),
+            *(["rn"] if keep_rn else []),
+        )
     )
+
+
+def ivf_pq_serve(
+    items_idx: DataFrame,
+    probes: DataFrame,
+    cb: list,
+    k: int = 3,
+    refine: int = 3,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Steps 3-4 of :func:`ivf_pq_topk` in isolation: ADC-score the
+    items in the probed cells, keep the top ``refine*k``, exact
+    re-rank. ``probes`` comes from :func:`ivf_pq_probes` (any extra
+    ``rn`` column must be dropped/filtered by the caller first)."""
+    K = len(cb[0])
     cand = (
         items_idx.join(F.broadcast(probes), "cell")
         .filter(F.col(id_col) != F.col("query_id"))

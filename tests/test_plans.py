@@ -103,6 +103,15 @@ def test_pipeline_ops_also_jvm_side(spark):
     arrow_vectorized = {
         "dedup_embedding_cosine",
         "multimodal_decode_features",
+        # IVF-PQ cell+code assignment is an Arrow-batched numpy kernel
+        # (guide §4.2: the literal-fold HOF chain re-parsed a ~30 KB
+        # expression per action and evaluated interpreted folds per
+        # row); ivf_topk / pq_adc_topk keep the pure-JVM literal-fold
+        # strategy (ivf_pq_assign_expr) as the plan-diversity twins.
+        # Only ann_ivf_pq_topk shows the node in its FINAL plan — the
+        # recall/streaming users run the kernel behind a staging
+        # barrier or inside foreachBatch.
+        "ann_ivf_pq_topk",
         # NB: dedup_multimodal_phash is NOT exempted — its decode
         # kernel runs once behind the staging barrier, so the final
         # plan must be pure JVM (staged parquet scan + banded join)
@@ -121,11 +130,15 @@ def test_pipeline_ops_also_jvm_side(spark):
     for name, fn in q.items():
         plan = _plan(fn(spark, SF_DIR))
         if name in arrow_vectorized:
-            assert "InPandas" in plan, f"{name}: expected Arrow kernel"
+            assert "InPandas" in plan or "MapInArrow" in plan, (
+                f"{name}: expected Arrow kernel"
+            )
             continue
-        assert "EvalPython" not in plan and "MapInPandas" not in plan, (
-            f"{name}: unexpected Python stage"
-        )
+        assert (
+            "EvalPython" not in plan
+            and "MapInPandas" not in plan
+            and "MapInArrow" not in plan
+        ), f"{name}: unexpected Python stage"
         assert "FlatMapGroupsInPandas" not in plan, (
             f"{name}: unexpected Python stage"
         )
