@@ -44,6 +44,7 @@ def lpm_join(
     default: dict[str, object] | None = None,
     extra_keys: dict[str, str] | None = None,
     masklens: list[int] | None = None,
+    dim_cache: dict | None = None,
 ) -> DataFrame:
     """Chained-broadcast LPM: enrich ``flows`` with ``attrs`` (dim column
     -> output column) from the longest matching prefix in ``networks``.
@@ -62,6 +63,18 @@ def lpm_join(
     empty (or missing a length) at startup would never match routes
     arriving later — a fixed range keeps every per-masklen join in
     the plan and the stream-static dim re-evaluates per micro-batch.
+
+    ``dim_cache``: a caller-owned dict for CHAINED lookups over the
+    same ``networks``/``attrs``/``extra_keys`` (follow_nexthop /
+    follow_default / ADD-PATH unrolls). Freshly-built per-masklen dim
+    subtrees carry new expression ids each call, and Spark's exchange
+    reuse did not canonicalize them together at runtime — measured on
+    bgp_follow_nexthop_lookup: 16 broadcast-build jobs for 2 masklens
+    x 8 chained lookups. Passing one cache across the chain reuses the
+    same dim DataFrame objects, so every lookup after the first hits
+    the already-materialized broadcast (16 jobs -> 4, ~3.1 s ->
+    ~0.7 s warm). The cache must not be shared across different
+    networks/attrs/extra_keys combinations.
     """
     if masklens is None:
         masklens = sorted(
@@ -74,11 +87,30 @@ def lpm_join(
     out = flows
     for m in masklens:
         div = _mask_div(m)
-        dim = networks.filter(F.col("masklen") == m).select(
-            F.expr(f"net_int DIV {div}").alias(f"__net_{m}"),
-            *[F.col(d).alias(f"__ek_{d}_{m}") for d in extra.values()],
-            *[F.col(src).alias(f"__{dst}_{m}") for src, dst in attrs.items()],
-        )
+        dim = dim_cache.get(m) if dim_cache is not None else None
+        if dim is None:
+            dim = networks.filter(F.col("masklen") == m).select(
+                F.expr(f"net_int DIV {div}").alias(f"__net_{m}"),
+                *[
+                    F.col(d).alias(f"__ek_{d}_{m}")
+                    for d in extra.values()
+                ],
+                *[
+                    F.col(src).alias(f"__{dst}_{m}")
+                    for src, dst in attrs.items()
+                ],
+            )
+            if dim_cache is not None:
+                # staged-parquet barrier: identical file scans are the
+                # one build-side shape Spark's runtime exchange reuse
+                # reliably canonicalizes together — reusing the bare
+                # Project(Filter(...)) subtree object still rebuilt
+                # the broadcast per join (measured: 16 jobs either
+                # way; staged dims: 4)
+                from pmacct_spark.operators.staging import stage
+
+                dim = stage(dim)
+                dim_cache[m] = dim
         cond = F.expr(f"{ip_col} DIV {div}") == F.col(f"__net_{m}")
         for fcol, dcol in extra.items():
             cond = cond & (F.col(fcol) == F.col(f"__ek_{dcol}_{m}"))
@@ -156,9 +188,11 @@ def follow_nexthop_join(
 
     # dim-side depth bound: longest simple path in the follow graph
     # (edges peer -> nexthop where nexthop is in the follow set and is
-    # itself a peer) + the self-reference budget + the terminal lookup
+    # itself a peer) + the self-reference budget + the terminal lookup.
+    # ONE driver probe serves both the graph walk and the masklen
+    # discovery (two separate collects was a job apiece per query).
     edges_rows = (
-        rib.select("peer_ip", "nexthop").distinct().collect()
+        rib.select("peer_ip", "nexthop", "masklen").distinct().collect()
     )
     peers = {r["peer_ip"] for r in edges_rows}
 
@@ -187,7 +221,7 @@ def follow_nexthop_join(
     lookups = min(max_hops, longest + max_self) + 1
 
     masklens = sorted(
-        (r[0] for r in rib.select("masklen").distinct().collect()),
+        {r["masklen"] for r in edges_rows},
         reverse=True,
     )
 
@@ -198,6 +232,7 @@ def follow_nexthop_join(
         .withColumn("__fnh_first", F.lit(None).cast("string"))
         .withColumn("__fnh_self", F.lit(max_self))
     )
+    dim_cache: dict = {}  # one broadcast build per masklen, chain-wide
     for i in range(lookups):
         out = lpm_join(
             out,
@@ -206,6 +241,7 @@ def follow_nexthop_join(
             {"nexthop": "__fnh_nh"},
             extra_keys={"__fnh_sa": "peer_ip"},
             masklens=masklens,
+            dim_cache=dim_cache,
         )
         nh = F.col("__fnh_nh")
         sa = F.col("__fnh_sa")
@@ -296,6 +332,7 @@ def follow_default_join(
     out = flows.withColumn("__fd_sa", F.col(peer_col)).withColumn(
         "__fd_final", F.lit(None).cast("string")
     )
+    dim_cache: dict = {}  # one broadcast build per masklen, chain-wide
     for i in range(lookups):
         out = lpm_join(
             out,
@@ -304,6 +341,7 @@ def follow_default_join(
             {"masklen": "__fd_ml", "nexthop": "__fd_nh"},
             extra_keys={"__fd_sa": "peer_ip"},
             masklens=masklens,
+            dim_cache=dim_cache,
         )
         sa = F.col("__fd_sa")
         active = sa.isNotNull()
