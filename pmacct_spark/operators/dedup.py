@@ -623,26 +623,30 @@ def exact_substring_remove(
         .agg(F.array_sort(F.collect_list("p")).alias("ss"))
     )
     covered = f"exists(ss, s -> s <= t AND t <= s + {w - 1})"
+    # the O(tokens x dup_starts) covered-scan is the expensive part;
+    # computing n_removed and cleaned as separate projections ran it
+    # twice per token. One generator binds the kept-token array as a
+    # lambda var and derives all three outputs from a single pass
+    # (covered NULL — no duplicate starts — keeps the token, so the
+    # old fillna(n_removed=0) falls out of the same expression).
+    ka = (
+        f"transform(sequence(1, size(tk)), "
+        f"t -> IF({covered}, NULL, element_at(tk, CAST(t AS INT))))"
+    )
+    rec = (
+        f"explode(transform(array({ka}), ka -> named_struct("
+        f"'n_tokens', CAST(size(ka) AS BIGINT), "
+        f"'n_removed', CAST(size(filter(ka, x -> x IS NULL)) AS BIGINT), "
+        f"'cleaned', concat_ws(' ', filter(ka, x -> x IS NOT NULL)))))"
+    )
     return (
         df.select(
             id_col,
             F.expr(f"split(lower({text_col}), '\\\\s+')").alias("tk"),
         )
         .join(starts, id_col, "left")
-        .select(
-            id_col,
-            F.expr("CAST(size(tk) AS BIGINT)").alias("n_tokens"),
-            F.expr(
-                f"CAST(size(filter(sequence(1, size(tk)), "
-                f"t -> {covered})) AS BIGINT)"
-            ).alias("n_removed"),
-            F.expr(
-                f"concat_ws(' ', filter(transform(sequence(1, size(tk)), "
-                f"t -> IF({covered}, NULL, element_at(tk, CAST(t AS INT)))), "
-                "x -> x IS NOT NULL))"
-            ).alias("cleaned"),
-        )
-        .fillna({"n_removed": 0})
+        .select(id_col, F.expr(rec).alias("__r"))
+        .select(id_col, "__r.*")
     )
 
 
