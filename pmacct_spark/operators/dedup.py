@@ -136,6 +136,12 @@ def shingle_hash_sets(
     once per TOKEN, not once per shingle: shingle hashes are O(1)
     combinations of token fold states, bit-identical to hashing the
     shingle string."""
+    from pmacct_spark.operators.staging import spread
+
+    # the per-character fold below is the expensive stage; single-file
+    # inputs (one scan task / one micro-batch file) serialized it on
+    # one core — spread() parallelizes exactly that case (guide §2.5)
+    df = spread(df)
     if fast:
         body = f"pmod(xxhash64(s), {P})"
         return df.select(
@@ -543,8 +549,10 @@ def exact_substring_stats(
         )
         wh = df.select(id_col, F.explode(F.expr(expr)).alias("hv"))
     else:
+        from pmacct_spark.operators.staging import spread
+
         wh = (
-            df.withColumn("_ts", F.expr(_token_states_spark(text_col)))
+            spread(df).withColumn("_ts", F.expr(_token_states_spark(text_col)))
             .select(
                 id_col,
                 F.explode(
@@ -601,8 +609,10 @@ def exact_substring_remove(
     and in real corpora by the duplicated fraction."""
     from pmacct_spark.operators.staging import stage
 
+    from pmacct_spark.operators.staging import spread
+
     wpos = stage(
-        df.withColumn("_ts", F.expr(_token_states_spark(text_col)))
+        spread(df).withColumn("_ts", F.expr(_token_states_spark(text_col)))
         .select(
             id_col,
             F.posexplode(

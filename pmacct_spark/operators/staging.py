@@ -116,3 +116,20 @@ def stage(df: DataFrame) -> DataFrame:
     out = df.sparkSession.read.parquet(d)
     out.stage_path = d
     return out
+
+
+def spread(df: DataFrame) -> DataFrame:
+    """Round-robin repartition to the session parallelism when ``df``
+    arrives in fewer partitions than half the cores — the guide's
+    "input skew" fix for single-file scans / single-file micro-batches,
+    whose downstream per-row folds otherwise run on ONE task. A no-op
+    (returns ``df`` unchanged, no shuffle) when the scan already has
+    natural parallelism, so at production volume this never fires."""
+    try:
+        par = df.sparkSession.sparkContext.defaultParallelism
+        n = df.rdd.getNumPartitions()
+    except Exception:  # pragma: no cover - planning-only failure
+        return df
+    if n * 2 <= par:
+        return df.repartition(par)
+    return df
