@@ -947,7 +947,7 @@ def _account_options_tagged(spark, sf_dir):
         "port_src", "port_dst", "tcp_flags", "ip_proto", "tos",
         "as_src", "as_dst",
     )
-    from pmacct_spark.operators.staging import stage
+    from pmacct_spark.operators.staging import spread, stage
 
     # both the option-record and the flow decoder walk this stream:
     # stage the encoded datagrams ONCE so the encode lineage doesn't
@@ -955,10 +955,14 @@ def _account_options_tagged(spark, sf_dir):
     # the flow side then decodes TWOPHASE (no partition-order
     # contract — staging may re-split partitions), and the options
     # side is order-free by construction (encode_options_names emits
-    # self-contained template+data datagrams)
+    # self-contained template+data datagrams). spread() parallelizes
+    # the single-file-scan encode (guide §2.5); per-partition encode
+    # just changes datagram packing, which the twophase decode and the
+    # record-level aggregates downstream are invariant to (each task
+    # emits its own template copy — the v9 parallel-encode contract).
     mixed = stage(
         encode_options_names(reps)
-        .unionByName(encode_ipfix(fl))
+        .unionByName(encode_ipfix(spread(fl)))
         .select("exporter_ip", "payload")
     )
     # the primitives.lst from the CONFIG-KEYS nfacctd_account_options
@@ -968,7 +972,18 @@ def _account_options_tagged(spark, sf_dir):
         "name=vrf_name field_type=236 len=16 semantics=string\n"
         "name=if_name  field_type=82  len=20 semantics=string\n"
     )
-    opt_rows = decode_options_data(mixed, customs)
+    # §4.1: ship only the needed rows across the Python boundary — the
+    # options decoder walks every datagram but only the set-3-first
+    # (options template) datagrams from encode_options_names carry
+    # option records here, and they are self-contained by construction;
+    # a JVM-side set-id probe (bytes 17-18 of the IPFIX message) drops
+    # the ~100k flow datagrams before the kernel sees them
+    opt_rows = decode_options_data(
+        mixed.filter(
+            "CAST(conv(hex(substring(payload, 17, 2)), 16, 10) AS INT) = 3"
+        ),
+        customs,
+    )
     flow_rows = decode_any_twophase(mixed)
     flow_rows = flow_rows.withColumn(
         "flow_type", flow_type_column(flow_rows)
