@@ -120,16 +120,20 @@ def stage(df: DataFrame) -> DataFrame:
 
 def spread(df: DataFrame) -> DataFrame:
     """Round-robin repartition to the session parallelism when ``df``
-    arrives in fewer partitions than half the cores — the guide's
-    "input skew" fix for single-file scans / single-file micro-batches,
-    whose downstream per-row folds otherwise run on ONE task. A no-op
-    (returns ``df`` unchanged, no shuffle) when the scan already has
-    natural parallelism, so at production volume this never fires."""
+    arrives as a SINGLE partition — the guide's "input skew" fix for
+    single-file scans / single-file micro-batches, whose downstream
+    per-row folds otherwise run on ONE task. A no-op (returns ``df``
+    unchanged, no shuffle) for any multi-partition input: a wider
+    threshold (n < cores/2) was measured to REGRESS the few-partition
+    union shapes (dedup_minhash_recall_curve 1.5 -> 2.3 s — the
+    repartition shuffled the whole text corpus for a fold that already
+    had enough parallelism), and at production volume scans have
+    natural parallelism so the single-partition case never fires."""
     try:
         par = df.sparkSession.sparkContext.defaultParallelism
         n = df.rdd.getNumPartitions()
     except Exception:  # pragma: no cover - planning-only failure
         return df
-    if n * 2 <= par:
+    if n == 1 and par > 1:
         return df.repartition(par)
     return df
