@@ -101,19 +101,57 @@ def main() -> int:
     # of sub-3 s queries swing 2-5x run-to-run (GC / noisy neighbor),
     # which made real regressions indistinguishable from noise
     # (VERDICT r3). Run 1 doubles as the per-query warm-up.
+    #
+    # Per-query contamination fences (VERDICT r13 #4: the re-bench
+    # protocol belongs in the harness, not in hand-spliced artifacts):
+    # each rep set runs between two short single-thread calibrations;
+    # when either fence drops more than 20% below the best fence seen
+    # this session — a noisy-neighbor window squeezing this process —
+    # the WHOLE rep set re-queues (up to SPARK_GRAFT_BENCH_REQUEUE
+    # times, default 2) and the requeue is recorded in the artifact.
+    # The timed region itself (build + noop write, median of reps) is
+    # unchanged, so numbers stay comparable across rounds.
     reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3")))
+    max_requeue = max(
+        0, int(os.environ.get("SPARK_GRAFT_BENCH_REQUEUE", "2"))
+    )
     timings: dict[str, float] = {}
     spreads: dict[str, list[float]] = {}
     failures: dict[str, str] = {}
+    requeues: dict[str, int] = {}
+    still_suspect: list[str] = []
+    # seeded from the session-start calibration so a bench that BEGINS
+    # inside a noisy window still has a sane reference
+    best_fence = [float(cal_pre["ops_per_sec"])]
+
+    def fence() -> float:
+        ops = float(calibrate(0.12)["ops_per_sec"])
+        best_fence[0] = max(best_fence[0], ops)
+        return ops
+
     for name in sorted(qmap):
-        runs: list[float] = []
         try:
-            for _ in range(reps):
-                t0 = time.time()
-                qmap[name](spark, sf_dir).write.format("noop").mode(
-                    "overwrite"
-                ).save()
-                runs.append(round(time.time() - t0, 3))
+            for attempt in range(max_requeue + 1):
+                pre_ops = fence()
+                runs: list[float] = []
+                for _ in range(reps):
+                    t0 = time.time()
+                    qmap[name](spark, sf_dir).write.format("noop").mode(
+                        "overwrite"
+                    ).save()
+                    runs.append(round(time.time() - t0, 3))
+                post_ops = fence()
+                clean = min(pre_ops, post_ops) >= 0.8 * best_fence[0]
+                if clean or attempt == max_requeue:
+                    if not clean:
+                        still_suspect.append(name)
+                    break
+                requeues[name] = requeues.get(name, 0) + 1
+                log(
+                    f"  {name}: requeue {requeues[name]} (fences "
+                    f"{pre_ops:.0f}/{post_ops:.0f} vs best "
+                    f"{best_fence[0]:.0f})"
+                )
             runs.sort()
             timings[name] = runs[len(runs) // 2]
             spreads[name] = runs
@@ -224,6 +262,12 @@ def main() -> int:
         reps=reps,
         runs=spreads,
     )
+    if requeues:
+        full["fence_requeues"] = requeues
+    if still_suspect:
+        # rep sets whose fences never came clean within the requeue
+        # budget — their medians are in-artifact but suspect
+        full["fence_still_suspect"] = sorted(still_suspect)
     if duck_timings:
         full["duckdb"] = duck_timings
         full["duckdb_total_sec"] = round(sum(duck_timings.values()), 3)

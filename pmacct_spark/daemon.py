@@ -1296,6 +1296,25 @@ class Daemon:
                     )
         return self._agent_map_cache
 
+    def _note_lpm_scratch(self, df: DataFrame) -> None:
+        """Bound the staged per-masklen dims the follow_* chains leave
+        behind (lpm.py dim_cache): each replan tick may stage fresh
+        dims, and the returned plan reads them lazily — retain two
+        generations (the _drain_stages pattern) so the previous tick's
+        results stay drainable, release anything older (ADVICE r13:
+        the daemon leaked one dir per masklen per tick)."""
+        paths = getattr(df, "lpm_stage_dirs", [])
+        if not paths:
+            return
+        from pmacct_spark.operators.staging import release
+
+        gens = getattr(self, "_lpm_scratch_gens", [])
+        gens.append(list(paths))
+        while len(gens) > 2:
+            for p in gens.pop(0):
+                release(p)
+        self._lpm_scratch_gens = gens
+
     def _bgp_enrich(self, df: DataFrame, streaming: bool = False) -> DataFrame:
         """Peer-then-LPM flow correlation against the live RIB
         (bgp_srcdst_lookup, reference src/bgp/bgp_lookup.c:33-210):
@@ -1370,6 +1389,7 @@ class Daemon:
             df = follow_default_join(
                 df, fd_rib, "ip_dst_i", "peer_ip_src", fdef
             )
+            self._note_lpm_scratch(df)
             lookup_peer = "__fd_peer"
         out = lpm_join(
             df, rib, "ip_dst_i", attrs, default=defaults,
@@ -1405,6 +1425,7 @@ class Daemon:
                 out, nh_rib, "ip_dst_i", "peer_ip_src", prefixes,
                 out_col="__fnh_follow", external_col="__fnh_ext",
             )
+            self._note_lpm_scratch(out)
             ext = self.conf.getbool("bgp_follow_nexthop_external")
             out = out.withColumn(
                 "peer_dst_ip",

@@ -110,6 +110,13 @@ def lpm_join(
                 from pmacct_spark.operators.staging import stage
 
                 dim = stage(dim)
+                # surface the scratch dirs so chain owners (follow_*)
+                # can hand them to a long-running caller for release —
+                # a daemon replanning every tick would otherwise leak
+                # one staged dir per masklen per tick (ADVICE r13)
+                dim_cache.setdefault("__stage_paths", []).append(
+                    dim.stage_path
+                )
                 dim_cache[m] = dim
         cond = F.expr(f"{ip_col} DIV {div}") == F.col(f"__net_{m}")
         for fcol, dcol in extra.items():
@@ -232,7 +239,15 @@ def follow_nexthop_join(
         .withColumn("__fnh_first", F.lit(None).cast("string"))
         .withColumn("__fnh_self", F.lit(max_self))
     )
-    dim_cache: dict = {}  # one broadcast build per masklen, chain-wide
+    # one broadcast build per masklen, chain-wide — but ONLY when the
+    # chain is long enough to amortize the staging write each cached
+    # dim costs: staging a 2-masklen dim for follow_default's 3-lookup
+    # chain regressed it ~30% (VERDICT r13 #1) while follow_nexthop's
+    # 16-join unroll gains 16 jobs -> 4. Below the threshold the dims
+    # build inline per join, the pre-cache shape.
+    dim_cache: dict | None = (
+        {} if lookups * len(masklens) >= 8 else None
+    )
     for i in range(lookups):
         out = lpm_join(
             out,
@@ -293,10 +308,16 @@ def follow_nexthop_join(
             external_col,
             F.coalesce(F.col("__fnh_saved_ext"), F.col("__fnh_first")),
         )
-    return out.drop(
+    out = out.drop(
         "__fnh_sa", "__fnh_saved", "__fnh_saved_ext", "__fnh_first",
         "__fnh_self",
     )
+    # scratch dirs the returned plan still reads — the caller owns
+    # their release once the result is drained (ADVICE r13)
+    out.lpm_stage_dirs = (
+        dim_cache.get("__stage_paths", []) if dim_cache else []
+    )
+    return out
 
 
 def follow_default_join(
@@ -332,7 +353,15 @@ def follow_default_join(
     out = flows.withColumn("__fd_sa", F.col(peer_col)).withColumn(
         "__fd_final", F.lit(None).cast("string")
     )
-    dim_cache: dict = {}  # one broadcast build per masklen, chain-wide
+    # cache (and stage) the per-masklen dims only when the chain is
+    # long enough to amortize the staging writes — the fixture's
+    # 3-lookup x 2-masklen chain measured FASTER rebuilding the tiny
+    # broadcasts inline than paying 2 parquet write+reads (VERDICT r13
+    # #1: 1.67 -> 2.25 s staged); follow_nexthop-depth chains keep the
+    # cache (see follow_nexthop_join)
+    dim_cache: dict | None = (
+        {} if lookups * len(masklens) >= 8 else None
+    )
     for i in range(lookups):
         out = lpm_join(
             out,
@@ -371,9 +400,13 @@ def follow_default_join(
             )
             .drop("__fd_ml", "__fd_nh")
         )
-    return out.withColumn(
+    out = out.withColumn(
         out_col, F.coalesce(F.col("__fd_final"), F.col(peer_col))
     ).drop("__fd_sa", "__fd_final")
+    out.lpm_stage_dirs = (
+        dim_cache.get("__stage_paths", []) if dim_cache else []
+    )
+    return out
 
 
 def addpath_nexthop_join(
