@@ -67,8 +67,8 @@ def _fake_features(payload: bytes, dim: int = FEATURE_DIM) -> list[float]:
     return out
 
 
-def _fake_features_batch(payloads: list, dim: int = FEATURE_DIM) -> list:
-    """Vectorized :func:`_fake_features` over a whole Arrow batch: the
+def _fake_acc_grid(live_payloads: list, dim: int):
+    """INTEGER accumulator grid [n_live, dim] of the decode stub: the
     per-lane rolling hash acc = (acc*31 + byte) % p walks dim lanes in
     lock-step across ALL documents at once (one [docs, dim] numpy op
     per stride step, masked past each document's length — masking
@@ -76,29 +76,36 @@ def _fake_features_batch(payloads: list, dim: int = FEATURE_DIM) -> list:
     touches the accumulator). The scalar path was the measured hot
     spot of the streaming pHash state query (a per-byte interpreted
     loop, ~0.3 ms/doc); this folds the same math into ~len/dim numpy
-    steps per batch. None payloads stay None; empty ones yield the
-    all-zero grid, both as in the scalar reference."""
+    steps per batch."""
     import numpy as np
 
-    out: list = [None] * len(payloads)
-    live = [(k, p) for k, p in enumerate(payloads) if p is not None]
-    if not live:
-        return out
-    lens = np.array([len(p) for _, p in live], dtype=np.int64)
-    max_len = int(lens.max())
+    lens = np.array([len(p) for p in live_payloads], dtype=np.int64)
+    max_len = int(lens.max()) if len(live_payloads) else 0
     steps = max(1, (max_len + dim - 1) // dim)
-    buf = np.zeros((len(live), steps * dim), dtype=np.int64)
-    for r, (_, p) in enumerate(live):
+    buf = np.zeros((len(live_payloads), steps * dim), dtype=np.int64)
+    for r, p in enumerate(live_payloads):
         if len(p):
             buf[r, : len(p)] = np.frombuffer(p, dtype=np.uint8)
-    grid = buf.reshape(len(live), steps, dim)
-    acc = np.zeros((len(live), dim), dtype=np.int64)
+    grid = buf.reshape(len(live_payloads), steps, dim)
+    acc = np.zeros((len(live_payloads), dim), dtype=np.int64)
     lane = np.arange(dim, dtype=np.int64)
     p_mod = 1_000_003
     for t in range(steps):
         mask = (t * dim + lane)[None, :] < lens[:, None]
         np.copyto(acc, (acc * 31 + grid[:, t, :]) % p_mod, where=mask)
-    feats = acc / float(p_mod)
+    return acc
+
+
+def _fake_features_batch(payloads: list, dim: int = FEATURE_DIM) -> list:
+    """Vectorized :func:`_fake_features` over a whole Arrow batch (see
+    :func:`_fake_acc_grid` for the fold). None payloads stay None;
+    empty ones yield the all-zero grid, both as in the scalar
+    reference."""
+    out: list = [None] * len(payloads)
+    live = [(k, p) for k, p in enumerate(payloads) if p is not None]
+    if not live:
+        return out
+    feats = _fake_acc_grid([p for _, p in live], dim) / 1_000_003.0
     for r, (k, _p) in enumerate(live):
         out[k] = feats[r]
     return out
@@ -275,6 +282,79 @@ def dhash64(
         # NB: no cross-row comparison — (r, cols-1) vs (r+1, 0) is not
         # a spatial gradient
     return df.withColumn(out_col, F.expr(" + ".join(bits)))
+
+
+def decode_phash64(
+    df: DataFrame,
+    id_col: str = "content_id",
+    payload_col: str = "payload",
+    rows: int = DHASH_ROWS,
+    cols: int = DHASH_COLS,
+) -> DataFrame:
+    """Decode + dHash fused into ONE Arrow kernel: (id, phash).
+
+    Guide §4.1/§4.2 applied to the measured profile of the pHash
+    queries — the decode_features -> dhash64 chain cost ~0.6 s per
+    2.3k-doc batch, of which ~0.3 s was the 64-term JVM expression
+    (128 element_at + round casts per row) and the rest the Arrow
+    round-trip of columns dHash never needed (media struct, the
+    features array shipped back to the JVM). The fused kernel crosses
+    (id, payload) only and returns 16 bytes per row.
+
+    Bit-exactness: dhash64's quant term CAST(round(f32 * 1000003) AS
+    BIGINT) provably RECOVERS the integer accumulator the stub divided
+    by 1000003 (acc < 2**20, float32 mantissa 24 bits -> |f*p - acc| <
+    0.07), and the DuckDB oracle (_phash_expr_duck) compares those
+    integer accs directly — so comparing the int64 grid in numpy IS
+    the oracle's own arithmetic. NULL/empty payloads produce phash 0,
+    exactly as dhash64-over-NULL-features summed 64 zero IF branches.
+    Pinned by test_decode_phash64_matches_expression_chain."""
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    from pmacct_spark.session import ship_package
+
+    try:
+        ship_package(df.sparkSession)
+    except Exception:
+        pass
+    dim = rows * cols
+    src = df.select(id_col, payload_col)
+
+    def kernel(batches):
+        import numpy as np
+        import pyarrow as pa
+
+        for rb in batches:
+            if rb.num_rows == 0:
+                continue
+            payloads = rb.column(1).to_pylist()
+            phash = np.zeros(rb.num_rows, dtype=np.uint64)
+            live = [
+                (k, p) for k, p in enumerate(payloads) if p is not None
+            ]
+            if live:
+                acc = _fake_acc_grid([p for _, p in live], dim)
+                ph = np.zeros(len(live), dtype=np.uint64)
+                for r in range(rows):
+                    for c in range(cols - 1):
+                        i = r * cols + c
+                        bit = r * (cols - 1) + c
+                        ph |= (acc[:, i] > acc[:, i + 1]).astype(
+                            np.uint64
+                        ) << np.uint64(bit)
+                phash[[k for k, _ in live]] = ph
+            yield pa.RecordBatch.from_arrays(
+                [
+                    rb.column(0),
+                    pa.array(phash.view(np.int64), type=pa.int64()),
+                ],
+                names=[id_col, "phash"],
+            )
+
+    out_schema = StructType(
+        [src.schema.fields[0], StructField("phash", LongType())]
+    )
+    return src.mapInArrow(kernel, out_schema)
 
 
 def phash_band_keys(

@@ -373,8 +373,7 @@ WHERE bit_count(xor(a.phash, b.phash)) <= 3"""
 @register("dedup_multimodal_phash", _phash_duck())
 def dedup_multimodal_phash(spark, sf_dir):
     from pmacct_spark.operators.multimodal import (
-        decode_features,
-        dhash64,
+        decode_phash64,
         media_table_from_documents,
         phash_near_dup_pairs,
     )
@@ -383,8 +382,9 @@ def dedup_multimodal_phash(spark, sf_dir):
         F.length("text") >= 144
     )
     media = media_table_from_documents(docs)
-    feats = decode_features(media, fake=True, dim=72)
-    hashed = dhash64(feats).select("content_id", "phash")
+    # fused decode+dHash kernel: (id, payload) in, (id, phash) out —
+    # same values as decode_features -> dhash64 (see decode_phash64)
+    hashed = decode_phash64(media)
     return phash_near_dup_pairs(hashed)
 
 

@@ -1496,8 +1496,7 @@ def stream_dedup_phash(spark, sf_dir):
     import os
 
     from pmacct_spark.operators.multimodal import (
-        decode_features,
-        dhash64,
+        decode_phash64,
         media_table_from_documents,
         phash_band_keys,
     )
@@ -1523,13 +1522,11 @@ def stream_dedup_phash(spark, sf_dir):
         # parquet (the perceptual index a production ingest keeps
         # anyway), then min-merges into the compacted owner state —
         # read-prev -> union -> min -> write-next, the same versioned
-        # MERGE as stream_dedup_minhash
+        # MERGE as stream_dedup_minhash. The fused decode+dHash kernel
+        # (decode_phash64) replaced the decode_features -> dhash64
+        # chain: same values, ~0.6 s/batch less (guide §4.1/§4.2)
         spark_b = batch_df.sparkSession
-        hashed = dhash64(
-            decode_features(
-                media_table_from_documents(batch_df), fake=True, dim=72
-            )
-        ).select("content_id", "phash")
+        hashed = decode_phash64(media_table_from_documents(batch_df))
         bp = os.path.join(d, f"bands_v{batch_id}")
         phash_band_keys(hashed).write.mode("overwrite").parquet(bp)
         band_paths.append(bp)

@@ -371,15 +371,19 @@ def two_microbatch_source(df, batch_col: str = "b", nbatches: int = 2):
 
     spark = df.sparkSession
     d = scratch_dir("stream2b_")
-    df.repartition(batch_col).write.partitionBy(batch_col).parquet(
-        os.path.join(d, "w")
-    )
+    # nbatches shuffle partitions, not the session's 32: a task writes
+    # one file per batch VALUE it holds (partitionBy), so any partition
+    # count yields exactly one file per batch — the 30 empty shuffle
+    # tasks were pure scheduling overhead (profiled ~0.1 s/replay)
+    df.repartition(nbatches, batch_col).write.partitionBy(
+        batch_col
+    ).parquet(os.path.join(d, "w"))
     src = os.path.join(d, "src")
     os.makedirs(src)
     for i in range(1, nbatches + 1):
         bdir = os.path.join(d, "w", f"{batch_col}={i}")
         parts = [f for f in os.listdir(bdir) if f.endswith(".parquet")]
-        assert len(parts) == 1, parts  # repartition(batch_col) -> 1 file
+        assert len(parts) == 1, parts  # one writer task per batch value
         dst = os.path.join(src, f"b{i}.parquet")
         os.rename(os.path.join(bdir, parts[0]), dst)
         # FileStreamSource orders files by modification time: pin it
@@ -387,7 +391,9 @@ def two_microbatch_source(df, batch_col: str = "b", nbatches: int = 2):
     note_stream_source_bytes(
         sum(e.stat().st_size for e in os.scandir(src) if e.is_file())
     )
-    schema = spark.read.parquet(src).schema
+    # the files carry df's columns minus the partition column — derive
+    # the stream schema from the plan instead of a footer-read job
+    schema = df.drop(batch_col).schema
     stream = (
         spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", 1)

@@ -97,6 +97,34 @@ def test_multimodal_decode_roundtrip(spark, docs):
     }
 
 
+def test_decode_phash64_matches_expression_chain(spark, docs):
+    """The fused decode+dHash kernel is value-identical to the
+    decode_features -> dhash64 chain it replaced (incl. NULL and empty
+    payloads, which both map to phash 0)."""
+    media = multimodal.media_table_from_documents(docs.limit(50))
+    edge = spark.createDataFrame(
+        [(900001, None), (900002, b"")],
+        "content_id long, payload binary",
+    ).selectExpr(
+        "content_id", "payload",
+        "named_struct('kind','image','codec','fake','width',0,"
+        "'height',0,'duration_ms',CAST(0 AS BIGINT),'sample_rate',0)"
+        " AS media",
+    )
+    media = media.unionByName(edge)
+    want = {
+        r.content_id: r.phash
+        for r in multimodal.dhash64(
+            multimodal.decode_features(media, fake=True, dim=72)
+        ).select("content_id", "phash").collect()
+    }
+    got = {
+        r.content_id: r.phash
+        for r in multimodal.decode_phash64(media).collect()
+    }
+    assert got == want
+
+
 def test_multimodal_real_decode_is_gated(spark, docs):
     media = multimodal.media_table_from_documents(docs.limit(1))
     with pytest.raises(NotImplementedError, match="fake=True"):
