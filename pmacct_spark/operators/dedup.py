@@ -382,13 +382,17 @@ def minhash_signature(
     Plan: hash shingles per row (narrow) -> explode (narrow) ->
     groupBy(id) with K min() aggregates (one shuffle, map-side combined).
     """
-    # materialization barrier: see _signature_from_sets — exploding the
-    # raw expression would recompute the per-doc hash array once per
-    # shingle. Staged parquet (operators/staging.py): ownership-free,
-    # zero block-manager residency (VERDICT r2 what's-wrong #2).
-    from pmacct_spark.operators.staging import stage
+    sets = shingle_hash_sets(df, id_col, text_col, n, fast=fast)
+    if fast:
+        # materialization barrier: see _signature_from_sets — exploding
+        # a raw EXPRESSION hvs recomputes the per-doc hash array once
+        # per shingle (the inlining trap). The portable path's hvs
+        # comes out of the Arrow kernel, an opaque Python node Catalyst
+        # cannot inline into — the barrier there was a pure
+        # write+read (~0.5 s/pass measured, fenced A/B).
+        from pmacct_spark.operators.staging import stage
 
-    sets = stage(shingle_hash_sets(df, id_col, text_col, n, fast=fast))
+        sets = stage(sets)
     return _signature_from_sets(sets, id_col)
 
 
@@ -458,14 +462,17 @@ def minhash_dedup_pairs(
     signatures -> banded buckets -> candidate pairs -> exact
     hashed-shingle Jaccard verification (integer per-mille).
 
-    The per-doc hash set is computed ONCE and staged (it feeds both
-    the signature and the verification join); staged parquet costs no
-    block-manager memory and needs no unpersist owner. All pairwise
-    work happens on int64 arrays, never on shingle strings.
+    The per-doc hash set feeds both the signature and the verification
+    join: when the corpus is heavy it is staged once (narrow parquet
+    beats rescanning text per consumer); below the size threshold the
+    Arrow fold just re-evaluates (stage_if_heavy). The fast path's
+    expression hvs always stages — the explode-inlining trap. All
+    pairwise work happens on int64 arrays, never on shingle strings.
     """
-    from pmacct_spark.operators.staging import stage
+    from pmacct_spark.operators.staging import stage, stage_if_heavy
 
-    sets = stage(shingle_hash_sets(df, id_col, text_col, n, fast=fast))
+    sets = shingle_hash_sets(df, id_col, text_col, n, fast=fast)
+    sets = stage(sets) if fast else stage_if_heavy(sets, df)
     sig = _signature_from_sets(sets, id_col)
     cands = lsh_candidate_pairs(band_keys_long(sig, id_col, bands), id_col)
     a = sets.select(F.col(id_col).alias("doc_a"), F.col("hvs").alias("hv_a"))
@@ -616,15 +623,19 @@ def minhash_cross_pairs(
     new x ref only: a shuffle equi-join on (band index, band key) —
     both sides scale to billions of docs, no broadcast, no all-pairs.
     Returns (new_id, ref_id, jaccard_pm >= threshold)."""
-    from pmacct_spark.operators.staging import stage
+    from pmacct_spark.operators.staging import stage, stage_if_heavy
 
-    new_sets = stage(shingle_hash_sets(new_df, id_col, text_col, n, fast=fast))
+    new_sets = shingle_hash_sets(new_df, id_col, text_col, n, fast=fast)
+    new_sets = (
+        stage(new_sets) if fast else stage_if_heavy(new_sets, new_df)
+    )
     if ref_sets is None:
         # the static training-set side dominates the cost: callers
         # ingesting repeatedly should compute it once via
         # shingle_hash_sets + stage and pass it back in each batch
-        ref_sets = stage(
-            shingle_hash_sets(ref_df, id_col, text_col, n, fast=fast)
+        ref_sets = shingle_hash_sets(ref_df, id_col, text_col, n, fast=fast)
+        ref_sets = (
+            stage(ref_sets) if fast else stage_if_heavy(ref_sets, ref_df)
         )
     nb = band_keys_long(
         _signature_from_sets(new_sets, id_col), id_col, bands
@@ -763,15 +774,19 @@ def exact_substring_stats(
         wh = _window_rows_arrow(df, id_col, text_col, w).select(
             id_col, "hv"
         )
-    from pmacct_spark.operators.staging import stage
+    from pmacct_spark.operators.staging import stage_if_heavy
 
-    # stage the narrow (id, hv, c) projection: it feeds BOTH the global
-    # hash-count aggregate and the join back — without the barrier the
-    # per-token fold (the expensive interpreted-HOF pass) runs twice
-    per = stage(
+    # the narrow (id, hv, c) projection feeds BOTH the global
+    # hash-count aggregate and the join back: stage it when the corpus
+    # is heavy (rescan cost), re-evaluate below the threshold (the
+    # Arrow fold is cheap and the groupBy exchange canonicalizes for
+    # runtime reuse) — fenced A/B at sf0.1 measured the barrier a
+    # slight net cost at this volume
+    per = stage_if_heavy(
         wh.groupBy(id_col, "hv").agg(
             F.count(F.lit(1)).cast("bigint").alias("c")
-        )
+        ),
+        df,
     )
     tot = per.groupBy("hv").agg(F.sum("c").cast("bigint").alias("tot"))
     return (
@@ -810,11 +825,12 @@ def exact_substring_remove(
     after ONE join back on the doc id. The per-doc exists() scan is
     O(tokens x dup_starts) worst case; dup_starts is bounded by tokens
     and in real corpora by the duplicated fraction."""
-    from pmacct_spark.operators.staging import stage
+    from pmacct_spark.operators.staging import stage_if_heavy
 
     # Arrow numpy fold (guide §4.2) with the posexplode folded into the
-    # kernel — bit-identical to the _token_states_spark chain
-    wpos = stage(_window_rows_arrow(df, id_col, text_col, w))
+    # kernel — bit-identical to the _token_states_spark chain; staged
+    # only over a heavy corpus (two consumers read it back)
+    wpos = stage_if_heavy(_window_rows_arrow(df, id_col, text_col, w), df)
     dups = (
         wpos.groupBy("hv")
         .agg(F.count(F.lit(1)).alias("tot"))

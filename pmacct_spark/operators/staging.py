@@ -118,6 +118,47 @@ def stage(df: DataFrame) -> DataFrame:
     return out
 
 
+STAGE_MIN_INPUT_CONF = "spark.pmacct.stage.minInputBytes"
+_STAGE_MIN_INPUT_DEFAULT = 256 << 20
+
+
+def plan_size_bytes(df: DataFrame) -> int:
+    """Catalyst's size estimate for the optimized plan (bytes)."""
+    return int(
+        df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+    )
+
+
+def stage_if_heavy(df: DataFrame, source: DataFrame) -> DataFrame:
+    """Scale-adaptive barrier for a MULTI-CONSUMER intermediate whose
+    recomputation cost is dominated by rescanning ``source``: stage
+    when the source's size estimate exceeds
+    ``spark.pmacct.stage.minInputBytes`` (default 256 MB), otherwise
+    return ``df`` unstaged and let each consumer re-evaluate the
+    subtree.
+
+    Why a threshold (guide §1.2/§5): at production volume the barrier
+    trades ONE write+read of a narrow intermediate against N rescans
+    of the heavy source — clearly right. At bench/test volume (tens of
+    MB) the parquet write+read is pure fixed cost: fenced A/B at sf0.1
+    measured the MinHash pair pipelines 0.15-0.6 s FASTER re-running
+    the Arrow fold per consumer than staging its output. Do NOT use
+    this for expression-valued intermediates that explode downstream —
+    those need an unconditional barrier (the inlining trap); kernel
+    outputs are safe because Catalyst cannot inline into an opaque
+    Python node."""
+    try:
+        threshold = int(
+            df.sparkSession.conf.get(
+                STAGE_MIN_INPUT_CONF, str(_STAGE_MIN_INPUT_DEFAULT)
+            )
+        )
+        heavy = plan_size_bytes(source) >= threshold
+    except Exception:  # pragma: no cover - stats unavailable: be safe
+        heavy = True
+    return stage(df) if heavy else df
+
+
 def spread(df: DataFrame) -> DataFrame:
     """Round-robin repartition to the session parallelism when ``df``
     arrives as a SINGLE partition — the guide's "input skew" fix for

@@ -49,17 +49,17 @@ def decontaminate_benchmark_overlap(spark, sf_dir):
     the corpus side never shuffles (explode -> broadcast join ->
     re-collapse with partial aggregation)."""
     docs = load_table(spark, sf_dir, "documents")
-    # Materialize the hash sets before the explode/join stages: without
-    # the barrier, InferFiltersFromGenerate pushes a size(hvs)>0
-    # predicate whose inlined expression re-evaluates the whole
-    # token-state fold per element_at reference (measured 240s -> 1s at
-    # sf0.1). Staged parquet barrier: ownership-free, zero
-    # block-manager residency. Same pattern as dedup.minhash_dedup_pairs.
-    from pmacct_spark.operators.staging import stage
+    # The historical barrier here guarded the EXPRESSION hash sets
+    # against InferFiltersFromGenerate inlining the token-state fold
+    # per element_at reference (measured 240s -> 1s at sf0.1). The
+    # Arrow kernel's hvs is an opaque Python node Catalyst cannot
+    # inline into, so the barrier is now only the multi-consumer
+    # rescan guard — scale-adaptive (stage_if_heavy).
+    from pmacct_spark.operators.staging import stage_if_heavy
 
-    sets = stage(dedup.shingle_hash_sets(
+    sets = stage_if_heavy(dedup.shingle_hash_sets(
         docs, "doc_id", "text", n=_DECON_N, extra_cols=("source",)
-    ))
+    ), docs)
     bench = sets.filter(F.col("source").isin(*_BENCH_SOURCES))
     corpus = sets.filter(~F.col("source").isin(*_BENCH_SOURCES))
     return curation.decontaminate(corpus, bench)
@@ -282,13 +282,15 @@ def corpus_curation_pipeline(spark, sf_dir):
         F.expr(f"({_FAIL_SQL}) = 0")
         & ~F.col("source").isin(*_BENCH_SOURCES)
     ).select("doc_id", "source", "n_chars", "text"))
-    bench_sets = stage(dedup.shingle_hash_sets(
+    from pmacct_spark.operators.staging import stage_if_heavy
+
+    bench_sets = stage_if_heavy(dedup.shingle_hash_sets(
         docs.filter(F.col("source").isin(*_BENCH_SOURCES)),
         "doc_id", "text", n=_DECON_N,
-    ))
-    corp_sets = stage(dedup.shingle_hash_sets(
+    ), docs)
+    corp_sets = stage_if_heavy(dedup.shingle_hash_sets(
         keep_q, "doc_id", "text", n=_DECON_N
-    ))
+    ), keep_q)
     contam = curation.decontaminate(corp_sets, bench_sets).filter(
         F.col("contam_pm") >= 500
     ).select("doc_id")
