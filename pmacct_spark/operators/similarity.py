@@ -677,10 +677,18 @@ def _pq_qtab_terms(cb: list[list[list[int]]]) -> str:
 
 
 def _pq_adot_expr(K: int) -> str:
-    """Candidate ADC score: M table lookups, no per-pair vector math."""
-    return (
-        f"aggregate(sequence(0, {PQ_M - 1}), 0L, (a, m) -> "
-        f"a + element_at(qtab, CAST(m * {K} + element_at(codes, m + 1) + 1 AS INT)))"
+    """Candidate ADC score: M table lookups, no per-pair vector math.
+
+    Unrolled to a flat sum of M element_at terms instead of an
+    ``aggregate(sequence(0, M-1), ...)`` fold: higher-order lambdas are
+    interpreted per candidate row (and allocate the index array), while
+    the flat sum stays inside whole-stage codegen — this expression
+    runs once per (query, probed item), the widest row set of the
+    serve path. int64 + is associative, so the sum is value-identical
+    to the fold."""
+    return " + ".join(
+        f"element_at(qtab, CAST({m * K} + element_at(codes, {m + 1}) + 1 AS INT))"
+        for m in range(PQ_M)
     )
 
 
@@ -973,8 +981,12 @@ def ivf_pq_assign(
                 dtype=np.float64,
             )
             d = q @ C.T
-            df64 = d.astype(np.float64)
-            p = df64 * df64
+            # square in INT64 first (numpy wraps like Java long), THEN
+            # cast — the SQL twin _SIGNED_SQ computes d*d AS BIGINT
+            # before the DOUBLE cast, so squaring in float64 diverged
+            # for |d| > ~3e9 (ADVICE r13; unreachable at fixture
+            # magnitudes, exact parity on principle)
+            p = (d * d).astype(np.float64)
             with np.errstate(divide="ignore", invalid="ignore"):
                 sim = np.where(d >= 0, p, -p) / (nrm[:, None] * ncn[None, :])
             cell = cids[np.argmax(sim, axis=1)]
