@@ -299,15 +299,16 @@ def bm25_topk(
     """(query_id, doc_id, score, rank): BM25 top-k docs per query."""
     terms = sorted({t for _, ts in queries for t in ts})
     term_list = ", ".join(f"'{t}'" for t in terms)
-    from pmacct_spark.operators.staging import stage
+    from pmacct_spark.operators.staging import stage_if_heavy
 
-    # ONE corpus scan: stage the slim (doc_id, dl, matched-tokens)
-    # projection — dl for every doc feeds the global stats, the
-    # query-term-filtered token array feeds the postings. Staging this
-    # row-linear-but-narrow projection (~tens of bytes/doc) is far
-    # cheaper than re-scanning and re-tokenizing the full text for the
-    # stats pass.
-    slim = stage(
+    # ONE corpus scan over a heavy corpus: stage the slim (doc_id, dl,
+    # matched-tokens) projection — dl for every doc feeds the global
+    # stats, the query-term-filtered token array feeds the postings.
+    # Staging this row-linear-but-narrow projection (~tens of
+    # bytes/doc) is far cheaper than re-scanning and re-tokenizing the
+    # full text for the stats pass; below the size threshold the
+    # re-tokenize is cheaper than the barrier (stage_if_heavy).
+    slim = stage_if_heavy(
         docs.select(
             F.col(id_col).alias("doc_id"), tokens_expr(text_col).alias("tk")
         ).select(
@@ -317,7 +318,8 @@ def bm25_topk(
             # this is the difference between shuffling every token and
             # shuffling only the handful of matching postings
             F.expr(f"filter(tk, t -> t IN ({term_list}))").alias("mt"),
-        )
+        ),
+        docs,
     )
     # global corpus stats: one row, broadcast onto the postings
     stats = slim.agg(

@@ -1636,13 +1636,15 @@ def stream_bm25_index(spark, sf_dir):
     dl_v: list[str] = []
 
     def ingest(batch_df, batch_id: int) -> None:
-        from pmacct_spark.operators.staging import stage
+        from pmacct_spark.operators.staging import stage_if_heavy
 
         spark_b = batch_df.sparkSession
-        # staged like the batch path: the slim (doc_id, dl, matched
-        # tokens) projection feeds BOTH state writes — without the
-        # barrier each write would re-tokenize the micro-batch
-        slim = stage(
+        # the slim (doc_id, dl, matched tokens) projection feeds BOTH
+        # state writes: staged over a heavy batch (two tokenize scans
+        # would dominate), re-evaluated below the size threshold —
+        # fenced A/B at sf0.1 measured the per-batch barrier ~0.5 s
+        # net cost (write+read of a tiny table twice per replay)
+        slim = stage_if_heavy(
             batch_df.select(
                 "doc_id", tokens_expr("text").alias("tk")
             ).select(
@@ -1651,7 +1653,8 @@ def stream_bm25_index(spark, sf_dir):
                 F.expr(
                     f"filter(tk, t -> t IN ({term_list}))"
                 ).alias("mt"),
-            )
+            ),
+            batch_df,
         )
         post = (
             slim.select("doc_id", "dl", F.explode("mt").alias("tok"))
