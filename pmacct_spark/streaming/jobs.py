@@ -95,7 +95,15 @@ def stream_shuffle_partitions(spark, source_bytes: int | None) -> int | None:
 class scoped_stream_partitions:
     """Context manager: apply the size-derived shuffle-partition count
     around a streaming query's start+drain, then restore the session
-    value. Consumes the one-shot source-size hint."""
+    value. Consumes the one-shot source-size hint.
+
+    Threading contract (ADVICE r13): the scope mutates the
+    SESSION-WIDE ``spark.sql.shuffle.partitions`` for the duration of
+    the drain, so any query planned concurrently on the same session
+    would inherit the streaming-derived count. The gated queries and
+    the daemon build-then-drain single-threaded, which is the
+    assumption; a multi-threaded caller must clone the session
+    (``spark.newSession()``) per thread instead."""
 
     def __init__(self, spark):
         self.spark = spark
